@@ -1,0 +1,164 @@
+"""Explicit StructType schemas for every fixture table.
+
+The reference declared fixed CQL DDL per Cassandra table (SURVEY.md §1.1,
+[P:med]); the engine's analogue is one authoritative ``StructType`` per table.
+Production paths never rely on schema inference — an explicit schema lets the
+parquet reader prune columns and skip row groups without a footer-sampling
+pass, which matters when the scan is 100 TB wide.
+
+Column shapes measured from the driver fixtures (FIXTURES.md §A).
+Note ``events.ts`` is parquet ``timestamp[ns]``: Spark truncates to
+microseconds on read, so oracle-checked queries never emit it raw
+(SURVEY.md §1 gotcha 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+REGION = StructType(
+    [
+        StructField("r_regionkey", IntegerType()),
+        StructField("r_name", StringType()),
+    ]
+)
+
+NATION = StructType(
+    [
+        StructField("n_nationkey", IntegerType()),
+        StructField("n_name", StringType()),
+        StructField("n_regionkey", IntegerType()),
+    ]
+)
+
+CUSTOMER = StructType(
+    [
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_nationkey", IntegerType()),
+        StructField("c_acctbal", DoubleType()),
+        StructField("c_mktsegment", StringType()),
+    ]
+)
+
+SUPPLIER = StructType(
+    [
+        StructField("s_suppkey", LongType()),
+        StructField("s_name", StringType()),
+        StructField("s_nationkey", IntegerType()),
+        StructField("s_acctbal", DoubleType()),
+    ]
+)
+
+PART = StructType(
+    [
+        StructField("p_partkey", LongType()),
+        StructField("p_name", StringType()),
+        StructField("p_brand", StringType()),
+        StructField("p_type", StringType()),
+        StructField("p_size", IntegerType()),
+        StructField("p_retailprice", DoubleType()),
+    ]
+)
+
+ORDERS = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", TimestampType()),
+        StructField("o_orderpriority", StringType()),
+    ]
+)
+
+LINEITEM = StructType(
+    [
+        StructField("l_orderkey", LongType()),
+        StructField("l_partkey", LongType()),
+        StructField("l_suppkey", LongType()),
+        StructField("l_linenumber", IntegerType()),
+        StructField("l_quantity", DoubleType()),
+        StructField("l_extendedprice", DoubleType()),
+        StructField("l_discount", DoubleType()),
+        StructField("l_tax", DoubleType()),
+        StructField("l_returnflag", StringType()),
+        StructField("l_linestatus", StringType()),
+        StructField("l_shipdate", TimestampType()),
+    ]
+)
+
+# Parquet-side schema: `ts` is TIMESTAMP(NANOS), which Spark 4 cannot map to
+# TimestampType (PARQUET_TYPE_ILLEGAL). With
+# ``spark.sql.legacy.parquet.nanosAsLong`` the column reads as epoch
+# nanoseconds; ``io.load`` converts it to a microsecond TimestampType, so
+# engine code always sees `ts: timestamp`.
+EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# Engine-facing events schema (post-load).
+EVENTS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+DOCUMENTS = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+# ArrayType(FloatType), deliberately NOT Spark-ML VectorUDT: DuckDB reads the
+# same column as LIST(FLOAT) so oracle SQL can compute dot products directly
+# (SURVEY.md §1.2).
+EMBEDDINGS = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+# Schemas as passed to the parquet reader (events uses the raw long ts).
+SCHEMAS: dict[str, StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS_RAW,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
+
+TABLES = tuple(SCHEMAS)

@@ -1,0 +1,53 @@
+"""SparkSession factory for the engine.
+
+Capability parity target: PDXostc/rvi_big-data_api (see SURVEY.md §0 — the
+reference checkout is empty; capabilities are reconstructed from public
+knowledge of the RVI Big Data demo). The reference ran hand-ordered RDD jobs
+against Cassandra with no optimizer (SURVEY.md §4.1); this engine instead
+declares every query through the DataFrame API and leans on Catalyst + AQE.
+
+Pinned decisions (SURVEY.md §7):
+- ``spark.sql.ansi.enabled = false``: cast/parse failures and x/0 yield NULL,
+  which pairs with DuckDB ``TRY_CAST`` / ``nullif`` guards in the oracle twins.
+- ``spark.sql.session.timeZone = UTC``: parquet fixture timestamps are naive;
+  pinning UTC makes Spark and DuckDB agree on wall-clock values.
+- Arrow enabled: vectorized Python<->JVM exchange for pandas UDFs / toPandas.
+- AQE on (Spark default) with shuffle-partition coalescing: the key 100 TB
+  lever — skew-join splitting and runtime partition sizing come free.
+
+At 100 TB the same builder works cluster-side: only ``master`` and memory
+sizing change; ``shuffle.partitions`` here is a local-mode floor, AQE
+re-coalesces at runtime from observed shuffle stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local-mode parallelism is taken from ``$SPARK_GRAFT_CPUS`` (default ``*``),
+    matching the driver's bench harness contract.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # fixture events.ts is parquet TIMESTAMP(NANOS); read as epoch-nanos
+        # long (Spark 4 has no nanos timestamp) — io.load converts to µs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
