@@ -1,0 +1,185 @@
+"""Projection, filter, and predicate operators (SURVEY.md §2.2).
+
+The reference's interactive read path was a CQL clustering-range query —
+``WHERE vin=? AND ts>=? AND ts<?`` served by the primary-key index
+(SURVEY.md §3.1 [P:med]). The Spark-first equivalent is a declarative filter
+that Catalyst pushes into the parquet scan: `.explain` shows PushedFilters +
+min/max row-group skipping, so at 100 TB only matching row groups are read.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exprs import duck_ts_str, ts_str
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "project_prune",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    """,
+    tags=("projection",),
+)
+def project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning + rename: the parquet scan should read exactly three of
+    customer's five columns (ReadSchema in explain)."""
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+    tags=("projection",),
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived column — stays inside whole-stage codegen (no UDF).
+
+    Deliberately NOT rounded: per-row IEEE arithmetic over identical
+    expression trees is bit-identical in Spark and DuckDB, whereas round()
+    itself diverges on .xx5 ties (Spark HALF_UP vs DuckDB half-even). Rounding
+    is reserved for order-dependent aggregates (SURVEY.md §1 gotcha 2)."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@query(
+    "filter_eq",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+           {duck_ts_str('o_orderdate', 'day')} AS orderdate
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("filter",),
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality predicate, pushed to the scan (PushedFilters: [EqualTo(...)])."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+            ts_str("o_orderdate", "day").alias("orderdate"),
+        )
+    )
+
+
+@query(
+    "filter_range_time",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value,
+           {duck_ts_str('ts')} AS ts_sec
+    FROM events
+    WHERE user_id = 7
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+    tags=("filter", "telemetry"),
+)
+def filter_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core read path: all reports for one key in [t0, t1).
+
+    At 100 TB the events table is partitioned by date and/or bucketed by
+    user_id, so this predicate prunes partitions AND row groups; sorting by ts
+    within a single user's slice is cheap (per-key data is small)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("user_id") == 7)
+            & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        )
+        .orderBy("ts")
+        .select("event_id", "user_id", "event_type", "value", ts_str("ts").alias("ts_sec"))
+    )
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    WHERE p_type LIKE 'PROMO%'
+      AND p_size BETWEEN 10 AND 40
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND NOT p_retailprice < 100.0
+    """,
+    tags=("filter",),
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT + isin + between + like — all pushed as conjunctive scan filters."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("PROMO%")
+        & F.col("p_size").between(10, 40)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & ~(F.col("p_retailprice") < 100.0)
+    ).select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+
+
+@query(
+    "filter_null",
+    oracle="""
+    SELECT c.c_custkey,
+           o.cnt IS NULL      AS never_ordered,
+           coalesce(o.cnt, 0) AS order_count
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("filter", "null"),
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL handling (fixtures have no NULLs, so synthesize them via a left
+    join): isNull flag + coalesce fill. Mirrors 'vehicles without recent
+    reports' from the reference's dashboards."""
+    cust = load(spark, sf_dir, "customer")
+    per_cust = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.col("cnt").isNull().alias("never_ordered"),
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("order_count"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT event_type, user_id FROM events",
+    tags=("filter",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct tuples — planned as a hash aggregate (partial + final), so the
+    shuffle carries one row per distinct pair, not per event."""
+    return load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+
+
+@query("sample_frac", oracle=None, tags=("filter", "rows-only"))
+def sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (rows-only: Spark's sampler differs from
+    DuckDB's). Deterministic for a fixed seed + stable input partitioning,
+    which the driver's re-runs rely on."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
