@@ -57,3 +57,346 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@query(
+    "agg_basic",
+    oracle="""
+    SELECT user_id,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value,
+           min(value)           AS min_value,
+           max(value)           AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key stats (per-VIN report stats in the reference). min/max are
+    order-independent so stay unrounded; sum/avg are rounded (§1 gotcha 2)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group (distinct active VINs per channel). Catalyst
+    expands this to a two-phase aggregate; at 100 TB prefer
+    `agg_approx_distinct` unless exactness is contractual."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "rows-only"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct at scale (rows-only: approximate result has no exact SQL
+    twin). rsd=0.02 — constant-size sketch per group regardless of data
+    volume, the 100 TB answer to count-distinct."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_value,
+           count(CASE WHEN event_type = 'click' THEN 1 END)               AS n_clicks,
+           count(CASE WHEN event_type = 'error' THEN 1 END)               AS n_errors,
+           round(avg(CASE WHEN event_type = 'view' THEN value END), 4)    AS avg_view_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates — one pass builds a wide per-channel metric row
+    (the reference's per-channel columns) instead of N filtered scans."""
+    ev = load(spark, sf_dir, "events")
+    t = F.col("event_type")
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum(F.when(t == "purchase", F.col("value"))), 2).alias("purchase_value"),
+        F.count(F.when(t == "click", F.lit(1))).alias("n_clicks"),
+        F.count(F.when(t == "error", F.lit(1))).alias("n_errors"),
+        F.round(F.avg(F.when(t == "view", F.col("value"))), 4).alias("avg_view_value"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(r.r_name, 'ALL')  AS region_name,
+           coalesce(n.n_name, 'ALL')  AS nation_name,
+           grouping(r.r_name)         AS g_region,
+           grouping(n.n_name)         AS g_nation,
+           count(*)                   AS n_customers,
+           round(sum(c.c_acctbal), 2) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region → nation → grand total; grouping() flags
+    distinguish subtotal rows from data rows."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    ).select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+        "g_region",
+        "g_nation",
+        "n_customers",
+        "sum_acctbal",
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, 'ALL')    AS segment,
+           coalesce(o.o_orderpriority, 'ALL') AS priority,
+           grouping(c.c_mktsegment)           AS g_segment,
+           grouping(o.o_orderpriority)        AS g_priority,
+           count(*)                           AS n_orders,
+           round(sum(o.o_totalprice), 2)      AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-combination subtotals over segment × priority."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return joined.cube("c_mktsegment", "o_orderpriority").agg(
+        F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    ).select(
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "g_segment",
+        "g_priority",
+        "n_orders",
+        "total_price",
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL')                       AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           count(*)                                          AS n_events,
+           round(sum(value), 2)                              AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point (SURVEY.md §3.3): totals
+    by type, by day, and grand total in one pass."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL')                              AS event_type,
+               coalesce(date_format(date_trunc('day', ts), 'yyyy-MM-dd'), 'ALL') AS day,
+               count(*)                                                 AS n_events,
+               round(sum(value), 2)                                     AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+        """
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type, event_id) AS type_trace,
+           count(*) AS n_events
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordered trace assembly (trip trace in the reference).
+    collect_list is shuffle-order-nondeterministic, so the list is sorted
+    before joining to a string (§1 gotcha 3)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.struct("event_type", "event_id"))).getField("event_type"),
+            ",",
+        ).alias("type_trace"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per channel (speed percentiles in the
+    reference). Exact percentile sorts per group — fine for bounded group
+    count; at 100 TB switch to percentile_approx (rows-only twin)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(var_samp(value), 4)    AS var_value,
+           round(corr(value, json_extract_string(props, '$.k')::INT), 4)  AS corr_vk,
+           round(covar_samp(value, json_extract_string(props, '$.k')::INT), 4) AS covar_vk
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics, with the JSON payload field as the second
+    variable (channel reading vs payload k)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr("value", "k"), 4).alias("corr_vk"),
+        F.round(F.covar_samp("value", "k"), 4).alias("covar_vk"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    WITH mx AS (
+        SELECT user_id, max(value) AS peak_value, min(value) AS low_value
+        FROM events GROUP BY user_id
+    )
+    SELECT mx.user_id,
+           max(CASE WHEN e.value = mx.peak_value THEN e.event_id END) AS peak_event,
+           mx.peak_value,
+           max(CASE WHEN e.value = mx.low_value THEN e.event_id END) AS low_event,
+           mx.low_value
+    FROM events e JOIN mx ON e.user_id = mx.user_id
+    GROUP BY mx.user_id, mx.peak_value, mx.low_value
+    """,
+    tags=("agg",),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row achieving the extreme (peak-speed report per vehicle) — max_by /
+    min_by, no self-join needed.
+
+    `value` has duplicate readings, so a bare max_by is nondeterministic under
+    ties; a lexicographic struct key pins the winner to the highest event_id.
+    DuckDB 1.0's arg_max has no composite-key form, so the twin uses the
+    group-max + conditional-max formulation instead."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("value", "event_id")).alias("peak_event"),
+        F.max("value").alias("peak_value"),
+        F.min_by("event_id", F.struct("value", (-F.col("event_id")).alias("neg_id"))).alias("low_event"),
+        F.min("value").alias("low_value"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot channel → columns (the reference's channel matrix). Pivot values
+    are passed explicitly — never let Spark scan for them at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*)                      AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_discount), 6)      AS avg_discount,
+           count(DISTINCT l_orderkey)     AS n_orders
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand totals, no grouping — partial aggregation reduces each partition
+    to one row before the single-row final combine."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

@@ -1,0 +1,362 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference enriched telemetry with vehicle metadata and stitched trips to
+raw points via hand-coded RDD joins (SURVEY.md §3.1 [P:med]). Spark-first
+rules applied here:
+
+- dimension tables get an explicit ``F.broadcast`` hint — no shuffle of the
+  fact side, which is THE lever for 100 TB fact⋈dim joins;
+- large-large joins stay unhinted: AQE picks sort-merge vs shuffled-hash from
+  observed sizes and splits skewed keys at runtime;
+- semi/anti joins are expressed as `left_semi`/`left_anti` so Catalyst plans
+  them without materializing the probe side;
+- the as-of join uses the union + carry-forward-last idiom (ONE shuffle, no
+  range-join blowup) rather than a quadratic inequality join — this is the
+  formulation that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.exprs import duck_ts_str, ts_str
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("join",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small-dim with an explicit broadcast hint: the lineitem side
+    never shuffles; revenue rolls up per brand."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join",),
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large ⋈ large equi join, strategy left to the planner/AQE (sort-merge
+    at scale; AQE may switch to shuffled-hash or split skewed orderkeys)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r.r_name,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name
+    """,
+    tags=("join",),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join (TPC-H Q5 shape): revenue per region for finished
+    orders. Dims are broadcast; only the fact⋈orders join shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: customers kept even with zero orders (NULL o_orderkey)
+    — the reference's 'vehicles without recent reports' view."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT a.c_custkey AS left_key, b.o_custkey AS right_key
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey < 750) a
+    FULL JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey >= 700) b
+      ON a.c_custkey = b.o_custkey
+    """,
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two deliberately overlapping key slices, so both
+    null-padded sides appear."""
+    a = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 750).select("c_custkey")
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 700)
+        .select("o_custkey")
+        .distinct()
+    )
+    return a.join(b, a.c_custkey == b.o_custkey, "full").select(
+        F.col("c_custkey").alias("left_key"), F.col("o_custkey").alias("right_key")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with ≥1 urgent order; probe side is
+    never materialized into the output."""
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): parts that never shipped."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join, small × small only (building block for sim_pairs; at scale
+    the cross product must be blocked first — SURVEY.md §4.3)."""
+    region = load(spark, sf_dir, "region").select("r_name")
+    nation = load(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT b.band, e.event_type, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000000.0))
+         b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band, e.event_type
+    """,
+    tags=("join",),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join (speed-band classification in the reference):
+    broadcast-nested-loop against a tiny in-memory band dimension."""
+    ev = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1_000_000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT event_id, user_id, purchase_ts, last_click_event
+    FROM (
+        SELECT p.event_id, p.user_id,
+               {duck_ts_str('p.ts')} AS purchase_ts,
+               c.event_id AS last_click_event,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
+    """,
+    tags=("join", "telemetry"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every purchase, the latest click at/before it (the
+    reference's 'position at time T' lookup).
+
+    Spark path is the scalable union + carry-forward idiom: tag both streams,
+    sort once per user, carry the last click forward with an ignore-nulls
+    last() window. ONE shuffle on user_id, linear work — no inequality-join
+    blowup. The SQL twin uses the equivalent (quadratic, oracle-only)
+    row_number-over-range-join formulation."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.lit(1).alias("kind")
+    )
+    merged = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    # clicks sort before purchases at equal ts (kind 0 < 1) → 'at or before'.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("last_click_event", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("purchase_id").alias("event_id"),
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            "last_click_event",
+        )
+    )
+
+
+@query(
+    "join_interval",
+    oracle=f"""
+    SELECT strftime(w.day, '%Y-%m-%d') AS day, e.event_type, count(*) AS n_events
+    FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                        INTERVAL 1 DAY))::TIMESTAMP AS day) w
+    JOIN events e
+      ON e.ts >= w.day + INTERVAL 8 HOURS AND e.ts < w.day + INTERVAL 11 HOURS
+    GROUP BY day, e.event_type
+    """,
+    tags=("join", "telemetry"),
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: events falling inside a daily 08:00–11:00
+    window dimension (points-within-trip in the reference). The window dim is
+    generated with sequence+explode and broadcast; at 100 TB the same join is
+    pre-bucketed by date so each task sees one day."""
+    ev = load(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day_d")
+    ).select(F.col("day_d").cast("timestamp").alias("day"))
+    cond = (ev.ts >= F.col("day") + F.expr("interval 8 hours")) & (
+        ev.ts < F.col("day") + F.expr("interval 11 hours")
+    )
+    return (
+        ev.join(F.broadcast(days), cond)
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "join_self",
+    oracle=f"""
+    SELECT event_id, next_event_id, gap_seconds
+    FROM (
+        SELECT e1.event_id,
+               e2.event_id AS next_event_id,
+               (epoch(date_trunc('second', e2.ts))
+                - epoch(date_trunc('second', e1.ts)))::BIGINT AS gap_seconds,
+               row_number() OVER (PARTITION BY e1.event_id
+                                  ORDER BY e2.ts ASC, e2.event_id ASC) AS rn
+        FROM events e1
+        JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND (e2.ts > e1.ts OR (e2.ts = e1.ts AND e2.event_id > e1.event_id))
+    ) WHERE rn = 1
+    """,
+    tags=("join", "telemetry"),
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successor event per user via self-join — the explicit alternative to
+    lag/lead (trip stitching in the reference). Kept deliberately as a join to
+    exercise the operator; `win_lag_lead` is the linear-cost formulation."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    joined = e1.join(
+        e2,
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (
+            (F.col("e2.ts") > F.col("e1.ts"))
+            | ((F.col("e2.ts") == F.col("e1.ts")) & (F.col("e2.event_id") > F.col("e1.event_id")))
+        ),
+    )
+    w = Window.partitionBy("e1.event_id").orderBy(F.col("e2.ts").asc(), F.col("e2.event_id").asc())
+    sec = lambda c: F.unix_timestamp(F.date_trunc("second", c))  # noqa: E731
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("e1.event_id").alias("event_id"),
+            F.col("e2.event_id").alias("next_event_id"),
+            (sec(F.col("e2.ts")) - sec(F.col("e1.ts"))).alias("gap_seconds"),
+        )
+    )

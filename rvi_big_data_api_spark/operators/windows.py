@@ -1,0 +1,230 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Window algebra is the engine's substitute for the reference's per-VIN
+imperative loops: consecutive-report deltas, running accumulations, and
+first/last fixes were RDD groupBy-then-sort code there (SURVEY.md §3.1
+[P:med]); here each is ONE shuffle on the partition key followed by a
+per-partition sort that Tungsten spills if a key's slice exceeds memory.
+Skewed keys are the 100 TB hazard — AQE cannot split a window partition, so
+key choice (user_id, not a constant) is what keeps partitions bounded.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.exprs import ts_str
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    """,
+    tags=("window",),
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per customer. row_number gets a unique
+    tiebreak (o_orderkey) for determinism; rank/dense_rank are tie-stable."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    w_rn = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+    FROM orders
+    """,
+    tags=("window",),
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing. Unpartitioned window = single-task sort: acceptable
+    for ranked reports, but at 100 TB bucket within a partition key instead."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return orders.select("o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           (epoch(date_trunc('second', ts))
+             - epoch(date_trunc('second', lag(ts) OVER w)))::BIGINT AS gap_seconds
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "telemetry"),
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Δvalue / Δts vs the previous report per vehicle — the building block of
+    trip sessionization (SURVEY.md §2.9)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    prev_sec = F.unix_timestamp(F.date_trunc("second", F.lag("ts").over(w)))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (sec - prev_sec).alias("gap_seconds"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_n
+    FROM events
+    """,
+    tags=("window", "telemetry"),
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odometer-style running accumulation per vehicle. Rounded: DuckDB
+    evaluates cumulative frames with a segment tree, so its addition order
+    (and last-ulp result) differs from Spark's sequential prefix sum."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@query(
+    "win_sliding_rows",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg3
+    FROM events
+    """,
+    tags=("window", "telemetry"),
+)
+def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average (signal smoothing). Rounded: sliding-frame
+    aggregation order differs between engines (DuckDB uses segment trees)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, Window.currentRow)
+    return ev.select("event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("moving_avg3"))
+
+
+@query(
+    "win_range_time",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch(date_trunc('second', ts))
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+               AS trailing_1h_value
+    FROM events
+    """,
+    tags=("window", "telemetry"),
+)
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour sum per vehicle: a RANGE frame over epoch seconds.
+    Both dialects order by second-truncated epoch so frame membership agrees
+    exactly (§1 gotcha 1)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("trailing_1h_value")
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           strftime(date_trunc('second', first_value(ts) OVER w),
+                    '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(date_trunc('second', last_value(ts) OVER w),
+                    '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "telemetry"),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last fix per vehicle (trip endpoints): full-partition frame so
+    last_value sees the real end, then one distinct row per user."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        ts_str(F.first("ts").over(w)).alias("first_ts"),
+        ts_str(F.last("ts").over(w)).alias("last_ts"),
+    ).distinct()
+
+
+@query(
+    "win_pct",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+    tags=("window",),
+)
+def win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist within each priority class — tie-stable, and
+    the k/(n-1) arithmetic is identical in both engines so values are exact."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

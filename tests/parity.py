@@ -47,6 +47,16 @@ def canon_rows(df: pd.DataFrame) -> list[tuple]:
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     assert s_cols == d_cols, f"{name}: column names differ\n spark={s_cols}\n duck ={d_cols}"
+    # Type-strictness: int-vs-float dtype drift (e.g. DuckDB epoch() → DOUBLE
+    # vs Spark unix_timestamp → BIGINT) would pass a value compare (300 ==
+    # 300.0) but fail the driver's hash. Require matching dtype *kinds*.
+    for c in s_cols:
+        sk = spark_pdf[c].dtype.kind
+        dk = duck_pdf[c].dtype.kind
+        # nullable ints surface as 'f' (NaN) or 'O' in either engine; allow
+        # i/u/f/O to cross-match only when one side has nulls.
+        if sk != dk and not (spark_pdf[c].isna().any() or duck_pdf[c].isna().any()):
+            assert sk == dk, f"{name}: column {c!r} dtype kind differs: spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count differs spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
