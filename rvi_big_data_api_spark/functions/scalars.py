@@ -1,0 +1,302 @@
+"""Scalar function suites (SURVEY.md §2.8) — one query per family.
+
+The reference did its VIN/channel munging and timestamp bucketing in JVM
+controller code (SURVEY.md §2.8 [P:med]); here every scalar stays a Catalyst
+expression inside whole-stage codegen — no Python round trips. Each query
+exercises a family end-to-end and is oracle-checked in the Spark∩DuckDB
+dialect subset (SURVEY.md §1 gotcha 5: shared regex subset; gotcha 2: libm
+results rounded).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                               AS brand_uc,
+           lower(p_type)                                AS type_lc,
+           substr(p_name, 1, 8)                         AS name_prefix,
+           length(p_name)                               AS name_len,
+           lpad(p_size::VARCHAR, 4, '0')                AS size_padded,
+           string_split(p_name, ' ')[1]                 AS first_word,
+           regexp_extract(p_brand, '#([0-9]+)', 1)      AS brand_num,
+           regexp_replace(p_brand, '#', '-')            AS brand_dashed,
+           trim(concat(p_brand, ' ', p_type))           AS brand_type,
+           (p_type LIKE 'PROMO%')                       AS is_promo
+    FROM part
+    """,
+    tags=("function",),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family over part (VIN/channel munging analogue)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.lower("p_type").alias("type_lc"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_brand", "#", "-").alias("brand_dashed"),
+        F.trim(F.concat("p_brand", F.lit(" "), "p_type")).alias("brand_type"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)::INT                                  AS yr,
+           month(o_orderdate)::INT                                 AS mo,
+           dayofmonth(o_orderdate)::INT                            AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')  AS month_start,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01')::INT AS days_to_y2k,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')    AS plus_3mo,
+           epoch(o_orderdate)::BIGINT                              AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d')                       AS order_date
+    FROM orders
+    """,
+    tags=("function",),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family over orders (ts bucketing is everywhere in the
+    reference's rollups). Week-based fields avoided: week-start differs
+    between engines (§1 note)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), d).alias("days_to_y2k"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT event_id,
+           round(abs(value - 100), 6)            AS abs_centered,
+           ceil(value)::BIGINT                   AS value_ceil,
+           floor(value)::BIGINT                  AS value_floor,
+           round(power(value, 2), 6)             AS value_sq,
+           round(sqrt(value), 6)                 AS value_sqrt,
+           round(ln(value + 1), 6)               AS value_ln,
+           round(log10(value + 1), 6)            AS value_log10,
+           round(radians(value), 6)              AS value_rad,
+           round(sin(value), 6)                  AS value_sin,
+           round(atan2(value, 100.0), 6)         AS value_atan2
+    FROM events
+    """,
+    tags=("function",),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family over event values (distance math in the reference uses
+    exactly these: sqrt/sin/cos/atan2 → haversine, SURVEY.md §2.9).
+    Transcendentals rounded to 6: JVM libm vs DuckDB libm differ in the last
+    ulp."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.abs(v - 100), 6).alias("abs_centered"),
+        F.ceil(v).alias("value_ceil"),
+        F.floor(v).alias("value_floor"),
+        F.round(F.pow(v, 2), 6).alias("value_sq"),
+        F.round(F.sqrt(v), 6).alias("value_sqrt"),
+        F.round(F.log(v + 1), 6).alias("value_ln"),
+        F.round(F.log10(v + 1), 6).alias("value_log10"),
+        F.round(F.radians(v), 6).alias("value_rad"),
+        F.round(F.sin(v), 6).alias("value_sin"),
+        F.round(F.atan2(v, F.lit(100.0)), 6).alias("value_atan2"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 15 THEN 'standard'
+                ELSE 'small' END                              AS qty_class,
+           coalesce(nullif(l_returnflag, 'N'), 'none')        AS return_state,
+           greatest(l_discount, l_tax)                        AS max_rate,
+           least(l_discount, l_tax)                           AS min_rate,
+           l_extendedprice / nullif(l_quantity, 0)            AS unit_price
+    FROM lineitem
+    """,
+    tags=("function",),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE chains, coalesce/nullif, greatest/least, and
+    the §1-gotcha-4 guarded division (status classification in the
+    reference)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(q >= 40, "bulk").when(q >= 15, "standard").otherwise("small").alias("qty_class"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("return_state"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        (F.col("l_extendedprice") / F.nullif(q, F.lit(0))).alias("unit_price"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                        AS dim,
+           round(embedding[1], 6)                                AS first_dim,
+           round(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                                'sum'), 4)                       AS norm_sq,
+           round(list_aggregate(list_transform(
+                     list_filter(embedding, x -> x > 0), x -> x::DOUBLE), 'sum'), 4)
+                                                                 AS positive_mass,
+           len(list_filter(embedding, x -> x > 0))               AS n_positive,
+           round(list_sort(list_transform(embedding, x -> x::DOUBLE))[1], 6) AS min_dim
+    FROM embeddings
+    """,
+    tags=("function", "llm"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family with higher-order functions over the embedding column —
+    NO UDF: transform/filter/aggregate run JVM-side (the multimodal-column
+    hot path at 100 TB). norm_sq ≈ 1.0 since vectors are L2-normalized [F]."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1), 6).alias("first_dim"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x)), 4
+        ).alias("norm_sq"),
+        F.round(
+            F.aggregate(F.filter(emb, lambda x: x > 0), F.lit(0.0), lambda acc, x: acc + dbl(x)), 4
+        ).alias("positive_mass"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(F.sort_array(F.transform(emb, dbl)), 1), 6).alias("min_dim"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')::INT AS k_value,
+           'k'                                    AS first_key,
+           1                                      AS n_keys
+    FROM events
+    """,
+    tags=("function",),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: JSON payload → MapType, then key/value access (the RVI
+    payload-map pattern). DuckDB twin reads the same field via json_extract;
+    the map-shape columns are constants there because the fixture payload has
+    exactly one key [F]."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')::INT    AS k_int,
+           json_extract_string(props, '$.k')         AS k_str,
+           json_extract_string(props, '$.missing')   AS k_missing
+    FROM events
+    """,
+    tags=("function",),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object + typed from_json extraction + missing-key
+    NULL semantics (RVI JSON payload ingest, SURVEY.md §2.8 [P:high])."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.missing").alias("k_missing"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text)          AS text_md5,
+           sha256(text)       AS text_sha256,
+           md5(lang || '|' || source) AS bucket_md5
+    FROM documents
+    """,
+    tags=("function", "llm"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family — the dedup building block (SURVEY.md §2.10). md5/sha256
+    agree across engines; xxhash64 is Spark-specific and is exercised in the
+    rows-only dedup_near pipeline instead."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat("lang", F.lit("|"), "source")).alias("bucket_md5"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT event_id,
+           trunc(value)::BIGINT                          AS value_int,
+           value::VARCHAR                                AS value_str,
+           TRY_CAST(event_type AS INT)                   AS bad_int,
+           TRY_CAST('2024-06-01' AS DATE)::VARCHAR       AS parsed_date,
+           (event_id % 2 = 0)::INT                       AS even_flag,
+           user_id::DOUBLE                               AS user_double
+    FROM events
+    """,
+    tags=("function",),
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family under the pinned non-ANSI mode (session.py): parse failures
+    → NULL, matching DuckDB TRY_CAST. double→int truncates toward zero in
+    Spark but ROUNDS in DuckDB cast, so the twin trunc()s first."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("long").alias("value_int"),
+        F.col("value").cast("string").alias("value_str"),
+        F.col("event_type").cast("int").alias("bad_int"),
+        F.lit("2024-06-01").cast("date").cast("string").alias("parsed_date"),
+        (F.col("event_id") % 2 == 0).cast("int").alias("even_flag"),
+        F.col("user_id").cast("double").alias("user_double"),
+    )

@@ -1,0 +1,369 @@
+"""Telemetry / domain operators (SURVEY.md §2.9) — the reference's derived
+products, re-expressed on the events fixture (user_id≈VIN, ts≈report time,
+value≈reading).
+
+The reference computed trips with per-VIN RDD groupBy → client-side sort →
+imperative gap scan, written back to Cassandra (SURVEY.md §3.1 [P:med]). Here
+every derivation is window algebra: ONE shuffle on user_id, per-key sorted
+streams, no driver-side loops — the formulation that scales to 100 TB because
+work per key is linear and keys partition freely across executors.
+
+All timestamps are second-truncated before arithmetic and rendered as strings
+on output (SURVEY.md §1 gotcha 1).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.exprs import ts_str
+from ..io import load
+from ..registry import query
+
+SESSION_GAP_S = 30 * 60  # 30-minute trip gap, SURVEY.md §2.9
+
+# Shared DuckDB fragment: per-event session ids via the same window algebra.
+_DUCK_SESSIONS = f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(sec) OVER w IS NULL
+                         OR sec - lag(sec) OVER w > {SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS gap_flag
+        FROM ordered
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sessions AS (
+        SELECT * EXCLUDE (gap_flag),
+               -- ::BIGINT: DuckDB sum(int) yields HUGEINT, which lands as
+               -- float64 in pandas and breaks the type-strict hash
+               sum(gap_flag) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS session_id
+        FROM flagged
+    )
+"""
+
+
+def sessionized_events(spark: SparkSession, sf_dir: str, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Per-event session assignment: gap > `gap_s` starts a new session.
+
+    lag → gap flag → running sum of flags = session id (two stacked windows
+    over one user_id shuffle). Reused by trip_sessionize / trip_stats and the
+    streaming session twin (SURVEY.md §2.11).
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_flag = F.when(
+        F.lag("sec").over(w).isNull() | ((F.col("sec") - F.lag("sec").over(w)) > gap_s), 1
+    ).otherwise(0)
+    return ev.withColumn("gap_flag", gap_flag).withColumn(
+        "session_id", F.sum("gap_flag").over(w_run)
+    )
+
+
+@query(
+    "trip_sessionize",
+    oracle=_DUCK_SESSIONS
+    + """
+    SELECT user_id, session_id,
+           count(*)                 AS n_events,
+           min(sec)                 AS start_sec,
+           max(sec)                 AS end_sec,
+           max(sec) - min(sec)      AS duration_s,
+           round(sum(value), 2)     AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("telemetry",),
+)
+def trip_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference capability: gap-based trip derivation (30-min gap), one
+    row per (vehicle, trip) with span/size/accumulated reading."""
+    s = sessionized_events(spark, sf_dir)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "trip_stats",
+    oracle=_DUCK_SESSIONS
+    + """
+    , trips AS (
+        SELECT user_id, session_id,
+               max(sec) - min(sec) AS duration_s,
+               count(*)            AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*)                       AS n_sessions,
+           round(avg(duration_s), 4)      AS avg_duration_s,
+           max(duration_s)                AS max_duration_s,
+           round(avg(n_events), 4)        AS avg_events_per_session,
+           sum(n_events)::BIGINT          AS total_events
+    FROM trips GROUP BY user_id
+    """,
+    tags=("telemetry",),
+)
+def trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-level rollup over derived trips: session counts/durations per
+    vehicle (the fleet dashboard's per-vehicle summary)."""
+    trips = (
+        sessionized_events(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(
+            (F.max("sec") - F.min("sec")).alias("duration_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return trips.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        F.max("duration_s").alias("max_duration_s"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+@query(
+    "latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("telemetry",),
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state per vehicle: the most recent report (reference's live
+    dashboard lookup). row_number keeps exact tie semantics; at 100 TB the
+    same result comes from max_by(struct(...)) with a single partial agg —
+    see agg_minmax_by for that pattern."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", ts_str("ts").alias("last_ts"))
+    )
+
+
+@query(
+    "resample_bucket",
+    oracle="""
+    SELECT user_id,
+           (epoch(date_trunc('second', ts))::BIGINT // 300) * 300 AS bucket_epoch,
+           strftime(make_timestamp(((epoch(date_trunc('second', ts))::BIGINT // 300) * 300)
+                                   * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           count(*)             AS n_events,
+           round(avg(value), 4) AS avg_value,
+           max(value)           AS max_value
+    FROM events
+    GROUP BY user_id, bucket_epoch
+    """,
+    tags=("telemetry",),
+)
+def resample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the time-series: per vehicle per 5-minute tumbling bucket.
+    Uses Spark's native window(ts, '5 minutes') — epoch-aligned, identical to
+    the twin's integer-division bucketing; streaming variant shares this exact
+    logical plan (SURVEY.md §2.11)."""
+    ev = load(spark, sf_dir, "events")
+    bucketed = ev.groupBy("user_id", F.window(F.date_trunc("second", "ts"), "5 minutes").alias("win")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.max("value").alias("max_value"),
+    )
+    return bucketed.select(
+        "user_id",
+        F.unix_timestamp(F.col("win.start")).alias("bucket_epoch"),
+        ts_str(F.col("win.start")).alias("bucket_start"),
+        "n_events",
+        "avg_value",
+        "max_value",
+    )
+
+
+@query(
+    "threshold_runs",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, value,
+               epoch(date_trunc('second', ts))::BIGINT AS sec,
+               (value > 150.0) AS over_t,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+               row_number() OVER (PARTITION BY user_id, (value > 150.0)
+                                  ORDER BY ts, event_id) AS rn_flag
+        FROM events
+    )
+    SELECT user_id,
+           rn_all - rn_flag         AS run_grp,
+           count(*)                 AS run_len,
+           min(sec)                 AS run_start_sec,
+           max(sec)                 AS run_end_sec,
+           round(max(value), 6)     AS peak_value
+    FROM marked
+    WHERE over_t
+    GROUP BY user_id, run_grp
+    """,
+    tags=("telemetry",),
+)
+def threshold_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speeding-episode detection: maximal runs of consecutive over-threshold
+    reports via the gaps-and-islands trick (two row_numbers; their difference
+    is constant within a run). Two windows over the same user_id shuffle."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    ).withColumn("over_t", F.col("value") > 150.0)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_flag = Window.partitionBy("user_id", "over_t").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn_all", F.row_number().over(w_all))
+        .withColumn("rn_flag", F.row_number().over(w_flag))
+        .filter(F.col("over_t"))
+        .withColumn("run_grp", F.col("rn_all") - F.col("rn_flag"))
+        .groupBy("user_id", "run_grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("sec").alias("run_start_sec"),
+            F.max("sec").alias("run_end_sec"),
+            F.round(F.max("value"), 6).alias("peak_value"),
+        )
+    )
+
+
+@query(
+    "gap_report",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch(date_trunc('second', ts))::BIGINT
+                 - lag(epoch(date_trunc('second', ts))::BIGINT)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           count(gap_s)                          AS n_gaps,
+           max(gap_s)                            AS max_gap_s,
+           round(avg(gap_s), 4)                  AS avg_gap_s,
+           count(CASE WHEN gap_s > 3600 THEN 1 END) AS n_sla_breaches
+    FROM gaps GROUP BY user_id
+    """,
+    tags=("telemetry",),
+)
+def gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report: inter-report gap stats + SLA breaches (>1 h)
+    per vehicle."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("gap_s", F.col("sec") - F.lag("sec").over(w))
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.count(F.when(F.col("gap_s") > 3600, F.lit(1))).alias("n_sla_breaches"),
+    )
+
+
+@query(
+    "haversine_dist",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_id, ts,
+               fmod(value, 170.0) - 85.0            AS lat,
+               fmod(event_id::DOUBLE, 360.0) - 180.0 AS lon
+        FROM events
+    ),
+    pairs AS (
+        SELECT user_id, event_id,
+               lat, lon,
+               lag(lat) OVER w AS prev_lat,
+               lag(lon) OVER w AS prev_lon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           round(2 * 6371.0 * asin(least(1.0, sqrt(
+               power(sin(radians(lat - prev_lat) / 2), 2)
+               + cos(radians(prev_lat)) * cos(radians(lat))
+                 * power(sin(radians(lon - prev_lon) / 2), 2)
+           ))), 3) AS dist_km
+    FROM pairs
+    WHERE prev_lat IS NOT NULL
+    """,
+    tags=("telemetry",),
+)
+def haversine_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance between consecutive fixes per vehicle — pure
+    column math (2·R·asin(√…)), NO UDF. Fixtures lack lat/lon, so pseudo-
+    coordinates derive deterministically from value/event_id (SURVEY.md §2.9);
+    the formula itself is textually identical in both dialects."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value") % 170.0 - 85.0).alias("lat"),
+        (F.col("event_id").cast("double") % 360.0 - 180.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = pts.select(
+        "user_id",
+        "event_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("prev_lat"),
+        F.lag("lon").over(w).alias("prev_lon"),
+    ).filter(F.col("prev_lat").isNotNull())
+    dlat = F.radians(F.col("lat") - F.col("prev_lat")) / 2
+    dlon = F.radians(F.col("lon") - F.col("prev_lon")) / 2
+    a = F.pow(F.sin(dlat), 2) + F.cos(F.radians("prev_lat")) * F.cos(F.radians("lat")) * F.pow(
+        F.sin(dlon), 2
+    )
+    dist = 2 * 6371.0 * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+    return pairs.select("user_id", "event_id", F.round(dist, 3).alias("dist_km"))
+
+
+@query(
+    "daily_active",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(DISTINCT user_id) AS active_users,
+           count(*)                AS n_events,
+           round(sum(value), 2)    AS sum_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+    tags=("telemetry",),
+)
+def daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet rollup: daily active vehicles and event volume per channel —
+    the reference's headline dashboard aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
