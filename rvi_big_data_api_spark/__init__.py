@@ -13,6 +13,17 @@ from .session import get_spark  # noqa: F401
 # Operator modules register queries on import; keep this list in sync with
 # SURVEY.md §2's sections.
 from .functions import scalars  # noqa: F401,E402
-from .operators import aggregates, filters, joins, setops, sorts, telemetry, windows  # noqa: F401,E402
+from .operators import (  # noqa: F401
+    aggregates,
+    filters,
+    joins,
+    llm_dedup,
+    llm_sim,
+    llm_text,
+    setops,
+    sorts,
+    telemetry,
+    windows,
+)  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "queries", "oracles", "get_spark"]

@@ -1,0 +1,183 @@
+"""Similarity-search operators (SURVEY.md §2.10) over the `embeddings`
+fixture (array<float> dim=64, L2-normalized [F] → cosine ≡ dot product).
+
+The dot product is a JVM-side higher-order expression (zip_with + aggregate)
+— no UDF, no Python round trip; verified bit-identical to DuckDB's
+list_dot_product over DOUBLE[] this session, which is what makes the SQL
+oracles exact. Scale paths noted per operator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from ..io import load
+from ..registry import query
+
+SIM_TOPK_K = 5
+SIM_TOPK_NQUERIES = 5
+SIM_PAIRS_TAU = 0.28  # labels are NOT similarity clusters in the fixture [F]
+KNN_K = 10
+KNN_NQUERIES = 20
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Cosine similarity for unit vectors: elementwise product folded in
+    double precision (identical fold order to DuckDB's list_dot_product)."""
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    return F.aggregate(F.zip_with(to_d(a), to_d(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@query(
+    "sim_topk",
+    oracle=f"""
+    SELECT qid, vec_id, dot, rank FROM (
+        SELECT q.vec_id AS qid, e.vec_id,
+               round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS dot,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+    ) WHERE rank <= {SIM_TOPK_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the Q query vectors against the
+    corpus, score JVM-side, rank-window per query.
+
+    100 TB path: the corpus side stays partitioned and is scanned ONCE per
+    batch of queries (broadcast keeps it shuffle-free); for large Q switch to
+    the LSH/IVF-blocked variant (bucket on coarse signature, join within
+    bucket) — same skeleton as sim_pairs."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"), "rank")
+    )
+
+
+@query(
+    "sim_pairs",
+    oracle=f"""
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {SIM_PAIRS_TAU}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All similar pairs (cosine ≥ τ) within label blocks — dedup-by-
+    similarity. Blocking bounds the join: each task compares only within its
+    block, so cost is Σ block² rather than N²; at 100 TB blocks come from an
+    LSH bucket or quantized-centroid key instead of a given label."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    d = dot(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            d.alias("raw_dot"),
+        )
+        .filter(F.col("raw_dot") >= SIM_PAIRS_TAU)
+        .select("label", "vec_a", "vec_b", F.round("raw_dot", 4).alias("cosine"))
+    )
+
+
+@query(
+    "knn_label",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, e.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id >= {KNN_NQUERIES}
+        WHERE q.vec_id < {KNN_NQUERIES}
+    ),
+    votes AS (
+        SELECT qid, label, count(*)::BIGINT AS n_votes
+        FROM scored WHERE rank <= {KNN_K}
+        GROUP BY qid, label
+    )
+    SELECT qid, label AS predicted_label, n_votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY n_votes DESC, label ASC) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+    tags=("llm", "similarity"),
+)
+def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification-by-retrieval: majority label among the k nearest
+    neighbors. Majority via count + rank (not mode()) so ties break
+    deterministically toward the smaller label in both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < KNN_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.filter(F.col("vec_id") >= KNN_NQUERIES)
+    w = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+    neighbors = (
+        corpus.crossJoin(F.broadcast(q))
+        .select("qid", "vec_id", "label", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    votes = neighbors.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+@query(
+    "multimodal_struct",
+    oracle="""
+    SELECT d.doc_id,
+           length(d.text)     AS text_len,
+           len(e.embedding)   AS emb_dim,
+           e.label,
+           round(e.embedding[1], 6) AS first_dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column round trip: join text + embedding into one struct
+    column, then project typed fields back out — the pattern for carrying
+    {text, image_bytes, embedding} rows through a pipeline as one column."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    combined = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", F.struct("text", "embedding", "label").alias("mm")
+    )
+    return combined.select(
+        "doc_id",
+        F.length(F.col("mm.text")).alias("text_len"),
+        F.size(F.col("mm.embedding")).alias("emb_dim"),
+        F.col("mm.label").alias("label"),
+        F.round(F.element_at(F.col("mm.embedding"), 1), 6).alias("first_dim"),
+    )

@@ -1,0 +1,187 @@
+"""Text-analysis operators (SURVEY.md §2.10): tokenization, TF-IDF, corpus
+stats, and heuristic quality filtering over `documents`.
+
+Everything is split/explode/agg — tokenization stays JVM-side (split on the
+fixture's single-space delimiter [F]); no Python in the hot path. At 100 TB
+the explode output (doc × term) is the big intermediate: it flows straight
+into partial aggregation, so the shuffle carries (term, count) partials, not
+raw token streams.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load
+from ..registry import query
+
+STOPWORDS = ("data", "table", "value", "row")
+QUALITY_MIN_CHARS = 100
+QUALITY_MAX_CHARS = 2000
+QUALITY_MAX_STOP_RATIO = 0.30
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+
+
+@query(
+    "text_tokenize",
+    oracle="""
+    SELECT term, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY freq DESC, term ASC
+    LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → top-20 global term frequencies (term ASC tiebreak)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        _tokens(d)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+    SELECT doc_id, term AS top_term, round(tfidf, 6) AS tfidf
+    FROM (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(n.n_docs::DOUBLE / df.df) AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * ln(n.n_docs::DOUBLE / df.df) DESC,
+                                           tf.term ASC) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rn = 1
+    """,
+    tags=("llm", "text"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (tf × ln(N/df)) and the top-scoring term per document.
+
+    Plan shape: two aggregations over one exploded token stream + a broadcast
+    of the (small) df table back onto tf — the document count N is a scalar
+    broadcast. Deterministic tiebreak: higher tfidf, then lexicographic."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; one job, reused as a literal
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf_raw", 6).alias("tfidf"))
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH base AS (
+        SELECT lang,
+               count(*)::BIGINT      AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               count(DISTINCT source)::BIGINT AS n_sources
+        FROM documents GROUP BY lang
+    ),
+    vocab AS (
+        SELECT lang, count(DISTINCT term)::BIGINT AS vocab_size, count(*)::BIGINT AS n_terms
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY lang
+    )
+    SELECT base.lang, n_docs, avg_chars, n_sources, vocab_size, n_terms
+    FROM base JOIN vocab ON base.lang = vocab.lang
+    """,
+    tags=("llm", "text"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language: doc counts, avg length, source spread,
+    vocabulary size, token volume."""
+    d = load(spark, sf_dir, "documents")
+    base = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    vocab = (
+        _tokens(d)
+        .groupBy("lang")
+        .agg(F.countDistinct("term").alias("vocab_size"), F.count(F.lit(1)).alias("n_terms"))
+    )
+    return base.join(vocab, "lang")
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' '))::BIGINT AS n_words,
+               (n_chars - (len(string_split(text, ' ')) - 1))::DOUBLE
+                   / len(string_split(text, ' ')) AS mean_word_len,
+               len(list_filter(string_split(text, ' '),
+                               w -> w = 'data' OR w = 'table' OR w = 'value' OR w = 'row'))::DOUBLE
+                   / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+           round(stop_ratio, 4) AS stop_ratio,
+           CASE
+             WHEN n_chars < {QUALITY_MIN_CHARS} THEN 'too_short'
+             WHEN n_chars > {QUALITY_MAX_CHARS} THEN 'too_long'
+             WHEN stop_ratio > {QUALITY_MAX_STOP_RATIO} THEN 'stopword_heavy'
+             ELSE 'pass'
+           END AS verdict
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality filter: length bounds + stopword-ratio band, emitting
+    a verdict with the first failing rule (the standard pre-training corpus
+    gate, computed entirely with column expressions)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        n_words.cast("long").alias("n_words"),
+        ((F.col("n_chars") - (n_words - 1)).cast("double") / n_words).alias("mwl_raw"),
+        (n_stop.cast("double") / n_words).alias("stop_raw"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl_raw", 4).alias("mean_word_len"),
+        F.round("stop_raw", 4).alias("stop_ratio"),
+        F.when(F.col("n_chars") < QUALITY_MIN_CHARS, "too_short")
+        .when(F.col("n_chars") > QUALITY_MAX_CHARS, "too_long")
+        .when(F.col("stop_raw") > QUALITY_MAX_STOP_RATIO, "stopword_heavy")
+        .otherwise("pass")
+        .alias("verdict"),
+    )

@@ -1,0 +1,126 @@
+"""Golden micro-fixture tests (SURVEY.md §5.2/5, FIXTURES.md §B): edge
+semantics that the driver fixtures can't exercise — inline createDataFrame
+inputs, exact expected outputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from rvi_big_data_api_spark.operators.llm_dedup import (
+    JACCARD_TAU,
+    minhash_signatures,
+)
+from rvi_big_data_api_spark.operators.telemetry import sessionized_events
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+class TestDedupNear:
+    """dedup_near building blocks on synthetic near-duplicates (the sf0.01
+    fixture has none; FIXTURES.md documents dups only at sf0.1)."""
+
+    # long doc: one changed word must leave shingle overlap high (a 15-word
+    # doc loses 5/11 shingles per edit → jaccard 0.375, legitimately below τ)
+    BASE = " ".join(f"word{i}" for i in range(80)) + " the quick brown fox jumps over the lazy dog"
+
+    def test_identical_docs_have_identical_signatures(self, spark):
+        docs = _docs(spark, [(1, self.BASE, "en", "s", 10), (2, self.BASE, "en", "s", 10)])
+        sigs = minhash_signatures(docs).collect()
+        a = [r for r in sigs if r.doc_id == 1][0]
+        b = [r for r in sigs if r.doc_id == 2][0]
+        assert [a[c] for c in a.asDict() if c != "doc_id"] == [b[c] for c in b.asDict() if c != "doc_id"]
+
+    def test_near_dup_pair_detected(self, spark, tmp_path):
+        # one word changed at the end → high shingle overlap
+        near = self.BASE.replace("dog", "cat")
+        unrelated = "completely different text about spark catalyst optimizer plans and shuffles here"
+        rows = [(1, self.BASE, "en", "s", 10), (2, near, "en", "s", 10), (3, unrelated, "en", "s", 10)]
+        sf_dir = str(tmp_path)
+        _docs(spark, rows).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+        from rvi_big_data_api_spark.registry import REGISTRY
+
+        pairs = REGISTRY["dedup_near"].fn(spark, sf_dir).collect()
+        found = {(r.doc_a, r.doc_b) for r in pairs}
+        assert (1, 2) in found, f"near-dup (1,2) missed; got {found}"
+        assert all(p[1] != 3 and p[0] != 3 for p in found), f"false positive with unrelated doc: {found}"
+        jac = [r.jaccard for r in pairs if (r.doc_a, r.doc_b) == (1, 2)][0]
+        assert JACCARD_TAU <= jac < 1.0
+
+    def test_dedup_idempotent(self, spark, sf_dir):
+        from rvi_big_data_api_spark.registry import REGISTRY
+
+        once = REGISTRY["dedup_exact"].fn(spark, sf_dir)
+        # dedup of an already-deduped id set keeps every row
+        assert once.count() == once.select("doc_id").distinct().count()
+
+
+class TestSessionize:
+    def test_gap_boundaries(self, spark):
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, t0, 7, "click", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=29), 7, "click", 1.0, "{}"),   # < G → same session
+            (3, t0 + dt.timedelta(minutes=59), 7, "click", 1.0, "{}"),   # gap exactly = G → same
+            (4, t0 + dt.timedelta(minutes=89, seconds=1), 7, "click", 1.0, "{}"),  # > G → new
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        import rvi_big_data_api_spark.operators.telemetry as T
+        from unittest import mock
+
+        with mock.patch.object(T, "load", lambda s, d, n: ev):
+            out = {r.event_id: r.session_id for r in sessionized_events(spark, "ignored").collect()}
+        assert out[1] == out[2] == out[3], f"events within 30-min gaps must share a session: {out}"
+        assert out[4] == out[3] + 1, f"gap > 30 min must open a new session: {out}"
+
+    def test_single_event_user(self, spark):
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 9, "click", 1.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        import rvi_big_data_api_spark.operators.telemetry as T
+        from unittest import mock
+
+        with mock.patch.object(T, "load", lambda s, d, n: ev):
+            rows = sessionized_events(spark, "ignored").collect()
+        assert len(rows) == 1 and rows[0].session_id == 1
+
+
+class TestNullAndDivZero:
+    def test_safe_div_zero_is_null(self, spark):
+        from rvi_big_data_api_spark.functions.exprs import safe_div
+
+        df = spark.createDataFrame([(1.0, 0.0), (4.0, 2.0)], "num double, den double")
+        out = df.select(safe_div(F.col("num"), F.col("den")).alias("q")).collect()
+        assert out[0].q is None and out[1].q == 2.0
+
+    def test_cast_failure_is_null_not_error(self, spark):
+        # pinned non-ANSI mode (session.py): bad casts → NULL, like TRY_CAST
+        df = spark.createDataFrame([("123",), ("abc",)], "s string")
+        out = [r.v for r in df.select(F.col("s").cast("int").alias("v")).collect()]
+        assert out == [123, None]
+
+
+class TestTopKProperties:
+    @pytest.mark.parametrize("k_small,k_big", [(3, 5)])
+    def test_topk_subset(self, spark, sf_dir, k_small, k_big):
+        """top-k ⊆ top-(k+n) (SURVEY.md §5.2/4)."""
+        from rvi_big_data_api_spark.io import load
+
+        def topk(k):
+            return {
+                tuple(r)
+                for r in load(spark, sf_dir, "orders")
+                .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+                .limit(k)
+                .select("o_orderkey")
+                .collect()
+            }
+
+        assert topk(k_small) <= topk(k_big)
