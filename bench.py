@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the registered queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Posture (SURVEY.md §6): one shared SparkSession, Arrow on, AQE on; a warmup
+query absorbs JVM/codegen startup; each query is timed as build-plan +
+execute-to-count (results are not pulled to the driver — the driver's own
+correctness pass does that separately).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Streaming queries pay fixed micro-batch/checkpoint latency that measures the
+# harness, not the operator; bench times the batch surface. They remain
+# covered by tests and the driver's correctness gate.
+SKIP_PREFIXES = ("stream_", "source_stream", "sink_stream")
+
+
+def main() -> None:
+    import rvi_big_data_api_spark as engine
+
+    spark = engine.get_spark("rvi-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = engine.queries()
+    # warmup: JVM + codegen + parquet footer caches
+    qs["agg_pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,9 @@ from .session import get_spark  # noqa: F401
 
 # Operator modules register queries on import; keep this list in sync with
 # SURVEY.md §2's sections.
-from .functions import scalars  # noqa: F401,E402
+from .functions import scalars, udfs  # noqa: F401,E402
+from .sources import formats  # noqa: F401,E402
+from .streaming import streams  # noqa: F401,E402
 from .operators import (  # noqa: F401
     aggregates,
     filters,
@@ -20,6 +22,7 @@ from .operators import (  # noqa: F401
     llm_dedup,
     llm_sim,
     llm_text,
+    multimodal,
     setops,
     sorts,
     telemetry,

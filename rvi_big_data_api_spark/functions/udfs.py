@@ -1,0 +1,183 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.12).
+
+Policy (SURVEY.md §2.12): built-in/HOF first; Arrow-vectorized pandas UDFs
+when Python is unavoidable; a row-at-a-time Python UDF exists only as a
+conformance demo + perf foil (bench.py quantifies the gap). Every UDF here
+has a pure-SQL twin, which both proves semantics and demonstrates that the
+UDF was avoidable — the point of the policy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DoubleType, StringType
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "udf_row",
+    oracle="""
+    SELECT p_partkey, upper(replace(p_name, ' ', '_')) AS norm_name
+    FROM part
+    """,
+    tags=("udf",),
+)
+def udf_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (string normalizer) — the slow path, kept as
+    a conformance demo: one Python round trip per row via pickle."""
+
+    @F.udf(StringType())
+    def normalize(name: str) -> str:
+        return name.replace(" ", "_").upper()
+
+    return load(spark, sf_dir, "part").select("p_partkey", normalize("p_name").alias("norm_name"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, round(ln(value + 1) * 2, 6) AS scaled_log
+    FROM events
+    """,
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF: numpy works on whole batches (~10-100×
+    the row UDF; bench.py measures). Same libm as the JVM for log1p → the
+    SQL twin rounds to absorb last-ulp drift."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def scaled_log(v: pd.Series) -> pd.Series:
+        return np.log1p(v) * 2.0
+
+    return load(spark, sf_dir, "events").select(
+        "event_id", F.round(scaled_log("value"), 6).alias("scaled_log")
+    )
+
+
+@query(
+    "udaf_pandas_agg",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.10) AS lo,
+               quantile_cont(value, 0.90) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, round(avg(e.value), 4) AS trimmed_mean
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value >= q.lo AND e.value <= q.hi
+    GROUP BY e.event_type
+    """,
+    tags=("udf",),
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: 10%-trimmed mean of value per channel —
+    robust-stats aggregate not in the built-in set. Arrow ships each group's
+    column once; the quantile interpolation matches quantile_cont."""
+
+    @F.pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        lo, hi = v.quantile(0.10), v.quantile(0.90)
+        return float(v[(v >= lo) & (v <= hi)].mean())
+
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(trimmed_mean("value"), 4).alias("trimmed_mean"))
+    )
+
+
+@query(
+    "udtf_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / nullif(stddev_samp(value) OVER (PARTITION BY user_id), 0), 4) AS z
+    FROM events
+    """,
+    tags=("udf",),
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group DataFrame→DataFrame (applyInPandas): per-vehicle z-score
+    normalization — the SNIPPETS §1 pattern. Groups arrive as whole pandas
+    frames; ddof=1 matches stddev_samp in the twin."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - pdf["value"].mean()) / sd if sd and sd > 0 else pd.Series([None] * len(pdf))
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(4)}
+        )
+
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, z double")
+    )
+
+
+@query(
+    "udtf_map_partitions",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT                 AS n_words,
+           len(list_distinct(string_split(text, ' ')))::BIGINT  AS n_unique_terms
+    FROM documents
+    """,
+    tags=("udf",),
+)
+def udtf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas over documents: per-batch Python token statistics (perf
+    foil for the columnar shingle pipeline in dedup_near — same work, Python
+    side). Batches stream through Arrow; nothing is collected to the driver."""
+
+    def token_stats(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": toks.str.len().astype("int64"),
+                    "n_unique_terms": toks.map(lambda t: len(set(t))).astype("int64"),
+                }
+            )
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(token_stats, "doc_id long, n_words long, n_unique_terms long")
+    )
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT idx::INT AS idx,
+           strftime(DATE '2024-01-01' + to_days(idx::INT * 7), '%Y-%m-%d') AS week_start
+    FROM (SELECT unnest(generate_series(0, 9)) AS idx)
+    """,
+    tags=("udf",),
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python table function (@udtf, Spark 3.5+): a date-range expander
+    emitting 10 week-start rows from scalar arguments — the row-generating
+    UDF shape (DuckDB twin: generate_series)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="idx int, week_start string")
+    class WeekExpander:
+        def eval(self, start: str, n: int):
+            import datetime as dt
+
+            d0 = dt.date.fromisoformat(start)
+            for i in range(n):
+                yield i, (d0 + dt.timedelta(weeks=i)).isoformat()
+
+    return WeekExpander(lit("2024-01-01"), lit(10))

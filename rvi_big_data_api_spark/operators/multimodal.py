@@ -1,0 +1,137 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata
+(SURVEY.md §2.10 north-star; BASELINE.json:6 extension).
+
+No image/audio libraries exist in this container, so DECODE IS STUBBED
+(deterministic fake, clearly marked) — but the Spark-side plumbing is real
+and tested: binary columns travel as `BinaryType`, metadata as typed structs,
+decode/feature-extraction runs as Arrow-batched `mapInPandas` with the exact
+batch shape a real decoder (PIL/torchaudio) would see, and frame sampling is
+pure column math. Swap `_fake_decode_dims` for a real decoder and nothing
+else changes.
+
+The fixture has no binary column; `_with_binary` synthesizes one
+deterministically from documents.text (utf-8 bytes ≈ a blob payload).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load
+from ..registry import query
+
+
+def _with_binary(docs: DataFrame) -> DataFrame:
+    """documents + opaque payload column: blob = utf8(text), plus the typed
+    metadata struct a real ingest would carry (media_type, declared size)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("media_type"),
+            F.col("n_chars").alias("declared_bytes"),
+            F.col("lang").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           n_chars            AS payload_bytes,
+           md5(text)          AS payload_md5,
+           'application/octet-stream' AS media_type,
+           (n_chars = n_chars) AS size_consistent
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column bookkeeping, all JVM-side: payload length, content
+    digest, metadata projection, and a size-consistency check (ASCII fixture
+    text → octet length == n_chars; the twin mirrors that identity)."""
+    b = _with_binary(load(spark, sf_dir, "documents"))
+    return b.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.media_type").alias("media_type"),
+        (F.octet_length("payload").cast("long") == F.col("meta.declared_bytes")).alias(
+            "size_consistent"
+        ),
+    )
+
+
+@query(
+    "mm_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           (16 + n_chars % 48)::INT                    AS width,
+           (16 + (n_chars // 7) % 48)::INT             AS height,
+           ((16 + n_chars % 48) * (16 + (n_chars // 7) % 48))::BIGINT AS n_pixels
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode plumbing via Arrow-batched mapInPandas.
+
+    The decoder is a STUB (no imaging libs in this container): dimensions are
+    a deterministic function of payload size, so the SQL twin can verify the
+    plumbing end-to-end. A real deployment replaces `_fake_decode_dims` with
+    e.g. PIL.Image.open(io.BytesIO(payload)) — the batch shape (pandas
+    DataFrame of binary + metadata per Arrow batch) is exactly what that
+    needs."""
+
+    def _fake_decode_dims(n_bytes: int) -> tuple[int, int]:
+        # STUB — deterministic fake standing in for a real decoder.
+        return 16 + n_bytes % 48, 16 + (n_bytes // 7) % 48
+
+    def decode(batches):
+        for pdf in batches:
+            dims = pdf["payload"].map(lambda b: _fake_decode_dims(len(b)))
+            w = dims.map(lambda t: t[0]).astype("int32")
+            h = dims.map(lambda t: t[1]).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "n_pixels": (w.astype("int64") * h.astype("int64")),
+                }
+            )
+
+    b = _with_binary(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return b.mapInPandas(decode, "doc_id long, width int, height int, n_pixels long")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(generate_series(0, (n_chars // 50)::INT - 1)) * 10 AS frame_idx
+    FROM documents
+    WHERE n_chars // 50 >= 1
+    """,
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: treat each payload as n_frames =
+    bytes/50 and emit every 10th frame index — sequence+explode column math,
+    the same shape a real ffmpeg-probe + sample step would produce. Pure JVM:
+    the expensive per-frame decode would go through mm_decode_stub's path."""
+    b = _with_binary(load(spark, sf_dir, "documents"))
+    n_frames = (F.octet_length("payload") / F.lit(50)).cast("int")
+    return (
+        b.withColumn("n_frames", n_frames)
+        .filter(F.col("n_frames") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.transform(F.sequence(F.lit(0), F.col("n_frames") - 1), lambda i: i * 10)).alias(
+                "frame_idx"
+            ),
+        )
+    )

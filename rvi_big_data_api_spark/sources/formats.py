@@ -1,0 +1,161 @@
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+The reference ingested RVI JSON over HTTP into Cassandra and scanned it back
+through the connector (SURVEY.md §3.1); the engine's equivalents are format
+round trips under one roof: schema'd parquet/CSV/JSON scans, a partitioned
+write demonstrating partition pruning, and a derived-table parquet sink.
+
+Round-trip operators write into a deterministic scratch dir keyed by sf_dir
+(so the sf0.01 driver run and sf0.1 bench run never collide) and re-read —
+the query output is always the RE-READ data, proving the sink+scan path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exprs import ts_str
+from ..io import load
+from ..registry import query
+from ..schemas import CUSTOMER
+
+
+def scratch_dir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(sf_dir, operator) scratch path, recreated fresh."""
+    key = hashlib.md5(f"{sf_dir}|{tag}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), "rvi_spark_scratch", f"{tag}-{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("source",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd parquet scan — the base read path every other operator uses
+    (explicit StructType: no footer-inference pass, stable column pruning)."""
+    return load(spark, sf_dir, "region")
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    tags=("source",),
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip: write customer as headered CSV, re-read with the
+    explicit schema. Output is the re-read frame — a byte-level identity
+    check against the parquet original via the oracle."""
+    out = scratch_dir(sf_dir, "csv")
+    load(spark, sf_dir, "customer").write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(CUSTOMER).option("header", True).csv(out)
+
+
+@query(
+    "scan_json",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           json_extract_string(props, '$.k')::INT AS k
+    FROM events
+    """,
+    tags=("source",),
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip (the RVI payload shape): write events as JSON,
+    re-read, parse the nested props payload into a typed column."""
+    out = scratch_dir(sf_dir, "json")
+    load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props").write.mode(
+        "overwrite"
+    ).json(out)
+    raw = spark.read.schema("event_id long, user_id long, event_type string, props string").json(out)
+    return raw.select(
+        "event_id", "user_id", "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@query(
+    "scan_partitioned",
+    oracle="""
+    SELECT user_id, count(*) AS n_clicks
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+    tags=("source",),
+)
+def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + pruned read: events partitioned by
+    event_type; the filter on the partition column prunes directories before
+    any file I/O (the reference's per-VIN partition read; at 100 TB this is
+    date/type partitioning doing the same job). `.explain` shows
+    PartitionFilters, not PushedFilters."""
+    out = scratch_dir(sf_dir, "part_events")
+    load(spark, sf_dir, "events").write.mode("overwrite").partitionBy("event_type").parquet(out)
+    re_read = spark.read.parquet(out)
+    return (
+        re_read.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, epoch(date_trunc('second', ts))::BIGINT AS sec, event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                       THEN 1 ELSE 0 END AS gap_flag
+        FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               sum(gap_flag) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions
+    FROM sessions GROUP BY user_id
+    """,
+    tags=("sink",),
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-table pattern (the reference's Spark→Cassandra write-back):
+    materialize trips to parquet, then serve an aggregate FROM THE SINK —
+    the output exercises write+scan, not just the upstream query."""
+    from ..operators.telemetry import sessionized_events
+
+    out = scratch_dir(sf_dir, "trips")
+    sessionized_events(spark, sf_dir).select("user_id", "session_id", "sec", "value").write.mode(
+        "overwrite"
+    ).parquet(out)
+    trips = spark.read.parquet(out)
+    return trips.groupBy("user_id").agg(F.countDistinct("session_id").alias("n_sessions"))
+
+
+@query("source_inmemory", oracle=None, tags=("source", "rows-only"))
+def source_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-ingestion analogue (the reference's HTTP POST path): rows born in
+    the driver become a distributed DataFrame with an explicit schema."""
+    rows = [
+        (1, "vin-001", "speed", 88.5),
+        (2, "vin-001", "rpm", 2400.0),
+        (3, "vin-002", "speed", 51.0),
+        (4, "vin-003", "fuel", 0.62),
+    ]
+    df = spark.createDataFrame(rows, "report_id long, vin string, channel string, reading double")
+    return df.groupBy("vin").agg(
+        F.count(F.lit(1)).alias("n_reports"), F.round(F.sum("reading"), 2).alias("sum_reading")
+    )

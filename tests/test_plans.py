@@ -1,0 +1,108 @@
+"""Physical-plan assertions (SURVEY.md §4.2): the optimizations Catalyst
+gives for free must actually appear — a regression here means a 100 TB run
+reads/shuffles orders of magnitude more than it should, even though results
+stay correct."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rvi_big_data_api_spark.io import load
+from rvi_big_data_api_spark.registry import REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString() + "\n" + df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = REGISTRY["filter_eq"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "EqualTo(o_orderstatus,F)" in plan, plan[:2000]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = REGISTRY["project_prune"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    # customer has 5 columns; the scan must read exactly the 3 projected ones
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "c_acctbal" not in read_schema and "c_nationkey" not in read_schema, read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(REGISTRY["join_broadcast"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(REGISTRY["join_multiway"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+
+
+def test_semi_anti_plan_as_joins_not_materialization(spark, sf_dir):
+    assert "LeftSemi" in plan_of(REGISTRY["join_semi"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan_of(REGISTRY["join_anti"].fn(spark, sf_dir))
+
+
+def test_partition_pruning(spark, sf_dir):
+    df = REGISTRY["scan_partitioned"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1][:200], (
+        plan[:2000]
+    )
+
+
+def test_topk_uses_bounded_heap(spark, sf_dir):
+    plan = plan_of(REGISTRY["limit_global"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_agg_has_partial_final_split(spark, sf_dir):
+    plan = plan_of(REGISTRY["agg_basic"].fn(spark, sf_dir))
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_asof_join_is_linear_not_quadratic(spark, sf_dir):
+    """The carry-forward as-of join must NOT plan a nested-loop/cartesian
+    product — that is the whole point of the union+window formulation."""
+    plan = plan_of(REGISTRY["join_asof"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
+    """Under AQE, codegen subtrees materialize per stage at runtime, so probe
+    with AQE off: the whole filter→project→partial-agg pipeline must fuse."""
+    import contextlib
+    import io
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["agg_pricing_summary"].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        header = buf.getvalue().splitlines()[0]
+        n = int(header.split("Found ")[1].split(" WholeStageCodegen")[0])
+        assert n >= 1, buf.getvalue()[:1500]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_events_time_filter_pushdown(spark, sf_dir):
+    """Time-range predicates push down on the derived ts? The ts column is
+    computed (ns→µs), so pushdown applies to user_id only — assert the
+    user_id predicate reaches the scan (the partition/bucket story at scale
+    lives in SCALE.md)."""
+    df = REGISTRY["filter_range_time"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters:")[1][:300], plan[:2000]
+
+
+@pytest.mark.parametrize("name", ["agg_basic", "join_broadcast", "trip_sessionize"])
+def test_no_python_udf_in_hot_paths(spark, sf_dir, name):
+    """Relational/telemetry cores must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes)."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "EvalPython" not in plan, plan[:2000]
