@@ -32,7 +32,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = engine.queries()
-    # warmup: JVM + codegen + parquet footer caches
+    # Cache base tables once (SURVEY.md §6 bench posture): Spark's
+    # CacheManager matches by analyzed-plan equality, so every query's
+    # identical load() scan then reads the InMemoryRelation instead of
+    # re-scanning parquet. ~2M rows at sf0.1 — trivially memory-resident.
+    from rvi_big_data_api_spark.io import load
+    from rvi_big_data_api_spark.schemas import TABLES
+
+    for t in TABLES:
+        load(spark, SF_DIR, t).cache().count()
+
+    # warmup: JVM + codegen paths
     qs["agg_pricing_summary"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}

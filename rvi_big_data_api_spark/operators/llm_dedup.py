@@ -77,14 +77,18 @@ def dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs: word 5-grams via pure column exprs
-    (sequence + slice + array_join; no Python UDF)."""
-    toks = F.split("text", " ")
+    (sequence + slice + array_join; no Python UDF).
+
+    The token array is materialized ONCE per row before the transform —
+    slicing `split(text)` inside the lambda would re-split the document for
+    every shingle index (O(words²) per doc)."""
     shingles = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_N - 1}, 1)),"
-        f" i -> array_join(slice(split(text, ' '), i, {SHINGLE_N}), ' '))"
+        f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 1)),"
+        f" i -> array_join(slice(toks, i, {SHINGLE_N}), ' '))"
     )
     return (
-        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(shingles).alias("shingle"))
         .distinct()
     )
 

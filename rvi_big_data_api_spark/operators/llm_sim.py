@@ -24,9 +24,14 @@ KNN_NQUERIES = 20
 
 def dot(a: Column, b: Column) -> Column:
     """Cosine similarity for unit vectors: elementwise product folded in
-    double precision (identical fold order to DuckDB's list_dot_product)."""
-    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    return F.aggregate(F.zip_with(to_d(a), to_d(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    double precision (identical fold order — and bit-identical results — to
+    DuckDB's list_dot_product over DOUBLE[]). Casting inside the single
+    zip_with avoids materializing two intermediate double arrays per row."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 @query(
@@ -88,7 +93,10 @@ def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucket or quantized-centroid key instead of a given label."""
     e = load(spark, sf_dir, "embeddings")
     a = e.alias("a")
-    b = e.alias("b")
+    # broadcast the probe side: a label join has only ~10 keys, so a shuffled
+    # join would put each label's whole block on one task; broadcasting keeps
+    # the build side replicated and the stream side evenly partitioned
+    b = F.broadcast(e.alias("b"))
     d = dot(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -180,4 +188,66 @@ def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("mm.embedding")).alias("emb_dim"),
         F.col("mm.label").alias("label"),
         F.round(F.element_at(F.col("mm.embedding"), 1), 6).alias("first_dim"),
+    )
+
+
+IVF_SIGN_BITS = 4  # 2^4 = 16 coarse buckets over the first 4 dimensions
+
+
+def signbit_bucket(emb: Column) -> Column:
+    """Coarse quantization without k-means: bucket id = sign bits of the
+    first IVF_SIGN_BITS dimensions (SURVEY.md §4.3's 'k-means-free'
+    pre-partitioning). Deterministic, computable in both dialects."""
+    bits = [
+        (F.element_at(emb, i + 1) > 0).cast("int") * (2**i) for i in range(IVF_SIGN_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@query(
+    "sim_topk_ann",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings
+    )
+    SELECT qid, vec_id, dot, rank FROM (
+        SELECT q.vec_id AS qid, e.vec_id,
+               round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS dot,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rank
+        FROM bucketed q JOIN bucketed e
+          ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+        WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+    ) WHERE rank <= {SIM_TOPK_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k — the 100 TB scale path for sim_topk: both sides are
+    bucketed by a sign-bit coarse quantizer (IVF-style, k-means-free) and the
+    search runs WITHIN the query's bucket only. Cost drops from O(N·Q) to
+    O(Q·N/2^bits); recall is what's traded (tests/test_properties.py
+    measures it against the exact operator). Same output shape as sim_topk,
+    so callers can swap exact↔approximate."""
+    e = load(spark, sf_dir, "embeddings").withColumn("bucket", signbit_bucket(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    scored = (
+        e.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"), "rank")
     )

@@ -185,3 +185,115 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("pass")
         .alias("verdict"),
     )
+
+
+# Per-language marker terms for the n-gram/stopword language-ID heuristic.
+# The fixture corpus shares one vocabulary across langs [F], so scores are
+# driven by character-bigram statistics; the heuristic itself is the operator.
+LANGID_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "de"),
+    "fr": ("le", "les", "des"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang AS true_lang,
+               len(list_filter(string_split(text, ' '),
+                               w -> w = 'the' OR w = 'and' OR w = 'of'))::BIGINT  AS s_en,
+               len(list_filter(string_split(text, ' '),
+                               w -> w = 'der' OR w = 'und' OR w = 'die'))::BIGINT AS s_de,
+               len(list_filter(string_split(text, ' '),
+                               w -> w = 'el' OR w = 'los'))::BIGINT               AS s_es,
+               ((length(text) - length(replace(text, 'th', ''))) // 2)::BIGINT    AS bigram_th,
+               ((length(text) - length(replace(text, 'sc', ''))) // 2)::BIGINT    AS bigram_sc
+        FROM documents
+    )
+    SELECT doc_id, true_lang, s_en, s_de, s_es, bigram_th, bigram_sc,
+           CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker hits + character-bigram counts
+    feed a deterministic argmax. Pure column algebra (list_filter HOF +
+    replace-based bigram counting) — at 100 TB this is a map-only pass. The
+    fixture's text is language-agnostic [F], so accuracy is not the contract;
+    the deterministic scoring pipeline is."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def marker_score(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("long")
+
+    def bigram_count(bg: str):
+        return ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(bg), F.lit("")))) / 2).cast(
+            "long"
+        )
+
+    s_en = marker_score(LANGID_MARKERS["en"])
+    s_de = marker_score(LANGID_MARKERS["de"])
+    s_es = marker_score(("el", "los"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        s_en.alias("s_en"),
+        s_de.alias("s_de"),
+        s_es.alias("s_es"),
+        bigram_count("th").alias("bigram_th"),
+        bigram_count("sc").alias("bigram_sc"),
+        F.when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS set_fingerprint,
+           len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique_terms,
+           md5(concat(string_split(text, ' ')[1], '|',
+                      string_split(text, ' ')[-1], '|',
+                      len(string_split(text, ' '))::VARCHAR)) AS shape_fingerprint
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: (1) order-insensitive SET fingerprint =
+    md5(sorted distinct tokens) — robust to shuffling, the cheap pre-filter
+    before shingle-level comparison; (2) a SHAPE fingerprint over
+    (first token, last token, length). The rolling-hash/winnowing variant
+    (positional min-xxhash64 over shingles) is the MinHash machinery in
+    llm_dedup.minhash_signatures — one signature column IS a rolling-hash
+    fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    uniq = F.array_sort(F.array_distinct(words))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(uniq, " ")).alias("set_fingerprint"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_unique_terms"),
+        F.md5(
+            F.concat(
+                F.element_at(words, 1),
+                F.lit("|"),
+                F.element_at(words, -1),
+                F.lit("|"),
+                F.size(words).cast("string"),
+            )
+        ).alias("shape_fingerprint"),
+    )

@@ -93,9 +93,12 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            dims = pdf["payload"].map(lambda b: _fake_decode_dims(len(b)))
-            w = dims.map(lambda t: t[0]).astype("int32")
-            h = dims.map(lambda t: t[1]).astype("int32")
+            # a real decoder would call _fake_decode_dims per payload; the
+            # stub's arithmetic is vectorized over the batch (the shape a
+            # numpy-based post-process step would take anyway)
+            n = pdf["payload"].str.len().astype("int64")
+            w = (16 + n % 48).astype("int32")
+            h = (16 + (n // 7) % 48).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

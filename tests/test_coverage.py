@@ -1,0 +1,90 @@
+"""Contract-coverage gate: the registry must contain every operator declared
+in SURVEY.md §2 (the driver's checklist), each with either a DuckDB oracle or
+an explicit rows-only registration — and no query may silently lose its
+oracle."""
+
+from __future__ import annotations
+
+from rvi_big_data_api_spark.registry import REGISTRY
+
+SURVEY_S2_INVENTORY = [
+    # §2.1 scans, sources, sinks
+    "scan_parquet", "scan_csv", "scan_json", "scan_partitioned", "sink_parquet",
+    "source_stream_files", "sink_stream_foreachbatch", "source_inmemory",
+    # §2.2 projection, filter, predicates
+    "project_prune", "project_compute", "filter_eq", "filter_range_time",
+    "filter_compound", "filter_null", "distinct_rows", "sample_frac",
+    # §2.3 joins
+    "join_broadcast", "join_shuffle", "join_multiway", "join_left", "join_full",
+    "join_semi", "join_anti", "join_cross", "join_theta", "join_asof",
+    "join_interval", "join_self",
+    # §2.4 aggregations
+    "agg_basic", "agg_pricing_summary", "agg_count_distinct", "agg_approx_distinct",
+    "agg_filtered", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_collect",
+    "agg_percentile", "agg_stats", "agg_minmax_by", "agg_pivot", "agg_global",
+    # §2.5 windows
+    "win_rank", "win_ntile", "win_lag_lead", "win_running", "win_sliding_rows",
+    "win_range_time", "win_first_last", "win_pct",
+    # §2.6 sorts, limits, top-k
+    "sort_multi", "limit_global", "topk_per_group", "topk_global_agg",
+    # §2.7 set operations
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    # §2.8 scalar function suites
+    "fn_string", "fn_datetime", "fn_math", "fn_conditional", "fn_array",
+    "fn_map", "fn_json", "fn_hash", "fn_cast",
+    # §2.9 telemetry / domain
+    "trip_sessionize", "trip_stats", "latest_per_key", "resample_bucket",
+    "threshold_runs", "gap_report", "haversine_dist", "daily_active",
+    # §2.10 LLM pipeline
+    "dedup_exact", "dedup_hash", "dedup_near", "sim_topk", "sim_pairs",
+    "knn_label", "text_tokenize", "text_tfidf", "text_stats", "text_quality",
+    "multimodal_struct",
+    # §2.11 streaming
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
+    "stream_stateful", "stream_static_join", "stream_stream_join",
+    "stream_late_data", "stream_output_modes",
+    # §2.12 UDF surface
+    "udf_row", "udf_pandas_scalar", "udaf_pandas_agg", "udtf_grouped_map",
+    "udtf_map_partitions", "udtf_python",
+]
+
+# Beyond the SURVEY inventory (BASELINE.json:6 north-star extensions).
+EXTENSIONS = [
+    "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
+    "text_langid", "text_fingerprint", "sim_topk_ann",
+]
+
+# Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
+# twin; everything else MUST carry an oracle.
+EXPECTED_ROWS_ONLY = {
+    "sample_frac",          # Spark's Bernoulli sampler ≠ DuckDB's
+    "agg_approx_distinct",  # HLL estimate
+    "dedup_near",           # seeded xxhash64 minhash
+    "source_inmemory",      # literal rows, no fixture table
+    "stream_late_data",     # watermark drop semantics have no batch twin
+}
+
+
+def test_survey_inventory_fully_covered():
+    missing = [q for q in SURVEY_S2_INVENTORY if q not in REGISTRY]
+    assert not missing, f"SURVEY §2 operators not registered: {missing}"
+    assert len(SURVEY_S2_INVENTORY) == 101
+
+
+def test_extensions_registered():
+    missing = [q for q in EXTENSIONS if q not in REGISTRY]
+    assert not missing, missing
+
+
+def test_oracle_discipline():
+    rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
+    assert rows_only == EXPECTED_ROWS_ONLY, (
+        f"unexpected rows-only: {rows_only - EXPECTED_ROWS_ONLY}; "
+        f"lost rows-only: {EXPECTED_ROWS_ONLY - rows_only}"
+    )
+
+
+def test_no_unregistered_strays():
+    known = set(SURVEY_S2_INVENTORY) | set(EXTENSIONS)
+    strays = [n for n in REGISTRY if n not in known]
+    assert not strays, f"registered but undocumented: {strays}"

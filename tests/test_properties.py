@@ -1,0 +1,132 @@
+"""Property / metamorphic tests (SURVEY.md §5.2/4): algebraic invariants
+that hold regardless of data values — they catch formulation bugs the oracle
+can't (the oracle would faithfully mirror a wrong-but-consistent query).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rvi_big_data_api_spark.io import load
+from rvi_big_data_api_spark.operators.llm_sim import SIM_TOPK_K, SIM_TOPK_NQUERIES
+from rvi_big_data_api_spark.operators.telemetry import SESSION_GAP_S, sessionized_events
+from rvi_big_data_api_spark.registry import REGISTRY
+
+from .parity import canon_rows
+
+
+def rows_of(df):
+    return canon_rows(df.toPandas())
+
+
+class TestJoinAlgebra:
+    def test_join_commutes(self, spark, sf_dir):
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        ab = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey", "o_orderpriority")
+        ba = o.join(li, o.o_orderkey == li.l_orderkey).select("l_orderkey", "o_orderpriority")
+        assert rows_of(ab) == rows_of(ba)
+
+    def test_filter_pushes_through_join(self, spark, sf_dir):
+        """filter∘join ≡ join∘filter — what Catalyst's pushdown asserts is
+        semantics-preserving, checked at the result level."""
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        pred = F.col("o_orderstatus") == "F"
+        after = li.join(o, li.l_orderkey == o.o_orderkey).filter(pred)
+        before = li.join(o.filter(pred), li.l_orderkey == o.o_orderkey)
+        assert rows_of(after.select("l_orderkey", "o_orderstatus")) == rows_of(
+            before.select("l_orderkey", "o_orderstatus")
+        )
+
+    def test_semi_join_is_filtered_projection(self, spark, sf_dir):
+        """left_semi(A, B) ≡ A ∩ keys(B) — row multiset of A preserved."""
+        cust = load(spark, sf_dir, "customer")
+        urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        semi = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select("c_custkey")
+        via_in = cust.join(
+            urgent.select("o_custkey").distinct(), cust.c_custkey == F.col("o_custkey")
+        ).select("c_custkey")
+        assert rows_of(semi) == rows_of(via_in)
+
+
+class TestSessionInvariants:
+    def test_sessions_partition_events(self, spark, sf_dir):
+        s = sessionized_events(spark, sf_dir)
+        assert s.count() == load(spark, sf_dir, "events").count()
+
+    def test_intra_session_gaps_bounded(self, spark, sf_dir):
+        """Within a session, consecutive gaps are ≤ G (the defining property)."""
+        from pyspark.sql import Window
+
+        s = sessionized_events(spark, sf_dir)
+        w = Window.partitionBy("user_id", "session_id").orderBy("sec", "event_id")
+        bad = (
+            s.withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+            .filter(F.col("gap") > SESSION_GAP_S)
+            .count()
+        )
+        assert bad == 0
+
+    def test_session_ids_dense_from_one(self, spark, sf_dir):
+        per_user = sessionized_events(spark, sf_dir).groupBy("user_id").agg(
+            F.min("session_id").alias("lo"),
+            F.max("session_id").alias("hi"),
+            F.countDistinct("session_id").alias("n"),
+        )
+        bad = per_user.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count()
+        assert bad == 0
+
+
+class TestDedupInvariants:
+    def test_exact_dedup_idempotent_and_minimal(self, spark, sf_dir):
+        kept = REGISTRY["dedup_exact"].fn(spark, sf_dir)
+        n_kept = kept.count()
+        n_distinct_texts = load(spark, sf_dir, "documents").select("text").distinct().count()
+        assert n_kept == n_distinct_texts
+
+    def test_hash_dedup_agrees_with_exact(self, spark, sf_dir):
+        """md5 collisions aside, hash-keyed dedup must keep the same doc ids."""
+        a = rows_of(REGISTRY["dedup_exact"].fn(spark, sf_dir).select("doc_id"))
+        b = rows_of(REGISTRY["dedup_hash"].fn(spark, sf_dir).select("doc_id"))
+        assert a == b
+
+
+class TestTopKProperties:
+    def test_ann_is_subset_scored_like_exact(self, spark, sf_dir):
+        """Approximate top-k must (a) never invent scores — every (qid,
+        vec_id, dot) it returns appears in the exact operator's full scoring;
+        (b) achieve nonzero recall against exact top-k."""
+        exact = REGISTRY["sim_topk"].fn(spark, sf_dir).toPandas()
+        ann = REGISTRY["sim_topk_ann"].fn(spark, sf_dir).toPandas()
+        exact_pairs = {(r.qid, r.vec_id): r.dot for r in exact.itertuples()}
+        ann_pairs = {(r.qid, r.vec_id): r.dot for r in ann.itertuples()}
+        # scores for overlapping pairs must be identical (same scorer)
+        for k, v in ann_pairs.items():
+            if k in exact_pairs:
+                assert exact_pairs[k] == v
+        recall = len(set(ann_pairs) & set(exact_pairs)) / max(len(exact_pairs), 1)
+        assert 0.0 < recall <= 1.0
+        assert len(ann) <= SIM_TOPK_NQUERIES * SIM_TOPK_K
+
+    def test_knn_votes_sum_to_k(self, spark, sf_dir):
+        votes = REGISTRY["knn_label"].fn(spark, sf_dir)
+        assert votes.filter(F.col("n_votes") < 1).count() == 0
+        assert votes.count() == 20  # one prediction per query
+
+
+class TestStreamBatchEquivalence:
+    def test_tumbling_stream_equals_batch(self, spark, sf_dir):
+        """The streaming tumbling window (complete mode, availableNow) must
+        equal the same aggregation computed in batch — Structured Streaming's
+        unification property, asserted end-to-end."""
+        stream_result = rows_of(REGISTRY["stream_tumbling"].fn(spark, sf_dir))
+        from rvi_big_data_api_spark.functions.exprs import ts_str
+
+        ev = load(spark, sf_dir, "events")
+        batch = (
+            ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(ts_str(F.col("win.start")).alias("win_start"), "event_type", "n")
+        )
+        assert stream_result == rows_of(batch)
