@@ -124,3 +124,95 @@ class TestTopKProperties:
             }
 
         assert topk(k_small) <= topk(k_big)
+
+
+class TestUnicodeText:
+    """mf_unicode_text (FIXTURES.md §B): tokenizer/length/regex behavior on
+    non-ASCII text — the fixture corpus is ASCII-only, so parity of unicode
+    semantics between Spark and DuckDB is asserted here."""
+
+    ROWS = [
+        (1, "der schnelle fuchs überspringt den faulen hund"),
+        (2, "数据 处理 引擎 测试 文本"),
+        (3, "café naïve résumé"),
+        (4, "emoji 🚀 test 🎉 row"),
+    ]
+
+    def test_length_is_codepoints_both_engines(self, spark):
+        import duckdb
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {r.doc_id: r.n for r in df.select("doc_id", F.length("text").alias("n")).collect()}
+        con = duckdb.connect()
+        for doc_id, text in self.ROWS:
+            want = con.execute("SELECT length(?)", [text]).fetchone()[0]
+            assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+    def test_split_token_counts_match_duckdb(self, spark):
+        import duckdb
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {r.doc_id: r.n for r in df.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()}
+        con = duckdb.connect()
+        for doc_id, text in self.ROWS:
+            want = con.execute("SELECT len(string_split(?, ' '))", [text]).fetchone()[0]
+            assert got[doc_id] == want
+
+    def test_upper_preserves_unicode(self, spark):
+        df = spark.createDataFrame([(1, "café über")], "doc_id long, text string")
+        assert df.select(F.upper("text").alias("u")).collect()[0].u == "CAFÉ ÜBER"
+
+
+class TestTies:
+    """mf_ties: rank family semantics under duplicate sort keys."""
+
+    def test_rank_vs_dense_vs_rownumber(self, spark):
+        rows = [(1, 10.0), (2, 10.0), (3, 5.0), (4, 5.0), (5, 1.0)]
+        df = spark.createDataFrame(rows, "k long, v double")
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("v").desc())
+        out = df.select(
+            "k",
+            F.rank().over(w).alias("r"),
+            F.dense_rank().over(w).alias("d"),
+        ).collect()
+        by_k = {r.k: (r.r, r.d) for r in out}
+        assert by_k[1] == (1, 1) and by_k[2] == (1, 1)
+        assert by_k[3] == (3, 2) and by_k[4] == (3, 2)   # rank skips, dense doesn't
+        assert by_k[5] == (5, 3)
+
+    def test_max_by_struct_tiebreak_deterministic(self, spark):
+        rows = [(7, 100, 5.0), (7, 200, 5.0), (7, 50, 1.0)]
+        df = spark.createDataFrame(rows, "user long, event long, v double")
+        out = df.groupBy("user").agg(
+            F.max_by("event", F.struct("v", "event")).alias("winner")
+        ).collect()[0]
+        assert out.winner == 200  # ties on v broken by larger event id
+
+
+class TestZeroVector:
+    """mf_zero_vec: similarity ops must not divide by a zero norm — unit-norm
+    fixtures never hit this, so assert the raw-dot formulation is total."""
+
+    def test_dot_with_zero_vector_is_zero(self, spark):
+        from rvi_big_data_api_spark.operators.llm_sim import dot
+
+        rows = [(1, [0.0] * 4), (2, [0.5, 0.5, 0.5, 0.5])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = df.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("ea"))
+        b = df.filter(F.col("vec_id") == 2).select(F.col("embedding").alias("eb"))
+        out = a.crossJoin(b).select(dot(F.col("ea"), F.col("eb")).alias("d")).collect()[0]
+        assert out.d == 0.0
+
+    def test_empty_events_sessionize(self, spark):
+        """mf_empty_events: windows/sessionize over zero rows yield zero rows,
+        not errors."""
+        import rvi_big_data_api_spark.operators.telemetry as T
+        from unittest import mock
+
+        ev = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        with mock.patch.object(T, "load", lambda s, d, n: ev):
+            assert T.sessionized_events(spark, "ignored").count() == 0

@@ -106,3 +106,12 @@ def test_no_python_udf_in_hot_paths(spark, sf_dir, name):
     ArrowEvalPython nodes)."""
     plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
     assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """The full trip pipeline (lag window → running-sum window → per-session
+    agg) must reuse ONE user_id exchange — stacked windows + aggregation over
+    compatible keys shuffle once (SCALE.md telemetry notes)."""
+    plan = plan_of(REGISTRY["trip_sessionize"].fn(spark, sf_dir))
+    n_exchanges = plan.split("\n== ")[0].count("Exchange ")
+    assert n_exchanges == 1, f"expected 1 Exchange, found {n_exchanges}:\n{plan[:2500]}"
