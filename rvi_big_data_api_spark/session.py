@@ -23,6 +23,7 @@ re-coalesces at runtime from observed shuffle stats.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -49,5 +50,8 @@ def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
         # fixture events.ts is parquet TIMESTAMP(NANOS); read as epoch-nanos
         # long (Spark 4 has no nanos timestamp) — io.load converts to µs.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # static conf; keep bucketed-table demos (tests/test_scale.py) out of
+        # the repo tree
+        .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "rvi_spark_warehouse"))
     )
     return builder.getOrCreate()
