@@ -71,15 +71,17 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'click'
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 300
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300
     """,
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Churn-style diff: users who clicked but never purchased (EXCEPT
-    DISTINCT → left-anti join)."""
-    a = _events_slice(spark, sf_dir, "click").select("user_id")
-    b = _events_slice(spark, sf_dir, "purchase").select("user_id")
+    """Churn-style diff: users with high-value clicks but no high-value
+    purchase (EXCEPT DISTINCT → left-anti join). The value threshold keeps
+    the result non-degenerate: without it every fixture user has every event
+    type, so the plain type-level EXCEPT is always empty."""
+    a = _events_slice(spark, sf_dir, "click").filter(F.col("value") > 300).select("user_id")
+    b = _events_slice(spark, sf_dir, "purchase").filter(F.col("value") > 300).select("user_id")
     return a.subtract(b)

@@ -151,7 +151,7 @@ def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            round(sum(value) OVER (PARTITION BY user_id
-                                  ORDER BY epoch(date_trunc('second', ts))
+                                  ORDER BY epoch(date_trunc('second', ts))::BIGINT
                                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
                AS trailing_1h_value
     FROM events

@@ -88,3 +88,26 @@ def test_no_unregistered_strays():
     known = set(SURVEY_S2_INVENTORY) | set(EXTENSIONS)
     strays = [n for n in REGISTRY if n not in known]
     assert not strays, f"registered but undocumented: {strays}"
+
+
+def test_oracle_dialect_lint():
+    """Static lint over every oracle's SQL for the dialect traps in PARITY.md
+    — catches regressions without running DuckDB."""
+    import re
+
+    # Coarse by design: nested parens and casts placed after OVER(...) defeat
+    # exact matching, and the executed parity suite is the real gate — this
+    # only catches WHOLESALE omissions of a required cast within an oracle.
+    problems = []
+    for name, spec in REGISTRY.items():
+        sql = spec.oracle
+        if sql is None:
+            continue
+        if "epoch(" in sql and "::BIGINT" not in sql:
+            problems.append((name, "epoch() used but no ::BIGINT cast anywhere"))
+        if re.search(r"sum\((n_\w+|gap_flag|new_flag)\b", sql) and "::BIGINT" not in sql:
+            problems.append((name, "integer sum but no ::BIGINT cast anywhere"))
+        # rand() is forbidden everywhere (determinism)
+        if re.search(r"\brand(om)?\s*\(", sql):
+            problems.append((name, "rand() in oracle"))
+    assert not problems, problems

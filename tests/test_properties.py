@@ -130,3 +130,20 @@ class TestStreamBatchEquivalence:
             .select(ts_str(F.col("win.start")).alias("win_start"), "event_type", "n")
         )
         assert stream_result == rows_of(batch)
+
+
+class TestApproxAccuracy:
+    def test_hll_within_rsd_of_exact(self, spark, sf_dir):
+        """approx_count_distinct(rsd=0.02) must land within a few rsd of the
+        exact distinct count — the contract that makes it usable at 100 TB."""
+        approx = {
+            r.event_type: r.approx_users
+            for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+        }
+        exact = {
+            r.event_type: r.n_users
+            for r in REGISTRY["agg_count_distinct"].fn(spark, sf_dir).collect()
+        }
+        for t, n in exact.items():
+            rel_err = abs(approx[t] - n) / n
+            assert rel_err <= 0.10, (t, approx[t], n, rel_err)
