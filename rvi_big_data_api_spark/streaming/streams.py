@@ -317,7 +317,14 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot equals the batch aggregate, which the oracle checks exactly.
 
     At scale this state lives in the RocksDB state store, partitioned by key,
-    with timeouts evicting idle vehicles."""
+    with timeouts evicting idle vehicles.
+
+    Note on Spark 4's successor API: `transformWithStateInPandas` (ValueState/
+    ListState/MapState + timers) was probed this round and the query plans,
+    but its Python runner requires `google.protobuf`, which is not functional
+    in this container (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE) —
+    applyInPandasWithState is the supported path here and carries the same
+    per-key-state semantics."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

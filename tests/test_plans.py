@@ -115,3 +115,22 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     plan = plan_of(REGISTRY["trip_sessionize"].fn(spark, sf_dir))
     n_exchanges = plan.split("\n== ")[0].count("Exchange ")
     assert n_exchanges == 1, f"expected 1 Exchange, found {n_exchanges}:\n{plan[:2500]}"
+
+
+def test_sim_pairs_broadcasts_probe_side(spark, sf_dir):
+    """The blocked similarity self-join must broadcast, not shuffle on the
+    ~10-key label column (which would serialize each block onto one task)."""
+    plan = plan_of(REGISTRY["sim_pairs"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_dedup_near_no_cartesian(spark, sf_dir):
+    """LSH candidate generation must be equi-join on (band, hash) — a
+    cartesian/nested-loop node would mean the blocking failed."""
+    plan = plan_of(REGISTRY["dedup_near"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2500]
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    plan = plan_of(REGISTRY["text_tfidf"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
