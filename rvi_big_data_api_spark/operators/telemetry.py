@@ -227,16 +227,24 @@ def resample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def threshold_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Speeding-episode detection: maximal runs of consecutive over-threshold
-    reports via the gaps-and-islands trick (two row_numbers; their difference
-    is constant within a run). Two windows over the same user_id shuffle."""
+    reports via the gaps-and-islands trick (row_number minus per-flag rank is
+    constant within a run).
+
+    The per-flag rank is computed as a RUNNING COUNT of flagged rows over the
+    same user_id window — not a second window partitioned by (user_id, flag),
+    which would add a second shuffle. The whole operator (both windows + the
+    final per-run aggregate, whose (user_id, run_grp) grouping is satisfied
+    by the user_id clustering) runs on ONE exchange; tests/test_plans.py
+    pins that. The oracle keeps the classic two-row_number formulation — the
+    values are identical, only the plan differs."""
     ev = load(spark, sf_dir, "events").withColumn(
         "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
     ).withColumn("over_t", F.col("value") > 150.0)
     w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_flag = Window.partitionBy("user_id", "over_t").orderBy("ts", "event_id")
+    w_run = w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         ev.withColumn("rn_all", F.row_number().over(w_all))
-        .withColumn("rn_flag", F.row_number().over(w_flag))
+        .withColumn("rn_flag", F.sum(F.col("over_t").cast("int")).over(w_run))
         .filter(F.col("over_t"))
         .withColumn("run_grp", F.col("rn_all") - F.col("rn_flag"))
         .groupBy("user_id", "run_grp")

@@ -134,3 +134,11 @@ def test_dedup_near_no_cartesian(spark, sf_dir):
 def test_tfidf_broadcasts_df_table(spark, sf_dir):
     plan = plan_of(REGISTRY["text_tfidf"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_threshold_runs_single_shuffle(spark, sf_dir):
+    """Gaps-and-islands with a running-count flag rank (not a second
+    per-flag window partitioning) must shuffle once."""
+    plan = plan_of(REGISTRY["threshold_runs"].fn(spark, sf_dir))
+    n = plan.split("\n== ")[0].count("Exchange ")
+    assert n == 1, f"expected 1 Exchange, found {n}:\n{plan[:2500]}"
