@@ -160,3 +160,158 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_TAU)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 16-bit chunks equal
+
+
+@query("dedup_simhash", oracle=None, tags=("llm", "dedup", "rows-only"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection — the third dedup family (vs exact-hash and
+    MinHash/LSH): a single 64-bit signature whose Hamming distance tracks
+    document similarity.
+
+    Columnar construction, no UDF: token → xxhash64 → for each bit position,
+    sum(+1 if bit set else -1) per doc (64 conditional aggregates in ONE
+    groupBy); the signature bit is the sign. Candidate pairs come from the
+    pigeonhole principle: Hamming ≤ 3 over 4 chunks ⇒ at least one 16-bit
+    chunk identical, so candidates are an equi-join on (chunk_idx, chunk
+    value) and exact Hamming verifies via xor+popcount (bit_count).
+
+    Rows-only (seeded xxhash64); deterministic. At 100 TB the signature table
+    is 8 bytes/doc and the chunk join scales like the LSH band join.
+
+    Caveat measured on the fixture: with a tiny shared vocabulary (~hundreds
+    of words), bag-of-words SimHash saturates — many non-duplicate docs land
+    at Hamming 0. Standard mitigations applied: term-frequency weighting and
+    a ±20% length-band candidate filter; residual saturation is a property
+    of the corpus, not the operator (documents in a real 100 TB corpus carry
+    far more entropy)."""
+    docs = load(spark, sf_dir, "documents")
+    # materialize the hash ONCE per token — referencing xxhash64 inside all
+    # 64 aggregates would recompute it 64× per row (no CSE across aggs)
+    toks = docs.select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("term")
+    ).select("doc_id", "n_chars", F.xxhash64("term").alias("h"))
+    # tf-weighted: each occurrence votes ±1 per bit
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    weights = toks.groupBy("doc_id", "n_chars").agg(*bit_aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    sigs = weights.select("doc_id", "n_chars", sig.alias("simhash"))
+
+    chunks = []
+    for c in range(SIMHASH_CHUNKS):
+        chunk_val = F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+        chunks.append(F.struct(F.lit(c).alias("chunk_idx"), chunk_val.alias("chunk")))
+    chunked = sigs.select(
+        "doc_id", "n_chars", "simhash", F.explode(F.array(*chunks)).alias("ch")
+    ).select(
+        "doc_id", "n_chars", "simhash",
+        F.col("ch.chunk_idx").alias("chunk_idx"), F.col("ch.chunk").alias("chunk"),
+    )
+
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length-band filter: near-dups can't differ by >20% in size
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+               <= F.greatest(F.col("a.n_chars"), F.col("b.n_chars")) * 0.2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.10
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word-trigram) Jaccard similarity for document pairs
+    within (lang, source) blocks — the exhaustive-but-blocked dedup family
+    (MinHash approximates exactly this measure; here it is computed directly
+    and hash-checked against DuckDB).
+
+    Plan shape: the common-gram count comes from a gram-level equi-join (one
+    shuffle on the gram), never a doc×doc cross product; blocking bounds pair
+    fan-out exactly as in sim_pairs."""
+    docs = load(spark, sf_dir, "documents")
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> array_join(slice(toks, i, 3), ' '))"
+    )
+    grams = (
+        docs.select("doc_id", "lang", "source", F.split("text", " ").alias("toks"))
+        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= 0.10)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

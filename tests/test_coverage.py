@@ -52,6 +52,7 @@ SURVEY_S2_INVENTORY = [
 EXTENSIONS = [
     "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
     "text_langid", "text_fingerprint", "sim_topk_ann",
+    "dedup_simhash", "dedup_ngram_jaccard",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
@@ -62,6 +63,7 @@ EXPECTED_ROWS_ONLY = {
     "dedup_near",           # seeded xxhash64 minhash
     "source_inmemory",      # literal rows, no fixture table
     "stream_late_data",     # watermark drop semantics have no batch twin
+    "dedup_simhash",        # seeded xxhash64 signature
 }
 
 

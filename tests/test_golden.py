@@ -216,3 +216,20 @@ class TestZeroVector:
         )
         with mock.patch.object(T, "load", lambda s, d, n: ev):
             assert T.sessionized_events(spark, "ignored").count() == 0
+
+
+class TestSimHash:
+    def test_identical_docs_zero_hamming_near_dup_low(self, spark, tmp_path):
+        base = " ".join(f"tok{i}" for i in range(60))
+        near = base.replace("tok59", "other")
+        far = " ".join(f"zzz{i}" for i in range(60))
+        rows = [(1, base, "en", "s", 10), (2, base, "en", "s", 10),
+                (3, near, "en", "s", 10), (4, far, "en", "s", 10)]
+        _docs(spark, rows).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        from rvi_big_data_api_spark.registry import REGISTRY
+
+        out = {(r.doc_a, r.doc_b): r.hamming for r in REGISTRY["dedup_simhash"].fn(spark, str(tmp_path)).collect()}
+        assert out.get((1, 2)) == 0, f"identical docs must have hamming 0: {out}"
+        assert (1, 4) not in out and (2, 4) not in out, f"unrelated doc matched: {out}"
+        # one-token edit in 60 tokens: small, nonzero-or-zero hamming, must be found
+        assert (1, 3) in out, f"near-dup (1,3) missed: {out}"
