@@ -287,15 +287,17 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("function",),
 )
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cast family under the pinned non-ANSI mode (session.py): parse failures
-    → NULL, matching DuckDB TRY_CAST. double→int truncates toward zero in
+    """Cast family. Failing casts use try_cast explicitly so parse failures →
+    NULL regardless of the session's ANSI mode — the engine pins ANSI off
+    (session.py), but the driver may hand queries an ANSI-on session, and
+    every query must be total under both. double→int truncates toward zero in
     Spark but ROUNDS in DuckDB cast, so the twin trunc()s first."""
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.col("value").cast("long").alias("value_int"),
         F.col("value").cast("string").alias("value_str"),
-        F.col("event_type").cast("int").alias("bad_int"),
+        F.col("event_type").try_cast("int").alias("bad_int"),
         F.lit("2024-06-01").cast("date").cast("string").alias("parsed_date"),
         (F.col("event_id") % 2 == 0).cast("int").alias("even_flag"),
         F.col("user_id").cast("double").alias("user_double"),
