@@ -315,3 +315,126 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.10)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+NGRAM_JACCARD_TAU = 0.10
+
+
+@query(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sim_edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n + sb.n - n_common) >= {NGRAM_JACCARD_TAU}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM sim_edges
+              UNION ALL SELECT doc_b, doc_a FROM sim_edges),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT edges.b, reach.r FROM edges JOIN reach ON edges.a = reach.node
+    ),
+    clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.doc_id, c.cluster_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+    FROM clusters c
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment — the step AFTER pair detection that real
+    dedup pipelines need: connected components over the near-dup pair graph,
+    labeling each doc with the minimum doc_id reachable from it (its cluster
+    representative).
+
+    Spark side: iterative min-label propagation — each round joins labels to
+    the (bidirectional) edge list and takes the elementwise min; converged
+    when no label changes. Rounds = graph diameter (duplicate clusters are
+    tiny, so this converges in 2-4 rounds); each round is one shuffle over
+    the EDGE LIST, never an N² product — the formulation that scales. The
+    driver-side loop is plan construction only; data never leaves executors.
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure with the same min-label
+    reduction — an iterative algorithm hash-checked against a recursive SQL
+    twin. Edges come from dedup_ngram_jaccard's blocked similarity graph."""
+    from .llm_text import load as _  # noqa: F401  (same loader; avoid shadowing)
+
+    docs = load(spark, sf_dir, "documents")
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> array_join(slice(toks, i, 3), ' '))"
+    )
+    grams = (
+        docs.select("doc_id", "lang", "source", F.split("text", " ").alias("toks"))
+        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.alias("a")
+    gb = grams.alias("b")
+    pairs = (
+        ga.join(
+            gb,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    sim_edges = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= NGRAM_JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    edges = sim_edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        sim_edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).cache()
+
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).cache()
+    for _round in range(20):  # cap >> duplicate-cluster diameter
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = new_labels.alias("n").join(
+            labels.alias("o"), F.col("n.node") == F.col("o.node")
+        ).filter(F.col("n.label") != F.col("o.label")).count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    w_sz = Window.partitionBy("cluster_id")
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))

@@ -375,3 +375,68 @@ def daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "resample_ffill",
+    oracle="""
+    WITH grid AS (
+        SELECT u.user_id, g.h::TIMESTAMP AS bucket
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                                  TIMESTAMP '2024-01-30 23:00:00',
+                                                  INTERVAL 1 HOUR)) AS h) g
+    ),
+    observed AS (
+        SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT grid.user_id,
+           epoch(grid.bucket)::BIGINT AS bucket_epoch,
+           last_value(o.avg_value IGNORE NULLS)
+               OVER (PARTITION BY grid.user_id ORDER BY grid.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           (o.avg_value IS NULL) AS is_gap
+    FROM grid LEFT JOIN observed o
+      ON grid.user_id = o.user_id AND grid.bucket = o.bucket
+    """,
+    tags=("telemetry",),
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample: regularize each vehicle's series onto an hourly
+    grid and forward-fill missing hours with the last observation (the
+    standard telemetry gap treatment; `is_gap` marks imputed points).
+
+    Plan: the hourly grid is generated (sequence+explode, no data shuffle),
+    observed buckets come from one aggregation, and the fill is an
+    ignore-nulls last() window — one shuffle on user_id total. Hours before
+    a vehicle's first report stay NULL (nothing to carry forward)."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(
+        spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                    F.expr("interval 1 hour"),
+                )
+            ).alias("bucket")
+        )
+    )
+    observed = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(observed, ["user_id", "bucket"], "left")
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )

@@ -52,7 +52,7 @@ SURVEY_S2_INVENTORY = [
 EXTENSIONS = [
     "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
     "text_langid", "text_fingerprint", "sim_topk_ann",
-    "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_cluster", "resample_ffill",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
