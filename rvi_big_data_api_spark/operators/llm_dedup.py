@@ -420,19 +420,20 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the old label through so convergence is read from the SAME
+        # cached result (one job per round, not a propagate + a compare job)
         new_labels = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
             .cache()
         )
-        changed = new_labels.alias("n").join(
-            labels.alias("o"), F.col("n.node") == F.col("o.node")
-        ).filter(F.col("n.label") != F.col("o.label")).count()
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
