@@ -302,3 +302,33 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 2 == 0).cast("int").alias("even_flag"),
         F.col("user_id").cast("double").alias("user_double"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           (event_id & 255)                  AS low_byte,
+           (event_id | 4096)                 AS with_flag,
+           xor(event_id, user_id)            AS xored,
+           (event_id << 2)                   AS shifted_l,
+           (event_id >> 3)                   AS shifted_r,
+           bit_count(event_id)::INT          AS popcount
+    FROM events
+    """,
+    tags=("function",),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — the building blocks behind SimHash/bucketing
+    (and/or/xor, shifts, popcount), exercised as a standalone suite."""
+    ev = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft(e, 2).alias("shifted_l"),
+        F.shiftright(e, 3).alias("shifted_r"),
+        F.bit_count(e).alias("popcount"),
+    )

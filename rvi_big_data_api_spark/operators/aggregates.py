@@ -400,3 +400,29 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_discount"), 6).alias("avg_discount"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT event_type,
+           least(floor(value / 50.0)::INT, 9) AS bin,
+           count(*)                           AS n,
+           round(min(value), 6)               AS bin_min,
+           round(max(value), 6)               AS bin_max
+    FROM events
+    GROUP BY event_type, bin
+    """,
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 bins of 50, top bin open-ended) of readings
+    per channel — the dashboard distribution view, computed as a plain
+    grouped aggregate so the shuffle carries one row per (channel, bin)."""
+    ev = load(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9))
+    return ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )

@@ -416,3 +416,34 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()  # batch B: late rows dropped below watermark
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_resample",
+    oracle="""
+    SELECT user_id,
+           (epoch(date_trunc('second', ts))::BIGINT // 300) * 300 AS bucket_epoch,
+           count(*)             AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY user_id, bucket_epoch
+    """,
+    tags=("streaming", "telemetry"),
+)
+def stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch resample_bucket (SURVEY.md §2.9): per-
+    vehicle 5-minute rollup as an incremental windowed aggregation — the
+    batch/stream pair that proves the same logical plan serves both modes."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.window(F.date_trunc("second", "ts"), "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("win.start")).alias("bucket_epoch"),
+            "n_events",
+            "avg_value",
+        )
+    )
+    return run_to_table(sdf, sf_dir, "resample", "complete")

@@ -53,6 +53,7 @@ EXTENSIONS = [
     "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
     "text_langid", "text_fingerprint", "sim_topk_ann",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_cluster", "resample_ffill",
+    "stream_resample", "fn_bitwise", "agg_histogram",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
