@@ -374,8 +374,6 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB WITH RECURSIVE transitive closure with the same min-label
     reduction — an iterative algorithm hash-checked against a recursive SQL
     twin. Edges come from dedup_ngram_jaccard's blocked similarity graph."""
-    from .llm_text import load as _  # noqa: F401  (same loader; avoid shadowing)
-
     docs = load(spark, sf_dir, "documents")
     grams_expr = F.expr(
         "transform(sequence(1, greatest(size(toks) - 2, 1)),"
