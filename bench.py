@@ -57,16 +57,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+
+    # Full per-query map: stderr + a sidecar file. The driver keeps only the
+    # last 2000 chars of stdout (BENCH_r01.json came back parsed:null because
+    # the full map blew that budget — ADVICE.md r1), so stdout gets ONE
+    # compact line, printed LAST, with only the top-10 slowest queries inline.
+    detail = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+        "n_queries": len(timings),
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": top10,
                 "sf": float(sf) if sf else SF_DIR,
                 "n_queries": len(timings),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -409,31 +409,59 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).cache()
 
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+    # Resource hygiene (VERDICT r1 item 4): every cached relation the loop
+    # creates is unpersisted before returning — the converged result is
+    # CHECKPOINTed (eager, reliable) so the returned DataFrame reads its own
+    # materialization and holds no reference to the loop's caches. Rounds
+    # needed = graph diameter; duplicate clusters are near-cliques (diameter
+    # 2-4), so the 20-round cap is generous — a general large-diameter graph
+    # would want the pointer-doubling ("large-star/small-star") variant, not
+    # 1-hop propagation (SCALE.md).
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+
+    # `cached_labels` is always the handle that was ACTUALLY .cache()d —
+    # unpersist() on a derived projection is a silent no-op (the round-1 leak).
+    cached_labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).cache()
-    for _round in range(20):  # cap >> duplicate-cluster diameter
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy(F.col("src").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # carry the old label through so convergence is read from the SAME
-        # cached result (one job per round, not a propagate + a compare job)
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+    labels = cached_labels
+    try:
+        for _round in range(20):  # cap >> duplicate-cluster diameter
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy(F.col("src").alias("node2"))
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .cache()
-        )
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        labels.unpersist()
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
-    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-    w_sz = Window.partitionBy("cluster_id")
-    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
+            # carry the old label through so convergence is read from the SAME
+            # cached result (one job per round, not a propagate + compare jobs)
+            new_labels = (
+                labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+                .select(
+                    "node",
+                    F.col("label").alias("old_label"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+            cached_labels.unpersist()
+            cached_labels = new_labels
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
+        out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        w_sz = Window.partitionBy("cluster_id")
+        result = out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
+        # materialize + truncate lineage; after this the caches are dead weight
+        return result.checkpoint(eager=True)
+    finally:
+        cached_labels.unpersist()
+        edges.unpersist()

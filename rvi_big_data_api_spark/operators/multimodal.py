@@ -115,7 +115,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_frame_sample",
     oracle="""
-    SELECT doc_id, unnest(generate_series(0, (n_chars // 50)::INT - 1)) * 10 AS frame_idx
+    SELECT doc_id, unnest(generate_series(0, (n_chars // 50)::INT - 1, 10)) AS frame_idx
     FROM documents
     WHERE n_chars // 50 >= 1
     """,
@@ -123,9 +123,11 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: treat each payload as n_frames =
-    bytes/50 and emit every 10th frame index — sequence+explode column math,
-    the same shape a real ffmpeg-probe + sample step would produce. Pure JVM:
-    the expensive per-frame decode would go through mm_decode_stub's path."""
+    bytes/50 and emit every 10th frame index (0, 10, ... strictly below
+    n_frames, i.e. ceil(n_frames/10) indices per doc) — sequence+explode
+    column math, the same shape a real ffmpeg-probe + sample step would
+    produce. Pure JVM: the expensive per-frame decode would go through
+    mm_decode_stub's path."""
     b = _with_binary(load(spark, sf_dir, "documents"))
     n_frames = (F.octet_length("payload") / F.lit(50)).cast("int")
     return (
@@ -133,8 +135,6 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_frames") >= 1)
         .select(
             "doc_id",
-            F.explode(F.transform(F.sequence(F.lit(0), F.col("n_frames") - 1), lambda i: i * 10)).alias(
-                "frame_idx"
-            ),
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))).alias("frame_idx"),
         )
     )

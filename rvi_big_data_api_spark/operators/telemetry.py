@@ -383,9 +383,10 @@ def daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH grid AS (
         SELECT u.user_id, g.h::TIMESTAMP AS bucket
         FROM (SELECT DISTINCT user_id FROM events) u
-        CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-                                                  TIMESTAMP '2024-01-30 23:00:00',
-                                                  INTERVAL 1 HOUR)) AS h) g
+        CROSS JOIN (SELECT unnest(generate_series(
+                        (SELECT date_trunc('hour', min(ts)) FROM events),
+                        (SELECT date_trunc('hour', max(ts)) FROM events),
+                        INTERVAL 1 HOUR)) AS h) g
     ),
     observed AS (
         SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS bucket,
@@ -408,21 +409,22 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid and forward-fill missing hours with the last observation (the
     standard telemetry gap treatment; `is_gap` marks imputed points).
 
-    Plan: the hourly grid is generated (sequence+explode, no data shuffle),
-    observed buckets come from one aggregation, and the fill is an
+    Plan: the hourly grid spans the observed min..max hour DERIVED FROM THE
+    DATA (VERDICT r1 item 5 — no hardcoded fixture dates; the bounds agg is a
+    cheap columnar min/max), generated with sequence+explode (no data
+    shuffle); observed buckets come from one aggregation, and the fill is an
     ignore-nulls last() window — one shuffle on user_id total. Hours before
     a vehicle's first report stay NULL (nothing to carry forward)."""
     ev = load(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
     grid = users.crossJoin(
-        spark.range(1).select(
-            F.explode(
-                F.sequence(
-                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
-                    F.lit("2024-01-30 23:00:00").cast("timestamp"),
-                    F.expr("interval 1 hour"),
-                )
-            ).alias("bucket")
+        F.broadcast(
+            ev.agg(
+                F.date_trunc("hour", F.min("ts")).alias("t0"),
+                F.date_trunc("hour", F.max("ts")).alias("t1"),
+            ).select(
+                F.explode(F.sequence("t0", "t1", F.expr("interval 1 hour"))).alias("bucket")
+            )
         )
     )
     observed = ev.groupBy(

@@ -53,5 +53,14 @@ def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
         # static conf; keep bucketed-table demos (tests/test_scale.py) out of
         # the repo tree
         .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "rvi_spark_warehouse"))
+        # iterative operators (dedup_cluster) checkpoint their converged
+        # result so caches can be released eagerly; GC'd checkpoints are
+        # cleaned by the context cleaner
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+    return spark

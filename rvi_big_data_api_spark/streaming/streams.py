@@ -320,11 +320,11 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     with timeouts evicting idle vehicles.
 
     Note on Spark 4's successor API: `transformWithStateInPandas` (ValueState/
-    ListState/MapState + timers) was probed this round and the query plans,
-    but its Python runner requires `google.protobuf`, which is not functional
-    in this container (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE) —
-    applyInPandasWithState is the supported path here and carries the same
-    per-key-state semantics."""
+    ListState/MapState + timers) was probed in round 1 and re-checked in
+    round 2: its Python runner requires `google.protobuf`, which is still not
+    importable in this container (STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE) — applyInPandasWithState is the supported path here and carries
+    the same per-key-state semantics."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -117,11 +117,17 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     assert n_exchanges == 1, f"expected 1 Exchange, found {n_exchanges}:\n{plan[:2500]}"
 
 
-def test_sim_pairs_broadcasts_probe_side(spark, sf_dir):
-    """The blocked similarity self-join must broadcast, not shuffle on the
-    ~10-key label column (which would serialize each block onto one task)."""
+def test_sim_pairs_salted_block_join(spark, sf_dir):
+    """The blocked similarity self-join must be an equi-join whose key
+    includes the SALT (so a ~10-key label block splits across S tasks rather
+    than serializing onto one), and must never degrade to a nested-loop /
+    cartesian plan. Whether the small side is broadcast is left to Catalyst's
+    size gate — that IS the sanctioned fast path at fixture scale; at 100 TB
+    the same plan shuffles on (label, salt)."""
     plan = plan_of(REGISTRY["sim_pairs"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2500]
+    # the equi-join keys must carry the salt column next to the label
+    assert "salt" in plan and "rep" in plan, plan[:2500]
 
 
 def test_dedup_near_no_cartesian(spark, sf_dir):
