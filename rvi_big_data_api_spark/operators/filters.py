@@ -10,7 +10,7 @@ min/max row-group skipping, so at 100 TB only matching row groups are read.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exprs import duck_ts_str, ts_str
 from ..io import load
@@ -182,4 +182,40 @@ def sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .sample(fraction=0.1, seed=42)
         .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+SAMPLE_STRAT_K = 5  # strata hold ≤16 docs at sf0.01 [F]; 5 makes the cap real
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source, rn FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {SAMPLE_STRAT_K}
+    """,
+    tags=("filter", "llm", "sample"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — exactly K docs per (lang, source)
+    stratum, the op that builds a balanced training mix from a skewed corpus.
+    Rows are ordered by md5(doc_id) WITHIN each stratum, so the choice is a
+    pseudo-random but reproducible draw (same K docs every run, any cluster
+    size — unlike .sample(), whose output depends on partitioning).
+
+    Scale shape: one window shuffle on the stratum key; the md5 sort key is
+    16 bytes/row. At 100 TB prefer the agg-based top-K (topk_per_group's
+    min_by pattern) if K is small and strata are huge."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_STRAT_K)
     )

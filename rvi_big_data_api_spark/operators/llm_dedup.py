@@ -317,6 +317,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_EMBED_TAU = 0.30  # in-bucket cosine 99th pct ≈ 0.32 on the fixture [F]
+DEDUP_EMBED_SALT = 8
+
+
+@query(
+    "dedup_embed",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings
+    )
+    SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of,
+           count(*)::BIGINT AS n_similar,
+           round(max(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
+               AS max_cosine
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {DEDUP_EMBED_TAU}
+    GROUP BY b.vec_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup — the fifth dedup family (exact, content-
+    hash, MinHash/LSH, SimHash, and now SEMANTIC): a doc is a duplicate if an
+    earlier doc in its LSH bucket has cosine ≥ τ. Emits (vec_id, dup_of =
+    min earlier similar id, n_similar, max_cosine); downstream keeps only
+    rows absent from this result (dedup_cluster generalizes dup_of to full
+    connected components).
+
+    Scale shape: candidate pairs come from the same sign-bit coarse bucket
+    (sim_topk_ann's quantizer — never all-pairs), and because ~16 buckets is
+    a skewed join key, the probe side is salted and the build side replicated
+    S ways exactly as in sim_pairs; the final per-doc reduction is an
+    ordinary partial-agg groupBy on vec_id. The dot product is the JVM-side
+    HOF fold, bit-identical to DuckDB's list_dot_product (PARITY.md #9)."""
+    from .llm_sim import dot, signbit_bucket
+
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", signbit_bucket(F.col("embedding"))
+    )
+    a = e.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(DEDUP_EMBED_SALT - 1)))
+    ).alias("a")
+    b = e.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(DEDUP_EMBED_SALT))).alias("b")
+    d = dot(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rep") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), F.col("a.vec_id").alias("earlier"), d.alias("raw_dot"))
+        .filter(F.col("raw_dot") >= DEDUP_EMBED_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.min("earlier").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_similar"),
+            F.round(F.max("raw_dot"), 4).alias("max_cosine"),
+        )
+    )
+
+
 NGRAM_JACCARD_TAU = 0.10
 
 

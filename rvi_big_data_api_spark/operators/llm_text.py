@@ -297,3 +297,90 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shape_fingerprint"),
     )
+
+
+# Entity-marker masking demo: the fixture corpus has no real PII [F], so the
+# "sensitive" terms are stand-ins; the operator contract is the regex pass.
+PII_PATTERN = r"\b(customer|key|hash)\b"
+PII_REPLACEMENT = "[MASKED]"
+
+
+@query(
+    "text_pii_mask",
+    oracle=rf"""
+    SELECT doc_id,
+           md5(regexp_replace(text, '{PII_PATTERN}', '[MASKED]', 'g')) AS masked_md5,
+           len(regexp_extract_all(text, '{PII_PATTERN}'))::BIGINT AS n_masked
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{PII_PATTERN}')) > 0
+    """,
+    tags=("llm", "text"),
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/entity masking — the redaction pass every training-data pipeline
+    runs before tokenization: word-boundary regex → replacement token, plus a
+    per-doc redaction count for audit. Emits md5(masked_text) rather than the
+    full rewritten document so the result stays hash-comparable and small;
+    the production sink would keep the text column.
+
+    Map-only — no shuffle at any scale; regexp_replace/regexp_count are
+    JVM-side codegen expressions (both engines use the same \\b word-boundary
+    semantics, verified by the hash match)."""
+    d = load(spark, sf_dir, "documents")
+    n_masked = F.regexp_count("text", F.lit(PII_PATTERN))
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.regexp_replace("text", PII_PATTERN, PII_REPLACEMENT)).alias("masked_md5"),
+            n_masked.cast("long").alias("n_masked"),
+        )
+        .filter(F.col("n_masked") > 0)
+    )
+
+
+TOKEN_BUDGET_PER_LANG = 5000
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        FROM sized
+    ) WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+    """,
+    tags=("llm", "text"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget fill: select documents per language, best-first (longer
+    docs first — stand-in for a quality score), until the running token total
+    hits the budget — how a training mix is assembled to a target token count
+    per language/domain.
+
+    One window shuffle on lang; the running sum is a ROWS UNBOUNDED PRECEDING
+    frame over (quality, doc_id) — deterministic total order, so the chosen
+    set is reproducible. At 100 TB the per-stratum sort is the cost; coarse
+    pre-binning by quality decile cuts it to a partial sort."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )

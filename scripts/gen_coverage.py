@@ -24,6 +24,7 @@ SECTIONS = {
     "daily_": "§2.9 Telemetry",
     "dedup_": "§2.10 LLM ops", "sim_": "§2.10 LLM ops", "knn_": "§2.10 LLM ops",
     "text_": "§2.10 LLM ops", "multimodal_": "§2.10 LLM ops", "mm_": "§2.10 LLM ops (ext)",
+    "corpus_": "§2.10 LLM ops",
     "stream_": "§2.11 Streaming", "udf_": "§2.12 UDF surface", "udaf_": "§2.12 UDF surface",
     "udtf_": "§2.12 UDF surface",
 }

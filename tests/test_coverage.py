@@ -54,6 +54,8 @@ EXTENSIONS = [
     "text_langid", "text_fingerprint", "sim_topk_ann",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_cluster", "resample_ffill",
     "stream_resample", "fn_bitwise", "agg_histogram",
+    # round 2: embedding-cosine dedup + corpus-construction ops
+    "dedup_embed", "sample_stratified", "text_pii_mask", "corpus_token_budget",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -130,6 +130,14 @@ def test_sim_pairs_salted_block_join(spark, sf_dir):
     assert "salt" in plan and "rep" in plan, plan[:2500]
 
 
+def test_dedup_embed_salted_bucket_join(spark, sf_dir):
+    """Embedding near-dup must join within LSH buckets on an equi-key that
+    carries the salt — same scale contract as sim_pairs."""
+    plan = plan_of(REGISTRY["dedup_embed"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2500]
+    assert "salt" in plan and "rep" in plan, plan[:2500]
+
+
 def test_dedup_near_no_cartesian(spark, sf_dir):
     """LSH candidate generation must be equi-join on (band, hash) — a
     cartesian/nested-loop node would mean the blocking failed."""
