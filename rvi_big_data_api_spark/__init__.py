@@ -40,8 +40,8 @@ from .operators import (  # noqa: F401
 # families last. Pinned by tests/test_registration_order.py so a refactor
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
-REGISTRY_PRIORITY: list[str] = [
-    # -- never driver-verified in round 1 (64) ------------------------------
+PRIORITY_UNVERIFIED: list[str] = [
+    # -- never driver-verified in round 1 ------------------------------------
     # §2.2 projection/filter
     "project_compute", "filter_eq", "filter_range_time", "filter_compound",
     "filter_null", "distinct_rows", "sample_frac",
@@ -68,6 +68,11 @@ REGISTRY_PRIORITY: list[str] = [
     "text_tokenize", "text_tfidf", "text_stats", "text_quality",
     "text_langid", "text_fingerprint",
     "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
+    # round-2 additions (no driver row yet by construction)
+    "sample_stratified", "dedup_embed", "text_pii_mask", "corpus_token_budget",
+]
+
+PRIORITY_VERIFIED: list[str] = [
     # -- driver-green in round 1 (50) ---------------------------------------
     "agg_pricing_summary", "agg_basic", "agg_count_distinct",
     "agg_approx_distinct", "agg_filtered", "agg_rollup", "agg_cube",
@@ -86,6 +91,8 @@ REGISTRY_PRIORITY: list[str] = [
     "stream_late_data", "stream_resample",
 ]
 
+REGISTRY_PRIORITY: list[str] = PRIORITY_UNVERIFIED + PRIORITY_VERIFIED
+
 
 def _apply_registry_priority() -> None:
     unknown = [n for n in REGISTRY_PRIORITY if n not in REGISTRY]
@@ -95,13 +102,16 @@ def _apply_registry_priority() -> None:
     # already-verified tail (they need a driver row soonest) but after the
     # explicitly prioritised unverified block.
     stragglers = [n for n in REGISTRY if n not in REGISTRY_PRIORITY]
-    ordered = {n: REGISTRY[n] for n in REGISTRY_PRIORITY[:64]}
+    ordered = {n: REGISTRY[n] for n in PRIORITY_UNVERIFIED}
     ordered.update({n: REGISTRY[n] for n in stragglers})
-    ordered.update({n: REGISTRY[n] for n in REGISTRY_PRIORITY[64:]})
+    ordered.update({n: REGISTRY[n] for n in PRIORITY_VERIFIED})
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
 
 _apply_registry_priority()
 
-__all__ = ["REGISTRY", "REGISTRY_PRIORITY", "queries", "oracles", "get_spark"]
+__all__ = [
+    "REGISTRY", "REGISTRY_PRIORITY", "PRIORITY_UNVERIFIED", "PRIORITY_VERIFIED",
+    "queries", "oracles", "get_spark",
+]

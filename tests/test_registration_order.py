@@ -42,9 +42,8 @@ def test_priority_list_is_exhaustive():
 
 def test_registry_order_matches_priority():
     names = list(engine.queries())
-    pinned = [n for n in engine.REGISTRY_PRIORITY if n in set(names)]
     stragglers = [n for n in names if n not in set(engine.REGISTRY_PRIORITY)]
-    expected = pinned[:64] + stragglers + pinned[64:]
+    expected = engine.PRIORITY_UNVERIFIED + stragglers + engine.PRIORITY_VERIFIED
     assert names == expected
 
 
