@@ -17,6 +17,7 @@ from .sources import formats  # noqa: F401,E402
 from .streaming import streams  # noqa: F401,E402
 from .operators import (  # noqa: F401
     aggregates,
+    analytics,
     filters,
     joins,
     llm_dedup,
@@ -70,6 +71,11 @@ PRIORITY_UNVERIFIED: list[str] = [
     "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
     # round-2 additions (no driver row yet by construction)
     "sample_stratified", "dedup_embed", "text_pii_mask", "corpus_token_budget",
+    # round-2 composite analytics suite (operators/analytics.py)
+    "composite_shipping_priority", "composite_order_priority",
+    "composite_local_supplier_revenue", "composite_promo_revenue",
+    "composite_top_supplier", "composite_customer_dist",
+    "composite_returned_revenue", "composite_market_share",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

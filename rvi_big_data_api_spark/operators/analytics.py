@@ -1,0 +1,382 @@
+"""Composite analytics suite — multi-operator TPC-H-shaped queries.
+
+SURVEY.md §2's inventory is one-operator-per-query by design; real workloads
+against the reference chained them (filter → star join → agg → top-k in one
+request). This module registers eight composite pipelines modeled on the
+classic TPC-H shapes the fixture schema supports (no partsupp / commitdate /
+receiptdate, so Q4/Q8/Q15 are adapted to the columns that exist —
+FIXTURES.md §A).
+
+Scale posture (the point of the suite):
+- genuinely small dims (region 5, nation 25, supplier ≤1k/sf, part) carry an
+  explicit ``F.broadcast`` hint — the fact side never shuffles for them;
+- customer and orders are treated as LARGE (no hint): at the 100 TB target
+  customer is itself fact-sized, so those joins stay sort-merge/AQE where
+  runtime stats can still demote them to broadcast when small;
+- every aggregate is partial-agg friendly (plain sum/count over the join),
+  and top-k endings are `ORDER BY … LIMIT k` → TakeOrderedAndProject, never
+  a global sort;
+- ties under LIMIT are always broken by a unique key so results are
+  deterministic across engines (SURVEY.md §1 gotcha 3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load
+from ..registry import query
+
+def _rev():
+    """Per-line revenue expression (built lazily: Column construction needs
+    an active SparkContext in classic mode)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _rev_exact():
+    """Per-line revenue as DECIMAL(18,4) for EXACT, order-independent sums.
+
+    l_extendedprice and l_discount are exact 2-dp multiples (measured:
+    |x*100 - round(x*100)| < 1e-9 on the fixture), so the true per-line
+    revenue is an exact 4-dp multiple; the double holding it sits ~1e-9 from
+    that multiple, never halfway, so Spark's and DuckDB's double→decimal
+    casts agree. Small-group revenue sums (per order / per customer) MUST
+    use this instead of round(sum(double), 2): with 3–8 addends the float
+    sum lands on genuine .xx5 ties where Spark (HALF_UP on the shortest
+    decimal string) and DuckDB (half-even on the true binary value) round
+    differently — PARITY.md #1 observed live on this fixture."""
+    return _rev().cast("decimal(18,4)")
+
+
+@query(
+    "composite_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS l_orderkey,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,4))::DOUBLE
+               AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("analytics", "composite"),
+)
+def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
+
+    Filter → 3-way join → agg → top-k in one pipeline. customer/orders join
+    unhinted (both are fact-sized at the 100 TB target; AQE decides), filters
+    push to all three scans, and the `ORDER BY … LIMIT 10` compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_exact()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "composite_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS o_orderpriority,
+           count(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("analytics", "composite"),
+)
+def composite_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no commit/receipt dates — "late" = any line
+    shipped >90 days after the order date): order counts per priority where
+    at least one line was late.
+
+    EXISTS compiles to a left-semi join — the lineitem probe side is never
+    materialized into the output, and the per-orderkey match short-circuits."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late_orders"))
+
+
+@query(
+    "composite_local_supplier_revenue",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_nationkey = c.c_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("analytics", "composite"),
+)
+def composite_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue served by LOCAL suppliers (supplier nation = customer
+    nation) per Asian nation for one order-year.
+
+    Distinct from join_multiway by the s_nationkey = c_nationkey residual —
+    the classic "local supplier" correlation. supplier/nation/region are
+    broadcast; lineitem⋈orders is the only real shuffle (customer unhinted,
+    AQE decides)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "composite_promo_revenue",
+    oracle="""
+    SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m-%d') AS ship_month,
+           round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 4)
+               AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY date_trunc('month', l.l_shipdate)
+    """,
+    tags=("analytics", "composite"),
+)
+def composite_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo parts' share of revenue per ship-month.
+
+    Conditional aggregation over a broadcast fact⋈part join — the share is
+    computed in ONE pass (no self-join), division nullif-guarded in both
+    dialects, rounded only at the end (SURVEY.md §1 gotchas 2/4)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type").like("PROMO%"), _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("_m"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo) / F.nullif(F.sum(_rev()), F.lit(0.0)), 4
+            ).alias("promo_pct")
+        )
+        .select(F.date_format("_m", "yyyy-MM-dd").alias("ship_month"), "promo_pct")
+    )
+
+
+@query(
+    "composite_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_revenue AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("analytics", "composite"),
+)
+def composite_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    The quarterly revenue-per-supplier aggregate is computed ONCE and joined
+    against its own 1-row max via a broadcast cross join (no window-over-()
+    single-partition trap, no recompute of the CTE). Revenue is an exact
+    decimal sum (see _rev_exact) so the max-equality join is engine-stable."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_exact()).cast("double").alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev._max_rev)
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "composite_customer_dist",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count AS c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+    tags=("analytics", "composite"),
+)
+def composite_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count (left join
+    keeps zero-order customers).
+
+    Two stacked aggregations: the first shuffles on c_custkey (high
+    cardinality — partitions freely), the second on the tiny c_count domain;
+    both get map-side partials."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "composite_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,4))::DOUBLE
+               AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal, n.n_name AS n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("analytics", "composite"),
+)
+def composite_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned items in
+    one quarter.
+
+    Return-flag and date filters push to the scans; nation broadcasts; the
+    top-k ends in TakeOrderedAndProject with a unique tie-break key."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_exact()).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name"
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "composite_market_share",
+    oracle="""
+    WITH region_rev AS (
+        SELECT year(o.o_orderdate)::INT AS yr,
+               l.l_extendedprice * (1 - l.l_discount) AS rev,
+               s.s_nationkey AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT yr,
+           round(sum(CASE WHEN supp_nation = 3 THEN rev ELSE 0 END)
+                 / nullif(sum(rev), 0), 4) AS mkt_share
+    FROM region_rev
+    GROUP BY yr
+    """,
+    tags=("analytics", "composite"),
+)
+def composite_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (adapted: no partsupp): NATION_3's share of supplier
+    revenue into EUROPE-region customers, per order year.
+
+    The share is a conditional-sum ratio in ONE aggregation pass — no
+    numerator/denominator self-join. Dims broadcast, division nullif-guarded,
+    year() cast to INT in both dialects."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = load(spark, sf_dir, "supplier")
+    rev = _rev()
+    national = F.when(F.col("s_nationkey") == 3, rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(F.sum(national) / F.nullif(F.sum(rev), F.lit(0.0)), 4).alias(
+                "mkt_share"
+            )
+        )
+    )

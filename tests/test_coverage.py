@@ -56,6 +56,11 @@ EXTENSIONS = [
     "stream_resample", "fn_bitwise", "agg_histogram",
     # round 2: embedding-cosine dedup + corpus-construction ops
     "dedup_embed", "sample_stratified", "text_pii_mask", "corpus_token_budget",
+    # round 2: composite analytics suite (operators/analytics.py)
+    "composite_shipping_priority", "composite_order_priority",
+    "composite_local_supplier_revenue", "composite_promo_revenue",
+    "composite_top_supplier", "composite_customer_dist",
+    "composite_returned_revenue", "composite_market_share",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

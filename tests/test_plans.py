@@ -156,3 +156,40 @@ def test_threshold_runs_single_shuffle(spark, sf_dir):
     plan = plan_of(REGISTRY["threshold_runs"].fn(spark, sf_dir))
     n = plan.split("\n== ")[0].count("Exchange ")
     assert n == 1, f"expected 1 Exchange, found {n}:\n{plan[:2500]}"
+
+
+def test_composite_topk_uses_bounded_heap(spark, sf_dir):
+    """Q3/Q10-shaped composites end in ORDER BY … LIMIT k — must compile to
+    TakeOrderedAndProject (per-partition heaps), never a global Sort."""
+    for name in ("composite_shipping_priority", "composite_returned_revenue"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, (name, plan[:2000])
+
+
+def test_composite_order_priority_is_semi_join(spark, sf_dir):
+    """The EXISTS formulation must plan as LeftSemi — lineitem is probed,
+    never materialized into the output."""
+    plan = plan_of(REGISTRY["composite_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_composite_star_joins_broadcast_dims(spark, sf_dir):
+    """Q5/Q8-shaped composites must broadcast their hinted dims (supplier /
+    nation / region) so only the fact-side joins shuffle."""
+    for name, min_bcast in (
+        ("composite_local_supplier_revenue", 3),
+        ("composite_market_share", 3),
+        ("composite_promo_revenue", 1),
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= min_bcast, (name, plan[:3000])
+
+
+def test_composite_share_is_single_pass(spark, sf_dir):
+    """Ratio-of-sums composites (Q8/Q14 shapes) must compute numerator and
+    denominator as conditional aggregates in ONE aggregation — no self-join
+    of the fact table (the join would double the 100 TB scan)."""
+    for name in ("composite_market_share", "composite_promo_revenue"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        scans = plan.split("\n== ")[0].count("Scan parquet")
+        assert scans <= 6, (name, f"{scans} scans", plan[:2500])
