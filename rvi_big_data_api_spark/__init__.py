@@ -76,6 +76,9 @@ PRIORITY_UNVERIFIED: list[str] = [
     "composite_local_supplier_revenue", "composite_promo_revenue",
     "composite_top_supplier", "composite_customer_dist",
     "composite_returned_revenue", "composite_market_share",
+    # round-2 LLM-pipeline additions
+    "text_contamination", "text_normalize", "text_repetition",
+    "embed_centroids", "sim_ivf_kmeans",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -269,3 +269,186 @@ def sim_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= SIM_TOPK_K)
         .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"), "rank")
     )
+
+
+def _centroid_of(assigned: DataFrame, key: str) -> DataFrame:
+    """Elementwise mean embedding per `key`: posexplode → (key, pos) partial
+    avg → reassemble ordered by pos. Two narrow aggs; the (key, pos) partial
+    absorbs the vector volume map-side, so the shuffle carries K×64 rows."""
+    return (
+        assigned.select(key, F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(key, "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy(key)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+# DuckDB twin fragment: elementwise mean per cluster via zipped unnests
+# (unnest(embedding) and unnest(range(len))) advance in lockstep).
+_DUCK_CENTROID = """
+        SELECT {key}, list(m ORDER BY i) AS centroid FROM (
+            SELECT {key}, i, avg(v) AS m
+            FROM (SELECT {key}, unnest(embedding)::DOUBLE AS v,
+                         unnest(range(len(embedding))) AS i FROM {src})
+            GROUP BY {key}, i)
+        GROUP BY {key}
+"""
+
+
+@query(
+    "embed_centroids",
+    oracle=f"""
+    WITH cent AS ({_DUCK_CENTROID.format(key="label", src="embeddings")}),
+    cent_n AS (
+        SELECT label, centroid,
+               sqrt(list_dot_product(centroid, centroid)) AS norm
+        FROM cent
+    )
+    SELECT e.label AS label,
+           count(*)::BIGINT AS n_vecs,
+           round(any_value(c.norm), 4) AS centroid_norm,
+           round(avg(list_dot_product(c.centroid, e.embedding::DOUBLE[]) / c.norm), 4)
+               AS avg_cos_to_centroid
+    FROM embeddings e JOIN cent_n c ON e.label = c.label
+    GROUP BY e.label
+    """,
+    tags=("llm", "similarity"),
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean embedding + cohesion profile: centroid norm (how
+    concentrated the group is on the unit sphere — 1.0 = all identical, →0 =
+    isotropic) and the mean cosine of members to their centroid. The
+    embedding-space analogue of text_stats, and the building block under
+    sim_ivf_kmeans.
+
+    Scale shape: the centroid reduction is the (key, pos) partial-agg pattern
+    (_centroid_of) — vector volume collapses map-side; the K-row centroid
+    table broadcasts back onto the corpus for the cohesion pass."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = _centroid_of(e, "label")
+    norm = F.sqrt(dot_d(F.col("centroid"), F.col("centroid")))
+    return (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            norm.alias("norm_raw"),
+            (dot_d(F.col("centroid"), F.col("embedding").cast("array<double>")) / norm).alias(
+                "cos_raw"
+            ),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.first("norm_raw"), 4).alias("centroid_norm"),
+            F.round(F.avg("cos_raw"), 4).alias("avg_cos_to_centroid"),
+        )
+    )
+
+
+def dot_d(a: Column, b: Column) -> Column:
+    """dot() over already-double arrays (no per-element cast)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # unrolled: init → assign → recompute → assign → profile
+
+
+def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment on the unit sphere (argmax dot, ties to
+    the lower cluster id): corpus × broadcast(K centroids) → rank window per
+    vec_id."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cluster").asc())
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            dot_d(F.col("centroid"), F.col("embedding").cast("array<double>")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
+_DUCK_ASSIGN = """
+        SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(c.centroid, e.embedding::DOUBLE[]) DESC,
+                                c.cluster ASC) AS rn
+            FROM embeddings e CROSS JOIN {cent} c) WHERE rn = 1
+"""
+
+
+@query(
+    "sim_ivf_kmeans",
+    oracle=f"""
+    WITH init AS (
+        SELECT vec_id::INT AS cluster, embedding::DOUBLE[] AS centroid
+        FROM embeddings WHERE vec_id < {KMEANS_K}
+    ),
+    a1 AS ({_DUCK_ASSIGN.format(cent="init")}),
+    c1 AS ({_DUCK_CENTROID.format(key="cluster", src="a1")}),
+    a2 AS ({_DUCK_ASSIGN.format(cent="c1")})
+    SELECT a2.cluster AS cluster,
+           count(*)::BIGINT AS n_vecs,
+           round(avg(list_dot_product(c1.centroid, a2.embedding::DOUBLE[])
+                     / sqrt(list_dot_product(c1.centroid, c1.centroid))), 4)
+               AS avg_cos_to_centroid
+    FROM a2 JOIN c1 ON a2.cluster = c1.cluster
+    GROUP BY a2.cluster
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer trained by spherical k-means, UNROLLED to a fixed
+    KMEANS_ITERS assignments (init = first K vectors → assign → recompute
+    centroids → reassign → cluster profile) so the whole computation is one
+    deterministic declarative plan with an exact SQL twin — the learned
+    upgrade of sim_topk_ann's sign-bit buckets.
+
+    Per iteration: corpus × broadcast(K centroids) scoring (map-only),
+    rank-window argmax on vec_id (one shuffle, high-cardinality key), then
+    the (cluster, pos) partial-agg centroid reduction — nothing ever
+    shuffles the corpus on the K-valued cluster key. Production runs more
+    iterations by looping the same two steps with a localCheckpoint every
+    few rounds (SCALE.md); ties break to the lower cluster id in both
+    engines."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    assigned = _assign(e, cent)
+    for _ in range(KMEANS_ITERS - 1):
+        cent = _centroid_of(assigned, "cluster")
+        assigned = _assign(e, cent)
+    norm = F.sqrt(dot_d(F.col("centroid"), F.col("centroid")))
+    return (
+        assigned.join(F.broadcast(cent), "cluster")
+        .select(
+            "cluster",
+            (dot_d(F.col("centroid"), F.col("embedding").cast("array<double>")) / norm).alias(
+                "cos_raw"
+            ),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos_raw"), 4).alias("avg_cos_to_centroid"),
+        )
+    )

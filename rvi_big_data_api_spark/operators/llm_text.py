@@ -384,3 +384,156 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
+
+
+# Benchmark-contamination split: docs below this id are the stand-in "eval
+# benchmark"; everything else is the training pool under check.
+CONTAM_BENCH_MAX_ID = 50
+CONTAM_NGRAM = 3
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i:i+{CONTAM_NGRAM - 1}], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, greatest(len(toks) - {CONTAM_NGRAM - 1}, 1))) t(i)
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id < {CONTAM_BENCH_MAX_ID}
+    ),
+    train AS (SELECT * FROM grams WHERE doc_id >= {CONTAM_BENCH_MAX_ID}),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM train GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id, count(*)::BIGINT AS n_shared
+        FROM train t JOIN bench b ON t.gram = b.gram
+        GROUP BY t.doc_id
+    )
+    SELECT h.doc_id AS doc_id, s.n_grams, h.n_shared,
+           round(h.n_shared / s.n_grams, 4) AS contamination
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check — the decontamination pass run before
+    training: flag training documents sharing word trigrams (CONTAM_NGRAM) with
+    an eval benchmark (here the doc_id < CONTAM_BENCH_MAX_ID slice stands in
+    for the benchmark corpus).
+
+    Scale shape: the benchmark's distinct gram set is SMALL by construction
+    (eval suites are KBs against a 100 TB corpus), so it broadcasts and the
+    training side never shuffles — a map-side semi-join per gram followed by
+    one partial-agg groupBy on doc_id. This is the rare case where broadcast
+    is the designed scale path, not a fixture-size shortcut."""
+    docs = load(spark, sf_dir, "documents")
+    grams_expr = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {CONTAM_NGRAM - 1}, 1)),"
+        f" i -> array_join(slice(toks, i, {CONTAM_NGRAM}), ' '))"
+    )
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(grams_expr).alias("gram"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = train.join(F.broadcast(bench), "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("contamination"),
+        )
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, n_chars,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS normalized
+        FROM documents
+    )
+    SELECT doc_id, md5(normalized) AS norm_md5,
+           length(normalized)::BIGINT AS n_chars_norm,
+           (length(normalized) <> n_chars) AS changed
+    FROM norm
+    """,
+    tags=("llm", "text"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the canonicalization pass upstream of hashing /
+    dedup: lowercase, strip non-alphanumerics to spaces, collapse runs of
+    whitespace, trim. Emits md5(normalized) (hash-comparable without shipping
+    the rewritten text) plus the new length and a changed flag.
+
+    Map-only JVM regex at any scale; Spark's regexp_replace is global by
+    default while DuckDB needs the explicit 'g' flag — same expression tree
+    otherwise, so the hashes match exactly."""
+    d = load(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(normalized).alias("norm_md5"),
+        F.length(normalized).cast("long").alias("n_chars_norm"),
+        (F.length(normalized) != F.col("n_chars")).alias("changed"),
+    )
+
+
+REPETITION_TOP_TF_RATIO = 0.20
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_words,
+           count(*)::BIGINT AS n_distinct,
+           round(count(*) / sum(tf), 4) AS distinct_ratio,
+           max(tf)::BIGINT AS top_tf,
+           (max(tf) / sum(tf) > {REPETITION_TOP_TF_RATIO}) AS repetitive
+    FROM tf GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile — the boilerplate/spam gate: token
+    count, distinct-token count, distinct ratio, the heaviest term's
+    frequency, and a repetitive verdict when one term exceeds 20% of the
+    document (REPETITION_TOP_TF_RATIO).
+
+    Two stacked aggregations over one exploded token stream — the (doc_id,
+    term) partial absorbs the token volume map-side, and the second groupBy
+    shuffles only one row per distinct term per doc."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("tf"), 4).alias("distinct_ratio"),
+        F.max("tf").alias("top_tf"),
+        (F.max("tf") / F.sum("tf") > REPETITION_TOP_TF_RATIO).alias("repetitive"),
+    )

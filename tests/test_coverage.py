@@ -61,6 +61,9 @@ EXTENSIONS = [
     "composite_local_supplier_revenue", "composite_promo_revenue",
     "composite_top_supplier", "composite_customer_dist",
     "composite_returned_revenue", "composite_market_share",
+    # round 2: contamination / normalization / repetition / centroids / k-means
+    "text_contamination", "text_normalize", "text_repetition",
+    "embed_centroids", "sim_ivf_kmeans",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

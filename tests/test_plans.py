@@ -193,3 +193,18 @@ def test_composite_share_is_single_pass(spark, sf_dir):
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         scans = plan.split("\n== ")[0].count("Scan parquet")
         assert scans <= 6, (name, f"{scans} scans", plan[:2500])
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination must broadcast the (small) benchmark gram set — the
+    training side never shuffles for the semi-join."""
+    plan = plan_of(REGISTRY["text_contamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+
+
+def test_llm_vector_ops_stay_jvm_side(spark, sf_dir):
+    """Centroid/k-means pipelines are HOF column algebra — no Python eval
+    nodes anywhere in the plan."""
+    for name in ("embed_centroids", "sim_ivf_kmeans"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, (name, plan[:2500])
