@@ -79,6 +79,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     # round-2 LLM-pipeline additions
     "text_contamination", "text_normalize", "text_repetition",
     "embed_centroids", "sim_ivf_kmeans",
+    # round-2 telemetry analytics
+    "anomaly_zscore", "event_funnel", "retention_cohort",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

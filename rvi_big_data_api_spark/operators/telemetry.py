@@ -442,3 +442,185 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("avg_value", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("avg_value").isNull().alias("is_gap"),
     )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+@query(
+    "anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_id, user_id, event_type, value,
+               avg(value)    OVER (PARTITION BY user_id) AS mu,
+               stddev(value) OVER (PARTITION BY user_id) AS sigma
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, value,
+           round((value - mu) / nullif(sigma, 0), 4) AS zscore
+    FROM stats
+    WHERE abs((value - mu) / nullif(sigma, 0)) > {ZSCORE_THRESHOLD}
+    """,
+    tags=("telemetry",),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vehicle anomaly detection: readings more than ZSCORE_THRESHOLD
+    sample standard deviations from that vehicle's own mean (the reference's
+    outlier-report capability, as one declarative pass).
+
+    One shuffle on user_id; mean and stddev come from full-partition window
+    frames over the SAME partitioning (no second exchange, no groupBy+join
+    rescan). stddev is the sample estimator in both engines; the z-score is
+    nullif-guarded (single-report vehicles have NULL sigma) and rounded so
+    last-ulp Welford drift cannot flip the hash."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev("value").over(w), F.lit(0.0)
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", "value", z.alias("z_raw"))
+        .filter(F.abs(F.col("z_raw")) > ZSCORE_THRESHOLD)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.round("z_raw", 4).alias("zscore"),
+        )
+    )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_type,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events
+    ),
+    s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
+                      OVER (PARTITION BY user_id) AS t_view
+        FROM base
+    ),
+    s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND sec >= t_view THEN sec END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ),
+    s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND sec >= t_click THEN sec END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    ),
+    per_user AS (
+        SELECT user_id, any_value(t_view) AS t_view, any_value(t_click) AS t_click,
+               any_value(t_purchase) AS t_purchase
+        FROM s3 GROUP BY user_id
+    )
+    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END)::BIGINT     AS n_view,
+           count(CASE WHEN t_click IS NOT NULL THEN 1 END)::BIGINT    AS n_click,
+           count(CASE WHEN t_purchase IS NOT NULL THEN 1 END)::BIGINT AS n_purchase,
+           round(count(CASE WHEN t_click IS NOT NULL THEN 1 END)
+                 / nullif(count(CASE WHEN t_view IS NOT NULL THEN 1 END), 0), 4)
+               AS view_to_click,
+           round(count(CASE WHEN t_purchase IS NOT NULL THEN 1 END)
+                 / nullif(count(CASE WHEN t_click IS NOT NULL THEN 1 END), 0), 4)
+               AS click_to_purchase
+    FROM per_user
+    """,
+    tags=("telemetry",),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user advances a
+    step only with an event AT/AFTER their entry to the previous step —
+    sequence matters, not mere presence (distinct from a per-type count).
+
+    Three stacked full-partition windows over ONE user_id exchange compute
+    the per-user step-entry times (each conditional min depends on the
+    previous — exactly the dependency windows express without rescanning);
+    a per-user collapse then one global partial-agg row. Scales as a single
+    wide pass over events."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+    )
+    w = Window.partitionBy("user_id")
+    s = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("sec"))).over(w)
+    )
+    s = s.withColumn(
+        "t_click",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("sec") >= F.col("t_view")), F.col("sec"))
+        ).over(w),
+    )
+    s = s.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("sec") >= F.col("t_click")),
+                F.col("sec"),
+            )
+        ).over(w),
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    n_view = F.count(F.when(F.col("t_view").isNotNull(), 1))
+    n_click = F.count(F.when(F.col("t_click").isNotNull(), 1))
+    n_purchase = F.count(F.when(F.col("t_purchase").isNotNull(), 1))
+    return per_user.agg(
+        n_view.alias("n_view"),
+        n_click.alias("n_click"),
+        n_purchase.alias("n_purchase"),
+        F.round(n_click / F.nullif(n_view, F.lit(0)), 4).alias("view_to_click"),
+        F.round(n_purchase / F.nullif(n_click, F.lit(0)), 4).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH days AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               min(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS cohort_day
+        FROM events
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', cohort_day, day)::INT AS day_offset,
+           count(DISTINCT user_id)::BIGINT AS n_active
+    FROM days
+    GROUP BY cohort_day, date_diff('day', cohort_day, day)
+    """,
+    tags=("telemetry",),
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: vehicles grouped by first-seen day, activity
+    counted per day-offset since onboarding — the standard triangle chart
+    behind fleet (or user-base) retention.
+
+    First-seen day is a full-partition window over the user_id exchange; the
+    cohort × offset aggregation then shuffles (cohort_day, offset) partials.
+    count(DISTINCT) re-shuffles by (key, user) — at 100 TB swap in
+    approx_count_distinct or pre-dedup (user, day) pairs first; the exact
+    form here is the oracle-checkable contract."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    days = ev.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        days.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

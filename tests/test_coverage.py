@@ -64,6 +64,8 @@ EXTENSIONS = [
     # round 2: contamination / normalization / repetition / centroids / k-means
     "text_contamination", "text_normalize", "text_repetition",
     "embed_centroids", "sim_ivf_kmeans",
+    # round 2: telemetry analytics (anomaly / funnel / retention)
+    "anomaly_zscore", "event_funnel", "retention_cohort",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -208,3 +208,19 @@ def test_llm_vector_ops_stay_jvm_side(spark, sf_dir):
     for name in ("embed_centroids", "sim_ivf_kmeans"):
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "EvalPython" not in plan, (name, plan[:2500])
+
+
+def test_anomaly_zscore_single_shuffle(spark, sf_dir):
+    """Mean + stddev + z-filter must reuse ONE user_id exchange (window
+    frames over the same partitioning, no groupBy+join rescan)."""
+    plan = plan_of(REGISTRY["anomaly_zscore"].fn(spark, sf_dir))
+    n = plan.split("\n== ")[0].count("Exchange ")
+    assert n == 1, f"expected 1 Exchange, found {n}:\n{plan[:2500]}"
+
+
+def test_event_funnel_two_exchanges(spark, sf_dir):
+    """Three stacked step windows + the per-user collapse share one user_id
+    exchange; the only other exchange is the final single-row rollup."""
+    plan = plan_of(REGISTRY["event_funnel"].fn(spark, sf_dir))
+    n = plan.split("\n== ")[0].count("Exchange ")
+    assert n == 2, f"expected 2 Exchanges, found {n}:\n{plan[:2500]}"
