@@ -81,6 +81,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "embed_centroids", "sim_ivf_kmeans",
     # round-2 telemetry analytics
     "anomaly_zscore", "event_funnel", "retention_cohort",
+    # round-2 format surface
+    "scan_orc", "scan_csv_malformed", "sink_sorted_parquet",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

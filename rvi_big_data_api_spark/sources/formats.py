@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.exprs import ts_str
 from ..io import load
 from ..registry import query
-from ..schemas import CUSTOMER
+from ..schemas import CUSTOMER, PART
 
 
 def scratch_dir(sf_dir: str, tag: str) -> str:
@@ -158,4 +158,100 @@ def source_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(rows, "report_id long, vin string, channel string, reading double")
     return df.groupBy("vin").agg(
         F.count(F.lit(1)).alias("n_reports"), F.round(F.sum("reading"), 2).alias("sum_reading")
+    )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice), 2) AS total_price
+    FROM part GROUP BY p_brand
+    """,
+    tags=("source",),
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip — the second columnar format Spark ships natively:
+    write part as ORC, re-read, aggregate from the re-read frame. ORC carries
+    the same pushdown/pruning machinery as parquet (predicate pushdown via
+    spark.sql.orc.filterPushdown, column pruning, min/max stripe stats), so
+    a reference deployment standardized on ORC loses nothing."""
+    out = scratch_dir(sf_dir, "orc")
+    load(spark, sf_dir, "part").write.mode("overwrite").orc(out)
+    re_read = spark.read.schema(PART).orc(out)
+    return re_read.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT count(*) AS n_rows, sum(s_suppkey)::BIGINT AS key_sum
+    FROM supplier
+    """,
+    tags=("source",),
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust CSV ingestion: the raw file contains rows that do not parse
+    under the schema (wrong arity / non-numeric key — injected
+    deterministically here, inevitable in any real feed). DROPMALFORMED mode
+    discards them at scan time; the aggregate over the survivors equals the
+    clean table, which is exactly what the oracle checks. The PERMISSIVE +
+    _corrupt_record pattern (keep the bad rows for a quarantine sink) is the
+    other half of the same reader contract."""
+    out = scratch_dir(sf_dir, "csv_bad")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").option("header", False).csv(out)
+    # inject malformed lines into their own file in the same directory
+    with open(os.path.join(out, "part-99999-malformed.csv"), "w") as f:
+        f.write("not-a-number,broken row\n")
+        # NB: extra trailing tokens alone do NOT make a row malformed for
+        # Spark's CSV parser (it reads the leading schema'd fields); the
+        # unparseable key is what gets this row dropped.
+        f.write("also-bad,too,many,fields,here,entirely,8,9\n")
+    schema = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    re_read = (
+        spark.read.schema(schema)
+        .option("header", False)
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+    )
+    return re_read.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("s_suppkey").alias("key_sum")
+    )
+
+
+@query(
+    "sink_sorted_parquet",
+    oracle="""
+    SELECT event_type, user_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type, user_id
+    """,
+    tags=("sink",),
+)
+def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered sink: partition directories by event_type AND sort rows
+    within each output file by (user_id, ts). At 100 TB this layout is what
+    makes the NEXT job fast — directory pruning on type, then parquet
+    row-group min/max stats on user_id turn per-vehicle reads into a handful
+    of row groups instead of a full scan. The served aggregate comes from
+    the re-read sink, proving write → cluster → scan."""
+    out = scratch_dir(sf_dir, "sorted_events")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    (
+        ev.select("event_id", "sec", "user_id", "event_type", "value")
+        .repartition("event_type")
+        .sortWithinPartitions("user_id", "sec")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    re_read = spark.read.parquet(out)
+    return re_read.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )

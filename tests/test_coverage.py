@@ -66,6 +66,8 @@ EXTENSIONS = [
     "embed_centroids", "sim_ivf_kmeans",
     # round 2: telemetry analytics (anomaly / funnel / retention)
     "anomaly_zscore", "event_funnel", "retention_cohort",
+    # round 2: format surface (ORC, malformed CSV, clustered sink)
+    "scan_orc", "scan_csv_malformed", "sink_sorted_parquet",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
