@@ -233,3 +233,141 @@ class TestSimHash:
         assert (1, 4) not in out and (2, 4) not in out, f"unrelated doc matched: {out}"
         # one-token edit in 60 tokens: small, nonzero-or-zero hamming, must be found
         assert (1, 3) in out, f"near-dup (1,3) missed: {out}"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+class TestFunnelOrdering:
+    """event_funnel is ORDERED: a step counts only at/after entry to the
+    previous step — presence alone is not conversion."""
+
+    def test_order_matters(self, spark):
+        import rvi_big_data_api_spark.operators.telemetry as T
+        from unittest import mock
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            # user 1: view -> click -> purchase (full conversion)
+            (1, t0, 1, "view", 1.0, "{}"),
+            (2, t0 + m, 1, "click", 1.0, "{}"),
+            (3, t0 + 2 * m, 1, "purchase", 1.0, "{}"),
+            # user 2: purchase BEFORE view -> only the view step counts
+            (4, t0, 2, "purchase", 1.0, "{}"),
+            (5, t0 + m, 2, "view", 1.0, "{}"),
+            # user 3: click with no view ever -> no steps at all
+            (6, t0, 3, "click", 1.0, "{}"),
+            # user 4: view -> purchase (skipped click) -> stops at view
+            (7, t0, 4, "view", 1.0, "{}"),
+            (8, t0 + m, 4, "purchase", 1.0, "{}"),
+        ]
+        with mock.patch.object(T, "load", lambda s, d, n: _events(spark, rows)):
+            out = T.event_funnel(spark, "ignored").collect()[0]
+        assert out.n_view == 3, out       # users 1, 2, 4
+        assert out.n_click == 1, out      # user 1 only
+        assert out.n_purchase == 1, out   # user 1 only
+        assert abs(out.view_to_click - round(1 / 3, 4)) < 1e-9
+
+    def test_same_second_counts(self, spark):
+        """Step at the exact same second as the previous entry counts
+        (>= boundary, matching the oracle)."""
+        import rvi_big_data_api_spark.operators.telemetry as T
+        from unittest import mock
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0, 1, "view", 1.0, "{}"), (2, t0, 1, "click", 1.0, "{}")]
+        with mock.patch.object(T, "load", lambda s, d, n: _events(spark, rows)):
+            out = T.event_funnel(spark, "ignored").collect()[0]
+        assert out.n_view == 1 and out.n_click == 1
+
+
+class TestAnomalyZscore:
+    def test_outlier_flagged_and_degenerate_users_skipped(self, spark):
+        import rvi_big_data_api_spark.operators.telemetry as T
+        from unittest import mock
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        # user 1: 20 readings at 10.0 plus one wild outlier
+        rows = [(i, t0 + i * s, 1, "click", 10.0 + (0.01 * (i % 3)), "{}") for i in range(20)]
+        rows.append((99, t0 + 99 * s, 1, "click", 500.0, "{}"))
+        # user 2: single event (sigma NULL) — must not appear
+        rows.append((200, t0, 2, "click", 1.0, "{}"))
+        # user 3: constant readings (sigma 0, nullif-guarded) — must not appear
+        rows += [(300 + i, t0 + i * s, 3, "click", 7.0, "{}") for i in range(5)]
+        with mock.patch.object(T, "load", lambda s_, d, n: _events(spark, rows)):
+            out = T.anomaly_zscore(spark, "ignored").collect()
+        ids = {r.event_id for r in out}
+        assert 99 in ids, out
+        assert ids.isdisjoint({200}) and not any(r.user_id in (2, 3) for r in out), out
+
+
+class TestRetentionCohort:
+    def test_offsets(self, spark):
+        import rvi_big_data_api_spark.operators.telemetry as T
+        from unittest import mock
+
+        d0 = dt.datetime(2024, 1, 1, 5, 0)
+        day = dt.timedelta(days=1)
+        rows = [
+            (1, d0, 1, "click", 1.0, "{}"),            # cohort 01-01, offset 0
+            (2, d0 + 2 * day, 1, "click", 1.0, "{}"),  # offset 2
+            (3, d0 + day, 2, "click", 1.0, "{}"),      # cohort 01-02, offset 0
+            (4, d0 + day + dt.timedelta(hours=18), 2, "click", 1.0, "{}"),  # same day → offset 0
+        ]
+        with mock.patch.object(T, "load", lambda s, d, n: _events(spark, rows)):
+            out = {(r.cohort_day, r.day_offset): r.n_active
+                   for r in T.retention_cohort(spark, "ignored").collect()}
+        assert out == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1, ("2024-01-02", 0): 1}, out
+
+
+class TestContamination:
+    def test_shared_trigram_flagged(self, spark):
+        import rvi_big_data_api_spark.operators.llm_text as LT
+        from unittest import mock
+
+        bench_text = "alpha beta gamma delta epsilon"
+        clean_text = "zeta eta theta iota kappa lambda"
+        dirty_text = "prefix words then alpha beta gamma delta trailing"
+        rows = [
+            (1, bench_text, "en", "s", 10),     # benchmark (id < 50)
+            (100, dirty_text, "en", "s", 10),   # shares trigrams
+            (101, clean_text, "en", "s", 10),   # shares nothing
+        ]
+        docs = _docs(spark, rows)
+        with mock.patch.object(LT, "load", lambda s, d, n: docs):
+            out = {r.doc_id: r for r in LT.text_contamination(spark, "ignored").collect()}
+        assert 100 in out and 101 not in out, out
+        # dirty doc: 6 trigrams, 2 shared ("alpha beta gamma", "beta gamma delta")
+        assert out[100].n_shared == 2 and out[100].n_grams == 6, out[100]
+
+
+class TestTopSupplierTie:
+    def test_equal_max_revenue_returns_both(self, spark):
+        import rvi_big_data_api_spark.operators.analytics as A
+        from unittest import mock
+
+        ship = dt.datetime(1996, 2, 1)
+        li = spark.createDataFrame(
+            [
+                (1, 1, 11, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", ship),
+                (2, 1, 12, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", ship),
+                (3, 1, 12, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", ship),
+                (4, 1, 13, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ship),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+        supp = spark.createDataFrame(
+            [(11, "S11", 0, 1.0), (12, "S12", 1, 1.0), (13, "S13", 2, 1.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        )
+        tables = {"lineitem": li, "supplier": supp}
+        with mock.patch.object(A, "load", lambda s, d, n: tables[n]):
+            out = sorted(r.s_suppkey for r in A.composite_top_supplier(spark, "ignored").collect())
+        assert out == [11, 12], out  # both hit the 100.0 max
