@@ -147,3 +147,89 @@ class TestApproxAccuracy:
         for t, n in exact.items():
             rel_err = abs(approx[t] - n) / n
             assert rel_err <= 0.10, (t, approx[t], n, rel_err)
+
+
+class TestAnalyticsInvariants:
+    def test_funnel_counts_monotone(self, spark, sf_dir):
+        """Ordered-funnel step counts can only shrink down the funnel."""
+        r = REGISTRY["event_funnel"].fn(spark, sf_dir).collect()[0]
+        assert r.n_view >= r.n_click >= r.n_purchase >= 0, r
+
+    def test_funnel_bounded_by_presence(self, spark, sf_dir):
+        """Ordered conversion is at most unordered presence: users counted at
+        the click step must be a subset of users with any click at all."""
+        r = REGISTRY["event_funnel"].fn(spark, sf_dir).collect()[0]
+        ev = load(spark, sf_dir, "events")
+        present = (
+            ev.filter(F.col("event_type") == "click").select("user_id").distinct().count()
+        )
+        assert r.n_click <= present
+
+    def test_retention_cohort_day0_covers_all_users(self, spark, sf_dir):
+        """Every user is active on their own cohort day, so Σ n_active at
+        offset 0 = total distinct users, and no offset is negative."""
+        df = REGISTRY["retention_cohort"].fn(spark, sf_dir)
+        day0 = df.filter(F.col("day_offset") == 0).agg(F.sum("n_active")).collect()[0][0]
+        total = load(spark, sf_dir, "events").select("user_id").distinct().count()
+        assert day0 == total
+        assert df.filter(F.col("day_offset") < 0).count() == 0
+
+    def test_zscore_outliers_are_rare_and_extreme(self, spark, sf_dir):
+        """|z| > 3 rows are a small fraction and every reported z clears the
+        threshold."""
+        out = REGISTRY["anomaly_zscore"].fn(spark, sf_dir)
+        n_total = load(spark, sf_dir, "events").count()
+        rows = out.collect()
+        assert all(abs(r.zscore) > 3.0 for r in rows)
+        assert len(rows) < 0.05 * n_total, f"{len(rows)}/{n_total} flagged"
+
+    def test_kmeans_partitions_corpus(self, spark, sf_dir):
+        """Cluster sizes sum to the corpus; ids stay in [0, K); cohesion is a
+        valid cosine."""
+        from rvi_big_data_api_spark.operators.llm_sim import KMEANS_K
+
+        rows = REGISTRY["sim_ivf_kmeans"].fn(spark, sf_dir).collect()
+        n_corpus = load(spark, sf_dir, "embeddings").count()
+        assert sum(r.n_vecs for r in rows) == n_corpus
+        assert all(0 <= r.cluster < KMEANS_K for r in rows)
+        assert all(-1.0001 <= r.avg_cos_to_centroid <= 1.0001 for r in rows)
+
+    def test_centroid_norm_bounded_by_unit_vectors(self, spark, sf_dir):
+        """The mean of unit vectors has norm <= 1 (Jensen); group sizes sum to
+        the corpus."""
+        rows = REGISTRY["embed_centroids"].fn(spark, sf_dir).collect()
+        n_corpus = load(spark, sf_dir, "embeddings").count()
+        assert sum(r.n_vecs for r in rows) == n_corpus
+        assert all(0.0 <= r.centroid_norm <= 1.0001 for r in rows)
+
+    def test_contamination_ratio_valid(self, spark, sf_dir):
+        """Shared grams never exceed the doc's grams; ratio in (0, 1]."""
+        rows = REGISTRY["text_contamination"].fn(spark, sf_dir).collect()
+        assert rows, "fixture corpus shares vocabulary; expected hits"
+        assert all(0 < r.n_shared <= r.n_grams for r in rows)
+        assert all(0.0 < r.contamination <= 1.0 for r in rows)
+
+    def test_normalize_never_grows(self, spark, sf_dir):
+        """Canonicalization (replace + collapse + trim) cannot lengthen."""
+        out = REGISTRY["text_normalize"].fn(spark, sf_dir)
+        d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        joined = out.join(d, "doc_id")
+        assert joined.filter(F.col("n_chars_norm") > F.col("n_chars")).count() == 0
+
+    def test_repetition_bounds(self, spark, sf_dir):
+        """distinct <= words; heaviest term <= words; ratio in (0, 1]."""
+        rows = REGISTRY["text_repetition"].fn(spark, sf_dir).collect()
+        assert all(0 < r.n_distinct <= r.n_words for r in rows)
+        assert all(0 < r.top_tf <= r.n_words for r in rows)
+        assert all(0.0 < r.distinct_ratio <= 1.0 for r in rows)
+
+    def test_market_share_bounded(self, spark, sf_dir):
+        """A conditional-sum share is a proper fraction of the total."""
+        rows = REGISTRY["composite_market_share"].fn(spark, sf_dir).collect()
+        assert rows and all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+
+    def test_customer_dist_accounts_for_everyone(self, spark, sf_dir):
+        """Q13: the histogram's customer total equals the customer table."""
+        rows = REGISTRY["composite_customer_dist"].fn(spark, sf_dir).collect()
+        n_cust = load(spark, sf_dir, "customer").count()
+        assert sum(r.custdist for r in rows) == n_cust
