@@ -525,7 +525,13 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
         w_sz = Window.partitionBy("cluster_id")
         result = out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
-        # materialize + truncate lineage; after this the caches are dead weight
+        # materialize + truncate lineage; after this the caches are dead
+        # weight. checkpoint (fs) over localCheckpoint deliberately: local
+        # checkpointing persists the result RDD in the block manager, so
+        # repeated invocations would accumulate exactly the cached-relation
+        # leak this block exists to prevent (tests/test_hygiene.py pins
+        # persistent-RDD count back to baseline; measured cost of the fs
+        # write at sf0.1 is ~0.5 s).
         return result.checkpoint(eager=True)
     finally:
         cached_labels.unpersist()
