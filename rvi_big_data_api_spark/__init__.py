@@ -83,6 +83,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "anomaly_zscore", "event_funnel", "retention_cohort",
     # round-2 format surface
     "scan_orc", "scan_csv_malformed", "sink_sorted_parquet",
+    # round-2 streaming
+    "stream_anomaly",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

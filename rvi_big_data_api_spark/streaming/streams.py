@@ -447,3 +447,108 @@ def stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(sdf, sf_dir, "resample", "complete")
+
+
+STREAM_ANOMALY_MIN_PRIOR = 5
+STREAM_ANOMALY_TAU = 3.0
+
+
+@query(
+    "stream_anomaly",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, event_id, value,
+               count(*)      OVER w AS n_prior,
+               avg(value)    OVER w AS mu,
+               stddev(value) OVER w AS sigma
+        FROM ordered
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE n_prior >= {STREAM_ANOMALY_MIN_PRIOR} AND sigma > 0
+      AND abs((value - mu) / sigma) > {STREAM_ANOMALY_TAU}
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE per-vehicle anomaly detection — the streaming counterpart of
+    the batch anomaly_zscore, with causally-correct semantics: each reading
+    is scored against the running Welford (n, mean, M2) state of its OWN
+    PREFIX only (no peeking at later data), state carried across micro-
+    batches per key. Readings with fewer than STREAM_ANOMALY_MIN_PRIOR
+    predecessors are unscored (cold-start guard).
+
+    The prefix order is (sec, event_id) — a total order, so results are
+    identical for any batch slicing; the twin is the same prefix computed as
+    an UNBOUNDED PRECEDING..1 PRECEDING window, making a stateful streaming
+    operator exactly SQL-hash-checkable. Welford vs the twin's windowed
+    moments differ only in float addition order; round(z, 4) absorbs it
+    (PARITY.md #6).
+
+    At scale: state is three doubles per vehicle in RocksDB; each batch
+    touches only keys present in the batch. Timeout-evict idle vehicles for
+    bounded state."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def score(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        batch = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+            ["sec", "event_id"], kind="mergesort"
+        )
+        out_ids, out_vals, out_z = [], [], []
+        for event_id, value in zip(batch["event_id"], batch["value"]):
+            v = float(value)
+            if n >= STREAM_ANOMALY_MIN_PRIOR:
+                sigma = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+                if sigma > 0:
+                    z = (v - mean) / sigma
+                    if abs(z) > STREAM_ANOMALY_TAU:
+                        out_ids.append(int(event_id))
+                        out_vals.append(v)
+                        out_z.append(round(z, 4))
+            # Welford update AFTER scoring: the state a reading sees is its
+            # strict prefix
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_ids),
+                "event_id": out_ids,
+                "value": out_vals,
+                "zscore": out_z,
+            }
+        )
+
+    sdf = (
+        stream_events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            score,
+            outputStructType="user_id long, event_id long, value double, zscore double",
+            stateStructType="n long, mean double, m2 double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_table(sdf, sf_dir, "anomaly", "append")

@@ -68,6 +68,8 @@ EXTENSIONS = [
     "anomaly_zscore", "event_funnel", "retention_cohort",
     # round 2: format surface (ORC, malformed CSV, clustered sink)
     "scan_orc", "scan_csv_malformed", "sink_sorted_parquet",
+    # round 2: stateful streaming anomaly detector
+    "stream_anomaly",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
