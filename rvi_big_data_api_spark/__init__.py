@@ -85,6 +85,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "scan_orc", "scan_csv_malformed", "sink_sorted_parquet",
     # round-2 streaming
     "stream_anomaly",
+    # round-2 relational depth
+    "join_asof_tolerance", "agg_unpivot", "win_median",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

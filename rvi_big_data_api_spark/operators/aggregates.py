@@ -426,3 +426,39 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("bin_min"),
         F.round(F.max("value"), 6).alias("bin_max"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click'    THEN 1 END)::BIGINT AS n_click,
+               count(CASE WHEN event_type = 'view'     THEN 1 END)::BIGINT AS n_view,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS n_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n FROM wide
+    UNPIVOT (n FOR metric IN (n_click, n_view, n_purchase))
+    """,
+    tags=("agg",),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of agg_pivot: a wide per-vehicle metric row
+    back to tidy (key, metric, value) triples, the shape every downstream
+    plotting/ML pipeline wants. Spark's `unpivot` (melt) plans as a
+    generator Expand — map-only over the aggregated input, no extra
+    shuffle. NB: UNPIVOT drops NULL cells in both engines; the counts here
+    are never NULL, so the twin stays exact."""
+    ev = load(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_click", "n_view", "n_purchase"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )

@@ -359,3 +359,74 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sec(F.col("e2.ts")) - sec(F.col("e1.ts"))).alias("gap_seconds"),
         )
     )
+
+
+ASOF_TOLERANCE_S = 600  # 10-minute staleness bound
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, epoch(date_trunc('second', ts))::BIGINT AS sec
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, epoch(date_trunc('second', ts))::BIGINT AS sec
+               FROM events WHERE event_type = 'click')
+    SELECT event_id, user_id, purchase_sec, last_click_event, staleness_s
+    FROM (
+        SELECT p.event_id, p.user_id, p.sec AS purchase_sec,
+               c.event_id AS last_click_event,
+               p.sec - c.sec AS staleness_s,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.sec DESC, c.event_id DESC) AS rn
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id AND c.sec <= p.sec
+         AND c.sec >= p.sec - {ASOF_TOLERANCE_S}
+    ) WHERE rn = 1
+    """,
+    tags=("join", "telemetry"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof's `tolerance`): the
+    latest click at/before each purchase, but only if it is at most
+    ASOF_TOLERANCE_S old — stale state is worse than no state for a
+    'position at time T' lookup.
+
+    Same ONE-shuffle union + carry-forward idiom as join_asof, carrying the
+    click's timestamp alongside its id so the staleness bound is a post-hoc
+    null-out — the tolerance costs nothing extra. All comparisons are on
+    second-truncated epochs in BOTH engines (raw event ts is ns in DuckDB,
+    µs in Spark — PARITY.md #5). The twin is the quadratic range-join
+    formulation, oracle-only."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "sec", F.col("event_id").alias("click_id"), F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sec", F.col("event_id").alias("purchase_id"), F.lit(1).alias("kind")
+    )
+    merged = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "kind", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        merged.withColumn("last_click_event", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_click_sec",
+            F.last(F.when(F.col("kind") == 0, F.col("sec")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    fresh = F.col("sec") - F.col("last_click_sec") <= ASOF_TOLERANCE_S
+    return carried.select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        F.col("sec").alias("purchase_sec"),
+        F.when(fresh, F.col("last_click_event")).alias("last_click_event"),
+        F.when(fresh, F.col("sec") - F.col("last_click_sec")).alias("staleness_s"),
+    )

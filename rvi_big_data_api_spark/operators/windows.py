@@ -228,3 +228,49 @@ def win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "win_median",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events
+    )
+    SELECT user_id, event_id, value,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4)
+               AS rolling_median
+    FROM ordered
+    """,
+    tags=("window",),
+)
+def win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-row median per vehicle — the robust-smoothing twin of
+    win_sliding_rows' moving average (medians shrug off the spikes
+    anomaly_zscore flags).
+
+    Spark rejects median()/percentile() over a ROWS frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame's values are
+    gathered with collect_list (frame aggregation IS allowed), sorted, and
+    the middle extracted with element_at — all JVM-side column algebra, one
+    user_id shuffle like every other window op. Even-sized edge frames
+    (3-4 rows at partition boundaries) average the middle pair, matching
+    DuckDB's quantile_cont(0.5) exactly."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id").rowsBetween(-2, 2)
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    mid = F.floor((n + 1) / 2).cast("int")
+    median = F.when(
+        n % 2 == 1, F.element_at(vals, mid)
+    ).otherwise((F.element_at(vals, mid) + F.element_at(vals, mid + 1)) / 2.0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(median, 4).alias("rolling_median"),
+    )

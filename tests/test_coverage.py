@@ -70,6 +70,8 @@ EXTENSIONS = [
     "scan_orc", "scan_csv_malformed", "sink_sorted_parquet",
     # round 2: stateful streaming anomaly detector
     "stream_anomaly",
+    # round 2: relational depth (tolerance as-of, unpivot, rolling median)
+    "join_asof_tolerance", "agg_unpivot", "win_median",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
