@@ -87,6 +87,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_anomaly",
     # round-2 relational depth
     "join_asof_tolerance", "agg_unpivot", "win_median",
+    # round-2 surface depth
+    "sink_bucketed", "udtf_map_arrow", "fn_regexp",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

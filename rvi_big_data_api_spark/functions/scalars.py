@@ -332,3 +332,37 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(e, 3).alias("shifted_r"),
         F.bit_count(e).alias("popcount"),
     )
+
+
+@query(
+    "fn_regexp",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+           len(regexp_extract_all(p_name, '[aeiou]'))::BIGINT AS n_vowels,
+           regexp_matches(p_type, '^PROMO') AS is_promo,
+           regexp_replace(p_name, '\s+', '-', 'g') AS slug,
+           regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+           regexp_matches(p_name, '(?i)[bcdfghjklmnpqrstvwxz]{3}') AS has_consonant_run
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family — extract with capture groups, global match counting,
+    anchored boolean match, global replace, end-anchored extraction, and an
+    inline-flag case-insensitive class quantifier. Backreferences are
+    deliberately ABSENT: Spark's java.util.regex supports them but DuckDB's
+    RE2 rejects them ("invalid escape sequence: \\1") — the suite pins the
+    portable common core both engines implement identically. All map-only
+    codegen expressions."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+        F.col("p_type").rlike("^PROMO").alias("is_promo"),
+        F.regexp_replace("p_name", r"\s+", "-").alias("slug"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.col("p_name").rlike("(?i)[bcdfghjklmnpqrstvwxz]{3}").alias("has_consonant_run"),
+    )

@@ -181,3 +181,40 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i, (d0 + dt.timedelta(weeks=i)).isoformat()
 
     return WeekExpander(lit("2024-01-01"), lit(10))
+
+
+@query(
+    "udtf_map_arrow",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_bytes,
+           len(string_split(text, ' '))::BIGINT AS n_words
+    FROM documents
+    """,
+    tags=("udf",),
+)
+def udtf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy sibling of mapInPandas: batches arrive as
+    Arrow RecordBatches and are processed with pyarrow.compute kernels (C++
+    vectorized, no pandas materialization). The fastest Python escape hatch
+    Spark offers; the SQL twin proves this instance avoidable, per the
+    §2.12 policy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_stats(batches):
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.add(pc.count_substring(text, " "), 1), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "n_words"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(batch_stats, "doc_id long, n_bytes long, n_words long")

@@ -255,3 +255,47 @@ def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "sink_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("sink",),
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + CO-LOCATED join — the 100 TB answer to
+    lineitem⋈orders: both sides written with bucketBy(8, join_key) via
+    saveAsTable (bucket metadata needs the catalog; plain parquet loses it),
+    then joined bucket-to-bucket with NO Exchange on either side
+    (tests/test_plans.py pins the shuffle-free plan with broadcast disabled).
+    Write once, join shuffle-free forever — the amortization every recurring
+    fact⋈fact pipeline wants. Result served from the bucketed tables; the
+    oracle is the same join over the plain parquet."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_t, o_t = f"li_bkt_{key}", f"o_bkt_{key}"
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_warehouse", t),
+            ignore_errors=True,
+        )
+    load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable(li_t)
+    load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(o_t)
+    return (
+        spark.table(li_t)
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

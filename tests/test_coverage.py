@@ -72,6 +72,8 @@ EXTENSIONS = [
     "stream_anomaly",
     # round 2: relational depth (tolerance as-of, unpivot, rolling median)
     "join_asof_tolerance", "agg_unpivot", "win_median",
+    # round 2: bucketed co-located join sink, Arrow-native map, regexp suite
+    "sink_bucketed", "udtf_map_arrow", "fn_regexp",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

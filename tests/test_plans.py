@@ -224,3 +224,18 @@ def test_event_funnel_two_exchanges(spark, sf_dir):
     plan = plan_of(REGISTRY["event_funnel"].fn(spark, sf_dir))
     n = plan.split("\n== ")[0].count("Exchange ")
     assert n == 2, f"expected 2 Exchanges, found {n}:\n{plan[:2500]}"
+
+
+def test_sink_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """With broadcast disabled (modeling two fact-sized sides), the bucketed
+    join must read bucket metadata and plan NO hash-partitioning exchange."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["sink_bucketed"].fn(spark, sf_dir)
+        plan = plan_of(df)
+        assert "Bucketed: true" in plan, plan[:2500]
+        # the only exchange allowed is the final aggregation's
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning" not in join_part, plan[:2500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
