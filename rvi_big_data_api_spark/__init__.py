@@ -89,6 +89,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "join_asof_tolerance", "agg_unpivot", "win_median",
     # round-2 surface depth
     "sink_bucketed", "udtf_map_arrow", "fn_regexp",
+    "resample_interp",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

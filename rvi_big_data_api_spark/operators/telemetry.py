@@ -624,3 +624,120 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "resample_interp",
+    oracle="""
+    WITH fixes AS (
+        SELECT user_id, event_id,
+               epoch(date_trunc('second', ts))::BIGINT AS sec, value
+        FROM events
+    ),
+    bounds AS (
+        SELECT user_id,
+               (min(sec) // 3600) * 3600 AS h0,
+               (max(sec) // 3600) * 3600 AS h1
+        FROM fixes GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS sec
+        FROM bounds
+    ),
+    merged AS (
+        SELECT user_id, sec, 1 AS is_grid, -1::BIGINT AS eid, NULL::DOUBLE AS value
+        FROM grid
+        UNION ALL
+        SELECT user_id, sec, 0, event_id, value FROM fixes
+    ),
+    carried AS (
+        SELECT user_id, sec, is_grid,
+               last_value(CASE WHEN is_grid = 0 THEN sec END IGNORE NULLS)
+                   OVER wp AS prev_sec,
+               last_value(value IGNORE NULLS) OVER wp AS prev_v,
+               first_value(CASE WHEN is_grid = 0 THEN sec END IGNORE NULLS)
+                   OVER wf AS next_sec,
+               first_value(value IGNORE NULLS) OVER wf AS next_v
+        FROM merged
+        WINDOW
+          wp AS (PARTITION BY user_id ORDER BY sec, is_grid, eid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY user_id ORDER BY sec, is_grid, eid
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, sec AS grid_sec,
+           CASE WHEN prev_sec = sec THEN prev_v
+                ELSE prev_v + (next_v - prev_v) * (sec - prev_sec)
+                              / (next_sec - prev_sec) END AS value_interp
+    FROM carried
+    WHERE is_grid = 1 AND prev_sec IS NOT NULL AND next_sec IS NOT NULL
+    """,
+    tags=("telemetry",),
+)
+def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample — the upgrade of resample_ffill for
+    continuous signals (odometer, fuel level): each vehicle's series lands
+    on an hourly grid, every grid point valued by linear interpolation
+    between its surrounding fixes. Grid points outside a vehicle's observed
+    span are dropped (interpolation needs both neighbors); a fix exactly on
+    the hour passes through unchanged.
+
+    Plan: union(grid, fixes) then TWO frames over ONE user_id exchange — a
+    carry-forward (prev fix) and a carry-backward (next fix), both
+    ignore-nulls; the interpolation itself is arithmetic. The total order
+    (sec, is_grid, event_id) is pinned identically in both engines — fixes
+    sort before the grid point at the same second, so prev catches an
+    exact-hour fix and the CASE emits it verbatim. Per-vehicle grids span
+    that vehicle's own min..max hour (data-derived, never hardcoded)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+        "value",
+    )
+    bounds = ev.groupBy("user_id").agg(
+        (F.floor(F.min("sec") / 3600) * 3600).alias("h0"),
+        (F.floor(F.max("sec") / 3600) * 3600).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("sec")
+    )
+    merged = grid.select(
+        "user_id", "sec", F.lit(1).alias("is_grid"), F.lit(-1).cast("long").alias("eid"),
+        F.lit(None).cast("double").alias("value"),
+    ).unionByName(ev.select("user_id", "sec", F.lit(0).alias("is_grid"), "eid", "value"))
+    order = [F.col("sec"), F.col("is_grid"), F.col("eid")]
+    wp = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    fix_sec = F.when(F.col("is_grid") == 0, F.col("sec"))
+    carried = merged.select(
+        "user_id", "sec", "is_grid",
+        F.last(fix_sec, ignorenulls=True).over(wp).alias("prev_sec"),
+        F.last("value", ignorenulls=True).over(wp).alias("prev_v"),
+        F.first(fix_sec, ignorenulls=True).over(wf).alias("next_sec"),
+        F.first("value", ignorenulls=True).over(wf).alias("next_v"),
+    )
+    interp = F.when(F.col("prev_sec") == F.col("sec"), F.col("prev_v")).otherwise(
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (F.col("sec") - F.col("prev_sec"))
+        / (F.col("next_sec") - F.col("prev_sec"))
+    )
+    return (
+        carried.filter(
+            (F.col("is_grid") == 1)
+            & F.col("prev_sec").isNotNull()
+            & F.col("next_sec").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("sec").alias("grid_sec"),
+            interp.alias("value_interp"),
+        )
+    )

@@ -74,6 +74,8 @@ EXTENSIONS = [
     "join_asof_tolerance", "agg_unpivot", "win_median",
     # round 2: bucketed co-located join sink, Arrow-native map, regexp suite
     "sink_bucketed", "udtf_map_arrow", "fn_regexp",
+    # round 2: linear-interpolation resample
+    "resample_interp",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
