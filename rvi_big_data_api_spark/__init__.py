@@ -89,7 +89,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "join_asof_tolerance", "agg_unpivot", "win_median",
     # round-2 surface depth
     "sink_bucketed", "udtf_map_arrow", "fn_regexp",
-    "resample_interp",
+    "resample_interp", "scan_dpp", "join_interval_overlap",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

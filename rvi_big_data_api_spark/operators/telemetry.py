@@ -741,3 +741,71 @@ def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             interp.alias("value_interp"),
         )
     )
+
+
+OVERLAP_WIN_START_H = 8
+OVERLAP_WIN_END_H = 11
+
+
+@query(
+    "join_interval_overlap",
+    oracle=_DUCK_SESSIONS
+    + f"""
+    , trips AS (
+        SELECT user_id, session_id,
+               min(sec) AS t0, max(sec) AS t1
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    bounds AS (SELECT (min(sec) // 86400) AS d0, (max(sec) // 86400) AS d1 FROM sessions),
+    wins AS (
+        SELECT unnest(generate_series(d0, d1)) * 86400 + {OVERLAP_WIN_START_H} * 3600 AS w0,
+               unnest(generate_series(d0, d1)) * 86400 + {OVERLAP_WIN_END_H} * 3600 AS w1
+        FROM bounds
+    )
+    SELECT strftime(make_timestamp((w.w0 - {OVERLAP_WIN_START_H} * 3600) * 1000000),
+                    '%Y-%m-%d') AS day,
+           count(*) AS n_trips,
+           sum(least(t.t1, w.w1) - greatest(t.t0, w.w0))::BIGINT AS total_overlap_s
+    FROM trips t JOIN wins w ON t.t0 < w.w1 AND w.w0 < t.t1
+    GROUP BY w.w0
+    """,
+    tags=("join", "telemetry"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join — the genuinely hard join shape
+    (join_interval is point-in-interval): trips [t0, t1) against daily
+    08:00–11:00 maintenance windows, half-open overlap t0 < w1 AND w0 < t1,
+    reporting per-day overlapping-trip counts and total overlap seconds.
+
+    Scale formulation: a trip is EXPLODED onto the days it spans
+    (sequence(day(t0), day(t1))) and joined to the window dim on the DAY
+    equi-key with the overlap condition as a residual — each task sees one
+    day's trips, never the quadratic trips × windows product. A window lives
+    inside one day, so the bucketed join produces each overlapping pair
+    exactly once (no dedup pass). The twin is the direct quadratic overlap
+    join, oracle-only. Day bounds derive from the data."""
+    trips = (
+        sessionized_events(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("sec").alias("t0"), F.max("sec").alias("t1"))
+    )
+    exploded = trips.withColumn(
+        "day", F.explode(F.sequence(F.floor(F.col("t0") / 86400), F.floor(F.col("t1") / 86400)))
+    )
+    w0 = F.col("day") * 86400 + OVERLAP_WIN_START_H * 3600
+    w1 = F.col("day") * 86400 + OVERLAP_WIN_END_H * 3600
+    overlapped = exploded.filter((F.col("t0") < w1) & (w0 < F.col("t1")))
+    return (
+        overlapped.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.sum(F.least(F.col("t1"), w1) - F.greatest(F.col("t0"), w0)).alias(
+                "total_overlap_s"
+            ),
+        )
+        .select(
+            F.date_format(F.timestamp_seconds(F.col("day") * 86400), "yyyy-MM-dd").alias("day"),
+            "n_trips",
+            "total_overlap_s",
+        )
+    )

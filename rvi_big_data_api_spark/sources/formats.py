@@ -299,3 +299,43 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "scan_dpp",
+    oracle="""
+    SELECT e.user_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES ('click'), ('purchase')) AS d(event_type)
+      ON e.event_type = d.event_type
+    GROUP BY e.user_id
+    """,
+    tags=("source",),
+)
+def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is partitioned by event_type
+    and the filter arrives through a JOIN with a small dim — not as a
+    literal predicate — so static pruning can't apply. Catalyst inserts a
+    DynamicPruningExpression: the dim is evaluated first and only the
+    matching partition directories of the fact are read. At 100 TB with
+    date-partitioned facts and a filtered date dim, this is the difference
+    between scanning 2 days and scanning 7 years (plan-asserted in
+    tests/test_plans.py)."""
+    out = scratch_dir(sf_dir, "dpp_events")
+    load(spark, sf_dir, "events").write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    # the dim carries a SELECTIVE FILTER (DPP's trigger condition —
+    # hasSelectivePredicate): the planner broadcasts the filtered dim and
+    # reuses it as the fact's partition-pruning subquery
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 1), ("view", 0), ("error", 0), ("signup", 0)],
+        "event_type string, wanted int",
+    ).filter(F.col("wanted") == 1).select("event_type")
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

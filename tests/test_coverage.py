@@ -76,6 +76,8 @@ EXTENSIONS = [
     "sink_bucketed", "udtf_map_arrow", "fn_regexp",
     # round 2: linear-interpolation resample
     "resample_interp",
+    # round 2: dynamic partition pruning + interval-overlap join
+    "scan_dpp", "join_interval_overlap",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -239,3 +239,19 @@ def test_sink_bucketed_join_is_shuffle_free(spark, sf_dir):
         assert "Exchange hashpartitioning" not in join_part, plan[:2500]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_scan_dpp_inserts_dynamic_pruning(spark, sf_dir):
+    """The join-delivered partition filter must become a
+    DynamicPruningExpression on the fact scan — runtime directory pruning,
+    not a full scan + post-filter."""
+    df = REGISTRY["scan_dpp"].fn(spark, sf_dir)
+    full = plan_of(df) + df._jdf.queryExecution().toString()
+    assert "dynamicpruning" in full.lower(), full[:2500]
+
+
+def test_interval_overlap_is_bucketed_not_quadratic(spark, sf_dir):
+    """The overlap join must be the exploded day-bucket formulation — no
+    cartesian/BNLJ trips × windows product in the plan."""
+    plan = plan_of(REGISTRY["join_interval_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2500]
