@@ -90,6 +90,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # round-2 surface depth
     "sink_bucketed", "udtf_map_arrow", "fn_regexp",
     "resample_interp", "scan_dpp", "join_interval_overlap",
+    "text_ngram_lm", "corpus_mix_weights",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

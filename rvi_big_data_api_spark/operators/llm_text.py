@@ -537,3 +537,119 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tf").alias("top_tf"),
         (F.max("tf") / F.sum("tf") > REPETITION_TOP_TF_RATIO).alias("repetitive"),
     )
+
+
+NGRAM_LM_MIN_COUNT = 5
+
+
+@query(
+    "text_ngram_lm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bigrams AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)
+    ),
+    pair_c AS (
+        SELECT w1, w2, count(*)::BIGINT AS c12 FROM bigrams GROUP BY w1, w2
+    ),
+    uni_c AS (
+        SELECT w1, sum(c12)::BIGINT AS c1 FROM pair_c GROUP BY w1
+    )
+    SELECT p.w1, p.w2, p.c12,
+           round(p.c12 / u.c1, 6) AS p_w2_given_w1
+    FROM pair_c p JOIN uni_c u ON p.w1 = u.w1
+    WHERE p.c12 >= {NGRAM_LM_MIN_COUNT}
+    """,
+    tags=("llm", "text"),
+)
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model: P(w2 | w1) = c(w1 w2) / c(w1 ·) with a
+    min-count floor — the classic n-gram LM estimation pass (and the
+    perplexity denominator for data-quality scoring at corpus scale).
+
+    Two stacked aggregations over one exploded bigram stream — the (w1, w2)
+    partial absorbs the token volume map-side, then the unigram margin is a
+    SECOND aggregation over the already-tiny pair table (never a rescan of
+    the corpus); the margin join shuffles pair-table-sized rows only. At
+    100 TB this is the canonical two-agg + broadcast-margin shape."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    bigram = F.expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+    )
+    pairs = (
+        d.select(ws.alias("ws"))
+        .select(F.explode(bigram).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        pairs.join(uni, "w1")
+        .filter(F.col("c12") >= NGRAM_LM_MIN_COUNT)
+        .select(
+            "w1", "w2", "c12", F.round(F.col("c12") / F.col("c1"), 6).alias("p_w2_given_w1")
+        )
+    )
+
+
+# Target training-mix shares per language (sums to 1.0); a real pipeline
+# feeds these from config — constants keep the oracle exact.
+MIX_TARGET = {"en": 0.40, "zh": 0.20, "de": 0.15, "es": 0.15, "fr": 0.10}
+
+
+@query(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH have AS (
+        SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS have_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(have_tokens)::BIGINT AS total FROM have),
+    tgt AS (
+        SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(MIX_TARGET.items()))})
+               t(lang, target_share)
+    )
+    SELECT h.lang, h.have_tokens,
+           t.target_share,
+           floor(t.target_share * tot.total)::BIGINT AS target_tokens,
+           round(t.target_share * tot.total / h.have_tokens, 4) AS sample_weight,
+           (t.target_share * tot.total / h.have_tokens > 1.0) AS needs_upsampling
+    FROM have h JOIN tgt t ON h.lang = t.lang CROSS JOIN tot
+    """,
+    tags=("llm", "text"),
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning: given target language shares, compute each
+    language's token inventory, its target token count at the current corpus
+    size, and the sampling weight (>1 ⇒ the language must be upsampled /
+    epoch-repeated) — the arithmetic behind every data-mixture config.
+
+    One partial-agg pass for the inventory; the 5-row targets and the 1-row
+    total broadcast. Downstream, sample_weight feeds sample_stratified /
+    corpus_token_budget to materialize the mix."""
+    d = load(spark, sf_dir, "documents")
+    have = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("have_tokens")
+    )
+    tot = have.agg(F.sum("have_tokens").alias("total"))
+    tgt = spark.createDataFrame(
+        sorted(MIX_TARGET.items()), "lang string, target_share double"
+    )
+    w = F.col("target_share") * F.col("total") / F.col("have_tokens")
+    return (
+        have.join(F.broadcast(tgt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "have_tokens",
+            "target_share",
+            F.floor(F.col("target_share") * F.col("total")).alias("target_tokens"),
+            F.round(w, 4).alias("sample_weight"),
+            (w > 1.0).alias("needs_upsampling"),
+        )
+    )

@@ -78,6 +78,8 @@ EXTENSIONS = [
     "resample_interp",
     # round 2: dynamic partition pruning + interval-overlap join
     "scan_dpp", "join_interval_overlap",
+    # round 2: bigram LM + training-mix planner
+    "text_ngram_lm", "corpus_mix_weights",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
