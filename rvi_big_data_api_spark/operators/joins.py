@@ -430,3 +430,45 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_click_event")).alias("last_click_event"),
         F.when(fresh, F.col("sec") - F.col("last_click_sec")).alias("staleness_s"),
     )
+
+
+JOIN_SALT = 8
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join",),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit key-salting — the manual skew weapon when one join key is
+    pathologically hot and AQE's skew split can't help (e.g. the build side
+    must replicate anyway): the fact side gets a deterministic salt
+    (pmod(hash, S)), the dim side is exploded S ways, and the join key
+    becomes (key, salt) — the hot key's rows spread across S tasks instead
+    of serializing onto one. Deterministic (no rand()): same result on any
+    cluster, any partitioning; the oracle is the plain unsalted join.
+    nation⋈customer models dim⋈fact with a skewed foreign key (customers
+    concentrate in few nations at scale)."""
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "salt", F.pmod(F.hash("c_custkey"), F.lit(JOIN_SALT))
+    )
+    nation = load(spark, sf_dir, "nation").withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT - 1)))
+    )
+    return (
+        cust.join(
+            nation,
+            (cust.c_nationkey == nation.n_nationkey) & (cust.salt == nation.rep),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )

@@ -552,3 +552,46 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(sdf, sf_dir, "anomaly", "append")
+
+
+@query(
+    "stream_latest_per_key",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch(date_trunc('second', ts))::BIGINT DESC,
+                                           event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming",),
+)
+def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live current-state table — the reference's dashboard lookup as an
+    incremental query: per-vehicle max_by over a composite (sec, event_id)
+    key, update-on-every-batch. The streaming state is ONE row per vehicle
+    (the running argmax), and with availableNow the final table equals the
+    batch latest_per_key, giving a stateful streaming op an exact batch
+    twin.
+
+    max_by(x, struct(sec, event_id)) — not row_number — because streaming
+    aggregation state must be a pure aggregate; the composite key pins tie
+    semantics to the batch twin (PARITY.md #7)."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", F.struct("sec", "event_id")).alias("last_event_id"),
+            F.max_by("value", F.struct("sec", "event_id")).alias("last_value"),
+        )
+    )
+    return run_to_table(sdf, sf_dir, "latest", "complete")

@@ -80,6 +80,8 @@ EXTENSIONS = [
     "scan_dpp", "join_interval_overlap",
     # round 2: bigram LM + training-mix planner
     "text_ngram_lm", "corpus_mix_weights",
+    # round 2: streaming current-state table + explicit salted skew join
+    "stream_latest_per_key", "join_salted",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
