@@ -91,7 +91,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "sink_bucketed", "udtf_map_arrow", "fn_regexp",
     "resample_interp", "scan_dpp", "join_interval_overlap",
     "text_ngram_lm", "corpus_mix_weights",
-    "stream_latest_per_key", "join_salted",
+    "stream_latest_per_key", "join_salted", "mm_chunk_bytes",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

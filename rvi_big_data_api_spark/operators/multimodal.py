@@ -138,3 +138,50 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))).alias("frame_idx"),
         )
     )
+
+
+MM_CHUNK_BYTES = 64
+
+
+@query(
+    "mm_chunk_bytes",
+    oracle=f"""
+    SELECT doc_id,
+           i::INT AS chunk_idx,
+           length(substring(text, i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES}))::INT
+               AS chunk_len,
+           md5(substring(text, i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES})) AS chunk_md5
+    FROM documents,
+         unnest(generate_series(0, ((n_chars + {MM_CHUNK_BYTES} - 1) // {MM_CHUNK_BYTES})::INT - 1))
+             t(i)
+    """,
+    tags=("multimodal",),
+)
+def mm_chunk_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size blob sharding — how a multimodal ingest stores payloads
+    larger than a row-store cell / object-store part: the binary column is
+    cut into MM_CHUNK_BYTES-byte chunks, each addressed by (doc_id,
+    chunk_idx) and integrity-tagged with its own digest. substring works
+    directly on BinaryType (no Python round trip); chunk indices come from
+    sequence+explode. The twin chunks the text — byte-identical because the
+    fixture corpus is ASCII (same identity mm_binary_meta pins).
+
+    At 100 TB: this is a map-only pass whose output partitions by
+    (doc_id, chunk_idx) for ranged reads; reassembly is an orderBy within
+    doc groups."""
+    b = _with_binary(load(spark, sf_dir, "documents"))
+    n_chunks = F.ceil(F.octet_length("payload") / F.lit(MM_CHUNK_BYTES)).cast("int")
+    chunk = F.expr(f"substring(payload, chunk_idx * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES})")
+    return (
+        b.select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.octet_length(chunk).cast("int").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

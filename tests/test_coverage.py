@@ -82,6 +82,8 @@ EXTENSIONS = [
     "text_ngram_lm", "corpus_mix_weights",
     # round 2: streaming current-state table + explicit salted skew join
     "stream_latest_per_key", "join_salted",
+    # round 2: multimodal blob sharding
+    "mm_chunk_bytes",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
