@@ -809,3 +809,121 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_overlap_s",
         )
     )
+
+
+@query(
+    "state_intervals",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type,
+               epoch(date_trunc('second', ts))::BIGINT AS sec,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_type
+        FROM events
+    )
+    SELECT user_id, event_type,
+           min(sec) AS valid_from_sec,
+           max(sec) AS valid_to_sec,
+           count(*) AS n_reports
+    FROM marked
+    GROUP BY user_id, event_type, rn_all - rn_type
+    """,
+    tags=("telemetry",),
+)
+def state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-channel compression (SCD2-style history build): consecutive
+    reports of the SAME channel per vehicle collapse into one validity
+    interval [valid_from, valid_to] — the standard way a 100 TB raw feed
+    becomes a compact state-history table (threshold_runs is the boolean
+    special case; this is the general categorical one).
+
+    Same single-exchange gaps-and-islands shape: global row_number minus a
+    per-value running count is constant within a run, and the final
+    (user_id, grp) aggregate reuses the user_id clustering. The oracle uses
+    the classic two-row_number formulation."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # per-type running count over the SAME user_id window (no second shuffle):
+    # count of rows of MY type seen so far
+    counts = {
+        t: F.sum((F.col("event_type") == t).cast("int")).over(
+            w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for t in ("click", "error", "purchase", "signup", "view")
+    }
+    rn_type = (
+        F.when(F.col("event_type") == "click", counts["click"])
+        .when(F.col("event_type") == "error", counts["error"])
+        .when(F.col("event_type") == "purchase", counts["purchase"])
+        .when(F.col("event_type") == "signup", counts["signup"])
+        .otherwise(counts["view"])
+    )
+    return (
+        ev.withColumn("rn_all", F.row_number().over(w_all))
+        .withColumn("grp", F.col("rn_all") - rn_type)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("sec").alias("valid_from_sec"),
+            F.max("sec").alias("valid_to_sec"),
+            F.count(F.lit(1)).alias("n_reports"),
+        )
+        .drop("grp")
+    )
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@query(
+    "clean_winsorize",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, {WINSOR_LO}) AS lo,
+               quantile_cont(value, {WINSOR_HI}) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(CASE WHEN e.value < c.lo THEN c.lo
+                      WHEN e.value > c.hi THEN c.hi
+                      ELSE e.value END, 6) AS value_winsor,
+           (e.value < c.lo OR e.value > c.hi) AS clipped
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    """,
+    tags=("telemetry",),
+)
+def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the standard outlier treatment before training or
+    averaging: per-channel p01/p99 cut points, values outside clipped to the
+    fence (vs anomaly_zscore, which REPORTS outliers; this REPAIRS them).
+
+    Two-pass by necessity (the fences are global per channel): a tiny
+    percentile aggregate — one row per channel — broadcasts back onto the
+    stream, so the big side never shuffles. Exact percentiles match DuckDB's
+    quantile_cont interpolation (PARITY-proven in agg_percentile); at 100 TB
+    swap in percentile_approx and accept the fence estimate."""
+    ev = load(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("lo"),
+        F.percentile("value", WINSOR_HI).alias("hi"),
+    )
+    clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                F.when(F.col("value") < F.col("lo"), F.col("lo"))
+                .when(F.col("value") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("value")),
+                6,
+            ).alias("value_winsor"),
+            clipped.alias("clipped"),
+        )
+    )

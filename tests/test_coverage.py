@@ -84,6 +84,8 @@ EXTENSIONS = [
     "stream_latest_per_key", "join_salted",
     # round 2: multimodal blob sharding
     "mm_chunk_bytes",
+    # round 2: state-channel compression + winsorization
+    "state_intervals", "clean_winsorize",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

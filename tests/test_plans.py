@@ -255,3 +255,18 @@ def test_interval_overlap_is_bucketed_not_quadratic(spark, sf_dir):
     cartesian/BNLJ trips × windows product in the plan."""
     plan = plan_of(REGISTRY["join_interval_overlap"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2500]
+
+
+def test_state_intervals_single_shuffle(spark, sf_dir):
+    """The categorical gaps-and-islands build (row_number + 5 running
+    per-type counts + final aggregate) must reuse ONE user_id exchange."""
+    plan = plan_of(REGISTRY["state_intervals"].fn(spark, sf_dir))
+    n = plan.split("\n== ")[0].count("Exchange ")
+    assert n == 1, f"expected 1 Exchange, found {n}:\n{plan[:2500]}"
+
+
+def test_winsorize_broadcasts_fences(spark, sf_dir):
+    """The per-channel fence table (5 rows) must broadcast — the event
+    stream never shuffles for the clip join."""
+    plan = plan_of(REGISTRY["clean_winsorize"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2500]
