@@ -92,7 +92,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "resample_interp", "scan_dpp", "join_interval_overlap",
     "text_ngram_lm", "corpus_mix_weights",
     "stream_latest_per_key", "join_salted", "mm_chunk_bytes",
-    "state_intervals", "clean_winsorize",
+    "state_intervals", "clean_winsorize", "graph_pagerank",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -452,3 +452,88 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("cos_raw"), 4).alias("avg_cos_to_centroid"),
         )
     )
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 2
+
+# Twin fragment: the sim_pairs edge list (unrounded), symmetrized.
+_DUCK_PR_EDGES = f"""
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+              UNION ALL SELECT vec_b, vec_a FROM pairs),
+    deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT count(*)::DOUBLE AS n FROM deg)
+"""
+
+_DUCK_PR_STEP = """
+    {next} AS (
+        SELECT e.dst AS id,
+               0.15 / max(nn.n) + {damping} * sum(p.pr / d.outdeg) AS pr
+        FROM edges e
+        JOIN {prev} p ON e.src = p.id
+        JOIN deg d ON e.src = d.src
+        CROSS JOIN n nn
+        GROUP BY e.dst
+    )
+"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_DUCK_PR_EDGES},
+    pr0 AS (SELECT src AS id, 1.0 / n.n AS pr FROM deg CROSS JOIN n),
+    {_DUCK_PR_STEP.format(next="pr1", prev="pr0", damping=PAGERANK_DAMPING)},
+    {_DUCK_PR_STEP.format(next="pr2", prev="pr1", damping=PAGERANK_DAMPING)}
+    SELECT id AS vec_id, round(pr, 6) AS pagerank FROM pr2
+    """,
+    tags=("llm", "graph"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the similarity graph (sim_pairs' edges, symmetrized) —
+    the third iterative-algorithm family after connected components
+    (dedup_cluster) and k-means (sim_ivf_kmeans): centrality identifies the
+    REPRESENTATIVE document of each near-dup neighborhood (keep the hub,
+    drop the satellites — a smarter keeper rule than min-id).
+
+    PAGERANK_ITERS power iterations UNROLLED into one declarative plan:
+    each step is edges ⋈ ranks (shuffle on src) → groupBy dst with a
+    partial-agg sum — one shuffle per iteration, never materializing an
+    N×N matrix. The degree table and node count are tiny broadcasts. The
+    twin is the same unrolled chain as CTEs. Production iterates the same
+    step to convergence with a localCheckpoint every few rounds; no
+    dangling-node term is needed because the symmetrized graph has
+    outdeg ≥ 1 everywhere."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(
+            dot(F.col("a.embedding"), F.col("b.embedding")) >= SIM_PAIRS_TAU
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionByName(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = deg.count()  # scalar: one job, reused as a literal
+    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(F.broadcast(deg), "src")
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("share"))
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("id")).agg(
+            (F.lit(0.15 / n_nodes) + PAGERANK_DAMPING * F.sum("share")).alias("pr")
+        )
+    return ranks.select(F.col("id").alias("vec_id"), F.round("pr", 6).alias("pagerank"))

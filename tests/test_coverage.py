@@ -86,6 +86,8 @@ EXTENSIONS = [
     "mm_chunk_bytes",
     # round 2: state-channel compression + winsorization
     "state_intervals", "clean_winsorize",
+    # round 2: similarity-graph PageRank (third iterative family)
+    "graph_pagerank",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
