@@ -382,6 +382,74 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation over a pair
+    list (doc_a, doc_b): each round joins labels onto the bidirectional edge
+    list and takes the elementwise min; converged when no label changes.
+    Returns a CHECKPOINTed (node, label) frame. Shared by dedup_cluster and
+    corpus_dedup_pipeline.
+
+    Resource hygiene (VERDICT r1 item 4): every cached relation the loop
+    creates is unpersisted before returning — the converged result is
+    CHECKPOINTed to the fs (eager; localCheckpoint would persist the result
+    RDD and leak — tests/test_hygiene.py) so the returned DataFrame reads
+    its own materialization and holds no reference to the loop's caches.
+    Rounds needed = graph diameter; duplicate clusters are near-cliques
+    (diameter 2-4), so the 20-round cap is generous — a general
+    large-diameter graph would want the pointer-doubling
+    ("large-star/small-star") variant, not 1-hop propagation (SCALE.md)."""
+    edges = pair_edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pair_edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).cache()
+
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+
+    # `cached_labels` is always the handle that was ACTUALLY .cache()d —
+    # unpersist() on a derived projection is a silent no-op (the round-1 leak).
+    cached_labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).cache()
+    labels = cached_labels
+    try:
+        for _round in range(20):  # cap >> duplicate-cluster diameter
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy(F.col("src").alias("node2"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            # carry the old label through so convergence is read from the SAME
+            # cached result (one job per round, not a propagate + compare jobs)
+            new_labels = (
+                labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+                .select(
+                    "node",
+                    F.col("label").alias("old_label"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+            cached_labels.unpersist()
+            cached_labels = new_labels
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
+        return labels.select("node", "label").checkpoint(eager=True)
+    finally:
+        cached_labels.unpersist()
+        edges.unpersist()
+
 NGRAM_JACCARD_TAU = 0.10
 
 
@@ -470,69 +538,141 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= NGRAM_JACCARD_TAU)
         .select("doc_a", "doc_b")
     )
-    edges = sim_edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
-        sim_edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).cache()
+    labels = min_label_components(spark, sim_edges)
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    w_sz = Window.partitionBy("cluster_id")
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
 
-    # Resource hygiene (VERDICT r1 item 4): every cached relation the loop
-    # creates is unpersisted before returning — the converged result is
-    # CHECKPOINTed (eager, reliable) so the returned DataFrame reads its own
-    # materialization and holds no reference to the loop's caches. Rounds
-    # needed = graph diameter; duplicate clusters are near-cliques (diameter
-    # 2-4), so the 20-round cap is generous — a general large-diameter graph
-    # would want the pointer-doubling ("large-star/small-star") variant, not
-    # 1-hop propagation (SCALE.md).
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
 
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+@query(
+    "corpus_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, lang, source,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS ntext
+        FROM documents
+    ),
+    exact AS (
+        SELECT doc_id, lang, source, ntext,
+               min(doc_id) OVER (PARTITION BY md5(ntext)) AS exact_rep
+        FROM norm
+    ),
+    survivors AS (SELECT doc_id, lang, source, ntext FROM exact WHERE doc_id = exact_rep),
+    grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, lang, source, string_split(ntext, ' ') AS toks FROM survivors),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sim_edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n + sb.n - n_common) >= {{tau}}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM sim_edges
+              UNION ALL SELECT doc_b, doc_a FROM sim_edges),
+    nodes AS (SELECT DISTINCT a AS nd FROM edges),
+    reach(node, r) AS (
+        SELECT nd, nd FROM nodes
+        UNION
+        SELECT edges.b, reach.r FROM edges JOIN reach ON edges.a = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+    SELECT e.doc_id,
+           CASE WHEN e.doc_id != e.exact_rep THEN 'exact_dup'
+                WHEN cs.label IS NOT NULL AND cs.label != e.doc_id THEN 'near_dup'
+                ELSE 'kept' END AS status,
+           coalesce(cr.label, e.exact_rep) AS kept_id
+    FROM exact e
+    LEFT JOIN clusters cs ON cs.node = e.doc_id
+    LEFT JOIN clusters cr ON cr.node = e.exact_rep
+    """.replace("{tau}", "0.10"),
+    tags=("llm", "dedup"),
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end corpus dedup flagship — the full pass a training-data
+    pipeline runs, composed from this module's building blocks in one query:
+
+      1. canonicalize text (text_normalize's lower/strip/collapse);
+      2. exact dedup on md5(normalized) keeping the min doc_id;
+      3. word-trigram Jaccard pairs among survivors, (lang, source)-blocked
+         (dedup_ngram_jaccard's gram-level equi-join — never doc×doc);
+      4. connected components over the pair graph (min_label_components);
+      5. verdict per input doc: 'kept' | 'exact_dup' | 'near_dup', plus
+         kept_id = the representative whose text survives (an exact dup
+         follows its representative into that doc's own near-dup cluster).
+
+    Every input row gets exactly one output row — the pipeline is an
+    auditable total function of the corpus, not a filter. Scale shape
+    inherits from the parts: hash-sized shuffles for step 2, gram-blocked
+    equi-join for step 3, one edge-list shuffle per CC round for step 4.
+    The twin composes the same steps around a recursive-CTE closure."""
+    docs = load(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
         )
+    )
+    norm = docs.select("doc_id", "lang", "source", ntext.alias("ntext"))
+    w_h = Window.partitionBy(F.md5("ntext"))
+    exact = norm.withColumn("exact_rep", F.min("doc_id").over(w_h))
+    survivors = exact.filter(F.col("doc_id") == F.col("exact_rep"))
 
-    # `cached_labels` is always the handle that was ACTUALLY .cache()d —
-    # unpersist() on a derived projection is a silent no-op (the round-1 leak).
-    cached_labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).cache()
-    labels = cached_labels
-    try:
-        for _round in range(20):  # cap >> duplicate-cluster diameter
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy(F.col("src").alias("node2"))
-                .agg(F.min("label").alias("nbr_label"))
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> array_join(slice(toks, i, 3), ' '))"
+    )
+    grams = (
+        survivors.select("doc_id", "lang", "source", F.split("ntext", " ").alias("toks"))
+        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga, gb = grams.alias("a"), grams.alias("b")
+    pairs = (
+        ga.join(
+            gb,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    sim_edges = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= NGRAM_JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    clusters = min_label_components(spark, sim_edges)
+
+    cs = clusters.select(F.col("node").alias("doc_id"), F.col("label").alias("own_label"))
+    cr = clusters.select(F.col("node").alias("exact_rep"), F.col("label").alias("rep_label"))
+    return (
+        exact.join(cs, "doc_id", "left")
+        .join(cr, "exact_rep", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("exact_rep"), "exact_dup")
+            .when(
+                F.col("own_label").isNotNull() & (F.col("own_label") != F.col("doc_id")),
+                "near_dup",
             )
-            # carry the old label through so convergence is read from the SAME
-            # cached result (one job per round, not a propagate + compare jobs)
-            new_labels = (
-                labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-                .select(
-                    "node",
-                    F.col("label").alias("old_label"),
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
-                )
-                .cache()
-            )
-            changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-            cached_labels.unpersist()
-            cached_labels = new_labels
-            labels = new_labels.select("node", "label")
-            if changed == 0:
-                break
-        out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-        w_sz = Window.partitionBy("cluster_id")
-        result = out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
-        # materialize + truncate lineage; after this the caches are dead
-        # weight. checkpoint (fs) over localCheckpoint deliberately: local
-        # checkpointing persists the result RDD in the block manager, so
-        # repeated invocations would accumulate exactly the cached-relation
-        # leak this block exists to prevent (tests/test_hygiene.py pins
-        # persistent-RDD count back to baseline; measured cost of the fs
-        # write at sf0.1 is ~0.5 s).
-        return result.checkpoint(eager=True)
-    finally:
-        cached_labels.unpersist()
-        edges.unpersist()
+            .otherwise("kept")
+            .alias("status"),
+            F.coalesce(F.col("rep_label"), F.col("exact_rep")).alias("kept_id"),
+        )
+    )

@@ -537,3 +537,72 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15 / n_nodes) + PAGERANK_DAMPING * F.sum("share")).alias("pr")
         )
     return ranks.select(F.col("id").alias("vec_id"), F.round("pr", 6).alias("pagerank"))
+
+
+RERANK_CANDIDATES = 20  # stage-1 recall depth
+RERANK_K = 5            # stage-2 emitted depth
+
+
+@query(
+    "sim_rerank",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings
+    ),
+    stage1 AS (
+        SELECT qid, vec_id, dot FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS dot,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS r1
+            FROM bucketed q JOIN bucketed e
+              ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE r1 <= {RERANK_CANDIDATES}
+    )
+    SELECT qid, vec_id, round(dot, 4) AS dot, rank FROM (
+        SELECT qid, vec_id, dot,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dot DESC, vec_id ASC) AS rank
+        FROM stage1
+    ) WHERE rank <= {RERANK_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production shape of every vector search:
+    stage 1 recalls RERANK_CANDIDATES within the coarse quantizer bucket
+    (cheap, approximate), stage 2 reranks the candidate set exactly and
+    emits the top RERANK_K. Here both stages use the true dot product (the
+    fixture has no cheap/expensive score split), so the contract under test
+    is the CANDIDATE-SET THEN RERANK plumbing: stage 2 never touches the
+    corpus, only the Q×RERANK_CANDIDATES candidate rows.
+
+    At 100 TB: stage 1 is the IVF/LSH bucket probe (sim_topk_ann /
+    sim_ivf_kmeans's quantizer), stage 2 re-scores candidates against the
+    full-precision vectors — a join of the tiny candidate list back to the
+    corpus by id, broadcast the candidates."""
+    e = load(spark, sf_dir, "embeddings").withColumn("bucket", signbit_bucket(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+    stage1 = (
+        e.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= RERANK_CANDIDATES)
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= RERANK_K)
+        .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"), "rank")
+    )

@@ -88,6 +88,8 @@ EXTENSIONS = [
     "state_intervals", "clean_winsorize",
     # round 2: similarity-graph PageRank (third iterative family)
     "graph_pagerank",
+    # round 2: two-stage retrieval + end-to-end dedup flagship
+    "sim_rerank", "corpus_dedup_pipeline",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
