@@ -93,7 +93,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "text_ngram_lm", "corpus_mix_weights",
     "stream_latest_per_key", "join_salted", "mm_chunk_bytes",
     "state_intervals", "clean_winsorize", "graph_pagerank",
-    "sim_rerank", "corpus_dedup_pipeline",
+    "sim_rerank", "corpus_dedup_pipeline", "profile_table",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -462,3 +462,75 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="n",
     )
+
+
+PROFILE_NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+PROFILE_STR_COLS = ("l_returnflag", "l_linestatus")
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+           sum((l_quantity IS NULL)::INT)::BIGINT AS n_nulls,
+           count(DISTINCT l_quantity)::BIGINT AS n_distinct,
+           min(l_quantity)::DECIMAL(18,2)::VARCHAR AS min_repr,
+           max(l_quantity)::DECIMAL(18,2)::VARCHAR AS max_repr
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), sum((l_extendedprice IS NULL)::INT)::BIGINT,
+           count(DISTINCT l_extendedprice)::BIGINT,
+           min(l_extendedprice)::DECIMAL(18,2)::VARCHAR,
+           max(l_extendedprice)::DECIMAL(18,2)::VARCHAR
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), sum((l_discount IS NULL)::INT)::BIGINT,
+           count(DISTINCT l_discount)::BIGINT,
+           min(l_discount)::DECIMAL(18,2)::VARCHAR,
+           max(l_discount)::DECIMAL(18,2)::VARCHAR
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), sum((l_returnflag IS NULL)::INT)::BIGINT,
+           count(DISTINCT l_returnflag)::BIGINT, min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*), sum((l_linestatus IS NULL)::INT)::BIGINT,
+           count(DISTINCT l_linestatus)::BIGINT, min(l_linestatus), max(l_linestatus)
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass — the first query anyone runs on an unknown 100 TB
+    table: per-column row/null/distinct counts and min/max, as tidy rows.
+
+    ONE scan for all columns: a single wide aggregate (count, null-sum,
+    distinct, min, max per column — Catalyst plans the multi-distinct via
+    expand) melted to long form with stack(); numeric extremes are rendered
+    through DECIMAL(18,2) so both engines print identical strings (bare
+    double→string formatting differs between JVM and DuckDB). The twin reads
+    the table once per column — oracle-only cost."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_NUM_COLS + PROFILE_STR_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    for c in PROFILE_NUM_COLS:
+        aggs += [
+            F.min(c).cast("decimal(18,2)").cast("string").alias(f"{c}__min"),
+            F.max(c).cast("decimal(18,2)").cast("string").alias(f"{c}__max"),
+        ]
+    for c in PROFILE_STR_COLS:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_NUM_COLS + PROFILE_STR_COLS
+    )
+    n = len(PROFILE_NUM_COLS + PROFILE_STR_COLS)
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({n}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_repr, max_repr)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")

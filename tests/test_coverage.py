@@ -90,6 +90,8 @@ EXTENSIONS = [
     "graph_pagerank",
     # round 2: two-stage retrieval + end-to-end dedup flagship
     "sim_rerank", "corpus_dedup_pipeline",
+    # round 2: one-pass table profiler
+    "profile_table",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
