@@ -10,7 +10,7 @@ the shuffle carries pre-combined groups, not raw rows, which is what keeps a
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..io import load
 from ..registry import query
@@ -504,33 +504,40 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling pass — the first query anyone runs on an unknown 100 TB
     table: per-column row/null/distinct counts and min/max, as tidy rows.
 
-    ONE scan for all columns: a single wide aggregate (count, null-sum,
-    distinct, min, max per column — Catalyst plans the multi-distinct via
-    expand) melted to long form with stack(); numeric extremes are rendered
-    through DECIMAL(18,2) so both engines print identical strings (bare
-    double→string formatting differs between JVM and DuckDB). The twin reads
-    the table once per column — oracle-only cost."""
+    One SKINNY aggregate per column, unioned: each pass reads exactly one
+    column (columnar pruning), so a single countDistinct plans as an
+    ordinary two-stage hash distinct. The tempting "one wide agg with five
+    countDistincts + stack()" formulation is 10-30× SLOWER: Catalyst
+    rewrites multi-distinct via Expand ×(n+1) and falls back to
+    SortAggregate over the expanded rows (measured 9-10 s vs 0.3-2.7 s at
+    sf0.1). The truly-single-pass variant swaps in approx_count_distinct.
+    Numeric extremes are rendered through DECIMAL(18,2) so both engines
+    print identical strings (bare double→string formatting differs between
+    JVM and DuckDB)."""
+    import functools
+
     li = load(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in PROFILE_NUM_COLS + PROFILE_STR_COLS:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("int")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-        ]
-    for c in PROFILE_NUM_COLS:
-        aggs += [
-            F.min(c).cast("decimal(18,2)").cast("string").alias(f"{c}__min"),
-            F.max(c).cast("decimal(18,2)").cast("string").alias(f"{c}__max"),
-        ]
-    for c in PROFILE_STR_COLS:
-        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
-    wide = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c in PROFILE_NUM_COLS + PROFILE_STR_COLS
-    )
-    n = len(PROFILE_NUM_COLS + PROFILE_STR_COLS)
-    return wide.selectExpr(
-        "n_rows",
-        f"stack({n}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_repr, max_repr)",
-    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+
+    def profile_col(c: str, numeric: bool) -> DataFrame:
+        mn: Column = F.min(c)
+        mx: Column = F.max(c)
+        if numeric:
+            mn = mn.cast("decimal(18,2)").cast("string")
+            mx = mx.cast("decimal(18,2)").cast("string")
+        return (
+            li.select(c)
+            .agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("int")).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                mn.alias("min_repr"),
+                mx.alias("max_repr"),
+            )
+            .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+        )
+
+    parts = [profile_col(c, True) for c in PROFILE_NUM_COLS] + [
+        profile_col(c, False) for c in PROFILE_STR_COLS
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)

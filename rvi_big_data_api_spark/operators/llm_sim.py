@@ -521,11 +521,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+    # Eager fs checkpoint: the blocked-similarity pairs job is the expensive
+    # part and is needed by deg.count(), every iteration, AND the final read
+    # — without truncation it would re-run once per consumer. The edge list
+    # itself is tiny; no cache is left behind (same hygiene as
+    # min_label_components).
     edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionByName(
         pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
-    )
+    ).checkpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    n_nodes = deg.count()  # scalar: one job, reused as a literal
+    n_nodes = deg.count()  # scalar: one job over the checkpointed edges
     ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(PAGERANK_ITERS):
         contrib = (
