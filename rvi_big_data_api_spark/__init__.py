@@ -94,6 +94,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_latest_per_key", "join_salted", "mm_chunk_bytes",
     "state_intervals", "clean_winsorize", "graph_pagerank",
     "sim_rerank", "corpus_dedup_pipeline", "profile_table",
+    "agg_moments", "win_ewma",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -541,3 +541,60 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile_col(c, False) for c in PROFILE_STR_COLS
     ]
     return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
+    "agg_moments",
+    oracle="""
+    WITH raw AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(value)                         AS m1,
+               avg(value * value)                 AS ex2,
+               avg(value * value * value)         AS ex3,
+               avg(value * value * value * value) AS ex4
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(m1, 4) AS mean,
+           round(ex2 - m1 * m1, 4) AS var_pop,
+           round((ex3 - 3 * m1 * ex2 + 2 * m1 * m1 * m1)
+                 / nullif(pow(ex2 - m1 * m1, 1.5), 0), 4) AS skewness,
+           round((ex4 - 4 * m1 * ex3 + 6 * m1 * m1 * ex2 - 3 * m1 * m1 * m1 * m1)
+                 / nullif(pow(ex2 - m1 * m1, 2.0), 0) - 3, 4) AS kurtosis_excess
+    FROM raw
+    """,
+    tags=("agg",),
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics (variance, skewness, excess kurtosis) per
+    channel — computed from RAW power sums in ONE pass, not Spark's
+    skewness()/kurtosis() builtins: the builtins' estimator conventions
+    (population vs sample, excess vs raw) differ between engines, while
+    E[x^k] raw moments are the same arithmetic everywhere, so the twin is
+    exact. Single partial-agg pass; divisions nullif-guarded; rounded at
+    4 dp to absorb summation-order drift (the cancellation in m3/m4 is
+    benign at fixture magnitudes)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    raw = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("m1"),
+        F.avg(v * v).alias("ex2"),
+        F.avg(v * v * v).alias("ex3"),
+        F.avg(v * v * v * v).alias("ex4"),
+    )
+    m1, ex2, ex3, ex4 = F.col("m1"), F.col("ex2"), F.col("ex3"), F.col("ex4")
+    var = ex2 - m1 * m1
+    m3 = ex3 - 3 * m1 * ex2 + 2 * m1 * m1 * m1
+    m4 = ex4 - 4 * m1 * ex3 + 6 * m1 * m1 * ex2 - 3 * m1 * m1 * m1 * m1
+    return raw.select(
+        "event_type",
+        "n",
+        F.round(m1, 4).alias("mean"),
+        F.round(var, 4).alias("var_pop"),
+        F.round(m3 / F.nullif(F.pow(var, F.lit(1.5)), F.lit(0.0)), 4).alias("skewness"),
+        F.round(m4 / F.nullif(F.pow(var, F.lit(2.0)), F.lit(0.0)) - 3, 4).alias(
+            "kurtosis_excess"
+        ),
+    )

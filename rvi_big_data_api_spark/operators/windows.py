@@ -274,3 +274,69 @@ def win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(median, 4).alias("rolling_median"),
     )
+
+
+EWMA_ALPHA = 0.7  # weight decay per step back; window bounded to 20 rows
+EWMA_SPAN = 20
+
+
+@query(
+    "win_ewma",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events
+    ),
+    framed AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW)
+                   AS vals
+        FROM ordered
+    )
+    SELECT user_id, event_id, value,
+           round(list_sum(list_transform(vals, (x, i) -> x * pow({EWMA_ALPHA}, len(vals) - i)))
+                 / list_sum(list_transform(vals, (x, i) -> pow({EWMA_ALPHA}, len(vals) - i))),
+                 6) AS ewma
+    FROM framed
+    """,
+    tags=("window",),
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per vehicle — the recency-
+    weighted smoother (newest reading weighted 1, each step back decayed by
+    EWMA_ALPHA, window truncated at EWMA_SPAN rows where the residual weight
+    is alpha^20 ≈ 0.08%).
+
+    EWMA's recurrence looks anti-relational, but over a bounded frame it is
+    a weighted dot product: gather the frame with collect_list (the
+    win_median pattern), weight by position with a transform index lambda,
+    fold — all JVM column algebra, one user_id shuffle. Spark's transform
+    index is 0-based, DuckDB's 1-based: both weight exponents reduce to
+    (frame_len - 1 - i₀) ≡ (len - i₁), pinned identical. Rounded at 6 dp
+    for fold-order drift (PARITY.md #6)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    framed = ev.select("user_id", "event_id", "value", vals.alias("vals"))
+    n = F.size("vals")
+    num = F.aggregate(
+        F.transform("vals", lambda x, i: x * F.pow(F.lit(EWMA_ALPHA), n - 1 - i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform("vals", lambda x, i: F.pow(F.lit(EWMA_ALPHA), n - 1 - i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return framed.select(
+        "user_id", "event_id", "value", F.round(num / den, 6).alias("ewma")
+    )

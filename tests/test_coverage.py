@@ -92,6 +92,8 @@ EXTENSIONS = [
     "sim_rerank", "corpus_dedup_pipeline",
     # round 2: one-pass table profiler
     "profile_table",
+    # round 2: raw-moment statistics + exponentially-weighted smoothing
+    "agg_moments", "win_ewma",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
