@@ -94,7 +94,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_latest_per_key", "join_salted", "mm_chunk_bytes",
     "state_intervals", "clean_winsorize", "graph_pagerank",
     "sim_rerank", "corpus_dedup_pipeline", "profile_table",
-    "agg_moments", "win_ewma",
+    "agg_moments", "win_ewma", "join_asof_forward", "udtf_grouped_arrow",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -218,3 +218,49 @@ def udtf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInArrow(batch_stats, "doc_id long, n_bytes long, n_words long")
+
+
+@query(
+    "udtf_grouped_arrow",
+    oracle="""
+    SELECT user_id, event_id, value,
+           (value - min(value) OVER w)
+               / nullif(max(value) OVER w - min(value) OVER w, 0) AS scaled
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    tags=("udf",),
+)
+def udtf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow — the zero-copy grouped-map variant (Spark 4): each
+    vehicle's rows arrive as one Arrow table, processed with pyarrow.compute
+    kernels (min-max normalization to [0, 1]), no pandas materialization.
+    Completes the UDF matrix: row / pandas-scalar / pandas-agg /
+    pandas-grouped / pandas-map / python-UDTF / arrow-map / arrow-grouped.
+
+    Min-max (not demean) deliberately: min/max are exact — both engines
+    hold IDENTICAL doubles, so the division is the same IEEE op on the same
+    operands and the output is emitted UNROUNDED and bit-identical. A
+    mean-based normalization is a RATIONAL with denominator 100·n, whose
+    rounding lands on genuine ties at every precision — 59/10000 rows
+    flipped at 6 dp when tried (PARITY.md #1's trap, measured). Degenerate
+    constant groups yield NULL via the zero-range guard in both engines.
+    The window twin proves the UDF avoidable, per the §2.12 policy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def minmax_scale(table: "pa.Table") -> "pa.Table":
+        v = table.column("value")
+        lo, hi = pc.min(v), pc.max(v)
+        rng = pc.subtract(hi, lo)
+        scaled = pc.if_else(
+            pc.equal(rng, pa.scalar(0.0)),
+            pa.scalar(None, pa.float64()),
+            pc.divide(pc.subtract(v, lo), rng),
+        )
+        return table.append_column("scaled", scaled)
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInArrow(
+        minmax_scale, "user_id long, event_id long, value double, scaled double"
+    )

@@ -472,3 +472,75 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, epoch(date_trunc('second', ts))::BIGINT AS sec
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, epoch(date_trunc('second', ts))::BIGINT AS sec
+               FROM events WHERE event_type = 'click')
+    SELECT event_id, user_id, purchase_sec, next_click_event, wait_s
+    FROM (
+        SELECT p.event_id, p.user_id, p.sec AS purchase_sec,
+               c.event_id AS next_click_event,
+               c.sec - p.sec AS wait_s,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.sec ASC, c.event_id ASC) AS rn
+        FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.sec > p.sec
+    ) WHERE rn = 1
+    """,
+    tags=("join", "telemetry"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the first click strictly AFTER each purchase
+    (follow-up behavior lookup; completes the as-of family: backward =
+    join_asof, tolerance-bounded = join_asof_tolerance, forward = this).
+
+    Same ONE-shuffle union idiom mirrored in time: order descending and
+    carry the last-seen click BACKWARD (a first() ignore-nulls over the
+    following frame, equivalently last() over the reversed order). Clicks
+    at the exact purchase second are excluded (strictly after), which the
+    (sec, kind DESC) ordering encodes: at equal sec the purchase sorts
+    AFTER the click in the reversed scan, so the click is not carried to
+    it. The twin is the quadratic range-join, oracle-only."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "sec", F.col("event_id").alias("click_id"), F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sec", F.col("event_id").alias("purchase_id"), F.lit(1).alias("kind")
+    )
+    merged = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    # reversed scan: later secs first; at equal sec the click (kind 0) sorts
+    # LATER than the purchase (kind 1 first after desc on kind? no — order
+    # kind ASC so purchase(1) comes after click(0)... we need the purchase
+    # to NOT see the same-sec click: scanning sec DESC, click_id DESC, the
+    # same-sec click must come AFTER the purchase → order kind ASC puts
+    # click(0) before purchase(1) → WRONG; kind DESC puts purchase first →
+    # carries only strictly-later clicks. Hence kind DESC.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec").desc(), F.col("kind").desc(), F.coalesce("click_id", "purchase_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        merged.withColumn("next_click_event", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "next_click_sec",
+            F.last(F.when(F.col("kind") == 0, F.col("sec")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    return carried.select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        F.col("sec").alias("purchase_sec"),
+        "next_click_event",
+        (F.col("next_click_sec") - F.col("sec")).alias("wait_s"),
+    )

@@ -94,6 +94,8 @@ EXTENSIONS = [
     "profile_table",
     # round 2: raw-moment statistics + exponentially-weighted smoothing
     "agg_moments", "win_ewma",
+    # round 2: forward as-of + Arrow grouped map
+    "join_asof_forward", "udtf_grouped_arrow",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
