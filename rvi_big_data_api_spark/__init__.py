@@ -95,6 +95,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "state_intervals", "clean_winsorize", "graph_pagerank",
     "sim_rerank", "corpus_dedup_pipeline", "profile_table",
     "agg_moments", "win_ewma", "join_asof_forward", "udtf_grouped_arrow",
+    "stream_topk",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -595,3 +595,40 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(sdf, sf_dir, "latest", "complete")
+
+
+STREAM_TOPK_N = 10
+
+
+@query(
+    "stream_topk",
+    oracle=f"""
+    SELECT user_id, n_events, total_value FROM (
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rn
+        FROM events GROUP BY user_id
+    ) WHERE rn <= {STREAM_TOPK_N}
+    """,
+    tags=("streaming",),
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live leaderboard — top-{STREAM_TOPK_N} vehicles by event volume as an
+    incremental query. Complete output mode is what makes sorting legal in
+    a stream (the whole result table is re-emitted per trigger, so a total
+    order exists); with availableNow the final table equals the batch
+    leaderboard. Ties break on user_id so driver re-runs are stable.
+
+    At scale the aggregation state is one row per vehicle; the sort+limit
+    runs over the (small) aggregate result each trigger, not the stream."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(STREAM_TOPK_N)
+    )
+    return run_to_table(sdf, sf_dir, "topk", "complete")

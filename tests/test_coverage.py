@@ -96,6 +96,8 @@ EXTENSIONS = [
     "agg_moments", "win_ewma",
     # round 2: forward as-of + Arrow grouped map
     "join_asof_forward", "udtf_grouped_arrow",
+    # round 2: streaming leaderboard
+    "stream_topk",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
