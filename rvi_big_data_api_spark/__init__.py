@@ -42,29 +42,9 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- never driver-verified in round 1 ------------------------------------
-    # §2.2 projection/filter
-    "project_compute", "filter_eq", "filter_range_time", "filter_compound",
-    "filter_null", "distinct_rows", "sample_frac",
-    # §2.3 joins
-    "join_broadcast", "join_shuffle", "join_multiway", "join_left",
-    "join_full", "join_semi", "join_anti", "join_cross", "join_theta",
-    "join_asof", "join_interval", "join_self",
-    # §2.5 windows
-    "win_rank", "win_ntile", "win_lag_lead", "win_running",
-    "win_sliding_rows", "win_range_time", "win_first_last", "win_pct",
-    # §2.6 sorts / top-k
-    "sort_multi", "limit_global", "topk_per_group", "topk_global_agg",
-    # §2.7 set ops
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    # §2.9 telemetry (the capability core)
-    "trip_sessionize", "trip_stats", "latest_per_key", "resample_bucket",
-    "threshold_runs", "gap_report", "haversine_dist", "daily_active",
-    "resample_ffill",
-    # §2.10 LLM ops + extensions
-    "dedup_exact", "dedup_hash", "dedup_near", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_cluster",
-    # -- slot 51+: still never-verified; reached if the budget allows -------
+    # -- never driver-verified after rounds 1+2 (63 queries; the driver caps
+    # at exactly 50 rows/round, so the first 50 below get hash rows this
+    # round and the tail rolls to round 4) ----------------------------------
     "sim_topk", "sim_pairs", "knn_label", "multimodal_struct", "sim_topk_ann",
     "text_tokenize", "text_tfidf", "text_stats", "text_quality",
     "text_langid", "text_fingerprint",
@@ -99,7 +79,22 @@ PRIORITY_UNVERIFIED: list[str] = [
 ]
 
 PRIORITY_VERIFIED: list[str] = [
-    # -- driver-green in round 1 (50) ---------------------------------------
+    # -- driver-green in round 2 (CORRECTNESS_r02.json, 50 rows) ------------
+    "project_compute", "filter_eq", "filter_range_time", "filter_compound",
+    "filter_null", "distinct_rows", "sample_frac",
+    "join_broadcast", "join_shuffle", "join_multiway", "join_left",
+    "join_full", "join_semi", "join_anti", "join_cross", "join_theta",
+    "join_asof", "join_interval", "join_self",
+    "win_rank", "win_ntile", "win_lag_lead", "win_running",
+    "win_sliding_rows", "win_range_time", "win_first_last", "win_pct",
+    "sort_multi", "limit_global", "topk_per_group", "topk_global_agg",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "trip_sessionize", "trip_stats", "latest_per_key", "resample_bucket",
+    "threshold_runs", "gap_report", "haversine_dist", "daily_active",
+    "resample_ffill",
+    "dedup_exact", "dedup_hash", "dedup_near", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_cluster",
+    # -- driver-green in round 1 (CORRECTNESS_r01.json, 50 rows) ------------
     "agg_pricing_summary", "agg_basic", "agg_count_distinct",
     "agg_approx_distinct", "agg_filtered", "agg_rollup", "agg_cube",
     "agg_grouping_sets", "agg_collect", "agg_percentile", "agg_stats",

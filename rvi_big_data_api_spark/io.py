@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import SCHEMAS
@@ -31,14 +30,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(SCHEMAS)}")
-    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
-        # ts arrives as epoch nanoseconds (schemas.EVENTS_RAW); truncate to
-        # microseconds — Spark's native timestamp precision. DuckDB keeps full
-        # nanos, so oracle-checked queries date_trunc to >= second anyway
-        # (SURVEY.md §1 gotcha 1).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

@@ -98,23 +98,10 @@ LINEITEM = StructType(
     ]
 )
 
-# Parquet-side schema: `ts` is TIMESTAMP(NANOS), which Spark 4 cannot map to
-# TimestampType (PARQUET_TYPE_ILLEGAL). With
-# ``spark.sql.legacy.parquet.nanosAsLong`` the column reads as epoch
-# nanoseconds; ``io.load`` converts it to a microsecond TimestampType, so
-# engine code always sees `ts: timestamp`.
-EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-# Engine-facing events schema (post-load).
+# `ts` is parquet ``timestamp[us]`` (re-verified against the current
+# fixtures — earlier fixture generations used TIMESTAMP(NANOS) and needed a
+# legacy long read + manual truncation; the native microsecond encoding maps
+# 1:1 onto Spark's TimestampType).
 EVENTS = StructType(
     [
         StructField("event_id", LongType()),
@@ -147,7 +134,7 @@ EMBEDDINGS = StructType(
     ]
 )
 
-# Schemas as passed to the parquet reader (events uses the raw long ts).
+# Schemas as passed to the parquet reader.
 SCHEMAS: dict[str, StructType] = {
     "region": REGION,
     "nation": NATION,
@@ -156,7 +143,7 @@ SCHEMAS: dict[str, StructType] = {
     "part": PART,
     "orders": ORDERS,
     "lineitem": LINEITEM,
-    "events": EVENTS_RAW,
+    "events": EVENTS,
     "documents": DOCUMENTS,
     "embeddings": EMBEDDINGS,
 }

@@ -47,9 +47,6 @@ def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # fixture events.ts is parquet TIMESTAMP(NANOS); read as epoch-nanos
-        # long (Spark 4 has no nanos timestamp) — io.load converts to µs.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # static conf; keep bucketed-table demos (tests/test_scale.py) out of
         # the repo tree
         .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "rvi_spark_warehouse"))

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.exprs import ts_str
 from ..io import table_path
 from ..registry import query
-from ..schemas import EVENTS_RAW
+from ..schemas import EVENTS
 
 
 def _stream_src_dir(sf_dir: str) -> str:
@@ -44,9 +44,8 @@ def _stream_src_dir(sf_dir: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a file stream (same ns→µs ts conversion as io.load)."""
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(_stream_src_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events as a file stream (native timestamp[us] ts, same as io.load)."""
+    return spark.readStream.schema(EVENTS).parquet(_stream_src_dir(sf_dir))
 
 
 def run_to_table(sdf: DataFrame, sf_dir: str, tag: str, mode: str) -> DataFrame:
@@ -379,9 +378,8 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = F.broadcast  # noqa: F841  (quiet linters; real work below)
 
     events = (
-        spark.read.schema(EVENTS_RAW)
+        spark.read.schema(EVENTS)
         .parquet(table_path(sf_dir, "events"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .select("event_id", "ts", "user_id", "value")
     )
     cutoff = "2024-01-20 00:00:00"
