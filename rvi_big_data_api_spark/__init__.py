@@ -26,6 +26,7 @@ from .operators import (  # noqa: F401
     multimodal,
     setops,
     sorts,
+    subqueries,
     telemetry,
     windows,
 )  # noqa: F401,E402

@@ -1,0 +1,634 @@
+"""Subquery-shape suite — the TPC-H query shapes built on scalar subqueries,
+correlated aggregates, EXISTS / NOT EXISTS, and HAVING-over-global patterns.
+
+Completes the composite coverage begun in operators/analytics.py (Q3/4/5/8/
+10/13/14/15 shapes) with the remaining TPC-H shapes the fixture schema
+supports: Q2, Q6, Q7, Q9, Q11, Q12, Q16, Q17, Q18, Q19, Q20, Q21, Q22 —
+adapted where the classic columns don't exist (no partsupp, l_commitdate,
+l_receiptdate, p_container; FIXTURES.md §A).
+
+Why this family matters for a Spark-first engine: none of these shapes need
+hand-written subquery machinery. Catalyst decorrelates correlated aggregate
+subqueries into joins (RewriteCorrelatedScalarSubquery), turns scalar
+subqueries into broadcast single-row cross joins, and EXISTS/NOT EXISTS into
+left-semi/left-anti joins — the DataFrame code below simply declares the
+same plan directly (explicit semi/anti joins, window-min for correlated min,
+one-row broadcast for scalars), so the physical plan is exactly what SQL
+decorrelation would produce, with no Python in the loop.
+
+Scale posture (same rules as operators/analytics.py): small dims broadcast
+explicitly, fact-fact joins shuffle on their keys, aggregates are
+partial-agg friendly, every LIMIT ends in TakeOrderedAndProject with a
+unique-key tie-break, and float outputs go through the exact-decimal
+summation pattern (`_rev_exact`) so hashes match the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load
+from ..registry import query
+from .analytics import _rev_exact
+
+
+@query(
+    "composite_forecast_revenue",
+    oracle="""
+    SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DOUBLE, 2)
+               AS forecast_rev,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE year(l_shipdate) = 1996
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the revenue increase if small-quantity discounts in a
+    band had been eliminated — a pure filter + global aggregate.
+
+    The whole query is one scan: all three predicates push into the parquet
+    reader (year-range on the shipdate min/max stats, discount band,
+    quantity), and the aggregate is a map-side partial + 1-row final. This
+    is the cheapest possible shape at 100 TB — no shuffle wider than one
+    row. Discounts/prices are exact 2-dp multiples, so the product is an
+    exact 4-dp multiple and the DECIMAL(18,4) sum is order-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    promo = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1996)
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(promo).cast("double"), 2).alias("forecast_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "composite_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate)::INT AS yr,
+           round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,4))::DOUBLE, 2)
+               AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per ship
+    year, in both directions.
+
+    The nation pair predicate is an OR across two dimension branches, so it
+    can't push below the joins — but both nation joins are broadcasts, so
+    the filter runs map-side right after the (cheap) hash probes; only
+    matching rows reach the orders/customer shuffle joins."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(F.round(F.sum(_rev_exact()).cast("double"), 2).alias("volume"))
+    )
+
+
+@query(
+    "composite_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate)::INT AS yr,
+           round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,4))::DOUBLE
+                 - 0.1 * sum((l.l_quantity * p.p_retailprice)::DECIMAL(18,4))::DOUBLE,
+                 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey  = p.p_partkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so supply cost is proxied as
+    10% of retail value): profit on gear-like parts by supplier nation and
+    order year.
+
+    Part, supplier, and nation broadcast; the only real shuffle is
+    lineitem ⋈ orders on orderkey plus the final small groupBy. Both sums
+    are exact decimals (quantity is integral, retailprice a 2-dp multiple);
+    the 0.1 factor is applied once per GROUP — after the exact sums — so
+    engines agree bit-for-bit before the final 2-dp round."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    cost = (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(_rev_exact()).cast("double")
+                - F.lit(0.1) * F.sum(cost).cast("double"),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@query(
+    "composite_important_parts",
+    oracle="""
+    WITH part_value AS (
+        SELECT l.l_partkey AS p_partkey,
+               sum((l.l_quantity * p.p_retailprice)::DECIMAL(18,4)) AS val
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    )
+    SELECT p_partkey, round(val::DOUBLE, 2) AS part_value
+    FROM part_value
+    WHERE val::DOUBLE > 0.0008 * (SELECT sum(val)::DOUBLE FROM part_value)
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: shipped value instead of stock value):
+    parts whose total shipped value exceeds a fraction of the corpus-wide
+    total — a HAVING-over-a-global-scalar-subquery.
+
+    Spark expresses the decorrelated form directly: one per-part aggregate,
+    a 1-row re-aggregate of that SAME frame for the global total, and a
+    broadcast cross join to apply the threshold — the part-value frame is
+    computed once per branch but both branches are partial-agg friendly and
+    the threshold compare is map-side. Sums are exact decimals; both
+    engines compare in double with an identical multiply."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    val = (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(18,4)")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(val).alias("val"))
+    )
+    total = per_part.agg(F.sum("val").cast("double").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.lit(0.0008) * F.col("total"))
+        .select("p_partkey", F.round(F.col("val").cast("double"), 2).alias("part_value"))
+    )
+
+
+@query(
+    "composite_shipmode_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30 THEN '0-29'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 60 THEN '30-59'
+                ELSE '60+' END AS delay_bucket,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/receiptdate, so lines bucket
+    by order→ship delay): how order priority distributes across shipping
+    delay buckets, as a single conditional-aggregation pass.
+
+    One shuffle join on orderkey, then a 3-group conditional agg — the
+    numerator/denominator split never becomes a self-join."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "0-29").when(delay < 60, "30-59").otherwise("60+")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "composite_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+           count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_brand NOT IN ('Brand#1', 'Brand#5')
+      AND s.s_acctbal >= 0
+    GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier participation measured from
+    shipped lines, negative-balance suppliers standing in for the complaints
+    exclusion): distinct supplier counts per (brand, type, size).
+
+    count(DISTINCT supplier) expands to a two-phase aggregate (partial
+    distinct on (group, suppkey), then final count) — no row ever carries a
+    set, so the shape survives arbitrary group fan-out. The NOT IN is a
+    static literal filter, pushed to the part dimension BEFORE its
+    broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").isin("Brand#1", "Brand#5")
+    )
+    supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "composite_small_qty_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT round((sum(l.l_extendedprice::DECIMAL(18,4))::DOUBLE) / 7.0, 2)
+               AS avg_yearly,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to below-one-fifth-of-average-quantity
+    orders — the classic correlated aggregate subquery (avg per part,
+    compared per line).
+
+    Catalyst decorrelates this into exactly what's written here: a per-part
+    aggregate joined back to lineitem on partkey. The join is shuffle-on-
+    partkey both sides (the aggregate is fact-derived, NOT broadcastable at
+    scale); quantities are small integers so the avg is exact and the
+    0.2× threshold computes identically in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "composite_large_orders",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey,
+           o.o_custkey AS o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_totalprice AS o_totalprice,
+           sum(l.l_quantity) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3, 4
+    HAVING sum(l.l_quantity) > 200
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the top large-volume orders (sum of line quantities
+    above a threshold) — GROUP BY + HAVING + top-k.
+
+    The quantity rollup shuffles once on orderkey (partial sums map-side);
+    HAVING is a post-agg filter; the LIMIT compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort), with
+    orderkey breaking totalprice ties deterministically."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "composite_discounted_revenue",
+    oracle="""
+    SELECT round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,4))::DOUBLE, 2)
+               AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#4'  AND l.l_quantity BETWEEN 1  AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#14' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#24' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/quantity/size bands —
+    a disjunctive predicate spanning both join sides.
+
+    The join key stays a clean equi-join on partkey (broadcast); the OR
+    lands as a post-join filter. Catalyst still prunes: only the three
+    brands' rows survive the dimension side because the OR's part-only
+    conjuncts (brand, size) are inferred as a dimension filter before the
+    broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    band = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("l_quantity").between(1, 11)
+        & F.col("p_size").between(1, 5)
+    ) | (
+        (F.col("p_brand") == "Brand#14")
+        & F.col("l_quantity").between(10, 20)
+        & F.col("p_size").between(1, 10)
+    ) | (
+        (F.col("p_brand") == "Brand#24")
+        & F.col("l_quantity").between(20, 30)
+        & F.col("p_size").between(1, 15)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.round(F.sum(_rev_exact()).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "composite_excess_suppliers",
+    oracle="""
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, n.n_name AS n_name,
+           t.total_qty AS total_qty
+    FROM (
+        SELECT l.l_suppkey, sum(l.l_quantity) AS total_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red%' AND year(l.l_shipdate) = 1997
+        GROUP BY 1
+        HAVING sum(l.l_quantity) > 400
+    ) t
+    JOIN supplier s ON t.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped quantity stands in for partsupp
+    availability): suppliers who moved an outsized volume of red parts in
+    one year, with their nation.
+
+    The semi-join chain decorrelates into: filtered fact aggregate (the
+    part filter broadcasts, the year predicate pushes to the scan) →
+    HAVING → two broadcast hash joins to decorate with supplier/nation.
+    Nothing after the first aggregate is larger than the supplier count."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    agg = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 400)
+    )
+    return (
+        agg.join(F.broadcast(supp), agg.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "total_qty")
+    )
+
+
+@query(
+    "composite_sole_supplier",
+    oracle="""
+    WITH sole AS (
+        SELECT l_orderkey, min(l_suppkey) AS s_key
+        FROM lineitem
+        GROUP BY 1
+        HAVING count(*) >= 2 AND count(DISTINCT l_suppkey) = 1
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+           count(*)::BIGINT AS n_orders
+    FROM sole JOIN supplier s ON sole.s_key = s.s_suppkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, s.s_suppkey
+    LIMIT 10
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no receipt/commit dates, so "the one
+    supplier who held up a multi-line order" becomes "the sole supplier of
+    a multi-line order"): which suppliers single-handedly fill orders.
+
+    The classic double-EXISTS/NOT-EXISTS formulation collapses into ONE
+    aggregation over lineitem — count(*) ≥ 2 supplies the EXISTS (another
+    line exists), count(DISTINCT supp) = 1 the NOT EXISTS (no line from a
+    different supplier) — then a broadcast decorate + top-k. One shuffle
+    total; the per-order state is two counters, never a list."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    sole = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("s_key"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct(F.col("l_suppkey")).alias("n_supps"),
+        )
+        .filter((F.col("n_lines") >= 2) & (F.col("n_supps") == 1))
+    )
+    return (
+        sole.join(F.broadcast(supp), sole.s_key == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("s_suppkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "composite_segment_opportunity",
+    oracle="""
+    WITH threshold AS (
+        SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS c_mktsegment,
+           count(*)::BIGINT AS n_cust,
+           round(sum(c.c_acctbal::DECIMAL(18,2))::DOUBLE, 2) AS total_bal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY 1
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_segment_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: "no recent orders" replaces "no orders",
+    market segment replaces phone country code): well-funded customers gone
+    quiet, by segment.
+
+    Three decorrelated pieces, exactly as Catalyst would plan the SQL: the
+    scalar subquery (global positive-balance average) is a 1-row broadcast
+    cross join; NOT EXISTS is a left-anti join against date-filtered
+    orders (the date predicate pushes to the scan, shrinking the anti
+    build side); the final rollup is a 5-group partial agg. The average is
+    an exact-decimal sum divided in double — identical in both engines."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "composite_min_price_supplier",
+    oracle="""
+    WITH euro_lines AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               l.l_extendedprice / l.l_quantity AS unit_price
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, unit_price,
+               min(unit_price) OVER (PARTITION BY l_partkey) AS min_price
+        FROM euro_lines
+    )
+    SELECT p.p_partkey AS p_partkey, p.p_brand AS p_brand,
+           round(r.min_price, 4) AS unit_price,
+           min(r.l_suppkey)::BIGINT AS s_suppkey
+    FROM ranked r
+    JOIN part p ON r.l_partkey = p.p_partkey
+    WHERE r.unit_price = r.min_price AND p.p_size = 15
+    GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "composite", "subquery"),
+)
+def composite_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: observed unit price from lineitem replaces
+    partsupp supply cost): the cheapest European supplier for each
+    size-15 part — the classic correlated-min subquery.
+
+    Decorrelated as a window-min over the region-filtered lines: one
+    shuffle on partkey computes min(unit_price) per part AND keeps the rows
+    to match against it — no second pass over the fact. Supplier/nation/
+    region broadcast ahead of the window; ties on the min price resolve to
+    the lowest suppkey, so the result is deterministic in both engines.
+    unit_price is one IEEE division of identical doubles — bit-equal across
+    engines, so the equality match never flaps."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    euro = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("l_partkey", "l_suppkey", unit)
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = euro.withColumn("min_price", F.min("unit_price").over(w))
+    return (
+        ranked.filter(F.col("unit_price") == F.col("min_price"))
+        .join(F.broadcast(part), ranked.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_brand", F.round("min_price", 4).alias("unit_price"))
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )

@@ -98,6 +98,15 @@ EXTENSIONS = [
     "join_asof_forward", "udtf_grouped_arrow",
     # round 2: streaming leaderboard
     "stream_topk",
+    # round 3: subquery-shape suite (operators/subqueries.py) — the
+    # remaining TPC-H shapes (Q2/6/7/9/11/12/16/17/18/19/20/21/22 adapted)
+    "composite_forecast_revenue", "composite_volume_shipping",
+    "composite_product_profit", "composite_important_parts",
+    "composite_shipmode_priority", "composite_parts_supplier_counts",
+    "composite_small_qty_revenue", "composite_large_orders",
+    "composite_discounted_revenue", "composite_excess_suppliers",
+    "composite_sole_supplier", "composite_segment_opportunity",
+    "composite_min_price_supplier",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
