@@ -598,3 +598,48 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kurtosis_excess"
         ),
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH cu AS (
+        SELECT event_type, user_id, count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, sum(n)::BIGINT AS total, count(*)::BIGINT AS n_users
+        FROM cu GROUP BY 1
+    )
+    SELECT c.event_type AS event_type,
+           t.n_users AS n_users,
+           round(-sum((c.n::DOUBLE / t.total) * ln(c.n::DOUBLE / t.total)), 6)
+               AS entropy_nats
+    FROM cu c JOIN tot t ON c.event_type = t.event_type
+    GROUP BY 1, 2
+    """,
+    tags=("agg",),
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each channel's per-vehicle event distribution —
+    the information-theoretic profile a training-mix planner reads (a
+    uniform channel carries max entropy; a channel dominated by one vehicle
+    is near zero).
+
+    Two partial-agg passes ((type,user) counts, then per-type fold) plus a
+    broadcast of the tiny per-type totals — the entropy sum itself absorbs
+    into the same groupBy, so the shape is two shuffles regardless of user
+    cardinality. ln() is libm-identical in both engines on identical
+    count-ratio doubles; the final 6-dp round absorbs summation-order drift
+    (PARITY.md #8)."""
+    ev = load(spark, sf_dir, "events")
+    cu = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = cu.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        cu.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_users")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
+    )

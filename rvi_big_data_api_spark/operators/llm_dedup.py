@@ -427,7 +427,10 @@ def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFram
                 .agg(F.min("label").alias("nbr_label"))
             )
             # carry the old label through so convergence is read from the SAME
-            # cached result (one job per round, not a propagate + compare jobs)
+            # cached result (one job per round, not a propagate + compare
+            # jobs). NOTE a 2-hop-per-round variant was tried and is SLOWER:
+            # the uncached mid-hop frame appears on both sides of the second
+            # hop's join and re-executes, more than doubling per-round work.
             new_labels = (
                 labels.join(neighbor_min, labels.node == F.col("node2"), "left")
                 .select(
@@ -512,6 +515,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, greatest(size(toks) - 2, 1)),"
         " i -> array_join(slice(toks, i, 3), ' '))"
     )
+    # NOT cached: the self-join's two sides share one shuffle via
+    # ReusedExchange already, and an InMemoryRelation here measured SLOWER
+    # (cache materialization cost + lost AQE coalescing below the cache
+    # boundary) — 8.7 s vs 6.0 s at sf0.1.
     grams = (
         docs.select("doc_id", "lang", "source", F.split("text", " ").alias("toks"))
         .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
@@ -625,54 +632,67 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = docs.select("doc_id", "lang", "source", ntext.alias("ntext"))
     w_h = Window.partitionBy(F.md5("ntext"))
-    exact = norm.withColumn("exact_rep", F.min("doc_id").over(w_h))
-    survivors = exact.filter(F.col("doc_id") == F.col("exact_rep"))
-
+    # Cached: `exact` feeds the gram pipeline (via survivors) AND the final
+    # verdict join — without the cache the normalize+window subtree executes
+    # twice. Both caches are released in the finally; the returned frame is
+    # eagerly checkpointed first so it reads its own materialization
+    # (same hygiene contract as min_label_components).
+    exact = norm.withColumn("exact_rep", F.min("doc_id").over(w_h)).cache()
     grams_expr = F.expr(
         "transform(sequence(1, greatest(size(toks) - 2, 1)),"
         " i -> array_join(slice(toks, i, 3), ' '))"
     )
-    grams = (
-        survivors.select("doc_id", "lang", "source", F.split("ntext", " ").alias("toks"))
-        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga, gb = grams.alias("a"), grams.alias("b")
-    pairs = (
-        ga.join(
-            gb,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    try:
+        survivors = exact.filter(F.col("doc_id") == F.col("exact_rep"))
+        grams = (
+            survivors.select("doc_id", "lang", "source", F.split("ntext", " ").alias("toks"))
+            .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+            .distinct()
+            .cache()
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    sim_edges = (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(jac >= NGRAM_JACCARD_TAU)
-        .select("doc_a", "doc_b")
-    )
-    clusters = min_label_components(spark, sim_edges)
-
-    cs = clusters.select(F.col("node").alias("doc_id"), F.col("label").alias("own_label"))
-    cr = clusters.select(F.col("node").alias("exact_rep"), F.col("label").alias("rep_label"))
-    return (
-        exact.join(cs, "doc_id", "left")
-        .join(cr, "exact_rep", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") != F.col("exact_rep"), "exact_dup")
-            .when(
-                F.col("own_label").isNotNull() & (F.col("own_label") != F.col("doc_id")),
-                "near_dup",
+        try:
+            sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+            ga, gb = grams.alias("a"), grams.alias("b")
+            pairs = (
+                ga.join(
+                    gb,
+                    (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.gram") == F.col("b.gram"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+                .agg(F.count(F.lit(1)).alias("n_common"))
             )
-            .otherwise("kept")
-            .alias("status"),
-            F.coalesce(F.col("rep_label"), F.col("exact_rep")).alias("kept_id"),
+            jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+            sim_edges = (
+                pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+                .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+                .filter(jac >= NGRAM_JACCARD_TAU)
+                .select("doc_a", "doc_b")
+            )
+            clusters = min_label_components(spark, sim_edges)
+        finally:
+            grams.unpersist()
+
+        cs = clusters.select(F.col("node").alias("doc_id"), F.col("label").alias("own_label"))
+        cr = clusters.select(F.col("node").alias("exact_rep"), F.col("label").alias("rep_label"))
+        verdict = (
+            exact.join(cs, "doc_id", "left")
+            .join(cr, "exact_rep", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") != F.col("exact_rep"), "exact_dup")
+                .when(
+                    F.col("own_label").isNotNull() & (F.col("own_label") != F.col("doc_id")),
+                    "near_dup",
+                )
+                .otherwise("kept")
+                .alias("status"),
+                F.coalesce(F.col("rep_label"), F.col("exact_rep")).alias("kept_id"),
+            )
         )
-    )
+        # one row per input doc — a cheap eager write that lets the caches go
+        return verdict.checkpoint(eager=True)
+    finally:
+        exact.unpersist()

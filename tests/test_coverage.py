@@ -107,6 +107,10 @@ EXTENSIONS = [
     "composite_discounted_revenue", "composite_excess_suppliers",
     "composite_sole_supplier", "composite_segment_opportunity",
     "composite_min_price_supplier",
+    # round 3: Arrow chunk-pair GEMM twin of sim_pairs
+    "sim_pairs_gemm",
+    # round 3: entropy profile, triangle counting, z-order layout
+    "agg_entropy", "graph_triangle_count", "sink_zorder",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
