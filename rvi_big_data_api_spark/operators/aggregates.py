@@ -643,3 +643,40 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n_users")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
     )
+
+
+@query("agg_sketch_rollup", oracle=None, tags=("agg", "sketch", "rows-only"))
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pre-aggregation pattern that makes
+    100 TB distinct-count dashboards cheap: build one HyperLogLog sketch per
+    (channel, day) cell ONCE (`hll_sketch_agg`), then answer the coarser
+    per-channel question by UNIONING the stored binary sketches
+    (`hll_union_agg`) instead of rescanning raw events. The per-cell sketch
+    table is what a real pipeline persists; re-aggregation touches
+    n_days × n_channels rows regardless of event volume.
+
+    Emits per channel: exact distinct vehicles, the sketch-union estimate,
+    and the summed per-day estimates (which OVERCOUNT revisiting vehicles —
+    the error the mergeable union exists to avoid). Rows-only by design:
+    DuckDB's approx_distinct is a different HLL implementation; Spark's
+    Datasketches binary is seed-stable, so the output is deterministic
+    across runs (the driver's re-run check still binds)."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct(F.col("user_id")).alias("exact_cell"),
+    )
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_union"),
+            F.sum(F.hll_sketch_estimate("sketch")).alias("est_summed_cells"),
+        )
+        .join(
+            ev.groupBy("event_type").agg(
+                F.count_distinct(F.col("user_id")).alias("exact_users")
+            ),
+            "event_type",
+        )
+        .select("event_type", "exact_users", "est_union", "est_summed_cells")
+    )

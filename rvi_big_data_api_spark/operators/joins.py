@@ -544,3 +544,86 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_click_event",
         (F.col("next_click_sec") - F.col("sec")).alias("wait_s"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+    cand AS (
+        SELECT p.event_id, p.user_id, p.ts AS pts,
+               c.event_id AS cid,
+               abs(epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS delta_us,
+               CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dir
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                      PARTITION BY event_id
+                      ORDER BY delta_us, dir,
+                               CASE WHEN dir = 0 THEN -cid ELSE cid END) AS rn
+        FROM cand
+    )
+    SELECT event_id, user_id, {duck_ts_str('pts')} AS purchase_ts,
+           cid AS nearest_click_event, delta_us
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "telemetry"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: for every purchase, the click closest in
+    time in EITHER direction (the sensor-alignment variant where the best
+    reading may be just after the probe point).
+
+    Completes the as-of matrix (backward `join_asof`, forward
+    `join_asof_forward`, banded `join_asof_tolerance`): ONE sort per user
+    serves two window passes — carry-forward last-click and carry-backward
+    first-click — then a per-row min on the two absolute deltas. Still one
+    shuffle and linear work; the twin is the quadratic rank-over-full-join
+    formulation. Ties at equal distance resolve backward-first, then to the
+    later backward / earlier forward click — mirrored exactly in both
+    engines."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.lit(1).alias("kind")
+    )
+    merged = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    order = [F.col("ts"), F.col("kind"), F.coalesce("click_id", "purchase_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    click_cell = F.when(
+        F.col("kind") == 0, F.struct(F.col("ts").alias("cts"), F.col("click_id").alias("cid"))
+    )
+    both = (
+        merged.withColumn("back", F.last(click_cell, ignorenulls=True).over(wb))
+        .withColumn("fwd", F.first(click_cell, ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    delta_b = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back.cts"))
+    delta_f = F.unix_micros(F.col("fwd.cts")) - F.unix_micros(F.col("ts"))
+    take_back = F.col("back").isNotNull() & (
+        F.col("fwd").isNull() | (delta_b <= delta_f)
+    )
+    return both.select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        ts_str("ts").alias("purchase_ts"),
+        F.when(take_back, F.col("back.cid")).otherwise(F.col("fwd.cid")).alias(
+            "nearest_click_event"
+        ),
+        F.when(take_back, delta_b).otherwise(delta_f).alias("delta_us"),
+    )

@@ -111,6 +111,8 @@ EXTENSIONS = [
     "sim_pairs_gemm",
     # round 3: entropy profile, triangle counting, z-order layout
     "agg_entropy", "graph_triangle_count", "sink_zorder",
+    # round 3: nearest as-of + mergeable-HLL rollup
+    "join_asof_nearest", "agg_sketch_rollup",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
@@ -122,6 +124,7 @@ EXPECTED_ROWS_ONLY = {
     "source_inmemory",      # literal rows, no fixture table
     "stream_late_data",     # watermark drop semantics have no batch twin
     "dedup_simhash",        # seeded xxhash64 signature
+    "agg_sketch_rollup",    # Datasketches HLL binary ≠ DuckDB's approx HLL
 }
 
 
