@@ -270,3 +270,73 @@ def test_winsorize_broadcasts_fences(spark, sf_dir):
     stream never shuffles for the clip join."""
     plan = plan_of(REGISTRY["clean_winsorize"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2500]
+
+
+def test_subquery_large_orders_bounded_heap(spark, sf_dir):
+    plan = plan_of(REGISTRY["composite_large_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_subquery_scalar_broadcasts_one_row(spark, sf_dir):
+    """Q22 shape: the scalar-subquery threshold must be a broadcast nested
+    loop over ONE row plus a left-anti for NOT EXISTS — never a shuffle."""
+    plan = plan_of(REGISTRY["composite_segment_opportunity"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_subquery_correlated_min_is_window(spark, sf_dir):
+    """Q2 shape: the correlated min decorrelates to a window over one
+    shuffle, not a second scan of the fact."""
+    df = REGISTRY["composite_min_price_supplier"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:2000]
+    assert plan.count("FileScan parquet") <= 5  # li + 3 dims + part, no re-scan
+
+
+def test_gemm_pairs_is_arrow_not_join(spark, sf_dir):
+    """sim_pairs_gemm runs as FlatMapGroupsInPandas (Arrow), with no
+    pair-level join and no cartesian anywhere."""
+    plan = plan_of(REGISTRY["sim_pairs_gemm"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    plan = plan_of(REGISTRY["graph_triangle_count"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gemm_chunk_count_invariance(spark, sf_dir):
+    """The chunk fan-out C is an execution knob, not a semantic one: pair
+    sets (and dots) must be identical for different C."""
+    from rvi_big_data_api_spark.operators import llm_sim
+    from rvi_big_data_api_spark.operators.llm_sim import block_pairs_gemm
+
+    e = load(spark, sf_dir, "embeddings")
+    tau = llm_sim.SIM_PAIRS_TAU
+
+    def rows(df):
+        return sorted(
+            (r["blk"], r["vec_a"], r["vec_b"], round(r["raw_dot"], 4))
+            for r in df.collect()
+        )
+
+    old = llm_sim.GEMM_CHUNKS
+    try:
+        llm_sim.GEMM_CHUNKS = 2
+        r2 = rows(block_pairs_gemm(e, "label", tau))
+        llm_sim.GEMM_CHUNKS = 5
+        r5 = rows(block_pairs_gemm(e, "label", tau))
+    finally:
+        llm_sim.GEMM_CHUNKS = old
+    assert r2 == r5 and len(r2) > 0
+
+
+def test_asof_nearest_is_linear_not_quadratic(spark, sf_dir):
+    plan = plan_of(REGISTRY["join_asof_nearest"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # union + two window passes over one sort; no join at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
