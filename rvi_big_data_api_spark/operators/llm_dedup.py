@@ -415,9 +415,16 @@ def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFram
 
     # `cached_labels` is always the handle that was ACTUALLY .cache()d —
     # unpersist() on a derived projection is a silent no-op (the round-1 leak).
-    cached_labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).cache()
+    # Initialization folds in the FIRST propagation hop for free: the same
+    # groupBy that enumerates distinct nodes also takes min(neighbor), so
+    # label₀ = min(node, min-neighbor) and the loop starts one round ahead
+    # (a diameter-2 dup cluster converges in 1 propagate + 1 confirm round).
+    cached_labels = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("mind"))
+        .select("node", F.least(F.col("node"), F.col("mind")).alias("label"))
+        .cache()
+    )
     labels = cached_labels
     try:
         for _round in range(20):  # cap >> duplicate-cluster diameter

@@ -406,3 +406,46 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk").alias("min_sk"),
         F.max("sk").alias("max_sk"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(CASE WHEN day(ts) >= 15 THEN 1 ELSE 0 END)::BIGINT AS n_v2,
+           round(sum(CASE WHEN day(ts) >= 15 THEN value ELSE 0 END), 2) AS v2_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("scan",),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the read problem every
+    long-lived dataset develops: generation v1 wrote (event_id, ts,
+    event_type), a later deploy added a `value` column. The sink writes the
+    two generations to one dataset; `mergeSchema` unions the footers so v1
+    rows surface with `value = NULL` and the aggregate treats them as
+    zero-contribution — no backfill rewrite of the v1 files.
+
+    At 100 TB this is the difference between an O(new-files) deploy and an
+    O(dataset) rewrite; the explicit-schema production path (`io.load`)
+    still pins the FINAL schema, with mergeSchema reserved for the
+    evolution read. The oracle recomputes the same split from the unified
+    fixture directly (v1 = days 1-14, v2 = days 15+)."""
+    out = scratch_dir(sf_dir, "evolution_events")
+    ev = load(spark, sf_dir, "events")
+    v1 = ev.filter(F.dayofmonth("ts") < 15).select("event_id", "ts", "event_type")
+    v2 = ev.filter(F.dayofmonth("ts") >= 15).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "gen=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "gen=v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=v1"), os.path.join(out, "gen=v2")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).alias("n_v2"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("v2_value"),
+    )

@@ -113,6 +113,8 @@ EXTENSIONS = [
     "agg_entropy", "graph_triangle_count", "sink_zorder",
     # round 3: nearest as-of + mergeable-HLL rollup
     "join_asof_nearest", "agg_sketch_rollup",
+    # round 3: mergeSchema read across file generations
+    "scan_schema_evolution",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
