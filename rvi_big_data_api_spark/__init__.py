@@ -77,6 +77,17 @@ PRIORITY_UNVERIFIED: list[str] = [
     "sim_rerank", "corpus_dedup_pipeline", "profile_table",
     "agg_moments", "win_ewma", "join_asof_forward", "udtf_grouped_arrow",
     "stream_topk",
+    # round-3 additions (registered this round, so they queue behind the
+    # older never-verified block and reach the driver's cap in later rounds)
+    "composite_forecast_revenue", "composite_volume_shipping",
+    "composite_product_profit", "composite_important_parts",
+    "composite_shipmode_priority", "composite_parts_supplier_counts",
+    "composite_small_qty_revenue", "composite_large_orders",
+    "composite_discounted_revenue", "composite_excess_suppliers",
+    "composite_sole_supplier", "composite_segment_opportunity",
+    "composite_min_price_supplier",
+    "sim_pairs_gemm", "agg_entropy", "graph_triangle_count", "sink_zorder",
+    "join_asof_nearest", "agg_sketch_rollup", "scan_schema_evolution",
 ]
 
 PRIORITY_VERIFIED: list[str] = [
