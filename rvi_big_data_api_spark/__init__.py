@@ -88,6 +88,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "composite_min_price_supplier",
     "sim_pairs_gemm", "agg_entropy", "graph_triangle_count", "sink_zorder",
     "join_asof_nearest", "agg_sketch_rollup", "scan_schema_evolution",
+    "trip_distance", "geo_geofence",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

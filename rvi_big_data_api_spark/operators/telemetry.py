@@ -927,3 +927,164 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             clipped.alias("clipped"),
         )
     )
+
+
+_HAVERSINE_DUCK = """2 * 6371.0 * asin(least(1.0, sqrt(
+               pow(sin(radians(lat - prev_lat) / 2), 2)
+               + cos(radians(prev_lat)) * cos(radians(lat))
+               * pow(sin(radians(lon - prev_lon) / 2), 2))))"""
+
+
+@query(
+    "trip_distance",
+    oracle=_DUCK_SESSIONS
+    + f"""
+    , pts AS (
+        SELECT user_id, session_id, sec, event_id,
+               value % 170.0 - 85.0 AS lat,
+               event_id::DOUBLE % 360.0 - 180.0 AS lon
+        FROM sessions
+    ),
+    legs AS (
+        SELECT user_id, session_id, lat, lon,
+               lag(lat) OVER w AS prev_lat,
+               lag(lon) OVER w AS prev_lon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id, session_id ORDER BY sec, event_id)
+    )
+    SELECT user_id, session_id,
+           count(*)::BIGINT AS n_legs,
+           round(sum({_HAVERSINE_DUCK}), 2) AS dist_km
+    FROM legs WHERE prev_lat IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("telemetry",),
+)
+def trip_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trip path length — the odometer product the reference derived
+    from raw fixes: sessionize (30-min gap), order each trip's fixes, sum
+    consecutive great-circle legs. One row per multi-fix (vehicle, trip).
+
+    Composition stays linear: the SAME user_id shuffle serves sessionize's
+    two windows AND the per-trip lag (session_id is a function of the sort
+    the partition already has), then legs absorb into a partial-agg sum.
+    Pseudo-coordinates derive from value/event_id exactly as haversine_dist;
+    the leg formula is textually identical in both dialects, and the per-
+    trip sum (~70 legs max) rounds at 2 dp — far above double reorder
+    noise."""
+    s = sessionized_events(spark, sf_dir).select(
+        "user_id",
+        "session_id",
+        "sec",
+        "event_id",
+        (F.col("value") % 170.0 - 85.0).alias("lat"),
+        (F.col("event_id").cast("double") % 360.0 - 180.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id", "session_id").orderBy("sec", "event_id")
+    legs = s.select(
+        "user_id",
+        "session_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("prev_lat"),
+        F.lag("lon").over(w).alias("prev_lon"),
+    ).filter(F.col("prev_lat").isNotNull())
+    dlat = F.radians(F.col("lat") - F.col("prev_lat")) / 2
+    dlon = F.radians(F.col("lon") - F.col("prev_lon")) / 2
+    a = F.pow(F.sin(dlat), 2) + F.cos(F.radians("prev_lat")) * F.cos(
+        F.radians("lat")
+    ) * F.pow(F.sin(dlon), 2)
+    leg_km = 2 * 6371.0 * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+    return legs.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.round(F.sum(leg_km), 2).alias("dist_km"),
+    )
+
+
+GEOFENCE_ZONES = [
+    (1, 0.0, 0.0, 3000.0),
+    (2, 45.0, 90.0, 2500.0),
+    (3, -45.0, -90.0, 2000.0),
+    (4, 60.0, -150.0, 1500.0),
+    (5, -70.0, 120.0, 1000.0),
+]
+
+
+@query(
+    "geo_geofence",
+    oracle=f"""
+    WITH zones(zone_id, zlat, zlon, radius_km) AS (
+        VALUES {", ".join(f"({z}, {la}, {lo}, {r})" for z, la, lo, r in GEOFENCE_ZONES)}
+    ),
+    pts AS (
+        SELECT event_id, user_id, event_type,
+               value % 170.0 - 85.0 AS lat,
+               event_id::DOUBLE % 360.0 - 180.0 AS lon
+        FROM events
+    ),
+    scored AS (
+        SELECT p.event_id, p.user_id, z.zone_id,
+               2 * 6371.0 * asin(least(1.0, sqrt(
+                   pow(sin(radians(p.lat - z.zlat) / 2), 2)
+                   + cos(radians(z.zlat)) * cos(radians(p.lat))
+                   * pow(sin(radians(p.lon - z.zlon) / 2), 2)))) AS dist_km,
+               z.radius_km
+        FROM pts p CROSS JOIN zones z
+    ),
+    nearest AS (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY dist_km, zone_id) AS rn
+        FROM scored WHERE dist_km <= radius_km
+    )
+    SELECT zone_id,
+           count(*)::BIGINT AS n_fixes,
+           count(DISTINCT user_id)::BIGINT AS n_vehicles,
+           round(avg(dist_km), 3) AS avg_dist_km
+    FROM nearest WHERE rn = 1
+    GROUP BY 1
+    """,
+    tags=("telemetry", "geo"),
+)
+def geo_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence classification — the fleet-ops staple: assign every fix to
+    the nearest zone whose radius contains it, then report per-zone traffic
+    (fix count, distinct vehicles, mean distance to center).
+
+    The zone table is a literal broadcast (5 rows — at scale still only
+    thousands, always broadcastable): the 'cross join' is a map-side loop
+    over a handful of centers with zero shuffle; the only exchange is the
+    final per-zone aggregate. Containment (dist ≤ radius) compares
+    IEEE-identical expression trees in both engines, so the boundary never
+    flaps; nearest ties break on zone_id."""
+    ev = load(spark, sf_dir, "events")
+    zones = spark.createDataFrame(
+        GEOFENCE_ZONES, "zone_id int, zlat double, zlon double, radius_km double"
+    )
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") % 170.0 - 85.0).alias("lat"),
+        (F.col("event_id").cast("double") % 360.0 - 180.0).alias("lon"),
+    )
+    dlat = F.radians(F.col("lat") - F.col("zlat")) / 2
+    dlon = F.radians(F.col("lon") - F.col("zlon")) / 2
+    a = F.pow(F.sin(dlat), 2) + F.cos(F.radians("zlat")) * F.cos(
+        F.radians("lat")
+    ) * F.pow(F.sin(dlon), 2)
+    dist = 2 * 6371.0 * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+    scored = (
+        pts.crossJoin(F.broadcast(zones))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= F.col("radius_km"))
+    )
+    w = Window.partitionBy("event_id").orderBy("dist_km", "zone_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.countDistinct("user_id").alias("n_vehicles"),
+            F.round(F.avg("dist_km"), 3).alias("avg_dist_km"),
+        )
+    )

@@ -115,6 +115,8 @@ EXTENSIONS = [
     "join_asof_nearest", "agg_sketch_rollup",
     # round 3: mergeSchema read across file generations
     "scan_schema_evolution",
+    # round 3: per-trip path length + geofence classification
+    "trip_distance", "geo_geofence",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
