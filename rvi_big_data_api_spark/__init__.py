@@ -88,7 +88,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "composite_min_price_supplier",
     "sim_pairs_gemm", "agg_entropy", "graph_triangle_count", "sink_zorder",
     "join_asof_nearest", "agg_sketch_rollup", "scan_schema_evolution",
-    "trip_distance", "geo_geofence",
+    "trip_distance", "geo_geofence", "sim_range",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -811,3 +811,43 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
         )
     )
+
+
+SIM_RANGE_R = 0.30      # radius (cosine) — nothing in the fixture sits near it
+SIM_RANGE_NQUERIES = 8  # query batch size
+
+
+@query(
+    "sim_range",
+    oracle=f"""
+    SELECT q.vec_id AS qid, e.vec_id,
+           round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS dot
+    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+    WHERE q.vec_id < {SIM_RANGE_NQUERIES}
+      AND list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= {SIM_RANGE_R}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search — the similarity-API sibling of top-k: ALL
+    corpus vectors within cosine ≥ r of each query, result size data-driven
+    rather than k-bounded (the retrieval mode dedup thresholds and
+    contamination checks want).
+
+    Same scale shape as sim_topk: broadcast the query batch, score the
+    partitioned corpus map-side, emit only in-radius rows — no shuffle at
+    all (the filter replaces top-k's rank window, so range search is
+    actually CHEAPER than top-k at scale). The radius compare uses the
+    bit-identical double fold (PARITY.md #9), so membership is exact."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_RANGE_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    d = dot(F.col("q_emb"), F.col("embedding"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("raw_dot", d)
+        .filter(F.col("raw_dot") >= SIM_RANGE_R)
+        .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"))
+    )

@@ -320,10 +320,10 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Note on Spark 4's successor API: `transformWithStateInPandas` (ValueState/
     ListState/MapState + timers) was probed in round 1 and re-checked in
-    round 2: its Python runner requires `google.protobuf`, which is still not
-    importable in this container (STREAMING_PYTHON_RUNNER_INITIALIZATION_
-    FAILURE) — applyInPandasWithState is the supported path here and carries
-    the same per-key-state semantics."""
+    rounds 2 and 3: its Python runner requires `google.protobuf`, which is
+    still not importable in this container (STREAMING_PYTHON_RUNNER_
+    INITIALIZATION_FAILURE) — applyInPandasWithState is the supported path
+    here and carries the same per-key-state semantics."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -117,6 +117,8 @@ EXTENSIONS = [
     "scan_schema_evolution",
     # round 3: per-trip path length + geofence classification
     "trip_distance", "geo_geofence",
+    # round 3: radius similarity search
+    "sim_range",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
