@@ -680,3 +680,45 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "exact_users", "est_union", "est_summed_cells")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+        -- 63-bit words: bit 63 would overflow DuckDB's checked << (Spark
+        -- wraps to the sign bit); 0..62 shifts are safe in both engines
+        SELECT event_type, user_id // 63 AS word_idx,
+               bit_or(1::BIGINT << (user_id % 63)::INT) AS word
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           sum(bit_count(word))::BIGINT AS n_distinct_users,
+           count(*)::BIGINT AS n_words
+    FROM words GROUP BY 1
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps — the third point on
+    the distinct-count spectrum after exact count_distinct (full shuffle of
+    keys) and HLL (approximate, fixed size): dense integer keys pack into
+    63-bit words with bit_or (bit 63 avoided: DuckDB's checked shift raises
+    where Java wraps), a MERGEABLE aggregate, so pre-aggregated
+    per-segment words re-aggregate into exact global counts without ever
+    re-touching raw rows — same pattern as agg_sketch_rollup but exact
+    (ClickHouse's groupBitmap / Roaring-bitmap trick in plain SQL).
+
+    Shuffle carries one long per (group, word) — for a 10M-vehicle fleet
+    that's 160 k words/group regardless of event volume. Pure integer bit
+    math, identical in both engines."""
+    ev = load(spark, sf_dir, "events")
+    words = ev.groupBy(
+        "event_type", (F.col("user_id") / 63).cast("long").alias("word_idx")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(user_id % 63 AS INT))")).alias("word")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).alias("n_distinct_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

@@ -1088,3 +1088,75 @@ def geo_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dist_km"), 3).alias("avg_dist_km"),
         )
     )
+
+
+CDC_CUTOFF_DAY = 20  # base snapshot = days < 20; change batch = days >= 20
+
+
+@query(
+    "cdc_merge",
+    oracle=f"""
+    WITH keyed AS (
+        -- composite (ts, event_id) tie-break packed into ONE BIGINT
+        -- (DuckDB 1.0 lacks composite arg_max — PARITY.md #7):
+        -- epoch seconds * 2^21 + event_id, collision-free while
+        -- event_id < 2^21 (max observed ~10^5 at sf0.1)
+        SELECT *, epoch(ts)::BIGINT * 2097152 + event_id AS ord
+        FROM events
+    ),
+    base AS (
+        SELECT user_id, arg_max(value, ord) AS value,
+               arg_max(event_id, ord) AS src_event
+        FROM keyed WHERE day(ts) < {CDC_CUTOFF_DAY}
+        GROUP BY user_id
+    ),
+    changes AS (
+        SELECT user_id, arg_max(value, ord) AS value,
+               arg_max(event_id, ord) AS src_event
+        FROM keyed WHERE day(ts) >= {CDC_CUTOFF_DAY}
+        GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           coalesce(c.value, b.value) AS value,
+           coalesce(c.src_event, b.src_event) AS src_event,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN c.user_id IS NULL THEN 'unchanged'
+                ELSE 'update' END AS merge_action
+    FROM base b FULL JOIN changes c ON b.user_id = c.user_id
+    """,
+    tags=("telemetry", "cdc"),
+)
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (CDC upsert) — the incremental-pipeline primitive: a base
+    snapshot (latest reading per vehicle before the cutoff) merged with a
+    change batch (latest after), emitting the new state plus the merge
+    action (insert / update / unchanged) per key.
+
+    The MERGE INTO shape without a table format: both sides reduce to
+    latest-per-key first (max_by on a (ts, event_id) tie-break packed into
+    one BIGINT — PARITY.md #7), so the full-outer join matches one row per
+    key per side;
+    at 100 TB both reductions are partial-agg friendly and the join shuffles
+    on the merge key exactly once. A real deployment points the same plan at
+    a Delta/Iceberg MERGE; the semantics here are engine-level and
+    format-free."""
+    ev = load(spark, sf_dir, "events")
+    key = F.unix_timestamp(F.col("ts")) * 2097152 + F.col("event_id")
+
+    def latest(side: DataFrame) -> DataFrame:
+        return side.groupBy("user_id").agg(
+            F.max_by("value", key).alias("value"),
+            F.max_by("event_id", key).alias("src_event"),
+        )
+
+    base = latest(ev.filter(F.dayofmonth("ts") < CDC_CUTOFF_DAY)).alias("b")
+    changes = latest(ev.filter(F.dayofmonth("ts") >= CDC_CUTOFF_DAY)).alias("c")
+    return base.join(changes, F.col("b.user_id") == F.col("c.user_id"), "full").select(
+        F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("c.value"), F.col("b.value")).alias("value"),
+        F.coalesce(F.col("c.src_event"), F.col("b.src_event")).alias("src_event"),
+        F.when(F.col("b.user_id").isNull(), "insert")
+        .when(F.col("c.user_id").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("merge_action"),
+    )

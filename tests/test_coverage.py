@@ -119,6 +119,8 @@ EXTENSIONS = [
     "trip_distance", "geo_geofence",
     # round 3: radius similarity search
     "sim_range",
+    # round 3: batch MERGE upsert + exact bitmap distinct
+    "cdc_merge", "agg_bitmap_distinct",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
