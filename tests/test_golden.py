@@ -371,3 +371,42 @@ class TestTopSupplierTie:
         with mock.patch.object(A, "load", lambda s, d, n: tables[n]):
             out = sorted(r.s_suppkey for r in A.composite_top_supplier(spark, "ignored").collect())
         assert out == [11, 12], out  # both hit the 100.0 max
+
+
+class TestMinLabelComponents:
+    """Edge semantics of the shared CC primitive (fixture graphs are tiny
+    near-cliques; these pin chains, cycles, and multi-component graphs —
+    including diameter > 2, which exercises the loop beyond the hop-folded
+    initialization)."""
+
+    def _cc(self, spark, pairs):
+        from rvi_big_data_api_spark.operators.llm_dedup import min_label_components
+
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        out = min_label_components(spark, edges)
+        return {r["node"]: r["label"] for r in out.collect()}
+
+    def test_chain_diameter_4_converges_to_min(self, spark):
+        # 1-2-3-4-5: min label must traverse 4 hops
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    def test_cycle_and_separate_component(self, spark):
+        got = self._cc(spark, [(10, 11), (11, 12), (12, 10), (20, 21)])
+        assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_two_cliques_bridged(self, spark):
+        # two triangles joined by one bridge edge collapse to one label
+        got = self._cc(
+            spark,
+            [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)],
+        )
+        assert set(got.values()) == {1} and len(got) == 6
+
+    def test_result_survives_cache_release(self, spark):
+        # returned frame reads its checkpoint: two actions agree
+        from rvi_big_data_api_spark.operators.llm_dedup import min_label_components
+
+        edges = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+        out = min_label_components(spark, edges)
+        assert out.count() == out.count() == 4
