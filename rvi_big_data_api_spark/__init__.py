@@ -89,7 +89,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "sim_pairs_gemm", "agg_entropy", "graph_triangle_count", "sink_zorder",
     "join_asof_nearest", "agg_sketch_rollup", "scan_schema_evolution",
     "trip_distance", "geo_geofence", "sim_range",
-    "cdc_merge", "agg_bitmap_distinct",
+    "cdc_merge", "agg_bitmap_distinct", "agg_correlation",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

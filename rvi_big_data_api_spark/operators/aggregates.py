@@ -722,3 +722,58 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("word")).alias("n_distinct_users"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+@query(
+    "agg_correlation",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id, day(ts) AS d,
+               avg(CASE WHEN event_type = 'click' THEN value END) AS x,
+               avg(CASE WHEN event_type = 'view'  THEN value END) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL
+    )
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0),
+                 6) AS corr_click_view
+    FROM sums
+    """,
+    tags=("agg", "stats"),
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel correlation (does click intensity track view intensity
+    per vehicle-day?) — computed from RAW power sums in one pass, NOT
+    Spark's corr()/DuckDB's corr() builtins, whose estimator pipelines
+    differ in evaluation order; Σx, Σy, Σxy, Σx², Σy² are the same
+    arithmetic everywhere (the agg_moments discipline), so the twin is
+    exact to the 6-dp round.
+
+    Two partial-agg passes: (vehicle, day) cell averages, then one global
+    fold of five sums — shuffle volume is cell count then one row."""
+    ev = load(spark, sf_dir, "events")
+    t = F.col("event_type")
+    cells = ev.groupBy("user_id", F.dayofmonth("ts").alias("d")).agg(
+        F.avg(F.when(t == "click", F.col("value"))).alias("x"),
+        F.avg(F.when(t == "view", F.col("value"))).alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    sums = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    return sums.select(
+        "n", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr_click_view")
+    )

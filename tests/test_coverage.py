@@ -121,6 +121,8 @@ EXTENSIONS = [
     "sim_range",
     # round 3: batch MERGE upsert + exact bitmap distinct
     "cdc_merge", "agg_bitmap_distinct",
+    # round 3: raw-sums cross-channel correlation
+    "agg_correlation",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
