@@ -449,3 +449,91 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).alias("n_v2"),
         F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("v2_value"),
     )
+
+
+# --- Python DataSource API (Spark 4): a custom source, not a file format ----
+SIM_CHANNELS = ("speed", "rpm", "fuel", "temp", "gps")
+SIM_PARTITIONS = 8
+SIM_ROWS_PER_PARTITION = 1000
+
+
+def _register_rvi_sim(spark: SparkSession) -> None:
+    """Define + register the `rvi_sim` Python data source lazily (classes
+    built inside so the module imports even if a future environment lacks
+    pyspark.sql.datasource; registration is idempotent per session)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class RviSimReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("partitions", SIM_PARTITIONS))
+            self.rows = int(options.get("rowsperpartition", SIM_ROWS_PER_PARTITION))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows
+            for i in range(self.rows):
+                rid = base + i
+                yield (
+                    rid,
+                    f"vin-{rid % 50}",
+                    SIM_CHANNELS[rid % 5],
+                    ((rid * 37) % 1000) / 10.0,
+                )
+
+    class RviSimDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "rvi_sim"
+
+        def schema(self):
+            return "report_id bigint, vin string, channel string, reading double"
+
+        def reader(self, schema):
+            return RviSimReader(self.options)
+
+    spark.dataSource.register(RviSimDataSource)
+
+
+@query(
+    "source_python_datasource",
+    oracle=f"""
+    WITH sim AS (
+        SELECT g AS report_id,
+               'vin-' || (g % 50) AS vin,
+               list_value('speed','rpm','fuel','temp','gps')[(g % 5) + 1] AS channel,
+               ((g * 37) % 1000) / 10.0 AS reading
+        FROM generate_series(0, {SIM_PARTITIONS * SIM_ROWS_PER_PARTITION - 1}) t(g)
+    )
+    SELECT channel,
+           count(*)::BIGINT AS n_reports,
+           count(DISTINCT vin)::BIGINT AS n_vins,
+           round(sum(reading), 2) AS sum_reading
+    FROM sim GROUP BY 1
+    """,
+    tags=("source",),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python DataSource API — the modern
+    answer to the reference's bespoke Cassandra connector: a planner-visible
+    source with ITS OWN partitioning (each InputPartition reads
+    independently in parallel — the executor-side generator stands where a
+    per-token-range Cassandra read or a REST/queue page fetch would go).
+
+    The generated report stream is pure arithmetic of the global row id, so
+    a SQL twin reproduces it exactly from generate_series — the source's
+    output is hash-verified like every file scan. Arrow-batched row
+    delivery; the aggregate downstream is ordinary Catalyst planning."""
+    _register_rvi_sim(spark)
+    sim = (
+        spark.read.format("rvi_sim")
+        .option("partitions", SIM_PARTITIONS)
+        .option("rowsPerPartition", SIM_ROWS_PER_PARTITION)
+        .load()
+    )
+    return sim.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_reports"),
+        F.countDistinct("vin").alias("n_vins"),
+        F.round(F.sum("reading"), 2).alias("sum_reading"),
+    )

@@ -123,6 +123,8 @@ EXTENSIONS = [
     "cdc_merge", "agg_bitmap_distinct",
     # round 3: raw-sums cross-channel correlation
     "agg_correlation",
+    # round 3: Spark-4 Python DataSource custom connector
+    "source_python_datasource",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
