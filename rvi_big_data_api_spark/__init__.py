@@ -90,7 +90,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "join_asof_nearest", "agg_sketch_rollup", "scan_schema_evolution",
     "trip_distance", "geo_geofence", "sim_range",
     "cdc_merge", "agg_bitmap_distinct", "agg_correlation",
-    "source_python_datasource",
+    "source_python_datasource", "stream_python_source",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -630,3 +630,110 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(STREAM_TOPK_N)
     )
     return run_to_table(sdf, sf_dir, "topk", "complete")
+
+
+# --- Spark 4 Python DataSource: custom STREAMING source -----------------------
+STREAM_SIM_BATCHES = 3
+STREAM_SIM_ROWS = 1000  # rows per micro-batch
+STREAM_SIM_VINS = 40
+
+
+def _register_rvi_sim_stream(spark: SparkSession) -> None:
+    """Custom streaming connector via the Python DataSource API: a
+    SimpleDataSourceStreamReader whose offset is the micro-batch index —
+    the structure a queue/REST poller has (read from offset, return rows +
+    next offset, replay any offset range for recovery)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def _batch_rows(b: int) -> list:
+        # plain list, not a generator: the runner pickles the returned rows
+        # into its prefetch cache
+        base = b * STREAM_SIM_ROWS
+        return [
+            (rid, f"vin-{rid % STREAM_SIM_VINS}", ((rid * 31) % 500) / 10.0)
+            for rid in range(base, base + STREAM_SIM_ROWS)
+        ]
+
+    class SimStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def read(self, start):
+            b = start["batch"]
+            if b >= STREAM_SIM_BATCHES:
+                return iter([]), start  # dry — offset stops advancing
+            # iter() over a list: the runner requires an iterator, and
+            # list_iterator pickles into the prefetch cache (a generator
+            # would not)
+            return iter(_batch_rows(b)), {"batch": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            rows: list = []
+            for b in range(start["batch"], end["batch"]):
+                rows.extend(_batch_rows(b))
+            return iter(rows)
+
+    class RviSimStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "rvi_sim_stream"
+
+        def schema(self):
+            return "report_id bigint, vin string, reading double"
+
+        def simpleStreamReader(self, schema):
+            return SimStreamReader()
+
+    spark.dataSource.register(RviSimStreamSource)
+
+
+@query(
+    "stream_python_source",
+    oracle=f"""
+    WITH sim AS (
+        SELECT g AS report_id,
+               'vin-' || (g % {STREAM_SIM_VINS}) AS vin,
+               ((g * 31) % 500) / 10.0 AS reading
+        FROM generate_series(0, {STREAM_SIM_BATCHES * STREAM_SIM_ROWS - 1}) t(g)
+    )
+    SELECT vin,
+           count(*)::BIGINT AS n_reports,
+           round(sum(reading), 2) AS sum_reading
+    FROM sim GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over the CUSTOM Python connector — completing
+    the connector matrix (batch custom source: `source_python_datasource`):
+    offsets advance one micro-batch per trigger exactly as a queue poller's
+    would, the checkpoint records them, and recovery replays
+    readBetweenOffsets. The deterministic stream dries up after a fixed
+    offset, so repeated AvailableNow starts against one checkpoint drain it
+    completely; the aggregate is served from the accumulated sink and
+    hash-verified against a generate_series twin of the whole stream."""
+    _register_rvi_sim_stream(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"st_pysrc_{key}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_pysrc_")
+    sink = tempfile.mkdtemp(prefix="sink_pysrc_")
+    # each AvailableNow start consumes the offsets available at start (one
+    # simple-reader prefetch); loop until the offset stops advancing — the
+    # restart-with-same-checkpoint cycle every production stream exercises
+    for _ in range(STREAM_SIM_BATCHES + 1):
+        q = (
+            spark.readStream.format("rvi_sim_stream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    acc = spark.read.schema("report_id long, vin string, reading double").parquet(sink)
+    _ = name  # memory-sink naming convention kept for grep-ability
+    return acc.groupBy("vin").agg(
+        F.count(F.lit(1)).alias("n_reports"),
+        F.round(F.sum("reading"), 2).alias("sum_reading"),
+    )

@@ -123,8 +123,8 @@ EXTENSIONS = [
     "cdc_merge", "agg_bitmap_distinct",
     # round 3: raw-sums cross-channel correlation
     "agg_correlation",
-    # round 3: Spark-4 Python DataSource custom connector
-    "source_python_datasource",
+    # round 3: Spark-4 Python DataSource custom connector (batch + stream)
+    "source_python_datasource", "stream_python_source",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
