@@ -366,3 +366,74 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
         F.col("p_name").rlike("(?i)[bcdfghjklmnpqrstvwxz]{3}").alias("has_consonant_run"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+           max(json_extract_string(props, '$.k')::INT) AS max_k,
+           sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_missing
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("scalar", "variant"),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via Spark 4's VariantType — the modern
+    replacement for string-JSON hot paths: `parse_json` builds the binary
+    variant ONCE, then typed `try_variant_get` extractions are
+    O(field-access) instead of re-parsing the JSON text per expression
+    (the reference's loosely-typed RVI payload column, upgraded).
+
+    Missing paths return NULL under try_variant_get (counted here), exactly
+    mirroring the twin's json_extract semantics; the variant never leaves
+    the plan — outputs are ordinary typed columns, so the oracle needs no
+    variant support."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "int")
+    missing = F.try_variant_get("v", "$.missing", "string")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE value > 50.0
+    GROUP BY event_type
+    """,
+    tags=("scalar", "sql"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL entry point (SURVEY.md §3.3 hardened): named
+    parameters (`:threshold`) bind VALUES injection-safely, and the
+    IDENTIFIER() clause binds a COLUMN NAME from a parameter without string
+    concatenation — the two pieces a query service needs before exposing
+    SQL templates to callers. The DataFrame is passed positionally into the
+    query via a {df} template slot, so no temp-view state leaks between
+    calls."""
+    ev = load(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM {ev}
+        WHERE value > :threshold
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"grp": "event_type", "threshold": 50.0},
+        ev=ev,
+    )

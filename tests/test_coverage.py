@@ -125,6 +125,8 @@ EXTENSIONS = [
     "agg_correlation",
     # round 3: Spark-4 Python DataSource custom connector (batch + stream)
     "source_python_datasource", "stream_python_source",
+    # round 3: VariantType payloads + parameterized/IDENTIFIER SQL
+    "fn_variant", "sql_parameterized",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
