@@ -437,3 +437,45 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"grp": "event_type", "threshold": 50.0},
         ev=ev,
     )
+
+
+@query(
+    "pandas_api_pipeline",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY 1
+    """,
+    tags=("scalar", "pandas-api"),
+)
+def pandas_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third API surface — pandas-on-Spark (`pyspark.pandas`): the same
+    filter → groupby → agg pipeline a pandas user writes verbatim, planned
+    by Catalyst underneath (one partial-agg shuffle, identical to the
+    DataFrame form — NOT driver-side pandas). `to_spark()` hands the result
+    back as an ordinary DataFrame, so pandas-idiom code slots into the same
+    registry/oracle contract as everything else.
+
+    Scale note: pandas-on-Spark is a planning veneer; operations that would
+    need a global row order (iloc, shift without window) inject sorts — the
+    pipeline here uses only order-free idioms, which is the discipline that
+    keeps the veneer scale-safe."""
+    import pyspark.pandas as ps
+
+    from ..io import table_path
+
+    psdf = ps.read_parquet(table_path(sf_dir, "customer"))
+    pos = psdf[psdf["c_acctbal"] > 0]
+    g = pos.groupby("c_mktsegment").agg({"c_acctbal": ["count", "sum", "mean"]})
+    g.columns = ["n_customers", "total_bal", "avg_bal"]
+    out = g.reset_index().to_spark()
+    return out.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round("total_bal", 2).alias("total_bal"),
+        F.round("avg_bal", 4).alias("avg_bal"),
+    )

@@ -453,8 +453,8 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Python DataSource API (Spark 4): a custom source, not a file format ----
 SIM_CHANNELS = ("speed", "rpm", "fuel", "temp", "gps")
-SIM_PARTITIONS = 8
-SIM_ROWS_PER_PARTITION = 1000
+SIM_PARTITIONS = 4      # worker startup dominates at fixture scale
+SIM_ROWS_PER_PARTITION = 2000
 
 
 def _register_rvi_sim(spark: SparkSession) -> None:

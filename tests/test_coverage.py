@@ -127,6 +127,8 @@ EXTENSIONS = [
     "source_python_datasource", "stream_python_source",
     # round 3: VariantType payloads + parameterized/IDENTIFIER SQL
     "fn_variant", "sql_parameterized",
+    # round 3: pandas-on-Spark API surface
+    "pandas_api_pipeline",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
