@@ -91,7 +91,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "trip_distance", "geo_geofence", "sim_range",
     "cdc_merge", "agg_bitmap_distinct", "agg_correlation",
     "source_python_datasource", "stream_python_source",
-    "fn_variant", "sql_parameterized", "pandas_api_pipeline",
+    "fn_variant", "sql_parameterized", "pandas_api_pipeline", "sql_lateral",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -632,3 +632,54 @@ def composite_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_brand", F.round("min_price", 4).alias("unit_price"))
         .agg(F.min("l_suppkey").alias("s_suppkey"))
     )
+
+
+@query(
+    "sql_lateral",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey,
+           t.l_linenumber AS top_linenumber,
+           t.l_extendedprice AS top_price
+    FROM orders o,
+    LATERAL (
+        SELECT l.l_linenumber, l.l_extendedprice
+        FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY l.l_extendedprice DESC, l.l_linenumber
+        LIMIT 1
+    ) t
+    WHERE o.o_totalprice > 400000
+    """,
+    tags=("analytics", "subquery", "sql"),
+)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL entry point — the
+    per-row-subquery syntax users reach for before they know window
+    functions: "for each big order, its priciest line".
+
+    Catalyst decorrelates the LATERAL ... LIMIT 1 into a partitioned
+    rank-and-filter (DecorrelateInnerQuery) — the physical plan is the same
+    window top-1 that `topk_per_group` declares directly, NOT a per-row
+    re-execution; this query pins that the SQL sugar and the DataFrame
+    idiom land on one plan. Identical LATERAL syntax runs in the DuckDB
+    twin."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS o_orderkey,
+               t.l_linenumber AS top_linenumber,
+               t.l_extendedprice AS top_price
+        FROM {orders} o,
+        LATERAL (
+            SELECT l.l_linenumber, l.l_extendedprice
+            FROM {li} l
+            WHERE l.l_orderkey = o.o_orderkey
+            ORDER BY l.l_extendedprice DESC, l.l_linenumber
+            LIMIT 1
+        ) t
+        WHERE o.o_totalprice > 400000
+        """,
+        orders=orders,
+        li=li,
+    )

@@ -129,6 +129,8 @@ EXTENSIONS = [
     "fn_variant", "sql_parameterized",
     # round 3: pandas-on-Spark API surface
     "pandas_api_pipeline",
+    # round 3: correlated LATERAL through the SQL entry point
+    "sql_lateral",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
