@@ -683,3 +683,69 @@ def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders=orders,
         li=li,
     )
+
+
+@query(
+    "sql_recursive",
+    oracle="""
+    WITH RECURSIVE vehicles AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id >= 1
+    ),
+    chain(u, cur, depth) AS (
+        SELECT user_id, user_id, 0 FROM vehicles
+        UNION ALL
+        SELECT u, cur // 2, depth + 1 FROM chain WHERE cur > 1
+    ),
+    depths AS (
+        SELECT u AS user_id, max(depth) AS escalation_depth,
+               sum(cur)::BIGINT AS chain_sum
+        FROM chain GROUP BY u
+    )
+    SELECT escalation_depth,
+           count(*)::BIGINT AS n_vehicles,
+           min(user_id) AS min_user,
+           max(user_id) AS max_user,
+           sum(chain_sum)::BIGINT AS total_chain_sum
+    FROM depths GROUP BY 1
+    """,
+    tags=("analytics", "subquery", "sql", "recursive"),
+)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL entry point — new in Spark 4 (the
+    hierarchy/BOM-explosion surface DuckDB answers with WITH RECURSIVE, now
+    answerable in BOTH engines with the SAME text): each vehicle escalates
+    to hub `id // 2` until the root, and the query walks every chain,
+    reporting the fleet's escalation-depth distribution.
+
+    Spark executes the recursion as iterated UNION ALL expansion with a
+    per-level plan (conf spark.sql.cteRecursionLevelLimit bounds runaway
+    recursion; this chain is ≤ ⌈log2(max user)⌉ ≈ 11 levels). Only
+    UNION ALL recursion is supported as of 4.1 — cyclic closures (the
+    dedup_cluster oracle's UNION form) still need the iterative DataFrame
+    loop; documented boundary, same text both engines here because the walk
+    is acyclic."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_rec_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE vehicles AS (
+            SELECT DISTINCT user_id FROM _rec_events WHERE user_id >= 1
+        ),
+        chain(u, cur, depth) AS (
+            SELECT user_id, user_id, 0 FROM vehicles
+            UNION ALL
+            SELECT u, cur DIV 2, depth + 1 FROM chain WHERE cur > 1
+        ),
+        depths AS (
+            SELECT u AS user_id, max(depth) AS escalation_depth,
+                   sum(cur) AS chain_sum
+            FROM chain GROUP BY u
+        )
+        SELECT escalation_depth,
+               count(*) AS n_vehicles,
+               min(user_id) AS min_user,
+               max(user_id) AS max_user,
+               sum(chain_sum) AS total_chain_sum
+        FROM depths GROUP BY 1
+        """
+    )

@@ -131,6 +131,8 @@ EXTENSIONS = [
     "pandas_api_pipeline",
     # round 3: correlated LATERAL through the SQL entry point
     "sql_lateral",
+    # round 3: recursive CTE (Spark 4 WITH RECURSIVE)
+    "sql_recursive",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
