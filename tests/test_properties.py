@@ -233,3 +233,79 @@ class TestAnalyticsInvariants:
         rows = REGISTRY["composite_customer_dist"].fn(spark, sf_dir).collect()
         n_cust = load(spark, sf_dir, "customer").count()
         assert sum(r.custdist for r in rows) == n_cust
+
+
+class TestRound3Invariants:
+    def test_bitmap_distinct_equals_exact(self, spark, sf_dir):
+        """The bitmap formulation is exact: per-channel counts must equal
+        count_distinct bit for bit."""
+        got = {
+            r["event_type"]: r["n_distinct_users"]
+            for r in REGISTRY["agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert got == exact
+
+    def test_cdc_merge_covers_every_key_once(self, spark, sf_dir):
+        out = REGISTRY["cdc_merge"].fn(spark, sf_dir)
+        n_keys = load(spark, sf_dir, "events").select("user_id").distinct().count()
+        assert out.count() == n_keys
+        assert out.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+
+    def test_cdc_merge_update_means_key_on_both_sides(self, spark, sf_dir):
+        from rvi_big_data_api_spark.operators.telemetry import CDC_CUTOFF_DAY
+
+        ev = load(spark, sf_dir, "events")
+        base_keys = {
+            r["user_id"]
+            for r in ev.filter(F.dayofmonth("ts") < CDC_CUTOFF_DAY)
+            .select("user_id").distinct().collect()
+        }
+        chg_keys = {
+            r["user_id"]
+            for r in ev.filter(F.dayofmonth("ts") >= CDC_CUTOFF_DAY)
+            .select("user_id").distinct().collect()
+        }
+        for r in REGISTRY["cdc_merge"].fn(spark, sf_dir).collect():
+            u, act = r["user_id"], r["merge_action"]
+            expected = (
+                "update" if u in base_keys and u in chg_keys
+                else "insert" if u in chg_keys
+                else "unchanged"
+            )
+            assert act == expected, (u, act, expected)
+
+    def test_sim_range_agrees_with_topk_scoring(self, spark, sf_dir):
+        """Every in-radius neighbor of a query must score >= the radius when
+        re-scored by the top-k machinery (shared dot fold)."""
+        from rvi_big_data_api_spark.operators.llm_sim import SIM_RANGE_R
+
+        out = REGISTRY["sim_range"].fn(spark, sf_dir)
+        assert out.filter(F.col("dot") < SIM_RANGE_R - 1e-4).count() == 0
+
+    def test_gemm_pair_set_equals_hof_pair_set(self, spark, sf_dir):
+        """The Arrow GEMM twin and the JVM fold must produce the SAME pair
+        set (metamorphic: two executions of one spec)."""
+        a = rows_of(REGISTRY["sim_pairs"].fn(spark, sf_dir).select("vec_a", "vec_b"))
+        b = rows_of(REGISTRY["sim_pairs_gemm"].fn(spark, sf_dir).select("vec_a", "vec_b"))
+        assert a == b
+
+    def test_trip_distance_trips_subset_of_sessionize(self, spark, sf_dir):
+        """Every multi-fix trip reported by trip_distance must exist in
+        trip_sessionize with n_events = n_legs + 1."""
+        td = {
+            (r["user_id"], r["session_id"]): r["n_legs"]
+            for r in REGISTRY["trip_distance"].fn(spark, sf_dir).collect()
+        }
+        ts_ = {
+            (r["user_id"], r["session_id"]): r["n_events"]
+            for r in REGISTRY["trip_sessionize"].fn(spark, sf_dir).collect()
+        }
+        for key, n_legs in td.items():
+            assert key in ts_ and ts_[key] == n_legs + 1, key
