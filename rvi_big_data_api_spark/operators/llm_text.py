@@ -653,3 +653,48 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (w > 1.0).alias("needs_upsampling"),
         )
     )
+
+
+FUZZY_CANON = ("tables", "quary", "batches", "filters", "colum", "streaming")
+FUZZY_MAX_DIST = 2
+
+
+@query(
+    "text_fuzzy_join",
+    oracle=f"""
+    WITH canon(term) AS (
+        VALUES {", ".join(f"('{t}')" for t in FUZZY_CANON)}
+    ),
+    heads AS (
+        SELECT doc_id, split_part(text, ' ', 1) AS token
+        FROM documents
+    )
+    SELECT h.doc_id AS doc_id, h.token AS token, c.term AS canon_term,
+           levenshtein(h.token, c.term) AS dist
+    FROM heads h
+    JOIN canon c
+      ON abs(length(h.token) - length(c.term)) <= {FUZZY_MAX_DIST}
+     AND levenshtein(h.token, c.term) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("llm", "text", "fuzzy"),
+)
+def text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution — match each document's lead token against a
+    canonical vocabulary within edit distance 2 (the dictionary-repair /
+    alias-merging step of a text-normalization pipeline).
+
+    The length-band predicate (| |a|−|b| | ≤ d is a lower bound on edit
+    distance) prunes candidate pairs BEFORE the O(len²) levenshtein runs —
+    the standard banding that keeps fuzzy joins from scoring every pair; at
+    scale the band becomes the join key (bucket by length, join adjacent
+    buckets) and the dictionary side broadcasts. levenshtein has identical
+    integer semantics in both engines, so the match set is exact."""
+    docs = load(spark, sf_dir, "documents")
+    canon = spark.createDataFrame([(t,) for t in FUZZY_CANON], "term string")
+    heads = docs.select("doc_id", F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("token"))
+    band = F.abs(F.length("token") - F.length("term")) <= FUZZY_MAX_DIST
+    dist = F.levenshtein("token", "term")
+    return (
+        heads.join(F.broadcast(canon), band & (dist <= FUZZY_MAX_DIST))
+        .select("doc_id", "token", F.col("term").alias("canon_term"), dist.alias("dist"))
+    )

@@ -133,6 +133,8 @@ EXTENSIONS = [
     "sql_lateral",
     # round 3: recursive CTE (Spark 4 WITH RECURSIVE)
     "sql_recursive",
+    # round 3: banded levenshtein fuzzy join
+    "text_fuzzy_join",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
