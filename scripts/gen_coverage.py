@@ -27,6 +27,16 @@ SECTIONS = {
     "corpus_": "§2.10 LLM ops",
     "stream_": "§2.11 Streaming", "udf_": "§2.12 UDF surface", "udaf_": "§2.12 UDF surface",
     "udtf_": "§2.12 UDF surface",
+    # §2.13 extension families (rounds 2-3)
+    "composite_": "§2.13 Composite/subquery suite",
+    "sql_": "§2.13 SQL entry points (lateral/recursive/parameterized)",
+    "graph_": "§2.13 Graph ops",
+    "anomaly_": "§2.9 Telemetry", "event_": "§2.9 Telemetry",
+    "retention_": "§2.9 Telemetry", "state_": "§2.9 Telemetry",
+    "clean_": "§2.9 Telemetry", "cdc_": "§2.9 Telemetry",
+    "geo_": "§2.9 Telemetry",
+    "embed_": "§2.10 LLM ops", "profile_": "§2.13 Profiling",
+    "pandas_": "§2.13 pandas-on-Spark API",
 }
 
 
