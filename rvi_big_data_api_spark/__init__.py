@@ -92,7 +92,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "cdc_merge", "agg_bitmap_distinct", "agg_correlation",
     "source_python_datasource", "stream_python_source",
     "fn_variant", "sql_parameterized", "pandas_api_pipeline", "sql_lateral",
-    "sql_recursive", "text_fuzzy_join",
+    "sql_recursive", "text_fuzzy_join", "scan_text_lines",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

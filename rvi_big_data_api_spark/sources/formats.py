@@ -537,3 +537,39 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("vin").alias("n_vins"),
         F.round(F.sum("reading"), 2).alias("sum_reading"),
     )
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_lines,
+           sum(length(text))::BIGINT AS total_chars,
+           min(length(text)) AS min_len,
+           max(length(text)) AS max_len
+    FROM documents
+    """,
+    tags=("source",),
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line ingestion — the format floor every corpus pipeline
+    starts from (crawl dumps, log files): write the documents as plain .txt
+    lines, read them back with `spark.read.text` (one row per line, a
+    single `value` column, no schema to infer), and profile the lines. With
+    parquet/ORC/CSV/JSON/custom-source scans this completes the ingestion
+    matrix.
+
+    The doc texts are single-line (fixture invariant), so line identity
+    round-trips; the oracle profiles the same lengths straight from the
+    documents table. At 100 TB the same reader fans out per-file; pair it
+    with text_normalize → corpus_dedup_pipeline for the full raw-to-corpus
+    path."""
+    out = scratch_dir(sf_dir, "txt_docs")
+    docs = load(spark, sf_dir, "documents")
+    docs.select("text").write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )

@@ -135,6 +135,8 @@ EXTENSIONS = [
     "sql_recursive",
     # round 3: banded levenshtein fuzzy join
     "text_fuzzy_join",
+    # round 3: raw text-line ingestion (completes the format matrix)
+    "scan_text_lines",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
