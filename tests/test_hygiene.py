@@ -29,3 +29,21 @@ def test_dedup_cluster_result_survives_unpersist(spark, sf_dir):
     a = df.count()
     b = df.count()  # second action would recompute a broken lineage
     assert a == b > 0
+
+
+def test_iterative_and_stateful_ops_repeat_cleanly(spark, sf_dir):
+    """Round-3 sweep: every operator that caches, checkpoints, writes
+    scratch, or registers a connector must be re-invokable with identical
+    results and ZERO persisted relations left behind (the driver and any
+    long-lived service call these repeatedly on one session)."""
+    names = [
+        "corpus_dedup_pipeline", "graph_pagerank", "graph_triangle_count",
+        "source_python_datasource", "stream_python_source", "cdc_merge",
+        "sql_recursive",
+    ]
+    before = n_persistent_rdds(spark)
+    for name in names:
+        first = REGISTRY[name].fn(spark, sf_dir).count()
+        second = REGISTRY[name].fn(spark, sf_dir).count()
+        assert first == second, (name, first, second)
+    assert n_persistent_rdds(spark) == before
