@@ -626,20 +626,21 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform channel carries max entropy; a channel dominated by one vehicle
     is near zero).
 
-    Two partial-agg passes ((type,user) counts, then per-type fold) plus a
-    broadcast of the tiny per-type totals — the entropy sum itself absorbs
-    into the same groupBy, so the shape is two shuffles regardless of user
-    cardinality. ln() is libm-identical in both engines on identical
-    count-ratio doubles; the final 6-dp round absorbs summation-order drift
-    (PARITY.md #8)."""
+    ONE shuffle, ONE scan: the (type,user) counts, the per-type totals
+    (a window over the SAME event_type partitioning — no new exchange),
+    and the entropy fold (a groupBy on the same key) all ride one
+    hash-partition of the data. ln() is libm-identical in both engines on
+    identical count-ratio doubles; the final 6-dp round absorbs
+    summation-order drift (PARITY.md #8)."""
+    from pyspark.sql import Window
+
     ev = load(spark, sf_dir, "events")
     cu = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
-    tot = cu.groupBy("event_type").agg(
-        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_users")
-    )
+    w = Window.partitionBy("event_type")
     p = F.col("n") / F.col("total")
     return (
-        cu.join(F.broadcast(tot), "event_type")
+        cu.withColumn("total", F.sum("n").over(w))
+        .withColumn("n_users", F.count(F.lit(1)).over(w))
         .groupBy("event_type", "n_users")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
     )

@@ -340,3 +340,28 @@ def test_asof_nearest_is_linear_not_quadratic(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # union + two window passes over one sort; no join at all
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_trip_distance_single_shuffle(spark, sf_dir):
+    """Sessionize's two windows AND the per-trip lag all ride ONE user_id
+    exchange — adding the trip dimension must not re-shuffle."""
+    df = REGISTRY["trip_distance"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange ") == 1, plan[:1500]
+    assert plan.count("FileScan") == 1
+
+
+def test_agg_entropy_single_scan_two_exchanges(spark, sf_dir):
+    """Counts, totals (window over the same key), and the entropy fold ride
+    one partitioning: one scan, no broadcast re-computation branch."""
+    df = REGISTRY["agg_entropy"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan[:1500]
+    assert plan.count("Exchange ") <= 2
+
+
+def test_cdc_merge_is_single_full_outer(spark, sf_dir):
+    df = REGISTRY["cdc_merge"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FullOuter") == 1, plan[:1500]
+    assert "CartesianProduct" not in plan
