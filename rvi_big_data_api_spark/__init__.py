@@ -43,42 +43,16 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- never driver-verified after rounds 1+2 (63 queries; the driver caps
-    # at exactly 50 rows/round, so the first 50 below get hash rows this
-    # round and the tail rolls to round 4) ----------------------------------
-    "sim_topk", "sim_pairs", "knn_label", "multimodal_struct", "sim_topk_ann",
-    "text_tokenize", "text_tfidf", "text_stats", "text_quality",
-    "text_langid", "text_fingerprint",
-    "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
-    # round-2 additions (no driver row yet by construction)
-    "sample_stratified", "dedup_embed", "text_pii_mask", "corpus_token_budget",
-    # round-2 composite analytics suite (operators/analytics.py)
-    "composite_shipping_priority", "composite_order_priority",
-    "composite_local_supplier_revenue", "composite_promo_revenue",
-    "composite_top_supplier", "composite_customer_dist",
-    "composite_returned_revenue", "composite_market_share",
-    # round-2 LLM-pipeline additions
-    "text_contamination", "text_normalize", "text_repetition",
-    "embed_centroids", "sim_ivf_kmeans",
-    # round-2 telemetry analytics
-    "anomaly_zscore", "event_funnel", "retention_cohort",
-    # round-2 format surface
-    "scan_orc", "scan_csv_malformed", "sink_sorted_parquet",
-    # round-2 streaming
-    "stream_anomaly",
-    # round-2 relational depth
-    "join_asof_tolerance", "agg_unpivot", "win_median",
-    # round-2 surface depth
-    "sink_bucketed", "udtf_map_arrow", "fn_regexp",
-    "resample_interp", "scan_dpp", "join_interval_overlap",
-    "text_ngram_lm", "corpus_mix_weights",
-    "stream_latest_per_key", "join_salted", "mm_chunk_bytes",
+    # -- never driver-verified after rounds 1-3 (48 queries; the driver caps
+    # at exactly 50 rows/round, so this entire block plus the first two
+    # round-4 additions get hash rows this round, closing the gap) ----------
+    # round-2 stragglers that rolled past the r3 cap (13 queries)
+    "join_salted", "mm_chunk_bytes",
     "state_intervals", "clean_winsorize", "graph_pagerank",
     "sim_rerank", "corpus_dedup_pipeline", "profile_table",
     "agg_moments", "win_ewma", "join_asof_forward", "udtf_grouped_arrow",
     "stream_topk",
-    # round-3 additions (registered this round, so they queue behind the
-    # older never-verified block and reach the driver's cap in later rounds)
+    # round-3 additions (35 queries)
     "composite_forecast_revenue", "composite_volume_shipping",
     "composite_product_profit", "composite_important_parts",
     "composite_shipmode_priority", "composite_parts_supplier_counts",
@@ -93,9 +67,36 @@ PRIORITY_UNVERIFIED: list[str] = [
     "source_python_datasource", "stream_python_source",
     "fn_variant", "sql_parameterized", "pandas_api_pipeline", "sql_lateral",
     "sql_recursive", "text_fuzzy_join", "scan_text_lines",
+    # round-4 additions (positions 49-50: together with the 48 above they
+    # fill the driver's 50-row budget exactly, closing the verification gap)
+    "stream_merge_sink", "join_bloom_pruned",
+    # round-4 additions past the driver's 50-row horizon (queue for round 5)
+    "sql_pipe_syntax", "fn_collation", "udtf_analyze",
+    "sink_partition_overwrite",
 ]
 
 PRIORITY_VERIFIED: list[str] = [
+    # -- driver-green in round 3 (CORRECTNESS_r03.json, 50 rows, all hash
+    # matches, zero err) ----------------------------------------------------
+    "sim_topk", "sim_pairs", "knn_label", "multimodal_struct", "sim_topk_ann",
+    "text_tokenize", "text_tfidf", "text_stats", "text_quality",
+    "text_langid", "text_fingerprint",
+    "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
+    "sample_stratified", "dedup_embed", "text_pii_mask", "corpus_token_budget",
+    "composite_shipping_priority", "composite_order_priority",
+    "composite_local_supplier_revenue", "composite_promo_revenue",
+    "composite_top_supplier", "composite_customer_dist",
+    "composite_returned_revenue", "composite_market_share",
+    "text_contamination", "text_normalize", "text_repetition",
+    "embed_centroids", "sim_ivf_kmeans",
+    "anomaly_zscore", "event_funnel", "retention_cohort",
+    "scan_orc", "scan_csv_malformed", "sink_sorted_parquet",
+    "stream_anomaly",
+    "join_asof_tolerance", "agg_unpivot", "win_median",
+    "sink_bucketed", "udtf_map_arrow", "fn_regexp",
+    "resample_interp", "scan_dpp", "join_interval_overlap",
+    "text_ngram_lm", "corpus_mix_weights",
+    "stream_latest_per_key",
     # -- driver-green in round 2 (CORRECTNESS_r02.json, 50 rows) ------------
     "project_compute", "filter_eq", "filter_range_time", "filter_compound",
     "filter_null", "distinct_rows", "sample_frac",

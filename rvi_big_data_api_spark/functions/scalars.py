@@ -479,3 +479,61 @@ def pandas_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_bal", 2).alias("total_bal"),
         F.round("avg_bal", 4).alias("avg_bal"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH cased AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                    WHEN doc_id % 3 = 1 THEN concat(upper(source[1:1]), source[2:])
+                    ELSE source END AS src_cased
+        FROM documents
+    )
+    SELECT lower(src_cased) AS source_key,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT src_cased)::BIGINT AS n_case_variants,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM cased GROUP BY 1
+    """,
+    tags=("function", "collation"),
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 COLLATE): grouping under
+    UTF8_LCASE treats case variants of one source label as ONE group —
+    comparison semantics as a COLUMN TYPE property rather than scattered
+    lower() calls (which break pushdown into collation-aware sources and
+    get forgotten on one side of a join).
+
+    The fixture's labels are single-case, so case variance is derived
+    deterministically (doc_id mod 3 → upper / initcap / as-is), then the
+    group key is `collate(src, 'UTF8_LCASE')`. The emitted key is
+    normalized via lower() — a collated group's representative value is
+    whichever variant an executor saw first, the classic nondeterminism a
+    driver hash would catch. n_case_variants proves the group really
+    contains distinct binary strings (binary DISTINCT inside a
+    case-insensitive group). The twin lowers explicitly — identical for
+    ASCII; the operator's point is that Spark carries the semantics in the
+    type where DuckDB needs it re-stated per expression."""
+    d = load(spark, sf_dir, "documents")
+    cased = d.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.initcap("source"))
+        .otherwise(F.col("source"))
+        .alias("src_cased"),
+    )
+    return (
+        cased.groupBy(F.expr("collate(src_cased, 'UTF8_LCASE')").alias("_ci_key"))
+        .agg(
+            F.lower(F.min("src_cased")).alias("source_key"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.expr("collate(src_cased, 'UTF8_BINARY')")).alias(
+                "n_case_variants"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("source_key", "n_docs", "n_case_variants", "total_chars")
+    )

@@ -264,3 +264,59 @@ def udtf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInArrow(
         minmax_scale, "user_id long, event_id long, value double, scaled double"
     )
+
+
+@query(
+    "udtf_analyze",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_extendedprice, l_discount,
+           round(l_orderkey + l_quantity + l_extendedprice + l_discount, 2) AS row_sum
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    tags=("udf",),
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4): `analyze()` computes the OUTPUT
+    schema from the INPUT TABLE's schema at plan time — the table function
+    adapts to whatever relation it is applied to (here: echo the numeric
+    columns and append their row sum; on a different table it would emit
+    that table's numeric columns). Two Spark-4 surfaces in one operator:
+    static-analysis-time schema resolution (AnalyzeArgument/AnalyzeResult)
+    and TABLE() arguments binding a DataFrame into a UDTF call through the
+    SQL entry point.
+
+    Per the §2.12 policy the twin proves this instance SQL-expressible; the
+    operator earns its keep where the column set genuinely isn't known at
+    authoring time (wide telemetry tables with per-deployment channels).
+    Row-at-a-time eval is the UDTF contract (fine for the conformance
+    surface; bulk numeric work belongs to mapInArrow/pandas paths)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NumericRowSum:
+        @staticmethod
+        def analyze(arg: AnalyzeArgument) -> AnalyzeResult:
+            numeric = [
+                f
+                for f in arg.dataType.fields
+                if isinstance(f.dataType, (DoubleType, LongType))
+            ]
+            return AnalyzeResult(
+                schema=StructType(numeric + [StructField("row_sum", DoubleType())])
+            )
+
+        def eval(self, row):
+            nums = [
+                row[f]
+                for f in row.__fields__
+                if isinstance(row[f], (int, float)) and not isinstance(row[f], bool)
+            ]
+            yield (*nums, round(float(sum(nums)), 2))
+
+    spark.udtf.register("numeric_row_sum", NumericRowSum)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return spark.sql("SELECT * FROM numeric_row_sum(TABLE({li}))", li=li)

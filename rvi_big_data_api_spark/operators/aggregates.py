@@ -714,8 +714,12 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     that's 160 k words/group regardless of event volume. Pure integer bit
     math, identical in both engines."""
     ev = load(spark, sf_dir, "events")
+    # `div` = exact integer floor division, matching DuckDB `//`; the
+    # double-divide-then-cast form truncates instead of flooring for
+    # negative ids and loses exactness above 2^53. Fixture ids are
+    # non-negative, but the sketch shouldn't rely on that invariant.
     words = ev.groupBy(
-        "event_type", (F.col("user_id") / 63).cast("long").alias("word_idx")
+        "event_type", F.expr("user_id div 63").alias("word_idx")
     ).agg(
         F.bit_or(F.expr("shiftleft(1L, cast(user_id % 63 AS INT))")).alias("word")
     )

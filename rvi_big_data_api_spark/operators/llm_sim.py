@@ -42,12 +42,14 @@ def block_pairs_gemm(e: DataFrame, block_col: str, tau: float) -> DataFrame:
     (min(cu,cv), max(cu,cv)).
 
     Numerics: the GEMM accumulates in float64 like the sequential
-    `dot()` fold but in SIMD order. Measured on the fixtures, the nearest
-    pair sits 1.8e-5 from the tau threshold and ≥2.4e-11 from a 4-dp
-    rounding boundary, while summation-reorder error for 64-dim unit
-    vectors is ~1e-14 — three-plus orders of magnitude of margin, so pair
-    membership and 4-dp-rounded outputs are stable across fold orders (and
-    deterministic run-to-run: numpy's order is fixed for a given shape)."""
+    `dot()` fold but in SIMD order. Measured on the fixtures
+    (`scripts/check_gemm_margin.py`, re-run it after any fixture/tau
+    change): at sf0.1 the nearest pair sits 1.8e-5 from the tau threshold
+    and 1.4e-8 from a 4-dp rounding boundary, while the observed
+    summation-reorder error is 0.0 (≤5.6e-17 at sf0.01) — many orders of
+    magnitude of margin, so pair membership and 4-dp-rounded outputs are
+    stable across fold orders (and deterministic run-to-run: numpy's order
+    is fixed for a given shape)."""
     import numpy as np
     import pandas as pd
 
@@ -770,7 +772,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block_pairs_gemm), eagerly checkpointed once and read by all three
     aliases — without truncation the Arrow pairs job would run per alias."""
     e = load(spark, sf_dir, "embeddings")
-    spark.sparkContext.setJobGroup("graph_triangle_count", "triangle count")
     if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
         import os
         import tempfile

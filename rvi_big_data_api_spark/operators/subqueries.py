@@ -723,13 +723,14 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL recursion is supported as of 4.1 — cyclic closures (the
     dedup_cluster oracle's UNION form) still need the iterative DataFrame
     loop; documented boundary, same text both engines here because the walk
-    is acyclic."""
+    is acyclic. The DataFrame is bound via the {df} template slot (same as
+    sql_lateral/sql_parameterized) — no temp-view catalog state leaks onto
+    the shared session."""
     ev = load(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("_rec_events")
     return spark.sql(
         """
         WITH RECURSIVE vehicles AS (
-            SELECT DISTINCT user_id FROM _rec_events WHERE user_id >= 1
+            SELECT DISTINCT user_id FROM {ev} WHERE user_id >= 1
         ),
         chain(u, cur, depth) AS (
             SELECT user_id, user_id, 0 FROM vehicles
@@ -747,5 +748,49 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(user_id) AS max_user,
                sum(chain_sum) AS total_chain_sum
         FROM depths GROUP BY 1
+        """,
+        ev=ev,
+    )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)::BIGINT AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "sql", "pipe"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>`): the pricing-summary shape written as
+    a linear dataflow — FROM |> WHERE |> EXTEND |> AGGREGATE — instead of
+    the inside-out SELECT nesting. Each `|>` stage is closed under
+    relational semantics, so long pipelines read top-to-bottom the way the
+    DataFrame API does; Catalyst parses both to the SAME logical plan (this
+    query and `agg_pricing_summary`'s DataFrame build land on one plan
+    shape: scan → filter → partial agg → exchange → final agg), making the
+    pipe surface a third equivalent entry point after DataFrame and
+    classic SQL. AGGREGATE emits grouping keys first, then aggregates —
+    aliased to match the twin exactly. The DataFrame is bound via the {df}
+    template slot (no temp-view catalog state)."""
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
         """
+        FROM {li}
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE count(*) AS n_rows,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(disc_price), 2) AS sum_disc_price,
+                     round(avg(l_discount), 6) AS avg_disc
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_rows, sum_qty, sum_disc_price, avg_disc
+        """,
+        li=li,
     )

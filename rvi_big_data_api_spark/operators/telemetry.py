@@ -1100,8 +1100,11 @@ CDC_CUTOFF_DAY = 20  # base snapshot = days < 20; change batch = days >= 20
         -- composite (ts, event_id) tie-break packed into ONE BIGINT
         -- (DuckDB 1.0 lacks composite arg_max — PARITY.md #7):
         -- epoch seconds * 2^21 + event_id, collision-free while
-        -- event_id < 2^21 (max observed ~10^5 at sf0.1)
-        SELECT *, epoch(ts)::BIGINT * 2097152 + event_id AS ord
+        -- event_id < 2^21 (max observed ~10^5 at sf0.1).
+        -- date_trunc before epoch: DuckDB epoch() yields DOUBLE with
+        -- fractional seconds and ::BIGINT rounds-to-nearest, while Spark
+        -- unix_timestamp() truncates (PARITY.md #3) — truncate both sides.
+        SELECT *, epoch(date_trunc('second', ts))::BIGINT * 2097152 + event_id AS ord
         FROM events
     ),
     base AS (

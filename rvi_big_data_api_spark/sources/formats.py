@@ -398,7 +398,11 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("zbucket")
         .parquet(out)
     )
-    re_read = spark.read.parquet(out)
+    # zbucket comes back via partition-directory type inference as INT;
+    # cast to long so the schema matches the oracle's ::BIGINT exactly.
+    re_read = spark.read.parquet(out).withColumn(
+        "zbucket", F.col("zbucket").cast("long")
+    )
     return re_read.groupBy("zbucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("pk").alias("min_pk"),
@@ -453,8 +457,9 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Python DataSource API (Spark 4): a custom source, not a file format ----
 SIM_CHANNELS = ("speed", "rpm", "fuel", "temp", "gps")
-SIM_PARTITIONS = 4      # worker startup dominates at fixture scale
-SIM_ROWS_PER_PARTITION = 2000
+SIM_PARTITIONS = 2      # per-partition Python worker startup dominates at
+SIM_ROWS_PER_PARTITION = 4000  # fixture scale (VERDICT r3 item 5) — 2 parts
+# still exercises planner-visible parallelism; same 8000-row stream
 
 
 def _register_rvi_sim(spark: SparkSession) -> None:
@@ -572,4 +577,63 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).alias("total_chars"),
         F.min(F.length("value")).alias("min_len"),
         F.max(F.length("value")).alias("max_len"),
+    )
+
+
+PART_OVERWRITE_CUTOFF_DAY = 25  # days >= cutoff get regenerated (gen 2)
+
+
+@query(
+    "sink_partition_overwrite",
+    oracle=f"""
+    SELECT day(ts) AS day,
+           count(*)::BIGINT AS n_rows,
+           round(sum(CASE WHEN day(ts) >= {PART_OVERWRITE_CUTOFF_DAY}
+                          THEN value * 2 ELSE value END), 2) AS sum_value,
+           max(CASE WHEN day(ts) >= {PART_OVERWRITE_CUTOFF_DAY}
+                    THEN 2 ELSE 1 END) AS gen
+    FROM events GROUP BY 1
+    """,
+    tags=("sink",),
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-backfill write pattern
+    (`spark.sql.sources.partitionOverwriteMode=dynamic`): a reprocessing job
+    overwrites ONLY the partitions present in its output batch, leaving
+    every other partition's files untouched — vs static mode, which would
+    truncate the whole table first. This is how a 100 TB day-partitioned
+    dataset takes a late-data backfill: rewrite the affected days, never
+    touch the rest.
+
+    Sequence proven here: (1) full day-partitioned write (gen 1), (2) a
+    gen-2 batch containing only days ≥ cutoff with corrected values
+    (value×2) overwrite-merged in dynamic mode, (3) the audit re-reads the
+    dataset and shows pre-cutoff days still gen 1 and post-cutoff days
+    fully replaced. The conf is scoped and restored in `finally`; writes
+    execute inside the scope, so nothing about the session leaks."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    out = scratch_dir(sf_dir, "part_overwrite")
+    ev.withColumn("gen", F.lit(1)).write.mode("overwrite").partitionBy("day").parquet(out)
+    gen2 = (
+        ev.filter(F.col("day") >= PART_OVERWRITE_CUTOFF_DAY)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("gen", F.lit(2))
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        gen2.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    re_read = spark.read.parquet(out)
+    return (
+        re_read.groupBy(F.col("day").cast("long").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("gen").alias("gen"),
+        )
     )

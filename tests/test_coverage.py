@@ -137,6 +137,15 @@ EXTENSIONS = [
     "text_fuzzy_join",
     # round 3: raw text-line ingestion (completes the format matrix)
     "scan_text_lines",
+    # round 4: streaming foreachBatch idempotent MERGE (the lakehouse write
+    # pattern) + runtime Bloom-filter join pruning (the 100 TB semi-join
+    # accelerator)
+    "stream_merge_sink", "join_bloom_pruned",
+    # round 4: Spark-4 SQL surfaces (pipe syntax, collation-aware grouping,
+    # polymorphic UDTF with analyze + TABLE args) + dynamic partition
+    # overwrite (the incremental-backfill sink)
+    "sql_pipe_syntax", "fn_collation", "udtf_analyze",
+    "sink_partition_overwrite",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -250,6 +250,15 @@ def test_scan_dpp_inserts_dynamic_pruning(spark, sf_dir):
     assert "dynamicpruning" in full.lower(), full[:2500]
 
 
+def test_join_interval_is_bucketed_hash_join(spark, sf_dir):
+    """Point-in-interval carries the day equi-key (VERDICT r3 item 2): the
+    plan must be a hash join on the date bucket with the range condition as
+    a residual — never a nested-loop points × intervals product."""
+    plan = plan_of(REGISTRY["join_interval"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2500]
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+
+
 def test_interval_overlap_is_bucketed_not_quadratic(spark, sf_dir):
     """The overlap join must be the exploded day-bucket formulation — no
     cartesian/BNLJ trips × windows product in the plan."""
@@ -358,6 +367,23 @@ def test_agg_entropy_single_scan_two_exchanges(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1, plan[:1500]
     assert plan.count("Exchange ") <= 2
+
+
+def test_bloom_filter_injected_on_probe_side(spark, sf_dir):
+    """Under the operator's conf scope, InjectRuntimeFilter must add a
+    `might_contain` bloom probe to the lineitem side — the scan-level
+    semi-join pruning the operator exists to demonstrate."""
+    from rvi_big_data_api_spark.operators.joins import BLOOM_CONFS, bloom_join_frame
+
+    old = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    try:
+        for k, v in BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        plan = bloom_join_frame(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2500]
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
 
 
 def test_cdc_merge_is_single_full_outer(spark, sf_dir):

@@ -1,8 +1,9 @@
 """Regression guard for registry order (VERDICT.md round 1, item 8).
 
 The driver's correctness pass walks ``queries()`` in registration order and
-caps at exactly 50 rows per round (CORRECTNESS_r01/r02.json each hold exactly
-the first 50 registration-order entries). ``REGISTRY_PRIORITY`` pins a
+caps at exactly 50 rows per round (CORRECTNESS_r01/r02/r03.json each hold
+exactly the first 50 registration-order entries of their round — 150 unique
+queries across three rounds, zero overlap). ``REGISTRY_PRIORITY`` pins a
 query-granular order with the never-driver-verified queries first; these
 tests make sure a refactor can't silently undo that. The green set below is
 refreshed each round from the recorded CORRECTNESS files.
@@ -17,7 +18,7 @@ import rvi_big_data_api_spark as engine
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# Driver-green rows recorded so far (rounds 1+2, 50 each, zero failures).
+# Driver-green rows recorded so far (rounds 1-3, 50 each, zero failures).
 DRIVER_GREEN: set[str] = set()
 for _f in sorted(_ROOT.glob("CORRECTNESS_r*.json")):
     DRIVER_GREEN |= set(json.loads(_f.read_text()))
