@@ -73,6 +73,9 @@ PRIORITY_UNVERIFIED: list[str] = [
     # round-4 additions past the driver's 50-row horizon (queue for round 5)
     "sql_pipe_syntax", "fn_collation", "udtf_analyze",
     "sink_partition_overwrite",
+    "text_span_dedup", "corpus_quality_pipeline", "corpus_pack_sequences",
+    "embed_quantize", "fn_interval", "agg_listagg", "observe_metrics",
+    "join_hinted", "stream_stream_outer_join",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -537,3 +537,49 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source_key", "n_docs", "n_case_variants", "total_chars")
     )
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT event_id,
+           strftime(ts + INTERVAL '3 days 4 hours', '%Y-%m-%d %H:%M:%S') AS plus_3d4h,
+           strftime(ts - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S')        AS minus_90m,
+           strftime(ts + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S')          AS plus_2mo,
+           strftime(last_day(ts::DATE), '%Y-%m-%d')                      AS month_end,
+           date_diff('day', ts::DATE, DATE '2030-01-01')::INT            AS days_to_2030,
+           (epoch(date_trunc('second', ts))::BIGINT
+            - epoch(date_trunc('day', ts))::BIGINT)                      AS secs_into_day
+    FROM events
+    """,
+    tags=("function",),
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-arithmetic family: mixed day-time interval shift, minute
+    subtraction, calendar-month addition (month-end clamping matches DuckDB's
+    INTERVAL MONTH semantics), last_day, whole-day difference, and
+    seconds-into-day via epoch subtraction.
+
+    Dialect note (the §1-gotcha discipline): elapsed-unit differences are
+    computed by epoch subtraction, NOT timestampdiff/date_diff('hour'),
+    because Spark's timestampdiff counts COMPLETE elapsed units while
+    DuckDB's date_diff counts BOUNDARY CROSSINGS — they disagree on any
+    pair that spans a boundary mid-unit. Day differences on pure DATEs are
+    safe (both count calendar days). All interval math is columnar and
+    pushdown-transparent."""
+    ev = load(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.date_format(F.expr("ts + INTERVAL 3 DAYS 4 HOURS"), fmt).alias("plus_3d4h"),
+        F.date_format(F.expr("ts - INTERVAL 90 MINUTES"), fmt).alias("minus_90m"),
+        F.date_format(F.expr("ts + INTERVAL 2 MONTHS"), fmt).alias("plus_2mo"),
+        F.date_format(F.last_day(F.to_date("ts")), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2030-01-01").cast("date"), F.to_date("ts"))
+        .cast("int")
+        .alias("days_to_2030"),
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+        ).alias("secs_into_day"),
+    )

@@ -782,3 +782,96 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "n", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr_click_view")
     )
+
+
+# --- round 4: ordered string aggregation + in-flight query metrics ---------
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           len(string_split(string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus),
+                            ','))::BIGINT AS n_statuses,
+           count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("aggregation",),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's `listagg(DISTINCT x, sep)
+    WITHIN GROUP (ORDER BY x)` (ANSI LISTAGG, = DuckDB string_agg): the
+    report-friendly sibling of agg_collect's sorted array. The WITHIN GROUP
+    clause is what makes the result deterministic under shuffle — bare
+    listagg would concatenate in partition-arrival order, the exact
+    nondeterminism a driver hash catches (PARITY.md #14 for collect_list).
+
+    Plan: ObjectHashAggregate with a partial that carries per-group distinct
+    sets; group count is small (5 priorities × ≤3 statuses), so the shuffled
+    partial state is bytes per group regardless of input size. Engine
+    caveat pinned here: Spark 4.1's RewriteDistinctAggregates miscompiles
+    LISTAGG DISTINCT when MIXED with another distinct aggregate in the same
+    group (AttributeReference→SortOrder ClassCastException), so the distinct
+    cardinality is derived from the listagg string itself instead of a
+    second count(DISTINCT) — same answer, one distinct rewrite."""
+    o = load(spark, sf_dir, "orders")
+    agged = spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n_orders
+        FROM {o} GROUP BY o_orderpriority
+        """,
+        o=o,
+    )
+    return agged.select(
+        "o_orderpriority",
+        "statuses",
+        F.size(F.split("statuses", ",")).cast("long").alias("n_statuses"),
+        "n_orders",
+    )
+
+
+@query(
+    "observe_metrics",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("aggregation", "observability"),
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight query metrics via the Observation API (`df.observe`) — the
+    production pattern for data-quality counters: metrics are computed as
+    ACCUMULATORS inside the job that is already running (here a noop-sink
+    pass over the filtered stage), costing zero extra scans — vs the naive
+    `df.count(); df.agg(...)` re-run pattern, which at 100 TB doubles the
+    read. The observed stage keeps its pushdown/pruning (the observe node
+    is transparent to Catalyst's scan planning).
+
+    The returned one-row frame is built from the observation result on the
+    driver — metrics are driver-side by API design (accumulator merge), not
+    a `.collect()` of data rows. The oracle recomputes the same aggregates
+    relationally, proving the accumulator path exact."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("quality_metrics")
+    observed = ev.filter(F.col("event_type") == "purchase").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_value"], m["min_value"], m["max_value"])],
+        "n_rows bigint, sum_value double, min_value double, max_value double",
+    )

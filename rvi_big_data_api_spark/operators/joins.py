@@ -710,3 +710,40 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out)
+
+
+@query(
+    "join_hinted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("join", "hint"),
+)
+def join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy override via hint: `hint(\"SHUFFLE_HASH\")` forces a
+    ShuffledHashJoin where the planner's size heuristics would pick
+    broadcast (fixture scale) or sort-merge (100 TB defaults). The at-scale
+    case FOR the override: when both sides are too big to broadcast but the
+    build side's per-partition slice fits executor memory, hash join skips
+    sort-merge's two full sorts — the standard tuning lever for large
+    equi-joins with a smaller-but-not-tiny side. Hint precedence
+    (broadcast > merge > shuffle_hash > replicate_nl) is a planner
+    contract, so the plan is pinnable (tests/test_plans.py asserts
+    ShuffledHashJoin); semantics are identical to the unhinted join, which
+    is exactly what the oracle checks."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

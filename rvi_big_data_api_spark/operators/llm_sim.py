@@ -852,3 +852,83 @@ def sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw_dot") >= SIM_RANGE_R)
         .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"))
     )
+
+
+# --- round 4: embedding quantization audit ---------------------------------
+
+QUANT_SCALE = 127  # int8 symmetric scalar quantization
+
+
+@query(
+    "embed_quantize",
+    oracle=f"""
+    WITH q AS (
+        SELECT label, embedding::DOUBLE[] AS v,
+               list_transform(embedding::DOUBLE[],
+                              x -> floor(x * {QUANT_SCALE} + 0.5) / {QUANT_SCALE}.0) AS dq
+        FROM embeddings
+    ),
+    err AS (
+        SELECT label,
+               sqrt(greatest(list_dot_product(v, v)
+                             - 2 * list_dot_product(v, dq)
+                             + list_dot_product(dq, dq), 0)) AS rmse,
+               list_dot_product(v, dq) AS self_dot
+        FROM q
+    )
+    SELECT label,
+           count(*)::BIGINT AS n_vecs,
+           round(avg(rmse), 6) AS avg_err,
+           round(max(rmse), 6) AS max_err,
+           round(min(self_dot), 4) AS min_self_dot
+    FROM err GROUP BY label
+    """,
+    tags=("llm", "embedding", "quantize"),
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit — the storage decision every 100 TB
+    embedding corpus makes: symmetric round(x·127)/127 quantization cuts the
+    vector column 4× (float32→int8); this op measures what that costs, per
+    label: reconstruction L2 error and the worst self-similarity drift
+    (dot(v, dq) of a unit vector ≈ 1 − error²/2).
+
+    Numeric parity: the L2 error is computed as √(v·v − 2·v·dq + dq·dq) —
+    three dot products in the SAME left-fold order as DuckDB's
+    list_dot_product (PARITY.md #9), so both engines produce bit-identical
+    doubles BEFORE the final rounding, instead of relying on two different
+    elementwise-difference formulations landing inside the round margin.
+    The greatest(…, 0) guard absorbs −1e-17-scale cancellation when the
+    quantization error of a vector is exactly zero.
+
+    Scale shape: pure map-side arithmetic (one JVM HOF chain per row)
+    followed by a partial-agg groupBy on label — one shuffle of 10 rows of
+    partials. The quantized column itself would be written with
+    `transform(v, x -> cast(round(x*127) as tinyint))`; the audit keeps
+    doubles only to measure the error."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    # floor(x·s + 0.5), not round(): per-row round is banned in oracle-checked
+    # queries (Spark HALF_UP vs DuckDB tie handling); floor is exact in both.
+    dq = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE + 0.5) / float(QUANT_SCALE),
+    )
+    q = e.select("label", v.alias("v"), dq.alias("dq"))
+    err = q.select(
+        "label",
+        F.sqrt(
+            F.greatest(
+                dot_d(F.col("v"), F.col("v"))
+                - 2 * dot_d(F.col("v"), F.col("dq"))
+                + dot_d(F.col("dq"), F.col("dq")),
+                F.lit(0.0),
+            )
+        ).alias("rmse"),
+        dot_d(F.col("v"), F.col("dq")).alias("self_dot"),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("rmse"), 6).alias("avg_err"),
+        F.round(F.max("rmse"), 6).alias("max_err"),
+        F.round(F.min("self_dot"), 4).alias("min_self_dot"),
+    )

@@ -698,3 +698,220 @@ def text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         heads.join(F.broadcast(canon), band & (dist <= FUZZY_MAX_DIST))
         .select("doc_id", "token", F.col("term").alias("canon_term"), dist.alias("dist"))
     )
+
+
+# --- round 4: span-level dedup, quality pipeline, sequence packing ---------
+
+SPAN_W = 8  # tokens per span (the C4 paper removed duplicate 3-sentence
+            # spans; the fixture's word-soup text has no sentence marks, so
+            # fixed-width token windows stand in for sentences)
+
+
+@query(
+    "text_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, unnest(range(ceil(len(ts) / {SPAN_W}.0)::BIGINT)) AS pos, ts
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, pos,
+               array_to_string(ts[pos * {SPAN_W} + 1 : pos * {SPAN_W} + {SPAN_W}], ' ') AS chunk
+        FROM spans
+    ),
+    ranked AS (
+        SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS kept_text
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span-level dedup — the C4/RefinedWeb boilerplate
+    remover: every document is cut into fixed-width token spans (SPAN_W),
+    each span is kept only at its FIRST corpus occurrence (ordered by
+    doc_id, pos), and surviving spans are reassembled in order into the
+    cleaned document. Unlike doc-level dedup this removes repeated
+    passages (headers, license blocks, navigation chrome) *inside*
+    otherwise-unique documents.
+
+    Scale shape: the dedup window partitions on md5(span) — a 16-byte
+    shuffle key regardless of span width (the dedup_hash discipline), one
+    shuffle keyed by content hash whose fan-in tracks duplicate density.
+    Reassembly is a second shuffle on doc_id with sorted-struct collect
+    (deterministic: pos is unique per doc). Both sides clamp the tail span
+    (slice past the end yields the shorter remainder) so span boundaries
+    are identical in both engines."""
+    d = load(spark, sf_dir, "documents")
+    spans = (
+        d.select("doc_id", F.split("text", " ").alias("ts"))
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.expr(f"sequence(0, cast(ceil(size(ts)/{SPAN_W}.0) as int) - 1)")
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.slice("ts", F.col("pos") * SPAN_W + 1, SPAN_W), " "
+            ).alias("chunk"),
+        )
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "pos")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x.chunk
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+@query(
+    "corpus_quality_pipeline",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, text, n_chars,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rn
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM ranked)
+        GROUP BY doc_id, term
+    ),
+    rep AS (
+        SELECT doc_id, sum(tf)::BIGINT AS n_words, max(tf)::BIGINT AS top_tf,
+               sum(CASE WHEN term IN ({", ".join(f"'{s}'" for s in STOPWORDS)})
+                        THEN tf ELSE 0 END)::BIGINT AS n_stop
+        FROM tf GROUP BY doc_id
+    )
+    SELECT r.doc_id AS doc_id, r.lang, p.n_words,
+           CASE WHEN r.dup_rn > 1 THEN 'duplicate'
+                WHEN r.n_chars < {QUALITY_MIN_CHARS} THEN 'too_short'
+                WHEN r.n_chars > {QUALITY_MAX_CHARS} THEN 'too_long'
+                WHEN p.n_stop / p.n_words > {QUALITY_MAX_STOP_RATIO} THEN 'stopword_heavy'
+                WHEN p.top_tf / p.n_words > {REPETITION_TOP_TF_RATIO} THEN 'repetitive'
+                ELSE 'keep' END AS verdict
+    FROM ranked r JOIN rep p ON r.doc_id = p.doc_id
+    """,
+    tags=("llm", "text", "pipeline"),
+)
+def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus quality gate — the text twin of
+    `corpus_dedup_pipeline`: one pass assigns every document its final
+    filter verdict through the standard pre-training cascade (first failing
+    rule wins): exact-duplicate → length bounds → stopword ratio →
+    single-term repetition → keep. One row per input document, so the
+    output is an auditable filter manifest, not just the survivors.
+
+    Scale shape: two shuffles total — the dup window keys on md5(text)
+    (hash-sized keys), and the repetition profile reduces the exploded
+    token stream through a (doc_id, term) partial agg before the per-doc
+    rollup; the final join re-shuffles only doc-level rows. All verdict
+    logic is columnar CASE algebra — no UDFs anywhere."""
+    d = load(spark, sf_dir, "documents")
+    dup_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ranked = d.select(
+        "doc_id", "lang", "text", "n_chars",
+        F.row_number().over(dup_w).alias("dup_rn"),
+    )
+    tf = (
+        ranked.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rep = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.max("tf").alias("top_tf"),
+        F.sum(
+            F.when(F.col("term").isin(*STOPWORDS), F.col("tf")).otherwise(0)
+        ).alias("n_stop"),
+    )
+    return ranked.join(rep, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.when(F.col("dup_rn") > 1, "duplicate")
+        .when(F.col("n_chars") < QUALITY_MIN_CHARS, "too_short")
+        .when(F.col("n_chars") > QUALITY_MAX_CHARS, "too_long")
+        .when(F.col("n_stop") / F.col("n_words") > QUALITY_MAX_STOP_RATIO, "stopword_heavy")
+        .when(F.col("top_tf") / F.col("n_words") > REPETITION_TOP_TF_RATIO, "repetitive")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
+PACK_SEQ_LEN = 256  # tokens per training sequence
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT // {PACK_SEQ_LEN} AS seq_id
+        FROM sized
+    )
+    SELECT lang, seq_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens
+    FROM packed GROUP BY lang, seq_id
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing — the concat-and-chop step that turns a
+    filtered corpus into fixed-length model inputs: per language, documents
+    are concatenated in deterministic doc_id order and cut every
+    PACK_SEQ_LEN tokens; each document is assigned the sequence its FIRST
+    token lands in (seq_id = floor(tokens_before / PACK_SEQ_LEN)). The
+    output audits packing efficiency per (lang, seq_id).
+
+    Scale shape: a running prefix-sum window per lang — one shuffle keyed
+    by the pack-group key. At 100 TB the pack group is (lang, shard) so
+    thousands of prefix sums run independently; packing NEVER needs a
+    global order, only a per-group one, which is why the window partitions
+    by lang instead of sorting the corpus."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.select(
+        "lang",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_SEQ_LEN).alias("seq_id"),
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

@@ -840,3 +840,78 @@ def stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     final = os.path.join(state_root, f"v{latest_version[0]}")
     return spark.read.parquet(final).select("user_id", "value", "src_event")
+
+
+@query(
+    "stream_stream_outer_join",
+    oracle="""
+    WITH cutoff AS (SELECT max(ts) - INTERVAL 4 HOUR AS c FROM events)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+      AND p.ts <= (SELECT c FROM cutoff)
+    """,
+    tags=("streaming",),
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantics inner joins don't have:
+    an unmatched left row must be HELD IN STATE until the watermark proves
+    no matching right row can still arrive, then emitted with nulls. This
+    is the attribution join that keeps unconverted purchases (click_id
+    NULL) instead of dropping them.
+
+    Determinism contract: outer-null emission depends on the FINAL
+    watermark, so purchases near the end of the timeline would be
+    data-dependently held forever (stream ends before their state
+    finalizes). The query therefore bounds the left side to
+    max(ts) − 4 h — strictly older than the final watermark (max(ts) − 2 h)
+    minus the 1 h join window — making every retained purchase finalizable
+    before termination and the result equal to the batch left join the
+    oracle runs. The bound itself comes from a one-scalar batch read of the
+    same fixture (bound derivation, same pattern as join_interval's
+    min/max). At scale the same rule applies operationally: an outer
+    stream-stream join's tail rows resolve only as the watermark advances —
+    a real deployment reads them from the NEXT trigger, not at shutdown."""
+    bounds = (
+        spark.read.schema(EVENTS)
+        .parquet(os.path.join(_stream_src_dir(sf_dir), "events.parquet"))
+        .agg((F.max("ts") - F.expr("interval 4 hours")).alias("c"))
+        .collect()[0]["c"]
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+        # cutoff AFTER the watermark node: the watermark must track the FULL
+        # purchase stream (global watermark = min over both sides); filtering
+        # first would drag this side's watermark back to cutoff − 2 h and
+        # strand unmatched purchases in the (cutoff − 2 h, cutoff] band
+        .filter(F.col("p_ts") <= F.lit(bounds))
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 1 hour")),
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+    return run_to_table(joined, sf_dir, "ss_outer", "append")

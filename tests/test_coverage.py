@@ -146,6 +146,15 @@ EXTENSIONS = [
     # overwrite (the incremental-backfill sink)
     "sql_pipe_syntax", "fn_collation", "udtf_analyze",
     "sink_partition_overwrite",
+    # round 4: corpus-construction depth — C4-style span-level dedup, the
+    # end-to-end quality-gate manifest, concat-and-chop sequence packing,
+    # and the int8 embedding-quantization audit
+    "text_span_dedup", "corpus_quality_pipeline", "corpus_pack_sequences",
+    "embed_quantize",
+    # round 4: interval arithmetic, ANSI LISTAGG, Observation-API metrics,
+    # join-strategy hints, and the left-outer stream-stream join
+    "fn_interval", "agg_listagg", "observe_metrics", "join_hinted",
+    "stream_stream_outer_join",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

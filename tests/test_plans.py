@@ -391,3 +391,31 @@ def test_cdc_merge_is_single_full_outer(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FullOuter") == 1, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_join_hinted_forces_shuffled_hash(spark, sf_dir):
+    """The SHUFFLE_HASH hint must override the planner's size-based pick
+    (broadcast at fixture scale) — the contract that makes the at-scale
+    sort-skip override predictable."""
+    plan = plan_of(REGISTRY["join_hinted"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_span_dedup_windows_on_hash_key(spark, sf_dir):
+    """text_span_dedup's dedup window must partition on md5(chunk) — a
+    16-byte shuffle key — and never plan a join (pure window + two aggs)."""
+    plan = plan_of(REGISTRY["text_span_dedup"].fn(spark, sf_dir))
+    assert "md5" in plan, plan[:1500]
+    assert "Join" not in plan
+
+
+def test_pack_sequences_single_partitioning(spark, sf_dir):
+    """corpus_pack_sequences: the prefix-sum window and the (lang, seq_id)
+    rollup must ride lang-compatible partitionings — one scan, ≤2
+    exchanges, no join."""
+    df = REGISTRY["corpus_pack_sequences"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan[:1500]
+    assert plan.count("Exchange ") <= 2
+    assert "Join" not in plan
