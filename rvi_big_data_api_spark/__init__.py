@@ -76,6 +76,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "text_span_dedup", "corpus_quality_pipeline", "corpus_pack_sequences",
     "embed_quantize", "fn_interval", "agg_listagg", "observe_metrics",
     "join_hinted", "stream_stream_outer_join",
+    "scan_file_metadata", "agg_boolean", "sql_exec_immediate",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -875,3 +875,34 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_value"], m["min_value"], m["max_value"])],
         "n_rows bigint, sum_value double, min_value double, max_value double",
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 200)::BIGINT AS n_over_200,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 400) AS any_extreme,
+           round(count(*) FILTER (WHERE value > 200) / count(*), 4) AS frac_over_200
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregation",),
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family — `count_if`, `bool_and`
+    (ANSI EVERY), `bool_or` (ANSI ANY): the data-quality assertion
+    aggregates (\"are ALL readings non-negative? did ANY spike past the
+    sensor ceiling?\") computed in one partial-aggregable pass. DuckDB's
+    twin spells count_if as the ANSI FILTER clause — same semantics, both
+    plan as conditional partial aggs; boolean partial state is one byte
+    per group per predicate, so the 100 TB shuffle carries nothing."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 200).alias("n_over_200"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 400).alias("any_extreme"),
+        F.round(
+            F.count_if(F.col("value") > 200) / F.count(F.lit(1)), 4
+        ).alias("frac_over_200"),
+    )

@@ -751,7 +751,12 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic: pos is unique per doc). Both sides clamp the tail span
     (slice past the end yields the shorter remainder) so span boundaries
     are identical in both engines."""
-    d = load(spark, sf_dir, "documents")
+    return span_dedup_frame(load(spark, sf_dir, "documents"))
+
+
+def span_dedup_frame(d: DataFrame) -> DataFrame:
+    """The span-dedup pipeline on any documents-shaped frame (split out so
+    golden tests can run it on inline micro-corpora with known dup spans)."""
     spans = (
         d.select("doc_id", F.split("text", " ").alias("ts"))
         .select(

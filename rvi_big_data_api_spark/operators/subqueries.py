@@ -794,3 +794,42 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         li=li,
     )
+
+
+@query(
+    "sql_exec_immediate",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE value > 150.0
+    GROUP BY event_type
+    """,
+    tags=("analytics", "sql", "dynamic"),
+)
+def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL through EXECUTE IMMEDIATE (Spark 4) — the entry point for
+    query text assembled at runtime (stored templates, generated reports),
+    with the parameter passed via USING, not string concatenation — the
+    injection-safe half of dynamic SQL; `sql_parameterized` covers the
+    static-template half with named markers.
+
+    EXECUTE IMMEDIATE parses its string in a fresh context, so {df} template
+    binding can't reach it — the input is exposed as a temp view and dropped
+    in `finally` (the sql_recursive contract: no catalog state survives the
+    call)."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_exec_imm_events")
+    try:
+        return spark.sql(
+            """
+            EXECUTE IMMEDIATE
+              'SELECT event_type, count(*) AS n_events,
+                      round(avg(value), 4) AS avg_value
+               FROM _exec_imm_events WHERE value > ? GROUP BY event_type'
+              USING 150.0
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("_exec_imm_events")

@@ -637,3 +637,53 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gen").alias("gen"),
         )
     )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_path_match,
+           1::BIGINT AS n_files
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "metadata"),
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_path` / `file_name`) —
+    the provenance surface every 100 TB ingest audit needs: which file did
+    each row come from, and does the directory-derived partition value agree
+    with the row's own column? Here events are staged partitioned by
+    event_type (one file per partition via repartition(1)), re-read with
+    `_metadata`, and the audit asserts path⇄column agreement per partition:
+    n_path_match counts rows whose `event_type=<v>` path segment equals the
+    row's event_type column (all of them), and n_files confirms the single
+    file per partition.
+
+    Scale shape: _metadata is populated by the scan itself (constant-per-
+    file, no extra I/O); the audit is an ordinary partial-agg groupBy. The
+    same pattern drives per-file quarantine (group by file_name, flag files
+    whose error rate spikes) and incremental-ingest bookkeeping."""
+    out = scratch_dir(sf_dir, "file_meta")
+    (
+        load(spark, sf_dir, "events")
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    re_read = spark.read.parquet(out).select(
+        "event_type",
+        F.regexp_extract(F.col("_metadata.file_path"), "event_type=([^/]+)/", 1).alias(
+            "path_type"
+        ),
+        F.col("_metadata.file_name").alias("file_name"),
+    )
+    return re_read.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("path_type") == F.col("event_type"), 1).otherwise(0)
+        ).alias("n_path_match"),
+        F.countDistinct("file_name").alias("n_files"),
+    )

@@ -155,6 +155,9 @@ EXTENSIONS = [
     # join-strategy hints, and the left-outer stream-stream join
     "fn_interval", "agg_listagg", "observe_metrics", "join_hinted",
     "stream_stream_outer_join",
+    # round 4: file-provenance metadata columns, boolean aggregate family,
+    # dynamic SQL via EXECUTE IMMEDIATE
+    "scan_file_metadata", "agg_boolean", "sql_exec_immediate",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

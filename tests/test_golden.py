@@ -461,3 +461,56 @@ class TestMinLabelComponents:
         edges = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
         out = min_label_components(spark, edges)
         assert out.count() == out.count() == 4
+
+
+class TestSpanDedup:
+    """text_span_dedup semantics on a crafted corpus: a shared 8-token
+    passage must be removed from the LATER document only, and unique
+    content must survive untouched."""
+
+    PASSAGE = " ".join(f"boiler{i}" for i in range(8))  # exactly one span
+
+    def test_shared_passage_removed_from_later_doc(self, spark):
+        from rvi_big_data_api_spark.operators.llm_text import SPAN_W, span_dedup_frame
+
+        assert SPAN_W == 8  # PASSAGE is sized to one span
+        a_unique = " ".join(f"alpha{i}" for i in range(8))
+        b_unique = " ".join(f"beta{i}" for i in range(8))
+        docs = _docs(
+            spark,
+            [
+                (1, self.PASSAGE + " " + a_unique, "en", "s", 100),
+                (2, self.PASSAGE + " " + b_unique, "en", "s", 100),
+            ],
+        )
+        out = {r.doc_id: r for r in span_dedup_frame(docs).collect()}
+        assert out[1].n_removed == 0 and out[1].kept_text == self.PASSAGE + " " + a_unique
+        assert out[2].n_removed == 1 and out[2].kept_text == b_unique
+        assert out[1].n_spans == out[2].n_spans == 2
+
+    def test_all_spans_removed_yields_empty_doc(self, spark):
+        from rvi_big_data_api_spark.operators.llm_text import span_dedup_frame
+
+        docs = _docs(
+            spark,
+            [(1, self.PASSAGE, "en", "s", 50), (2, self.PASSAGE, "en", "s", 50)],
+        )
+        out = {r.doc_id: r for r in span_dedup_frame(docs).collect()}
+        assert out[1].kept_text == self.PASSAGE
+        assert out[2].kept_text == "" and out[2].n_removed == 1
+
+    def test_tail_span_shorter_than_width_is_its_own_unit(self, spark):
+        from rvi_big_data_api_spark.operators.llm_text import span_dedup_frame
+
+        # 10 tokens → spans of 8 + 2; the 2-token tail dedups independently
+        text = " ".join(f"w{i}" for i in range(10))
+        tail = "w8 w9"
+        docs = _docs(
+            spark,
+            [(1, text, "en", "s", 30), (2, "unrelated stuff " + tail, "en", "s", 20)],
+        )
+        out = {r.doc_id: r for r in span_dedup_frame(docs).collect()}
+        assert out[1].n_spans == 2 and out[1].n_removed == 0
+        # doc 2's spans are ["unrelated stuff w8 w9"-ish] — 3 tokens → one
+        # span, which differs from doc 1's tail span → nothing removed
+        assert out[2].n_removed == 0

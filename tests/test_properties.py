@@ -309,3 +309,70 @@ class TestRound3Invariants:
         }
         for key, n_legs in td.items():
             assert key in ts_ and ts_[key] == n_legs + 1, key
+
+
+class TestRound4CorpusOps:
+    def test_pack_sequences_conserves_tokens_and_ids_contiguous(self, spark, sf_dir):
+        """Packing is a partition of the corpus: per lang, sum of packed
+        tokens equals the corpus token count and seq_ids are contiguous
+        from 0 (a doc is assigned to exactly one sequence)."""
+        packed = REGISTRY["corpus_pack_sequences"].fn(spark, sf_dir)
+        per_lang = {
+            r.lang: r
+            for r in packed.groupBy("lang")
+            .agg(
+                F.sum("n_tokens").alias("tok"),
+                F.sum("n_docs").alias("docs"),
+                F.min("seq_id").alias("lo"),
+                F.max("seq_id").alias("hi"),
+                F.countDistinct("seq_id").alias("n_seq"),
+            )
+            .collect()
+        }
+        truth = {
+            r.lang: r
+            for r in load(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(
+                F.sum(F.size(F.split("text", " "))).alias("tok"),
+                F.count(F.lit(1)).alias("docs"),
+            )
+            .collect()
+        }
+        assert set(per_lang) == set(truth)
+        for lang, row in per_lang.items():
+            assert row.tok == truth[lang].tok, lang
+            assert row.docs == truth[lang].docs, lang
+            assert row.lo == 0 and row.n_seq == row.hi + 1, lang  # contiguous
+
+    def test_quality_pipeline_covers_every_doc_once(self, spark, sf_dir):
+        """The filter manifest has exactly one verdict per input document,
+        and its per-rule counts agree with the standalone operators it
+        composes (duplicates with dedup_exact's complement, length/stopword
+        verdicts with text_quality's on the non-duplicate slice)."""
+        manifest = REGISTRY["corpus_quality_pipeline"].fn(spark, sf_dir)
+        docs = load(spark, sf_dir, "documents")
+        assert manifest.count() == docs.count()
+        assert manifest.select("doc_id").distinct().count() == docs.count()
+        n_dup = manifest.filter(F.col("verdict") == "duplicate").count()
+        n_kept_exact = REGISTRY["dedup_exact"].fn(spark, sf_dir).count()
+        assert n_dup == docs.count() - n_kept_exact
+        # every non-duplicate length/stopword verdict matches text_quality
+        tq = {
+            r.doc_id: r.verdict
+            for r in REGISTRY["text_quality"].fn(spark, sf_dir).collect()
+        }
+        for r in manifest.filter(
+            F.col("verdict").isin("too_short", "too_long", "stopword_heavy")
+        ).collect():
+            assert tq[r.doc_id] == r.verdict, r.doc_id
+
+    def test_embed_quantize_error_bound(self, spark, sf_dir):
+        """Symmetric int8 quantization of a 64-dim unit vector has per-dim
+        error ≤ 1/(2·127), so L2 error ≤ sqrt(64)·(1/254) ≈ 0.0315 — and
+        self-similarity of unit vectors stays near 1."""
+        rows = REGISTRY["embed_quantize"].fn(spark, sf_dir).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert 0.0 <= r.max_err <= 0.0315, r
+            assert r.min_self_dot >= 0.99, r
