@@ -77,6 +77,10 @@ PRIORITY_UNVERIFIED: list[str] = [
     "embed_quantize", "fn_interval", "agg_listagg", "observe_metrics",
     "join_hinted", "stream_stream_outer_join",
     "scan_file_metadata", "agg_boolean", "sql_exec_immediate",
+    # round-4 third wave (queue for round 5)
+    "text_chunk_overlap", "corpus_shard_split", "corpus_importance_sample",
+    "dedup_cluster_pd", "data_quality_checks", "agg_mode", "sql_udf",
+    "fn_url", "embed_covariance",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -583,3 +583,42 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_timestamp(F.date_trunc("day", F.col("ts")))
         ).alias("secs_into_day"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           'https' AS proto,
+           source || '.example.org' AS host,
+           '/' || lang || '/doc/' || cast(doc_id AS VARCHAR) AS path,
+           'ref=' || lang || '&id=' || cast(doc_id AS VARCHAR) AS query,
+           cast(doc_id AS VARCHAR) AS id_param
+    FROM documents
+    """,
+    tags=("scalar", "url"),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing suite — `parse_url` over a synthesized crawl URL (the
+    corpus-provenance shape every web-scale dataset carries): PROTOCOL /
+    HOST / PATH / QUERY extraction plus keyed query-parameter lookup
+    (`parse_url(url, 'QUERY', 'id')`). The twin RECONSTRUCTS each component
+    from the same fields the URL was built from, so the check verifies
+    Spark's parser returns exactly the components that went in — a
+    round-trip proof, not a parser-vs-parser comparison.
+
+    All JVM-side string expressions inside one codegen stage; no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("lang"), F.lit("&id="), F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )

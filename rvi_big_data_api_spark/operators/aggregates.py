@@ -10,7 +10,7 @@ the shuffle carries pre-combined groups, not raw rows, which is what keeps a
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..io import load
 from ..registry import query
@@ -905,4 +905,53 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.count_if(F.col("value") > 200) / F.count(F.lit(1)), 4
         ).alias("frac_over_200"),
+    )
+
+
+# --- round 4 (third wave): deterministic mode ------------------------------
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, floor(value)::BIGINT AS bucket, count(*)::BIGINT AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, bucket, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, bucket ASC) AS rn
+        FROM counts
+    )
+    SELECT event_type, bucket AS mode_bucket, n AS n_occurrences
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("aggregation", "stats"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode — the most frequent value bucket per
+    channel, computed WITHOUT Spark's `mode()` / DuckDB's `mode()` builtins
+    because both leave ties implementation-defined; here the tie-break is
+    pinned (highest count, then smallest bucket) so the two engines cannot
+    legally disagree. The same discipline agg_correlation applies to
+    estimator pipelines, applied to order-sensitive aggregates.
+
+    Scale shape: count groupBy with map-side partials (the bucket cast
+    collapses the domain first), then a per-group rank over the tiny
+    (group × bucket) count table — the heavy shuffle carries count
+    partials, the window runs on the reduced frame."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    counts = ev.groupBy(
+        "event_type", F.floor("value").cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("bucket"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").alias("mode_bucket"),
+            F.col("n").alias("n_occurrences"),
+        )
     )

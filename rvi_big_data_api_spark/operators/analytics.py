@@ -380,3 +380,99 @@ def composite_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- round 4 (third wave): declarative data-quality expectations ------------
+
+
+@query(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'orders.totalprice_positive' AS rule,
+           count(*)::BIGINT AS n_checked,
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.custkey_not_null',
+           count(*)::BIGINT,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'orders.pk_unique',
+           count(*)::BIGINT,
+           (count(*) - count(DISTINCT o_orderkey))::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.quantity_range',
+           count(*)::BIGINT,
+           sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.discount_range',
+           count(*)::BIGINT,
+           sum(CASE WHEN l_discount < 0 OR l_discount > 0.2 THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.orphan_orderkey',
+           count(*)::BIGINT,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'lineitem.shipdate_after_order',
+           count(*)::BIGINT,
+           sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    tags=("quality", "pipeline"),
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations — the Deequ-style constraint
+    audit a production pipeline runs BEFORE publishing a table: each rule
+    (positivity, null-rate, key uniqueness, domain range, referential
+    integrity, cross-table ordering) is evaluated as an aggregate over the
+    full table and emitted as one report row (rule, n_checked,
+    n_violations). Every rule is a sum of CASE flags, so adding a rule
+    never adds a scan: Catalyst collapses all same-table rules into ONE
+    pass over that table.
+
+    Scale shape: column-pruned scans + partial aggs (violation counters
+    combine map-side); the two referential rules are equi-joins on the
+    orderkey — shuffle-hash at fact×fact scale. A single tiny report row
+    set comes back per rule, never row-level violation payloads (those
+    would be a separate quarantine sink in production)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def rule(df: DataFrame, name: str, violated) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(violated, 1).otherwise(0)).alias("n_violations"),
+        ).select("rule", "n_checked", "n_violations")
+
+    pk = orders.agg(
+        F.lit("orders.pk_unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    ).select("rule", "n_checked", "n_violations")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+    report = (
+        rule(orders, "orders.totalprice_positive", F.col("o_totalprice") <= 0)
+        .unionByName(rule(orders, "orders.custkey_not_null", F.col("o_custkey").isNull()))
+        .unionByName(pk)
+        .unionByName(
+            rule(li, "lineitem.quantity_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        )
+        .unionByName(
+            rule(li, "lineitem.discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.2))
+        )
+        .unionByName(rule(joined, "lineitem.orphan_orderkey", F.col("o_orderkey").isNull()))
+        .unionByName(
+            rule(
+                li.join(orders, li.l_orderkey == orders.o_orderkey),
+                "lineitem.shipdate_after_order",
+                F.col("l_shipdate") < F.col("o_orderdate"),
+            )
+        )
+    )
+    return report

@@ -703,3 +703,181 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return verdict.checkpoint(eager=True)
     finally:
         exact.unpersist()
+
+
+# --- round 4 (third wave): log-round connected components -------------------
+
+
+def ngram_sim_edges(docs: DataFrame) -> DataFrame:
+    """(lang, source)-blocked word-trigram Jaccard pair graph — the same
+    edge construction dedup_cluster uses, split out so the two CC
+    formulations (1-hop min-label vs pointer doubling) provably label the
+    SAME graph."""
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> array_join(slice(toks, i, 3), ' '))"
+    )
+    grams = (
+        docs.select("doc_id", "lang", "source", F.split("text", " ").alias("toks"))
+        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga, gb = grams.alias("a"), grams.alias("b")
+    pairs = (
+        ga.join(
+            gb,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= NGRAM_JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+
+
+def pointer_doubling_components(spark: SparkSession, pair_edges: DataFrame) -> DataFrame:
+    """Connected components in O(log diameter) rounds — the large-diameter
+    scale path SCALE.md promises as the alternative to 1-hop min-label
+    propagation: each round does one neighbor-min HOOK (pull the minimum
+    label across incident edges) followed by one pointer-doubling JUMP
+    (label ← label(label), halving every label chain). A path graph of
+    diameter d converges in ~log₂(d) rounds where 1-hop propagation needs d.
+
+    Labels only ever decrease and always hold a node id inside the same
+    component (hook moves along an edge, jump follows an existing label),
+    so the fixpoint is the component minimum — identical output to
+    min_label_components on the same edges, which is exactly what the
+    shared oracle hash-checks.
+
+    Same resource-hygiene contract as min_label_components: every cached
+    round is unpersisted, the converged result is eagerly checkpointed."""
+    edges = pair_edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pair_edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).cache()
+
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+
+    cached_labels = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("mind"))
+        .select("node", F.least(F.col("node"), F.col("mind")).alias("label"))
+        .cache()
+    )
+    labels = cached_labels
+    try:
+        for _round in range(10):  # log₂(diameter) rounds; cap >> any real graph
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy(F.col("src").alias("node2"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            hooked = (
+                labels.join(nbr_min, labels.node == F.col("node2"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            # JUMP: follow the label pointer one step — label(label(n)).
+            # `hooked` appears on both sides of one join; it is NOT cached
+            # because the two sides share the shuffle via ReusedExchange and
+            # the frame is consumed exactly once per round.
+            h2 = hooked.select(
+                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+            )
+            new_labels = (
+                hooked.join(h2, hooked.label == h2.jnode, "left")
+                .select(
+                    "node",
+                    F.col("label").alias("old_label"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+            cached_labels.unpersist()
+            cached_labels = new_labels
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
+        return labels.select("node", "label").checkpoint(eager=True)
+    finally:
+        cached_labels.unpersist()
+        edges.unpersist()
+
+
+@query(
+    "dedup_cluster_pd",
+    oracle=f"""
+    WITH RECURSIVE grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sim_edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n + sb.n - n_common) >= {NGRAM_JACCARD_TAU}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM sim_edges
+              UNION ALL SELECT doc_b, doc_a FROM sim_edges),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT edges.b, reach.r FROM edges JOIN reach ON edges.a = reach.node
+    ),
+    clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.doc_id, c.cluster_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+    FROM clusters c
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_cluster_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster's pointer-doubling twin — SAME similarity graph, SAME
+    output contract (doc_id, cluster_id = min reachable doc_id,
+    cluster_size), different iteration schedule: hook + jump per round
+    instead of a 1-hop propagate, so rounds needed drop from O(diameter)
+    to O(log diameter). On near-clique duplicate clusters both finish in
+    2-3 rounds; on a chain-of-near-dups (doc₁≈doc₂≈…≈docₙ — common when a
+    template drifts gradually) this variant is the one that still
+    terminates in single-digit rounds at n in the thousands.
+
+    Hash-checked against the same recursive-CTE closure as dedup_cluster —
+    the two Spark formulations and the SQL fixpoint must agree exactly."""
+    labels = pointer_doubling_components(spark, ngram_sim_edges(load(spark, sf_dir, "documents")))
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    w_sz = Window.partitionBy("cluster_id")
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))

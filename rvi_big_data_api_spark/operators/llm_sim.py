@@ -932,3 +932,65 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rmse"), 6).alias("max_err"),
         F.round(F.min("self_dot"), 4).alias("min_self_dot"),
     )
+
+
+# --- round 4 (third wave): embedding-space second moments -------------------
+
+
+@query(
+    "embed_covariance",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    cells AS (
+        SELECT a.dim AS dim_i, b.dim AS dim_j,
+               count(*)::BIGINT AS n,
+               sum(a.v) AS sx, sum(b.v) AS sy, sum(a.v * b.v) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    )
+    SELECT dim_i, dim_j, n,
+           round((sxy - sx * sy / n) / n, 6) + 0.0 AS cov
+    FROM cells
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix — the d×d second-moment summary that
+    feeds PCA whitening, drift monitors, and IVF quantizer diagnostics:
+    cov(i,j) for every dimension pair i ≤ j, from raw power sums (Σx, Σy,
+    Σxy — the agg_moments/agg_correlation discipline, so the twin is exact
+    to the 6-dp round).
+
+    Shape here: posexplode to (vec, dim, value), one equi-join on vec_id
+    (fan-out d per side, never vector×vector), partial-agg groupBy on the
+    (i, j) pair. The d² output is 2,080 rows at d=64 — driver-sized however
+    big the corpus is. At 100 TB the same statistic is better computed as
+    per-partition d×d partial Gram matrices via mapInPandas summed in one
+    reduce (the sim_pairs_gemm execution shape); this formulation is the
+    all-SQL twin that hash-validates the arithmetic."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("v"))
+    xa, xb = x.alias("a"), x.alias("b")
+    cells = (
+        xa.join(xb, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.dim") <= F.col("b.dim")))
+        .groupBy(F.col("a.dim").alias("dim_i"), F.col("b.dim").alias("dim_j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.v").alias("sx"),
+            F.sum("b.v").alias("sy"),
+            F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    return cells.select(
+        "dim_i", "dim_j", "n",
+        # `+ 0.0` collapses IEEE negative zero: a tiny negative covariance
+        # rounds to -0.0, whose repr-based sort key diverges from +0.0 in the
+        # canonical compare (PARITY.md rule 17).
+        (F.round((F.col("sxy") - F.col("sx") * F.col("sy") / n) / n, 6) + F.lit(0.0)).alias("cov"),
+    )

@@ -920,3 +920,177 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+# --- round 4 (third wave): chunking, sharding, importance sampling ----------
+
+CHUNK_W = 32   # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (CHUNK_W - CHUNK_STRIDE overlap)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               ts[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_W}] AS chunk
+        FROM toks,
+             unnest(generate_series(0, greatest((len(ts) - 1) // {CHUNK_STRIDE}, 0)::BIGINT)) t(i)
+    )
+    SELECT doc_id, chunk_id,
+           len(chunk)::BIGINT AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+    tags=("llm", "text", "corpus"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG/pre-training prep step
+    that cuts each document into CHUNK_W-token windows every CHUNK_STRIDE
+    tokens (so consecutive chunks share CHUNK_W − CHUNK_STRIDE tokens of
+    context and no sentence is lost at a boundary). Emits one row per chunk
+    with its token count and content hash — the manifest a downstream
+    embedding job consumes.
+
+    Scale shape: pure per-row explode algebra — split, `sequence` over the
+    chunk starts, `slice` per start. NO shuffle at all (the plan is a single
+    project/generate stage over the scan); chunk fan-out is bounded by
+    n_tokens/stride per doc, so task output is proportional to input size.
+    The hash (not the chunk text) is the output payload, keeping the
+    materialized manifest hash-sized — the dedup_hash discipline."""
+    d = load(spark, sf_dir, "documents")
+    # greatest(…, 0) guards the empty-doc edge: Spark's sequence(0, -1)
+    # would DESCEND ([0, -1]) while DuckDB's generate_series returns empty.
+    starts = F.expr(f"sequence(0, greatest((size(ts) - 1) div {CHUNK_STRIDE}, 0))")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("ts"))
+        .select("doc_id", "ts", F.explode(starts).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice("ts", F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_W).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+        )
+    )
+
+
+# train/val/test thresholds on the first hex nibble of md5(doc_id):
+# 0..b → train (12/16), c..d → val (2/16), e..f → test (2/16).
+SHARD_TRAIN_MAX = "c"
+SHARD_VAL_MAX = "e"
+
+
+@query(
+    "corpus_shard_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT lang,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               n_chars,
+               CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 1) < '{SHARD_TRAIN_MAX}'
+                    THEN 'train'
+                    WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 1) < '{SHARD_VAL_MAX}'
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           sum(n_chars)::BIGINT AS n_chars
+    FROM tagged GROUP BY split, lang
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test sharding — the split step every training
+    corpus needs, done the only way that survives re-runs and late-arriving
+    data: hash the STABLE document key (never `rand()`), bucket on the hash.
+    A document's split assignment is a pure function of doc_id, so
+    incremental corpus refreshes never migrate documents between splits
+    (the property random splits lose). Emits per-(split, lang) audit stats.
+
+    Scale shape: one partial-agg groupBy — the tag is a per-row md5 + CASE,
+    so the only shuffle carries (split, lang) partials. The hex-nibble
+    threshold compare is a plain string compare, identical bytes in both
+    engines (md5 hex is lowercase everywhere)."""
+    d = load(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    tagged = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+        F.when(nib < SHARD_TRAIN_MAX, "train")
+        .when(nib < SHARD_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+IMPORTANCE_FULL_CHARS = 400.0  # docs at/above this length keep weight 1.0
+
+
+@query(
+    "corpus_importance_sample",
+    oracle=f"""
+    WITH weighted AS (
+        SELECT doc_id, lang, source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               least(1.0, n_chars / {IMPORTANCE_FULL_CHARS}) AS w,
+               substr(md5(text), 1, 8) AS u_hex
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM weighted
+        WHERE u_hex < lpad(lower(to_hex(floor(w * 4294967295)::BIGINT)), 8, '0')
+    )
+    SELECT lang, source,
+           count(*)::BIGINT AS n_kept,
+           sum(n_tokens)::BIGINT AS kept_tokens,
+           round(avg(w), 6) AS avg_weight
+    FROM kept GROUP BY lang, source
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus subsampling — the data-mixing primitive
+    that downsamples low-value documents with probability proportional to a
+    quality weight, DETERMINISTICALLY: a document is kept iff the uniform
+    draw derived from md5(text) falls below its weight. No `rand()` — the
+    draw is a pure function of content, so re-runs, retries, and
+    stragglers all keep exactly the same documents (the property a 100 TB
+    sampling job cannot do without).
+
+    The [0,1) draw and the threshold are compared IN HEX-STRING SPACE:
+    u = first 8 md5 nibbles, threshold = floor(w·(2³²−1)) rendered as 8
+    zero-padded lowercase hex digits — a byte-identical compare in both
+    engines with no float parsing of hashes anywhere.
+
+    Scale shape: per-row hashing + one partial-agg groupBy; the shuffle
+    carries (lang, source) partials only."""
+    d = load(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(IMPORTANCE_FULL_CHARS))
+    weighted = d.select(
+        "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        w.alias("w"),
+        F.substring(F.md5("text"), 1, 8).alias("u_hex"),
+    )
+    thr = F.lpad(F.lower(F.hex(F.floor(F.col("w") * 4294967295).cast("long"))), 8, "0")
+    kept = weighted.filter(F.col("u_hex") < thr)
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.round(F.avg("w"), 6).alias("avg_weight"),
+    )

@@ -833,3 +833,55 @@ def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView("_exec_imm_events")
+
+
+@query(
+    "sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net_revenue,
+           round(avg(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS avg_net
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("analytics", "sql", "udf"),
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 `CREATE FUNCTION … RETURN expr`)
+    — the zero-cost UDF: the body is a SQL EXPRESSION, so Catalyst inlines
+    it at plan time and the call sites compile into whole-stage codegen
+    exactly like hand-written expressions — none of the serialization tax a
+    Python UDF pays. This is the right home for shared business formulas
+    (here: the net-revenue formula every composite_* query repeats);
+    pricing logic changes in ONE place, every query picks it up, and the
+    plan is identical to writing the expression inline (the twin IS the
+    inlined expression).
+
+    The function is TEMPORARY and dropped in `finally` — the sql_recursive
+    contract: no catalog state survives the call."""
+    li = load(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+            ep DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN ep * (1 - disc) * (1 + tax)
+        """
+    )
+    try:
+        return spark.sql(
+            """
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   round(sum(net_price(l_extendedprice, l_discount, l_tax)), 2)
+                       AS net_revenue,
+                   round(avg(net_price(l_extendedprice, l_discount, l_tax)), 4)
+                       AS avg_net
+            FROM {li}
+            GROUP BY l_returnflag
+            """,
+            li=li,
+        )
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS net_price")

@@ -158,6 +158,13 @@ EXTENSIONS = [
     # round 4: file-provenance metadata columns, boolean aggregate family,
     # dynamic SQL via EXECUTE IMMEDIATE
     "scan_file_metadata", "agg_boolean", "sql_exec_immediate",
+    # round 4 fourth wave: corpus construction (chunking, sharding,
+    # importance sampling), log-round connected components, declarative
+    # data-quality expectations, deterministic mode, SQL-defined functions,
+    # URL parsing, embedding covariance
+    "text_chunk_overlap", "corpus_shard_split", "corpus_importance_sample",
+    "dedup_cluster_pd", "data_quality_checks", "agg_mode", "sql_udf",
+    "fn_url", "embed_covariance",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

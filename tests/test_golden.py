@@ -514,3 +514,54 @@ class TestSpanDedup:
         # doc 2's spans are ["unrelated stuff w8 w9"-ish] — 3 tokens → one
         # span, which differs from doc 1's tail span → nothing removed
         assert out[2].n_removed == 0
+
+
+class TestPointerDoubling:
+    """pointer_doubling_components on graphs whose SHAPE the corpus fixture
+    can't produce: a long path exercises the log-round jump (near-clique dup
+    clusters converge in 2 rounds either way and would never catch a broken
+    jump step)."""
+
+    def test_path_graph_collapses_to_min(self, spark):
+        from rvi_big_data_api_spark.operators.llm_dedup import (
+            pointer_doubling_components,
+        )
+
+        # path 0-1-2-…-40: diameter 40 >> the 10-round cap, so plain 1-hop
+        # propagation COULD NOT finish — only the jump step makes this pass.
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+        )
+        labels = {r.node: r.label for r in pointer_doubling_components(spark, edges).collect()}
+        assert labels == {i: 0 for i in range(41)}
+
+    def test_two_components_stay_separate(self, spark):
+        from rvi_big_data_api_spark.operators.llm_dedup import (
+            pointer_doubling_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (11, 12)], "doc_a long, doc_b long"
+        )
+        labels = {r.node: r.label for r in pointer_doubling_components(spark, edges).collect()}
+        assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+class TestChunkOverlap:
+    def test_exact_chunks_on_inline_doc(self, spark, tmp_path):
+        from rvi_big_data_api_spark.operators.llm_text import CHUNK_STRIDE, CHUNK_W
+        from rvi_big_data_api_spark.registry import REGISTRY
+
+        n = CHUNK_W + CHUNK_STRIDE + 5  # 3 starts: 0, S, 2S (last two short)
+        words = [f"w{i}" for i in range(n)]
+        rows = [(1, " ".join(words), "en", "s", len(" ".join(words)))]
+        sf_dir = str(tmp_path)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+        out = {r.chunk_id: r.n_tokens for r in REGISTRY["text_chunk_overlap"].fn(spark, sf_dir).collect()}
+        assert out == {
+            0: CHUNK_W,
+            1: min(CHUNK_W, n - CHUNK_STRIDE),      # still a full window
+            2: n - 2 * CHUNK_STRIDE,                # short tail chunk
+        }

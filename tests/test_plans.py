@@ -419,3 +419,34 @@ def test_pack_sequences_single_partitioning(spark, sf_dir):
     assert plan.count("FileScan") == 1, plan[:1500]
     assert plan.count("Exchange ") <= 2
     assert "Join" not in plan
+
+
+def test_chunk_overlap_has_no_shuffle(spark, sf_dir):
+    """Chunking is pure per-row explode algebra — any Exchange would mean a
+    100 TB chunking job shuffles the whole corpus for nothing."""
+    plan = plan_of(REGISTRY["text_chunk_overlap"].fn(spark, sf_dir))
+    assert "Exchange" not in plan.split("\n== ")[0], plan[:2000]
+
+
+def test_shard_split_single_partial_agg(spark, sf_dir):
+    """The split tag is per-row hashing; the only exchange carries
+    (split, lang) partials."""
+    plan = plan_of(REGISTRY["corpus_shard_split"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert exec_plan.count("Exchange ") <= 1, exec_plan[:2000]
+    assert "HashAggregate" in exec_plan
+
+
+def test_data_quality_checks_no_cartesian(spark, sf_dir):
+    """Referential rules must plan as equi-joins, never nested-loop."""
+    plan = plan_of(REGISTRY["data_quality_checks"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_udf_inlines_to_codegen(spark, sf_dir):
+    """The SQL UDF body must be inlined at plan time — no EvalPython, no
+    udf-invoke node; the plan should look like the hand-written expression."""
+    plan = plan_of(REGISTRY["sql_udf"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan and "Invoke" not in plan.split("\n== ")[0], plan[:2000]
+    assert "HashAggregate" in plan
