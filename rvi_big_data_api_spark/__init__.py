@@ -80,7 +80,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # round-4 third wave (queue for round 5)
     "text_chunk_overlap", "corpus_shard_split", "corpus_importance_sample",
     "dedup_cluster_pd", "data_quality_checks", "agg_mode", "sql_udf",
-    "fn_url", "embed_covariance",
+    "fn_url", "embed_covariance", "join_lateral_df", "agg_transpose",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -955,3 +955,59 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "agg_transpose",
+    oracle="""
+    SELECT 'sum_value' AS key,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM events
+    UNION ALL
+    SELECT 'avg_value',
+           round(avg(CASE WHEN event_type = 'click'    THEN value END), 4),
+           round(avg(CASE WHEN event_type = 'error'    THEN value END), 4),
+           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4),
+           round(avg(CASE WHEN event_type = 'signup'   THEN value END), 4),
+           round(avg(CASE WHEN event_type = 'view'     THEN value END), 4)
+    FROM events
+    UNION ALL
+    SELECT 'n_events',
+           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::DOUBLE,
+           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::DOUBLE,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE,
+           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::DOUBLE,
+           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::DOUBLE
+    FROM events
+    """,
+    tags=("agg", "reshape"),
+)
+def agg_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-matrix transpose — `DataFrame.transpose` (Spark 4), the
+    reshape that turns a (group × metrics) summary into the
+    (metric × groups) layout dashboards and diff reports want. The input
+    is first reduced to one row per channel (partial-agg groupBy), so the
+    transpose operates on a tiny driver-sized frame — transpose is a
+    PRESENTATION op for reduced summaries, never for raw data (its column
+    count is the row count of its input).
+
+    The channel domain {click,error,purchase,signup,view} is a fixture
+    invariant [F]; the twin pivots the same five columns with conditional
+    aggregates and stacks the metric rows with UNION ALL. All metric cells
+    are cast/rounded to DOUBLE on both sides (transpose requires one
+    common value type — the least-common-type coercion is the API's
+    documented contract)."""
+    stats = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+        )
+    )
+    return stats.transpose()

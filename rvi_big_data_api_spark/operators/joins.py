@@ -747,3 +747,46 @@ def join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "join_lateral_df",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    """,
+    tags=("join", "lateral"),
+)
+def join_lateral_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated lateral join through the DataFrame API —
+    `DataFrame.lateralJoin` (Spark 4), the programmatic twin of
+    `sql_lateral`'s LATERAL syntax: for each nation, the two
+    highest-balance customers, where the right side is a per-row
+    subquery referencing the outer row via `.outer()`.
+
+    Catalyst decorrelates the correlated LIMIT-2 subquery into the same
+    partitioned rank-and-filter a window top-k declares directly
+    (DecorrelateInnerQuery) — the per-row re-execution the syntax
+    suggests never happens; the physical plan is one shuffle on the
+    correlation key. Deterministic: the inner ORDER BY tie-breaks on
+    c_custkey. The twin runs identical LATERAL SQL in DuckDB."""
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        nation.alias("n")
+        .lateralJoin(
+            cust.alias("c")
+            .where(F.col("c.c_nationkey") == F.col("n.n_nationkey").outer())
+            .select("c_custkey", "c_name", "c_acctbal")
+            .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+            .limit(2)
+        )
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+    )

@@ -165,6 +165,10 @@ EXTENSIONS = [
     "text_chunk_overlap", "corpus_shard_split", "corpus_importance_sample",
     "dedup_cluster_pd", "data_quality_checks", "agg_mode", "sql_udf",
     "fn_url", "embed_covariance",
+    # round 4 fourth wave, API-surface pair: DataFrame.lateralJoin
+    # (correlated subquery via the programmatic API) and DataFrame.transpose
+    # (metric-matrix reshape)
+    "join_lateral_df", "agg_transpose",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

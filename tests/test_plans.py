@@ -450,3 +450,14 @@ def test_sql_udf_inlines_to_codegen(spark, sf_dir):
     plan = plan_of(REGISTRY["sql_udf"].fn(spark, sf_dir))
     assert "EvalPython" not in plan and "Invoke" not in plan.split("\n== ")[0], plan[:2000]
     assert "HashAggregate" in plan
+
+
+def test_lateral_df_decorrelates_to_group_limit(spark, sf_dir):
+    """DataFrame.lateralJoin's correlated LIMIT-2 subquery must decorrelate
+    into a bounded per-group top-k (WindowGroupLimit: partial map-side +
+    final) joined back — never a per-outer-row re-execution or nested loop."""
+    plan = plan_of(REGISTRY["join_lateral_df"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "WindowGroupLimit" in exec_plan, exec_plan[:2000]
+    assert "CartesianProduct" not in exec_plan
+    assert "BroadcastNestedLoopJoin" not in exec_plan
