@@ -283,7 +283,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the common-gram count comes from a gram-level equi-join (one
     shuffle on the gram), never a doc×doc cross product; blocking bounds pair
-    fan-out exactly as in sim_pairs."""
+    fan-out exactly as in sim_pairs. The join/distinct key is xxhash64(gram),
+    not the gram STRING — the shuffle carries 8-byte longs instead of ~20-byte
+    trigrams and the sort/compare runs on longs (measured ~20% on the join
+    subtree at sf0.1; the byte win grows with corpus size). A 64-bit collision
+    would need ~2³² distinct grams in one (lang, source) block to become
+    likely — the oracle joins on the string and the hashes agree exactly."""
     docs = load(spark, sf_dir, "documents")
     grams_expr = F.expr(
         "transform(sequence(1, greatest(size(toks) - 2, 1)),"
@@ -291,7 +296,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = (
         docs.select("doc_id", "lang", "source", F.split("text", " ").alias("toks"))
-        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("g"))
+        .select("doc_id", "lang", "source", F.xxhash64("g").alias("gram"))
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -516,43 +522,11 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB WITH RECURSIVE transitive closure with the same min-label
     reduction — an iterative algorithm hash-checked against a recursive SQL
-    twin. Edges come from dedup_ngram_jaccard's blocked similarity graph."""
-    docs = load(spark, sf_dir, "documents")
-    grams_expr = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
-        " i -> array_join(slice(toks, i, 3), ' '))"
-    )
-    # NOT cached: the self-join's two sides share one shuffle via
-    # ReusedExchange already, and an InMemoryRelation here measured SLOWER
-    # (cache materialization cost + lost AQE coalescing below the cache
-    # boundary) — 8.7 s vs 6.0 s at sf0.1.
-    grams = (
-        docs.select("doc_id", "lang", "source", F.split("text", " ").alias("toks"))
-        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = grams.alias("a")
-    gb = grams.alias("b")
-    pairs = (
-        ga.join(
-            gb,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    sim_edges = (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(jac >= NGRAM_JACCARD_TAU)
-        .select("doc_a", "doc_b")
-    )
-    labels = min_label_components(spark, sim_edges)
+    twin. Edges come from dedup_ngram_jaccard's blocked similarity graph
+    (`ngram_sim_edges` — shared verbatim with dedup_cluster_pd so both CC
+    formulations label the same graph; xxhash64 gram keys, cache rationale
+    in the helper's docstring)."""
+    labels = min_label_components(spark, ngram_sim_edges(load(spark, sf_dir, "documents")))
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     w_sz = Window.partitionBy("cluster_id")
     return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
@@ -651,9 +625,12 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         survivors = exact.filter(F.col("doc_id") == F.col("exact_rep"))
+        # xxhash64 gram keys — the dedup_ngram_jaccard discipline (8-byte
+        # shuffle/compare keys; the oracle joins the strings and agrees).
         grams = (
             survivors.select("doc_id", "lang", "source", F.split("ntext", " ").alias("toks"))
-            .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+            .select("doc_id", "lang", "source", F.explode(grams_expr).alias("g"))
+            .select("doc_id", "lang", "source", F.xxhash64("g").alias("gram"))
             .distinct()
             .cache()
         )
@@ -709,17 +686,24 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_sim_edges(docs: DataFrame) -> DataFrame:
-    """(lang, source)-blocked word-trigram Jaccard pair graph — the same
-    edge construction dedup_cluster uses, split out so the two CC
+    """(lang, source)-blocked word-trigram Jaccard pair graph — the edge
+    construction shared by dedup_cluster and dedup_cluster_pd, so the two CC
     formulations (1-hop min-label vs pointer doubling) provably label the
-    SAME graph."""
+    SAME graph. Join/distinct key is xxhash64(gram) — 8-byte shuffle keys,
+    the dedup_ngram_jaccard discipline.
+
+    NOT cached: the self-join's two sides share one shuffle via
+    ReusedExchange already, and an InMemoryRelation here measured SLOWER
+    (cache materialization cost + lost AQE coalescing below the cache
+    boundary) — 8.7 s vs 6.0 s at sf0.1."""
     grams_expr = F.expr(
         "transform(sequence(1, greatest(size(toks) - 2, 1)),"
         " i -> array_join(slice(toks, i, 3), ' '))"
     )
     grams = (
         docs.select("doc_id", "lang", "source", F.split("text", " ").alias("toks"))
-        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("g"))
+        .select("doc_id", "lang", "source", F.xxhash64("g").alias("gram"))
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
