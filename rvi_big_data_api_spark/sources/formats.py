@@ -687,3 +687,46 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_path_match"),
         F.countDistinct("file_name").alias("n_files"),
     )
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           (n_chars + 1)::BIGINT AS length,
+           md5(to_hex((text || chr(10))::BLOB)) AS content_hash
+    FROM documents WHERE doc_id < 20
+    """,
+    tags=("source", "binary", "multimodal"),
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion — the `binaryFile` datasource that every
+    multimodal pipeline starts from (images/audio/video arrive as FILES;
+    this source turns a directory tree into (path, length, content) rows
+    without parsing a byte). Round-trip shape: 20 documents are written out
+    as one text file each under a `doc_id=K/` partition dir, read back as
+    opaque blobs with `pathGlobFilter`, the doc key recovered from the
+    PATH (the provenance pattern: file layout IS metadata), and the
+    content fingerprinted.
+
+    Cross-engine hashing: DuckDB cannot md5 a BLOB directly and the two
+    engines' base64 disagree (Spark emits MIME-wrapped lines), so both
+    sides hash the HEX rendering — md5(hex(content)) ≡
+    md5(to_hex(blob)) byte-for-byte (PARITY.md dialect note).
+
+    At 100 TB: binaryFile scans parallelize per-file with
+    spark.sql.files.maxPartitionBytes gating batch size; blobs stay opaque
+    executor-side (never driver-collected), and downstream decode is the
+    mm_decode_stub mapInPandas shape. pathGlobFilter prunes non-payload
+    files at listing time, before any read."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    out = scratch_dir(sf_dir, "binfiles")
+    docs.select("text", "doc_id").repartition(4).write.mode(
+        "overwrite"
+    ).partitionBy("doc_id").text(out)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
+    return bf.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("length"),
+        F.md5(F.hex("content")).alias("content_hash"),
+    )

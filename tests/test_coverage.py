@@ -169,6 +169,9 @@ EXTENSIONS = [
     # (correlated subquery via the programmatic API) and DataFrame.transpose
     # (metric-matrix reshape)
     "join_lateral_df", "agg_transpose",
+    # round 4: whole-file binary ingestion (binaryFile datasource) — the
+    # multimodal file-arrival floor, path-as-metadata + blob fingerprint
+    "scan_binaryfile",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
