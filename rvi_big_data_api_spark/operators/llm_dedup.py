@@ -865,3 +865,79 @@ def dedup_cluster_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     w_sz = Window.partitionBy("cluster_id")
     return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
+
+
+@query(
+    "dedup_embed_cluster",
+    oracle=f"""
+    WITH RECURSIVE bucketed AS (
+        SELECT vec_id, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings
+    ),
+    sim_edges AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {DEDUP_EMBED_TAU}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM sim_edges
+              UNION ALL SELECT doc_b, doc_a FROM sim_edges),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT edges.b, reach.r FROM edges JOIN reach ON edges.a = reach.node
+    ),
+    clusters AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.vec_id, c.cluster_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+    FROM clusters c
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clusters — the embedding-space twin of
+    dedup_cluster, closing the dedup matrix: where dedup_embed emits only
+    each doc's earliest similar predecessor (a dup LIST), this op runs
+    connected components over the full cosine-similarity pair graph, so
+    transitive semantic chains (A≈B≈C with cos(A,C) < τ — paraphrase
+    drift) land in ONE cluster with one representative. This is the
+    grouping a training pipeline actually dedups against: keep
+    cluster_id's representative, drop the rest.
+
+    Scale shape inherits both parents': candidate pairs from the sign-bit
+    LSH bucket with the salted probe/build join (never all-pairs — the
+    dedup_embed shape), then one edge-list shuffle per CC round
+    (min_label_components). The τ filter is hash-safe because the JVM HOF
+    dot is bit-identical to DuckDB's list_dot_product (PARITY.md #9)."""
+    from .llm_sim import dot, signbit_bucket
+
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", signbit_bucket(F.col("embedding"))
+    )
+    a = e.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(DEDUP_EMBED_SALT - 1)))
+    ).alias("a")
+    b = e.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(DEDUP_EMBED_SALT))).alias("b")
+    d = dot(F.col("a.embedding"), F.col("b.embedding"))
+    sim_edges = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rep") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            d.alias("raw_dot"),
+        )
+        .filter(F.col("raw_dot") >= DEDUP_EMBED_TAU)
+        .select("doc_a", "doc_b")
+    )
+    labels = min_label_components(spark, sim_edges)
+    out = labels.select(F.col("node").alias("vec_id"), F.col("label").alias("cluster_id"))
+    w_sz = Window.partitionBy("cluster_id")
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))

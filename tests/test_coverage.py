@@ -172,6 +172,9 @@ EXTENSIONS = [
     # round 4: whole-file binary ingestion (binaryFile datasource) — the
     # multimodal file-arrival floor, path-as-metadata + blob fingerprint
     "scan_binaryfile",
+    # round 4: semantic duplicate clusters — CC over the cosine pair graph,
+    # the embedding twin of dedup_cluster (closes the dedup matrix)
+    "dedup_embed_cluster",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
