@@ -376,3 +376,58 @@ class TestRound4CorpusOps:
         for r in rows:
             assert 0.0 <= r.max_err <= 0.0315, r
             assert r.min_self_dot >= 0.99, r
+
+
+class TestRound4ThirdWave:
+    def test_cc_formulations_agree(self, spark, sf_dir):
+        """dedup_cluster (1-hop min-label) and dedup_cluster_pd (pointer
+        doubling) label the SAME gram graph — their outputs must be
+        identical row-for-row, not merely both plausible."""
+        a = sorted(
+            map(tuple, REGISTRY["dedup_cluster"].fn(spark, sf_dir).collect())
+        )
+        b = sorted(
+            map(tuple, REGISTRY["dedup_cluster_pd"].fn(spark, sf_dir).collect())
+        )
+        assert a == b
+
+    def test_embed_cluster_consistent_with_pair_list(self, spark, sf_dir):
+        """Every (dup_of → vec_id) edge dedup_embed reports must land both
+        endpoints in the same dedup_embed_cluster cluster, and the cluster
+        representative can never exceed the earliest pairwise predecessor."""
+        clusters = {
+            r.vec_id: r.cluster_id
+            for r in REGISTRY["dedup_embed_cluster"].fn(spark, sf_dir).collect()
+        }
+        pairs = REGISTRY["dedup_embed"].fn(spark, sf_dir).collect()
+        assert pairs, "fixture should contain semantic near-dups"
+        for r in pairs:
+            assert clusters[r.vec_id] == clusters[r.dup_of], r
+            assert clusters[r.vec_id] <= r.dup_of, r
+
+    def test_shard_split_partitions_the_corpus(self, spark, sf_dir):
+        """The three splits are disjoint by construction (a doc's split is a
+        pure function of doc_id); their doc counts must sum to the corpus."""
+        from rvi_big_data_api_spark.io import load
+
+        split_rows = REGISTRY["corpus_shard_split"].fn(spark, sf_dir).collect()
+        assert sum(r.n_docs for r in split_rows) == load(spark, sf_dir, "documents").count()
+        splits = {r.split for r in split_rows}
+        assert splits == {"train", "val", "test"}
+        n_train = sum(r.n_docs for r in split_rows if r.split == "train")
+        # 12/16 nibble share; binomial 3σ at n=500 is ~±0.06
+        assert 0.65 <= n_train / sum(r.n_docs for r in split_rows) <= 0.85
+
+    def test_importance_sample_is_quality_monotone(self, spark, sf_dir):
+        """Full-weight docs (n_chars ≥ IMPORTANCE_FULL_CHARS) are ALWAYS
+        kept: their threshold is ffffffff and every md5 prefix sorts below
+        it — the deterministic analogue of 'probability 1'."""
+        from rvi_big_data_api_spark.io import load
+        from rvi_big_data_api_spark.operators.llm_text import IMPORTANCE_FULL_CHARS
+
+        d = load(spark, sf_dir, "documents")
+        full = d.filter(F.col("n_chars") >= IMPORTANCE_FULL_CHARS)
+        kept = REGISTRY["corpus_importance_sample"].fn(spark, sf_dir)
+        n_full = full.count()
+        n_kept = kept.agg(F.sum("n_kept")).collect()[0][0]
+        assert n_kept >= n_full, (n_kept, n_full)
