@@ -81,7 +81,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "text_chunk_overlap", "corpus_shard_split", "corpus_importance_sample",
     "dedup_cluster_pd", "data_quality_checks", "agg_mode", "sql_udf",
     "fn_url", "embed_covariance", "join_lateral_df", "agg_transpose",
-    "scan_binaryfile", "dedup_embed_cluster",
+    "scan_binaryfile", "dedup_embed_cluster", "fn_timezone",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

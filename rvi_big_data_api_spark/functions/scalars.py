@@ -622,3 +622,50 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@query(
+    "fn_timezone",
+    oracle="""
+    SELECT hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Los_Angeles') AS la_hour,
+           hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo') AS tokyo_hour,
+           count(*)::BIGINT AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("scalar", "datetime", "timezone"),
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion suite — `convert_timezone` (Spark 4), the
+    fleet-local-time primitive: vehicles report in UTC (the session pins
+    spark.sql.session.timeZone=UTC), but rush-hour/driver-behavior
+    analysis wants WALL-CLOCK local hours. Converts each event into a
+    DST-aware zone (America/Los_Angeles) and a fixed-offset zone
+    (Asia/Tokyo) and rolls up activity by the local-hour pair.
+
+    Dialect mapping (both ICU-backed, IANA zone names): Spark
+    `convert_timezone('UTC', tz, ts)` ≡ DuckDB
+    `(ts AT TIME ZONE 'UTC') AT TIME ZONE tz` — interpret-then-render,
+    returning a naive local timestamp. The fixture's event window
+    (Jan 2024) sits inside one DST regime; the LA path still exercises
+    the ICU rules engine rather than a constant offset.
+
+    Scale shape: per-row JVM datetime arithmetic inside codegen, one
+    partial-agg shuffle on the 24 (la, tokyo) hour pairs."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.hour(
+                F.expr("convert_timezone('UTC', 'America/Los_Angeles', ts)")
+            ).alias("la_hour"),
+            F.hour(F.expr("convert_timezone('UTC', 'Asia/Tokyo', ts)")).alias(
+                "tokyo_hour"
+            ),
+            "value",
+        )
+        .groupBy("la_hour", "tokyo_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

@@ -175,6 +175,9 @@ EXTENSIONS = [
     # round 4: semantic duplicate clusters — CC over the cosine pair graph,
     # the embedding twin of dedup_cluster (closes the dedup matrix)
     "dedup_embed_cluster",
+    # round 4: DST-aware timezone conversion (convert_timezone, Spark 4) —
+    # the fleet-local-time primitive, ICU zone rules on both engines
+    "fn_timezone",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
