@@ -1163,3 +1163,76 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("merge_action"),
     )
+
+
+@query(
+    "feature_pit_training",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               CASE WHEN event_type = 'view' THEN value END AS v_view,
+               CASE WHEN event_type = 'click' THEN value END AS v_click
+        FROM events
+    ),
+    feat AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch(date_trunc('second', ts))::BIGINT AS sec,
+               last_value(v_view IGNORE NULLS) OVER w AS prior_view,
+               last_value(v_click IGNORE NULLS) OVER w AS prior_click,
+               count(*) OVER w AS n_prior
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, sec, value AS label_value,
+           prior_view, prior_click, n_prior
+    FROM feat WHERE event_type = 'purchase'
+    """,
+    tags=("telemetry", "ml", "feature-store"),
+)
+def feature_pit_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store join
+    every supervised pipeline needs and most get WRONG by leaking future
+    data: for each label event (a purchase), attach each feature's value
+    as of STRICTLY BEFORE the label timestamp (latest prior view value,
+    latest prior click value, prior event count). The
+    UNBOUNDED PRECEDING → 1 PRECEDING frame is the leakage guard: the
+    label row itself and anything after it can never feed its own
+    features.
+
+    Spark-first shape: NOT one as-of join per feature table (N shuffles) —
+    labels and features ride ONE per-user window over the unified event
+    stream, so the whole training set costs a single shuffle on user_id
+    regardless of feature count; `last(col, ignorenulls=True)` per feature
+    channel is the per-column as-of. Ordering is total (ts, event_id), so
+    both engines' frames contain identical rows and the IGNORE NULLS fold
+    picks identical values. At 100 TB with features in separate tables,
+    the same plan applies after a unionByName of (entity, ts, channel,
+    value) feature streams — the union replaces N join pipelines."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("event_type")
+    base = ev.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.when(t == "view", F.col("value")).alias("v_view"),
+        F.when(t == "click", F.col("value")).alias("v_click"),
+    )
+    return (
+        base.select(
+            "event_id", "user_id", "event_type", "value",
+            F.unix_timestamp("ts").alias("sec"),
+            F.last("v_view", ignorenulls=True).over(w).alias("prior_view"),
+            F.last("v_click", ignorenulls=True).over(w).alias("prior_click"),
+            F.count(F.lit(1)).over(w).alias("n_prior"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "sec",
+            F.col("value").alias("label_value"),
+            "prior_view", "prior_click", "n_prior",
+        )
+    )

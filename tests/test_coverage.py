@@ -178,6 +178,9 @@ EXTENSIONS = [
     # round 4: DST-aware timezone conversion (convert_timezone, Spark 4) —
     # the fleet-local-time primitive, ICU zone rules on both engines
     "fn_timezone",
+    # round 4: point-in-time-correct feature assembly (leakage-guarded
+    # training-set join via one per-entity window, not N as-of joins)
+    "feature_pit_training",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
