@@ -82,7 +82,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "dedup_cluster_pd", "data_quality_checks", "agg_mode", "sql_udf",
     "fn_url", "embed_covariance", "join_lateral_df", "agg_transpose",
     "scan_binaryfile", "dedup_embed_cluster", "fn_timezone",
-    "feature_pit_training",
+    "feature_pit_training", "feature_rolling_windows",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

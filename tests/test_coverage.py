@@ -181,6 +181,9 @@ EXTENSIONS = [
     # round 4: point-in-time-correct feature assembly (leakage-guarded
     # training-set join via one per-entity window, not N as-of joins)
     "feature_pit_training",
+    # round 4: multi-horizon trailing-range feature vectors (one shuffle
+    # serves every horizon; RANGE …1 PRECEDING leakage guard on the time axis)
+    "feature_rolling_windows",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
