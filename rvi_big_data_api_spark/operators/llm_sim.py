@@ -994,3 +994,96 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # canonical compare (PARITY.md rule 17).
         (F.round((F.col("sxy") - F.col("sx") * F.col("sy") / n) / n, 6) + F.lit(0.0)).alias("cov"),
     )
+
+
+@query(
+    "eval_ann_recall",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE rank <= {SIM_TOPK_K}
+    ),
+    ann AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM bucketed q JOIN bucketed e
+              ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE rank <= {SIM_TOPK_K}
+    )
+    SELECT x.qid,
+           count(a.vec_id)::BIGINT AS n_overlap,
+           round(count(a.vec_id) / {SIM_TOPK_K}.0, 4) AS recall_at_k
+    FROM exact x LEFT JOIN ann a ON x.qid = a.qid AND x.vec_id = a.vec_id
+    GROUP BY x.qid
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality evaluation — recall@k of the sign-bit IVF index
+    (sim_topk_ann's bucket-restricted search) against exhaustive ground
+    truth (sim_topk's brute force), per query. This is the measurement
+    every production ANN deployment runs before trusting an index: an
+    approximate index without a recall report is a silent-quality bug.
+
+    Both retrieval arms are recomputed inside the query from the SAME
+    ranking contract (dot desc, vec_id asc) and intersected per query —
+    so the metric itself is hash-checkable, not just eyeballed. At 100 TB
+    the ground-truth arm runs on a SAMPLED query set (recall estimation
+    needs hundreds of queries, not the corpus) while the ANN arm is the
+    production path — exactly the asymmetry shown here (Q=5 queries,
+    broadcast; corpus never shuffles)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        signbit_bucket(F.col("embedding")).alias("q_bucket"),
+    )
+    corpus = e.withColumn("bucket", signbit_bucket(F.col("embedding")))
+    w = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+
+    def topk(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= SIM_TOPK_K)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(
+        corpus.crossJoin(F.broadcast(q.select("qid", "q_emb")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+    )
+    ann = topk(
+        corpus.join(F.broadcast(q), corpus.bucket == q.q_bucket)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+    )
+    hit = ann.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(SIM_TOPK_K)), 4
+            ).alias("recall_at_k"),
+        )
+    )

@@ -1094,3 +1094,65 @@ def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("kept_tokens"),
         F.round(F.avg("w"), 6).alias("avg_weight"),
     )
+
+
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "corpus_bpe_pairs",
+    oracle=f"""
+    WITH wf AS (
+        SELECT term, count(*)::BIGINT AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+    ),
+    pairs AS (
+        SELECT substr(term, i, 2) AS pair, wf
+        FROM wf, unnest(generate_series(1, len(term) - 1)) t(i)
+        WHERE len(term) >= 2
+    ),
+    agg AS (SELECT pair, sum(wf)::BIGINT AS n_occurrences FROM pairs GROUP BY pair),
+    ranked AS (
+        SELECT pair, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank
+        FROM agg
+    )
+    SELECT rank, pair, n_occurrences FROM ranked WHERE rank <= {BPE_TOP_PAIRS}
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training pair statistics — ONE merge-selection step of
+    byte-pair encoding, the computation a distributed BPE/WordPiece trainer
+    repeats per merge: count every adjacent character pair weighted by word
+    frequency and rank the candidates (the top pair is the next merge). The
+    deterministic tie-break (count desc, pair asc) is the part naive
+    trainers skip and then can't reproduce their own vocab.
+
+    Scale shape — the reason BPE training is feasible on a 100 TB corpus
+    at all: pair statistics are computed over the WORD-FREQUENCY table
+    (vocabulary-sized, from one partial-agg pass over the corpus), not
+    over raw text — the char-pair explode touches |vocab|·avg_len rows
+    regardless of corpus size. Iterating merges re-runs only the
+    vocab-sized stage. Final ranking is a single-partition window over
+    the pair table (alphabet², driver-sized)."""
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("term") >= 2)
+    )
+    pair_expr = F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
+    agg = (
+        wf.select(F.explode(pair_expr).alias("pair"), "wf")
+        .groupBy("pair")
+        .agg(F.sum("wf").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("rank", "pair", "n_occurrences")
+    )

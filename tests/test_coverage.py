@@ -184,6 +184,9 @@ EXTENSIONS = [
     # round 4: multi-horizon trailing-range feature vectors (one shuffle
     # serves every horizon; RANGE …1 PRECEDING leakage guard on the time axis)
     "feature_rolling_windows",
+    # round 4: ANN recall@k evaluation (exact vs bucket-restricted arms)
+    # and one BPE merge-selection step over the word-frequency table
+    "eval_ann_recall", "corpus_bpe_pairs",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
