@@ -24,6 +24,15 @@ LSH_ROWS = 4
 SHINGLE_N = 5
 JACCARD_TAU = 0.5
 
+# Truncate CC-loop lineage every N rounds: the label relation feeds both
+# sides of each round's plan, so the logical plan doubles per round; the
+# periodic eager checkpoint bounds plan size at 2^N of the base while adding
+# at most ceil(rounds/N) small label-table writes. N=2 measured best at
+# sf0.1: the checkpoint RECOMPUTES the round's plan (df.checkpoint rebuilds
+# the physical RDD, which does not share the cache's RDD id), so truncating
+# while plans are still small is strictly cheaper than letting them grow.
+CC_TRUNCATE_EVERY = 2
+
 
 @query(
     "dedup_exact",
@@ -325,6 +334,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EMBED_TAU = 0.30  # in-bucket cosine 99th pct ≈ 0.32 on the fixture [F]
 DEDUP_EMBED_SALT = 8
+# Clustering uses a STRICTER τ than pair listing: transitive closure
+# amplifies threshold looseness (chains of 0.30-cosine links glue the whole
+# space into one meaningless mega-cluster with diameter in the hundreds —
+# measured at sf0.1); 0.35 keeps real near-dup chains and a log-round CC.
+DEDUP_EMBED_CLUSTER_TAU = 0.35
 
 
 @query(
@@ -405,11 +419,17 @@ def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFram
     (diameter 2-4), so the 20-round cap is generous — a general
     large-diameter graph would want the pointer-doubling
     ("large-star/small-star") variant, not 1-hop propagation (SCALE.md)."""
+    # Both orientations from ONE pass over the pair list: a unionByName of
+    # two selects would execute the (potentially expensive) pair-building
+    # subtree twice — explode emits (a→b) and (b→a) from each row instead.
     edges = pair_edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pair_edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).cache()
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").cache()
 
     if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
         import os
@@ -456,6 +476,16 @@ def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFram
                 .cache()
             )
             changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+            # Lineage truncation (round-4 OOM fix): `labels` feeds BOTH sides
+            # of each round's plan, so the LOGICAL plan doubles per round — a
+            # deep graph makes plan strings/optimizer work grow 2^rounds even
+            # though caches bound the PHYSICAL work. Every CC_TRUNCATE_EVERY
+            # rounds, eagerly checkpoint the already-materialized labels and
+            # restart lineage from the checkpoint files.
+            if changed and (_round + 1) % CC_TRUNCATE_EVERY == 0:
+                truncated = new_labels.checkpoint(eager=True)
+                new_labels.unpersist()
+                new_labels = truncated
             cached_labels.unpersist()
             cached_labels = new_labels
             labels = new_labels.select("node", "label")
@@ -744,11 +774,17 @@ def pointer_doubling_components(spark: SparkSession, pair_edges: DataFrame) -> D
 
     Same resource-hygiene contract as min_label_components: every cached
     round is unpersisted, the converged result is eagerly checkpointed."""
+    # Both orientations from ONE pass over the pair list: a unionByName of
+    # two selects would execute the (potentially expensive) pair-building
+    # subtree twice — explode emits (a→b) and (b→a) from each row instead.
     edges = pair_edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pair_edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).cache()
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").cache()
 
     if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
         import os
@@ -772,10 +808,18 @@ def pointer_doubling_components(spark: SparkSession, pair_edges: DataFrame) -> D
                 .groupBy(F.col("src").alias("node2"))
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # `orig_label` (the PRE-hook label) rides along so convergence is
+            # judged on the FULL round (hook + jump). Reading old_label after
+            # the hook was the round-4 bug: a round whose hook still moved
+            # labels but whose jump didn't reported changed=0 and broke the
+            # loop unconverged — silently wrong clusters on graphs where the
+            # last propagation steps are hook-only (caught by the embed graph;
+            # the path-graph golden test converges jump-last and missed it).
             hooked = (
                 labels.join(nbr_min, labels.node == F.col("node2"), "left")
                 .select(
                     "node",
+                    F.col("label").alias("orig_label"),
                     F.least(
                         F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                     ).alias("label"),
@@ -792,7 +836,7 @@ def pointer_doubling_components(spark: SparkSession, pair_edges: DataFrame) -> D
                 hooked.join(h2, hooked.label == h2.jnode, "left")
                 .select(
                     "node",
-                    F.col("label").alias("old_label"),
+                    F.col("orig_label").alias("old_label"),
                     F.least(
                         F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                     ).alias("label"),
@@ -800,6 +844,13 @@ def pointer_doubling_components(spark: SparkSession, pair_edges: DataFrame) -> D
                 .cache()
             )
             changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+            # same lineage truncation as min_label_components: hook + jump
+            # reference the label relation THREE times per round, so unchecked
+            # logical plans grow even faster than the 1-hop loop's.
+            if changed and (_round + 1) % CC_TRUNCATE_EVERY == 0:
+                truncated = new_labels.checkpoint(eager=True)
+                new_labels.unpersist()
+                new_labels = truncated
             cached_labels.unpersist()
             cached_labels = new_labels
             labels = new_labels.select("node", "label")
@@ -880,7 +931,7 @@ def dedup_cluster_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-              >= {DEDUP_EMBED_TAU}
+              >= {DEDUP_EMBED_CLUSTER_TAU}
     ),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM sim_edges
               UNION ALL SELECT doc_b, doc_a FROM sim_edges),
@@ -907,11 +958,24 @@ def dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping a training pipeline actually dedups against: keep
     cluster_id's representative, drop the rest.
 
+    Clustering deliberately uses DEDUP_EMBED_CLUSTER_TAU (0.35), stricter
+    than dedup_embed's pair-listing τ (0.30): transitive closure AMPLIFIES
+    threshold looseness — at τ=0.30 the sf0.1 graph chains most of the
+    space into one mega-cluster of diameter in the hundreds (measured),
+    which is semantically meaningless and computationally hostile. The τ
+    gap between "similar enough to report" and "similar enough to merge
+    transitively" is a real design rule for semantic dedup, not a tuning
+    dodge.
+
     Scale shape inherits both parents': candidate pairs from the sign-bit
     LSH bucket with the salted probe/build join (never all-pairs — the
-    dedup_embed shape), then one edge-list shuffle per CC round
-    (min_label_components). The τ filter is hash-safe because the JVM HOF
-    dot is bit-identical to DuckDB's list_dot_product (PARITY.md #9)."""
+    dedup_embed shape), then pointer-doubling CC — NOT 1-hop propagation,
+    because semantic graphs are the chainy ones (gradual paraphrase drift
+    links long chains, where gram-graph dup clusters are near-cliques);
+    hook+jump converges in O(log d) rounds with periodic lineage
+    truncation (CC_TRUNCATE_EVERY). The τ filter is hash-safe because the
+    JVM HOF dot is bit-identical to DuckDB's list_dot_product
+    (PARITY.md #9)."""
     from .llm_sim import dot, signbit_bucket
 
     e = load(spark, sf_dir, "embeddings").withColumn(
@@ -934,10 +998,10 @@ def dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("doc_b"),
             d.alias("raw_dot"),
         )
-        .filter(F.col("raw_dot") >= DEDUP_EMBED_TAU)
+        .filter(F.col("raw_dot") >= DEDUP_EMBED_CLUSTER_TAU)
         .select("doc_a", "doc_b")
     )
-    labels = min_label_components(spark, sim_edges)
+    labels = pointer_doubling_components(spark, sim_edges)
     out = labels.select(F.col("node").alias("vec_id"), F.col("label").alias("cluster_id"))
     w_sz = Window.partitionBy("cluster_id")
     return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))

@@ -44,7 +44,11 @@ def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+        # Local mode runs driver AND all 32 executor threads in ONE JVM: 4g
+        # was GC-bound once the registry passed ~200 queries (round-4 bench:
+        # dedup_cluster 15.5 s GC spike, then hard OOM at 218 queries) — the
+        # box has 128 GiB, so size the heap like the single node it is.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # static conf; keep bucketed-table demos (tests/test_scale.py) out of

@@ -565,3 +565,20 @@ class TestChunkOverlap:
             1: min(CHUNK_W, n - CHUNK_STRIDE),      # still a full window
             2: n - 2 * CHUNK_STRIDE,                # short tail chunk
         }
+
+    def test_hook_only_final_round_converges(self, spark):
+        """Regression for the round-4 early-exit bug: on this graph (the
+        failing component lifted from the sf0.01 embed pair graph) the last
+        label movements come from the HOOK step while the jump changes
+        nothing — a convergence check that only watches the jump reports
+        changed=0 and exits with nodes 54/463 stranded at label 54."""
+        from rvi_big_data_api_spark.operators.llm_dedup import (
+            pointer_doubling_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(195, 463), (166, 195), (166, 324), (54, 195), (37, 324)],
+            "doc_a long, doc_b long",
+        )
+        labels = {r.node: r.label for r in pointer_doubling_components(spark, edges).collect()}
+        assert labels == {n: 37 for n in (37, 54, 166, 195, 324, 463)}

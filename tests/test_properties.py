@@ -391,19 +391,38 @@ class TestRound4ThirdWave:
         )
         assert a == b
 
-    def test_embed_cluster_consistent_with_pair_list(self, spark, sf_dir):
-        """Every (dup_of → vec_id) edge dedup_embed reports must land both
-        endpoints in the same dedup_embed_cluster cluster, and the cluster
-        representative can never exceed the earliest pairwise predecessor."""
+    def test_embed_cluster_consistent_with_pair_graph(self, spark, sf_dir):
+        """Every cosine-≥-CLUSTER_TAU bucket pair must land both endpoints in
+        the same cluster with a representative ≤ both ids, and every cluster
+        id must be one of its own members (the min, by construction)."""
+        import pyspark.sql.functions as F
+
+        from rvi_big_data_api_spark.io import load
+        from rvi_big_data_api_spark.operators.llm_dedup import (
+            DEDUP_EMBED_CLUSTER_TAU,
+        )
+        from rvi_big_data_api_spark.operators.llm_sim import dot, signbit_bucket
+
         clusters = {
             r.vec_id: r.cluster_id
             for r in REGISTRY["dedup_embed_cluster"].fn(spark, sf_dir).collect()
         }
-        pairs = REGISTRY["dedup_embed"].fn(spark, sf_dir).collect()
-        assert pairs, "fixture should contain semantic near-dups"
+        e = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", signbit_bucket(F.col("embedding")).alias("b")
+        )
+        a, b = e.alias("a"), e.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .filter(dot(F.col("a.embedding"), F.col("b.embedding")) >= DEDUP_EMBED_CLUSTER_TAU)
+            .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+            .collect()
+        )
+        assert pairs, "fixture should contain semantic near-dups at cluster tau"
         for r in pairs:
-            assert clusters[r.vec_id] == clusters[r.dup_of], r
-            assert clusters[r.vec_id] <= r.dup_of, r
+            assert clusters[r.u] == clusters[r.v], r
+            assert clusters[r.u] <= r.u, r
+        members = set(clusters)
+        assert set(clusters.values()) <= members
 
     def test_shard_split_partitions_the_corpus(self, spark, sf_dir):
         """The three splits are disjoint by construction (a doc's split is a
