@@ -790,3 +790,48 @@ def join_lateral_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "c_custkey", "c_name", "c_acctbal")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH counts AS (
+        SELECT nullif(event_type, 'error') AS k, count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT nullif(event_type, 'error') AS k, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1
+    )
+    SELECT coalesce(c.k, '<unknown>') AS channel, n_events, avg_value
+    FROM counts c JOIN stats s ON c.k IS NOT DISTINCT FROM s.k
+    """,
+    tags=("join", "null-semantics"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join — `eqNullSafe` (SQL `<=>` / ANSI
+    IS NOT DISTINCT FROM): the join every pipeline with OPTIONAL keys
+    eventually needs, because plain `=` silently DROPS the NULL-keyed
+    group (NULL = NULL is NULL, not true). Here a channel column is made
+    optional (the 'error' channel degraded to NULL — the sensor-without-
+    region shape) and two per-channel summaries are re-joined: the
+    NULL-keyed bucket must survive the join as a real group.
+
+    Plan note: eqNullSafe is still an EQUI-join key for the planner
+    (hash/sort-merge on the null-safe comparator, no nested loop) — using
+    `=` plus `OR (a IS NULL AND b IS NULL)` instead would defeat the
+    equi-join detection and plan a BNLJ; the builtin comparator is the
+    difference between a hash join and a quadratic plan at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    counts = ev.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = ev.groupBy(k.alias("k")).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    return (
+        counts.alias("c")
+        .join(stats.alias("s"), F.col("c.k").eqNullSafe(F.col("s.k")))
+        .select(
+            F.coalesce(F.col("c.k"), F.lit("<unknown>")).alias("channel"),
+            "n_events",
+            "avg_value",
+        )
+    )

@@ -187,6 +187,9 @@ EXTENSIONS = [
     # round 4: ANN recall@k evaluation (exact vs bucket-restricted arms)
     # and one BPE merge-selection step over the word-frequency table
     "eval_ann_recall", "corpus_bpe_pairs",
+    # round 4: null-safe equality join (eqNullSafe / IS NOT DISTINCT FROM —
+    # the optional-key join that keeps the NULL group, still planned equi)
+    "join_null_safe",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
