@@ -83,7 +83,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "fn_url", "embed_covariance", "join_lateral_df", "agg_transpose",
     "scan_binaryfile", "dedup_embed_cluster", "fn_timezone",
     "feature_pit_training", "feature_rolling_windows",
-    "eval_ann_recall", "corpus_bpe_pairs", "join_null_safe",
+    "eval_ann_recall", "corpus_bpe_pairs", "join_null_safe", "sql_table_fn",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

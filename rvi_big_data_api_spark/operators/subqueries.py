@@ -885,3 +885,47 @@ def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql("DROP TEMPORARY FUNCTION IF EXISTS net_price")
+
+
+@query(
+    "sql_table_fn",
+    oracle="""
+    WITH thresholds(thr) AS (VALUES (150.0), (190.0))
+    SELECT t.thr, e.event_type, count(*)::BIGINT AS n_events
+    FROM thresholds t JOIN events e ON e.value > t.thr
+    GROUP BY t.thr, e.event_type
+    """,
+    tags=("analytics", "sql", "udf", "table-function"),
+)
+def sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (Spark 4 `CREATE FUNCTION … RETURNS
+    TABLE`) — sql_udf's set-returning sibling and the catalog-native way to
+    publish a parameterized VIEW: the function body is a full SELECT, and
+    call sites compose it relationally, including the LATERAL per-row-
+    argument form shown here (each threshold row drives one invocation).
+    Catalyst inlines the body and decorrelates the lateral apply, so the
+    plan is the same join + aggregate a hand-written query gets — a
+    reusable query template with zero runtime indirection.
+
+    The function is TEMPORARY, parameterized over the event table path at
+    CREATE time, and dropped in `finally` (no catalog state survives;
+    the sql_recursive contract)."""
+    path = f"{sf_dir}/events.parquet"
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION channel_counts(min_v DOUBLE)
+        RETURNS TABLE (event_type STRING, n_events BIGINT)
+        RETURN SELECT event_type, count(*)
+               FROM parquet.`{path}` WHERE value > min_v GROUP BY event_type
+        """
+    )
+    try:
+        return spark.sql(
+            """
+            SELECT t.thr, f.event_type, f.n_events
+            FROM VALUES (150.0), (190.0) AS t(thr),
+                 LATERAL channel_counts(t.thr) f
+            """
+        )
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS channel_counts")

@@ -190,6 +190,9 @@ EXTENSIONS = [
     # round 4: null-safe equality join (eqNullSafe / IS NOT DISTINCT FROM —
     # the optional-key join that keeps the NULL group, still planned equi)
     "join_null_safe",
+    # round 4: SQL-defined table function (RETURNS TABLE + LATERAL per-row
+    # invocation — the catalog-native parameterized view)
+    "sql_table_fn",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
