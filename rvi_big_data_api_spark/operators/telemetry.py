@@ -1297,3 +1297,62 @@ def feature_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.sum("value").over(w24), F.lit(0.0)), 2).alias("sum_24h"),
         F.count(F.lit(1)).over(w24).alias("n_24h"),
     ).filter(F.col("user_id") < 10)
+
+
+MAD_K = 3.0  # flag |v - median| > MAD_K * 1.4826 * MAD (the robust 3-sigma)
+
+
+@query(
+    "anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(d.med, 4) AS med,
+           round(mad.mad, 4) AS mad,
+           count(*)::BIGINT AS n_events,
+           sum(CASE WHEN d.ad > {MAD_K} * 1.4826 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+               AS n_outliers
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type, d.med, mad.mad
+    """,
+    tags=("telemetry", "quality", "stats"),
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation —
+    anomaly_zscore's breakdown-resistant twin: mean/stddev fences MOVE when
+    the outliers they should catch contaminate them (one stuck sensor
+    inflates σ until nothing is anomalous); the median and MAD have a 50%
+    breakdown point, so the fence holds. 1.4826·MAD estimates σ for
+    Gaussian data, making MAD_K directly comparable to a z-score cut.
+
+    Two grouped percentile passes (median, then median of absolute
+    deviations) with the tiny per-channel fence tables broadcast back —
+    the clean_winsorize join discipline; the event stream never shuffles.
+    Exact grouped percentiles sort per group — fine for bounded channel
+    count; at 100 TB swap `percentile` for `percentile_approx` (the
+    agg_percentile note) without changing the fence algebra."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
+    fenced = dev.join(F.broadcast(mad), "event_type")
+    return fenced.groupBy("event_type").agg(
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("ad") > MAD_K * 1.4826 * F.col("mad"), 1).otherwise(0)
+        ).alias("n_outliers"),
+    )

@@ -193,6 +193,9 @@ EXTENSIONS = [
     # round 4: SQL-defined table function (RETURNS TABLE + LATERAL per-row
     # invocation — the catalog-native parameterized view)
     "sql_table_fn",
+    # round 4: median-absolute-deviation outlier fences (the robust,
+    # 50%-breakdown twin of anomaly_zscore)
+    "anomaly_mad",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
