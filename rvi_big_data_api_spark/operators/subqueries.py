@@ -891,9 +891,9 @@ def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_table_fn",
     oracle="""
     WITH thresholds(thr) AS (VALUES (150.0), (190.0))
-    SELECT t.thr, e.event_type, count(*)::BIGINT AS n_events
+    SELECT t.thr::DOUBLE AS thr, e.event_type, count(*)::BIGINT AS n_events
     FROM thresholds t JOIN events e ON e.value > t.thr
-    GROUP BY t.thr, e.event_type
+    GROUP BY 1, e.event_type
     """,
     tags=("analytics", "sql", "udf", "table-function"),
 )
@@ -922,7 +922,10 @@ def sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         return spark.sql(
             """
-            SELECT t.thr, f.event_type, f.n_events
+            -- literal 150.0 parses as DECIMAL(4,1) in BOTH engines; cast to
+            -- DOUBLE so the emitted dtype matches the twin (decimal surfaces
+            -- as object dtype in pandas and fails the strict kind compare)
+            SELECT CAST(t.thr AS DOUBLE) AS thr, f.event_type, f.n_events
             FROM VALUES (150.0), (190.0) AS t(thr),
                  LATERAL channel_counts(t.thr) f
             """
