@@ -84,7 +84,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "scan_binaryfile", "dedup_embed_cluster", "fn_timezone",
     "feature_pit_training", "feature_rolling_windows",
     "eval_ann_recall", "corpus_bpe_pairs", "join_null_safe", "sql_table_fn",
-    "anomaly_mad",
+    "anomaly_mad", "sim_topk_multiprobe",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1087,3 +1087,72 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@query(
+    "sim_topk_multiprobe",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS qid, embedding AS q_emb, p AS probe
+        FROM bucketed,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                     xor(bucket, 4), xor(bucket, 8)]) t(p)
+        WHERE vec_id < {SIM_TOPK_NQUERIES}
+    )
+    SELECT qid, vec_id, dot, rank FROM (
+        SELECT p.qid, e.vec_id,
+               round(list_dot_product(p.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 4) AS dot,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY list_dot_product(p.q_emb::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rank
+        FROM probes p JOIN bucketed e
+          ON e.bucket = p.probe AND e.vec_id != p.qid
+    ) WHERE rank <= {SIM_TOPK_K}
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN — the standard recall lever for bucketed indexes
+    (multi-probe LSH / IVF nprobe>1): each query searches its own sign-bit
+    bucket PLUS the 4 buckets at Hamming distance 1 (one flipped sign bit —
+    exactly the buckets a near-boundary vector falls into), trading 5×
+    probe cost for the recall the single-bucket search loses at cell
+    boundaries. eval_ann_recall measures what this buys (the companion
+    property test pins multiprobe recall ≥ single-probe recall per query).
+
+    Scale shape: the probe set is EXPLODED into (qid, probe_bucket) rows
+    and the corpus joined by bucket EQUALITY — never a popcount≤1 theta
+    join, which would plan a nested loop; nprobe scales the (tiny) query
+    side only, the corpus is never replicated or shuffled."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.withColumn("bucket", signbit_bucket(F.col("embedding")))
+    base = corpus.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    probes = base.select(
+        "qid", "q_emb",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(4)],
+            )
+        ).alias("probe"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), corpus.bucket == probes.probe)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"), "rank")
+    )

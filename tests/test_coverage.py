@@ -196,6 +196,9 @@ EXTENSIONS = [
     # round 4: median-absolute-deviation outlier fences (the robust,
     # 50%-breakdown twin of anomaly_zscore)
     "anomaly_mad",
+    # round 4: multi-probe ANN (Hamming-1 neighbor buckets via explode +
+    # equi-join — the recall lever; never a popcount theta join)
+    "sim_topk_multiprobe",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

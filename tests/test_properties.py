@@ -450,3 +450,21 @@ class TestRound4ThirdWave:
         n_full = full.count()
         n_kept = kept.agg(F.sum("n_kept")).collect()[0][0]
         assert n_kept >= n_full, (n_kept, n_full)
+
+    def test_multiprobe_recall_dominates_single_probe(self, spark, sf_dir):
+        """Multi-probe searches a superset of the single-probe bucket, so
+        per-query recall@k against exhaustive ground truth can only rise."""
+        exact = {}
+        for r in REGISTRY["sim_topk"].fn(spark, sf_dir).collect():
+            exact.setdefault(r.qid, set()).add(r.vec_id)
+
+        def recall(name):
+            got = {}
+            for r in REGISTRY[name].fn(spark, sf_dir).collect():
+                got.setdefault(r.qid, set()).add(r.vec_id)
+            return {q: len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact}
+
+        single, multi = recall("sim_topk_ann"), recall("sim_topk_multiprobe")
+        for q in exact:
+            assert multi[q] >= single[q], (q, single[q], multi[q])
+        assert sum(multi.values()) > sum(single.values()), (single, multi)
