@@ -145,10 +145,26 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trips.groupBy("user_id").agg(F.countDistinct("session_id").alias("n_sessions"))
 
 
-@query("source_inmemory", oracle=None, tags=("source", "rows-only"))
+@query(
+    "source_inmemory",
+    oracle="""
+    SELECT vin, count(*)::BIGINT AS n_reports,
+           round(sum(reading::DOUBLE), 2) AS sum_reading
+    FROM (VALUES (1, 'vin-001', 'speed', 88.5),
+                 (2, 'vin-001', 'rpm', 2400.0),
+                 (3, 'vin-002', 'speed', 51.0),
+                 (4, 'vin-003', 'fuel', 0.62)) t(report_id, vin, channel, reading)
+    GROUP BY vin
+    """,
+    tags=("source",),
+)
 def source_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """API-ingestion analogue (the reference's HTTP POST path): rows born in
-    the driver become a distributed DataFrame with an explicit schema."""
+    the driver become a distributed DataFrame with an explicit schema.
+
+    Oracled since round 4: the same literal rows as a VALUES derived table —
+    this was never semantically rows-only, just unplumbed (the one entry of
+    the original seven whose inputs are fully expressible in SQL)."""
     rows = [
         (1, "vin-001", "speed", 88.5),
         (2, "vin-001", "rpm", 2400.0),

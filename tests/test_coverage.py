@@ -207,7 +207,6 @@ EXPECTED_ROWS_ONLY = {
     "sample_frac",          # Spark's Bernoulli sampler ≠ DuckDB's
     "agg_approx_distinct",  # HLL estimate
     "dedup_near",           # seeded xxhash64 minhash
-    "source_inmemory",      # literal rows, no fixture table
     "stream_late_data",     # watermark drop semantics have no batch twin
     "dedup_simhash",        # seeded xxhash64 signature
     "agg_sketch_rollup",    # Datasketches HLL binary ≠ DuckDB's approx HLL
