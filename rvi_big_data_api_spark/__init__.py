@@ -84,7 +84,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "scan_binaryfile", "dedup_embed_cluster", "fn_timezone",
     "feature_pit_training", "feature_rolling_windows",
     "eval_ann_recall", "corpus_bpe_pairs", "join_null_safe", "sql_table_fn",
-    "anomaly_mad", "sim_topk_multiprobe",
+    "anomaly_mad", "sim_topk_multiprobe", "agg_session_window",
+    "corpus_source_cap",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

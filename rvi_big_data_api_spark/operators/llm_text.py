@@ -1156,3 +1156,53 @@ def corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BPE_TOP_PAIRS)
         .select("rank", "pair", "n_occurrences")
     )
+
+
+SOURCE_CAP = 20  # max docs any single (lang, source) may contribute
+
+
+@query(
+    "corpus_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang, source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN rn <= {SOURCE_CAP} THEN n_tokens ELSE 0 END)::BIGINT
+               AS kept_tokens
+    FROM ranked GROUP BY lang, source
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-domination capping — the anti-monoculture sampler every web
+    corpus applies before training: no single (lang, source) may contribute
+    more than SOURCE_CAP documents, and WHICH documents survive is decided
+    by a deterministic content-hash order (md5(text), doc_id tie-break) —
+    an unbiased within-source sample that re-runs, retries, and
+    incremental refreshes reproduce exactly, where `ORDER BY rand()` would
+    not. Emits the per-source audit (before/after doc counts, surviving
+    token budget) a mixing stage consumes.
+
+    Scale shape: one rank window per (lang, source) partition — bounded
+    partitions (sources), hash-sized sort keys; the cap filter is a flag
+    inside the same aggregation, so capping adds zero extra passes."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.md5("text"), "doc_id")
+    ranked = d.select(
+        "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = F.col("rn") <= SOURCE_CAP
+    return ranked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+    )

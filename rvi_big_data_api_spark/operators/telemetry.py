@@ -1356,3 +1356,60 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ad") > MAD_K * 1.4826 * F.col("mad"), 1).otherwise(0)
         ).alias("n_outliers"),
     )
+
+
+@query(
+    "agg_session_window",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    )
+    SELECT user_id,
+           epoch(date_trunc('second', min(ts)))::BIGINT AS start_sec,
+           epoch(date_trunc('second', max(ts)))::BIGINT + 1800 AS end_sec,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("telemetry", "session", "agg"),
+)
+def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native batch `session_window` aggregation — the BUILT-IN gap-merge
+    operator cross-validated against the hand-built gaps-and-islands
+    algebra (trip_sessionize's formulation, here living in the ORACLE): the
+    two must produce identical sessions, pinning the builtin's exact merge
+    semantics (events merge while diff ≤ gap — a boundary event exactly
+    gap seconds later still merges; session end = last event + gap).
+
+    This is the operator a migration actually needs checked: pipelines
+    that hand-rolled sessionization switch to session_window for the
+    planner-native merging (and the streaming unification — stream_session
+    is the same operator under watermarks); a silent off-by-boundary
+    difference would corrupt every downstream trip metric. One shuffle on
+    the session key; the builtin merges sessions inside the aggregation
+    operator, no self-join."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("start_sec"),
+            F.unix_timestamp(F.col("sw.end")).alias("end_sec"),
+            "n_events",
+            "sum_value",
+        )
+    )

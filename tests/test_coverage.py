@@ -199,6 +199,9 @@ EXTENSIONS = [
     # round 4: multi-probe ANN (Hamming-1 neighbor buckets via explode +
     # equi-join — the recall lever; never a popcount theta join)
     "sim_topk_multiprobe",
+    # round 4: native batch session_window cross-validated against the
+    # gaps-and-islands oracle; deterministic per-source contribution cap
+    "agg_session_window", "corpus_source_cap",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
