@@ -669,3 +669,46 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT event_id,
+           round(value / nullif((user_id % 3)::DOUBLE, 0.0), 6) AS safe_ratio,
+           CASE WHEN user_id > 7 THEN NULL
+                ELSE user_id + 9223372036854775800 END AS overflow_guard,
+           string_split(event_type, '')[100] AS oob_char,
+           TRY_CAST(event_type AS TIMESTAMP) AS bad_ts,
+           CASE WHEN user_id > 1 OR user_id < 0 THEN NULL
+                ELSE user_id * 9223372036854775800 END AS overflow_mul
+    FROM events WHERE event_id < 200
+    """,
+    tags=("scalar", "error-handling"),
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `try_*` error-safe expression family — ANSI semantics with NULL
+    instead of runtime failure, per EXPRESSION rather than per session:
+    division by zero (try_divide), 64-bit overflow (try_add /
+    try_multiply — with ANSI off a plain `+` would silently WRAP, which is
+    worse than either NULL or an error), out-of-bounds array access
+    (try_element_at), and unparseable timestamps (try_to_timestamp). This
+    is the migration path to running ANSI mode at scale: hot paths opt
+    into NULL-on-error explicitly while everything else keeps strict
+    failure — a 100 TB job that dies at hour three on one malformed row
+    is the alternative.
+
+    The twin expresses each guard structurally (nullif divisor, CASE on
+    the overflow boundary, TRY_CAST) — the oracle states WHEN each value
+    is undefined, so the hash check verifies the try_ functions' exact
+    NULL contract, not merely that some rows are null. Pure codegen
+    expressions; the only plan node is the pruned scan."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.selectExpr(
+        "event_id",
+        "round(try_divide(value, cast(user_id % 3 as double)), 6) as safe_ratio",
+        "try_add(user_id, 9223372036854775800L) as overflow_guard",
+        "try_element_at(split(event_type, ''), 100) as oob_char",
+        "try_to_timestamp(event_type) as bad_ts",
+        "try_multiply(user_id, 9223372036854775800L) as overflow_mul",
+    )

@@ -202,6 +202,9 @@ EXTENSIONS = [
     # round 4: native batch session_window cross-validated against the
     # gaps-and-islands oracle; deterministic per-source contribution cap
     "agg_session_window", "corpus_source_cap",
+    # round 4: try_* error-safe expression family (per-expression ANSI
+    # NULL-on-error contract, hash-checked against structural guards)
+    "fn_try",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
