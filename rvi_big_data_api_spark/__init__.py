@@ -85,7 +85,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "feature_pit_training", "feature_rolling_windows",
     "eval_ann_recall", "corpus_bpe_pairs", "join_null_safe", "sql_table_fn",
     "anomaly_mad", "sim_topk_multiprobe", "agg_session_window",
-    "corpus_source_cap", "fn_try",
+    "corpus_source_cap", "fn_try", "win_running_distinct",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -340,3 +340,51 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.select(
         "user_id", "event_id", "value", F.round(num / den, 6).alias("ewma")
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT event_id, user_id,
+           sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS distinct_channels_so_far
+    FROM flagged
+    """,
+    tags=("window", "distinct"),
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per entity over time — "how many distinct
+    channels has this vehicle used so far" — which NEITHER engine supports
+    as `count(DISTINCT …) OVER (… ROWS UNBOUNDED PRECEDING)`. The
+    formulation that works everywhere AND scales: flag each (entity,
+    value)'s FIRST occurrence with one rank window, then a plain running
+    sum of flags — two stacked windows over the same entity partitioning.
+
+    The naive alternative (size(collect_set(...) OVER ...)) materializes a
+    growing set per ROW — O(k) state per row, O(n·k) per partition — and
+    is the formulation that dies on a 100 TB event stream. The first-seen
+    flag is O(1) per row and both windows reuse one user_id Exchange (the
+    sessionize discipline)."""
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id", "user_id",
+        F.sum("first_seen").over(w_run).alias("distinct_channels_so_far"),
+    )

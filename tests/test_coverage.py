@@ -205,6 +205,9 @@ EXTENSIONS = [
     # round 4: try_* error-safe expression family (per-expression ANSI
     # NULL-on-error contract, hash-checked against structural guards)
     "fn_try",
+    # round 4: running distinct-count window (first-seen flag + running sum
+    # — the O(1)-per-row formulation; count(DISTINCT) OVER exists nowhere)
+    "win_running_distinct",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
