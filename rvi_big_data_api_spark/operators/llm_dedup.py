@@ -1005,3 +1005,64 @@ def dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select(F.col("node").alias("vec_id"), F.col("label").alias("cluster_id"))
     w_sz = Window.partitionBy("cluster_id")
     return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sim_edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n + sb.n - n_common) >= {NGRAM_JACCARD_TAU}
+    ),
+    degrees AS (
+        SELECT node, count(*)::BIGINT AS degree FROM (
+            SELECT doc_a AS node FROM sim_edges
+            UNION ALL SELECT doc_b FROM sim_edges
+        ) GROUP BY node
+    )
+    SELECT degree, count(*)::BIGINT AS n_nodes,
+           min(node) AS min_node, max(node) AS max_node
+    FROM degrees GROUP BY degree
+    """,
+    tags=("llm", "graph"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the similarity graph — the first diagnostic a
+    graph pipeline runs before CC/PageRank/triangles: the histogram tells
+    you whether duplicate structure is near-clique (high degrees, CC
+    converges in 2 rounds, pair counts explode quadratically) or chain-like
+    (degree ≈ 2, CC needs the pointer-doubling path) — i.e., it PREDICTS
+    which algorithm variant and cost model applies before you pay for the
+    wrong one.
+
+    Same edge construction as dedup_cluster (ngram_sim_edges — xxhash64
+    gram keys); degrees are one partial-agg groupBy over the exploded
+    endpoint list, the histogram a second groupBy over the node-sized
+    degree table. No iteration, no closure — this is the cheap pre-flight,
+    which is the point."""
+    edges = ngram_sim_edges(load(spark, sf_dir, "documents"))
+    endpoints = edges.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("node")
+    )
+    degrees = endpoints.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return degrees.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

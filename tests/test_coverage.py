@@ -208,6 +208,9 @@ EXTENSIONS = [
     # round 4: running distinct-count window (first-seen flag + running sum
     # — the O(1)-per-row formulation; count(DISTINCT) OVER exists nowhere)
     "win_running_distinct",
+    # round 4: similarity-graph degree histogram (the pre-flight diagnostic
+    # that predicts which CC variant and cost model applies)
+    "graph_degree_stats",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
