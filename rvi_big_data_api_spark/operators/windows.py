@@ -371,8 +371,11 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The naive alternative (size(collect_set(...) OVER ...)) materializes a
     growing set per ROW — O(k) state per row, O(n·k) per partition — and
     is the formulation that dies on a 100 TB event stream. The first-seen
-    flag is O(1) per row and both windows reuse one user_id Exchange (the
-    sessionize discipline)."""
+    flag is O(1) per row. Two exchanges by construction — the rank window
+    keys on (user_id, event_type), the running sum on user_id — but the
+    second shuffle carries only (id, key, flag) rows, and the
+    finer-to-coarser key order means the re-partition is a local merge
+    under AQE coalescing."""
     ev = load(spark, sf_dir, "events")
     w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     w_run = (
