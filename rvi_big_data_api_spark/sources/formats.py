@@ -746,3 +746,64 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length"),
         F.md5(F.hex("content")).alias("content_hash"),
     )
+
+
+@query(
+    "scan_csv_quarantine",
+    oracle="""
+    SELECT 'good' AS bucket,
+           count(*)::BIGINT AS n_rows,
+           sum(s_suppkey)::BIGINT AS key_sum
+    FROM supplier
+    UNION ALL
+    SELECT 'quarantine', 2, NULL
+    """,
+    tags=("source", "quality"),
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE + `_corrupt_record` ingestion — the quarantine half of the
+    robust-CSV contract (scan_csv_malformed is the DROPMALFORMED half):
+    instead of silently discarding unparseable rows, the reader KEEPS them
+    with the raw line captured in `_corrupt_record`, so the pipeline can
+    route good rows onward and corrupt rows to a quarantine sink for
+    inspection/replay — at 100 TB, dropped-on-the-floor rows are an
+    unauditable data-loss bug, not a convenience.
+
+    Two injected malformed lines (unparseable key; wrong arity with a bad
+    key) land in the quarantine bucket with NULL parsed fields; the good
+    bucket must reconcile exactly with the clean table — the oracle pins
+    BOTH counts, so a parser regression that silently drops or
+    mis-buckets rows hash-fails. NOTE the columnar-pruning trap baked into
+    the reader contract: `_corrupt_record` is only populated when it is
+    part of the SELECTED schema and the row set isn't reduced to the
+    corrupt column alone — the op selects it explicitly alongside the
+    data columns."""
+    out = scratch_dir(sf_dir, "csv_quar")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").option("header", False).csv(out)
+    with open(os.path.join(out, "part-99999-malformed.csv"), "w") as f:
+        f.write("not-a-number,broken row\n")
+        f.write("also-bad,too,many,fields,here,entirely,8,9\n")
+    schema = (
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double,"
+        " _corrupt_record string"
+    )
+    re_read = (
+        spark.read.schema(schema)
+        .option("header", False)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()  # required: _corrupt_record may not be queried alone
+    )
+    try:
+        bucket = F.when(F.col("_corrupt_record").isNull(), "good").otherwise("quarantine")
+        return (
+            re_read.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("s_suppkey").alias("key_sum"),
+            )
+            .checkpoint(eager=True)  # materialize before the cache is dropped
+        )
+    finally:
+        re_read.unpersist()

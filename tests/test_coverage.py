@@ -211,6 +211,9 @@ EXTENSIONS = [
     # round 4: similarity-graph degree histogram (the pre-flight diagnostic
     # that predicts which CC variant and cost model applies)
     "graph_degree_stats",
+    # round 4: PERMISSIVE + _corrupt_record quarantine ingestion (the
+    # keep-and-route half of the robust-CSV contract)
+    "scan_csv_quarantine",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
