@@ -86,7 +86,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "eval_ann_recall", "corpus_bpe_pairs", "join_null_safe", "sql_table_fn",
     "anomaly_mad", "sim_topk_multiprobe", "agg_session_window",
     "corpus_source_cap", "fn_try", "win_running_distinct",
-    "graph_degree_stats", "scan_csv_quarantine",
+    "graph_degree_stats", "scan_csv_quarantine", "sink_python_datasource",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

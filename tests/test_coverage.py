@@ -214,6 +214,9 @@ EXTENSIONS = [
     # round 4: PERMISSIVE + _corrupt_record quarantine ingestion (the
     # keep-and-route half of the robust-CSV contract)
     "scan_csv_quarantine",
+    # round 4: Python DataSource WRITER (two-phase task-write + driver
+    # commit — the custom-egress half of source_python_datasource)
+    "sink_python_datasource",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
