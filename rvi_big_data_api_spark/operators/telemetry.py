@@ -1413,3 +1413,68 @@ def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "resample_ohlc",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, value,
+               (epoch(date_trunc('second', ts))::BIGINT // 900) * 900 AS bucket,
+               epoch(date_trunc('second', ts))::BIGINT AS sec, event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY sec, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY sec DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT user_id, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)::BIGINT AS n_events
+    FROM ranked GROUP BY user_id, bucket
+    """,
+    tags=("telemetry", "resample"),
+)
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — the open/high/low/close summary every
+    telemetry dashboard renders (candlesticks for sensor channels, not
+    just stock prices): per vehicle per 15-minute bar, the FIRST reading,
+    the extremes, and the LAST reading. Open/close are the order-sensitive
+    half — `first()/last()` aggregates are partition-order-dependent (the
+    dropDuplicates trap), so both ends come from explicit rank windows
+    with a total (sec, event_id) order, which is what makes the bar
+    reproducible and hash-checkable.
+
+    Plan shape: both rank windows AND the final aggregate share the one
+    (user_id, bucket) partitioning — Catalyst plans a single Exchange with
+    stacked Window operators ahead of the partial agg (the sessionize
+    discipline); high/low/count combine map-side."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "value", "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        (F.floor(F.unix_timestamp("ts") / 900) * 900).alias("bucket"),
+    )
+    w_a = Window.partitionBy("user_id", "bucket").orderBy("sec", "event_id")
+    w_d = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("sec"), F.desc("event_id")
+    )
+    ranked = b.select(
+        "user_id", "bucket", "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return ranked.groupBy("user_id", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -217,6 +217,9 @@ EXTENSIONS = [
     # round 4: Python DataSource WRITER (two-phase task-write + driver
     # commit — the custom-egress half of source_python_datasource)
     "sink_python_datasource",
+    # round 4: OHLC bar downsampling (rank-window open/close — the
+    # reproducible alternative to partition-order-dependent first/last)
+    "resample_ohlc",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
