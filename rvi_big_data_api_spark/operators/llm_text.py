@@ -1206,3 +1206,99 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
     )
+
+
+PMI_WINDOW = 2   # co-occurrence: b follows a within this many positions
+PMI_MIN_PAIR = 5  # support floor before PMI is meaningful
+PMI_TOP = 20
+
+
+@query(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, ts[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             unnest(generate_series(1, len(ts))) t(i)
+    ),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_pair
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id
+         AND b.pos - a.pos BETWEEN 1 AND {PMI_WINDOW}
+        GROUP BY 1, 2
+    ),
+    uni AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term),
+    tot AS (SELECT count(*)::BIGINT AS n_tok FROM toks),
+    ptot AS (SELECT sum(n_pair)::BIGINT AS n_pairs FROM pairs),
+    scored AS (
+        SELECT term_a, term_b, n_pair,
+               round(ln(n_pair::DOUBLE * n_tok * n_tok
+                        / (n_pairs::DOUBLE * ua.n * ub.n)), 6) AS pmi
+        FROM pairs
+        JOIN uni ua ON ua.term = term_a
+        JOIN uni ub ON ub.term = term_b
+        CROSS JOIN tot CROSS JOIN ptot
+        WHERE n_pair >= {PMI_MIN_PAIR}
+    )
+    SELECT term_a, term_b, n_pair, pmi FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS rk
+        FROM scored
+    ) WHERE rk <= {PMI_TOP}
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over positional co-occurrence — the
+    collocation statistic (word2vec's training signal, phrase-mining's
+    ranking function): how much more often does term b follow term a
+    within PMI_WINDOW positions than independence predicts. Emits the
+    top-PMI pairs above a support floor (PMI without a floor surfaces
+    hapax noise — the support filter is part of the statistic's contract,
+    not a shortcut).
+
+    Scale shape: the positional self-join is per-DOCUMENT (equi-key
+    doc_id, fan-out ≤ window per token), never corpus-wide; the heavy
+    reduction is the (term_a, term_b) partial agg whose shuffle carries
+    pair counts. Unigram margins and the two scalar totals join back
+    broadcast-sized. All-integer counts until the single ln() at the end
+    (the agg_correlation raw-sums discipline), so the twin is exact to
+    the 6-dp round."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).between(1, PMI_WINDOW),
+        )
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    n_tok = toks.count()
+    n_pairs = pairs.agg(F.sum("n_pair")).collect()[0][0]
+    scored = (
+        pairs.filter(F.col("n_pair") >= PMI_MIN_PAIR)
+        .join(F.broadcast(uni.select(F.col("term").alias("term_a"), F.col("n").alias("na"))), "term_a")
+        .join(F.broadcast(uni.select(F.col("term").alias("term_b"), F.col("n").alias("nb"))), "term_b")
+        .select(
+            "term_a", "term_b", "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double") * float(n_tok) * float(n_tok)
+                    / (float(n_pairs) * F.col("na") * F.col("nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PMI_TOP)
+        .select("term_a", "term_b", "n_pair", "pmi")
+    )

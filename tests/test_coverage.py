@@ -220,6 +220,9 @@ EXTENSIONS = [
     # round 4: OHLC bar downsampling (rank-window open/close — the
     # reproducible alternative to partition-order-dependent first/last)
     "resample_ohlc",
+    # round 4: PMI collocations over positional co-occurrence (per-doc
+    # equi-join, integer counts until one final ln)
+    "text_cooccurrence_pmi",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
