@@ -87,7 +87,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "anomaly_mad", "sim_topk_multiprobe", "agg_session_window",
     "corpus_source_cap", "fn_try", "win_running_distinct",
     "graph_degree_stats", "scan_csv_quarantine", "sink_python_datasource",
-    "resample_ohlc", "text_cooccurrence_pmi",
+    "resample_ohlc", "text_cooccurrence_pmi", "corpus_epoch_schedule",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

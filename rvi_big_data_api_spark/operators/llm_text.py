@@ -1302,3 +1302,81 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= PMI_TOP)
         .select("term_a", "term_b", "n_pair", "pmi")
     )
+
+
+EPOCH_BUDGET_X = 3   # training budget = 3x the corpus token count
+EPOCH_CAP = 4.0      # data-constrained cap: no source repeats past 4 epochs
+EPOCH_QUALITY_CHARS = 400  # sources averaging >= this get double weight
+
+
+@query(
+    "corpus_epoch_schedule",
+    oracle=f"""
+    WITH src AS (
+        SELECT source,
+               sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+               (CASE WHEN avg(n_chars) >= {EPOCH_QUALITY_CHARS} THEN 2 ELSE 1 END)::BIGINT
+                   AS quality_mult
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(n_tokens)::BIGINT AS corpus_tokens,
+               sum(n_tokens * quality_mult)::BIGINT AS weight_mass
+        FROM src
+    )
+    SELECT source, n_tokens, quality_mult,
+           round(n_tokens * quality_mult / weight_mass::DOUBLE, 6) AS weight_share,
+           round(least({EPOCH_CAP},
+                       ({EPOCH_BUDGET_X} * corpus_tokens) * (n_tokens * quality_mult)
+                       / (weight_mass::DOUBLE * n_tokens)), 4) AS epochs,
+           floor(least({EPOCH_CAP},
+                       ({EPOCH_BUDGET_X} * corpus_tokens) * (n_tokens * quality_mult)
+                       / (weight_mass::DOUBLE * n_tokens)) * n_tokens)::BIGINT
+               AS planned_tokens
+    FROM src CROSS JOIN tot
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repetition planner — the data-constrained mixing step that
+    turns "train on B tokens from a corpus of C < B" into a per-source
+    schedule: budget is allocated ∝ tokens × integer quality multiplier,
+    then CAPPED at EPOCH_CAP repeats per source (the data-constrained-
+    scaling rule: past ~4 epochs, repeated tokens stop buying loss).
+    Emits per source its weight share, fractional epoch count, and the
+    planned token allocation a sampler (corpus_importance_sample /
+    corpus_source_cap) then realizes.
+
+    Numeric discipline: weights are INTEGER token counts times an integer
+    multiplier, so the weight mass is an exact sum (no float reorder
+    anywhere); doubles appear only in the final per-row divisions, which
+    are identical scalar expressions in both engines — the floor() on
+    planned_tokens is therefore boundary-safe. One partial-agg groupBy
+    plus a broadcast of the two scalar totals."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+        F.when(F.avg("n_chars") >= EPOCH_QUALITY_CHARS, 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("quality_mult"),
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("corpus_tokens"),
+        F.sum(F.col("n_tokens") * F.col("quality_mult")).alias("weight_mass"),
+    )
+    joined = src.crossJoin(F.broadcast(tot))
+    epochs = F.least(
+        F.lit(EPOCH_CAP),
+        (EPOCH_BUDGET_X * F.col("corpus_tokens"))
+        * (F.col("n_tokens") * F.col("quality_mult"))
+        / (F.col("weight_mass").cast("double") * F.col("n_tokens")),
+    )
+    return joined.select(
+        "source", "n_tokens", "quality_mult",
+        F.round(
+            F.col("n_tokens") * F.col("quality_mult") / F.col("weight_mass").cast("double"), 6
+        ).alias("weight_share"),
+        F.round(epochs, 4).alias("epochs"),
+        F.floor(epochs * F.col("n_tokens")).cast("long").alias("planned_tokens"),
+    )

@@ -223,6 +223,9 @@ EXTENSIONS = [
     # round 4: PMI collocations over positional co-occurrence (per-doc
     # equi-join, integer counts until one final ln)
     "text_cooccurrence_pmi",
+    # round 4: data-constrained epoch-repetition planner (integer weight
+    # mass, 4-epoch cap — the budget-to-schedule step before sampling)
+    "corpus_epoch_schedule",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
