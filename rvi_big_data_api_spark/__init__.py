@@ -88,6 +88,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_source_cap", "fn_try", "win_running_distinct",
     "graph_degree_stats", "scan_csv_quarantine", "sink_python_datasource",
     "resample_ohlc", "text_cooccurrence_pmi", "corpus_epoch_schedule",
+    "set_multiset_ops",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -85,3 +85,63 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _events_slice(spark, sf_dir, "click").filter(F.col("value") > 300).select("user_id")
     b = _events_slice(spark, sf_dir, "purchase").filter(F.col("value") > 300).select("user_id")
     return a.subtract(b)
+
+
+@query(
+    "set_multiset_ops",
+    oracle="""
+    WITH isect AS (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    exc AS (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT 'intersect_all' AS op, user_id, count(*)::BIGINT AS multiplicity
+    FROM isect GROUP BY user_id
+    UNION ALL
+    SELECT 'except_all', user_id, count(*)::BIGINT
+    FROM exc GROUP BY user_id
+    """,
+    tags=("setop", "multiset"),
+)
+def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — `intersectAll` / `exceptAll`, the ALL
+    variants §2.7's distinct ops deliberately don't cover: INTERSECT ALL
+    keeps min(countA, countB) copies per value and EXCEPT ALL keeps
+    max(countA − countB, 0), so per-user CLICK vs PURCHASE activity
+    compares by VOLUME, not mere presence (the distinct variants collapse
+    every fixture user to one row — multiplicity is the whole signal
+    here). Output rolls the surviving copies back up per user so the
+    multiplicity arithmetic itself is what hash-checks.
+
+    Plan shape: both ALL variants compile to count-aggregate + generate
+    (re-expand to the surviving multiplicity) — two partial-agg shuffles
+    on user_id, never a join explosion; at 100 TB that is the same cost
+    class as the count aggregate a hand-rolled version would write."""
+    clicks = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id")
+    )
+    purchases = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+    )
+    isect = (
+        clicks.intersectAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "user_id", "multiplicity")
+    )
+    exc = (
+        clicks.exceptAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "user_id", "multiplicity")
+    )
+    return isect.unionByName(exc)

@@ -226,6 +226,9 @@ EXTENSIONS = [
     # round 4: data-constrained epoch-repetition planner (integer weight
     # mass, 4-epoch cap — the budget-to-schedule step before sampling)
     "corpus_epoch_schedule",
+    # round 4: multiset INTERSECT ALL / EXCEPT ALL (volume-aware set
+    # algebra — the ALL variants the distinct ops deliberately omit)
+    "set_multiset_ops",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
