@@ -43,34 +43,10 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- never driver-verified after rounds 1-3 (48 queries; the driver caps
-    # at exactly 50 rows/round, so this entire block plus the first two
-    # round-4 additions get hash rows this round, closing the gap) ----------
-    # round-2 stragglers that rolled past the r3 cap (13 queries)
-    "join_salted", "mm_chunk_bytes",
-    "state_intervals", "clean_winsorize", "graph_pagerank",
-    "sim_rerank", "corpus_dedup_pipeline", "profile_table",
-    "agg_moments", "win_ewma", "join_asof_forward", "udtf_grouped_arrow",
-    "stream_topk",
-    # round-3 additions (35 queries)
-    "composite_forecast_revenue", "composite_volume_shipping",
-    "composite_product_profit", "composite_important_parts",
-    "composite_shipmode_priority", "composite_parts_supplier_counts",
-    "composite_small_qty_revenue", "composite_large_orders",
-    "composite_discounted_revenue", "composite_excess_suppliers",
-    "composite_sole_supplier", "composite_segment_opportunity",
-    "composite_min_price_supplier",
-    "sim_pairs_gemm", "agg_entropy", "graph_triangle_count", "sink_zorder",
-    "join_asof_nearest", "agg_sketch_rollup", "scan_schema_evolution",
-    "trip_distance", "geo_geofence", "sim_range",
-    "cdc_merge", "agg_bitmap_distinct", "agg_correlation",
-    "source_python_datasource", "stream_python_source",
-    "fn_variant", "sql_parameterized", "pandas_api_pipeline", "sql_lateral",
-    "sql_recursive", "text_fuzzy_join", "scan_text_lines",
-    # round-4 additions (positions 49-50: together with the 48 above they
-    # fill the driver's 50-row budget exactly, closing the verification gap)
-    "stream_merge_sink", "join_bloom_pruned",
-    # round-4 additions past the driver's 50-row horizon (queue for round 5)
+    # -- never driver-verified after rounds 1-4 (49 queries; the driver caps
+    # at exactly 50 rows/round, so this entire block — already judge-replica
+    # green per VERDICT r4 — gets driver hash rows in round 5, closing
+    # driver verification for the whole registry) ---------------------------
     "sql_pipe_syntax", "fn_collation", "udtf_analyze",
     "sink_partition_overwrite",
     "text_span_dedup", "corpus_quality_pipeline", "corpus_pack_sequences",
@@ -92,6 +68,28 @@ PRIORITY_UNVERIFIED: list[str] = [
 ]
 
 PRIORITY_VERIFIED: list[str] = [
+    # -- driver-green in round 4 (CORRECTNESS_r04.json, 50 rows: 49 hash
+    # matches + agg_sketch_rollup rows-only by design, zero err) ------------
+    "join_salted", "mm_chunk_bytes",
+    "state_intervals", "clean_winsorize", "graph_pagerank",
+    "sim_rerank", "corpus_dedup_pipeline", "profile_table",
+    "agg_moments", "win_ewma", "join_asof_forward", "udtf_grouped_arrow",
+    "stream_topk",
+    "composite_forecast_revenue", "composite_volume_shipping",
+    "composite_product_profit", "composite_important_parts",
+    "composite_shipmode_priority", "composite_parts_supplier_counts",
+    "composite_small_qty_revenue", "composite_large_orders",
+    "composite_discounted_revenue", "composite_excess_suppliers",
+    "composite_sole_supplier", "composite_segment_opportunity",
+    "composite_min_price_supplier",
+    "sim_pairs_gemm", "agg_entropy", "graph_triangle_count", "sink_zorder",
+    "join_asof_nearest", "agg_sketch_rollup", "scan_schema_evolution",
+    "trip_distance", "geo_geofence", "sim_range",
+    "cdc_merge", "agg_bitmap_distinct", "agg_correlation",
+    "source_python_datasource", "stream_python_source",
+    "fn_variant", "sql_parameterized", "pandas_api_pipeline", "sql_lateral",
+    "sql_recursive", "text_fuzzy_join", "scan_text_lines",
+    "stream_merge_sink", "join_bloom_pruned",
     # -- driver-green in round 3 (CORRECTNESS_r03.json, 50 rows, all hash
     # matches, zero err) ----------------------------------------------------
     "sim_topk", "sim_pairs", "knn_label", "multimodal_struct", "sim_topk_ann",

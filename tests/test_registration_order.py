@@ -1,12 +1,22 @@
-"""Regression guard for registry order (VERDICT.md round 1, item 8).
+"""Regression guard for registry order (VERDICT.md round 1 item 8; made
+stale-proof in round 5 per VERDICT r4 item 1).
 
 The driver's correctness pass walks ``queries()`` in registration order and
-caps at exactly 50 rows per round (CORRECTNESS_r01/r02/r03.json each hold
-exactly the first 50 registration-order entries of their round — 150 unique
-queries across three rounds, zero overlap). ``REGISTRY_PRIORITY`` pins a
+caps at exactly 50 rows per round. ``REGISTRY_PRIORITY`` pins a
 query-granular order with the never-driver-verified queries first; these
-tests make sure a refactor can't silently undo that. The green set below is
-refreshed each round from the recorded CORRECTNESS files.
+tests make sure a refactor can't silently undo that.
+
+Stale-proofing: the driver writes ``CORRECTNESS_r{N}.json`` AFTER the
+builder's final commit every round, so any assertion of *exact* equality
+between the committed priority lists and a disk glob of correctness files is
+false by construction at judge time (this broke pytest-green in rounds 3 and
+4). The checks below are therefore one-sided:
+
+- ``PRIORITY_VERIFIED`` must be a SUBSET of the driver-green union — a
+  post-commit driver file can only ever ADD green names, never fail us.
+- "Never verified" is derived from the pinned ``KNOWN_ROUNDS`` snapshot
+  (the correctness files that existed when the lists were last refreshed),
+  not from whatever is on disk at evaluation time.
 """
 
 from __future__ import annotations
@@ -18,7 +28,19 @@ import rvi_big_data_api_spark as engine
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# Driver-green rows recorded so far (rounds 1-3, 50 each, zero failures).
+# Rounds whose CORRECTNESS files were on disk when PRIORITY_VERIFIED was last
+# refreshed. Bump this list (and refresh the priority lists) once per round;
+# a newer CORRECTNESS_r*.json written after our last commit is deliberately
+# ignored by the snapshot checks below.
+KNOWN_ROUNDS = ["r01", "r02", "r03", "r04"]
+
+# Snapshot green set: exactly the pinned rounds.
+SNAPSHOT_GREEN: set[str] = set()
+for _r in KNOWN_ROUNDS:
+    SNAPSHOT_GREEN |= set(json.loads((_ROOT / f"CORRECTNESS_{_r}.json").read_text()))
+
+# Full green set: every correctness file on disk, including any the driver
+# wrote after our last commit. Used only for one-sided (subset) checks.
 DRIVER_GREEN: set[str] = set()
 for _f in sorted(_ROOT.glob("CORRECTNESS_r*.json")):
     DRIVER_GREEN |= set(json.loads(_f.read_text()))
@@ -39,25 +61,38 @@ def test_registry_order_matches_priority():
     assert names == expected
 
 
-def test_verified_list_matches_driver_records():
-    """PRIORITY_VERIFIED holds exactly the queries with a driver row."""
-    assert set(engine.PRIORITY_VERIFIED) == DRIVER_GREEN
+def test_verified_list_is_subset_of_driver_records():
+    """Every name we claim as verified has a driver row. One-sided: a driver
+    file newer than our snapshot may add green names without failing this."""
+    unbacked = set(engine.PRIORITY_VERIFIED) - DRIVER_GREEN
+    assert not unbacked, f"PRIORITY_VERIFIED names without a driver row: {unbacked}"
+
+
+def test_verified_list_covers_snapshot():
+    """Every snapshot-green name is in PRIORITY_VERIFIED — the lists were
+    actually refreshed for the pinned rounds."""
+    missing = SNAPSHOT_GREEN - set(engine.PRIORITY_VERIFIED)
+    assert not missing, f"snapshot-green names missing from PRIORITY_VERIFIED: {missing}"
 
 
 def test_unverified_queries_register_before_verified_ones():
-    """Every driver-green query sits AFTER every never-verified one, so a
+    """Every snapshot-green query sits AFTER every never-verified one, so a
     capped driver pass spends its budget on new information."""
     names = list(engine.queries())
-    unverified = [n for n in names if n not in DRIVER_GREEN]
+    unverified = [n for n in names if n not in SNAPSHOT_GREEN]
+    if not unverified:
+        return  # whole registry verified — nothing to order
     boundary = names.index(unverified[-1])
-    greens_before_boundary = [n for n in names[: boundary + 1] if n in DRIVER_GREEN]
+    greens_before_boundary = [n for n in names[: boundary + 1] if n in SNAPSHOT_GREEN]
     assert not greens_before_boundary, (
-        "driver-green queries registered ahead of never-verified ones: "
+        "snapshot-green queries registered ahead of never-verified ones: "
         f"{greens_before_boundary}"
     )
 
 
-def test_first_50_are_all_never_verified():
-    names = list(engine.queries())[:50]
-    already_green = [n for n in names if n in DRIVER_GREEN]
+def test_first_entries_are_all_never_verified():
+    names = list(engine.queries())
+    n_unverified = sum(1 for n in names if n not in SNAPSHOT_GREEN)
+    head = names[: min(50, n_unverified)]
+    already_green = [n for n in head if n in SNAPSHOT_GREEN]
     assert not already_green, already_green
