@@ -321,6 +321,9 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEXT_EVENT_SLA_S = 7 * 86400  # successor must arrive within 7 days
+
+
 @query(
     "join_self",
     oracle=f"""
@@ -336,34 +339,62 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN events e2
           ON e1.user_id = e2.user_id
          AND (e2.ts > e1.ts OR (e2.ts = e1.ts AND e2.event_id > e1.event_id))
+         AND epoch(date_trunc('second', e2.ts))
+             <= epoch(date_trunc('second', e1.ts)) + {NEXT_EVENT_SLA_S}
     ) WHERE rn = 1
     """,
     tags=("join", "telemetry"),
 )
 def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Successor event per user via self-join — the explicit alternative to
-    lag/lead (trip stitching in the reference). Kept deliberately as a join to
-    exercise the operator; `win_lag_lead` is the linear-cost formulation."""
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    e1 = ev.alias("e1")
-    e2 = ev.alias("e2")
+    lag/lead (trip stitching in the reference); `win_lag_lead` is the
+    linear-cost formulation of the same answer.
+
+    BOUNDED shape (VERDICT r4 item 3): the naive condition (`e2.ts > e1.ts`
+    within user_id) enumerates O(n_u²) pairs per user before rn=1 filters —
+    one hot vehicle with 10⁶ events is 10¹² pairs. The contract therefore
+    carries a successor SLA: the next event must arrive within
+    NEXT_EVENT_SLA_S (7 days — matching gap_report's staleness framing; an
+    event whose successor is further away is a session break, not a
+    successor). That bound becomes an EQUI-KEY: bucket seconds into
+    SLA-sized buckets, explode each left row onto its two candidate probe
+    buckets (b, b+1 — any successor within the SLA lands in one of them),
+    and join on (user_id, bucket) with the time residual evaluated inside
+    the bucket. Pair enumeration is now O(events within a 2-SLA window per
+    user) — bounded by ingest rate, not history length — and Spark plans a
+    shuffled equi-join instead of pair-blowup-then-filter (pinned by
+    tests/test_plans.py). The fixture's max per-user gap (~5.9 days at
+    sf0.1) sits inside the SLA, so results — and the recorded driver hash —
+    are unchanged from the unbounded round-2 formulation."""
+    G = NEXT_EVENT_SLA_S
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .withColumn("sec", F.unix_timestamp(F.date_trunc("second", F.col("ts"))))
+    )
+    e1 = ev.withColumn(
+        "probe_bucket",
+        F.explode(F.array(F.floor(F.col("sec") / G), F.floor(F.col("sec") / G) + 1)),
+    ).alias("e1")
+    e2 = ev.withColumn("bucket", F.floor(F.col("sec") / G)).alias("e2")
     joined = e1.join(
         e2,
         (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e1.probe_bucket") == F.col("e2.bucket"))
         & (
             (F.col("e2.ts") > F.col("e1.ts"))
             | ((F.col("e2.ts") == F.col("e1.ts")) & (F.col("e2.event_id") > F.col("e1.event_id")))
-        ),
+        )
+        & (F.col("e2.sec") <= F.col("e1.sec") + G),
     )
     w = Window.partitionBy("e1.event_id").orderBy(F.col("e2.ts").asc(), F.col("e2.event_id").asc())
-    sec = lambda c: F.unix_timestamp(F.date_trunc("second", c))  # noqa: E731
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             F.col("e1.event_id").alias("event_id"),
             F.col("e2.event_id").alias("next_event_id"),
-            (sec(F.col("e2.ts")) - sec(F.col("e1.ts"))).alias("gap_seconds"),
+            (F.col("e2.sec") - F.col("e1.sec")).alias("gap_seconds"),
         )
     )
 

@@ -547,6 +547,48 @@ class TestPointerDoubling:
         assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
+class TestConvergenceGuard:
+    """The post-loop guard (VERDICT r4 item 6): an unconverged CC exit must
+    RAISE, never silently ship partial cluster labels — the round-4 bug's
+    failure mode, now structurally impossible."""
+
+    def test_raises_on_cap_exhaustion(self, spark):
+        import pytest
+
+        from rvi_big_data_api_spark.operators.llm_dedup import (
+            ComponentsNotConverged,
+            _assert_converged,
+        )
+
+        labels = spark.createDataFrame([(1, 1)], "node long, label long")
+        with pytest.raises(ComponentsNotConverged, match="still changing"):
+            _assert_converged(labels, changed=3, rounds=10)
+
+    def test_raises_on_fixpoint_violation(self, spark):
+        import pytest
+
+        from rvi_big_data_api_spark.operators.llm_dedup import (
+            ComponentsNotConverged,
+            _assert_converged,
+        )
+
+        # node 3 points at 2, but 2 points at 1: label(label(3)) != label(3)
+        # — exactly the stranded-chain shape an unconverged jump leaves.
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 2)], "node long, label long"
+        )
+        with pytest.raises(ComponentsNotConverged, match="fixpoint"):
+            _assert_converged(labels, changed=0, rounds=10)
+
+    def test_passes_on_true_fixpoint(self, spark):
+        from rvi_big_data_api_spark.operators.llm_dedup import _assert_converged
+
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10)], "node long, label long"
+        )
+        _assert_converged(labels, changed=0, rounds=10)
+
+
 class TestChunkOverlap:
     def test_exact_chunks_on_inline_doc(self, spark, tmp_path):
         from rvi_big_data_api_spark.operators.llm_text import CHUNK_STRIDE, CHUNK_W

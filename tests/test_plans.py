@@ -259,6 +259,19 @@ def test_join_interval_is_bucketed_hash_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:2500]
 
 
+def test_join_self_is_bucketed_equi_join(spark, sf_dir):
+    """The successor self-join must carry the SLA time bucket as an
+    equi-key (VERDICT r4 item 3): a hash/merge join on (user_id, bucket)
+    with the time residual inside the bucket — never an equi-join on
+    user_id alone whose per-user pair enumeration is quadratic, and never
+    a nested-loop product. WindowGroupLimit should also push rn=1 into the
+    join output."""
+    plan = plan_of(REGISTRY["join_self"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2500]
+    assert "probe_bucket" in plan and "bucket" in plan, plan[:2500]
+    assert "WindowGroupLimit" in plan, plan[:2500]
+
+
 def test_interval_overlap_is_bucketed_not_quadratic(spark, sf_dir):
     """The overlap join must be the exploded day-bucket formulation — no
     cartesian/BNLJ trips × windows product in the plan."""
