@@ -28,6 +28,21 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Conservative local-mode heap: ~1/8 of detected RAM, clamped to
+    [2g, 16g]. Reads /proc/meminfo (Linux); falls back to 4g where that's
+    unavailable rather than guessing the host size."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(16, int(total_gib // 8)))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -44,11 +59,14 @@ def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Local mode runs driver AND all 32 executor threads in ONE JVM: 4g
-        # was GC-bound once the registry passed ~200 queries (round-4 bench:
-        # dedup_cluster 15.5 s GC spike, then hard OOM at 218 queries) — the
-        # box has 128 GiB, so size the heap like the single node it is.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Local mode runs driver AND all executor threads in ONE JVM: 4g was
+        # GC-bound once the registry passed ~200 queries (round-4 bench:
+        # dedup_cluster 15.5 s GC spike, then hard OOM at 218 queries). Size
+        # the heap FROM THE HOST (ADVICE r4 — a hardcoded 16g over-commits or
+        # fails to launch on smaller boxes): ~1/8 of detected RAM, clamped to
+        # [2g, 16g]; $SPARK_GRAFT_DRIVER_MEM stays the primary override.
+        # Full-registry runs on a big box want 16g (this 128-GiB host: 16g).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # static conf; keep bucketed-table demos (tests/test_scale.py) out of

@@ -709,7 +709,7 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_binaryfile",
     oracle="""
     SELECT doc_id,
-           (n_chars + 1)::BIGINT AS length,
+           (octet_length(text::BLOB) + 1)::BIGINT AS length,
            md5(to_hex((text || chr(10))::BLOB)) AS content_hash
     FROM documents WHERE doc_id < 20
     """,
@@ -821,6 +821,13 @@ def _register_rvi_jsonl_sink(spark: SparkSession) -> None:
         WriterCommitMessage,
     )
 
+    class JsonlCommit(WriterCommitMessage):
+        """Carries each task's staging artifact to the driver-side commit."""
+
+        def __init__(self, staging: str, final: str):
+            self.staging = staging
+            self.final = final
+
     class JsonlWriter(DataSourceWriter):
         def __init__(self, options):
             self.path = options["path"]
@@ -828,22 +835,45 @@ def _register_rvi_jsonl_sink(spark: SparkSession) -> None:
         def write(self, iterator):
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
-            n = 0
-            out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
-            with open(out, "w") as f:
+            # Attempt-unique STAGING file (ADVICE r4): task retries /
+            # speculative attempts of the same partition must never
+            # interleave writes into one visible file. The .tmp suffix also
+            # keeps staging files out of the reader's "*.jsonl" glob, so a
+            # crashed attempt can never leak partial rows into a re-read.
+            ctx = TaskContext.get()
+            pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+            final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            staging = os.path.join(
+                self.path, f"_staging-part-{pid:05d}-{attempt}.jsonl.tmp"
+            )
+            with open(staging, "w") as f:
                 for row in iterator:
                     f.write(_json.dumps(row.asDict()) + "\n")
-                    n += 1
-            return WriterCommitMessage()
+            return JsonlCommit(staging, final)
 
         def commit(self, messages):
-            # all tasks reported success — a real sink would publish a
-            # manifest / move a staging dir here (the atomic-commit hook)
-            pass
+            # All tasks reported success — PUBLISH exactly one attempt per
+            # partition by renaming its staging file into place (atomic on
+            # POSIX; on a shared object store this step would publish a
+            # manifest instead). Losing-attempt staging files, if any, are
+            # not in `messages` and get swept by the glob below.
+            staged = set()
+            for m in messages:
+                os.replace(m.staging, m.final)
+                staged.add(m.staging)
+            import glob as _glob
+
+            for leftover in _glob.glob(os.path.join(self.path, "_staging-part-*.tmp")):
+                if leftover not in staged:
+                    os.remove(leftover)
 
         def abort(self, messages):
-            pass
+            # Roll back: delete every staging artifact; nothing was ever
+            # visible at the final paths, so a failed job leaves no output.
+            import glob as _glob
+
+            for leftover in _glob.glob(os.path.join(self.path, "_staging-part-*.tmp")):
+                os.remove(leftover)
 
     class RviJsonlSink(DataSource):
         @classmethod
