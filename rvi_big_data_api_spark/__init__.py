@@ -65,6 +65,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "graph_degree_stats", "scan_csv_quarantine", "sink_python_datasource",
     "resample_ohlc", "text_cooccurrence_pmi", "corpus_epoch_schedule",
     "set_multiset_ops",
+    # round-5 additions (past position 50 they queue for round 6)
+    "agg_grouping_sets_df", "stream_rocksdb_state", "scan_state_store",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

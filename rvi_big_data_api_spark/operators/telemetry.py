@@ -1142,7 +1142,16 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB both reductions are partial-agg friendly and the join shuffles
     on the merge key exactly once. A real deployment points the same plan at
     a Delta/Iceberg MERGE; the semantics here are engine-level and
-    format-free."""
+    format-free.
+
+    Spark 4's `DataFrame.mergeInto` API (the declarative twin of this op)
+    was probed in round 5: the builder/analyzer work, but executing MERGE
+    requires a v2 table with row-level-operation support —
+    `spark_catalog` parquet tables raise UNSUPPORTED_FEATURE.TABLE_OPERATION
+    ("does not support MERGE INTO TABLE"), and no Delta/Iceberg runtime
+    exists offline in this container. Environment-blocked, same class as
+    transformWithStateInPandas (streams.py); this op carries the
+    semantics."""
     ev = load(spark, sf_dir, "events")
     key = F.unix_timestamp(F.col("ts")) * 2097152 + F.col("event_id")
 

@@ -915,3 +915,126 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("purchase_id", "click_id")
     return run_to_table(joined, sf_dir, "ss_outer", "append")
+
+
+# Checkpoint dirs of the most recent RocksDB-backed runs, keyed by query
+# name — inspected by tests/test_golden.py to prove the RocksDB provider
+# actually engaged (``.sst``/``.zip`` artifacts), not just that the answer
+# happened to match.
+_LAST_ROCKSDB_CKPT: dict[str, str] = {}
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _run_with_rocksdb(spark: SparkSession, sdf: DataFrame, tag: str, mode: str) -> tuple[DataFrame, str]:
+    """Execute a stateful streaming frame to completion with the RocksDB
+    state store provider, returning (result table, checkpoint dir).
+
+    The provider class is a SESSION conf read at query start (a per-query
+    writeStream option is silently ignored — probed in round 5), so it is
+    set just for the start/await window and restored after; queries in this
+    engine run sequentially, so nothing else observes the change."""
+    name = f"st_{tag}_{hashlib.md5(tag.encode()).hexdigest()[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{tag}_")
+    prev = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev)
+    return spark.table(name), ckpt
+
+
+@query(
+    "stream_rocksdb_state",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running aggregate on the RocksDB state store provider — the
+    production state backend for large keyspaces (VERDICT r4 item 8): the
+    default HDFS-backed provider holds every key's state in executor HEAP,
+    so state size is bounded by memory; RocksDB spills to local SSD with
+    changelog/snapshot checkpointing, which is what makes 10⁸-vehicle
+    keyspaces feasible. Same complete-mode availableNow harness as
+    stream_tumbling, so the final table equals the batch aggregate and the
+    oracle is exact; a golden test separately asserts the checkpoint
+    contains RocksDB artifacts (.zip snapshots / .sst files) so this can't
+    silently degrade to the heap provider."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    out, ckpt = _run_with_rocksdb(spark, sdf, "rocksdb_state", "complete")
+    _LAST_ROCKSDB_CKPT["stream_rocksdb_state"] = ckpt
+    return out
+
+
+@query(
+    "scan_state_store",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+    tags=("source", "streaming", "stateful"),
+)
+def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store BATCH reader (`spark.read.format("statestore")`, Spark 4's
+    state data source): read the per-key state of a finished streaming
+    checkpoint back as an ordinary DataFrame — the ops tool for inspecting,
+    validating, or repairing live streaming state without stopping the job
+    (at 100 TB of state, "just rerun the stream" is not a debugging
+    strategy). The op runs a small keyed count/sum aggregate to completion,
+    then reads the checkpoint's state rows and verifies they equal the batch
+    aggregate — which is exactly the invariant an on-call engineer checks
+    against a suspect production checkpoint.
+
+    The state value schema is the aggregate's internal buffer (count, sum —
+    unaliased accumulator names), so the projection maps buffer fields to
+    the public columns; rounding happens on read, state holds raw sums."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    name = "st_statestore_src"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_statestore_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.round(F.col("value.sum"), 2).alias("sum_value"),
+    )

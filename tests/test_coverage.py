@@ -229,6 +229,9 @@ EXTENSIONS = [
     # round 4: multiset INTERSECT ALL / EXCEPT ALL (volume-aware set
     # algebra — the ALL variants the distinct ops deliberately omit)
     "set_multiset_ops",
+    # round 5: Spark 4 DataFrame.groupingSets API twin (+grouping_id),
+    # RocksDB state-store provider demo, state data source batch reader
+    "agg_grouping_sets_df", "stream_rocksdb_state", "scan_state_store",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -547,6 +547,32 @@ class TestPointerDoubling:
         assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
+class TestRocksDBStateStore:
+    def test_checkpoint_contains_rocksdb_artifacts(self, spark, sf_dir):
+        """stream_rocksdb_state must actually engage the RocksDB provider —
+        the oracle match alone can't tell it apart from the default heap
+        provider; the checkpoint's .zip snapshots / .sst files can."""
+        import glob
+        import os
+
+        from rvi_big_data_api_spark.registry import REGISTRY
+        from rvi_big_data_api_spark.streaming.streams import _LAST_ROCKSDB_CKPT
+
+        REGISTRY["stream_rocksdb_state"].fn(spark, sf_dir).count()
+        ckpt = _LAST_ROCKSDB_CKPT["stream_rocksdb_state"]
+        files = glob.glob(os.path.join(ckpt, "state", "**"), recursive=True)
+        exts = {os.path.splitext(p)[1] for p in files if os.path.isfile(p)}
+        assert ".zip" in exts, sorted(exts)  # RocksDB snapshot uploads
+
+    def test_provider_conf_restored(self, spark, sf_dir):
+        from rvi_big_data_api_spark.registry import REGISTRY
+        from rvi_big_data_api_spark.streaming.streams import _PROVIDER_CONF
+
+        before = spark.conf.get(_PROVIDER_CONF, None)
+        REGISTRY["stream_rocksdb_state"].fn(spark, sf_dir).count()
+        assert spark.conf.get(_PROVIDER_CONF, None) == before
+
+
 class TestConvergenceGuard:
     """The post-loop guard (VERDICT r4 item 6): an unconverged CC exit must
     RAISE, never silently ship partial cluster labels — the round-4 bug's
