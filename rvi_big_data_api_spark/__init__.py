@@ -67,6 +67,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "set_multiset_ops",
     # round-5 additions (past position 50 they queue for round 6)
     "agg_grouping_sets_df", "stream_rocksdb_state", "scan_state_store",
+    "sql_scripting", "scan_xml", "stream_dedup_watermark",
+    "sink_stream_python_datasource",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -932,3 +932,75 @@ def sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql("DROP TEMPORARY FUNCTION IF EXISTS channel_counts")
+
+
+SCRIPT_T0 = 50000.0   # starting price threshold
+SCRIPT_MAX_N = 3000   # loop doubles t until at most this many orders remain
+
+
+@query(
+    "sql_scripting",
+    oracle=f"""
+    WITH cnts AS (
+        SELECT {SCRIPT_T0} * power(2, k) AS t,
+               (SELECT count(*) FROM orders WHERE o_totalprice > {SCRIPT_T0} * power(2, k)) AS n
+        FROM generate_series(0, 40) s(k)
+    ),
+    sel AS (SELECT min(t) AS t FROM cnts WHERE n <= {SCRIPT_MAX_N})
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           sel.t AS threshold
+    FROM orders, sel
+    WHERE o_totalprice > sel.t
+    GROUP BY o_orderpriority, sel.t
+    """,
+    tags=("analytics", "sql", "scripting"),
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 compound statements — BEGIN/DECLARE/WHILE/
+    SET/END): procedural control flow executed ENGINE-side, the migration
+    target for stored-procedure workloads. The script doubles a price
+    threshold until at most SCRIPT_MAX_N orders remain above it (a
+    data-dependent fixpoint a static query can't express), then aggregates
+    the surviving orders — the classic "find the knob value, then report at
+    it" ops pattern.
+
+    The DuckDB twin replays the loop declaratively: counts at every
+    candidate threshold 50000·2^k via generate_series, picks the minimum
+    threshold meeting the exit condition (counts are monotone in t, so
+    min ≡ first), and aggregates there — loop-as-scan, same fixpoint.
+
+    Scripting is gated behind spark.sql.scripting.enabled; the conf is set
+    for the call and restored after (same discipline as the RocksDB
+    provider demo). Each WHILE iteration is one COUNT job over the orders
+    view — at 100 TB you'd run the fixpoint search on a sampled/sketched
+    aggregate first; the pattern here is the API surface."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_script_orders")
+    try:
+        return spark.sql(
+            f"""
+            BEGIN
+              DECLARE t DOUBLE DEFAULT {SCRIPT_T0};
+              WHILE (SELECT count(*) FROM _script_orders
+                     WHERE o_totalprice > t) > {SCRIPT_MAX_N} DO
+                SET t = t * 2;
+              END WHILE;
+              SELECT o_orderpriority,
+                     count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS sum_price,
+                     max(t) AS threshold
+              FROM _script_orders
+              WHERE o_totalprice > t
+              GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("_script_orders")
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

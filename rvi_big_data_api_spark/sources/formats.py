@@ -931,3 +931,55 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events WHERE event_id < 3000
+    GROUP BY event_type
+    """,
+    tags=("source", "xml"),
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (built into Spark 4 — formerly the spark-xml
+    package): the enterprise-integration format every telematics backend
+    still ingests from somewhere (OEM feeds, SOAP-era middleware). Round
+    trip: 3k events go out as XML documents with one <event> row-tag each,
+    come back through the XML reader with an EXPLICIT schema (inference
+    reorders columns alphabetically and over-types numerics — at 100 TB a
+    schema-inferred ingest is an extra full scan plus a silent contract),
+    and the aggregate over the re-read rows must equal the clean table —
+    any row the writer dropped or the parser mangled hash-fails. Doubles
+    survive exactly: the writer emits shortest-roundtrip decimal strings.
+
+    At scale: XML parsing is CPU-heavy row-wise work that parallelizes
+    per-file/per-split exactly like JSON; rowTag framing means no
+    cross-record state, so maxPartitionBytes splits apply."""
+    out = scratch_dir(sf_dir, "xmlfiles")
+    (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "event_type", "value")
+        .write.format("xml")
+        .option("rowTag", "event")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, event_type string, value double")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )

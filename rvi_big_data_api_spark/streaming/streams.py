@@ -1038,3 +1038,146 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_events"),
         F.round(F.col("value.sum"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+    tags=("streaming",),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` (Spark 3.5+/4) — the BOUNDED-STATE
+    dedup `stream_dedup` can't give you: plain dropDuplicates keeps every
+    seen key in state FOREVER (the watermark only filters late input), so a
+    year-long stream accumulates a year of keys; the WithinWatermark variant
+    stores an expiration timestamp per key and EVICTS once the watermark
+    passes it — state is bounded by (dup-arrival window × ingest rate), the
+    contract a 100 TB ingest actually wants ("retries land within an hour",
+    not "no key ever repeats"). Same doubled-stream harness as stream_dedup:
+    every event arrives twice, must come out exactly once; rows are
+    byte-identical so first-wins is deterministic."""
+    cols = ("event_id", "event_type", "value", "ts")
+    doubled = stream_events(spark, sf_dir).select(*cols).unionByName(
+        stream_events(spark, sf_dir).select(*cols)
+    )
+    sdf = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    return run_to_table(sdf, sf_dir, "dedup_wm", "append")
+
+
+def _register_rvi_jsonl_stream_sink(spark: SparkSession) -> None:
+    """Define + register the `rvi_jsonl_stream_sink` Python data source
+    (STREAMING writer — the fourth quadrant of the connector matrix:
+    sources/formats.py has the batch reader + batch writer, streams.py has
+    the streaming reader). Lazy and idempotent."""
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class BatchCommit(WriterCommitMessage):
+        def __init__(self, staging: str, final: str):
+            self.staging = staging
+            self.final = final
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            # Same attempt-unique staging discipline as the batch JsonlWriter
+            # (ADVICE r4), but keyed by (batch, partition): exactly-once
+            # output relies on commit(batchId) publishing one attempt per
+            # partition per micro-batch.
+            ctx = TaskContext.get()
+            pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+            final = os.path.join(self.path, f"part-{pid:05d}-{attempt}.jsonl")
+            staging = final + ".tmp"
+            n = 0
+            with open(staging, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return BatchCommit(staging, final)
+
+        def commit(self, messages, batchId):
+            for m in messages:
+                os.replace(m.staging, m.final)
+
+        def abort(self, messages, batchId):
+            import glob as _glob
+
+            for leftover in _glob.glob(os.path.join(self.path, "*.jsonl.tmp")):
+                os.remove(leftover)
+
+    class RviJsonlStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "rvi_jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return JsonlStreamWriter(self.options)
+
+    spark.dataSource.register(RviJsonlStreamSink)
+
+
+@query(
+    "sink_stream_python_datasource",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE event_id < 2500
+    GROUP BY event_type
+    """,
+    tags=("sink", "streaming"),
+)
+def sink_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING sink via the Python DataSource API
+    (`DataSourceStreamWriter`) — completes the connector matrix: batch
+    reader (source_python_datasource), batch writer
+    (sink_python_datasource), streaming reader (stream_python_source), and
+    now the streaming writer a bespoke egress (queue producer, REST batch
+    POST) plugs into. Per micro-batch, each task streams its partition to a
+    staging artifact; `commit(messages, batchId)` publishes them atomically
+    once ALL tasks of that batch succeed — the per-batch two-phase hook
+    that makes custom streaming sinks idempotent under retries (a replayed
+    batch re-publishes the same batchId deterministically).
+
+    Round-trip proof: 2.5k events stream out through the custom writer as
+    JSONL, come back through the ordinary JSON reader, and the aggregate
+    must equal the clean table."""
+    _register_rvi_jsonl_stream_sink(spark)
+    from ..sources.formats import scratch_dir
+
+    out = scratch_dir(sf_dir, "pystreamsink")
+    sdf = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_id") < 2500)
+        .select("event_id", "event_type", "value")
+    )
+    q = (
+        sdf.writeStream.format("rvi_jsonl_stream_sink")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pystreamsink_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    re_read = spark.read.schema("event_id long, event_type string, value double").json(
+        out, pathGlobFilter="*.jsonl"
+    )
+    return re_read.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

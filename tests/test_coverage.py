@@ -232,6 +232,11 @@ EXTENSIONS = [
     # round 5: Spark 4 DataFrame.groupingSets API twin (+grouping_id),
     # RocksDB state-store provider demo, state data source batch reader
     "agg_grouping_sets_df", "stream_rocksdb_state", "scan_state_store",
+    # round 5: SQL scripting fixpoint loop, native XML round trip,
+    # bounded-state dedup (dropDuplicatesWithinWatermark), Python
+    # DataSource STREAMING writer (completes the connector matrix)
+    "sql_scripting", "scan_xml", "stream_dedup_watermark",
+    "sink_stream_python_datasource",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
