@@ -69,6 +69,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "agg_grouping_sets_df", "stream_rocksdb_state", "scan_state_store",
     "sql_scripting", "scan_xml", "stream_dedup_watermark",
     "sink_stream_python_datasource",
+    "corpus_perplexity_filter", "agg_distinct_salted",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

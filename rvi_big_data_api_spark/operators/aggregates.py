@@ -1060,3 +1060,47 @@ def agg_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.transpose()
+
+
+DISTINCT_SALT_N = 32  # phase-1 fan-out for the exact-distinct rewrite
+
+
+@query(
+    "agg_distinct_salted",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "scale"),
+)
+def agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via the two-phase salted rewrite — the
+    skew-proof form of `agg_count_distinct` for hot grouping keys: a plain
+    per-type distinct forces every (type, user) pair of a hot type through
+    ONE reducer; salting by hash(user_id) % DISTINCT_SALT_N splits each
+    type's distinct-set across DISTINCT_SALT_N reducers, each counting its
+    OWN users exactly (a user lands in exactly one salt bucket, so the
+    phase-2 sum over buckets is exact, not approximate — the property that
+    makes this rewrite correct where salting a MAX or a MEDIAN would not
+    be). Phase 2 aggregates a (n_types × SALT_N)-row table — negligible.
+
+    The salt must hash the DISTINCT column, never a random number: rand()
+    would scatter one user across buckets and double-count. The plain
+    count(*) rides along in phase 1 to show the rewrite composes with
+    algebraic aggregates at zero extra cost. events has 5 event types ×
+    10⁴⁺ users each — exactly the hot-key shape; at 100 TB the same two
+    shuffles carry (type, salt)-sized then SALT_N-sized rows."""
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("user_id"), F.lit(DISTINCT_SALT_N))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.countDistinct("user_id").alias("nd"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("nd").alias("n_users"),
+        F.sum("nr").alias("n_events"),
+    )

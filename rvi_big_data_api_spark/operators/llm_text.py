@@ -1391,3 +1391,82 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(epochs, 4).alias("epochs"),
         F.floor(epochs * F.col("n_tokens")).cast("long").alias("planned_tokens"),
     )
+
+
+PPL_BUCKETS = 5  # quality quintiles
+
+
+@query(
+    "corpus_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    uni AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+    tot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT term)::BIGINT AS v FROM toks),
+    scored AS (
+        SELECT t.doc_id,
+               -avg(ln((u.c + 1.0) / (tot.n + tot.v))) AS xent
+        FROM toks t JOIN uni u ON u.term = t.term CROSS JOIN tot
+        GROUP BY t.doc_id
+    ),
+    bucketed AS (
+        SELECT doc_id, xent,
+               ntile({PPL_BUCKETS}) OVER (ORDER BY xent, doc_id) AS bucket
+        FROM scored
+    )
+    SELECT bucket,
+           count(*)::BIGINT AS n_docs,
+           round(avg(xent), 6) AS avg_xent,
+           round(min(xent), 6) AS min_xent,
+           round(max(xent), 6) AS max_xent
+    FROM bucketed GROUP BY bucket
+    """,
+    tags=("llm", "corpus", "quality"),
+)
+def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality bucketing — the CCNet-style filter stage
+    every web-scale corpus passes through: score each document by its
+    cross-entropy under a corpus-trained LM (here add-1-smoothed unigram:
+    H(d) = -mean_w ln((c(w)+1)/(N+V)) — enough to rank gibberish vs fluent
+    text), then split the corpus into PPL_BUCKETS quantile buckets (keep
+    head/middle, drop or downweight tail). Emits per-bucket doc counts and
+    the cross-entropy envelope — the audit a mixing stage reads to pick its
+    keep-threshold.
+
+    Scale shape: the LM "training" is one unigram aggregate; the scoring
+    join is per-TOKEN against the vocab table — broadcast here (fixture
+    vocab is tiny, the text_tfidf convention), a term-keyed shuffle equi-
+    join at 100 TB where the vocab outgrows broadcast. The two corpus
+    scalars fold in via broadcast 1-row aggregates (no eager actions — the
+    text_cooccurrence_pmi discipline). The quantile split is a global
+    ntile — exact quantiles cost one total sort of the DOC-level (not
+    token-level) table; at 100 TB you'd swap in approx_percentile
+    thresholds, which changes only the boundary rule. Near-tied documents
+    (exact duplicates) may order differently across engines at 1e-15, but
+    swapping tied docs between buckets moves every reported aggregate by
+    less than the 6-dp round — the oracle is tie-robust by construction."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("term").alias("v")
+    )
+    scored = (
+        toks.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (-F.avg(
+                F.log((F.col("c") + F.lit(1).cast("double")) / (F.col("n") + F.col("v")))
+            )).alias("xent")
+        )
+    )
+    w = Window.orderBy(F.asc("xent"), F.asc("doc_id"))
+    bucketed = scored.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("xent"), 6).alias("avg_xent"),
+        F.round(F.min("xent"), 6).alias("min_xent"),
+        F.round(F.max("xent"), 6).alias("max_xent"),
+    )

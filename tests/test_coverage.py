@@ -237,6 +237,9 @@ EXTENSIONS = [
     # DataSource STREAMING writer (completes the connector matrix)
     "sql_scripting", "scan_xml", "stream_dedup_watermark",
     "sink_stream_python_datasource",
+    # round 5: CCNet-style perplexity quality bucketing; two-phase salted
+    # exact-distinct (the skew-proof count-distinct rewrite)
+    "corpus_perplexity_filter", "agg_distinct_salted",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
