@@ -474,3 +474,42 @@ def test_lateral_df_decorrelates_to_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in exec_plan, exec_plan[:2000]
     assert "CartesianProduct" not in exec_plan
     assert "BroadcastNestedLoopJoin" not in exec_plan
+
+
+def test_distinct_salted_is_two_phase(spark, sf_dir):
+    """agg_distinct_salted must plan as TWO hash-partitioned exchanges —
+    the (type, salt) phase then the type-only phase — with the salt derived
+    from a hash of the distinct column (never rand(), which would
+    double-count)."""
+    plan = plan_of(REGISTRY["agg_distinct_salted"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    # Spark expands the inner countDistinct into its own dedup exchange, so
+    # the full ladder is (type, salt, user) -> (type, salt) -> (type): every
+    # pre-final exchange carries the salt, which is the skew-proof property.
+    n = exec_plan.count("Exchange hashpartitioning")
+    assert n == 3, f"expected 3 hash exchanges, found {n}:\n{exec_plan[:2500]}"
+    assert "hashpartitioning(event_type" in exec_plan and "salt" in exec_plan
+    assert "xxhash64" in exec_plan
+    assert "rand(" not in exec_plan
+
+
+def test_perplexity_filter_no_cartesian_no_python(spark, sf_dir):
+    """The LM-scoring join must be a hash join (vocab side broadcast at
+    fixture scale); the two corpus scalars are broadcast 1-row frames (the
+    only BNLJ allowed); nothing drops to Python."""
+    plan = plan_of(REGISTRY["corpus_perplexity_filter"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "BroadcastHashJoin" in exec_plan, exec_plan[:2500]
+    assert "CartesianProduct" not in exec_plan
+    assert "EvalPython" not in exec_plan
+
+
+def test_grouping_sets_df_is_single_pass(spark, sf_dir):
+    """DataFrame.groupingSets must plan as Expand + ONE partial/final
+    aggregate pair — one scan, one shuffle, never one pass per set."""
+    plan = plan_of(REGISTRY["agg_grouping_sets_df"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "Expand" in exec_plan, exec_plan[:2000]
+    assert exec_plan.count("Scan parquet") == 1, exec_plan[:2000]
+    n = exec_plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 hash exchange, found {n}:\n{exec_plan[:2500]}"
