@@ -934,19 +934,20 @@ def sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql("DROP TEMPORARY FUNCTION IF EXISTS channel_counts")
 
 
-SCRIPT_T0 = 50000.0   # starting price threshold
-SCRIPT_MAX_N = 3000   # loop doubles t until at most this many orders remain
+SCRIPT_T0 = 50000.0    # starting price threshold
+SCRIPT_TAIL_FRAC = 0.25  # loop doubles t until ≤ this fraction of orders remain
 
 
 @query(
     "sql_scripting",
     oracle=f"""
-    WITH cnts AS (
+    WITH tot AS (SELECT count(*)::BIGINT AS n_all FROM orders),
+    cnts AS (
         SELECT {SCRIPT_T0} * power(2, k) AS t,
                (SELECT count(*) FROM orders WHERE o_totalprice > {SCRIPT_T0} * power(2, k)) AS n
         FROM generate_series(0, 40) s(k)
     ),
-    sel AS (SELECT min(t) AS t FROM cnts WHERE n <= {SCRIPT_MAX_N})
+    sel AS (SELECT min(t) AS t FROM cnts, tot WHERE n <= {SCRIPT_TAIL_FRAC} * n_all)
     SELECT o_orderpriority,
            count(*)::BIGINT AS n_orders,
            round(sum(o_totalprice), 2) AS sum_price,
@@ -961,10 +962,12 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scripting (Spark 4.0 compound statements — BEGIN/DECLARE/WHILE/
     SET/END): procedural control flow executed ENGINE-side, the migration
     target for stored-procedure workloads. The script doubles a price
-    threshold until at most SCRIPT_MAX_N orders remain above it (a
-    data-dependent fixpoint a static query can't express), then aggregates
-    the surviving orders — the classic "find the knob value, then report at
-    it" ops pattern.
+    threshold until at most SCRIPT_TAIL_FRAC of the orders remain above it
+    (a data-dependent fixpoint a static query can't express), then
+    aggregates the surviving orders — the classic "find the knob value,
+    then report at it" ops pattern. The exit condition is RELATIVE to the
+    table size so the loop finds a non-degenerate threshold at every scale
+    factor (a fixed row count goes empty once the table outgrows it).
 
     The DuckDB twin replays the loop declaratively: counts at every
     candidate threshold 50000·2^k via generate_series, picks the minimum
@@ -984,8 +987,11 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"""
             BEGIN
               DECLARE t DOUBLE DEFAULT {SCRIPT_T0};
+              -- DECLARE defaults may not contain subqueries; SET may
+              DECLARE n_all BIGINT DEFAULT 0;
+              SET n_all = (SELECT count(*) FROM _script_orders);
               WHILE (SELECT count(*) FROM _script_orders
-                     WHERE o_totalprice > t) > {SCRIPT_MAX_N} DO
+                     WHERE o_totalprice > t) > {SCRIPT_TAIL_FRAC} * n_all DO
                 SET t = t * 2;
               END WHILE;
               SELECT o_orderpriority,
