@@ -712,3 +712,47 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         "try_to_timestamp(event_type) as bad_ts",
         "try_multiply(user_id, 9223372036854775800L) as overflow_mul",
     )
+
+
+AES_KEY = "0123456789abcdef"  # 16-byte demo key; a real deployment pulls from a KMS
+AES_WRONG_KEY = "fedcba9876543210"
+
+
+@query(
+    "fn_crypto",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS name_roundtrip,
+           ((octet_length(c_name::BLOB) // 16 + 1) * 16)::BIGINT AS ct_len,
+           true AS wrong_key_is_null
+    FROM customer WHERE c_custkey <= 100
+    """,
+    tags=("fn", "crypto", "pii"),
+)
+def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption (`aes_encrypt` / `aes_decrypt` /
+    `try_aes_decrypt`) — the PII-protection primitive for data that must
+    leave the trust boundary encrypted but re-identify inside it (the
+    text_pii_mask stage destroys; this stage protects reversibly). The op
+    proves three contracts the oracle can check without being able to run
+    AES itself: (1) decrypt∘encrypt is the identity (round-tripped name
+    equals the original), (2) the ciphertext length is the PKCS#7-padded
+    block size ((len/16 + 1)·16 — plaintext length leaks only to block
+    granularity), and (3) `try_aes_decrypt` under a WRONG key yields NULL,
+    not an exception — the row-level-recovery posture (fn_try) applied to
+    key rotation mishaps.
+
+    ECB mode keeps the demo deterministic (same plaintext → same
+    ciphertext, required for the driver's re-run hash); production uses
+    GCM, whose random IV is exactly the property determinism tests can't
+    hold — documented trade, not an oversight. All JVM-side codegen."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    key = F.lit(AES_KEY).cast("binary")
+    wrong = F.lit(AES_WRONG_KEY).cast("binary")
+    ct = F.aes_encrypt(F.col("c_name").cast("binary"), key, F.lit("ECB"))
+    return c.select(
+        "c_custkey",
+        F.aes_decrypt(ct, key, F.lit("ECB")).cast("string").alias("name_roundtrip"),
+        F.octet_length(ct).cast("long").alias("ct_len"),
+        F.try_aes_decrypt(ct, wrong, F.lit("ECB")).isNull().alias("wrong_key_is_null"),
+    )

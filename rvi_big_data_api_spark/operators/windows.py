@@ -391,3 +391,47 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.sum("first_seen").over(w_run).alias("distinct_channels_so_far"),
     )
+
+
+VALUE_BAND = 10  # numeric range-frame width (value units)
+
+
+@query(
+    "win_range_numeric",
+    oracle=f"""
+    SELECT event_id, event_type, value,
+           count(*) OVER w AS n_within,
+           round(sum(value) OVER w, 2) AS sum_within
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY event_type ORDER BY value
+                 RANGE BETWEEN {VALUE_BAND} PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a NUMERIC order key — the window feature
+    win_range_time exercises on epochs, here on a measurement axis: for
+    each reading, aggregate every same-channel reading within VALUE_BAND
+    units BELOW it (local density / "how crowded is this value region" —
+    the banding primitive behind histogram-free outlier context). RANGE
+    (unlike ROWS) includes ALL peers at equal order values, which is what
+    makes the result deterministic under duplicate readings without a
+    tie-break column.
+
+    One shuffle on the partition key; the frame is evaluated by a single
+    ordered sweep per partition in both engines. The windowed float sum
+    is rounded (PARITY rule 6: segment-tree vs running addition order)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(-VALUE_BAND, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_within"),
+        F.round(F.sum("value").over(w), 2).alias("sum_within"),
+    )

@@ -240,6 +240,9 @@ EXTENSIONS = [
     # round 5: CCNet-style perplexity quality bucketing; two-phase salted
     # exact-distinct (the skew-proof count-distinct rewrite)
     "corpus_perplexity_filter", "agg_distinct_salted",
+    # round 5: AES column encryption round trip (PII protection); numeric
+    # RANGE window frames (value-band local aggregates)
+    "fn_crypto", "win_range_numeric",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
