@@ -70,7 +70,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "sql_scripting", "scan_xml", "stream_dedup_watermark",
     "sink_stream_python_datasource",
     "corpus_perplexity_filter", "agg_distinct_salted",
-    "fn_crypto", "win_range_numeric",
+    "fn_crypto", "win_range_numeric", "dedup_incremental",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

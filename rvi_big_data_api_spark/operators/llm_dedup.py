@@ -1110,3 +1110,134 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+INCR_CUTOFF = 400        # doc_id >= cutoff = today's batch; < cutoff = the index
+INCR_JACCARD_TAU = 0.5   # near-dup bar vs the index (stricter than the 0.10
+                         # exploratory pair listing: an ingest gate REJECTS)
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH batch AS (SELECT * FROM documents WHERE doc_id >= {INCR_CUTOFF}),
+    idx AS (SELECT * FROM documents WHERE doc_id < {INCR_CUTOFF}),
+    exacts AS (
+        SELECT b.doc_id, count(*)::BIGINT AS n_exact
+        FROM batch b JOIN idx i ON b.text = i.text
+        GROUP BY b.doc_id
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    ig AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM idx),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    bs AS (SELECT doc_id, count(*)::BIGINT AS n FROM bg GROUP BY doc_id),
+    isz AS (SELECT doc_id, count(*)::BIGINT AS n FROM ig GROUP BY doc_id),
+    pairs AS (
+        SELECT bg.doc_id AS b_doc, ig.doc_id AS i_doc, count(*)::BIGINT AS n_common
+        FROM bg JOIN ig ON bg.gram = ig.gram
+        GROUP BY 1, 2
+    ),
+    nears AS (
+        SELECT b_doc AS doc_id, count(*)::BIGINT AS n_near
+        FROM pairs
+        JOIN bs ON bs.doc_id = b_doc
+        JOIN isz ON isz.doc_id = i_doc
+        WHERE n_common / (bs.n + isz.n - n_common) >= {INCR_JACCARD_TAU}
+        GROUP BY 1
+    )
+    SELECT b.doc_id,
+           coalesce(e.n_exact, 0)::BIGINT AS n_exact,
+           coalesce(nr.n_near, 0)::BIGINT AS n_near,
+           CASE WHEN coalesce(e.n_exact, 0) > 0 THEN 'exact_dup'
+                WHEN coalesce(nr.n_near, 0) > 0 THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM batch b
+    LEFT JOIN exacts e ON e.doc_id = b.doc_id
+    LEFT JOIN nears nr ON nr.doc_id = b.doc_id
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — new-batch documents gated against an
+    EXISTING corpus index, the shape a production pipeline actually runs
+    daily (full-corpus self-dedup like dedup_cluster is the backfill job;
+    this is the steady state): each incoming doc is classified
+    `exact_dup` (byte-identical text already indexed), `near_dup`
+    (trigram Jaccard ≥ INCR_JACCARD_TAU against some indexed doc — a
+    stricter bar than the exploratory 0.10 pair listing, because an
+    ingest gate rejects rather than reports), or `new`, with match counts
+    for the audit trail.
+
+    Scale shape: the exact pass is a hash-keyed equi-join (md5-sized
+    keys); the near pass is the dedup_ngram_jaccard gram-hash equi-join
+    run CROSS-corpus (batch grams ⋈ index grams, one shuffle on the
+    8-byte gram hash), so candidate fan-out follows true gram sharing —
+    never batch × index. At 100 TB the index side's gram table is a
+    precomputed, bucketed artifact that each day's batch joins against;
+    here both sides derive from the fixture split at doc_id
+    INCR_CUTOFF. Deliberately NOT blocked by (lang, source): catching
+    cross-source copies is the point of an ingest gate."""
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") >= INCR_CUTOFF)
+    idx = docs.filter(F.col("doc_id") < INCR_CUTOFF)
+
+    exacts = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(idx.select(F.md5("text").alias("h")), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> array_join(slice(toks, i, 3), ' '))"
+    )
+
+    def grams_of(side: DataFrame) -> DataFrame:
+        return (
+            side.select("doc_id", F.split("text", " ").alias("toks"))
+            .select("doc_id", F.explode(grams_expr).alias("g"))
+            .select("doc_id", F.xxhash64("g").alias("gram"))
+            .distinct()
+        )
+
+    bg, ig = grams_of(batch), grams_of(idx)
+    bs = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    isz = ig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ni"))
+    pairs = (
+        bg.alias("b")
+        .join(ig.alias("i"), F.col("b.gram") == F.col("i.gram"))
+        .groupBy(F.col("b.doc_id").alias("b_doc"), F.col("i.doc_id").alias("i_doc"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("nb") + F.col("ni") - F.col("n_common"))
+    nears = (
+        pairs.join(bs.select(F.col("doc_id").alias("b_doc"), "nb"), "b_doc")
+        .join(isz.select(F.col("doc_id").alias("i_doc"), "ni"), "i_doc")
+        .filter(jac >= INCR_JACCARD_TAU)
+        .groupBy(F.col("b_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    out = (
+        batch.select("doc_id")
+        .join(exacts, "doc_id", "left")
+        .join(nears, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+        )
+    )
+    return out.withColumn(
+        "status",
+        F.when(F.col("n_exact") > 0, "exact_dup")
+        .when(F.col("n_near") > 0, "near_dup")
+        .otherwise("new"),
+    )

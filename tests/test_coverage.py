@@ -243,6 +243,9 @@ EXTENSIONS = [
     # round 5: AES column encryption round trip (PII protection); numeric
     # RANGE window frames (value-band local aggregates)
     "fn_crypto", "win_range_numeric",
+    # round 5: incremental ingest dedup — new batch gated against the
+    # existing corpus index (exact hash + cross-corpus gram Jaccard)
+    "dedup_incremental",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

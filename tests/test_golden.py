@@ -547,6 +547,35 @@ class TestPointerDoubling:
         assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
+class TestIncrementalDedup:
+    def test_three_statuses_on_inline_corpus(self, spark, tmp_path):
+        """All three gate outcomes on a handcrafted split: doc 400 is a
+        byte-copy of indexed doc 1 (exact_dup), doc 401 shares most
+        trigrams with doc 2 (near_dup), doc 402 is disjoint (new)."""
+        from rvi_big_data_api_spark.registry import REGISTRY
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+        rows = [
+            (1, base, "en", "s", len(base)),
+            (2, near.replace("lambda", "kappa mu"), "en", "s", 1),
+            (400, base, "en", "s", len(base)),          # exact copy of 1
+            (401, near, "en", "s", len(near)),          # near copy of 1/2
+            (402, "one two three four five six seven", "en", "s", 1),
+        ]
+        sf_dir = str(tmp_path)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+        out = {
+            r.doc_id: (r.status, r.n_exact)
+            for r in REGISTRY["dedup_incremental"].fn(spark, sf_dir).collect()
+        }
+        assert out[400] == ("exact_dup", 1)
+        assert out[401][0] == "near_dup"
+        assert out[402] == ("new", 0)
+
+
 class TestRocksDBStateStore:
     def test_checkpoint_contains_rocksdb_artifacts(self, spark, sf_dir):
         """stream_rocksdb_state must actually engage the RocksDB provider —
