@@ -468,3 +468,71 @@ class TestRound4ThirdWave:
         for q in exact:
             assert multi[q] >= single[q], (q, single[q], multi[q])
         assert sum(multi.values()) > sum(single.values()), (single, multi)
+
+
+class TestRound5Invariants:
+    def test_salted_distinct_agrees_with_plain(self, spark, sf_dir):
+        """The two-phase salted rewrite is EXACT — it must agree with the
+        single-pass countDistinct bit-for-bit on every group."""
+        plain = {
+            r.event_type: (r.n_users, r.n_events)
+            for r in REGISTRY["agg_count_distinct"].fn(spark, sf_dir).collect()
+        }
+        salted = {
+            r.event_type: (r.n_users, r.n_events)
+            for r in REGISTRY["agg_distinct_salted"].fn(spark, sf_dir).collect()
+        }
+        assert plain == salted
+
+    def test_incremental_dedup_statuses_partition_batch(self, spark, sf_dir):
+        """Statuses are exhaustive and consistent with the match counts, and
+        every batch doc appears exactly once."""
+        from rvi_big_data_api_spark.operators.llm_dedup import INCR_CUTOFF
+
+        rows = REGISTRY["dedup_incremental"].fn(spark, sf_dir).collect()
+        n_batch = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") >= INCR_CUTOFF)
+            .count()
+        )
+        assert len(rows) == n_batch
+        assert len({r.doc_id for r in rows}) == n_batch
+        for r in rows:
+            if r.status == "exact_dup":
+                assert r.n_exact > 0
+            elif r.status == "near_dup":
+                assert r.n_exact == 0 and r.n_near > 0
+            else:
+                assert r.status == "new" and r.n_exact == 0 and r.n_near == 0
+
+    def test_perplexity_buckets_cover_corpus_and_order(self, spark, sf_dir):
+        """Quintiles are dense 1..5, doc counts sum to the corpus, and the
+        cross-entropy envelope is non-decreasing across buckets."""
+        from rvi_big_data_api_spark.operators.llm_text import PPL_BUCKETS
+
+        rows = sorted(
+            REGISTRY["corpus_perplexity_filter"].fn(spark, sf_dir).collect(),
+            key=lambda r: r.bucket,
+        )
+        assert [r.bucket for r in rows] == list(range(1, PPL_BUCKETS + 1))
+        n_docs = load(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in rows) == n_docs
+        for lo, hi in zip(rows, rows[1:]):
+            assert hi.min_xent >= lo.max_xent - 1e-9, (lo, hi)
+
+    def test_dedup_watermark_emits_each_event_once(self, spark, sf_dir):
+        out = REGISTRY["stream_dedup_watermark"].fn(spark, sf_dir)
+        n_events = load(spark, sf_dir, "events").count()
+        assert out.count() == n_events
+        assert out.select("event_id").distinct().count() == n_events
+
+    def test_crypto_roundtrip_is_identity(self, spark, sf_dir):
+        out = REGISTRY["fn_crypto"].fn(spark, sf_dir)
+        orig = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 100)
+            .select(F.col("c_custkey"), F.col("c_name"))
+        )
+        joined = out.join(orig, "c_custkey")
+        assert joined.filter(F.col("name_roundtrip") != F.col("c_name")).count() == 0
+        assert joined.filter(~F.col("wrong_key_is_null")).count() == 0
