@@ -1156,3 +1156,132 @@ def sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= SIM_TOPK_K)
         .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"), "rank")
     )
+
+
+PQ_M = 4     # subspaces
+PQ_SUB = 16  # dims per subspace (4 × 16 = the 64-dim fixture embedding)
+PQ_K = 4     # codes per subspace codebook
+
+# Squared L2 via three dots — the SAME expression shape in both engines so
+# the argmin ties identically (PARITY rule 9: sequential-fold dot products
+# are bit-identical across Spark zip_with and DuckDB list_dot_product).
+_DUCK_PQ_D2 = (
+    "list_dot_product(s.sub, s.sub)"
+    " - 2 * list_dot_product(s.sub, c.centroid)"
+    " + list_dot_product(c.centroid, c.centroid)"
+)
+
+_DUCK_PQ_ASSIGN = f"""
+        SELECT vec_id, m, sub, code, d2 FROM (
+            SELECT s.vec_id, s.m, s.sub, c.code, {_DUCK_PQ_D2} AS d2,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {_DUCK_PQ_D2} ASC, c.code ASC) AS rn
+            FROM subs s JOIN {{cent}} c ON s.m = c.m) WHERE rn = 1
+"""
+
+
+@query(
+    "embed_pq_codebook",
+    oracle=f"""
+    WITH subs AS (
+        SELECT vec_id, mm.m AS m,
+               (embedding[mm.m * {PQ_SUB} + 1 : mm.m * {PQ_SUB} + {PQ_SUB}])::DOUBLE[] AS sub
+        FROM embeddings CROSS JOIN (VALUES (0), (1), (2), (3)) mm(m)
+    ),
+    init AS (
+        SELECT m, vec_id::INT AS code, sub AS centroid
+        FROM subs WHERE vec_id < {PQ_K}
+    ),
+    a1 AS ({_DUCK_PQ_ASSIGN.format(cent="init")}),
+    c1 AS (
+        SELECT m, code, list(v ORDER BY i) AS centroid FROM (
+            SELECT m, code, i, avg(vv) AS v
+            FROM (SELECT m, code, unnest(sub)::DOUBLE AS vv,
+                         unnest(range(len(sub))) AS i FROM a1)
+            GROUP BY m, code, i)
+        GROUP BY m, code
+    ),
+    a2 AS ({_DUCK_PQ_ASSIGN.format(cent="c1")})
+    SELECT m, code, count(*)::BIGINT AS n_vecs, round(avg(d2), 6) AS avg_dist2
+    FROM a2 GROUP BY m, code
+    """,
+    tags=("llm", "similarity", "quantization"),
+)
+def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training — the compression half of
+    IVF-PQ, the index family that makes billion-vector ANN fit in memory:
+    each embedding splits into PQ_M orthogonal subspaces, each subspace
+    learns its own PQ_K-centroid codebook (k-means on 16-dim subvectors,
+    unrolled init → assign → recompute → reassign exactly like
+    sim_ivf_kmeans), and a vector is stored as M small codes (here 4×2
+    bits vs 64×4 bytes — a 128:1 blowdown; production uses M=8..64, K=256).
+    Emits the codebook audit: per (subspace, code) population and mean
+    squared quantization distortion — the number you watch to size K.
+
+    Composes with the rest of the ANN suite: sim_ivf_kmeans is the coarse
+    inverted index, THIS is the in-cell compressor, sim_topk the exact
+    re-ranker, eval_ann_recall the quality gate.
+
+    Scale shape: subvector explode is map-side (M× rows, 1/M size each);
+    assignment is corpus × broadcast(M·K tiny codebook) with a
+    (vec_id, m)-keyed rank window; centroid recompute is the (key, pos)
+    partial-agg reduction (_centroid_of's shape) so the shuffle carries
+    M·K·16 rows. Nothing ever shuffles on a K-valued key. Distances use
+    the three-dot expansion so Spark and DuckDB argmin BIT-identically
+    (PARITY rule 9)."""
+    e = load(spark, sf_dir, "embeddings")
+    subs = (
+        e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+                            .cast("array<double>")
+                            .alias("sub"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    )
+    init = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("centroid")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d2 = (
+            dot_d(F.col("sub"), F.col("sub"))
+            - 2 * dot_d(F.col("sub"), F.col("centroid"))
+            + dot_d(F.col("centroid"), F.col("centroid"))
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("code").asc())
+        return (
+            subs.join(F.broadcast(cent), "m")
+            .select("vec_id", "m", "sub", "code", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a1 = assign(init)
+    c1 = (
+        a1.select("m", "code", F.posexplode("sub").alias("pos", "v"))
+        .groupBy("m", "code", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+            ).alias("centroid")
+        )
+    )
+    a2 = assign(c1)
+    return a2.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("d2"), 6).alias("avg_dist2"),
+    )

@@ -246,6 +246,9 @@ EXTENSIONS = [
     # round 5: incremental ingest dedup — new batch gated against the
     # existing corpus index (exact hash + cross-corpus gram Jaccard)
     "dedup_incremental",
+    # round 5: product-quantization codebook training (the IVF-PQ
+    # compressor; per-subspace k-means with distortion audit)
+    "embed_pq_codebook",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
