@@ -1179,11 +1179,10 @@ _DUCK_PQ_ASSIGN = f"""
             FROM subs s JOIN {{cent}} c ON s.m = c.m) WHERE rn = 1
 """
 
-
-@query(
-    "embed_pq_codebook",
-    oracle=f"""
-    WITH subs AS (
+# Shared PQ-training CTE prefix (subvector explode → init → assign →
+# recompute → reassign); embed_pq_codebook audits it, sim_adc_topk queries it.
+_DUCK_PQ_CTES = f"""
+    subs AS (
         SELECT vec_id, mm.m AS m,
                (embedding[mm.m * {PQ_SUB} + 1 : mm.m * {PQ_SUB} + {PQ_SUB}])::DOUBLE[] AS sub
         FROM embeddings CROSS JOIN (VALUES (0), (1), (2), (3)) mm(m)
@@ -1202,6 +1201,79 @@ _DUCK_PQ_ASSIGN = f"""
         GROUP BY m, code
     ),
     a2 AS ({_DUCK_PQ_ASSIGN.format(cent="c1")})
+"""
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): each embedding split into PQ_M double subvectors."""
+    return (
+        e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+                            .cast("array<double>")
+                            .alias("sub"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    )
+
+
+def _pq_d2(sub: Column, cent: Column) -> Column:
+    """Squared L2 via the three-dot expansion — the same expression shape as
+    the oracle so argmins tie bit-identically (PARITY rule 9)."""
+    return dot_d(sub, sub) - 2 * dot_d(sub, cent) + dot_d(cent, cent)
+
+
+def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Unrolled PQ k-means (init → assign → recompute → reassign). Returns
+    (codes, codebook): codes = (vec_id, m, sub, code, d2) after the final
+    assignment; codebook = (m, code, centroid) after the recompute."""
+    subs = _pq_subvectors(e)
+    init = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("centroid")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("code").asc())
+        return (
+            subs.join(F.broadcast(cent), "m")
+            .select(
+                "vec_id", "m", "sub", "code",
+                _pq_d2(F.col("sub"), F.col("centroid")).alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a1 = assign(init)
+    c1 = (
+        a1.select("m", "code", F.posexplode("sub").alias("pos", "v"))
+        .groupBy("m", "code", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+            ).alias("centroid")
+        )
+    )
+    return assign(c1), c1
+
+
+@query(
+    "embed_pq_codebook",
+    oracle=f"""
+    WITH {_DUCK_PQ_CTES}
     SELECT m, code, count(*)::BIGINT AS n_vecs, round(avg(d2), 6) AS avg_dist2
     FROM a2 GROUP BY m, code
     """,
@@ -1229,59 +1301,85 @@ def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     M·K·16 rows. Nothing ever shuffles on a K-valued key. Distances use
     the three-dot expansion so Spark and DuckDB argmin BIT-identically
     (PARITY rule 9)."""
-    e = load(spark, sf_dir, "embeddings")
-    subs = (
-        e.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-                            .cast("array<double>")
-                            .alias("sub"),
-                        )
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
-    )
-    init = subs.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("centroid")
-    )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        d2 = (
-            dot_d(F.col("sub"), F.col("sub"))
-            - 2 * dot_d(F.col("sub"), F.col("centroid"))
-            + dot_d(F.col("centroid"), F.col("centroid"))
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("code").asc())
-        return (
-            subs.join(F.broadcast(cent), "m")
-            .select("vec_id", "m", "sub", "code", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    a1 = assign(init)
-    c1 = (
-        a1.select("m", "code", F.posexplode("sub").alias("pos", "v"))
-        .groupBy("m", "code", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("m", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
-            ).alias("centroid")
-        )
-    )
-    a2 = assign(c1)
-    return a2.groupBy("m", "code").agg(
+    codes, _ = _pq_train(load(spark, sf_dir, "embeddings"))
+    return codes.groupBy("m", "code").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("d2"), 6).alias("avg_dist2"),
+    )
+
+
+@query(
+    "sim_adc_topk",
+    oracle=f"""
+    WITH {_DUCK_PQ_CTES},
+    lut AS (
+        SELECT s.vec_id AS qid, s.m, c.code, {_DUCK_PQ_D2} AS pd2
+        FROM subs s JOIN c1 c ON s.m = c.m
+        WHERE s.vec_id < {SIM_TOPK_NQUERIES}
+    ),
+    scored AS (
+        SELECT l.qid, a.vec_id,
+               sum(CASE WHEN a.m = 0 THEN l.pd2 END)
+                 + sum(CASE WHEN a.m = 1 THEN l.pd2 END)
+                 + sum(CASE WHEN a.m = 2 THEN l.pd2 END)
+                 + sum(CASE WHEN a.m = 3 THEN l.pd2 END) AS adist2
+        FROM a2 a JOIN lut l ON l.m = a.m AND l.code = a.code
+        WHERE a.vec_id != l.qid
+        GROUP BY l.qid, a.vec_id
+    )
+    SELECT qid, vec_id, round(adist2, 6) AS adist2, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY adist2 ASC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {SIM_TOPK_K}
+    """,
+    tags=("llm", "similarity", "quantization"),
+)
+def sim_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over the PQ index — how a
+    PQ-compressed corpus is actually QUERIED: the query stays full
+    precision; per subspace a PQ_K-entry lookup table of
+    (query-subvector → centroid) distances is built, and each document's
+    approximate distance is the sum of M table lookups selected by its
+    stored codes — no document vector is ever touched at query time,
+    which is the entire point of the compression. Top-K per query by
+    approximate distance (a production system then exact-reranks the
+    shortlist — sim_rerank's job; eval_ann_recall measures the loss).
+
+    Determinism: the per-document sum is M=4 floats whose ADDITION ORDER
+    must match across engines or near-ties rank-flip — so the subspace
+    distances pivot into four explicit columns and add left-to-right
+    (d0+d1+d2+d3) in BOTH dialects; each pd2 is the three-dot expansion
+    (PARITY rule 9), making the ranking bit-deterministic.
+
+    Scale shape: the LUT is queries × M·K (tiny, broadcast); scoring is a
+    (m, code) EQUI-join of the 2-bit code table against the LUT — the
+    shuffle carries codes, never vectors; per-(qid, doc) reduction is a
+    partial agg; top-K is a rank window per qid."""
+    codes, codebook = _pq_train(load(spark, sf_dir, "embeddings"))
+    q_subs = _pq_subvectors(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < SIM_TOPK_NQUERIES)
+    ).select(F.col("vec_id").alias("qid"), "m", "sub")
+    lut = q_subs.join(F.broadcast(codebook), "m").select(
+        "qid", "m", "code", _pq_d2(F.col("sub"), F.col("centroid")).alias("pd2")
+    )
+    scored = (
+        codes.select("vec_id", "m", "code")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(*[
+            F.sum(F.when(F.col("m") == m, F.col("pd2"))).alias(f"d{m}")
+            for m in range(PQ_M)
+        ])
+        .select(
+            "qid", "vec_id",
+            (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")).alias("adist2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("qid", "vec_id", F.round("adist2", 6).alias("adist2"), "rank")
     )

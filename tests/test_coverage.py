@@ -247,8 +247,9 @@ EXTENSIONS = [
     # existing corpus index (exact hash + cross-corpus gram Jaccard)
     "dedup_incremental",
     # round 5: product-quantization codebook training (the IVF-PQ
-    # compressor; per-subspace k-means with distortion audit)
-    "embed_pq_codebook",
+    # compressor; per-subspace k-means with distortion audit) and the
+    # asymmetric-distance top-k that queries it (LUT + code equi-join)
+    "embed_pq_codebook", "sim_adc_topk",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
