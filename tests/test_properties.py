@@ -536,3 +536,30 @@ class TestRound5Invariants:
         joined = out.join(orig, "c_custkey")
         assert joined.filter(F.col("name_roundtrip") != F.col("c_name")).count() == 0
         assert joined.filter(~F.col("wrong_key_is_null")).count() == 0
+
+    def test_pq_codebook_partitions_subspaces(self, spark, sf_dir):
+        """Every (subspace, code) cell is populated, codes stay in range,
+        and populations sum to corpus size per subspace."""
+        from rvi_big_data_api_spark.operators.llm_sim import PQ_K, PQ_M
+
+        rows = REGISTRY["embed_pq_codebook"].fn(spark, sf_dir).collect()
+        assert len(rows) == PQ_M * PQ_K
+        n_vecs = load(spark, sf_dir, "embeddings").count()
+        per_m = {}
+        for r in rows:
+            assert 0 <= r.code < PQ_K and 0 <= r.m < PQ_M
+            assert r.avg_dist2 >= 0
+            per_m[r.m] = per_m.get(r.m, 0) + r.n_vecs
+        assert all(v == n_vecs for v in per_m.values()), per_m
+
+    def test_adc_topk_shape_and_nonnegative(self, spark, sf_dir):
+        from rvi_big_data_api_spark.operators.llm_sim import (
+            SIM_TOPK_K,
+            SIM_TOPK_NQUERIES,
+        )
+
+        rows = REGISTRY["sim_adc_topk"].fn(spark, sf_dir).collect()
+        assert len(rows) == SIM_TOPK_K * SIM_TOPK_NQUERIES
+        for r in rows:
+            assert r.adist2 >= -1e-9 and 1 <= r.rank <= SIM_TOPK_K
+            assert r.vec_id != r.qid
