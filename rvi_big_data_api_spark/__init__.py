@@ -71,7 +71,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "sink_stream_python_datasource",
     "corpus_perplexity_filter", "agg_distinct_salted",
     "fn_crypto", "win_range_numeric", "dedup_incremental",
-    "embed_pq_codebook", "sim_adc_topk",
+    "embed_pq_codebook", "sim_adc_topk", "eval_pq_recall",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

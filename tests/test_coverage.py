@@ -248,8 +248,9 @@ EXTENSIONS = [
     "dedup_incremental",
     # round 5: product-quantization codebook training (the IVF-PQ
     # compressor; per-subspace k-means with distortion audit) and the
-    # asymmetric-distance top-k that queries it (LUT + code equi-join)
-    "embed_pq_codebook", "sim_adc_topk",
+    # asymmetric-distance top-k that queries it (LUT + code equi-join),
+    # and the recall gate that certifies the compression loss
+    "embed_pq_codebook", "sim_adc_topk", "eval_pq_recall",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
