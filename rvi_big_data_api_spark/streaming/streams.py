@@ -1014,7 +1014,17 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The state value schema is the aggregate's internal buffer (count, sum —
     unaliased accumulator names), so the projection maps buffer fields to
-    the public columns; rounding happens on read, state holds raw sums."""
+    the public columns; rounding happens on read, state holds raw sums.
+
+    State-partition sizing: a streaming aggregate creates one state store
+    per shuffle partition, FIXED for the checkpoint's lifetime — each pays
+    per-batch commit overhead regardless of how many keys it holds. 50
+    keys across the session default of 32 stores is waste (measured ~3.2 s
+    of the op's bench cost was store commits); the query pins 4 for its
+    own checkpoint and restores the conf. At 100 TB the same knob is sized
+    UP (keys × state size ÷ executor memory) — the point is that it is a
+    deliberate per-pipeline decision frozen into the checkpoint, not an
+    inherited session default."""
     sdf = (
         stream_events(spark, sf_dir)
         .filter(F.col("user_id") < 50)
@@ -1023,15 +1033,20 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "st_statestore_src"
     ckpt = tempfile.mkdtemp(prefix="ckpt_statestore_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.user_id").alias("user_id"),
