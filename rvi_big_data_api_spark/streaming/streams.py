@@ -940,7 +940,12 @@ def _run_with_rocksdb(spark: SparkSession, sdf: DataFrame, tag: str, mode: str) 
     name = f"st_{tag}_{hashlib.md5(tag.encode()).hexdigest()[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{tag}_")
     prev = spark.conf.get(_PROVIDER_CONF, None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+    # One RocksDB INSTANCE (memtable + SST dir + snapshot upload) per state
+    # partition, fixed for the checkpoint's life — size to the demo keyspace
+    # (scan_state_store's knob rationale), not the session shuffle default.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -952,6 +957,7 @@ def _run_with_rocksdb(spark: SparkSession, sdf: DataFrame, tag: str, mode: str) 
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev is None:
             spark.conf.unset(_PROVIDER_CONF)
         else:
