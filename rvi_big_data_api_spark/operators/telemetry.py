@@ -1487,3 +1487,65 @@ def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+GRID_CELL_DEG = 10.0  # heatmap cell size in degrees
+
+
+@query(
+    "geo_grid_density",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, value,
+               fmod(value, 170.0) - 85.0             AS lat,
+               fmod(event_id::DOUBLE, 360.0) - 180.0 AS lon
+        FROM events
+    )
+    SELECT floor(lat / {GRID_CELL_DEG})::BIGINT AS lat_cell,
+           floor(lon / {GRID_CELL_DEG})::BIGINT AS lon_cell,
+           count(*)::BIGINT AS n_fixes,
+           count(DISTINCT user_id)::BIGINT AS n_vehicles,
+           sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+    FROM pts GROUP BY lat_cell, lon_cell
+    """,
+    tags=("telemetry", "geo"),
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density heatmap rollup — the aggregate behind the reference's
+    map dashboard (fix density + active-vehicle count per map tile): every
+    GPS fix bins into a GRID_CELL_DEG° cell by pure floor-division (the
+    integer-zoom analogue of geohash; finer zooms are just smaller cells —
+    same plan), then one aggregate per cell. Same deterministic
+    pseudo-coordinate convention as haversine_dist / geo_geofence
+    (fixtures lack real lat/lon — SURVEY.md §2.9).
+
+    Scale shape: cell ids are computed map-side from each row alone (no
+    join, no window), so the ONLY shuffle is the per-cell aggregate whose
+    key cardinality is the tile count — the heatmap for 100 TB of fixes
+    shuffles kilobytes. Distinct-vehicle counts ride in the same pass;
+    at extreme per-cell skew the agg_distinct_salted rewrite applies
+    unchanged."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "value",
+        (F.col("value") % 170.0 - 85.0).alias("lat"),
+        (F.col("event_id").cast("double") % 360.0 - 180.0).alias("lon"),
+    )
+    return (
+        pts.select(
+            "user_id",
+            "value",
+            F.floor(F.col("lat") / GRID_CELL_DEG).alias("lat_cell"),
+            F.floor(F.col("lon") / GRID_CELL_DEG).alias("lon_cell"),
+        )
+        .groupBy("lat_cell", "lon_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.countDistinct("user_id").alias("n_vehicles"),
+            # exact-decimal sum (PARITY rule 15): order-independent, no
+            # rounding step — small per-cell groups make float-avg rounding
+            # ties a real hazard at 4 dp
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

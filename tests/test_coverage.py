@@ -251,6 +251,9 @@ EXTENSIONS = [
     # asymmetric-distance top-k that queries it (LUT + code equi-join),
     # and the recall gate that certifies the compression loss
     "embed_pq_codebook", "sim_adc_topk", "eval_pq_recall",
+    # round 5: map-tile heatmap rollup (floor-division grid cells, one
+    # cell-keyed aggregate — the reference dashboard's density layer)
+    "geo_grid_density",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
