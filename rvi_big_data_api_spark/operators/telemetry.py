@@ -1549,3 +1549,67 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "geo_od_matrix",
+    oracle=_DUCK_SESSIONS
+    + f"""
+    , ends AS (
+        SELECT user_id, session_id,
+               arg_min(floor((fmod(value, 170.0) - 85.0) / {GRID_CELL_DEG})::BIGINT,
+                       sec * 2097152 + event_id) AS o_lat_cell,
+               arg_min(floor((fmod(event_id::DOUBLE, 360.0) - 180.0) / {GRID_CELL_DEG})::BIGINT,
+                       sec * 2097152 + event_id) AS o_lon_cell,
+               arg_max(floor((fmod(value, 170.0) - 85.0) / {GRID_CELL_DEG})::BIGINT,
+                       sec * 2097152 + event_id) AS d_lat_cell,
+               arg_max(floor((fmod(event_id::DOUBLE, 360.0) - 180.0) / {GRID_CELL_DEG})::BIGINT,
+                       sec * 2097152 + event_id) AS d_lon_cell
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT o_lat_cell, o_lon_cell, d_lat_cell, d_lon_cell,
+           count(*)::BIGINT AS n_trips,
+           count(DISTINCT user_id)::BIGINT AS n_vehicles
+    FROM ends
+    GROUP BY o_lat_cell, o_lon_cell, d_lat_cell, d_lon_cell
+    """,
+    tags=("telemetry", "geo"),
+)
+def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin→destination matrix — the fleet-planning product built on top
+    of trip derivation: each trip (gap-sessionized, the trip_sessionize
+    contract) contributes one (origin tile → destination tile) edge, where
+    origin/destination are the grid cells (geo_grid_density's tiling) of
+    the trip's first and last fix; the matrix aggregates trip counts and
+    distinct vehicles per OD pair. This is the "where do trips that start
+    here end" rollup a map UI draws as flow arcs.
+
+    Scale shape: trip endpoints come from min_by/max_by on the packed
+    (sec, event_id) BIGINT order key (PARITY rule 7 — DuckDB arg_min twin)
+    inside the SAME per-user aggregation that trip_stats uses — the
+    endpoint extraction rides the one user_id-keyed exchange the
+    sessionize pipeline already pays; the OD aggregation then shuffles
+    session-count rows on a tile-pair key whose cardinality is (cells)² at
+    most. No joins at all."""
+    sess = sessionized_events(spark, sf_dir)
+    lat_cell = F.floor((F.col("value") % 170.0 - 85.0) / GRID_CELL_DEG)
+    lon_cell = F.floor((F.col("event_id").cast("double") % 360.0 - 180.0) / GRID_CELL_DEG)
+    ordk = F.col("sec") * 2097152 + F.col("event_id")
+    ends = (
+        sess.select(
+            "user_id", "session_id",
+            lat_cell.alias("lat_cell"), lon_cell.alias("lon_cell"),
+            ordk.alias("ordk"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min_by("lat_cell", "ordk").alias("o_lat_cell"),
+            F.min_by("lon_cell", "ordk").alias("o_lon_cell"),
+            F.max_by("lat_cell", "ordk").alias("d_lat_cell"),
+            F.max_by("lon_cell", "ordk").alias("d_lon_cell"),
+        )
+    )
+    return ends.groupBy("o_lat_cell", "o_lon_cell", "d_lat_cell", "d_lon_cell").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.countDistinct("user_id").alias("n_vehicles"),
+    )

@@ -252,8 +252,9 @@ EXTENSIONS = [
     # and the recall gate that certifies the compression loss
     "embed_pq_codebook", "sim_adc_topk", "eval_pq_recall",
     # round 5: map-tile heatmap rollup (floor-division grid cells, one
-    # cell-keyed aggregate — the reference dashboard's density layer)
-    "geo_grid_density",
+    # cell-keyed aggregate — the reference dashboard's density layer) and
+    # the trip origin->destination matrix built on sessionized trips
+    "geo_grid_density", "geo_od_matrix",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
