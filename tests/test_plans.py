@@ -513,3 +513,21 @@ def test_grouping_sets_df_is_single_pass(spark, sf_dir):
     assert exec_plan.count("Scan parquet") == 1, exec_plan[:2000]
     n = exec_plan.count("Exchange hashpartitioning")
     assert n == 1, f"expected 1 hash exchange, found {n}:\n{exec_plan[:2500]}"
+
+
+def test_geo_grid_density_single_aggregate_no_join(spark, sf_dir):
+    """Tile ids are map-side row-local math: the plan must contain no join
+    and push the whole rollup through hash aggregates."""
+    plan = plan_of(REGISTRY["geo_grid_density"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "Join" not in exec_plan, exec_plan[:2000]
+    assert "HashAggregate" in exec_plan
+
+
+def test_geo_od_matrix_no_joins(spark, sf_dir):
+    """Trip endpoints ride the sessionize window's user_id exchange via
+    min_by/max_by — the whole OD matrix must plan without any join."""
+    plan = plan_of(REGISTRY["geo_od_matrix"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "Join" not in exec_plan, exec_plan[:2000]
+    assert "Window" in exec_plan and "HashAggregate" in exec_plan
