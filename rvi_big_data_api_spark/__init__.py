@@ -72,7 +72,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_perplexity_filter", "agg_distinct_salted",
     "fn_crypto", "win_range_numeric", "dedup_incremental",
     "embed_pq_codebook", "sim_adc_topk", "eval_pq_recall",
-    "geo_grid_density", "geo_od_matrix",
+    "geo_grid_density", "geo_od_matrix", "sink_compaction",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

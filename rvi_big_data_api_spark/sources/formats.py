@@ -983,3 +983,56 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
+
+
+COMPACT_SMALL_FILES = 64  # the "before" small-file count
+COMPACT_TARGET_FILES = 4  # the "after" target
+
+
+@query(
+    "sink_compaction",
+    oracle=f"""
+    SELECT {COMPACT_SMALL_FILES}::BIGINT AS n_files_before,
+           {COMPACT_TARGET_FILES}::BIGINT AS n_files_after,
+           count(*)::BIGINT AS n_rows,
+           sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+    FROM events
+    """,
+    tags=("sink", "maintenance"),
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every streaming or
+    micro-batch ingest owes its readers: many small part files (here a
+    deliberate {COMPACT_SMALL_FILES}-way write, the shape a per-trigger file
+    sink produces) are rewritten into {COMPACT_TARGET_FILES} right-sized
+    files. At 100 TB this is the difference between a scan planning
+    millions of splits (listing + footer reads dominate) and thousands;
+    production schedules it per partition-day and swaps directories
+    atomically (the JsonlWriter staging/publish discipline at directory
+    granularity).
+
+    The op emits before/after file counts FROM THE FILESYSTEM (asserting
+    the rewrite really changed layout, not just a copy) alongside the
+    row count and exact-decimal value sum over the COMPACTED data — any
+    row lost or duplicated by the rewrite hash-fails. repartition(N) (a
+    round-robin shuffle) rather than coalesce(N): coalesce merges
+    co-located partitions unevenly and can leave stragglers; compaction
+    wants uniform output sizes."""
+    import glob as _glob
+
+    small_dir = scratch_dir(sf_dir, "compact_small")
+    compact_dir = scratch_dir(sf_dir, "compact_out")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    ev.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(small_dir)
+    n_before = len(_glob.glob(os.path.join(small_dir, "part-*.parquet")))
+    spark.read.parquet(small_dir).repartition(COMPACT_TARGET_FILES).write.mode(
+        "overwrite"
+    ).parquet(compact_dir)
+    n_after = len(_glob.glob(os.path.join(compact_dir, "part-*.parquet")))
+    compacted = spark.read.parquet(compact_dir)
+    return compacted.agg(
+        F.lit(n_before).cast("long").alias("n_files_before"),
+        F.lit(n_after).cast("long").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

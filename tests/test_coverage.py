@@ -255,6 +255,9 @@ EXTENSIONS = [
     # cell-keyed aggregate — the reference dashboard's density layer) and
     # the trip origin->destination matrix built on sessionized trips
     "geo_grid_density", "geo_od_matrix",
+    # round 5: small-file compaction maintenance job (layout rewrite with
+    # filesystem-verified before/after file counts + lossless row check)
+    "sink_compaction",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
