@@ -1470,3 +1470,129 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("xent"), 6).alias("min_xent"),
         F.round(F.max("xent"), 6).alias("max_xent"),
     )
+
+
+@query(
+    "corpus_training_pipeline",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    uni AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+    tot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT term)::BIGINT AS v FROM toks),
+    scored AS (
+        SELECT t.doc_id, -avg(ln((u.c + 1.0) / (tot.n + tot.v))) AS xent
+        FROM toks t JOIN uni u ON u.term = t.term CROSS JOIN tot
+        GROUP BY t.doc_id
+    ),
+    thr AS (SELECT avg(xent) AS t FROM scored),
+    q AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN scored s ON s.doc_id = d.doc_id CROSS JOIN thr
+        WHERE s.xent <= thr.t
+    ),
+    dd AS (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM q
+    ),
+    capd AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id) AS crn
+        FROM dd WHERE rn = 1
+    ),
+    inp AS (SELECT source, count(*)::BIGINT AS n_input FROM documents GROUP BY source),
+    qual AS (SELECT source, count(*)::BIGINT AS n_quality FROM q GROUP BY source),
+    uniq AS (SELECT source, count(*)::BIGINT AS n_unique FROM dd WHERE rn = 1 GROUP BY source),
+    fin AS (
+        SELECT source, count(*)::BIGINT AS n_final,
+               sum(len(string_split(text, ' ')))::BIGINT AS final_tokens
+        FROM capd WHERE crn <= {SOURCE_CAP} GROUP BY source
+    )
+    SELECT i.source,
+           i.n_input,
+           coalesce(q.n_quality, 0)::BIGINT AS n_quality,
+           coalesce(u.n_unique, 0)::BIGINT AS n_unique,
+           coalesce(f.n_final, 0)::BIGINT AS n_final,
+           coalesce(f.final_tokens, 0)::BIGINT AS final_tokens
+    FROM inp i
+    LEFT JOIN qual q ON q.source = i.source
+    LEFT JOIN uniq u ON u.source = i.source
+    LEFT JOIN fin f ON f.source = i.source
+    """,
+    tags=("llm", "corpus", "pipeline", "flagship"),
+)
+def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus assembly FUNNEL — the audit report every
+    corpus build publishes: per source, how many documents survive each
+    successive gate. Stages, in pipeline order: (1) LM-quality gate — keep
+    docs whose unigram cross-entropy is at most the corpus mean (the
+    corpus_perplexity_filter statistic used as a FILTER; a smooth scalar
+    threshold, not a quantile cut, so near-tied duplicate docs pass or
+    fail TOGETHER — cross-engine tie-safety by construction); (2) exact
+    dedup among survivors (min-doc_id keeper, the dedup_exact rule — run
+    AFTER quality so a low-quality copy can't shadow a high-quality one);
+    (3) per-source domination cap (corpus_source_cap's deterministic
+    md5-order sample); then the surviving token mass per source — the
+    number corpus_mix_weights consumes. The output is the pipeline's
+    ledger: n_input → n_quality → n_unique → n_final (+final_tokens),
+    per source, every column an exact integer.
+
+    Scale shape: one token explode feeds both the vocab aggregate and the
+    per-doc scoring join (term-keyed at 100 TB, broadcast at fixture
+    scale); the threshold is a broadcast 1-row aggregate (no eager
+    action); dedup and cap are single-window passes over ever-SHRINKING
+    survivor sets; the funnel counts are four source-keyed sub-aggregates
+    joined on a source-cardinality key. Stage order is the cost order:
+    cheap row-local gates first is the usual rule, but dedup-after-quality
+    is a CORRECTNESS ordering (keeper selection must happen among eligible
+    docs), worth its price."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("term").alias("v")
+    )
+    scored = (
+        toks.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (-F.avg(
+                F.log((F.col("c") + F.lit(1).cast("double")) / (F.col("n") + F.col("v")))
+            )).alias("xent")
+        )
+    )
+    thr = scored.agg(F.avg("xent").alias("t"))
+    q = (
+        d.select("doc_id", "source", "text")
+        .join(scored, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("xent") <= F.col("t"))
+        .select("doc_id", "source", "text")
+    )
+    w_text = Window.partitionBy("text").orderBy("doc_id")
+    dd = q.withColumn("rn", F.row_number().over(w_text)).filter(F.col("rn") == 1)
+    w_src = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    capd = dd.withColumn("crn", F.row_number().over(w_src)).filter(
+        F.col("crn") <= SOURCE_CAP
+    )
+    inp = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_input"))
+    qual = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    uniq = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique"))
+    fin = capd.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("final_tokens"),
+    )
+    return (
+        inp.join(qual, "source", "left")
+        .join(uniq, "source", "left")
+        .join(fin, "source", "left")
+        .select(
+            "source",
+            "n_input",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("final_tokens", F.lit(0)).alias("final_tokens"),
+        )
+    )

@@ -258,6 +258,9 @@ EXTENSIONS = [
     # round 5: small-file compaction maintenance job (layout rewrite with
     # filesystem-verified before/after file counts + lossless row check)
     "sink_compaction",
+    # round 5: end-to-end corpus assembly funnel (LM-quality gate -> exact
+    # dedup -> source cap -> per-source token mass ledger)
+    "corpus_training_pipeline",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
