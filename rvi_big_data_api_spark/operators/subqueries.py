@@ -1010,3 +1010,67 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@query(
+    "subquery_scalar_df",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*)::BIGINT AS n_cust,
+           round(avg(c.c_acctbal), 2) AS avg_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+    GROUP BY n.n_name
+    """,
+    tags=("subquery", "spark4"),
+)
+def subquery_scalar_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's subquery-expression DataFrame API — ``DataFrame.scalar()``
+    (non-correlated scalar subquery as a Column) and ``DataFrame.exists()``
+    with ``Column.outer()`` correlation — exercised end-to-end: per-nation
+    rollup of above-average-balance customers who have at least one order
+    on the books and none in 'F' (finished) status.
+
+    Everything else in this family declares the decorrelated plan by hand
+    (explicit semi/anti joins, one-row broadcast scalars — see the module
+    docstring); this query instead hands Catalyst the *correlated* form
+    through the 4.x API and lets RewriteSubquery produce the same physical
+    shapes: the scalar() becomes a single-row broadcast (Subquery scalar →
+    BroadcastExchange), the exists() a left-semi and the ~exists() a
+    left-anti shuffle join on o_custkey. At 100 TB those are exactly the
+    plans you'd write — the correlated form costs nothing extra and keeps
+    the intent declarative.
+
+    Column-name contract: aggregate aliases (nation, n_cust, avg_bal) match
+    the oracle exactly; avg rounded per the §1 float convention."""
+    cust = load(spark, sf_dir, "customer").alias("c")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+
+    avg_bal_all = cust.select(F.avg("c_acctbal")).scalar()
+    has_order = (
+        orders.alias("o")
+        .where(F.col("o.o_custkey") == F.col("c.c_custkey").outer())
+        .exists()
+    )
+    has_finished = (
+        orders.alias("o2")
+        .where(
+            (F.col("o2.o_custkey") == F.col("c.c_custkey").outer())
+            & (F.col("o2.o_orderstatus") == "F")
+        )
+        .exists()
+    )
+    return (
+        cust.where((F.col("c_acctbal") > avg_bal_all) & has_order & ~has_finished)
+        .join(F.broadcast(nat), F.col("c.c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
