@@ -73,7 +73,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "fn_crypto", "win_range_numeric", "dedup_incremental",
     "embed_pq_codebook", "sim_adc_topk", "eval_pq_recall",
     "geo_grid_density", "geo_od_matrix", "sink_compaction",
-    "corpus_training_pipeline", "subquery_scalar_df",
+    "corpus_training_pipeline", "subquery_scalar_df", "agg_theta_retention",
 ]
 
 PRIORITY_VERIFIED: list[str] = [
