@@ -1109,7 +1109,8 @@ def agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_theta_retention",
     oracle="""
-    WITH du AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
+    WITH du AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       user_id
                 FROM events),
     days AS (SELECT day, lead(day) OVER (ORDER BY day) AS nday
              FROM (SELECT DISTINCT day FROM du)),
@@ -1153,7 +1154,8 @@ def agg_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches; past ~4k distinct users per cell the op degrades
     gracefully to ±1.6 % estimates (the production trade at 100 TB)."""
     ev = load(spark, sf_dir, "events").select(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "user_id",
     )
     sk = ev.groupBy("day").agg(F.theta_sketch_agg("user_id").alias("sk"))
     w = Window.orderBy("day")
