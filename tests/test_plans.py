@@ -531,3 +531,30 @@ def test_geo_od_matrix_no_joins(spark, sf_dir):
     exec_plan = plan.split("\n== ")[0]
     assert "Join" not in exec_plan, exec_plan[:2000]
     assert "Window" in exec_plan and "HashAggregate" in exec_plan
+
+
+def test_subquery_api_decorrelates_to_semi_anti_pushed_scalar(spark, sf_dir):
+    """The Spark 4 subquery-expression API (DataFrame.scalar/.exists with
+    Column.outer) must decorrelate to the same physical shapes the
+    hand-written composites declare: EXISTS → LeftSemi, ~EXISTS → LeftAnti,
+    the non-correlated scalar pushed into the customer scan as a runtime
+    filter — and never a cartesian/BNLJ fallback."""
+    plan = plan_of(REGISTRY["subquery_scalar_df"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "LeftSemi" in exec_plan, exec_plan[:2000]
+    assert "LeftAnti" in exec_plan, exec_plan[:2000]
+    assert "GreaterThan(c_acctbal,ScalarSubquery" in exec_plan, exec_plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in exec_plan, exec_plan[:2000]
+    assert "CartesianProduct" not in exec_plan, exec_plan[:2000]
+
+
+def test_theta_retention_single_event_pass_no_join(spark, sf_dir):
+    """The Theta-sketch retention rollup must touch raw events exactly once
+    (one scan, one partial-agg exchange into the per-day sketch table); the
+    adjacent-day set algebra is a window over sketch rows, never a
+    user-level self-join (the exact formulation its own oracle uses)."""
+    plan = plan_of(REGISTRY["agg_theta_retention"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "Join" not in exec_plan, exec_plan[:2000]
+    assert exec_plan.count("Scan parquet") == 1, exec_plan[:2000]
+    assert "Window" in exec_plan and "HashAggregate" in exec_plan
