@@ -1596,3 +1596,70 @@ def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("final_tokens", F.lit(0)).alias("final_tokens"),
         )
     )
+
+
+SHUFFLE_EPOCH_SALT = "ep1:"  # new salt per epoch = a fresh deterministic order
+SHUFFLE_BLOCK = 100          # dataloader block size for the mix audit
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle=f"""
+    WITH r AS (SELECT doc_id, source,
+                      md5('{SHUFFLE_EPOCH_SALT}' || doc_id::VARCHAR) AS shuffle_key
+               FROM documents),
+    rk AS (SELECT doc_id, source, shuffle_key,
+                  row_number() OVER (ORDER BY shuffle_key, doc_id) AS rk
+           FROM r),
+    b AS (SELECT ((rk - 1) // {SHUFFLE_BLOCK})::BIGINT AS block, source FROM rk),
+    ps AS (SELECT block, source, count(*)::BIGINT AS n FROM b GROUP BY 1, 2)
+    SELECT block,
+           sum(n)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_sources,
+           round(max(n)::DOUBLE / sum(n), 4) AS max_source_frac
+    FROM ps GROUP BY block
+    """,
+    tags=("corpus", "llm"),
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle — the interleave step
+    between corpus assembly and sharding: training order must mix sources
+    (a run of 10k consecutive same-source documents wrecks early training),
+    be reproducible run-to-run, and re-randomize per epoch. `rand()` fails
+    all three; ordering by a salted hash of the stable document key gives a
+    uniform pseudo-random total order that is a pure function of
+    (epoch_salt, doc_id) — re-runs agree, epochs differ by salt
+    (`corpus_shard_split`'s no-migration discipline applied to ordering).
+
+    Emits the per-block mix audit a dataloader would check: for each block
+    of SHUFFLE_BLOCK consecutive ranks, the doc count, distinct sources
+    represented, and the largest single-source share. Uniform hashing makes
+    max_source_frac concentrate near each source's corpus share — the
+    measurable definition of "well mixed".
+
+    100 TB shape: ORDER BY a uniform hash is a range-exchange whose splits
+    are uniform BY CONSTRUCTION (hash keys can't skew), i.e. the cheapest
+    possible global sort; a real pipeline writes that order once as the
+    shard layout (compose with corpus_shard_split / corpus_pack_sequences)
+    rather than keeping a rank column. The audit itself reduces to
+    (block, source) partials before the final block rollup."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(
+        F.concat(F.lit(SHUFFLE_EPOCH_SALT), F.col("doc_id").cast("string")).cast("binary")
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    ranked = d.withColumn("shuffle_key", key).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    per_src = (
+        ranked.withColumn(
+            "block", ((F.col("rk") - 1) / F.lit(SHUFFLE_BLOCK)).cast("long")
+        )
+        .groupBy("block", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_src.groupBy("block").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 4).alias("max_source_frac"),
+    )
