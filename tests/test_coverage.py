@@ -261,6 +261,13 @@ EXTENSIONS = [
     # round 5: end-to-end corpus assembly funnel (LM-quality gate -> exact
     # dedup -> source cap -> per-source token mass ledger)
     "corpus_training_pipeline",
+    # round 5 continuation: Spark 4 subquery-expression DataFrame API
+    # (scalar()/exists() with Column.outer(), decorrelated by Catalyst to
+    # pushed-scalar + semi/anti joins), Theta-sketch day-over-day audience
+    # set algebra (union/intersection/difference — the op HLL can't do),
+    # and the deterministic salted-hash training-order interleave with its
+    # per-block source-mix audit
+    "subquery_scalar_df", "agg_theta_retention", "corpus_global_shuffle",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -558,3 +558,13 @@ def test_theta_retention_single_event_pass_no_join(spark, sf_dir):
     assert "Join" not in exec_plan, exec_plan[:2000]
     assert exec_plan.count("Scan parquet") == 1, exec_plan[:2000]
     assert "Window" in exec_plan and "HashAggregate" in exec_plan
+
+
+def test_global_shuffle_no_join_single_scan(spark, sf_dir):
+    """The training-order interleave is rank-over-hash + two aggregates:
+    one documents scan, a window, no join anywhere."""
+    plan = plan_of(REGISTRY["corpus_global_shuffle"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "Join" not in exec_plan, exec_plan[:2000]
+    assert exec_plan.count("Scan parquet") == 1, exec_plan[:2000]
+    assert "Window" in exec_plan and "HashAggregate" in exec_plan
