@@ -1,0 +1,149 @@
+"""Differential SQL fuzzing: Hypothesis generates random predicate/aggregate
+queries from an ANSI-neutral subset, and each one runs on BOTH engines —
+Spark over the registered temp views, DuckDB over the same parquet — with
+results compared group-by-group.
+
+Why this exists on top of tests/test_parity.py: the parity suite checks the
+269 FIXED registry queries; this suite samples the much larger space of
+filter/boolean-algebra/aggregate combinations around them, so a divergence
+in the engine mapping (timestamp literal handling, AND/OR/NOT precedence,
+float aggregation, group-key typing) shows up even if no registry query
+happens to hit it. The generated subset is deliberately dialect-neutral:
+comparisons, boolean algebra, IN lists, timestamp literals, count/min/max/
+sum — the semantics PARITY.md already pins for the fixed suite.
+
+Float discipline: sums are compared with relative tolerance (partial-agg
+addition order differs between engines by design — PARITY.md); counts and
+min/max exactly. No rounding in the generated SQL, so round-tie divergence
+(PARITY rule: never round per-row arithmetic) cannot produce false alarms.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+value_atom = st.builds(
+    lambda op, x: f"value {op} {x}",
+    st.sampled_from(["<", "<=", ">", ">=", "="]),
+    st.integers(min_value=-50, max_value=150),
+)
+user_atom = st.builds(
+    lambda op, u: f"user_id {op} {u}",
+    st.sampled_from(["<", "<=", ">", ">="]),
+    st.integers(min_value=0, max_value=160),
+)
+type_atom = st.one_of(
+    st.builds(lambda t: f"event_type = '{t}'", st.sampled_from(EVENT_TYPES)),
+    st.builds(
+        lambda ts: "event_type IN (" + ", ".join(f"'{t}'" for t in sorted(ts)) + ")",
+        st.sets(st.sampled_from(EVENT_TYPES), min_size=1, max_size=3),
+    ),
+)
+ts_atom = st.builds(
+    lambda op, d, h: f"ts {op} TIMESTAMP '2024-01-{d:02d} {h:02d}:00:00'",
+    st.sampled_from(["<", ">="]),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=23),
+)
+atom = st.one_of(value_atom, user_atom, type_atom, ts_atom)
+
+predicate = st.recursive(
+    atom,
+    lambda children: st.one_of(
+        st.builds(lambda a, b: f"({a}) AND ({b})", children, children),
+        st.builds(lambda a, b: f"({a}) OR ({b})", children, children),
+        st.builds(lambda a: f"NOT ({a})", children),
+    ),
+    max_leaves=4,
+)
+
+group_key = st.sampled_from([None, "event_type", "user_id"])
+
+
+def _sql(pred: str, key: str | None) -> str:
+    aggs = "count(*) AS n, min(value) AS mn, max(value) AS mx, sum(value) AS s"
+    if key is None:
+        return f"SELECT {aggs} FROM events WHERE {pred}"
+    return f"SELECT {key} AS k, {aggs} FROM events WHERE {pred} GROUP BY {key}"
+
+
+def _rows(records):
+    out = {}
+    for r in records:
+        r = list(r)
+        key = str(r[0]) if len(r) == 5 else ""
+        out[key] = r[-4:]
+    return out
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate, key=group_key)
+def test_generated_queries_agree_across_engines(spark, duck, sf_dir, pred, key):
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = _sql(pred, key)
+    s_rows = _rows(tuple(r) for r in spark.sql(sql).collect())
+    d_rows = _rows(map(tuple, duck.execute(sql).fetchall()))
+    assert set(s_rows) == set(d_rows), f"group keys diverge for: {sql}"
+    for k in s_rows:
+        (sn, smn, smx, ss), (dn, dmn, dmx, ds) = s_rows[k], d_rows[k]
+        assert sn == dn, f"count diverges for key {k!r}: {sql}"
+        if sn == 0:
+            continue  # all aggregates NULL in both engines
+        assert smn == dmn and smx == dmx, f"min/max diverge for key {k!r}: {sql}"
+        assert math.isclose(ss, ds, rel_tol=1e-9, abs_tol=1e-6), (
+            f"sum diverges for key {k!r}: {ss} vs {ds}: {sql}"
+        )
+
+
+WIN_FUNCS = ["sum", "min", "max", "count"]
+
+win_spec = st.builds(
+    lambda fn, prec: (fn, prec),
+    st.sampled_from(WIN_FUNCS),
+    st.integers(min_value=0, max_value=5),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=win_spec, ulim=st.integers(min_value=1, max_value=6))
+def test_generated_window_frames_agree_across_engines(spark, duck, sf_dir, spec, ulim):
+    """Same differential drive over ROWS-frame window functions: per-user
+    ordered frames with a deterministic (ts, event_id) tie-break — the
+    ordering discipline every fixed window query in the registry uses."""
+    from rvi_big_data_api_spark.io import load
+
+    fn, prec = spec
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = (
+        f"SELECT event_id, {fn}(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {prec} PRECEDING AND CURRENT ROW) AS w "
+        f"FROM events WHERE user_id <= {ulim}"
+    )
+    s = {int(r[0]): r[1] for r in spark.sql(sql).collect()}
+    d = {int(r[0]): r[1] for r in duck.execute(sql).fetchall()}
+    assert set(s) == set(d)
+    for k in s:
+        if fn == "count":
+            assert int(s[k]) == int(d[k]), f"count frame diverges at event {k}: {sql}"
+        elif fn in ("min", "max"):
+            assert s[k] == d[k], f"{fn} frame diverges at event {k}: {sql}"
+        else:
+            assert math.isclose(s[k], d[k], rel_tol=1e-9, abs_tol=1e-6), (
+                f"sum frame diverges at event {k}: {s[k]} vs {d[k]}: {sql}"
+            )
