@@ -325,3 +325,85 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
     )
     return spark.sql("SELECT * FROM numeric_row_sum(TABLE({li}))", li=li)
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN value > lag(value) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 0 ELSE 1 END AS brk
+        FROM events WHERE user_id % 5 = 1
+    ),
+    g AS (
+        SELECT user_id,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o
+    ),
+    runs AS (SELECT user_id, grp, count(*)::BIGINT AS run_len
+             FROM g GROUP BY user_id, grp)
+    SELECT user_id,
+           sum(run_len)::BIGINT AS n_events,
+           max(run_len)::BIGINT AS longest_run
+    FROM runs GROUP BY user_id
+    """,
+    tags=("udf",),
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-argument UDTF with PARTITION BY / ORDER BY semantics (Spark 4):
+    the engine hands each per-user partition to a FRESH UDTF instance in
+    (ts, event_id) order — eval() accumulates imperative per-partition
+    state (longest strictly-increasing value run), terminate() emits the
+    partition summary. This is the remaining §2.12 surface after
+    udtf_analyze's unpartitioned TABLE() binding: partition-scoped
+    instance lifetime + engine-enforced intra-partition ordering, i.e. the
+    sanctioned escape hatch for genuinely sequential per-key algorithms.
+
+    The oracle proves THIS statistic SQL-expressible (gaps-and-islands:
+    lag-compare -> running break sum -> per-island count), which is the
+    §2.12 policy: UDTF for the API surface, declarative twin as the
+    production path. At scale the PARTITION BY is one hash exchange (same
+    shuffle the window twin pays) and the Python loop touches each row
+    once; input sliced 1-in-5 users so the bench measures the API, not
+    raw Python row throughput (udtf_analyze's sampling policy)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id long, n_events long, longest_run long")
+    class RunFinder:
+        def __init__(self):
+            self.user = None
+            self.prev = None
+            self.cur = 0
+            self.best = 0
+            self.n = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            v = row["value"]
+            if self.prev is not None and v > self.prev:
+                self.cur += 1
+            else:
+                self.cur = 1
+            if self.cur > self.best:
+                self.best = self.cur
+            self.prev = v
+
+        def terminate(self):
+            if self.n:
+                yield self.user, self.n, self.best
+
+    spark.udtf.register("longest_run_finder", RunFinder)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return spark.sql(
+        "SELECT * FROM longest_run_finder"
+        "(TABLE({ev}) PARTITION BY user_id ORDER BY (ts, event_id))",
+        ev=ev,
+    )
