@@ -268,6 +268,11 @@ EXTENSIONS = [
     # and the deterministic salted-hash training-order interleave with its
     # per-block source-mix audit
     "subquery_scalar_df", "agg_theta_retention", "corpus_global_shuffle",
+    # round 5 continuation: partitioned table-argument UDTF (fresh instance
+    # per partition + engine-enforced ORDER BY + terminate() summary),
+    # completing the §2.12 matrix beyond udtf_analyze's unpartitioned
+    # TABLE() binding
+    "udtf_table_arg",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
