@@ -74,7 +74,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "embed_pq_codebook", "sim_adc_topk", "eval_pq_recall",
     "geo_grid_density", "geo_od_matrix", "sink_compaction",
     "corpus_training_pipeline", "subquery_scalar_df", "agg_theta_retention",
-    "corpus_global_shuffle", "udtf_table_arg",
+    "corpus_global_shuffle", "udtf_table_arg", "mm_manifest_join",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -185,3 +185,60 @@ def mm_chunk_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+@query(
+    "mm_manifest_join",
+    oracle="""
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_paired,
+           round(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS pair_rate,
+           sum(CASE WHEN e.vec_id IS NOT NULL
+                    THEN len(string_split(d.text, ' ')) ELSE 0 END)::BIGINT
+               AS paired_words,
+           max(CASE WHEN e.vec_id IS NOT NULL THEN len(e.embedding) END)::BIGINT
+               AS embed_dim
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source
+    """,
+    tags=("multimodal", "llm"),
+)
+def mm_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pairing manifest — the completeness audit a text+vision
+    training set publishes before packing shards: LEFT-join the text corpus
+    to its embedding (or image/audio feature) table on the shared document
+    key and report, per source, how much of the corpus is actually PAIRED
+    (WebDataset-style sample completeness), the paired token mass (what the
+    multimodal loss will actually see), and the embedding dimensionality
+    observed (a wrong-dim file in one shard shows up here, not as a shape
+    error at step 40k). At sf0.1 only 40 % of documents carry an embedding
+    — the report is the gate that catches the gap.
+
+    100 TB shape: an equi-join on the id key — embeddings shuffle as
+    (id, vec) rows; with both tables bucketed by doc_id (sink_bucketed's
+    layout) the join is shuffle-free. The audit itself reduces to
+    per-source partials; nothing touches the binary payloads (`F.size` on
+    the array column reads list offsets, not values)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    paired = F.col("vec_id").isNotNull()
+    return (
+        d.join(e, d.doc_id == e.vec_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(paired.cast("long")).alias("n_paired"),
+            F.round(
+                F.sum(paired.cast("long")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("pair_rate"),
+            F.sum(
+                F.when(paired, F.size(F.split("text", " ")).cast("long")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("paired_words"),
+            F.max(F.when(paired, F.size("embedding"))).cast("long").alias("embed_dim"),
+        )
+    )

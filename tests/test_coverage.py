@@ -273,6 +273,10 @@ EXTENSIONS = [
     # completing the §2.12 matrix beyond udtf_analyze's unpartitioned
     # TABLE() binding
     "udtf_table_arg",
+    # round 5 continuation: multimodal pairing manifest (text corpus LEFT
+    # JOIN embedding table on the shared key — per-source completeness,
+    # paired token mass, observed embedding dim)
+    "mm_manifest_join",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
