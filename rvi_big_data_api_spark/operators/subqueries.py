@@ -1074,3 +1074,47 @@ def subquery_scalar_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
         )
     )
+
+
+@query(
+    "sql_identifier_dynamic",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("analytics", "sql", "dynamic"),
+)
+def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause (Spark 4) — the injection-safe path for
+    dynamic IDENTIFIERS, completing the dynamic-SQL triad: named value
+    markers (`sql_parameterized`), runtime query text (`sql_exec_immediate`),
+    and here runtime table/column NAMES bound through parameters instead of
+    string concatenation (the metric column and source table of a generic
+    rollup template chosen at call time — the multi-tenant report-template
+    shape). A value marker cannot name a column; IDENTIFIER() promotes a
+    parameter to an identifier under the parser's quoting rules, so
+    `value; DROP TABLE` is a resolution error, not an injection.
+
+    Also exercises GROUP BY ALL (the grouping set inferred from the
+    non-aggregate select list — template-friendly because the template
+    needn't repeat its dimension columns). Plans identically to the static
+    query: identifier resolution happens at parse time, zero runtime cost
+    at any scale."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ident_events")
+    try:
+        return spark.sql(
+            """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(IDENTIFIER(:metric_col)), 2) AS total_value
+            FROM IDENTIFIER(:src_table)
+            GROUP BY ALL
+            """,
+            args={"metric_col": "value", "src_table": "_ident_events"},
+        )
+    finally:
+        spark.catalog.dropTempView("_ident_events")

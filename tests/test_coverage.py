@@ -277,6 +277,9 @@ EXTENSIONS = [
     # JOIN embedding table on the shared key — per-source completeness,
     # paired token mass, observed embedding dim)
     "mm_manifest_join",
+    # round 5 continuation: IDENTIFIER() dynamic-identifier binding +
+    # GROUP BY ALL — the injection-safe third leg of the dynamic-SQL triad
+    "sql_identifier_dynamic",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
