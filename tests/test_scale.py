@@ -91,3 +91,60 @@ def test_aqe_coalesces_small_shuffle(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan or "coalesced" in plan, plan[:2000]
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join handling, demonstrated as executed-plan fact: a join
+    whose left side puts ~90 % of rows on ONE key must come back from
+    execution with the hot partition SPLIT (SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed) — the runtime defense SCALE.md pairs with manual
+    salting (test_salted_join_equals_plain_join) for the 100 TB skew story.
+    Thresholds are lowered per-query so fixture-scale bytes trip the same
+    code path production sizes would; results must be identical to the
+    plain join regardless of the split."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(0, 300_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(
+                    (F.col("id") % 50).cast("long")
+                ),
+            )
+            .withColumn("pay", F.md5(F.col("id").cast("string")))
+        )
+        right = (
+            spark.range(0, 50)
+            .withColumnRenamed("id", "k")
+            .withColumn("rv", F.col("k") * 2)
+        )
+        j = left.join(right, "k")
+        pdf = j.toPandas()  # executes THIS query execution (AQE final plan)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # correctness first: every row of the skewed side survives the split
+        got = pdf.groupby("k")["id"].count().to_dict()
+        assert got[7] == 270_000, got.get(7)  # ids with id%10 == 9 go to id%50
+        assert len(pdf) == 300_000
+        # then the plan fact: the hot partition was actually split
+        assert "skew=true" in plan, plan[:3000]
+        assert "AQEShuffleRead skewed" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
