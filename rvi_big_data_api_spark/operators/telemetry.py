@@ -1613,3 +1613,99 @@ def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_trips"),
         F.countDistinct("user_id").alias("n_vehicles"),
     )
+
+
+@query(
+    "fleet_daily_report",
+    oracle=_DUCK_SESSIONS
+    + f"""
+    , base AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*)::BIGINT AS n_events,
+               count(DISTINCT user_id)::BIGINT AS n_active,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    ),
+    starts AS (
+        SELECT user_id, session_id, min(sec) AS start_sec
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    sd AS (
+        SELECT strftime(make_timestamp(start_sec * 1000000), '%Y-%m-%d') AS day,
+               count(*)::BIGINT AS n_trip_starts
+        FROM starts GROUP BY 1
+    ),
+    zstats AS (
+        SELECT ts, value,
+               avg(value)    OVER (PARTITION BY user_id) AS mu,
+               stddev(value) OVER (PARTITION BY user_id) AS sigma
+        FROM events
+    ),
+    an AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*)::BIGINT AS n_anomalies
+        FROM zstats
+        WHERE abs((value - mu) / nullif(sigma, 0)) > {ZSCORE_THRESHOLD}
+        GROUP BY 1
+    )
+    SELECT b.day, b.n_active, b.n_events, b.sum_value,
+           coalesce(sd.n_trip_starts, 0)::BIGINT AS n_trip_starts,
+           coalesce(an.n_anomalies, 0)::BIGINT AS n_anomalies
+    FROM base b
+    LEFT JOIN sd ON b.day = sd.day
+    LEFT JOIN an ON b.day = an.day
+    """,
+    tags=("telemetry", "composite"),
+)
+def fleet_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet dashboard's daily rollup — the reference's headline report
+    composed from three derived subsystems in ONE query: per-day activity
+    (active vehicles, event volume, accumulated reading), trips STARTED
+    that day (gap-based sessionization, trip_sessionize's exact contract),
+    and anomalous readings that day (per-vehicle z-score, anomaly_zscore's
+    exact contract). The composition is the point: each subsystem keeps
+    its own partitioning (day / (user, session) / user), and the final
+    assembly joins three DAY-cardinality aggregates — broadcast-sized no
+    matter how large the fleet, so the report costs its three partial
+    aggregates and nothing more.
+
+    100 TB shape: three parallel subtrees over the same events table (one
+    scan each; a real deployment computes them from the persisted derived
+    tables instead), each reducing to ~n_days rows before any join; the
+    left joins preserve days with zero trips/anomalies (coalesce 0 — a
+    quiet day is a row, not a gap in the report)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    base = ev.groupBy(day.alias("day")).agg(
+        F.count_distinct(F.col("user_id")).alias("n_active"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    starts = (
+        sessionized_events(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("sec").alias("start_sec"))
+        .groupBy(
+            F.date_format(F.timestamp_seconds(F.col("start_sec")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_trip_starts"))
+    )
+    wu = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(wu)) / F.nullif(
+        F.stddev("value").over(wu), F.lit(0)
+    )
+    anomalies = (
+        ev.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > ZSCORE_THRESHOLD)
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+    )
+    return (
+        base.join(F.broadcast(starts), "day", "left")
+        .join(F.broadcast(anomalies), "day", "left")
+        .select(
+            "day", "n_active", "n_events", "sum_value",
+            F.coalesce("n_trip_starts", F.lit(0)).alias("n_trip_starts"),
+            F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
+        )
+    )

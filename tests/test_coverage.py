@@ -280,6 +280,10 @@ EXTENSIONS = [
     # round 5 continuation: IDENTIFIER() dynamic-identifier binding +
     # GROUP BY ALL — the injection-safe third leg of the dynamic-SQL triad
     "sql_identifier_dynamic",
+    # round 5 continuation: the fleet dashboard's daily rollup — activity,
+    # trip starts, and anomaly counts composed from three derived
+    # subsystems into one day-keyed report (broadcast-sized assembly)
+    "fleet_daily_report",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
