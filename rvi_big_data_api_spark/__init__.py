@@ -75,7 +75,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "geo_grid_density", "geo_od_matrix", "sink_compaction",
     "corpus_training_pipeline", "subquery_scalar_df", "agg_theta_retention",
     "corpus_global_shuffle", "udtf_table_arg", "mm_manifest_join",
-    "sql_identifier_dynamic", "fleet_daily_report",
+    "sql_identifier_dynamic", "fleet_daily_report", "stream_sketch_distinct",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1202,3 +1202,43 @@ def sink_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "stream_sketch_distinct",
+    oracle="""
+    SELECT strftime(make_timestamp(((epoch(date_trunc('second', ts))::BIGINT // 3600) * 3600)
+                                   * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(DISTINCT user_id)::BIGINT AS n_vehicles
+    FROM events GROUP BY win_start
+    """,
+    tags=("streaming", "sketch"),
+)
+def stream_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count via a MERGEABLE sketch in streaming state —
+    the production pattern for "unique vehicles per window" over an
+    unbounded stream: the aggregation state per window is a Theta sketch
+    buffer (bounded bytes), updated batch-by-batch, never a grows-forever
+    distinct set. Contrast stream_tumbling (additive counts — trivially
+    incremental) and batch agg_theta_retention (the same sketch family at
+    rest): this op puts the sketch INSIDE the streaming state store.
+
+    Exactness contract (same as agg_theta_retention): below 4096 distinct
+    vehicles per hourly window the sketch is exact, so the final table
+    equals the batch COUNT(DISTINCT) oracle; at true fleet scale it
+    degrades to ±1.6 % while state stays ~4 KB per window — the trade that
+    makes per-window distinct viable in a stream at all. 1-hour tumbling
+    windows with a 30-minute watermark; complete mode ⇒ final table ≡
+    batch ⇒ exact oracle."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.round(F.theta_sketch_estimate(F.theta_sketch_agg("user_id")))
+            .cast("long")
+            .alias("n_vehicles")
+        )
+        .select(ts_str(F.col("win.start")).alias("win_start"), "n_vehicles")
+    )
+    return run_to_table(sdf, sf_dir, "sketchdist", "complete")

@@ -284,6 +284,10 @@ EXTENSIONS = [
     # trip starts, and anomaly counts composed from three derived
     # subsystems into one day-keyed report (broadcast-sized assembly)
     "fleet_daily_report",
+    # round 5 continuation: Theta sketch INSIDE streaming aggregation state
+    # — bounded-bytes per-window distinct over an unbounded stream, exact
+    # vs the batch COUNT(DISTINCT) oracle in the fixture regime
+    "stream_sketch_distinct",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
