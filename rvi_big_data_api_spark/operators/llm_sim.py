@@ -1462,3 +1462,57 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_vec") / float(SIM_TOPK_K), 4).alias("recall_at_k"),
         )
     )
+
+
+@query(
+    "embed_hygiene_audit",
+    oracle="""
+    SELECT label,
+           count(*)::BIGINT AS n_vecs,
+           min(len(embedding))::BIGINT AS dim_min,
+           max(len(embedding))::BIGINT AS dim_max,
+           sum(len(list_filter(embedding,
+                               x -> isnan(x) OR abs(x) = 'infinity'::FLOAT)))::BIGINT
+               AS n_nonfinite,
+           round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                  x -> x * x)))), 4) AS avg_norm,
+           min(list_min(embedding)) AS min_comp,
+           max(list_max(embedding)) AS max_comp
+    FROM embeddings GROUP BY label
+    """,
+    tags=("llm", "similarity"),
+)
+def embed_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene gate — the audit that runs BEFORE any index
+    build or similarity job trusts the vectors: per label, row count,
+    dimensionality min/max (one wrong-dim row breaks a GEMM batch at step
+    40k — catch it here), non-finite component count (NaN/Inf poison every
+    distance they touch), mean L2 norm (≈1.0 certifies the normalization
+    the cosine≡dot shortcut in this module depends on — the audit is the
+    PROOF of the fixture contract the sim_* ops cite), and the global
+    component range (quantization calibration input for embed_quantize).
+
+    All facets are per-row map-side expressions (JVM higher-order folds,
+    the module's zip_with/aggregate discipline — list order is the fold
+    order in both engines, so norms are bit-identical) reducing to one
+    label-keyed partial agg; nothing shuffles vectors. At 100 TB this is
+    one pass over the embedding store, the cheapest possible shape."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    bad = lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min(F.size(emb)).cast("long").alias("dim_min"),
+        F.max(F.size(emb)).cast("long").alias("dim_max"),
+        F.sum(F.size(F.filter(emb, bad)).cast("long")).alias("n_nonfinite"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.min(F.array_min(emb)).alias("min_comp"),
+        F.max(F.array_max(emb)).alias("max_comp"),
+    )

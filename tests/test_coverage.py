@@ -288,6 +288,10 @@ EXTENSIONS = [
     # — bounded-bytes per-window distinct over an unbounded stream, exact
     # vs the batch COUNT(DISTINCT) oracle in the fixture regime
     "stream_sketch_distinct",
+    # round 5 continuation: embedding-table hygiene gate (dim consistency,
+    # non-finite components, mean L2 norm, component range) — the audit
+    # that certifies the normalization contract the sim_* ops rely on
+    "embed_hygiene_audit",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
