@@ -1709,3 +1709,80 @@ def fleet_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
         )
     )
+
+
+@query(
+    "geo_flow_matrix",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               floor((fmod(value, 170.0) - 85.0) / {GRID_CELL_DEG})::BIGINT
+                   AS lat_cell,
+               floor((fmod(event_id::DOUBLE, 360.0) - 180.0) / {GRID_CELL_DEG})::BIGINT
+                   AS lon_cell
+        FROM events
+    ),
+    hops AS (
+        SELECT user_id, lat_cell, lon_cell,
+               lag(lat_cell) OVER w AS from_lat,
+               lag(lon_cell) OVER w AS from_lon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT from_lat, from_lon,
+           lat_cell AS to_lat, lon_cell AS to_lon,
+           count(*)::BIGINT AS n_moves,
+           count(DISTINCT user_id)::BIGINT AS n_vehicles
+    FROM hops
+    WHERE from_lat IS NOT NULL
+      AND (from_lat <> lat_cell OR from_lon <> lon_cell)
+    GROUP BY from_lat, from_lon, to_lat, to_lon
+    """,
+    tags=("telemetry", "geo"),
+)
+def geo_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-to-tile traffic flow — the map dashboard's flow layer (how many
+    vehicles moved from zone A to zone B): consecutive fixes per vehicle
+    become directed tile transitions via lag(), same-cell hops drop (a
+    parked vehicle is density — geo_grid_density — not flow), and the
+    remaining movements aggregate per (from, to) cell pair with distinct
+    vehicle counts. Completes the geo suite: density (where), OD matrix
+    (trip endpoints), flow (how traffic moves between them). Same
+    deterministic pseudo-coordinate convention as the rest of the suite.
+
+    Scale shape: one user-keyed exchange for the lag window (the telemetry
+    single-shuffle discipline), then a (from, to)-keyed partial agg whose
+    cardinality is at most tiles² — kilobytes of shuffle for any fleet
+    size. No join anywhere."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor((F.col("value") % 170.0 - 85.0) / GRID_CELL_DEG).alias("lat_cell"),
+        F.floor(
+            (F.col("event_id").cast("double") % 360.0 - 180.0) / GRID_CELL_DEG
+        ).alias("lon_cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id", "lat_cell", "lon_cell",
+        F.lag("lat_cell").over(w).alias("from_lat"),
+        F.lag("lon_cell").over(w).alias("from_lon"),
+    )
+    return (
+        hops.filter(
+            F.col("from_lat").isNotNull()
+            & (
+                (F.col("from_lat") != F.col("lat_cell"))
+                | (F.col("from_lon") != F.col("lon_cell"))
+            )
+        )
+        .groupBy(
+            "from_lat", "from_lon",
+            F.col("lat_cell").alias("to_lat"),
+            F.col("lon_cell").alias("to_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.count_distinct(F.col("user_id")).alias("n_vehicles"),
+        )
+    )

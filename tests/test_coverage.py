@@ -292,6 +292,10 @@ EXTENSIONS = [
     # non-finite components, mean L2 norm, component range) — the audit
     # that certifies the normalization contract the sim_* ops rely on
     "embed_hygiene_audit",
+    # round 5 continuation: tile-to-tile traffic flow (lag-based directed
+    # transitions, same-cell hops dropped) — density/OD/flow completes the
+    # map dashboard's geo layers
+    "geo_flow_matrix",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
