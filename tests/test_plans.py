@@ -568,3 +568,33 @@ def test_global_shuffle_no_join_single_scan(spark, sf_dir):
     assert "Join" not in exec_plan, exec_plan[:2000]
     assert exec_plan.count("Scan parquet") == 1, exec_plan[:2000]
     assert "Window" in exec_plan and "HashAggregate" in exec_plan
+
+
+def test_fleet_report_assembles_broadcast_day_aggregates(spark, sf_dir):
+    """The daily report's three subsystem rollups must assemble on
+    day-cardinality BROADCAST joins (never a shuffle join on the report
+    key) and keep the telemetry discipline of no cartesians."""
+    plan = plan_of(REGISTRY["fleet_daily_report"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert exec_plan.count("BroadcastHashJoin") == 2, exec_plan[:2500]
+    assert "SortMergeJoin" not in exec_plan, exec_plan[:2500]
+    assert "CartesianProduct" not in exec_plan
+
+
+def test_geo_flow_matrix_single_window_no_join(spark, sf_dir):
+    """Flow transitions ride ONE user-keyed window exchange plus the final
+    pair-keyed aggregate — no join in the plan."""
+    plan = plan_of(REGISTRY["geo_flow_matrix"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "Join" not in exec_plan, exec_plan[:2000]
+    assert "Window" in exec_plan and "HashAggregate" in exec_plan
+
+
+def test_embed_hygiene_single_pass_no_join(spark, sf_dir):
+    """The hygiene audit is map-side HOF folds + one label-keyed aggregate:
+    one scan, no join, no Python in the plan."""
+    plan = plan_of(REGISTRY["embed_hygiene_audit"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "Join" not in exec_plan, exec_plan[:2000]
+    assert exec_plan.count("Scan parquet") == 1, exec_plan[:2000]
+    assert "BatchEvalPython" not in exec_plan and "ArrowEvalPython" not in exec_plan
