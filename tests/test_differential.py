@@ -147,3 +147,69 @@ def test_generated_window_frames_agree_across_engines(spark, duck, sf_dir, spec,
             assert math.isclose(s[k], d[k], rel_tol=1e-9, abs_tol=1e-6), (
                 f"sum frame diverges at event {k}: {s[k]} vs {d[k]}: {sql}"
             )
+
+
+order_atom = st.one_of(
+    st.builds(
+        lambda op, x: f"o.o_totalprice {op} {x}",
+        st.sampled_from(["<", ">="]),
+        st.integers(min_value=1000, max_value=400_000),
+    ),
+    st.builds(
+        lambda ss: "o.o_orderstatus IN (" + ", ".join(f"'{s}'" for s in sorted(ss)) + ")",
+        st.sets(st.sampled_from(["O", "F", "P"]), min_size=1, max_size=2),
+    ),
+)
+cust_atom = st.builds(
+    lambda op, x: f"c.c_acctbal {op} {x}",
+    st.sampled_from(["<", ">="]),
+    st.integers(min_value=-900, max_value=9900),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    opred=order_atom,
+    cpred=cust_atom,
+    left=st.booleans(),
+)
+def test_generated_joins_agree_across_engines(spark, duck, sf_dir, opred, cpred, left):
+    """Differential drive over the join mapping: customer x orders with
+    generated predicates under INNER and LEFT join shapes. For LEFT joins
+    the orders-side predicate moves into ON (the semantics-preserving
+    placement; in WHERE it would reduce to INNER) and unmatched customers
+    must survive with NULL-extended aggregates in BOTH engines."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    if left:
+        sql = (
+            "SELECT c.c_mktsegment AS k, count(o.o_orderkey) AS n, "
+            "sum(o.o_totalprice) AS s "
+            f"FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND ({opred}) "
+            f"WHERE {cpred} GROUP BY c.c_mktsegment"
+        )
+    else:
+        sql = (
+            "SELECT c.c_mktsegment AS k, count(o.o_orderkey) AS n, "
+            "sum(o.o_totalprice) AS s "
+            "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            f"WHERE ({opred}) AND ({cpred}) GROUP BY c.c_mktsegment"
+        )
+    s_rows = {r[0]: (r[1], r[2]) for r in spark.sql(sql).collect()}
+    d_rows = {r[0]: (r[1], r[2]) for r in duck.execute(sql).fetchall()}
+    assert set(s_rows) == set(d_rows), f"group keys diverge: {sql}"
+    for k in s_rows:
+        (sn, ss), (dn, ds) = s_rows[k], d_rows[k]
+        assert sn == dn, f"count diverges for {k!r}: {sn} vs {dn}: {sql}"
+        if ss is None or ds is None:
+            assert ss is None and ds is None, f"null sum diverges for {k!r}: {sql}"
+        else:
+            assert math.isclose(ss, ds, rel_tol=1e-9, abs_tol=1e-6), (
+                f"sum diverges for {k!r}: {ss} vs {ds}: {sql}"
+            )
