@@ -213,3 +213,66 @@ def test_generated_joins_agree_across_engines(spark, duck, sf_dir, opred, cpred,
             assert math.isclose(ss, ds, rel_tol=1e-9, abs_tol=1e-6), (
                 f"sum diverges for {k!r}: {ss} vs {ds}: {sql}"
             )
+
+
+setop = st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(op=setop, p1=atom, p2=atom)
+def test_generated_set_ops_agree_across_engines(spark, duck, sf_dir, op, p1, p2):
+    """Differential drive over the set-operation mapping: two generated
+    event slices combined under UNION [ALL] / INTERSECT / EXCEPT, compared
+    as sorted multisets (bag semantics for ALL, set semantics otherwise
+    — identical definitions in both engines)."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = (
+        f"SELECT user_id, event_type FROM events WHERE {p1} "
+        f"{op} "
+        f"SELECT user_id, event_type FROM events WHERE {p2}"
+    )
+    s = sorted(map(tuple, spark.sql(sql).collect()))
+    d = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert s == d, f"set op diverges ({len(s)} vs {len(d)} rows): {sql}"
+
+
+str_fn = st.sampled_from(
+    [
+        "upper(event_type)",
+        "lower(event_type)",
+        "substr(event_type, 2)",
+        "substr(event_type, 1, 3)",
+        "length(event_type)",
+        "trim(event_type)",
+        "concat(event_type, '_', user_id)",
+        "replace(event_type, 'c', 'X')",
+        "reverse(event_type)",
+        "left(event_type, 2)",
+        "right(event_type, 2)",
+    ]
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=str_fn, pred=atom)
+def test_generated_string_exprs_agree_across_engines(spark, duck, sf_dir, expr, pred):
+    """Differential drive over the dialect-neutral scalar-string subset
+    (1-based substr, left/right, replace, concat with implicit int cast) —
+    the functions the fixed fn_string query uses, sampled across predicates."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = f"SELECT event_id, {expr} AS v FROM events WHERE {pred}"
+    s = sorted((int(r[0]), str(r[1])) for r in spark.sql(sql).collect())
+    d = sorted((int(r[0]), str(r[1])) for r in duck.execute(sql).fetchall())
+    assert s == d, f"string expr diverges: {sql}"
