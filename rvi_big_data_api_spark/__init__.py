@@ -76,7 +76,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_training_pipeline", "subquery_scalar_df", "agg_theta_retention",
     "corpus_global_shuffle", "udtf_table_arg", "mm_manifest_join",
     "sql_identifier_dynamic", "fleet_daily_report", "stream_sketch_distinct",
-    "embed_hygiene_audit", "geo_flow_matrix",
+    "embed_hygiene_audit", "geo_flow_matrix", "stream_observe_metrics",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1242,3 +1242,64 @@ def stream_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(ts_str(F.col("win.start")).alias("win_start"), "n_vehicles")
     )
     return run_to_table(sdf, sf_dir, "sketchdist", "complete")
+
+
+@query(
+    "stream_observe_metrics",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("streaming", "observability"),
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming in-flight metrics — `observe()` on an UNBOUNDED frame: the
+    data-quality counters ride each micro-batch as accumulators and surface
+    per batch in the query's progress events (`observedMetrics`), which is
+    how a production pipeline alerts on a bad batch WITHOUT a second pass
+    (the monitoring listener reads progress; nothing re-scans the stream).
+    Batch twin: `observe_metrics` (same counters, Observation API).
+
+    Metrics are merged ACROSS batches here (counts/sums add, min/max fold,
+    rounding only after the merge — a per-batch round would double-round),
+    so the result is batch-count invariant: one availableNow batch or
+    fifty, the merged metrics equal the batch aggregate, which the oracle
+    checks exactly."""
+    import math as _math
+
+    sdf = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .observe(
+            "stream_quality",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").alias("sum_raw"),
+            F.min("value").alias("min_raw"),
+            F.max("value").alias("max_raw"),
+        )
+    )
+    q = (
+        sdf.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_obs_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n, total, lo, hi = 0, 0.0, _math.inf, -_math.inf
+    for prog in q.recentProgress:
+        om = (prog.get("observedMetrics") or {}).get("stream_quality")
+        if om is not None and not isinstance(om, dict):
+            om = om.asDict()  # progress surfaces metrics as a Row
+        if not om or not om.get("n_rows"):
+            continue  # empty batch contributes nothing (its min/max are NULL)
+        n += om["n_rows"]
+        total += om["sum_raw"]
+        lo = min(lo, om["min_raw"])
+        hi = max(hi, om["max_raw"])
+    return spark.createDataFrame(
+        [(n, round(total, 2), round(lo, 2), round(hi, 2))],
+        "n_rows bigint, sum_value double, min_value double, max_value double",
+    )

@@ -296,6 +296,9 @@ EXTENSIONS = [
     # transitions, same-cell hops dropped) — density/OD/flow completes the
     # map dashboard's geo layers
     "geo_flow_matrix",
+    # round 5 continuation: observe() on an unbounded frame — per-batch
+    # quality counters in query progress, merged batch-count-invariantly
+    "stream_observe_metrics",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
