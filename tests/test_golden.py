@@ -679,3 +679,41 @@ class TestChunkOverlap:
         )
         labels = {r.node: r.label for r in pointer_doubling_components(spark, edges).collect()}
         assert labels == {n: 37 for n in (37, 54, 166, 195, 324, 463)}
+
+
+class TestThetaRetention:
+    """agg_theta_retention set algebra on a hand-built audience timeline —
+    verifies retained/churned/new semantics independent of the fixture
+    (whose daily audiences overlap heavily)."""
+
+    def test_churn_new_retained_exact(self, spark):
+        from unittest import mock
+
+        import rvi_big_data_api_spark.operators.aggregates as A
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        day = dt.timedelta(days=1)
+        rows, eid = [], 0
+        for d, users in enumerate([[1, 2, 3], [2, 3, 4, 5], [5]]):
+            for u in users:
+                rows.append((eid, t0 + d * day, u, "click", 1.0, "{}"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        with mock.patch.object(A, "load", lambda s, d_, n: ev):
+            out = {
+                r["day"]: r.asDict()
+                for r in A.agg_theta_retention(spark, "ignored").collect()
+            }
+        # day1 {1,2,3} -> day2 {2,3,4,5}: union 5, kept {2,3}, lost {1}, new {4,5}
+        d1 = out["2024-01-01"]
+        assert (d1["n_union"], d1["n_retained"], d1["n_churned"], d1["n_new"]) == (5, 2, 1, 2)
+        # day2 {2,3,4,5} -> day3 {5}: union 4, kept {5}, lost {2,3,4}, new none
+        d2 = out["2024-01-02"]
+        assert (d2["n_union"], d2["n_retained"], d2["n_churned"], d2["n_new"]) == (4, 1, 3, 0)
+        # identity check: union = retained + churned + new, every pair
+        for r in out.values():
+            assert r["n_union"] == r["n_retained"] + r["n_churned"] + r["n_new"]

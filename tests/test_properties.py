@@ -563,3 +563,57 @@ class TestRound5Invariants:
         for r in rows:
             assert r.adist2 >= -1e-9 and 1 <= r.rank <= SIM_TOPK_K
             assert r.vec_id != r.qid
+
+
+class TestContinuationInvariants:
+    """Cross-op consistency for the round-5 continuation operators."""
+
+    def test_global_shuffle_blocks_partition_corpus(self, spark, sf_dir):
+        """Every document lands in exactly one block; all blocks are full
+        (the fixture's corpus size is a multiple of SHUFFLE_BLOCK) and the
+        mix audit's shares are well-formed."""
+        from rvi_big_data_api_spark.operators.llm_text import SHUFFLE_BLOCK
+
+        rows = REGISTRY["corpus_global_shuffle"].fn(spark, sf_dir).collect()
+        n_docs_total = load(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in rows) == n_docs_total
+        assert sorted(r["block"] for r in rows) == list(range(len(rows)))
+        for r in rows:
+            assert r["n_docs"] == SHUFFLE_BLOCK
+            assert 0 < r["max_source_frac"] <= 1.0
+            assert r["n_sources"] <= r["n_docs"]
+
+    def test_fleet_report_consistent_with_subsystems(self, spark, sf_dir):
+        """The daily report's columns must re-aggregate to the standalone
+        subsystem totals: trip starts sum to the sessionize trip count,
+        event volume sums to the table size, and active counts stay within
+        the fleet size."""
+        rep = REGISTRY["fleet_daily_report"].fn(spark, sf_dir).collect()
+        n_trips = (
+            sessionized_events(spark, sf_dir)
+            .select("user_id", "session_id")
+            .distinct()
+            .count()
+        )
+        ev = load(spark, sf_dir, "events")
+        assert sum(r["n_trip_starts"] for r in rep) == n_trips
+        assert sum(r["n_events"] for r in rep) == ev.count()
+        fleet = ev.select("user_id").distinct().count()
+        assert all(0 < r["n_active"] <= fleet for r in rep)
+
+    def test_flow_matrix_conserves_movements(self, spark, sf_dir):
+        """Total directed moves = (fixes - vehicles) - same-cell hops: each
+        vehicle contributes exactly n_fixes - 1 transitions, and the matrix
+        drops only the same-cell ones — nothing else may vanish."""
+        from rvi_big_data_api_spark.operators.telemetry import GRID_CELL_DEG
+
+        ev = load(spark, sf_dir, "events")
+        n_fixes = ev.count()
+        n_vehicles = ev.select("user_id").distinct().count()
+        rows = REGISTRY["geo_flow_matrix"].fn(spark, sf_dir).collect()
+        n_moves = sum(r["n_moves"] for r in rows)
+        assert n_moves <= n_fixes - n_vehicles
+        # movements dominate at fixture scale (cells are coarse but fixes
+        # jump cells almost every report) — guard against an accidentally
+        # inverted same-cell filter dropping everything
+        assert n_moves > (n_fixes - n_vehicles) * 0.5
