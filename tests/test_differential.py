@@ -276,3 +276,96 @@ def test_generated_string_exprs_agree_across_engines(spark, duck, sf_dir, expr, 
     s = sorted((int(r[0]), str(r[1])) for r in spark.sql(sql).collect())
     d = sorted((int(r[0]), str(r[1])) for r in duck.execute(sql).fetchall())
     assert s == d, f"string expr diverges: {sql}"
+
+
+# Both-dialect temporal subset. Deliberately excluded as NOT neutral (the
+# exclusion is itself a finding, PARITY-style): strftime/date_format and
+# epoch() exist in only one engine; dayofweek numbers Sunday differently
+# (Spark 1-7 vs DuckDB 0-6).
+dt_fn = st.sampled_from(
+    [
+        "year(ts)",
+        "month(ts)",
+        "day(ts)",
+        "hour(ts)",
+        "minute(ts)",
+        "quarter(ts)",
+        "weekofyear(ts)",
+        # through DATE first: DuckDB's date_trunc('day') yields DATE while
+        # Spark's yields TIMESTAMP — the common renderable type is DATE
+        "cast(cast(date_trunc('day', ts) AS DATE) AS STRING)",
+        "cast(date_trunc('hour', ts) AS STRING)",
+        "cast(last_day(ts) AS STRING)",
+    ]
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=dt_fn, pred=atom)
+def test_generated_datetime_exprs_agree_across_engines(spark, duck, sf_dir, expr, pred):
+    """Differential drive over the dialect-neutral temporal subset — the
+    expressions PARITY.md's temporal conventions are built on (UTC session,
+    second-truncated epochs, strftime-formatted outputs)."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = f"SELECT event_id, {expr} AS v FROM events WHERE {pred}"
+    s = sorted((int(r[0]), str(r[1])) for r in spark.sql(sql).collect())
+    d = sorted((int(r[0]), str(r[1])) for r in duck.execute(sql).fetchall())
+    assert s == d, f"datetime expr diverges: {sql}"
+
+
+agg_fn = st.sampled_from(
+    [
+        ("count(DISTINCT user_id)", "exact"),
+        ("count(*) FILTER (WHERE value > 100)", "exact"),
+        ("avg(value)", "close"),
+        ("stddev(value)", "close"),
+        ("var_samp(value)", "close"),
+        ("sum(value * value)", "close"),
+        ("min(value)", "exact"),
+        ("max(value)", "exact"),
+    ]
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=agg_fn, pred=atom, key=group_key)
+def test_generated_aggregates_agree_across_engines(spark, duck, sf_dir, spec, pred, key):
+    """Differential drive over the aggregate family: moment aggregates with
+    float tolerance (partial-agg fold order differs by design), counts and
+    extrema exactly."""
+    from rvi_big_data_api_spark.io import load
+
+    expr, kind = spec
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    k_sel = f"{key} AS k, " if key else ""
+    k_grp = f" GROUP BY {key}" if key else ""
+    sql = f"SELECT {k_sel}{expr} AS v FROM events WHERE {pred}{k_grp}"
+    def rows(recs):
+        out = {}
+        for r in recs:
+            r = list(r)
+            out[str(r[0]) if len(r) == 2 else ""] = r[-1]
+        return out
+    s = rows(spark.sql(sql).collect())
+    d = rows(map(list, duck.execute(sql).fetchall()))
+    assert set(s) == set(d), f"group keys diverge: {sql}"
+    for gk in s:
+        sv, dv = s[gk], d[gk]
+        if sv is None or dv is None:
+            assert sv is None and dv is None, f"null diverges for {gk!r}: {sql}"
+        elif kind == "exact":
+            assert sv == dv, f"{expr} diverges for {gk!r}: {sv} vs {dv}: {sql}"
+        else:
+            assert math.isclose(float(sv), float(dv), rel_tol=1e-9, abs_tol=1e-9), (
+                f"{expr} diverges for {gk!r}: {sv} vs {dv}: {sql}"
+            )
