@@ -77,6 +77,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_global_shuffle", "udtf_table_arg", "mm_manifest_join",
     "sql_identifier_dynamic", "fleet_daily_report", "stream_sketch_distinct",
     "embed_hygiene_audit", "geo_flow_matrix", "stream_observe_metrics",
+    "stream_incremental_resume",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -299,6 +299,11 @@ EXTENSIONS = [
     # round 5 continuation: observe() on an unbounded frame — per-batch
     # quality counters in query progress, merged batch-count-invariantly
     "stream_observe_metrics",
+    # round 5 continuation: exactly-once across a restart — run 1 ingests
+    # half the corpus into a checkpointed aggregation, run 2 resumes from
+    # the same checkpoint over new files; final state equals the batch
+    # aggregate (no replay, no gap)
+    "stream_incremental_resume",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
