@@ -617,3 +617,34 @@ class TestContinuationInvariants:
         # jump cells almost every report) — guard against an accidentally
         # inverted same-cell filter dropping everything
         assert n_moves > (n_fixes - n_vehicles) * 0.5
+
+    def test_incremental_resume_processes_only_new_files(self, spark, sf_dir):
+        """The exactly-once sharp edge: after the checkpointed restart, the
+        second pass's input volume must be ONLY the newly-landed half of
+        the corpus — replaying old files would double it, losing state
+        would still show in the (oracle-checked) totals. Asserted from the
+        streams' own progress counters."""
+        import glob
+        import json
+        import os
+        import tempfile
+
+        before = set(glob.glob(os.path.join(tempfile.gettempdir(), "inc_ckpt_*")))
+        out = REGISTRY["stream_incremental_resume"].fn(spark, sf_dir).collect()
+        n_total = load(spark, sf_dir, "events").count()
+        assert sum(r["n_events"] for r in out) == n_total
+        (ckpt,) = set(glob.glob(os.path.join(tempfile.gettempdir(), "inc_ckpt_*"))) - before
+        # the file-source commit log: one file per completed micro-batch
+        commits = sorted(
+            f for f in os.listdir(os.path.join(ckpt, "sources", "0"))
+            if f.isdigit()
+        )
+        assert len(commits) >= 2  # at least one batch per pass
+        seen_per_batch = []
+        for c in commits:
+            with open(os.path.join(ckpt, "sources", "0", c)) as fh:
+                lines = [ln for ln in fh if ln.strip().startswith("{")]
+            seen_per_batch.append(len(lines))
+        # every staged file is ingested exactly once across all batches
+        n_halves = 2
+        assert sum(seen_per_batch) == n_halves
