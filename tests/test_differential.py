@@ -369,3 +369,59 @@ def test_generated_aggregates_agree_across_engines(spark, duck, sf_dir, spec, pr
             assert math.isclose(float(sv), float(dv), rel_tol=1e-9, abs_tol=1e-9), (
                 f"{expr} diverges for {gk!r}: {sv} vs {dv}: {sql}"
             )
+
+
+grouping_shape = st.sampled_from(
+    [
+        "ROLLUP (event_type, user_id % 4)",
+        "CUBE (event_type, user_id % 4)",
+        "GROUPING SETS ((event_type), (user_id % 4), ())",
+        "GROUPING SETS ((event_type, user_id % 4), (event_type), ())",
+    ]
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(shape=grouping_shape, pred=atom)
+def test_generated_grouping_sets_agree_across_engines(spark, duck, sf_dir, shape, pred):
+    """Differential drive over multi-dimensional grouping: ROLLUP / CUBE /
+    GROUPING SETS with the GROUPING() provenance marker (PARITY rule 20's
+    bitmask equivalence, sampled instead of fixed). Super-aggregate rows
+    carry NULL group keys, so rows are keyed by (marker, keys) — the
+    marker disambiguates genuine NULLs from rollup NULLs in both engines."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # per-column GROUPING(col): the multi-arg bitmask form is grouping_id()
+    # in Spark vs GROUPING(a, b) in DuckDB (PARITY rule 20) — not neutral
+    sql = (
+        "SELECT event_type AS k1, user_id % 4 AS k2, "
+        "GROUPING(event_type) AS g1, GROUPING(user_id % 4) AS g2, "
+        "count(*) AS n, sum(value) AS s "
+        f"FROM events WHERE {pred} GROUP BY {shape}"
+    )
+    def rows(recs):
+        # n == 0 occurs only as DuckDB's empty-input grand-total row — Spark
+        # emits NOTHING for grouping sets over zero input rows (PARITY rule
+        # 23, found by this fuzzer); normalize it away on both sides
+        return {
+            (str(r[0]), str(r[1]), int(r[2]), int(r[3])): (int(r[4]), r[5])
+            for r in recs
+            if int(r[4]) > 0
+        }
+    s = rows(spark.sql(sql).collect())
+    d = rows(duck.execute(sql).fetchall())
+    assert set(s) == set(d), f"grouping rows diverge: {sql}"
+    for k in s:
+        assert s[k][0] == d[k][0], f"count diverges for {k}: {sql}"
+        sv, dv = s[k][1], d[k][1]
+        if sv is None or dv is None:
+            assert sv is None and dv is None, f"null sum diverges for {k}: {sql}"
+        else:
+            assert math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-6), (
+                f"sum diverges for {k}: {sv} vs {dv}: {sql}"
+            )
