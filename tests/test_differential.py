@@ -84,6 +84,7 @@ def _rows(records):
 @settings(
     max_examples=30,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(pred=predicate, key=group_key)
@@ -118,6 +119,7 @@ win_spec = st.builds(
 @settings(
     max_examples=15,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(spec=win_spec, ulim=st.integers(min_value=1, max_value=6))
@@ -170,6 +172,7 @@ cust_atom = st.builds(
 @settings(
     max_examples=20,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -221,6 +224,7 @@ setop = st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
 @settings(
     max_examples=20,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(op=setop, p1=atom, p2=atom)
@@ -262,6 +266,7 @@ str_fn = st.sampled_from(
 @settings(
     max_examples=20,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(expr=str_fn, pred=atom)
@@ -303,6 +308,7 @@ dt_fn = st.sampled_from(
 @settings(
     max_examples=20,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(expr=dt_fn, pred=atom)
@@ -336,6 +342,7 @@ agg_fn = st.sampled_from(
 @settings(
     max_examples=20,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(spec=agg_fn, pred=atom, key=group_key)
@@ -384,6 +391,7 @@ grouping_shape = st.sampled_from(
 @settings(
     max_examples=15,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(shape=grouping_shape, pred=atom)
