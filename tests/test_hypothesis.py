@@ -38,7 +38,7 @@ def _events_df(spark, table):
     )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(table=user_tables)
 def test_sessionize_invariants_hold_on_generated_streams(spark, table):
     ev = _events_df(spark, table)
