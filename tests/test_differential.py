@@ -433,3 +433,31 @@ def test_generated_grouping_sets_agree_across_engines(spark, duck, sf_dir, shape
             assert math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-6), (
                 f"sum diverges for {k}: {sv} vs {dv}: {sql}"
             )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=atom,
+    hmin=st.integers(min_value=1, max_value=50),
+    k=st.integers(min_value=1, max_value=20),
+)
+def test_generated_having_limit_agree_across_engines(spark, duck, sf_dir, pred, hmin, k):
+    """Differential drive over HAVING + deterministic ORDER BY ... LIMIT:
+    the top-k contract every registry limit query follows (unique-key
+    tie-break so LIMIT is well-defined in both engines)."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = (
+        "SELECT user_id, count(*) AS n FROM events "
+        f"WHERE {pred} GROUP BY user_id HAVING count(*) >= {hmin} "
+        f"ORDER BY n DESC, user_id ASC LIMIT {k}"
+    )
+    s = [(int(r[0]), int(r[1])) for r in spark.sql(sql).collect()]
+    d = [(int(r[0]), int(r[1])) for r in duck.execute(sql).fetchall()]
+    assert s == d, f"having/limit diverges: {sql}"
