@@ -799,7 +799,52 @@ def ngram_sim_edges(docs: DataFrame) -> DataFrame:
     )
 
 
-def pointer_doubling_components(spark: SparkSession, pair_edges: DataFrame) -> DataFrame:
+def embed_sim_edges(
+    e: DataFrame,
+    tau: float,
+    n_bits: int | None = None,
+    salt: int = DEDUP_EMBED_SALT,
+) -> DataFrame:
+    """Cosine-similarity pair edges (vec_id < vec_id, dot ≥ tau) via the
+    sign-bit LSH bucket + salted probe/build join — the shared candidate
+    generator behind dedup_embed_cluster and the scale-probe variants.
+
+    ``n_bits`` (default: llm_sim.IVF_SIGN_BITS = 4, the oracle-pinned width)
+    is the scale knob: per-bucket candidate cost is quadratic in bucket
+    size, so bucket COUNT must grow with the corpus to keep bucket size
+    constant. The 10x sweep (SCALE.md) measured the 4-bit cliff — 19x wall
+    at 10x rows — and that widening to 8 bits at 10x restores the per-row
+    cost, at the usual LSH recall trade (a pair split across buckets is
+    missed; multi-probe or band-OR recovers it, cf. sim_topk_multiprobe)."""
+    from .llm_sim import IVF_SIGN_BITS, dot, signbit_bucket
+
+    bits = IVF_SIGN_BITS if n_bits is None else n_bits
+    e = e.withColumn("bucket", signbit_bucket(F.col("embedding"), bits))
+    a = e.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).alias("a")
+    b = e.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(salt))).alias("b")
+    d = dot(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rep") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            d.alias("raw_dot"),
+        )
+        .filter(F.col("raw_dot") >= tau)
+        .select("doc_a", "doc_b")
+    )
+
+
+def pointer_doubling_components(
+    spark: SparkSession, pair_edges: DataFrame, max_rounds: int = 10
+) -> DataFrame:
     """Connected components in O(log diameter) rounds — the large-diameter
     scale path SCALE.md promises as the alternative to 1-hop min-label
     propagation: each round does one neighbor-min HOOK (pull the minimum
@@ -844,7 +889,13 @@ def pointer_doubling_components(spark: SparkSession, pair_edges: DataFrame) -> D
     labels = cached_labels
     changed = -1  # loop always runs; -1 trips the guard if it somehow doesn't
     try:
-        for _round in range(10):  # log₂(diameter) rounds; cap >> any real graph
+        # log₂(diameter) rounds. The cap is a PARAMETER because it must scale
+        # with the graph: the 10x sweep's 4-bit embed graph blew past 10
+        # rounds (denser noise edges → longer label chains) and the
+        # convergence guard below correctly refused to ship partial labels.
+        # Sizing rule: max_rounds ≈ log₂(expected diameter) + margin; the
+        # guard turns an undersized cap into a loud error, never wrong rows.
+        for _round in range(max_rounds):
             nbr_min = (
                 edges.join(labels, edges.dst == labels.node)
                 .groupBy(F.col("src").alias("node2"))
@@ -899,7 +950,7 @@ def pointer_doubling_components(spark: SparkSession, pair_edges: DataFrame) -> D
             if changed == 0:
                 break
         result = labels.select("node", "label").checkpoint(eager=True)
-        _assert_converged(result, changed, 10)
+        _assert_converged(result, changed, max_rounds)
         return result
     finally:
         cached_labels.unpersist()
@@ -1020,32 +1071,10 @@ def dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation (CC_TRUNCATE_EVERY). The τ filter is hash-safe because the
     JVM HOF dot is bit-identical to DuckDB's list_dot_product
     (PARITY.md #9)."""
-    from .llm_sim import dot, signbit_bucket
-
-    e = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", signbit_bucket(F.col("embedding"))
+    e = load(spark, sf_dir, "embeddings")
+    labels = pointer_doubling_components(
+        spark, embed_sim_edges(e, DEDUP_EMBED_CLUSTER_TAU)
     )
-    a = e.withColumn(
-        "rep", F.explode(F.sequence(F.lit(0), F.lit(DEDUP_EMBED_SALT - 1)))
-    ).alias("a")
-    b = e.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(DEDUP_EMBED_SALT))).alias("b")
-    d = dot(F.col("a.embedding"), F.col("b.embedding"))
-    sim_edges = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.rep") == F.col("b.salt"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            d.alias("raw_dot"),
-        )
-        .filter(F.col("raw_dot") >= DEDUP_EMBED_CLUSTER_TAU)
-        .select("doc_a", "doc_b")
-    )
-    labels = pointer_doubling_components(spark, sim_edges)
     out = labels.select(F.col("node").alias("vec_id"), F.col("label").alias("cluster_id"))
     w_sz = Window.partitionBy("cluster_id")
     return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))

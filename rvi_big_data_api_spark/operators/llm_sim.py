@@ -329,12 +329,20 @@ def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_SIGN_BITS = 4  # 2^4 = 16 coarse buckets over the first 4 dimensions
 
 
-def signbit_bucket(emb: Column) -> Column:
+def signbit_bucket(emb: Column, n_bits: int = IVF_SIGN_BITS) -> Column:
     """Coarse quantization without k-means: bucket id = sign bits of the
-    first IVF_SIGN_BITS dimensions (SURVEY.md §4.3's 'k-means-free'
-    pre-partitioning). Deterministic, computable in both dialects."""
+    first ``n_bits`` dimensions (SURVEY.md §4.3's 'k-means-free'
+    pre-partitioning). Deterministic, computable in both dialects.
+
+    ``n_bits`` is the SCALE knob: candidate-pair cost inside a bucket is
+    quadratic in bucket size, so a fixed width hits a measured cliff as the
+    corpus grows (SCALE.md "Measured 10x sweep": 4-bit buckets made
+    dedup_embed_cluster 19x at 10x data). Production sizing is
+    ``n_bits ≈ log2(N / target_bucket_rows)`` — grow the bucket count with
+    the corpus so per-bucket rows stay constant; the oracled fixture ops pin
+    the 4-bit default so DuckDB twins stay expressible."""
     bits = [
-        (F.element_at(emb, i + 1) > 0).cast("int") * (2**i) for i in range(IVF_SIGN_BITS)
+        (F.element_at(emb, i + 1) > 0).cast("int") * (2**i) for i in range(n_bits)
     ]
     out = bits[0]
     for b in bits[1:]:

@@ -1,0 +1,255 @@
+#!/usr/bin/env python3
+"""Measured scale sweep: run the heaviest registered queries at sf0.1 (1x)
+and at a synthetic 10x replication of the same fixtures, and report the
+wall-time ratio per query.
+
+Why measure instead of argue: SCALE.md's design notes claim each plan is
+shuffle-shaped to survive a 100x scale-up; this probe buys the first decade
+of that claim with data. A query whose plan is linear in input should land
+near ratio 10 (modulo fixed JVM overhead, which pushes ratios BELOW 10 for
+sub-second queries); a quadratic pair-enumeration shows up as ratio >> 10
+and is a scaling cliff to document or fix.
+
+10x construction (``build_10x``): each table is replicated 10 times with
+replica r's keys shifted by ``r * STRIDE`` so every replica is a
+self-contained shard of the universe — join fan-outs and per-key group
+sizes stay CONSTANT while key cardinality and row counts scale 10x. That is
+the "more data" shape (more users, more orders, more docs), not the "same
+keys, deeper groups" shape, matching how TPC-H scale factors grow.
+Replica 0 is byte-identical to the original; dimension tables
+(region/nation) stay fixed, as in TPC-H.
+
+Cross-replica independence (so similarity graphs scale linearly rather than
+densifying artificially):
+- documents: replica r > 0 rotates each doc's token list by 17*r positions
+  — in-replica near-dup structure is preserved (both members of a dup pair
+  rotate identically, so their shared token runs still align) while
+  cross-replica trigram overlap collapses to background noise.
+- embeddings: replica r > 0 multiplies each vector by a deterministic
+  per-replica ±1 diagonal (seeded sign flips per dimension). A shared
+  diagonal is an isometry — every in-replica dot product is EXACTLY
+  preserved, so each replica contributes an identical copy of the original
+  similarity graph — while cross-replica dots are sign-scrambled.
+
+Usage:
+  python scripts/scale_probe.py build     # write /tmp/scale_probe/sf10x
+  python scripts/scale_probe.py run       # time PROBE_QUERIES at 1x and 10x
+  python scripts/scale_probe.py run q1,q2 # subset
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/scale_probe/sf10x"
+REPLICAS = 10
+STRIDE = 1_000_000  # > every key range in the sf0.1 fixtures
+EMB_DIM = 64
+
+# Structurally diverse heavy queries: scans/aggs, shuffle joins, windows,
+# bounded self-joins, gram/LSH pair joins, iterative CC, global sort.
+PROBE_QUERIES = [
+    "agg_pricing_summary",
+    "sort_multi",
+    "join_multiway",
+    "topk_per_group",
+    "join_self",
+    "trip_sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster",
+    "dedup_cluster_pd",
+    "dedup_embed_cluster",
+    "sim_pairs",
+    "text_tfidf",
+    "graph_pagerank",
+    "corpus_dedup_pipeline",
+    "resample_interp",
+]
+
+
+def _signs(r: int) -> list[int]:
+    """Deterministic ±1 diagonal for replica r (md5-seeded, no random)."""
+    out = []
+    for j in range(EMB_DIM):
+        h = hashlib.md5(f"replica{r}dim{j}".encode()).digest()[0]
+        out.append(1 if h % 2 == 0 else -1)
+    return out
+
+
+def build_10x() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+
+    def src(t: str) -> str:
+        return f"read_parquet('{BASE}/{t}.parquet')"
+
+    def copy(sql: str, t: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
+        print(f"  {t}: {n} rows", file=sys.stderr)
+
+    # Dimension tables stay fixed (TPC-H convention).
+    for t in ("region", "nation"):
+        copy(f"SELECT * FROM {src(t)}", t)
+
+    copy(
+        f"""SELECT (c_custkey + r * {STRIDE})::BIGINT AS c_custkey, c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM {src('customer')}, range({REPLICAS}) t(r)""",
+        "customer",
+    )
+    copy(
+        f"""SELECT (s_suppkey + r * {STRIDE})::BIGINT AS s_suppkey, s_name,
+                   s_nationkey, s_acctbal
+            FROM {src('supplier')}, range({REPLICAS}) t(r)""",
+        "supplier",
+    )
+    copy(
+        f"""SELECT (p_partkey + r * {STRIDE})::BIGINT AS p_partkey, p_name,
+                   p_brand, p_type, p_size, p_retailprice
+            FROM {src('part')}, range({REPLICAS}) t(r)""",
+        "part",
+    )
+    copy(
+        f"""SELECT (o_orderkey + r * {STRIDE})::BIGINT AS o_orderkey,
+                   (o_custkey + r * {STRIDE})::BIGINT AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM {src('orders')}, range({REPLICAS}) t(r)""",
+        "orders",
+    )
+    copy(
+        f"""SELECT (l_orderkey + r * {STRIDE})::BIGINT AS l_orderkey,
+                   (l_partkey + r * {STRIDE})::BIGINT AS l_partkey,
+                   (l_suppkey + r * {STRIDE})::BIGINT AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM {src('lineitem')}, range({REPLICAS}) t(r)""",
+        "lineitem",
+    )
+    copy(
+        f"""SELECT (event_id + r * {STRIDE})::BIGINT AS event_id, ts,
+                   (user_id + r * {STRIDE})::BIGINT AS user_id,
+                   event_type, value, props
+            FROM {src('events')}, range({REPLICAS}) t(r)""",
+        "events",
+    )
+    # documents: rotate tokens by 17*r for r > 0 (replica 0 = original).
+    copy(
+        f"""WITH base AS (
+                SELECT doc_id, text, lang, source, n_chars,
+                       string_split(text, ' ') AS toks, r
+                FROM {src('documents')}, range({REPLICAS}) t(r)
+            )
+            SELECT (doc_id + r * {STRIDE})::BIGINT AS doc_id,
+                   CASE WHEN r = 0 THEN text
+                        ELSE array_to_string(
+                            list_slice(toks, ((17 * r) % len(toks)) + 1, len(toks))
+                            || list_slice(toks, 1, (17 * r) % len(toks)), ' ')
+                   END AS text,
+                   lang, source,
+                   CASE WHEN r = 0 THEN n_chars
+                        ELSE length(array_to_string(
+                            list_slice(toks, ((17 * r) % len(toks)) + 1, len(toks))
+                            || list_slice(toks, 1, (17 * r) % len(toks)), ' '))::BIGINT
+                   END AS n_chars
+            FROM base""",
+        "documents",
+    )
+    # embeddings: per-replica ±1 diagonal (exact in-replica isometry).
+    signs_rows = ", ".join(
+        f"({r}, {_signs(r)}::DOUBLE[])" for r in range(REPLICAS)
+    )
+    copy(
+        f"""WITH signs(r, s) AS (VALUES {signs_rows})
+            SELECT (vec_id + signs.r * {STRIDE})::BIGINT AS vec_id,
+                   CASE WHEN signs.r = 0 THEN embedding
+                        ELSE list_transform(generate_series(1, {EMB_DIM}),
+                                            i -> (embedding[i] * s[i])::FLOAT)
+                   END::FLOAT[] AS embedding,
+                   label
+            FROM {src('embeddings')}, signs""",
+        "embeddings",
+    )
+
+
+def run(names: list[str]) -> None:
+    import rvi_big_data_api_spark as engine
+
+    spark = engine.get_spark("rvi-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = engine.queries()
+    # Warm the JVM/codegen on an unrelated shape first.
+    qs["agg_basic"](spark, BASE).count()
+
+    results: dict[str, dict] = {}
+    for name in names:
+        row = {}
+        for tag, sf_dir in (("t1x", BASE), ("t10x", OUT)):
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            row[tag] = round(time.perf_counter() - t0, 2)
+            row["rows_" + tag[1:]] = n
+            print(f"  {name} {tag}: {row[tag]}s rows={n}", file=sys.stderr)
+        row["ratio"] = round(row["t10x"] / max(row["t1x"], 1e-9), 1)
+        results[name] = row
+    print(json.dumps(results, indent=1))
+
+
+def run_embed_mitigation() -> None:
+    """Demonstrate the signbit-bucket width fix for the measured 4-bit
+    cliff: rerun the dedup_embed_cluster pipeline at 10x with 8-bit buckets
+    (bucket count 16 → 256, sized so per-bucket rows at 10x match the 4-bit
+    buckets at 1x) and report wall time + edge recall vs the 4-bit run."""
+    import rvi_big_data_api_spark as engine
+    from pyspark.sql import functions as F
+    from rvi_big_data_api_spark.io import load
+    from rvi_big_data_api_spark.operators.llm_dedup import (
+        DEDUP_EMBED_CLUSTER_TAU,
+        embed_sim_edges,
+        pointer_doubling_components,
+    )
+
+    spark = engine.get_spark("rvi-scale-probe-embed")
+    spark.sparkContext.setLogLevel("ERROR")
+    engine.queries()["agg_basic"](spark, BASE).count()
+
+    out: dict[str, dict] = {}
+    e10 = load(spark, OUT, "embeddings")
+    for bits in (4, 8):
+        t0 = time.perf_counter()
+        labels = pointer_doubling_components(
+            spark,
+            embed_sim_edges(e10, DEDUP_EMBED_CLUSTER_TAU, n_bits=bits),
+            max_rounds=20,
+        )
+        n = labels.count()
+        t = round(time.perf_counter() - t0, 2)
+        n_edges = embed_sim_edges(e10, DEDUP_EMBED_CLUSTER_TAU, n_bits=bits).count()
+        out[f"bits{bits}"] = {"t10x": t, "clustered_nodes": n, "edges": n_edges}
+        print(f"  bits={bits}: {t}s nodes={n} edges={n_edges}", file=sys.stderr)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if cmd == "build":
+        build_10x()
+    elif cmd == "run":
+        names = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_QUERIES
+        run(names)
+    elif cmd == "embed":
+        run_embed_mitigation()
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
