@@ -78,6 +78,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "sql_identifier_dynamic", "fleet_daily_report", "stream_sketch_distinct",
     "embed_hygiene_audit", "geo_flow_matrix", "stream_observe_metrics",
     "stream_incremental_resume",
+    # round-5 continuation (post scale-sweep)
+    "dedup_embed_bandor",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -11,7 +11,7 @@ bit-identical results (SURVEY.md §4.3 determinism requirement).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..io import load
 from ..registry import query
@@ -439,6 +439,121 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+BANDOR_TABLES = 4  # L independent sign-bit tables over disjoint dim slices
+BANDOR_BITS = 8  # bits per table; recall = 1 - (1 - p^bits)^tables
+
+
+def _bandor_bucket_sql(t: int) -> str:
+    """DuckDB expression for table t's 8-bit sign bucket (dims t*8+1..t*8+8)."""
+    return " + ".join(
+        f"((embedding[{t * BANDOR_BITS + i + 1}] > 0)::INT * {2 ** i})"
+        for i in range(BANDOR_BITS)
+    )
+
+
+@query(
+    "dedup_embed_bandor",
+    oracle=f"""
+    WITH tabs AS (
+        SELECT vec_id, t,
+               CASE t {" ".join(f"WHEN {t} THEN {_bandor_bucket_sql(t)}" for t in range(BANDOR_TABLES))}
+               END AS bucket
+        FROM embeddings, (VALUES (0), (1), (2), (3)) tt(t)
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*)::BIGINT AS n_tables
+        FROM tabs a JOIN tabs b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT c.vec_a, c.vec_b, c.n_tables,
+           round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4)
+               AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+          >= {DEDUP_EMBED_TAU}
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embed_bandor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (band-OR) sign-LSH near-dup pairs — the RECALL answer to
+    single-table bucketing, built from the 10× sweep's measured collision
+    model (SCALE.md "LSH recall at scale"): one b-bit table recovers only
+    p^b of true pairs (p = 1 − θ/π — 14 % at the fixture's τ with b=4,
+    2 % at b=8), while L independent tables with OR semantics recover
+    1 − (1 − p^b)^L — the model that says b=8, L=8 yields 93 % recall at
+    production near-dup thresholds (cos ≥ 0.85). This op is the engine's
+    L=4, b=8 instance: each vector lands in 4 tables keyed by the sign
+    pattern of a disjoint 8-dim slice; a pair is a candidate if ANY table
+    buckets it together.
+
+    Scale shape — the band join, same as dedup_near's MinHash bands:
+    (1) explode each vector onto its L (table, bucket) keys — SKINNY rows
+    (vec_id + two ints), never the 64-float array, so the candidate
+    shuffle moves ids, not payloads; (2) one equi-join on (table, bucket)
+    emits candidates, groupBy (vec_a, vec_b) dedups pairs caught by
+    several tables (n_tables rides along as a diagnostic — a pair caught
+    by 3 of 4 tables is a much stronger candidate than a 1-table graze);
+    (3) only the deduped pair list rejoins the embeddings table (twice, on
+    vec_id — co-partitioned narrow joins) to compute the verify dot and
+    apply τ. Per-bucket cost stays quadratic-in-bucket, so BANDOR_BITS
+    follows the same log2(N / target_bucket_rows) sizing rule as
+    signbit_bucket, and the salted probe/build treatment composes if a
+    bucket is hot. The dot is the JVM HOF fold (PARITY.md #9)."""
+    from .llm_sim import dot
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def sb(t: int) -> Column:
+        bits = [
+            (F.element_at(F.col("embedding"), t * BANDOR_BITS + i + 1) > 0).cast("int")
+            * (2 ** i)
+            for i in range(BANDOR_BITS)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    tabs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), sb(t).alias("bucket"))
+                    for t in range(BANDOR_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    a = tabs.alias("a")
+    b = tabs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_tables"))
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    d = dot(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(d >= DEDUP_EMBED_TAU)
+        .select("vec_a", "vec_b", "n_tables", F.round(d, 4).alias("cosine"))
+    )
 
 
 def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFrame:

@@ -304,6 +304,11 @@ EXTENSIONS = [
     # the same checkpoint over new files; final state equals the batch
     # aggregate (no replay, no gap)
     "stream_incremental_resume",
+    # round 5 continuation, from the measured 10x sweep (SCALE.md): multi-
+    # table band-OR sign-LSH pair generation — L=4 independent 8-bit tables
+    # over disjoint dim slices, skinny band join, verify-dot after pair
+    # dedup; the recall knob the single-table ops lack
+    "dedup_embed_bandor",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -648,3 +648,71 @@ class TestContinuationInvariants:
         # every staged file is ingested exactly once across all batches
         n_halves = 2
         assert sum(seen_per_batch) == n_halves
+
+
+class TestBandOrLsh:
+    def test_bandor_membership_and_bounds(self, spark, sf_dir):
+        """Every emitted pair must (a) order vec_a < vec_b uniquely, (b) pass
+        the cosine gate, and (c) report n_tables equal to the number of
+        8-dim sign slices the two vectors actually agree on — recomputed
+        independently in Python from the raw embeddings."""
+        import numpy as np
+
+        from rvi_big_data_api_spark.operators.llm_dedup import (
+            BANDOR_BITS,
+            BANDOR_TABLES,
+            DEDUP_EMBED_TAU,
+        )
+
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in load(spark, sf_dir, "embeddings").collect()
+        }
+        rows = REGISTRY["dedup_embed_bandor"].fn(spark, sf_dir).collect()
+        seen = set()
+        for r in rows:
+            assert r.vec_a < r.vec_b
+            assert (r.vec_a, r.vec_b) not in seen
+            seen.add((r.vec_a, r.vec_b))
+            assert 1 <= r.n_tables <= BANDOR_TABLES
+            a, b = emb[r.vec_a], emb[r.vec_b]
+            assert float(a @ b) >= DEDUP_EMBED_TAU
+            n_agree = sum(
+                1
+                for t in range(BANDOR_TABLES)
+                if all(
+                    (a[t * BANDOR_BITS + i] > 0) == (b[t * BANDOR_BITS + i] > 0)
+                    for i in range(BANDOR_BITS)
+                )
+            )
+            assert r.n_tables == n_agree, (r.vec_a, r.vec_b, r.n_tables, n_agree)
+
+    def test_bandor_catches_every_table0_pair(self, spark, sf_dir):
+        """OR semantics: any tau-pair bucketed together by table 0 alone must
+        appear in the band-OR output (single-table results are a subset)."""
+        import numpy as np
+
+        from rvi_big_data_api_spark.operators.llm_dedup import (
+            BANDOR_BITS,
+            DEDUP_EMBED_TAU,
+        )
+
+        vecs = [
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+            for r in load(spark, sf_dir, "embeddings").collect()
+        ]
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in REGISTRY["dedup_embed_bandor"].fn(spark, sf_dir).collect()
+        }
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                ia, a = vecs[i]
+                ib, b = vecs[j]
+                if ia > ib:
+                    ia, ib, a, b = ib, ia, b, a
+                same_bucket = all(
+                    (a[k] > 0) == (b[k] > 0) for k in range(BANDOR_BITS)
+                )
+                if same_bucket and float(a @ b) >= DEDUP_EMBED_TAU:
+                    assert (ia, ib) in got, (ia, ib)
