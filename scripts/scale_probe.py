@@ -68,6 +68,7 @@ PROBE_QUERIES = [
     "dedup_cluster",
     "dedup_cluster_pd",
     "dedup_embed_cluster",
+    "dedup_embed_bandor",
     "sim_pairs",
     "text_tfidf",
     "graph_pagerank",
