@@ -208,6 +208,48 @@ def run(names: list[str]) -> None:
     print(json.dumps(results, indent=1))
 
 
+# Quadratic-by-semantics ops (output itself is pairwise) — measured once in
+# the headline sweep, excluded from the full sweep so it finishes same-day.
+SWEEP_EXCLUDE = {"sim_pairs", "sim_pairs_gemm", "dedup_embed_cluster"}
+
+# Streaming queries pay per-trigger micro-batch latency that measures the
+# harness, not the operator (same rationale as bench.py's skip list).
+SKIP_PREFIXES = ("stream_", "source_stream", "sink_stream")
+
+
+def run_full_sweep() -> None:
+    """Every batch query at 1x and 10x in one warm session; report every
+    ratio, errors included. The scale regression gate: any linear-plan query
+    drifting past ~8x at 10x data is a finding."""
+    import rvi_big_data_api_spark as engine
+
+    spark = engine.get_spark("rvi-scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = engine.queries()
+    qs["agg_basic"](spark, BASE).count()
+
+    results: dict[str, dict] = {}
+    for name in sorted(qs):
+        if name.startswith(SKIP_PREFIXES) or name in SWEEP_EXCLUDE:
+            continue
+        row: dict = {}
+        try:
+            for tag, sf_dir in (("t1x", BASE), ("t10x", OUT)):
+                t0 = time.perf_counter()
+                n = qs[name](spark, sf_dir).count()
+                row[tag] = round(time.perf_counter() - t0, 2)
+                row["rows_" + tag[1:]] = n
+            row["ratio"] = round(row["t10x"] / max(row["t1x"], 1e-9), 1)
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            row["error"] = f"{type(exc).__name__}: {str(exc)[:200]}"
+        results[name] = row
+        print(f"  {name}: {row}", file=sys.stderr)
+    flagged = {
+        n: r for n, r in results.items() if r.get("ratio", 0) > 8 or "error" in r
+    }
+    print(json.dumps({"flagged": flagged, "all": results}, indent=1))
+
+
 def run_embed_mitigation() -> None:
     """Demonstrate the signbit-bucket width fix for the measured 4-bit
     cliff: rerun the dedup_embed_cluster pipeline at 10x with 8-bit buckets
@@ -252,5 +294,7 @@ if __name__ == "__main__":
         run(names)
     elif cmd == "embed":
         run_embed_mitigation()
+    elif cmd == "sweep":
+        run_full_sweep()
     else:
         raise SystemExit(f"unknown command {cmd!r}")
