@@ -461,3 +461,95 @@ def test_generated_having_limit_agree_across_engines(spark, duck, sf_dir, pred, 
     s = [(int(r[0]), int(r[1])) for r in spark.sql(sql).collect()]
     d = [(int(r[0]), int(r[1])) for r in duck.execute(sql).fetchall()]
     assert s == d, f"having/limit diverges: {sql}"
+
+
+RANK_FUNCS = ["row_number()", "rank()", "dense_rank()"]
+
+rank_spec = st.one_of(
+    st.sampled_from(RANK_FUNCS),
+    st.builds(lambda n: f"ntile({n})", st.integers(min_value=1, max_value=7)),
+    st.builds(
+        lambda fn, off: f"{fn}(value, {off})",
+        st.sampled_from(["lag", "lead"]),
+        st.integers(min_value=1, max_value=3),
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=rank_spec, ulim=st.integers(min_value=1, max_value=6))
+def test_generated_ranking_windows_agree_across_engines(spark, duck, sf_dir, spec, ulim):
+    """Differential drive over ranking/offset window functions. The ORDER BY
+    is (ts, event_id) — a TOTAL order — so row_number/ntile/lag/lead are
+    well-defined in both engines (PARITY.md's determinism rule for every
+    registry window query); rank/dense_rank are deterministic under any
+    order. NULLs from lag/lead edges compare as None == None."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = (
+        f"SELECT event_id, {spec} OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS w "
+        f"FROM events WHERE user_id <= {ulim}"
+    )
+    s = {int(r[0]): r[1] for r in spark.sql(sql).collect()}
+    d = {int(r[0]): r[1] for r in duck.execute(sql).fetchall()}
+    assert set(s) == set(d)
+    for k in s:
+        sv, dv = s[k], d[k]
+        if sv is None or dv is None:
+            assert sv is None and dv is None, f"NULL edge diverges at {k}: {sql}"
+        elif spec.startswith(("lag", "lead")):
+            assert math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9), (
+                f"offset diverges at {k}: {sv} vs {dv}: {sql}"
+            )
+        else:
+            assert int(sv) == int(dv), f"rank diverges at {k}: {sv} vs {dv}: {sql}"
+
+
+corr_qty = st.integers(min_value=10, max_value=50)
+corr_shape = st.sampled_from(["exists", "not_exists", "scalar_max", "in_list"])
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(shape=corr_shape, qty=corr_qty, cap=st.integers(min_value=1000, max_value=9000))
+def test_generated_correlated_subqueries_agree_across_engines(
+    spark, duck, sf_dir, shape, qty, cap
+):
+    """Differential drive over correlated subquery shapes — the decorrelation
+    rewrites (EXISTS/NOT EXISTS -> semi/anti join, scalar agg -> left join +
+    group) are where optimizers historically diverge; both engines must
+    produce the same orderkey set for every generated instance."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    inner = f"SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= {qty}"
+    if shape == "exists":
+        where = f"EXISTS ({inner})"
+    elif shape == "not_exists":
+        where = f"NOT EXISTS ({inner})"
+    elif shape == "scalar_max":
+        where = (
+            "(SELECT max(l.l_extendedprice) FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey) >= {cap}"
+        )
+    else:  # in_list
+        where = (
+            "o.o_orderkey IN (SELECT l.l_orderkey FROM lineitem l "
+            f"WHERE l.l_quantity >= {qty})"
+        )
+    sql = f"SELECT o.o_orderkey FROM orders o WHERE {where} AND o.o_orderkey < 5000"
+    s = sorted(int(r[0]) for r in spark.sql(sql).collect())
+    d = sorted(int(r[0]) for r in duck.execute(sql).fetchall())
+    assert s == d, f"correlated subquery diverges ({len(s)} vs {len(d)} rows): {sql}"
