@@ -185,6 +185,91 @@ def build_10x() -> None:
     )
 
 
+SKEW_OUT = "/tmp/scale_probe/skew10x"
+
+
+def build_skew() -> None:
+    """SKEWED variant of the 10x build — scale's other axis. Starts from the
+    uniform sf10x tables and deepens a handful of keys the way production
+    data actually skews:
+    - events: one hot user (user_id 7) gains 200k extra events (copies of
+      replica-0 events at fresh event_ids) — a fleet tracker gone chatty.
+    - lineitem: one hot order key inherits 300k extra line items — the
+      join-key skew case for orders⋈lineitem.
+    - documents: 500 rotated near-copies of one doc — a boilerplate
+      template, the dup-cluster blowup case for gram joins.
+    - embeddings: 3000 exact copies of one vector — a mode-collapsed
+      embedding, the LSH-bucket hot-spot case.
+    Uniform-vs-skew wall-time ratio per query quantifies which operators
+    tolerate skew as-is (AQE/salting engages) and which pay linearly in
+    the hot key's depth."""
+    import duckdb
+
+    os.makedirs(SKEW_OUT, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+
+    def copy(sql: str, t: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{SKEW_OUT}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{SKEW_OUT}/{t}.parquet')").fetchone()[0]
+        print(f"  {t}: {n} rows", file=sys.stderr)
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+        copy(f"SELECT * FROM read_parquet('{OUT}/{t}.parquet')", t)
+
+    copy(
+        f"""SELECT * FROM read_parquet('{OUT}/events.parquet')
+            UNION ALL
+            SELECT (50 * {STRIDE} + gen + r * 100000)::BIGINT AS event_id,
+                   ts, 7::BIGINT AS user_id, event_type, value, props
+            FROM (SELECT *, row_number() OVER (ORDER BY event_id) AS gen
+                  FROM read_parquet('{BASE}/events.parquet')
+                  ORDER BY event_id LIMIT 100000),
+                 range(2) g(r)""",
+        "events",
+    )
+    hot_ok = con.execute(
+        f"SELECT l_orderkey FROM read_parquet('{OUT}/lineitem.parquet') LIMIT 1"
+    ).fetchone()[0]
+    copy(
+        f"""SELECT * FROM read_parquet('{OUT}/lineitem.parquet')
+            UNION ALL
+            (SELECT {hot_ok}::BIGINT AS l_orderkey, l_partkey, l_suppkey,
+                    l_linenumber, l_quantity, l_extendedprice, l_discount,
+                    l_tax, l_returnflag, l_linestatus, l_shipdate
+             FROM read_parquet('{BASE}/lineitem.parquet')
+             ORDER BY l_orderkey, l_linenumber, l_partkey LIMIT 300000)""",
+        "lineitem",
+    )
+    copy(
+        f"""WITH tpl AS (
+                SELECT string_split(text, ' ') AS toks, lang, source
+                FROM read_parquet('{BASE}/documents.parquet')
+                WHERE doc_id = 42
+            )
+            SELECT * FROM read_parquet('{OUT}/documents.parquet')
+            UNION ALL
+            SELECT (60 * {STRIDE} + i)::BIGINT AS doc_id,
+                   array_to_string(
+                       list_slice(toks, (i % len(toks)) + 1, len(toks))
+                       || list_slice(toks, 1, i % len(toks)), ' ') AS text,
+                   lang, source,
+                   length(array_to_string(
+                       list_slice(toks, (i % len(toks)) + 1, len(toks))
+                       || list_slice(toks, 1, i % len(toks)), ' '))::BIGINT AS n_chars
+            FROM tpl, range(500) t(i)""",
+        "documents",
+    )
+    copy(
+        f"""SELECT * FROM read_parquet('{OUT}/embeddings.parquet')
+            UNION ALL
+            SELECT (70 * {STRIDE} + i)::BIGINT AS vec_id, embedding, label
+            FROM read_parquet('{BASE}/embeddings.parquet'), range(3000) t(i)
+            WHERE vec_id = 11""",
+        "embeddings",
+    )
+
+
 def run(names: list[str]) -> None:
     import rvi_big_data_api_spark as engine
 
@@ -250,6 +335,45 @@ def run_full_sweep() -> None:
     print(json.dumps({"flagged": flagged, "all": results}, indent=1))
 
 
+SKEW_QUERIES = [
+    # hot-user depth (window/sessionization families — per-key serial work)
+    "trip_sessionize", "latest_per_key", "gap_report", "topk_per_group",
+    "win_running",
+    # hot join key (orders⋈lineitem)
+    "join_shuffle", "agg_pricing_summary", "composite_shipping_priority",
+    # dup-cluster blowup (gram joins) and LSH hot bucket
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_near", "dedup_embed_bandor",
+    "sim_topk",
+]
+
+
+def run_skew() -> None:
+    """Time SKEW_QUERIES on the uniform 10x tables and the skewed variant;
+    the ratio isolates pure skew amplification (same row counts ±2%)."""
+    import rvi_big_data_api_spark as engine
+
+    spark = engine.get_spark("rvi-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = engine.queries()
+    qs["agg_basic"](spark, BASE).count()
+
+    results: dict[str, dict] = {}
+    for name in SKEW_QUERIES:
+        row: dict = {}
+        try:
+            for tag, sf_dir in (("uniform", OUT), ("skew", SKEW_OUT)):
+                t0 = time.perf_counter()
+                n = qs[name](spark, sf_dir).count()
+                row[tag] = round(time.perf_counter() - t0, 2)
+                row["rows_" + tag] = n
+            row["amp"] = round(row["skew"] / max(row["uniform"], 1e-9), 1)
+        except Exception as exc:  # noqa: BLE001
+            row["error"] = f"{type(exc).__name__}: {str(exc)[:200]}"
+        results[name] = row
+        print(f"  {name}: {row}", file=sys.stderr)
+    print(json.dumps(results, indent=1))
+
+
 def run_embed_mitigation() -> None:
     """Demonstrate the signbit-bucket width fix for the measured 4-bit
     cliff: rerun the dedup_embed_cluster pipeline at 10x with 8-bit buckets
@@ -296,5 +420,9 @@ if __name__ == "__main__":
         run_embed_mitigation()
     elif cmd == "sweep":
         run_full_sweep()
+    elif cmd == "build_skew":
+        build_skew()
+    elif cmd == "skew":
+        run_skew()
     else:
         raise SystemExit(f"unknown command {cmd!r}")
