@@ -78,15 +78,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (tf × ln(N/df)) and the top-scoring term per document.
 
     Plan shape: two aggregations over one exploded token stream + a broadcast
-    of the (small) df table back onto tf — the document count N is a scalar
-    broadcast. Deterministic tiebreak: higher tfidf, then lexicographic."""
+    of the (small) df table back onto tf — the document count N is a 1-row
+    aggregate folded in with crossJoin(broadcast(...)), the oracle's own
+    ``CROSS JOIN n`` (the text_cooccurrence_pmi discipline: an eager
+    ``d.count()`` here would scan the documents table once for the scalar
+    and again in the plan — at 100 TB that doubles the corpus read).
+    Deterministic tiebreak: higher tfidf, then lexicographic."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; one job, reused as a literal
-    scored = tf.join(F.broadcast(df), "term").withColumn(
-        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("term").asc())
     return (
