@@ -145,6 +145,24 @@ def test_dedup_near_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2500]
 
 
+def test_bandor_band_join_is_skinny_equi(spark, sf_dir):
+    """Band-OR candidate generation must be an equi-join on (table, bucket)
+    over SKINNY rows: no cartesian/BNLJ, and the 64-float embedding column
+    must NOT flow through the candidate shuffle — it rejoins only after the
+    pair groupBy (the band-join contract from SCALE.md's skew probe, where
+    this shape absorbed a 3000-deep clique at 1.4x)."""
+    plan = plan_of(REGISTRY["dedup_embed_bandor"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2500]
+    body = plan.split("\n== ")[0]
+    # candidate join keys present...
+    assert "bucket" in body, body[:2500]
+    # ...and the groupBy on the pair precedes the embedding rejoin: the
+    # aggregate over (vec_a, vec_b) must not reference the embedding column.
+    import re
+    aggs = [ln for ln in body.split("\n") if "HashAggregate" in ln and "n_tables" in ln]
+    assert aggs and all("embedding" not in ln for ln in aggs), body[:2500]
+
+
 def test_tfidf_broadcasts_df_table(spark, sf_dir):
     plan = plan_of(REGISTRY["text_tfidf"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
