@@ -553,3 +553,96 @@ def test_generated_correlated_subqueries_agree_across_engines(
     s = sorted(int(r[0]) for r in spark.sql(sql).collect())
     d = sorted(int(r[0]) for r in duck.execute(sql).fetchall())
     assert s == d, f"correlated subquery diverges ({len(s)} vs {len(d)} rows): {sql}"
+
+
+# --- dual-dialect array/HOF family -----------------------------------------
+# Unlike the families above (identical SQL text on both engines), higher-
+# order array functions have different NAMES per dialect (transform/filter/
+# aggregate vs list_transform/list_filter/list_sum), so each generated
+# pipeline is rendered twice from one op list. Constants vary via
+# hypothesis; the pipeline applies 0-3 element-wise ops to the embedding
+# array (cast to DOUBLE both sides) and collapses with a scalar reducer.
+
+ARR_BASE = {
+    "spark": "CAST(embedding AS ARRAY<DOUBLE>)",
+    "duck": "embedding::DOUBLE[]",
+}
+
+def _op_add(c):
+    return {
+        "spark": "transform({0}, x -> x + " + str(c) + ")",
+        "duck": "list_transform({0}, x -> x + " + str(c) + ")",
+    }
+
+def _op_mul(c):
+    return {
+        "spark": "transform({0}, x -> x * " + str(c) + ")",
+        "duck": "list_transform({0}, x -> x * " + str(c) + ")",
+    }
+
+def _op_filter_gt(c):
+    return {
+        "spark": "filter({0}, x -> x > " + str(c) + ")",
+        "duck": "list_filter({0}, x -> x > " + str(c) + ")",
+    }
+
+def _op_sort():
+    return {"spark": "array_sort({0})", "duck": "list_sort({0})"}
+
+arr_op = st.one_of(
+    st.builds(_op_add, st.integers(min_value=-3, max_value=3)),
+    st.builds(_op_mul, st.integers(min_value=-2, max_value=2)),
+    st.builds(_op_filter_gt, st.sampled_from([-0.2, -0.05, 0.0, 0.05, 0.2])),
+    st.builds(_op_sort),
+)
+
+ARR_REDUCERS = {
+    "sum": {
+        "spark": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        "duck": "coalesce(list_sum({0}), 0)",
+    },
+    "size": {"spark": "size({0})", "duck": "len({0})"},
+    "maxv": {"spark": "array_max({0})", "duck": "list_aggregate({0}, 'max')"},
+}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(arr_op, min_size=0, max_size=3),
+    red=st.sampled_from(sorted(ARR_REDUCERS)),
+)
+def test_generated_array_hof_pipelines_agree_across_engines(spark, duck, sf_dir, ops, red):
+    """Each generated pipeline renders once per dialect from the same op
+    list; per-vector scalars must agree (floats to 1e-9 relative — the
+    element order is identical on both sides, so even the fold order
+    matches; NULL reducer edges — max/sum of a filtered-empty array —
+    must be NULL/zero on BOTH engines)."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+
+    def render(engine):
+        e = ARR_BASE[engine]
+        for op in ops:
+            e = op[engine].format(e)
+        e = ARR_REDUCERS[red][engine].format(e)
+        return f"SELECT vec_id, {e} AS v FROM embeddings WHERE vec_id < 120"
+
+    s = {int(r[0]): r[1] for r in spark.sql(render("spark")).collect()}
+    d = {int(r[0]): r[1] for r in duck.execute(render("duck")).fetchall()}
+    assert set(s) == set(d)
+    for k in s:
+        sv, dv = s[k], d[k]
+        if sv is None or dv is None:
+            assert sv is None and dv is None, (k, sv, dv, render("spark"))
+        elif red == "size":
+            assert int(sv) == int(dv), (k, sv, dv, render("spark"))
+        else:
+            assert math.isclose(float(sv), float(dv), rel_tol=1e-9, abs_tol=1e-9), (
+                k, sv, dv, render("spark"),
+            )
