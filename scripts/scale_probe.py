@@ -50,7 +50,7 @@ sys.path.insert(0, ROOT)
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/scale_probe/sf10x"
-REPLICAS = 10
+REPLICAS = 10  # default decade; build_10x(mult) generalizes
 STRIDE = 1_000_000  # > every key range in the sf0.1 fixtures
 EMB_DIM = 64
 
@@ -86,10 +86,14 @@ def _signs(r: int) -> list[int]:
     return out
 
 
-def build_10x() -> None:
+def build_10x(replicas: int = REPLICAS, out: str | None = None) -> None:
+    """Write a `replicas`x key-shifted replication to out (default OUT).
+    replicas=100 gives the second measured decade (sf~10: 60M lineitem
+    rows); key ranges stay < STRIDE so shifts never collide."""
     import duckdb
 
-    os.makedirs(OUT, exist_ok=True)
+    out = out or OUT
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
 
@@ -97,8 +101,8 @@ def build_10x() -> None:
         return f"read_parquet('{BASE}/{t}.parquet')"
 
     def copy(sql: str, t: str) -> None:
-        con.execute(f"COPY ({sql}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
+        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
         print(f"  {t}: {n} rows", file=sys.stderr)
 
     # Dimension tables stay fixed (TPC-H convention).
@@ -108,26 +112,26 @@ def build_10x() -> None:
     copy(
         f"""SELECT (c_custkey + r * {STRIDE})::BIGINT AS c_custkey, c_name,
                    c_nationkey, c_acctbal, c_mktsegment
-            FROM {src('customer')}, range({REPLICAS}) t(r)""",
+            FROM {src('customer')}, range({replicas}) t(r)""",
         "customer",
     )
     copy(
         f"""SELECT (s_suppkey + r * {STRIDE})::BIGINT AS s_suppkey, s_name,
                    s_nationkey, s_acctbal
-            FROM {src('supplier')}, range({REPLICAS}) t(r)""",
+            FROM {src('supplier')}, range({replicas}) t(r)""",
         "supplier",
     )
     copy(
         f"""SELECT (p_partkey + r * {STRIDE})::BIGINT AS p_partkey, p_name,
                    p_brand, p_type, p_size, p_retailprice
-            FROM {src('part')}, range({REPLICAS}) t(r)""",
+            FROM {src('part')}, range({replicas}) t(r)""",
         "part",
     )
     copy(
         f"""SELECT (o_orderkey + r * {STRIDE})::BIGINT AS o_orderkey,
                    (o_custkey + r * {STRIDE})::BIGINT AS o_custkey,
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-            FROM {src('orders')}, range({REPLICAS}) t(r)""",
+            FROM {src('orders')}, range({replicas}) t(r)""",
         "orders",
     )
     copy(
@@ -136,14 +140,14 @@ def build_10x() -> None:
                    (l_suppkey + r * {STRIDE})::BIGINT AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
                    l_tax, l_returnflag, l_linestatus, l_shipdate
-            FROM {src('lineitem')}, range({REPLICAS}) t(r)""",
+            FROM {src('lineitem')}, range({replicas}) t(r)""",
         "lineitem",
     )
     copy(
         f"""SELECT (event_id + r * {STRIDE})::BIGINT AS event_id, ts,
                    (user_id + r * {STRIDE})::BIGINT AS user_id,
                    event_type, value, props
-            FROM {src('events')}, range({REPLICAS}) t(r)""",
+            FROM {src('events')}, range({replicas}) t(r)""",
         "events",
     )
     # documents: rotate tokens by 17*r for r > 0 (replica 0 = original).
@@ -151,7 +155,7 @@ def build_10x() -> None:
         f"""WITH base AS (
                 SELECT doc_id, text, lang, source, n_chars,
                        string_split(text, ' ') AS toks, r
-                FROM {src('documents')}, range({REPLICAS}) t(r)
+                FROM {src('documents')}, range({replicas}) t(r)
             )
             SELECT (doc_id + r * {STRIDE})::BIGINT AS doc_id,
                    CASE WHEN r = 0 THEN text
@@ -170,7 +174,7 @@ def build_10x() -> None:
     )
     # embeddings: per-replica ±1 diagonal (exact in-replica isometry).
     signs_rows = ", ".join(
-        f"({r}, {_signs(r)}::DOUBLE[])" for r in range(REPLICAS)
+        f"({r}, {_signs(r)}::DOUBLE[])" for r in range(replicas)
     )
     copy(
         f"""WITH signs(r, s) AS (VALUES {signs_rows})
@@ -268,6 +272,31 @@ def build_skew() -> None:
             WHERE vec_id = 11""",
         "embeddings",
     )
+
+
+def run_pair(names: list[str], dir_a: str, dir_b: str, tag_a: str, tag_b: str) -> None:
+    """Time each query against two fixture dirs in one warm session."""
+    import rvi_big_data_api_spark as engine
+
+    spark = engine.get_spark("rvi-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = engine.queries()
+    qs["agg_basic"](spark, BASE).count()
+    results: dict[str, dict] = {}
+    for name in names:
+        row: dict = {}
+        try:
+            for tag, sf_dir in ((tag_a, dir_a), (tag_b, dir_b)):
+                t0 = time.perf_counter()
+                n = qs[name](spark, sf_dir).count()
+                row[tag] = round(time.perf_counter() - t0, 2)
+                row["rows_" + tag] = n
+            row["ratio"] = round(row[tag_b] / max(row[tag_a], 1e-9), 1)
+        except Exception as exc:  # noqa: BLE001
+            row["error"] = f"{type(exc).__name__}: {str(exc)[:200]}"
+        results[name] = row
+        print(f"  {name}: {row}", file=sys.stderr)
+    print(json.dumps(results, indent=1))
 
 
 def run(names: list[str]) -> None:
@@ -412,7 +441,8 @@ def run_embed_mitigation() -> None:
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "build":
-        build_10x()
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS
+        build_10x(n, f"/tmp/scale_probe/sf{n}x" if n != REPLICAS else None)
     elif cmd == "run":
         names = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_QUERIES
         run(names)
@@ -424,5 +454,11 @@ if __name__ == "__main__":
         build_skew()
     elif cmd == "skew":
         run_skew()
+    elif cmd == "run100":
+        names = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+            q for q in PROBE_QUERIES
+            if q not in ("sim_pairs", "dedup_embed_cluster")
+        ]
+        run_pair(names, OUT, "/tmp/scale_probe/sf100x", "t10x", "t100x")
     else:
         raise SystemExit(f"unknown command {cmd!r}")
