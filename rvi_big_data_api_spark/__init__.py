@@ -80,6 +80,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_incremental_resume",
     # round-5 continuation (post scale-sweep)
     "dedup_embed_bandor",
+    "limit_offset", "clean_impute", "text_zipf_fit", "corpus_drift_psi",
+    "knn_graph_mutual", "embed_pca_power",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1524,3 +1524,192 @@ def embed_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.array_min(emb)).alias("min_comp"),
         F.max(F.array_max(emb)).alias("max_comp"),
     )
+
+
+# --- round 5 continuation: k-NN graph + PCA ---------------------------------
+
+KNN_GRAPH_K = 4  # out-degree of the directed kNN graph
+
+
+@query(
+    "knn_graph_mutual",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings
+    ),
+    edges AS (
+        SELECT src, dst, dot FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dot,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                b.vec_id ASC) AS rank
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        ) WHERE rank <= {KNN_GRAPH_K}
+    )
+    SELECT a.src AS vec_a, a.dst AS vec_b, round(a.dot, 4) AS cosine
+    FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    """,
+    tags=("llm", "similarity", "graph"),
+)
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph — the neighborhood structure under semantic dedup,
+    diversity sampling, and density-based corpus clustering (mutual-kNN is
+    the standard noise-robust sparsifier: an edge survives only if BOTH
+    endpoints rank each other in their top-k, which strips the hub edges
+    that plain kNN graphs grow in high dimensions).
+
+    Shape: candidate generation INSIDE sign-bit quantizer buckets (the
+    sim_topk_ann scale path — an equi-join on bucket, never all-pairs; at
+    100 TB n_bits grows with the corpus so per-bucket cost stays flat),
+    rank window per source with vec_id tiebreak, then the mutuality check
+    is a self-equi-join of the directed edge list on the reversed pair —
+    O(N·k) rows, hash-join on (src, dst). Canonical src < dst orientation
+    halves the output; graph_* / dedup_cluster ops compose downstream."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", signbit_bucket(F.col("embedding"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        dot(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dot").desc(), F.col("dst").asc())
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src", "dst", "dot")
+    )
+    ea, eb = edges.alias("ea"), edges.alias("eb")
+    return (
+        ea.join(
+            eb,
+            (F.col("ea.src") == F.col("eb.dst")) & (F.col("ea.dst") == F.col("eb.src")),
+        )
+        .filter(F.col("ea.src") < F.col("ea.dst"))
+        .select(
+            F.col("ea.src").alias("vec_a"),
+            F.col("ea.dst").alias("vec_b"),
+            F.round(F.col("ea.dot"), 4).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "embed_pca_power",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    c AS (
+        SELECT a.dim AS i, b.dim AS j,
+               (sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*)) / count(*) AS cov
+        FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ),
+    r1 AS (SELECT i AS dim, sum(cov) AS w FROM c GROUP BY 1),
+    v1 AS (SELECT dim, w / sqrt((SELECT sum(w * w) FROM r1)) AS val FROM r1),
+    r2 AS (SELECT c.i AS dim, sum(c.cov * v1.val) AS w
+           FROM c JOIN v1 ON c.j = v1.dim GROUP BY 1),
+    v2 AS (SELECT dim, w / sqrt((SELECT sum(w * w) FROM r2)) AS val FROM r2),
+    mu AS (SELECT dim, avg(v) AS mu FROM x GROUP BY dim),
+    sc AS (SELECT x.vec_id, sum((x.v - mu.mu) * v2.val) AS score
+           FROM x JOIN mu ON x.dim = mu.dim JOIN v2 ON x.dim = v2.dim GROUP BY 1),
+    sgn AS (SELECT CASE WHEN sum(score * score * score) >= 0 THEN 1.0 ELSE -1.0 END AS s
+            FROM sc)
+    SELECT sc.vec_id, e.label, round(sc.score * sgn.s, 4) + 0.0 AS pc1
+    FROM sc JOIN embeddings e ON sc.vec_id = e.vec_id CROSS JOIN sgn
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component by power iteration — embedding-space
+    structure discovery (dominant drift axis, whitening input, 1-D corpus
+    ordering) as a PURE dataframe computation with an exact SQL twin, no
+    eigensolver: covariance matrix from power sums (embed_covariance's
+    arithmetic, full d×d here), two matvec+normalize rounds from the
+    all-ones start vector, then the centered projection of every embedding
+    onto the resulting direction.
+
+    Determinism without a driver round-trip: the start vector is constant
+    (its scale folds out in the first normalization), iteration count is
+    FIXED at 2 (an approximation of the true eigenvector, identical in both
+    dialects — the point is the exact twin, not convergence; production
+    iterates to tolerance like dedup_cluster's rounds), and the sign
+    ambiguity of eigenvectors is pinned by the corpus itself: scores are
+    flipped so the projection skewness Σ score³ is non-negative — a smooth
+    one-aggregate functional, no tie-prone argmax (fixture margin measured
+    ≫ float noise at every SF).
+
+    Scale shape: d×d cells via the vec_id equi-join (fan-out d per side,
+    never vector×vector), matvecs are joins against BROADCAST d-row
+    vectors, norms are broadcast 1-row aggregates (no .collect()), and the
+    projection is one more partial agg over the exploded corpus. At 100 TB
+    the cov pass is better run as per-partition GEMM partials
+    (sim_pairs_gemm's shape); this formulation is the hash-checked
+    arithmetic twin."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "v")).select(
+        "vec_id", "dim", F.col("v").cast("double").alias("v")
+    )
+    xa, xb = x.alias("a"), x.alias("b")
+    n = F.col("n")
+    c = (
+        xa.join(xb, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.v").alias("sx"),
+            F.sum("b.v").alias("sy"),
+            F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+        )
+        .select("i", "j", ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / n).alias("cov"))
+    )
+
+    def normalize(r: DataFrame) -> DataFrame:
+        ss = r.agg(F.sum(F.col("w") * F.col("w")).alias("ss"))
+        return r.crossJoin(F.broadcast(ss)).select(
+            "dim", (F.col("w") / F.sqrt("ss")).alias("val")
+        )
+
+    r1 = c.groupBy("i").agg(F.sum("cov").alias("w")).select(F.col("i").alias("dim"), "w")
+    v1 = normalize(r1)
+    r2 = (
+        c.join(F.broadcast(v1.withColumnRenamed("dim", "j")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("cov") * F.col("val")).alias("w"))
+        .select(F.col("i").alias("dim"), "w")
+    )
+    v2 = normalize(r2)
+    mu = x.groupBy("dim").agg(F.avg("v").alias("mu"))
+    sc = (
+        x.join(F.broadcast(mu), "dim")
+        .join(F.broadcast(v2), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("v") - F.col("mu")) * F.col("val")).alias("score"))
+    )
+    sgn = sc.agg(
+        F.when(F.sum(F.col("score") * F.col("score") * F.col("score")) >= 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("s")
+    )
+    return (
+        sc.crossJoin(F.broadcast(sgn))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            (F.round(F.col("score") * F.col("s"), 4) + F.lit(0.0)).alias("pc1"),
+        )
+    )

@@ -1669,3 +1669,130 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sources"),
         F.round(F.max("n").cast("double") / F.sum("n"), 4).alias("max_source_frac"),
     )
+
+
+# --- round 5 continuation: corpus monitoring ---------------------------------
+
+ZIPF_HEAD_RANKS = 100  # fit the distribution head; the freq=1 tail plateau
+                       # would flatten any corpus's slope toward 0
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH freqs AS (
+        SELECT lang, term, count(*)::BIGINT AS freq
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY lang, term
+    ),
+    ranked AS (
+        SELECT lang, freq,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY freq DESC, term ASC) AS rank
+        FROM freqs
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_ranks,
+           round(regr_slope(ln(freq), ln(rank)), 4) + 0.0 AS zipf_slope,
+           round(regr_r2(ln(freq), ln(rank)), 4) AS zipf_r2
+    FROM ranked WHERE rank <= {ZIPF_HEAD_RANKS}
+    GROUP BY lang
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language — a one-number naturalness monitor for a
+    training corpus: log-log regression of term frequency against frequency
+    rank over the head of the distribution. Natural language sits near
+    slope −1; machine-generated or template-heavy text drifts shallow, and
+    a slope that moves between ingestion batches is a cheap drift alarm
+    (corpus_drift_psi is the distributional twin over doc features).
+
+    Shape: tokenize → (lang, term) count (partial aggs carry the shuffle,
+    one row per distinct term) → rank window per lang → regr_slope /
+    regr_r2 builtins, whose moment pipelines match DuckDB's at 4 dp (the
+    agg_correlation discipline; ln() is libm, PARITY rule 8). The head cap
+    keeps the fit honest: the freq=1 plateau ties are rank-broken by term
+    ASC identically in both dialects."""
+    d = load(spark, sf_dir, "documents")
+    freqs = _tokens(d).groupBy("lang", "term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = freqs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_HEAD_RANKS
+    )
+    lf, lr = F.log(F.col("freq").cast("double")), F.log(F.col("rank").cast("double"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        (F.round(F.regr_slope(lf, lr), 4) + F.lit(0.0)).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 4).alias("zipf_r2"),
+    )
+
+
+PSI_BUCKET_WIDTH = 60  # n_chars per bucket
+PSI_N_BUCKETS = 10     # fixed smoothing denominator (least() caps the last bucket)
+
+
+@query(
+    "corpus_drift_psi",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT least(n_chars // {PSI_BUCKET_WIDTH}, {PSI_N_BUCKETS - 1}) AS bucket,
+               count(CASE WHEN doc_id % 2 = 0 THEN 1 END)::BIGINT AS n_ref,
+               count(CASE WHEN doc_id % 2 = 1 THEN 1 END)::BIGINT AS n_cur
+        FROM documents GROUP BY 1
+    ),
+    p AS (
+        SELECT bucket, n_ref, n_cur,
+               (n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * {PSI_N_BUCKETS}) AS p_ref,
+               (n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * {PSI_N_BUCKETS}) AS p_cur
+        FROM bucketed
+    )
+    SELECT bucket, n_ref, n_cur,
+           round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) + 0.0 AS psi_term,
+           round(sum((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6) AS psi_total
+    FROM p
+    """,
+    tags=("llm", "corpus", "stats"),
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two corpus snapshots
+    (deterministic even/odd doc_id split stands in for batch N vs N+1):
+    doc-length histogram per snapshot, Laplace-smoothed shares, per-bucket
+    PSI contribution plus the total. PSI > 0.2 is the conventional
+    retrain/investigate alarm; the same shape monitors any bucketable
+    feature (quality score, source mix, token counts) between ingestion
+    batches of a training pipeline.
+
+    Shape: ONE scan with conditional counts (no self-join of snapshots),
+    partial-agg to ≤{PSI_N_BUCKETS} bucket rows, then unpartitioned window
+    sums over that driver-sized result — the post-agg single-partition
+    window is over ≤{PSI_N_BUCKETS} rows however big the corpus is.
+    Smoothing uses the FIXED bucket count so empty buckets shift both
+    dialects identically; ln() is libm (PARITY rule 8, 6 dp)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / PSI_BUCKET_WIDTH).cast("bigint"),
+        F.lit(PSI_N_BUCKETS - 1),
+    )
+    bucketed = d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1)).alias("n_cur"),
+    )
+    wall = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 0.5) / (
+        F.sum("n_ref").over(wall) + 0.5 * PSI_N_BUCKETS
+    )
+    p_cur = (F.col("n_cur") + 0.5) / (
+        F.sum("n_cur").over(wall) + 0.5 * PSI_N_BUCKETS
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return bucketed.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        (F.round(term, 6) + F.lit(0.0)).alias("psi_term"),
+        F.round(F.sum(term).over(wall), 6).alias("psi_total"),
+    )

@@ -111,3 +111,33 @@ def topk_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10 OFFSET 20
+    """,
+    tags=("sort",),
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ORDER BY ... LIMIT k OFFSET m (`DataFrame.offset`,
+    Spark ≥ 3.4 / SQL OFFSET clause). Plans as TakeOrderedAndProject with
+    limit = m + k and the first m rows dropped at the driver merge — each
+    task still keeps only a bounded (m + k)-heap, so page N of a 100 TB
+    result never materializes a global sort. Deep pagination (m in the
+    millions) would make that heap the bottleneck; the production pattern
+    for deep pages is keyset pagination (WHERE key > last_seen ORDER BY
+    key LIMIT k — the filter prunes at the scan), which `filter_range_time`
+    + `limit_global` compose. Unique o_orderkey tiebreak keeps the page
+    deterministic for the oracle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(20)
+        .limit(10)
+    )

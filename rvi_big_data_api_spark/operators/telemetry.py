@@ -1786,3 +1786,63 @@ def geo_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("user_id")).alias("n_vehicles"),
         )
     )
+
+
+@query(
+    "clean_impute",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, event_type,
+               CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) = '0'
+                    THEN NULL ELSE value END AS value_masked
+        FROM events
+    ),
+    fills AS (
+        SELECT event_type,
+               quantile_cont(value_masked, 0.5) AS fill_median,
+               count(value_masked)::BIGINT AS n_observed
+        FROM masked GROUP BY event_type
+    )
+    SELECT m.event_id, m.event_type,
+           round(coalesce(m.value_masked, f.fill_median), 6) AS value_filled,
+           m.value_masked IS NULL AS was_imputed,
+           f.n_observed
+    FROM masked m JOIN fills f ON m.event_type = f.event_type
+    """,
+    tags=("telemetry", "cleaning"),
+)
+def clean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL imputation — the third leg of the cleaning suite (anomaly_*
+    REPORTS, clean_winsorize CLIPS, this FILLS): missing readings replaced
+    by their channel's median. Fixtures carry no NULLs (TESTDATA.md), so
+    missingness is synthesized deterministically — an md5-keyed ~1/16
+    dropout mask on event_id, the filter_null convention — identically in
+    both dialects.
+
+    Shape: the fill table is one row per channel (aggregate ignores NULLs
+    in both engines), broadcast back onto the stream — the clean_winsorize
+    two-pass, so the big side never shuffles. Exact median interpolation
+    matches quantile_cont (PARITY agg_percentile); at 100 TB swap
+    percentile_approx, or a per-window median for non-stationary channels
+    (feature_rolling_windows composes)."""
+    ev = load(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0", None
+        )
+        .otherwise(F.col("value"))
+        .alias("value_masked"),
+    )
+    fills = masked.groupBy("event_type").agg(
+        F.percentile("value_masked", 0.5).alias("fill_median"),
+        F.count("value_masked").alias("n_observed"),
+    )
+    return masked.join(F.broadcast(fills), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.coalesce(F.col("value_masked"), F.col("fill_median")), 6).alias("value_filled"),
+        F.col("value_masked").isNull().alias("was_imputed"),
+        "n_observed",
+    )

@@ -309,6 +309,31 @@ EXTENSIONS = [
     # over disjoint dim slices, skinny band join, verify-dot after pair
     # dedup; the recall knob the single-table ops lack
     "dedup_embed_bandor",
+    # round 5 continuation: pagination — ORDER BY ... LIMIT k OFFSET m via
+    # DataFrame.offset; still TakeOrderedAndProject (bounded heap), with
+    # keyset pagination documented as the deep-page path
+    "limit_offset",
+    # round 5 continuation: NULL repair — per-channel median imputation of
+    # a deterministic md5 dropout mask (fixtures carry no NULLs), the FILL
+    # leg of the cleaning suite next to anomaly_* (report) and
+    # clean_winsorize (clip)
+    "clean_impute",
+    # round 5 continuation: Zipf's-law fit per language — log-log
+    # regr_slope/regr_r2 over the ranked term-frequency head; a one-number
+    # corpus-naturalness monitor
+    "text_zipf_fit",
+    # round 5 continuation: population-stability-index drift between two
+    # corpus snapshots — smoothed doc-length histograms, per-bucket PSI
+    # terms + total, post-agg windows over <=10 bucket rows
+    "corpus_drift_psi",
+    # round 5 continuation: mutual k-NN graph inside sign-bit quantizer
+    # buckets — directed top-k per vector, mutuality by reversed-pair
+    # equi-join; the sparsifier under semantic clustering/diversity ops
+    "knn_graph_mutual",
+    # round 5 continuation: first principal component by fixed-2-round
+    # power iteration — covariance from power sums, broadcast matvecs,
+    # centered projection, skewness-pinned sign; exact SQL twin
+    "embed_pca_power",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

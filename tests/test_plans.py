@@ -616,3 +616,41 @@ def test_embed_hygiene_single_pass_no_join(spark, sf_dir):
     assert "Join" not in exec_plan, exec_plan[:2000]
     assert exec_plan.count("Scan parquet") == 1, exec_plan[:2000]
     assert "BatchEvalPython" not in exec_plan and "ArrowEvalPython" not in exec_plan
+
+
+def test_limit_offset_bounded_heap(spark, sf_dir):
+    """Pagination must keep the TakeOrderedAndProject shape (bounded per-task
+    heap with the offset absorbed into the limit), not a global sort."""
+    plan = plan_of(REGISTRY["limit_offset"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "TakeOrderedAndProject" in exec_plan, exec_plan[:1500]
+
+
+def test_clean_impute_broadcasts_fill_table(spark, sf_dir):
+    """The per-channel fill medians broadcast back onto the stream; the big
+    side never shuffles and no Python touches the plan."""
+    plan = plan_of(REGISTRY["clean_impute"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "BroadcastHashJoin" in exec_plan, exec_plan[:2000]
+    assert "BatchEvalPython" not in exec_plan and "ArrowEvalPython" not in exec_plan
+
+
+def test_knn_graph_candidates_are_equi_join(spark, sf_dir):
+    """Candidate generation must stay an equi-join on the quantizer bucket
+    and the mutuality check an equi-join on the reversed pair — no
+    data-by-data cartesian anywhere."""
+    plan = plan_of(REGISTRY["knn_graph_mutual"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "BroadcastNestedLoopJoin" not in exec_plan, exec_plan[:3000]
+    assert "CartesianProduct" not in exec_plan, exec_plan[:3000]
+
+
+def test_embed_pca_power_no_collect_shape(spark, sf_dir):
+    """Power iteration stays declarative: d-row vectors and 1-row norms join
+    back as broadcasts (scalar BNLJ rows are the accepted pattern), the
+    cov cells come from the vec_id equi-join, and no Python appears."""
+    plan = plan_of(REGISTRY["embed_pca_power"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "CartesianProduct" not in exec_plan, exec_plan[:3000]
+    assert "BatchEvalPython" not in exec_plan and "ArrowEvalPython" not in exec_plan
+    assert "BroadcastHashJoin" in exec_plan or "BroadcastExchange" in exec_plan

@@ -716,3 +716,105 @@ class TestBandOrLsh:
                 )
                 if same_bucket and float(a @ b) >= DEDUP_EMBED_TAU:
                     assert (ia, ib) in got, (ia, ib)
+
+
+class TestRound5ContinuationOps:
+    """Invariants for the round-5 continuation block (pagination, imputation,
+    corpus monitors, kNN graph, PCA)."""
+
+    def test_limit_offset_is_the_page_after_the_head(self, spark, sf_dir):
+        """OFFSET 20 LIMIT 10 must equal rows 21-30 of the head-30."""
+        page = [r.o_orderkey for r in REGISTRY["limit_offset"].fn(spark, sf_dir).collect()]
+        head30 = (
+            load(spark, sf_dir, "orders")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(30)
+            .collect()
+        )
+        assert page == [r.o_orderkey for r in head30[20:]]
+
+    def test_clean_impute_preserves_observed_values(self, spark, sf_dir):
+        """Non-masked rows pass through bit-identically; imputed rows take
+        their channel's median of the observed values."""
+        out = {r.event_id: r for r in REGISTRY["clean_impute"].fn(spark, sf_dir).collect()}
+        orig = {r.event_id: r.value for r in load(spark, sf_dir, "events").collect()}
+        n_imputed = 0
+        for eid, r in out.items():
+            if r.was_imputed:
+                n_imputed += 1
+            else:
+                assert abs(r.value_filled - round(orig[eid], 6)) < 1e-9, eid
+        # the md5 mask hits ~1/16 of rows
+        assert 0.02 < n_imputed / len(out) < 0.12
+
+    def test_zipf_slope_is_negative_and_fit_tight(self, spark, sf_dir):
+        """Frequency must fall with rank (slope < 0) for every language."""
+        for r in REGISTRY["text_zipf_fit"].fn(spark, sf_dir).collect():
+            assert r.zipf_slope < 0, r
+            assert 0 <= r.zipf_r2 <= 1, r
+
+    def test_psi_terms_nonnegative_and_total_consistent(self, spark, sf_dir):
+        """Each PSI contribution is >= 0 by construction ((p-q) and ln(p/q)
+        share sign) and the emitted total equals the sum of terms."""
+        rows = REGISTRY["corpus_drift_psi"].fn(spark, sf_dir).collect()
+        total = rows[0].psi_total
+        assert all(abs(r.psi_total - total) < 1e-9 for r in rows)
+        assert all(r.psi_term >= 0 for r in rows)
+        assert abs(sum(r.psi_term for r in rows) - total) < 1e-4
+        # even/odd split of one corpus: distributions near-identical
+        assert total < 0.1, total
+
+    def test_knn_graph_edges_are_mutual_and_canonical(self, spark, sf_dir):
+        """Every emitted edge is canonically oriented and appears in BOTH
+        endpoints' directed top-k lists (recomputed exactly per bucket)."""
+        from rvi_big_data_api_spark.operators.llm_sim import KNN_GRAPH_K
+
+        import numpy as np
+
+        vecs = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in load(spark, sf_dir, "embeddings").collect()
+        }
+        bucket = {
+            vid: sum((1 << k) for k in range(4) if v[k] > 0) for vid, v in vecs.items()
+        }
+        # directed exact top-k within bucket
+        topk = {}
+        for vid, v in vecs.items():
+            cands = [
+                (-(v @ vecs[o]), o)
+                for o in vecs
+                if o != vid and bucket[o] == bucket[vid]
+            ]
+            cands.sort()
+            topk[vid] = {o for _, o in cands[:KNN_GRAPH_K]}
+        got = REGISTRY["knn_graph_mutual"].fn(spark, sf_dir).collect()
+        assert len(got) > 0
+        for r in got:
+            assert r.vec_a < r.vec_b, r
+            assert r.vec_b in topk[r.vec_a] and r.vec_a in topk[r.vec_b], r
+        # completeness: every mutual pair is emitted
+        expect = {
+            (a, b)
+            for a in vecs
+            for b in topk[a]
+            if a < b and a in topk[b]
+        }
+        assert {(r.vec_a, r.vec_b) for r in got} == expect
+
+    def test_pca_scores_centered_with_dominant_variance(self, spark, sf_dir):
+        """PC1 scores are mean-zero and carry at least as much variance as
+        any single raw dimension (the dominant-direction property survives
+        the fixed 2-round approximation on the fixture)."""
+        import numpy as np
+
+        scores = np.array(
+            [r.pc1 for r in REGISTRY["embed_pca_power"].fn(spark, sf_dir).collect()]
+        )
+        X = np.array(
+            [r.embedding for r in load(spark, sf_dir, "embeddings").collect()],
+            dtype=np.float64,
+        )
+        assert abs(scores.mean()) < 1e-3
+        per_dim_var = ((X - X.mean(axis=0)) ** 2).mean(axis=0).max()
+        assert scores.var() >= per_dim_var * 0.99, (scores.var(), per_dim_var)
