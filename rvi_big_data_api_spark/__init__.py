@@ -81,7 +81,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # round-5 continuation (post scale-sweep)
     "dedup_embed_bandor",
     "limit_offset", "clean_impute", "text_zipf_fit", "corpus_drift_psi",
-    "knn_graph_mutual", "embed_pca_power",
+    "knn_graph_mutual", "embed_pca_power", "corpus_split_leakage_safe",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

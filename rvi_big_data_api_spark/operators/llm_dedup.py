@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..io import load
 from ..registry import query
+from .llm_text import SHARD_TRAIN_MAX, SHARD_VAL_MAX
 
 # MinHash/LSH parameters: K = B bands × R rows. Threshold ≈ (1/B)^(1/R) ≈ 0.71
 # — candidate pairs are then verified against true Jaccard ≥ JACCARD_TAU.
@@ -1384,4 +1385,87 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_exact") > 0, "exact_dup")
         .when(F.col("n_near") > 0, "near_dup")
         .otherwise("new"),
+    )
+
+
+@query(
+    "corpus_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sim_edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n + sb.n - n_common) >= {NGRAM_JACCARD_TAU}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM sim_edges
+              UNION ALL SELECT doc_b, doc_a FROM sim_edges),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT edges.b, reach.r FROM edges JOIN reach ON edges.a = reach.node
+    ),
+    clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(cast(cluster_id AS VARCHAR)), 1, 1) < '{SHARD_TRAIN_MAX}'
+                THEN 'train'
+                WHEN substr(md5(cast(cluster_id AS VARCHAR)), 1, 1) < '{SHARD_VAL_MAX}'
+                THEN 'val' ELSE 'test' END AS split
+    FROM assigned
+    """,
+    tags=("llm", "dedup", "corpus"),
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the contamination guard
+    corpus_shard_split alone cannot give: hashing doc_id sends two NEAR-
+    DUPLICATE documents to different splits, so the model trains on a copy
+    of its own eval set. Fix: split on the duplicate-CLUSTER representative
+    — connected components over the near-dup pair graph (ngram_sim_edges →
+    min_label_components, shared verbatim with dedup_cluster), singletons
+    represent themselves, then the deterministic md5-nibble bucketing of
+    corpus_shard_split applied to the cluster id. Every member of a cluster
+    inherits one assignment; eval contamination by near-dups is zero BY
+    CONSTRUCTION, and incremental refreshes still never migrate an
+    unchanged cluster (the assignment is a pure function of its stable
+    representative).
+
+    Scale shape: the CC cost is dedup_cluster's (edge-list rounds, never
+    N²); the split itself adds one per-row hash + a LEFT broadcast-able
+    join of the driver-sized label frame back onto the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    labels = min_label_components(spark, ngram_sim_edges(docs))
+    assigned = docs.join(
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cl")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce(F.col("cl"), F.col("doc_id")).alias("cluster_id")
+    )
+    nib = F.substring(F.md5(F.col("cluster_id").cast("string").cast("binary")), 1, 1)
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(nib < SHARD_TRAIN_MAX, "train")
+        .when(nib < SHARD_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
     )

@@ -334,6 +334,11 @@ EXTENSIONS = [
     # power iteration — covariance from power sums, broadcast matvecs,
     # centered projection, skewness-pinned sign; exact SQL twin
     "embed_pca_power",
+    # round 5 continuation: leakage-safe train/val/test split — md5-nibble
+    # bucketing applied to the near-dup CLUSTER representative (shared CC
+    # machinery with dedup_cluster), so no near-duplicate pair ever
+    # straddles train and eval; singletons represent themselves
+    "corpus_split_leakage_safe",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

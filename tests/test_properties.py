@@ -818,3 +818,24 @@ class TestRound5ContinuationOps:
         assert abs(scores.mean()) < 1e-3
         per_dim_var = ((X - X.mean(axis=0)) ** 2).mean(axis=0).max()
         assert scores.var() >= per_dim_var * 0.99, (scores.var(), per_dim_var)
+
+    def test_leakage_safe_split_never_splits_a_cluster(self, spark, sf_dir):
+        """Every near-dup cluster lands in exactly one split, members of the
+        same cluster agree with dedup_cluster's labeling, and all three
+        splits are populated roughly per the 12/2/2 nibble thresholds."""
+        rows = REGISTRY["corpus_split_leakage_safe"].fn(spark, sf_dir).collect()
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_cluster.values())
+        n = len(rows)
+        frac_train = sum(r.split == "train" for r in rows) / n
+        assert 0.55 < frac_train < 0.9, frac_train
+        assert {r.split for r in rows} == {"train", "val", "test"}
+        # consistency with the canonical CC labeling
+        cc = {
+            r.doc_id: r.cluster_id
+            for r in REGISTRY["dedup_cluster"].fn(spark, sf_dir).collect()
+        }
+        for r in rows:
+            assert cc.get(r.doc_id, r.doc_id) == r.cluster_id, r
