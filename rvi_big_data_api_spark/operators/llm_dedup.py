@@ -1469,3 +1469,90 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+CONTAIN_TAU = 0.5  # fraction of the CONTAINED doc's grams that must overlap
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.gram = b.gram AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a AS doc_contained, doc_b AS doc_container,
+           n_common, sa.n AS n_grams_contained,
+           round(n_common / sa.n, 4) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE n_common / sa.n >= {CONTAIN_TAU}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment — the asymmetric dedup measure Jaccard
+    misses: a short document quoted whole inside a long one scores
+    C(small→big) = |grams(small) ∩ grams(big)| / |grams(small)| ≈ 1 while
+    its Jaccard stays tiny (the union is dominated by the big doc). This is
+    the standard detector for subset/quotation/boilerplate-embedding dup
+    (and the measure behind suffix-based substring dedup at gram
+    granularity); text_span_dedup removes spans, this FINDS the doc pairs.
+
+    Plan shape: dedup_ngram_jaccard's discipline verbatim — (lang, source)
+    blocking, distinct xxhash64(gram) 8-byte join keys, pair counts from
+    the gram-level equi-join, normalized by the CONTAINED side's gram count
+    only. Directed: both orientations are evaluated (a != b, not a < b)
+    and each row names which doc is contained in which."""
+    docs = load(spark, sf_dir, "documents")
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> array_join(slice(toks, i, 3), ' '))"
+    )
+    grams = (
+        docs.select("doc_id", "lang", "source", F.split("text", " ").alias("toks"))
+        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("g"))
+        .select("doc_id", "lang", "source", F.xxhash64("g").alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_contained"), F.col("b.doc_id").alias("doc_container"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") / F.col("n_grams_contained")
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_contained"),
+                F.col("n").alias("n_grams_contained"),
+            ),
+            "doc_contained",
+        )
+        .filter(cont >= CONTAIN_TAU)
+        .select(
+            "doc_contained",
+            "doc_container",
+            "n_common",
+            "n_grams_contained",
+            F.round(cont, 4).alias("containment"),
+        )
+    )

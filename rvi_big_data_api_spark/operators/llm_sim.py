@@ -1530,17 +1530,17 @@ def embed_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_GRAPH_K = 4  # out-degree of the directed kNN graph
 
-
-@query(
-    "knn_graph_mutual",
-    oracle=f"""
-    WITH bucketed AS (
+# Shared CTE text: directed kNN edges inside sign-bit buckets, then the
+# mutual (bidirectional) subset — used by knn_graph_mutual and
+# graph_label_propagation so both provably walk the same graph.
+_DUCK_MUTUAL_CTES = f"""
+    bucketed AS (
         SELECT vec_id, embedding,
                ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
                 + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
         FROM embeddings
     ),
-    edges AS (
+    knn_edges AS (
         SELECT src, dst, dot FROM (
             SELECT a.vec_id AS src, b.vec_id AS dst,
                    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dot,
@@ -1551,10 +1551,50 @@ KNN_GRAPH_K = 4  # out-degree of the directed kNN graph
             FROM bucketed a JOIN bucketed b
               ON a.bucket = b.bucket AND a.vec_id != b.vec_id
         ) WHERE rank <= {KNN_GRAPH_K}
+    ),
+    mutual AS (
+        SELECT a.src, a.dst, a.dot
+        FROM knn_edges a JOIN knn_edges b ON a.src = b.dst AND a.dst = b.src
+    )"""
+
+
+def mutual_knn_edges(e: DataFrame) -> DataFrame:
+    """Directed mutual-kNN edge list (src, dst, dot) — both orientations of
+    every surviving edge. Candidates come from the sign-bit quantizer
+    equi-join (sim_topk_ann's scale path), the per-source top-k is a rank
+    window, and mutuality is a self-equi-join on the reversed pair. Shared
+    by knn_graph_mutual (canonical pair output) and
+    graph_label_propagation (neighborhood votes)."""
+    eb = e.withColumn("bucket", signbit_bucket(F.col("embedding")))
+    a, b = eb.alias("a"), eb.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        dot(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
     )
-    SELECT a.src AS vec_a, a.dst AS vec_b, round(a.dot, 4) AS cosine
-    FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
-    WHERE a.src < a.dst
+    w = Window.partitionBy("src").orderBy(F.col("dot").desc(), F.col("dst").asc())
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src", "dst", "dot")
+    )
+    ea, eb2 = edges.alias("ea"), edges.alias("eb")
+    return ea.join(
+        eb2,
+        (F.col("ea.src") == F.col("eb.dst")) & (F.col("ea.dst") == F.col("eb.src")),
+    ).select(F.col("ea.src").alias("src"), F.col("ea.dst").alias("dst"), F.col("ea.dot").alias("dot"))
+
+
+@query(
+    "knn_graph_mutual",
+    oracle=f"""
+    WITH {_DUCK_MUTUAL_CTES}
+    SELECT src AS vec_a, dst AS vec_b, round(dot, 4) AS cosine
+    FROM mutual WHERE src < dst
     """,
     tags=("llm", "similarity", "graph"),
 )
@@ -1572,36 +1612,14 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a self-equi-join of the directed edge list on the reversed pair —
     O(N·k) rows, hash-join on (src, dst). Canonical src < dst orientation
     halves the output; graph_* / dedup_cluster ops compose downstream."""
-    e = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", signbit_bucket(F.col("embedding"))
-    )
-    a, b = e.alias("a"), e.alias("b")
-    scored = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        dot(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
-    )
-    w = Window.partitionBy("src").orderBy(F.col("dot").desc(), F.col("dst").asc())
-    edges = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_GRAPH_K)
-        .select("src", "dst", "dot")
-    )
-    ea, eb = edges.alias("ea"), edges.alias("eb")
+    e = load(spark, sf_dir, "embeddings")
     return (
-        ea.join(
-            eb,
-            (F.col("ea.src") == F.col("eb.dst")) & (F.col("ea.dst") == F.col("eb.src")),
-        )
-        .filter(F.col("ea.src") < F.col("ea.dst"))
+        mutual_knn_edges(e)
+        .filter(F.col("src") < F.col("dst"))
         .select(
-            F.col("ea.src").alias("vec_a"),
-            F.col("ea.dst").alias("vec_b"),
-            F.round(F.col("ea.dot"), 4).alias("cosine"),
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            F.round(F.col("dot"), 4).alias("cosine"),
         )
     )
 
@@ -1712,4 +1730,163 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             (F.round(F.col("score") * F.col("s"), 4) + F.lit(0.0)).alias("pc1"),
         )
+    )
+
+
+LP_SEEDS = 100   # vec_id < LP_SEEDS keep their ground-truth label
+LP_ROUNDS = 2    # unrolled propagation rounds (fixed for the SQL twin)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_DUCK_MUTUAL_CTES},
+    seeds AS (
+        SELECT vec_id AS node, label FROM embeddings WHERE vec_id < {LP_SEEDS}
+    ),
+    v1 AS (
+        SELECT m.src AS node, s.label, count(*)::BIGINT AS n
+        FROM mutual m JOIN seeds s ON m.dst = s.node
+        WHERE m.src NOT IN (SELECT node FROM seeds)
+        GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT node, label FROM (
+            SELECT *, row_number() OVER (PARTITION BY node
+                                         ORDER BY n DESC, label ASC) AS rn
+            FROM v1
+        ) WHERE rn = 1
+    ),
+    lab1 AS (
+        SELECT node, label, 0 AS src_round FROM seeds
+        UNION ALL SELECT node, label, 1 FROM l1
+    ),
+    v2 AS (
+        SELECT m.src AS node, t.label, count(*)::BIGINT AS n
+        FROM mutual m JOIN lab1 t ON m.dst = t.node
+        WHERE m.src NOT IN (SELECT node FROM lab1)
+        GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT node, label FROM (
+            SELECT *, row_number() OVER (PARTITION BY node
+                                         ORDER BY n DESC, label ASC) AS rn
+            FROM v2
+        ) WHERE rn = 1
+    )
+    SELECT node AS vec_id, label AS pred_label, src_round FROM lab1
+    UNION ALL SELECT node, label, 2 FROM l2
+    """,
+    tags=("llm", "similarity", "graph"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the mutual-kNN graph — the
+    graph-side twin of knn_label: a small labeled seed set (the LP_SEEDS
+    lowest vec_ids keep their ground-truth label) spreads to unlabeled
+    nodes by majority vote of already-labeled neighbors, seeds clamped,
+    two unrolled rounds (fixed so the DuckDB twin stays expressible; the
+    production loop iterates to quiescence like min_label_components).
+    Emits (vec_id, pred_label, src_round) — src_round 0 = seed, 1/2 = the
+    round the node was first labeled; unreached nodes are absent.
+
+    Scale shape: rides mutual_knn_edges (bucketed candidates, never
+    all-pairs). Each round is one equi-join of the edge list against the
+    current label frame + a (node, label) partial-agg vote + a rank window
+    — edge-list-sized shuffles, the dedup_cluster discipline. Ties break
+    (n_votes DESC, label ASC) identically in both dialects."""
+    e = load(spark, sf_dir, "embeddings")
+    edges = mutual_knn_edges(e).select("src", "dst")
+    seeds = (
+        e.filter(F.col("vec_id") < LP_SEEDS)
+        .select(F.col("vec_id").alias("node"), "label")
+        .withColumn("src_round", F.lit(0))
+    )
+    labeled = seeds
+
+    def one_round(labeled: DataFrame, rnd: int) -> DataFrame:
+        votes = (
+            edges.join(
+                labeled.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .join(
+                labeled.select(F.col("node").alias("src")), "src", "left_anti"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label").asc())
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label", F.lit(rnd).alias("src_round"))
+        )
+
+    for rnd in range(1, LP_ROUNDS + 1):
+        labeled = labeled.unionByName(one_round(labeled, rnd))
+    return labeled.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("pred_label"),
+        "src_round",
+    )
+
+
+MAXSIM_NQUERIES = 5  # query batch (vec_id < MAXSIM_NQUERIES)
+MAXSIM_K = 5         # emitted depth per query
+
+
+@query(
+    "sim_maxsim_multivector",
+    oracle=f"""
+    WITH subs AS (
+        SELECT vec_id, i - 1 AS m,
+               (embedding::DOUBLE[])[(i - 1) * {PQ_SUB} + 1 : (i - 1) * {PQ_SUB} + {PQ_SUB}] AS sub
+        FROM embeddings, unnest(generate_series(1, {PQ_M})) t(i)
+    ),
+    cell AS (
+        SELECT q.vec_id AS qid, d.vec_id, q.m,
+               max(list_dot_product(q.sub, d.sub)) AS mx
+        FROM subs q JOIN subs d ON d.vec_id != q.vec_id
+        WHERE q.vec_id < {MAXSIM_NQUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    score AS (SELECT qid, vec_id, sum(mx) AS s FROM cell GROUP BY 1, 2)
+    SELECT qid, vec_id, round(s, 4) AS maxsim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY s DESC, vec_id ASC) AS rank
+        FROM score
+    ) WHERE rank <= {MAXSIM_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval — the multi-vector
+    scoring shape single-vector sim_topk cannot express: each side is a SET
+    of subvectors (here the PQ_M×PQ_SUB subspace split of the fixture
+    embedding standing in for per-token vectors), and
+    score(q, d) = Σ_i max_j <q_i, d_j> — every query part finds its best
+    match anywhere in the document. Top-k per query with vec_id tiebreak.
+
+    Scale shape: the query batch explodes to Q×PQ_M broadcast-sized
+    subvectors; documents explode once to N×PQ_M (linear, map-side). The
+    join is broadcast(query-subs) × doc-subs, the max-per-(q, d, i) and
+    sum-per-(q, d) are partial aggs, and the final top-k is a rank window
+    per query. At 100 TB the doc side would pre-bucket by an ANN quantizer
+    exactly as sim_topk_ann does; the MaxSim algebra is unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    subs = _pq_subvectors(e)
+    qsub = (
+        subs.filter(F.col("vec_id") < MAXSIM_NQUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("m").alias("qm"), F.col("sub").alias("qsub"))
+    )
+    cell = (
+        subs.join(F.broadcast(qsub), F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id", "qm")
+        .agg(F.max(dot_d(F.col("qsub"), F.col("sub"))).alias("mx"))
+    )
+    score = cell.groupBy("qid", "vec_id").agg(F.sum("mx").alias("s"))
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("vec_id").asc())
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MAXSIM_K)
+        .select("qid", "vec_id", F.round("s", 4).alias("maxsim"), "rank")
     )

@@ -339,6 +339,18 @@ EXTENSIONS = [
     # machinery with dedup_cluster), so no near-duplicate pair ever
     # straddles train and eval; singletons represent themselves
     "corpus_split_leakage_safe",
+    # round 5 continuation: semi-supervised label spread over the mutual-kNN
+    # graph — clamped seeds, majority vote per round, 2 unrolled rounds,
+    # same graph as knn_graph_mutual via the shared edge helper
+    "graph_label_propagation",
+    # round 5 continuation: directional n-gram containment — the asymmetric
+    # dup measure (short doc quoted inside a long one) Jaccard misses;
+    # normalized by the contained side's gram count only
+    "dedup_containment",
+    # round 5 continuation: ColBERT-style MaxSim late-interaction scoring —
+    # sum over query subvectors of the max dot against any doc subvector,
+    # broadcast query batch, top-k per query
+    "sim_maxsim_multivector",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

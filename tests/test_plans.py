@@ -654,3 +654,32 @@ def test_embed_pca_power_no_collect_shape(spark, sf_dir):
     assert "CartesianProduct" not in exec_plan, exec_plan[:3000]
     assert "BatchEvalPython" not in exec_plan and "ArrowEvalPython" not in exec_plan
     assert "BroadcastHashJoin" in exec_plan or "BroadcastExchange" in exec_plan
+
+
+def test_label_propagation_no_cartesian_no_python(spark, sf_dir):
+    """Vote rounds are edge-list equi-joins + partial-agg votes; nothing may
+    plan a data-by-data cartesian or drop into Python."""
+    plan = plan_of(REGISTRY["graph_label_propagation"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "CartesianProduct" not in exec_plan, exec_plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in exec_plan, exec_plan[:3000]
+    assert "BatchEvalPython" not in exec_plan and "ArrowEvalPython" not in exec_plan
+
+
+def test_containment_joins_on_gram_hash(spark, sf_dir):
+    """The pair count must come from the xxhash64 gram equi-join (8-byte
+    shuffle keys), not a document cross product."""
+    plan = plan_of(REGISTRY["dedup_containment"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "CartesianProduct" not in exec_plan and "BroadcastNestedLoopJoin" not in exec_plan
+    assert "xxhash64" in plan, plan[:3000]
+
+
+def test_maxsim_broadcasts_query_subvectors(spark, sf_dir):
+    """The query batch must broadcast; the doc side explodes linearly (its
+    bare not-equal join against the broadcast batch is the accepted
+    broadcast-tiny BNLJ, never a shuffle of doc pairs)."""
+    plan = plan_of(REGISTRY["sim_maxsim_multivector"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert "BroadcastExchange" in exec_plan, exec_plan[:3000]
+    assert "CartesianProduct" not in exec_plan

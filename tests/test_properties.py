@@ -839,3 +839,72 @@ class TestRound5ContinuationOps:
         }
         for r in rows:
             assert cc.get(r.doc_id, r.doc_id) == r.cluster_id, r
+
+    def test_label_propagation_seeds_clamped_and_rounds_monotone(self, spark, sf_dir):
+        """Seeds keep ground truth, each node is labeled at most once, and a
+        round-2 node must have had no labeled neighbor after round 1."""
+        from rvi_big_data_api_spark.operators.llm_sim import LP_SEEDS
+
+        rows = REGISTRY["graph_label_propagation"].fn(spark, sf_dir).collect()
+        seen = {}
+        truth = {
+            r.vec_id: r.label for r in load(spark, sf_dir, "embeddings").collect()
+        }
+        for r in rows:
+            assert r.vec_id not in seen, f"{r.vec_id} labeled twice"
+            seen[r.vec_id] = r
+            if r.vec_id < LP_SEEDS:
+                assert r.src_round == 0 and r.pred_label == truth[r.vec_id], r
+            else:
+                assert r.src_round in (1, 2), r
+        # propagation actually reached beyond the seeds
+        assert any(r.src_round == 1 for r in rows)
+
+    def test_containment_dominates_jaccard_and_is_directional(self, spark, sf_dir):
+        """For every emitted (contained, container) pair the containment is
+        >= that pair's Jaccard, and containment is correctly normalized by
+        the contained side."""
+        cont = REGISTRY["dedup_containment"].fn(spark, sf_dir).collect()
+        assert len(cont) > 0
+        jac = {
+            tuple(sorted((r.doc_a, r.doc_b))): r.jaccard
+            for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+        }
+        for r in cont:
+            assert 0 < r.containment <= 1.0001, r
+            assert abs(r.containment - round(r.n_common / r.n_grams_contained, 4)) < 1e-9
+            key = tuple(sorted((r.doc_contained, r.doc_container)))
+            if key in jac:
+                assert r.containment >= jac[key] - 1e-9, (r, jac[key])
+
+    def test_maxsim_bounds_single_vector_dot(self, spark, sf_dir):
+        """MaxSim with the full-vector split is >= the plain dot product of
+        the same pair (each subspace's best match is at least the aligned
+        one), and ranks are a permutation of 1..k per query."""
+        import numpy as np
+
+        from rvi_big_data_api_spark.operators.llm_sim import PQ_M, PQ_SUB
+
+        vecs = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in load(spark, sf_dir, "embeddings").collect()
+        }
+        out = REGISTRY["sim_maxsim_multivector"].fn(spark, sf_dir).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r.qid, []).append(r.rank)
+            plain = float(vecs[r.qid] @ vecs[r.vec_id])
+            assert r.maxsim >= plain - 1e-6, r
+            # and bounded by sum of subspace norms products
+            q, d = vecs[r.qid], vecs[r.vec_id]
+            ub = sum(
+                np.linalg.norm(q[m * PQ_SUB:(m + 1) * PQ_SUB])
+                * max(
+                    np.linalg.norm(d[j * PQ_SUB:(j + 1) * PQ_SUB])
+                    for j in range(PQ_M)
+                )
+                for m in range(PQ_M)
+            )
+            assert r.maxsim <= ub + 1e-6, r
+        for q, ranks in per_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
