@@ -83,6 +83,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "limit_offset", "clean_impute", "text_zipf_fit", "corpus_drift_psi",
     "knn_graph_mutual", "embed_pca_power", "corpus_split_leakage_safe",
     "graph_label_propagation", "dedup_containment", "sim_maxsim_multivector",
+    "seq_pattern_detect", "stream_psi_drift",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1846,3 +1846,85 @@ def clean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_masked").isNull().alias("was_imputed"),
         "n_observed",
     )
+
+
+SEQ_FUNNEL_PATTERN = "v[ce]*p"  # view → (clicks/errors)* → purchase
+
+
+@query(
+    "seq_pattern_detect",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, substr(event_type, 1, 1) AS ch,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(sec) OVER w IS NULL
+                         OR sec - lag(sec) OVER w > {{gap}}
+                    THEN 1 ELSE 0 END AS gap_flag
+        FROM ordered
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ch, sec,
+               sum(gap_flag) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS session_id
+        FROM flagged
+    ),
+    seqs AS (
+        SELECT user_id, session_id,
+               count(*)::BIGINT AS n_events,
+               string_agg(ch, '' ORDER BY sec, event_id) AS seq
+        FROM sessions GROUP BY 1, 2
+    )
+    SELECT user_id, session_id, n_events,
+           len(regexp_extract_all(seq, '{{pat}}'))::BIGINT AS n_funnels,
+           contains(seq, 'e') AS has_error
+    FROM seqs
+    """.format(gap=SESSION_GAP_S, pat=SEQ_FUNNEL_PATTERN),
+    tags=("telemetry", "cep"),
+)
+def seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (CEP-lite / MATCH_RECOGNIZE territory):
+    per session, the ordered event-type sequence is folded to a compact
+    symbol string (the five fixture channels have unique initials) and a
+    regex counts non-overlapping funnel occurrences — view, any clicks or
+    errors, ending in purchase. event_funnel measures ONE step-ordered
+    conversion per user; this counts every completed pattern instance and
+    flags error-tainted sessions, the shape behind abandonment, retry-storm,
+    and fraud-sequence detectors.
+
+    Scale shape: sessionize first (sessionized_events — one user-keyed
+    shuffle), THEN build strings, so the regex input is bounded by session
+    length, never by a user's full history; the per-session fold is a
+    sorted-struct collect (the repo's only sanctioned collect_list form) and
+    the regex is a JVM-side single pass per session. Both engines scan
+    left-to-right non-overlapping with greedy [ce]*, so counts agree
+    exactly."""
+    sess = sessionized_events(spark, sf_dir).withColumn(
+        "ch", F.substring("event_type", 1, 1)
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sec", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.size(F.regexp_extract_all("seq", F.lit(SEQ_FUNNEL_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_funnels"),
+        F.col("seq").contains("e").alias("has_error"),
+    )

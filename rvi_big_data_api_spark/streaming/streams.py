@@ -22,10 +22,10 @@ import shutil
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exprs import ts_str
-from ..io import table_path
+from ..io import load, table_path
 from ..registry import query
 from ..schemas import EVENTS
 
@@ -1374,3 +1374,95 @@ def stream_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage(ev.filter(F.col("event_id") % 2 == 1), "b")
     run_pass("r2")
     return spark.table(f"{agg_name}_r2")
+
+
+PSI_VALUE_WIDTH = 50   # events.value per bucket
+PSI_VALUE_BUCKETS = 10 # fixed smoothing denominator
+PSI_WINDOW = "30 minutes"
+
+
+@query(
+    "stream_psi_drift",
+    oracle=f"""
+    WITH cur AS (
+        SELECT ((epoch(date_trunc('second', ts))::BIGINT // 1800) * 1800) AS ws,
+               least(floor(value / {PSI_VALUE_WIDTH})::BIGINT, {PSI_VALUE_BUCKETS - 1}) AS bucket,
+               count(*)::BIGINT AS n_cur
+        FROM events GROUP BY 1, 2
+    ),
+    ref AS (
+        SELECT least(floor(value / {PSI_VALUE_WIDTH})::BIGINT, {PSI_VALUE_BUCKETS - 1}) AS bucket,
+               count(*)::BIGINT AS n_ref
+        FROM events GROUP BY 1
+    ),
+    reftot AS (SELECT sum(n_ref)::BIGINT AS nt FROM ref),
+    p AS (
+        SELECT cur.ws, cur.bucket,
+               cur.n_cur,
+               (cur.n_cur + 0.5)
+                   / (sum(cur.n_cur) OVER (PARTITION BY cur.ws) + 0.5 * {PSI_VALUE_BUCKETS}) AS p_cur,
+               (ref.n_ref + 0.5) / (reftot.nt + 0.5 * {PSI_VALUE_BUCKETS}) AS p_ref
+        FROM cur JOIN ref ON cur.bucket = ref.bucket CROSS JOIN reftot
+    )
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+           sum(n_cur)::BIGINT AS n_events,
+           round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) + 0.0 AS psi
+    FROM p GROUP BY ws
+    """,
+    tags=("streaming", "stats"),
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor — corpus_drift_psi's online
+    twin: the stream maintains per-30-minute value histograms (ONE windowed
+    stateful aggregation, complete mode ⇒ final table ≡ batch ⇒ exact
+    oracle), and the drift score against the static reference histogram is
+    computed on the RESULT table, not inside the stream — chaining a second
+    stateful aggregation onto a windowed stream is exactly what Structured
+    Streaming restricts, so the scoring stage is batch post-processing of
+    the continuously-maintained state (the production deployment would put
+    it in foreachBatch, stream_merge_sink's pattern).
+
+    Emits one row per window: event count and Laplace-smoothed PSI against
+    the whole-corpus reference — an alert threshold (PSI > 0.2) away from a
+    pager. The reference here is the same events table (so windows score
+    near zero); production swaps any pinned baseline histogram — the
+    broadcast-join shape is identical."""
+    ev = stream_events(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("value") / PSI_VALUE_WIDTH).cast("bigint"),
+        F.lit(PSI_VALUE_BUCKETS - 1),
+    )
+    sdf = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", PSI_WINDOW).alias("win"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .select(ts_str(F.col("win.start")).alias("win_start"), "bucket", "n_cur")
+    )
+    hist = run_to_table(sdf, sf_dir, "psi_drift", "complete")
+
+    # Batch scoring stage over the final histogram table.
+    spark_b = hist.sparkSession
+    ref = (
+        load(spark_b, sf_dir, "events")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    reftot = ref.agg(F.sum("n_ref").alias("nt"))
+    w_win = Window.partitionBy("win_start")
+    p_cur = (F.col("n_cur") + 0.5) / (
+        F.sum("n_cur").over(w_win) + 0.5 * PSI_VALUE_BUCKETS
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("nt") + 0.5 * PSI_VALUE_BUCKETS)
+    scored = (
+        hist.join(F.broadcast(ref), "bucket")
+        .crossJoin(F.broadcast(reftot))
+        .select(
+            "win_start",
+            "n_cur",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("term"),
+        )
+    )
+    return scored.groupBy("win_start").agg(
+        F.sum("n_cur").alias("n_events"),
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("psi"),
+    )

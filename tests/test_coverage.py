@@ -351,6 +351,14 @@ EXTENSIONS = [
     # sum over query subvectors of the max dot against any doc subvector,
     # broadcast query batch, top-k per query
     "sim_maxsim_multivector",
+    # round 5 continuation: CEP-lite sequence-pattern detection — per-session
+    # symbol strings (sessionize first, so regex input is session-bounded),
+    # non-overlapping funnel-occurrence counts + error-taint flag
+    "seq_pattern_detect",
+    # round 5 continuation: streaming PSI drift monitor — windowed value
+    # histograms maintained by ONE stateful aggregation, drift scored
+    # against the static reference on the result table (batch stage)
+    "stream_psi_drift",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

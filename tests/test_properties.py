@@ -908,3 +908,40 @@ class TestRound5ContinuationOps:
             assert r.maxsim <= ub + 1e-6, r
         for q, ranks in per_q.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_seq_pattern_counts_against_python_regex(self, spark, sf_dir):
+        """Recompute a sample of session strings in Python and compare the
+        regex occurrence counts; totals stay session-conserving."""
+        import re
+
+        from rvi_big_data_api_spark.operators.telemetry import (
+            SEQ_FUNNEL_PATTERN,
+            sessionized_events,
+        )
+
+        out = REGISTRY["seq_pattern_detect"].fn(spark, sf_dir).collect()
+        ev = (
+            sessionized_events(spark, sf_dir)
+            .withColumn("ch", F.substring("event_type", 1, 1))
+            .collect()
+        )
+        seqs = {}
+        for r in sorted(ev, key=lambda r: (r.user_id, r.session_id, r.sec, r.event_id)):
+            seqs.setdefault((r.user_id, r.session_id), []).append(r.ch)
+        assert len(out) == len(seqs)
+        pat = re.compile(SEQ_FUNNEL_PATTERN)
+        for r in out:
+            s = "".join(seqs[(r.user_id, r.session_id)])
+            assert r.n_events == len(s), r
+            assert r.n_funnels == len(pat.findall(s)), (r, s)
+            assert r.has_error == ("e" in s), r
+
+    def test_stream_psi_self_reference_near_zero_on_dense_windows(self, spark, sf_dir):
+        """Scoring the stream against its own whole-corpus reference: windows with
+        many events must sit near zero PSI (the smoothed histogram converges
+        to the reference), and every PSI is >= 0."""
+        rows = REGISTRY["stream_psi_drift"].fn(spark, sf_dir).collect()
+        assert all(r.psi >= 0 for r in rows)
+        dense = [r for r in rows if r.n_events >= 50]
+        if dense:
+            assert all(r.psi < 0.5 for r in dense)
