@@ -84,6 +84,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "knn_graph_mutual", "embed_pca_power", "corpus_split_leakage_safe",
     "graph_label_propagation", "dedup_containment", "sim_maxsim_multivector",
     "seq_pattern_detect", "stream_psi_drift",
+    "embed_outlier_score", "agg_weighted_median",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1168,3 +1168,62 @@ def agg_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(F.theta_difference("sk", "nsk")).alias("n_churned"),
         est(F.theta_difference("nsk", "sk")).alias("n_new"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH wts AS (
+        SELECT event_type, event_id, value, 1 + user_id % 3 AS w
+        FROM events
+    ),
+    cum AS (
+        SELECT event_type, value, w,
+               sum(w) OVER (PARTITION BY event_type ORDER BY value, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cw,
+               sum(w) OVER (PARTITION BY event_type)::BIGINT AS tot
+        FROM wts
+    )
+    SELECT event_type,
+           min(CASE WHEN cw >= tot / 2.0 THEN value END) AS w_median,
+           min(tot)::BIGINT AS total_weight
+    FROM cum GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per channel — the robust center percentile()/median()
+    cannot give when observations carry unequal weights (sampling weights,
+    dwell times, repetition counts; here a deterministic 1 + user_id % 3
+    stands in): the smallest value whose cumulative weight reaches half the
+    group's total. No built-in computes this in either engine — it falls
+    out of window algebra: ordered running weight sum + per-group total
+    (two frames over ONE event_type shuffle, the win_running discipline),
+    then a conditional min. The selected value is an exact row passthrough
+    and the cw >= tot/2 comparison is integer-vs-exact-half — no float
+    rounding anywhere (PARITY rule 1). Ties on value order by event_id
+    identically in both dialects.
+
+    At 100 TB: same single shuffle on the group key; for a driver-sized
+    group count the alternative two-pass percentile_approx-style estimate
+    trades exactness for one less sort — this exact form is the oracle-able
+    contract."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", (1 + F.col("user_id") % 3).alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = ev.select(
+        "event_type",
+        "value",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tot"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cw") >= F.col("tot") / 2.0, F.col("value"))).alias("w_median"),
+        F.min("tot").alias("total_weight"),
+    )

@@ -1890,3 +1890,95 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= MAXSIM_K)
         .select("qid", "vec_id", F.round("s", 4).alias("maxsim"), "rank")
     )
+
+
+OUTLIER_MD_TAU = 1.01  # normalized Mahalanobis fence. The fixture corpus is
+                       # in-distribution by construction (md concentrates at
+                       # ~1.0 ± 0.02 for iid unit vectors), so the fence sits
+                       # in the measured tail: a handful of flags per SF.
+
+
+@query(
+    "embed_outlier_score",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, label, i - 1 AS dim, embedding[i]::DOUBLE AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    stats AS (
+        SELECT dim, avg(v) AS mu,
+               sum(v * v) / count(*) - avg(v) * avg(v) AS var
+        FROM x GROUP BY dim
+    ),
+    d2 AS (
+        SELECT x.vec_id, x.label,
+               sum((x.v - s.mu) * (x.v - s.mu) / nullif(s.var, 0)) AS dist2,
+               count(*)::BIGINT AS d
+        FROM x JOIN stats s ON x.dim = s.dim
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           round(sqrt(dist2 / d), 4) AS md,
+           round(sqrt(dist2 / d), 4) > {OUTLIER_MD_TAU} AS is_outlier
+    FROM d2
+    """,
+    tags=("llm", "embedding", "quality"),
+)
+def embed_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier scoring — diagonal-Mahalanobis distance of every
+    vector from the corpus distribution (per-dimension mean/variance), the
+    hygiene filter that catches mis-encoded, truncated, or off-manifold
+    vectors BEFORE they poison ANN indexes and centroid training
+    (embed_hygiene_audit checks norms/NaNs; this checks SHAPE). Normalized
+    by dimension count so the score is comparable across embedding sizes;
+    flagging uses a fixed threshold, not a data-dependent percentile — a
+    percentile cut needs a second global pass, while the fixed fence is one
+    map-side comparison (clean_winsorize shows the two-pass form).
+
+    Scale shape: the per-dim stats are ONE d-row aggregate (explode +
+    partial aggs); the scoring pass folds each vector against the
+    BROADCAST mu/var arrays with a JVM higher-order zip_with — no per-row
+    join, no Python, one map-side pass over the corpus. The oracle computes
+    the identical sum via the explode-join formulation (4-dp round absorbs
+    fold-order noise, PARITY rule 6)."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    stats = x.groupBy("dim").agg(
+        F.avg("v").alias("mu"),
+        (F.sum(F.col("v") * F.col("v")) / F.count(F.lit(1))
+         - F.avg("v") * F.avg("v")).alias("var"),
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("mu_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "var"))), lambda s: s["var"]
+        ).alias("var_arr"),
+    )
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("mu_arr"),
+        lambda v, m: v - m,
+    )
+    dist2 = F.aggregate(
+        F.zip_with(centered, F.col("var_arr"), lambda c, s: c * c / F.nullif(s, F.lit(0.0))),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    md = F.sqrt(dist2 / F.size("embedding"))
+    return (
+        e.crossJoin(F.broadcast(arrs))
+        .select(
+            "vec_id",
+            "label",
+            F.round(md, 4).alias("md"),
+            # flag on the ROUNDED score: both dialects' rounded md is the
+            # hash-checked column, so the flag can never flip on fold-order
+            # noise at the fence (the sim_pairs margin discipline, made
+            # structural)
+            (F.round(md, 4) > OUTLIER_MD_TAU).alias("is_outlier"),
+        )
+    )

@@ -359,6 +359,14 @@ EXTENSIONS = [
     # histograms maintained by ONE stateful aggregation, drift scored
     # against the static reference on the result table (batch stage)
     "stream_psi_drift",
+    # round 5 continuation: diagonal-Mahalanobis embedding outlier scoring —
+    # per-dim stats folded against each vector by a broadcast JVM zip_with
+    # (one map-side pass); flag compares the ROUNDED hash-checked score
+    "embed_outlier_score",
+    # round 5 continuation: weighted median per channel from window algebra
+    # (ordered running weight sum + group total over one shuffle) — exact,
+    # no float rounding anywhere in the selection
+    "agg_weighted_median",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

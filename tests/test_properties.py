@@ -945,3 +945,44 @@ class TestRound5ContinuationOps:
         dense = [r for r in rows if r.n_events >= 50]
         if dense:
             assert all(r.psi < 0.5 for r in dense)
+
+    def test_outlier_score_matches_numpy_and_flag_consistent(self, spark, sf_dir):
+        """Recompute diagonal Mahalanobis in numpy; scores agree to 4 dp and
+        the flag equals (rounded score > fence)."""
+        import numpy as np
+
+        from rvi_big_data_api_spark.operators.llm_sim import OUTLIER_MD_TAU
+
+        X = np.array(
+            [
+                (r.vec_id, *r.embedding)
+                for r in load(spark, sf_dir, "embeddings").collect()
+            ],
+            dtype=np.float64,
+        )
+        ids, V = X[:, 0].astype(int), X[:, 1:]
+        mu, var = V.mean(axis=0), V.var(axis=0)
+        md = np.sqrt(((V - mu) ** 2 / var).sum(axis=1) / V.shape[1])
+        expect = dict(zip(ids.tolist(), md.tolist()))
+        rows = REGISTRY["embed_outlier_score"].fn(spark, sf_dir).collect()
+        for r in rows:
+            assert abs(r.md - round(expect[r.vec_id], 4)) <= 1e-4, r
+            assert r.is_outlier == (r.md > OUTLIER_MD_TAU), r
+
+    def test_weighted_median_defining_property(self, spark, sf_dir):
+        """The weighted median m of each group satisfies the defining
+        inequality: weight of {value < m} < tot/2 and weight of
+        {value <= m} >= tot/2."""
+        rows = REGISTRY["agg_weighted_median"].fn(spark, sf_dir).collect()
+        ev = load(spark, sf_dir, "events").collect()
+        groups = {}
+        for e in ev:
+            groups.setdefault(e.event_type, []).append((e.value, 1 + e.user_id % 3))
+        assert len(rows) == len(groups)
+        for r in rows:
+            vw = groups[r.event_type]
+            tot = sum(w for _, w in vw)
+            assert r.total_weight == tot
+            below = sum(w for v, w in vw if v < r.w_median)
+            at_or_below = sum(w for v, w in vw if v <= r.w_median)
+            assert below < tot / 2.0 <= at_or_below, r
