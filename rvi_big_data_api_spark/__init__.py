@@ -85,6 +85,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "graph_label_propagation", "dedup_containment", "sim_maxsim_multivector",
     "seq_pattern_detect", "stream_psi_drift",
     "embed_outlier_score", "agg_weighted_median",
+    "text_novelty_score", "corpus_diverse_sample",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1982,3 +1982,51 @@ def embed_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(md, 4) > OUTLIER_MD_TAU).alias("is_outlier"),
         )
     )
+
+
+DIVERSE_K = 5  # docs kept per quantizer bucket
+
+
+@query(
+    "corpus_diverse_sample",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT e.vec_id AS doc_id, d.lang, d.n_chars,
+               ((e.embedding[1] > 0)::INT * 1 + (e.embedding[2] > 0)::INT * 2
+                + (e.embedding[3] > 0)::INT * 4 + (e.embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    )
+    SELECT bucket, doc_id, lang, n_chars, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY bucket
+                                     ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM bucketed
+    ) WHERE rank <= {DIVERSE_K}
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-stratified corpus sampling — the selection step after
+    dedup/quality: instead of a global top-N (which over-picks one dense
+    region of embedding space), partition the corpus by the sign-bit
+    quantizer bucket (each bucket ≈ a semantic region) and keep the top
+    docs per bucket by a quality key (doc length here; any score column
+    slots in). The embarrassingly parallel cousin of maximal-marginal-
+    relevance: bucket-stratification buys the diversity, a rank window
+    buys the quality ordering, and no pairwise similarity is ever computed
+    at selection time.
+
+    Scale shape: one broadcast-able doc↔embedding equi-join, then
+    topk_per_group's exact plan — rank window over one bucket-keyed
+    shuffle; buckets grow with n_bits as the corpus grows (signbit_bucket's
+    sizing note), keeping per-bucket sort cost flat."""
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), signbit_bucket(F.col("embedding")).alias("bucket")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("bucket").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        e.join(d, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DIVERSE_K)
+        .select("bucket", "doc_id", "lang", "n_chars", "rank")
+    )

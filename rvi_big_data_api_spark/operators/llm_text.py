@@ -1796,3 +1796,57 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(term, 6) + F.lit(0.0)).alias("psi_term"),
         F.round(F.sum(term).over(wall), 6).alias("psi_total"),
     )
+
+
+@query(
+    "text_novelty_score",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    gram_df AS (SELECT gram, count(*)::BIGINT AS n_docs FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           round(sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) / count(*), 4) AS novelty
+    FROM grams g JOIN gram_df d ON g.gram = d.gram
+    GROUP BY g.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level novelty per document — the fraction of a doc's distinct
+    word-trigrams that appear in NO other document. Low novelty marks
+    boilerplate/template/near-dup material a diversity-weighted sampler
+    should down-weight; high novelty marks unique content worth keeping
+    (text_repetition is the INTRA-doc twin, dedup_* find the pairs — this
+    scores every doc against the whole corpus in aggregate, no pair list).
+
+    Scale shape: distinct (doc, gram) on xxhash64 keys, ONE gram-keyed
+    partial agg for document frequency, one equi-join back, one doc-keyed
+    agg — two shuffles total, both on 8-byte keys, never a doc×doc product.
+    The integer ratio divides exactly in both dialects."""
+    docs = load(spark, sf_dir, "documents")
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> array_join(slice(toks, i, 3), ' '))"
+    )
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(grams_expr).alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("gram"))
+        .distinct()
+    )
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    uniq = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("long")
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            uniq.alias("n_unique"),
+            F.round(uniq / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )

@@ -367,6 +367,14 @@ EXTENSIONS = [
     # (ordered running weight sum + group total over one shuffle) — exact,
     # no float rounding anywhere in the selection
     "agg_weighted_median",
+    # round 5 continuation: per-doc corpus novelty — fraction of a doc's
+    # distinct trigrams appearing in no other document; two 8-byte-key
+    # shuffles, no pair list
+    "text_novelty_score",
+    # round 5 continuation: diversity-stratified sampling — top-k docs per
+    # sign-bit quantizer bucket by a quality key; bucket-stratified MMR
+    # cousin with zero pairwise similarity at selection time
+    "corpus_diverse_sample",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -986,3 +986,46 @@ class TestRound5ContinuationOps:
             below = sum(w for v, w in vw if v < r.w_median)
             at_or_below = sum(w for v, w in vw if v <= r.w_median)
             assert below < tot / 2.0 <= at_or_below, r
+
+    def test_novelty_bounds_and_dup_docs_score_low(self, spark, sf_dir):
+        """Novelty is a valid fraction everywhere, and documents that near-dup
+        ops pair up score strictly lower novelty than the corpus median."""
+        rows = REGISTRY["text_novelty_score"].fn(spark, sf_dir).collect()
+        by_doc = {r.doc_id: r for r in rows}
+        for r in rows:
+            assert 0 <= r.novelty <= 1 and r.n_unique <= r.n_grams, r
+        novs = sorted(r.novelty for r in rows)
+        median = novs[len(novs) // 2]
+        dup_docs = set()
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect():
+            dup_docs.add(r.doc_a); dup_docs.add(r.doc_b)
+        assert dup_docs
+        for d in dup_docs:
+            assert by_doc[d].novelty < median, (d, by_doc[d].novelty, median)
+
+    def test_diverse_sample_covers_buckets_with_topk_property(self, spark, sf_dir):
+        """Per bucket: ranks are 1..k, lengths are the bucket's true top-k,
+        and the sample spans many buckets (the diversity point)."""
+        rows = REGISTRY["corpus_diverse_sample"].fn(spark, sf_dir).collect()
+        from rvi_big_data_api_spark.operators.llm_sim import DIVERSE_K, signbit_bucket
+
+        per_bucket = {}
+        for r in rows:
+            per_bucket.setdefault(r.bucket, []).append(r)
+        assert len(per_bucket) >= 8  # 4-bit quantizer: most of 16 buckets hit
+        docs = {
+            r.doc_id: r.n_chars for r in load(spark, sf_dir, "documents").collect()
+        }
+        buckets = {
+            r.vec_id: sum(
+                (1 << k) for k in range(4) if r.embedding[k] > 0
+            )
+            for r in load(spark, sf_dir, "embeddings").collect()
+        }
+        for b, rs in per_bucket.items():
+            assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+            expect = sorted(
+                ((-docs[v], v) for v, bb in buckets.items() if bb == b),
+            )[: len(rs)]
+            got = sorted((-r.n_chars, r.doc_id) for r in rs)
+            assert got == expect, (b, got, expect)
