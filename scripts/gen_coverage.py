@@ -32,6 +32,7 @@ SECTIONS = {
     "sql_": "§2.13 SQL entry points (lateral/recursive/parameterized)",
     "graph_": "§2.13 Graph ops",
     "anomaly_": "§2.9 Telemetry", "event_": "§2.9 Telemetry",
+    "seq_": "§2.9 Telemetry",
     "retention_": "§2.9 Telemetry", "state_": "§2.9 Telemetry",
     "clean_": "§2.9 Telemetry", "cdc_": "§2.9 Telemetry",
     "geo_": "§2.9 Telemetry",
