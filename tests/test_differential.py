@@ -646,3 +646,37 @@ def test_generated_array_hof_pipelines_agree_across_engines(spark, duck, sf_dir,
             assert math.isclose(float(sv), float(dv), rel_tol=1e-9, abs_tol=1e-9), (
                 k, sv, dv, render("spark"),
             )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=atom,
+    m=st.integers(min_value=0, max_value=40),
+    k=st.integers(min_value=1, max_value=15),
+)
+def test_generated_limit_offset_pages_agree_across_engines(spark, duck, sf_dir, pred, m, k):
+    """Differential drive over LIMIT k OFFSET m pagination (the limit_offset
+    contract): with a unique-key total order, page (m, k) must be identical
+    in both engines, and consecutive pages must tile the head with no gap or
+    overlap."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    base = (
+        "SELECT event_id, user_id FROM events "
+        f"WHERE {pred} ORDER BY user_id ASC, event_id ASC"
+    )
+    page_sql = f"{base} LIMIT {k} OFFSET {m}"
+    s = [(int(r[0]), int(r[1])) for r in spark.sql(page_sql).collect()]
+    d = [(int(r[0]), int(r[1])) for r in duck.execute(page_sql).fetchall()]
+    assert s == d, f"page diverges: {page_sql}"
+    head = [
+        (int(r[0]), int(r[1]))
+        for r in spark.sql(f"{base} LIMIT {m + k}").collect()
+    ]
+    assert s == head[m:], f"page is not the head slice: {page_sql}"
