@@ -1227,3 +1227,50 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cw") >= F.col("tot") / 2.0, F.col("value"))).alias("w_median"),
         F.min("tot").alias("total_weight"),
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS i
+        FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round((2.0 * sum(i * value) - (count(*) + 1) * sum(value))
+                 / (count(*) * sum(value)), 6) AS gini
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient per channel — the concentration summary behind
+    source-mix and contribution-inequality monitors (is 1% of vehicles
+    producing 90% of the volume? is one source dominating the token
+    budget?): G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the ascending sort,
+    the exact finite-sample formula — no builtin computes it in either
+    engine, but it falls out of one rank window + one aggregate.
+
+    Tie order among equal values cannot change the statistic (Σ i·x over a
+    run of equal x is order-invariant), so the event_id tiebreak is for the
+    window's determinism, not the result's. One shuffle on the group key
+    (the win_running discipline); the multiply-accumulate stays integer ×
+    double until the single final division, rounded 6 dp."""
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .withColumn("i", F.row_number().over(w))
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("value")) - (n + 1) * F.sum("value"))
+            / (n * F.sum("value")),
+            6,
+        ).alias("gini"),
+    )

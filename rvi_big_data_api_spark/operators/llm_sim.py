@@ -1558,14 +1558,20 @@ _DUCK_MUTUAL_CTES = f"""
     )"""
 
 
-def mutual_knn_edges(e: DataFrame) -> DataFrame:
+def mutual_knn_edges(e: DataFrame, n_bits: int = IVF_SIGN_BITS) -> DataFrame:
     """Directed mutual-kNN edge list (src, dst, dot) — both orientations of
     every surviving edge. Candidates come from the sign-bit quantizer
     equi-join (sim_topk_ann's scale path), the per-source top-k is a rank
     window, and mutuality is a self-equi-join on the reversed pair. Shared
     by knn_graph_mutual (canonical pair output) and
-    graph_label_propagation (neighborhood votes)."""
-    eb = e.withColumn("bucket", signbit_bucket(F.col("embedding")))
+    graph_label_propagation (neighborhood votes).
+
+    ``n_bits`` is the scale knob (signbit_bucket's sizing rule): in-bucket
+    candidate cost is quadratic in bucket size, so the bucket count must
+    grow with the corpus — n_bits ≈ log2(N / target_bucket_rows). The
+    oracled fixture ops pin the 4-bit default; the measured 10x mitigation
+    (SCALE.md) drives wider buckets through this parameter."""
+    eb = e.withColumn("bucket", signbit_bucket(F.col("embedding"), n_bits))
     a, b = eb.alias("a"), eb.alias("b")
     scored = a.join(
         b,

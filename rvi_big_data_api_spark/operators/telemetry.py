@@ -1928,3 +1928,85 @@ def seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_funnels"),
         F.col("seq").contains("e").alias("has_error"),
     )
+
+
+ATTRIB_WINDOW_S = 30 * 60  # last-touch lookback
+
+
+@query(
+    "event_attribution",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, value,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events
+    ),
+    carried AS (
+        SELECT *,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS) OVER wp AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase' THEN sec END
+                          IGNORE NULLS) OVER wp AS touch_sec
+        FROM ordered
+        WINDOW wp AS (PARTITION BY user_id ORDER BY sec, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch_sec IS NOT NULL AND sec - touch_sec <= {{win}}
+                THEN touch_type ELSE 'none' END AS attributed_channel,
+           count(*)::BIGINT AS n_purchases,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           round(sum(value), 2) AS attributed_value
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1
+    """.format(win=ATTRIB_WINDOW_S),
+    tags=("telemetry",),
+)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — for every purchase, credit the user's most
+    recent non-purchase event within the lookback window (the conversion-
+    credit primitive under marketing/funnel reporting; event_funnel measures
+    step completion, this assigns VALUE to the step that preceded
+    conversion). Purchases with no touch inside the window credit 'none'.
+
+    Shape: one user-keyed window carries the last non-purchase (type, sec)
+    pair forward via IGNORE NULLS over the 1-PRECEDING frame (the
+    resample_ffill discipline — both carried columns null out on exactly
+    the same rows, so they always describe ONE touch event); the purchase
+    filter and channel rollup are a partial agg. One shuffle total, and the
+    same plan at 100 TB — an as-of join would shuffle both sides; the
+    window formulation pays one."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    carried = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "sec",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(wp)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("sec")), ignorenulls=True)
+        .over(wp)
+        .alias("touch_sec"),
+    )
+    attributed = F.when(
+        F.col("touch_sec").isNotNull()
+        & ((F.col("sec") - F.col("touch_sec")) <= ATTRIB_WINDOW_S),
+        F.col("touch_type"),
+    ).otherwise("none")
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(attributed.alias("attributed_channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

@@ -375,6 +375,13 @@ EXTENSIONS = [
     # sign-bit quantizer bucket by a quality key; bucket-stratified MMR
     # cousin with zero pairwise similarity at selection time
     "corpus_diverse_sample",
+    # round 5 continuation: Gini concentration per channel — exact
+    # finite-sample formula from one rank window + one aggregate
+    "agg_gini",
+    # round 5 continuation: last-touch attribution — one user-keyed window
+    # carries the latest non-purchase touch forward (IGNORE NULLS, the
+    # resample_ffill discipline), channel rollup of purchase credit
+    "event_attribution",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

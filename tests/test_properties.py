@@ -1029,3 +1029,53 @@ class TestRound5ContinuationOps:
             )[: len(rs)]
             got = sorted((-r.n_chars, r.doc_id) for r in rs)
             assert got == expect, (b, got, expect)
+
+    def test_gini_matches_numpy_and_bounds(self, spark, sf_dir):
+        """Recompute the Gini coefficient per channel in numpy; values agree
+        to 6 dp and sit in [0, 1) for positive data."""
+        import numpy as np
+
+        rows = REGISTRY["agg_gini"].fn(spark, sf_dir).collect()
+        ev = load(spark, sf_dir, "events").collect()
+        groups = {}
+        for e in ev:
+            groups.setdefault(e.event_type, []).append(e.value)
+        for r in rows:
+            x = np.sort(np.array(groups[r.event_type]))
+            n = len(x)
+            g = (2 * np.sum(np.arange(1, n + 1) * x) - (n + 1) * x.sum()) / (n * x.sum())
+            assert abs(r.gini - round(float(g), 6)) <= 2e-6, (r, g)
+            assert 0 <= r.gini < 1, r
+
+    def test_attribution_conserves_purchases(self, spark, sf_dir):
+        """Attributed purchase counts sum to the total purchase count, the
+        channel set is only {click,error,signup,view,none}, and a Python
+        replay of the last-touch rule agrees per channel."""
+        rows = REGISTRY["event_attribution"].fn(spark, sf_dir).collect()
+        from rvi_big_data_api_spark.operators.telemetry import ATTRIB_WINDOW_S
+
+        ev = sorted(
+            load(spark, sf_dir, "events")
+            .selectExpr(
+                "user_id", "event_id", "event_type",
+                "unix_timestamp(date_trunc('second', ts)) AS sec",
+            )
+            .collect(),
+            key=lambda r: (r.user_id, r.sec, r.event_id),
+        )
+        expect = {}
+        last_touch = {}
+        for e in ev:
+            if e.event_type == "purchase":
+                t = last_touch.get(e.user_id)
+                ch = (
+                    t[1]
+                    if t is not None and e.sec - t[0] <= ATTRIB_WINDOW_S
+                    else "none"
+                )
+                expect[ch] = expect.get(ch, 0) + 1
+            else:
+                last_touch[e.user_id] = (e.sec, e.event_type)
+        got = {r.attributed_channel: r.n_purchases for r in rows}
+        assert got == expect
+        assert set(got) <= {"click", "error", "signup", "view", "none"}
