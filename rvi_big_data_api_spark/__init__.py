@@ -86,7 +86,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "seq_pattern_detect", "stream_psi_drift",
     "embed_outlier_score", "agg_weighted_median",
     "text_novelty_score", "corpus_diverse_sample",
-    "agg_gini", "event_attribution",
+    "agg_gini", "event_attribution", "ab_experiment_report",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -476,3 +476,89 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report
+
+
+@query(
+    "ab_experiment_report",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n_users,
+               sum(converted)::BIGINT AS n_converted,
+               sum(converted) / count(*) AS rate
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN arm = 'control' THEN n_users END)::BIGINT AS n_c,
+            max(CASE WHEN arm = 'control' THEN n_converted END)::BIGINT AS x_c,
+            max(CASE WHEN arm = 'control' THEN rate END) AS r_c,
+            max(CASE WHEN arm = 'treatment' THEN n_users END)::BIGINT AS n_t,
+            max(CASE WHEN arm = 'treatment' THEN n_converted END)::BIGINT AS x_t,
+            max(CASE WHEN arm = 'treatment' THEN rate END) AS r_t
+        FROM arms
+    )
+    SELECT n_c, x_c, round(r_c, 6) AS rate_control,
+           n_t, x_t, round(r_t, 6) AS rate_treatment,
+           round(r_t - r_c, 6) + 0.0 AS lift,
+           round((r_t - r_c) / nullif(sqrt(
+               ((x_c + x_t) / (n_c + n_t)) * (1 - (x_c + x_t) / (n_c + n_t))
+               * (1.0 / n_c + 1.0 / n_t)), 0), 4) + 0.0 AS z_score
+    FROM wide
+    """,
+    tags=("analytics", "experiment"),
+)
+def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — deterministic hash assignment plus the
+    two-proportion pooled z-test, the analysis loop every product/fleet
+    experiment runs: users bucket to arms by an md5 nibble of the STABLE
+    user key (corpus_shard_split's rule — re-runs and late events never
+    migrate a user between arms; never rand()), per-user conversion is a
+    max-flag rollup, and the readout is conversion rates, absolute lift,
+    and the pooled z-score (|z| > 1.96 ⇒ 95 % significance).
+
+    Shape: one partial-agg groupBy(user) → one 2-row arm aggregate → a
+    conditional-max pivot to one row (agg_pivot's trick) — the z arithmetic
+    runs on a single driver-sized row, all heavy lifting is two partial
+    aggs. Integer counts until the final divisions; sqrt is libm (PARITY
+    rule 8, 4-dp round; + 0.0 collapses a potential -0.0 lift)."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1) < "8",
+        "control",
+    ).otherwise("treatment")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("converted"),
+    ).withColumn("arm", arm)
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        (F.sum("converted") / F.count(F.lit(1))).alias("rate"),
+    )
+    def pick(col: str, a: str):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+    wide = arms.agg(
+        pick("n_users", "control").alias("n_c"),
+        pick("n_converted", "control").alias("x_c"),
+        pick("rate", "control").alias("r_c"),
+        pick("n_users", "treatment").alias("n_t"),
+        pick("n_converted", "treatment").alias("x_t"),
+        pick("rate", "treatment").alias("r_t"),
+    )
+    pooled = (F.col("x_c") + F.col("x_t")) / (F.col("n_c") + F.col("n_t"))
+    se = F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t")))
+    return wide.select(
+        "n_c", "x_c", F.round("r_c", 6).alias("rate_control"),
+        "n_t", "x_t", F.round("r_t", 6).alias("rate_treatment"),
+        (F.round(F.col("r_t") - F.col("r_c"), 6) + F.lit(0.0)).alias("lift"),
+        (F.round((F.col("r_t") - F.col("r_c")) / F.nullif(se, F.lit(0.0)), 4) + F.lit(0.0)).alias("z_score"),
+    )

@@ -382,6 +382,10 @@ EXTENSIONS = [
     # carries the latest non-purchase touch forward (IGNORE NULLS, the
     # resample_ffill discipline), channel rollup of purchase credit
     "event_attribution",
+    # round 5 continuation (#300): deterministic A/B assignment + pooled
+    # two-proportion z-test readout — hash-stable arms (never rand()),
+    # two partial aggs then one-row arithmetic
+    "ab_experiment_report",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1079,3 +1079,28 @@ class TestRound5ContinuationOps:
         got = {r.attributed_channel: r.n_purchases for r in rows}
         assert got == expect
         assert set(got) <= {"click", "error", "signup", "view", "none"}
+
+    def test_ab_report_is_consistent_and_aa_insignificant(self, spark, sf_dir):
+        """Counts reconcile with a Python replay of the assignment + metric,
+        rates equal x/n, and the A/A hash split stays statistically
+        insignificant (|z| < 1.96) — the fixture has no real treatment."""
+        import hashlib
+
+        r = REGISTRY["ab_experiment_report"].fn(spark, sf_dir).collect()[0]
+        ev = load(spark, sf_dir, "events").collect()
+        users = {}
+        for e in ev:
+            conv = e.event_type == "purchase" and e.value > 150
+            users[e.user_id] = users.get(e.user_id, False) or conv
+        n = {"control": 0, "treatment": 0}
+        x = {"control": 0, "treatment": 0}
+        for uid, conv in users.items():
+            arm = "control" if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8" else "treatment"
+            n[arm] += 1
+            x[arm] += int(conv)
+        assert (r.n_c, r.x_c, r.n_t, r.x_t) == (
+            n["control"], x["control"], n["treatment"], x["treatment"]
+        )
+        assert abs(r.rate_control - round(x["control"] / n["control"], 6)) < 1e-9
+        assert abs(r.rate_treatment - round(x["treatment"] / n["treatment"], 6)) < 1e-9
+        assert abs(r.z_score) < 1.96, r.z_score
