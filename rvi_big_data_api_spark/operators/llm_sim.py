@@ -1699,6 +1699,12 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
         )
         .select("i", "j", ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / n).alias("cov"))
+        # NOT checkpointed: the audit's 29-scan plan looks like per-consumer
+        # recompute, but the repeated subtrees share shuffles via
+        # ReusedExchange at runtime — an eager checkpoint here measured
+        # SLOWER (6-12.8 s vs 3.1 s at sf0.1: the d-squared write costs more
+        # than the shared recompute). Same negative result as
+        # ngram_sim_edges' cache note; measure before materializing.
     )
 
     def normalize(r: DataFrame) -> DataFrame:
@@ -1801,6 +1807,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     — edge-list-sized shuffles, the dedup_cluster discipline. Ties break
     (n_votes DESC, label ASC) identically in both dialects."""
     e = load(spark, sf_dir, "embeddings")
+    # NOT checkpointed: both vote rounds consume the edge subtree, but its
+    # shuffles are shared via ReusedExchange — an eager checkpoint measured
+    # SLOWER (≈10 s vs 4.3 s at sf0.1), the ngram_sim_edges negative result
+    # again. min_label_components checkpoints because its loop DEPTH grows;
+    # two fixed rounds do not.
     edges = mutual_knn_edges(e).select("src", "dst")
     seeds = (
         e.filter(F.col("vec_id") < LP_SEEDS)
