@@ -23,6 +23,7 @@ from .operators import (  # noqa: F401
     llm_dedup,
     llm_sim,
     llm_text,
+    ml_eval,
     multimodal,
     setops,
     sorts,
@@ -87,6 +88,9 @@ PRIORITY_UNVERIFIED: list[str] = [
     "embed_outlier_score", "agg_weighted_median",
     "text_novelty_score", "corpus_diverse_sample",
     "agg_gini", "event_attribution", "ab_experiment_report",
+    # round-5 continuation: ML-eval / feature-engineering family
+    "eval_retrieval_metrics", "eval_classification_report",
+    "feature_hashing", "feature_scaling", "stats_ttest_welch",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1,0 +1,503 @@
+"""Model-evaluation and feature-engineering operators — the measurement
+layer a training-data pipeline runs AFTER retrieval/dedup/labeling and the
+feature-preparation steps it runs BEFORE training.
+
+Reference note: `/root/reference/` is empty (SURVEY.md §0); these extend the
+SURVEY §2.13 LLM-pipeline mandate with the standard evaluation loop
+(ranking metrics, classification report, two-sample tests) and the two
+feature transforms (hashing trick, scaling) every tabular/embedding
+training set needs. All metrics are hash-checked against DuckDB twins —
+an eval metric that is itself unverified is a silent-quality bug
+(eval_ann_recall's rule, applied to the whole family).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load
+from ..registry import query
+from .llm_sim import (
+    KNN_K,
+    KNN_NQUERIES,
+    SIM_TOPK_K,
+    SIM_TOPK_NQUERIES,
+    dot,
+    knn_label,
+    signbit_bucket,
+)
+
+RET_DEPTH = 10  # system retrieval depth for ranking metrics (> truth K)
+# Binary-gain ideal DCG for SIM_TOPK_K relevant items at the top of the
+# list: a Python-computed constant embedded as the SAME decimal literal in
+# both dialects (repr round-trips exactly to the double both engines parse).
+RET_IDCG = sum(1.0 / math.log2(i + 1) for i in range(1, SIM_TOPK_K + 1))
+
+
+@query(
+    "eval_retrieval_metrics",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings
+    ),
+    truth AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE rank <= {SIM_TOPK_K}
+    ),
+    retrieved AS (
+        SELECT qid, vec_id, rank FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM bucketed q JOIN bucketed e
+              ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE rank <= {RET_DEPTH}
+    ),
+    marked AS (
+        SELECT r.qid, r.rank,
+               CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+        FROM retrieved r LEFT JOIN truth t
+          ON r.qid = t.qid AND r.vec_id = t.vec_id
+    )
+    SELECT qid,
+           round(coalesce(1.0 / min(CASE WHEN hit = 1 THEN rank END), 0.0), 4)
+               AS mrr,
+           round(sum(hit) / {RET_DEPTH}.0, 4) AS precision_at_k,
+           round(sum(CASE WHEN hit = 1 THEN 1.0 / log2(rank + 1) ELSE 0 END)
+                 / {RET_IDCG!r}, 4) AS ndcg_at_k
+    FROM marked GROUP BY qid
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics (MRR, precision@k, NDCG@k) of the sign-bit
+    ANN arm against exhaustive-cosine ground truth, per query — the
+    position-aware companion to eval_ann_recall's set-overlap recall.
+    Recall says WHETHER the true neighbors were retrieved; NDCG/MRR say
+    WHERE in the list they landed, which is what a reranker or a RAG
+    context-window cutoff actually consumes.
+
+    Gains are binary (membership in the exact top-K), IDCG is therefore the
+    constant best-case prefix sum, embedded as the same decimal literal in
+    both dialects. Scale shape is eval_ann_recall's: the ground-truth arm
+    runs over a SAMPLED query batch (broadcast, corpus never shuffles);
+    the retrieved arm is the production bucket-equi-join. log2 is libm in
+    both engines (PARITY rule 8; 4-dp round)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        signbit_bucket(F.col("embedding")).alias("q_bucket"),
+    )
+    corpus = e.withColumn("bucket", signbit_bucket(F.col("embedding")))
+    w = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+
+    truth = (
+        corpus.crossJoin(F.broadcast(q.select("qid", "q_emb")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("qid", "vec_id")
+    )
+    retrieved = (
+        corpus.join(F.broadcast(q), corpus.bucket == q.q_bucket)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RET_DEPTH)
+        .select("qid", "vec_id", "rank")
+    )
+    marked = retrieved.join(
+        truth.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+    ).select("qid", "rank", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    return marked.groupBy("qid").agg(
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.min(F.when(F.col("hit") == 1, F.col("rank"))),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("mrr"),
+        F.round(F.sum("hit") / F.lit(float(RET_DEPTH)), 4).alias("precision_at_k"),
+        F.round(
+            F.sum(
+                F.when(F.col("hit") == 1, F.lit(1.0) / F.log2(F.col("rank") + 1)).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / F.lit(RET_IDCG),
+            4,
+        ).alias("ndcg_at_k"),
+    )
+
+
+@query(
+    "eval_classification_report",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, e.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id >= {KNN_NQUERIES}
+        WHERE q.vec_id < {KNN_NQUERIES}
+    ),
+    votes AS (
+        SELECT qid, label, count(*)::BIGINT AS n_votes
+        FROM scored WHERE rank <= {KNN_K}
+        GROUP BY qid, label
+    ),
+    preds AS (
+        SELECT qid, label AS pred FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY n_votes DESC, label ASC) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    ),
+    pairs AS (
+        SELECT p.qid, e.label AS truth, p.pred
+        FROM preds p JOIN embeddings e ON p.qid = e.vec_id
+    ),
+    by_truth AS (
+        SELECT truth AS label,
+               sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)::BIGINT AS tp,
+               sum(CASE WHEN pred != truth THEN 1 ELSE 0 END)::BIGINT AS fn
+        FROM pairs GROUP BY truth
+    ),
+    by_pred AS (
+        SELECT pred AS label,
+               sum(CASE WHEN pred != truth THEN 1 ELSE 0 END)::BIGINT AS fp
+        FROM pairs GROUP BY pred
+    )
+    SELECT coalesce(t.label, p.label) AS label,
+           coalesce(t.tp, 0)::BIGINT AS tp,
+           coalesce(p.fp, 0)::BIGINT AS fp,
+           coalesce(t.fn, 0)::BIGINT AS fn,
+           round(coalesce(t.tp, 0) / nullif(coalesce(t.tp, 0) + coalesce(p.fp, 0), 0), 4)
+               AS precision,
+           round(coalesce(t.tp, 0) / nullif(coalesce(t.tp, 0) + coalesce(t.fn, 0), 0), 4)
+               AS recall
+    FROM by_truth t FULL JOIN by_pred p ON t.label = p.label
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def eval_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall confusion report for knn_label's
+    classification-by-retrieval — the quality gate on any auto-labeling
+    pass before its labels enter a training set. Reuses knn_label's exact
+    registered plan for the predictions (one contract, two consumers), joins
+    the held-out true labels back, and derives per-class TP/FN from a
+    group-by on the true label plus FP from a group-by on the predicted
+    label, stitched with a FULL join so classes that are never predicted
+    (recall but no precision) and never true (precision but no recall)
+    both surface with NULL for the undefined metric (nullif guard).
+
+    Scale shape: the prediction subtree is knn_label's broadcast-query
+    pattern; the report itself aggregates Q rows twice and full-joins two
+    label-sized sides — driver-trivial. The pairs subtree appears under
+    both aggregate branches of one action (at 100 TB you'd checkpoint the
+    prediction table first — it is the expensive arm and is reused)."""
+    e = load(spark, sf_dir, "embeddings")
+    truth = e.filter(F.col("vec_id") < KNN_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("truth")
+    )
+    pairs = (
+        knn_label(spark, sf_dir)
+        .select("qid", F.col("predicted_label").alias("pred"))
+        .join(F.broadcast(truth), "qid")
+    )
+    by_truth = pairs.groupBy(F.col("truth").alias("label")).agg(
+        F.sum(F.when(F.col("pred") == F.col("truth"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") != F.col("truth"), 1).otherwise(0)).alias("fn"),
+    )
+    by_pred = pairs.groupBy(F.col("pred").alias("label")).agg(
+        F.sum(F.when(F.col("pred") != F.col("truth"), 1).otherwise(0)).alias("fp"),
+    )
+    joined = by_truth.join(by_pred, "label", "full").select(
+        "label",
+        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        F.coalesce(F.col("fp"), F.lit(0)).alias("fp"),
+        F.coalesce(F.col("fn"), F.lit(0)).alias("fn"),
+    )
+    return joined.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 4
+        ).alias("precision"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 4
+        ).alias("recall"),
+    )
+
+
+FEATURE_HASH_BUCKETS = 64  # hashed feature-vector width
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+    WITH feats AS (
+        SELECT c_custkey AS entity_id, 'seg=' || c_mktsegment AS feat FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nat=' || c_nationkey::VARCHAR FROM customer
+        UNION ALL
+        SELECT o_custkey, 'prio=' || o_orderpriority FROM orders
+    )
+    SELECT entity_id,
+           (('0x' || substr(md5(feat), 1, 8))::BIGINT % {FEATURE_HASH_BUCKETS})::INT
+               AS bucket,
+           count(*)::BIGINT AS weight
+    FROM feats
+    GROUP BY entity_id, bucket
+    """,
+    tags=("feature", "pipeline"),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick — categorical features mapped to a fixed-width
+    sparse vector without a fitted vocabulary: bucket = md5(feature
+    string) mod D. The property that matters for a 100 TB feature
+    pipeline is that the encoding is STATELESS — no dictionary to build,
+    broadcast, or version; any executor (and any engine — hence the exact
+    DuckDB twin) maps the same feature to the same bucket forever, so
+    train/serve skew by vocabulary drift is structurally impossible.
+    Multiplicity is preserved (a customer with five URGENT orders gets
+    weight 5 in that bucket) — the count IS the feature value.
+
+    Emitted in long/COO form (entity, bucket, weight) — the shape a
+    sparse trainer ingests and a groupBy-pivot densifies on demand.
+    Scale: one union of column-pruned scans, one partial-agg groupBy on
+    (entity, bucket); the md5 is per-row JVM code-gen. Bucket id uses the
+    first 8 md5 hex chars (< 2^32, so BIGINT-safe in both dialects) mod a
+    power-of-two width."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    feats = (
+        c.select(
+            F.col("c_custkey").alias("entity_id"),
+            F.concat(F.lit("seg="), F.col("c_mktsegment")).alias("feat"),
+        )
+        .unionAll(
+            c.select(
+                F.col("c_custkey").alias("entity_id"),
+                F.concat(F.lit("nat="), F.col("c_nationkey").cast("string")).alias("feat"),
+            )
+        )
+        .unionAll(
+            o.select(
+                F.col("o_custkey").alias("entity_id"),
+                F.concat(F.lit("prio="), F.col("o_orderpriority")).alias("feat"),
+            )
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % FEATURE_HASH_BUCKETS
+    ).cast("int")
+    return feats.groupBy("entity_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+
+
+@query(
+    "feature_scaling",
+    oracle="""
+    WITH seg AS (
+        SELECT o_orderkey, o_totalprice, c_mktsegment AS segment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    stats AS (
+        SELECT segment,
+               avg(o_totalprice) AS mu,
+               stddev_samp(o_totalprice) AS sigma,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi,
+               quantile_cont(o_totalprice, 0.5) AS med,
+               quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25)
+                   AS iqr
+        FROM seg GROUP BY segment
+    )
+    SELECT s.o_orderkey, s.segment,
+           round((s.o_totalprice - t.mu) / nullif(t.sigma, 0), 4) + 0.0 AS zscore,
+           round((s.o_totalprice - t.lo) / nullif(t.hi - t.lo, 0), 4) + 0.0 AS minmax,
+           round((s.o_totalprice - t.med) / nullif(t.iqr, 0), 4) + 0.0 AS robust
+    FROM seg s JOIN stats t ON s.segment = t.segment
+    """,
+    tags=("feature", "pipeline"),
+)
+def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling — the three standard normalizations
+    (z-score, min-max, robust median/IQR) of order value within each market
+    segment, computed as ONE stats pass per group broadcast back onto the
+    rows. This is the fit/transform split done Spark-shaped: the "fitted
+    scaler" is a group-count-sized DataFrame (the broadcast side), so
+    transform is a map-side join — rows never shuffle, only stats do.
+
+    Exact percentiles (`percentile` ↔ `quantile_cont`, the proven
+    agg_percentile pairing) for the robust arm; sample stddev in both
+    dialects; every division nullif-guarded (a constant-valued group keeps
+    NULL scale scores rather than ±inf). At 100 TB the stats pass is a
+    partial agg over the grouping key; percentile is the one non-partial
+    aggregate — swap to approx_percentile and drop the oracle to
+    rows-only if exactness is traded for one-pass speed."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select("o_orderkey", "o_totalprice", F.col("c_mktsegment").alias("segment"))
+    stats = seg.groupBy("segment").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        (
+            F.expr("percentile(o_totalprice, 0.75)")
+            - F.expr("percentile(o_totalprice, 0.25)")
+        ).alias("iqr"),
+    )
+    return seg.join(F.broadcast(stats), "segment").select(
+        "o_orderkey",
+        "segment",
+        (
+            F.round(
+                (F.col("o_totalprice") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("zscore"),
+        (
+            F.round(
+                (F.col("o_totalprice") - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("minmax"),
+        (
+            F.round(
+                (F.col("o_totalprice") - F.col("med")) / F.nullif(F.col("iqr"), F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("robust"),
+    )
+
+
+@query(
+    "stats_ttest_welch",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                   AS spend
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n, avg(spend) AS m, var_samp(spend) AS v
+        FROM per_user GROUP BY arm
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'control' THEN n END)::BIGINT AS n_c,
+               max(CASE WHEN arm = 'control' THEN m END) AS m_c,
+               max(CASE WHEN arm = 'control' THEN v END) AS v_c,
+               max(CASE WHEN arm = 'treatment' THEN n END)::BIGINT AS n_t,
+               max(CASE WHEN arm = 'treatment' THEN m END) AS m_t,
+               max(CASE WHEN arm = 'treatment' THEN v END) AS v_t
+        FROM arms
+    )
+    SELECT n_c, round(m_c, 4) AS mean_control,
+           n_t, round(m_t, 4) AS mean_treatment,
+           round((m_t - m_c) / nullif(sqrt(v_c / n_c + v_t / n_t), 0), 4)
+               AS t_stat,
+           round(pow(v_c / n_c + v_t / n_t, 2)
+                 / nullif(pow(v_c / n_c, 2) / (n_c - 1)
+                          + pow(v_t / n_t, 2) / (n_t - 1), 0), 2) AS df
+    FROM wide
+    """,
+    tags=("analytics", "experiment"),
+)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on a continuous per-user metric
+    (purchase spend) — the companion to ab_experiment_report's
+    two-proportion z-test: conversion answers "did more users buy",
+    Welch answers "did users spend more", and a real experiment readout
+    runs both. Same deterministic md5-nibble arm assignment (stable under
+    re-runs and late events; never rand()); Satterthwaite df so unequal
+    arm sizes (the 8/16 nibble split is deliberately unbalanced) don't
+    overstate significance.
+
+    Shape: groupBy(user) partial agg → 2-row arm aggregate →
+    conditional-max pivot to one row; all t/df arithmetic runs on that
+    single row. var_samp in both dialects; divisions nullif-guarded
+    (a single-user arm has undefined variance → NULL t, not a crash)."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1) < "8",
+        "control",
+    ).otherwise("treatment")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("spend")
+    ).withColumn("arm", arm)
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("spend").alias("m"),
+        F.var_samp("spend").alias("v"),
+    )
+
+    def pick(col: str, a: str):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = arms.agg(
+        pick("n", "control").alias("n_c"),
+        pick("m", "control").alias("m_c"),
+        pick("v", "control").alias("v_c"),
+        pick("n", "treatment").alias("n_t"),
+        pick("m", "treatment").alias("m_t"),
+        pick("v", "treatment").alias("v_t"),
+    )
+    se2 = F.col("v_c") / F.col("n_c") + F.col("v_t") / F.col("n_t")
+    return wide.select(
+        "n_c",
+        F.round("m_c", 4).alias("mean_control"),
+        "n_t",
+        F.round("m_t", 4).alias("mean_treatment"),
+        F.round(
+            (F.col("m_t") - F.col("m_c")) / F.nullif(F.sqrt(se2), F.lit(0.0)), 4
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / F.nullif(
+                F.pow(F.col("v_c") / F.col("n_c"), 2) / (F.col("n_c") - 1)
+                + F.pow(F.col("v_t") / F.col("n_t"), 2) / (F.col("n_t") - 1),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("df"),
+    )

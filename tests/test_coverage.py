@@ -386,6 +386,15 @@ EXTENSIONS = [
     # two-proportion z-test readout — hash-stable arms (never rand()),
     # two partial aggs then one-row arithmetic
     "ab_experiment_report",
+    # round 5 continuation: ML-eval / feature-engineering family — ranking
+    # metrics (MRR/precision/NDCG) over the sign-bit ANN arm, per-class
+    # precision/recall for knn_label, stateless hashing-trick features,
+    # per-group z/minmax/robust scaling, and Welch's t on hash-assigned arms
+    "eval_retrieval_metrics",
+    "eval_classification_report",
+    "feature_hashing",
+    "feature_scaling",
+    "stats_ttest_welch",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

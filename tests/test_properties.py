@@ -1104,3 +1104,113 @@ class TestRound5ContinuationOps:
         assert abs(r.rate_control - round(x["control"] / n["control"], 6)) < 1e-9
         assert abs(r.rate_treatment - round(x["treatment"] / n["treatment"], 6)) < 1e-9
         assert abs(r.z_score) < 1.96, r.z_score
+
+
+class TestMlEvalFamily:
+    """Invariants for the ML-eval / feature-engineering family (round-5
+    continuation): metric ranges, count conservation, scaling algebra."""
+
+    def test_retrieval_metrics_bounded_and_consistent(self, spark, sf_dir):
+        """All three metrics live in [0, 1]; a query whose top-ranked
+        retrieved item is relevant has mrr == 1; precision > 0 ⟺ ndcg > 0
+        (both are sums over the same hit set)."""
+        rows = REGISTRY["eval_retrieval_metrics"].fn(spark, sf_dir).collect()
+        from rvi_big_data_api_spark.operators.llm_sim import SIM_TOPK_NQUERIES
+
+        assert len(rows) == SIM_TOPK_NQUERIES
+        for r in rows:
+            assert 0 <= r.mrr <= 1, r
+            assert 0 <= r.precision_at_k <= 1, r
+            assert 0 <= r.ndcg_at_k <= 1, r
+            assert (r.precision_at_k > 0) == (r.ndcg_at_k > 0), r
+            assert (r.precision_at_k > 0) == (r.mrr > 0), r
+
+    def test_retrieval_mrr_dominates_when_first_hit(self, spark, sf_dir):
+        """MRR is 1/rank-of-first-hit so it can never be smaller than the
+        binary-NDCG contribution of that single first hit."""
+        from rvi_big_data_api_spark.operators.ml_eval import RET_IDCG
+
+        import math
+
+        for r in REGISTRY["eval_retrieval_metrics"].fn(spark, sf_dir).collect():
+            if r.mrr > 0:
+                first_rank = round(1.0 / r.mrr)
+                single_hit_ndcg = (1.0 / math.log2(first_rank + 1)) / RET_IDCG
+                assert r.ndcg_at_k >= round(single_hit_ndcg, 4) - 1e-9, r
+
+    def test_classification_report_conserves_counts(self, spark, sf_dir):
+        """sum(tp) + sum(fn) over classes = number of queries (every query
+        has exactly one true label); sum(fp) = sum(fn) (each mistake is one
+        fn for the true class and one fp for the predicted class)."""
+        from rvi_big_data_api_spark.operators.llm_sim import KNN_NQUERIES
+
+        rows = REGISTRY["eval_classification_report"].fn(spark, sf_dir).collect()
+        assert sum(r.tp for r in rows) + sum(r.fn for r in rows) == KNN_NQUERIES
+        assert sum(r.fp for r in rows) == sum(r.fn for r in rows)
+        for r in rows:
+            if r.precision is not None:
+                assert 0 <= r.precision <= 1, r
+            if r.recall is not None:
+                assert 0 <= r.recall <= 1, r
+
+    def test_feature_hashing_conserves_multiplicity(self, spark, sf_dir):
+        """Total hashed weight = 2·|customer| + |orders| (two customer
+        features + one per order), and every bucket is inside the table."""
+        from rvi_big_data_api_spark.operators.ml_eval import FEATURE_HASH_BUCKETS
+
+        rows = REGISTRY["feature_hashing"].fn(spark, sf_dir).collect()
+        n_cust = load(spark, sf_dir, "customer").count()
+        n_ord = load(spark, sf_dir, "orders").count()
+        assert sum(r.weight for r in rows) == 2 * n_cust + n_ord
+        assert all(0 <= r.bucket < FEATURE_HASH_BUCKETS for r in rows)
+
+    def test_feature_hashing_is_stateless(self, spark, sf_dir):
+        """Same feature string → same bucket across independent plans: the
+        encoding carries no fitted state, so two runs agree bucket-for-bucket."""
+        a = REGISTRY["feature_hashing"].fn(spark, sf_dir)
+        b = REGISTRY["feature_hashing"].fn(spark, sf_dir)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_feature_scaling_algebra(self, spark, sf_dir):
+        """Per segment: z-scores average to ~0, minmax spans exactly [0, 1],
+        and the robust score is 0 at the median by construction."""
+        import collections
+
+        rows = REGISTRY["feature_scaling"].fn(spark, sf_dir).collect()
+        by_seg = collections.defaultdict(list)
+        for r in rows:
+            by_seg[r.segment].append(r)
+        for seg, rs in by_seg.items():
+            zs = [r.zscore for r in rs]
+            assert abs(sum(zs) / len(zs)) < 1e-3, seg
+            mms = [r.minmax for r in rs]
+            assert min(mms) == 0.0 and max(mms) == 1.0, seg
+            assert all(0 <= m <= 1 for m in mms), seg
+
+    def test_welch_t_matches_numpy(self, spark, sf_dir):
+        """Recompute Welch's t and the Satterthwaite df driver-side from the
+        same md5 arm assignment and compare to 4/2 dp."""
+        import hashlib
+
+        import numpy as np
+
+        r = REGISTRY["stats_ttest_welch"].fn(spark, sf_dir).collect()[0]
+        spend = {}
+        for e in load(spark, sf_dir, "events").collect():
+            spend.setdefault(e.user_id, 0.0)
+            if e.event_type == "purchase":
+                spend[e.user_id] += e.value
+        arms = {"control": [], "treatment": []}
+        for uid, s in spend.items():
+            a = "control" if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8" else "treatment"
+            arms[a].append(s)
+        c, t = np.array(arms["control"]), np.array(arms["treatment"])
+        se2 = c.var(ddof=1) / len(c) + t.var(ddof=1) / len(t)
+        t_stat = (t.mean() - c.mean()) / np.sqrt(se2)
+        df = se2**2 / (
+            (c.var(ddof=1) / len(c)) ** 2 / (len(c) - 1)
+            + (t.var(ddof=1) / len(t)) ** 2 / (len(t) - 1)
+        )
+        assert (r.n_c, r.n_t) == (len(c), len(t))
+        assert abs(r.t_stat - round(t_stat, 4)) < 1e-9
+        assert abs(r.df - round(df, 2)) < 1e-9
