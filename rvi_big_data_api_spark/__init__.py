@@ -91,6 +91,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     # round-5 continuation: ML-eval / feature-engineering family
     "eval_retrieval_metrics", "eval_classification_report",
     "feature_hashing", "feature_scaling", "stats_ttest_welch",
+    "eval_calibration_bins", "feature_target_encode",
+    "eval_regression_metrics",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -501,3 +501,210 @@ def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df"),
     )
+
+
+CALIB_BINS = 5  # reliability-diagram resolution over vote-fraction confidence
+
+
+@query(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, e.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id >= {KNN_NQUERIES}
+        WHERE q.vec_id < {KNN_NQUERIES}
+    ),
+    votes AS (
+        SELECT qid, label, count(*)::BIGINT AS n_votes
+        FROM scored WHERE rank <= {KNN_K}
+        GROUP BY qid, label
+    ),
+    preds AS (
+        SELECT qid, label AS pred, n_votes FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY n_votes DESC, label ASC) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    ),
+    judged AS (
+        SELECT p.qid,
+               p.n_votes / {KNN_K}.0 AS conf,
+               least(ceil(p.n_votes * {CALIB_BINS}.0 / {KNN_K}),
+                     {CALIB_BINS})::INT AS bin,
+               CASE WHEN p.pred = e.label THEN 1 ELSE 0 END AS correct
+        FROM preds p JOIN embeddings e ON p.qid = e.vec_id
+    )
+    SELECT bin,
+           count(*)::BIGINT AS n,
+           round(avg(conf), 4) AS mean_confidence,
+           round(avg(correct), 4) AS accuracy,
+           round(avg(conf) - avg(correct), 4) + 0.0 AS gap
+    FROM judged GROUP BY bin
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for knn_label's confidence — vote fraction
+    (n_votes/K) binned, with empirical accuracy per bin. A labeler whose
+    0.9-confidence bin is only 0.6 accurate is overconfident, and every
+    downstream consumer of auto-labels (filtering thresholds, loss
+    weighting, active-learning pickers) silently inherits that bias; this
+    report is the check that makes a confidence score mean something.
+
+    Integer-safe binning: bin = ceil(n_votes·B/K) on INTEGER vote counts
+    (never binning the float), so the bucket boundary is exact in both
+    dialects. Same broadcast-query kNN subtree as the report op; the
+    rollup is B rows. gap > 0 ⇒ overconfident (+0.0 collapses -0.0)."""
+    e = load(spark, sf_dir, "embeddings")
+    truth = e.filter(F.col("vec_id") < KNN_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("truth")
+    )
+    preds = knn_label(spark, sf_dir).join(F.broadcast(truth), "qid")
+    judged = preds.select(
+        (F.col("n_votes") / F.lit(float(KNN_K))).alias("conf"),
+        F.least(
+            F.ceil(F.col("n_votes") * F.lit(float(CALIB_BINS)) / F.lit(KNN_K)),
+            F.lit(CALIB_BINS),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("predicted_label") == F.col("truth"), 1).otherwise(0).alias("correct"),
+    )
+    return judged.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("conf"), 4).alias("mean_confidence"),
+        F.round(F.avg("correct"), 4).alias("accuracy"),
+        (F.round(F.avg("conf") - F.avg("correct"), 4) + F.lit(0.0)).alias("gap"),
+    )
+
+
+TARGET_ENCODE_M = 10.0  # m-estimate smoothing weight (pseudo-observations)
+
+
+@query(
+    "feature_target_encode",
+    oracle=f"""
+    WITH seg AS (
+        SELECT o_orderkey, o_totalprice, c_mktsegment AS segment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g AS (SELECT avg(o_totalprice) AS gmean FROM seg),
+    stats AS (
+        SELECT segment, count(*)::BIGINT AS n_seg, sum(o_totalprice) AS sum_seg
+        FROM seg GROUP BY segment
+    )
+    SELECT s.o_orderkey, s.segment,
+           round((t.sum_seg - s.o_totalprice + {TARGET_ENCODE_M!r} * g.gmean)
+                 / (t.n_seg - 1 + {TARGET_ENCODE_M!r}), 4) AS encoded
+    FROM seg s
+    JOIN stats t ON s.segment = t.segment
+    CROSS JOIN g
+    """,
+    tags=("feature", "pipeline"),
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware target encoding — the categorical-to-numeric transform
+    gradient-boosting pipelines lean on, done the only way that is safe to
+    train on: leave-one-out (each row's own target is SUBTRACTED from its
+    category's sum before averaging, so a row never sees itself) plus
+    m-estimate smoothing toward the global mean (rare categories shrink to
+    the prior instead of memorizing their few targets). Naive target
+    encoding without both is a target-leakage bug that inflates offline
+    metrics and collapses in production.
+
+    Shape: one groupBy builds the per-category (n, sum) "fitted state" —
+    category-cardinality-sized, broadcast back (feature_scaling's
+    fit/transform split); the global mean folds in as a broadcast 1-row
+    cross join (never a driver-side collect). LOO is then pure per-row
+    arithmetic — no window, no second shuffle."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select("o_orderkey", "o_totalprice", F.col("c_mktsegment").alias("segment"))
+    g = seg.agg(F.avg("o_totalprice").alias("gmean"))
+    stats = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_seg"), F.sum("o_totalprice").alias("sum_seg")
+    )
+    return (
+        seg.join(F.broadcast(stats), "segment")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "segment",
+            F.round(
+                (F.col("sum_seg") - F.col("o_totalprice") + F.lit(TARGET_ENCODE_M) * F.col("gmean"))
+                / (F.col("n_seg") - 1 + F.lit(TARGET_ENCODE_M)),
+                4,
+            ).alias("encoded"),
+        )
+    )
+
+
+@query(
+    "eval_regression_metrics",
+    oracle="""
+    WITH pts AS (
+        SELECT l_quantity::DOUBLE AS x, l_extendedprice AS y FROM lineitem
+    ),
+    fit AS (
+        SELECT regr_slope(y, x) AS b, regr_intercept(y, x) AS a,
+               avg(y) AS ybar
+        FROM pts
+    )
+    SELECT round(b, 4) AS slope,
+           round(a, 4) AS intercept,
+           round(sqrt(avg(pow(y - (a + b * x), 2))), 4) AS rmse,
+           round(avg(abs(y - (a + b * x))), 4) AS mae,
+           round(1 - sum(pow(y - (a + b * x), 2))
+                     / nullif(sum(pow(y - ybar, 2)), 0), 4) AS r2
+    FROM pts CROSS JOIN fit
+    GROUP BY a, b
+    """,
+    tags=("analytics", "eval"),
+)
+def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit + goodness-of-fit report (slope, intercept, RMSE, MAE, R²)
+    for price-on-quantity — the evaluation loop of any regression baseline,
+    expressed as two passes with NO driver scalar: pass 1 is the moment
+    aggregate (regr_slope/regr_intercept — both engines implement the same
+    closed form), folded back as a broadcast 1-row cross join; pass 2 scores
+    residuals row-wise and aggregates the three metrics. The GROUP BY on the
+    fitted coefficients keeps the final aggregate a plain partial agg.
+
+    R² is computed from residual/total sum of squares (not corr²) so it
+    stays correct if the model form changes; the division is nullif-guarded
+    (a constant target makes SST 0 → NULL R², not a crash). At 100 TB both
+    passes are single-shuffle partial aggregates over the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("double").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    fit = pts.agg(
+        F.regr_slope("y", "x").alias("b"),
+        F.regr_intercept("y", "x").alias("a"),
+        F.avg("y").alias("ybar"),
+    )
+    resid = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .groupBy("a", "b")
+        .agg(
+            F.round(F.first("b"), 4).alias("slope"),
+            F.round(F.first("a"), 4).alias("intercept"),
+            F.round(F.sqrt(F.avg(F.pow(resid, 2))), 4).alias("rmse"),
+            F.round(F.avg(F.abs(resid)), 4).alias("mae"),
+            F.round(
+                F.lit(1)
+                - F.sum(F.pow(resid, 2))
+                / F.nullif(F.sum(F.pow(F.col("y") - F.col("ybar"), 2)), F.lit(0.0)),
+                4,
+            ).alias("r2"),
+        )
+        .select("slope", "intercept", "rmse", "mae", "r2")
+    )

@@ -395,6 +395,11 @@ EXTENSIONS = [
     "feature_hashing",
     "feature_scaling",
     "stats_ttest_welch",
+    # second wave: confidence calibration for auto-labels, leakage-aware
+    # (LOO + m-estimate) target encoding, OLS fit + RMSE/MAE/R² readout
+    "eval_calibration_bins",
+    "feature_target_encode",
+    "eval_regression_metrics",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1214,3 +1214,70 @@ class TestMlEvalFamily:
         assert (r.n_c, r.n_t) == (len(c), len(t))
         assert abs(r.t_stat - round(t_stat, 4)) < 1e-9
         assert abs(r.df - round(df, 2)) < 1e-9
+
+    def test_calibration_bins_conserve_queries(self, spark, sf_dir):
+        """Bin populations sum to the query count; confidences live in the
+        bin's interval; gap = mean_confidence - accuracy to rounding."""
+        from rvi_big_data_api_spark.operators.llm_sim import KNN_NQUERIES
+        from rvi_big_data_api_spark.operators.ml_eval import CALIB_BINS
+
+        rows = REGISTRY["eval_calibration_bins"].fn(spark, sf_dir).collect()
+        assert sum(r.n for r in rows) == KNN_NQUERIES
+        for r in rows:
+            assert 1 <= r.bin <= CALIB_BINS, r
+            lo, hi = (r.bin - 1) / CALIB_BINS, r.bin / CALIB_BINS
+            assert lo < r.mean_confidence <= hi + 1e-9, r
+            assert abs(r.gap - round(r.mean_confidence - r.accuracy, 4)) <= 1e-4, r
+
+    def test_target_encode_excludes_own_row(self, spark, sf_dir):
+        """Leave-one-out: recompute one segment's encoding driver-side and
+        check a sampled row's encoded value excludes its own target."""
+        from rvi_big_data_api_spark.operators.ml_eval import TARGET_ENCODE_M
+
+        seg_rows = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "o_totalprice", "c_mktsegment")
+            .collect()
+        )
+        gmean = sum(r.o_totalprice for r in seg_rows) / len(seg_rows)
+        by_seg = {}
+        for r in seg_rows:
+            by_seg.setdefault(r.c_mktsegment, []).append(r)
+        out = {r.o_orderkey: r.encoded for r in REGISTRY["feature_target_encode"].fn(spark, sf_dir).collect()}
+        for seg, rs in by_seg.items():
+            tot = sum(r.o_totalprice for r in rs)
+            r0 = rs[0]
+            expect = (tot - r0.o_totalprice + TARGET_ENCODE_M * gmean) / (
+                len(rs) - 1 + TARGET_ENCODE_M
+            )
+            assert abs(out[r0.o_orderkey] - round(expect, 4)) < 1e-6, seg
+
+    def test_regression_metrics_match_numpy_ols(self, spark, sf_dir):
+        """Slope/intercept/RMSE/MAE/R² recomputed with numpy lstsq."""
+        import numpy as np
+
+        r = REGISTRY["eval_regression_metrics"].fn(spark, sf_dir).collect()[0]
+        pts = (
+            load(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_quantity").cast("double").alias("x"),
+                F.col("l_extendedprice").alias("y"),
+            )
+            .collect()
+        )
+        x = np.array([p.x for p in pts])
+        y = np.array([p.y for p in pts])
+        b, a = np.polyfit(x, y, 1)
+        pred = a + b * x
+        assert abs(r.slope - round(b, 4)) < 1e-3, (r.slope, b)
+        assert abs(r.intercept - round(a, 4)) < 1e-2, (r.intercept, a)
+        assert abs(r.rmse - np.sqrt(np.mean((y - pred) ** 2))) < 1e-2
+        assert abs(r.mae - np.mean(np.abs(y - pred))) < 1e-2
+        sse = np.sum((y - pred) ** 2)
+        sst = np.sum((y - y.mean()) ** 2)
+        assert abs(r.r2 - (1 - sse / sst)) < 1e-4
+        assert 0 <= r.r2 <= 1
