@@ -680,3 +680,81 @@ def test_generated_limit_offset_pages_agree_across_engines(spark, duck, sf_dir, 
         for r in spark.sql(f"{base} LIMIT {m + k}").collect()
     ]
     assert s == head[m:], f"page is not the head slice: {page_sql}"
+
+
+# --- bivariate / regression aggregates --------------------------------------
+# eval_regression_metrics leans on regr_slope/regr_intercept mapping between
+# engines; fuzz the whole bivariate family (corr, covar, regr_*) over random
+# predicates and x/y derivations so the pairing is pinned beyond the one
+# fixed registry query.
+xy_spec = st.sampled_from(
+    [
+        ("value", "user_id % 53"),
+        ("value", "event_id % 31"),
+        ("value * 2 + 1", "user_id % 17"),
+        ("value", "value * value"),
+        ("event_id % 101", "user_id % 29"),
+    ]
+)
+bivar_fn = st.sampled_from(
+    [
+        "corr({y}, {x})",
+        "covar_samp({y}, {x})",
+        "covar_pop({y}, {x})",
+        "regr_slope({y}, {x})",
+        "regr_intercept({y}, {x})",
+        "regr_r2({y}, {x})",
+        "regr_count({y}, {x})",
+        "regr_avgx({y}, {x})",
+        "regr_avgy({y}, {x})",
+    ]
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fn=bivar_fn, xy=xy_spec, pred=atom, key=group_key)
+def test_generated_bivariate_aggregates_agree_across_engines(
+    spark, duck, sf_dir, fn, xy, pred, key
+):
+    """Differential drive over the bivariate-aggregate family: corr / covar /
+    regr_* agree between engines (float tolerance; regr_count exactly).
+    Degenerate groups (single row, zero x-variance) must go NULL in BOTH."""
+    from rvi_big_data_api_spark.io import load
+
+    x, y = xy
+    expr = fn.format(x=x, y=y)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    k_sel = f"{key} AS k, " if key else ""
+    k_grp = f" GROUP BY {key}" if key else ""
+    sql = f"SELECT {k_sel}{expr} AS v FROM events WHERE {pred}{k_grp}"
+
+    def rows(recs):
+        out = {}
+        for r in recs:
+            r = list(r)
+            out[str(r[0]) if len(r) == 2 else ""] = r[-1]
+        return out
+
+    s = rows(spark.sql(sql).collect())
+    d = rows(map(list, duck.execute(sql).fetchall()))
+    assert set(s) == set(d), f"group keys diverge: {sql}"
+    for gk in s:
+        sv, dv = s[gk], d[gk]
+        if sv is None or dv is None:
+            # corr/regr of a constant or single point: NULL in both engines
+            assert (sv is None) == (dv is None) or (
+                dv is not None and math.isnan(float(dv))
+            ) or (sv is not None and math.isnan(float(sv))), (
+                f"null diverges for {gk!r}: {sv} vs {dv}: {sql}"
+            )
+        elif fn.startswith("regr_count"):
+            assert int(sv) == int(dv), f"{expr} diverges for {gk!r}: {sql}"
+        else:
+            assert math.isclose(float(sv), float(dv), rel_tol=1e-7, abs_tol=1e-7), (
+                f"{expr} diverges for {gk!r}: {sv} vs {dv}: {sql}"
+            )
