@@ -92,7 +92,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "eval_retrieval_metrics", "eval_classification_report",
     "feature_hashing", "feature_scaling", "stats_ttest_welch",
     "eval_calibration_bins", "feature_target_encode",
-    "eval_regression_metrics",
+    "eval_regression_metrics", "eval_ab_srm_check", "feature_quantile_bin",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

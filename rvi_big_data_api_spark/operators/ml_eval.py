@@ -708,3 +708,135 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("slope", "intercept", "rmse", "mae", "r2")
     )
+
+
+@query(
+    "eval_ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                    THEN 'control' ELSE 'treatment' END AS arm
+        FROM events
+    ),
+    counts AS (
+        SELECT sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)::BIGINT AS n_c,
+               sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)::BIGINT AS n_t
+        FROM assigned
+    )
+    SELECT n_c, n_t,
+           round((n_c + n_t) / 2.0, 1) AS expected_each,
+           round(pow(n_c - (n_c + n_t) / 2.0, 2) / ((n_c + n_t) / 2.0)
+                 + pow(n_t - (n_c + n_t) / 2.0, 2) / ((n_c + n_t) / 2.0), 4)
+               AS chi2,
+           (pow(n_c - (n_c + n_t) / 2.0, 2) / ((n_c + n_t) / 2.0)
+            + pow(n_t - (n_c + n_t) / 2.0, 2) / ((n_c + n_t) / 2.0)) > 3.841
+               AS srm_flag
+    FROM counts
+    """,
+    tags=("analytics", "experiment"),
+)
+def eval_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard — the chi-square goodness-of-fit test
+    every experiment platform runs BEFORE reading a single metric: the
+    md5-nibble assignment promises a 50/50 split (8 of 16 first-nibble
+    values each), so an observed arm imbalance beyond chi²(1df) > 3.841
+    (p < 0.05) means the assignment or logging pipeline is broken and the
+    z-test / Welch readouts (ab_experiment_report, stats_ttest_welch)
+    must not be trusted. SRM is the canonical silent-bug detector for
+    A/B infrastructure.
+
+    Shape: one DISTINCT user pass (partial-agg) → a 1-row conditional-sum
+    pivot; the chi² arithmetic runs on that single row. Counts stay BIGINT
+    until the final divisions; the flag compares the UNROUNDED statistic
+    so rounding can't flip the alarm at the boundary."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1) < "8",
+        "control",
+    ).otherwise("treatment")
+    assigned = ev.select("user_id").distinct().withColumn("arm", arm)
+    counts = assigned.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias("n_t"),
+    )
+    exp = (F.col("n_c") + F.col("n_t")) / 2.0
+    chi2 = F.pow(F.col("n_c") - exp, 2) / exp + F.pow(F.col("n_t") - exp, 2) / exp
+    return counts.select(
+        "n_c",
+        "n_t",
+        F.round(exp, 1).alias("expected_each"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+BIN_COUNT = 8  # equal-width bins for the fitted-binning transform
+
+
+@query(
+    "feature_quantile_bin",
+    oracle=f"""
+    WITH stats AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.50) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT o.o_orderkey,
+           least(floor((o.o_totalprice - s.lo) / nullif(s.hi - s.lo, 0)
+                       * {BIN_COUNT}), {BIN_COUNT} - 1)::INT AS width_bin,
+           (CASE WHEN o.o_totalprice <= s.q1 THEN 1
+                 WHEN o.o_totalprice <= s.q2 THEN 2
+                 WHEN o.o_totalprice <= s.q3 THEN 3
+                 ELSE 4 END)::INT AS quartile_bin
+    FROM orders o CROSS JOIN stats s
+    """,
+    tags=("feature", "pipeline"),
+)
+def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted discretization — equal-width and quartile binning of order
+    value, the continuous-to-categorical transform trees and embedding
+    tables want. Same fit/transform split as feature_scaling: the "fitted
+    binner" is ONE broadcast row (min/max + three exact quartile cuts), so
+    the transform is per-row CASE/floor arithmetic — rows never shuffle.
+
+    Determinism at the edges: the max value clamps into the top width bin
+    (least(…, B-1)); quartile boundaries use <= so a value exactly on a cut
+    lands in the lower bin in BOTH dialects (the cuts are bit-identical —
+    percentile ↔ quantile_cont, agg_percentile's proven pairing); the
+    width division is nullif-guarded for a constant column. At 100 TB the
+    one non-partial piece is the exact percentile fit — swap to
+    approx_percentile and re-oracle rows-only if one-pass matters more
+    than exact cuts."""
+    o = load(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .select(
+            "o_orderkey",
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+                    * BIN_COUNT
+                ),
+                F.lit(BIN_COUNT - 1),
+            )
+            .cast("int")
+            .alias("width_bin"),
+            F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+            .when(F.col("o_totalprice") <= F.col("q2"), 2)
+            .when(F.col("o_totalprice") <= F.col("q3"), 3)
+            .otherwise(4)
+            .cast("int")
+            .alias("quartile_bin"),
+        )
+    )

@@ -400,6 +400,10 @@ EXTENSIONS = [
     "eval_calibration_bins",
     "feature_target_encode",
     "eval_regression_metrics",
+    # third wave: chi-square sample-ratio-mismatch guard, fitted
+    # equal-width + quartile binning (fit/transform broadcast split)
+    "eval_ab_srm_check",
+    "feature_quantile_bin",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1281,3 +1281,38 @@ class TestMlEvalFamily:
         sst = np.sum((y - y.mean()) ** 2)
         assert abs(r.r2 - (1 - sse / sst)) < 1e-4
         assert 0 <= r.r2 <= 1
+
+    def test_srm_check_counts_and_flag(self, spark, sf_dir):
+        """Arm counts = the z-test op's arm counts; chi2 recomputed; the
+        nibble split is genuinely 50/50 so no SRM alarm on the fixture."""
+        r = REGISTRY["eval_ab_srm_check"].fn(spark, sf_dir).collect()[0]
+        ab = REGISTRY["ab_experiment_report"].fn(spark, sf_dir).collect()[0]
+        assert (r.n_c, r.n_t) == (ab.n_c, ab.n_t)
+        exp = (r.n_c + r.n_t) / 2.0
+        chi2 = (r.n_c - exp) ** 2 / exp + (r.n_t - exp) ** 2 / exp
+        assert abs(r.chi2 - round(chi2, 4)) < 1e-9
+        assert r.srm_flag == (chi2 > 3.841)
+        assert not r.srm_flag  # md5 nibbles are uniform; a flag here = bug
+
+    def test_quantile_bin_populations(self, spark, sf_dir):
+        """Quartile bins hold ~25 % each (exact-percentile cuts); width bins
+        stay inside [0, B); both bin columns are monotone in the value."""
+        from rvi_big_data_api_spark.operators.ml_eval import BIN_COUNT
+
+        rows = REGISTRY["feature_quantile_bin"].fn(spark, sf_dir).collect()
+        n = len(rows)
+        from collections import Counter
+
+        quart = Counter(r.quartile_bin for r in rows)
+        assert set(quart) == {1, 2, 3, 4}
+        for b, c in quart.items():
+            assert abs(c / n - 0.25) < 0.01, (b, c / n)
+        assert all(0 <= r.width_bin < BIN_COUNT for r in rows)
+        price = {
+            r.o_orderkey: r.o_totalprice
+            for r in load(spark, sf_dir, "orders").collect()
+        }
+        ordered = sorted(rows, key=lambda r: price[r.o_orderkey])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.width_bin <= b.width_bin
+            assert a.quartile_bin <= b.quartile_bin
