@@ -93,6 +93,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "feature_hashing", "feature_scaling", "stats_ttest_welch",
     "eval_calibration_bins", "feature_target_encode",
     "eval_regression_metrics", "eval_ab_srm_check", "feature_quantile_bin",
+    "graph_kcore", "graph_jaccard_neighbors",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -2047,3 +2047,201 @@ def corpus_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= DIVERSE_K)
         .select("bucket", "doc_id", "lang", "n_chars", "rank")
     )
+
+
+KCORE_K = 2  # minimum in-core degree
+KCORE_ORACLE_PEELS = 8  # unrolled oracle depth ≥ measured fixture fixpoint
+KCORE_MAX_ROUNDS = 40  # loop safety cap; exhausting it raises (never ships)
+
+
+def _kcore_oracle_sql(peels: int) -> str:
+    """Unrolled peel CTE chain. The oracle mirrors the Spark loop round-for-
+    round; `peels` is sized ABOVE the fixture's measured fixpoint depth
+    (5–7 across sf0.001/0.01/0.1), so extra rounds are no-ops and the two
+    engines land on the same fixpoint. Every CTE is MATERIALIZED: edges{{r+1}}
+    references edges{{r}} three times, so DuckDB's default inlining would
+    expand the chain 3^peels-fold (measured: EMFILE from thousands of
+    parquet re-opens at 8 peels)."""
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    edges0 AS MATERIALIZED (
+        SELECT label, vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT label, vec_b AS src, vec_a AS dst FROM pairs
+    )"""
+    ]
+    for r in range(peels):
+        parts.append(
+            f""",
+    alive{r} AS MATERIALIZED (
+        SELECT label, src FROM edges{r} GROUP BY label, src
+        HAVING count(*) >= {KCORE_K}
+    ),
+    edges{r + 1} AS MATERIALIZED (
+        SELECT e.label, e.src, e.dst FROM edges{r} e
+        JOIN alive{r} a ON e.label = a.label AND e.src = a.src
+        JOIN alive{r} b ON e.label = b.label AND e.dst = b.src
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT label, src AS vec_id, count(*)::BIGINT AS core_degree
+    FROM edges{peels} GROUP BY label, src
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore", oracle=_kcore_oracle_sql(KCORE_ORACLE_PEELS), tags=("llm", "graph"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) of the similarity graph by iterative
+    peeling — the community-pruning primitive: a node survives only while
+    it keeps ≥ k neighbors that themselves survive, so hub-and-spoke
+    artifacts and pendant chains fall away and what remains is the densely
+    interconnected duplicate/community core (the complement of what
+    dedup's CC keeps — CC keeps everything reachable, k-core keeps only
+    the cohesive part).
+
+    Each peel round = one degree aggregate + two alive-list equi-joins,
+    all label-blocked. The Spark side peels to TRUE convergence — the
+    dedup_cluster_pd loop discipline: edge count tracked per round
+    (shrinks monotonically, so equal counts ⇒ fixpoint), eager checkpoint
+    every other round truncates lineage, and exhausting KCORE_MAX_ROUNDS
+    raises rather than shipping a partial core (the CC convergence-guard
+    rule). The DuckDB twin unrolls KCORE_ORACLE_PEELS ≥ the fixture's
+    measured fixpoint depth, so surplus oracle rounds are no-ops and both
+    engines emit the same fixpoint. At 100 TB rounds are O(degeneracy) —
+    bounded for similarity graphs whose block size the LSH/blocking
+    already caps."""
+    e = load(spark, sf_dir, "embeddings")
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+    p = (
+        block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
+        .select(F.col("blk").alias("label"), "vec_a", "vec_b")
+        .checkpoint(eager=True)
+    )
+    edges = p.select("label", F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionAll(
+        p.select("label", F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    n_edges = edges.count()
+    for rnd in range(KCORE_MAX_ROUNDS):
+        alive = (
+            edges.groupBy("label", "src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("label", "src")
+        )
+        edges = edges.join(alive, ["label", "src"]).join(
+            alive.select("label", F.col("src").alias("dst")), ["label", "dst"]
+        )
+        if rnd % 2 == 1:
+            edges = edges.checkpoint(eager=True)
+        n_next = edges.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError(
+            f"graph_kcore: no fixpoint within {KCORE_MAX_ROUNDS} peel rounds "
+            f"(edges still shrinking at {n_edges}); raising instead of "
+            "shipping a partial core"
+        )
+    return edges.groupBy("label", F.col("src").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    edges AS (
+        SELECT label, vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT label, vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    deg AS (
+        SELECT label, src, count(*)::BIGINT AS d FROM edges GROUP BY label, src
+    ),
+    common AS (
+        SELECT e1.label, e1.src AS vec_a, e2.src AS vec_b,
+               count(*)::BIGINT AS n_common
+        FROM edges e1
+        JOIN edges e2 ON e1.label = e2.label AND e1.dst = e2.dst
+                     AND e1.src < e2.src
+        GROUP BY e1.label, e1.src, e2.src
+    )
+    SELECT c.label, c.vec_a, c.vec_b, c.n_common,
+           round(c.n_common / (da.d + db.d - c.n_common), 4) AS jaccard
+    FROM common c
+    JOIN deg da ON c.label = da.label AND c.vec_a = da.src
+    JOIN deg db ON c.label = db.label AND c.vec_b = db.src
+    """,
+    tags=("llm", "graph"),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity — the classic link-prediction /
+    entity-resolution feature: two nodes are structurally similar when
+    their neighbor SETS overlap (|N(a) ∩ N(b)| / |N(a) ∪ N(b)|), whether
+    or not they share an edge themselves. On a near-dup graph this is the
+    second-order signal that catches pairs the direct similarity edge
+    missed: two rewrites that each match the same third document.
+
+    Shape: candidate pairs are enumerated ONLY through shared neighbors
+    (the wedge join on (label, dst) — triangle count's first hop), never
+    all-pairs, so the cost is Σ_n deg(n)² — bounded by the same hub
+    treatment as the triangle op (id-ordering halves each wedge). Degrees
+    join back on the node key; union denominator by inclusion-exclusion
+    from the two degrees and the intersection count, no set collection.
+    The edge list is a plain subtree (two joins deep) — no checkpoint
+    needed; the wedge join dominates and runs once."""
+    e = load(spark, sf_dir, "embeddings")
+    p = block_pairs_gemm(e, "label", SIM_PAIRS_TAU).select(
+        F.col("blk").alias("label"), "vec_a", "vec_b"
+    )
+    edges = p.select("label", F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionAll(
+        p.select("label", F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    deg = edges.groupBy("label", "src").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select("label", F.col("src").alias("vec_a"), "dst")
+    e2 = edges.select("label", F.col("src").alias("vec_b"), "dst")
+    common = (
+        e1.join(e2, ["label", "dst"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("label", "vec_a", "vec_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select("label", F.col("src").alias("vec_a"), F.col("d").alias("d_a"))
+    db = deg.select("label", F.col("src").alias("vec_b"), F.col("d").alias("d_b"))
+    return (
+        common.join(da, ["label", "vec_a"])
+        .join(db, ["label", "vec_b"])
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("d_a") + F.col("d_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+    )

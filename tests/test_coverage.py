@@ -404,6 +404,10 @@ EXTENSIONS = [
     # equal-width + quartile binning (fit/transform broadcast split)
     "eval_ab_srm_check",
     "feature_quantile_bin",
+    # graph second-order ops: unrolled 2-core peel (CTE-mirrored, fixpoint
+    # pinned by property test) and neighborhood-Jaccard link prediction
+    "graph_kcore",
+    "graph_jaccard_neighbors",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

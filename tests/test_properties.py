@@ -1316,3 +1316,73 @@ class TestMlEvalFamily:
         for a, b in zip(ordered, ordered[1:]):
             assert a.width_bin <= b.width_bin
             assert a.quartile_bin <= b.quartile_bin
+
+
+class TestGraphSecondOrder:
+    """k-core peeling and neighborhood-Jaccard invariants."""
+
+    def _edges(self, spark, sf_dir):
+        import numpy as np
+
+        rows = load(spark, sf_dir, "embeddings").collect()
+        from rvi_big_data_api_spark.operators.llm_sim import SIM_PAIRS_TAU
+
+        by_label = {}
+        for r in rows:
+            by_label.setdefault(r.label, []).append(
+                (r.vec_id, np.array(r.embedding, dtype=np.float64))
+            )
+        edges = set()
+        for label, vs in by_label.items():
+            ids = [v[0] for v in vs]
+            mat = np.stack([v[1] for v in vs])
+            dots = mat @ mat.T
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if dots[i, j] >= SIM_PAIRS_TAU:
+                        edges.add((label, ids[i], ids[j]))
+        return edges
+
+    def test_kcore_is_fixpoint_and_degrees_hold(self, spark, sf_dir):
+        """One more peel round changes nothing (the unrolled depth IS the
+        fixpoint on the fixture) and every survivor keeps >= k neighbors
+        INSIDE the surviving set — recomputed from scratch driver-side."""
+        from rvi_big_data_api_spark.operators.llm_sim import KCORE_K
+
+        out = {
+            (r.label, r.vec_id): r.core_degree
+            for r in REGISTRY["graph_kcore"].fn(spark, sf_dir).collect()
+        }
+        edges = self._edges(spark, sf_dir)
+        # driver-side peel to TRUE fixpoint
+        alive = {(l, a) for l, a, b in edges} | {(l, b) for l, a, b in edges}
+        while True:
+            deg = {}
+            for l, a, b in edges:
+                if (l, a) in alive and (l, b) in alive:
+                    deg[(l, a)] = deg.get((l, a), 0) + 1
+                    deg[(l, b)] = deg.get((l, b), 0) + 1
+            nxt = {n for n in alive if deg.get(n, 0) >= KCORE_K}
+            if nxt == alive:
+                break
+            alive = nxt
+        assert set(out) == alive  # unrolled rounds reached the fixpoint
+        for n, d in out.items():
+            assert d == deg[n] and d >= KCORE_K, (n, d)
+
+    def test_jaccard_bounds_and_common_cap(self, spark, sf_dir):
+        """jaccard in (0, 1]; n_common <= min(deg_a, deg_b); every emitted
+        pair genuinely shares >= 1 neighbor in the recomputed graph."""
+        edges = self._edges(spark, sf_dir)
+        nbrs = {}
+        for l, a, b in edges:
+            nbrs.setdefault((l, a), set()).add(b)
+            nbrs.setdefault((l, b), set()).add(a)
+        rows = REGISTRY["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+        for r in rows:
+            na, nb = nbrs[(r.label, r.vec_a)], nbrs[(r.label, r.vec_b)]
+            inter = len(na & nb)
+            assert r.n_common == inter and inter >= 1, r
+            assert 0 < r.jaccard <= 1, r
+            expect = inter / (len(na) + len(nb) - inter)
+            assert abs(r.jaccard - round(expect, 4)) < 1e-9, r
