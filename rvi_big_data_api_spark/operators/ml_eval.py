@@ -211,11 +211,19 @@ def eval_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     both surface with NULL for the undefined metric (nullif guard).
 
     Scale shape: the prediction subtree is knn_label's broadcast-query
-    pattern; the report itself aggregates Q rows twice and full-joins two
-    label-sized sides — driver-trivial. The pairs subtree appears under
-    both aggregate branches of one action (at 100 TB you'd checkpoint the
-    prediction table first — it is the expensive arm and is reused)."""
+    pattern and is the expensive arm; it feeds BOTH aggregate branches, so
+    it is eagerly checkpointed once (graph_triangle_count's rule — without
+    truncation the kNN scoring job would run under each branch). The
+    report itself aggregates Q rows twice and full-joins two label-sized
+    sides — driver-trivial."""
     e = load(spark, sf_dir, "embeddings")
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
     truth = e.filter(F.col("vec_id") < KNN_NQUERIES).select(
         F.col("vec_id").alias("qid"), F.col("label").alias("truth")
     )
@@ -223,6 +231,7 @@ def eval_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_label(spark, sf_dir)
         .select("qid", F.col("predicted_label").alias("pred"))
         .join(F.broadcast(truth), "qid")
+        .checkpoint(eager=True)
     )
     by_truth = pairs.groupBy(F.col("truth").alias("label")).agg(
         F.sum(F.when(F.col("pred") == F.col("truth"), 1).otherwise(0)).alias("tp"),
