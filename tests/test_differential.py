@@ -758,3 +758,52 @@ def test_generated_bivariate_aggregates_agree_across_engines(
             assert math.isclose(float(sv), float(dv), rel_tol=1e-7, abs_tol=1e-7), (
                 f"{expr} diverges for {gk!r}: {sv} vs {dv}: {sql}"
             )
+
+
+# --- exact percentiles ------------------------------------------------------
+# feature_scaling / feature_quantile_bin / agg_percentile lean on the
+# percentile ↔ quantile_cont pairing; fuzz it across random fractions,
+# predicates, and group keys. The two engines spell the function differently,
+# so this family generates structurally identical SQL per dialect.
+pct_fraction = st.sampled_from(
+    [0.0, 0.01, 0.1, 0.25, 0.5, 0.739, 0.75, 0.9, 0.99, 1.0]
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=pct_fraction, pred=atom, key=group_key)
+def test_generated_percentiles_agree_across_engines(spark, duck, sf_dir, p, pred, key):
+    """Exact linear-interpolation percentile agrees between engines for any
+    fraction in [0, 1] — including the 0/1 endpoints (min/max) and
+    fractions that land between rows."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    k_sel = f"{key} AS k, " if key else ""
+    k_grp = f" GROUP BY {key}" if key else ""
+    s_sql = f"SELECT {k_sel}percentile(value, {p}) AS v FROM events WHERE {pred}{k_grp}"
+    d_sql = f"SELECT {k_sel}quantile_cont(value, {p}) AS v FROM events WHERE {pred}{k_grp}"
+
+    def rows(recs):
+        out = {}
+        for r in recs:
+            r = list(r)
+            out[str(r[0]) if len(r) == 2 else ""] = r[-1]
+        return out
+
+    s = rows(spark.sql(s_sql).collect())
+    d = rows(map(list, duck.execute(d_sql).fetchall()))
+    assert set(s) == set(d), f"group keys diverge: {s_sql}"
+    for gk in s:
+        sv, dv = s[gk], d[gk]
+        if sv is None or dv is None:
+            assert sv is None and dv is None, f"null diverges for {gk!r}: {s_sql}"
+        else:
+            assert math.isclose(float(sv), float(dv), rel_tol=1e-9, abs_tol=1e-9), (
+                f"percentile({p}) diverges for {gk!r}: {sv} vs {dv}: {s_sql}"
+            )
