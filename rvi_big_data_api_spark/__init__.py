@@ -94,6 +94,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "eval_calibration_bins", "feature_target_encode",
     "eval_regression_metrics", "eval_ab_srm_check", "feature_quantile_bin",
     "graph_kcore", "graph_jaccard_neighbors",
+    "eval_rank_correlation", "agg_benford_check", "corpus_dedup_report",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

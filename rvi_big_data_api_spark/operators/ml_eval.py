@@ -849,3 +849,224 @@ def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quartile_bin"),
         )
     )
+
+
+@query(
+    "eval_rank_correlation",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
+        FROM embeddings
+    ),
+    exact AS (
+        SELECT qid, vec_id, rank FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE rank <= {RET_DEPTH}
+    ),
+    ann AS (
+        SELECT qid, vec_id, rank FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM bucketed q JOIN bucketed e
+              ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE rank <= {RET_DEPTH}
+    ),
+    shared AS (
+        SELECT x.qid, x.vec_id,
+               row_number() OVER (PARTITION BY x.qid ORDER BY x.rank) AS r_exact,
+               row_number() OVER (PARTITION BY x.qid ORDER BY a.rank) AS r_ann
+        FROM exact x JOIN ann a ON x.qid = a.qid AND x.vec_id = a.vec_id
+    )
+    SELECT qid, count(*)::BIGINT AS n_common,
+           CASE WHEN count(*) > 1 THEN
+               round(1 - 6.0 * sum(pow(r_exact - r_ann, 2))
+                         / (count(*) * (pow(count(*), 2) - 1)), 4) + 0.0
+           END AS spearman_rho
+    FROM shared GROUP BY qid
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def eval_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the exact and ANN retrieval
+    orderings, per query — the third lens on index quality after recall
+    (set overlap) and NDCG (position-weighted hits): even when the ANN arm
+    retrieves the right items, a reranker-free consumer cares whether it
+    ORDERS them like exhaustive search would. Candidates are the
+    intersection of the two top-depth lists, re-ranked densely 1..n within
+    the intersection by each arm's original order (row_number — all ranks
+    distinct, so the closed form 1 − 6Σd²/(n(n²−1)) is exact Spearman, no
+    tie correction needed). n ≤ 1 leaves rho NULL (undefined, not 1).
+
+    Scale shape: both arms are the established broadcast-query patterns;
+    the correlation itself runs on ≤ depth rows per query. +0.0 collapses
+    a −0.0 rho (PARITY rule 17)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        signbit_bucket(F.col("embedding")).alias("q_bucket"),
+    )
+    corpus = e.withColumn("bucket", signbit_bucket(F.col("embedding")))
+    w = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+
+    def topd(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RET_DEPTH)
+            .select("qid", "vec_id", "rank")
+        )
+
+    exact = topd(
+        corpus.crossJoin(F.broadcast(q.select("qid", "q_emb")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+    )
+    ann = topd(
+        corpus.join(F.broadcast(q), corpus.bucket == q.q_bucket)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+    )
+    joined = exact.withColumnRenamed("rank", "rank_exact").join(
+        ann.withColumnRenamed("rank", "rank_ann"), ["qid", "vec_id"]
+    )
+    shared = joined.select(
+        "qid",
+        "vec_id",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy("rank_exact"))
+        .alias("r_exact"),
+        F.row_number().over(Window.partitionBy("qid").orderBy("rank_ann")).alias("r_ann"),
+    )
+    n = F.count(F.lit(1))
+    rho = F.lit(1) - F.lit(6.0) * F.sum(
+        F.pow(F.col("r_exact") - F.col("r_ann"), 2)
+    ) / (n * (F.pow(n, 2) - 1))
+    return shared.groupBy("qid").agg(
+        n.alias("n_common"),
+        F.when(n > 1, F.round(rho, 4) + F.lit(0.0)).alias("spearman_rho"),
+    )
+
+
+@query(
+    "agg_benford_check",
+    oracle="""
+    WITH digits AS (
+        SELECT floor(o_totalprice / pow(10, floor(log10(o_totalprice))))::INT
+                   AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+        SELECT digit, count(*)::BIGINT AS n_obs FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT sum(n_obs)::BIGINT AS n_total FROM obs)
+    SELECT o.digit, o.n_obs,
+           round(t.n_total * log10(1 + 1.0 / o.digit), 2) AS n_expected,
+           round(pow(o.n_obs - t.n_total * log10(1 + 1.0 / o.digit), 2)
+                 / (t.n_total * log10(1 + 1.0 / o.digit)), 4) AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    """,
+    tags=("quality", "analytics"),
+)
+def agg_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the data-forensics screen for
+    fabricated or unit-mangled numeric columns: naturally-occurring
+    multiplicative quantities put digit d first with probability
+    log10(1 + 1/d) (30.1 % ones down to 4.6 % nines), and a column that
+    deviates hard (large Σχ² over 8 df) was truncated, capped, synthesized,
+    or double-converted somewhere upstream. Emits the per-digit
+    observed/expected/χ²-term rows — the caller sums terms against the
+    15.51 (p=0.05) cutoff.
+
+    First digit extracted arithmetically (x / 10^⌊log10 x⌋ — never via
+    string formatting, which diverges between engines on float repr);
+    the total folds in as a broadcast 1-row cross join (no driver scalar,
+    the corpus_epoch_schedule pattern). One partial-agg groupBy over a
+    9-value key; log10 is libm in both engines (PARITY rule 8)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    obs = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n_total"))
+    expected = F.col("n_total") * F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(expected, 2).alias("n_expected"),
+        F.round(F.pow(F.col("n_obs") - expected, 2) / expected, 4).alias("chi2_term"),
+    )
+
+
+@query(
+    "corpus_dedup_report",
+    oracle="""
+    WITH keyed AS (
+        SELECT source,
+               md5(text) AS exact_key,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS norm_key,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS bag_key
+        FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT exact_key)::BIGINT AS n_exact_unique,
+           count(DISTINCT norm_key)::BIGINT AS n_norm_unique,
+           count(DISTINCT bag_key)::BIGINT AS n_bag_unique,
+           round(1 - count(DISTINCT exact_key) / count(*), 4) AS exact_dup_rate,
+           round(1 - count(DISTINCT norm_key) / count(*), 4) AS norm_dup_rate,
+           round(1 - count(DISTINCT bag_key) / count(*), 4) AS bag_dup_rate
+    FROM keyed GROUP BY source
+    """,
+    tags=("llm", "corpus", "quality"),
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-funnel audit per source — the dashboard row a corpus pipeline
+    publishes before anyone trusts its dedup: unique counts at each rung of
+    the canonicalization ladder (raw bytes → normalized text → token BAG),
+    each rung strictly ≤ the last, so the GAPS between rungs localize
+    where duplication lives (byte-identical mirrors vs punctuation/case
+    rewrites vs word-order shuffles). text_normalize's and
+    text_fingerprint's exact key expressions are reused verbatim, so this
+    report is consistent with the dedup ops it audits.
+
+    Scale shape: ONE pass — three md5 keys computed per row map-side, one
+    groupBy(source) with three count-distincts (Expand ×3, each distinct
+    over a 16-byte hash, never the text). At 100 TB the same report runs
+    as three partial count-distinct rollups; no joins, no pairs."""
+    d = load(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    bag = F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    keyed = d.select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("exact_key"),
+        F.md5(normalized.cast("binary")).alias("norm_key"),
+        F.md5(bag.cast("binary")).alias("bag_key"),
+    )
+    n = F.count(F.lit(1))
+    return keyed.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.countDistinct("exact_key").alias("n_exact_unique"),
+        F.countDistinct("norm_key").alias("n_norm_unique"),
+        F.countDistinct("bag_key").alias("n_bag_unique"),
+        F.round(F.lit(1) - F.countDistinct("exact_key") / n, 4).alias("exact_dup_rate"),
+        F.round(F.lit(1) - F.countDistinct("norm_key") / n, 4).alias("norm_dup_rate"),
+        F.round(F.lit(1) - F.countDistinct("bag_key") / n, 4).alias("bag_dup_rate"),
+    )

@@ -408,6 +408,11 @@ EXTENSIONS = [
     # pinned by property test) and neighborhood-Jaccard link prediction
     "graph_kcore",
     "graph_jaccard_neighbors",
+    # fourth wave: Spearman rho between exact/ANN orderings, Benford
+    # first-digit forensics, and the three-rung dedup-funnel audit
+    "eval_rank_correlation",
+    "agg_benford_check",
+    "corpus_dedup_report",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1386,3 +1386,79 @@ class TestGraphSecondOrder:
             assert 0 < r.jaccard <= 1, r
             expect = inter / (len(na) + len(nb) - inter)
             assert abs(r.jaccard - round(expect, 4)) < 1e-9, r
+
+
+class TestFourthWaveAudits:
+    """Rank correlation, Benford audit, dedup-funnel report invariants."""
+
+    def test_rank_correlation_matches_numpy(self, spark, sf_dir):
+        """Recompute both rankings and exact Spearman driver-side."""
+        import numpy as np
+
+        from rvi_big_data_api_spark.operators.ml_eval import RET_DEPTH
+        from rvi_big_data_api_spark.operators.llm_sim import SIM_TOPK_NQUERIES
+
+        rows = load(spark, sf_dir, "embeddings").collect()
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        bucket = {
+            vid: sum((1 << k) for k in range(4) if v[k] > 0) for vid, v in vecs.items()
+        }
+
+        def topd(qid, restrict):
+            scored = sorted(
+                (
+                    (-(vecs[qid] @ v), vid)
+                    for vid, v in vecs.items()
+                    if vid != qid and (not restrict or bucket[vid] == bucket[qid])
+                ),
+            )[:RET_DEPTH]
+            return [vid for _, vid in scored]
+
+        out = {
+            r.qid: r
+            for r in REGISTRY["eval_rank_correlation"].fn(spark, sf_dir).collect()
+        }
+        seen_qids = set()
+        for qid in range(SIM_TOPK_NQUERIES):
+            exact, ann = topd(qid, False), topd(qid, True)
+            common = [v for v in exact if v in ann]
+            if not common:
+                assert qid not in out
+                continue
+            seen_qids.add(qid)
+            r = out[qid]
+            assert r.n_common == len(common)
+            if len(common) == 1:
+                assert r.spearman_rho is None
+                continue
+            rx = {v: i + 1 for i, v in enumerate([v for v in exact if v in ann])}
+            ra = {v: i + 1 for i, v in enumerate([v for v in ann if v in exact])}
+            n = len(common)
+            d2 = sum((rx[v] - ra[v]) ** 2 for v in common)
+            rho = 1 - 6.0 * d2 / (n * (n * n - 1))
+            assert abs(r.spearman_rho - round(rho, 4)) < 1e-9, (qid, r, rho)
+            assert -1 <= r.spearman_rho <= 1
+        assert seen_qids == set(out)
+
+    def test_benford_conserves_and_is_plausible(self, spark, sf_dir):
+        """Digits 1..9 only; observed counts sum to the positive-row count;
+        expected counts sum to ~the same total (Benford masses sum to 1)."""
+        rows = REGISTRY["agg_benford_check"].fn(spark, sf_dir).collect()
+        n_pos = (
+            load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0).count()
+        )
+        assert {r.digit for r in rows} <= set(range(1, 10))
+        assert sum(r.n_obs for r in rows) == n_pos
+        assert abs(sum(r.n_expected for r in rows) - n_pos) < 1.0
+        assert all(r.chi2_term >= 0 for r in rows)
+
+    def test_dedup_report_rungs_are_monotone(self, spark, sf_dir):
+        """Canonicalization only merges: n_docs >= exact >= norm >= bag,
+        rates in [0, 1), and per-source docs sum to the corpus size."""
+        rows = REGISTRY["corpus_dedup_report"].fn(spark, sf_dir).collect()
+        assert sum(r.n_docs for r in rows) == load(spark, sf_dir, "documents").count()
+        for r in rows:
+            assert r.n_docs >= r.n_exact_unique >= r.n_norm_unique >= r.n_bag_unique, r
+            for rate in (r.exact_dup_rate, r.norm_dup_rate, r.bag_dup_rate):
+                assert 0 <= rate < 1, r
+            assert r.exact_dup_rate <= r.norm_dup_rate <= r.bag_dup_rate, r
