@@ -25,6 +25,7 @@ from .llm_sim import (
     KNN_NQUERIES,
     SIM_TOPK_K,
     SIM_TOPK_NQUERIES,
+    block_pairs_gemm,
     dot,
     knn_label,
     signbit_bucket,
@@ -1069,4 +1070,194 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1) - F.countDistinct("exact_key") / n, 4).alias("exact_dup_rate"),
         F.round(F.lit(1) - F.countDistinct("norm_key") / n, 4).alias("norm_dup_rate"),
         F.round(F.lit(1) - F.countDistinct("bag_key") / n, 4).alias("bag_dup_rate"),
+    )
+
+
+@query(
+    "eval_lsh_candidate_quality",
+    oracle="""
+    WITH tabs AS (
+        SELECT vec_id, t,
+               ((embedding[t * 8 + 1] > 0)::INT * 1 + (embedding[t * 8 + 2] > 0)::INT * 2
+                + (embedding[t * 8 + 3] > 0)::INT * 4 + (embedding[t * 8 + 4] > 0)::INT * 8
+                + (embedding[t * 8 + 5] > 0)::INT * 16 + (embedding[t * 8 + 6] > 0)::INT * 32
+                + (embedding[t * 8 + 7] > 0)::INT * 64 + (embedding[t * 8 + 8] > 0)::INT * 128)
+                   AS bucket
+        FROM embeddings, (VALUES (0), (1), (2), (3)) tt(t)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM tabs a JOIN tabs b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    truth AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    ),
+    hits AS (
+        SELECT count(*)::BIGINT AS n_hits
+        FROM cand c JOIN truth t ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
+    ),
+    nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+    nt AS (SELECT count(*)::BIGINT AS n_true FROM truth)
+    SELECT nt.n_true, nc.n_candidates, h.n_hits,
+           round(h.n_hits / nullif(nc.n_candidates, 0), 4) AS precision,
+           round(h.n_hits / nullif(nt.n_true, 0), 4) AS recall
+    FROM nt CROSS JOIN nc CROSS JOIN hits h
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def eval_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-set precision/recall of the band-OR sign-LSH index
+    (dedup_embed_bandor's L=4, b=8 tables) against EXACT all-pairs cosine
+    truth at τ=0.3 — the registered, hash-checked instance of SCALE.md's
+    analytic collision model (recall = 1 − (1 − p^b)^L). eval_ann_recall
+    gates top-k retrieval; this gates the PAIR-GENERATION stage every
+    dedup pipeline runs — an LSH index whose candidate recall was never
+    measured silently under-deduplicates forever.
+
+    The truth arm is exact all-pairs, executed as UNBLOCKED chunk-pair
+    GEMMs (block_pairs_gemm under a constant block key): C·(C+1)/2
+    bounded Arrow tasks, never a row-cartesian in the plan. That is the
+    honest cost of a recall denominator — at 100 TB you run it on a
+    SAMPLED slice and extrapolate via the collision model this op
+    validates; the candidate arm is the production band join (skinny
+    (table, bucket) keys). Precision/recall round 4-dp; nullif guards."""
+    e = load(spark, sf_dir, "embeddings")
+    tabs = []
+    for t in range(4):
+        bucket = sum(
+            (F.element_at(F.col("embedding"), t * 8 + i + 1) > 0).cast("int")
+            * F.lit(2**i)
+            for i in range(8)
+        )
+        tabs.append(
+            e.select("vec_id", F.lit(t).alias("t"), bucket.alias("bucket"))
+        )
+    tab = tabs[0].unionAll(tabs[1]).unionAll(tabs[2]).unionAll(tabs[3])
+    a = tab.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    b = tab.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    truth = block_pairs_gemm(
+        e.withColumn("all_blk", F.lit(1)), "all_blk", 0.3
+    ).select("vec_a", "vec_b")
+    hits = cand.join(truth, ["vec_a", "vec_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.nullif(F.col("n_candidates"), F.lit(0)), 4
+            ).alias("precision"),
+            F.round(F.col("n_hits") / F.nullif(F.col("n_true"), F.lit(0)), 4).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               floor(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                     * 100 + 0.5)::BIGINT AS spend_cents
+        FROM events GROUP BY user_id
+    ),
+    by_value AS (
+        SELECT spend_cents,
+               sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)::BIGINT AS c,
+               sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)::BIGINT AS t
+        FROM per_user GROUP BY spend_cents
+    ),
+    tot AS (
+        SELECT sum(c)::BIGINT AS n_c, sum(t)::BIGINT AS n_t FROM by_value
+    ),
+    ecdf AS (
+        SELECT sum(c) OVER (ORDER BY spend_cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+               sum(t) OVER (ORDER BY spend_cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
+        FROM by_value
+    )
+    SELECT tot.n_c, tot.n_t,
+           round(max(abs(ecdf.cum_c * 1.0 / tot.n_c - ecdf.cum_t * 1.0 / tot.n_t)), 4)
+               AS ks_stat
+    FROM ecdf CROSS JOIN tot
+    GROUP BY tot.n_c, tot.n_t
+    """,
+    tags=("analytics", "experiment"),
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the experiment arms'
+    per-user spend distributions — the DISTRIBUTION-shape companion to
+    stats_ttest_welch's mean test: a treatment that moves the tails but
+    not the mean (or vice versa) shows up here first. D = max over x of
+    |F̂_c(x) − F̂_t(x)|, computed exactly on the pooled empirical support.
+
+    Engine-exactness: spend is quantized to integer cents with the
+    floor(x·100 + 0.5) trick (PARITY rule 17b) BEFORE grouping — grouping
+    raw float aggregates would let partial-agg fold-order epsilon split
+    one support point into two. The ECDF is one global-ordered cumulative
+    window over the DISTINCT support (|support| rows, not |users|); at
+    100 TB you'd quantize to a coarser grid first — same plan, bounded
+    support, D then a grid-resolution lower bound. Arm totals fold in as
+    a broadcast 1-row cross join."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1) < "8",
+        "control",
+    ).otherwise("treatment")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            )
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("spend_cents")
+    ).withColumn("arm", arm)
+    by_value = per_user.groupBy("spend_cents").agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias("t"),
+    )
+    tot = by_value.agg(
+        F.sum("c").alias("n_c"), F.sum("t").alias("n_t")
+    )
+    w = Window.orderBy("spend_cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = by_value.select(
+        F.sum("c").over(w).alias("cum_c"), F.sum("t").over(w).alias("cum_t")
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .groupBy("n_c", "n_t")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_c") * F.lit(1.0) / F.col("n_c")
+                        - F.col("cum_t") * F.lit(1.0) / F.col("n_t")
+                    )
+                ),
+                4,
+            ).alias("ks_stat")
+        )
     )

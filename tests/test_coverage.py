@@ -413,6 +413,10 @@ EXTENSIONS = [
     "eval_rank_correlation",
     "agg_benford_check",
     "corpus_dedup_report",
+    # fifth wave: band-OR LSH candidate precision/recall vs exact all-pairs
+    # truth (the collision model made queryable), two-sample KS distance
+    "eval_lsh_candidate_quality",
+    "agg_ks_test",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

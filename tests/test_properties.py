@@ -1462,3 +1462,60 @@ class TestFourthWaveAudits:
             for rate in (r.exact_dup_rate, r.norm_dup_rate, r.bag_dup_rate):
                 assert 0 <= rate < 1, r
             assert r.exact_dup_rate <= r.norm_dup_rate <= r.bag_dup_rate, r
+
+    def test_lsh_candidate_quality_consistency(self, spark, sf_dir):
+        """Hits bounded by both arms; ratios are exactly hits/arm; the
+        candidate count equals the distinct band-OR pair count recomputed
+        driver-side from the sign patterns."""
+        import numpy as np
+
+        r = REGISTRY["eval_lsh_candidate_quality"].fn(spark, sf_dir).collect()[0]
+        assert r.n_hits <= min(r.n_true, r.n_candidates)
+        assert abs(r.precision - round(r.n_hits / r.n_candidates, 4)) < 1e-9
+        assert abs(r.recall - round(r.n_hits / r.n_true, 4)) < 1e-9
+        vecs = {
+            v.vec_id: np.array(v.embedding, dtype=np.float64)
+            for v in load(spark, sf_dir, "embeddings").collect()
+        }
+        cand = set()
+        for t in range(4):
+            buckets = {}
+            for vid, v in vecs.items():
+                b = sum((1 << i) for i in range(8) if v[t * 8 + i] > 0)
+                buckets.setdefault(b, []).append(vid)
+            for ids in buckets.values():
+                ids.sort()
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        cand.add((ids[i], ids[j]))
+        assert r.n_candidates == len(cand)
+
+    def test_ks_stat_matches_driver_recompute(self, spark, sf_dir):
+        """Exact D recomputed from the same cents-quantized per-user spend."""
+        import hashlib
+        import math
+
+        r = REGISTRY["agg_ks_test"].fn(spark, sf_dir).collect()[0]
+        spend = {}
+        for e in load(spark, sf_dir, "events").collect():
+            spend.setdefault(e.user_id, 0.0)
+            if e.event_type == "purchase":
+                spend[e.user_id] += e.value
+        arms = {"control": [], "treatment": []}
+        for uid, s in spend.items():
+            a = "control" if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8" else "treatment"
+            arms[a].append(math.floor(s * 100 + 0.5))
+        c, t = sorted(arms["control"]), sorted(arms["treatment"])
+        assert (r.n_c, r.n_t) == (len(c), len(t))
+        import bisect
+
+        support = sorted(set(c) | set(t))
+        d = max(
+            abs(
+                bisect.bisect_right(c, x) / len(c)
+                - bisect.bisect_right(t, x) / len(t)
+            )
+            for x in support
+        )
+        assert abs(r.ks_stat - round(d, 4)) < 1e-9
+        assert 0 <= r.ks_stat <= 1
