@@ -95,7 +95,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "eval_regression_metrics", "eval_ab_srm_check", "feature_quantile_bin",
     "graph_kcore", "graph_jaccard_neighbors",
     "eval_rank_correlation", "agg_benford_check", "corpus_dedup_report",
-    "eval_lsh_candidate_quality", "agg_ks_test",
+    "eval_lsh_candidate_quality", "agg_ks_test", "agg_mannwhitney_u",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1261,3 +1261,119 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat")
         )
     )
+
+
+@query(
+    "agg_mannwhitney_u",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               floor(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                     * 100 + 0.5)::BIGINT AS spend_cents
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT arm, spend_cents,
+               avg(rn) OVER (PARTITION BY spend_cents) AS midrank
+        FROM (
+            SELECT arm, spend_cents,
+                   row_number() OVER (ORDER BY spend_cents, user_id) * 1.0 AS rn
+            FROM per_user
+        )
+    ),
+    ties AS (
+        SELECT sum(pow(cnt, 3) - cnt) AS tie_term, sum(cnt)::BIGINT AS n
+        FROM (SELECT count(*)::BIGINT AS cnt FROM per_user GROUP BY spend_cents)
+    ),
+    arms AS (
+        SELECT sum(CASE WHEN arm = 'control' THEN midrank END) AS r_c,
+               sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)::BIGINT AS n_c,
+               sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)::BIGINT AS n_t
+        FROM ranked
+    )
+    SELECT a.n_c, a.n_t,
+           round(a.r_c - a.n_c * (a.n_c + 1) / 2.0, 1) AS u_control,
+           round((a.r_c - a.n_c * (a.n_c + 1) / 2.0 - a.n_c * a.n_t / 2.0)
+                 / nullif(sqrt(a.n_c * a.n_t / 12.0
+                               * ((t.n + 1) - t.tie_term / (t.n * (t.n - 1.0)))), 0),
+                 4) + 0.0 AS z_score
+    FROM arms a CROSS JOIN ties t
+    """,
+    tags=("analytics", "experiment"),
+)
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the experiment arms —
+    the nonparametric location test that completes the experiment suite
+    (z-proportion, Welch mean, KS shape, SRM trust-gate): robust to the
+    heavy-tailed spend distributions that break the t-test's normality
+    assumption. Ties get MIDRANKS (average row_number per support point —
+    one value-partitioned window over the globally ranked rows), U_c =
+    R_c − n_c(n_c+1)/2, and the normal approximation uses the
+    tie-CORRECTED variance n_c·n_t/12·((N+1) − Σ(t³−t)/(N(N−1))) — with
+    cents quantization ties are common, so the uncorrected variance would
+    overstate |z|.
+
+    Same cents-quantized spend as agg_ks_test (PARITY rule 17b) so float
+    fold-order can't split a support point; the global rank window runs
+    over |users| rows (at 100 TB: pre-aggregate to the value support and
+    rank value GROUPS — same midranks by construction). Scalars fold in
+    by broadcast cross join; division nullif-guarded; +0.0 collapses
+    −0.0 z (rule 17)."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1) < "8",
+        "control",
+    ).otherwise("treatment")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            )
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("spend_cents")
+    ).withColumn("arm", arm)
+    rn = F.row_number().over(Window.orderBy("spend_cents", "user_id")) * F.lit(1.0)
+    ranked = per_user.select(
+        "arm", "spend_cents", rn.alias("rn")
+    ).withColumn("midrank", F.avg("rn").over(Window.partitionBy("spend_cents")))
+    ties = (
+        per_user.groupBy("spend_cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.pow(F.col("cnt"), 3) - F.col("cnt")).alias("tie_term"),
+            F.sum("cnt").alias("n"),
+        )
+    )
+    arms = ranked.agg(
+        F.sum(F.when(F.col("arm") == "control", F.col("midrank"))).alias("r_c"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias("n_t"),
+    )
+    u_c = F.col("r_c") - F.col("n_c") * (F.col("n_c") + 1) / 2.0
+    var = (
+        F.col("n_c")
+        * F.col("n_t")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_term") / (F.col("n") * (F.col("n") - F.lit(1.0)))
+        )
+    )
+    return arms.crossJoin(F.broadcast(ties)).select(
+        "n_c",
+        "n_t",
+        F.round(u_c, 1).alias("u_control"),
+        (
+            F.round(
+                (u_c - F.col("n_c") * F.col("n_t") / 2.0)
+                / F.nullif(F.sqrt(var), F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z_score"),
+    )

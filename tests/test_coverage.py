@@ -417,6 +417,8 @@ EXTENSIONS = [
     # truth (the collision model made queryable), two-sample KS distance
     "eval_lsh_candidate_quality",
     "agg_ks_test",
+    # tie-corrected Mann-Whitney U completes the experiment-stat suite
+    "agg_mannwhitney_u",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1519,3 +1519,47 @@ class TestFourthWaveAudits:
         )
         assert abs(r.ks_stat - round(d, 4)) < 1e-9
         assert 0 <= r.ks_stat <= 1
+
+    def test_mannwhitney_matches_scipy_formula(self, spark, sf_dir):
+        """Recompute U and tie-corrected z driver-side (scipy-free midrank
+        formulation) from the same cents-quantized spend."""
+        import hashlib
+        import math
+        from collections import Counter
+
+        r = REGISTRY["agg_mannwhitney_u"].fn(spark, sf_dir).collect()[0]
+        spend = {}
+        for e in load(spark, sf_dir, "events").collect():
+            spend.setdefault(e.user_id, 0.0)
+            if e.event_type == "purchase":
+                spend[e.user_id] += e.value
+        rows = [
+            (
+                "control"
+                if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8"
+                else "treatment",
+                math.floor(s * 100 + 0.5),
+            )
+            for uid, s in spend.items()
+        ]
+        values = sorted(v for _, v in rows)
+        # midrank of value v = average of its 1-based positions
+        first = {}
+        for i, v in enumerate(values):
+            first.setdefault(v, i + 1)
+        cnt = Counter(values)
+        midrank = {v: first[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+        r_c = sum(midrank[v] for a, v in rows if a == "control")
+        n_c = sum(1 for a, _ in rows if a == "control")
+        n_t = len(rows) - n_c
+        n = len(rows)
+        u_c = r_c - n_c * (n_c + 1) / 2.0
+        tie = sum(c**3 - c for c in cnt.values())
+        var = n_c * n_t / 12.0 * ((n + 1) - tie / (n * (n - 1.0)))
+        z = (u_c - n_c * n_t / 2.0) / math.sqrt(var)
+        assert (r.n_c, r.n_t) == (n_c, n_t)
+        assert abs(r.u_control - round(u_c, 1)) < 1e-9
+        assert abs(r.z_score - round(z, 4)) < 1e-9
+        # same fixture, same split: agree with Welch/KS that there is no
+        # true arm effect (md5 assignment of a homogeneous population)
+        assert abs(r.z_score) < 1.96
