@@ -96,6 +96,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "graph_kcore", "graph_jaccard_neighbors",
     "eval_rank_correlation", "agg_benford_check", "corpus_dedup_report",
     "eval_lsh_candidate_quality", "agg_ks_test", "agg_mannwhitney_u",
+    "eval_roc_curve", "eval_cohens_kappa",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1377,3 +1377,181 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("z_score"),
     )
+
+
+@query(
+    "eval_roc_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               floor(sum(CASE WHEN event_type IN ('view', 'click')
+                              THEN value ELSE 0 END) * 100 + 0.5)::BIGINT
+                   AS score_cents,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS label
+        FROM events GROUP BY user_id
+    ),
+    support AS (
+        SELECT score_cents,
+               sum(label)::BIGINT AS n_pos,
+               sum(1 - label)::BIGINT AS n_neg
+        FROM per_user GROUP BY score_cents
+    ),
+    curve AS (
+        SELECT score_cents,
+               sum(n_pos) OVER (ORDER BY score_cents DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_tp,
+               sum(n_neg) OVER (ORDER BY score_cents DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_fp
+        FROM support
+    ),
+    tot AS (
+        SELECT sum(n_pos) AS total_pos, sum(n_neg) AS total_neg FROM support
+    )
+    SELECT c.score_cents AS threshold_cents,
+           c.cum_tp::BIGINT AS cum_tp, c.cum_fp::BIGINT AS cum_fp,
+           round(c.cum_tp / nullif(t.total_pos * 1.0, 0), 4) AS tpr,
+           round(c.cum_fp / nullif(t.total_neg * 1.0, 0), 4) AS fpr
+    FROM curve c CROSS JOIN tot t
+    """,
+    tags=("analytics", "eval"),
+)
+def eval_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve of a binary converter-vs-not classifier — score = each
+    user's cents-quantized engagement spend (view+click value), label =
+    did the user ever purchase. One curve point per distinct score
+    threshold: cumulative TP/FP scanning thresholds from high to low,
+    normalized to TPR/FPR.
+
+    Spark-first scale shape: the global cumulative window runs over the
+    score SUPPORT (distinct quantized values — the groupBy reduces users
+    to support first with partial aggs), never over raw users; at 100 TB
+    the support of a cents-quantized score is bounded (≈10^6 rows) no
+    matter how many users feed it, so the single-partition ORDER BY
+    window that a global ROC scan fundamentally needs stays tiny.
+    Totals fold in via broadcast cross join (no second action —
+    VERDICT r4 #2 pattern); cents quantization (PARITY rule 17b) keeps
+    float fold-order from splitting support points across engines."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("event_type").isin("view", "click"), F.col("value")
+                ).otherwise(0.0)
+            )
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("score_cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    support = per_user.groupBy("score_cents").agg(
+        F.sum("label").alias("n_pos"),
+        F.sum(1 - F.col("label")).alias("n_neg"),
+    )
+    w = (
+        Window.orderBy(F.col("score_cents").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = support.select(
+        "score_cents",
+        F.sum("n_pos").over(w).alias("cum_tp"),
+        F.sum("n_neg").over(w).alias("cum_fp"),
+    )
+    tot = support.agg(
+        F.sum("n_pos").alias("total_pos"), F.sum("n_neg").alias("total_neg")
+    )
+    return curve.crossJoin(F.broadcast(tot)).select(
+        F.col("score_cents").alias("threshold_cents"),
+        F.col("cum_tp").cast("long").alias("cum_tp"),
+        F.col("cum_fp").cast("long").alias("cum_fp"),
+        F.round(
+            F.col("cum_tp") / F.nullif(F.col("total_pos") * 1.0, F.lit(0.0)), 4
+        ).alias("tpr"),
+        F.round(
+            F.col("cum_fp") / F.nullif(F.col("total_neg") * 1.0, F.lit(0.0)), 4
+        ).alias("fpr"),
+    )
+
+
+@query(
+    "eval_cohens_kappa",
+    oracle="""
+    WITH rated AS (
+        SELECT CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS rater_a,
+               CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 > 60
+                    THEN 1 ELSE 0 END AS rater_b
+        FROM documents
+    ),
+    counts AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(rater_a * rater_b)::BIGINT AS n_kk,
+               sum((1 - rater_a) * (1 - rater_b))::BIGINT AS n_dd,
+               sum(rater_a)::BIGINT AS a_keep,
+               sum(rater_b)::BIGINT AS b_keep
+        FROM rated
+    )
+    SELECT n AS n_docs, n_kk AS n_both_keep, n_dd AS n_both_drop,
+           round((n_kk + n_dd) / (n * 1.0), 4) AS po,
+           round((a_keep * b_keep + (n - a_keep) * (n - b_keep))
+                 / (n * n * 1.0), 4) AS pe,
+           round(((n_kk + n_dd) / (n * 1.0)
+                  - (a_keep * b_keep + (n - a_keep) * (n - b_keep))
+                    / (n * n * 1.0))
+                 / nullif(1.0 - (a_keep * b_keep + (n - a_keep) * (n - b_keep))
+                          / (n * n * 1.0), 0), 4) AS kappa
+    FROM counts
+    """,
+    tags=("analytics", "eval", "llm"),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two keep/drop labeling heuristics over the
+    document corpus — the inter-annotator-agreement gate a labeling
+    pipeline runs before trusting any single rater (human or model):
+    rater A keeps long docs (n_chars > 400), rater B keeps wordy docs
+    (> 60 whitespace-delimited words). kappa = (po − pe) / (1 − pe)
+    corrects raw agreement po for the agreement pe expected by chance
+    from each rater's marginal keep-rate.
+
+    One full-corpus pass folding to FIVE counters (n, both-keep,
+    both-drop, each rater's keep count) — pure partial aggregation, no
+    shuffle wider than one reduce row, so the cost at 100 TB is the scan
+    itself. Word count uses the same length-difference formula in both
+    engines (no regex/split semantics to diverge); division nullif-
+    guarded against the degenerate pe = 1 corpus."""
+    docs = load(spark, sf_dir, "documents")
+    rater_a = F.when(F.col("n_chars") > 400, 1).otherwise(0)
+    words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    rater_b = F.when(words > 60, 1).otherwise(0)
+    counts = docs.select(
+        rater_a.alias("rater_a"), rater_b.alias("rater_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rater_a") * F.col("rater_b")).alias("n_kk"),
+        F.sum((1 - F.col("rater_a")) * (1 - F.col("rater_b"))).alias("n_dd"),
+        F.sum("rater_a").alias("a_keep"),
+        F.sum("rater_b").alias("b_keep"),
+    )
+    n = F.col("n") * 1.0
+    po = (F.col("n_kk") + F.col("n_dd")) / n
+    pe = (
+        F.col("a_keep") * F.col("b_keep")
+        + (F.col("n") - F.col("a_keep")) * (F.col("n") - F.col("b_keep"))
+    ) / (n * n)
+    return counts.select(
+        F.col("n").alias("n_docs"),
+        F.col("n_kk").alias("n_both_keep"),
+        F.col("n_dd").alias("n_both_drop"),
+        F.round(po, 4).alias("po"),
+        F.round(pe, 4).alias("pe"),
+        F.round((po - pe) / F.nullif(1.0 - pe, F.lit(0.0)), 4).alias("kappa"),
+    )
