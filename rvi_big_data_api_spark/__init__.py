@@ -97,6 +97,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "eval_rank_correlation", "agg_benford_check", "corpus_dedup_report",
     "eval_lsh_candidate_quality", "agg_ks_test", "agg_mannwhitney_u",
     "eval_roc_curve", "eval_cohens_kappa",
+    "seq_transition_matrix", "anomaly_cusum", "profile_key_skew",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -2010,3 +2010,233 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "seq_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               epoch(date_trunc('second', ts))::BIGINT AS sec, event_id
+        FROM events
+    ),
+    pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY sec, event_id) AS from_type,
+               event_type AS to_type
+        FROM ordered
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+        FROM pairs WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           ((n_transitions * 1000000)
+               // sum(n_transitions) OVER (PARTITION BY from_type))::BIGINT
+               AS prob_ppm
+    FROM counts
+    """,
+    tags=("telemetry", "cep", "markov"),
+)
+def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event streams —
+    the behavioral model behind next-action prediction, anomalous-sequence
+    scoring (low-probability transitions), and synthetic session
+    generation: lag() pairs each event with its predecessor within the
+    user's (sec, event_id)-ordered history, pair counts fold to a
+    |channels|² matrix, and each row normalizes to transition
+    probabilities.
+
+    Scale shape: ONE user-keyed window shuffle produces the pairs, the
+    pair groupBy partial-aggregates to at most |channels|² rows (25 here)
+    before the final exchange, and row-normalization is a window over the
+    already-tiny matrix — the 100 TB cost is the single events shuffle.
+    Probabilities are emitted as exact integer parts-per-million
+    ((n × 10⁶) div row-total) so both engines hash identically — no
+    float division or rounding mode in the contract (PARITY rule 17)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions") * 1000000).alias("_num"),
+        F.sum("n_transitions").over(row_tot).alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("_num div _den").alias("prob_ppm"),
+    )
+
+
+CUSUM_TARGET_CENTS = 5_000  # in-control process level (value = 50.00)
+CUSUM_SLACK_CENTS = 200     # one-sided slack k (2.00)
+CUSUM_ALARM_CENTS = 50_000  # alarm threshold h (500.00 cumulative excess)
+
+
+@query(
+    "anomaly_cusum",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               epoch(date_trunc('second', ts))::BIGINT AS sec,
+               floor(value * 100 + 0.5)::BIGINT
+                   - {CUSUM_TARGET_CENTS + CUSUM_SLACK_CENTS} AS y_cents
+        FROM events
+    ),
+    cum AS (
+        SELECT user_id, event_id, sec,
+               sum(y_cents) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS c_run
+        FROM ordered
+    ),
+    summed AS (
+        SELECT user_id, event_id, sec, c_run,
+               min(c_run) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c_min
+        FROM cum
+    )
+    SELECT user_id, event_id, sec,
+           (c_run - least(0, c_min))::BIGINT AS s_cents
+    FROM summed
+    WHERE c_run - least(0, c_min) > {CUSUM_ALARM_CENTS}
+    """,
+    tags=("telemetry", "anomaly"),
+)
+def anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detector per vehicle — the classic
+    sequential drift alarm (Page 1954) that catches slow upward shifts
+    z-score and MAD point-outlier tests miss: S_i = max(0, S_{{i-1}} +
+    (x_i − target − slack)), alarm while S_i exceeds h.
+
+    The recursive max() has a closed form that makes it WINDOW-expressible
+    (no iterative loop, no applyInPandas): with C_i the running sum of
+    deviations, S_i = C_i − min(0, min_{{j≤i}} C_j) — a cumulative sum plus
+    a running-min-over-the-cumulative-sum, i.e. two stacked frames on ONE
+    per-user (sec, event_id)-ordered window partition. At 100 TB that is a
+    single user-keyed shuffle, embarrassingly parallel across vehicles,
+    where the textbook formulation looks like a sequential scan.
+
+    All arithmetic is integer cents against a FIXED in-control target
+    (industrial CUSUM monitors a spec, not a fitted mean), so both engines'
+    ordered fold is exact — no float fold-order or rounding mode in the
+    hash contract."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        (
+            F.floor(F.col("value") * 100 + 0.5).cast("long")
+            - F.lit(CUSUM_TARGET_CENTS + CUSUM_SLACK_CENTS)
+        ).alias("y_cents"),
+    )
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    summed = ev.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.sum("y_cents").over(wu).alias("c_run"),
+    ).withColumn("c_min", F.min("c_run").over(wu))
+    s = F.col("c_run") - F.least(F.lit(0).cast("long"), F.col("c_min"))
+    return summed.filter(s > CUSUM_ALARM_CENTS).select(
+        "user_id", "event_id", "sec", s.cast("long").alias("s_cents")
+    )
+
+
+SKEW_TOP_K = 10  # heavy hitters reported by the shuffle-skew audit
+
+
+@query(
+    "profile_key_skew",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, count(*)::BIGINT AS n_events
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT user_id, n_events,
+               row_number() OVER (ORDER BY n_events DESC, user_id) AS rank,
+               sum(n_events) OVER (ORDER BY n_events DESC, user_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_n
+        FROM counts
+    ),
+    tot AS (
+        SELECT sum(n_events)::BIGINT AS total_events,
+               count(*)::BIGINT AS n_keys,
+               max(n_events)::BIGINT AS max_n
+        FROM counts
+    )
+    SELECT r.rank, r.user_id, r.n_events,
+           ((r.n_events * 1000000) // t.total_events)::BIGINT AS share_ppm,
+           ((r.cum_n * 1000000) // t.total_events)::BIGINT AS cum_share_ppm,
+           ((t.max_n * t.n_keys * 1000) // t.total_events)::BIGINT
+               AS skew_max_avg_x1000
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rank <= {SKEW_TOP_K}
+    """,
+    tags=("analytics", "profiling", "skew"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit of a join/groupBy key — the diagnostic you run
+    BEFORE choosing a salting factor or enabling AQE skew handling: per-key
+    frequencies reduce to the top-{SKEW_TOP_K} heavy hitters with exact
+    share and cumulative share of all rows, plus the max/avg skew ratio
+    (1000 = perfectly uniform) that decides whether the key needs salting
+    at all.
+
+    Scale shape: the per-key count is one partial-agg-friendly shuffle on
+    the audited key (the same shuffle the production join would pay — the
+    audit is strictly cheaper); ranking then runs over the KEY-COUNT table,
+    not raw rows, and only the top slice survives. Shares are exact integer
+    parts-per-million (BIGINT div), so no float division enters the hash
+    contract. At 100 TB the count table may itself be large — the rank
+    window orders by (n_events DESC, key), which TakeOrdered-style
+    truncates under the rank≤K filter rather than fully sorting."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    wr = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    ranked = counts.select(
+        "user_id",
+        "n_events",
+        F.row_number().over(wr).alias("rank"),
+        F.sum("n_events")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_n"),
+    ).filter(F.col("rank") <= SKEW_TOP_K)
+    tot = counts.agg(
+        F.sum("n_events").alias("total_events"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_events").alias("max_n"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "user_id",
+        "n_events",
+        F.expr("(n_events * 1000000) div total_events").alias("share_ppm"),
+        F.expr("(cum_n * 1000000) div total_events").alias("cum_share_ppm"),
+        F.expr("(max_n * n_keys * 1000) div total_events").alias(
+            "skew_max_avg_x1000"
+        ),
+    )
