@@ -1466,3 +1466,79 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_cur").alias("n_events"),
         (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("psi"),
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@query(
+    "stream_stateful_rocksdb",
+    oracle="""
+    SELECT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(DISTINCT event_id)::BIGINT AS n_unique
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id, day
+    """,
+    tags=("streaming", "stateful", "rocksdb"),
+)
+def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale state backend, actually exercised: the same
+    stateful-pipeline shape as the HDFS-backed ops (dropDuplicates state +
+    aggregation state, chained) but running on the RocksDB state store
+    provider with changelog checkpointing — the configuration a 100 TB /
+    1000-executor deployment runs, where per-key state exceeds executor
+    heap and the HDFSBackedStateStore's in-memory map ceases to be an
+    option. Two stateful operators share the backend in one query:
+    dropDuplicates("event_id") (exactly-once repair of an at-least-once
+    source) feeding a per-vehicle-per-day count. Results must be
+    state-backend-invariant — the DuckDB oracle pins that, making this a
+    provider-conformance check, not just a demo.
+
+    The provider class is a session conf read at query START, so it is set
+    just for this query and restored in a finally (registry queries run
+    sequentially in one driver). Changelog checkpointing writes per-batch
+    deltas instead of full RocksDB snapshots — the knob that makes
+    large-state checkpointing incremental at scale."""
+    before = {
+        "spark.sql.streaming.stateStore.providerClass": spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                None,
+            ),
+    }
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    try:
+        sdf = (
+            stream_events(spark, sf_dir)
+            .filter(F.col("user_id") < 50)
+            .select("event_id", "user_id", "ts")
+            .dropDuplicates(["event_id"])
+            .groupBy(
+                "user_id",
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+            )
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+        return run_to_table(sdf, sf_dir, "rocksdb", "complete")
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
