@@ -98,7 +98,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "eval_lsh_candidate_quality", "agg_ks_test", "agg_mannwhitney_u",
     "eval_roc_curve", "eval_cohens_kappa",
     "seq_transition_matrix", "anomaly_cusum", "profile_key_skew",
-    "stream_stateful_rocksdb",
+    "stream_stateful_rocksdb", "cdc_scd2",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -2240,3 +2240,62 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_max_avg_x1000"
         ),
     )
+
+
+@query(
+    "cdc_scd2",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_id, value,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events WHERE event_type = 'purchase'
+    ),
+    versioned AS (
+        SELECT user_id, event_id, value, sec AS valid_from_sec,
+               lead(sec) OVER (PARTITION BY user_id
+                               ORDER BY sec, event_id) AS valid_to_sec,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY sec, event_id) AS version
+        FROM changes
+    )
+    SELECT user_id, version, event_id AS src_event,
+           round(value, 6) AS value,
+           valid_from_sec, valid_to_sec,
+           (valid_to_sec IS NULL) AS is_current
+    FROM versioned
+    """,
+    tags=("telemetry", "cdc", "scd2"),
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build — the history-preserving twin
+    of cdc_merge's type-1 upsert: every change event becomes a dimension
+    VERSION with a [valid_from, valid_to) interval, the open row
+    (valid_to NULL) is current, and downstream point-in-time joins
+    (feature_pit_training's territory) can reconstruct the dimension as of
+    any instant. One lead() per user closes each version with its
+    successor's start — the interval construction is purely local to the
+    key partition.
+
+    Scale shape: ONE user-keyed window shuffle builds all intervals — no
+    self-join of changes to changes (the naive SCD2 build), no global sort;
+    at 100 TB the change stream partitions by the dimension key and each
+    version chain orders independently. A real deployment MERGEs these
+    rows into a Delta/Iceberg dimension table; the interval semantics —
+    the hard part — are format-free (same environment note as cdc_merge:
+    no v2 row-level-operation table exists offline)."""
+    ev = load(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("event_id").alias("src_event"),
+        F.round("value", 6).alias("value"),
+        F.col("sec").alias("valid_from_sec"),
+        F.lead("sec").over(w).alias("valid_to_sec"),
+    ).withColumn("is_current", F.col("valid_to_sec").isNull())
