@@ -407,3 +407,35 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(TABLE({ev}) PARTITION BY user_id ORDER BY (ts, event_id))",
         ev=ev,
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) || '#' || o_orderstatus AS priority_tag
+    FROM orders
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (`@udf(useArrow=True)`, Spark 4's upgrade
+    path for legacy row UDFs): same per-row Python function signature as
+    udf_row, but the exchange rides Arrow record batches instead of
+    per-row pickle — the zero-rewrite migration that buys most of the
+    pandas_udf win for code bases full of scalar UDFs. Completes the
+    §2.12 conformance matrix: row-pickle (udf_row), Arrow-row (this),
+    Arrow-vectorized (udf_pandas_scalar).
+
+    String concat/upper stays bit-identical across engines (no float, no
+    locale dependence), so the oracle is exact. In production this exact
+    function should be the built-in `concat_ws`/`upper` — the op exists to
+    pin the API's semantics, not to recommend Python in the hot path."""
+
+    @F.udf(StringType(), useArrow=True)
+    def tag(priority: str, status: str) -> str:
+        return f"{priority.upper()}#{status}"
+
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", tag("o_orderpriority", "o_orderstatus").alias("priority_tag")
+    )

@@ -1274,3 +1274,43 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+APPROX_TOPK_K = 3  # channels reported by the sketch rollup
+
+
+@query(
+    "agg_approx_top_k",
+    oracle=f"""
+    SELECT event_type AS item, count(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, item LIMIT {APPROX_TOPK_K}
+    """,
+    tags=("aggregate", "sketch"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter top-k via Spark 4's `approx_top_k` sketch — the
+    mergeable frequent-items summary (Apache DataSketches frequent-items
+    under the hood) that answers "top channels/domains/tokens" over 100 TB
+    WITHOUT shuffling the full key space: each partition folds into a
+    bounded sketch, sketches merge associatively on the reduce side, and
+    only the k winners materialize.
+
+    Exactness contract that makes this oracle-checkable: with
+    maxItemsTracked ≥ the number of distinct keys (5 channels here,
+    bounded by the fixture schema), the sketch degenerates to exact
+    counting, so the top-k equals the exact groupBy top-k — verified
+    tie-free at sf 0.001/0.01/0.1 so the selection is unambiguous.
+    Production sizing keeps maxItemsTracked ≥ ~k·ε⁻¹ and accepts
+    approximate counts; profile_key_skew is the exact-audit twin."""
+    ev = load(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(f"approx_top_k(event_type, {APPROX_TOPK_K}, 1000)").alias("topk")
+    )
+    return (
+        sk.select(F.explode("topk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("n"),
+        )
+    )
