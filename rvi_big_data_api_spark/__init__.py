@@ -99,7 +99,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "eval_roc_curve", "eval_cohens_kappa",
     "seq_transition_matrix", "anomaly_cusum", "profile_key_skew",
     "stream_stateful_rocksdb", "cdc_scd2",
-    "udf_arrow_optimized", "agg_approx_top_k",
+    "udf_arrow_optimized", "agg_approx_top_k", "privacy_k_anonymity",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1850,3 +1850,66 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(uniq / F.count(F.lit(1)), 4).alias("novelty"),
         )
     )
+
+
+K_ANON_K = 5  # minimum group size for a quasi-identifier combination
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT source, lang,
+               CASE WHEN n_chars < 200 THEN 'short'
+                    WHEN n_chars < 800 THEN 'medium'
+                    ELSE 'long' END AS size_band,
+               doc_id % 10 AS sensitive_bucket
+        FROM documents
+    ),
+    groups AS (
+        SELECT source, lang, size_band,
+               count(*)::BIGINT AS group_size,
+               count(DISTINCT sensitive_bucket)::BIGINT AS l_diversity
+        FROM quasi GROUP BY source, lang, size_band
+    )
+    SELECT source, lang, size_band, group_size, l_diversity,
+           (group_size < {K_ANON_K}) AS violates_k
+    FROM groups
+    """,
+    tags=("llm", "privacy", "audit"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the corpus's quasi-identifiers —
+    the privacy gate that runs NEXT TO text_pii_mask in a release pipeline:
+    masking hides direct identifiers, but a (source, lang, size-band)
+    combination shared by fewer than k documents still re-identifies via
+    linkage. Each quasi-identifier group reports its size (k-anonymity)
+    and the number of distinct sensitive values it spans (l-diversity — a
+    k-anonymous group with ONE sensitive value still leaks), with
+    violators flagged for suppression or generalization.
+
+    One groupBy on the quasi-identifier tuple — partial-agg friendly, the
+    distinct-count is the only shuffle-wide term and it's bounded by the
+    sensitive domain (10 here). At 100 TB the audit costs one scan; the
+    generalization loop (coarsen bands until violations vanish) re-runs
+    only the tiny group table, not the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    size_band = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 800, "medium")
+        .otherwise("long")
+    )
+    quasi = docs.select(
+        "source",
+        "lang",
+        size_band.alias("size_band"),
+        (F.col("doc_id") % 10).alias("sensitive_bucket"),
+    )
+    return (
+        quasi.groupBy("source", "lang", "size_band")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("sensitive_bucket").alias("l_diversity"),
+        )
+        .withColumn("violates_k", F.col("group_size") < K_ANON_K)
+    )
