@@ -1404,17 +1404,16 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 AND CURRENT ROW) AS cum_tp,
                sum(n_neg) OVER (ORDER BY score_cents DESC
                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum_fp
+                                AND CURRENT ROW) AS cum_fp,
+               sum(n_pos) OVER () AS total_pos,
+               sum(n_neg) OVER () AS total_neg
         FROM support
-    ),
-    tot AS (
-        SELECT sum(n_pos) AS total_pos, sum(n_neg) AS total_neg FROM support
     )
-    SELECT c.score_cents AS threshold_cents,
-           c.cum_tp::BIGINT AS cum_tp, c.cum_fp::BIGINT AS cum_fp,
-           round(c.cum_tp / nullif(t.total_pos * 1.0, 0), 4) AS tpr,
-           round(c.cum_fp / nullif(t.total_neg * 1.0, 0), 4) AS fpr
-    FROM curve c CROSS JOIN tot t
+    SELECT score_cents AS threshold_cents,
+           cum_tp::BIGINT AS cum_tp, cum_fp::BIGINT AS cum_fp,
+           round(cum_tp / nullif(total_pos * 1.0, 0), 4) AS tpr,
+           round(cum_fp / nullif(total_neg * 1.0, 0), 4) AS fpr
+    FROM curve
     """,
     tags=("analytics", "eval"),
 )
@@ -1431,8 +1430,9 @@ def eval_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the support of a cents-quantized score is bounded (≈10^6 rows) no
     matter how many users feed it, so the single-partition ORDER BY
     window that a global ROC scan fundamentally needs stays tiny.
-    Totals fold in via broadcast cross join (no second action —
-    VERDICT r4 #2 pattern); cents quantization (PARITY rule 17b) keeps
+    Totals ride the SAME window partition as a full-frame sum (one scan,
+    one window exchange — no broadcast self-aggregate re-reading the
+    events subtree); cents quantization (PARITY rule 17b) keeps
     float fold-order from splitting support points across engines."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -1459,15 +1459,17 @@ def eval_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("score_cents").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wf = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     curve = support.select(
         "score_cents",
         F.sum("n_pos").over(w).alias("cum_tp"),
         F.sum("n_neg").over(w).alias("cum_fp"),
+        F.sum("n_pos").over(wf).alias("total_pos"),
+        F.sum("n_neg").over(wf).alias("total_neg"),
     )
-    tot = support.agg(
-        F.sum("n_pos").alias("total_pos"), F.sum("n_neg").alias("total_neg")
-    )
-    return curve.crossJoin(F.broadcast(tot)).select(
+    return curve.select(
         F.col("score_cents").alias("threshold_cents"),
         F.col("cum_tp").cast("long").alias("cum_tp"),
         F.col("cum_fp").cast("long").alias("cum_fp"),
