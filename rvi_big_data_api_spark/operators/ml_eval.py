@@ -1387,8 +1387,9 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                floor(sum(CASE WHEN event_type IN ('view', 'click')
                               THEN value ELSE 0 END) * 100 + 0.5)::BIGINT
                    AS score_cents,
-               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                   AS label
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END) AS label
         FROM events GROUP BY user_id
     ),
     support AS (
@@ -1418,11 +1419,15 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "eval"),
 )
 def eval_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROC curve of a binary converter-vs-not classifier — score = each
+    """ROC curve of a binary whale-vs-not classifier — score = each
     user's cents-quantized engagement spend (view+click value), label =
-    did the user ever purchase. One curve point per distinct score
+    did the user ever make a single purchase above 150.00 (a ~45/55
+    class split at every fixture SF; "ever purchased" is degenerate —
+    every fixture user converts). One curve point per distinct score
     threshold: cumulative TP/FP scanning thresholds from high to low,
-    normalized to TPR/FPR.
+    normalized to TPR/FPR. tests/test_audit_wave.py pins the trapezoid
+    AUC of this curve to the Mann-Whitney U statistic of the same
+    (score, label) pairs — the rank-sum/AUC identity.
 
     Spark-first scale shape: the global cumulative window runs over the
     score SUPPORT (distinct quantized values — the groupBy reduces users
@@ -1448,7 +1453,11 @@ def eval_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_cents"),
         F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
         ).alias("label"),
     )
     support = per_user.groupBy("score_cents").agg(
