@@ -439,3 +439,62 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").select(
         "o_orderkey", tag("o_orderpriority", "o_orderstatus").alias("priority_tag")
     )
+
+
+@query(
+    "udtf_cogrouped_map",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, count(*)::BIGINT AS n_purchases,
+               round(sum(value), 2) AS spend
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    c AS (
+        SELECT user_id, count(*)::BIGINT AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.spend, 0.0) AS spend
+    FROM p FULL JOIN c ON p.user_id = c.user_id
+    """,
+    tags=("udf", "cogroup"),
+)
+def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped map (`groupBy().cogroup().applyInPandas`) — the
+    API for per-key custom logic over TWO tables at once (its classic
+    production use is pandas merge_asof per key, i.e. a custom as-of join;
+    join_asof is the built-in twin). Both sides shuffle on the key and
+    arrive as aligned pandas frames — either side may be EMPTY for a key
+    present only in the other, which the function must handle (the
+    full-outer semantics the oracle mirrors).
+
+    The demo folds a purchases frame and a clicks frame per vehicle into
+    one summary row; counts/sums are exact (spend rounds once, ddof-free).
+    At 100 TB this is one co-partitioned shuffle per side — same cost
+    class as the equivalent full join, but with arbitrary Python logic in
+    the middle; the JVM full-join twin remains the hot-path
+    recommendation."""
+
+    def combine(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        (user_id,) = key
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_purchases": [len(left)],
+                "n_clicks": [len(right)],
+                "spend": [round(float(left["value"].sum()), 2) if len(left) else 0.0],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            combine, "user_id long, n_purchases long, n_clicks long, spend double"
+        )
+    )

@@ -1314,3 +1314,38 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("long").alias("n"),
         )
     )
+
+
+@query(
+    "profile_crosstab",
+    oracle="""
+    SELECT event_type AS event_type_dow,
+           sum(CASE WHEN dayofweek(ts) + 1 = 1 THEN 1 ELSE 0 END)::BIGINT AS "1",
+           sum(CASE WHEN dayofweek(ts) + 1 = 2 THEN 1 ELSE 0 END)::BIGINT AS "2",
+           sum(CASE WHEN dayofweek(ts) + 1 = 3 THEN 1 ELSE 0 END)::BIGINT AS "3",
+           sum(CASE WHEN dayofweek(ts) + 1 = 4 THEN 1 ELSE 0 END)::BIGINT AS "4",
+           sum(CASE WHEN dayofweek(ts) + 1 = 5 THEN 1 ELSE 0 END)::BIGINT AS "5",
+           sum(CASE WHEN dayofweek(ts) + 1 = 6 THEN 1 ELSE 0 END)::BIGINT AS "6",
+           sum(CASE WHEN dayofweek(ts) + 1 = 7 THEN 1 ELSE 0 END)::BIGINT AS "7"
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "profiling"),
+)
+def profile_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via `DataFrameStatFunctions.crosstab` — the
+    channel × day-of-week activity matrix, i.e. the chi-square
+    independence input and the quick categorical-drift eyeball every
+    pipeline report carries. Spark pivots the second categorical into
+    columns named by its VALUES ("1".."7" — Sunday=1, Spark's dayofweek
+    convention; DuckDB's is Sunday=0, shifted in the twin).
+
+    crosstab is a groupBy(both keys)+pivot under the hood: partial-agg
+    friendly, one shuffle on the pair key, output bounded by
+    |channels|×|weekdays|. The column-per-value shape is only sane for
+    SMALL second cardinalities — for unbounded keys use the long-form
+    groupBy (agg_pivot's documented rule)."""
+    ev = load(spark, sf_dir, "events").withColumn("dow", F.dayofweek("ts"))
+    ct = ev.stat.crosstab("event_type", "dow")
+    return ct.select(
+        "event_type_dow", *[F.col(f"`{d}`").cast("long").alias(str(d)) for d in range(1, 8)]
+    )
