@@ -447,11 +447,13 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT user_id, count(*)::BIGINT AS n_purchases,
                round(sum(value), 2) AS spend
-        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        FROM events WHERE event_type = 'purchase' AND user_id % 5 = 2
+        GROUP BY user_id
     ),
     c AS (
         SELECT user_id, count(*)::BIGINT AS n_clicks
-        FROM events WHERE event_type = 'click' GROUP BY user_id
+        FROM events WHERE event_type = 'click' AND user_id % 5 = 2
+        GROUP BY user_id
     )
     SELECT coalesce(p.user_id, c.user_id) AS user_id,
            coalesce(p.n_purchases, 0) AS n_purchases,
@@ -475,7 +477,10 @@ def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is one co-partitioned shuffle per side — same cost
     class as the equivalent full join, but with arbitrary Python logic in
     the middle; the JVM full-join twin remains the hot-path
-    recommendation."""
+    recommendation. Input sliced to 1-in-5 vehicles (the udtf_analyze
+    convention) — API conformance doesn't need the full table, and the
+    Arrow round trip per key-group is the §2.12 fixed cost bench already
+    measures elsewhere."""
 
     def combine(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         (user_id,) = key
@@ -488,7 +493,7 @@ def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 2)
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
     return (
