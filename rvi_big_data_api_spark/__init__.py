@@ -100,7 +100,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "seq_transition_matrix", "anomaly_cusum", "profile_key_skew",
     "stream_stateful_rocksdb", "cdc_scd2",
     "udf_arrow_optimized", "agg_approx_top_k", "privacy_k_anonymity",
-    "udtf_cogrouped_map", "profile_crosstab",
+    "udtf_cogrouped_map", "profile_crosstab", "stream_corpus_pipeline",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1542,3 +1542,66 @@ def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _stream_docs_dir(sf_dir: str) -> str:
+    """Stage the documents parquet into a scratch dir for the file stream
+    source (same idempotent convention as _stream_src_dir)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "rvi_stream_docs", key)
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, "documents.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(table_path(sf_dir, "documents"), dst)
+    return d
+
+
+STREAM_CORPUS_MIN_CHARS = 100  # ingest quality floor
+
+
+@query(
+    "stream_corpus_pipeline",
+    oracle=f"""
+    SELECT source,
+           count(DISTINCT md5(text))::BIGINT AS n_kept,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars
+    FROM documents
+    WHERE n_chars >= {STREAM_CORPUS_MIN_CHARS}
+    GROUP BY source
+    """,
+    tags=("streaming", "llm", "pipeline"),
+)
+def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion — the STREAMING form of the
+    quality→dedup→rollup funnel (corpus_quality_pipeline /
+    corpus_dedup_report are its batch kin): crawl snapshots arrive as
+    files, each micro-batch quality-gates new documents, streaming
+    dropDuplicates suppresses re-crawled content against ALL state seen
+    so far (keyed on (source, content-md5) so the survivor's attribution
+    is deterministic — an md5-only key would leave per-source counts
+    dependent on arrival order), and the running per-source acceptance
+    report updates in complete mode.
+
+    At 100 TB this is the shape that replaces nightly full-corpus dedup
+    jobs: state is the md5 key set (RocksDB-backed, see
+    stream_stateful_rocksdb), each snapshot pays only its own scan, and
+    the watermark policy decides how long re-crawl suppression history
+    lives. With one availableNow pass the final table equals the batch
+    distinct-count twin, which the oracle pins."""
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(_stream_docs_dir(sf_dir))
+        .filter(F.col("n_chars") >= STREAM_CORPUS_MIN_CHARS)
+        .withColumn("content_md5", F.md5(F.col("text").cast("binary")))
+        .dropDuplicates(["source", "content_md5"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    return run_to_table(sdf, sf_dir, "corpus", "complete")
