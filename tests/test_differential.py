@@ -807,3 +807,82 @@ def test_generated_percentiles_agree_across_engines(spark, duck, sf_dir, p, pred
             assert math.isclose(float(sv), float(dv), rel_tol=1e-9, abs_tol=1e-9), (
                 f"percentile({p}) diverges for {gk!r}: {sv} vs {dv}: {s_sql}"
             )
+
+
+# --------------------------------------------------------------------------
+# As-of joins: Spark (ineq join + max_by/min_by nearest) vs DuckDB's NATIVE
+# ASOF JOIN — two genuinely independent implementations of the same
+# semantics. The as-of axis is the packed (sec, event_id) BIGINT (PARITY
+# rule 7's tie-break trick), so the nearest match is UNIQUE and no
+# tie-break convention can diverge. Tolerance is applied post-hoc on the
+# DuckDB side (the nearest directional match is stale ⟺ no match within
+# the bound exists), matching the Spark side's join-time bound.
+# --------------------------------------------------------------------------
+
+asof_spec = st.builds(
+    lambda direction, tol_s, umod: (direction, tol_s, umod),
+    st.sampled_from(["backward", "forward"]),
+    st.integers(min_value=60, max_value=86_400),
+    st.integers(min_value=2, max_value=7),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=asof_spec)
+def test_generated_asof_joins_agree_across_engines(spark, duck, sf_dir, spec):
+    import pyspark.sql.functions as F
+    from rvi_big_data_api_spark.io import load
+
+    direction, tol_s, umod = spec
+    tol = tol_s * 2_097_152
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % umod == 0)
+    key = (F.unix_timestamp("ts") * 2_097_152 + F.col("event_id")).alias("k")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), key
+    )
+    quotes = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("q_user"), F.col("event_id").alias("qid"), key
+    ).select("q_user", "qid", F.col("k").alias("qk"))
+
+    if direction == "backward":
+        cond = (F.col("qk") <= F.col("k")) & (F.col("qk") >= F.col("k") - tol)
+        pick = F.max_by("qid", F.col("qk"))
+    else:
+        cond = (F.col("qk") >= F.col("k")) & (F.col("qk") <= F.col("k") + tol)
+        pick = F.min_by("qid", F.col("qk"))
+    joined = probes.join(
+        quotes, (probes.user_id == quotes.q_user) & cond, "left"
+    ).groupBy("pid").agg(pick.alias("match"))
+    s_rows = {(r.pid, r.match) for r in joined.collect()}
+
+    op, agg = ("<=", "max") if direction == "backward" else (">=", "min")
+    guard = (
+        f"q.k >= p.k - {tol}" if direction == "backward" else f"q.k <= p.k + {tol}"
+    )
+    d_rows = set(
+        map(
+            tuple,
+            duck.execute(f"""
+        WITH base AS (
+            SELECT user_id, event_id, event_type,
+                   epoch(date_trunc('second', ts))::BIGINT * 2097152 + event_id AS k
+            FROM events WHERE user_id % {umod} = 0
+        ),
+        p AS (SELECT user_id, event_id AS pid, k FROM base
+              WHERE event_type = 'purchase'),
+        q AS (SELECT user_id, event_id AS qid, k FROM base
+              WHERE event_type = 'click')
+        SELECT p.pid,
+               CASE WHEN q.k IS NOT NULL AND {guard} THEN q.qid END AS match
+        FROM p ASOF LEFT JOIN q
+          ON p.user_id = q.user_id AND q.k {op} p.k
+        """).fetchall(),
+        )
+    )
+    assert s_rows == d_rows, f"asof {direction} tol={tol_s}s u%{umod}"
