@@ -419,6 +419,17 @@ EXTENSIONS = [
     "agg_ks_test",
     # tie-corrected Mann-Whitney U completes the experiment-stat suite
     "agg_mannwhitney_u",
+    # round-5 audit/conformance wave: ROC over the score support (AUC
+    # pinned to Mann-Whitney by tests/test_audit_wave.py), rater
+    # agreement, Markov transitions, window-form CUSUM, shuffle-skew
+    # audit, RocksDB state-store conformance, SCD2 dimension build,
+    # Arrow-optimized UDF, approx_top_k sketch, k-anonymity/l-diversity,
+    # cogrouped applyInPandas, crosstab, streaming corpus-ingest funnel
+    "eval_roc_curve", "eval_cohens_kappa", "seq_transition_matrix",
+    "anomaly_cusum", "profile_key_skew", "stream_stateful_rocksdb",
+    "cdc_scd2", "udf_arrow_optimized", "agg_approx_top_k",
+    "privacy_k_anonymity", "udtf_cogrouped_map", "profile_crosstab",
+    "stream_corpus_pipeline",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
