@@ -1566,3 +1566,170 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 4).alias("pe"),
         F.round((po - pe) / F.nullif(1.0 - pe, F.lit(0.0)), 4).alias("kappa"),
     )
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow, count(*)::BIGINT AS o
+        FROM events GROUP BY event_type, dow
+    ),
+    margins AS (
+        SELECT event_type, dow, o,
+               sum(o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o) OVER (PARTITION BY dow) AS col_tot,
+               sum(o) OVER () AS n
+        FROM cells
+    )
+    SELECT count(*)::BIGINT AS n_cells,
+           round(sum(pow(o - row_tot * col_tot / (n * 1.0), 2)
+                     / nullif(row_tot * col_tot / (n * 1.0), 0)), 4)
+               AS chi2,
+           (count(DISTINCT event_type) - 1)
+               * (count(DISTINCT dow) - 1) AS dof
+    FROM margins
+    """,
+    tags=("analytics", "experiment"),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the channel × day-of-week
+    contingency table (profile_crosstab made inferential): expected cell
+    counts from the margins, χ² = Σ(O−E)²/E, degrees of freedom
+    (r−1)(c−1) — the categorical drift detector that says whether the
+    weekly activity MIX changed, complementing corpus_drift_psi's
+    per-bucket score.
+
+    One pair-key groupBy collapses 100 TB to |channels|×|weekdays| cells;
+    margins are windows over that TINY cell table (three frames, zero
+    extra scans), so the statistic costs exactly one shuffle. Expected
+    counts stay un-rounded until the final aggregate (PARITY rule 17b);
+    the identical float expression tree on both sides keeps the 4-dp
+    round stable."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / (F.col("n") * 1.0)
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum(F.pow(F.col("o") - e, 2) / F.nullif(e, F.lit(0.0))), 4
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).alias("dof"),
+    )
+
+
+@query(
+    "eval_pr_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               floor(sum(CASE WHEN event_type IN ('view', 'click')
+                              THEN value ELSE 0 END) * 100 + 0.5)::BIGINT
+                   AS score_cents,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    support AS (
+        SELECT score_cents,
+               sum(label)::BIGINT AS n_pos,
+               count(*)::BIGINT AS n_all
+        FROM per_user GROUP BY score_cents
+    ),
+    curve AS (
+        SELECT score_cents,
+               sum(n_pos) OVER w AS cum_tp,
+               sum(n_all) OVER w AS cum_pred,
+               sum(n_pos) OVER () AS total_pos
+        FROM support
+        WINDOW w AS (ORDER BY score_cents DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT score_cents AS threshold_cents,
+           cum_tp::BIGINT AS cum_tp, cum_pred::BIGINT AS cum_pred,
+           round(cum_tp / nullif(cum_pred * 1.0, 0), 4) AS precision,
+           round(cum_tp / nullif(total_pos * 1.0, 0), 4) AS recall
+    FROM curve
+    """,
+    tags=("analytics", "eval"),
+)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve for the same whale classifier as
+    eval_roc_curve — the view that matters when positives are rare and
+    ROC's false-positive-rate axis hides poor precision: at each score
+    threshold (high→low), precision = TP/predicted-positive and recall =
+    TP/total-positive.
+
+    Identical scale shape to the ROC twin: users reduce to the quantized
+    score SUPPORT with partial aggs, the single-partition cumulative
+    window runs over that bounded support, and totals ride the same
+    window partition full-frame — one scan, one window exchange. The two
+    curves share the per-user subtree at a cluster (DataFrame reuse);
+    registered separately so each is independently hash-checked."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("event_type").isin("view", "click"), F.col("value")
+                ).otherwise(0.0)
+            )
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("score_cents"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    support = per_user.groupBy("score_cents").agg(
+        F.sum("label").alias("n_pos"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    w = Window.orderBy(F.col("score_cents").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = support.select(
+        "score_cents",
+        F.sum("n_pos").over(w).alias("cum_tp"),
+        F.sum("n_all").over(w).alias("cum_pred"),
+        F.sum("n_pos").over(wf).alias("total_pos"),
+    )
+    return curve.select(
+        F.col("score_cents").alias("threshold_cents"),
+        F.col("cum_tp").cast("long").alias("cum_tp"),
+        F.col("cum_pred").cast("long").alias("cum_pred"),
+        F.round(
+            F.col("cum_tp") / F.nullif(F.col("cum_pred") * 1.0, F.lit(0.0)), 4
+        ).alias("precision"),
+        F.round(
+            F.col("cum_tp") / F.nullif(F.col("total_pos") * 1.0, F.lit(0.0)), 4
+        ).alias("recall"),
+    )

@@ -430,6 +430,8 @@ EXTENSIONS = [
     "cdc_scd2", "udf_arrow_optimized", "agg_approx_top_k",
     "privacy_k_anonymity", "udtf_cogrouped_map", "profile_crosstab",
     "stream_corpus_pipeline",
+    # chi-square independence over the crosstab; PR curve twin of the ROC
+    "stats_chi2_independence", "eval_pr_curve",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
