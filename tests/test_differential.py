@@ -886,3 +886,132 @@ def test_generated_asof_joins_agree_across_engines(spark, duck, sf_dir, spec):
         )
     )
     assert s_rows == d_rows, f"asof {direction} tol={tol_s}s u%{umod}"
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap joins: generated window lengths/offsets, Spark range
+# join vs DuckDB's native range join on the SAME half-open overlap
+# predicate (a.start < b.end AND b.start < a.end) — exercises boundary
+# semantics (touching intervals must NOT match) across engines.
+# --------------------------------------------------------------------------
+
+overlap_spec = st.builds(
+    lambda la, lb, umod: (la, lb, umod),
+    st.integers(min_value=300, max_value=7200),    # purchase window len (s)
+    st.integers(min_value=300, max_value=7200),    # error window len (s)
+    st.integers(min_value=3, max_value=9),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=overlap_spec)
+def test_generated_interval_overlaps_agree_across_engines(spark, duck, sf_dir, spec):
+    import pyspark.sql.functions as F
+    from rvi_big_data_api_spark.io import load
+
+    la, lb, umod = spec
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % umod == 0)
+    sec = F.unix_timestamp("ts")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ua"), F.col("event_id").alias("aid"),
+        sec.alias("a_start"), (sec + la).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("ub"), F.col("event_id").alias("bid"),
+        sec.alias("b_start"), (sec + lb).alias("b_end"),
+    )
+    joined = a.join(
+        b,
+        (F.col("ua") == F.col("ub"))
+        & (F.col("a_start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("a_end")),
+    ).select("aid", "bid")
+    s_rows = {(r.aid, r.bid) for r in joined.collect()}
+
+    d_rows = set(
+        map(
+            tuple,
+            duck.execute(f"""
+        WITH base AS (
+            SELECT user_id, event_id, event_type,
+                   epoch(date_trunc('second', ts))::BIGINT AS sec
+            FROM events WHERE user_id % {umod} = 0
+        ),
+        a AS (SELECT user_id, event_id AS aid, sec AS s, sec + {la} AS e
+              FROM base WHERE event_type = 'purchase'),
+        b AS (SELECT user_id, event_id AS bid, sec AS s, sec + {lb} AS e
+              FROM base WHERE event_type = 'error')
+        SELECT a.aid, b.bid FROM a JOIN b
+          ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+        """).fetchall(),
+        )
+    )
+    assert s_rows == d_rows, f"overlap la={la} lb={lb} u%{umod}"
+
+
+# --------------------------------------------------------------------------
+# Session windows: generated gap G — Spark's session_window aggregate vs
+# DuckDB window-algebra sessionization (gap_flag running sum), compared as
+# (user, n_sessions, total_events). PARITY rule 13's boundary convention
+# (session_window merges iff diff < G; the algebra splits at diff >= G)
+# holds for every generated G, not just the registered fixture's.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gap_s=st.integers(min_value=600, max_value=86_400),
+    umod=st.integers(min_value=5, max_value=11),
+)
+def test_generated_session_gaps_agree_across_engines(spark, duck, sf_dir, gap_s, umod):
+    import pyspark.sql.functions as F
+    from rvi_big_data_api_spark.io import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % umod == 1)
+        .select("user_id", F.date_trunc("second", "ts").alias("ts"))
+    )
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    s_rows = {(r.user_id, r.n_sessions, r.n_events) for r in sess.collect()}
+
+    d_rows = set(
+        map(
+            tuple,
+            duck.execute(f"""
+        WITH o AS (
+            SELECT user_id, epoch(date_trunc('second', ts))::BIGINT AS sec
+            FROM events WHERE user_id % {umod} = 1
+        ),
+        flagged AS (
+            SELECT user_id,
+                   CASE WHEN sec - lag(sec) OVER w >= {gap_s} OR
+                             lag(sec) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+        )
+        SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
+               count(*)::BIGINT AS n_events
+        FROM flagged GROUP BY user_id
+        """).fetchall(),
+        )
+    )
+    assert s_rows == d_rows, f"session gap={gap_s}s u%{umod}"
