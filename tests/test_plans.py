@@ -683,3 +683,58 @@ def test_maxsim_broadcasts_query_subvectors(spark, sf_dir):
     exec_plan = plan.split("\n== ")[0]
     assert "BroadcastExchange" in exec_plan, exec_plan[:3000]
     assert "CartesianProduct" not in exec_plan
+
+
+def test_cusum_two_frames_one_exchange(spark, sf_dir):
+    """The CUSUM closed form must cost exactly ONE user-keyed shuffle: both
+    window frames (running sum, running min over it) stack on the same
+    partitioning, and no join/second scan may creep in."""
+    plan = plan_of(REGISTRY["anomaly_cusum"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert exec_plan.count("Exchange") == 1, exec_plan[:3000]
+    assert "Join" not in exec_plan
+
+
+def test_scd2_single_key_shuffle(spark, sf_dir):
+    """SCD2 interval construction is one lead() window — a single exchange,
+    no self-join of changes to changes (the naive build)."""
+    plan = plan_of(REGISTRY["cdc_scd2"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert exec_plan.count("Exchange") == 1, exec_plan[:3000]
+    assert "Join" not in exec_plan
+
+
+def test_roc_and_pr_curves_single_scan(spark, sf_dir):
+    """Totals must ride the support window, not a broadcast self-aggregate
+    re-reading events: exactly one FileScan, no join."""
+    for name in ("eval_roc_curve", "eval_pr_curve"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        exec_plan = plan.split("\n== ")[0]
+        assert exec_plan.count("Scan parquet") + exec_plan.count(
+            "FileScan"
+        ) >= 1
+        assert exec_plan.count("FileScan") <= 1, (name, exec_plan[:3000])
+        assert "Join" not in exec_plan, name
+
+
+def test_key_skew_audit_rank_is_group_limited(spark, sf_dir):
+    """The rank<=K filter over the global order must plan as a bounded
+    top-K (WindowGroupLimit, or the Local/GlobalLimit pushdown Spark
+    prefers for single-partition rank windows) — never a full sort kept
+    past K — and the totals fold in by broadcast."""
+    plan = plan_of(REGISTRY["profile_key_skew"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert (
+        "WindowGroupLimit" in exec_plan
+        or ("GlobalLimit 10" in exec_plan and "LocalLimit 10" in exec_plan)
+    ), exec_plan[:3000]
+    assert "BroadcastExchange" in exec_plan
+
+
+def test_transition_matrix_normalizes_on_matrix_not_rows(spark, sf_dir):
+    """Row normalization must window over the aggregated matrix (25 rows),
+    never re-shuffle raw events: exactly one scan, exchanges bounded."""
+    plan = plan_of(REGISTRY["seq_transition_matrix"].fn(spark, sf_dir))
+    exec_plan = plan.split("\n== ")[0]
+    assert exec_plan.count("FileScan") <= 1, exec_plan[:3000]
+    assert "Join" not in exec_plan
