@@ -756,3 +756,70 @@ def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(ct).cast("long").alias("ct_len"),
         F.try_aes_decrypt(ct, wrong, F.lit("ECB")).isNull().alias("wrong_key_is_null"),
     )
+
+
+@query(
+    "fn_map_hof",
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               floor(value * 100 + 0.5)::BIGINT AS vc,
+               event_id % 7 AS m7
+        FROM events
+    )
+    SELECT event_id,
+           vc + 1 AS v_plus1,
+           ((vc % 2 = 0)::INT + (2 * vc % 2 = 0)::INT + (m7 % 2 = 0)::INT)::BIGINT
+               AS n_even,
+           vc + m7 AS zipped_vm,
+           'm7=' || m7 || ',v2=' || (2 * vc) || ',vc=' || vc AS entries_str
+    FROM base
+    """,
+    tags=("function", "map"),
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map HIGHER-ORDER functions — the lambda surface fn_map's access
+    family leaves out: transform_values (per-entry rewrite), map_filter
+    (per-entry predicate), map_zip_with (two-map align+combine), and the
+    map_entries → sort → render pipeline that makes a map hashable
+    deterministically (map iteration order is NOT part of either engine's
+    contract — always sort entries before emitting).
+
+    All four lambdas run inside whole-stage codegen on the JVM (no Python),
+    so the hot-path rule holds: HOFs are the way to avoid a UDF when the
+    logic is per-entry. The map is constructed from row arithmetic
+    (integer cents), so the DuckDB twin reproduces every output from the
+    raw columns — the oracle checks the HOF SEMANTICS, not map rendering
+    quirks."""
+    ev = load(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    m7 = (F.col("event_id") % 7).cast("long")
+    base = ev.select("event_id", vc.alias("vc"), m7.alias("m7"))
+    m = F.create_map(
+        F.lit("vc"), F.col("vc"),
+        F.lit("v2"), F.col("vc") * 2,
+        F.lit("m7"), F.col("m7"),
+    )
+    plus1 = F.transform_values(m, lambda k, v: v + 1)
+    evens = F.map_filter(m, lambda k, v: v % 2 == 0)
+    zipped = F.map_zip_with(
+        F.create_map(F.lit("x"), F.col("vc")),
+        F.create_map(F.lit("x"), F.col("m7")),
+        lambda k, v1, v2: v1 + v2,
+    )
+    entries = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+            )
+        ),
+        ",",
+    )
+    return base.select(
+        "event_id",
+        F.element_at(plus1, "vc").alias("v_plus1"),
+        F.size(evens).cast("long").alias("n_even"),
+        F.element_at(zipped, "x").alias("zipped_vm"),
+        entries.alias("entries_str"),
+    )

@@ -432,6 +432,8 @@ EXTENSIONS = [
     "stream_corpus_pipeline",
     # chi-square independence over the crosstab; PR curve twin of the ROC
     "stats_chi2_independence", "eval_pr_curve",
+    # map higher-order functions (transform_values/map_filter/map_zip_with)
+    "fn_map_hof",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
