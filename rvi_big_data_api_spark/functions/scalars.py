@@ -823,3 +823,58 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(zipped, "x").alias("zipped_vm"),
         entries.alias("entries_str"),
     )
+
+
+ARRAY_SET_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@query(
+    "fn_array_set",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(text, ' ')[1:6] AS toks,
+               {list(ARRAY_SET_STOPWORDS)!r}::VARCHAR[] AS stops
+        FROM documents
+    )
+    SELECT doc_id,
+           len(list_distinct(toks))::BIGINT AS n_distinct,
+           coalesce(array_to_string(list_sort(list_distinct(list_intersect(toks, stops))), ','), '')
+               AS stop_hits,
+           len(list_distinct(list_filter(toks, x -> NOT list_contains(stops, x))))::BIGINT
+               AS n_content,
+           list_has_any(toks, stops) AS any_stop,
+           len(list_filter(toks, x -> length(x) > 2)) = len(toks) AS all_long
+    FROM base
+    """,
+    tags=("function", "array"),
+)
+def fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET algebra + quantifiers — the half of the array family
+    fn_array's fold/transform suite leaves out: array_distinct,
+    array_intersect, array_except, arrays_overlap (∃), and forall (∀)
+    — over the first six tokens of each document against a
+    constant stopword set (token-set algebra is the shape of every
+    allowlist/blocklist filter in a corpus pipeline).
+
+    Determinism rule the op exists to pin: set-operation RESULT ORDER is
+    not contractual in either engine (Spark preserves first-array
+    encounter order, DuckDB hash order) — any set result that leaves the
+    query must be sorted-then-rendered (array_join(array_sort(…)))
+    before it can be hash-compared or stored. Sizes and booleans are
+    order-free. All JVM-side HOFs, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(w) for w in ARRAY_SET_STOPWORDS])
+    toks = F.slice(F.split(F.col("text"), " "), 1, 6)
+    base = docs.select("doc_id", toks.alias("toks"), stops.alias("stops"))
+    inter = F.array_intersect(F.col("toks"), F.col("stops"))
+    return base.select(
+        "doc_id",
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.array_join(F.array_sort(F.array_distinct(inter)), ",").alias("stop_hits"),
+        F.size(F.array_distinct(F.array_except("toks", "stops")))
+        .cast("long")
+        .alias("n_content"),
+        F.arrays_overlap("toks", "stops").alias("any_stop"),
+        F.forall(F.col("toks"), lambda x: F.length(x) > 2).alias("all_long"),
+    )
