@@ -1349,3 +1349,38 @@ def profile_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct.select(
         "event_type_dow", *[F.col(f"`{d}`").cast("long").alias(str(d)) for d in range(1, 8)]
     )
+
+
+@query(
+    "agg_bitops",
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id % 4096)::BIGINT AS flags_all,
+           bit_or(event_id % 4096)::BIGINT AS flags_any,
+           bit_xor(event_id % 4096)::BIGINT AS flags_parity,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "bitwise"),
+)
+def agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AGGREGATES (bit_and / bit_or / bit_xor) — the flag-word
+    rollup: given a per-event permission/feature bitmask, which bits hold
+    for EVERY event of a channel (and-fold), for ANY event (or-fold), and
+    the xor parity word (the checksum shape CDC reconciliation uses to
+    detect dropped-or-duplicated rows cheaply: xor of a multiset is
+    order-free and self-canceling).
+
+    All three are commutative/associative single-word folds — perfect
+    partial aggregation, the shuffle carries one 8-byte word per
+    (partition, group). Both engines implement them natively; the mask is
+    integer arithmetic so the fold is exact. fn_bitwise covers the scalar
+    operators; this is the aggregate half of that family."""
+    ev = load(spark, sf_dir, "events")
+    mask = (F.col("event_id") % 4096).alias("mask")
+    return ev.select("event_type", mask).groupBy("event_type").agg(
+        F.bit_and("mask").cast("long").alias("flags_all"),
+        F.bit_or("mask").cast("long").alias("flags_any"),
+        F.bit_xor("mask").cast("long").alias("flags_parity"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -433,7 +433,7 @@ EXTENSIONS = [
     # chi-square independence over the crosstab; PR curve twin of the ROC
     "stats_chi2_independence", "eval_pr_curve",
     # map higher-order functions (transform_values/map_filter/map_zip_with)
-    "fn_map_hof", "fn_array_set",
+    "fn_map_hof", "fn_array_set", "agg_bitops",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
