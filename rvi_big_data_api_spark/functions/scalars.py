@@ -878,3 +878,87 @@ def fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.arrays_overlap("toks", "stops").alias("any_stop"),
         F.forall(F.col("toks"), lambda x: F.length(x) > 2).alias("all_long"),
     )
+
+
+@query(
+    "fn_xpath",
+    oracle="""
+    SELECT event_id,
+           event_type AS x_type,
+           (event_id % 100)::BIGINT AS x_code,
+           (event_id % 2 = 0) AS x_even,
+           ('v' || user_id) || ',' || ('v' || user_id * 2) AS x_tags
+    FROM events
+    """,
+    tags=("function", "xml"),
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction family (xpath_string / xpath_long / xpath_boolean /
+    xpath list form) over per-row XML — the row-level sibling of scan_xml's
+    file-level ingest, and the shape legacy feeds (SOAP payloads, config
+    blobs) arrive in. The XML is CONSTRUCTED from fixture columns
+    (format_string), so the DuckDB twin reproduces every extraction from
+    the raw columns — the oracle pins Spark's XPath semantics (text()
+    extraction, boolean predicates, node-list → array) without needing an
+    XPath engine on the oracle side.
+
+    XPath evaluation is JVM-side (no Python), but it re-parses the XML per
+    expression — at 100 TB parse ONCE with from_xml into a struct and
+    extract fields from that (scan_xml's documented rule); these
+    functions are for one-off extractions."""
+    ev = load(spark, sf_dir, "events")
+    xml = F.format_string(
+        '<ev code="%s"><type>%s</type><tag>v%s</tag><tag>v%s</tag></ev>',
+        (F.col("event_id") % 100).cast("string"),
+        F.col("event_type"),
+        F.col("user_id").cast("string"),
+        (F.col("user_id") * 2).cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.xpath_string(xml, F.lit("/ev/type")).alias("x_type"),
+        F.xpath_long(xml, F.lit("/ev/@code")).alias("x_code"),
+        F.xpath_boolean(xml, F.lit("/ev/@code mod 2 = 0")).alias("x_even"),
+        F.array_join(F.xpath(xml, F.lit("/ev/tag/text()")), ",").alias("x_tags"),
+    )
+
+
+@query(
+    "fn_csv_inline",
+    oracle="""
+    SELECT event_id,
+           event_type AS c_type,
+           (event_id % 1000)::BIGINT AS c_code,
+           round(floor(value * 100 + 0.5) / 100.0, 2) AS c_val
+    FROM events
+    """,
+    tags=("function", "csv"),
+)
+def fn_csv_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline CSV round trip (to_csv → from_csv) on a struct column — the
+    row-level sibling of scan_csv: embedded CSV lines (log fields, legacy
+    message bodies) parsed WITHOUT a file source, schema-on-read per row.
+    The struct is built from fixture columns and the value is cents-
+    quantized BEFORE the round trip, so the re-parsed double is exact and
+    the DuckDB twin reproduces everything from the raw columns.
+
+    Both directions are JVM-side codegen. The at-scale note mirrors
+    fn_xpath's: from_csv parses per call — parse once into a struct, then
+    prune columns (Catalyst pushes the needed-fields list into the parse
+    via the csv expression's required schema)."""
+    ev = load(spark, sf_dir, "events")
+    cents_val = F.round(F.floor(F.col("value") * 100 + 0.5) / 100.0, 2)
+    line = F.to_csv(
+        F.struct(
+            F.col("event_type").alias("t"),
+            (F.col("event_id") % 1000).alias("code"),
+            cents_val.alias("v"),
+        )
+    )
+    parsed = F.from_csv(line, "t string, code bigint, v double")
+    return ev.select(
+        "event_id",
+        parsed["t"].alias("c_type"),
+        parsed["code"].alias("c_code"),
+        parsed["v"].alias("c_val"),
+    )

@@ -434,6 +434,8 @@ EXTENSIONS = [
     "stats_chi2_independence", "eval_pr_curve",
     # map higher-order functions (transform_values/map_filter/map_zip_with)
     "fn_map_hof", "fn_array_set", "agg_bitops",
+    # row-level XML/CSV extraction siblings of scan_xml / scan_csv
+    "fn_xpath", "fn_csv_inline",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
