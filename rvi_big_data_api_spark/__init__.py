@@ -102,6 +102,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "udf_arrow_optimized", "agg_approx_top_k", "privacy_k_anonymity",
     "udtf_cogrouped_map", "profile_crosstab", "stream_corpus_pipeline",
     "stats_chi2_independence", "eval_pr_curve", "fn_map_hof", "fn_array_set", "agg_bitops", "fn_xpath", "fn_csv_inline",
+    "fn_geospatial",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

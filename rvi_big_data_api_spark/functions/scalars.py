@@ -962,3 +962,75 @@ def fn_csv_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["code"].alias("c_code"),
         parsed["v"].alias("c_val"),
     )
+
+
+# WKB POINT literals (little-endian, type 1) for the geospatial round trip:
+# POINT(1 10), POINT(2 20), POINT(3 30), POINT(4 40) — precomputed so the
+# fixture needs no IEEE-double packing at query time.
+GEO_WKB_POINTS = (
+    "0101000000000000000000F03F0000000000002440",
+    "010100000000000000000000400000000000003440",
+    "010100000000000000000008400000000000003E40",
+    "010100000000000000000010400000000000004440",
+)
+
+
+@query(
+    "fn_geospatial",
+    oracle=f"""
+    SELECT event_id,
+           CASE event_id % 4
+                WHEN 0 THEN '{GEO_WKB_POINTS[0]}' WHEN 1 THEN '{GEO_WKB_POINTS[1]}'
+                WHEN 2 THEN '{GEO_WKB_POINTS[2]}' ELSE '{GEO_WKB_POINTS[3]}'
+           END AS wkb_roundtrip,
+           0 AS srid_geom,
+           4326 AS srid_geog,
+           (CASE WHEN event_id % 2 = 0 THEN 4326 ELSE 0 END)::INT AS srid_set
+    FROM events WHERE event_id < 1000
+    """,
+    tags=("function", "geospatial"),
+)
+def fn_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's GEOSPATIAL type surface — the complete set this build
+    exposes (st_geomfromwkb / st_geogfromwkb / st_asbinary / st_srid /
+    st_setsrid; no WKT constructors or measurement functions yet): WKB
+    parse → binary round trip (must be byte-identical — the storage
+    contract), the GEOMETRY(0)-vs-GEOGRAPHY(4326) default-SRID split, and
+    per-row st_setsrid re-tagging (this build accepts SRIDs 0 and 4326
+    only — 3857 raises ST_INVALID_SRID_VALUE, recorded here). Gated behind
+    `spark.sql.geospatial.enabled` (set and restored around the query —
+    the RocksDB-op conf pattern); the oracle reconstructs every output
+    arithmetically since DuckDB's spatial extension is not installable
+    offline.
+
+    The fixture's real geo analytics (haversine, geofence, tile grids, OD
+    matrices) stay on the arithmetic columns — this op pins the TYPE
+    plumbing a future measurement-function surface would build on."""
+    before = spark.conf.get("spark.sql.geospatial.enabled", None)
+    spark.conf.set("spark.sql.geospatial.enabled", "true")
+    try:
+        ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+        wkb_hex = (
+            F.when(F.col("event_id") % 4 == 0, GEO_WKB_POINTS[0])
+            .when(F.col("event_id") % 4 == 1, GEO_WKB_POINTS[1])
+            .when(F.col("event_id") % 4 == 2, GEO_WKB_POINTS[2])
+            .otherwise(GEO_WKB_POINTS[3])
+        )
+        ev = ev.withColumn("wkb_hex", wkb_hex)
+        return ev.select(
+            "event_id",
+            F.expr(
+                "hex(st_asbinary(st_geomfromwkb(unhex(wkb_hex))))"
+            ).alias("wkb_roundtrip"),
+            F.expr("st_srid(st_geomfromwkb(unhex(wkb_hex)))").alias("srid_geom"),
+            F.expr("st_srid(st_geogfromwkb(unhex(wkb_hex)))").alias("srid_geog"),
+            F.expr(
+                "st_srid(st_setsrid(st_geomfromwkb(unhex(wkb_hex)),"
+                " cast(CASE WHEN event_id % 2 = 0 THEN 4326 ELSE 0 END AS int)))"
+            ).alias("srid_set"),
+        ).withColumn("wkb_roundtrip", F.col("wkb_roundtrip"))
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.geospatial.enabled")
+        else:
+            spark.conf.set("spark.sql.geospatial.enabled", before)

@@ -436,6 +436,8 @@ EXTENSIONS = [
     "fn_map_hof", "fn_array_set", "agg_bitops",
     # row-level XML/CSV extraction siblings of scan_xml / scan_csv
     "fn_xpath", "fn_csv_inline",
+    # Spark 4.1 GEOMETRY/GEOGRAPHY type surface (flag-gated WKB round trip)
+    "fn_geospatial",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
