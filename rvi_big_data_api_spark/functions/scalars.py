@@ -1028,7 +1028,7 @@ def fn_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "st_srid(st_setsrid(st_geomfromwkb(unhex(wkb_hex)),"
                 " cast(CASE WHEN event_id % 2 = 0 THEN 4326 ELSE 0 END AS int)))"
             ).alias("srid_set"),
-        ).withColumn("wkb_roundtrip", F.col("wkb_roundtrip"))
+        )
     finally:
         if before is None:
             spark.conf.unset("spark.sql.geospatial.enabled")
