@@ -998,39 +998,33 @@ def fn_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract), the GEOMETRY(0)-vs-GEOGRAPHY(4326) default-SRID split, and
     per-row st_setsrid re-tagging (this build accepts SRIDs 0 and 4326
     only — 3857 raises ST_INVALID_SRID_VALUE, recorded here). Gated behind
-    `spark.sql.geospatial.enabled` (set and restored around the query —
-    the RocksDB-op conf pattern); the oracle reconstructs every output
-    arithmetically since DuckDB's spatial extension is not installable
-    offline.
+    `spark.sql.geospatial.enabled`, which get_spark() pins SESSION-wide: a
+    per-query set/restore is not safe for a lazy surface — any downstream
+    re-analysis (e.g. the bench's count() over the returned frame)
+    re-resolves the ST expressions after the restore and fails. The oracle
+    reconstructs every output arithmetically since DuckDB's spatial
+    extension is not installable offline.
 
     The fixture's real geo analytics (haversine, geofence, tile grids, OD
     matrices) stay on the arithmetic columns — this op pins the TYPE
     plumbing a future measurement-function surface would build on."""
-    before = spark.conf.get("spark.sql.geospatial.enabled", None)
-    spark.conf.set("spark.sql.geospatial.enabled", "true")
-    try:
-        ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
-        wkb_hex = (
-            F.when(F.col("event_id") % 4 == 0, GEO_WKB_POINTS[0])
-            .when(F.col("event_id") % 4 == 1, GEO_WKB_POINTS[1])
-            .when(F.col("event_id") % 4 == 2, GEO_WKB_POINTS[2])
-            .otherwise(GEO_WKB_POINTS[3])
-        )
-        ev = ev.withColumn("wkb_hex", wkb_hex)
-        return ev.select(
-            "event_id",
-            F.expr(
-                "hex(st_asbinary(st_geomfromwkb(unhex(wkb_hex))))"
-            ).alias("wkb_roundtrip"),
-            F.expr("st_srid(st_geomfromwkb(unhex(wkb_hex)))").alias("srid_geom"),
-            F.expr("st_srid(st_geogfromwkb(unhex(wkb_hex)))").alias("srid_geog"),
-            F.expr(
-                "st_srid(st_setsrid(st_geomfromwkb(unhex(wkb_hex)),"
-                " cast(CASE WHEN event_id % 2 = 0 THEN 4326 ELSE 0 END AS int)))"
-            ).alias("srid_set"),
-        )
-    finally:
-        if before is None:
-            spark.conf.unset("spark.sql.geospatial.enabled")
-        else:
-            spark.conf.set("spark.sql.geospatial.enabled", before)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    wkb_hex = (
+        F.when(F.col("event_id") % 4 == 0, GEO_WKB_POINTS[0])
+        .when(F.col("event_id") % 4 == 1, GEO_WKB_POINTS[1])
+        .when(F.col("event_id") % 4 == 2, GEO_WKB_POINTS[2])
+        .otherwise(GEO_WKB_POINTS[3])
+    )
+    ev = ev.withColumn("wkb_hex", wkb_hex)
+    return ev.select(
+        "event_id",
+        F.expr(
+            "hex(st_asbinary(st_geomfromwkb(unhex(wkb_hex))))"
+        ).alias("wkb_roundtrip"),
+        F.expr("st_srid(st_geomfromwkb(unhex(wkb_hex)))").alias("srid_geom"),
+        F.expr("st_srid(st_geogfromwkb(unhex(wkb_hex)))").alias("srid_geog"),
+        F.expr(
+            "st_srid(st_setsrid(st_geomfromwkb(unhex(wkb_hex)),"
+            " cast(CASE WHEN event_id % 2 = 0 THEN 4326 ELSE 0 END AS int)))"
+        ).alias("srid_set"),
+    )

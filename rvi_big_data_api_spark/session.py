@@ -59,6 +59,10 @@ def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # GEOMETRY/GEOGRAPHY types (fn_geospatial): a static feature flag —
+        # per-query set/restore breaks on re-analysis (count() over the
+        # returned frame re-resolves ST expressions after the restore).
+        .config("spark.sql.geospatial.enabled", "true")
         # Local mode runs driver AND all executor threads in ONE JVM: 4g was
         # GC-bound once the registry passed ~200 queries (round-4 bench:
         # dedup_cluster 15.5 s GC spike, then hard OOM at 218 queries). Size
