@@ -44,17 +44,65 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- never driver-verified after rounds 1-4 (49 queries; the driver caps
-    # at exactly 50 rows/round, so this entire block — already judge-replica
-    # green per VERDICT r4 — gets driver hash rows in round 5, closing
-    # driver verification for the whole registry) ---------------------------
+    # -- round-6 additions (new ops registered this round go first so the
+    # driver's 50-row budget sees them soonest) -----------------------------
+    # -- never driver-verified after rounds 1-5 (89 round-5 queries plus
+    # source_inmemory, whose only driver row was the pre-oracle r01
+    # `no_oracle` record — VERDICT r5 "What's wrong"). Ordered per VERDICT r5
+    # item 2: most load-bearing families first so round 6's 50-row budget
+    # covers them; the tail (~40) gets the fresh-process replica drive at
+    # close and driver rows in round 7. --------------------------------------
+    # ML-eval / feature / stats family
+    "eval_retrieval_metrics", "eval_classification_report",
+    "eval_calibration_bins", "eval_regression_metrics", "eval_ab_srm_check",
+    "eval_rank_correlation", "eval_roc_curve", "eval_pr_curve",
+    "eval_cohens_kappa", "eval_lsh_candidate_quality", "eval_pq_recall",
+    "feature_hashing", "feature_scaling", "feature_target_encode",
+    "feature_quantile_bin",
+    "stats_ttest_welch", "stats_chi2_independence",
+    "agg_ks_test", "agg_mannwhitney_u", "agg_benford_check", "agg_gini",
+    "agg_weighted_median", "agg_approx_top_k", "agg_theta_retention",
+    "agg_distinct_salted",
+    # geo / graph / embedding family
+    "geo_grid_density", "geo_od_matrix", "geo_flow_matrix", "fn_geospatial",
+    "graph_kcore", "graph_jaccard_neighbors", "graph_label_propagation",
+    "knn_graph_mutual",
+    "embed_pq_codebook", "sim_adc_topk", "embed_pca_power",
+    "embed_outlier_score", "embed_hygiene_audit",
+    "dedup_embed_bandor", "dedup_containment", "dedup_incremental",
+    "sim_maxsim_multivector", "corpus_split_leakage_safe",
+    # streaming round-5 ops
+    "stream_rocksdb_state", "scan_state_store", "stream_dedup_watermark",
+    "sink_stream_python_datasource", "stream_sketch_distinct",
+    "stream_observe_metrics", "stream_incremental_resume",
+    # ---- driver round-6 horizon (~50) lands about here --------------------
+    "stream_psi_drift", "stream_stateful_rocksdb", "stream_corpus_pipeline",
+    # pipelines / analytics / misc
+    "corpus_perplexity_filter", "corpus_training_pipeline",
+    "corpus_global_shuffle", "corpus_drift_psi", "corpus_diverse_sample",
+    "corpus_dedup_report",
+    "cdc_scd2", "privacy_k_anonymity", "anomaly_cusum", "profile_key_skew",
+    "profile_crosstab", "seq_pattern_detect", "seq_transition_matrix",
+    "event_attribution", "ab_experiment_report", "fleet_daily_report",
+    "text_zipf_fit", "text_novelty_score", "clean_impute",
+    "sink_compaction", "mm_manifest_join", "win_range_numeric",
+    # function-surface / SQL wave (replica + judge spot-check green; lowest
+    # residual risk, so they queue for round 7)
+    "fn_crypto", "fn_map_hof", "fn_array_set", "fn_xpath", "fn_csv_inline",
+    "agg_bitops", "scan_xml", "sql_scripting", "sql_identifier_dynamic",
+    "subquery_scalar_df", "udtf_table_arg", "udf_arrow_optimized",
+    "udtf_cogrouped_map", "limit_offset",
+    "source_inmemory",
+]
+
+PRIORITY_VERIFIED: list[str] = [
+    # -- driver-green in round 5 (CORRECTNESS_r05.json, 50 rows, all hash
+    # matches, zero err) ----------------------------------------------------
     "sql_pipe_syntax", "fn_collation", "udtf_analyze",
-    "sink_partition_overwrite",
-    "text_span_dedup", "corpus_quality_pipeline", "corpus_pack_sequences",
-    "embed_quantize", "fn_interval", "agg_listagg", "observe_metrics",
-    "join_hinted", "stream_stream_outer_join",
+    "sink_partition_overwrite", "text_span_dedup", "corpus_quality_pipeline",
+    "corpus_pack_sequences", "embed_quantize", "fn_interval", "agg_listagg",
+    "observe_metrics", "join_hinted", "stream_stream_outer_join",
     "scan_file_metadata", "agg_boolean", "sql_exec_immediate",
-    # round-4 third wave (queue for round 5)
     "text_chunk_overlap", "corpus_shard_split", "corpus_importance_sample",
     "dedup_cluster_pd", "data_quality_checks", "agg_mode", "sql_udf",
     "fn_url", "embed_covariance", "join_lateral_df", "agg_transpose",
@@ -65,47 +113,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_source_cap", "fn_try", "win_running_distinct",
     "graph_degree_stats", "scan_csv_quarantine", "sink_python_datasource",
     "resample_ohlc", "text_cooccurrence_pmi", "corpus_epoch_schedule",
-    "set_multiset_ops",
-    # round-5 additions (past position 50 they queue for round 6)
-    "agg_grouping_sets_df", "stream_rocksdb_state", "scan_state_store",
-    "sql_scripting", "scan_xml", "stream_dedup_watermark",
-    "sink_stream_python_datasource",
-    "corpus_perplexity_filter", "agg_distinct_salted",
-    "fn_crypto", "win_range_numeric", "dedup_incremental",
-    "embed_pq_codebook", "sim_adc_topk", "eval_pq_recall",
-    "geo_grid_density", "geo_od_matrix", "sink_compaction",
-    "corpus_training_pipeline", "subquery_scalar_df", "agg_theta_retention",
-    "corpus_global_shuffle", "udtf_table_arg", "mm_manifest_join",
-    "sql_identifier_dynamic", "fleet_daily_report", "stream_sketch_distinct",
-    "embed_hygiene_audit", "geo_flow_matrix", "stream_observe_metrics",
-    "stream_incremental_resume",
-    # round-5 continuation (post scale-sweep)
-    "dedup_embed_bandor",
-    "limit_offset", "clean_impute", "text_zipf_fit", "corpus_drift_psi",
-    "knn_graph_mutual", "embed_pca_power", "corpus_split_leakage_safe",
-    "graph_label_propagation", "dedup_containment", "sim_maxsim_multivector",
-    "seq_pattern_detect", "stream_psi_drift",
-    "embed_outlier_score", "agg_weighted_median",
-    "text_novelty_score", "corpus_diverse_sample",
-    "agg_gini", "event_attribution", "ab_experiment_report",
-    # round-5 continuation: ML-eval / feature-engineering family
-    "eval_retrieval_metrics", "eval_classification_report",
-    "feature_hashing", "feature_scaling", "stats_ttest_welch",
-    "eval_calibration_bins", "feature_target_encode",
-    "eval_regression_metrics", "eval_ab_srm_check", "feature_quantile_bin",
-    "graph_kcore", "graph_jaccard_neighbors",
-    "eval_rank_correlation", "agg_benford_check", "corpus_dedup_report",
-    "eval_lsh_candidate_quality", "agg_ks_test", "agg_mannwhitney_u",
-    "eval_roc_curve", "eval_cohens_kappa",
-    "seq_transition_matrix", "anomaly_cusum", "profile_key_skew",
-    "stream_stateful_rocksdb", "cdc_scd2",
-    "udf_arrow_optimized", "agg_approx_top_k", "privacy_k_anonymity",
-    "udtf_cogrouped_map", "profile_crosstab", "stream_corpus_pipeline",
-    "stats_chi2_independence", "eval_pr_curve", "fn_map_hof", "fn_array_set", "agg_bitops", "fn_xpath", "fn_csv_inline",
-    "fn_geospatial",
-]
-
-PRIORITY_VERIFIED: list[str] = [
+    "set_multiset_ops", "agg_grouping_sets_df",
     # -- driver-green in round 4 (CORRECTNESS_r04.json, 50 rows: 49 hash
     # matches + agg_sketch_rollup rows-only by design, zero err) ------------
     "join_salted", "mm_chunk_bytes",
@@ -175,7 +183,10 @@ PRIORITY_VERIFIED: list[str] = [
     "udf_row", "udf_pandas_scalar", "udaf_pandas_agg", "udtf_grouped_map",
     "udtf_map_partitions", "udtf_python",
     "scan_parquet", "scan_csv", "scan_json", "scan_partitioned",
-    "sink_parquet", "source_inmemory",
+    "sink_parquet",
+    # (source_inmemory demoted to PRIORITY_UNVERIFIED in round 6: its only
+    # driver row is the pre-oracle r01 `no_oracle` record; the SQL twin added
+    # later has never been driver-hash-checked — VERDICT r5 "What's wrong".)
     "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
     "stream_static_join", "stream_stream_join", "stream_output_modes",
     "source_stream_files", "sink_stream_foreachbatch", "stream_stateful",

@@ -32,18 +32,34 @@ _ROOT = pathlib.Path(__file__).resolve().parent.parent
 # refreshed. Bump this list (and refresh the priority lists) once per round;
 # a newer CORRECTNESS_r*.json written after our last commit is deliberately
 # ignored by the snapshot checks below.
-KNOWN_ROUNDS = ["r01", "r02", "r03", "r04"]
+KNOWN_ROUNDS = ["r01", "r02", "r03", "r04", "r05"]
+
+
+def _counts_as_green(name: str, rec: dict) -> bool:
+    """A driver row counts as green under the query's CURRENT contract:
+    either it hash-passed, or it was a rows-only check (`no_oracle`) AND the
+    query still has no oracle (rows-only by design). A pre-oracle `no_oracle`
+    row for a query that has since gained a SQL twin does NOT count — the
+    twin has never been driver-checked (VERDICT r5: `source_inmemory`)."""
+    if rec.get("hash_match"):
+        return True
+    if rec.get("err") == "no_oracle":
+        return name not in engine.oracles()
+    return False
+
 
 # Snapshot green set: exactly the pinned rounds.
 SNAPSHOT_GREEN: set[str] = set()
 for _r in KNOWN_ROUNDS:
-    SNAPSHOT_GREEN |= set(json.loads((_ROOT / f"CORRECTNESS_{_r}.json").read_text()))
+    _recs = json.loads((_ROOT / f"CORRECTNESS_{_r}.json").read_text())
+    SNAPSHOT_GREEN |= {n for n, rec in _recs.items() if _counts_as_green(n, rec)}
 
 # Full green set: every correctness file on disk, including any the driver
 # wrote after our last commit. Used only for one-sided (subset) checks.
 DRIVER_GREEN: set[str] = set()
 for _f in sorted(_ROOT.glob("CORRECTNESS_r*.json")):
-    DRIVER_GREEN |= set(json.loads(_f.read_text()))
+    _recs = json.loads(_f.read_text())
+    DRIVER_GREEN |= {n for n, rec in _recs.items() if _counts_as_green(n, rec)}
 
 
 def test_priority_list_is_exhaustive():
