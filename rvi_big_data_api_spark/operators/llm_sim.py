@@ -1929,7 +1929,7 @@ OUTLIER_MD_TAU = 1.01  # normalized Mahalanobis fence. The fixture corpus is
     ),
     d2 AS (
         SELECT x.vec_id, x.label,
-               sum((x.v - s.mu) * (x.v - s.mu) / nullif(s.var, 0)) AS dist2,
+               sum(coalesce((x.v - s.mu) * (x.v - s.mu) / nullif(s.var, 0), 0)) AS dist2,
                count(*)::BIGINT AS d
         FROM x JOIN stats s ON x.dim = s.dim
         GROUP BY 1, 2
@@ -1980,8 +1980,16 @@ def embed_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mu_arr"),
         lambda v, m: v - m,
     )
+    # A zero-variance dimension contributes 0 on BOTH sides: without the
+    # coalesce the NULL from nullif would poison the whole fold here while
+    # DuckDB's sum() silently skips the NULL term (ADVICE r5) — a latent
+    # engine divergence on degenerate dimensions.
     dist2 = F.aggregate(
-        F.zip_with(centered, F.col("var_arr"), lambda c, s: c * c / F.nullif(s, F.lit(0.0))),
+        F.zip_with(
+            centered,
+            F.col("var_arr"),
+            lambda c, s: F.coalesce(c * c / F.nullif(s, F.lit(0.0)), F.lit(0.0)),
+        ),
         F.lit(0.0),
         lambda acc, t: acc + t,
     )

@@ -1347,7 +1347,10 @@ class TestGraphSecondOrder:
         """One more peel round changes nothing (the unrolled depth IS the
         fixpoint on the fixture) and every survivor keeps >= k neighbors
         INSIDE the surviving set — recomputed from scratch driver-side."""
-        from rvi_big_data_api_spark.operators.llm_sim import KCORE_K
+        from rvi_big_data_api_spark.operators.llm_sim import (
+            KCORE_K,
+            KCORE_ORACLE_PEELS,
+        )
 
         out = {
             (r.label, r.vec_id): r.core_degree
@@ -1356,6 +1359,7 @@ class TestGraphSecondOrder:
         edges = self._edges(spark, sf_dir)
         # driver-side peel to TRUE fixpoint
         alive = {(l, a) for l, a, b in edges} | {(l, b) for l, a, b in edges}
+        shrinking_rounds = 0
         while True:
             deg = {}
             for l, a, b in edges:
@@ -1366,6 +1370,17 @@ class TestGraphSecondOrder:
             if nxt == alive:
                 break
             alive = nxt
+            shrinking_rounds += 1
+        # Depth guard (ADVICE r5): the DuckDB oracle unrolls a FIXED
+        # KCORE_ORACLE_PEELS rounds while Spark peels to convergence. If a
+        # fixture/SF ever needs more peels than the oracle unrolls, the two
+        # engines would silently disagree — surface that as a loud test
+        # failure here instead of an opaque hash mismatch.
+        assert shrinking_rounds <= KCORE_ORACLE_PEELS, (
+            f"fixture peel depth {shrinking_rounds} exceeds the oracle's "
+            f"unrolled KCORE_ORACLE_PEELS={KCORE_ORACLE_PEELS}; raise the "
+            "constant so the oracle reaches the fixpoint"
+        )
         assert set(out) == alive  # unrolled rounds reached the fixpoint
         for n, d in out.items():
             assert d == deg[n] and d >= KCORE_K, (n, d)
