@@ -210,6 +210,77 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_near_verify",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t) - {SHINGLE_N - 1}, 1))) s(i)
+    ),
+    sizes AS (
+        SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    ) WHERE jaccard >= {JACCARD_TAU}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_near_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_near's VERIFY stage with a SQL twin (VERDICT r5 item 3): exact
+    shingle-set Jaccard ≥ τ over candidate pairs. The MinHash/LSH banding
+    stage stays rows-only (seeded xxhash64 has no DuckDB twin), but the
+    verification semantics — the part that decides which pairs are real
+    near-duplicates — is plain set algebra, so it gets the full oracle
+    hash check here. Candidates come from the EXACT inverted-index join
+    (pairs sharing ≥ 1 shingle — a provable superset of any LSH candidate
+    set), which makes this query double as the LSH recall gate: every pair
+    dedup_near emits must appear here with the identical jaccard
+    (property-pinned in tests/test_properties.py).
+
+    Scale shape: at fixture SFs the shared-shingle join is exact and cheap
+    (shingle sharing tracks true duplication). At 100 TB the candidate
+    relation would be FED from the LSH banding stage instead — the verify
+    stage itself (two shingle equi-joins + one group-count) is unchanged;
+    a df-cap on pathological super-common shingles bounds the inverted
+    index if the exact superset is wanted at scale."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 16-bit chunks equal

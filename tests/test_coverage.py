@@ -438,6 +438,9 @@ EXTENSIONS = [
     "fn_xpath", "fn_csv_inline",
     # Spark 4.1 GEOMETRY/GEOGRAPHY type surface (flag-gated WKB round trip)
     "fn_geospatial",
+    # round 6: dedup_near's verify stage with a SQL twin — exact shingle-set
+    # Jaccard over the inverted-index candidate superset (VERDICT r5 item 3)
+    "dedup_near_verify",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -91,6 +91,25 @@ class TestDedupInvariants:
         b = rows_of(REGISTRY["dedup_hash"].fn(spark, sf_dir).select("doc_id"))
         assert a == b
 
+    def test_lsh_pairs_subset_of_exact_verify(self, spark, sf_dir):
+        """dedup_near (MinHash-LSH candidates → Jaccard verify) against
+        dedup_near_verify (EXACT inverted-index candidates → same verify):
+        the LSH output must be a subset with identical jaccard values —
+        banding can only lose candidates, never invent pairs or change the
+        verified score. This is the LSH recall gate that lets the rows-only
+        banding stage ride on the oracled verify stage's hash check."""
+        lsh = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in REGISTRY["dedup_near"].fn(spark, sf_dir).collect()
+        }
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in REGISTRY["dedup_near_verify"].fn(spark, sf_dir).collect()
+        }
+        assert set(lsh) <= set(exact), set(lsh) - set(exact)
+        for pair, j in lsh.items():
+            assert exact[pair] == j, (pair, j, exact[pair])
+
 
 class TestTopKProperties:
     def test_ann_is_subset_scored_like_exact(self, spark, sf_dir):
