@@ -1145,7 +1145,8 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     format-free.
 
     Spark 4's `DataFrame.mergeInto` API (the declarative twin of this op)
-    was probed in round 5: the builder/analyzer work, but executing MERGE
+    was probed in round 5 (re-probed round 6, 2026-08-15 — unchanged):
+    the builder/analyzer work, but executing MERGE
     requires a v2 table with row-level-operation support —
     `spark_catalog` parquet tables raise UNSUPPORTED_FEATURE.TABLE_OPERATION
     ("does not support MERGE INTO TABLE"), and no Delta/Iceberg runtime

@@ -9,7 +9,9 @@ Round-trip operators write into a deterministic scratch dir keyed by sf_dir
 (so the sf0.01 driver run and sf0.1 bench run never collide) and re-read —
 the query output is always the RE-READ data, proving the sink+scan path.
 
-Format coverage note: Avro was probed in round 5 and is ENVIRONMENT-BLOCKED
+Format coverage note: Avro was probed in round 5, re-probed round 6
+(2026-08-15: to_avro raises AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE), and
+remains ENVIRONMENT-BLOCKED
 — `spark.read.format("avro")` raises "Failed to find data source: avro"
 (spark-avro is an external module since Spark 2.4 and its jar is not in
 this container; no network to fetch it). Same class as
