@@ -1007,7 +1007,17 @@ def fn_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture's real geo analytics (haversine, geofence, tile grids, OD
     matrices) stay on the arithmetic columns — this op pins the TYPE
-    plumbing a future measurement-function surface would build on."""
+    plumbing a future measurement-function surface would build on.
+
+    Round-6 probe (2026-08-15, VERDICT r5 item 6): re-checked whether any
+    COMPUTATIONAL ST_ routine executes under the flag — st_point,
+    st_distance (geom+geog), st_distancesphere/-spheroid, st_contains,
+    st_intersects, st_area, st_length, st_x/st_y, st_buffer,
+    st_geomfromtext, st_astext, st_envelope, st_centroid, st_union,
+    st_makeline ALL raise UNRESOLVED_ROUTINE; `SHOW FUNCTIONS` confirms the
+    build registers exactly {st_asbinary, st_geogfromwkb, st_geomfromwkb,
+    st_setsrid, st_srid}. No computational geospatial op is registrable in
+    this environment; negative probe recorded."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     wkb_hex = (
         F.when(F.col("event_id") % 4 == 0, GEO_WKB_POINTS[0])
