@@ -438,6 +438,147 @@ def run_embed_mitigation() -> None:
     print(json.dumps(out, indent=1))
 
 
+STREAM_DIR = "/tmp/scale_probe/stream_events"
+ROCKSDB_PROVIDER_CLS = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _stage_stream_shards(n: int, out_dir: str, first: int = 0) -> None:
+    """Write event shards [first, n) as separate parquet files, replica r's
+    keys shifted by r*STRIDE (the build_10x construction, restricted to
+    events): each shard is an independent slice of the universe, so state
+    cardinality scales with shards while per-key state stays constant."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    src = os.path.join(BASE, "events.parquet")
+    for r in range(first, n):
+        dst = os.path.join(out_dir, f"shard_{r:03d}.parquet")
+        if os.path.exists(dst):
+            continue
+        con.execute(
+            f"""
+            COPY (SELECT event_id + {r * STRIDE} AS event_id, ts,
+                         user_id + {r * STRIDE} AS user_id,
+                         event_type, value, props
+                  FROM read_parquet('{src}'))
+            TO '{dst}' (FORMAT parquet)
+            """
+        )
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def run_streaming_decade() -> None:
+    """The stateful-streaming decade (VERDICT r5 item 4): drive the RocksDB
+    stateful pipeline (dropDuplicates event-id repair → per-user-per-day
+    counts, the stream_stateful_rocksdb shape WITHOUT its fixture key
+    filter, so state cardinality actually scales) at 1x and 10x event
+    volume, recording wall time, rows/s, and on-disk state-store size; then
+    a checkpoint-restart leg: add ONE more 1x shard to the 10x source and
+    resume from the same checkpoint — incremental cost must track the
+    increment, not the accumulated state. Changelog checkpointing is ON
+    (per-batch deltas), the configuration a 100 TB deployment runs."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    import rvi_big_data_api_spark as engine
+    from rvi_big_data_api_spark.streaming.streams import EVENTS
+
+    spark = engine.get_spark("rvi-stream-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER_CLS
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+    def pipeline(src_dir: str):
+        return (
+            spark.readStream.schema(EVENTS)
+            .parquet(src_dir)
+            .dropDuplicates(["event_id"])
+            .groupBy(
+                "user_id",
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+
+    def drain(src_dir: str, ckpt: str) -> dict:
+        t0 = time.perf_counter()
+        q = (
+            pipeline(src_dir)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        t = time.perf_counter() - t0
+        rows = sum(
+            int(p["numInputRows"]) for p in (q.recentProgress or []) if p
+        )
+        return {
+            "wall_sec": round(t, 2),
+            "input_rows": rows,
+            "rows_per_sec": int(rows / t) if t > 0 else None,
+            "state_bytes": _du(os.path.join(ckpt, "state")),
+            "n_batches": len(q.recentProgress or []),
+        }
+
+    # Warmup drain: the FIRST streaming query of a session pays one-time
+    # RocksDB/JNI + streaming-runtime init (~7 s measured) that would land
+    # entirely on the 1x leg and flatten the ratio; burn it on a throwaway.
+    warm_src = os.path.join(STREAM_DIR, "warm")
+    _stage_stream_shards(1, warm_src)
+    warm_ckpt = os.path.join(STREAM_DIR, "ckpt_warm")
+    shutil.rmtree(warm_ckpt, ignore_errors=True)
+    drain(warm_src, warm_ckpt)
+
+    results: dict[str, dict] = {}
+    for tag, shards in (("t1x", 1), ("t10x", 10), ("t100x", 100)):
+        src = os.path.join(STREAM_DIR, tag)
+        _stage_stream_shards(shards, src)
+        ckpt = os.path.join(STREAM_DIR, f"ckpt_{tag}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        results[tag] = drain(src, ckpt)
+        print(f"  {tag}: {results[tag]}", file=sys.stderr)
+    # checkpoint-restart leg: one extra shard into the 10x source, SAME ckpt
+    src10 = os.path.join(STREAM_DIR, "t10x")
+    _stage_stream_shards(11, src10, first=10)
+    results["restart_plus1x"] = drain(src10, os.path.join(STREAM_DIR, "ckpt_t10x"))
+    print(f"  restart_plus1x: {results['restart_plus1x']}", file=sys.stderr)
+    results["ratio_10x_vs_1x"] = round(
+        results["t10x"]["wall_sec"] / max(results["t1x"]["wall_sec"], 1e-9), 1
+    )
+    results["ratio_100x_vs_10x"] = round(
+        results["t100x"]["wall_sec"] / max(results["t10x"]["wall_sec"], 1e-9), 1
+    )
+    results["state_ratio_10x_vs_1x"] = round(
+        results["t10x"]["state_bytes"] / max(results["t1x"]["state_bytes"], 1), 1
+    )
+    results["state_ratio_100x_vs_10x"] = round(
+        results["t100x"]["state_bytes"] / max(results["t10x"]["state_bytes"], 1), 1
+    )
+    print(json.dumps(results, indent=1))
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "build":
@@ -450,6 +591,8 @@ if __name__ == "__main__":
         run_embed_mitigation()
     elif cmd == "sweep":
         run_full_sweep()
+    elif cmd == "stream":
+        run_streaming_decade()
     elif cmd == "build_skew":
         build_skew()
     elif cmd == "skew":
