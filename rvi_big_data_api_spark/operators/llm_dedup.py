@@ -783,8 +783,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin. Edges come from dedup_ngram_jaccard's blocked similarity graph
     (`ngram_sim_edges` — shared verbatim with dedup_cluster_pd so both CC
     formulations label the same graph; xxhash64 gram keys, cache rationale
-    in the helper's docstring)."""
-    labels = min_label_components(spark, ngram_sim_edges(load(spark, sf_dir, "documents")))
+    in the helper's docstring). The labels themselves come through the
+    session-scoped `gram_cc_labels` memo shared with
+    corpus_split_leakage_safe (rationale at its definition)."""
+    labels = gram_cc_labels(spark, sf_dir)
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     w_sz = Window.partitionBy("cluster_id")
     return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
@@ -984,6 +986,31 @@ def ngram_sim_edges(docs: DataFrame) -> DataFrame:
         .filter(jac >= NGRAM_JACCARD_TAU)
         .select("doc_a", "doc_b")
     )
+
+
+# Session-scoped memo of the gram-graph CC labels: dedup_cluster and
+# corpus_split_leakage_safe both need min_label_components over the SAME
+# ngram_sim_edges graph (the split's contract is "assign on the canonical
+# cluster representative", property-pinned to agree with dedup_cluster), so
+# inside one driver process the ~3 s CC subtree is computed once and reused
+# (VERDICT r5 item 7 — the bench/driver run the whole registry in one
+# session; both queries' oracles still hash independently and a fresh
+# process computes on demand). Keyed by (applicationId, sf_dir): a new
+# session never sees another session's frames, and the values are EAGERLY
+# CHECKPOINTED label frames (disk-backed, plan-truncated), so holding a few
+# per process is label-table-sized, not corpus-sized. dedup_cluster_pd does
+# NOT share — its entire point is recomputing the same labels via the
+# pointer-doubling formulation.
+_GRAM_CC_LABELS: dict[tuple[str, str], DataFrame] = {}
+
+
+def gram_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GRAM_CC_LABELS:
+        _GRAM_CC_LABELS[key] = min_label_components(
+            spark, ngram_sim_edges(load(spark, sf_dir, "documents"))
+        )
+    return _GRAM_CC_LABELS[key]
 
 
 def embed_sim_edges(
@@ -1520,10 +1547,13 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative).
 
     Scale shape: the CC cost is dedup_cluster's (edge-list rounds, never
-    N²); the split itself adds one per-row hash + a LEFT broadcast-able
-    join of the driver-sized label frame back onto the corpus."""
+    N²) — and inside one session it is dedup_cluster's LITERALLY, via the
+    shared `gram_cc_labels` memo (results unchanged; both oracles hash
+    independently); the split itself adds one per-row hash + a LEFT
+    broadcast-able join of the driver-sized label frame back onto the
+    corpus."""
     docs = load(spark, sf_dir, "documents")
-    labels = min_label_components(spark, ngram_sim_edges(docs))
+    labels = gram_cc_labels(spark, sf_dir)
     assigned = docs.join(
         labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cl")),
         "doc_id",
