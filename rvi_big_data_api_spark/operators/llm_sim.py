@@ -2253,3 +2253,113 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# Oracle recursion bound == Spark loop cap, so depth overflow raises on the
+# Spark side instead of silently diverging (the ADVICE r5 kcore rule).
+# Unlike kcore's UNROLLED CTE text, the twin here is a bounded RECURSIVE CTE,
+# so a generous bound costs the oracle nothing; sized from measured seed
+# eccentricity (6 at sf0.001/0.01, 17 at sf0.1 — long drift chains).
+BFS_MAX_HOPS = 40
+
+
+@query(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    edges AS MATERIALIZED (
+        SELECT label, vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT label, vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    seeds AS (SELECT label, min(src) AS node FROM edges GROUP BY label),
+    reach(label, node, d) AS (
+        SELECT label, node, 0 FROM seeds
+        UNION
+        SELECT e.label, e.dst, r.d + 1
+        FROM reach r JOIN edges e ON e.label = r.label AND e.src = r.node
+        WHERE r.d < {BFS_MAX_HOPS}
+    )
+    SELECT label, node AS vec_id, min(d)::BIGINT AS dist
+    FROM reach GROUP BY 1, 2
+    """,
+    tags=("llm", "graph"),
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the similarity graph — the fourth
+    iterative graph primitive (CC labels membership, PageRank weights,
+    k-core prunes; BFS measures REACH): per label block, hop count from the
+    block's canonical seed (its minimum node id, dedup_cluster's
+    representative convention) to every reachable node. The pipeline use:
+    "how far is this doc from its cluster representative" is the
+    provenance-depth feature that separates direct near-dups (dist 1) from
+    chains of drifted rewrites (dist ≥ 2), which transitive-closure labels
+    alone can't distinguish.
+
+    Execution shape — per-BLOCK BFS in Arrow tasks, not a driver round
+    loop: the label blocks are bounded by construction (the same contract
+    that sizes block_pairs_gemm's chunks and kcore's peel joins), so each
+    block's BFS fits one task; `applyInPandas` groups the edge list by
+    label and runs a vectorized frontier sweep per group (boolean
+    adjacency matrix, frontier |= frontier @ adj — numpy bitwise matmul,
+    no per-edge Python). Parallelism is across blocks; per-task memory is
+    O(block²) bits, bounded. The ALTERNATIVE distributed formulation
+    (frontier ⋈ edges per round with anti-join against visited) was
+    measured first: 77 s at sf0.1 vs ~2 s for this shape — 15 driver
+    rounds of shuffle latency on tiny frontiers is exactly the iterative-
+    overhead trap SCALE.md documents; reach for it only when a single
+    component exceeds task memory. The kcore/CC guard discipline applies:
+    a block not converged within BFS_MAX_HOPS raises (never partial), and
+    the cap equals the oracle's recursion bound so a depth overflow can't
+    silently diverge (the ADVICE r5 kcore rule applied from birth). The
+    DuckDB twin is the bounded recursive closure with min(d) — surplus
+    depth is a no-op on both sides.
+
+    Cites: same edge construction as graph_kcore (block_pairs_gemm —
+    chunk-pair GEMM, never all-pairs row loops)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    p = block_pairs_gemm(e, "label", SIM_PAIRS_TAU).select(
+        F.col("blk").alias("label"), "vec_a", "vec_b"
+    )
+    max_hops = BFS_MAX_HOPS
+
+    def bfs_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        label = pdf["label"].iloc[0]
+        ids = np.unique(np.concatenate([pdf["vec_a"].values, pdf["vec_b"].values]))
+        idx = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        adj = np.zeros((n, n), dtype=bool)
+        ai = pdf["vec_a"].map(idx).values
+        bi = pdf["vec_b"].map(idx).values
+        adj[ai, bi] = True
+        adj[bi, ai] = True
+        dist = np.full(n, -1, dtype=np.int64)
+        frontier = np.zeros(n, dtype=bool)
+        frontier[idx[ids.min()]] = True  # canonical seed = min node id
+        d = 0
+        while frontier.any():
+            dist[frontier] = d
+            if d > max_hops:
+                raise RuntimeError(
+                    f"graph_bfs_distance: block {label} not converged within "
+                    f"{max_hops} hops (exceeds the oracle's recursion bound)"
+                )
+            frontier = (frontier @ adj) & (dist < 0)
+            d += 1
+        reached = dist >= 0
+        return pd.DataFrame(
+            {"label": label, "vec_id": ids[reached], "dist": dist[reached]}
+        )
+
+    return p.groupBy("label").applyInPandas(
+        bfs_block, schema="label int, vec_id long, dist long"
+    )

@@ -444,6 +444,9 @@ EXTENSIONS = [
     # round 6: variant_explode lateral TVF (sorted-key canonicalization +
     # compact to_json rendering pinned by the oracle)
     "fn_variant_explode",
+    # round 6: multi-source frontier BFS hop distance from the per-block
+    # canonical seed — the reach primitive next to CC/PageRank/k-core
+    "graph_bfs_distance",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
