@@ -1097,6 +1097,117 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATRYOSHKA_DIMS = (8, 16, 32)  # prefix lengths evaluated against full-dim truth
+
+
+@query(
+    "eval_matryoshka_recall",
+    oracle=f"""
+    WITH exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE rank <= {SIM_TOPK_K}
+    ),
+    trunc AS (
+        SELECT trunc_dim, qid, vec_id FROM (
+            SELECT d.trunc_dim, q.vec_id AS qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY d.trunc_dim, q.vec_id
+                       ORDER BY list_dot_product((q.embedding::DOUBLE[])[1:d.trunc_dim],
+                                                 (e.embedding::DOUBLE[])[1:d.trunc_dim]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings q
+            JOIN embeddings e ON e.vec_id != q.vec_id
+            CROSS JOIN (VALUES (8), (16), (32)) d(trunc_dim)
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE rank <= {SIM_TOPK_K}
+    )
+    SELECT d.trunc_dim::INT AS trunc_dim, x.qid,
+           count(t.vec_id)::BIGINT AS n_overlap,
+           round(count(t.vec_id) / {SIM_TOPK_K}.0, 4) AS recall_at_k
+    FROM exact x CROSS JOIN (VALUES (8), (16), (32)) d(trunc_dim)
+    LEFT JOIN trunc t ON t.trunc_dim = d.trunc_dim AND t.qid = x.qid
+                     AND t.vec_id = x.vec_id
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (truncated-dimension) retrieval evaluation — recall@k of
+    top-k under PREFIX-dot (first 8/16/32 of 64 dims) against full-dim
+    exhaustive truth, per query and truncation. This is the measurement
+    behind the matryoshka-embedding deployment pattern: serve ANN from a
+    cheap prefix (memory and GEMM cost scale with dims) and re-rank with
+    the full vector — but only after measuring what each prefix loses,
+    which is exactly this table. Complements eval_ann_recall (bucket
+    pruning loss) and eval_pq_recall (quantization loss): three axes of
+    the same recall-gate discipline.
+
+    Shape: queries broadcast (Q rows), corpus never shuffles; the three
+    truncations are an exploded constant dim-table folded into ONE scan —
+    per-pair cost is the prefix fold, cheaper than the full dot. Prefix
+    slicing is zip_with-compatible (slice(emb, 1, d)); fold order matches
+    DuckDB's list_dot_product over the same sliced DOUBLE[], so scores are
+    bit-identical (the `dot()` contract applied to prefixes). At 100 TB
+    the truth arm runs on a sampled query set — the eval_ann_recall
+    asymmetry."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    w_full = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+    exact = (
+        pairs.select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+        .withColumn("rank", F.row_number().over(w_full))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("qid", "vec_id")
+    )
+    dims = F.explode(F.array(*[F.lit(d) for d in MATRYOSHKA_DIMS])).alias("trunc_dim")
+    w_tr = Window.partitionBy("trunc_dim", "qid").orderBy(
+        F.col("raw_dot").desc(), F.col("vec_id").asc()
+    )
+    trunc = (
+        pairs.select("qid", "vec_id", "q_emb", "embedding", dims)
+        .select(
+            "trunc_dim",
+            "qid",
+            "vec_id",
+            dot(
+                F.slice(F.col("q_emb"), F.lit(1), F.col("trunc_dim")),
+                F.slice(F.col("embedding"), F.lit(1), F.col("trunc_dim")),
+            ).alias("raw_dot"),
+        )
+        .withColumn("rank", F.row_number().over(w_tr))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("trunc_dim", "qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    exact_dims = exact.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(d,) for d in MATRYOSHKA_DIMS], "trunc_dim int")
+        )
+    )
+    return (
+        exact_dims.join(trunc, ["trunc_dim", "qid", "vec_id"], "left")
+        .groupBy("trunc_dim", "qid")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(SIM_TOPK_K)), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 @query(
     "sim_topk_multiprobe",
     oracle=f"""

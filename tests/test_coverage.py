@@ -447,6 +447,9 @@ EXTENSIONS = [
     # round 6: multi-source frontier BFS hop distance from the per-block
     # canonical seed — the reach primitive next to CC/PageRank/k-core
     "graph_bfs_distance",
+    # round 6: truncated-dimension (matryoshka) recall@k vs full-dim truth —
+    # the third recall gate next to eval_ann_recall and eval_pq_recall
+    "eval_matryoshka_recall",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
