@@ -160,6 +160,56 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_hard_negatives",
+    oracle=f"""
+    SELECT qid, vec_id, dot, rank FROM (
+        SELECT q.vec_id AS qid, e.vec_id,
+               round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS dot,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings e ON e.label != q.label
+        WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+    ) WHERE rank <= {SIM_TOPK_K}
+    """,
+    tags=("llm", "similarity", "training"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — for each anchor, the top-k most-similar
+    vectors with a DIFFERENT label: the contrastive-training companion of
+    sim_topk (whose neighbors are candidate positives). Random negatives
+    are trivially easy and teach an embedding model nothing; the negatives
+    that move the loss are the near-misses this query surfaces — highest
+    cosine across the label boundary. The mined (anchor, hard-negative,
+    margin) triples feed triplet/InfoNCE batches directly.
+
+    Same execution skeleton as sim_topk — anchors broadcast, corpus
+    scanned once shuffle-free, rank window per anchor — with the label
+    inequality as the only extra predicate (a map-side filter, no new
+    shuffle). At 100 TB: anchors batch like sim_topk's queries, and the
+    exhaustive scan swaps for the ANN shortlist (sim_topk_ann /
+    sim_adc_topk) re-filtered by label, the standard two-stage miner."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select("qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("qid", "vec_id", F.round("raw_dot", 4).alias("dot"), "rank")
+    )
+
+
+@query(
     "sim_pairs",
     oracle=f"""
     SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,

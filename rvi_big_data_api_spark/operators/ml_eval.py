@@ -1733,3 +1733,74 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tp") / F.nullif(F.col("total_pos") * 1.0, F.lit(0.0)), 4
         ).alias("recall"),
     )
+
+
+@query(
+    "feature_onehot",
+    oracle="""
+    WITH lang_vocab AS (
+        SELECT lang AS val,
+               (row_number() OVER (ORDER BY count(*) DESC, lang ASC) - 1)::INT AS idx
+        FROM documents GROUP BY lang
+    ),
+    nlang AS (SELECT count(*)::INT AS n FROM lang_vocab),
+    src_vocab AS (
+        SELECT source AS val,
+               (row_number() OVER (ORDER BY count(*) DESC, source ASC) - 1)::INT AS idx
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, lv.idx AS feature_idx, 'lang=' || d.lang AS feature_name
+    FROM documents d JOIN lang_vocab lv ON d.lang = lv.val
+    UNION ALL
+    SELECT d.doc_id, (sv.idx + n.n)::INT, 'source=' || d.source
+    FROM documents d JOIN src_vocab sv ON d.source = sv.val CROSS JOIN nlang n
+    """,
+    tags=("feature", "pipeline"),
+)
+def feature_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted one-hot encoding in COO form — the DICTIONARY twin of
+    feature_hashing: each categorical column gets a fitted vocabulary
+    (index = rank by frequency DESC then value ASC — frequency-ordered so
+    truncating the tail indices is a meaningful rare-category cutoff), and
+    multi-column encodings stack into one feature space by offsetting each
+    column's block by the preceding vocabulary sizes (lang occupies
+    [0, n_lang), source [n_lang, n_lang+n_source)) — the layout a linear
+    model or embedding table consumes directly.
+
+    Scale shape: the fit is two tiny distinct-aggregates; the transform is
+    two BROADCAST joins of driver-sized vocab tables onto the corpus — the
+    fact table never shuffles (contrast feature_target_encode, whose fit
+    must shuffle per-key stats). The vocab rank window is a single
+    partition by construction: it runs over the AGGREGATED category table
+    (|categories| rows, never |rows|) — the bounded-cardinality global
+    window rule (eval_roc_curve's). Determinism: frequency ties break on
+    the value string, identical byte order in both engines."""
+    d = load(spark, sf_dir, "documents")
+
+    def vocab(col: str) -> DataFrame:
+        w = Window.orderBy(F.col("cnt").desc(), F.col("val").asc())
+        return (
+            d.groupBy(F.col(col).alias("val"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("val", (F.row_number().over(w) - 1).cast("int").alias("idx"))
+        )
+
+    lang_v, src_v = vocab("lang"), vocab("source")
+    n_lang = lang_v.agg(F.count(F.lit(1)).cast("int").alias("n"))
+    lang_feats = d.join(
+        F.broadcast(lang_v), d.lang == lang_v.val
+    ).select(
+        "doc_id",
+        F.col("idx").alias("feature_idx"),
+        F.concat(F.lit("lang="), F.col("lang")).alias("feature_name"),
+    )
+    src_feats = (
+        d.join(F.broadcast(src_v), d.source == src_v.val)
+        .crossJoin(F.broadcast(n_lang))
+        .select(
+            "doc_id",
+            (F.col("idx") + F.col("n")).cast("int").alias("feature_idx"),
+            F.concat(F.lit("source="), F.col("source")).alias("feature_name"),
+        )
+    )
+    return lang_feats.unionAll(src_feats)

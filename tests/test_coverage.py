@@ -450,6 +450,11 @@ EXTENSIONS = [
     # round 6: truncated-dimension (matryoshka) recall@k vs full-dim truth —
     # the third recall gate next to eval_ann_recall and eval_pq_recall
     "eval_matryoshka_recall",
+    # round 6: fitted one-hot COO encoding (dictionary twin of the hashing
+    # trick, offset-stacked multi-column blocks)
+    "feature_onehot",
+    # round 6: contrastive hard-negative mining — top-k cross-label cosine
+    "sim_hard_negatives",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
