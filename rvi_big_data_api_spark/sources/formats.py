@@ -1045,3 +1045,61 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "scan_glob_recursive",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT event_id)::BIGINT AS n_ids,
+           count(DISTINCT event_id % 2)::BIGINT AS n_files
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type
+    """,
+    tags=("source",),
+)
+def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-option conformance for NON-partition-structured lakes:
+    `recursiveFileLookup` (descend arbitrary directory nesting without
+    treating `k=v` segments as partitions) + `pathGlobFilter` (select by
+    file pattern, skipping sidecar/manifest debris in place). This is how
+    a 100 TB ingest reads a vendor drop or log dump whose layout is
+    dirs-of-dirs-of-files rather than a curated partition tree — the
+    complement of scan_partitioned (Hive layout) and scan_file_metadata
+    (provenance columns).
+
+    Staging: events (< 2000) split by id parity into TWO parquet files at
+    DIFFERENT nesting depths (batch1/data-a.parquet and
+    batch2/nested/data-b.parquet) plus a non-parquet decoy
+    (batch2/notes.txt) that the glob must skip — if pathGlobFilter leaked,
+    the read would fail on the text file; if recursion missed the nested
+    dir, n_files (distinct id parities observed per type, i.e. distinct
+    source files) would be 1, not 2, and row counts would halve. The
+    oracle recomputes all three from the raw table. Scan options are
+    evaluated at file-listing time (driver-side, before tasks launch) —
+    zero per-row cost."""
+    base = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = scratch_dir(sf_dir, "glob_recursive")
+    for parity, rel in ((0, "batch1"), (1, os.path.join("batch2", "nested"))):
+        tmp = os.path.join(out, f"_tmp{parity}")
+        base.filter(F.col("event_id") % 2 == parity).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dst_dir = os.path.join(out, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(dst_dir, f"data-{parity}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(out, "batch2", "notes.txt"), "w") as fh:
+        fh.write("sidecar debris the glob must skip\n")
+    re_read = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out)
+    )
+    return re_read.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.countDistinct(F.col("event_id") % 2).alias("n_files"),
+    )

@@ -455,6 +455,8 @@ EXTENSIONS = [
     "feature_onehot",
     # round 6: contrastive hard-negative mining — top-k cross-label cosine
     "sim_hard_negatives",
+    # round 6: recursiveFileLookup + pathGlobFilter scan-option conformance
+    "scan_glob_recursive",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
