@@ -738,3 +738,60 @@ def test_transition_matrix_normalizes_on_matrix_not_rows(spark, sf_dir):
     exec_plan = plan.split("\n== ")[0]
     assert exec_plan.count("FileScan") <= 1, exec_plan[:3000]
     assert "Join" not in exec_plan
+
+
+def test_hard_negatives_broadcast_anchor_batch(spark, sf_dir):
+    """sim_hard_negatives: the anchor batch is broadcast (corpus never
+    shuffles for scoring) and the cross-label filter stays map-side — no
+    SortMergeJoin, no Python eval."""
+    plan = plan_of(REGISTRY["sim_hard_negatives"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_onehot_vocab_joins_are_broadcast(spark, sf_dir):
+    """feature_onehot: both fitted vocab tables and the offset scalar reach
+    the corpus as broadcasts — the fact table is never shuffle-joined."""
+    plan = plan_of(REGISTRY["feature_onehot"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_near_verify_pushes_shingle_joins_to_hash(spark, sf_dir):
+    """dedup_near_verify: the verify stage is equi-joins + one group-count —
+    no cartesian anywhere (the inverted index IS the candidate generator)."""
+    plan = plan_of(REGISTRY["dedup_near_verify"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bfs_distance_is_single_grouped_arrow_pass(spark, sf_dir):
+    """graph_bfs_distance: one FlatMapGroupsInPandas over the label-grouped
+    edge list (per-block vectorized BFS), never a row-wise Python eval and
+    never a driver-round join loop in the plan."""
+    plan = plan_of(REGISTRY["graph_bfs_distance"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_matryoshka_folds_dims_into_one_corpus_scan(spark, sf_dir):
+    """eval_matryoshka_recall: the three truncations ride ONE corpus scan
+    (exploded constant dim table + broadcast queries) — the parquet
+    embeddings scan appears a bounded number of times (exact + trunc arms),
+    not once per dimension."""
+    df = REGISTRY["eval_matryoshka_recall"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = executed.count("Scan parquet")
+    # exact arm (corpus + broadcast queries) + trunc arm (same) = 4 scans of
+    # the small embeddings file; the three truncations add NO extra scan.
+    assert n_scans <= 4, f"{n_scans} scans\n{executed[:2000]}"
+    assert "EvalPython" not in executed
+
+
+def test_variant_explode_is_generator_not_python(spark, sf_dir):
+    """fn_variant_explode: the lateral TVF plans as a JVM Generate node."""
+    plan = plan_of(REGISTRY["fn_variant_explode"].fn(spark, sf_dir))
+    assert "Generate" in plan, plan[:1500]
+    assert "EvalPython" not in plan
