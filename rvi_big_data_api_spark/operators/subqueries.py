@@ -1118,3 +1118,48 @@ def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView("_ident_events")
+
+
+@query(
+    "sql_pivot_unpivot",
+    oracle="""
+    SELECT (user_id % 10)::BIGINT AS bucket, event_type AS etype,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS vc_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "sql", "pivot"),
+)
+def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT / UNPIVOT clause surface (round 6) — the relational
+    syntax twins of agg_pivot (DataFrame .pivot) and agg_unpivot
+    (DataFrame .unpivot/melt): long → wide with PIVOT's aggregate-per-
+    IN-value, then wide → long again with UNPIVOT, landing back on the
+    plain GROUP BY the oracle states. The round trip pins both clauses'
+    semantics at once: PIVOT fills absent cells with NULL, and UNPIVOT's
+    default EXCLUDE NULLS drops exactly those, so the composition is the
+    identity on present groups — no special-casing in the twin. Value
+    column is integer cents (rule 17b) so sums hash exactly.
+
+    Catalyst rewrites PIVOT into the same Expand/first-agg plan the
+    DataFrame pivot builds and UNPIVOT into Expand+filter — pure JVM
+    codegen, one key shuffle; the clauses are parse-time sugar, so the
+    scale posture is agg_pivot's. DataFrames bind via {df} template slots
+    (no temp-view catalog state)."""
+    ev = load(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT bucket, etype, vc_sum FROM (
+            SELECT * FROM (
+                SELECT user_id % 10 AS bucket, event_type,
+                       floor(value * 100 + 0.5) AS vc
+                FROM {ev}
+            )
+            PIVOT (sum(vc) FOR event_type IN
+                   ('click' AS click, 'view' AS view, 'purchase' AS purchase,
+                    'signup' AS signup, 'error' AS error))
+        )
+        UNPIVOT (vc_sum FOR etype IN (click, view, purchase, signup, error))
+        """,
+        ev=ev,
+    )

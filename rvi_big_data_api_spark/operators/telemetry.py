@@ -2300,3 +2300,68 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sec").alias("valid_from_sec"),
         F.lead("sec").over(w).alias("valid_to_sec"),
     ).withColumn("is_current", F.col("valid_to_sec").isNull())
+
+
+SEASONAL_FENCE_CENTS = 4000  # fixed residual fence (integer cents, rule 17b)
+
+
+@query(
+    "anomaly_seasonal_naive",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, extract(hour FROM ts)::INT AS hr,
+               floor(value * 100 + 0.5)::BIGINT AS vc
+        FROM events
+    ),
+    profile AS (
+        SELECT event_type, hr,
+               (sum(vc)::BIGINT // count(*))::BIGINT AS avg_cents,
+               count(*)::BIGINT AS n
+        FROM base GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.hr, p.n, p.avg_cents,
+           sum(CASE WHEN abs(b.vc - p.avg_cents) > {SEASONAL_FENCE_CENTS}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_anom
+    FROM base b JOIN profile p ON b.event_type = p.event_type AND b.hr = p.hr
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("telemetry", "anomaly"),
+)
+def anomaly_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection — the fourth member of the anomaly
+    suite and the first with a SEASONAL baseline: zscore/MAD fence against
+    a global distribution and CUSUM detects drift, but a metric with a
+    daily rhythm (payments spike at noon, telemetry dips overnight) needs
+    its residual taken against the same-hour-of-day profile or every peak
+    hour reads as an anomaly. Baseline = integer-cents mean per
+    (event_type, hour-of-day) cell; a row is anomalous when its residual
+    against ITS OWN cell's baseline exceeds a fixed fence.
+
+    Exactness discipline: the baseline is integer division of cents sums
+    (PARITY rule 25) and the fence a constant, so the flag can never flip
+    on a float ulp — the stddev-scaled variant would re-enter rule 17b
+    territory at the fence boundary. Scale shape: profile is one partial
+    agg to ≤ |types|·24 rows, BROADCAST back onto the stream of rows —
+    one fact scan, one tiny dim, no window; the 100 TB form of
+    "join each row to its seasonal cell"."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    profile = base.groupBy("event_type", "hr").agg(
+        F.expr("sum(vc) div count(*)").cast("long").alias("avg_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        base.join(F.broadcast(profile), ["event_type", "hr"])
+        .groupBy("event_type", "hr", "n", "avg_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("vc") - F.col("avg_cents")) > SEASONAL_FENCE_CENTS, 1
+                ).otherwise(0)
+            ).alias("n_anom")
+        )
+    )

@@ -457,6 +457,12 @@ EXTENSIONS = [
     "sim_hard_negatives",
     # round 6: recursiveFileLookup + pathGlobFilter scan-option conformance
     "scan_glob_recursive",
+    # round 6: SQL PIVOT/UNPIVOT clause round trip (syntax twins of the
+    # DataFrame agg_pivot / agg_unpivot)
+    "sql_pivot_unpivot",
+    # round 6: seasonal-naive anomaly fence against the per-(type, hour)
+    # integer-cents baseline — the seasonal member of the anomaly suite
+    "anomaly_seasonal_naive",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
