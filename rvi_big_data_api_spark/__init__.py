@@ -49,6 +49,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "dedup_near_verify", "fn_variant_explode", "graph_bfs_distance",
     "eval_matryoshka_recall", "feature_onehot", "sim_hard_negatives",
     "scan_glob_recursive", "sql_pivot_unpivot", "anomaly_seasonal_naive",
+    "graph_closeness",
     # -- never driver-verified after rounds 1-5 (89 round-5 queries plus
     # source_inmemory, whose only driver row was the pre-oracle r01
     # `no_oracle` record — VERDICT r5 "What's wrong"). Ordered per VERDICT r5

@@ -2524,3 +2524,110 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("label").applyInPandas(
         bfs_block, schema="label int, vec_id long, dist long"
     )
+
+
+@query(
+    "graph_closeness",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    edges AS MATERIALIZED (
+        SELECT label, vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT label, vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT label, src AS node FROM edges),
+    reach(label, src, node, d) AS (
+        SELECT label, node, node, 0 FROM nodes
+        UNION
+        SELECT r.label, r.src, e.dst, r.d + 1
+        FROM reach r JOIN edges e ON e.label = r.label AND e.src = r.node
+        WHERE r.d < {BFS_MAX_HOPS}
+    ),
+    sp AS (
+        SELECT label, src, node, min(d)::BIGINT AS d
+        FROM reach GROUP BY 1, 2, 3
+    )
+    SELECT label, src AS vec_id,
+           (count(*) - 1)::BIGINT AS n_reachable,
+           sum(d)::BIGINT AS sum_dist,
+           ((count(*) - 1) * 1000000 // greatest(sum(d), 1))::BIGINT
+               AS closeness_ppm
+    FROM sp GROUP BY 1, 2
+    """,
+    tags=("llm", "graph"),
+)
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality over the similarity graph — the fifth graph
+    primitive (membership → CC, influence → PageRank, cohesion → k-core,
+    reach depth → BFS; closeness measures CENTRALITY OF POSITION:
+    (n_reachable) / Σ hop-distance, high for the node nearest to everything
+    in its component). On a near-dup graph the max-closeness node is the
+    natural cluster EXEMPLAR — the doc to keep when collapsing a duplicate
+    cluster by representativeness rather than min-id.
+
+    Execution: all-pairs BFS per label block in ONE Arrow task per block —
+    graph_bfs_distance's vectorized frontier sweep run from an identity
+    frontier matrix (numpy boolean matmul per hop, O(diam) matmuls per
+    block, n ≤ block size). Same bounded-block contract; same guard: a
+    block not converged within BFS_MAX_HOPS raises. The ratio ships as
+    integer PPM (rule 25) so it hash-matches the recursive-closure twin
+    exactly — no float division at the output boundary.
+
+    Cites: block_pairs_gemm edges (never all-pairs row loops); the DuckDB
+    twin is the bounded recursive closure grouped to per-source shortest
+    paths."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    p = block_pairs_gemm(e, "label", SIM_PAIRS_TAU).select(
+        F.col("blk").alias("label"), "vec_a", "vec_b"
+    )
+    max_hops = BFS_MAX_HOPS
+
+    def closeness_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        label = pdf["label"].iloc[0]
+        ids = np.unique(np.concatenate([pdf["vec_a"].values, pdf["vec_b"].values]))
+        idx = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        adj = np.zeros((n, n), dtype=bool)
+        ai = pdf["vec_a"].map(idx).values
+        bi = pdf["vec_b"].map(idx).values
+        adj[ai, bi] = True
+        adj[bi, ai] = True
+        dist = np.full((n, n), -1, dtype=np.int64)  # dist[src, node]
+        frontier = np.eye(n, dtype=bool)
+        d = 0
+        while frontier.any():
+            dist[frontier] = d
+            if d > max_hops:
+                raise RuntimeError(
+                    f"graph_closeness: block {label} not converged within "
+                    f"{max_hops} hops (exceeds the oracle's recursion bound)"
+                )
+            frontier = (frontier @ adj) & (dist < 0)
+            d += 1
+        reached = dist >= 0
+        n_reach = reached.sum(axis=1) - 1  # exclude self
+        sum_dist = np.where(reached, dist, 0).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "label": label,
+                "vec_id": ids,
+                "n_reachable": n_reach,
+                "sum_dist": sum_dist,
+                "closeness_ppm": n_reach * 1_000_000 // np.maximum(sum_dist, 1),
+            }
+        )
+
+    return p.groupBy("label").applyInPandas(
+        closeness_block,
+        schema="label int, vec_id long, n_reachable long, sum_dist long,"
+        " closeness_ppm long",
+    )

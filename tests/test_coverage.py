@@ -463,6 +463,9 @@ EXTENSIONS = [
     # round 6: seasonal-naive anomaly fence against the per-(type, hour)
     # integer-cents baseline — the seasonal member of the anomaly suite
     "anomaly_seasonal_naive",
+    # round 6: closeness centrality (cluster-exemplar selection) via
+    # per-block all-pairs vectorized BFS, integer-ppm ratios
+    "graph_closeness",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
