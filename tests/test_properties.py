@@ -1597,3 +1597,30 @@ class TestFourthWaveAudits:
         # same fixture, same split: agree with Welch/KS that there is no
         # true arm effect (md5 assignment of a homogeneous population)
         assert abs(r.z_score) < 1.96
+
+
+class TestGraphDistanceInvariants:
+    def test_bfs_distance_agrees_with_closeness_source_row(self, spark, sf_dir):
+        """Cross-implementation invariant: graph_bfs_distance (vector
+        frontier from the min-node seed) and graph_closeness (matrix
+        frontier, all sources) are independent sweeps over the SAME edge
+        set — the closeness row for each block's min node must report
+        exactly the BFS leg's reachable count and distance sum."""
+        bfs = REGISTRY["graph_bfs_distance"].fn(spark, sf_dir).collect()
+        by_label: dict = {}
+        for r in bfs:
+            agg = by_label.setdefault(r.label, {"n": 0, "s": 0, "seed": None})
+            agg["n"] += 1
+            agg["s"] += r.dist
+            if r.dist == 0:
+                agg["seed"] = r.vec_id
+        close = {
+            (r.label, r.vec_id): (r.n_reachable, r.sum_dist)
+            for r in REGISTRY["graph_closeness"].fn(spark, sf_dir).collect()
+        }
+        for label, agg in by_label.items():
+            assert agg["seed"] is not None, label
+            n_reach, sum_dist = close[(label, agg["seed"])]
+            # BFS emits the seed itself (dist 0); closeness excludes self
+            assert n_reach == agg["n"] - 1, (label, n_reach, agg)
+            assert sum_dist == agg["s"], (label, sum_dist, agg)
