@@ -49,7 +49,9 @@ PRIORITY_UNVERIFIED: list[str] = [
     "dedup_near_verify", "fn_variant_explode", "graph_bfs_distance",
     "eval_matryoshka_recall", "feature_onehot", "sim_hard_negatives",
     "scan_glob_recursive", "sql_pivot_unpivot", "anomaly_seasonal_naive",
-    "graph_closeness",
+    "graph_closeness", "stats_anova_oneway", "ts_autocorrelation",
+    "graph_clustering_coefficient", "stats_levene", "geo_nearest_poi",
+    "ts_holt_linear",
     # -- never driver-verified after rounds 1-5 (89 round-5 queries plus
     # source_inmemory, whose only driver row was the pre-oracle r01
     # `no_oracle` record — VERDICT r5 "What's wrong"). Ordered per VERDICT r5

@@ -2667,3 +2667,120 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="label int, vec_id long, n_reachable long, sum_dist long,"
         " closeness_ppm long",
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.label AS label, e1.vec_a AS a, e1.vec_b AS b, e2.vec_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.label = e2.label AND e1.vec_b = e2.vec_a
+        JOIN pairs e3 ON e1.label = e3.label AND e1.vec_a = e3.vec_a
+                     AND e2.vec_b = e3.vec_b
+    ),
+    tri_nodes AS (
+        SELECT label, v, count(*)::BIGINT AS n_tri FROM (
+            SELECT label, a AS v FROM tri
+            UNION ALL SELECT label, b AS v FROM tri
+            UNION ALL SELECT label, c AS v FROM tri
+        ) GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT label, v, count(*)::BIGINT AS degree FROM (
+            SELECT label, vec_a AS v FROM pairs
+            UNION ALL SELECT label, vec_b AS v FROM pairs
+        ) GROUP BY 1, 2
+    )
+    SELECT d.label AS label, d.v AS vec_id, d.degree,
+           coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+           ((2 * coalesce(t.n_tri, 0) * 1000000)
+            // nullif(d.degree * (d.degree - 1), 0))::BIGINT AS cc_ppm
+    FROM deg d LEFT JOIN tri_nodes t ON d.label = t.label AND d.v = t.v
+    """,
+    tags=("llm", "graph"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — cc(v) = 2·T(v) / (deg(v)·
+    (deg(v)−1)) over the label-blocked similarity graph. The per-NODE
+    refinement of graph_triangle_count's per-block census: a near-dup
+    neighborhood whose members each close most of their wedges is a true
+    clique of rewrites; a hub whose coefficient is ~0 is a boilerplate
+    attractor (every doc similar to a template, templates unrelated to
+    each other) — the distinction drives which dedup keeper policy is
+    safe.
+
+    Same oriented a<b<c triangle enumeration (two equi-joins, never a
+    cartesian; id-orientation bounds hub fan-out), then each triangle is
+    EXPLODED to its three corners and counted per node — one extra
+    hash agg over triangle rows, the classic distributed formulation.
+    Degrees come from the undirected edge expansion of the same
+    checkpointed pair list (the GEMM job runs once for all three
+    consumers — graph_triangle_count's truncation rule). All-integer
+    output: the coefficient ships as parts-per-million via integer
+    division (rule 25), nullif-guarded so degree-1 nodes emit NULL, never
+    a divide-by-zero.
+
+    At 100 TB the joins key on (label, endpoint) — shuffle-partitionable,
+    and the blocking cap on |block| bounds the wedge count per key."""
+    e = load(spark, sf_dir, "embeddings")
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+    p = (
+        block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
+        .select(F.col("blk").alias("label"), "vec_a", "vec_b")
+        .checkpoint(eager=True)
+    )
+    e1 = p.select("label", F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = p.select(
+        F.col("label").alias("l2"), F.col("vec_a").alias("b2"), F.col("vec_b").alias("c2")
+    )
+    e3 = p.select(
+        F.col("label").alias("l3"), F.col("vec_a").alias("a3"), F.col("vec_b").alias("c3")
+    )
+    tri = (
+        e1.join(e2, (F.col("label") == F.col("l2")) & (F.col("b") == F.col("b2")))
+        .join(
+            e3,
+            (F.col("label") == F.col("l3"))
+            & (F.col("a") == F.col("a3"))
+            & (F.col("c2") == F.col("c3")),
+        )
+        .select("label", "a", "b", F.col("c2").alias("c"))
+    )
+    tri_nodes = (
+        tri.select("label", F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("label", "v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        p.select("label", F.col("vec_a").alias("v"))
+        .unionAll(p.select("label", F.col("vec_b").alias("v")))
+        .groupBy("label", "v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tri_nodes, ["label", "v"], "left")
+        .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0)))
+        .select(
+            "label",
+            F.col("v").alias("vec_id"),
+            "degree",
+            "n_tri",
+            F.expr(
+                "CAST(2 * n_tri * 1000000 DIV nullif(degree * (degree - 1), 0) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )

@@ -1804,3 +1804,198 @@ def feature_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lang_feats.unionAll(src_feats)
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT segment, count(*)::BIGINT AS n_g, avg(v) AS m_g,
+               var_samp(v) AS v_g
+        FROM seg GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+               sum(n_g * m_g) / sum(n_g) AS grand_m
+        FROM g
+    ),
+    ss AS (
+        SELECT max(t.k)::BIGINT AS k, max(t.n)::BIGINT AS n,
+               sum(g.n_g * (g.m_g - t.grand_m) * (g.m_g - t.grand_m)) AS ssb,
+               sum((g.n_g - 1) * g.v_g) AS ssw
+        FROM g, tot t
+    )
+    SELECT k, n, (k - 1)::BIGINT AS df_between, (n - k)::BIGINT AS df_within,
+           round((ssb / (k - 1)) / nullif(ssw / (n - k), 0), 4) + 0.0 AS f_stat,
+           round(ssb / nullif(ssb + ssw, 0), 6) + 0.0 AS eta_sq
+    FROM ss
+    """,
+    tags=("analytics", "experiment"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test — does mean order value differ across the five
+    market segments? Completes the two-sample suite (Welch t, Mann-Whitney,
+    KS, chi-square) with the K-SAMPLE mean test: the question every
+    segmentation readout asks before trusting per-segment differences.
+
+    Decomposition runs on per-group sufficient statistics, never raw rows
+    twice: one partial agg to (n_g, mean_g, var_samp_g) per segment, then
+    all sums-of-squares arithmetic on the K-row table — SSB from group
+    means vs the weighted grand mean, SSW from (n_g-1)*var_g (numerically
+    stabler than sumsq - sum^2/n, and each engine computes its own
+    var_samp the same way). F and eta-squared are the only floats emitted,
+    rounded at the aggregate level (PARITY rule 1/6) with the -0.0 guard
+    (rule 17). Divisions nullif-guarded: a single-group or zero-variance
+    corpus yields NULL F, not a crash.
+
+    At 100 TB: the segment agg is a partial (map-side combine) over a
+    5-value key; everything after runs on 5 rows crossed with one scalar
+    row — driver-sized, no second fact scan."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("v"))
+    g = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.avg("v").alias("m_g"),
+        F.var_samp("v").alias("v_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        (F.sum(F.col("n_g") * F.col("m_g")) / F.sum("n_g")).alias("grand_m"),
+    )
+    ss = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("n_g") * (F.col("m_g") - F.col("grand_m")) * (F.col("m_g") - F.col("grand_m"))
+        ).alias("ssb"),
+        F.sum((F.col("n_g") - 1) * F.col("v_g")).alias("ssw"),
+    )
+    return ss.select(
+        "k",
+        "n",
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        (
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1))
+                / F.nullif(F.col("ssw") / (F.col("n") - F.col("k")), F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("f_stat"),
+        (
+            F.round(
+                F.col("ssb") / F.nullif(F.col("ssb") + F.col("ssw"), F.lit(0.0)), 6
+            )
+            + F.lit(0.0)
+        ).alias("eta_sq"),
+    )
+
+
+@query(
+    "stats_levene",
+    oracle="""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ctr AS (
+        SELECT segment, avg(v) AS m_g FROM seg GROUP BY 1
+    ),
+    z AS (
+        SELECT s.segment, abs(s.v - c.m_g) AS z
+        FROM seg s JOIN ctr c ON s.segment = c.segment
+    ),
+    g AS (
+        SELECT segment, count(*)::BIGINT AS n_g, avg(z) AS zm_g,
+               var_samp(z) AS zv_g
+        FROM z GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+               sum(n_g * zm_g) / sum(n_g) AS grand_zm
+        FROM g
+    ),
+    ss AS (
+        SELECT max(t.k)::BIGINT AS k, max(t.n)::BIGINT AS n,
+               sum(g.n_g * (g.zm_g - t.grand_zm) * (g.zm_g - t.grand_zm)) AS ssb,
+               sum((g.n_g - 1) * g.zv_g) AS ssw
+        FROM g, tot t
+    )
+    SELECT k, n, (k - 1)::BIGINT AS df_between, (n - k)::BIGINT AS df_within,
+           round((ssb / (k - 1)) / nullif(ssw / (n - k), 0), 4) + 0.0 AS w_stat
+    FROM ss
+    """,
+    tags=("analytics", "experiment"),
+)
+def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test for homogeneity of variance (mean-centered form) —
+    the gatekeeper stats_anova_oneway assumes: classic ANOVA requires
+    equal group variances, and Levene IS an ANOVA run on the absolute
+    deviations z_ij = |x_ij − mean_g|, so a significant W says "use
+    Welch, not pooled-variance tests". Mean centering (original Levene)
+    keeps both dialects exact; the Brown-Forsythe median variant would
+    re-open the exact-median pairing but adds nothing to the operator
+    shape.
+
+    Two aggregation passes, one fact scan each way: group means (a tiny
+    K-row dim) broadcast back onto the rows to form z, then the same
+    sufficient-statistics ANOVA as stats_anova_oneway on the K-row z
+    summary. W is the only float emitted — aggregate-level round (rule
+    1/6), -0.0 guard (rule 17), nullif-guarded divisions.
+
+    At 100 TB: both passes are partial aggs on a 5-value key; the join
+    is a broadcast of 5 rows — rows never shuffle."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("v"))
+    ctr = seg.groupBy("segment").agg(F.avg("v").alias("m_g"))
+    z = seg.join(F.broadcast(ctr), "segment").select(
+        "segment", F.abs(F.col("v") - F.col("m_g")).alias("z")
+    )
+    g = z.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.avg("z").alias("zm_g"),
+        F.var_samp("z").alias("zv_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        (F.sum(F.col("n_g") * F.col("zm_g")) / F.sum("n_g")).alias("grand_zm"),
+    )
+    ss = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("n_g")
+            * (F.col("zm_g") - F.col("grand_zm"))
+            * (F.col("zm_g") - F.col("grand_zm"))
+        ).alias("ssb"),
+        F.sum((F.col("n_g") - 1) * F.col("zv_g")).alias("ssw"),
+    )
+    return ss.select(
+        "k",
+        "n",
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        (
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1))
+                / F.nullif(F.col("ssw") / (F.col("n") - F.col("k")), F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("w_stat"),
+    )

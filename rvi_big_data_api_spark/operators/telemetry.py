@@ -2365,3 +2365,263 @@ def anomaly_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_anom")
         )
     )
+
+
+ACF_MAX_LAG = 7  # autocorrelation horizon (days)
+
+
+@query(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    lagged AS MATERIALIZED (
+        SELECT rev_cents,
+               {', '.join(f'lag(rev_cents, {k}) OVER (ORDER BY d) AS l{k}' for k in range(1, 8))}
+        FROM daily
+    )
+    SELECT lag, n_pairs, round(acf, 4) + 0.0 AS acf FROM (
+        {' UNION ALL '.join(
+            f"SELECT {k}::INT AS lag, count(l{k})::BIGINT AS n_pairs,"
+            f" corr(rev_cents, l{k}) AS acf FROM lagged"
+            for k in range(1, 8)
+        )}
+    ) ORDER BY lag
+    """,
+    tags=("telemetry", "timeseries"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags 1–7 —
+    the seasonality probe every forecasting pipeline runs before choosing
+    a model (a spike at lag 7 says weekly rhythm; geometric decay says
+    AR(1); anomaly_seasonal_naive's hour-of-day profile is the hourly
+    cousin of what this measures daily).
+
+    Exactness: the series itself is integer cents (floor(x*100+0.5), rule
+    17b — never a per-row float round), so both engines correlate the
+    IDENTICAL integer sequence and only corr's internal fold order can
+    drift — rounded at the aggregate level (rule 6) with the -0.0 guard.
+    Pearson corr of (x_t, x_{{t-k}}) skips NULL lag pairs identically in
+    both engines; n_pairs pins the support so a silent series truncation
+    can't pass.
+
+    Scale shape: the fact scan collapses to ONE partial agg keyed by day;
+    the lag window runs over the AGGREGATED series (rows = distinct days
+    — thousands at any SF, not the fact cardinality), so the unpartitioned
+    window is driver-trivial by construction; the 7 corr aggregates fold
+    in one pass over that tiny frame. At 100 TB nothing changes: day
+    cardinality is calendar-bounded."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("rev_cents")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "rev_cents",
+        *[F.lag("rev_cents", k).over(w).alias(f"l{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    agg = lagged.agg(
+        *[F.corr("rev_cents", f"l{k}").alias(f"a{k}") for k in range(1, ACF_MAX_LAG + 1)],
+        *[F.count(f"l{k}").alias(f"n{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    stack_args = ", ".join(
+        f"{k}, a{k}, n{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return agg.select(
+        F.expr(f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag, acf_raw, n_pairs)")
+    ).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        (F.round("acf_raw", 4) + F.lit(0.0)).alias("acf"),
+    )
+
+
+@query(
+    "geo_nearest_poi",
+    oracle="""
+    WITH poi AS (
+        SELECT n_nationkey AS poi_id,
+               fmod(n_nationkey * 37.0, 170.0) - 85.0 AS plat,
+               fmod(n_nationkey * 73.0, 360.0) - 180.0 AS plon
+        FROM nation
+    ),
+    pts AS (
+        SELECT event_id,
+               fmod(value, 170.0) - 85.0 AS lat,
+               fmod(event_id::DOUBLE, 360.0) - 180.0 AS lon
+        FROM events
+    ),
+    scored AS (
+        SELECT p.event_id, q.poi_id,
+               (p.lat - q.plat) * (p.lat - q.plat)
+               + (p.lon - q.plon) * (p.lon - q.plon) AS d2,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY (p.lat - q.plat) * (p.lat - q.plat)
+                            + (p.lon - q.plon) * (p.lon - q.plon),
+                            q.poi_id) AS rn
+        FROM pts p CROSS JOIN poi q
+    )
+    SELECT poi_id, count(*)::BIGINT AS n_points,
+           min(d2) AS min_d2,
+           round(avg(d2), 4) + 0.0 AS avg_d2
+    FROM scored WHERE rn = 1
+    GROUP BY poi_id
+    """,
+    tags=("telemetry", "geo"),
+)
+def geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-POI assignment — every GPS fix snapped to its closest
+    point-of-interest (depot / charging station / service hub), rolled up
+    to a per-POI demand report. The spatial-join primitive under
+    geofencing dashboards and depot-placement studies; POIs derive from
+    the nation dim under the repo's deterministic pseudo-coordinate
+    convention (SURVEY.md §2.9 — fixtures lack real lat/lon).
+
+    Exactness by construction: the WINNER is selected on squared planar
+    distance — subtract/multiply/add on identical doubles is
+    bit-identical in both engines (no libm, rule 8 never enters), so the
+    argmin can never flip on a ulp; the (d2, poi_id) composite key makes
+    genuine ties deterministic (rule 7: Spark min(struct), DuckDB
+    row_number — DuckDB 1.0 lacks composite arg_min). min_d2 ships RAW
+    (same double on both sides); only the order-dependent avg is rounded.
+
+    Scale shape: the POI dim broadcasts (25 rows; any real POI set is
+    thousands — still broadcast-sized), the per-fix argmin is a map-side
+    partial agg keyed by event_id, and the POI rollup shuffles one row
+    per fix. At millions of POIs swap the broadcast for the grid-cell
+    bucket + neighbor-probe join (geo_grid_density's cells), same
+    downstream plan."""
+    n = load(spark, sf_dir, "nation")
+    ev = load(spark, sf_dir, "events")
+    poi = n.select(
+        F.col("n_nationkey").alias("poi_id"),
+        (F.col("n_nationkey") * 37.0 % 170.0 - 85.0).alias("plat"),
+        (F.col("n_nationkey") * 73.0 % 360.0 - 180.0).alias("plon"),
+    )
+    pts = ev.select(
+        "event_id",
+        (F.col("value") % 170.0 - 85.0).alias("lat"),
+        (F.col("event_id").cast("double") % 360.0 - 180.0).alias("lon"),
+    )
+    d2 = (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat")) + (
+        F.col("lon") - F.col("plon")
+    ) * (F.col("lon") - F.col("plon"))
+    nearest = (
+        pts.crossJoin(F.broadcast(poi))
+        .select("event_id", F.struct(d2.alias("d2"), F.col("poi_id")).alias("cand"))
+        .groupBy("event_id")
+        .agg(F.min("cand").alias("win"))
+        .select(F.col("win.poi_id").alias("poi_id"), F.col("win.d2").alias("d2"))
+    )
+    return nearest.groupBy("poi_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("d2").alias("min_d2"),
+        (F.round(F.avg("d2"), 4) + F.lit(0.0)).alias("avg_d2"),
+    )
+
+
+# Holt smoothing constants: exactly-representable binary fractions so the
+# recursion is the SAME IEEE arithmetic in Python floats and DuckDB doubles.
+HOLT_ALPHA = 0.5   # level gain  (1 - alpha = 0.5, both exact)
+HOLT_BETA = 0.25   # trend gain  (1 - beta = 0.75, exact)
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS MATERIALIZED (
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day, xc,
+               xc::DOUBLE AS x,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    holt AS (
+        SELECT event_type, day, xc, x, rn, x AS lvl, 0.0::DOUBLE AS trd
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.event_type, i.day, i.xc, i.x, i.rn,
+               0.5 * i.x + 0.5 * (h.lvl + h.trd) AS lvl,
+               0.25 * ((0.5 * i.x + 0.5 * (h.lvl + h.trd)) - h.lvl)
+                   + 0.75 * h.trd AS trd
+        FROM holt h JOIN idx i
+          ON i.event_type = h.event_type AND i.rn = h.rn + 1
+    )
+    SELECT event_type, day, xc,
+           round(lvl, 4) + 0.0 AS level,
+           round(trd, 4) + 0.0 AS trend
+    FROM holt
+    """,
+    tags=("telemetry", "timeseries"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of each event
+    type's daily-cents series — the recursive smoother behind every
+    "current run-rate and trend" KPI tile; win_ewma is the memoryless
+    single-constant cousin, Holt adds the trend state that makes h-step
+    forecasts (level + h*trend) honest on drifting series.
+
+    The recursion l_t = alpha*x_t + (1-alpha)*(l_{t-1}+b_{t-1}),
+    b_t = beta*(l_t-l_{t-1}) + (1-beta)*b_{t-1} is inherently sequential
+    per series — exactly the shape Spark expresses as a grouped
+    applyInPandas (one Arrow batch per event_type, a vectorized scan
+    inside). The DuckDB twin is a linear recursive CTE stepping rn -> rn+1
+    per type. Bit-parity by construction: the series is integer cents,
+    the gains are exact binary fractions (0.5/0.25), and both engines
+    evaluate the SAME operation sequence on doubles — only the displayed
+    level/trend are rounded (aggregate-level, rules 1/6/17).
+
+    At 100 TB: series are partitioned by key (here 5 types; real fleets
+    millions of VINs), each group is calendar-bounded (~thousands of
+    rows), so the Arrow batch per group stays KB-sized and groups fan
+    out across executors — the canonical stateful-sequential pattern
+    (same shape as anomaly_cusum's oracle, Spark side vectorized)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
+
+    def holt_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        x = pdf["xc"].to_numpy(dtype=np.float64)
+        n = len(x)
+        lvl = np.empty(n, dtype=np.float64)
+        trd = np.empty(n, dtype=np.float64)
+        lvl[0], trd[0] = x[0], 0.0
+        for t in range(1, n):
+            # same literal op order as the CTE: 0.5*x + 0.5*(l+b)
+            new_l = 0.5 * x[t] + 0.5 * (lvl[t - 1] + trd[t - 1])
+            trd[t] = 0.25 * (new_l - lvl[t - 1]) + 0.75 * trd[t - 1]
+            lvl[t] = new_l
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "xc": pdf["xc"],
+                "lvl": lvl,
+                "trd": trd,
+            }
+        )
+
+    fitted = daily.groupBy("event_type").applyInPandas(
+        holt_block,
+        schema="event_type string, day string, xc long, lvl double, trd double",
+    )
+    return fitted.select(
+        "event_type",
+        "day",
+        "xc",
+        (F.round("lvl", 4) + F.lit(0.0)).alias("level"),
+        (F.round("trd", 4) + F.lit(0.0)).alias("trend"),
+    )

@@ -466,6 +466,14 @@ EXTENSIONS = [
     # round 6: closeness centrality (cluster-exemplar selection) via
     # per-block all-pairs vectorized BFS, integer-ppm ratios
     "graph_closeness",
+    # round 6 continuation: K-sample mean test completing the two-sample
+    # suite, the daily-series seasonality probe, and the per-node local
+    # clustering coefficient (triangle family's third consumer)
+    "stats_anova_oneway", "ts_autocorrelation", "graph_clustering_coefficient",
+    # round 6 continuation: variance-homogeneity gate for ANOVA, exact
+    # planar nearest-POI assignment, and recursive Holt level+trend
+    # smoothing (applyInPandas vs linear recursive CTE, bit-exact gains)
+    "stats_levene", "geo_nearest_poi", "ts_holt_linear",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
