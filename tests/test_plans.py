@@ -795,3 +795,59 @@ def test_variant_explode_is_generator_not_python(spark, sf_dir):
     plan = plan_of(REGISTRY["fn_variant_explode"].fn(spark, sf_dir))
     assert "Generate" in plan, plan[:1500]
     assert "EvalPython" not in plan
+
+
+def test_anova_levene_never_shuffle_the_fact(spark, sf_dir):
+    """stats_anova_oneway / stats_levene: the segment dim and every
+    K-row/scalar stats table reach the fact rows as broadcasts — orders
+    rows are never shuffle-joined, and no Python eval enters the plan."""
+    for name in ("stats_anova_oneway", "stats_levene"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            name,
+            plan[:2000],
+        )
+        assert "SortMergeJoin" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_acf_is_one_scan_no_join(spark, sf_dir):
+    """ts_autocorrelation: ONE orders scan collapses to the daily series;
+    the lag window and the 7 corr aggregates run over that aggregated
+    frame — no join, no second scan."""
+    df = REGISTRY["ts_autocorrelation"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 1, executed[:3000]
+    assert "Join" not in executed, executed[:3000]
+
+
+def test_holt_is_single_grouped_arrow_pass(spark, sf_dir):
+    """ts_holt_linear: the sequential recursion is ONE FlatMapGroupsInPandas
+    over the per-type daily series (already aggregated — the Arrow batch is
+    days, not events), never a row-wise Python eval."""
+    df = REGISTRY["ts_holt_linear"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "EvalPython" not in plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 1, executed[:3000]
+
+
+def test_nearest_poi_broadcasts_the_dim(spark, sf_dir):
+    """geo_nearest_poi: the POI dim is the broadcast side of the
+    deliberate O(N·|poi|) scoring join; the fact never shuffle-joins and
+    the argmin is a partial aggregate keyed by event."""
+    plan = plan_of(REGISTRY["geo_nearest_poi"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_clustering_coefficient_equijoins_only(spark, sf_dir):
+    """graph_clustering_coefficient: wedge close + degree join are
+    (label, endpoint) equi-joins over the checkpointed pair list — no
+    cartesian, no broadcast-NL fallback, no Python eval."""
+    plan = plan_of(REGISTRY["graph_clustering_coefficient"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
