@@ -562,3 +562,56 @@ def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("r_t") - F.col("r_c"), 6) + F.lit(0.0)).alias("lift"),
         (F.round((F.col("r_t") - F.col("r_c")) / F.nullif(se, F.lit(0.0)), 4) + F.lit(0.0)).alias("z_score"),
     )
+
+
+@query(
+    "privacy_pseudonymize",
+    oracle="""
+    SELECT substr(md5('pepper:' || user_id::VARCHAR), 1, 16) AS token,
+           count(*)::BIGINT AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS n_purchases,
+           sum(value::DECIMAL(18,6))::DOUBLE AS total_value,
+           floor(epoch(min(ts)))::BIGINT AS first_sec,
+           floor(epoch(max(ts)))::BIGINT AS last_sec
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("analytics", "privacy"),
+)
+def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization — the PII-safe sharing transform that
+    pairs with privacy_k_anonymity's audit: replace the direct identifier
+    with a peppered-hash token BEFORE analytics leave the trust boundary,
+    keeping referential integrity (same user -> same token, so joins,
+    retention and funnel math still work on the shared extract) while the
+    raw id never appears in the output. The pepper is a pipeline secret;
+    rotating it unlinks all history — the standard re-identification
+    tradeoff, stated in the runbook not the engine.
+
+    Spark shape: token is a map-side scalar expression (md5 + substr, all
+    JVM codegen), and the per-token profile is one partial agg — at
+    100 TB this is byte-for-byte the cost of the same rollup on the raw
+    id. Money sums use exact decimal (rule 15); timestamps leave as epoch
+    BIGINT (rule 3)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.substring(
+                F.md5(F.concat(F.lit("pepper:"), F.col("user_id").cast("string"))), 1, 16
+            ).alias("token"),
+            "event_type",
+            "value",
+            "ts",
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.unix_timestamp(F.min("ts")).alias("first_sec"),
+            F.unix_timestamp(F.max("ts")).alias("last_sec"),
+        )
+    )

@@ -1999,3 +1999,98 @@ def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("w_stat"),
     )
+
+
+BOOT_B = 32  # bootstrap replicates
+# Poisson(1) CDF thresholds over the first 6 md5 nibbles (16^6 lattice):
+# cum pmf .36788/.73576/.91970/.98101/.99634 -> hex cutoffs. The >=5 tail
+# (8.3e-5 mass) folds into w=5 — a documented truncation, irrelevant at
+# any n. String compares on lowercase hex are exact in both engines.
+BOOT_CUTS = [("5e2d58", 0), ("bc5ab1", 1), ("eb715e", 2), ("fb2397", 3), ("ff1025", 4)]
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH rows_cents AS (
+        SELECT o_orderkey, floor(o_totalprice * 100 + 0.5)::BIGINT AS vc
+        FROM orders
+    ),
+    drawn AS (
+        SELECT r.b, rc.vc,
+               CASE {' '.join(f"WHEN substr(md5(rc.o_orderkey::VARCHAR || ':' || r.b::VARCHAR), 1, 6) < '{cut}' THEN {w}" for cut, w in BOOT_CUTS)}
+                    ELSE 5 END AS w
+        FROM rows_cents rc, range({BOOT_B}) r(b)
+    ),
+    reps AS (
+        SELECT b, sum(w * vc)::BIGINT AS swc, sum(w)::BIGINT AS sw
+        FROM drawn GROUP BY b
+    ),
+    ci AS (
+        SELECT count(*)::BIGINT AS n_replicates,
+               round(quantile_cont(swc::DOUBLE / sw, 0.025), 4) + 0.0 AS ci_lo_cents,
+               round(quantile_cont(swc::DOUBLE / sw, 0.5), 4) + 0.0 AS ci_mid_cents,
+               round(quantile_cont(swc::DOUBLE / sw, 0.975), 4) + 0.0 AS ci_hi_cents
+        FROM reps
+    ),
+    pt AS (
+        SELECT round(sum(vc)::BIGINT / count(*)::DOUBLE, 4) + 0.0 AS mean_full_cents
+        FROM rows_cents
+    )
+    SELECT n_replicates, mean_full_cents, ci_lo_cents, ci_mid_cents, ci_hi_cents
+    FROM ci, pt
+    """,
+    tags=("analytics", "experiment"),
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value — THE
+    resampling recipe that works at 100 TB: classic bootstrap resamples n
+    rows with replacement B times (B shuffles of the fact — impossible);
+    the Poisson approximation draws each row's multiplicity per replicate
+    as an independent Poisson(1), so all B replicates ride ONE scan as a
+    map-side explode×B followed by a B-key partial agg. No shuffle ever
+    carries raw rows.
+
+    Determinism discipline: multiplicities come from the first 6 md5
+    nibbles of (orderkey:replicate) against precomputed Poisson-CDF hex
+    cutoffs — pure string compares, identical in both engines, never
+    rand() (the seeded-hash rule every sampler here follows). Replicate
+    sums are exact integers (cents × weight), so each replicate mean is
+    the same double on both sides; the CI quantiles use the proven
+    percentile <-> quantile_cont interpolation pairing, rounded at the
+    aggregate level with the -0.0 guard."""
+    o = load(spark, sf_dir, "orders")
+    rows_cents = o.select(
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("vc")
+    )
+    u = F.substring(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+        1,
+        6,
+    )
+    w_col = None
+    for cut, w in BOOT_CUTS:
+        cond = u < cut
+        w_col = F.when(cond, w) if w_col is None else w_col.when(cond, w)
+    w_col = w_col.otherwise(5)
+    drawn = rows_cents.select(
+        "o_orderkey", "vc", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    ).select("b", "vc", w_col.alias("w"))
+    reps = drawn.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("vc")).alias("swc"), F.sum("w").alias("sw")
+    )
+    mean_b = (F.col("swc").cast("double") / F.col("sw")).alias("m")
+    ci = reps.select(mean_b).agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        (F.round(F.expr("percentile(m, 0.025)"), 4) + F.lit(0.0)).alias("ci_lo_cents"),
+        (F.round(F.expr("percentile(m, 0.5)"), 4) + F.lit(0.0)).alias("ci_mid_cents"),
+        (F.round(F.expr("percentile(m, 0.975)"), 4) + F.lit(0.0)).alias("ci_hi_cents"),
+    )
+    pt = rows_cents.agg(
+        (F.round(F.sum("vc").cast("double") / F.count(F.lit(1)), 4) + F.lit(0.0)).alias(
+            "mean_full_cents"
+        )
+    )
+    return ci.crossJoin(F.broadcast(pt)).select(
+        "n_replicates", "mean_full_cents", "ci_lo_cents", "ci_mid_cents", "ci_hi_cents"
+    )

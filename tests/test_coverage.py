@@ -474,6 +474,10 @@ EXTENSIONS = [
     # planar nearest-POI assignment, and recursive Holt level+trend
     # smoothing (applyInPandas vs linear recursive CTE, bit-exact gains)
     "stats_levene", "geo_nearest_poi", "ts_holt_linear",
+    # round 6 continuation: single-pass Poisson bootstrap CI (the 100 TB
+    # resampling shape) and peppered-hash pseudonymization (PII-safe
+    # extract with referential integrity)
+    "stats_bootstrap_ci", "privacy_pseudonymize",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
