@@ -242,3 +242,71 @@ def mm_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(paired, F.size("embedding"))).cast("long").alias("embed_dim"),
         )
     )
+
+
+MM_DEDUP_DOCS = 30   # staged blob universe
+MM_DEDUP_DUPED = 15  # doc_id < this is uploaded to BOTH shards (re-upload sim)
+
+
+@query(
+    "mm_content_dedup",
+    oracle=f"""
+    WITH blobs AS (
+        SELECT doc_id, 0 AS shard,
+               md5(to_hex((text || chr(10))::BLOB)) AS content_hash
+        FROM documents WHERE doc_id < {MM_DEDUP_DOCS}
+        UNION ALL
+        SELECT doc_id, 1 AS shard,
+               md5(to_hex((text || chr(10))::BLOB)) AS content_hash
+        FROM documents WHERE doc_id < {MM_DEDUP_DUPED}
+    )
+    SELECT content_hash, min(doc_id)::BIGINT AS doc_id,
+           count(*)::BIGINT AS n_copies,
+           min(shard)::INT AS keeper_shard
+    FROM blobs GROUP BY content_hash
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-blob exact dedup — the first pass of every multimodal ingest:
+    the same image/audio file arrives through multiple upload paths
+    (re-uploads, mirrored buckets), and storage + training both want ONE
+    copy per content fingerprint with a deterministic keeper. Staged as a
+    real two-shard binaryFile lake (each doc written as its own file;
+    shard 1 re-uploads the first {MM_DEDUP_DUPED}), then grouped by
+    content hash with min-(doc, shard) as keeper — dedup_hash's policy
+    applied to blobs.
+
+    Cross-engine hashing is PARITY rule 18: md5 of the HEX rendering
+    (Spark ``md5(hex(content))`` = DuckDB ``md5(to_hex(blob))``) because
+    DuckDB cannot md5 a BLOB and the engines' base64 disagree. The text
+    writer appends one newline per row — the oracle twin reproduces the
+    exact bytes as ``text || chr(10)``.
+
+    At 100 TB: the hash is computed per-file map-side at scan time (blobs
+    never shuffle — only 16-byte fingerprints and keys move), the group
+    is a partial agg on the hash, and the keeper join back to storage is
+    a fingerprint-keyed semi join. This is exactly how petabyte image
+    dedup runs in production lakes."""
+    from ..sources.formats import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < MM_DEDUP_DOCS)
+    out = scratch_dir(sf_dir, "mm_blobs")
+    base = docs.select("text", "doc_id")
+    staged = base.withColumn("shard", F.lit(0)).unionByName(
+        base.filter(F.col("doc_id") < MM_DEDUP_DUPED).withColumn("shard", F.lit(1))
+    )
+    staged.select("text", "doc_id", "shard").repartition(4).write.mode(
+        "overwrite"
+    ).partitionBy("doc_id", "shard").text(out)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
+    parsed = bf.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("path", r"shard=(\d+)", 1).cast("int").alias("shard"),
+        F.md5(F.hex("content")).alias("content_hash"),
+    )
+    return parsed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("shard").alias("keeper_shard"),
+    )

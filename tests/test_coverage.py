@@ -478,6 +478,9 @@ EXTENSIONS = [
     # resampling shape) and peppered-hash pseudonymization (PII-safe
     # extract with referential integrity)
     "stats_bootstrap_ci", "privacy_pseudonymize",
+    # round 6 continuation: binary-blob exact dedup over a two-shard
+    # binaryFile lake (rule-18 hex hashing, min-(doc, shard) keeper)
+    "mm_content_dedup",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -834,9 +834,10 @@ def test_holt_is_single_grouped_arrow_pass(spark, sf_dir):
 
 
 def test_nearest_poi_broadcasts_the_dim(spark, sf_dir):
-    """geo_nearest_poi: the POI dim is the broadcast side of the
-    deliberate O(N·|poi|) scoring join; the fact never shuffle-joins and
-    the argmin is a partial aggregate keyed by event."""
+    """geo_nearest_poi: the POI dim collapses to a one-row broadcast
+    array, the deliberate O(N·|poi|) argmin runs map-side as
+    transform+array_min (fact rows never shuffle), and the only exchange
+    is the |poi|-key rollup."""
     plan = plan_of(REGISTRY["geo_nearest_poi"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan
