@@ -1913,3 +1913,106 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("violates_k", F.col("group_size") < K_ANON_K)
     )
+
+
+JSD_TOP_V = 50  # bounded vocabulary: top-V global terms, tail -> '<other>'
+
+
+@query(
+    "text_jsd_drift",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    vocab AS MATERIALIZED (
+        SELECT term, row_number() OVER (ORDER BY count(*) DESC, term ASC) AS r
+        FROM toks GROUP BY term
+    ),
+    bucketed AS (
+        SELECT CASE WHEN v.term IS NOT NULL THEN t.term ELSE '<other>' END AS bucket,
+               count(CASE WHEN t.snap = 0 THEN 1 END)::BIGINT AS n_ref,
+               count(CASE WHEN t.snap = 1 THEN 1 END)::BIGINT AS n_cur
+        FROM toks t LEFT JOIN (SELECT term FROM vocab WHERE r <= {JSD_TOP_V}) v
+          ON t.term = v.term
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT bucket, n_ref, n_cur,
+               (n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * {JSD_TOP_V + 1}) AS p_ref,
+               (n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * {JSD_TOP_V + 1}) AS p_cur
+        FROM bucketed
+    )
+    SELECT bucket, n_ref, n_cur,
+           round(0.5 * (p_ref * ln(p_ref / ((p_ref + p_cur) / 2)))
+                 + 0.5 * (p_cur * ln(p_cur / ((p_ref + p_cur) / 2))), 6) + 0.0
+               AS jsd_term,
+           round(sum(0.5 * (p_ref * ln(p_ref / ((p_ref + p_cur) / 2)))
+                     + 0.5 * (p_cur * ln(p_cur / ((p_ref + p_cur) / 2)))) OVER (), 6)
+               AS jsd_total
+    FROM p
+    """,
+    tags=("llm", "corpus", "stats"),
+)
+def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift between two corpus snapshots over the TOKEN
+    distribution — the information-theoretic companion to
+    corpus_drift_psi's length-histogram PSI: PSI watches a bucketable
+    scalar; JSD watches WHAT IS BEING SAID (vocabulary shift — a new
+    domain flooding in changes term mass long before doc lengths move).
+    Symmetric and bounded in [0, ln 2], so thresholds transfer across
+    corpora; same even/odd doc_id split as PSI stands in for batch N vs
+    N+1.
+
+    The vocabulary is bounded deterministically — top-{JSD_TOP_V} global
+    terms by (freq DESC, term ASC), every other token folded into
+    '<other>' — so the report is ≤{JSD_TOP_V + 1} rows at any corpus
+    size and the Laplace smoothing denominator is a FIXED bucket count
+    (PSI's rule: empty buckets shift both dialects identically).
+    Shares are ratios of exact integer counts (identical doubles both
+    sides); ln is libm → 6 dp aggregate rounding (rule 8), -0.0 guarded.
+
+    Scale shape: one token explode feeding two partial aggs (global
+    vocab rank, per-bucket conditional counts) — snapshots are
+    conditional counts in ONE pass, never a self-join; the JSD window
+    runs over the ≤{JSD_TOP_V + 1}-row report."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("snap"), F.explode(F.split("text", " ")).alias("term")
+    )
+    topv = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(JSD_TOP_V)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    bucketed = (
+        toks.join(F.broadcast(topv), "term", "left")
+        .select(
+            F.when(F.col("in_vocab").isNotNull(), F.col("term"))
+            .otherwise("<other>")
+            .alias("bucket"),
+            "snap",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("snap") == 0, 1)).alias("n_ref"),
+            F.count(F.when(F.col("snap") == 1, 1)).alias("n_cur"),
+        )
+    )
+    wall = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(wall) + 0.5 * (JSD_TOP_V + 1))
+    p_cur = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(wall) + 0.5 * (JSD_TOP_V + 1))
+    shares = bucketed.select("bucket", "n_ref", "n_cur", p_ref.alias("p_ref"), p_cur.alias("p_cur"))
+    m = (F.col("p_ref") + F.col("p_cur")) / 2
+    term_jsd = 0.5 * (F.col("p_ref") * F.log(F.col("p_ref") / m)) + 0.5 * (
+        F.col("p_cur") * F.log(F.col("p_cur") / m)
+    )
+    return shares.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        (F.round(term_jsd, 6) + F.lit(0.0)).alias("jsd_term"),
+        F.round(F.sum(term_jsd).over(wall), 6).alias("jsd_total"),
+    )

@@ -2634,3 +2634,55 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("lvl", 4) + F.lit(0.0)).alias("level"),
         (F.round("trd", 4) + F.lit(0.0)).alias("trend"),
     )
+
+
+@query(
+    "ts_period_over_period",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT day, rev_cents,
+           ((rev_cents - lag(rev_cents, 1) OVER (ORDER BY day)) * 1000000
+            // nullif(lag(rev_cents, 1) OVER (ORDER BY day), 0))::BIGINT AS dod_ppm,
+           ((rev_cents - lag(rev_cents, 7) OVER (ORDER BY day)) * 1000000
+            // nullif(lag(rev_cents, 7) OVER (ORDER BY day), 0))::BIGINT AS wow_ppm
+    FROM daily
+    """,
+    tags=("telemetry", "timeseries"),
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — the day-over-day and week-over-week
+    deltas every revenue dashboard leads with; the lag-7 comparison is
+    the seasonality-honest one (Monday vs last Monday), which
+    ts_autocorrelation's lag-7 spike justifies. Completes the ts trio:
+    ACF diagnoses rhythm, Holt extracts trend, PoP reports it.
+
+    All-integer discipline end to end: the daily series is exact cents
+    (rule 17b floor), deltas ship as parts-per-million integer division
+    (rule 25 — float share + round would re-enter tie territory),
+    nullif-guarded so a zero-revenue prior day yields NULL growth. First
+    rows have no prior period → NULL, identically in both engines.
+
+    Scale shape: one partial agg keyed by day collapses the fact; both
+    lags ride ONE unpartitioned window over the calendar-bounded daily
+    series (thousands of rows at any SF). At 100 TB with per-entity
+    series, partition the window by the entity key — same plan."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("rev_cents"))
+    return daily.select(
+        "day",
+        "rev_cents",
+        F.expr(
+            "CAST((rev_cents - lag(rev_cents, 1) OVER (ORDER BY day)) * 1000000"
+            " DIV nullif(lag(rev_cents, 1) OVER (ORDER BY day), 0) AS BIGINT)"
+        ).alias("dod_ppm"),
+        F.expr(
+            "CAST((rev_cents - lag(rev_cents, 7) OVER (ORDER BY day)) * 1000000"
+            " DIV nullif(lag(rev_cents, 7) OVER (ORDER BY day), 0) AS BIGINT)"
+        ).alias("wow_ppm"),
+    )

@@ -481,6 +481,10 @@ EXTENSIONS = [
     # round 6 continuation: binary-blob exact dedup over a two-shard
     # binaryFile lake (rule-18 hex hashing, min-(doc, shard) keeper)
     "mm_content_dedup",
+    # round 6 continuation: token-distribution JSD drift (the what-is-said
+    # companion to PSI's length histogram) and integer-ppm
+    # period-over-period growth (lag-1 / lag-7 on the exact cents series)
+    "text_jsd_drift", "ts_period_over_period",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
