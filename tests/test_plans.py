@@ -852,3 +852,57 @@ def test_clustering_coefficient_equijoins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bootstrap_is_one_scan_explode(spark, sf_dir):
+    """stats_bootstrap_ci: all B replicates ride ONE orders scan (explode×B
+    is a Generate node, the replicate agg is partial) — plus the tiny
+    point-estimate scan joined as a broadcast; no Python eval."""
+    df = REGISTRY["stats_bootstrap_ci"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in executed, executed[:2000]
+    assert executed.count("Scan parquet") <= 2, executed[:3000]
+    assert "EvalPython" not in executed
+
+
+def test_pseudonymize_is_map_side_token_plus_one_agg(spark, sf_dir):
+    """privacy_pseudonymize: the token is scalar codegen (no join, no
+    window); the profile is one hash aggregate over one scan."""
+    df = REGISTRY["privacy_pseudonymize"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 1, executed[:3000]
+    assert "Join" not in executed
+    assert "EvalPython" not in executed
+
+
+def test_mm_content_dedup_shuffles_fingerprints_only(spark, sf_dir):
+    """mm_content_dedup: the blob hash is computed at scan projection
+    (binary content never reaches the exchange — the shuffle carries
+    hash/doc/shard only) and the group is a hash aggregate."""
+    df = REGISTRY["mm_content_dedup"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # content column must not survive past the project under the aggregate
+    agg_side = executed.split("Exchange")[0]
+    assert "content#" not in agg_side.split("Scan ")[0], agg_side[:2000]
+    assert "EvalPython" not in executed
+
+
+def test_jsd_vocab_is_broadcast_not_shuffle_join(spark, sf_dir):
+    """text_jsd_drift: the top-V vocabulary reaches the token stream as a
+    BROADCAST (full-vocab shuffle join would be the 100 TB mistake); the
+    final JSD window runs over the bounded bucket report."""
+    plan = plan_of(REGISTRY["text_jsd_drift"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pop_is_one_scan_one_window(spark, sf_dir):
+    """ts_period_over_period: one orders scan collapses to the daily
+    series; both lags share ONE window over it — no join, no second
+    scan."""
+    df = REGISTRY["ts_period_over_period"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 1, executed[:3000]
+    assert "Join" not in executed
+    assert executed.count("Window") <= 1, executed[:3000]
