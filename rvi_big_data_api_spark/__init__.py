@@ -53,6 +53,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "graph_clustering_coefficient", "stats_levene", "geo_nearest_poi",
     "ts_holt_linear", "stats_bootstrap_ci", "privacy_pseudonymize",
     "mm_content_dedup", "text_jsd_drift", "ts_period_over_period",
+    "graph_assortativity", "ts_decompose_classical",
     # -- never driver-verified after rounds 1-5 (89 round-5 queries plus
     # source_inmemory, whose only driver row was the pre-oracle r01
     # `no_oracle` record — VERDICT r5 "What's wrong"). Ordered per VERDICT r5

@@ -2784,3 +2784,92 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_ppm"),
         )
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    deg AS MATERIALIZED (
+        SELECT label, v, count(*)::BIGINT AS degree FROM (
+            SELECT label, vec_a AS v FROM pairs
+            UNION ALL SELECT label, vec_b AS v FROM pairs
+        ) GROUP BY 1, 2
+    ),
+    dir_edges AS (
+        SELECT label, vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL SELECT label, vec_b, vec_a FROM pairs
+    )
+    SELECT e.label AS label,
+           (count(*) / 2)::BIGINT AS n_edges,
+           round(corr(ds.degree, dd.degree), 4) + 0.0 AS assortativity
+    FROM dir_edges e
+    JOIN deg ds ON e.label = ds.label AND e.src = ds.v
+    JOIN deg dd ON e.label = dd.label AND e.dst = dd.v
+    GROUP BY 1
+    """,
+    tags=("llm", "graph"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity per similarity-graph block — the Pearson
+    correlation of endpoint degrees over the (symmetrized) edge list, the
+    standard Newman formulation. Positive: dense dup cliques attach to
+    each other (safe to collapse whole neighborhoods); negative:
+    hub-and-spoke boilerplate attractors (graph_clustering_coefficient's
+    warning sign, summarized to one number per block). Completes the
+    graph-stats family: degree_stats profiles the distribution,
+    clustering coefficient the local closure, assortativity the mixing.
+
+    Each undirected edge enters twice (both orientations) per the
+    standard estimator, so corr sees every (deg_u, deg_v) pair
+    symmetrically; degrees are exact integers, so both engines correlate
+    identical pairs and only corr's fold order drifts — aggregate-level
+    round (rule 6), -0.0 guard. A degree-regular block (zero variance)
+    yields NULL, identically.
+
+    Scale: degrees and the two decorations are (label, endpoint)
+    equi-joins on the checkpointed GEMM pairs — the same bounded-block
+    contract as every graph op here."""
+    e = load(spark, sf_dir, "embeddings")
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+    p = (
+        block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
+        .select(F.col("blk").alias("label"), "vec_a", "vec_b")
+        .checkpoint(eager=True)
+    )
+    deg = (
+        p.select("label", F.col("vec_a").alias("v"))
+        .unionAll(p.select("label", F.col("vec_b").alias("v")))
+        .groupBy("label", "v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    dir_edges = p.select("label", F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionAll(
+        p.select("label", F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    ds = deg.select(
+        F.col("label").alias("l1"), F.col("v").alias("v1"), F.col("degree").alias("deg_src")
+    )
+    dd = deg.select(
+        F.col("label").alias("l2"), F.col("v").alias("v2"), F.col("degree").alias("deg_dst")
+    )
+    return (
+        dir_edges.join(ds, (F.col("label") == F.col("l1")) & (F.col("src") == F.col("v1")))
+        .join(dd, (F.col("label") == F.col("l2")) & (F.col("dst") == F.col("v2")))
+        .groupBy("label")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            (F.round(F.corr("deg_src", "deg_dst"), 4) + F.lit(0.0)).alias("assortativity"),
+        )
+    )

@@ -2686,3 +2686,92 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV nullif(lag(rev_cents, 7) OVER (ORDER BY day), 0) AS BIGINT)"
         ).alias("wow_ppm"),
     )
+
+
+DECOMP_HALF = 12  # centered moving-average half-width (full window = 25 h)
+
+
+@query(
+    "ts_decompose_classical",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT h, xc,
+               CASE WHEN count(*) OVER w = {2 * DECOMP_HALF + 1}
+                    THEN (sum(xc) OVER w)::BIGINT // {2 * DECOMP_HALF + 1}
+               END::BIGINT AS trend
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN {DECOMP_HALF} PRECEDING
+                     AND {DECOMP_HALF} FOLLOWING)
+    ),
+    seasonal AS (
+        SELECT extract(hour FROM h)::INT AS hod,
+               (sum(xc - trend)::BIGINT // count(xc - trend))::BIGINT AS s_cents
+        FROM trended WHERE trend IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT strftime(t.h, '%Y-%m-%d %H:00') AS hour, t.xc, t.trend,
+           CASE WHEN t.trend IS NOT NULL THEN s.s_cents END::BIGINT AS seasonal,
+           (t.xc - t.trend - s.s_cents)::BIGINT AS residual
+    FROM trended t JOIN seasonal s ON extract(hour FROM t.h)::INT = s.hod
+    """,
+    tags=("telemetry", "timeseries"),
+)
+def ts_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the hourly-cents series —
+    x = trend + seasonal + residual, the diagnostic that splits
+    anomaly_seasonal_naive's one fence into its three parts: trend is a
+    centered {2 * DECOMP_HALF + 1}-hour moving average (NULL where the
+    window is partial, the textbook edge rule), seasonal is the per
+    hour-of-day mean of the detrended series, residual is what an
+    anomaly detector should actually fence.
+
+    ALL-INTEGER discipline end to end (the decomposition's novelty here):
+    the series is exact cents, the moving average and the seasonal means
+    are integer division (both engines truncate toward zero —
+    verified -7 div 2 = -3 on each), so trend/seasonal/residual are
+    BIGINTs that can never hash-diverge on a float ulp. DuckDB window
+    sums of BIGINT surface as HUGEINT — ::BIGINT per rule 25.
+
+    Scale shape: the fact collapses to the calendar-bounded hourly frame
+    in one partial agg; the centered window and the 24-row seasonal
+    profile (rejoined as a broadcast) run over that tiny series. Per-key
+    decomposition at 100 TB = partition the window by the key."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc")
+    )
+    full = 2 * DECOMP_HALF + 1
+    w = Window.orderBy("h").rowsBetween(-DECOMP_HALF, DECOMP_HALF)
+    trended = hourly.select(
+        "h",
+        "xc",
+        F.when(
+            F.count(F.lit(1)).over(w) == full,
+            F.expr(f"sum(xc) OVER (ORDER BY h ROWS BETWEEN {DECOMP_HALF} PRECEDING"
+                   f" AND {DECOMP_HALF} FOLLOWING) div {full}"),
+        ).cast("long").alias("trend"),
+    )
+    seasonal = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy(F.hour("h").cast("int").alias("hod"))
+        .agg(
+            F.expr("sum(xc - trend) div count(xc - trend)").cast("long").alias("s_cents")
+        )
+    )
+    return (
+        trended.join(
+            F.broadcast(seasonal), F.hour(trended.h).cast("int") == seasonal.hod
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "xc",
+            "trend",
+            F.when(F.col("trend").isNotNull(), F.col("s_cents")).cast("long").alias("seasonal"),
+            (F.col("xc") - F.col("trend") - F.col("s_cents")).cast("long").alias("residual"),
+        )
+    )

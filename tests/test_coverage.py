@@ -485,6 +485,10 @@ EXTENSIONS = [
     # companion to PSI's length histogram) and integer-ppm
     # period-over-period growth (lag-1 / lag-7 on the exact cents series)
     "text_jsd_drift", "ts_period_over_period",
+    # round 6 continuation: per-block degree assortativity (graph mixing
+    # summary) and all-integer classical trend/seasonal/residual
+    # decomposition of the hourly series
+    "graph_assortativity", "ts_decompose_classical",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
