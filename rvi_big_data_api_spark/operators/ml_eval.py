@@ -2094,3 +2094,111 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ci.crossJoin(F.broadcast(pt)).select(
         "n_replicates", "mean_full_cents", "ci_lo_cents", "ci_mid_cents", "ci_hi_cents"
     )
+
+
+FAIR_N_GROUPS = 4            # protected-attribute stand-in: user_id % 4 cohorts
+FAIR_THRESHOLD_CENTS = 130000  # fixed decision threshold (~median engagement)
+
+
+@query(
+    "eval_fairness_report",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id % {FAIR_N_GROUPS} AS grp,
+               floor(sum(CASE WHEN event_type IN ('view', 'click')
+                              THEN value ELSE 0 END) * 100 + 0.5)::BIGINT
+                   AS score_cents,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    conf AS (
+        SELECT grp,
+               count(*)::BIGINT AS n,
+               sum(label)::BIGINT AS n_pos,
+               sum(1 - label)::BIGINT AS n_neg,
+               sum(CASE WHEN label = 1 AND score_cents >= {FAIR_THRESHOLD_CENTS}
+                        THEN 1 ELSE 0 END)::BIGINT AS tp,
+               sum(CASE WHEN label = 0 AND score_cents >= {FAIR_THRESHOLD_CENTS}
+                        THEN 1 ELSE 0 END)::BIGINT AS fp,
+               sum(CASE WHEN score_cents >= {FAIR_THRESHOLD_CENTS}
+                        THEN 1 ELSE 0 END)::BIGINT AS selected
+        FROM per_user GROUP BY grp
+    )
+    SELECT grp, n, n_pos, tp, fp, selected,
+           (tp * 1000000 // nullif(n_pos, 0))::BIGINT AS tpr_ppm,
+           (fp * 1000000 // nullif(n_neg, 0))::BIGINT AS fpr_ppm,
+           (selected * 1000000 // nullif(n, 0))::BIGINT AS sel_ppm,
+           ((selected * 1000000 // nullif(n, 0)) * 1000000
+            // nullif(max(selected * 1000000 // nullif(n, 0)) OVER (), 0))::BIGINT
+               AS disparate_impact_ppm
+    FROM conf
+    """,
+    tags=("analytics", "eval", "privacy"),
+)
+def eval_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the whale classifier at a FIXED decision
+    threshold — per-cohort TPR (equal opportunity), FPR (equalized odds'
+    second leg), selection rate, and the disparate-impact ratio against
+    the most-selected cohort (the four-fifths-rule number). The eval
+    family measured ranking and calibration; this is the slice every
+    deployment review asks for next, and the same per-group confusion
+    shape audits a DATA pipeline's keep/drop filter for source bias.
+    Cohort = user_id % {FAIR_N_GROUPS}, the fixture's protected-attribute
+    stand-in (a real pipeline joins a demographic dim here — same plan).
+
+    All-integer discipline: confusion cells are exact counts, every rate
+    ships as ppm integer division (rule 25), the DI ratio is ppm-of-ppm
+    — nothing can flip on a float tie; nullif guards empty cohorts and
+    the max-selection window runs over {FAIR_N_GROUPS} rows.
+
+    Scale: one partial agg to users, one to cohorts; the audit costs two
+    map-side combines at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(
+                F.when(F.col("event_type").isin("view", "click"), F.col("value")).otherwise(
+                    0.0
+                )
+            )
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("score_cents"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("label"),
+    ).select((F.col("user_id") % FAIR_N_GROUPS).alias("grp"), "score_cents", "label")
+    sel = F.col("score_cents") >= FAIR_THRESHOLD_CENTS
+    conf = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("n_pos"),
+        F.sum(1 - F.col("label")).alias("n_neg"),
+        F.sum(F.when((F.col("label") == 1) & sel, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & sel, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(sel, 1).otherwise(0)).alias("selected"),
+    )
+    wall = Window.partitionBy()
+    sel_ppm = F.expr("selected * 1000000 div nullif(n, 0)")
+    return conf.select(
+        "grp",
+        "n",
+        "n_pos",
+        "tp",
+        "fp",
+        "selected",
+        F.expr("CAST(tp * 1000000 DIV nullif(n_pos, 0) AS BIGINT)").alias("tpr_ppm"),
+        F.expr("CAST(fp * 1000000 DIV nullif(n_neg, 0) AS BIGINT)").alias("fpr_ppm"),
+        sel_ppm.cast("long").alias("sel_ppm"),
+        F.expr(
+            "CAST((selected * 1000000 div nullif(n, 0)) * 1000000"
+            " DIV nullif(max(selected * 1000000 div nullif(n, 0)) OVER (), 0) AS BIGINT)"
+        ).alias("disparate_impact_ppm"),
+    )

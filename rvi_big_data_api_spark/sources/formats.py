@@ -1103,3 +1103,48 @@ def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_ids"),
         F.countDistinct(F.col("event_id") % 2).alias("n_files"),
     )
+
+
+@query(
+    "scan_csv_gzip",
+    oracle="""
+    SELECT c_mktsegment, count(*)::BIGINT AS n,
+           sum(c_custkey)::BIGINT AS key_sum,
+           sum(c_acctbal::DECIMAL(18,4))::DOUBLE AS bal_sum
+    FROM customer GROUP BY 1
+    """,
+    tags=("source",),
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text ingestion — customer written as GZIP csv and read
+    back with an explicit schema, then reconciled against the clean
+    table. Real lakes land compressed delimited drops constantly; the
+    contract under test is codec handling end to end (write codec option
+    → .gz part files → transparent decompress on read) plus the scale
+    caveat the plan must respect: gzip is NOT splittable, so one .gz
+    file = one input task regardless of maxPartitionBytes. The staging
+    write repartitions to 4 so the read gets 4 parallel tasks — the
+    100 TB rule is many medium .gz files (or zstd/bzip2 when splittable
+    codecs are an option), never one giant archive.
+
+    Reconciliation is a checksum rollup (counts, key sums, exact-decimal
+    balance sums — rule 15), so a silent row drop or codec corruption
+    hash-fails rather than passing a bare count."""
+    c = load(spark, sf_dir, "customer")
+    out = scratch_dir(sf_dir, "csv_gz")
+    c.repartition(4).write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(out)
+    back = (
+        spark.read.schema(
+            "c_custkey BIGINT, c_name STRING, c_nationkey INT,"
+            " c_acctbal DOUBLE, c_mktsegment STRING"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("bal_sum"),
+    )

@@ -489,6 +489,9 @@ EXTENSIONS = [
     # summary) and all-integer classical trend/seasonal/residual
     # decomposition of the hourly series
     "graph_assortativity", "ts_decompose_classical",
+    # round 6 continuation: group-fairness audit (per-cohort TPR/FPR/DI in
+    # integer ppm) and GZIP csv codec round trip (non-splittable caveat)
+    "eval_fairness_report", "scan_csv_gzip",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
