@@ -55,6 +55,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "mm_content_dedup", "text_jsd_drift", "ts_period_over_period",
     "graph_assortativity", "ts_decompose_classical",
     "eval_fairness_report", "scan_csv_gzip",
+    "embed_random_projection", "geo_track_simplify",
     # -- never driver-verified after rounds 1-5 (89 round-5 queries plus
     # source_inmemory, whose only driver row was the pre-oracle r01
     # `no_oracle` record — VERDICT r5 "What's wrong"). Ordered per VERDICT r5

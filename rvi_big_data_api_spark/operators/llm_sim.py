@@ -2873,3 +2873,81 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.corr("deg_src", "deg_dst"), 4) + F.lit(0.0)).alias("assortativity"),
         )
     )
+
+
+RP_OUT_DIMS = 8  # Johnson-Lindenstrauss target dimensionality
+
+
+@query(
+    "embed_random_projection",
+    oracle=f"""
+    WITH mat AS MATERIALIZED (
+        SELECT t.i, u.j,
+               CASE WHEN substr(md5(t.i::VARCHAR || ':' || u.j::VARCHAR), 1, 1) < '8'
+                    THEN 1 ELSE -1 END AS s
+        FROM range(64) t(i), range({RP_OUT_DIMS}) u(j)
+    ),
+    expanded AS (
+        SELECT e.vec_id, m.j, e.embedding[m.i + 1]::DOUBLE * m.s AS term
+        FROM embeddings e, mat m
+    )
+    SELECT vec_id, j::INT AS out_dim,
+           round(sum(term), 6) + 0.0 AS proj
+    FROM expanded GROUP BY vec_id, j
+    """,
+    tags=("llm", "embedding"),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection — 64-dim embeddings sketched
+    to {RP_OUT_DIMS} dims with a deterministic ±1 matrix (the
+    Achlioptas construction: sign from an md5 nibble of (row:col), the
+    same seeded-hash discipline every sampler here uses — never rand(),
+    so train and serve project identically forever). The dim-reduction
+    member of the embed family: PCA (embed_pca_power) learns the
+    directions, JL buys distance preservation WITHOUT a fitted model —
+    the right first stage for ANN prefiltering and the sketch behind
+    sim_topk_multiprobe-style probing at lower memory.
+
+    Shape: the {64 * RP_OUT_DIMS}-entry sign matrix is generated from
+    range()×range() and BROADCAST; vectors posexplode once and the
+    projection is a (vec, out_dim) partial agg of x_i·s_ij — matmul as
+    fold, all JVM-side. Sum order differs per engine → aggregate-level
+    round (rule 6) with the -0.0 guard; the ±1 entries and the float
+    elements are exact on both sides.
+
+    At 100 TB: map-side expand ×{RP_OUT_DIMS} with immediate combine —
+    no shuffle grows with dimensionality; for big K swap the explode for
+    a Pandas-UDF GEMM over Arrow batches (sim_pairs_gemm's pattern)."""
+    e = load(spark, sf_dir, "embeddings")
+    mat = (
+        spark.range(64)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(RP_OUT_DIMS).select(F.col("id").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"), F.lit(":"), F.col("j").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "8",
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    expanded = (
+        e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .join(F.broadcast(mat), "i")
+        .select("vec_id", "j", (F.col("x").cast("double") * F.col("s")).alias("term"))
+    )
+    return expanded.groupBy("vec_id", F.col("j").cast("int").alias("out_dim")).agg(
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("proj")
+    )

@@ -2775,3 +2775,77 @@ def ts_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("xc") - F.col("trend") - F.col("s_cents")).cast("long").alias("residual"),
         )
     )
+
+
+@query(
+    "geo_track_simplify",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, event_id,
+               floor(epoch(ts))::BIGINT AS sec,
+               floor((fmod(value, 170.0) - 85.0) / {GRID_CELL_DEG})::BIGINT AS lat_cell,
+               floor((fmod(event_id::DOUBLE, 360.0) - 180.0) / {GRID_CELL_DEG})::BIGINT
+                   AS lon_cell
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id,
+               CASE WHEN lag(lat_cell) OVER w IS NULL
+                         OR lat_cell != lag(lat_cell) OVER w
+                         OR lon_cell != lag(lon_cell) OVER w
+                    THEN 1 ELSE 0 END AS keep
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    )
+    SELECT user_id, count(*)::BIGINT AS n_fixes,
+           sum(keep)::BIGINT AS n_kept,
+           (sum(keep)::BIGINT * 1000000 // count(*))::BIGINT AS keep_ppm
+    FROM flagged GROUP BY user_id
+    """,
+    tags=("telemetry", "geo"),
+)
+def geo_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory simplification by cell-run collapse — consecutive GPS
+    fixes that stay inside the same map cell carry no route information,
+    so only the FIRST fix of each cell-run survives (the streaming-safe
+    cousin of Douglas-Peucker: DP needs the whole track and recursion;
+    run-collapse is a pure lag comparison, so it works incrementally and
+    distributes). The report is the compression audit per vehicle —
+    total fixes, kept fixes, keep rate in ppm — the number that sizes
+    the map-matching bill downstream.
+
+    Same pseudo-coordinate + {GRID_CELL_DEG}° cell convention as
+    geo_grid_density; the keep flag is exact integer/cell algebra (cells
+    are floor-divided BIGINTs, rule 17b territory never entered), the
+    rate integer-ppm (rule 25), the tie order pinned by (sec, event_id).
+
+    Scale shape: ONE user-keyed window (the telemetry single-exchange
+    rule) then a partial agg on the same key — at 100 TB the track of
+    each vehicle is one partition's worth of ordered rows, exactly how
+    trip_sessionize already shuffles."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.floor((F.col("value") % 170.0 - 85.0) / GRID_CELL_DEG).alias("lat_cell"),
+        F.floor((F.col("event_id").cast("double") % 360.0 - 180.0) / GRID_CELL_DEG).alias(
+            "lon_cell"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    keep = F.when(
+        F.lag("lat_cell").over(w).isNull()
+        | (F.col("lat_cell") != F.lag("lat_cell").over(w))
+        | (F.col("lon_cell") != F.lag("lon_cell").over(w)),
+        1,
+    ).otherwise(0)
+    return (
+        pts.select("user_id", keep.alias("keep"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.sum("keep").alias("n_kept"),
+            F.expr("CAST(sum(keep) * 1000000 DIV count(1) AS BIGINT)").alias("keep_ppm"),
+        )
+    )

@@ -492,6 +492,10 @@ EXTENSIONS = [
     # round 6 continuation: group-fairness audit (per-cohort TPR/FPR/DI in
     # integer ppm) and GZIP csv codec round trip (non-splittable caveat)
     "eval_fairness_report", "scan_csv_gzip",
+    # round 6 continuation: Johnson-Lindenstrauss sign projection (the
+    # fit-free dim-reduction member of the embed family) and trajectory
+    # cell-run simplification (streaming-safe Douglas-Peucker cousin)
+    "embed_random_projection", "geo_track_simplify",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

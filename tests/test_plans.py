@@ -906,3 +906,45 @@ def test_pop_is_one_scan_one_window(spark, sf_dir):
     assert executed.count("Scan parquet") <= 1, executed[:3000]
     assert "Join" not in executed
     assert executed.count("Window") <= 1, executed[:3000]
+
+
+def test_assortativity_equijoins_only(spark, sf_dir):
+    """graph_assortativity: degree decoration is two (label, endpoint)
+    equi-joins over the checkpointed pairs — no cartesian/BNLJ, no
+    Python eval."""
+    plan = plan_of(REGISTRY["graph_assortativity"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_decompose_single_scan_broadcast_seasonal(spark, sf_dir):
+    """ts_decompose_classical: the fact collapses once; the 24-row
+    seasonal profile rejoins as a broadcast; no Python eval."""
+    plan = plan_of(REGISTRY["ts_decompose_classical"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fairness_is_two_partial_aggs(spark, sf_dir):
+    """eval_fairness_report: user rollup then cohort rollup — one scan,
+    no join; the DI window runs over the cohort rows."""
+    df = REGISTRY["eval_fairness_report"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 1, executed[:3000]
+    assert "Join" not in executed
+    assert "EvalPython" not in executed
+
+
+def test_csv_gzip_read_parallelism(spark, sf_dir):
+    """scan_csv_gzip: the staged lake is multiple .gz parts, so the
+    non-splittable codec still yields parallel input tasks."""
+    import glob
+    import os
+    import tempfile
+
+    REGISTRY["scan_csv_gzip"].fn(spark, sf_dir).count()
+    root = os.path.join(tempfile.gettempdir(), "rvi_spark_scratch")
+    parts = glob.glob(os.path.join(root, "csv_gz-*", "*.csv.gz"))
+    assert len(parts) >= 2, parts
