@@ -1866,14 +1866,22 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("v").alias("m_g"),
         F.var_samp("v").alias("v_g"),
     )
-    tot = g.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("n_g").alias("n"),
-        (F.sum(F.col("n_g") * F.col("m_g")) / F.sum("n_g")).alias("grand_m"),
+    # Totals as window functions over the K-row frame, NOT a separate agg
+    # crossed back in: DataFrame reuse re-executes the subtree, so the
+    # tot-then-crossJoin form re-derived seg/g once per consumer (4 scans);
+    # this keeps ONE g subtree (plan-audit verified).
+    wall = Window.partitionBy()
+    g2 = g.select(
+        "n_g",
+        "m_g",
+        "v_g",
+        F.count(F.lit(1)).over(wall).alias("k"),
+        F.sum("n_g").over(wall).alias("n"),
+        (
+            F.sum(F.col("n_g") * F.col("m_g")).over(wall) / F.sum("n_g").over(wall)
+        ).alias("grand_m"),
     )
-    ss = g.crossJoin(F.broadcast(tot)).agg(
-        F.max("k").alias("k"),
-        F.max("n").alias("n"),
+    ss = g2.groupBy("k", "n").agg(
         F.sum(
             F.col("n_g") * (F.col("m_g") - F.col("grand_m")) * (F.col("m_g") - F.col("grand_m"))
         ).alias("ssb"),
@@ -1970,14 +1978,20 @@ def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("z").alias("zm_g"),
         F.var_samp("z").alias("zv_g"),
     )
-    tot = g.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("n_g").alias("n"),
-        (F.sum(F.col("n_g") * F.col("zm_g")) / F.sum("n_g")).alias("grand_zm"),
+    # Same one-subtree totals trick as stats_anova_oneway (window over the
+    # K-row frame, never a crossJoin of a second aggregate of g).
+    wall = Window.partitionBy()
+    g2 = g.select(
+        "n_g",
+        "zm_g",
+        "zv_g",
+        F.count(F.lit(1)).over(wall).alias("k"),
+        F.sum("n_g").over(wall).alias("n"),
+        (
+            F.sum(F.col("n_g") * F.col("zm_g")).over(wall) / F.sum("n_g").over(wall)
+        ).alias("grand_zm"),
     )
-    ss = g.crossJoin(F.broadcast(tot)).agg(
-        F.max("k").alias("k"),
-        F.max("n").alias("n"),
+    ss = g2.groupBy("k", "n").agg(
         F.sum(
             F.col("n_g")
             * (F.col("zm_g") - F.col("grand_zm"))
