@@ -56,6 +56,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "graph_assortativity", "ts_decompose_classical",
     "eval_fairness_report", "scan_csv_gzip",
     "embed_random_projection", "geo_track_simplify",
+    "sql_group_order_all", "privacy_dp_histogram",
     # -- never driver-verified after rounds 1-5 (89 round-5 queries plus
     # source_inmemory, whose only driver row was the pre-oracle r01
     # `no_oracle` record — VERDICT r5 "What's wrong"). Ordered per VERDICT r5

@@ -615,3 +615,67 @@ def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.max("ts")).alias("last_sec"),
         )
     )
+
+
+DP_EPSILON_X1000 = 1000  # epsilon = 1.0, stated in integer milli-units
+DP_U_LATTICE = 16777216  # 16^6 — md5-derived uniform resolution
+
+
+@query(
+    "privacy_dp_histogram",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1
+    ),
+    noised AS (
+        SELECT event_type, n,
+               (('0x' || substr(md5('dp:' || event_type), 1, 6))::BIGINT + 0.5)
+                   / {DP_U_LATTICE} AS u
+        FROM counts
+    )
+    SELECT event_type,
+           {DP_EPSILON_X1000} AS epsilon_x1000,
+           round(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * ln(1.0 - 2.0 * abs(u - 0.5))
+                     * (1000.0 / {DP_EPSILON_X1000}), 4) + 0.0 AS noisy_n
+    FROM noised
+    """,
+    tags=("analytics", "privacy"),
+)
+def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release — per-type counts with
+    Laplace(sensitivity/epsilon) noise via inverse-CDF sampling, the
+    third privacy member (k-anonymity audits, pseudonymization unlinks,
+    DP bounds what any single user can reveal). The raw count never
+    leaves: only epsilon and the noised value ship.
+
+    Determinism discipline: the uniform draw is the first 6 md5 nibbles
+    of the cell key parsed as an integer lattice point (feature_hashing's
+    proven hex-parse pairing: Spark conv(,16,10) = DuckDB
+    ('0x'||…)::BIGINT), +0.5 to stay strictly inside (0,1) so ln() never
+    sees 0 — identical doubles both engines, then one libm ln → 4 dp
+    aggregate round (rule 8). A PRODUCTION release must draw fresh
+    randomness per publication (a fixed seed leaks by averaging
+    re-releases); the seeded form here is the engine-testable mechanism,
+    the same trade every sampler in this repo documents.
+
+    Scale: one partial agg; noise is a scalar expression on the
+    |types|-row result — DP costs nothing at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 6), 16, 10
+        ).cast("long")
+        + 0.5
+    ) / DP_U_LATTICE
+    noise = (
+        F.when(u < 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+        * (1000.0 / DP_EPSILON_X1000)
+    )
+    return counts.select(
+        "event_type",
+        F.lit(DP_EPSILON_X1000).alias("epsilon_x1000"),
+        (F.round(F.col("n") + noise, 4) + F.lit(0.0)).alias("noisy_n"),
+    )

@@ -1163,3 +1163,42 @@ def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ev=ev,
     )
+
+
+@query(
+    "sql_group_order_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*)::BIGINT AS n,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "conformance"),
+)
+def sql_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the Spark-4 SQL ergonomics pair
+    (adopted from the DuckDB dialect, so the twin is literally the same
+    query text): every non-aggregate select item becomes a grouping key,
+    and the result orders by the full select list. The conformance
+    point is the INFERENCE — a refactor that adds a projected column
+    must automatically join the grouping key set in both engines, which
+    this op would catch as a schema/hash mismatch.
+
+    Semantics under the hood are unchanged (plain partial+final hash
+    aggregate, a bounded sort over the group rows), so the 100 TB plan
+    is identical to the explicit-columns form — ALL is sugar the
+    analyzer resolves before Catalyst ever sees the plan."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sql_all_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM sql_all_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

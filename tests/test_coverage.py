@@ -496,6 +496,9 @@ EXTENSIONS = [
     # fit-free dim-reduction member of the embed family) and trajectory
     # cell-run simplification (streaming-safe Douglas-Peucker cousin)
     "embed_random_projection", "geo_track_simplify",
+    # round 6 continuation: GROUP BY ALL / ORDER BY ALL inference
+    # conformance and deterministic Laplace DP histogram release
+    "sql_group_order_all", "privacy_dp_histogram",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
