@@ -2951,3 +2951,228 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanded.groupBy("vec_id", F.col("j").cast("int").alias("out_dim")).agg(
         (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("proj")
     )
+
+
+SWEEP_TAUS_X100 = (30, 35, 40, 45, 50)  # threshold grid for the dedup sweep
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH pair_dots AS MATERIALIZED (
+        SELECT a.label AS label,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS d
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SWEEP_TAUS_X100[0] / 100}
+    ),
+    wide AS (
+        SELECT label,
+               {', '.join(f"sum(CASE WHEN d >= {t / 100} THEN 1 ELSE 0 END)::BIGINT AS c{t}" for t in SWEEP_TAUS_X100)}
+        FROM pair_dots GROUP BY label
+    )
+    {' UNION ALL '.join(f"SELECT label, {t}::INT AS tau_x100, c{t} AS n_pairs FROM wide" for t in SWEEP_TAUS_X100)}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve — candidate-pair volume per label block
+    at a grid of cosine cutoffs, from ONE pair enumeration at the loosest
+    τ. This is the diagnostic every near-dup rollout runs before picking
+    τ: the elbow in pairs-vs-τ separates true rewrite mass from the noise
+    floor, and the per-block split shows which sources collapse first.
+    The τ-gap rule dedup_embed_cluster documents (cluster τ above pair τ)
+    is chosen by exactly this readout.
+
+    Exactness: dots use the JVM zip_with fold — BIT-IDENTICAL to
+    list_dot_product over DOUBLE[] (rule 9) — so comparing against any
+    constant grid is safe with NO measured-margin caveat (the GEMM path
+    would re-enter rule 16 at every new threshold). Counts are integers;
+    the wide→long unpivot is a stack over the per-label rollup.
+
+    Scale: one salted block self-join (sim_pairs' exact shape) at the
+    loosest τ; the sweep itself is 5 conditional sums riding the same
+    pass — adding thresholds costs nothing."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(SIM_PAIRS_SALT))).alias("sa")
+    b = (
+        e.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(SIM_PAIRS_SALT - 1))))
+        .alias("sb")
+    )
+    d = dot(F.col("sa.embedding"), F.col("sb.embedding"))
+    pair_dots = (
+        a.join(
+            b,
+            (F.col("sa.label") == F.col("sb.label"))
+            & (F.col("sa.salt") == F.col("sb.rep"))
+            & (F.col("sa.vec_id") < F.col("sb.vec_id")),
+        )
+        .select(F.col("sa.label").alias("label"), d.alias("d"))
+        .filter(F.col("d") >= SWEEP_TAUS_X100[0] / 100)
+    )
+    wide = pair_dots.groupBy("label").agg(
+        *[
+            F.sum(F.when(F.col("d") >= t / 100, 1).otherwise(0)).alias(f"c{t}")
+            for t in SWEEP_TAUS_X100
+        ]
+    )
+    stack_args = ", ".join(f"{t}, c{t}" for t in SWEEP_TAUS_X100)
+    return wide.select(
+        "label",
+        F.expr(f"stack({len(SWEEP_TAUS_X100)}, {stack_args}) AS (tau_x100, n_pairs)"),
+    ).select("label", F.col("tau_x100").cast("int").alias("tau_x100"), "n_pairs")
+
+
+MMR_NQUERIES = 8   # query batch
+MMR_C = 10         # stage-1 candidate depth fed to the diversifier
+# lambda = 0.5 exactly (binary fraction): score = 0.5*rel - 0.5*max_sim
+
+
+@query(
+    "eval_mmr_diversify",
+    oracle=f"""
+    WITH cands AS MATERIALIZED (
+        SELECT qid, vec_id, emb, rel FROM (
+            SELECT q.vec_id AS qid, e.vec_id, e.embedding AS emb,
+                   list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS rel,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS r
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {MMR_NQUERIES}
+        ) WHERE r <= {MMR_C}
+    ),
+    p1 AS MATERIALIZED (
+        SELECT qid, vec_id, emb, rel FROM (
+            SELECT qid, vec_id, emb, rel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, vec_id ASC) AS r
+            FROM cands
+        ) WHERE r = 1
+    ),
+    p2 AS MATERIALIZED (
+        SELECT qid, vec_id, emb, score FROM (
+            SELECT c.qid, c.vec_id, c.emb,
+                   0.5 * c.rel - 0.5 * list_dot_product(c.emb::DOUBLE[], p.emb::DOUBLE[])
+                       AS score,
+                   row_number() OVER (
+                       PARTITION BY c.qid
+                       ORDER BY 0.5 * c.rel
+                                - 0.5 * list_dot_product(c.emb::DOUBLE[], p.emb::DOUBLE[])
+                                    DESC,
+                                c.vec_id ASC) AS r
+            FROM cands c JOIN p1 p ON c.qid = p.qid AND c.vec_id != p.vec_id
+        ) WHERE r = 1
+    ),
+    p3 AS (
+        SELECT qid, vec_id, score FROM (
+            SELECT c.qid, c.vec_id,
+                   0.5 * c.rel - 0.5 * greatest(
+                       list_dot_product(c.emb::DOUBLE[], a.emb::DOUBLE[]),
+                       list_dot_product(c.emb::DOUBLE[], b.emb::DOUBLE[])) AS score,
+                   row_number() OVER (
+                       PARTITION BY c.qid
+                       ORDER BY 0.5 * c.rel - 0.5 * greatest(
+                                    list_dot_product(c.emb::DOUBLE[], a.emb::DOUBLE[]),
+                                    list_dot_product(c.emb::DOUBLE[], b.emb::DOUBLE[]))
+                                    DESC,
+                                c.vec_id ASC) AS r
+            FROM cands c
+            JOIN p1 a ON c.qid = a.qid AND c.vec_id != a.vec_id
+            JOIN p2 b ON c.qid = b.qid AND c.vec_id != b.vec_id
+        ) WHERE r = 1
+    )
+    SELECT qid, 1 AS rank, vec_id, round(rel, 4) + 0.0 AS score FROM p1
+    UNION ALL SELECT qid, 2, vec_id, round(score, 4) + 0.0 FROM p2
+    UNION ALL SELECT qid, 3, vec_id, round(score, 4) + 0.0 FROM p3
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def eval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking — the diversity stage between
+    retrieval and the context window: pure top-k returns near-duplicates
+    of one passage; MMR greedily picks argmax of
+    lambda*relevance − (1−lambda)*max-similarity-to-already-picked, so
+    the second and third picks trade raw score for coverage. Unrolled to
+    three picks (the greedy recursion made explicit — the same
+    unrolled-iteration discipline as sim_ivf_kmeans / graph_kcore's
+    oracle), lambda = 0.5 exactly.
+
+    Pick determinism is bit-exact, not rounded: rel and every
+    candidate-to-pick similarity use the zip_with fold ≡
+    list_dot_product (rule 9), and 0.5*x − 0.5*y is the same IEEE
+    arithmetic in both engines, so every argmax resolves identically
+    (vec_id tiebreak for true ties); only the displayed scores round.
+
+    Scale: stage 1 is sim_topk's broadcast-query scan; each pick is a
+    per-qid window over ≤{MMR_C} candidate rows decorated by a 1-row-
+    per-qid broadcast join — the diversifier never touches the corpus
+    again (sim_rerank's candidate-set contract, applied twice more)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < MMR_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    w_rel = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+    cands = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", F.col("embedding").alias("emb"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("rel"),
+        )
+        .withColumn("r", F.row_number().over(w_rel))
+        .filter(F.col("r") <= MMR_C)
+        .drop("r")
+    )
+    p1 = (
+        cands.withColumn("r", F.row_number().over(w_rel))
+        .filter(F.col("r") == 1)
+        .select("qid", F.col("vec_id").alias("p1_id"), F.col("emb").alias("p1_emb"),
+                F.col("rel").alias("p1_rel"))
+    )
+    s2 = (
+        cands.join(F.broadcast(p1), "qid")
+        .filter(F.col("vec_id") != F.col("p1_id"))
+        .select(
+            "qid", "vec_id", "emb",
+            (0.5 * F.col("rel") - 0.5 * dot_d(
+                F.col("emb").cast("array<double>"), F.col("p1_emb").cast("array<double>")
+            )).alias("score"),
+        )
+    )
+    w_s = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    p2 = (
+        s2.withColumn("r", F.row_number().over(w_s))
+        .filter(F.col("r") == 1)
+        .select("qid", F.col("vec_id").alias("p2_id"), F.col("emb").alias("p2_emb"),
+                F.col("score").alias("p2_score"))
+    )
+    s3 = (
+        cands.join(F.broadcast(p1), "qid")
+        .join(F.broadcast(p2.select("qid", "p2_id", "p2_emb")), "qid")
+        .filter((F.col("vec_id") != F.col("p1_id")) & (F.col("vec_id") != F.col("p2_id")))
+        .select(
+            "qid", "vec_id",
+            (0.5 * F.col("rel") - 0.5 * F.greatest(
+                dot_d(F.col("emb").cast("array<double>"), F.col("p1_emb").cast("array<double>")),
+                dot_d(F.col("emb").cast("array<double>"), F.col("p2_emb").cast("array<double>")),
+            )).alias("score"),
+        )
+    )
+    p3 = s3.withColumn("r", F.row_number().over(w_s)).filter(F.col("r") == 1)
+    out1 = p1.select(
+        "qid", F.lit(1).alias("rank"), F.col("p1_id").alias("vec_id"),
+        (F.round("p1_rel", 4) + F.lit(0.0)).alias("score"),
+    )
+    out2 = p2.select(
+        "qid", F.lit(2).alias("rank"), F.col("p2_id").alias("vec_id"),
+        (F.round("p2_score", 4) + F.lit(0.0)).alias("score"),
+    )
+    out3 = p3.select(
+        "qid", F.lit(3).alias("rank"), "vec_id",
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+    return out1.unionByName(out2).unionByName(out3)

@@ -499,6 +499,10 @@ EXTENSIONS = [
     # round 6 continuation: GROUP BY ALL / ORDER BY ALL inference
     # conformance and deterministic Laplace DP histogram release
     "sql_group_order_all", "privacy_dp_histogram",
+    # round 6 continuation: tau-tuning pairs-vs-threshold curve (bit-exact
+    # JVM fold, no GEMM margin caveat) and unrolled greedy MMR
+    # diversification (bit-exact picks, candidate-set-only reranking)
+    "dedup_threshold_sweep", "eval_mmr_diversify",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
