@@ -948,3 +948,49 @@ def test_csv_gzip_read_parallelism(spark, sf_dir):
     root = os.path.join(tempfile.gettempdir(), "rvi_spark_scratch")
     parts = glob.glob(os.path.join(root, "csv_gz-*", "*.csv.gz"))
     assert len(parts) >= 2, parts
+
+
+def test_projection_matrix_is_broadcast(spark, sf_dir):
+    """embed_random_projection: the sign matrix reaches the exploded
+    vectors as a broadcast; the projection is a partial agg — no
+    SortMergeJoin, no Python eval."""
+    plan = plan_of(REGISTRY["embed_random_projection"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_track_simplify_single_exchange(spark, sf_dir):
+    """geo_track_simplify: the user window and the per-user agg share ONE
+    user_id exchange (the telemetry single-shuffle rule)."""
+    plan = plan_of(REGISTRY["geo_track_simplify"].fn(spark, sf_dir))
+    n_exchanges = plan.split("\n== ")[0].count("Exchange ")
+    assert n_exchanges == 1, f"expected 1 Exchange, found {n_exchanges}:\n{plan[:2500]}"
+
+
+def test_dp_histogram_one_scan_no_join(spark, sf_dir):
+    """privacy_dp_histogram: noise is a scalar expression on the
+    aggregated rows — one scan, no join, no Python eval."""
+    df = REGISTRY["privacy_dp_histogram"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 1, executed[:3000]
+    assert "Join" not in executed
+    assert "EvalPython" not in executed
+
+
+def test_threshold_sweep_is_salted_equi_join(spark, sf_dir):
+    """dedup_threshold_sweep: the pair enumeration is the salted block
+    equi-join (salt key present), never cartesian; the five thresholds
+    add conditional aggregates, not passes."""
+    plan = plan_of(REGISTRY["dedup_threshold_sweep"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "salt" in plan and "rep" in plan, plan[:2500]
+
+
+def test_mmr_reranks_candidates_only(spark, sf_dir):
+    """eval_mmr_diversify: the corpus is scanned a bounded number of times
+    (stage-1 arms), and picks 2/3 decorate the candidate set via
+    broadcasts — no SortMergeJoin anywhere."""
+    plan = plan_of(REGISTRY["eval_mmr_diversify"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan[:2500]
+    assert "EvalPython" not in plan
