@@ -2985,30 +2985,31 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The τ-gap rule dedup_embed_cluster documents (cluster τ above pair τ)
     is chosen by exactly this readout.
 
-    Exactness: dots use the JVM zip_with fold — BIT-IDENTICAL to
-    list_dot_product over DOUBLE[] (rule 9) — so comparing against any
-    constant grid is safe with NO measured-margin caveat (the GEMM path
-    would re-enter rule 16 at every new threshold). Counts are integers;
+    Two-stage exactness WITHOUT a per-threshold margin: candidates come
+    from the chunk-pair GEMM at τ_min − 1e-6 (a slack band ~11 orders of
+    magnitude wider than the measured reorder error ≤ 5.6e-17, so no
+    true τ_min pair can be missed regardless of fold order), then every
+    candidate's dot is RECOMPUTED with the JVM zip_with fold —
+    bit-identical to list_dot_product (rule 9) — and all five threshold
+    comparisons run on that exact value. The GEMM never decides a
+    threshold; it only bounds the candidate set. Counts are integers;
     the wide→long unpivot is a stack over the per-label rollup.
 
-    Scale: one salted block self-join (sim_pairs' exact shape) at the
-    loosest τ; the sweep itself is 5 conditional sums riding the same
-    pass — adding thresholds costs nothing."""
+    Scale: the first formulation ran the fold dot inside the salted
+    block self-join — Σ block²·dim JVM work, measured as a 148× cliff
+    at the 10x decade (3.9 → 570 s); the GEMM prefilter restores the
+    vectorized candidate path (clustering-coefficient's decade shape)
+    and the exact re-verification touches only emitted pairs."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(SIM_PAIRS_SALT))).alias("sa")
-    b = (
-        e.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(SIM_PAIRS_SALT - 1))))
-        .alias("sb")
+    cand = block_pairs_gemm(e, "label", SWEEP_TAUS_X100[0] / 100 - 1e-6).select(
+        F.col("blk").alias("label"), "vec_a", "vec_b"
     )
-    d = dot(F.col("sa.embedding"), F.col("sb.embedding"))
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     pair_dots = (
-        a.join(
-            b,
-            (F.col("sa.label") == F.col("sb.label"))
-            & (F.col("sa.salt") == F.col("sb.rep"))
-            & (F.col("sa.vec_id") < F.col("sb.vec_id")),
-        )
-        .select(F.col("sa.label").alias("label"), d.alias("d"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("label", dot(F.col("emb_a"), F.col("emb_b")).alias("d"))
         .filter(F.col("d") >= SWEEP_TAUS_X100[0] / 100)
     )
     wide = pair_dots.groupBy("label").agg(

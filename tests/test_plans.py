@@ -978,13 +978,15 @@ def test_dp_histogram_one_scan_no_join(spark, sf_dir):
     assert "EvalPython" not in executed
 
 
-def test_threshold_sweep_is_salted_equi_join(spark, sf_dir):
-    """dedup_threshold_sweep: the pair enumeration is the salted block
-    equi-join (salt key present), never cartesian; the five thresholds
-    add conditional aggregates, not passes."""
+def test_threshold_sweep_gemm_prefilter_exact_verify(spark, sf_dir):
+    """dedup_threshold_sweep: candidates come from the chunk-pair GEMM
+    (FlatMapGroupsInPandas), the exact fold re-verification is equi-joined
+    by id, and the five thresholds are conditional aggregates — never a
+    cartesian, never the fold-inside-self-join cliff."""
     plan = plan_of(REGISTRY["dedup_threshold_sweep"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan[:2500]
     assert "CartesianProduct" not in plan
-    assert "salt" in plan and "rep" in plan, plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_mmr_reranks_candidates_only(spark, sf_dir):
