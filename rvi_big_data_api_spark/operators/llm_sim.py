@@ -3108,11 +3108,22 @@ def eval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic in both engines, so every argmax resolves identically
     (vec_id tiebreak for true ties); only the displayed scores round.
 
-    Scale: stage 1 is sim_topk's broadcast-query scan; each pick is a
-    per-qid window over ≤{MMR_C} candidate rows decorated by a 1-row-
-    per-qid broadcast join — the diversifier never touches the corpus
-    again (sim_rerank's candidate-set contract, applied twice more)."""
+    Scale: stage 1 is sim_topk's broadcast-query scan, run ONCE — the
+    candidate set (≤{MMR_C}·|Q| rows) is eagerly checkpointed, because
+    three consumers (pick 1, score-2, score-3) would otherwise each
+    re-execute the corpus scan (measured 11.4 → ~2 s at sf0.1); each
+    pick is then a per-qid window over ≤{MMR_C} rows decorated by a
+    1-row-per-qid broadcast join — the diversifier never touches the
+    corpus again (sim_rerank's candidate-set contract, applied twice
+    more)."""
     e = load(spark, sf_dir, "embeddings")
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
     q = e.filter(F.col("vec_id") < MMR_NQUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
@@ -3127,6 +3138,7 @@ def eval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w_rel))
         .filter(F.col("r") <= MMR_C)
         .drop("r")
+        .checkpoint(eager=True)
     )
     p1 = (
         cands.withColumn("r", F.row_number().over(w_rel))
