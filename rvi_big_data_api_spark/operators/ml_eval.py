@@ -2216,3 +2216,188 @@ def eval_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV nullif(max(selected * 1000000 div nullif(n, 0)) OVER (), 0) AS BIGINT)"
         ).alias("disparate_impact_ppm"),
     )
+
+
+@query(
+    "eval_auc_trapezoid",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               floor(sum(CASE WHEN event_type IN ('view', 'click')
+                              THEN value ELSE 0 END) * 100 + 0.5)::BIGINT
+                   AS score_cents,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    support AS (
+        SELECT score_cents,
+               sum(label)::BIGINT AS n_pos,
+               sum(1 - label)::BIGINT AS n_neg
+        FROM per_user GROUP BY score_cents
+    ),
+    curve AS (
+        SELECT (sum(n_pos) OVER w)::BIGINT AS ctp,
+               (sum(n_neg) OVER w)::BIGINT AS cfp,
+               (sum(n_pos) OVER ())::BIGINT AS p,
+               (sum(n_neg) OVER ())::BIGINT AS nn
+        FROM support
+        WINDOW w AS (ORDER BY score_cents DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT p, nn,
+               (cfp - lag(cfp, 1, 0::BIGINT) OVER (ORDER BY cfp, ctp))
+                   * (ctp + lag(ctp, 1, 0::BIGINT) OVER (ORDER BY cfp, ctp)) AS term
+        FROM curve
+    ),
+    trap AS (
+        SELECT max(p)::BIGINT AS n_pos, max(nn)::BIGINT AS n_neg,
+               sum(term)::BIGINT AS auc_x2pn
+        FROM terms
+    )
+    SELECT n_pos, n_neg,
+           (auc_x2pn * 1000000 // nullif(2 * n_pos * n_neg, 0))::BIGINT AS auc_ppm
+    FROM trap
+    """,
+    tags=("analytics", "eval"),
+)
+def eval_auc_trapezoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC as ONE exact number — the trapezoid integral of
+    eval_roc_curve's support, kept ENTIRELY in integers: with cumulative
+    counts ctp/cfp, twice-the-area-times-P*N is
+    Σ (Δcfp)·(ctp + ctp_prev), an integer; AUC ships as ppm integer
+    division (rule 25). No float ever enters, so the headline ranking
+    metric can never drift on a fold order — the same
+    exactness-by-integerization discipline as Mann-Whitney U (AUC is
+    U/(P·N), and a property test could pin that identity).
+
+    Scale: user rollup (partial agg) → per-score support (partial agg)
+    → two windows over the support rows (distinct score values, not
+    users) → one row. The curve frame is score-cardinality-bounded; at
+    100 TB quantize scores (integer cents already does) to cap it."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(
+                F.when(F.col("event_type").isin("view", "click"), F.col("value")).otherwise(0.0)
+            )
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("score_cents"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    support = per_user.groupBy("score_cents").agg(
+        F.sum("label").alias("n_pos"), F.sum(1 - F.col("label")).alias("n_neg")
+    )
+    w = Window.orderBy(F.col("score_cents").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    curve = support.select(
+        F.sum("n_pos").over(w).alias("ctp"),
+        F.sum("n_neg").over(w).alias("cfp"),
+        F.sum("n_pos").over(wall).alias("p"),
+        F.sum("n_neg").over(wall).alias("nn"),
+    )
+    wl = Window.orderBy("cfp", "ctp")
+    trap = curve.select(
+        "p",
+        "nn",
+        (
+            (F.col("cfp") - F.lag("cfp", 1, 0).over(wl))
+            * (F.col("ctp") + F.lag("ctp", 1, 0).over(wl))
+        ).alias("term"),
+    ).agg(
+        F.max("p").alias("n_pos"),
+        F.max("nn").alias("n_neg"),
+        F.sum("term").alias("auc_x2pn"),
+    )
+    return trap.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST(auc_x2pn * 1000000 DIV nullif(2 * n_pos * n_neg, 0) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@query(
+    "eval_brier_score",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, e.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id >= {KNN_NQUERIES}
+        WHERE q.vec_id < {KNN_NQUERIES}
+    ),
+    votes AS (
+        SELECT qid, label, count(*)::BIGINT AS n_votes
+        FROM scored WHERE rank <= {KNN_K}
+        GROUP BY qid, label
+    ),
+    pred AS (
+        SELECT qid, label AS predicted_label, n_votes FROM (
+            SELECT qid, label, n_votes,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY n_votes DESC, label ASC) AS r
+            FROM votes
+        ) WHERE r = 1
+    ),
+    judged AS (
+        SELECT p.n_votes::DOUBLE / {KNN_K} AS conf,
+               CASE WHEN p.predicted_label = t.label THEN 1 ELSE 0 END AS correct
+        FROM pred p JOIN embeddings t ON p.qid = t.vec_id
+    )
+    SELECT count(*)::BIGINT AS n,
+           round(avg((conf - correct) * (conf - correct)), 6) + 0.0 AS brier,
+           round(avg(correct), 4) + 0.0 AS accuracy
+    FROM judged
+    """,
+    tags=("analytics", "eval"),
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of knn_label's confidence — the PROPER scoring rule
+    the calibration family was missing: eval_calibration_bins shows
+    WHERE confidence is miscalibrated, the Brier score is the single
+    number that penalizes it (mean squared error of the vote-fraction
+    probability against the 0/1 outcome), decomposable into exactly the
+    calibration + refinement the bins visualize.
+
+    Confidence is the exact integer ratio n_votes/K (identical double
+    both engines); the mean over queries is the only fold-order float →
+    aggregate-level round. Same broadcast-query kNN subtree as the
+    report/calibration ops — the metric rides an existing candidate
+    pipeline, no new corpus pass at scale."""
+    e = load(spark, sf_dir, "embeddings")
+    truth = e.filter(F.col("vec_id") < KNN_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("truth")
+    )
+    preds = knn_label(spark, sf_dir).join(F.broadcast(truth), "qid")
+    judged = preds.select(
+        (F.col("n_votes").cast("double") / KNN_K).alias("conf"),
+        F.when(F.col("predicted_label") == F.col("truth"), 1).otherwise(0).alias("correct"),
+    )
+    return judged.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.round(
+                F.avg((F.col("conf") - F.col("correct")) * (F.col("conf") - F.col("correct"))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("brier"),
+        (F.round(F.avg("correct"), 4) + F.lit(0.0)).alias("accuracy"),
+    )

@@ -503,6 +503,9 @@ EXTENSIONS = [
     # JVM fold, no GEMM margin caveat) and unrolled greedy MMR
     # diversification (bit-exact picks, candidate-set-only reranking)
     "dedup_threshold_sweep", "eval_mmr_diversify",
+    # round 6 continuation: exact all-integer trapezoid AUC (ppm) and the
+    # Brier proper scoring rule over the kNN confidence
+    "eval_auc_trapezoid", "eval_brier_score",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
