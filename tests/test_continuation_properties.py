@@ -167,3 +167,24 @@ def test_jsd_drift_totals_and_bounds(spark, sf_dir):
     assert -1e-6 <= total <= math.log(2) + 1e-6, total
     term_sum = sum(r["jsd_term"] for r in rows)
     assert abs(term_sum - total) <= len(rows) * 5e-7 + 1e-9, (term_sum, total)
+
+
+def test_auc_recomposes_from_roc_curve(spark, sf_dir):
+    """eval_auc_trapezoid must equal the trapezoid integral of
+    eval_roc_curve's (fpr, tpr) points (same support, independently
+    computed; curve emits 4-dp-rounded rates, so tolerance is the
+    accumulated rounding slack)."""
+    curve = sorted(
+        _df("eval_roc_curve", spark, sf_dir).collect(),
+        key=lambda r: (r["fpr"], r["tpr"]),
+    )
+    auc = 0.0
+    prev_f, prev_t = 0.0, 0.0
+    for r in curve:
+        auc += (r["fpr"] - prev_f) * (r["tpr"] + prev_t) / 2.0
+        prev_f, prev_t = r["fpr"], r["tpr"]
+    got = _df("eval_auc_trapezoid", spark, sf_dir).collect()[0]
+    assert abs(got["auc_ppm"] / 1e6 - auc) < len(curve) * 1e-4 + 1e-6, (
+        got["auc_ppm"],
+        auc,
+    )
