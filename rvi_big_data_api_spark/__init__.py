@@ -58,7 +58,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "embed_random_projection", "geo_track_simplify",
     "sql_group_order_all", "privacy_dp_histogram",
     "dedup_threshold_sweep", "eval_mmr_diversify",
-    "eval_auc_trapezoid", "eval_brier_score",
+    "eval_auc_trapezoid", "eval_brier_score", "embed_centroid_drift",
     # -- never driver-verified after rounds 1-5 (89 round-5 queries plus
     # source_inmemory, whose only driver row was the pre-oracle r01
     # `no_oracle` record — VERDICT r5 "What's wrong"). Ordered per VERDICT r5

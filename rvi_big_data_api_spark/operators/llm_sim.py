@@ -3189,3 +3189,90 @@ def eval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("score", 4) + F.lit(0.0)).alias("score"),
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+@query(
+    "embed_centroid_drift",
+    oracle="""
+    WITH expanded AS (
+        SELECT label, vec_id % 2 AS snap, d.i AS dim,
+               embedding[d.i + 1]::DOUBLE AS x
+        FROM embeddings, range(64) d(i)
+    ),
+    cents AS (
+        SELECT label, dim,
+               avg(CASE WHEN snap = 0 THEN x END) AS c_ref,
+               avg(CASE WHEN snap = 1 THEN x END) AS c_cur,
+               count(CASE WHEN snap = 0 THEN 1 END)::BIGINT AS n_ref,
+               count(CASE WHEN snap = 1 THEN 1 END)::BIGINT AS n_cur
+        FROM expanded GROUP BY label, dim
+    )
+    SELECT label,
+           (max(n_ref))::BIGINT AS n_ref,
+           (max(n_cur))::BIGINT AS n_cur,
+           round(sqrt(sum((c_ref - c_cur) * (c_ref - c_cur))), 6) + 0.0 AS l2_drift,
+           round(sum(c_ref * c_cur)
+                 / nullif(sqrt(sum(c_ref * c_ref)) * sqrt(sum(c_cur * c_cur)), 0),
+                 6) + 0.0 AS cos_sim
+    FROM cents GROUP BY label
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — per-label centroid displacement
+    between two corpus snapshots (even/odd vec_id, the PSI/JSD split
+    convention applied to VECTORS): corpus_drift_psi watches a scalar
+    histogram, text_jsd_drift watches token mass, this watches where the
+    REPRESENTATIONS moved — the alarm that fires when an upstream
+    encoder/domain shift changes geometry while lengths and vocabulary
+    look stable. Emits L2 displacement and centroid cosine per label;
+    a cosine well below 1 on stable labels means re-index before any
+    ANN threshold (sim_topk_ann's buckets, dedup_embed's LSH) is
+    trusted.
+
+    Shape: ONE posexplode-style expand (vector → 64 dim rows) feeding a
+    single conditional-avg partial agg per (label, dim) — snapshots are
+    CASE counts in one pass, never a self-join — then the 64-row-per-
+    label distance fold. Centroid components are order-dependent float
+    means → aggregate-level round (rule 6) with the -0.0 guard;
+    divisions nullif-guarded (a snapshot-empty label yields NULL cosine,
+    not a crash).
+
+    At 100 TB: the expand is map-side ×64 with immediate combine (the
+    embed_random_projection contract); per-(label, dim) cells are the
+    only shuffle — |labels|·64 rows regardless of corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    expanded = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    cents = expanded.groupBy("label", "dim").agg(
+        F.avg(F.when(F.col("snap") == 0, F.col("x"))).alias("c_ref"),
+        F.avg(F.when(F.col("snap") == 1, F.col("x"))).alias("c_cur"),
+        F.count(F.when(F.col("snap") == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("snap") == 1, 1)).alias("n_cur"),
+    )
+    return cents.groupBy("label").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        (
+            F.round(
+                F.sqrt(F.sum((F.col("c_ref") - F.col("c_cur")) * (F.col("c_ref") - F.col("c_cur")))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("l2_drift"),
+        (
+            F.round(
+                F.sum(F.col("c_ref") * F.col("c_cur"))
+                / F.nullif(
+                    F.sqrt(F.sum(F.col("c_ref") * F.col("c_ref")))
+                    * F.sqrt(F.sum(F.col("c_cur") * F.col("c_cur"))),
+                    F.lit(0.0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cos_sim"),
+    )

@@ -506,6 +506,9 @@ EXTENSIONS = [
     # round 6 continuation: exact all-integer trapezoid AUC (ppm) and the
     # Brier proper scoring rule over the kNN confidence
     "eval_auc_trapezoid", "eval_brier_score",
+    # round 6 continuation: per-label centroid displacement between corpus
+    # snapshots — the embedding-space drift monitor beside PSI/JSD
+    "embed_centroid_drift",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
