@@ -996,3 +996,23 @@ def test_mmr_reranks_candidates_only(spark, sf_dir):
     plan = plan_of(REGISTRY["eval_mmr_diversify"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan[:2500]
     assert "EvalPython" not in plan
+
+
+def test_auc_shares_support_windows(spark, sf_dir):
+    """eval_auc_trapezoid: one events scan, windows over the score
+    support, no join, no Python eval."""
+    df = REGISTRY["eval_auc_trapezoid"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 1, executed[:3000]
+    assert "Join" not in executed
+    assert "EvalPython" not in executed
+
+
+def test_centroid_drift_single_expand(spark, sf_dir):
+    """embed_centroid_drift: one corpus scan exploded map-side; snapshots
+    are conditional aggregates, never a self-join."""
+    df = REGISTRY["embed_centroid_drift"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 1, executed[:3000]
+    assert "Join" not in executed
+    assert "Generate" in executed, executed[:2000]
