@@ -59,6 +59,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "sql_group_order_all", "privacy_dp_histogram",
     "dedup_threshold_sweep", "eval_mmr_diversify",
     "eval_auc_trapezoid", "eval_brier_score", "embed_centroid_drift",
+    "text_vocab_coverage",
     # -- never driver-verified after rounds 1-5 (89 round-5 queries plus
     # source_inmemory, whose only driver row was the pre-oracle r01
     # `no_oracle` record — VERDICT r5 "What's wrong"). Ordered per VERDICT r5

@@ -2016,3 +2016,90 @@ def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(term_jsd, 6) + F.lit(0.0)).alias("jsd_term"),
         F.round(F.sum(term_jsd).over(wall), 6).alias("jsd_total"),
     )
+
+
+VOCAB_COVERAGE_KS = (5, 10, 20, 50)  # vocabulary-size checkpoints
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH counts AS MATERIALIZED (
+        SELECT term, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) GROUP BY term
+    ),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS r,
+               (sum(cnt) OVER ())::BIGINT AS total,
+               (count(*) OVER ())::BIGINT AS vocab
+        FROM counts
+    ),
+    wide AS (
+        SELECT max(total)::BIGINT AS total_tokens, max(vocab)::BIGINT AS vocab_size,
+               {', '.join(f"sum(CASE WHEN r <= {k} THEN cnt ELSE 0 END)::BIGINT AS cov{k}" for k in VOCAB_COVERAGE_KS)}
+        FROM ranked
+    )
+    {' UNION ALL '.join(
+        f"SELECT {k}::INT AS k, vocab_size, total_tokens, cov{k} AS covered_tokens,"
+        f" (cov{k} * 1000000 // nullif(total_tokens, 0))::BIGINT AS coverage_ppm FROM wide"
+        for k in VOCAB_COVERAGE_KS
+    )}
+    """,
+    tags=("llm", "text", "corpus"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — what fraction of all token OCCURRENCES
+    the top-K most frequent terms capture, at a grid of K. This is the
+    sizing question every tokenizer/vocab decision starts from (the
+    empirical Zipf integral text_zipf_fit parameterizes): a corpus where
+    K=50 already covers 99% tolerates a tiny vocab; a flat curve says
+    byte-level fallback will fire constantly. Deterministic rank
+    (freq DESC, term ASC — the top-V rule text_jsd_drift uses), coverage
+    as integer-ppm (rule 25), all counts exact.
+
+    Shape: one token explode → term-count partial agg → a single window
+    pass over the VOCABULARY (not the corpus) computing rank/total →
+    conditional sums fold every checkpoint in one aggregate; the
+    wide→long unpivot is driver-sized. At 100 TB only the explode sees
+    corpus rows; the ranked frame is |vocab| rows."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(wr).alias("r"),
+        F.sum("cnt").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("vocab"),
+    )
+    wide = ranked.agg(
+        F.max("total").alias("total_tokens"),
+        F.max("vocab").alias("vocab_size"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("cnt")).otherwise(0)).alias(f"cov{k}")
+            for k in VOCAB_COVERAGE_KS
+        ],
+    )
+    stack_args = ", ".join(f"{k}, cov{k}" for k in VOCAB_COVERAGE_KS)
+    return (
+        wide.select(
+            "vocab_size",
+            "total_tokens",
+            F.expr(f"stack({len(VOCAB_COVERAGE_KS)}, {stack_args}) AS (k, covered_tokens)"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "vocab_size",
+            "total_tokens",
+            "covered_tokens",
+            F.expr(
+                "CAST(covered_tokens * 1000000 DIV nullif(total_tokens, 0) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -509,6 +509,9 @@ EXTENSIONS = [
     # round 6 continuation: per-label centroid displacement between corpus
     # snapshots — the embedding-space drift monitor beside PSI/JSD
     "embed_centroid_drift",
+    # round 6 continuation: token-mass coverage at a vocab-size grid (the
+    # tokenizer sizing curve; one explode, one vocab-sized window pass)
+    "text_vocab_coverage",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
