@@ -44,8 +44,55 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- round-6 additions (new ops registered this round go first so the
-    # driver's 50-row budget sees them soonest) -----------------------------
+    # -- never driver-verified after rounds 1-6 (75 entries). Ordered per
+    # VERDICT r6 item 1: the 50 most load-bearing go first so round 7's
+    # 50-row budget lands entirely on never-verified entries and round 8
+    # becomes the closure round. `source_inmemory` leads — it is the one
+    # §2 entry whose only driver row is the pre-oracle r01 `no_oracle`
+    # record (its SQL twin was judge-verified MATCH in r6 but has never
+    # been driver-hash-checked). ---------------------------------------------
+    "source_inmemory",
+    # streaming round-5 ops
+    "stream_rocksdb_state", "scan_state_store", "stream_dedup_watermark",
+    "sink_stream_python_datasource", "stream_sketch_distinct",
+    "stream_observe_metrics", "stream_incremental_resume",
+    "stream_psi_drift", "stream_stateful_rocksdb", "stream_corpus_pipeline",
+    # corpus pipelines
+    "corpus_perplexity_filter", "corpus_training_pipeline",
+    "corpus_global_shuffle", "corpus_drift_psi", "corpus_diverse_sample",
+    "corpus_dedup_report", "corpus_split_leakage_safe",
+    # stats / agg tail
+    "stats_ttest_welch", "stats_chi2_independence",
+    "agg_ks_test", "agg_mannwhitney_u", "agg_benford_check", "agg_gini",
+    "agg_weighted_median", "agg_approx_top_k", "agg_theta_retention",
+    "agg_distinct_salted",
+    # geo / graph / embedding family
+    "geo_grid_density", "geo_od_matrix", "geo_flow_matrix", "fn_geospatial",
+    "graph_kcore", "graph_jaccard_neighbors", "graph_label_propagation",
+    "knn_graph_mutual",
+    "embed_pq_codebook", "sim_adc_topk", "embed_pca_power",
+    "embed_outlier_score", "embed_hygiene_audit",
+    "dedup_embed_bandor", "dedup_containment", "dedup_incremental",
+    "sim_maxsim_multivector",
+    # pipelines / analytics
+    "cdc_scd2", "privacy_k_anonymity", "profile_key_skew",
+    "seq_pattern_detect", "event_attribution",
+    # ---- driver round-7 horizon (50) lands exactly here --------------------
+    "anomaly_cusum", "profile_crosstab", "seq_transition_matrix",
+    "ab_experiment_report", "fleet_daily_report",
+    "text_zipf_fit", "text_novelty_score", "clean_impute",
+    "sink_compaction", "mm_manifest_join", "win_range_numeric",
+    # function-surface / SQL wave (replica + judge spot-check green; lowest
+    # residual risk, so they queue for round 8)
+    "fn_crypto", "fn_map_hof", "fn_array_set", "fn_xpath", "fn_csv_inline",
+    "agg_bitops", "scan_xml", "sql_scripting", "sql_identifier_dynamic",
+    "subquery_scalar_df", "udtf_table_arg", "udf_arrow_optimized",
+    "udtf_cogrouped_map", "limit_offset",
+]
+
+PRIORITY_VERIFIED: list[str] = [
+    # -- driver-green in round 6 (CORRECTNESS_r06.json, 50 rows, all hash
+    # matches, zero err) ----------------------------------------------------
     "dedup_near_verify", "fn_variant_explode", "graph_bfs_distance",
     "eval_matryoshka_recall", "feature_onehot", "sim_hard_negatives",
     "scan_glob_recursive", "sql_pivot_unpivot", "anomaly_seasonal_naive",
@@ -60,56 +107,12 @@ PRIORITY_UNVERIFIED: list[str] = [
     "dedup_threshold_sweep", "eval_mmr_diversify",
     "eval_auc_trapezoid", "eval_brier_score", "embed_centroid_drift",
     "text_vocab_coverage",
-    # -- never driver-verified after rounds 1-5 (89 round-5 queries plus
-    # source_inmemory, whose only driver row was the pre-oracle r01
-    # `no_oracle` record — VERDICT r5 "What's wrong"). Ordered per VERDICT r5
-    # item 2: most load-bearing families first so round 6's 50-row budget
-    # covers them; the tail (~40) gets the fresh-process replica drive at
-    # close and driver rows in round 7. --------------------------------------
-    # ML-eval / feature / stats family
     "eval_retrieval_metrics", "eval_classification_report",
     "eval_calibration_bins", "eval_regression_metrics", "eval_ab_srm_check",
     "eval_rank_correlation", "eval_roc_curve", "eval_pr_curve",
     "eval_cohens_kappa", "eval_lsh_candidate_quality", "eval_pq_recall",
     "feature_hashing", "feature_scaling", "feature_target_encode",
     "feature_quantile_bin",
-    "stats_ttest_welch", "stats_chi2_independence",
-    "agg_ks_test", "agg_mannwhitney_u", "agg_benford_check", "agg_gini",
-    "agg_weighted_median", "agg_approx_top_k", "agg_theta_retention",
-    "agg_distinct_salted",
-    # geo / graph / embedding family
-    "geo_grid_density", "geo_od_matrix", "geo_flow_matrix", "fn_geospatial",
-    "graph_kcore", "graph_jaccard_neighbors", "graph_label_propagation",
-    "knn_graph_mutual",
-    "embed_pq_codebook", "sim_adc_topk", "embed_pca_power",
-    "embed_outlier_score", "embed_hygiene_audit",
-    "dedup_embed_bandor", "dedup_containment", "dedup_incremental",
-    "sim_maxsim_multivector", "corpus_split_leakage_safe",
-    # streaming round-5 ops
-    "stream_rocksdb_state", "scan_state_store", "stream_dedup_watermark",
-    "sink_stream_python_datasource", "stream_sketch_distinct",
-    "stream_observe_metrics", "stream_incremental_resume",
-    # ---- driver round-6 horizon (~50) lands about here --------------------
-    "stream_psi_drift", "stream_stateful_rocksdb", "stream_corpus_pipeline",
-    # pipelines / analytics / misc
-    "corpus_perplexity_filter", "corpus_training_pipeline",
-    "corpus_global_shuffle", "corpus_drift_psi", "corpus_diverse_sample",
-    "corpus_dedup_report",
-    "cdc_scd2", "privacy_k_anonymity", "anomaly_cusum", "profile_key_skew",
-    "profile_crosstab", "seq_pattern_detect", "seq_transition_matrix",
-    "event_attribution", "ab_experiment_report", "fleet_daily_report",
-    "text_zipf_fit", "text_novelty_score", "clean_impute",
-    "sink_compaction", "mm_manifest_join", "win_range_numeric",
-    # function-surface / SQL wave (replica + judge spot-check green; lowest
-    # residual risk, so they queue for round 7)
-    "fn_crypto", "fn_map_hof", "fn_array_set", "fn_xpath", "fn_csv_inline",
-    "agg_bitops", "scan_xml", "sql_scripting", "sql_identifier_dynamic",
-    "subquery_scalar_df", "udtf_table_arg", "udf_arrow_optimized",
-    "udtf_cogrouped_map", "limit_offset",
-    "source_inmemory",
-]
-
-PRIORITY_VERIFIED: list[str] = [
     # -- driver-green in round 5 (CORRECTNESS_r05.json, 50 rows, all hash
     # matches, zero err) ----------------------------------------------------
     "sql_pipe_syntax", "fn_collation", "udtf_analyze",
