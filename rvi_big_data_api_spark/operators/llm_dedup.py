@@ -656,13 +656,9 @@ def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFram
         ).alias("e")
     ).select("e.src", "e.dst").cache()
 
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
+    from ..session import ensure_checkpoint_dir
 
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
+    ensure_checkpoint_dir(spark)
 
     # `cached_labels` is always the handle that was ACTUALLY .cache()d —
     # unpersist() on a derived projection is a silent no-op (the round-1 leak).
@@ -1086,13 +1082,9 @@ def pointer_doubling_components(
         ).alias("e")
     ).select("e.src", "e.dst").cache()
 
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
+    from ..session import ensure_checkpoint_dir
 
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
+    ensure_checkpoint_dir(spark)
 
     cached_labels = (
         edges.groupBy(F.col("src").alias("node"))

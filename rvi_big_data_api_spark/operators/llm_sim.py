@@ -118,6 +118,69 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped memos of the two shared graph subtrees (VERDICT r6 item 2 —
+# the `gram_cc_labels` pattern from llm_dedup.py applied to the similarity
+# graph family). Eight graph ops consume the SAME τ-thresholded pair list
+# (block_pairs_gemm at SIM_PAIRS_TAU) and two consume the SAME mutual-kNN
+# edge list; per-op construction meant the expensive Arrow GEMM / rank-window
+# subtree re-ran once per consumer in a full-registry drive, which is the
+# contention mode behind BENCH_r06's 2-4× swings on graph_kcore /
+# graph_label_propagation / knn_graph_mutual. Keyed by (applicationId,
+# sf_dir): a new session never sees another session's frames. Values are
+# EAGERLY CHECKPOINTED edge frames — disk-backed, plan-truncated, edge-list-
+# sized (not corpus-sized), so every consumer's plan starts from a cheap
+# checkpoint scan and the GEMM job runs ONCE per process.
+#
+# Numerics note (ADVICE r6): pair MEMBERSHIP here comes from the GEMM's
+# SIMD-order dots while the oracles threshold on DuckDB's exact
+# list_dot_product fold. The measured fixture margin (nearest pair 1.8e-5
+# from SIM_PAIRS_TAU vs observed reorder error ≤5.6e-17 — see
+# block_pairs_gemm's docstring) makes membership fold-order-stable; re-run
+# scripts/check_gemm_margin.py whenever fixtures or SIM_PAIRS_TAU change.
+# ---------------------------------------------------------------------------
+_SIM_PAIR_EDGES: dict[tuple[str, str], DataFrame] = {}
+_MUTUAL_KNN_EDGES: dict[tuple[str, str], DataFrame] = {}
+
+
+def sim_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (label, vec_a, vec_b) pair list at SIM_PAIRS_TAU
+    (vec_a < vec_b), computed once per (session, sf_dir). Shared by
+    graph_pagerank / graph_triangle_count / graph_kcore /
+    graph_jaccard_neighbors / graph_bfs_distance / graph_closeness /
+    graph_clustering_coefficient / graph_assortativity. sim_pairs_gemm does
+    NOT share — it is the oracled conformance query for the GEMM itself and
+    must pay (and measure) its own subtree."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIM_PAIR_EDGES:
+        from ..session import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(spark)
+        e = load(spark, sf_dir, "embeddings")
+        _SIM_PAIR_EDGES[key] = (
+            block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
+            .select(F.col("blk").alias("label"), "vec_a", "vec_b")
+            .checkpoint(eager=True)
+        )
+    return _SIM_PAIR_EDGES[key]
+
+
+def mutual_knn_edge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed directed mutual-kNN edge list (src, dst, dot), computed
+    once per (session, sf_dir). Shared by knn_graph_mutual and
+    graph_label_propagation (whose two vote rounds previously re-consumed
+    the bucketed-candidates subtree via ReusedExchange — correct, but its
+    cold cost landed on whichever consumer a bench run timed first)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MUTUAL_KNN_EDGES:
+        from ..session import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(spark)
+        e = load(spark, sf_dir, "embeddings")
+        _MUTUAL_KNN_EDGES[key] = mutual_knn_edges(e).checkpoint(eager=True)
+    return _MUTUAL_KNN_EDGES[key]
+
+
 @query(
     "sim_topk",
     oracle=f"""
@@ -686,26 +749,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     step to convergence with a localCheckpoint every few rounds; no
     dangling-node term is needed because the symmetrized graph has
     outdeg ≥ 1 everywhere."""
-    e = load(spark, sf_dir, "embeddings")
-    # Edge detection via the chunk-pair GEMM path (block_pairs_gemm): the
-    # oracle depends only on pair MEMBERSHIP (dot >= tau), which the measured
-    # 1.8e-5 tau margin makes immune to GEMM-vs-fold summation order.
-    pairs = block_pairs_gemm(e, "label", SIM_PAIRS_TAU).select("vec_a", "vec_b")
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
-
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
-    # Eager fs checkpoint: the blocked-similarity pairs job is the expensive
-    # part and is needed by deg.count(), every iteration, AND the final read
-    # — without truncation it would re-run once per consumer. The edge list
-    # itself is tiny; no cache is left behind (same hygiene as
-    # min_label_components).
+    # Edge detection via the chunk-pair GEMM path, through the session memo
+    # (sim_pair_edges — checkpointed once per process): the oracle depends
+    # only on pair MEMBERSHIP (dot >= tau), which the measured 1.8e-5 tau
+    # margin makes immune to GEMM-vs-fold summation order. The memo's eager
+    # fs checkpoint truncates the plan, so deg.count(), every iteration, AND
+    # the final read all start from a cheap checkpoint scan instead of
+    # re-running the pairs job once per consumer.
+    pairs = sim_pair_edges(spark, sf_dir).select("vec_a", "vec_b")
     edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionByName(
         pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
-    ).checkpoint(eager=True)
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = deg.count()  # scalar: one job over the checkpointed edges
     ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n_nodes).alias("pr"))
@@ -826,22 +880,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the edge list. Both joins are equi-joins on (label, endpoint) —
     shuffle-partitionable, never a cartesian; at 100 TB the id-orientation
     trick also bounds skew, since high-degree hubs only fan out to
-    higher-id neighbors. Edges come from the chunk-pair GEMM path
-    (block_pairs_gemm), eagerly checkpointed once and read by all three
-    aliases — without truncation the Arrow pairs job would run per alias."""
-    e = load(spark, sf_dir, "embeddings")
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
-
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
-    p = (
-        block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
-        .select(F.col("blk").alias("label"), "vec_a", "vec_b")
-        .checkpoint(eager=True)
-    )
+    higher-id neighbors. Edges come from the chunk-pair GEMM path through
+    the session memo (sim_pair_edges — eagerly checkpointed once per
+    process) and are read by all three aliases — without truncation the
+    Arrow pairs job would run per alias."""
+    p = sim_pair_edges(spark, sf_dir)
     e1 = p.select("label", F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     e2 = p.select(
         F.col("label").alias("l2"), F.col("vec_a").alias("b2"), F.col("vec_b").alias("c2")
@@ -1778,10 +1821,11 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window per source with vec_id tiebreak, then the mutuality check
     is a self-equi-join of the directed edge list on the reversed pair —
     O(N·k) rows, hash-join on (src, dst). Canonical src < dst orientation
-    halves the output; graph_* / dedup_cluster ops compose downstream."""
-    e = load(spark, sf_dir, "embeddings")
+    halves the output; graph_* / dedup_cluster ops compose downstream.
+    The edge list comes from the session memo (mutual_knn_edge_frame) —
+    checkpointed once per process, shared with graph_label_propagation."""
     return (
-        mutual_knn_edges(e)
+        mutual_knn_edge_frame(spark, sf_dir)
         .filter(F.col("src") < F.col("dst"))
         .select(
             F.col("src").alias("vec_a"),
@@ -1968,12 +2012,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     — edge-list-sized shuffles, the dedup_cluster discipline. Ties break
     (n_votes DESC, label ASC) identically in both dialects."""
     e = load(spark, sf_dir, "embeddings")
-    # NOT checkpointed: both vote rounds consume the edge subtree, but its
-    # shuffles are shared via ReusedExchange — an eager checkpoint measured
-    # SLOWER (≈10 s vs 4.3 s at sf0.1), the ngram_sim_edges negative result
-    # again. min_label_components checkpoints because its loop DEPTH grows;
-    # two fixed rounds do not.
-    edges = mutual_knn_edges(e).select("src", "dst")
+    # Edges via the SESSION MEMO (mutual_knn_edge_frame), not a per-op
+    # checkpoint. History: a per-op eager checkpoint measured SLOWER than
+    # letting the two vote rounds share the subtree via ReusedExchange
+    # (≈10 s vs 4.3 s at sf0.1, round 5), so this op deliberately didn't
+    # checkpoint — which meant a full-registry drive rebuilt the same edge
+    # list here AND in knn_graph_mutual, and the cold cost landed on
+    # whichever ran first (BENCH_r06's 2-4× swing — VERDICT r6 item 2).
+    # The memo keeps the per-process total strictly lower: the subtree +
+    # checkpoint write are paid ONCE per session, and both this op's vote
+    # rounds and knn_graph_mutual read the truncated frame.
+    edges = mutual_knn_edge_frame(spark, sf_dir).select("src", "dst")
     seeds = (
         e.filter(F.col("vec_id") < LP_SEEDS)
         .select(F.col("vec_id").alias("node"), "label")
@@ -2289,19 +2338,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines emit the same fixpoint. At 100 TB rounds are O(degeneracy) —
     bounded for similarity graphs whose block size the LSH/blocking
     already caps."""
-    e = load(spark, sf_dir, "embeddings")
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
+    from ..session import ensure_checkpoint_dir
 
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
-    p = (
-        block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
-        .select(F.col("blk").alias("label"), "vec_a", "vec_b")
-        .checkpoint(eager=True)
-    )
+    ensure_checkpoint_dir(spark)
+    p = sim_pair_edges(spark, sf_dir)
     edges = p.select("label", F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionAll(
         p.select("label", F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
     )
@@ -2381,12 +2421,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment as the triangle op (id-ordering halves each wedge). Degrees
     join back on the node key; union denominator by inclusion-exclusion
     from the two degrees and the intersection count, no set collection.
-    The edge list is a plain subtree (two joins deep) — no checkpoint
-    needed; the wedge join dominates and runs once."""
-    e = load(spark, sf_dir, "embeddings")
-    p = block_pairs_gemm(e, "label", SIM_PAIRS_TAU).select(
-        F.col("blk").alias("label"), "vec_a", "vec_b"
-    )
+    The edge list comes from the session memo (sim_pair_edges) — a cheap
+    checkpoint scan; the wedge join dominates and runs once."""
+    p = sim_pair_edges(spark, sf_dir)
     edges = p.select("label", F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionAll(
         p.select("label", F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
     )
@@ -2482,15 +2519,12 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin is the bounded recursive closure with min(d) — surplus
     depth is a no-op on both sides.
 
-    Cites: same edge construction as graph_kcore (block_pairs_gemm —
-    chunk-pair GEMM, never all-pairs row loops)."""
+    Cites: same edge construction as graph_kcore (sim_pair_edges session
+    memo — chunk-pair GEMM, never all-pairs row loops)."""
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings")
-    p = block_pairs_gemm(e, "label", SIM_PAIRS_TAU).select(
-        F.col("blk").alias("label"), "vec_a", "vec_b"
-    )
+    p = sim_pair_edges(spark, sf_dir)
     max_hops = BFS_MAX_HOPS
 
     def bfs_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2585,16 +2619,13 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer PPM (rule 25) so it hash-matches the recursive-closure twin
     exactly — no float division at the output boundary.
 
-    Cites: block_pairs_gemm edges (never all-pairs row loops); the DuckDB
-    twin is the bounded recursive closure grouped to per-source shortest
-    paths."""
+    Cites: sim_pair_edges session-memo edges (never all-pairs row loops);
+    the DuckDB twin is the bounded recursive closure grouped to per-source
+    shortest paths."""
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings")
-    p = block_pairs_gemm(e, "label", SIM_PAIRS_TAU).select(
-        F.col("blk").alias("label"), "vec_a", "vec_b"
-    )
+    p = sim_pair_edges(spark, sf_dir)
     max_hops = BFS_MAX_HOPS
 
     def closeness_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2730,19 +2761,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the joins key on (label, endpoint) — shuffle-partitionable,
     and the blocking cap on |block| bounds the wedge count per key."""
-    e = load(spark, sf_dir, "embeddings")
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
-
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
-    p = (
-        block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
-        .select(F.col("blk").alias("label"), "vec_a", "vec_b")
-        .checkpoint(eager=True)
-    )
+    p = sim_pair_edges(spark, sf_dir)
     e1 = p.select("label", F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     e2 = p.select(
         F.col("label").alias("l2"), F.col("vec_a").alias("b2"), F.col("vec_b").alias("c2")
@@ -2834,21 +2853,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields NULL, identically.
 
     Scale: degrees and the two decorations are (label, endpoint)
-    equi-joins on the checkpointed GEMM pairs — the same bounded-block
-    contract as every graph op here."""
-    e = load(spark, sf_dir, "embeddings")
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
-
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
-    p = (
-        block_pairs_gemm(e, "label", SIM_PAIRS_TAU)
-        .select(F.col("blk").alias("label"), "vec_a", "vec_b")
-        .checkpoint(eager=True)
-    )
+    equi-joins on the checkpointed GEMM pairs (sim_pair_edges session
+    memo) — the same bounded-block contract as every graph op here."""
+    p = sim_pair_edges(spark, sf_dir)
     deg = (
         p.select("label", F.col("vec_a").alias("v"))
         .unionAll(p.select("label", F.col("vec_b").alias("v")))
@@ -3116,14 +3123,10 @@ def eval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row-per-qid broadcast join — the diversifier never touches the
     corpus again (sim_rerank's candidate-set contract, applied twice
     more)."""
-    e = load(spark, sf_dir, "embeddings")
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
+    from ..session import ensure_checkpoint_dir
 
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
+    e = load(spark, sf_dir, "embeddings")
+    ensure_checkpoint_dir(spark)
     q = e.filter(F.col("vec_id") < MMR_NQUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )

@@ -218,13 +218,9 @@ def eval_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report itself aggregates Q rows twice and full-joins two label-sized
     sides — driver-trivial."""
     e = load(spark, sf_dir, "embeddings")
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
+    from ..session import ensure_checkpoint_dir
 
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
+    ensure_checkpoint_dir(spark)
     truth = e.filter(F.col("vec_id") < KNN_NQUERIES).select(
         F.col("vec_id").alias("qid"), F.col("label").alias("truth")
     )
@@ -2199,7 +2195,6 @@ def eval_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("label") == 0) & sel, 1).otherwise(0)).alias("fp"),
         F.sum(F.when(sel, 1).otherwise(0)).alias("selected"),
     )
-    wall = Window.partitionBy()
     sel_ppm = F.expr("selected * 1000000 div nullif(n, 0)")
     return conf.select(
         "grp",

@@ -43,6 +43,20 @@ def _default_driver_mem() -> str:
     return "4g"
 
 
+def ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Idempotently pin a checkpoint directory on a session that lacks one.
+
+    Iterative/shared-subtree operators eagerly checkpoint converged edge
+    lists (dedup_cluster, graph_kcore, the sim_pair_edges memo); a bare
+    SparkSession built outside get_spark() has no checkpoint dir, so every
+    such operator guards with this helper (ADVICE r6: previously 9 inline
+    copies of this boilerplate)."""
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
+        )
+
+
 def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -82,8 +96,5 @@ def get_spark(app_name: str = "rvi-big-data-api-spark") -> SparkSession:
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "rvi_spark_checkpoints")
-        )
+    ensure_checkpoint_dir(spark)
     return spark

@@ -100,20 +100,29 @@ def test_pop_growth_recomputes_from_series(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         if prev["rev_cents"] != 0:
             want = (cur["rev_cents"] - prev["rev_cents"]) * 1_000_000
-            # Spark/DuckDB div truncates toward zero
-            q = int(want / prev["rev_cents"]) if want / prev["rev_cents"] >= 0 else -(
-                (-want) // prev["rev_cents"]
-            )
+            # Spark/DuckDB div truncates toward zero; compute the expected
+            # quotient in pure integer math (ADVICE r6: float division here
+            # goes off-by-one once |want| approaches 2^53 at bigger SF).
+            q_mag = abs(want) // abs(prev["rev_cents"])
+            q = q_mag if (want >= 0) == (prev["rev_cents"] > 0) else -q_mag
             assert cur["dod_ppm"] == q, (prev, cur, q)
 
 
 def test_fairness_counts_are_consistent(spark, sf_dir):
     """eval_fairness_report: per cohort, tp <= n_pos, fp <= n_neg,
-    selected == tp + fp, n == n_pos + n_neg, and exactly one cohort has
-    disparate_impact_ppm == 1_000_000 (the reference cohort)."""
+    selected == tp + fp, n == n_pos + n_neg, and disparate_impact_ppm ==
+    1_000_000 for exactly the cohorts sharing the max sel_ppm (one
+    reference cohort unless sel_ppm ties)."""
     rows = _df("eval_fairness_report", spark, sf_dir).collect()
     assert len(rows) == 4
-    assert sum(1 for r in rows if r["disparate_impact_ppm"] == 1_000_000) >= 1
+    # DI == 1_000_000 exactly for the cohorts sharing the max sel_ppm (ppm
+    # ties each become a reference cohort; ADVICE r6 — assert the exact
+    # count, not just >= 1, so a regression emitting extra 1.0 DIs fails).
+    max_sel = max(r["sel_ppm"] for r in rows)
+    n_ref = sum(1 for r in rows if r["sel_ppm"] == max_sel)
+    assert (
+        sum(1 for r in rows if r["disparate_impact_ppm"] == 1_000_000) == n_ref
+    ), rows
     for r in rows:
         n_neg = r["n"] - r["n_pos"]
         assert r["tp"] <= r["n_pos"] and r["fp"] <= n_neg, r
