@@ -88,6 +88,10 @@ PRIORITY_UNVERIFIED: list[str] = [
     "agg_bitops", "scan_xml", "sql_scripting", "sql_identifier_dynamic",
     "subquery_scalar_df", "udtf_table_arg", "udf_arrow_optimized",
     "udtf_cogrouped_map", "limit_offset",
+    # -- round-7 additions (registered behind the 75 never-sampled backlog:
+    # closure of rounds 1-6 coverage outranks first-look at new ops; these
+    # get the close replica drive this round and driver rows in round 8) ----
+    "dedup_simhash_verify",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -368,6 +368,180 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_verify_oracle_sql() -> str:
+    """DuckDB twin of dedup_simhash_verify — the full SimHash pipeline
+    (tf-weighted bit votes → 64-bit signature → pigeonhole chunk join →
+    xor+bit_count Hamming) over the cross-engine md5-derived term hash.
+    Generated like _kcore_oracle_sql: 64 conditional sums and the two
+    32-bit signature assemblies are unrolled."""
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN ({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_lo = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END" for b in range(32)
+    )
+    sig_hi = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b - 32}) ELSE 0 END"
+        for b in range(32, SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5(term), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(term), 9, 8))::BIGINT AS lo
+        FROM toks
+    ),
+    w AS (
+        SELECT doc_id, n_chars,
+           {votes}
+        FROM h GROUP BY doc_id, n_chars
+    ),
+    sigs AS (
+        SELECT doc_id, n_chars,
+               ({sig_lo})::BIGINT AS sig_lo,
+               ({sig_hi})::BIGINT AS sig_hi
+        FROM w
+    ),
+    chunked AS (
+        SELECT doc_id, n_chars, sig_hi, sig_lo, c.chunk_idx,
+               CASE c.chunk_idx
+                 WHEN 0 THEN sig_lo & 65535
+                 WHEN 1 THEN (sig_lo >> 16) & 65535
+                 WHEN 2 THEN sig_hi & 65535
+                 ELSE (sig_hi >> 16) & 65535 END AS chunk
+        FROM sigs, (SELECT unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS chunk_idx) c
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig_hi AS ha, a.sig_lo AS la, b.sig_hi AS hb, b.sig_lo AS lb
+        FROM chunked a JOIN chunked b
+          ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+         AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= greatest(a.n_chars, b.n_chars) * 0.2
+    )
+    SELECT doc_a, doc_b,
+           (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash_verify", oracle=_simhash_verify_oracle_sql(), tags=("llm", "dedup"))
+def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked twin of dedup_simhash's ENTIRE pipeline (VERDICT r6
+    item 7 — shrinking the rows-only set): identical tf-weighted bit votes,
+    signature assembly, pigeonhole chunk equi-join, length band, and exact
+    xor+popcount Hamming verification — but over a term hash BOTH engines
+    compute bit-identically (the first 16 hex chars of md5(term), split
+    into two non-negative 32-bit halves per PARITY rule 18's shared-md5
+    discipline) instead of dedup_simhash's Spark-only seeded xxhash64.
+    With this op hash-checked, the rows-only residue on dedup_simhash is
+    ONLY the xxhash64 seeding — the same residue shape as dedup_near
+    (banding) after dedup_near_verify.
+
+    Two-halves representation (sig_hi, sig_lo < 2^32) rather than one
+    64-bit signature because DuckDB's left shift overflows at bit 63
+    (probed round 7: `1::BIGINT << 63` → Out of Range) while Spark's
+    shiftleft wraps — Hamming over the halves is identical:
+    popcount(xor(a,b)) = popcount(xor(hi))+popcount(xor(lo)).
+
+    Scale shape: same as dedup_simhash — the signature table is 16 bytes
+    per doc, candidates are a (chunk_idx, chunk) equi-join (never
+    all-pairs), and the verify is map-side integer ops on the joined rows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("term")
+        )
+        # materialize md5 ONCE per token (dedup_simhash's no-CSE-across-aggs
+        # rule: a projection boundary forces single evaluation), then split
+        # into unsigned 32-bit halves: conv(hex,16,10) yields a decimal
+        # string < 2^32 — exact in long on both engines.
+        .select("doc_id", "n_chars", F.md5("term").alias("m"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("lo"),
+        )
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("lo" if b < 32 else "hi"), b % 32)
+                .bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    weights = toks.groupBy("doc_id", "n_chars").agg(*bit_aggs)
+    sig_lo = F.lit(0).cast("long")
+    sig_hi = F.lit(0).cast("long")
+    for b in range(32):
+        sig_lo = sig_lo.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    for b in range(32, SIMHASH_BITS):
+        sig_hi = sig_hi.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b - 32)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sigs = weights.select(
+        "doc_id", "n_chars", sig_lo.alias("sig_lo"), sig_hi.alias("sig_hi")
+    )
+
+    chunks = []
+    for c in range(SIMHASH_CHUNKS):
+        half = F.col("sig_lo") if c < 2 else F.col("sig_hi")
+        chunk_val = F.shiftright(half, (c % 2) * 16).bitwiseAND(F.lit(0xFFFF))
+        chunks.append(F.struct(F.lit(c).alias("chunk_idx"), chunk_val.alias("chunk")))
+    chunked = sigs.select(
+        "doc_id", "n_chars", "sig_lo", "sig_hi", F.explode(F.array(*chunks)).alias("ch")
+    ).select(
+        "doc_id", "n_chars", "sig_lo", "sig_hi",
+        F.col("ch.chunk_idx").alias("chunk_idx"), F.col("ch.chunk").alias("chunk"),
+    )
+
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+               <= F.greatest(F.col("a.n_chars"), F.col("b.n_chars")) * 0.2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig_hi").alias("ha"), F.col("a.sig_lo").alias("la"),
+            F.col("b.sig_hi").alias("hb"), F.col("b.sig_lo").alias("lb"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("long")
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""

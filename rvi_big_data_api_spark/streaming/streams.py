@@ -320,7 +320,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Note on Spark 4's successor API: `transformWithStateInPandas` (ValueState/
     ListState/MapState + timers) was probed in round 1 and re-checked every
-    round since (round 6, 2026-08-15: `import google.protobuf` →
+    round since (round 7, 2026-08-15: `import google.protobuf` →
     `ModuleNotFoundError: No module named 'google'`): its Python runner
     requires `google.protobuf`, which is still not importable in this
     container (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE) —

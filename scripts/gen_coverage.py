@@ -35,9 +35,20 @@ SECTIONS = {
     "seq_": "§2.9 Telemetry",
     "retention_": "§2.9 Telemetry", "state_": "§2.9 Telemetry",
     "clean_": "§2.9 Telemetry", "cdc_": "§2.9 Telemetry",
-    "geo_": "§2.9 Telemetry",
     "embed_": "§2.10 LLM ops", "profile_": "§2.13 Profiling",
     "pandas_": "§2.13 pandas-on-Spark API",
+    # §2.13 round-5/6 families (VERDICT r6 item 9: keep "other" navigable)
+    "eval_": "§2.13 ML evaluation",
+    "feature_": "§2.13 Feature engineering",
+    "stats_": "§2.13 Statistical tests",
+    "ts_": "§2.13 Time series",
+    "privacy_": "§2.13 Privacy",
+    "geo_": "§2.13 Geospatial",
+    "ab_experiment": "§2.13 Statistical tests",
+    "fleet_": "§2.13 Composite/subquery suite",
+    "data_quality": "§2.13 Profiling",
+    "observe_": "§2.13 Profiling",
+    "subquery_": "§2.13 Composite/subquery suite",
 }
 
 

@@ -512,6 +512,12 @@ EXTENSIONS = [
     # round 6 continuation: token-mass coverage at a vocab-size grid (the
     # tokenizer sizing curve; one explode, one vocab-sized window pass)
     "text_vocab_coverage",
+    # round 7: dedup_simhash's full pipeline with a SQL twin — md5-derived
+    # 64-bit term hash (PARITY rule 18 shared-md5 discipline) through the
+    # same bit votes / pigeonhole chunk join / xor+bit_count Hamming verify
+    # (VERDICT r6 item 7: the rows-only residue shrinks to the xxhash64
+    # seeding alone)
+    "dedup_simhash_verify",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -767,6 +767,17 @@ def test_near_verify_pushes_shingle_joins_to_hash(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_simhash_verify_chunk_equijoin_no_python(spark, sf_dir):
+    """dedup_simhash_verify: candidates come from the (chunk_idx, chunk)
+    equi-join on the pigeonhole chunks — never an all-pairs cartesian —
+    and the whole pipeline (md5 halves, bit votes, xor+bit_count Hamming)
+    stays JVM-side."""
+    plan = plan_of(REGISTRY["dedup_simhash_verify"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_bfs_distance_is_single_grouped_arrow_pass(spark, sf_dir):
     """graph_bfs_distance: one FlatMapGroupsInPandas over the label-grouped
     edge list (per-block vectorized BFS), never a row-wise Python eval and

@@ -110,6 +110,29 @@ class TestDedupInvariants:
         for pair, j in lsh.items():
             assert exact[pair] == j, (pair, j, exact[pair])
 
+    def test_simhash_verify_structural_invariants(self, spark, sf_dir):
+        """dedup_simhash_verify shares dedup_simhash's pipeline but swaps
+        the term hash (md5 halves vs seeded xxhash64), so pair sets are NOT
+        comparable across the two (different signatures → different
+        candidates); what must hold for BOTH are the pipeline's structural
+        contracts: canonical doc_a < doc_b orientation, unique pairs,
+        0 <= hamming <= SIMHASH_MAX_HAMMING, and the ±20% length band."""
+        from rvi_big_data_api_spark.operators.llm_dedup import SIMHASH_MAX_HAMMING
+
+        docs = {
+            r.doc_id: r.n_chars
+            for r in load(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+        }
+        for name in ("dedup_simhash", "dedup_simhash_verify"):
+            rows = REGISTRY[name].fn(spark, sf_dir).collect()
+            pairs = [(r.doc_a, r.doc_b) for r in rows]
+            assert len(pairs) == len(set(pairs)), name
+            for r in rows:
+                assert r.doc_a < r.doc_b, (name, r)
+                assert 0 <= r.hamming <= SIMHASH_MAX_HAMMING, (name, r)
+                na, nb = docs[r.doc_a], docs[r.doc_b]
+                assert abs(na - nb) <= max(na, nb) * 0.2, (name, r, na, nb)
+
 
 class TestTopKProperties:
     def test_ann_is_subset_scored_like_exact(self, spark, sf_dir):
