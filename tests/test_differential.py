@@ -1141,3 +1141,157 @@ def test_generated_session_gaps_agree_across_engines(spark, duck, sf_dir, gap_s,
         )
     )
     assert s_rows == d_rows, f"session gap={gap_s}s u%{umod}"
+
+# --------------------------------------------------------------------------
+# Time-series family (VERDICT r6 item 6): the ts ops (ts_autocorrelation /
+# ts_period_over_period / ts_decompose_classical) have parity rows and
+# invariants but had no generated-query fuzz. Both tests run ONE dialect-
+# neutral SQL string on BOTH engines: the series is a per-bucket count from
+# events (date_trunc/hour are shared spellings), the lag is a shared window
+# function, and Pearson corr parity is already pinned by the bivariate
+# family above.
+# --------------------------------------------------------------------------
+
+ts_bucket = st.sampled_from(["day", "hour"])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    bucket=ts_bucket,
+    lag=st.integers(min_value=1, max_value=10),
+    pred=atom,
+)
+def test_generated_acf_lags_agree_across_engines(spark, duck, sf_dir, bucket, lag, pred):
+    """Lag-L autocorrelation of a bucketed count series agrees across
+    engines for random buckets (daily/hourly — the seasonal-period axis)
+    and random lags — the ts_autocorrelation shape beyond its fixed lags."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = f"""
+        WITH series AS (
+            SELECT date_trunc('{bucket}', ts) AS t,
+                   CAST(count(*) AS DOUBLE) AS x
+            FROM events WHERE {pred} GROUP BY date_trunc('{bucket}', ts)
+        ),
+        lagged AS (
+            SELECT x, lag(x, {lag}) OVER (ORDER BY t) AS lx FROM series
+        )
+        SELECT corr(x, lx) AS r, count(lx) AS n FROM lagged
+    """
+    s_r, s_n = spark.sql(sql).collect()[0]
+    d_r, d_n = duck.execute(sql).fetchall()[0]
+    assert s_n == d_n, f"pair count diverges: {sql}"
+    if s_r is None or d_r is None:
+        # degenerate series (too short / zero variance) must be NULL in both
+        assert s_r is None and d_r is None, f"null corr diverges: {sql}"
+    else:
+        assert math.isclose(float(s_r), float(d_r), rel_tol=1e-7, abs_tol=1e-9), (
+            f"acf lag={lag} bucket={bucket} diverges: {s_r} vs {d_r}: {sql}"
+        )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    period=st.integers(min_value=1, max_value=14),
+    pred=atom,
+)
+def test_generated_pop_growth_agree_across_engines(spark, duck, sf_dir, period, pred):
+    """Period-over-period integer-ppm growth (rule 25's all-integer DIV
+    discipline) agrees EXACTLY across engines for random periods — the
+    ts_period_over_period shape beyond its fixed 1/7 lags. Only the DIV
+    spelling differs per dialect (Spark `DIV`, DuckDB `//`)."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+    def sql(div: str) -> str:
+        return f"""
+        WITH series AS (
+            SELECT date_trunc('day', ts) AS day, count(*) AS n
+            FROM events WHERE {pred} GROUP BY date_trunc('day', ts)
+        )
+        SELECT CAST(day AS DATE) AS day,
+               ((n - lag(n, {period}) OVER (ORDER BY day)) * 1000000)
+                   {div} lag(n, {period}) OVER (ORDER BY day) AS ppm
+        FROM series
+        """
+
+    s = {(str(r[0]), r[1]) for r in spark.sql(sql("DIV")).collect()}
+    d = {(str(r[0]), r[1]) for r in duck.execute(sql("//")).fetchall()}
+    assert s == d, f"pop period={period} diverges: {pred}"
+
+
+# --------------------------------------------------------------------------
+# Stats family (VERDICT r6 item 6): one-way ANOVA's F statistic from the
+# two-level aggregate decomposition (SSB/SSW from per-group sums — the
+# stats_anova_oneway construction) over random group counts and
+# predicates; one dialect-neutral SQL string runs on both engines.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    k=st.integers(min_value=2, max_value=8),
+    pred=atom,
+)
+def test_generated_anova_f_agrees_across_engines(spark, duck, sf_dir, k, pred):
+    """One-way ANOVA F over hash-assigned groups (user_id % k) agrees
+    across engines for random group counts — fuzzing the grand-mean /
+    between / within sum-of-squares arithmetic stats_anova_oneway fixes at
+    one grouping."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = f"""
+        WITH g AS (
+            SELECT user_id % {k} AS grp, CAST(value AS DOUBLE) AS v
+            FROM events WHERE {pred}
+        ),
+        per AS (
+            SELECT grp, count(*) AS n, avg(v) AS m,
+                   sum(v * v) AS ss, sum(v) AS s
+            FROM g GROUP BY grp
+        ),
+        tot AS (
+            SELECT sum(n) AS n_tot, sum(s) / sum(n) AS gm,
+                   count(*) AS k_eff
+            FROM per
+        )
+        SELECT sum(n * (m - gm) * (m - gm)) AS ssb,
+               sum(ss - n * m * m) AS ssw,
+               max(k_eff) AS k_eff, max(n_tot) AS n_tot
+        FROM per CROSS JOIN tot
+    """
+    s_row = spark.sql(sql).collect()[0]
+    d_row = duck.execute(sql).fetchall()[0]
+    s_ssb, s_ssw, s_k, s_n = s_row
+    d_ssb, d_ssw, d_k, d_n = d_row
+    assert (s_k, s_n) == (d_k, d_n), f"group/row counts diverge: {sql}"
+    if s_ssb is None or d_ssb is None:
+        assert s_ssb is None and d_ssb is None, f"empty-input diverges: {sql}"
+        return
+    for name, sv, dv in [("ssb", s_ssb, d_ssb), ("ssw", s_ssw, d_ssw)]:
+        assert math.isclose(float(sv), float(dv), rel_tol=1e-7, abs_tol=1e-6), (
+            f"{name} diverges (k={k}): {sv} vs {dv}: {sql}"
+        )
+    # the F statistic itself (guarding the degenerate denominators)
+    if s_k > 1 and s_n > s_k and float(s_ssw) > 0:
+        s_f = (float(s_ssb) / (s_k - 1)) / (float(s_ssw) / (s_n - s_k))
+        d_f = (float(d_ssb) / (d_k - 1)) / (float(d_ssw) / (d_n - d_k))
+        assert math.isclose(s_f, d_f, rel_tol=1e-6, abs_tol=1e-9), (k, s_f, d_f)
