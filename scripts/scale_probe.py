@@ -579,6 +579,163 @@ def run_streaming_decade() -> None:
     print(json.dumps(results, indent=1))
 
 
+def _stage_stream_time_shards(n: int, out_dir: str, first: int = 0) -> None:
+    """Write event shards [first, n) TIME-shifted (shard r: ts + r*31 days,
+    event_id shifted for uniqueness) — an ongoing stream where each shard is
+    a later window. Unlike the key-shifted construction (whose shards all
+    repeat the same event-time span, so every row after the first shard
+    would be watermark-late), this lets the watermark advance shard-to-shard
+    and EVICT join state: the property a stream-stream join must show at
+    scale is state bounded by rate x horizon, not by total rows seen."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    src = os.path.join(BASE, "events.parquet")
+    for r in range(first, n):
+        dst = os.path.join(out_dir, f"shard_{r:03d}.parquet")
+        if os.path.exists(dst):
+            continue
+        con.execute(
+            f"""
+            COPY (SELECT event_id + {r * STRIDE} AS event_id,
+                         ts + INTERVAL {r * 31} DAY AS ts,
+                         user_id, event_type, value, props
+                  FROM read_parquet('{src}'))
+            TO '{dst}' (FORMAT parquet)
+            """
+        )
+
+
+def run_streaming_join_decade() -> None:
+    """Stream-stream join state decade (VERDICT r6 item 8): drive
+    stream_stream_join's exact shape — purchases x same-user clicks in the
+    trailing hour, both sides watermarked 2h — over 1x / 10x time-shifted
+    event volume with RocksDB + changelog checkpointing, one shard per
+    micro-batch (maxFilesPerTrigger=1) so the watermark advances between
+    batches. The claim under test: on-disk join state stays BOUNDED
+    (rate x watermark horizon — here ~one shard's join rows) while input
+    grows 10x, and wall time stays linear in rows. Then a restart leg:
+    one more shard into the 10x source, same checkpoint — incremental."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    import rvi_big_data_api_spark as engine
+    from rvi_big_data_api_spark.streaming.streams import EVENTS
+
+    spark = engine.get_spark("rvi-streamjoin-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER_CLS
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+    def pipeline(src_dir: str):
+        ev = (
+            spark.readStream.schema(EVENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        return purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 1 hour")),
+        ).select("purchase_id", "click_id")
+
+    def drain(src_dir: str, ckpt: str) -> dict:
+        t0 = time.perf_counter()
+        q = (
+            pipeline(src_dir)
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        t = time.perf_counter() - t0
+        prog = q.recentProgress or []
+        rows = sum(int(p["numInputRows"]) for p in prog if p)
+        out_rows = sum(
+            int(p["sink"].get("numOutputRows", 0) or 0) for p in prog if p and p.get("sink")
+        )
+        # LIVE state after the final batch (stateOperators.numRowsTotal) is
+        # the bounded-state claim's metric; _du over the checkpoint's state
+        # dir additionally counts every RETAINED VERSION's changelog/SSTs
+        # (minBatchesToRetain), i.e. it grows with batch COUNT even when
+        # live state is flat — report both, read the first.
+        live_rows = None
+        live_bytes = None
+        for p in reversed(prog):
+            ops = (p or {}).get("stateOperators") or []
+            if ops:
+                live_rows = sum(int(o.get("numRowsTotal", 0)) for o in ops)
+                live_bytes = sum(int(o.get("stateMemory", 0) or o.get("memoryUsedBytes", 0) or 0) for o in ops)
+                break
+        return {
+            "wall_sec": round(t, 2),
+            "input_rows": rows,
+            "output_rows": out_rows,
+            "rows_per_sec": int(rows / t) if t > 0 else None,
+            "live_state_rows": live_rows,
+            "live_state_bytes": live_bytes,
+            "ckpt_state_bytes_all_versions": _du(os.path.join(ckpt, "state")),
+            "n_batches": len(prog),
+        }
+
+    base_dir = "/tmp/scale_probe/stream_join"
+    warm_src = os.path.join(base_dir, "warm")
+    _stage_stream_time_shards(1, warm_src)
+    warm_ckpt = os.path.join(base_dir, "ckpt_warm")
+    shutil.rmtree(warm_ckpt, ignore_errors=True)
+    drain(warm_src, warm_ckpt)
+
+    results: dict[str, dict] = {}
+    for tag, shards in (("t1x", 1), ("t10x", 10)):
+        src = os.path.join(base_dir, tag)
+        _stage_stream_time_shards(shards, src)
+        ckpt = os.path.join(base_dir, f"ckpt_{tag}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        results[tag] = drain(src, ckpt)
+        print(f"  {tag}: {results[tag]}", file=sys.stderr)
+    src10 = os.path.join(base_dir, "t10x")
+    _stage_stream_time_shards(11, src10, first=10)
+    results["restart_plus1x"] = drain(src10, os.path.join(base_dir, "ckpt_t10x"))
+    print(f"  restart_plus1x: {results['restart_plus1x']}", file=sys.stderr)
+    results["wall_ratio_10x_vs_1x"] = round(
+        results["t10x"]["wall_sec"] / max(results["t1x"]["wall_sec"], 1e-9), 1
+    )
+    results["live_state_ratio_10x_vs_1x"] = round(
+        (results["t10x"]["live_state_rows"] or 0)
+        / max(results["t1x"]["live_state_rows"] or 1, 1),
+        2,
+    )
+    print(json.dumps(results, indent=1))
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "build":
@@ -593,6 +750,8 @@ if __name__ == "__main__":
         run_full_sweep()
     elif cmd == "stream":
         run_streaming_decade()
+    elif cmd == "streamjoin":
+        run_streaming_join_decade()
     elif cmd == "build_skew":
         build_skew()
     elif cmd == "skew":
