@@ -91,7 +91,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # -- round-7 additions (registered behind the 75 never-sampled backlog:
     # closure of rounds 1-6 coverage outranks first-look at new ops; these
     # get the close replica drive this round and driver rows in round 8) ----
-    "dedup_simhash_verify",
+    "dedup_simhash_verify", "agg_countmin", "agg_bloom_filter",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

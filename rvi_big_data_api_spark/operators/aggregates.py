@@ -1384,3 +1384,326 @@ def agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("mask").cast("long").alias("flags_parity"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash sketches with EXACT SQL twins (round 7). Most sketch literature stops
+# at "approximate, so unverifiable"; these two are deterministic given the
+# md5 hash discipline (PARITY rule 18 family), so the full sketch —
+# build, probe, and error — hash-matches DuckDB exactly. That turns the
+# sketch itself into a contract-checkable operator instead of a rows-only
+# demo (the agg_approx_distinct / agg_sketch_rollup caveat, PARITY rule 22,
+# does not apply: nothing here estimates — CMS/Bloom arithmetic is exact
+# integer math over deterministic hashes; only the INTERPRETATION is
+# approximate, and the error columns quantify it).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # count-min depth (independent hash rows)
+CMS_W = 64  # count-min width (buckets per row) — deliberately << n_keys so
+#             collisions (and hence visible over-estimates) occur at sf0.01
+CMS_PROBES = 25  # heavy-hitter keys probed against the sketch
+
+
+def _cms_bucket(j: Column, key: Column) -> Column:
+    """Row-j bucket for a key: first 8 md5 hex chars of 'j:key' mod CMS_W —
+    BIGINT-safe (< 2^32) and byte-identical to the DuckDB twin
+    (feature_hashing's discipline)."""
+    s = F.concat(j.cast("string"), F.lit(":"), key.cast("string"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % CMS_W
+
+
+@query(
+    "agg_countmin",
+    oracle=f"""
+    WITH ev AS (SELECT user_id FROM events),
+    cells AS (
+        SELECT j,
+               (('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+                % {CMS_W}) AS bucket,
+               count(*)::BIGINT AS cell_n
+        FROM ev CROSS JOIN range({CMS_D}) AS r(j)
+        GROUP BY 1, 2
+    ),
+    truth AS (SELECT user_id, count(*)::BIGINT AS true_n FROM ev GROUP BY 1),
+    probes AS (
+        SELECT user_id, true_n FROM (
+            SELECT user_id, true_n,
+                   row_number() OVER (ORDER BY true_n DESC, user_id ASC) AS rk
+            FROM truth
+        ) WHERE rk <= {CMS_PROBES}
+    )
+    SELECT p.user_id, p.true_n, min(c.cell_n)::BIGINT AS cms_n,
+           (min(c.cell_n) - p.true_n)::BIGINT AS over_n
+    FROM probes p
+    CROSS JOIN range({CMS_D}) AS r(j)
+    JOIN cells c
+      ON c.j = r.j
+     AND c.bucket = (('0x' || substr(md5(r.j::VARCHAR || ':' || p.user_id::VARCHAR),
+                                     1, 8))::BIGINT % {CMS_W})
+    GROUP BY p.user_id, p.true_n
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch — the constant-memory frequency table: d={CMS_D}
+    hash rows x w={CMS_W} buckets of exact counters, point-queried as
+    est(key) = min over rows of cell[j][h_j(key)]. The estimate can only
+    OVER-count (collisions add, never subtract), so `over_n >= 0` always
+    — pinned by a property test — and the probe emits (true_n, cms_n,
+    over_n) side by side so the collision error is itself hash-checked.
+
+    Why this matters at 100 TB: the sketch build is ONE groupBy over
+    (row, bucket) — d*w = {CMS_D}*{CMS_W} cells REGARDLESS of corpus
+    size, perfect partial aggregation (each executor folds its partition
+    into the same 256 cells map-side; the shuffle carries 256 rows per
+    partition, total). Frequency estimation over any key universe at any
+    scale costs a constant-size state merge — the same monoid shape
+    Spark's own partial aggs use, expressed in plan algebra. Probing
+    broadcasts the 256-cell table; probe keys here are the fixture's top
+    heavy hitters (a window-top-{CMS_PROBES} — in production the probe
+    list arrives as its own input). The estimate-vs-truth comparison is
+    only possible at test scale, which is exactly the point of the
+    oracle: the sketch ARITHMETIC (deterministic md5 row-hashes, integer
+    cells, min-fold) is verified exactly; at 100 TB only the truth side
+    grows."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    js = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+    cells = (
+        ev.select("user_id", js)
+        .groupBy("j", _cms_bucket(F.col("j"), F.col("user_id")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    rk = Window.orderBy(F.col("true_n").desc(), F.col("user_id").asc())
+    probes = (
+        truth.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= CMS_PROBES)
+        .drop("rk")
+    )
+    probe_cells = probes.select("user_id", "true_n", js).withColumn(
+        "bucket", _cms_bucket(F.col("j"), F.col("user_id"))
+    )
+    return (
+        probe_cells.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+        .select(
+            "user_id",
+            "true_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("true_n")).alias("over_n"),
+        )
+    )
+
+
+BLOOM_M = 128  # bloom bit-array size — deliberately small so false
+#                positives occur (and are measured) at fixture scale
+BLOOM_K = 3  # hash functions per element
+BLOOM_MEMBERS = 30  # member-set size: top-N purchase-revenue users ("whales")
+
+
+def _bloom_pos(k: Column, key: Column) -> Column:
+    """Bit position k for a key — 'b' salt keeps the hash family disjoint
+    from the CMS row hashes."""
+    s = F.concat(F.lit("b"), k.cast("string"), F.lit(":"), key.cast("string"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % BLOOM_M
+
+
+@query(
+    "agg_bloom_filter",
+    oracle=f"""
+    WITH rev AS (
+        SELECT user_id,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    members AS (
+        SELECT user_id FROM (
+            SELECT user_id,
+                   row_number() OVER (ORDER BY rev_cents DESC, user_id ASC) AS rk
+            FROM rev
+        ) WHERE rk <= {BLOOM_MEMBERS}
+    ),
+    posset AS (
+        SELECT DISTINCT
+               (('0x' || substr(md5('b' || k::VARCHAR || ':' || user_id::VARCHAR),
+                                1, 8))::BIGINT % {BLOOM_M}) AS pos
+        FROM members CROSS JOIN range({BLOOM_K}) AS r(k)
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events),
+    probe_hits AS (
+        SELECT p.user_id,
+               sum(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+        FROM probes p
+        CROSS JOIN range({BLOOM_K}) AS r(k)
+        LEFT JOIN posset s
+          ON s.pos = (('0x' || substr(md5('b' || r.k::VARCHAR || ':'
+                                          || p.user_id::VARCHAR), 1, 8))::BIGINT
+                      % {BLOOM_M})
+        GROUP BY p.user_id
+    ),
+    flags AS (
+        SELECT h.user_id,
+               CASE WHEN h.n_hit = {BLOOM_K} THEN 1 ELSE 0 END AS bloom_pos,
+               CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        FROM probe_hits h LEFT JOIN members m ON m.user_id = h.user_id
+    )
+    SELECT count(*)::BIGINT AS n_probed,
+           sum(is_member)::BIGINT AS n_members,
+           (SELECT count(*) FROM posset)::BIGINT AS bits_set,
+           sum(bloom_pos)::BIGINT AS n_bloom_pos,
+           sum(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_false_pos,
+           sum(CASE WHEN bloom_pos = 0 AND is_member = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_false_neg,
+           (sum(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            * 1000000 // nullif(count(*) - sum(is_member), 0))::BIGINT AS fp_ppm
+    FROM flags
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build + probe + error census, exactly twinned. The
+    member set is the top-{BLOOM_MEMBERS} purchase-revenue users; the
+    filter is k={BLOOM_K} md5-derived bit positions in an m={BLOOM_M}
+    array, represented RELATIONALLY as the distinct set-bit positions
+    (<= m rows no matter how many members) so both engines compute the
+    identical structure. Every distinct user is then probed: member iff
+    all k positions are set. The one-row report carries the full
+    confusion: `n_false_neg` MUST be 0 (Bloom's no-false-negative
+    guarantee — a property test pins it) while `n_false_pos`/`fp_ppm`
+    measure the saturation-driven error (m is sized small on purpose so
+    the error is nonzero and therefore actually verified).
+
+    100 TB shape: the build is one distinct over at most m positions —
+    a broadcastable, constant-size structure derived from an arbitrarily
+    large member set (this is what a runtime semi-join filter IS:
+    join_bloom_pruned demos Spark's conf-driven InjectRuntimeFilter; this
+    op is the same structure as an explicit, engine-portable plan). The
+    probe is a broadcast left join against <= {BLOOM_M} rows, map-side
+    only — no shuffle grows with the probe stream."""
+    ev = load(spark, sf_dir, "events")
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("rev_cents")
+        )
+    )
+    rkw = Window.orderBy(F.col("rev_cents").desc(), F.col("user_id").asc())
+    members = (
+        rev.withColumn("rk", F.row_number().over(rkw))
+        .filter(F.col("rk") <= BLOOM_MEMBERS)
+        .select("user_id")
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in range(BLOOM_K)])).alias("k")
+    posset = (
+        members.select(ks, "user_id")
+        .select(_bloom_pos(F.col("k"), F.col("user_id")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    bits_set = posset.agg(F.count(F.lit(1)).alias("bits_set"))
+    probes = ev.select("user_id").distinct()
+    probe_hits = (
+        probes.select("user_id", ks)
+        .withColumn("pos", _bloom_pos(F.col("k"), F.col("user_id")))
+        .join(F.broadcast(posset), "pos", "left")
+        .groupBy("user_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    flags = probe_hits.join(
+        F.broadcast(members.withColumn("is_member", F.lit(1))), "user_id", "left"
+    ).select(
+        F.when(F.col("n_hit") == BLOOM_K, 1).otherwise(0).alias("bloom_pos"),
+        F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member"),
+    )
+    report = flags.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("is_member").alias("n_members"),
+        F.sum("bloom_pos").alias("n_bloom_pos"),
+        F.sum(
+            F.when((F.col("bloom_pos") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("bloom_pos") == 0) & (F.col("is_member") == 1), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    )
+    return (
+        report.crossJoin(F.broadcast(bits_set))
+        .select(
+            "n_probed",
+            "n_members",
+            "bits_set",
+            "n_bloom_pos",
+            "n_false_pos",
+            "n_false_neg",
+            F.expr(
+                "n_false_pos * 1000000 div nullif(n_probed - n_members, 0)"
+            ).alias("fp_ppm"),
+        )
+    )
+
+
+INCR_SHARDS = 3  # simulated independent state maintainers (sources/shards)
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*)::BIGINT AS n,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents,
+           min(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS vmin_cents,
+           max(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS vmax_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "pipeline", "scale"),
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregate state merge — the materialized-view
+    maintenance primitive: three independently-maintained PARTIAL state
+    tables (shard = event_id % 3, simulating per-source/per-ingest-batch
+    aggregators that never see each other's rows) are merged at read time
+    by re-aggregating the partials, and the oracle verifies the merge
+    law: merge(partials) == recompute(all rows). The merge functions are
+    the monoid folds (sum of counts, sum of sums, min of mins, max of
+    maxes) — commutative and associative, so the result is independent of
+    shard count, arrival order, and merge tree shape.
+
+    This is the algebra that makes 100 TB incremental pipelines possible
+    at all: a new data batch folds into yesterday's state table in time
+    proportional to the BATCH (state rows = |groups|, not |events|), and
+    re-shards/backfills can merge state tables wholesale instead of
+    re-scanning history. It is also exactly what Spark's partial
+    aggregation does inside one job (map-side combine -> final merge) —
+    expressed here across jobs, as data. Both aggregation levels are
+    plain hash aggs; the shuffle carries |groups|x{INCR_SHARDS} partial
+    rows, never events. Metrics are exact integers (cents via
+    floor(x*100+0.5), rule 17b) so partial+merge vs recompute is
+    bit-identical — a float sum would NOT be (fold order differs), which
+    is why money-grade MV maintenance is integer-or-decimal only."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    partials = (
+        ev.select(
+            (F.col("event_id") % INCR_SHARDS).alias("shard"),
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            cents.alias("cents"),
+        )
+        .groupBy("shard", "day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("rev_cents"),
+            F.min("cents").alias("vmin_cents"),
+            F.max("cents").alias("vmax_cents"),
+        )
+    )
+    return partials.groupBy("day", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("rev_cents").alias("rev_cents"),
+        F.min("vmin_cents").alias("vmin_cents"),
+        F.max("vmax_cents").alias("vmax_cents"),
+    )

@@ -2849,3 +2849,98 @@ def geo_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum(keep) * 1000000 DIV count(1) AS BIGINT)").alias("keep_ppm"),
         )
     )
+
+
+SNAPDIFF_T1 = 20  # snapshot A taken as of day 20 (state window [19, 20))
+SNAPDIFF_T2 = 28  # snapshot B taken as of day 28 (state window [27, 28))
+SNAPDIFF_WIN = 1  # trailing-activity window width (days) — sized so all
+#                   three verbs occur at sf0.01 (16 inserts / 9 deletes /
+#                   124 updates measured; a 2-day window degenerates to
+#                   updates-only because every user stays active)
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, count(*)::BIGINT AS n,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+        FROM events
+        WHERE day(ts) >= {SNAPDIFF_T1 - SNAPDIFF_WIN} AND day(ts) < {SNAPDIFF_T1}
+        GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT user_id, count(*)::BIGINT AS n,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+        FROM events
+        WHERE day(ts) >= {SNAPDIFF_T2 - SNAPDIFF_WIN} AND day(ts) < {SNAPDIFF_T2}
+        GROUP BY user_id
+    )
+    SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           s1.n AS old_n, s2.n AS new_n,
+           s1.rev_cents AS old_rev_cents, s2.rev_cents AS new_rev_cents
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+       OR s1.n != s2.n OR s1.rev_cents != s2.rev_cents
+    """,
+    tags=("cdc", "pipeline"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — DERIVE a changeset from two keyed state
+    snapshots (cdc_merge APPLIES one; this is its inverse, the op a
+    pipeline runs when the upstream gives it full dumps instead of a
+    change feed). State = per-user activity over a {SNAPDIFF_WIN}-day
+    trailing window, snapshotted as of day {SNAPDIFF_T1} and day
+    {SNAPDIFF_T2}; the trailing window makes all three verbs occur
+    naturally (a user active only in the old window DELETEs, only in the
+    new INSERTs, in both with different counts UPDATEs). Unchanged rows
+    are dropped — the changeset is the minimal delta whose apply (cdc_merge
+    semantics) maps snapshot A to snapshot B exactly, an invariant the
+    property suite replays.
+
+    Exactness: state metrics are integer (count + cents via
+    floor(x*100+0.5), rule 17b), so 'unchanged' is an exact integer
+    equality — no float tie can leak a phantom update. Scale: two
+    partial-agg reductions (map-side combine to one row per user per
+    side) and ONE full-outer shuffle join on the state key; nothing else
+    moves. At 100 TB both snapshot scans partition-prune to their
+    {SNAPDIFF_WIN}-day windows (the day predicate reaches the parquet
+    scan) and the join shuffles state rows, not events."""
+    ev = load(spark, sf_dir, "events")
+
+    def snap(t: int) -> DataFrame:
+        return (
+            ev.filter(
+                (F.dayofmonth("ts") >= t - SNAPDIFF_WIN) & (F.dayofmonth("ts") < t)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                    "rev_cents"
+                ),
+            )
+        )
+
+    s1 = snap(SNAPDIFF_T1).alias("s1")
+    s2 = snap(SNAPDIFF_T2).alias("s2")
+    j = s1.join(s2, F.col("s1.user_id") == F.col("s2.user_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("s1.user_id"), F.col("s2.user_id")).alias("user_id"),
+        F.when(F.col("s1.user_id").isNull(), "insert")
+        .when(F.col("s2.user_id").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("s1.n").alias("old_n"),
+        F.col("s2.n").alias("new_n"),
+        F.col("s1.rev_cents").alias("old_rev_cents"),
+        F.col("s2.rev_cents").alias("new_rev_cents"),
+    ).filter(
+        F.col("s1.user_id").isNull()
+        | F.col("s2.user_id").isNull()
+        | (F.col("s1.n") != F.col("s2.n"))
+        | (F.col("s1.rev_cents") != F.col("s2.rev_cents"))
+    )
