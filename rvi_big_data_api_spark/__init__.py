@@ -92,6 +92,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     # closure of rounds 1-6 coverage outranks first-look at new ops; these
     # get the close replica drive this round and driver rows in round 8) ----
     "dedup_simhash_verify", "agg_countmin", "agg_bloom_filter",
+    "cdc_snapshot_diff", "agg_incremental_merge", "stats_kruskal_wallis",
+    "feature_woe", "privacy_suppression",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -2103,3 +2103,99 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+@query(
+    "privacy_suppression",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT source, lang,
+               CASE WHEN n_chars < 200 THEN 'short'
+                    WHEN n_chars < 800 THEN 'medium'
+                    ELSE 'long' END AS size_band
+        FROM documents
+    ),
+    full_groups AS (
+        SELECT source, lang, size_band, count(*)::BIGINT AS n_docs
+        FROM quasi GROUP BY source, lang, size_band
+    ),
+    kept AS (
+        SELECT source, lang, size_band, n_docs, 0::BIGINT AS gen_level
+        FROM full_groups WHERE n_docs >= {K_ANON_K}
+    ),
+    coarse AS (
+        SELECT source, lang, '*' AS size_band, sum(n_docs)::BIGINT AS n_docs
+        FROM full_groups WHERE n_docs < {K_ANON_K}
+        GROUP BY source, lang
+    ),
+    kept2 AS (
+        SELECT source, lang, size_band, n_docs, 1::BIGINT AS gen_level
+        FROM coarse WHERE n_docs >= {K_ANON_K}
+    ),
+    suppressed AS (
+        SELECT '*' AS source, '*' AS lang, '*' AS size_band,
+               coalesce(sum(n_docs), 0)::BIGINT AS n_docs, 2::BIGINT AS gen_level
+        FROM coarse WHERE n_docs < {K_ANON_K}
+    )
+    SELECT * FROM kept
+    UNION ALL SELECT * FROM kept2
+    UNION ALL SELECT * FROM suppressed WHERE n_docs > 0
+    """,
+    tags=("llm", "privacy", "pipeline"),
+)
+def privacy_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalize-then-suppress — the ENFORCEMENT mechanism for the
+    violations privacy_k_anonymity only audits: equivalence classes of
+    size >= k release at full quasi-identifier precision (gen_level 0);
+    violating classes coarsen size_band to '*' and re-test on the merged
+    class (gen_level 1); classes still below k after generalization are
+    suppressed into one opaque '*' bucket (gen_level 2) whose only
+    released fact is its total count. Every released class satisfies
+    k-anonymity by construction — the property test re-checks
+    min(n_docs) >= k over gen_level <= 1 — and the three levels sum to
+    the corpus row count (nothing silently dropped; also pinned).
+
+    The generalization lattice walks ONE level here (size_band is the
+    fixture's only coarsenable attribute); a production QI set walks
+    attribute-by-attribute up the same lattice, re-running only the
+    GROUP table each step — which is why the iteration is cheap at any
+    scale: the corpus is scanned once into full_groups (partial-agg,
+    map-side combine), and every subsequent step aggregates the tiny
+    class table, never the documents. Suppression cost (docs lost) is
+    read directly off the gen_level-2 row."""
+    docs = load(spark, sf_dir, "documents")
+    size_band = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 800, "medium")
+        .otherwise("long")
+    )
+    full_groups = (
+        docs.select("source", "lang", size_band.alias("size_band"))
+        .groupBy("source", "lang", "size_band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    kept = full_groups.filter(F.col("n_docs") >= K_ANON_K).withColumn(
+        "gen_level", F.lit(0).cast("long")
+    )
+    coarse = (
+        full_groups.filter(F.col("n_docs") < K_ANON_K)
+        .groupBy("source", "lang")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .select("source", "lang", F.lit("*").alias("size_band"), "n_docs")
+    )
+    kept2 = coarse.filter(F.col("n_docs") >= K_ANON_K).withColumn(
+        "gen_level", F.lit(1).cast("long")
+    )
+    suppressed = (
+        coarse.filter(F.col("n_docs") < K_ANON_K)
+        .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"))
+        .select(
+            F.lit("*").alias("source"),
+            F.lit("*").alias("lang"),
+            F.lit("*").alias("size_band"),
+            "n_docs",
+            F.lit(2).cast("long").alias("gen_level"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    return kept.unionAll(kept2).unionAll(suppressed)

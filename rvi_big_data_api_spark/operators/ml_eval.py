@@ -2396,3 +2396,219 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("brier"),
         (F.round(F.avg("correct"), 4) + F.lit(0.0)).alias("accuracy"),
     )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH vals AS (
+        SELECT c_mktsegment AS segment, o_totalprice AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    rn AS (SELECT segment, v, row_number() OVER (ORDER BY v) AS rn FROM vals),
+    -- average rank per distinct value: exact multiple of 0.5, so 2*rank is
+    -- an exact BIGINT in both engines (no float fold-order risk)
+    vrank AS (
+        SELECT v, count(*)::BIGINT AS t,
+               (sum(rn)::BIGINT * 2 // count(*))::BIGINT AS r2
+        FROM rn GROUP BY v
+    ),
+    grp AS (
+        SELECT r.segment, count(*)::BIGINT AS n_g,
+               sum(k.r2)::BIGINT AS sum_r2_g
+        FROM rn r JOIN vrank k ON r.v = k.v
+        GROUP BY r.segment
+    ),
+    ties AS (
+        SELECT sum(t * t * t - t)::BIGINT AS tie_sum,
+               sum(CASE WHEN t > 1 THEN 1 ELSE 0 END)::BIGINT AS n_tied_values
+        FROM vrank
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+               sum((sum_r2_g / 2.0) * (sum_r2_g / 2.0) / n_g) AS ssq
+        FROM grp
+    )
+    SELECT t.k, t.n,
+           round(12.0 * t.ssq / (t.n * (t.n + 1)) - 3.0 * (t.n + 1), 4) + 0.0
+               AS h_stat,
+           round((12.0 * t.ssq / (t.n * (t.n + 1)) - 3.0 * (t.n + 1))
+                 / nullif(1.0 - ties.tie_sum
+                          / (t.n::DOUBLE * t.n * t.n - t.n), 0.0), 4) + 0.0
+               AS h_corrected,
+           ties.n_tied_values
+    FROM tot t CROSS JOIN ties
+    """,
+    tags=("analytics", "experiment"),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test — the distribution-free sibling of
+    stats_anova_oneway for the same question (do the five market
+    segments' order values differ?) when normality can't be assumed:
+    H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) over AVERAGE ranks, with
+    the standard tie correction C = 1 - sum(t^3-t)/(N^3-N). Completes the
+    nonparametric suite (agg_mannwhitney_u is its two-group special
+    case — a property test pins that identity on a two-group slice).
+
+    Exactness: mid-ranks are multiples of 0.5, so the engine carries
+    2*rank as BIGINT (sum of row_numbers over a tie group is
+    order-invariant) — every rank sum is exact integer arithmetic; floats
+    appear only in the final K-row fold, aggregate-rounded (rules 1/6)
+    with the -0.0 guard (rule 17). The squaring happens in DOUBLE because
+    sum_r2_g^2 overflows BIGINT around N~10^5 (noted, not hit: the
+    docstring constraint the differential fuzzer checks).
+
+    Scale note: global ranking is a sort-based operation — Spark plans a
+    range-partitioned sort (NOT a single partition; only the window's
+    row_number assignment within equal values is arbitrary, and only its
+    per-VALUE average is consumed). At 100 TB the two-pass histogram
+    ranking (count per value, prefix-sum of counts) replaces the sort;
+    the per-value average rank equals prefix + (t+1)/2 exactly — same
+    numbers, no global sort. Implemented the sort way here because the
+    fixture's value domain is near-unique; the histogram path is
+    win_running_distinct's territory."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    vals = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("v"))
+    rn = vals.select("segment", "v", F.row_number().over(Window.orderBy("v")).alias("rn"))
+    vrank = rn.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
+        (F.sum("rn") * 2 / F.count(F.lit(1))).cast("long").alias("r2"),
+    )
+    grp = (
+        rn.join(F.broadcast(vrank.select("v", "r2")), "v")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_g"), F.sum("r2").alias("sum_r2_g"))
+    )
+    ties = vrank.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"),
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0)).alias("n_tied_values"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(
+            (F.col("sum_r2_g") / 2.0) * (F.col("sum_r2_g") / 2.0) / F.col("n_g")
+        ).alias("ssq"),
+    )
+    h = 12.0 * F.col("ssq") / (F.col("n") * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1)
+    c_corr = 1.0 - F.col("tie_sum") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return tot.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n",
+        (F.round(h, 4) + F.lit(0.0)).alias("h_stat"),
+        (F.round(h / F.nullif(c_corr, F.lit(0.0)), 4) + F.lit(0.0)).alias("h_corrected"),
+        "n_tied_values",
+    )
+
+
+WOE_PRIOR = 0.5  # Laplace smoothing pseudo-count per class
+
+
+@query(
+    "feature_woe",
+    oracle=f"""
+    WITH lab AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS label
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    seg AS (
+        SELECT segment, count(*)::BIGINT AS n,
+               sum(label)::BIGINT AS n_pos,
+               sum(1 - label)::BIGINT AS n_neg
+        FROM lab GROUP BY segment
+    ),
+    tot AS (
+        SELECT segment, n, n_pos, n_neg,
+               sum(n_pos) OVER ()::BIGINT AS pos_tot,
+               sum(n_neg) OVER ()::BIGINT AS neg_tot
+        FROM seg
+    )
+    SELECT segment, n, n_pos, n_neg,
+           round(ln(((n_pos + {WOE_PRIOR}) / (pos_tot + {WOE_PRIOR}))
+                    / ((n_neg + {WOE_PRIOR}) / (neg_tot + {WOE_PRIOR}))), 6) + 0.0
+               AS woe,
+           round((n_pos::DOUBLE / pos_tot - n_neg::DOUBLE / neg_tot)
+                 * ln(((n_pos + {WOE_PRIOR}) / (pos_tot + {WOE_PRIOR}))
+                      / ((n_neg + {WOE_PRIOR}) / (neg_tot + {WOE_PRIOR}))), 6) + 0.0
+               AS iv_term
+    FROM tot
+    """,
+    tags=("feature", "pipeline"),
+)
+def feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value — the
+    risk-modeling-standard categorical encoder feature_target_encode's
+    mean-encoding doesn't cover: WOE_g = ln((P(g|pos)/P(g|neg))), a
+    log-odds-scaled embedding of each category that is monotone in the
+    target rate and additive in a logistic model; the per-category IV
+    term (summed = the feature's screening score) ranks features before
+    training. Label = customer placed at least one URGENT order; the
+    left join keeps order-less customers as clean negatives.
+
+    Laplace smoothing ({WOE_PRIOR} pseudo-count, both classes both
+    dialects) keeps the log finite when a category has zero
+    positives/negatives — the classic WOE failure mode. Transcendental
+    output → 6-dp aggregate rounding (rule 8), -0.0 guard (rule 17);
+    counts stay BIGINT-exact; class totals ride a window over the K-row
+    group frame (the stats_anova one-subtree trick), never a second scan.
+
+    Scale: one partial-agg reduction to customers, one to categories;
+    the encoder table that ships to training is K rows — broadcast-sized
+    by construction, no vocabulary state (the fitted-dictionary contrast
+    to feature_hashing's stateless trick)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    lab = (
+        c.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .join(
+            o.select(
+                "o_custkey",
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                .otherwise(0)
+                .alias("is_urgent"),
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey", "segment")
+        .agg(F.coalesce(F.max("is_urgent"), F.lit(0)).alias("label"))
+    )
+    seg = lab.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("n_pos"),
+        F.sum(1 - F.col("label")).alias("n_neg"),
+    )
+    wall = Window.partitionBy()
+    tot = seg.select(
+        "segment",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(wall).alias("pos_tot"),
+        F.sum("n_neg").over(wall).alias("neg_tot"),
+    )
+    woe = F.log(
+        ((F.col("n_pos") + WOE_PRIOR) / (F.col("pos_tot") + WOE_PRIOR))
+        / ((F.col("n_neg") + WOE_PRIOR) / (F.col("neg_tot") + WOE_PRIOR))
+    )
+    iv = (
+        F.col("n_pos").cast("double") / F.col("pos_tot")
+        - F.col("n_neg").cast("double") / F.col("neg_tot")
+    ) * woe
+    return tot.select(
+        "segment",
+        "n",
+        "n_pos",
+        "n_neg",
+        (F.round(woe, 6) + F.lit(0.0)).alias("woe"),
+        (F.round(iv, 6) + F.lit(0.0)).alias("iv_term"),
+    )

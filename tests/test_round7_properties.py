@@ -1,0 +1,191 @@
+"""Cross-operator and structural invariants for the round-7 wave.
+
+Same discipline as tests/test_continuation_properties.py: each test pins a
+mathematical identity the oracle compare alone can't see — either BETWEEN
+two independently-oracled operators, or a law internal to one operator
+(Bloom's no-false-negative guarantee, CMS's one-sided error, the
+changeset-apply law) that must hold on ANY fixture, not just this one.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rvi_big_data_api_spark.registry import REGISTRY
+
+
+def _df(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """CMS point estimates are one-sided: cms_n >= true_n for EVERY probe
+    (collisions add counts, never remove them), and at least one probe
+    exists. The fixture's w << n_keys sizing should also produce at least
+    one genuine over-estimate — otherwise the error column is untested."""
+    rows = _df("agg_countmin", spark, sf_dir).collect()
+    assert rows, "no probes"
+    for r in rows:
+        assert r["cms_n"] >= r["true_n"], r
+        assert r["over_n"] == r["cms_n"] - r["true_n"], r
+    assert any(r["over_n"] > 0 for r in rows), (
+        "no collisions observed — CMS_W is too wide for the fixture to "
+        "exercise the over-estimate path"
+    )
+
+
+def test_bloom_no_false_negatives_and_counts_reconcile(spark, sf_dir):
+    """Bloom's structural guarantee: a true member can never probe
+    negative (every one of its k positions was set at build time), so
+    n_false_neg == 0 identically; positives split exactly into members +
+    false positives; and the filter actually saturates enough to emit a
+    measured false positive (else fp_ppm is untested)."""
+    from rvi_big_data_api_spark.operators.aggregates import BLOOM_K, BLOOM_M, BLOOM_MEMBERS
+
+    r = _df("agg_bloom_filter", spark, sf_dir).collect()[0]
+    assert r["n_false_neg"] == 0, r
+    assert r["n_bloom_pos"] == r["n_members"] + r["n_false_pos"], r
+    assert r["n_members"] == min(BLOOM_MEMBERS, r["n_probed"]), r
+    assert 0 < r["bits_set"] <= min(BLOOM_M, BLOOM_K * BLOOM_MEMBERS), r
+    assert r["n_false_pos"] > 0, (
+        "no false positives — BLOOM_M is too large for the fixture to "
+        "exercise the error-measurement path"
+    )
+
+
+def test_snapshot_diff_apply_law(spark, sf_dir):
+    """Applying the derived changeset to snapshot A reproduces snapshot B
+    exactly — the law that makes a snapshot diff a CDC feed. Recomputes
+    both snapshots independently of the operator and replays inserts/
+    updates/deletes over A."""
+    from rvi_big_data_api_spark.io import load
+    from rvi_big_data_api_spark.operators.telemetry import (
+        SNAPDIFF_T1,
+        SNAPDIFF_T2,
+        SNAPDIFF_WIN,
+    )
+
+    ev = load(spark, sf_dir, "events")
+
+    def snap(t):
+        rows = (
+            ev.filter((F.dayofmonth("ts") >= t - SNAPDIFF_WIN) & (F.dayofmonth("ts") < t))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("rev"),
+            )
+            .collect()
+        )
+        return {r["user_id"]: (r["n"], r["rev"]) for r in rows}
+
+    a, b = snap(SNAPDIFF_T1), snap(SNAPDIFF_T2)
+    state = dict(a)
+    changes = _df("cdc_snapshot_diff", spark, sf_dir).collect()
+    assert changes, "empty changeset"
+    for ch in changes:
+        k = ch["user_id"]
+        if ch["change_type"] == "delete":
+            assert k in state and ch["new_n"] is None, ch
+            del state[k]
+        elif ch["change_type"] == "insert":
+            assert k not in state and ch["old_n"] is None, ch
+            state[k] = (ch["new_n"], ch["new_rev_cents"])
+        else:
+            assert k in state and state[k] == (ch["old_n"], ch["old_rev_cents"]), ch
+            assert (ch["new_n"], ch["new_rev_cents"]) != (ch["old_n"], ch["old_rev_cents"]), (
+                "phantom update",
+                ch,
+            )
+            state[k] = (ch["new_n"], ch["new_rev_cents"])
+    assert state == b, "applying the changeset to A did not reproduce B"
+
+
+def test_incremental_merge_is_shard_count_invariant(spark, sf_dir):
+    """The merge law: re-aggregating per-shard partials equals the direct
+    computation for ANY shard count — checked here by comparing the
+    registered 3-shard op against an independent direct groupBy."""
+    from rvi_big_data_api_spark.io import load
+
+    direct = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("rev_cents"),
+            F.min("cents").alias("vmin_cents"),
+            F.max("cents").alias("vmax_cents"),
+        )
+        .collect()
+    )
+    want = {(r["day"], r["event_type"]): (r["n"], r["rev_cents"], r["vmin_cents"], r["vmax_cents"]) for r in direct}
+    got_rows = _df("agg_incremental_merge", spark, sf_dir).collect()
+    got = {(r["day"], r["event_type"]): (r["n"], r["rev_cents"], r["vmin_cents"], r["vmax_cents"]) for r in got_rows}
+    assert got == want
+
+
+def test_kruskal_tie_correction_inflates_h(spark, sf_dir):
+    """With ties present the correction factor C = 1 - sum(t^3-t)/(N^3-N)
+    is strictly < 1, so h_corrected > h_stat; with no ties they are
+    equal. Also H must be non-negative up to the 4-dp rounding grain."""
+    r = _df("stats_kruskal_wallis", spark, sf_dir).collect()[0]
+    assert r["h_stat"] >= -0.0001, r
+    if r["n_tied_values"] > 0:
+        assert r["h_corrected"] >= r["h_stat"], r
+    else:
+        assert r["h_corrected"] == r["h_stat"], r
+
+
+def test_woe_totals_and_sign_convention(spark, sf_dir):
+    """Segment counts sum to the customer-table row count (left join keeps
+    order-less customers), n = n_pos + n_neg per segment, and WOE is
+    positive exactly for segments whose smoothed positive share exceeds
+    their smoothed negative share."""
+    from rvi_big_data_api_spark.io import load
+    from rvi_big_data_api_spark.operators.ml_eval import WOE_PRIOR
+
+    rows = _df("feature_woe", spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r["n"] for r in rows) == n_cust
+    pos_tot = sum(r["n_pos"] for r in rows)
+    neg_tot = sum(r["n_neg"] for r in rows)
+    for r in rows:
+        assert r["n"] == r["n_pos"] + r["n_neg"], r
+        share_pos = (r["n_pos"] + WOE_PRIOR) / (pos_tot + WOE_PRIOR)
+        share_neg = (r["n_neg"] + WOE_PRIOR) / (neg_tot + WOE_PRIOR)
+        if share_pos > share_neg:
+            assert r["woe"] >= 0, r
+        else:
+            assert r["woe"] <= 0, r
+
+
+def test_suppression_enforces_k_and_conserves_docs(spark, sf_dir):
+    """Every RELEASED class (gen_level <= 1) satisfies k-anonymity; the
+    three levels together conserve the corpus row count; and released
+    classes never overlap (a (source, lang) pair coarsened at level 1 has
+    no level-0 row for the same size_band it merged)."""
+    from rvi_big_data_api_spark.io import load
+    from rvi_big_data_api_spark.operators.llm_text import K_ANON_K
+
+    rows = _df("privacy_suppression", spark, sf_dir).collect()
+    released = [r for r in rows if r["gen_level"] <= 1]
+    assert released, "nothing released"
+    for r in released:
+        assert r["n_docs"] >= K_ANON_K, r
+    total = sum(r["n_docs"] for r in rows)
+    assert total == load(spark, sf_dir, "documents").count()
+    # the audit op must agree: level-0 classes are exactly the non-violating
+    # groups of privacy_k_anonymity
+    audit = _df("privacy_k_anonymity", spark, sf_dir).collect()
+    ok_groups = {
+        (r["source"], r["lang"], r["size_band"])
+        for r in audit
+        if not r["violates_k"]
+    }
+    lvl0 = {(r["source"], r["lang"], r["size_band"]) for r in rows if r["gen_level"] == 0}
+    assert lvl0 == ok_groups
