@@ -93,7 +93,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     # get the close replica drive this round and driver rows in round 8) ----
     "dedup_simhash_verify", "agg_countmin", "agg_bloom_filter",
     "cdc_snapshot_diff", "agg_incremental_merge", "stats_kruskal_wallis",
-    "feature_woe", "privacy_suppression",
+    "feature_woe", "privacy_suppression", "geo_dbscan_grid",
+    "ts_cross_correlation",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -2944,3 +2944,227 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("s1.n") != F.col("s2.n"))
         | (F.col("s1.rev_cents") != F.col("s2.rev_cents"))
     )
+
+
+DBSCAN_CELL_DEG = 5.0  # density-grid cell size (finer than GRID_CELL_DEG)
+DBSCAN_MINPTS = 8  # core-cell threshold: cells with >= MINPTS fixes
+# cell-key packing: lat_cell in [-18, 18), lon_cell in [-36, 36) at 5 deg —
+# shift both non-negative and pack into one BIGINT so the component label is
+# a single orderable key in both engines
+_DB_LAT_OFF, _DB_LON_OFF, _DB_PACK = 100, 500, 1000
+
+
+@query(
+    "geo_dbscan_grid",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+        SELECT fmod(value, 170.0) - 85.0             AS lat,
+               fmod(event_id::DOUBLE, 360.0) - 180.0 AS lon
+        FROM events
+    ),
+    cells AS (
+        SELECT floor(lat / {DBSCAN_CELL_DEG})::BIGINT AS lat_cell,
+               floor(lon / {DBSCAN_CELL_DEG})::BIGINT AS lon_cell,
+               count(*)::BIGINT AS n_pts
+        FROM pts GROUP BY 1, 2
+    ),
+    core AS (
+        SELECT lat_cell, lon_cell, n_pts,
+               (lat_cell + {_DB_LAT_OFF}) * {_DB_PACK} + lon_cell + {_DB_LON_OFF}
+                   AS key
+        FROM cells WHERE n_pts >= {DBSCAN_MINPTS}
+    ),
+    sim_edges AS (
+        SELECT a.key AS ka, b.key AS kb
+        FROM core a JOIN core b
+          ON abs(a.lat_cell - b.lat_cell) <= 1
+         AND abs(a.lon_cell - b.lon_cell) <= 1
+         AND a.key < b.key
+    ),
+    edges AS (SELECT ka AS a, kb AS b FROM sim_edges
+              UNION ALL SELECT kb, ka FROM sim_edges),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT edges.b, reach.r FROM edges JOIN reach ON edges.a = reach.node
+    ),
+    labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.lat_cell, c.lon_cell, c.n_pts,
+           coalesce(l.cluster_id, c.key) AS cluster_id,
+           count(*) OVER (PARTITION BY coalesce(l.cluster_id, c.key))::BIGINT
+               AS cluster_cells,
+           sum(c.n_pts) OVER (PARTITION BY coalesce(l.cluster_id, c.key))::BIGINT
+               AS cluster_pts
+    FROM core c LEFT JOIN labels l ON l.node = c.key
+    """,
+    tags=("telemetry", "geo", "scale"),
+)
+def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN — density-based spatial clustering made
+    shuffle-partitionable: raw fixes aggregate map-side into
+    {DBSCAN_CELL_DEG}-degree cells, cells with >= {DBSCAN_MINPTS} fixes
+    are CORE (everything else is noise, exactly DBSCAN's role for
+    sparse points), and clusters are connected components over 8-neighbor
+    adjacency of core cells. This is the standard scale-out answer to
+    DBSCAN's quadratic neighbor search: the corpus is touched ONCE
+    (partial-agg to cells — constant-size state bounded by the grid, not
+    the data), and everything after runs on the cell table.
+
+    Adjacency is an EQUI-join in the Spark plan: each core cell emits its
+    4 forward neighbor keys (E/NE/N/NW — each undirected edge generated
+    once) and hash-joins on the packed key — no theta join, no cartesian;
+    the oracle spells the same adjacency as |dlat|<=1 AND |dlon|<=1 over
+    the tiny cell table. Components reuse pointer_doubling_components
+    (O(log diameter) rounds; grid graphs are exactly the large-diameter
+    shape 1-hop propagation handles worst). Isolated core cells —
+    pointer-doubling only sees edge endpoints — rejoin with their own key
+    as singleton clusters. cluster_id = min packed key reachable, an
+    orderable BIGINT in both engines."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("value") % 170.0 - 85.0).alias("lat"),
+        (F.col("event_id").cast("double") % 360.0 - 180.0).alias("lon"),
+    )
+    cells = (
+        pts.select(
+            F.floor(F.col("lat") / DBSCAN_CELL_DEG).alias("lat_cell"),
+            F.floor(F.col("lon") / DBSCAN_CELL_DEG).alias("lon_cell"),
+        )
+        .groupBy("lat_cell", "lon_cell")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+    )
+    key = (F.col("lat_cell") + _DB_LAT_OFF) * _DB_PACK + F.col("lon_cell") + _DB_LON_OFF
+    core = cells.filter(F.col("n_pts") >= DBSCAN_MINPTS).withColumn("key", key)
+    # forward 8-neighborhood: E, NE, N, NW — each undirected edge once
+    fwd = [(0, 1), (1, 1), (1, 0), (1, -1)]
+    nbrs = core.select(
+        F.col("key").alias("src_key"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("lat_cell") + dlat + _DB_LAT_OFF) * _DB_PACK
+                     + F.col("lon_cell") + dlon + _DB_LON_OFF)
+                    for dlat, dlon in fwd
+                ]
+            )
+        ).alias("nbr_key"),
+    )
+    edges = nbrs.join(
+        core.select(F.col("key").alias("nbr_key")), "nbr_key"
+    ).select(F.col("src_key").alias("doc_a"), F.col("nbr_key").alias("doc_b"))
+    from .llm_dedup import pointer_doubling_components
+
+    labels = pointer_doubling_components(spark, edges).select(
+        F.col("node").alias("key"), F.col("label").alias("cid")
+    )
+    lab = core.join(labels, "key", "left").select(
+        "lat_cell",
+        "lon_cell",
+        "n_pts",
+        F.coalesce(F.col("cid"), F.col("key")).alias("cluster_id"),
+    )
+    wc = Window.partitionBy("cluster_id")
+    return lab.select(
+        "lat_cell",
+        "lon_cell",
+        "n_pts",
+        "cluster_id",
+        F.count(F.lit(1)).over(wc).alias("cluster_cells"),
+        F.sum("n_pts").over(wc).alias("cluster_pts"),
+    )
+
+
+XCORR_MAX_LAG = 3  # cross-correlation window: lags -3..+3 days
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT day(ts) AS d,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+                   AS rev_cents,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_clicks
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT l.lag, a.rev_cents AS x, b.n_clicks AS y
+        FROM generate_series(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG}) AS l(lag)
+        JOIN daily a ON true
+        JOIN daily b ON b.d = a.d + l.lag
+    ),
+    sums AS (
+        SELECT lag, count(*)::BIGINT AS n_days,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_days,
+           round((n_days * sxy - sx * sy)
+                 / nullif(sqrt(n_days::DOUBLE * sxx - sx::DOUBLE * sx)
+                          * sqrt(n_days::DOUBLE * syy - sy::DOUBLE * sy), 0.0),
+                 6) + 0.0 AS xcorr
+    FROM sums
+    """,
+    tags=("telemetry", "ts"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation — does click volume LEAD purchase
+    revenue (ad-effect) or LAG it (confirmation-browsing)? CCF(l) =
+    Pearson corr(revenue_t, clicks_{t+l}) for l in -{XCORR_MAX_LAG}..
+    +{XCORR_MAX_LAG}; the argmax lag is the attribution offset an
+    event_attribution pipeline would use as its window. Completes the ts
+    family: ts_autocorrelation is this op's X==Y diagonal.
+
+    Exactness (the agg_correlation discipline, strengthened): both daily
+    series are exact BIGINTs (cents via floor(x*100+0.5), counts), so
+    every power sum is exact INTEGER arithmetic in both engines — the
+    only floats are the final 7-row divisions, aggregate-rounded (6 dp,
+    rule 8) with -0.0 guard (rule 17). BIGINT power sums overflow around
+    daily revenue ~3e9 cents x 30 days (documented bound, far above any
+    fixture); the overflow-proof variant centers x first.
+
+    Scale: one partial-agg scan to the daily frame (|days| rows), then a
+    7-lag x |days| self-join on the day key — work is O(lags x days),
+    independent of event count. The lag dimension rides a broadcast-able
+    generate_series/explode, never a shuffle."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("rev_cents"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)])
+    ).alias("lag")
+    a = daily.select(F.col("d"), F.col("rev_cents").alias("x"), lags)
+    b = daily.select(F.col("d").alias("d2"), F.col("n_clicks").alias("y"))
+    pairs = a.join(b, F.col("d2") == F.col("d") + F.col("lag")).select("lag", "x", "y")
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        n.cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return sums.select(
+        "lag",
+        "n_days",
+        (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias("xcorr"),
+    )

@@ -189,3 +189,82 @@ def test_suppression_enforces_k_and_conserves_docs(spark, sf_dir):
     }
     lvl0 = {(r["source"], r["lang"], r["size_band"]) for r in rows if r["gen_level"] == 0}
     assert lvl0 == ok_groups
+
+
+def test_dbscan_grid_clusters_are_dense_and_connected(spark, sf_dir):
+    """Every emitted cell is core (n_pts >= MINPTS); cluster aggregates
+    reconcile with their members; and 8-adjacent core cells always share
+    a cluster id (the defining property of the grid components)."""
+    from rvi_big_data_api_spark.operators.telemetry import DBSCAN_MINPTS
+
+    rows = _df("geo_dbscan_grid", spark, sf_dir).collect()
+    assert rows, "no core cells"
+    by_cluster = {}
+    cell = {}
+    for r in rows:
+        assert r["n_pts"] >= DBSCAN_MINPTS, r
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+        cell[(r["lat_cell"], r["lon_cell"])] = r["cluster_id"]
+    for cid, members in by_cluster.items():
+        assert all(m["cluster_cells"] == len(members) for m in members), cid
+        pts = sum(m["n_pts"] for m in members)
+        assert all(m["cluster_pts"] == pts for m in members), cid
+        # cluster id is the min packed key of its members
+        from rvi_big_data_api_spark.operators.telemetry import (
+            _DB_LAT_OFF,
+            _DB_LON_OFF,
+            _DB_PACK,
+        )
+
+        keys = [
+            (m["lat_cell"] + _DB_LAT_OFF) * _DB_PACK + m["lon_cell"] + _DB_LON_OFF
+            for m in members
+        ]
+        assert cid == min(keys), (cid, min(keys))
+    for (la, lo), cid in cell.items():
+        for dla in (-1, 0, 1):
+            for dlo in (-1, 0, 1):
+                nb = cell.get((la + dla, lo + dlo))
+                if nb is not None:
+                    assert nb == cid or (dla, dlo) == (0, 0) or nb == cid, (la, lo)
+                    assert nb == cid, ((la, lo), (dla, dlo), nb, cid)
+
+
+def test_xcorr_overlap_lengths_and_lag0_matches_direct(spark, sf_dir):
+    """n_days per lag equals |days| - |lag| (contiguous daily series), and
+    the lag-0 coefficient equals an independently computed Pearson r over
+    the same two integer series."""
+    import math
+
+    from rvi_big_data_api_spark.io import load
+
+    rows = {r["lag"]: r for r in _df("ts_cross_correlation", spark, sf_dir).collect()}
+    n_days_total = (
+        load(spark, sf_dir, "events").select(F.dayofmonth("ts")).distinct().count()
+    )
+    for lag, r in rows.items():
+        assert r["n_days"] == n_days_total - abs(lag), r
+    # independent lag-0 Pearson from collected daily integers
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.dayofmonth("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("y"),
+        )
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    ys = [r["y"] for r in daily]
+    n = len(xs)
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = math.sqrt(n * sum(a * a for a in xs) - sum(xs) ** 2) * math.sqrt(
+        n * sum(b * b for b in ys) - sum(ys) ** 2
+    )
+    want = round(num / den, 6) + 0.0
+    assert rows[0]["xcorr"] == want, (rows[0]["xcorr"], want)
