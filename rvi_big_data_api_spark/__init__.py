@@ -94,7 +94,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "dedup_simhash_verify", "agg_countmin", "agg_bloom_filter",
     "cdc_snapshot_diff", "agg_incremental_merge", "stats_kruskal_wallis",
     "feature_woe", "privacy_suppression", "geo_dbscan_grid",
-    "ts_cross_correlation",
+    "ts_cross_correlation", "geo_cotravel", "ts_seasonal_strength",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

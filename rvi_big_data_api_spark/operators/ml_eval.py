@@ -2401,23 +2401,32 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_kruskal_wallis",
     oracle="""
-    WITH vals AS (
-        SELECT c_mktsegment AS segment, o_totalprice AS v
+    WITH cnt AS (
+        SELECT c_mktsegment AS segment, o_totalprice AS v,
+               count(*)::BIGINT AS n_sv
         FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
     ),
-    rn AS (SELECT segment, v, row_number() OVER (ORDER BY v) AS rn FROM vals),
-    -- average rank per distinct value: exact multiple of 0.5, so 2*rank is
-    -- an exact BIGINT in both engines (no float fold-order risk)
+    -- histogram ranking: value v (ascending) occupies ranks
+    -- [cum_before + 1, cum_before + t], so 2 * mid-rank = 2*cum + t + 1 —
+    -- an exact BIGINT in both engines (no float fold-order risk, no
+    -- global row sort)
     vrank AS (
-        SELECT v, count(*)::BIGINT AS t,
-               (sum(rn)::BIGINT * 2 // count(*))::BIGINT AS r2
-        FROM rn GROUP BY v
+        SELECT v, t,
+               (2 * (cum - t) + t + 1)::BIGINT AS r2
+        FROM (
+            SELECT v, sum(n_sv)::BIGINT AS t,
+                   sum(sum(n_sv)) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS cum
+            FROM cnt GROUP BY v
+        )
     ),
     grp AS (
-        SELECT r.segment, count(*)::BIGINT AS n_g,
-               sum(k.r2)::BIGINT AS sum_r2_g
-        FROM rn r JOIN vrank k ON r.v = k.v
-        GROUP BY r.segment
+        SELECT c.segment, sum(c.n_sv)::BIGINT AS n_g,
+               sum(c.n_sv * k.r2)::BIGINT AS sum_r2_g
+        FROM cnt c JOIN vrank k ON c.v = k.v
+        GROUP BY c.segment
     ),
     ties AS (
         SELECT sum(t * t * t - t)::BIGINT AS tie_sum,
@@ -2450,38 +2459,52 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonparametric suite (agg_mannwhitney_u is its two-group special
     case — a property test pins that identity on a two-group slice).
 
-    Exactness: mid-ranks are multiples of 0.5, so the engine carries
-    2*rank as BIGINT (sum of row_numbers over a tie group is
-    order-invariant) — every rank sum is exact integer arithmetic; floats
-    appear only in the final K-row fold, aggregate-rounded (rules 1/6)
-    with the -0.0 guard (rule 17). The squaring happens in DOUBLE because
-    sum_r2_g^2 overflows BIGINT around N~10^5 (noted, not hit: the
-    docstring constraint the differential fuzzer checks).
+    Exactness AND scale from one construction — HISTOGRAM ranking: rows
+    reduce map-side to (segment, value) counts, value v's mid-rank comes
+    from the running total of value counts (value v spans ranks
+    [cum_before+1, cum_before+t], so 2*midrank = 2*cum_before + t + 1 —
+    an exact BIGINT; mid-ranks are multiples of 0.5, never a float), and
+    group rank sums are count-weighted folds over the VALUE table. No
+    global row sort, no join back to rows: the classic sort-based ranking
+    would range-partition-sort all N rows and re-join them; this plan
+    touches rows once (partial agg) and ranks the distinct-value frame.
+    Floats appear only in the final K-row fold, aggregate-rounded (rules
+    1/6) with the -0.0 guard (rule 17). The squaring happens in DOUBLE
+    because sum_r2_g^2 overflows BIGINT around N~10^5 (noted, not hit:
+    the docstring constraint the differential fuzzer checks).
 
-    Scale note: global ranking is a sort-based operation — Spark plans a
-    range-partitioned sort (NOT a single partition; only the window's
-    row_number assignment within equal values is arbitrary, and only its
-    per-VALUE average is consumed). At 100 TB the two-pass histogram
-    ranking (count per value, prefix-sum of counts) replaces the sort;
-    the per-value average rank equals prefix + (t+1)/2 exactly — same
-    numbers, no global sort. Implemented the sort way here because the
-    fixture's value domain is near-unique; the histogram path is
-    win_running_distinct's territory."""
+    The one remaining global structure is the prefix sum over distinct
+    values — a window ordered by v over the value histogram (|V| rows,
+    not N). At 100 TB with a near-unique value domain |V|~N, the same
+    two-pass distributed prefix-sum (per-partition subtotals broadcast as
+    offsets) applies; the fixture's |V| makes the single window exact and
+    cheap."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    vals = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
-        o.o_custkey == c.c_custkey,
-    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("v"))
-    rn = vals.select("segment", "v", F.row_number().over(Window.orderBy("v")).alias("rn"))
-    vrank = rn.groupBy("v").agg(
-        F.count(F.lit(1)).alias("t"),
-        (F.sum("rn") * 2 / F.count(F.lit(1))).cast("long").alias("r2"),
+    cnt = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_sv"))
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vrank = (
+        cnt.groupBy("v")
+        .agg(F.sum("n_sv").alias("t"))
+        .select("v", "t", F.sum("t").over(wcum).alias("cum"))
+        .select("v", "t", (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("r2"))
     )
     grp = (
-        rn.join(F.broadcast(vrank.select("v", "r2")), "v")
+        cnt.join(vrank.select("v", "r2"), "v")
         .groupBy("segment")
-        .agg(F.count(F.lit(1)).alias("n_g"), F.sum("r2").alias("sum_r2_g"))
+        .agg(
+            F.sum("n_sv").alias("n_g"),
+            F.sum(F.col("n_sv") * F.col("r2")).alias("sum_r2_g"),
+        )
     )
     ties = vrank.agg(
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"),

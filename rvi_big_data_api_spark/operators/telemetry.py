@@ -3015,12 +3015,14 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 forward neighbor keys (E/NE/N/NW — each undirected edge generated
     once) and hash-joins on the packed key — no theta join, no cartesian;
     the oracle spells the same adjacency as |dlat|<=1 AND |dlon|<=1 over
-    the tiny cell table. Components reuse pointer_doubling_components
-    (O(log diameter) rounds; grid graphs are exactly the large-diameter
-    shape 1-hop propagation handles worst). Isolated core cells —
-    pointer-doubling only sees edge endpoints — rejoin with their own key
-    as singleton clusters. cluster_id = min packed key reachable, an
-    orderable BIGINT in both engines."""
+    the tiny cell table. Components run as ONE Arrow-batched union-find
+    task over the edge list (see inline note: the cell graph is bounded
+    by geometry, so iterative distributed CC is the wrong plan at every
+    scale — the doc/embedding graphs, whose node sets GROW with data,
+    keep pointer_doubling_components). Isolated core cells — union-find
+    only sees edge endpoints — rejoin with their own key as singleton
+    clusters. cluster_id = min packed key reachable, an orderable BIGINT
+    in both engines."""
     ev = load(spark, sf_dir, "events")
     pts = ev.select(
         (F.col("value") % 170.0 - 85.0).alias("lat"),
@@ -3035,7 +3037,10 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pts"))
     )
     key = (F.col("lat_cell") + _DB_LAT_OFF) * _DB_PACK + F.col("lon_cell") + _DB_LON_OFF
-    core = cells.filter(F.col("n_pts") >= DBSCAN_MINPTS).withColumn("key", key)
+    # core feeds three consumers (neighbor explode, the adjacency probe
+    # side, the final labeling join) — cache the geometry-bounded cell
+    # table so the events scan + agg runs once, not three times
+    core = cells.filter(F.col("n_pts") >= DBSCAN_MINPTS).withColumn("key", key).cache()
     # forward 8-neighborhood: E, NE, N, NW — each undirected edge once
     fwd = [(0, 1), (1, 1), (1, 0), (1, -1)]
     nbrs = core.select(
@@ -3053,10 +3058,39 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = nbrs.join(
         core.select(F.col("key").alias("nbr_key")), "nbr_key"
     ).select(F.col("src_key").alias("doc_a"), F.col("nbr_key").alias("doc_b"))
-    from .llm_dedup import pointer_doubling_components
+    # CC on the CELL graph — which, unlike the document/embedding graphs
+    # (pointer_doubling_components territory), is bounded by GEOMETRY:
+    # <= (360/cell)x(170/cell) cells exist no matter how many points feed
+    # them. A constant-size graph makes iterative distributed CC (N jobs +
+    # checkpoints — measured 15.8 s of fixed cost here) the wrong plan at
+    # EVERY scale; the right plan is one Arrow-batched union-find task over
+    # the edge list, executor-side (never a driver collect), after the
+    # genuinely data-sized work (points -> cells) reduced map-side.
+    def _union_find(pdf):
+        import pandas as pd
 
-    labels = pointer_doubling_components(spark, edges).select(
-        F.col("node").alias("key"), F.col("label").alias("cid")
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a_key, b_key in zip(pdf["doc_a"], pdf["doc_b"]):
+            ra, rb = find(int(a_key)), find(int(b_key))
+            if ra != rb:
+                # union by MIN so the fixpoint label is the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = sorted(parent)
+        return pd.DataFrame({"key": nodes, "cid": [find(n) for n in nodes]})
+
+    labels = (
+        edges.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(_union_find, "key long, cid long")
     )
     lab = core.join(labels, "key", "left").select(
         "lat_cell",
@@ -3167,4 +3201,226 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag",
         "n_days",
         (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias("xcorr"),
+    )
+
+
+COTRAVEL_CELL_DEG = 10.0  # co-presence cell size (coarser than DBSCAN grid)
+COTRAVEL_MIN_SHARED = 3  # minimum shared (cell, day) stamps to emit a pair
+
+
+@query(
+    "geo_cotravel",
+    oracle=f"""
+    WITH stamps AS (
+        SELECT DISTINCT user_id,
+               floor((fmod(value, 170.0) - 85.0) / {COTRAVEL_CELL_DEG})::BIGINT
+                   AS latc,
+               floor((fmod(event_id::DOUBLE, 360.0) - 180.0)
+                     / {COTRAVEL_CELL_DEG})::BIGINT AS lonc,
+               date_trunc('day', ts) AS tb
+        FROM events
+    ),
+    sizes AS (SELECT user_id, count(*)::BIGINT AS n_stamps FROM stamps GROUP BY 1),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               count(*)::BIGINT AS n_shared
+        FROM stamps a JOIN stamps b
+          ON a.latc = b.latc AND a.lonc = b.lonc AND a.tb = b.tb
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {COTRAVEL_MIN_SHARED}
+    )
+    SELECT p.user_a, p.user_b, p.n_shared,
+           (p.n_shared * 1000000
+            // nullif(sa.n_stamps + sb.n_stamps - p.n_shared, 0))::BIGINT
+               AS jaccard_ppm
+    FROM pairs p
+    JOIN sizes sa ON sa.user_id = p.user_a
+    JOIN sizes sb ON sb.user_id = p.user_b
+    """,
+    tags=("telemetry", "geo"),
+)
+def geo_cotravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-travel / co-presence detection — which vehicle pairs repeatedly
+    occupy the same ({COTRAVEL_CELL_DEG}-degree cell, day) stamps? The
+    spatio-temporal JOIN operator of fleet analytics (convoy mining,
+    shared-route discovery, contact tracing), and structurally the
+    dedup_near inverted-index pattern applied to trajectories: users
+    never compare all-pairs — the stamp IS the LSH bucket (two users can
+    only pair through a stamp both visited), pairs aggregate per stamp
+    and filter at >= {COTRAVEL_MIN_SHARED} shared stamps, and the
+    Jaccard score (shared / union of stamp sets, ppm integer division —
+    rule 25) ranks persistent companions above chance collisions.
+
+    Scale shape: one map-side distinct to stamps (16-byte keys), one
+    self-equi-join keyed on the stamp — shuffle-partitionable by stamp
+    hash, fan-out bounded by users-per-stamp (a hub stamp — a depot cell
+    on a busy day — is the skew risk; production caps or salts stamps
+    above a fan-out bound exactly as dedup_near documents for its
+    bands). Pair aggregation and the two size joins run on pair rows,
+    which the HAVING floor keeps sparse. Never quadratic in users."""
+    ev = load(spark, sf_dir, "events")
+    stamps = ev.select(
+        "user_id",
+        F.floor((F.col("value") % 170.0 - 85.0) / COTRAVEL_CELL_DEG).alias("latc"),
+        F.floor(
+            (F.col("event_id").cast("double") % 360.0 - 180.0) / COTRAVEL_CELL_DEG
+        ).alias("lonc"),
+        F.date_trunc("day", "ts").alias("tb"),
+    ).distinct()
+    sizes = stamps.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_stamps"))
+    a = stamps.alias("a")
+    b = stamps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.latc") == F.col("b.latc"))
+            & (F.col("a.lonc") == F.col("b.lonc"))
+            & (F.col("a.tb") == F.col("b.tb"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= COTRAVEL_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n_stamps").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n_stamps").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            "n_shared",
+            F.expr(
+                "n_shared * 1000000 div nullif(na + nb - n_shared, 0)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT h, xc,
+               CASE WHEN count(*) OVER w = {2 * DECOMP_HALF + 1}
+                    THEN (sum(xc) OVER w)::BIGINT // {2 * DECOMP_HALF + 1}
+               END::BIGINT AS trend
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN {DECOMP_HALF} PRECEDING
+                     AND {DECOMP_HALF} FOLLOWING)
+    ),
+    seasonal AS (
+        SELECT extract(hour FROM h)::INT AS hod,
+               (sum(xc - trend)::BIGINT // count(xc - trend))::BIGINT AS s_cents
+        FROM trended WHERE trend IS NOT NULL
+        GROUP BY 1
+    ),
+    parts AS (
+        SELECT t.xc - t.trend - s.s_cents AS r,
+               t.xc - t.trend             AS sr,
+               t.xc - s.s_cents           AS tr
+        FROM trended t JOIN seasonal s ON extract(hour FROM t.h)::INT = s.hod
+        WHERE t.trend IS NOT NULL
+    ),
+    sums AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(r)::BIGINT AS s_r,   sum(r * r)::BIGINT AS ss_r,
+               sum(sr)::BIGINT AS s_sr, sum(sr * sr)::BIGINT AS ss_sr,
+               sum(tr)::BIGINT AS s_tr, sum(tr * tr)::BIGINT AS ss_tr
+        FROM parts
+    )
+    SELECT n,
+           round(greatest(0.0,
+               1.0 - (n * ss_r - s_r * s_r)::DOUBLE
+                     / nullif((n * ss_sr - s_sr * s_sr)::DOUBLE, 0.0)), 6) + 0.0
+               AS strength_seasonal,
+           round(greatest(0.0,
+               1.0 - (n * ss_r - s_r * s_r)::DOUBLE
+                     / nullif((n * ss_tr - s_tr * s_tr)::DOUBLE, 0.0)), 6) + 0.0
+               AS strength_trend
+    FROM sums
+    """,
+    tags=("telemetry", "ts"),
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality/trend strength (Hyndman's STL diagnostic, on the
+    classical decomposition): strength_seasonal = max(0, 1 -
+    Var(residual)/Var(seasonal + residual)) and strength_trend = max(0,
+    1 - Var(residual)/Var(trend + residual)) — the two numbers that tell
+    a forecasting pipeline whether ts_holt_linear needs a seasonal term
+    and whether anomaly fences should be seasonal
+    (anomaly_seasonal_naive) or flat (anomaly_zscore). Reuses
+    ts_decompose_classical's ALL-INTEGER decomposition verbatim (same
+    moving average, same hour-of-day means, same edge rule), so the only
+    floats are the two final variance ratios — computed from exact
+    BIGINT power sums (n*Σx² − (Σx)², the agg_correlation discipline)
+    and aggregate-rounded (rule 6) with -0.0 guard (rule 17). BIGINT
+    power-sum headroom: hourly cents ~1e7 at sf1 squares to 1e14 × ~1e4
+    hours = 1e18, inside BIGINT; beyond that, center on the series mean
+    first (documented bound).
+
+    Scale: identical to ts_decompose_classical — the fact collapses to
+    the calendar-bounded hourly frame map-side; every window and join
+    after that is over |hours| rows."""
+    ev = load(spark, sf_dir, "events")
+    full = 2 * DECOMP_HALF + 1
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc")
+    )
+    w = Window.orderBy("h").rowsBetween(-DECOMP_HALF, DECOMP_HALF)
+    trended = hourly.select(
+        "h",
+        "xc",
+        F.when(
+            F.count(F.lit(1)).over(w) == full,
+            F.expr(f"sum(xc) OVER (ORDER BY h ROWS BETWEEN {DECOMP_HALF} PRECEDING"
+                   f" AND {DECOMP_HALF} FOLLOWING) div {full}"),
+        ).alias("trend"),
+    )
+    seasonal = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy(F.hour("h").alias("hod"))
+        .agg(F.expr("sum(xc - trend) div count(xc - trend)").alias("s_cents"))
+    )
+    parts = (
+        trended.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(seasonal), F.hour("h") == F.col("hod"))
+        .select(
+            (F.col("xc") - F.col("trend") - F.col("s_cents")).alias("r"),
+            (F.col("xc") - F.col("trend")).alias("sr"),
+            (F.col("xc") - F.col("s_cents")).alias("tr"),
+        )
+    )
+    sums = parts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s_r"),
+        F.sum(F.col("r") * F.col("r")).alias("ss_r"),
+        F.sum("sr").alias("s_sr"),
+        F.sum(F.col("sr") * F.col("sr")).alias("ss_sr"),
+        F.sum("tr").alias("s_tr"),
+        F.sum(F.col("tr") * F.col("tr")).alias("ss_tr"),
+    )
+    n = F.col("n")
+    var_r = (n * F.col("ss_r") - F.col("s_r") * F.col("s_r")).cast("double")
+    var_sr = (n * F.col("ss_sr") - F.col("s_sr") * F.col("s_sr")).cast("double")
+    var_tr = (n * F.col("ss_tr") - F.col("s_tr") * F.col("s_tr")).cast("double")
+    return sums.select(
+        "n",
+        (
+            F.round(F.greatest(F.lit(0.0), 1.0 - var_r / F.nullif(var_sr, F.lit(0.0))), 6)
+            + F.lit(0.0)
+        ).alias("strength_seasonal"),
+        (
+            F.round(F.greatest(F.lit(0.0), 1.0 - var_r / F.nullif(var_tr, F.lit(0.0))), 6)
+            + F.lit(0.0)
+        ).alias("strength_trend"),
     )

@@ -1027,3 +1027,137 @@ def test_centroid_drift_single_expand(spark, sf_dir):
     assert executed.count("Scan parquet") <= 1, executed[:3000]
     assert "Join" not in executed
     assert "Generate" in executed, executed[:2000]
+
+
+# --- round-7 wave: sketches, changesets, stats, density clustering ---------
+
+
+def test_countmin_broadcasts_cells_no_cartesian(spark, sf_dir):
+    """agg_countmin: the 256-cell sketch table reaches the probe rows as a
+    broadcast hash join on (j, bucket); the build is a partial agg (the
+    shuffle carries cells, not events); never a cartesian."""
+    plan = plan_of(REGISTRY["agg_countmin"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bloom_probe_is_broadcast_joins_only(spark, sf_dir):
+    """agg_bloom_filter: the set-bit position table and the member list are
+    broadcasts; the only nested-loop is the final 1-row bits_set
+    decoration (the scalar-crossJoin convention)."""
+    executed = (
+        REGISTRY["agg_bloom_filter"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert executed.count("BroadcastHashJoin") >= 2, executed[:2500]
+    assert "CartesianProduct" not in executed
+    assert executed.count("BroadcastNestedLoopJoin") <= 1, executed[:2500]
+    assert "EvalPython" not in executed
+
+
+def test_snapshot_diff_is_two_partial_aggs_one_join(spark, sf_dir):
+    """cdc_snapshot_diff: each snapshot reduces map-side to per-user state
+    BEFORE the full-outer join — the join sees state rows, never events;
+    no cartesian, no Python eval."""
+    plan = plan_of(REGISTRY["cdc_snapshot_diff"].fn(spark, sf_dir))
+    assert "FullOuter" in plan, plan[:2500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_incremental_merge_two_level_hash_agg_no_join(spark, sf_dir):
+    """agg_incremental_merge: shard partials then merge — all hash
+    aggregates over ONE scan, no join anywhere."""
+    df = REGISTRY["agg_incremental_merge"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 1, executed[:3000]
+    assert "Join" not in executed
+    assert executed.count("HashAggregate") >= 2, executed[:3000]
+
+
+def test_kruskal_histogram_ranking_no_row_sort(spark, sf_dir):
+    """stats_kruskal_wallis: histogram ranking — rows reduce to (segment,
+    value) counts before ANY ranking, the mid-rank join is an equi-join
+    on the value table, and the only nested-loop is the 1-row ties
+    decoration. A global row_number over N rows (the sort-based textbook
+    formulation) would triple-scan the fact join — pinned out."""
+    df = REGISTRY["stats_kruskal_wallis"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in executed
+    assert executed.count("BroadcastNestedLoopJoin") <= 1, executed[:2500]
+    assert "EvalPython" not in executed
+    # ranking runs on the aggregated value frame: the window input must be
+    # a HashAggregate, and no row_number window exists at all
+    assert "row_number" not in executed, executed[:2500]
+
+
+def test_woe_encoder_single_fact_scan_window_totals(spark, sf_dir):
+    """feature_woe: orders join customers once, two partial-agg levels,
+    class totals ride a window over the K-row segment frame — no second
+    scan of either fact table."""
+    df = REGISTRY["feature_woe"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 2, executed[:3000]
+    assert "CartesianProduct" not in executed
+    assert "EvalPython" not in executed
+
+
+def test_suppression_aggregates_only_single_scan(spark, sf_dir):
+    """privacy_suppression: the lattice walk re-aggregates the GROUP
+    table; the corpus is scanned once per union branch at most and no
+    join appears anywhere."""
+    df = REGISTRY["privacy_suppression"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in executed, executed[:3000]
+    assert "EvalPython" not in executed
+
+
+def test_dbscan_adjacency_is_equijoin(spark, sf_dir):
+    """geo_dbscan_grid: neighbor discovery is the exploded-key equi-join
+    (hash join on the packed cell key), never a theta/cartesian pair
+    enumeration — the pin that keeps the op linear in cells."""
+    plan = plan_of(REGISTRY["geo_dbscan_grid"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # no row-at-a-time python
+    # components are ONE Arrow union-find task over the geometry-bounded
+    # edge list; the neighbor discovery feeding it is the exploded-key
+    # equi-join (Generate + hash join), all visible in one plan now that
+    # no checkpoint truncates it
+    assert "FlatMapGroupsInPandas" in plan, plan[:2500]
+    assert "Generate" in plan, plan[:2500]
+
+
+def test_xcorr_is_daily_frame_self_join(spark, sf_dir):
+    """ts_cross_correlation: events reduce to the daily frame FIRST; the
+    lag join runs on |days| rows as an equi-join on the shifted day key;
+    power sums are one hash agg."""
+    plan = plan_of(REGISTRY["ts_cross_correlation"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cotravel_stamp_join_no_cartesian(spark, sf_dir):
+    """geo_cotravel: the pair enumeration is the stamp-keyed equi-self-join
+    (inverted-index shape), the size decorations are broadcasts — never a
+    cartesian over users."""
+    plan = plan_of(REGISTRY["geo_cotravel"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_seasonal_strength_single_scan_hourly_frame(spark, sf_dir):
+    """ts_seasonal_strength: one events scan collapses to the hourly frame;
+    the seasonal join is a broadcast over 24 rows; power sums are one
+    fold."""
+    df = REGISTRY["ts_seasonal_strength"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 2, executed[:3000]
+    assert "CartesianProduct" not in executed
+    assert "SortMergeJoin" not in executed
+    assert "EvalPython" not in executed

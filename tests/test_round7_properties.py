@@ -268,3 +268,48 @@ def test_xcorr_overlap_lengths_and_lag0_matches_direct(spark, sf_dir):
     )
     want = round(num / den, 6) + 0.0
     assert rows[0]["xcorr"] == want, (rows[0]["xcorr"], want)
+
+
+def test_cotravel_pairs_are_canonical_and_bounded(spark, sf_dir):
+    """geo_cotravel: pairs are emitted once in canonical (a < b) order,
+    n_shared respects the floor, and the Jaccard score is a valid ppm
+    share (0 < j <= 1e6, with 1e6 exactly when the stamp sets are
+    identical)."""
+    from rvi_big_data_api_spark.operators.telemetry import COTRAVEL_MIN_SHARED
+
+    rows = _df("geo_cotravel", spark, sf_dir).collect()
+    assert rows, "no co-travel pairs at fixture scale"
+    seen = set()
+    for r in rows:
+        assert r["user_a"] < r["user_b"], r
+        assert (r["user_a"], r["user_b"]) not in seen
+        seen.add((r["user_a"], r["user_b"]))
+        assert r["n_shared"] >= COTRAVEL_MIN_SHARED, r
+        assert 0 < r["jaccard_ppm"] <= 1_000_000, r
+
+
+def test_seasonal_strength_bounded_and_consistent_with_decompose(spark, sf_dir):
+    """ts_seasonal_strength: both strengths live in [0, 1], and the
+    residual variance it implies is consistent with recomputing the
+    variances directly from ts_decompose_classical's emitted parts."""
+    r = _df("ts_seasonal_strength", spark, sf_dir).collect()[0]
+    assert 0.0 <= r["strength_seasonal"] <= 1.0, r
+    assert 0.0 <= r["strength_trend"] <= 1.0, r
+    parts = [
+        (p["xc"], p["trend"], p["seasonal"])
+        for p in _df("ts_decompose_classical", spark, sf_dir).collect()
+        if p["trend"] is not None
+    ]
+    assert len(parts) == r["n"]
+
+    def var(xs):
+        n = len(xs)
+        return (n * sum(x * x for x in xs) - sum(xs) ** 2) / 1.0
+
+    resid = [x - t - s for x, t, s in parts]
+    sr = [x - t for x, t, _ in parts]
+    tr = [x - s for x, _, s in parts]
+    want_season = round(max(0.0, 1.0 - var(resid) / var(sr)), 6) + 0.0
+    want_trend = round(max(0.0, 1.0 - var(resid) / var(tr)), 6) + 0.0
+    assert r["strength_seasonal"] == want_season, (r, want_season)
+    assert r["strength_trend"] == want_trend, (r, want_trend)
