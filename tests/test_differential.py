@@ -1295,3 +1295,143 @@ def test_generated_anova_f_agrees_across_engines(spark, duck, sf_dir, k, pred):
         s_f = (float(s_ssb) / (s_k - 1)) / (float(s_ssw) / (s_n - s_k))
         d_f = (float(d_ssb) / (d_k - 1)) / (float(d_ssw) / (d_n - d_k))
         assert math.isclose(s_f, d_f, rel_tol=1e-6, abs_tol=1e-9), (k, s_f, d_f)
+
+# --------------------------------------------------------------------------
+# Sketch family (round 7): agg_countmin / agg_bloom_filter rest on the
+# cross-engine md5 hash discipline (PARITY rule 18 family). The fixed
+# registry queries pin ONE geometry each; this family samples the geometry
+# space (depth, width, member count, predicate) and re-checks both the
+# engine agreement and the sketches' one-sided guarantees at every sample.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    d=st.integers(min_value=2, max_value=6),
+    w=st.sampled_from([16, 32, 64, 128]),
+    pred=atom,
+)
+def test_generated_countmin_geometries_agree_across_engines(spark, duck, sf_dir, d, w, pred):
+    """Count-Min sketches of random (depth, width) over a random event
+    slice: per-key estimates agree across engines AND never undercount."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark_sql = f"""
+        WITH ev AS (SELECT user_id FROM events WHERE {pred}),
+        js AS (SELECT explode(sequence(0, {d - 1})) AS j),
+        cells AS (
+            SELECT j, conv(substring(md5(cast(concat(cast(j AS STRING), ':',
+                                    cast(user_id AS STRING)) AS BINARY)), 1, 8),
+                           16, 10) % {w} AS bucket,
+                   count(*) AS cell_n
+            FROM ev CROSS JOIN js GROUP BY 1, 2
+        ),
+        truth AS (SELECT user_id, count(*) AS true_n FROM ev GROUP BY 1)
+        SELECT t.user_id, t.true_n, min(c.cell_n) AS cms_n
+        FROM truth t CROSS JOIN js
+        JOIN cells c
+          ON c.j = js.j
+         AND c.bucket = conv(substring(md5(cast(concat(cast(js.j AS STRING), ':',
+                                    cast(t.user_id AS STRING)) AS BINARY)), 1, 8),
+                             16, 10) % {w}
+        GROUP BY t.user_id, t.true_n
+    """
+    duck_sql = f"""
+        WITH ev AS (SELECT user_id FROM events WHERE {pred}),
+        cells AS (
+            SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR),
+                                      1, 8))::BIGINT % {w} AS bucket,
+                   count(*)::BIGINT AS cell_n
+            FROM ev CROSS JOIN range({d}) AS r(j) GROUP BY 1, 2
+        ),
+        truth AS (SELECT user_id, count(*)::BIGINT AS true_n FROM ev GROUP BY 1)
+        SELECT t.user_id, t.true_n, min(c.cell_n)::BIGINT AS cms_n
+        FROM truth t CROSS JOIN range({d}) AS r(j)
+        JOIN cells c
+          ON c.j = r.j
+         AND c.bucket = ('0x' || substr(md5(r.j::VARCHAR || ':'
+                                            || t.user_id::VARCHAR), 1, 8))::BIGINT
+                        % {w}
+        GROUP BY t.user_id, t.true_n
+    """
+    s_rows = {
+        (r.user_id, r.true_n, r.cms_n) for r in spark.sql(spark_sql).collect()
+    }
+    d_rows = set(map(tuple, duck.execute(duck_sql).fetchall()))
+    assert s_rows == d_rows, f"CMS d={d} w={w} pred={pred}"
+    for _uid, true_n, cms_n in s_rows:
+        assert cms_n >= true_n, f"CMS undercounted: d={d} w={w} pred={pred}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    m=st.sampled_from([32, 64, 128, 256]),
+    k=st.integers(min_value=1, max_value=4),
+    umod=st.integers(min_value=2, max_value=9),
+)
+def test_generated_bloom_geometries_agree_across_engines(spark, duck, sf_dir, m, k, umod):
+    """Bloom filters of random (m, k) over a random member slice (users
+    with user_id % umod == 0): per-probe membership verdicts agree across
+    engines and never produce a false negative."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark_sql = f"""
+        WITH members AS (SELECT DISTINCT user_id FROM events
+                         WHERE user_id % {umod} = 0),
+        ks AS (SELECT explode(sequence(0, {k - 1})) AS k),
+        posset AS (
+            SELECT DISTINCT conv(substring(md5(cast(concat('b', cast(k AS STRING), ':',
+                                cast(user_id AS STRING)) AS BINARY)), 1, 8),
+                                16, 10) % {m} AS pos
+            FROM members CROSS JOIN ks
+        ),
+        probes AS (SELECT DISTINCT user_id FROM events)
+        SELECT p.user_id,
+               CASE WHEN sum(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) = {k}
+                    THEN 1 ELSE 0 END AS bloom_pos,
+               max(CASE WHEN p.user_id % {umod} = 0 THEN 1 ELSE 0 END) AS is_member
+        FROM probes p CROSS JOIN ks
+        LEFT JOIN posset s
+          ON s.pos = conv(substring(md5(cast(concat('b', cast(ks.k AS STRING), ':',
+                          cast(p.user_id AS STRING)) AS BINARY)), 1, 8), 16, 10) % {m}
+        GROUP BY p.user_id
+    """
+    duck_sql = f"""
+        WITH members AS (SELECT DISTINCT user_id FROM events
+                         WHERE user_id % {umod} = 0),
+        posset AS (
+            SELECT DISTINCT ('0x' || substr(md5('b' || kk.k::VARCHAR || ':'
+                              || user_id::VARCHAR), 1, 8))::BIGINT % {m} AS pos
+            FROM members CROSS JOIN range({k}) AS kk(k)
+        ),
+        probes AS (SELECT DISTINCT user_id FROM events)
+        SELECT p.user_id,
+               CASE WHEN sum(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) = {k}
+                    THEN 1 ELSE 0 END AS bloom_pos,
+               max(CASE WHEN p.user_id % {umod} = 0 THEN 1 ELSE 0 END) AS is_member
+        FROM probes p CROSS JOIN range({k}) AS kk(k)
+        LEFT JOIN posset s
+          ON s.pos = ('0x' || substr(md5('b' || kk.k::VARCHAR || ':'
+                      || p.user_id::VARCHAR), 1, 8))::BIGINT % {m}
+        GROUP BY p.user_id
+    """
+    s_rows = {
+        (r.user_id, r.bloom_pos, r.is_member) for r in spark.sql(spark_sql).collect()
+    }
+    d_rows = set(map(tuple, duck.execute(duck_sql).fetchall()))
+    assert s_rows == d_rows, f"Bloom m={m} k={k} umod={umod}"
+    for _uid, bloom_pos, is_member in s_rows:
+        if is_member:
+            assert bloom_pos == 1, f"Bloom false negative: m={m} k={k} umod={umod}"
