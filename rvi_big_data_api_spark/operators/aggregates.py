@@ -1707,3 +1707,85 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vmin_cents").alias("vmin_cents"),
         F.max("vmax_cents").alias("vmax_cents"),
     )
+
+
+@query(
+    "agg_quantile_histogram",
+    oracle="""
+    WITH hist AS (
+        SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS cents,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, cents, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_n,
+               sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+        FROM hist
+    )
+    SELECT event_type, max(n)::BIGINT AS n,
+           min(CASE WHEN cum_n >= (n + 1) // 2 THEN cents END)::BIGINT
+               AS p50_cents,
+           min(CASE WHEN cum_n >= (9 * n + 9) // 10 THEN cents END)::BIGINT
+               AS p90_cents,
+           min(CASE WHEN cum_n >= (99 * n + 99) // 100 THEN cents END)::BIGINT
+               AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+    tags=("agg", "scale"),
+)
+def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles WITHOUT a sort — the third point in the
+    percentile trade-space the engine now covers end to end:
+    agg_percentile is exact-but-sorts (per-group sort, fine for bounded
+    groups), agg_approx_distinct/percentile_approx is mergeable-but-
+    approximate, and THIS is exact AND mergeable: values quantize to
+    cents (floor(x*100+0.5), rule 17b — the money domain is already
+    discrete), the per-(group, cents) histogram is a partial agg whose
+    state is bounded by the value domain, and the q-th discrete quantile
+    is the smallest cents whose running count reaches ceil(q*n) —
+    computed with INTEGER ceilings ((n+1)//2, (9n+9)//10, (99n+99)//100),
+    so no float touches the pipeline and the answer is the true
+    order-statistic, not an interpolation.
+
+    This is how exact p99s actually get computed over 100 TB: the
+    histogram merge is the same monoid shape as agg_incremental_merge
+    (new batches fold in; shards union), and the cumulative pass runs
+    over |distinct cents| rows per group, never over events. The prefix
+    window partitions by group — fully parallel across groups; within a
+    huge single group the two-pass distributed prefix-sum applies (the
+    stats_kruskal_wallis note)."""
+    ev = load(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wcum).alias("cum_n"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.expr("CASE WHEN cum_n >= (n + 1) div 2 THEN cents END")).alias(
+            "p50_cents"
+        ),
+        F.min(F.expr("CASE WHEN cum_n >= (9 * n + 9) div 10 THEN cents END")).alias(
+            "p90_cents"
+        ),
+        F.min(F.expr("CASE WHEN cum_n >= (99 * n + 99) div 100 THEN cents END")).alias(
+            "p99_cents"
+        ),
+    )

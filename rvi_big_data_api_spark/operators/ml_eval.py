@@ -2635,3 +2635,130 @@ def feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(woe, 6) + F.lit(0.0)).alias("woe"),
         (F.round(iv, 6) + F.lit(0.0)).alias("iv_term"),
     )
+
+
+@query(
+    "eval_mcnemar_paired",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, q.label AS truth, e.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id >= {KNN_NQUERIES}
+        WHERE q.vec_id < {KNN_NQUERIES}
+    ),
+    votes AS (
+        SELECT qid, label, count(*)::BIGINT AS n_votes
+        FROM scored WHERE rank <= {KNN_K}
+        GROUP BY qid, label
+    ),
+    pred_a AS (
+        SELECT qid, label AS a_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY n_votes DESC, label ASC) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    ),
+    pred_b AS (SELECT qid, label AS b_label, truth FROM scored WHERE rank = 1),
+    paired AS (
+        SELECT CASE WHEN a.a_label = b.truth THEN 1 ELSE 0 END AS a_ok,
+               CASE WHEN b.b_label = b.truth THEN 1 ELSE 0 END AS b_ok
+        FROM pred_a a JOIN pred_b b ON a.qid = b.qid
+    )
+    SELECT count(*)::BIGINT AS n,
+           sum(a_ok)::BIGINT AS n_a_correct,
+           sum(b_ok)::BIGINT AS n_b_correct,
+           sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)::BIGINT AS b_cell,
+           sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS c_cell,
+           round(CASE WHEN sum(CASE WHEN a_ok != b_ok THEN 1 ELSE 0 END) = 0
+                      THEN 0.0
+                      ELSE power(abs(sum(CASE WHEN a_ok = 1 AND b_ok = 0
+                                              THEN 1 ELSE 0 END)
+                                     - sum(CASE WHEN a_ok = 0 AND b_ok = 1
+                                                THEN 1 ELSE 0 END))::DOUBLE - 1.0,
+                                 2)
+                           / sum(CASE WHEN a_ok != b_ok THEN 1 ELSE 0 END)
+                 END, 6) + 0.0 AS chi2_cc
+    FROM paired
+    """,
+    tags=("eval", "experiment"),
+)
+def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test — the PAIRED model comparison the eval family was
+    missing: two classifiers judged on the SAME examples (A = {KNN_K}-NN
+    majority vote, exactly knn_label's rule; B = 1-NN, the rank-1 label),
+    truth = the query's own label. Unpaired accuracy comparison wastes
+    the pairing; McNemar looks only at the DISCORDANT cells — b = A
+    right/B wrong, c = A wrong/B right — and chi2_cc = (|b-c|-1)^2 /
+    (b+c) with the standard continuity correction (0 when no
+    discordance). This is the statistically correct way to decide 'is
+    the k-vote worth it over nearest-neighbor' from one eval set.
+
+    Both predictions derive from ONE scored ranking (the knn_label
+    subtree, shared CTE in both dialects): the k-NN vote aggregates
+    rank<=k, the 1-NN reads rank=1 — no second retrieval pass. Counts
+    are exact integers; chi2 is the only float, aggregate-rounded (rule
+    6) with -0.0 guard (rule 17). Scale: the ranking is the bounded
+    {KNN_NQUERIES}-query x corpus scan knn_label already pays; the
+    McNemar fold is one row."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < KNN_NQUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("truth"),
+        F.col("embedding").alias("q_emb"),
+    )
+    corpus = e.filter(F.col("vec_id") >= KNN_NQUERIES)
+    w = Window.partitionBy("qid").orderBy(F.col("raw_dot").desc(), F.col("vec_id").asc())
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "truth",
+            "vec_id",
+            "label",
+            dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    votes = scored.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    pred_a = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", F.col("label").alias("a_label"))
+    )
+    pred_b = scored.filter(F.col("rank") == 1).select(
+        "qid", F.col("label").alias("b_label"), "truth"
+    )
+    paired = pred_a.join(pred_b, "qid").select(
+        F.when(F.col("a_label") == F.col("truth"), 1).otherwise(0).alias("a_ok"),
+        F.when(F.col("b_label") == F.col("truth"), 1).otherwise(0).alias("b_ok"),
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a_ok").alias("n_a_correct"),
+        F.sum("b_ok").alias("n_b_correct"),
+        F.sum(F.when((F.col("a_ok") == 1) & (F.col("b_ok") == 0), 1).otherwise(0)).alias(
+            "b_cell"
+        ),
+        F.sum(F.when((F.col("a_ok") == 0) & (F.col("b_ok") == 1), 1).otherwise(0)).alias(
+            "c_cell"
+        ),
+    )
+    disc = F.col("b_cell") + F.col("c_cell")
+    chi2 = F.when(disc == 0, F.lit(0.0)).otherwise(
+        F.pow(F.abs(F.col("b_cell") - F.col("c_cell")).cast("double") - 1.0, 2)
+        / disc
+    )
+    return agg.select(
+        "n",
+        "n_a_correct",
+        "n_b_correct",
+        "b_cell",
+        "c_cell",
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2_cc"),
+    )

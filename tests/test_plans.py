@@ -1161,3 +1161,33 @@ def test_seasonal_strength_single_scan_hourly_frame(spark, sf_dir):
     assert "CartesianProduct" not in executed
     assert "SortMergeJoin" not in executed
     assert "EvalPython" not in executed
+
+
+def test_quantile_histogram_no_sort_of_rows(spark, sf_dir):
+    """agg_quantile_histogram: rows fold map-side into the (group, cents)
+    histogram BEFORE any ordering — the only Sort in the plan orders the
+    histogram window, and no global row sort / per-group percentile sort
+    exists."""
+    df = REGISTRY["agg_quantile_histogram"].fn(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in executed, executed[:3000]
+    assert "percentile" not in executed, executed[:3000]
+    assert executed.count("HashAggregate") >= 2, executed[:3000]
+    assert "EvalPython" not in executed
+
+
+def test_mcnemar_shares_one_ranking_subtree(spark, sf_dir):
+    """eval_mcnemar_paired: the corpus-side work is the one broadcast
+    ranking scan (query side broadcast, never corpus x corpus); the only
+    merge join allowed is the qid-keyed pairing of the two tiny
+    prediction frames (both already qid-partitioned by their windows)."""
+    executed = (
+        REGISTRY["eval_mcnemar_paired"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in executed
+    assert executed.count("SortMergeJoin") <= 1, executed[:2500]
+    assert "BroadcastNestedLoopJoin" in executed or "BroadcastHashJoin" in executed, (
+        executed[:2500]
+    )
+    assert "EvalPython" not in executed

@@ -313,3 +313,46 @@ def test_seasonal_strength_bounded_and_consistent_with_decompose(spark, sf_dir):
     want_trend = round(max(0.0, 1.0 - var(resid) / var(tr)), 6) + 0.0
     assert r["strength_seasonal"] == want_season, (r, want_season)
     assert r["strength_trend"] == want_trend, (r, want_trend)
+
+
+def test_histogram_quantiles_match_sorted_order_statistics(spark, sf_dir):
+    """agg_quantile_histogram equals the discrete order statistic computed
+    by literally sorting the collected cents per group — and the three
+    quantiles are monotone."""
+    from rvi_big_data_api_spark.io import load
+
+    rows = {r["event_type"]: r for r in _df("agg_quantile_histogram", spark, sf_dir).collect()}
+    data = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in data:
+        by_type.setdefault(r["event_type"], []).append(r["c"])
+    assert set(by_type) == set(rows)
+    for t, cs in by_type.items():
+        cs.sort()
+        n = len(cs)
+        got = rows[t]
+        assert got["n"] == n
+        assert got["p50_cents"] == cs[(n + 1) // 2 - 1], t
+        assert got["p90_cents"] == cs[(9 * n + 9) // 10 - 1], t
+        assert got["p99_cents"] == cs[(99 * n + 99) // 100 - 1], t
+        assert got["p50_cents"] <= got["p90_cents"] <= got["p99_cents"], got
+
+
+def test_mcnemar_cells_reconcile_with_per_classifier_accuracy(spark, sf_dir):
+    """The discordant cells and the marginal accuracies must satisfy
+    n_a_correct - n_b_correct == b_cell - c_cell (both sides count the
+    same concordant core), and chi2 is 0 iff no discordance."""
+    r = _df("eval_mcnemar_paired", spark, sf_dir).collect()[0]
+    assert r["n_a_correct"] - r["n_b_correct"] == r["b_cell"] - r["c_cell"], r
+    assert r["b_cell"] + r["c_cell"] <= r["n"], r
+    if r["b_cell"] + r["c_cell"] == 0:
+        assert r["chi2_cc"] == 0.0, r
+    else:
+        want = round(
+            (abs(r["b_cell"] - r["c_cell"]) - 1.0) ** 2 / (r["b_cell"] + r["c_cell"]), 6
+        ) + 0.0
+        assert r["chi2_cc"] == want, (r, want)
