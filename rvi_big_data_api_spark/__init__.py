@@ -95,7 +95,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "cdc_snapshot_diff", "agg_incremental_merge", "stats_kruskal_wallis",
     "feature_woe", "privacy_suppression", "geo_dbscan_grid",
     "ts_cross_correlation", "geo_cotravel", "ts_seasonal_strength",
-    "agg_quantile_histogram", "eval_mcnemar_paired",
+    "agg_quantile_histogram", "eval_mcnemar_paired", "seq_markov_holdout",
+    "profile_correlation_matrix",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

