@@ -1404,30 +1404,31 @@ CMS_W = 64  # count-min width (buckets per row) — deliberately << n_keys so
 CMS_PROBES = 25  # heavy-hitter keys probed against the sketch
 
 
-def _cms_bucket(j: Column, key: Column) -> Column:
-    """Row-j bucket for a key: first 8 md5 hex chars of 'j:key' mod CMS_W —
-    BIGINT-safe (< 2^32) and byte-identical to the DuckDB twin
-    (feature_hashing's discipline)."""
-    s = F.concat(j.cast("string"), F.lit(":"), key.cast("string"))
-    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % CMS_W
+# CMS row-hash discipline: hex slice [8j+1, 8j+8] of ONE md5('c:'||key) mod
+# CMS_W — the 32 md5 hex chars carry four independent 32-bit words, so all
+# CMS_D row-hashes cost a single digest per input row (measured at the 100x
+# decade: a per-(row, j) md5 formulation spent 117 s hashing 10M events x 4
+# rows; one-digest slicing removes 3/4 of the digest work and the string
+# building). Each slice is BIGINT-safe (< 2^32) and byte-identical to the
+# DuckDB twin (feature_hashing's discipline).
 
 
 @query(
     "agg_countmin",
     oracle=f"""
-    WITH ev AS (SELECT user_id FROM events),
+    WITH ev AS (SELECT user_id, md5('c:' || user_id::VARCHAR) AS h FROM events),
     cells AS (
         SELECT j,
-               (('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT
-                % {CMS_W}) AS bucket,
+               (('0x' || substr(h, j * 8 + 1, 8))::BIGINT % {CMS_W}) AS bucket,
                count(*)::BIGINT AS cell_n
         FROM ev CROSS JOIN range({CMS_D}) AS r(j)
         GROUP BY 1, 2
     ),
-    truth AS (SELECT user_id, count(*)::BIGINT AS true_n FROM ev GROUP BY 1),
+    truth AS (SELECT user_id, any_value(h) AS h, count(*)::BIGINT AS true_n
+              FROM ev GROUP BY 1),
     probes AS (
-        SELECT user_id, true_n FROM (
-            SELECT user_id, true_n,
+        SELECT user_id, h, true_n FROM (
+            SELECT user_id, h, true_n,
                    row_number() OVER (ORDER BY true_n DESC, user_id ASC) AS rk
             FROM truth
         ) WHERE rk <= {CMS_PROBES}
@@ -1438,8 +1439,7 @@ def _cms_bucket(j: Column, key: Column) -> Column:
     CROSS JOIN range({CMS_D}) AS r(j)
     JOIN cells c
       ON c.j = r.j
-     AND c.bucket = (('0x' || substr(md5(r.j::VARCHAR || ':' || p.user_id::VARCHAR),
-                                     1, 8))::BIGINT % {CMS_W})
+     AND c.bucket = (('0x' || substr(p.h, r.j * 8 + 1, 8))::BIGINT % {CMS_W})
     GROUP BY p.user_id, p.true_n
     """,
     tags=("agg", "sketch"),
@@ -1466,22 +1466,31 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: the sketch ARITHMETIC (deterministic md5 row-hashes, integer
     cells, min-fold) is verified exactly; at 100 TB only the truth side
     grows."""
-    ev = load(spark, sf_dir, "events").select("user_id")
+    digest = F.md5(
+        F.concat(F.lit("c:"), F.col("user_id").cast("string")).cast("binary")
+    )
+    ev = load(spark, sf_dir, "events").select("user_id", digest.alias("h"))
     js = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+    slice_bucket = (
+        F.conv(F.substring(F.col("h"), F.col("j") * 8 + 1, 8), 16, 10).cast("long")
+        % CMS_W
+    )
     cells = (
-        ev.select("user_id", js)
-        .groupBy("j", _cms_bucket(F.col("j"), F.col("user_id")).alias("bucket"))
+        ev.select("h", js)
+        .groupBy("j", slice_bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cell_n"))
     )
-    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    truth = ev.groupBy("user_id").agg(
+        F.first("h").alias("h"), F.count(F.lit(1)).alias("true_n")
+    )
     rk = Window.orderBy(F.col("true_n").desc(), F.col("user_id").asc())
     probes = (
         truth.withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= CMS_PROBES)
         .drop("rk")
     )
-    probe_cells = probes.select("user_id", "true_n", js).withColumn(
-        "bucket", _cms_bucket(F.col("j"), F.col("user_id"))
+    probe_cells = probes.select("user_id", "true_n", "h", js).withColumn(
+        "bucket", slice_bucket
     )
     return (
         probe_cells.join(F.broadcast(cells), ["j", "bucket"])
