@@ -96,7 +96,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "feature_woe", "privacy_suppression", "geo_dbscan_grid",
     "ts_cross_correlation", "geo_cotravel", "ts_seasonal_strength",
     "agg_quantile_histogram", "eval_mcnemar_paired", "seq_markov_holdout",
-    "profile_correlation_matrix",
+    "profile_correlation_matrix", "stream_quantile_histogram",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1605,3 +1605,87 @@ def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(sdf, sf_dir, "corpus", "complete")
+
+
+@query(
+    "stream_quantile_histogram",
+    oracle="""
+    WITH hist AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type,
+               floor(value * 100 + 0.5)::BIGINT AS cents,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT win_start, event_type, cents, cnt,
+               sum(cnt) OVER (PARTITION BY win_start, event_type ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_n,
+               sum(cnt) OVER (PARTITION BY win_start, event_type)::BIGINT AS n
+        FROM hist
+    )
+    SELECT win_start, event_type, max(n)::BIGINT AS n,
+           min(CASE WHEN cum_n >= (n + 1) // 2 THEN cents END)::BIGINT
+               AS p50_cents,
+           min(CASE WHEN cum_n >= (9 * n + 9) // 10 THEN cents END)::BIGINT
+               AS p90_cents
+    FROM cum GROUP BY win_start, event_type
+    """,
+    tags=("streaming", "scale"),
+)
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT percentiles — agg_quantile_histogram's online twin,
+    and the proof that the histogram-quantile monoid is a legal streaming
+    state: the stream maintains per-(day window, channel, cents) counts
+    as ONE windowed stateful aggregation (complete mode ⇒ the final table
+    equals the batch histogram ⇒ exact oracle), and the order-statistic
+    extraction (cumulative counts + integer ceilings — no interpolation,
+    no float) runs on the RESULT table as batch post-processing, exactly
+    stream_psi_drift's two-stage rule (a second stateful pass inside the
+    stream is what Structured Streaming restricts; in production the
+    extraction lives in foreachBatch).
+
+    Why this matters: percentile_approx is the usual streaming answer
+    because sort-based exact percentiles are unmaintainable online — but
+    the cents histogram is a bounded-domain COMMUTATIVE MONOID, so the
+    stream carries exact quantile state at |windows x channels x distinct
+    cents| rows, updated by pure addition, mergeable across shards and
+    restarts. p50/p90 per channel per day are then exact order
+    statistics, not sketches. State is bounded by the value domain, not
+    the event count — the same argument agg_quantile_histogram makes for
+    batch, carried through the watermark machinery."""
+    ev = stream_events(spark, sf_dir)
+    sdf = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 day").alias("win"),
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(ts_str(F.col("win.start")).alias("win_start"), "event_type", "cents", "cnt")
+    )
+    hist = run_to_table(sdf, sf_dir, "quantile_hist", "complete")
+    wcum = (
+        Window.partitionBy("win_start", "event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("win_start", "event_type")
+    cum = hist.select(
+        "win_start",
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wcum).alias("cum_n"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return cum.groupBy("win_start", "event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.expr("CASE WHEN cum_n >= (n + 1) div 2 THEN cents END")).alias(
+            "p50_cents"
+        ),
+        F.min(F.expr("CASE WHEN cum_n >= (9 * n + 9) div 10 THEN cents END")).alias(
+            "p90_cents"
+        ),
+    )

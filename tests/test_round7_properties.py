@@ -396,3 +396,31 @@ def test_correlation_matrix_is_upper_triangle_and_bounded(spark, sf_dir):
         assert (r["m1"], r["m2"]) not in seen
         seen.add((r["m1"], r["m2"]))
         assert -1.0 <= r["corr"] <= 1.0, r
+
+
+def test_stream_quantiles_equal_batch_quantiles_globally(spark, sf_dir):
+    """stream_quantile_histogram's per-window order statistics are exact:
+    recompute the discrete quantile for one (window, channel) slice from
+    raw collected cents and compare; also every p50 <= p90."""
+    rows = _df("stream_quantile_histogram", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_cents"] <= r["p90_cents"], r
+    from rvi_big_data_api_spark.io import load
+
+    pick = max(rows, key=lambda r: r["n"])
+    day = pick["win_start"][:10]
+    cs = sorted(
+        r["c"]
+        for r in load(spark, sf_dir, "events")
+        .filter(
+            (F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == day)
+            & (F.col("event_type") == pick["event_type"])
+        )
+        .select(F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"))
+        .collect()
+    )
+    n = len(cs)
+    assert pick["n"] == n
+    assert pick["p50_cents"] == cs[(n + 1) // 2 - 1]
+    assert pick["p90_cents"] == cs[(9 * n + 9) // 10 - 1]
