@@ -1435,3 +1435,118 @@ def test_generated_bloom_geometries_agree_across_engines(spark, duck, sf_dir, m,
     for _uid, bloom_pos, is_member in s_rows:
         if is_member:
             assert bloom_pos == 1, f"Bloom false negative: m={m} k={k} umod={umod}"
+
+
+# --------------------------------------------------------------------------
+# Histogram-quantile family (round 7): agg_quantile_histogram pins three
+# fixed quantiles; this samples the (quantile, predicate, key) space with
+# the same integer-ceiling order-statistic construction on both engines.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    qnum=st.integers(min_value=1, max_value=99),
+    pred=atom,
+    key=st.sampled_from(["event_type", "user_id % 7"]),
+)
+def test_generated_histogram_quantiles_agree_across_engines(spark, duck, sf_dir, qnum, pred, key):
+    """The q-th discrete quantile from the cumulative cents histogram —
+    random q, random slice, random group key — matches exactly (integer
+    ceilings, no interpolation anywhere)."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # ceil(q*n/100) with pure integer math: (q*n + 99) DIV 100 — spelled
+    # per-dialect (DuckDB `//`, Spark `DIV`), everything else identical:
+    s_sql = f"""
+        WITH hist AS (
+            SELECT {key} AS k, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   count(*) AS cnt
+            FROM events WHERE {pred} GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT k, cents,
+                   sum(cnt) OVER (PARTITION BY k ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                   sum(cnt) OVER (PARTITION BY k) AS n
+            FROM hist
+        )
+        SELECT k, max(n) AS n,
+               min(CASE WHEN cum_n >= ({qnum} * n + 99) DIV 100 THEN cents END)
+                   AS q_cents
+        FROM cum GROUP BY k
+    """
+    d_sql = f"""
+        WITH hist AS (
+            SELECT {key} AS k, floor(value * 100 + 0.5)::BIGINT AS cents,
+                   count(*)::BIGINT AS cnt
+            FROM events WHERE {pred} GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT k, cents,
+                   sum(cnt) OVER (PARTITION BY k ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS cum_n,
+                   sum(cnt) OVER (PARTITION BY k)::BIGINT AS n
+            FROM hist
+        )
+        SELECT k, max(n)::BIGINT AS n,
+               min(CASE WHEN cum_n >= ({qnum} * n + 99) // 100 THEN cents END)::BIGINT
+                   AS q_cents
+        FROM cum GROUP BY k
+    """
+    s_rows = {(r.k, r.n, r.q_cents) for r in spark.sql(s_sql).collect()}
+    d_rows = set(map(tuple, duck.execute(d_sql).fetchall()))
+    assert s_rows == d_rows, f"q={qnum} key={key} pred={pred}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    t1=st.integers(min_value=3, max_value=15),
+    t2=st.integers(min_value=16, max_value=29),
+    win=st.integers(min_value=1, max_value=3),
+)
+def test_generated_snapshot_diffs_agree_across_engines(spark, duck, sf_dir, t1, t2, win):
+    """cdc_snapshot_diff's full-outer changeset derivation at random
+    cutoffs/window widths — the I/U/D classification and exact-integer
+    unchanged-suppression agree across engines."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    body = """
+        WITH s1 AS (
+            SELECT user_id, count(*) AS n
+            FROM events WHERE day(ts) >= {lo1} AND day(ts) < {t1}
+            GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT user_id, count(*) AS n
+            FROM events WHERE day(ts) >= {lo2} AND day(ts) < {t2}
+            GROUP BY user_id
+        )
+        SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+               CASE WHEN s1.user_id IS NULL THEN 'insert'
+                    WHEN s2.user_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               s1.n AS old_n, s2.n AS new_n
+        FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.n != s2.n
+    """
+    sql = body.format(lo1=t1 - win, t1=t1, lo2=t2 - win, t2=t2)
+    s_rows = {
+        (r.user_id, r.change_type, r.old_n, r.new_n)
+        for r in spark.sql(sql).collect()
+    }
+    d_rows = set(map(tuple, duck.execute(sql).fetchall()))
+    assert s_rows == d_rows, f"t1={t1} t2={t2} win={win}"
