@@ -3675,3 +3675,100 @@ def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias("corr"),
     )
+
+
+@query(
+    "geo_dwell_segments",
+    oracle=f"""
+    WITH fixes AS (
+        SELECT user_id,
+               floor((fmod(value, 170.0) - 85.0) / {COTRAVEL_CELL_DEG})::BIGINT
+                   AS latc,
+               floor((fmod(event_id::DOUBLE, 360.0) - 180.0)
+                     / {COTRAVEL_CELL_DEG})::BIGINT AS lonc,
+               floor(epoch(ts))::BIGINT AS sec, event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(latc) OVER w IS NULL
+                         OR lag(latc) OVER w != latc
+                         OR lag(lonc) OVER w != lonc
+                    THEN 1 ELSE 0 END AS new_seg
+        FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    segs AS (
+        SELECT user_id, latc, lonc,
+               sum(new_seg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS seg_id,
+               sec
+        FROM flagged
+    ),
+    dwell AS (
+        SELECT user_id, latc, lonc, seg_id,
+               (max(sec) - min(sec))::BIGINT AS dwell_sec,
+               count(*)::BIGINT AS n_fixes
+        FROM segs GROUP BY 1, 2, 3, 4
+    )
+    SELECT user_id, latc, lonc,
+           count(*)::BIGINT AS n_visits,
+           sum(dwell_sec)::BIGINT AS total_dwell_sec,
+           max(dwell_sec)::BIGINT AS max_dwell_sec,
+           sum(n_fixes)::BIGINT AS n_fixes
+    FROM dwell GROUP BY 1, 2, 3
+    """,
+    tags=("telemetry", "geo"),
+)
+def geo_dwell_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time extraction — gaps-and-islands applied to SPACE: a visit
+    is a maximal run of consecutive fixes in the same
+    {COTRAVEL_CELL_DEG}-degree cell, and each (vehicle, cell) reports its
+    visit count, total and longest dwell. The stop-detection primitive
+    under trip segmentation, depot discovery (long max_dwell), and
+    geofence billing — threshold_runs' island machinery with the run key
+    being spatial instead of a numeric threshold.
+
+    Same island algebra in both engines: a new segment opens when the
+    lagged cell differs (or at the first fix), the running sum of flags
+    names the segment, dwell = max(sec) − min(sec) per segment — all
+    BIGINT (floor(epoch()) per rule 27). One user-keyed window shuffle
+    does everything: lag, flag, running sum share the (user_id; sec,
+    event_id) frame, then two hash aggs ride the same partitioning. At
+    100 TB this partitions by vehicle exactly like trip_sessionize —
+    embarrassingly parallel across the fleet."""
+    ev = load(spark, sf_dir, "events")
+    fixes = ev.select(
+        "user_id",
+        F.floor((F.col("value") % 170.0 - 85.0) / COTRAVEL_CELL_DEG).alias("latc"),
+        F.floor(
+            (F.col("event_id").cast("double") % 360.0 - 180.0) / COTRAVEL_CELL_DEG
+        ).alias("lonc"),
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    new_seg = F.when(
+        F.lag("latc").over(w).isNull()
+        | (F.lag("latc").over(w) != F.col("latc"))
+        | (F.lag("lonc").over(w) != F.col("lonc")),
+        1,
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    segs = fixes.select(
+        "user_id",
+        "latc",
+        "lonc",
+        "sec",
+        F.sum(new_seg).over(wrun).alias("seg_id"),
+    )
+    dwell = segs.groupBy("user_id", "latc", "lonc", "seg_id").agg(
+        (F.max("sec") - F.min("sec")).alias("dwell_sec"),
+        F.count(F.lit(1)).alias("n_fixes"),
+    )
+    return dwell.groupBy("user_id", "latc", "lonc").agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum("dwell_sec").alias("total_dwell_sec"),
+        F.max("dwell_sec").alias("max_dwell_sec"),
+        F.sum("n_fixes").alias("n_fixes"),
+    )

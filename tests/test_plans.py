@@ -1218,3 +1218,13 @@ def test_correlation_matrix_pairs_on_cells_not_events(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in executed
     assert "EvalPython" not in executed
     assert "Generate" in executed, executed[:2500]
+
+
+def test_dwell_segments_single_user_exchange(spark, sf_dir):
+    """geo_dwell_segments: lag, flag, running sum and both aggs share ONE
+    user_id exchange (the telemetry single-shuffle rule) — the second agg
+    rides the same partitioning because its keys extend the first's."""
+    plan = plan_of(REGISTRY["geo_dwell_segments"].fn(spark, sf_dir))
+    n_exchanges = plan.split("\n== ")[0].count("Exchange ")
+    assert n_exchanges <= 2, f"expected <=2 Exchange, found {n_exchanges}:\n{plan[:2500]}"
+    assert "EvalPython" not in plan

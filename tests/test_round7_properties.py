@@ -424,3 +424,25 @@ def test_stream_quantiles_equal_batch_quantiles_globally(spark, sf_dir):
     assert pick["n"] == n
     assert pick["p50_cents"] == cs[(n + 1) // 2 - 1]
     assert pick["p90_cents"] == cs[(9 * n + 9) // 10 - 1]
+
+
+def test_dwell_segments_reconcile_with_fix_count(spark, sf_dir):
+    """geo_dwell_segments: per user, fixes across all visited cells sum to
+    the user's event count; visits >= 1 wherever fixes exist; dwell
+    bounds: max_dwell <= total_dwell and both non-negative."""
+    from rvi_big_data_api_spark.io import load
+
+    rows = _df("geo_dwell_segments", spark, sf_dir).collect()
+    per_user: dict = {}
+    for r in rows:
+        assert r["n_visits"] >= 1 and r["n_fixes"] >= r["n_visits"], r
+        assert 0 <= r["max_dwell_sec"] <= r["total_dwell_sec"], r
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + r["n_fixes"]
+    want = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_user == want
