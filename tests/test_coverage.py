@@ -518,6 +518,36 @@ EXTENSIONS = [
     # (VERDICT r6 item 7: the rows-only residue shrinks to the xxhash64
     # seeding alone)
     "dedup_simhash_verify",
+    # round 7 wave 2: exactly-twinned hash sketches — the build, probe AND
+    # error census hash-check against DuckDB (deterministic md5 row-hashes;
+    # nothing estimates, only the interpretation is approximate)
+    "agg_countmin", "agg_bloom_filter",
+    # round 7 wave 2: pipeline/table maintenance — changeset derivation from
+    # keyed snapshots (cdc_merge's inverse) and explicit partial-state merge
+    # (the MV-maintenance monoid law, verified merge == recompute)
+    "cdc_snapshot_diff", "agg_incremental_merge",
+    # round 7 wave 2: stats/ML — rank ANOVA via histogram ranking (no global
+    # row sort), WOE/IV categorical encoder, paired McNemar over the shared
+    # kNN ranking
+    "stats_kruskal_wallis", "feature_woe", "eval_mcnemar_paired",
+    # round 7 wave 2: privacy enforcement (generalize-then-suppress — the
+    # mechanism for privacy_k_anonymity's audit)
+    "privacy_suppression",
+    # round 7 wave 2: spatio-temporal analytics — grid-DBSCAN (map-side cell
+    # fold + one union-find task over the geometry-bounded cell graph),
+    # co-travel pair mining (inverted-index on (cell, day) stamps), spatial
+    # gaps-and-islands dwell extraction
+    "geo_dbscan_grid", "geo_cotravel", "geo_dwell_segments",
+    # round 7 wave 2: time-series — lead-lag cross-correlation (integer
+    # power sums), seasonal/trend strength on the all-integer decomposition,
+    # held-out Markov perplexity (train/test split by time)
+    "ts_cross_correlation", "ts_seasonal_strength", "seq_markov_holdout",
+    # round 7 wave 2: exact mergeable quantiles via bounded-domain cents
+    # histograms — batch and the streaming-state twin
+    "agg_quantile_histogram", "stream_quantile_histogram",
+    # round 7 wave 2: all-pairs measure correlation matrix (one cell fold,
+    # natural-key self-join)
+    "profile_correlation_matrix",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
