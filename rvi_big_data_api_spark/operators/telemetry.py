@@ -2946,6 +2946,37 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def union_find_min_label(pdf):
+    """Min-label union-find over an Arrow edge batch (doc_a, doc_b) —
+    returns (key, cid) with cid = the minimum node id of each component.
+    Union-by-min keeps the smaller root as the merged root, so the final
+    root IS the component minimum by induction; path compression bounds
+    the walk. Runs as ONE applyInPandas task for graphs whose node
+    universe is bounded by construction (geo_dbscan_grid's cells) — the
+    documented counterpoint to pointer_doubling_components, which handles
+    node sets that grow with the data. Golden-tested on hand-built graphs
+    (tests/test_round7_properties.py)."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a_key, b_key in zip(pdf["doc_a"], pdf["doc_b"]):
+        ra, rb = find(int(a_key)), find(int(b_key))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(parent)
+    return pd.DataFrame({"key": nodes, "cid": [find(n) for n in nodes]})
+
+
 DBSCAN_CELL_DEG = 5.0  # density-grid cell size (finer than GRID_CELL_DEG)
 DBSCAN_MINPTS = 8  # core-cell threshold: cells with >= MINPTS fixes
 # cell-key packing: lat_cell in [-18, 18), lon_cell in [-36, 36) at 5 deg —
@@ -3066,31 +3097,9 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EVERY scale; the right plan is one Arrow-batched union-find task over
     # the edge list, executor-side (never a driver collect), after the
     # genuinely data-sized work (points -> cells) reduced map-side.
-    def _union_find(pdf):
-        import pandas as pd
-
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.setdefault(r, r) != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a_key, b_key in zip(pdf["doc_a"], pdf["doc_b"]):
-            ra, rb = find(int(a_key)), find(int(b_key))
-            if ra != rb:
-                # union by MIN so the fixpoint label is the component min
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        nodes = sorted(parent)
-        return pd.DataFrame({"key": nodes, "cid": [find(n) for n in nodes]})
-
     labels = (
         edges.groupBy(F.lit(1).alias("g"))
-        .applyInPandas(_union_find, "key long, cid long")
+        .applyInPandas(union_find_min_label, "key long, cid long")
     )
     lab = core.join(labels, "key", "left").select(
         "lat_cell",

@@ -446,3 +446,30 @@ def test_dwell_segments_reconcile_with_fix_count(spark, sf_dir):
         .collect()
     }
     assert per_user == want
+
+
+def test_union_find_golden_graphs(spark, sf_dir):
+    """union_find_min_label on hand-built graphs: a chain, two disjoint
+    triangles, a star, and a merge-order trap (descending edges) — labels
+    must equal the component minimum for every node regardless of edge
+    order."""
+    import pandas as pd
+
+    from rvi_big_data_api_spark.operators.telemetry import union_find_min_label
+
+    def run(edges):
+        pdf = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+        out = union_find_min_label(pdf)
+        return dict(zip(out["key"], out["cid"]))
+
+    # chain 5-4-3-2-1 presented in the worst (descending) order
+    assert run([(5, 4), (4, 3), (3, 2), (2, 1)]) == {n: 1 for n in (1, 2, 3, 4, 5)}
+    # two disjoint triangles
+    got = run([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # star with the hub having the largest id
+    assert run([(9, 1), (9, 2), (9, 3)]) == {1: 1, 2: 1, 3: 1, 9: 1}
+    # merge-order trap: two chains meet last, label must re-resolve to the
+    # global min through the late union
+    got = run([(7, 8), (5, 6), (6, 7), (1, 8)])
+    assert got == {n: 1 for n in (1, 5, 6, 7, 8)}
