@@ -74,6 +74,12 @@ PROBE_QUERIES = [
     "graph_pagerank",
     "corpus_dedup_pipeline",
     "resample_interp",
+    # round 7: sketches / spatio-temporal / histogram quantiles
+    "agg_countmin",
+    "geo_dbscan_grid",
+    "geo_cotravel",
+    "agg_quantile_histogram",
+    "geo_dwell_segments",
 ]
 
 
