@@ -2762,3 +2762,129 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_cell",
         (F.round(chi2, 6) + F.lit(0.0)).alias("chi2_cc"),
     )
+
+
+@query(
+    "stats_effect_sizes",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                   AS spend
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n, avg(spend) AS m, var_samp(spend) AS v
+        FROM per_user GROUP BY arm
+    ),
+    ranked AS (
+        SELECT arm, row_number() OVER (ORDER BY spend, user_id) AS rn
+        FROM per_user
+    ),
+    u AS (
+        SELECT sum(CASE WHEN arm = 'treatment' THEN rn ELSE 0 END)::BIGINT
+                   AS rank_sum_t
+        FROM ranked
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'control' THEN n END)::BIGINT AS n_c,
+               max(CASE WHEN arm = 'control' THEN m END) AS m_c,
+               max(CASE WHEN arm = 'control' THEN v END) AS v_c,
+               max(CASE WHEN arm = 'treatment' THEN n END)::BIGINT AS n_t,
+               max(CASE WHEN arm = 'treatment' THEN m END) AS m_t,
+               max(CASE WHEN arm = 'treatment' THEN v END) AS v_t
+        FROM arms
+    )
+    SELECT n_c, n_t,
+           round((m_t - m_c)
+                 / nullif(sqrt(((n_c - 1) * v_c + (n_t - 1) * v_t)
+                               / (n_c + n_t - 2)), 0.0), 6) + 0.0 AS cohens_d,
+           round(((m_t - m_c)
+                  / nullif(sqrt(((n_c - 1) * v_c + (n_t - 1) * v_t)
+                                / (n_c + n_t - 2)), 0.0))
+                 * (1.0 - 3.0 / (4.0 * (n_c + n_t) - 9.0)), 6) + 0.0 AS hedges_g,
+           round(2.0 * (u.rank_sum_t - n_t * (n_t + 1) / 2.0)::DOUBLE
+                 / nullif((n_c * n_t)::DOUBLE, 0.0) - 1.0, 6) + 0.0
+               AS rank_biserial
+    FROM wide CROSS JOIN u
+    """,
+    tags=("analytics", "experiment"),
+)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes for the control/treatment split — the numbers a
+    significance test does NOT give: stats_ttest_welch says whether the
+    arms differ; these say by HOW MUCH, unit-free. Cohen's d (pooled-SD
+    standardized mean difference), Hedges' g (d with the small-sample
+    bias factor 1 − 3/(4N−9)), and the rank-biserial correlation
+    (2U/(n_c·n_t) − 1 — the effect size of agg_mannwhitney_u's U, robust
+    to the spend skew). Same md5 arm assignment as the t-test, so the
+    suite reads as one experiment report.
+
+    Rank sums use the row_number-over-(spend, user_id) convention: the
+    user_id tiebreak makes the ordering total, so the rank assignment —
+    and hence U — is engine-identical even on spend ties.
+    Moments ride var_samp/avg over the per-user frame; the three
+    statistics are the only floats, aggregate-rounded (rule 6/8) with
+    -0.0 guards (rule 17).
+
+    Scale: one partial agg to users, one tiny arm rollup; the global
+    rank is a sort over users (not events) — swap in the histogram
+    ranking (stats_kruskal_wallis) when the user table itself is huge."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("spend")
+    ).select(
+        "user_id",
+        "spend",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)
+            < "8",
+            "control",
+        )
+        .otherwise("treatment")
+        .alias("arm"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("spend").alias("m"),
+        F.var_samp("spend").alias("v"),
+    )
+    ranked = per_user.select(
+        "arm", F.row_number().over(Window.orderBy("spend", "user_id")).alias("rn")
+    )
+    u = ranked.agg(
+        F.sum(F.when(F.col("arm") == "treatment", F.col("rn")).otherwise(0)).alias(
+            "rank_sum_t"
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("m"))).alias("m_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("v"))).alias("v_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("m"))).alias("m_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("v"))).alias("v_t"),
+    )
+    n_c, n_t = F.col("n_c"), F.col("n_t")
+    pooled_sd = F.sqrt(
+        ((n_c - 1) * F.col("v_c") + (n_t - 1) * F.col("v_t")) / (n_c + n_t - 2)
+    )
+    d = (F.col("m_t") - F.col("m_c")) / F.nullif(pooled_sd, F.lit(0.0))
+    g = d * (1.0 - 3.0 / (4.0 * (n_c + n_t) - 9.0))
+    rb = (
+        2.0
+        * (F.col("rank_sum_t") - n_t * (n_t + 1) / 2.0).cast("double")
+        / F.nullif((n_c * n_t).cast("double"), F.lit(0.0))
+        - 1.0
+    )
+    return wide.crossJoin(F.broadcast(u)).select(
+        "n_c",
+        "n_t",
+        (F.round(d, 6) + F.lit(0.0)).alias("cohens_d"),
+        (F.round(g, 6) + F.lit(0.0)).alias("hedges_g"),
+        (F.round(rb, 6) + F.lit(0.0)).alias("rank_biserial"),
+    )

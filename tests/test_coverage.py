@@ -548,6 +548,10 @@ EXTENSIONS = [
     # round 7 wave 2: all-pairs measure correlation matrix (one cell fold,
     # natural-key self-join)
     "profile_correlation_matrix",
+    # round 7 wave 2: effect sizes (Cohen's d / Hedges' g / rank-biserial)
+    # for the md5-armed experiment — the magnitude companion to
+    # stats_ttest_welch / agg_mannwhitney_u
+    "stats_effect_sizes",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

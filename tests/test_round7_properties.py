@@ -473,3 +473,18 @@ def test_union_find_golden_graphs(spark, sf_dir):
     # global min through the late union
     got = run([(7, 8), (5, 6), (6, 7), (1, 8)])
     assert got == {n: 1 for n in (1, 5, 6, 7, 8)}
+
+
+def test_effect_sizes_consistency(spark, sf_dir):
+    """stats_effect_sizes: Hedges' g shrinks d toward zero (|g| < |d|
+    when d != 0), rank-biserial lives in [-1, 1], and the arm sizes sum
+    to the distinct user count (same md5 split as stats_ttest_welch)."""
+    from rvi_big_data_api_spark.io import load
+
+    r = _df("stats_effect_sizes", spark, sf_dir).collect()[0]
+    assert -1.0 <= r["rank_biserial"] <= 1.0, r
+    if r["cohens_d"] != 0.0:
+        assert abs(r["hedges_g"]) < abs(r["cohens_d"]), r
+        assert (r["hedges_g"] > 0) == (r["cohens_d"] > 0), r
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r["n_c"] + r["n_t"] == n_users, r
