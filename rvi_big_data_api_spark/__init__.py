@@ -97,7 +97,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "ts_cross_correlation", "geo_cotravel", "ts_seasonal_strength",
     "agg_quantile_histogram", "eval_mcnemar_paired", "seq_markov_holdout",
     "profile_correlation_matrix", "stream_quantile_histogram",
-    "geo_dwell_segments", "stats_effect_sizes",
+    "geo_dwell_segments", "stats_effect_sizes", "mm_phash_band",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -310,3 +310,135 @@ def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min("shard").alias("keeper_shard"),
     )
+
+
+MM_NEAR_DOCS = 30   # staged blob universe (originals)
+MM_NEAR_MUTATED = 15  # doc_id < this also uploads a tail-mutated variant
+MM_NEAR_CHUNK_W = 64  # signature chunk width in HEX chars (32 bytes)
+MM_NEAR_CHUNKS = 8  # signature chunks per blob (covers a 256-byte prefix)
+MM_NEAR_T = 6  # min shared chunk-hashes to emit a near-dup pair
+
+
+@query(
+    "mm_phash_band",
+    oracle=f"""
+    WITH entities AS (
+        SELECT doc_id * 10 + 0 AS eid, to_hex((text || chr(10))::BLOB) AS hx
+        FROM documents WHERE doc_id < {MM_NEAR_DOCS}
+        UNION ALL
+        SELECT doc_id * 10 + 2 AS eid,
+               to_hex((text || ' v2' || chr(10))::BLOB) AS hx
+        FROM documents WHERE doc_id < {MM_NEAR_MUTATED}
+    ),
+    chunks AS (
+        SELECT eid, r.k AS k,
+               md5(substr(hx, r.k * {MM_NEAR_CHUNK_W} + 1, {MM_NEAR_CHUNK_W})) AS ch
+        FROM entities CROSS JOIN range({MM_NEAR_CHUNKS}) AS r(k)
+        WHERE r.k * {MM_NEAR_CHUNK_W} < length(hx)
+    ),
+    sizes AS (SELECT eid, count(*)::BIGINT AS n_chunks FROM chunks GROUP BY 1),
+    pairs AS (
+        SELECT a.eid AS eid_a, b.eid AS eid_b, count(*)::BIGINT AS n_shared
+        FROM chunks a JOIN chunks b
+          ON a.k = b.k AND a.ch = b.ch AND a.eid < b.eid
+        GROUP BY 1, 2
+        HAVING count(*) >= {MM_NEAR_T}
+    )
+    SELECT p.eid_a, p.eid_b, p.n_shared,
+           (p.n_shared * 1000000
+            // nullif(sa.n_chunks + sb.n_chunks - p.n_shared, 0))::BIGINT
+               AS sig_jaccard_ppm
+    FROM pairs p
+    JOIN sizes sa ON sa.eid = p.eid_a
+    JOIN sizes sb ON sb.eid = p.eid_b
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def mm_phash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate detection over binary blobs — the perceptual-hash
+    banding shape mm_content_dedup's exact pass cannot cover: a
+    re-encoded/retagged upload is byte-different but content-near. The
+    lake stages each original plus a TAIL-MUTATED variant of the first
+    {MM_NEAR_MUTATED} (an appended ' v2' — the metadata-retag analogue),
+    every blob maps to {MM_NEAR_CHUNKS} positional prefix-chunk
+    fingerprints (md5 of {MM_NEAR_CHUNK_W}-hex-char slices — 32-byte
+    windows over the real file BYTES read back through binaryFile), and
+    blobs sharing >= {MM_NEAR_T} chunk-hashes pair through the (k, hash)
+    inverted index — dedup_near's band join, keyed on content chunks
+    instead of MinHash bands. Tail mutation leaves every complete prefix
+    chunk intact, so original↔variant pairs surface with high signature
+    Jaccard while unrelated blobs share nothing.
+
+    A REAL pHash swaps the chunk map for a DCT over decoded pixels (the
+    decode stub boundary mm_decode_stub documents — image libs are absent
+    offline); everything around it — per-file map-side signature at scan,
+    only (k, 16-byte hash) rows shuffling, banded equi-join, ppm scoring
+    (rule 25), hex-domain hashing (rule 18) — is the production plumbing,
+    staged and hash-checked end to end. At 100 TB the blobs never move:
+    signatures are computed where the files are read, and candidate
+    fan-out is bounded per (k, hash) bucket exactly like every other
+    banded family."""
+    from ..sources.formats import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < MM_NEAR_DOCS)
+    out = scratch_dir(sf_dir, "mm_near_blobs")
+    staged = docs.select("text", "doc_id", F.lit(0).alias("shard")).unionByName(
+        docs.filter(F.col("doc_id") < MM_NEAR_MUTATED).select(
+            F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+            "doc_id",
+            F.lit(2).alias("shard"),
+        )
+    )
+    staged.select("text", "doc_id", "shard").repartition(4).write.mode(
+        "overwrite"
+    ).partitionBy("doc_id", "shard").text(out)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
+    entities = bf.select(
+        (
+            F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long") * 10
+            + F.regexp_extract("path", r"shard=(\d+)", 1).cast("long")
+        ).alias("eid"),
+        F.hex("content").alias("hx"),
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in range(MM_NEAR_CHUNKS)])).alias("k")
+    chunks = (
+        entities.select("eid", "hx", ks)
+        .filter(F.col("k") * MM_NEAR_CHUNK_W < F.length("hx"))
+        .select(
+            "eid",
+            "k",
+            F.md5(
+                F.substring(
+                    F.col("hx"), F.col("k") * MM_NEAR_CHUNK_W + 1, MM_NEAR_CHUNK_W
+                ).cast("binary")
+            ).alias("ch"),
+        )
+    )
+    sizes = chunks.groupBy("eid").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.eid") < F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("eid_a"), F.col("b.eid").alias("eid_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MM_NEAR_T)
+    )
+    sa = sizes.select(F.col("eid").alias("eid_a"), F.col("n_chunks").alias("na"))
+    sb = sizes.select(F.col("eid").alias("eid_b"), F.col("n_chunks").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "eid_a")
+        .join(F.broadcast(sb), "eid_b")
+        .select(
+            "eid_a",
+            "eid_b",
+            "n_shared",
+            F.expr(
+                "n_shared * 1000000 div nullif(na + nb - n_shared, 0)"
+            ).alias("sig_jaccard_ppm"),
+        )
+    )

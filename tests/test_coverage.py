@@ -552,6 +552,10 @@ EXTENSIONS = [
     # for the md5-armed experiment — the magnitude companion to
     # stats_ttest_welch / agg_mannwhitney_u
     "stats_effect_sizes",
+    # round 7 wave 2: binary-blob NEAR-dup via positional prefix-chunk
+    # fingerprints through the (k, hash) band join — mm_content_dedup's
+    # exact pass extended to mutation-tolerant signatures
+    "mm_phash_band",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

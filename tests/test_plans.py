@@ -1228,3 +1228,16 @@ def test_dwell_segments_single_user_exchange(spark, sf_dir):
     n_exchanges = plan.split("\n== ")[0].count("Exchange ")
     assert n_exchanges <= 2, f"expected <=2 Exchange, found {n_exchanges}:\n{plan[:2500]}"
     assert "EvalPython" not in plan
+
+
+def test_phash_band_join_is_chunk_keyed(spark, sf_dir):
+    """mm_phash_band: the candidate join keys on (k, chunk-hash) — an
+    equi-join over 16-byte fingerprints; blobs never shuffle and no
+    cartesian appears."""
+    executed = (
+        REGISTRY["mm_phash_band"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "EvalPython" not in executed

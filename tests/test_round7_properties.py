@@ -488,3 +488,25 @@ def test_effect_sizes_consistency(spark, sf_dir):
         assert (r["hedges_g"] > 0) == (r["cohens_d"] > 0), r
     n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
     assert r["n_c"] + r["n_t"] == n_users, r
+
+
+def test_phash_band_pairs_are_orig_variant(spark, sf_dir):
+    """mm_phash_band: every emitted pair links an original (shard 0) to
+    its own doc's mutated variant (shard 2) — tail mutation can't create
+    cross-doc collisions on 32-byte chunk hashes — and the signature
+    Jaccard is a valid ppm share with n_shared >= the band floor."""
+    from rvi_big_data_api_spark.operators.multimodal import (
+        MM_NEAR_MUTATED,
+        MM_NEAR_T,
+    )
+
+    rows = _df("mm_phash_band", spark, sf_dir).collect()
+    assert rows, "no near-dup pairs surfaced"
+    for r in rows:
+        assert r["eid_a"] < r["eid_b"], r
+        doc_a, shard_a = divmod(r["eid_a"], 10)
+        doc_b, shard_b = divmod(r["eid_b"], 10)
+        assert doc_a == doc_b and (shard_a, shard_b) == (0, 2), r
+        assert doc_a < MM_NEAR_MUTATED, r
+        assert r["n_shared"] >= MM_NEAR_T, r
+        assert 0 < r["sig_jaccard_ppm"] <= 1_000_000, r
