@@ -47,3 +47,14 @@ def test_iterative_and_stateful_ops_repeat_cleanly(spark, sf_dir):
         second = REGISTRY[name].fn(spark, sf_dir).count()
         assert first == second, (name, first, second)
     assert n_persistent_rdds(spark) == before
+
+
+def test_dbscan_grid_repeats_cleanly_no_cache_leak(spark, sf_dir):
+    """geo_dbscan_grid memoizes its core-cell table via an eager
+    checkpoint (never .cache()), so repeated invocations return identical
+    results and leave ZERO persisted relations behind."""
+    before = n_persistent_rdds(spark)
+    first = REGISTRY["geo_dbscan_grid"].fn(spark, sf_dir).count()
+    second = REGISTRY["geo_dbscan_grid"].fn(spark, sf_dir).count()
+    assert first == second > 0
+    assert n_persistent_rdds(spark) == before
