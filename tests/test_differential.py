@@ -1550,3 +1550,47 @@ def test_generated_snapshot_diffs_agree_across_engines(spark, duck, sf_dir, t1, 
     }
     d_rows = set(map(tuple, duck.execute(sql).fetchall()))
     assert s_rows == d_rows, f"t1={t1} t2={t2} win={win}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cell=st.sampled_from([5.0, 10.0, 20.0, 30.0]),
+    pred=atom,
+)
+def test_generated_spatial_islands_agree_across_engines(spark, duck, sf_dir, cell, pred):
+    """geo_dwell_segments' island algebra at random cell sizes over random
+    event slices: per-(user, cell) visit counts and fix counts agree
+    across engines (one dialect-neutral SQL string on both)."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = f"""
+        WITH fixes AS (
+            SELECT user_id,
+                   CAST(floor(((value - floor(value / 170.0) * 170.0) - 85.0)
+                              / {cell}) AS BIGINT) AS latc,
+                   ts, event_id
+            FROM events WHERE {pred}
+        ),
+        flagged AS (
+            SELECT user_id, latc,
+                   CASE WHEN lag(latc) OVER w IS NULL
+                             OR lag(latc) OVER w != latc
+                        THEN 1 ELSE 0 END AS new_seg
+            FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, latc,
+               CAST(sum(new_seg) AS BIGINT) AS n_visits,
+               CAST(count(*) AS BIGINT) AS n_fixes
+        FROM flagged GROUP BY user_id, latc
+    """
+    s_rows = {
+        (r.user_id, r.latc, r.n_visits, r.n_fixes) for r in spark.sql(sql).collect()
+    }
+    d_rows = set(map(tuple, duck.execute(sql).fetchall()))
+    assert s_rows == d_rows, f"cell={cell} pred={pred}"
