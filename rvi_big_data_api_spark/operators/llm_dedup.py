@@ -1823,3 +1823,69 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 4).alias("containment"),
         )
     )
+
+
+DEDUP_EMBED_SCALED_BITS = 8  # corpus-sized bucket width (vs the 4-bit default)
+
+
+@query(
+    "dedup_embed_scaled",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
+                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8
+                + (embedding[5] > 0)::INT * 16 + (embedding[6] > 0)::INT * 32
+                + (embedding[7] > 0)::INT * 64 + (embedding[8] > 0)::INT * 128)
+                   AS bucket
+        FROM embeddings
+    )
+    SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of,
+           count(*)::BIGINT AS n_similar,
+           round(max(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
+               AS max_cosine
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {DEDUP_EMBED_TAU}
+    GROUP BY b.vec_id
+    """,
+    tags=("llm", "dedup", "scale"),
+)
+def dedup_embed_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embed at CORPUS-SIZED buckets — the registered form of the
+    n_bits mitigation the 10x sweeps keep flagging on the 4-bit default
+    (r5: 74.8x; r7: 107x — in-bucket candidate cost is quadratic in
+    bucket population, so fixed-width buckets are a measured cliff).
+    {DEDUP_EMBED_SCALED_BITS} sign bits give 2^{DEDUP_EMBED_SCALED_BITS}
+    buckets — the signbit_bucket sizing rule n_bits ≈ log2(N /
+    target_bucket_rows) applied at the 10x fixture's population — and the
+    SAME pair semantics within each bucket (same τ, same keeper, same
+    exact JVM fold, rule 9). The candidate set is a strict subset of the
+    4-bit op's (a narrower bucket can only split, never merge), so found
+    pairs trade against recall; eval_ann_recall / eval_lsh_candidate_
+    quality are the gates that price that trade, and dedup_embed_bandor
+    is the multi-table answer when recall must be held too. Salting is
+    deliberately NOT carried over: with 256 buckets the key is no longer
+    skew-bound at fixture scale (the salt belongs to the few-bucket
+    regime; AQE skew-join handles the residue at 100 TB)."""
+    from .llm_sim import dot, signbit_bucket
+
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", signbit_bucket(F.col("embedding"), DEDUP_EMBED_SCALED_BITS)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    d = dot(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("vec_id"), d.alias("dot"))
+        .filter(F.col("dot") >= DEDUP_EMBED_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.min("a_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_similar"),
+            F.round(F.max("dot"), 4).alias("max_cosine"),
+        )
+    )

@@ -556,6 +556,9 @@ EXTENSIONS = [
     # fingerprints through the (k, hash) band join — mm_content_dedup's
     # exact pass extended to mutation-tolerant signatures
     "mm_phash_band",
+    # round 7 wave 2: the registered n_bits mitigation for the measured
+    # fixed-bucket-width cliff (dedup_embed 107x at 10x -> 3.2x at 8 bits)
+    "dedup_embed_scaled",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1241,3 +1241,15 @@ def test_phash_band_join_is_chunk_keyed(spark, sf_dir):
     assert "CartesianProduct" not in executed
     assert "BroadcastNestedLoopJoin" not in executed
     assert "EvalPython" not in executed
+
+
+def test_scaled_embed_dedup_bucket_equijoin(spark, sf_dir):
+    """dedup_embed_scaled: the candidate join is the 8-bit-bucket
+    equi-join — no cartesian, no nested loop, no python eval."""
+    executed = (
+        REGISTRY["dedup_embed_scaled"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "EvalPython" not in executed

@@ -510,3 +510,20 @@ def test_phash_band_pairs_are_orig_variant(spark, sf_dir):
         assert doc_a < MM_NEAR_MUTATED, r
         assert r["n_shared"] >= MM_NEAR_T, r
         assert 0 < r["sig_jaccard_ppm"] <= 1_000_000, r
+
+
+def test_scaled_embed_dedup_is_subset_of_default(spark, sf_dir):
+    """dedup_embed_scaled's candidates are a strict refinement of
+    dedup_embed's: 8 sign bits can only SPLIT a 4-bit bucket (the first 4
+    bits are shared), so every scaled pair survives in the default op —
+    per vec_id, n_similar and max_cosine can only shrink, and dup_of can
+    only move up (the minimum is taken over fewer candidates)."""
+    scaled = {r["vec_id"]: r for r in _df("dedup_embed_scaled", spark, sf_dir).collect()}
+    base = {r["vec_id"]: r for r in _df("dedup_embed", spark, sf_dir).collect()}
+    assert scaled, "scaled op found nothing"
+    assert set(scaled) <= set(base), "scaled emitted a vec_id the default lacks"
+    for vid, s in scaled.items():
+        b = base[vid]
+        assert s["n_similar"] <= b["n_similar"], (vid, s, b)
+        assert s["max_cosine"] <= b["max_cosine"] + 1e-9, (vid, s, b)
+        assert s["dup_of"] >= b["dup_of"], (vid, s, b)
