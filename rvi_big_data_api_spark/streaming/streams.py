@@ -1689,3 +1689,84 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_cents"
         ),
     )
+
+
+GEO_SESS_CELL = 10.0  # spatial cell (degrees) keying the streamed visits
+GEO_SESS_GAP_S = 7200  # visit gap: a fix merges iff < 2 h after the last
+
+
+@query(
+    "stream_geo_sessions",
+    oracle=f"""
+    WITH fixes AS (
+        SELECT user_id,
+               floor((fmod(value, 170.0) - 85.0) / {GEO_SESS_CELL})::BIGINT AS latc,
+               floor((fmod(event_id::DOUBLE, 360.0) - 180.0)
+                     / {GEO_SESS_CELL})::BIGINT AS lonc,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events
+    ),
+    flagged AS (
+        -- session_window semantics: merge iff diff < gap (STRICT)
+        SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                            OR sec - lag(sec) OVER w >= {GEO_SESS_GAP_S}
+                       THEN 1 ELSE 0 END AS new_flag
+        FROM fixes
+        WINDOW w AS (PARTITION BY user_id, latc, lonc ORDER BY sec)
+    ),
+    sess AS (
+        SELECT user_id, latc, lonc,
+               sum(new_flag) OVER (PARTITION BY user_id, latc, lonc ORDER BY sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS visit_id
+        FROM flagged
+    )
+    SELECT user_id, latc, lonc,
+           count(DISTINCT visit_id)::BIGINT AS n_visits,
+           count(*)::BIGINT AS n_fixes
+    FROM sess GROUP BY user_id, latc, lonc
+    """,
+    tags=("streaming", "geo"),
+)
+def stream_geo_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED spatial visits — geo_dwell_segments' online sibling with
+    gap-bounded semantics: session windows keyed by (vehicle,
+    {GEO_SESS_CELL}-degree cell), so a visit is a run of fixes in one
+    cell with < {GEO_SESS_GAP_S // 3600} h between consecutive fixes (the
+    batch op's visits break on cell CHANGE; the streaming form must also
+    break on time gaps because state cannot wait forever — exactly why
+    session windows exist). ONE stateful session aggregation in complete
+    mode (final table ≡ batch window algebra ⇒ exact oracle, PARITY rule
+    13's strict-gap discipline on second-truncated ts), then a batch
+    rollup to per-(vehicle, cell) visit/fix counts — the two-stage rule
+    every windowed stream op here follows.
+
+    At 100 TB-scale streaming the state is one open session per active
+    (vehicle, cell) — watermark-bounded, keyed exactly like the batch
+    partitioning; the rollup stage reads the session table, never the
+    fix stream."""
+    cell_lat = F.floor((F.col("value") % 170.0 - 85.0) / GEO_SESS_CELL)
+    cell_lon = F.floor(
+        (F.col("event_id").cast("double") % 360.0 - 180.0) / GEO_SESS_CELL
+    )
+    sdf = (
+        stream_events(spark, sf_dir)
+        .withColumn("latc", cell_lat)
+        .withColumn("lonc", cell_lon)
+        .withColumn("tsec", F.date_trunc("second", "ts"))
+        .withWatermark("tsec", "2 hours")
+        .groupBy(
+            F.session_window("tsec", f"{GEO_SESS_GAP_S} seconds").alias("sw"),
+            "user_id",
+            "latc",
+            "lonc",
+        )
+        .agg(F.count(F.lit(1)).alias("n_fixes"))
+    )
+    visits = run_to_table(
+        sdf.select("user_id", "latc", "lonc", "n_fixes"), sf_dir, "geo_sess", "complete"
+    )
+    return visits.groupBy("user_id", "latc", "lonc").agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum("n_fixes").alias("n_fixes"),
+    )

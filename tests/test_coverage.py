@@ -559,6 +559,9 @@ EXTENSIONS = [
     # round 7 wave 2: the registered n_bits mitigation for the measured
     # fixed-bucket-width cliff (dedup_embed 107x at 10x -> 3.2x at 8 bits)
     "dedup_embed_scaled",
+    # round 7 wave 2: streamed spatial visits — session windows keyed by
+    # (vehicle, cell), complete-mode ≡ batch window algebra (rule 13)
+    "stream_geo_sessions",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

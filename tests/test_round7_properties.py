@@ -527,3 +527,23 @@ def test_scaled_embed_dedup_is_subset_of_default(spark, sf_dir):
         assert s["n_similar"] <= b["n_similar"], (vid, s, b)
         assert s["max_cosine"] <= b["max_cosine"] + 1e-9, (vid, s, b)
         assert s["dup_of"] >= b["dup_of"], (vid, s, b)
+
+
+def test_stream_geo_sessions_reconcile_with_dwell_segments(spark, sf_dir):
+    """stream_geo_sessions vs geo_dwell_segments: both partition fixes
+    over the same (user, 10-degree cell) grid, so the key sets and the
+    per-key fix totals must agree EXACTLY (they count the same rows two
+    ways); visit counts follow different break rules (time gap vs cell
+    change) and are only bounded: 1 <= n_visits <= n_fixes."""
+    stream = {
+        (r["user_id"], r["latc"], r["lonc"]): r
+        for r in _df("stream_geo_sessions", spark, sf_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["latc"], r["lonc"]): r
+        for r in _df("geo_dwell_segments", spark, sf_dir).collect()
+    }
+    assert set(stream) == set(batch)
+    for k, s in stream.items():
+        assert s["n_fixes"] == batch[k]["n_fixes"], (k, s, batch[k])
+        assert 1 <= s["n_visits"] <= s["n_fixes"], (k, s)
