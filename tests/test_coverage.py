@@ -562,6 +562,10 @@ EXTENSIONS = [
     # round 7 wave 2: streamed spatial visits — session windows keyed by
     # (vehicle, cell), complete-mode ≡ batch window algebra (rule 13)
     "stream_geo_sessions",
+    # round 7 wave 2: Efraimidis–Spirakis weighted bottom-k sampling —
+    # fixed-K per stratum, weight-proportional, deterministic md5 draws,
+    # measured ranking margin (rule 16 discipline)
+    "sample_weighted",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

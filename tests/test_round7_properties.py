@@ -547,3 +547,44 @@ def test_stream_geo_sessions_reconcile_with_dwell_segments(spark, sf_dir):
     for k, s in stream.items():
         assert s["n_fixes"] == batch[k]["n_fixes"], (k, s, batch[k])
         assert 1 <= s["n_visits"] <= s["n_fixes"], (k, s)
+
+
+def test_weighted_sample_margin_and_shape(spark, sf_dir):
+    """sample_weighted: exactly K rows per language (or the stratum size if
+    smaller), ranks contiguous from 1, and — the rule-16 margin — the
+    smallest adjacent-priority gap at every selection boundary is many
+    orders above the 1-ulp ln() reorder risk, so the ranking cannot flip
+    between engines."""
+    import math
+
+    from rvi_big_data_api_spark.io import load
+    from rvi_big_data_api_spark.operators.filters import SAMPLE_WEIGHTED_K
+
+    rows = _df("sample_weighted", spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0).collect()
+    sizes: dict = {}
+    for d in docs:
+        sizes[d["lang"]] = sizes.get(d["lang"], 0) + 1
+    assert set(by_lang) == set(sizes)
+    for lang, rks in by_lang.items():
+        want = min(SAMPLE_WEIGHTED_K, sizes[lang])
+        assert sorted(rks) == list(range(1, want + 1)), (lang, rks)
+    # margin: recompute every priority in python and check the gap around
+    # each stratum's K-th rank
+    import hashlib
+
+    pri: dict = {}
+    for d in docs:
+        h = int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:8], 16)
+        key = math.log((h + 1) / 4294967296.0) / d["n_chars"]
+        pri.setdefault(d["lang"], []).append(key)
+    for lang, keys in pri.items():
+        keys.sort(reverse=True)
+        k = min(SAMPLE_WEIGHTED_K, len(keys))
+        if k < len(keys):
+            gap = keys[k - 1] - keys[k]
+            rel = abs(gap) / max(abs(keys[k - 1]), 1e-300)
+            assert rel > 1e-9, (lang, gap, rel)
