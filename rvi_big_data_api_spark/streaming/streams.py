@@ -377,8 +377,6 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.formats import scratch_dir
 
     src = scratch_dir(sf_dir, "late_src")
-    ev = F.broadcast  # noqa: F841  (quiet linters; real work below)
-
     events = (
         spark.read.schema(EVENTS)
         .parquet(table_path(sf_dir, "events"))
