@@ -1594,3 +1594,60 @@ def test_generated_spatial_islands_agree_across_engines(spark, duck, sf_dir, cel
     }
     d_rows = set(map(tuple, duck.execute(sql).fetchall()))
     assert s_rows == d_rows, f"cell={cell} pred={pred}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cutoff=st.integers(min_value=5, max_value=27),
+    umod=st.integers(min_value=2, max_value=7),
+)
+def test_generated_markov_holdouts_agree_across_engines(spark, duck, sf_dir, cutoff, umod):
+    """seq_markov_holdout's train/score shape at random cutoff days over
+    random user slices — Laplace-smoothed transition log-likelihoods agree
+    across engines (ONE dialect-neutral SQL string; ln is the only
+    transcendental, compared after a 6-dp round per rule 8)."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = f"""
+        WITH ordered AS (
+            SELECT user_id, event_type, day(ts) AS d, ts, event_id
+            FROM events WHERE user_id % {umod} = 0
+        ),
+        train AS (
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_ft FROM (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS from_type,
+                       event_type AS to_type
+                FROM ordered WHERE d < {cutoff}
+            ) WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+        ),
+        train_from AS (
+            SELECT from_type, CAST(sum(n_ft) AS BIGINT) AS n_f FROM train GROUP BY from_type
+        ),
+        states AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS s FROM events),
+        test AS (
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_obs FROM (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS from_type,
+                       event_type AS to_type
+                FROM ordered WHERE d >= {cutoff}
+            ) WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+        )
+        SELECT CAST(sum(t.n_obs) AS BIGINT) AS n_test,
+               round(-sum(t.n_obs * ln((coalesce(tr.n_ft, 0) + 1)
+                          / CAST(coalesce(tf.n_f, 0) + states.s AS DOUBLE)))
+                     / sum(t.n_obs), 6) AS avg_nll
+        FROM test t
+        LEFT JOIN train tr ON tr.from_type = t.from_type AND tr.to_type = t.to_type
+        LEFT JOIN train_from tf ON tf.from_type = t.from_type
+        CROSS JOIN states
+    """
+    s_rows = [(r.n_test, r.avg_nll) for r in spark.sql(sql).collect()]
+    d_rows = duck.execute(sql).fetchall()
+    assert s_rows == [tuple(r) for r in d_rows], f"cutoff={cutoff} umod={umod}"
