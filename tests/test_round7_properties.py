@@ -588,3 +588,25 @@ def test_weighted_sample_margin_and_shape(spark, sf_dir):
             gap = keys[k - 1] - keys[k]
             rel = abs(gap) / max(abs(keys[k - 1]), 1e-300)
             assert rel > 1e-9, (lang, gap, rel)
+
+
+def test_quantile_ceiling_arithmetic_is_exact():
+    """The integer ceilings agg_quantile_histogram / stream_quantile_
+    histogram embed — (n+1)//2, (9n+9)//10, (99n+99)//100 — equal
+    ceil(q*n) for every n up to 10^6 and the generated-fuzz form
+    (q*n+99)//100 equals ceil(q*n/100) for all q in 1..99 on a grid:
+    the discrete quantile index can never be off by one."""
+    import math
+
+    for n in list(range(1, 5000)) + [10**5, 10**6 - 1, 10**6]:
+        # exact integer ceil: ceil(a/b) == -((-a)//b), no float anywhere
+        assert (n + 1) // 2 == -((-n) // 2), n
+        assert (9 * n + 9) // 10 == -((-9 * n) // 10), n
+        assert (99 * n + 99) // 100 == -((-99 * n) // 100), n
+        # and agreement with math.ceil where the float is still exact
+        if n < 2**50:
+            assert (9 * n + 9) // 10 == math.ceil(9 * n / 10), n
+            assert (99 * n + 99) // 100 == math.ceil(99 * n / 100), n
+    for n in range(1, 2000):
+        for q in (1, 7, 25, 50, 75, 90, 99):
+            assert (q * n + 99) // 100 == -((-q * n) // 100), (q, n)
