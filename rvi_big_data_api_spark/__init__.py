@@ -99,6 +99,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "profile_correlation_matrix", "stream_quantile_histogram",
     "geo_dwell_segments", "stats_effect_sizes", "mm_phash_band",
     "dedup_embed_scaled", "stream_geo_sessions", "sample_weighted",
+    "corpus_multimodal_pipeline",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -442,3 +442,165 @@ def mm_phash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sig_jaccard_ppm"),
         )
     )
+
+
+MM_PIPE_SHARDS = 4  # output shards of the curated multimodal manifest
+
+
+@query(
+    "corpus_multimodal_pipeline",
+    oracle=f"""
+    WITH entities AS (
+        -- originals (shard 0), exact re-uploads (shard 1), tail-mutated
+        -- variants (shard 2) — the three upload paths a real lake sees
+        SELECT doc_id, doc_id * 10 + 0 AS eid,
+               to_hex((text || chr(10))::BLOB) AS hx
+        FROM documents WHERE doc_id < {MM_NEAR_DOCS}
+        UNION ALL
+        SELECT doc_id, doc_id * 10 + 1 AS eid,
+               to_hex((text || chr(10))::BLOB) AS hx
+        FROM documents WHERE doc_id < {MM_NEAR_MUTATED}
+        UNION ALL
+        SELECT doc_id, doc_id * 10 + 2 AS eid,
+               to_hex((text || ' v2' || chr(10))::BLOB) AS hx
+        FROM documents WHERE doc_id < {MM_NEAR_MUTATED}
+    ),
+    exact_kept AS (
+        SELECT min(eid) AS eid FROM entities GROUP BY md5(hx)
+    ),
+    kept1 AS (
+        SELECT e.doc_id, e.eid, e.hx FROM entities e
+        JOIN exact_kept k ON k.eid = e.eid
+    ),
+    chunks AS (
+        SELECT eid, r.k AS k,
+               md5(substr(hx, r.k * {MM_NEAR_CHUNK_W} + 1, {MM_NEAR_CHUNK_W})) AS ch
+        FROM kept1 CROSS JOIN range({MM_NEAR_CHUNKS}) AS r(k)
+        WHERE r.k * {MM_NEAR_CHUNK_W} < length(hx)
+    ),
+    near_drops AS (
+        SELECT b.eid FROM chunks a JOIN chunks b
+          ON a.k = b.k AND a.ch = b.ch AND a.eid < b.eid
+        GROUP BY b.eid
+        HAVING count(*) >= {MM_NEAR_T}
+    ),
+    survivors AS (
+        SELECT k1.doc_id, k1.eid FROM kept1 k1
+        LEFT JOIN near_drops nd ON nd.eid = k1.eid
+        WHERE nd.eid IS NULL
+    )
+    SELECT s.eid, s.doc_id, d.lang, d.source,
+           CASE WHEN emb.vec_id IS NOT NULL THEN 1 ELSE 0 END AS has_embedding,
+           (('0x' || substr(md5('s:' || s.eid::VARCHAR), 1, 8))::BIGINT
+            % {MM_PIPE_SHARDS})::BIGINT AS shard
+    FROM survivors s
+    JOIN documents d ON d.doc_id = s.doc_id
+    LEFT JOIN embeddings emb ON emb.vec_id = s.doc_id
+    """,
+    tags=("llm", "multimodal", "pipeline"),
+)
+def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end multimodal curation flagship —
+    corpus_dedup_pipeline's role, played over a BINARY lake: a staged
+    three-path upload universe (originals + exact re-uploads + tail-
+    mutated variants, each doc a real file read back through binaryFile)
+    flows through (1) exact content dedup (md5-of-hex fingerprint,
+    min-eid keeper — mm_content_dedup's pass, which drops the re-uploads),
+    (2) near-dup collapse (mm_phash_band's positional chunk-fingerprint
+    band join over the exact survivors — drops every mutated variant
+    whose signature pairs with an earlier survivor), (3) modality join
+    (document metadata + embedding presence, mm_manifest_join's
+    completeness check), and (4) deterministic shard assignment
+    (md5 mod {MM_PIPE_SHARDS} — corpus_shard_split's rule). The output
+    IS the curated training manifest: one row per kept blob with its
+    text metadata, pairing flag, and shard.
+
+    Scale: blobs never shuffle at any step — fingerprints and chunk
+    hashes are computed map-side where files are read, every join keys
+    on 16-byte hashes or the doc id, and each stage's row count shrinks
+    monotonically (a property test pins stage counts against the
+    standalone ops). This is the shape a petabyte image/text lake
+    actually curates with."""
+    from ..sources.formats import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < MM_NEAR_DOCS)
+    out = scratch_dir(sf_dir, "mm_pipe_blobs")
+    originals = docs.select("text", "doc_id", F.lit(0).alias("shard"))
+    reups = docs.filter(F.col("doc_id") < MM_NEAR_MUTATED).select(
+        "text", "doc_id", F.lit(1).alias("shard")
+    )
+    mutants = docs.filter(F.col("doc_id") < MM_NEAR_MUTATED).select(
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "doc_id",
+        F.lit(2).alias("shard"),
+    )
+    originals.unionByName(reups).unionByName(mutants).repartition(4).write.mode(
+        "overwrite"
+    ).partitionBy("doc_id", "shard").text(out)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
+    entities = bf.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
+        (
+            F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long") * 10
+            + F.regexp_extract("path", r"shard=(\d+)", 1).cast("long")
+        ).alias("eid"),
+        F.hex("content").alias("hx"),
+    )
+    exact_kept = entities.groupBy(F.md5("hx").alias("h")).agg(F.min("eid").alias("eid"))
+    kept1 = entities.join(F.broadcast(exact_kept.select("eid")), "eid")
+    ks = F.explode(F.array(*[F.lit(k) for k in range(MM_NEAR_CHUNKS)])).alias("k")
+    chunks = (
+        kept1.select("eid", "hx", ks)
+        .filter(F.col("k") * MM_NEAR_CHUNK_W < F.length("hx"))
+        .select(
+            "eid",
+            "k",
+            F.md5(
+                F.substring(
+                    F.col("hx"), F.col("k") * MM_NEAR_CHUNK_W + 1, MM_NEAR_CHUNK_W
+                ).cast("binary")
+            ).alias("ch"),
+        )
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    near_drops = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.eid") < F.col("b.eid")),
+        )
+        .groupBy(F.col("b.eid").alias("eid"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MM_NEAR_T)
+        .select("eid")
+    )
+    survivors = kept1.join(F.broadcast(near_drops), "eid", "left_anti").select(
+        "doc_id", "eid"
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    emb = load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("doc_id"))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s:"), F.col("eid").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MM_PIPE_SHARDS
+    )
+    return (
+        survivors.join(F.broadcast(d), "doc_id")
+        .join(F.broadcast(emb.withColumn("has_embedding", F.lit(1))), "doc_id", "left")
+        .select(
+            "eid",
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce(F.col("has_embedding"), F.lit(0)).alias("has_embedding"),
+            shard.alias("shard"),
+        )
+    )

@@ -566,6 +566,10 @@ EXTENSIONS = [
     # fixed-K per stratum, weight-proportional, deterministic md5 draws,
     # measured ranking margin (rule 16 discipline)
     "sample_weighted",
+    # round 7 wave 2: the multimodal curation FLAGSHIP — binaryFile lake
+    # through exact dedup, chunk-band near-dup collapse, modality join,
+    # and deterministic sharding, end to end on real files
+    "corpus_multimodal_pipeline",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1253,3 +1253,16 @@ def test_scaled_embed_dedup_bucket_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in executed
     assert "BroadcastNestedLoopJoin" not in executed
     assert "EvalPython" not in executed
+
+
+def test_multimodal_pipeline_blobs_never_shuffle(spark, sf_dir):
+    """corpus_multimodal_pipeline: every join keys on hashes or doc ids —
+    no cartesian, no nested loop, no python eval anywhere in the curation
+    funnel."""
+    executed = (
+        REGISTRY["corpus_multimodal_pipeline"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "EvalPython" not in executed

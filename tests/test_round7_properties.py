@@ -610,3 +610,38 @@ def test_quantile_ceiling_arithmetic_is_exact():
     for n in range(1, 2000):
         for q in (1, 7, 25, 50, 75, 90, 99):
             assert (q * n + 99) // 100 == -((-q * n) // 100), (q, n)
+
+
+def test_multimodal_pipeline_funnel_reconciles_with_stage_ops(spark, sf_dir):
+    """corpus_multimodal_pipeline vs its standalone stages: all originals
+    survive (each is its content's min eid), NO exact re-upload survives
+    (the original outranks it), the near pass drops EXACTLY the mutants
+    mm_phash_band pairs (its eid_b side — the two ops must agree on the
+    band verdict), shard ids stay in range, and embedding flags match the
+    embeddings table row for row."""
+    from rvi_big_data_api_spark.io import load
+    from rvi_big_data_api_spark.operators.multimodal import (
+        MM_NEAR_DOCS,
+        MM_NEAR_MUTATED,
+        MM_PIPE_SHARDS,
+    )
+
+    rows = _df("corpus_multimodal_pipeline", spark, sf_dir).collect()
+    eids = {r["eid"] for r in rows}
+    assert len(eids) == len(rows)
+    # all originals survive (they are each content's min eid)
+    for doc in range(MM_NEAR_DOCS):
+        assert doc * 10 + 0 in eids, doc
+    # no exact re-upload (shard 1) can survive — the original outranks it
+    assert not any(e % 10 == 1 for e in eids)
+    # surviving mutants are exactly those mm_phash_band does NOT pair
+    banded = {r["eid_b"] for r in _df("mm_phash_band", spark, sf_dir).collect()}
+    surviving_mutants = {e for e in eids if e % 10 == 2}
+    all_mutants = {d * 10 + 2 for d in range(MM_NEAR_MUTATED)}
+    assert surviving_mutants == all_mutants - banded
+    vec_ids = {
+        r["vec_id"] for r in load(spark, sf_dir, "embeddings").select("vec_id").collect()
+    }
+    for r in rows:
+        assert 0 <= r["shard"] < MM_PIPE_SHARDS, r
+        assert r["has_embedding"] == (1 if r["doc_id"] in vec_ids else 0), r
