@@ -44,40 +44,14 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- never driver-verified after rounds 1-6 (75 entries). Ordered per
-    # VERDICT r6 item 1: the 50 most load-bearing go first so round 7's
-    # 50-row budget lands entirely on never-verified entries and round 8
-    # becomes the closure round. `source_inmemory` leads — it is the one
-    # §2 entry whose only driver row is the pre-oracle r01 `no_oracle`
-    # record (its SQL twin was judge-verified MATCH in r6 but has never
-    # been driver-hash-checked). ---------------------------------------------
-    "source_inmemory",
-    # streaming round-5 ops
-    "stream_rocksdb_state", "scan_state_store", "stream_dedup_watermark",
-    "sink_stream_python_datasource", "stream_sketch_distinct",
-    "stream_observe_metrics", "stream_incremental_resume",
-    "stream_psi_drift", "stream_stateful_rocksdb", "stream_corpus_pipeline",
-    # corpus pipelines
-    "corpus_perplexity_filter", "corpus_training_pipeline",
-    "corpus_global_shuffle", "corpus_drift_psi", "corpus_diverse_sample",
-    "corpus_dedup_report", "corpus_split_leakage_safe",
-    # stats / agg tail
-    "stats_ttest_welch", "stats_chi2_independence",
-    "agg_ks_test", "agg_mannwhitney_u", "agg_benford_check", "agg_gini",
-    "agg_weighted_median", "agg_approx_top_k", "agg_theta_retention",
-    "agg_distinct_salted",
-    # geo / graph / embedding family
-    "geo_grid_density", "geo_od_matrix", "geo_flow_matrix", "fn_geospatial",
-    "graph_kcore", "graph_jaccard_neighbors", "graph_label_propagation",
-    "knn_graph_mutual",
-    "embed_pq_codebook", "sim_adc_topk", "embed_pca_power",
-    "embed_outlier_score", "embed_hygiene_audit",
-    "dedup_embed_bandor", "dedup_containment", "dedup_incremental",
-    "sim_maxsim_multivector",
-    # pipelines / analytics
-    "cdc_scd2", "privacy_k_anonymity", "profile_key_skew",
-    "seq_pattern_detect", "event_attribution",
-    # ---- driver round-7 horizon (50) lands exactly here --------------------
+    # -- round-8 closure head (refreshed per VERDICT r7 item 1): exactly the
+    # 49 entries that have never appeared in a driver CORRECTNESS sample
+    # (CORRECTNESS_r07 consumed the previous head of 50 — 49 hash-pass +
+    # fn_geospatial errored) plus `fn_geospatial` itself for the re-check
+    # after the sticky-conf fix (functions/scalars.py). 49 + 1 = exactly the
+    # driver's 50-row budget, so round 8 closes driver verification at
+    # 398/398. fn_geospatial leads — it is the one red row in 349 samples. --
+    "fn_geospatial",
     "anomaly_cusum", "profile_crosstab", "seq_transition_matrix",
     "ab_experiment_report", "fleet_daily_report",
     "text_zipf_fit", "text_novelty_score", "clean_impute",
@@ -103,6 +77,30 @@ PRIORITY_UNVERIFIED: list[str] = [
 ]
 
 PRIORITY_VERIFIED: list[str] = [
+    # -- driver-green in round 7 (CORRECTNESS_r07.json, 50 rows: 49 hash
+    # matches + fn_geospatial errored — it stays in PRIORITY_UNVERIFIED for
+    # the post-fix re-check) -------------------------------------------------
+    "source_inmemory",
+    "stream_rocksdb_state", "scan_state_store", "stream_dedup_watermark",
+    "sink_stream_python_datasource", "stream_sketch_distinct",
+    "stream_observe_metrics", "stream_incremental_resume",
+    "stream_psi_drift", "stream_stateful_rocksdb", "stream_corpus_pipeline",
+    "corpus_perplexity_filter", "corpus_training_pipeline",
+    "corpus_global_shuffle", "corpus_drift_psi", "corpus_diverse_sample",
+    "corpus_dedup_report", "corpus_split_leakage_safe",
+    "stats_ttest_welch", "stats_chi2_independence",
+    "agg_ks_test", "agg_mannwhitney_u", "agg_benford_check", "agg_gini",
+    "agg_weighted_median", "agg_approx_top_k", "agg_theta_retention",
+    "agg_distinct_salted",
+    "geo_grid_density", "geo_od_matrix", "geo_flow_matrix",
+    "graph_kcore", "graph_jaccard_neighbors", "graph_label_propagation",
+    "knn_graph_mutual",
+    "embed_pq_codebook", "sim_adc_topk", "embed_pca_power",
+    "embed_outlier_score", "embed_hygiene_audit",
+    "dedup_embed_bandor", "dedup_containment", "dedup_incremental",
+    "sim_maxsim_multivector",
+    "cdc_scd2", "privacy_k_anonymity", "profile_key_skew",
+    "seq_pattern_detect", "event_attribution",
     # -- driver-green in round 6 (CORRECTNESS_r06.json, 50 rows, all hash
     # matches, zero err) ----------------------------------------------------
     "dedup_near_verify", "fn_variant_explode", "graph_bfs_distance",

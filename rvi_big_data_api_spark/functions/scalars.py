@@ -1047,12 +1047,17 @@ def fn_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract), the GEOMETRY(0)-vs-GEOGRAPHY(4326) default-SRID split, and
     per-row st_setsrid re-tagging (this build accepts SRIDs 0 and 4326
     only — 3857 raises ST_INVALID_SRID_VALUE, recorded here). Gated behind
-    `spark.sql.geospatial.enabled`, which get_spark() pins SESSION-wide: a
-    per-query set/restore is not safe for a lazy surface — any downstream
+    `spark.sql.geospatial.enabled`, which get_spark() pins SESSION-wide AND
+    this op sets STICKY (no restore) on whatever session it is handed: the
+    driver's harness builds a bare SparkSession where the flag is off, which
+    errored CORRECTNESS_r07 (the only failure in 349 sampled queries). A
+    per-query set/RESTORE is not safe for a lazy surface — any downstream
     re-analysis (e.g. the bench's count() over the returned frame)
-    re-resolves the ST expressions after the restore and fails. The oracle
-    reconstructs every output arithmetically since DuckDB's spatial
-    extension is not installable offline.
+    re-resolves the ST expressions after the restore and fails — but a
+    sticky set is: `spark.conf.set` of this flag is runtime-settable and ST
+    expressions resolve afterward (verified on a bare session, VERDICT r7
+    item 2). The oracle reconstructs every output arithmetically since
+    DuckDB's spatial extension is not installable offline.
 
     The fixture's real geo analytics (haversine, geofence, tile grids, OD
     matrices) stay on the arithmetic columns — this op pins the TYPE
@@ -1067,6 +1072,9 @@ def fn_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     build registers exactly {st_asbinary, st_geogfromwkb, st_geomfromwkb,
     st_setsrid, st_srid}. No computational geospatial op is registrable in
     this environment; negative probe recorded."""
+    # Sticky (never restored) so the ST expressions survive lazy re-analysis
+    # on ANY session — including the driver's bare one (CORRECTNESS_r07 fix).
+    spark.conf.set("spark.sql.geospatial.enabled", "true")
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     wkb_hex = (
         F.when(F.col("event_id") % 4 == 0, GEO_WKB_POINTS[0])

@@ -21,10 +21,14 @@ from rvi_big_data_api_spark.session import get_spark
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = "/root/testdata/sf0.01"
-    if "--sf" in sys.argv:
-        sf = sys.argv[sys.argv.index("--sf") + 1]
+    argv = sys.argv[1:]
+    if "--sf" in argv:
+        idx = argv.index("--sf")
+        sf = argv[idx + 1]
+        del argv[idx : idx + 2]  # drop the flag AND its value (else the
+        # directory is looked up as a query name — ADVICE r7)
+    args = [a for a in argv if not a.startswith("--")]
     from parity import assert_frames_match, canon_rows
 
     spark = get_spark("quick-parity")
@@ -35,7 +39,11 @@ def main() -> int:
         )
     failed = []
     for name in args:
-        spec = REGISTRY[name]
+        spec = REGISTRY.get(name)
+        if spec is None:
+            failed.append(name)
+            print(f"{name}: FAIL — unknown query (not in REGISTRY)")
+            continue
         try:
             spark_pdf = spec.fn(spark, sf).toPandas()
             if spec.oracle is None:
