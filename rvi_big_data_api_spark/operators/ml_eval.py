@@ -2772,7 +2772,9 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
                     THEN 'control' ELSE 'treatment' END AS arm,
                sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
-                   AS spend
+                   AS spend,
+               floor(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                     * 100 + 0.5)::BIGINT AS spend_cents
         FROM events GROUP BY user_id
     ),
     arms AS (
@@ -2780,11 +2782,15 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_user GROUP BY arm
     ),
     ranked AS (
-        SELECT arm, row_number() OVER (ORDER BY spend, user_id) AS rn
-        FROM per_user
+        SELECT arm, avg(rn) OVER (PARTITION BY spend_cents) AS midrank
+        FROM (
+            SELECT arm, spend_cents,
+                   row_number() OVER (ORDER BY spend_cents, user_id) * 1.0 AS rn
+            FROM per_user
+        )
     ),
     u AS (
-        SELECT sum(CASE WHEN arm = 'treatment' THEN rn ELSE 0 END)::BIGINT
+        SELECT sum(CASE WHEN arm = 'treatment' THEN midrank ELSE 0 END)
                    AS rank_sum_t
         FROM ranked
     ),
@@ -2822,24 +2828,31 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the spend skew). Same md5 arm assignment as the t-test, so the
     suite reads as one experiment report.
 
-    Rank sums use the row_number-over-(spend, user_id) convention: the
-    user_id tiebreak makes the ordering total, so the rank assignment —
-    and hence U — is engine-identical even on spend ties.
-    Moments ride var_samp/avg over the per-user frame; the three
-    statistics are the only floats, aggregate-rounded (rule 6/8) with
-    -0.0 guards (rule 17).
+    Rank sums quantize spend to integer CENTS before the rank window and
+    use MIDRANKS (avg row_number per support point), exactly as
+    agg_mannwhitney_u does (PARITY rule 17b): ranking the raw float sum
+    lets cross-engine fold-order ulp drift split a support point and flip
+    ranks, and row_number-with-tiebreak makes U depend on the arbitrary
+    tiebreak under ties (the zero-spend block is one huge tie) — midranks
+    give the standard tie-corrected U the docstring promises (ADVICE r7).
+    Moments keep the raw float spend (var_samp/avg over the per-user
+    frame — quantization would bias d/g); the three statistics are the
+    only floats, aggregate-rounded (rule 6/8) with -0.0 guards (rule 17).
 
     Scale: one partial agg to users, one tiny arm rollup; the global
     rank is a sort over users (not events) — swap in the histogram
     ranking (stats_kruskal_wallis) when the user table itself is huge."""
     ev = load(spark, sf_dir, "events")
+    spend = F.sum(
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+    )
     per_user = ev.groupBy("user_id").agg(
-        F.sum(
-            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
-        ).alias("spend")
+        spend.alias("spend"),
+        (F.floor(spend * 100 + 0.5)).cast("long").alias("spend_cents"),
     ).select(
         "user_id",
         "spend",
+        "spend_cents",
         F.when(
             F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)
             < "8",
@@ -2853,13 +2866,14 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("spend").alias("m"),
         F.var_samp("spend").alias("v"),
     )
-    ranked = per_user.select(
-        "arm", F.row_number().over(Window.orderBy("spend", "user_id")).alias("rn")
+    rn = F.row_number().over(Window.orderBy("spend_cents", "user_id")) * F.lit(1.0)
+    ranked = per_user.select("arm", "spend_cents", rn.alias("rn")).withColumn(
+        "midrank", F.avg("rn").over(Window.partitionBy("spend_cents"))
     )
     u = ranked.agg(
-        F.sum(F.when(F.col("arm") == "treatment", F.col("rn")).otherwise(0)).alias(
-            "rank_sum_t"
-        )
+        F.sum(
+            F.when(F.col("arm") == "treatment", F.col("midrank")).otherwise(0.0)
+        ).alias("rank_sum_t")
     )
     wide = arms.agg(
         F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
