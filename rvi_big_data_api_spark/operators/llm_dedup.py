@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..io import load
 from ..registry import query
+from . import llm_sim as _llm_sim
 from .llm_text import SHARD_TRAIN_MAX, SHARD_VAL_MAX
 
 # MinHash/LSH parameters: K = B bands × R rows. Threshold ≈ (1/B)^(1/R) ≈ 0.71
@@ -628,12 +629,7 @@ DEDUP_EMBED_CLUSTER_TAU = 0.35
 @query(
     "dedup_embed",
     oracle=f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding,
-               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
-                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
-        FROM embeddings
-    )
+    WITH {_llm_sim.adaptive_bucket_duck_ctes()}
     SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of,
            count(*)::BIGINT AS n_similar,
            round(max(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
@@ -653,26 +649,29 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components).
 
     Scale shape: candidate pairs come from the same sign-bit coarse bucket
-    (sim_topk_ann's quantizer — never all-pairs), and because ~16 buckets is
-    a skewed join key, the probe side is salted and the build side replicated
-    S ways exactly as in sim_pairs; the final per-doc reduction is an
-    ordinary partial-agg groupBy on vec_id. The dot product is the JVM-side
-    HOF fold, bit-identical to DuckDB's list_dot_product (PARITY.md #9)."""
-    from .llm_sim import dot, signbit_bucket
+    (sim_topk_ann's quantizer — never all-pairs), and since round 8 the
+    bucket WIDTH adapts to the corpus (with_adaptive_bucket: n_bits =
+    clamp(4, 16, bitlen(ceil(N/64) - 1)), mirrored exactly by the oracle's
+    integer CTE). The previous fixed 4-bit default was this repo's one
+    measured scale cliff — 107x at the 10x decade (SCALE.md), in-bucket
+    cost quadratic in bucket population — and VERDICT r7 item 3 makes the
+    corpus-sized sizing the default; `dedup_embed_scaled` keeps the static
+    8-bit form as the named fixture pin, `dedup_embed_bandor` holds recall
+    via multi-table OR. The per-bucket salt of the 4-bit era is dropped:
+    adaptive sizing bounds bucket population by construction (~64 rows
+    target), so the key is no longer skew-bound; AQE skew-join covers the
+    residue. The final per-doc reduction is an ordinary partial-agg groupBy
+    on vec_id; the dot product is the JVM-side HOF fold, bit-identical to
+    DuckDB's list_dot_product (PARITY.md #9)."""
+    from .llm_sim import dot, with_adaptive_bucket
 
-    e = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", signbit_bucket(F.col("embedding"))
-    )
-    a = e.withColumn(
-        "rep", F.explode(F.sequence(F.lit(0), F.lit(DEDUP_EMBED_SALT - 1)))
-    ).alias("a")
-    b = e.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(DEDUP_EMBED_SALT))).alias("b")
+    e = with_adaptive_bucket(load(spark, sf_dir, "embeddings"))
+    a, b = e.alias("a"), e.alias("b")
     d = dot(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.rep") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("b.vec_id").alias("vec_id"), F.col("a.vec_id").alias("earlier"), d.alias("raw_dot"))

@@ -441,6 +441,69 @@ def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_SIGN_BITS = 4  # 2^4 = 16 coarse buckets over the first 4 dimensions
 
+# Corpus-sized bucketing (VERDICT r7 item 3): per-bucket candidate cost is
+# quadratic in bucket population, so bucket COUNT must grow with the corpus.
+# target rows/bucket below makes total candidate pairs ~N*target/2 — linear
+# in N — instead of the measured per-decade cliffs of any fixed width
+# (SCALE.md: 4-bit dedup_embed 107x at 10x; mutual-kNN memo build 173 s).
+EMBED_TARGET_BUCKET_ROWS = 64
+EMBED_MAX_SIGN_BITS = 16  # fixture dim is 64; 2^16 buckets is plenty of spread
+
+
+def adaptive_bucket_duck_ctes(table: str = "embeddings") -> str:
+    """DuckDB CTE pair mirroring ``with_adaptive_bucket`` exactly: n_bits =
+    clamp(4, 16, bitlength(ceil(N / target) - 1)) — pure INTEGER arithmetic
+    (ceil-div then binary-string length), deliberately not float log2, so a
+    near-power-of-two N can never round differently across engines."""
+    return f"""
+    params AS (
+        SELECT greatest({IVF_SIGN_BITS}, least({EMBED_MAX_SIGN_BITS},
+                   length(bin((count(*) + {EMBED_TARGET_BUCKET_ROWS - 1})
+                              // {EMBED_TARGET_BUCKET_ROWS} - 1))))::INT AS n_bits
+        FROM {table}
+    ),
+    bucketed AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(range(0, (SELECT n_bits FROM params)),
+                   i -> CASE WHEN embedding[i + 1] > 0
+                             THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
+        FROM {table}
+    )"""
+
+
+def with_adaptive_bucket(e: DataFrame) -> DataFrame:
+    """Attach a sign-bit ``bucket`` column whose WIDTH adapts to the corpus:
+    n_bits = clamp(4, 16, bitlength(ceil(N / {EMBED_TARGET_BUCKET_ROWS}) - 1)),
+    i.e. the smallest k with 2^k buckets >= N / target-rows-per-bucket — the
+    ``n_bits ≈ log2(N / target_bucket_rows)`` sizing rule made the DEFAULT
+    rather than a caller knob (VERDICT r7 item 3). Fully declarative: the
+    count folds to a 1-row frame that broadcast-joins onto the scan (no
+    driver-side action), and the bucket is a JVM-side bit fold over the
+    first n_bits dimensions. bitlength-of-(m-1) is integer arithmetic in
+    both engines (length(bin(m-1))) — no float log2 near power-of-two
+    corpus sizes. ``adaptive_bucket_duck_ctes`` is the oracle twin."""
+    cnt = F.count(F.lit(1))
+    m = F.floor((cnt + F.lit(EMBED_TARGET_BUCKET_ROWS - 1)) / F.lit(EMBED_TARGET_BUCKET_ROWS)).cast("long")
+    params = e.agg(
+        F.greatest(
+            F.lit(IVF_SIGN_BITS),
+            F.least(F.lit(EMBED_MAX_SIGN_BITS), F.length(F.bin(m - 1))),
+        ).alias("n_bits")
+    )
+    return (
+        e.crossJoin(F.broadcast(params))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "aggregate(transform(sequence(0, n_bits - 1),"
+                " i -> IF(element_at(embedding, i + 1) > 0,"
+                " shiftleft(cast(1 as bigint), i), cast(0 as bigint))),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+        .drop("n_bits")
+    )
+
 
 def signbit_bucket(emb: Column, n_bits: int = IVF_SIGN_BITS) -> Column:
     """Coarse quantization without k-means: bucket id = sign bits of the
@@ -1738,12 +1801,7 @@ KNN_GRAPH_K = 4  # out-degree of the directed kNN graph
 # mutual (bidirectional) subset — used by knn_graph_mutual and
 # graph_label_propagation so both provably walk the same graph.
 _DUCK_MUTUAL_CTES = f"""
-    bucketed AS (
-        SELECT vec_id, embedding,
-               ((embedding[1] > 0)::INT * 1 + (embedding[2] > 0)::INT * 2
-                + (embedding[3] > 0)::INT * 4 + (embedding[4] > 0)::INT * 8) AS bucket
-        FROM embeddings
-    ),
+    {adaptive_bucket_duck_ctes()},
     knn_edges AS (
         SELECT src, dst, dot FROM (
             SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -1762,7 +1820,7 @@ _DUCK_MUTUAL_CTES = f"""
     )"""
 
 
-def mutual_knn_edges(e: DataFrame, n_bits: int = IVF_SIGN_BITS) -> DataFrame:
+def mutual_knn_edges(e: DataFrame, n_bits: int | None = None) -> DataFrame:
     """Directed mutual-kNN edge list (src, dst, dot) — both orientations of
     every surviving edge. Candidates come from the sign-bit quantizer
     equi-join (sim_topk_ann's scale path), the per-source top-k is a rank
@@ -1770,12 +1828,17 @@ def mutual_knn_edges(e: DataFrame, n_bits: int = IVF_SIGN_BITS) -> DataFrame:
     by knn_graph_mutual (canonical pair output) and
     graph_label_propagation (neighborhood votes).
 
-    ``n_bits`` is the scale knob (signbit_bucket's sizing rule): in-bucket
-    candidate cost is quadratic in bucket size, so the bucket count must
-    grow with the corpus — n_bits ≈ log2(N / target_bucket_rows). The
-    oracled fixture ops pin the 4-bit default; the measured 10x mitigation
-    (SCALE.md) drives wider buckets through this parameter."""
-    eb = e.withColumn("bucket", signbit_bucket(F.col("embedding"), n_bits))
+    Bucket sizing: by default (n_bits=None) the width ADAPTS to the corpus
+    via with_adaptive_bucket — the memo build paid the same fixed-4-bit
+    quadratic the 10x sweep flagged on dedup_embed (173 s at the decade,
+    SCALE.md), and VERDICT r7 item 3 makes n_bits ≈ log2(N / target) the
+    default rather than a caller knob. _DUCK_MUTUAL_CTES mirrors the
+    adaptive rule, so the oracled consumers stay hash-exact at every sf.
+    Pass an explicit ``n_bits`` only to pin a static width."""
+    if n_bits is None:
+        eb = with_adaptive_bucket(e)
+    else:
+        eb = e.withColumn("bucket", signbit_bucket(F.col("embedding"), n_bits))
     a, b = eb.alias("a"), eb.alias("b")
     scored = a.join(
         b,
