@@ -377,7 +377,9 @@ def mm_phash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged and hash-checked end to end. At 100 TB the blobs never move:
     signatures are computed where the files are read, and candidate
     fan-out is bounded per (k, hash) bucket exactly like every other
-    banded family."""
+    banded family. The per-entity size table joins WITHOUT a broadcast
+    hint — it is one row per blob, i.e. corpus-sized at real scale; AQE
+    broadcasts it at fixture scale on its own (VERDICT r7 item 6)."""
     from ..sources.formats import scratch_dir
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < MM_NEAR_DOCS)
@@ -431,8 +433,8 @@ def mm_phash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("eid").alias("eid_a"), F.col("n_chunks").alias("na"))
     sb = sizes.select(F.col("eid").alias("eid_b"), F.col("n_chunks").alias("nb"))
     return (
-        pairs.join(F.broadcast(sa), "eid_a")
-        .join(F.broadcast(sb), "eid_b")
+        pairs.join(sa, "eid_a")
+        .join(sb, "eid_b")
         .select(
             "eid_a",
             "eid_b",
@@ -519,8 +521,12 @@ def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes are computed map-side where files are read, every join keys
     on 16-byte hashes or the doc id, and each stage's row count shrinks
     monotonically (a property test pins stage counts against the
-    standalone ops). This is the shape a petabyte image/text lake
-    actually curates with."""
+    standalone ops). No join side carries an F.broadcast hint: every
+    side here (keeper set, drop set, documents dim, embedding ids) is
+    CORPUS-sized at real scale, so a forced broadcast would OOM at the
+    petabyte shape this op models — AQE converts them to broadcast at
+    fixture scale on its own (VERDICT r7 item 6). This is the shape a
+    petabyte image/text lake actually curates with."""
     from ..sources.formats import scratch_dir
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < MM_NEAR_DOCS)
@@ -547,7 +553,7 @@ def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("content").alias("hx"),
     )
     exact_kept = entities.groupBy(F.md5("hx").alias("h")).agg(F.min("eid").alias("eid"))
-    kept1 = entities.join(F.broadcast(exact_kept.select("eid")), "eid")
+    kept1 = entities.join(exact_kept.select("eid"), "eid")
     ks = F.explode(F.array(*[F.lit(k) for k in range(MM_NEAR_CHUNKS)])).alias("k")
     chunks = (
         kept1.select("eid", "hx", ks)
@@ -575,7 +581,7 @@ def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= MM_NEAR_T)
         .select("eid")
     )
-    survivors = kept1.join(F.broadcast(near_drops), "eid", "left_anti").select(
+    survivors = kept1.join(near_drops, "eid", "left_anti").select(
         "doc_id", "eid"
     )
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
@@ -593,8 +599,8 @@ def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         % MM_PIPE_SHARDS
     )
     return (
-        survivors.join(F.broadcast(d), "doc_id")
-        .join(F.broadcast(emb.withColumn("has_embedding", F.lit(1))), "doc_id", "left")
+        survivors.join(d, "doc_id")
+        .join(emb.withColumn("has_embedding", F.lit(1)), "doc_id", "left")
         .select(
             "eid",
             "doc_id",
