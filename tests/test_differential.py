@@ -1651,3 +1651,115 @@ def test_generated_markov_holdouts_agree_across_engines(spark, duck, sf_dir, cut
     s_rows = [(r.n_test, r.avg_nll) for r in spark.sql(sql).collect()]
     d_rows = duck.execute(sql).fetchall()
     assert s_rows == [tuple(r) for r in d_rows], f"cutoff={cutoff} umod={umod}"
+
+
+# --------------------------------------------------------------------------
+# Chunk-band family (round 8, VERDICT r7 item 9): mm_phash_band /
+# corpus_multimodal_pipeline pin ONE (chunk width, chunk count, band
+# threshold, mutation) geometry; this samples the space — random widths,
+# thresholds, and mutation suffixes — with the same staged
+# originals+variants universe, positional chunk fingerprints, and (k, hash)
+# band join on both engines. Catches the failure class a fixed geometry
+# can't: off-by-one chunk boundaries, threshold fencepost, hex-case or
+# md5-domain drift between the dialects.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    width=st.integers(min_value=8, max_value=96),
+    nchunks=st.integers(min_value=4, max_value=16),
+    thresh=st.integers(min_value=2, max_value=6),
+    mut=st.sampled_from([" v2", "!", " rev-B", "xx"]),
+    nmut=st.integers(min_value=5, max_value=25),
+)
+def test_generated_chunk_bands_agree_across_engines(
+    spark, duck, sf_dir, width, nchunks, thresh, mut, nmut
+):
+    """mm_phash_band's banding algebra at a random geometry: stage
+    originals (eid = doc*10) plus tail-mutated variants (eid = doc*10+2,
+    random suffix) straight from the documents table, fingerprint each
+    entity as md5s of `width`-hex-char positional slices, pair entities
+    sharing >= `thresh` of the `nchunks` chunk hashes through the
+    (k, hash) inverted index, and score integer Jaccard ppm. Both engines
+    run the same dialect-split SQL; pair sets and ppm must agree exactly."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # only the chunk expansion and integer division are dialect-split
+    common_entities = f"""
+        SELECT doc_id * 10 + 0 AS eid, {{hex_fn}} AS hx
+        FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id * 10 + 2 AS eid, {{hex_mut_fn}} AS hx
+        FROM documents WHERE doc_id < {nmut}
+    """
+    tail = f"""
+    ,
+    sizes AS (SELECT eid, CAST(count(*) AS BIGINT) AS n_chunks FROM chunks GROUP BY eid),
+    pairs AS (
+        SELECT a.eid AS eid_a, b.eid AS eid_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM chunks a JOIN chunks b
+          ON a.k = b.k AND a.ch = b.ch AND a.eid < b.eid
+        GROUP BY a.eid, b.eid
+        HAVING count(*) >= {thresh}
+    )
+    SELECT p.eid_a, p.eid_b, p.n_shared,
+           CAST(p.n_shared * 1000000 {{intdiv}}
+                nullif(sa.n_chunks + sb.n_chunks - p.n_shared, 0) AS BIGINT)
+               AS ppm
+    FROM pairs p
+    JOIN sizes sa ON sa.eid = p.eid_a
+    JOIN sizes sb ON sb.eid = p.eid_b
+    """
+    s_sql = (
+        "WITH entities AS ("
+        + common_entities.format(
+            hex_fn="hex(cast(text as binary))",
+            hex_mut_fn=f"hex(cast(concat(text, '{mut}') as binary))",
+        )
+        + f"""),
+    chunks AS (
+        SELECT eid, k, md5(cast(substr(hx, k * {width} + 1, {width}) as binary)) AS ch
+        FROM entities
+        LATERAL VIEW explode(sequence(0, {nchunks - 1})) t AS k
+        WHERE k * {width} < length(hx)
+    )"""
+        + tail.format(intdiv="DIV")
+    )
+    d_sql = (
+        "WITH entities AS ("
+        + common_entities.format(
+            hex_fn="to_hex(text::BLOB)",
+            hex_mut_fn=f"to_hex((text || '{mut}')::BLOB)",
+        )
+        + f"""),
+    chunks AS (
+        SELECT eid, r.k AS k, md5(substr(hx, r.k * {width} + 1, {width})) AS ch
+        FROM entities CROSS JOIN range({nchunks}) AS r(k)
+        WHERE r.k * {width} < length(hx)
+    )"""
+        + tail.format(intdiv="//")
+    )
+    s_rows = {
+        (r.eid_a, r.eid_b, r.n_shared, r.ppm) for r in spark.sql(s_sql).collect()
+    }
+    d_rows = set(map(tuple, duck.execute(d_sql).fetchall()))
+    assert s_rows == d_rows, (
+        f"w={width} k={nchunks} t={thresh} mut={mut!r} nmut={nmut}: "
+        f"spark-only={sorted(s_rows - d_rows)[:5]} duck-only={sorted(d_rows - s_rows)[:5]}"
+    )
+    # structural floor: tail mutation preserves every COMPLETE prefix chunk
+    # of the original, so a pair shares min(nchunks, floor(L/width)) chunks;
+    # when the sampled threshold is at or below that floor, every mutated
+    # doc's original<->variant pair must surface (fixture docs are >= 108
+    # hex chars at every sf; 60 keeps the bound conservative)
+    if thresh <= min(nchunks, 60 // width):
+        expected = {(d * 10, d * 10 + 2) for d in range(nmut)}
+        got = {(a, b) for a, b, _, _ in s_rows}
+        assert expected <= got, sorted(expected - got)[:5]
