@@ -74,6 +74,12 @@ PRIORITY_UNVERIFIED: list[str] = [
     "geo_dwell_segments", "stats_effect_sizes", "mm_phash_band",
     "dedup_embed_scaled", "stream_geo_sessions", "sample_weighted",
     "corpus_multimodal_pipeline",
+    # -- round-8 additions (registered BEHIND the closure head per VERDICT r7
+    # item 10: the 49+1 never-sampled entries above must consume round 8's
+    # entire 50-row driver budget; these eight queue for round 9) -----------
+    "agg_log_histogram_quantile", "corpus_preference_pairs",
+    "corpus_length_buckets", "er_record_linkage", "corpus_dataset_card",
+    "ts_sax", "eval_lift_table", "graph_hits",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1799,3 +1799,135 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_cents"
         ),
     )
+
+
+# --- round 8: relative-error log-bucketed quantile sketch -------------------
+
+
+@query(
+    "agg_log_histogram_quantile",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS c
+        FROM orders
+    ),
+    coded AS (
+        SELECT o_orderpriority,
+               2 * (length(to_base(c, 2)) - 1)
+                 + CASE WHEN c * c >= (1::BIGINT << (2 * (length(to_base(c, 2)) - 1) + 1))
+                        THEN 1 ELSE 0 END AS bucket
+        FROM cents
+    ),
+    hist AS (
+        SELECT o_orderpriority, bucket, count(*)::BIGINT AS cnt
+        FROM coded GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT o_orderpriority, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_n,
+               sum(cnt) OVER (PARTITION BY o_orderpriority)::BIGINT AS n
+        FROM hist
+    ),
+    picked AS (
+        SELECT o_orderpriority, max(n)::BIGINT AS n,
+               min(CASE WHEN cum_n >= (n + 1) // 2 THEN bucket END)::BIGINT AS p50_bucket,
+               min(CASE WHEN cum_n >= (9 * n + 9) // 10 THEN bucket END)::BIGINT AS p90_bucket,
+               min(CASE WHEN cum_n >= (99 * n + 99) // 100 THEN bucket END)::BIGINT AS p99_bucket
+        FROM cum GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           p50_bucket,
+           (floor(sqrt((1::BIGINT << p50_bucket)::DOUBLE)) + p50_bucket % 2)::BIGINT
+               AS p50_lo_cents,
+           p90_bucket,
+           (floor(sqrt((1::BIGINT << p90_bucket)::DOUBLE)) + p90_bucket % 2)::BIGINT
+               AS p90_lo_cents,
+           p99_bucket,
+           (floor(sqrt((1::BIGINT << p99_bucket)::DOUBLE)) + p99_bucket % 2)::BIGINT
+               AS p99_lo_cents
+    FROM picked
+    """,
+    tags=("agg", "sketch", "scale"),
+)
+def agg_log_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE-error mergeable quantiles — the DDSketch shape, twinned
+    exactly: agg_quantile_histogram's cents histogram is exact but its
+    state is O(|value domain|), which for a heavy-tailed metric (latency,
+    price) is millions of cells; the log-bucketed sketch collapses that to
+    one cell per HALF-OCTAVE (gamma = sqrt(2), relative error
+    (gamma-1)/(gamma+1) ~ 17%), i.e. <= 2*53 cells for any BIGINT domain
+    -- the constant-state family agg_countmin/agg_bloom_filter belong to.
+
+    Every step is INTEGER arithmetic so the twin is exact (no rule-17b /
+    libm drift anywhere a bucket boundary could flip):
+      * octave  b  = floor(log2(cents)) via the BINARY-STRING LENGTH
+        (`length(conv(c, 10, 2)) - 1` == `length(to_base(c, 2)) - 1`) --
+        never float log2, whose `log(x)/log(2)` lowering lands BELOW the
+        exact integer at powers of two and misbuckets them;
+      * half-octave bit = [c^2 >= 2^(2b+1)], exact while c < 2^31;
+      * bucket readout lower bound = floor(sqrt(2^bucket)) + (bucket % 2):
+        even buckets hit the exact power of two (sqrt of an exact square
+        is exact), odd buckets get the smallest integer whose square
+        reaches 2^bucket -- sqrt is IEEE correctly-rounded in BOTH engines
+        on an exactly-representable power-of-two input (bucket <= 53), so
+        the twin is bit-identical, not approximately equal.
+    Quantile selection reuses the integer-ceiling order-statistic rule of
+    agg_quantile_histogram ((n+1)//2 etc.), so the reported bucket is the
+    true discrete quantile's bucket.
+
+    At 100 TB: the per-(group, bucket) partial agg is the whole job -- the
+    shuffle carries <= ~106 cells per group, merges are count additions
+    (the same monoid as agg_incremental_merge), and the final window runs
+    over bucket counts, never rows. This is the sketch you deploy when
+    agg_quantile_histogram's domain-bounded state no longer fits."""
+    o = load(spark, sf_dir, "orders")
+    c = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    coded = o.select(
+        "o_orderpriority",
+        F.expr(
+            "2 * (length(conv(cast(floor(o_totalprice * 100 + 0.5) as bigint), 10, 2)) - 1)"
+            " + CASE WHEN cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            "            * cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            "         >= shiftleft(cast(1 as bigint),"
+            "  cast(2 * (length(conv(cast(floor(o_totalprice * 100 + 0.5) as bigint), 10, 2)) - 1) + 1 as int))"
+            "    THEN 1 ELSE 0 END"
+        ).cast("long").alias("bucket"),
+    )
+    hist = coded.groupBy("o_orderpriority", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "bucket",
+        F.sum("cnt").over(wcum).alias("cum_n"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    picked = cum.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        F.min(F.expr("CASE WHEN cum_n >= (n + 1) div 2 THEN bucket END")).alias("p50_bucket"),
+        F.min(F.expr("CASE WHEN cum_n >= (9 * n + 9) div 10 THEN bucket END")).alias("p90_bucket"),
+        F.min(F.expr("CASE WHEN cum_n >= (99 * n + 99) div 100 THEN bucket END")).alias("p99_bucket"),
+    )
+
+    def lo(bucket_col: str) -> Column:
+        return F.expr(
+            f"cast(floor(sqrt(cast(shiftleft(cast(1 as bigint), cast({bucket_col} as int))"
+            f" as double))) + {bucket_col} % 2 as bigint)"
+        )
+
+    return picked.select(
+        "o_orderpriority",
+        "n",
+        "p50_bucket",
+        lo("p50_bucket").alias("p50_lo_cents"),
+        "p90_bucket",
+        lo("p90_bucket").alias("p90_lo_cents"),
+        "p99_bucket",
+        lo("p99_bucket").alias("p99_lo_cents"),
+    )

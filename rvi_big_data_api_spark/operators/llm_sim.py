@@ -3342,3 +3342,132 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cos_sim"),
     )
+
+
+# --- round 8: HITS hubs & authorities ---------------------------------------
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS id FROM pairs UNION SELECT dst FROM pairs
+    ),
+    a1 AS MATERIALIZED (
+        SELECT dst AS id, count(*)::DOUBLE AS s FROM pairs GROUP BY dst
+    ),
+    a1n AS MATERIALIZED (
+        SELECT id, s / (SELECT sum(s) FROM a1) AS s FROM a1
+    ),
+    h1 AS MATERIALIZED (
+        SELECT p.src AS id, sum(a.s) AS s FROM pairs p JOIN a1n a ON p.dst = a.id
+        GROUP BY p.src
+    ),
+    h1n AS MATERIALIZED (
+        SELECT id, s / (SELECT sum(s) FROM h1) AS s FROM h1
+    ),
+    a2 AS MATERIALIZED (
+        SELECT p.dst AS id, sum(h.s) AS s FROM pairs p JOIN h1n h ON p.src = h.id
+        GROUP BY p.dst
+    ),
+    a2n AS MATERIALIZED (
+        SELECT id, s / (SELECT sum(s) FROM a2) AS s FROM a2
+    ),
+    h2 AS MATERIALIZED (
+        SELECT p.src AS id, sum(a.s) AS s FROM pairs p JOIN a2n a ON p.dst = a.id
+        GROUP BY p.src
+    ),
+    h2n AS (
+        SELECT id, s / (SELECT sum(s) FROM h2) AS s FROM h2
+    )
+    SELECT n.id AS vec_id,
+           round(coalesce(h.s, 0), 6) AS hub,
+           round(coalesce(a.s, 0), 6) AS authority
+    FROM nodes n
+    LEFT JOIN h2n h ON n.id = h.id
+    LEFT JOIN a2n a ON n.id = a.id
+    """,
+    tags=("llm", "graph"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg's hubs & authorities) over the similarity graph,
+    DIRECTED low-id → high-id — the fourth iterative-centrality family
+    after CC / PageRank / label propagation, and the one that
+    distinguishes the two ROLES an asymmetric relation induces: on a
+    citation-shaped edge set, a hub points at many good authorities, an
+    authority is pointed at by many good hubs (on the symmetrized graph
+    the two scores collapse — the id-ordered orientation is what keeps
+    them distinct, the same deterministic orientation dedup keeps for its
+    keeper rule). Two mutual-reinforcement rounds UNROLLED declaratively
+    (the pagerank discipline): each half-step is edges ⋈ scores (one
+    shuffle on the join side's key) → partial-agg sum, followed by L1
+    normalization against a broadcast 1-row total — never an N×N matrix,
+    and the global sum is the only driver-sized scalar per half-step.
+
+    Twin: the identical chain as MATERIALIZED CTEs (rule 24 — each level
+    is referenced by the next step AND its normalizer, so default inlining
+    would re-expand the pairs scan 2^levels times). Scores are rounded to
+    6 dp (rule 6/8: per-node sums fold in engine-specific order; the
+    normalized magnitudes sit far above the 1e-6 cell). Nodes missing a
+    role (no out-edges → hub 0, no in-edges → authority 0) are restored
+    by the node-set left join so the output covers every graph member.
+
+    At 100 TB: same cost model as graph_pagerank — per-iteration one
+    shuffle keyed by src (or dst), partial aggregation map-side, scores
+    checkpointed between rounds in the to-convergence variant; the edge
+    list comes from the session memo (sim_pair_edges), so the expensive
+    candidate-pair GEMM is paid once per session, not per consumer."""
+    pairs = sim_pair_edges(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    nodes = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+    def l1(df: DataFrame) -> DataFrame:
+        total = df.agg(F.sum("s").alias("tot"))
+        return df.crossJoin(F.broadcast(total)).select(
+            "id", (F.col("s") / F.col("tot")).alias("s")
+        )
+
+    a1 = pairs.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("s")
+    )
+    a1n = l1(a1)
+    h1 = (
+        pairs.join(a1n.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("s").alias("s"))
+    )
+    h1n = l1(h1)
+    a2 = (
+        pairs.join(h1n.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("s").alias("s"))
+    )
+    a2n = l1(a2)
+    h2 = (
+        pairs.join(a2n.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("s").alias("s"))
+    )
+    h2n = l1(h2)
+    return (
+        nodes.join(h2n.withColumnRenamed("id", "hid"), nodes.id == F.col("hid"), "left")
+        .join(a2n.withColumnRenamed("id", "aid").withColumnRenamed("s", "sa"),
+              nodes.id == F.col("aid"), "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.round(F.coalesce(F.col("s"), F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce(F.col("sa"), F.lit(0.0)), 6).alias("authority"),
+        )
+    )

@@ -2199,3 +2199,398 @@ def privacy_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 0)
     )
     return kept.unionAll(kept2).unionAll(suppressed)
+
+
+# --- round 8: preference pairs, length bucketing, record linkage, card -----
+
+PREF_MIN_MARGIN_PPM = 20_000  # 2-point lexical-diversity gap: a pair whose
+                              # chosen/rejected scores are closer than this
+                              # teaches a preference model nothing
+
+
+@query(
+    "corpus_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               substr(md5(doc_id::VARCHAR), 1, 1) AS bucket,
+               len(list_distinct(string_split(text, ' '))) * 1000000
+                   // len(string_split(text, ' ')) AS score_ppm
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY lang, source, bucket
+                                  ORDER BY score_ppm DESC, doc_id ASC) AS rn_best,
+               row_number() OVER (PARTITION BY lang, source, bucket
+                                  ORDER BY score_ppm ASC, doc_id ASC) AS rn_worst
+        FROM scored
+    )
+    SELECT b.lang, b.source, b.bucket,
+           b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+           b.score_ppm::BIGINT AS chosen_score_ppm,
+           w.score_ppm::BIGINT AS rejected_score_ppm,
+           (b.score_ppm - w.score_ppm)::BIGINT AS margin_ppm
+    FROM ranked b
+    JOIN ranked w ON b.lang = w.lang AND b.source = w.source
+                 AND b.bucket = w.bucket
+    WHERE b.rn_best = 1 AND w.rn_worst = 1
+      AND b.doc_id != w.doc_id
+      AND b.score_ppm - w.score_ppm >= {PREF_MIN_MARGIN_PPM}
+    """,
+    tags=("llm", "corpus", "preference"),
+)
+def corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF data shape: within each
+    comparison bucket (here (lang, source, md5-nibble of doc_id) stands in
+    for "responses to the same prompt"), pick the highest- and
+    lowest-quality document as (chosen, rejected), and keep the pair only
+    when the quality margin is wide enough to carry signal. The quality
+    score is lexical diversity in EXACT integer ppm (distinct tokens *
+    1e6 div tokens — rule 25: integer ratios, never rounded floats), and
+    ties break on doc_id, so the pair set is deterministic across engines
+    and across reruns — re-labeling a training set must not reshuffle it.
+
+    Shape: one scan computes scores map-side; TWO row_number windows over
+    the same (lang, source, bucket) partition (one sort each way) pick the
+    extremes; the argmax rows then self-join on the bucket key — both
+    sides are |buckets| rows, not |docs|, so the join input collapsed by
+    three orders of magnitude before any shuffle pairing. At 100 TB the
+    bucket key is the real prompt id and the window is exactly this plan;
+    min/max_by would halve the sorts but lose the rank columns a
+    multi-pair variant (best-vs-median, best-vs-2nd) reads."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L div size(split(text, ' '))"
+        ).alias("score_ppm"),
+    )
+    wb = Window.partitionBy("lang", "source", "bucket").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    )
+    ww = Window.partitionBy("lang", "source", "bucket").orderBy(
+        F.col("score_ppm").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "*", F.row_number().over(wb).alias("rn_best"), F.row_number().over(ww).alias("rn_worst")
+    )
+    best = ranked.filter(F.col("rn_best") == 1).select(
+        "lang", "source", "bucket",
+        F.col("doc_id").alias("chosen_doc"), F.col("score_ppm").alias("chosen_score_ppm"),
+    )
+    worst = ranked.filter(F.col("rn_worst") == 1).select(
+        "lang", "source", "bucket",
+        F.col("doc_id").alias("rejected_doc"), F.col("score_ppm").alias("rejected_score_ppm"),
+    )
+    return (
+        best.join(worst, ["lang", "source", "bucket"])
+        .filter(
+            (F.col("chosen_doc") != F.col("rejected_doc"))
+            & (F.col("chosen_score_ppm") - F.col("rejected_score_ppm") >= PREF_MIN_MARGIN_PPM)
+        )
+        .select(
+            "lang", "source", "bucket", "chosen_doc", "rejected_doc",
+            "chosen_score_ppm", "rejected_score_ppm",
+            (F.col("chosen_score_ppm") - F.col("rejected_score_ppm")).alias("margin_ppm"),
+        )
+    )
+
+
+@query(
+    "corpus_length_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens = 1 THEN 1::BIGINT
+                    ELSE (1::BIGINT << length(to_base(n_tokens - 1, 2))) END AS bucket_cap
+        FROM toks
+    )
+    SELECT bucket_cap,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS sum_tokens,
+           min(n_tokens)::BIGINT AS min_tokens,
+           max(n_tokens)::BIGINT AS max_tokens,
+           (bucket_cap * count(*))::BIGINT AS capacity_tokens,
+           ((bucket_cap * count(*) - sum(n_tokens)) * 1000000
+               // (bucket_cap * count(*)))::BIGINT AS pad_waste_ppm
+    FROM bucketed GROUP BY bucket_cap
+    """,
+    tags=("llm", "corpus", "batching"),
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the padding-waste ledger every
+    sequence-training pipeline needs: documents are assigned to
+    power-of-two capacity buckets (bucket = 2^ceil(log2(tokens)), computed
+    with the same exact binary-string-length arithmetic as
+    agg_log_histogram_quantile — never float log2), and each bucket
+    reports how many pad tokens a batch at that capacity burns
+    (capacity − real tokens, as integer ppm of capacity — rule 25).
+    corpus_pack_sequences eliminates the waste by packing; THIS op is the
+    measurement that justifies packing, and the bucket boundaries are the
+    ones a bucketed-batching dataloader would use directly.
+
+    One map-side bucket expression + one partial-agg groupBy over ≤ ~13
+    buckets: state is constant, the shuffle carries buckets not documents,
+    and the op costs one corpus scan at any scale."""
+    d = load(spark, sf_dir, "documents")
+    bucketed = d.select(
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) = 1 THEN cast(1 as bigint)"
+            " ELSE shiftleft(cast(1 as bigint),"
+            "      length(conv(cast(size(split(text, ' ')) - 1 as bigint), 10, 2))) END"
+        ).alias("bucket_cap"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        bucketed.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            "min_tokens",
+            "max_tokens",
+            (F.col("bucket_cap") * F.col("n_docs")).alias("capacity_tokens"),
+            F.expr(
+                "(bucket_cap * n_docs - sum_tokens) * 1000000 div (bucket_cap * n_docs)"
+            ).alias("pad_waste_ppm"),
+        )
+    )
+
+
+ER_VARIANT_BASE = 10_000_000  # variant ids live in a disjoint key range
+
+
+@query(
+    "er_record_linkage",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey AS rec_id, lower(c_name) AS name, c_nationkey AS nation
+        FROM customer
+    ),
+    variants AS (
+        -- deterministic dirty re-entries: every third customer re-registers
+        -- with ONE digit dropped at position 13 + (custkey % 6) — the last
+        -- six digits, the only characters that discriminate TPC-H names
+        SELECT c_custkey + {ER_VARIANT_BASE} AS rec_id,
+               substr(lower(c_name), 1, 12 + c_custkey % 6)
+                   || substr(lower(c_name), 14 + c_custkey % 6, 50) AS name,
+               c_nationkey AS nation
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    dirty AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+    windows AS (
+        SELECT rec_id, name, nation, substr(name, 13, 50) AS w FROM dirty
+    ),
+    dels AS (
+        SELECT DISTINCT rec_id, name, nation,
+               substr(w, 1, i) || substr(w, i + 2, 50) AS delkey
+        FROM windows, unnest(range(len(w))) t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT d.rec_id AS id_a, s.rec_id AS id_b,
+               d.name AS name_a, s.name AS name_b, d.nation AS nation
+        FROM dels d
+        JOIN windows s
+          ON d.nation = s.nation AND d.delkey = s.w
+         AND length(s.name) + 1 = length(d.name)
+    )
+    SELECT id_a, id_b, nation,
+           levenshtein(name_a, name_b) AS dist,
+           (id_b - {ER_VARIANT_BASE} = id_a) AS true_match
+    FROM cand
+    WHERE levenshtein(name_a, name_b) = 1
+    """,
+    tags=("llm", "linkage", "dedup"),
+)
+def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Entity resolution via DELETION-NEIGHBORHOOD blocking (the
+    SymSpell / FastSS family) — the record-linkage loop behind every
+    customer-dedup / identity-graph job, built to survive its own scale
+    math: a dirty universe (originals plus deterministic one-digit-dropped
+    re-entries, generated in-plan like mm_phash_band\'s mutated uploads)
+    is matched WITHOUT quadratic blocks. Every record emits (a) its
+    mutation-zone window (chars 13+ of the name — TPC-H names only
+    discriminate in the digit tail) as a SELF key and (b) each
+    single-deletion form of that window as a DELETION key; a dirty
+    re-entry then collides with its base record exactly where the base\'s
+    deletion key equals the variant\'s own window. The length gate
+    (|name_a| = |name_b| + 1) encodes the error model — equal-length
+    sequential neighbors ("…001" vs "…002", edit distance 1
+    legitimately!) can never pair, which is the classic ER lesson that
+    the comparison rule must encode the ERROR MODEL, not just a distance.
+    Verified pairs carry a true_match flag (variant ids are offset by
+    ER_VARIANT_BASE), so precision — deletion COLLISIONS, distinct bases
+    whose deletion neighborhoods overlap — is readable from the output.
+
+    Why not classic value blocking (nation × digit-slice keys)? Fixed-
+    cardinality blocks make candidate volume Σ|block|² — quadratic in N
+    once the key saturates (the first cut of this op paid N²/25000 at
+    sf1). Deletion keys scale WITH the data: ~|window| keys per record,
+    key cardinality grows with N, so candidates stay ~linear and the
+    O(len²) levenshtein verify runs only on near-certain pairs — at
+    100 TB this is one shuffle keyed by (nation, 5-char key) with no
+    hot block. The DISTINCTs collapse duplicate keys (adjacent equal
+    chars delete to the same form) before and after the join.'''
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    variants = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + ER_VARIANT_BASE).alias("rec_id"),
+        F.concat(
+            F.expr("substr(lower(c_name), 1, cast(12 + c_custkey % 6 as int))"),
+            F.expr("substr(lower(c_name), cast(14 + c_custkey % 6 as int), 50)"),
+        ).alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    dirty = base.unionByName(variants)
+    windows = dirty.select(
+        "rec_id", "name", "nation", F.expr("substr(name, 13, 50)").alias("w")
+    )
+    dels = windows.select(
+        "rec_id",
+        "name",
+        "nation",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, length(w) - 1),"
+                    " i -> concat(substr(w, 1, i), substr(w, i + 2, 50)))"
+                )
+            )
+        ).alias("delkey"),
+    )
+    s = windows.alias("s")
+    d = dels.alias("d")
+    cand = (
+        d.join(
+            s,
+            (F.col("d.nation") == F.col("s.nation"))
+            & (F.col("d.delkey") == F.col("s.w"))
+            & (F.length("s.name") + 1 == F.length("d.name")),
+        )
+        .select(
+            F.col("d.rec_id").alias("id_a"),
+            F.col("s.rec_id").alias("id_b"),
+            F.col("d.name").alias("name_a"),
+            F.col("s.name").alias("name_b"),
+            F.col("d.nation").alias("nation"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.filter(dist == 1).select(
+        "id_a",
+        "id_b",
+        "nation",
+        dist.alias("dist"),
+        (F.col("id_b") - ER_VARIANT_BASE == F.col("id_a")).alias("true_match"),
+    )
+
+
+
+@query(
+    "corpus_dataset_card",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text, lang, source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    hist AS (
+        SELECT n_tokens, count(*)::BIGINT AS cnt FROM toks GROUP BY n_tokens
+    ),
+    cum AS (
+        SELECT n_tokens, cnt,
+               sum(cnt) OVER (ORDER BY n_tokens
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_n,
+               sum(cnt) OVER ()::BIGINT AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT min(CASE WHEN cum_n >= (n + 1) // 2 THEN n_tokens END)::BIGINT
+                   AS p50_tokens
+        FROM cum
+    ),
+    flat AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS n_tokens,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               count(DISTINCT md5(text))::BIGINT AS n_unique_texts
+        FROM toks
+    )
+    SELECT n_docs, n_tokens, n_langs, n_sources,
+           (n_tokens * 1000000 // n_docs)::BIGINT AS mean_tokens_ppm,
+           p50_tokens,
+           ((n_docs - n_unique_texts) * 1000000 // n_docs)::BIGINT AS dup_ppm
+    FROM flat CROSS JOIN med
+    """,
+    tags=("llm", "corpus", "report"),
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the one-row release artifact summarizing a training
+    corpus (the "datasheet" block of a model card): document and token
+    inventories, language/source diversity, the median document length
+    (via the sort-free cumulative-histogram order statistic of
+    agg_quantile_histogram — token counts are already a discrete domain),
+    and the exact-duplicate rate by content hash (dedup_exact's md5 rule),
+    all as integers or integer ppm (rule 25).
+
+    Cost model at 100 TB: ONE corpus scan feeds every number — the flat
+    aggregate is a single partial-agg pass whose two distinct-counts are
+    bounded by tiny domains (langs, sources) plus one md5-keyed distinct
+    that shuffles 16-byte fingerprints (not text); the median runs over
+    the |distinct lengths| histogram. A release gate recomputes this card
+    per snapshot and diffs it against the previous one (corpus_drift_psi
+    is the distributional sibling)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        "source",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    hist = toks.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "n_tokens",
+        F.sum("cnt").over(wcum).alias("cum_n"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    med = cum.agg(
+        F.min(F.expr("CASE WHEN cum_n >= (n + 1) div 2 THEN n_tokens END")).alias("p50_tokens")
+    )
+    flat = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("text_md5").alias("n_unique_texts"),
+    )
+    return flat.crossJoin(F.broadcast(med)).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_sources",
+        F.expr("n_tokens * 1000000 div n_docs").alias("mean_tokens_ppm"),
+        "p50_tokens",
+        F.expr("(n_docs - n_unique_texts) * 1000000 div n_docs").alias("dup_ppm"),
+    )

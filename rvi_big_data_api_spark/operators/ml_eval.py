@@ -2902,3 +2902,118 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(g, 6) + F.lit(0.0)).alias("hedges_g"),
         (F.round(rb, 6) + F.lit(0.0)).alias("rank_biserial"),
     )
+
+
+# --- round 8: decile lift/gains table ---------------------------------------
+
+
+@query(
+    "eval_lift_table",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               floor(sum(CASE WHEN event_type IN ('view', 'click')
+                              THEN value ELSE 0 END) * 100 + 0.5)::BIGINT
+                   AS score_cents,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT label,
+               row_number() OVER (ORDER BY score_cents DESC, user_id ASC) AS rn,
+               count(*) OVER ()::BIGINT AS n_total,
+               sum(label) OVER ()::BIGINT AS pos_total
+        FROM per_user
+    ),
+    deciles AS (
+        SELECT ((rn - 1) * 10) // n_total AS decile,
+               count(*)::BIGINT AS n,
+               sum(label)::BIGINT AS n_pos,
+               max(n_total)::BIGINT AS n_total,
+               max(pos_total)::BIGINT AS pos_total
+        FROM ranked GROUP BY 1
+    )
+    SELECT decile::BIGINT AS decile, n, n_pos,
+           (n_pos * 1000000 // n)::BIGINT AS rate_ppm,
+           (sum(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum_pos,
+           ((sum(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                * 1000000 // nullif(pos_total, 0))::BIGINT AS capture_ppm,
+           (n_pos * n_total * 1000000 // nullif(n * pos_total, 0))::BIGINT
+               AS lift_ppm
+    FROM deciles
+    """,
+    tags=("analytics", "eval"),
+)
+def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & gains table — the campaign-targeting readout that sits
+    next to eval_auc_trapezoid (same deterministic score = engagement
+    cents, same label = big-purchase flag): users are ranked by score,
+    cut into ten equal-population deciles (ties broken by user_id so the
+    cut is reproducible — ntile() without a full tiebreak is
+    run-dependent, rule 10's lesson), and each decile reports its response
+    rate, cumulative capture of all positives (the gains curve), and lift
+    over the base rate — all integer ppm (rule 25), so the twin is exact.
+
+    The global rank is the one scale-sensitive step: at fixture scale it
+    is a single window; at 100 TB the same statistic comes from
+    score-histogram cumulative counts (the agg_quantile_histogram trick
+    gives decile BOUNDARIES without a global sort, exactly how
+    eval_auc_trapezoid already builds its curve from score support), with
+    only boundary-straddling score groups needing the tiebreak — the
+    window here keeps the registered op one plan with zero approximation.
+    Downstream: capture_ppm at decile 2 is the 'top-20%' number every
+    targeting deck quotes; lift_ppm < 1e6 marks deciles worse than random."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(
+                F.when(F.col("event_type").isin("view", "click"), F.col("value")).otherwise(
+                    0.0
+                )
+            )
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("score_cents"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    wrank = Window.orderBy(F.col("score_cents").desc(), F.col("user_id").asc())
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "label",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_total"),
+        F.sum("label").over(wall).alias("pos_total"),
+    )
+    deciles = ranked.groupBy(F.expr("(rn - 1) * 10 div n_total").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("n_pos"),
+        F.max("n_total").alias("n_total"),
+        F.max("pos_total").alias("pos_total"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_pos = F.sum("n_pos").over(wcum)
+    return deciles.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n",
+        "n_pos",
+        F.expr("n_pos * 1000000 div n").alias("rate_ppm"),
+        cum_pos.alias("cum_pos"),
+        F.expr(
+            "sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW) * 1000000 div nullif(pos_total, 0)"
+        ).alias("capture_ppm"),
+        F.expr("n_pos * n_total * 1000000 div nullif(n * pos_total, 0)").alias("lift_ppm"),
+    )

@@ -3798,3 +3798,131 @@ def geo_dwell_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dwell_sec").alias("max_dwell_sec"),
         F.sum("n_fixes").alias("n_fixes"),
     )
+
+
+# --- round 8: symbolic series (SAX) -----------------------------------------
+
+SAX_W = 8  # PAA segments per user series == symbols per word
+
+
+@query(
+    "ts_sax",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    indexed AS (
+        SELECT user_id, cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS r,
+               count(*) OVER (PARTITION BY user_id) AS n_days
+        FROM daily
+    ),
+    paa AS (
+        SELECT user_id, max(n_days)::BIGINT AS n_days,
+               (r * {SAX_W}) // n_days AS seg,
+               sum(cents) // count(*) AS m
+        FROM indexed WHERE n_days >= {SAX_W}
+        GROUP BY user_id, (r * {SAX_W}) // n_days
+    ),
+    stats AS (
+        SELECT user_id, max(n_days)::BIGINT AS n_days,
+               sum(m)::BIGINT AS s, sum(m * m)::BIGINT AS s2
+        FROM paa GROUP BY user_id
+    ),
+    symbols AS (
+        SELECT p.user_id, st.n_days, p.seg,
+               CASE WHEN (st.s2 - st.s / {SAX_W}.0 * st.s) <= 0 THEN 'c'
+                    WHEN (p.m - st.s / {SAX_W}.0)
+                         < -0.6745 * sqrt((st.s2 - st.s / {SAX_W}.0 * st.s) / {SAX_W}.0)
+                         THEN 'a'
+                    WHEN (p.m - st.s / {SAX_W}.0) < 0 THEN 'b'
+                    WHEN (p.m - st.s / {SAX_W}.0)
+                         < 0.6745 * sqrt((st.s2 - st.s / {SAX_W}.0 * st.s) / {SAX_W}.0)
+                         THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM paa p JOIN stats st ON p.user_id = st.user_id
+    )
+    SELECT user_id, max(n_days)::BIGINT AS n_days,
+           string_agg(sym, '' ORDER BY seg) AS sax_word
+    FROM symbols GROUP BY user_id
+    """,
+    tags=("timeseries", "telemetry"),
+)
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh's Symbolic Aggregate approXimation) —
+    each user's daily-spend series becomes an 8-letter word over {a,b,c,d}:
+    PAA (piecewise aggregate) means per segment, z-normalized per series,
+    then mapped to symbols at the standard-normal quartile breakpoints
+    (±0.6745, 0). Words feed motif mining, series clustering, and
+    anomaly-by-rare-word — the discrete handle on 100 TB of telemetry that
+    makes shape questions ("which vehicles idle-spike-idle?") a GROUP BY.
+
+    Cross-engine float discipline, stated because it is load-bearing:
+    every input to the float stage is an EXACT integer (cents via rule
+    17b, PAA means via integer floor-division, segment assignment via
+    (r*W) div n), and from there the mean / variance / breakpoint
+    comparisons are the SAME expression tree over the same 8 integers in
+    both engines — bit-identical per rule 9's identical-fold argument, so
+    the word column hash-matches without any rounding step. A zero
+    -variance series (all segments equal) short-circuits to the center
+    symbol before any division. Series shorter than SAX_W days are
+    dropped (every segment must be non-empty for (r*W) div n to cover all
+    W segments).
+
+    Scale shape: two keyed aggregations (user-day rollup, then per-user
+    segment PAA) and two tiny per-user reductions — everything partitions
+    by user; no global sort, no window wider than one user's ≤ W segment
+    rows after the day rollup."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wday = Window.partitionBy("user_id").orderBy("day")
+    indexed = daily.select(
+        "user_id",
+        "cents",
+        (F.row_number().over(wday) - 1).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_days"),
+    )
+    paa = (
+        indexed.filter(F.col("n_days") >= SAX_W)
+        .groupBy("user_id", F.expr(f"r * {SAX_W} div n_days").alias("seg"))
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.expr("sum(cents) div count(*)").alias("m"),
+        )
+    )
+    stats = paa.groupBy("user_id").agg(
+        F.max("n_days").alias("n_days"),
+        F.sum("m").alias("s"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    joined = paa.drop("n_days").join(stats, "user_id")
+    var_num = F.col("s2") - F.col("s") / float(SAX_W) * F.col("s")
+    dev = F.col("m") - F.col("s") / float(SAX_W)
+    sigma = F.sqrt(var_num / float(SAX_W))
+    sym = (
+        F.when(var_num <= 0, "c")
+        .when(dev < -0.6745 * sigma, "a")
+        .when(dev < 0, "b")
+        .when(dev < 0.6745 * sigma, "c")
+        .otherwise("d")
+    )
+    symbols = joined.select("user_id", "n_days", "seg", sym.alias("sym"))
+    return symbols.groupBy("user_id").agg(
+        F.max("n_days").alias("n_days"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "sym"))), lambda x: x["sym"]
+            ),
+            "",
+        ).alias("sax_word"),
+    )

@@ -1,0 +1,221 @@
+"""Cross-operator and structural invariants for the round-8 wave.
+
+Same discipline as tests/test_round7_properties.py: each test pins a law
+the oracle compare alone can't see — a bracketing guarantee against an
+independently-computed exact answer (log-histogram quantiles vs the true
+order statistic), a recall guarantee over a known-truth universe (record
+linkage), or an internal conservation law (lift-table partitioning, L1
+normalization, SAX word algebra).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rvi_big_data_api_spark.registry import REGISTRY
+
+
+def _df(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_log_histogram_brackets_true_quantile(spark, sf_dir, duck):
+    """The sketch's guarantee, checked against the independently-computed
+    EXACT discrete quantile: for each priority and each q, the true
+    q-quantile in cents lies inside [lo, next_lo) of the reported bucket —
+    i.e. lo <= true_q < lo * gamma^2 (one full bucket step, gamma^2 = 2
+    per two half-octave buckets). This is the relative-error contract
+    DDSketch sells; if bucket coding ever drifted off floor(log2) the
+    bracket would break long before the oracle hash did."""
+    rows = {r["o_orderpriority"]: r for r in _df("agg_log_histogram_quantile", spark, sf_dir).collect()}
+    exact = duck.execute(
+        """
+        SELECT o_orderpriority,
+               quantile_disc(floor(o_totalprice * 100 + 0.5)::BIGINT, 0.50) AS q50,
+               quantile_disc(floor(o_totalprice * 100 + 0.5)::BIGINT, 0.90) AS q90,
+               quantile_disc(floor(o_totalprice * 100 + 0.5)::BIGINT, 0.99) AS q99
+        FROM orders GROUP BY 1
+        """
+    ).fetchall()
+    assert rows and len(exact) == len(rows)
+    for prio, q50, q90, q99 in exact:
+        r = rows[prio]
+        for qv, lo_col, b_col in (
+            (q50, "p50_lo_cents", "p50_bucket"),
+            (q90, "p90_lo_cents", "p90_bucket"),
+            (q99, "p99_lo_cents", "p99_bucket"),
+        ):
+            lo, b = r[lo_col], r[b_col]
+            # exact bucket membership: 2^b <= qv^2 ... expressed via lo:
+            # lo is the smallest integer in the bucket; the next bucket's
+            # lo is < lo * sqrt(2) + 1, so qv < 2 * lo always brackets.
+            assert lo <= qv < 2 * lo, (prio, lo_col, lo, qv)
+
+
+def test_preference_pairs_are_true_extremes(spark, sf_dir):
+    """Within every emitted bucket the chosen doc carries the bucket's max
+    score and the rejected doc its min (ties broken low-doc_id), and the
+    margin gate holds — recomputed from raw scores, independent of the
+    operator's window plan."""
+    from rvi_big_data_api_spark.operators.llm_text import PREF_MIN_MARGIN_PPM
+    from rvi_big_data_api_spark.io import load
+
+    pairs = _df("corpus_preference_pairs", spark, sf_dir).collect()
+    assert pairs, "no preference pairs emitted — margin gate too strict for fixture"
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L div size(split(text, ' '))"
+        ).alias("score_ppm"),
+    ).collect()
+    by_bucket: dict = {}
+    for r in scored:
+        by_bucket.setdefault((r["lang"], r["source"], r["bucket"]), []).append(r)
+    for p in pairs:
+        grp = by_bucket[(p["lang"], p["source"], p["bucket"])]
+        best = min(grp, key=lambda r: (-r["score_ppm"], r["doc_id"]))
+        worst = min(grp, key=lambda r: (r["score_ppm"], r["doc_id"]))
+        assert p["chosen_doc"] == best["doc_id"], p
+        assert p["rejected_doc"] == worst["doc_id"], p
+        assert p["margin_ppm"] == p["chosen_score_ppm"] - p["rejected_score_ppm"] >= 0
+        assert p["margin_ppm"] >= PREF_MIN_MARGIN_PPM
+
+
+def test_length_buckets_cover_and_bound(spark, sf_dir):
+    """Power-of-two capacity law: every bucket's doc lengths satisfy
+    cap/2 < len <= cap (cap=1 holds len==1), buckets partition the corpus
+    (doc counts and token sums reconcile with the raw table), and waste is
+    the exact integer ppm of capacity minus payload."""
+    from rvi_big_data_api_spark.io import load
+
+    rows = _df("corpus_length_buckets", spark, sf_dir).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_tokens = sum(r["sum_tokens"] for r in rows)
+    d = load(spark, sf_dir, "documents")
+    raw = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("t"),
+    ).collect()[0]
+    assert total_docs == raw["n"] and total_tokens == raw["t"]
+    for r in rows:
+        cap = r["bucket_cap"]
+        assert r["max_tokens"] <= cap, r
+        if cap > 1:
+            assert r["min_tokens"] > cap // 2, r
+        expected_waste = (cap * r["n_docs"] - r["sum_tokens"]) * 1_000_000 // (cap * r["n_docs"])
+        assert r["pad_waste_ppm"] == expected_waste, r
+
+
+def test_record_linkage_full_recall(spark, sf_dir):
+    """Multi-pass blocking recall guarantee: EVERY generated variant is
+    matched back to its base record (the whole point of the two-pass
+    block design — a missed true pair means a mutation position escaped
+    both keys), every true pair sits at exactly dist 1, and false
+    positives are confined to the deletion-collision class (also dist 1,
+    lengths 18 vs 17)."""
+    from rvi_big_data_api_spark.operators.llm_text import ER_VARIANT_BASE
+    from rvi_big_data_api_spark.io import load
+
+    rows = _df("er_record_linkage", spark, sf_dir).collect()
+    cust = load(spark, sf_dir, "customer")
+    expected_variants = cust.filter(F.col("c_custkey") % 3 == 0).count()
+    true_pairs = {(r["id_a"], r["id_b"]) for r in rows if r["true_match"]}
+    assert len(true_pairs) == expected_variants, (
+        f"recall broken: {len(true_pairs)} of {expected_variants} variants linked"
+    )
+    for r in rows:
+        assert r["dist"] == 1, r
+    assert any(not r["true_match"] for r in rows), (
+        "no deletion-collision false positives — the precision column is untested"
+    )
+
+
+def test_sax_words_well_formed(spark, sf_dir):
+    """Every emitted word is exactly SAX_W symbols over {a,b,c,d}; only
+    users with >= SAX_W active days are symbolized; and the alphabet's
+    center-heavy shape appears (z-normalization forces both tails to be
+    rarer than the center on any non-degenerate series set)."""
+    from rvi_big_data_api_spark.operators.telemetry import SAX_W
+    from rvi_big_data_api_spark.io import load
+
+    rows = _df("ts_sax", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r["sax_word"]) == SAX_W, r
+        assert set(r["sax_word"]) <= set("abcd"), r
+        assert r["n_days"] >= SAX_W, r
+    ev = load(spark, sf_dir, "events")
+    eligible = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= SAX_W)
+        .count()
+    )
+    assert len(rows) == eligible
+
+
+def test_lift_table_conservation(spark, sf_dir):
+    """The decile partition conserves population and positives, decile
+    sizes are balanced to within one user, capture is monotone and ends at
+    exactly 1e6 ppm, and rate/lift reconcile with the decile's own
+    counts."""
+    rows = sorted(_df("eval_lift_table", spark, sf_dir).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(10))
+    n_total = sum(r["n"] for r in rows)
+    pos_total = sum(r["n_pos"] for r in rows)
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    cum = 0
+    last_capture = -1
+    for r in rows:
+        cum += r["n_pos"]
+        assert r["cum_pos"] == cum, r
+        assert r["rate_ppm"] == r["n_pos"] * 1_000_000 // r["n"], r
+        assert r["capture_ppm"] == cum * 1_000_000 // pos_total, r
+        assert r["capture_ppm"] >= last_capture
+        last_capture = r["capture_ppm"]
+        assert r["lift_ppm"] == r["n_pos"] * n_total * 1_000_000 // (r["n"] * pos_total), r
+    assert rows[-1]["capture_ppm"] == 1_000_000
+
+
+def test_hits_l1_normalized_and_covers_graph(spark, sf_dir):
+    """Both score vectors are L1-normalized (sums reconcile to 1 within
+    rounding of the 6-dp emit), every node of the edge set appears exactly
+    once, and the directed orientation separates the roles: at least one
+    node has hub != authority (on the symmetrized graph they'd collapse)."""
+    rows = _df("graph_hits", spark, sf_dir).collect()
+    assert rows
+    hub_sum = sum(r["hub"] for r in rows)
+    auth_sum = sum(r["authority"] for r in rows)
+    assert abs(hub_sum - 1.0) < 1e-3, hub_sum
+    assert abs(auth_sum - 1.0) < 1e-3, auth_sum
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert any(abs(r["hub"] - r["authority"]) > 1e-6 for r in rows)
+
+
+def test_dataset_card_reconciles(spark, sf_dir, duck):
+    """The card's one row must agree with independently-computed corpus
+    facts — the release-gate property: a card that drifts from the corpus
+    it describes is worse than no card."""
+    r = _df("corpus_dataset_card", spark, sf_dir).collect()[0]
+    n_docs, n_tokens, p50 = duck.execute(
+        """
+        SELECT count(*),
+               sum(len(string_split(text, ' '))),
+               quantile_disc(len(string_split(text, ' ')), 0.5)
+        FROM documents
+        """
+    ).fetchone()
+    assert r["n_docs"] == n_docs
+    assert r["n_tokens"] == n_tokens
+    assert r["p50_tokens"] == p50
+    assert r["mean_tokens_ppm"] == n_tokens * 1_000_000 // n_docs
+    assert 0 <= r["dup_ppm"] < 1_000_000
