@@ -80,6 +80,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "agg_log_histogram_quantile", "corpus_preference_pairs",
     "corpus_length_buckets", "er_record_linkage", "corpus_dataset_card",
     "ts_sax", "eval_lift_table", "graph_hits",
+    "stats_permutation_test", "ts_changepoint_binseg", "mm_audio_energy",
+    "stream_funnel_sessions",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -3017,3 +3017,141 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("capture_ppm"),
         F.expr("n_pos * n_total * 1000000 div nullif(n * pos_total, 0)").alias("lift_ppm"),
     )
+
+
+# --- round 8: permutation test ----------------------------------------------
+
+PERM_K = 100  # permutation replicates; p-value resolution = 1/(K+1)
+
+
+@query(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT
+            abs(
+              sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                       THEN converted ELSE 0 END) * 1000000
+                // sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                            THEN 1 ELSE 0 END)
+              - sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                         THEN converted ELSE 0 END) * 1000000
+                // sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                            THEN 1 ELSE 0 END)
+            )::BIGINT AS obs_diff_ppm
+        FROM per_user
+    ),
+    perms AS (
+        SELECT k,
+               abs(
+                 sum(CASE WHEN substr(md5(user_id::VARCHAR || ':' || k::VARCHAR), 1, 1) >= '8'
+                          THEN converted ELSE 0 END) * 1000000
+                   // nullif(sum(CASE WHEN substr(md5(user_id::VARCHAR || ':' || k::VARCHAR), 1, 1) >= '8'
+                               THEN 1 ELSE 0 END), 0)
+                 - sum(CASE WHEN substr(md5(user_id::VARCHAR || ':' || k::VARCHAR), 1, 1) < '8'
+                            THEN converted ELSE 0 END) * 1000000
+                   // nullif(sum(CASE WHEN substr(md5(user_id::VARCHAR || ':' || k::VARCHAR), 1, 1) < '8'
+                               THEN 1 ELSE 0 END), 0)
+               )::BIGINT AS diff_ppm
+        FROM per_user, unnest(range(1, {PERM_K} + 1)) t(k)
+        GROUP BY k
+    )
+    SELECT o.obs_diff_ppm,
+           {PERM_K}::BIGINT AS n_perms,
+           sum(CASE WHEN p.diff_ppm >= o.obs_diff_ppm THEN 1 ELSE 0 END)::BIGINT
+               AS n_ge,
+           ((1 + sum(CASE WHEN p.diff_ppm >= o.obs_diff_ppm THEN 1 ELSE 0 END))
+               * 1000000 // ({PERM_K} + 1))::BIGINT AS p_value_ppm
+    FROM perms p CROSS JOIN obs o
+    GROUP BY o.obs_diff_ppm
+    """,
+    tags=("analytics", "stats"),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A/B conversion lift — the assumption-free
+    sibling of ab_experiment_report's pooled z-test: the null distribution
+    is built by RE-RANDOMIZING users into arms PERM_K times and recomputing
+    the |rate difference| each time; the p-value is the add-one-smoothed
+    fraction of permutations at least as extreme as the observed split
+    ((1+n_ge)/(K+1), Phipson–Smyth). Every replicate's assignment is a
+    deterministic md5 of (user, k) — the corpus_shard_split arming rule —
+    so the 'random' relabeling is exactly reproducible in both engines and
+    across reruns: a permutation test you cannot replay is not evidence.
+    Statistics are integer ppm throughout (rule 25), so the twin is exact.
+
+    Scale shape — why permutation tests are FEASIBLE at 100 TB when done
+    this way: the corpus is scanned ONCE into per-user flags; the K
+    replicates are a map-side explode of K tiny (k, arm) keys per user
+    followed by ONE partial-agg groupBy(k) whose state is 2K counters —
+    work is K x |users| cheap hash updates, not K corpus scans, and K
+    bounds the p-value resolution, not the data volume. The observed stat
+    reuses the same single-pass aggregate under the real assignment."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("converted")
+    )
+    real_treat = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) >= "8"
+    obs = per_user.agg(
+        F.abs(
+            F.expr(
+                "sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) >= '8'"
+                " THEN converted ELSE 0 END) * 1000000"
+                " div sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) >= '8'"
+                " THEN 1 ELSE 0 END)"
+                " - sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) < '8'"
+                " THEN converted ELSE 0 END) * 1000000"
+                " div sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) < '8'"
+                " THEN 1 ELSE 0 END)"
+            )
+        ).alias("obs_diff_ppm")
+    )
+    perms = (
+        per_user.select(
+            "user_id",
+            "converted",
+            F.explode(F.sequence(F.lit(1), F.lit(PERM_K))).alias("k"),
+        )
+        .withColumn(
+            "treat",
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("k").cast("string"))),
+                1,
+                1,
+            )
+            >= "8",
+        )
+        .groupBy("k")
+        .agg(
+            F.abs(
+                F.expr(
+                    "sum(CASE WHEN treat THEN converted ELSE 0 END) * 1000000"
+                    " div nullif(sum(CASE WHEN treat THEN 1 ELSE 0 END), 0)"
+                    " - sum(CASE WHEN NOT treat THEN converted ELSE 0 END) * 1000000"
+                    " div nullif(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END), 0)"
+                )
+            ).alias("diff_ppm")
+        )
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff_ppm")
+        .agg(
+            F.lit(PERM_K).cast("long").alias("n_perms"),
+            F.sum(F.when(F.col("diff_ppm") >= F.col("obs_diff_ppm"), 1).otherwise(0)).alias(
+                "n_ge"
+            ),
+            F.expr(
+                f"(1 + sum(CASE WHEN diff_ppm >= obs_diff_ppm THEN 1 ELSE 0 END))"
+                f" * 1000000 div ({PERM_K} + 1)"
+            ).alias("p_value_ppm"),
+        )
+        .select("obs_diff_ppm", "n_perms", "n_ge", "p_value_ppm")
+    )

@@ -610,3 +610,104 @@ def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             shard.alias("shard"),
         )
     )
+
+
+# --- round 8: audio-shaped framing + energy ---------------------------------
+
+AUDIO_FRAME_BYTES = 256   # per-frame window (a real pipeline: samples/frame)
+AUDIO_SILENT_CENTI = 9400  # mean-byte*100 below this => "silent" frame
+                           # (fixture median is 9455 — both classes occur)
+
+
+@query(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH fr AS (
+        SELECT doc_id, text, len(text) AS n,
+               unnest(range((len(text) + {AUDIO_FRAME_BYTES} - 1)
+                            // {AUDIO_FRAME_BYTES})) AS frame_idx
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, frame_idx,
+               least({AUDIO_FRAME_BYTES}, n - frame_idx * {AUDIO_FRAME_BYTES})
+                   AS frame_bytes,
+               list_sum(list_transform(
+                   range(1, least({AUDIO_FRAME_BYTES},
+                                  n - frame_idx * {AUDIO_FRAME_BYTES})::INT + 1),
+                   i -> ascii(substr(text,
+                                     (frame_idx * {AUDIO_FRAME_BYTES} + i)::INT,
+                                     1))))::BIGINT AS energy
+        FROM fr
+    )
+    SELECT doc_id, frame_idx::INT AS frame_idx, frame_bytes::INT AS frame_bytes,
+           energy,
+           (energy * 100 // frame_bytes)::BIGINT AS mean_centi,
+           (energy * 100 // frame_bytes < {AUDIO_SILENT_CENTI}) AS is_silent
+    FROM e
+    """,
+    tags=("multimodal", "audio"),
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-energy extraction — the VAD/silence-trim front end of an
+    audio training pipeline, with the decode stubbed (no torchaudio/ffmpeg
+    in this container) and everything around it production-real: payloads
+    arrive as opaque binary, an Arrow-batched mapInPandas 'decoder' views
+    each payload as a raw sample buffer (numpy frombuffer — exactly what a
+    PCM decode hands back), cuts it into fixed AUDIO_FRAME_BYTES frames
+    (tail frame partial), and computes per-frame energy VECTORIZED over
+    the whole batch via one cumulative-sum + strided-slice pass, never a
+    per-frame Python loop. The silence flag is an integer threshold on
+    mean amplitude (energy*100 div frame_bytes — rule 25 integer ratio).
+    A real deployment swaps the byte view for int16 samples and energy
+    for RMS; the batch shape, output fan-out (rows-per-input > 1), and
+    frame arithmetic do not change.
+
+    The twin recomputes energy as the ASCII-code sum per frame slice
+    (payload = utf8(text) per _with_binary), so the oracle checks the
+    FRAMING and the arithmetic, not just row counts — the decode-stub
+    boundary is the only faked step, and it is exact by construction.
+
+    Scale shape: frames never shuffle — mapInPandas emits them map-side,
+    partition boundaries stay doc-aligned, and downstream consumers
+    (silence trim, segment packing) group by doc_id which parquet
+    row-groups already cluster. 100 TB of audio costs one scan + the
+    decoder's CPU; the energy pass adds one vectorized numpy sweep."""
+    import numpy as np
+
+    def frames(batches):
+        for pdf in batches:
+            out_doc, out_fi, out_fb, out_en = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(buf)
+                n_frames = (n + AUDIO_FRAME_BYTES - 1) // AUDIO_FRAME_BYTES
+                # one cumsum per payload -> per-frame sums by strided diff
+                cs = np.concatenate(([0], np.cumsum(buf)))
+                starts = np.arange(n_frames) * AUDIO_FRAME_BYTES
+                ends = np.minimum(starts + AUDIO_FRAME_BYTES, n)
+                out_doc.extend([doc_id] * n_frames)
+                out_fi.extend(range(n_frames))
+                out_fb.extend((ends - starts).tolist())
+                out_en.extend((cs[ends] - cs[starts]).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_fi, dtype="int32"),
+                    "frame_bytes": pd.Series(out_fb, dtype="int32"),
+                    "energy": pd.Series(out_en, dtype="int64"),
+                }
+            )
+
+    b = _with_binary(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    framed = b.mapInPandas(
+        frames, "doc_id long, frame_idx int, frame_bytes int, energy long"
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        "frame_bytes",
+        "energy",
+        F.expr("energy * 100 div frame_bytes").alias("mean_centi"),
+        (F.expr("energy * 100 div frame_bytes") < AUDIO_SILENT_CENTI).alias("is_silent"),
+    )

@@ -3926,3 +3926,115 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("sax_word"),
     )
+
+
+# --- round 8: single-split changepoint (binary segmentation step) ----------
+
+
+@query(
+    "ts_changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, day, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               sum(cents) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS s,
+               sum(cents) OVER (PARTITION BY event_type)::BIGINT AS s_tot,
+               count(*) OVER (PARTITION BY event_type) AS t
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, day, i, s, s_tot, t,
+               (s * t - s_tot * i) AS num,
+               ((s * t - s_tot * i)::DOUBLE * (s * t - s_tot * i)::DOUBLE)
+                   / (i * (t - i)) AS score
+        FROM cum WHERE i < t
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY score DESC, i ASC) AS rn
+        FROM scored
+    )
+    SELECT event_type, t::BIGINT AS n_days, i::BIGINT AS tau_i,
+           strftime(day, '%Y-%m-%d') AS tau_day,
+           (s // i)::BIGINT AS left_mean_cents,
+           ((s_tot - s) // (t - i))::BIGINT AS right_mean_cents,
+           num::BIGINT AS split_num
+    FROM best WHERE rn = 1
+    """,
+    tags=("timeseries", "telemetry"),
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split changepoint detection — one step of binary segmentation
+    (the classic recursive changepoint algorithm): for each event type's
+    daily-revenue series, find the split day τ that maximizes the
+    between-segment sum-of-squares reduction. With prefix sums S_i the
+    CUSUM-style objective collapses to score(i) = (S_i·T − S_T·i)² /
+    (i·(T−i)) — anomaly_cusum ALARMS when a drift crosses a threshold;
+    this op LOCATES the structural break a fleet review asks about
+    ("revenue regime changed on which day?"). Recursing on each side
+    yields multi-changepoint segmentation; each recursion level is this
+    same window pass over the previous level's segments.
+
+    Determinism across engines: S_i, S_T, i, T and the split numerator
+    are exact BIGINTs (cents, rule 17b); the only float is the score,
+    built by the IDENTICAL expression tree from those exact integers in
+    both engines (rule 9's identical-fold argument — num stays below 2^53
+    here; production recentres the series by its global mean first, which
+    keeps the numerator small at any scale, or lifts to DECIMAL), so the
+    argmax row_number agrees bit-for-bit; exact score ties break on the
+    earlier day. Output keeps only integer columns (segment means via
+    floor division) — no float ever reaches the emitted schema.
+
+    Scale shape: the series is |group|×|days| AFTER a partial-agg day
+    rollup of the raw events — windows run per event_type over day counts
+    (tiny), so the expensive part is one corpus scan + one keyed shuffle,
+    identical to agg_quantile_histogram's cost model."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    word = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(word).alias("i"),
+        F.sum("cents").over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("s"),
+        F.sum("cents").over(wall).alias("s_tot"),
+        F.count(F.lit(1)).over(wall).alias("t"),
+    )
+    scored = cum.filter(F.col("i") < F.col("t")).select(
+        "*",
+        (F.col("s") * F.col("t") - F.col("s_tot") * F.col("i")).alias("num"),
+        (
+            (F.col("s") * F.col("t") - F.col("s_tot") * F.col("i")).cast("double")
+            * (F.col("s") * F.col("t") - F.col("s_tot") * F.col("i")).cast("double")
+            / (F.col("i") * (F.col("t") - F.col("i")))
+        ).alias("score"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(F.col("score").desc(), F.col("i").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("t").cast("long").alias("n_days"),
+            F.col("i").cast("long").alias("tau_i"),
+            F.date_format("day", "yyyy-MM-dd").alias("tau_day"),
+            F.expr("s div i").alias("left_mean_cents"),
+            F.expr("(s_tot - s) div (t - i)").alias("right_mean_cents"),
+            F.col("num").alias("split_num"),
+        )
+    )

@@ -1768,3 +1768,97 @@ def stream_geo_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_visits"),
         F.sum("n_fixes").alias("n_fixes"),
     )
+
+
+# --- round 8: sessionized funnel depth --------------------------------------
+
+
+@query(
+    "stream_funnel_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               epoch(date_trunc('second', ts))::BIGINT AS sec
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 43200
+                       THEN 1 ELSE 0 END AS new_flag
+        FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_type)
+    ),
+    sess AS (
+        SELECT user_id, event_type, sec,
+               sum(new_flag) OVER (PARTITION BY user_id ORDER BY sec, event_type
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS session_id
+        FROM flagged
+    ),
+    agged AS (
+        SELECT user_id, session_id,
+               min(sec)::BIGINT AS start_sec,
+               count(*)::BIGINT AS n_events,
+               min(CASE WHEN event_type = 'view' THEN sec END) AS v,
+               min(CASE WHEN event_type = 'click' THEN sec END) AS c,
+               min(CASE WHEN event_type = 'purchase' THEN sec END) AS p
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           strftime(make_timestamp(start_sec * 1000000), '%Y-%m-%d %H:%M:%S')
+               AS session_start,
+           n_events,
+           (CASE WHEN v IS NULL THEN 0
+                 WHEN c IS NULL OR c < v THEN 1
+                 WHEN p IS NULL OR p < c THEN 2
+                 ELSE 3 END)::BIGINT AS funnel_depth
+    FROM agged
+    """,
+    tags=("streaming", "funnel"),
+)
+def stream_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel depth on the live stream — event_funnel answers
+    'how far do users get?' over batch history; THIS answers it per
+    in-flight visit episode: native session windows (12-HOUR inactivity
+    gap — the fixture's inter-event spacing is ~11 h, so a 30-min web gap
+    would shred every funnel into single-event sessions; the gap is the
+    episode definition, stream_session's strict-merge rule regardless) aggregate each session's first-view / first-click /
+    first-purchase timestamps as three conditional mins — per-session
+    scalars a streaming state store can hold — and the funnel stage is a
+    pure CASE over their ordering (view -> click -> purchase must occur in
+    order; an out-of-order click belongs to browsing, not the funnel).
+    Depth is decidable the moment the session closes, so the operator
+    emits final rows under watermark semantics with bounded state: three
+    BIGINTs + a count per open session, regardless of session length.
+
+    Twin = the window-algebra session reconstruction (PARITY rule 13:
+    second-truncated ts, new session at gap >= G) + identical conditional
+    mins and CASE. The (sec, event_type) sort tiebreak pins same-second
+    event ordering so both engines see identical session membership.
+
+    At 100 TB/day this is the canonical streaming-state shape: state per
+    KEY not per event, session_window merges handled by the engine, and
+    the downstream conversion dashboard reads a per-depth count rollup of
+    this table."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .withColumn("tsec", F.date_trunc("second", "ts"))
+        .withWatermark("tsec", "12 hours")
+        .groupBy(F.session_window("tsec", "12 hours").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.when(F.col("event_type") == "view", F.unix_timestamp("tsec"))).alias("v"),
+            F.min(F.when(F.col("event_type") == "click", F.unix_timestamp("tsec"))).alias("c"),
+            F.min(F.when(F.col("event_type") == "purchase", F.unix_timestamp("tsec"))).alias("p"),
+        )
+        .select(
+            "user_id",
+            ts_str(F.col("sw.start")).alias("session_start"),
+            "n_events",
+            F.when(F.col("v").isNull(), 0)
+            .when(F.col("c").isNull() | (F.col("c") < F.col("v")), 1)
+            .when(F.col("p").isNull() | (F.col("p") < F.col("c")), 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("funnel_depth"),
+        )
+    )
+    return run_to_table(sdf, sf_dir, "funnel", "complete")

@@ -80,6 +80,14 @@ PROBE_QUERIES = [
     "geo_cotravel",
     "agg_quantile_histogram",
     "geo_dwell_segments",
+    # round 8: deletion-neighborhood linkage, directed HITS, SAX words,
+    # preference-pair windows, global-rank lift deciles, log-bucket sketch
+    "er_record_linkage",
+    "graph_hits",
+    "ts_sax",
+    "corpus_preference_pairs",
+    "eval_lift_table",
+    "agg_log_histogram_quantile",
 ]
 
 
@@ -115,8 +123,15 @@ def build_10x(replicas: int = REPLICAS, out: str | None = None) -> None:
     for t in ("region", "nation"):
         copy(f"SELECT * FROM {src(t)}", t)
 
+    # customer: names are REGENERATED from the shifted key (TPC-H derives
+    # c_name from c_custkey), so name-based operators (er_record_linkage)
+    # see genuinely new customers instead of 10 byte-identical name copies
+    # whose deletion neighborhoods would cross-match replicas artificially.
     copy(
-        f"""SELECT (c_custkey + r * {STRIDE})::BIGINT AS c_custkey, c_name,
+        f"""SELECT (c_custkey + r * {STRIDE})::BIGINT AS c_custkey,
+                   CASE WHEN r = 0 THEN c_name
+                        ELSE 'Customer#' || lpad((c_custkey + r * {STRIDE})::VARCHAR, 9, '0')
+                   END AS c_name,
                    c_nationkey, c_acctbal, c_mktsegment
             FROM {src('customer')}, range({replicas}) t(r)""",
         "customer",

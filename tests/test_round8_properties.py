@@ -219,3 +219,98 @@ def test_dataset_card_reconciles(spark, sf_dir, duck):
     assert r["p50_tokens"] == p50
     assert r["mean_tokens_ppm"] == n_tokens * 1_000_000 // n_docs
     assert 0 <= r["dup_ppm"] < 1_000_000
+
+
+def test_permutation_test_laws(spark, sf_dir):
+    """Permutation-test structure: p is the add-one-smoothed rank of the
+    observed stat ((1+n_ge)/(K+1) in ppm), n_ge is bounded by K, and the
+    test is REPLAYABLE — a second run returns the identical row (md5
+    arming means there is no RNG state to drift)."""
+    from rvi_big_data_api_spark.operators.ml_eval import PERM_K
+
+    r1 = _df("stats_permutation_test", spark, sf_dir).collect()
+    r2 = _df("stats_permutation_test", spark, sf_dir).collect()
+    assert r1 == r2
+    r = r1[0]
+    assert r["n_perms"] == PERM_K
+    assert 0 <= r["n_ge"] <= PERM_K
+    assert r["p_value_ppm"] == (1 + r["n_ge"]) * 1_000_000 // (PERM_K + 1)
+    assert r["obs_diff_ppm"] >= 0
+
+
+def test_changepoint_is_argmax(spark, sf_dir, duck):
+    """The reported split truly maximizes the between-segment objective:
+    brute-force every candidate split in DuckDB and compare the argmax
+    (score desc, earlier day wins ties) — the property the oracle's hash
+    can only confirm, not explain."""
+    rows = {r["event_type"]: r for r in _df("ts_changepoint_binseg", spark, sf_dir).collect()}
+    brute = duck.execute(
+        """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, day, row_number() OVER w AS i,
+                   sum(cents) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS s,
+                   sum(cents) OVER (PARTITION BY event_type)::BIGINT AS st,
+                   count(*) OVER (PARTITION BY event_type) AS t
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, i,
+               ((s*t - st*i)::DOUBLE * (s*t - st*i)::DOUBLE) / (i * (t - i)) AS score
+        FROM cum WHERE i < t
+        """
+    ).fetchall()
+    best: dict = {}
+    for et, i, score in brute:
+        cur = best.get(et)
+        if cur is None or score > cur[1] or (score == cur[1] and i < cur[0]):
+            best[et] = (i, score)
+    assert set(best) == set(rows)
+    for et, (i, _) in best.items():
+        assert rows[et]["tau_i"] == i, (et, i, rows[et])
+
+
+def test_audio_frames_conserve_payload(spark, sf_dir):
+    """Framing conservation: per doc, frame byte counts sum to the payload
+    length, frame indices are dense from 0, all but the tail frame are
+    full-width, and total energy equals the payload's byte sum."""
+    from rvi_big_data_api_spark.operators.multimodal import AUDIO_FRAME_BYTES
+    from rvi_big_data_api_spark.io import load
+
+    rows = _df("mm_audio_energy", spark, sf_dir).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(per_doc) == {d for d, t in docs.items() if len(t) > 0}
+    for doc_id, frames in per_doc.items():
+        frames.sort(key=lambda r: r["frame_idx"])
+        text = docs[doc_id]
+        assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
+        assert sum(f["frame_bytes"] for f in frames) == len(text)
+        for f in frames[:-1]:
+            assert f["frame_bytes"] == AUDIO_FRAME_BYTES
+        assert sum(f["energy"] for f in frames) == sum(text.encode("utf-8"))
+    assert any(r["is_silent"] for r in rows) and any(not r["is_silent"] for r in rows)
+
+
+def test_funnel_depth_monotone_semantics(spark, sf_dir):
+    """Funnel depths are in {0,1,2,3}; every depth >= 1 session contains a
+    view; and the depth histogram is monotone in the funnel sense: sessions
+    reaching stage k+1 can never outnumber sessions reaching stage k."""
+    rows = _df("stream_funnel_sessions", spark, sf_dir).collect()
+    assert rows
+    counts = [0, 0, 0, 0]
+    for r in rows:
+        assert 0 <= r["funnel_depth"] <= 3, r
+        counts[r["funnel_depth"]] += 1
+    reached = [sum(counts[k:]) for k in range(4)]
+    assert reached[1] >= reached[2] >= reached[3]
+    assert reached[3] > 0, "no full-funnel session — fixture should contain some"
