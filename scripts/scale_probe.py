@@ -88,6 +88,9 @@ PROBE_QUERIES = [
     "corpus_preference_pairs",
     "eval_lift_table",
     "agg_log_histogram_quantile",
+    "stats_permutation_test",
+    "ts_changepoint_binseg",
+    "mm_audio_energy",
 ]
 
 

@@ -1763,3 +1763,98 @@ def test_generated_chunk_bands_agree_across_engines(
         expected = {(d * 10, d * 10 + 2) for d in range(nmut)}
         got = {(a, b) for a, b, _, _ in s_rows}
         assert expected <= got, sorted(expected - got)[:5]
+
+
+# --------------------------------------------------------------------------
+# Deletion-neighborhood family (round 8): er_record_linkage pins ONE
+# (window start, mutation modulus, variant density) geometry; this samples
+# the space — random window origins, mutation positions, and dirty-record
+# densities — with the same in-plan originals+variants universe, SymSpell
+# deletion keys, and length-gated single-deletion verify on both engines.
+# Catches the failure class a fixed geometry can't: substr off-by-one
+# between the dialects' deletion expansion, length-gate fenceposts, and
+# any levenshtein semantic drift.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ws=st.integers(min_value=5, max_value=12),
+    mmod=st.integers(min_value=2, max_value=6),
+    vmod=st.sampled_from([2, 3, 4]),
+)
+def test_generated_deletion_linkage_agrees_across_engines(
+    spark, duck, sf_dir, ws, mmod, vmod
+):
+    """er_record_linkage's deletion-key algebra at a random geometry:
+    originals plus variants dropping ONE char at position ws+(key%mmod)
+    inside the window starting at ws, linked through self-key = deletion-
+    key collisions with the |Δlen|=1 single-deletion verify. Pair sets
+    must agree exactly between engines, and every generated variant must
+    link back to its base (the blocking-recall floor: the drop position is
+    inside the window by construction, so the base's deletion
+    neighborhood always contains the variant's window)."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    base_univ = f"""
+        SELECT c_custkey AS rec_id, lower(c_name) AS name, c_nationkey AS nation
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 10000000 AS rec_id,
+               substr(lower(c_name), 1, {ws - 1} + c_custkey % {mmod})
+                 || substr(lower(c_name), {ws + 1} + c_custkey % {mmod}, 50) AS name,
+               c_nationkey AS nation
+        FROM customer WHERE c_custkey % {vmod} = 0
+    """
+    tail = f"""
+    ,
+    cand AS (
+        SELECT DISTINCT d.rec_id AS id_a, s.rec_id AS id_b,
+               d.name AS name_a, s.name AS name_b
+        FROM dels d
+        JOIN windows s
+          ON d.nation = s.nation AND d.delkey = s.w
+         AND length(s.name) + 1 = length(d.name)
+    )
+    SELECT id_a, id_b FROM cand WHERE levenshtein(name_a, name_b) = 1
+    """
+    s_sql = (
+        f"WITH dirty AS ({base_univ}), "
+        f"windows AS (SELECT rec_id, name, nation, substr(name, {ws}, 50) AS w FROM dirty), "
+        f"""dels AS (
+            SELECT DISTINCT rec_id, name, nation,
+                   concat(substr(w, 1, i), substr(w, i + 2, 50)) AS delkey
+            FROM windows
+            LATERAL VIEW explode(sequence(0, length(w) - 1)) t AS i
+        )"""
+        + tail
+    )
+    d_sql = (
+        f"WITH dirty AS ({base_univ}), "
+        f"windows AS (SELECT rec_id, name, nation, substr(name, {ws}, 50) AS w FROM dirty), "
+        f"""dels AS (
+            SELECT DISTINCT rec_id, name, nation,
+                   substr(w, 1, i) || substr(w, i + 2, 50) AS delkey
+            FROM windows, unnest(range(len(w))) t(i)
+        )"""
+        + tail
+    )
+    s_rows = {(r.id_a, r.id_b) for r in spark.sql(s_sql).collect()}
+    d_rows = set(map(tuple, duck.execute(d_sql).fetchall()))
+    assert s_rows == d_rows, (
+        f"ws={ws} mmod={mmod} vmod={vmod}: "
+        f"spark-only={sorted(s_rows - d_rows)[:5]} duck-only={sorted(d_rows - s_rows)[:5]}"
+    )
+    n_var = duck.execute(
+        f"SELECT count(*) FROM customer WHERE c_custkey % {vmod} = 0"
+    ).fetchone()[0]
+    true_pairs = {(a, b) for a, b in s_rows if b - 10000000 == a}
+    assert len(true_pairs) == n_var, (
+        f"recall floor broken: {len(true_pairs)}/{n_var} at ws={ws} mmod={mmod} vmod={vmod}"
+    )
