@@ -570,6 +570,26 @@ EXTENSIONS = [
     # through exact dedup, chunk-band near-dup collapse, modality join,
     # and deterministic sharding, end to end on real files
     "corpus_multimodal_pipeline",
+    # round 8: relative-error mergeable quantile sketch (DDSketch shape,
+    # exact-integer bucket coding — binary-string length, never float log2)
+    "agg_log_histogram_quantile",
+    # round 8: training-data construction — DPO pair mining, power-of-two
+    # batching capacities + pad-waste ledger, one-row release datasheet
+    "corpus_preference_pairs", "corpus_length_buckets", "corpus_dataset_card",
+    # round 8: entity resolution via deletion-neighborhood (SymSpell)
+    # blocking — candidate volume linear in N, single-deletion error model
+    "er_record_linkage",
+    # round 8: md5-armed permutation test (K relabelings, one partial agg),
+    # decile lift/gains, binary-segmentation changepoint, SAX symbolization
+    "stats_permutation_test", "eval_lift_table", "ts_changepoint_binseg",
+    "ts_sax",
+    # round 8: directed HITS hubs/authorities over the similarity graph
+    "graph_hits",
+    # round 8: audio VAD front end — map-side framing + vectorized energy,
+    # exact ASCII-sum twin around the stubbed decode
+    "mm_audio_energy",
+    # round 8: per-episode streaming funnel depth from session-window state
+    "stream_funnel_sessions",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
