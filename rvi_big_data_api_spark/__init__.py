@@ -81,7 +81,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_length_buckets", "er_record_linkage", "corpus_dataset_card",
     "ts_sax", "eval_lift_table", "graph_hits",
     "stats_permutation_test", "ts_changepoint_binseg", "mm_audio_energy",
-    "stream_funnel_sessions",
+    "stream_funnel_sessions", "sink_parquet_bloom", "stream_dirty_linkage",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

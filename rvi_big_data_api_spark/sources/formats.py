@@ -1148,3 +1148,72 @@ def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_custkey").alias("key_sum"),
         F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("bal_sum"),
     )
+
+
+# --- round 8: parquet bloom-filter sink + point-lookup read ------------------
+
+BLOOM_SINK_PROBES = 40  # probed custkeys: half present (even slots), half
+                        # absent (odd slots land past the key range)
+
+
+@query(
+    "sink_parquet_bloom",
+    oracle=f"""
+    WITH probes AS (
+        SELECT CASE WHEN i % 2 = 0 THEN i * 37
+                    ELSE 900000000 + i END AS probe_key
+        FROM unnest(range({BLOOM_SINK_PROBES})) t(i)
+    )
+    SELECT p.probe_key::BIGINT AS probe_key,
+           count(o.o_orderkey)::BIGINT AS n_orders,
+           coalesce(sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT), 0)::BIGINT
+               AS total_cents
+    FROM probes p LEFT JOIN orders o ON o.o_custkey = p.probe_key
+    GROUP BY p.probe_key
+    """,
+    tags=("sink", "scale"),
+)
+def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM-FILTER sink + point-lookup read-back — the layout for
+    needle-in-haystack lookups on a HIGH-CARDINALITY, UNSORTED key, where
+    the other two pruning tools do nothing: partition directories can't
+    key on millions of values (small-files death, sink_partition_overwrite's
+    tradeoff) and row-group min/max stats are useless when every row group
+    spans the whole key domain (sink_sorted_parquet / sink_zorder fix that
+    only for the layout's chosen sort keys). A per-row-group bloom filter
+    answers "is custkey K possibly here?" in O(1) per group — absent keys
+    skip the group without touching data pages, at ~1 byte/value of
+    footer. The write path sets `parquet.bloom.filter.enabled#o_custkey`
+    (+ expected NDV, which sizes the filter's bit array); the read-back
+    probes BLOOM_SINK_PROBES keys — half present, half deliberately past
+    the key range (the absent half is where blooms earn their keep; an
+    L1-cold 100 TB lake skips every row group for those) — through an
+    IN-list point lookup that Spark pushes down to the parquet reader
+    (`PushedFilters: [In(o_custkey, ...)]`, audited in PLANS.md).
+
+    The emitted table is the lookup RESULT (orders + exact decimal-grade
+    cents per probed key, zeros for the absent half), so the oracle checks
+    the round trip end to end; the bloom filter itself is a no-false-
+    negative structure (agg_bloom_filter pins that law relationally), so
+    enabling it can never change the answer — only the I/O."""
+    out = scratch_dir(sf_dir, "bloom_orders")
+    o = load(spark, sf_dir, "orders")
+    (
+        o.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+        .parquet(out)
+    )
+    keys = [i * 37 if i % 2 == 0 else 900000000 + i for i in range(BLOOM_SINK_PROBES)]
+    probes = spark.createDataFrame([(k,) for k in keys], "probe_key bigint")
+    re_read = spark.read.parquet(out).filter(F.col("o_custkey").isin(keys))
+    return (
+        probes.join(re_read, probes.probe_key == re_read.o_custkey, "left")
+        .groupBy("probe_key")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")), F.lit(0)
+            ).alias("total_cents"),
+        )
+    )

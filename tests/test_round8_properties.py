@@ -314,3 +314,49 @@ def test_funnel_depth_monotone_semantics(spark, sf_dir):
     reached = [sum(counts[k:]) for k in range(4)]
     assert reached[1] >= reached[2] >= reached[3]
     assert reached[3] > 0, "no full-funnel session — fixture should contain some"
+
+
+def test_bloom_sink_point_lookup_roundtrip(spark, sf_dir, duck):
+    """Bloom filters are I/O-only: the probed result must equal the raw
+    table's answer key-for-key (no-false-negative law at the query level),
+    absent probes return exactly zero, and the probe set covers both
+    classes."""
+    from rvi_big_data_api_spark.sources.formats import BLOOM_SINK_PROBES
+
+    rows = {r["probe_key"]: r for r in _df("sink_parquet_bloom", spark, sf_dir).collect()}
+    assert len(rows) == BLOOM_SINK_PROBES
+    truth = dict(
+        duck.execute(
+            "SELECT o_custkey, count(*) FROM orders GROUP BY o_custkey"
+        ).fetchall()
+    )
+    n_present = n_absent = 0
+    for key, r in rows.items():
+        if key >= 900000000:
+            assert r["n_orders"] == 0 and r["total_cents"] == 0, r
+            n_absent += 1
+        else:
+            assert r["n_orders"] == truth.get(key, 0), r
+            n_present += 1
+    assert n_absent == BLOOM_SINK_PROBES // 2
+    assert any(r["n_orders"] > 0 for r in rows.values())
+
+
+def test_stream_linkage_recall_and_precision_classes(spark, sf_dir):
+    """Every signup event resolves to its claimed identity (the deletion
+    key of the true base always contains the typo'd window — recall floor
+    = one true match per event), and collisions exist but stay within the
+    md5-region block (precision class is visible, not silent)."""
+    rows = _df("stream_dirty_linkage", spark, sf_dir).collect()
+    from rvi_big_data_api_spark.io import load
+    import pyspark.sql.functions as F2
+
+    n_signups = (
+        load(spark, sf_dir, "events").filter(F2.col("event_type") == "signup").count()
+    )
+    true_rows = [r for r in rows if r["true_match"]]
+    assert len(true_rows) == n_signups, (len(true_rows), n_signups)
+    for r in rows:
+        assert r["dist"] == 1, r
+        assert r["matched_custkey"] % 1 == 0
+    assert any(not r["true_match"] for r in rows), "no collision class surfaced"
