@@ -2394,7 +2394,7 @@ ER_VARIANT_BASE = 10_000_000  # variant ids live in a disjoint key range
     ),
     dirty AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
     windows AS (
-        SELECT rec_id, name, nation, substr(name, 13, 50) AS w FROM dirty
+        SELECT rec_id, name, nation, substr(name, 10, 50) AS w FROM dirty
     ),
     dels AS (
         SELECT DISTINCT rec_id, name, nation,
@@ -2424,8 +2424,12 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     math: a dirty universe (originals plus deterministic one-digit-dropped
     re-entries, generated in-plan like mm_phash_band\'s mutated uploads)
     is matched WITHOUT quadratic blocks. Every record emits (a) its
-    mutation-zone window (chars 13+ of the name — TPC-H names only
-    discriminate in the digit tail) as a SELF key and (b) each
+    FULL digit zone (chars 10+ of the name — the window must cover every
+    character that can ever discriminate: a first cut windowed only the
+    last six digits and the 100x sweep showed key growth adds entropy in
+    the HIGH digits, outside that window, so deletion keys saturated and
+    candidate blocks went quadratic in the replication factor) as a SELF
+    key and (b) each
     single-deletion form of that window as a DELETION key; a dirty
     re-entry then collides with its base record exactly where the base\'s
     deletion key equals the variant\'s own window. The length gate
@@ -2462,7 +2466,7 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dirty = base.unionByName(variants)
     windows = dirty.select(
-        "rec_id", "name", "nation", F.expr("substr(name, 13, 50)").alias("w")
+        "rec_id", "name", "nation", F.expr("substr(name, 10, 50)").alias("w")
     )
     dels = windows.select(
         "rec_id",

@@ -1872,7 +1872,7 @@ def stream_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT c_custkey, lower(c_name) AS base_name,
-               substr(lower(c_name), 13, 50) AS w
+               substr(lower(c_name), 10, 50) AS w
         FROM customer
     ),
     idx AS (
@@ -1896,7 +1896,7 @@ def stream_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(t.submitted_name, i.base_name) AS dist,
            (i.c_custkey = t.claimed_key) AS true_match
     FROM typo t
-    JOIN idx i ON substr(t.submitted_name, 13, 50) = i.delkey
+    JOIN idx i ON substr(t.submitted_name, 10, 50) = i.delkey
               AND i.region = substr(md5(t.claimed_key::VARCHAR), 1, 1)
     WHERE levenshtein(t.submitted_name, i.base_name) = 1
     """,
@@ -1934,7 +1934,7 @@ def stream_dirty_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cust.select(
         "c_custkey",
         F.lower(F.col("c_name")).alias("base_name"),
-        F.expr("substr(lower(c_name), 13, 50)").alias("w"),
+        F.expr("substr(lower(c_name), 10, 50)").alias("w"),
     )
     idx = base.select(
         "c_custkey",
@@ -1971,7 +1971,7 @@ def stream_dirty_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = submitted.join(
         idx,
-        (F.expr("substr(submitted_name, 13, 50)") == F.col("delkey"))
+        (F.expr("substr(submitted_name, 10, 50)") == F.col("delkey"))
         & (F.col("region") == F.substring(F.md5(F.col("claimed_key").cast("string")), 1, 1)),
     )
     dist = F.levenshtein("submitted_name", "base_name")

@@ -360,3 +360,54 @@ def test_stream_linkage_recall_and_precision_classes(spark, sf_dir):
         assert r["dist"] == 1, r
         assert r["matched_custkey"] % 1 == 0
     assert any(not r["true_match"] for r in rows), "no collision class surfaced"
+
+
+def test_log_histogram_is_mergeable_monoid(spark, sf_dir, duck):
+    """The sketch's 100 TB claim IS the monoid law: building per-shard
+    (bucket, count) partials over an arbitrary 8-way split of orders and
+    merging them by count addition yields byte-identical quantile readouts
+    to the single-pass build — the agg_incremental_merge discipline
+    applied to the log histogram. Verified end-to-end in DuckDB arithmetic
+    (the same integer bucket coding), independent of the Spark plan."""
+    merged = duck.execute(
+        """
+        WITH coded AS (
+            SELECT o_orderpriority, o_orderkey % 8 AS shard,
+                   2 * (length(to_base(floor(o_totalprice * 100 + 0.5)::BIGINT, 2)) - 1)
+                     + CASE WHEN floor(o_totalprice * 100 + 0.5)::BIGINT
+                                 * floor(o_totalprice * 100 + 0.5)::BIGINT
+                            >= (1::BIGINT << (2 * (length(to_base(
+                                  floor(o_totalprice * 100 + 0.5)::BIGINT, 2)) - 1) + 1))
+                            THEN 1 ELSE 0 END AS bucket
+            FROM orders
+        ),
+        partials AS (  -- per-shard sketch state
+            SELECT o_orderpriority, shard, bucket, count(*)::BIGINT AS cnt
+            FROM coded GROUP BY 1, 2, 3
+        ),
+        merged AS (    -- monoid merge: add counts per cell
+            SELECT o_orderpriority, bucket, sum(cnt)::BIGINT AS cnt
+            FROM partials GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT o_orderpriority, bucket,
+                   sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_n,
+                   sum(cnt) OVER (PARTITION BY o_orderpriority)::BIGINT AS n
+            FROM merged
+        )
+        SELECT o_orderpriority,
+               min(CASE WHEN cum_n >= (n + 1) // 2 THEN bucket END)::BIGINT AS p50_bucket,
+               min(CASE WHEN cum_n >= (9 * n + 9) // 10 THEN bucket END)::BIGINT AS p90_bucket,
+               min(CASE WHEN cum_n >= (99 * n + 99) // 100 THEN bucket END)::BIGINT AS p99_bucket
+        FROM cum GROUP BY o_orderpriority
+        """
+    ).fetchall()
+    direct = {
+        r["o_orderpriority"]: r
+        for r in _df("agg_log_histogram_quantile", spark, sf_dir).collect()
+    }
+    assert len(merged) == len(direct)
+    for prio, p50, p90, p99 in merged:
+        r = direct[prio]
+        assert (r["p50_bucket"], r["p90_bucket"], r["p99_bucket"]) == (p50, p90, p99), prio
