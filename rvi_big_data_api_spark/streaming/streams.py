@@ -1983,3 +1983,105 @@ def stream_dirty_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") == F.col("claimed_key")).alias("true_match"),
     )
     return run_to_table(sdf, sf_dir, "dirtylink", "append")
+
+
+# --- round 8: streaming log-bucket quantile sketch ---------------------------
+
+
+@query(
+    "stream_log_histogram",
+    oracle="""
+    WITH coded AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+               2 * (length(to_base(floor(value * 100 + 0.5)::BIGINT, 2)) - 1)
+                 + CASE WHEN floor(value * 100 + 0.5)::BIGINT
+                             * floor(value * 100 + 0.5)::BIGINT
+                        >= (1::BIGINT << (2 * (length(to_base(
+                              floor(value * 100 + 0.5)::BIGINT, 2)) - 1) + 1))
+                        THEN 1 ELSE 0 END AS bucket
+        FROM events WHERE value > 0
+    ),
+    hist AS (
+        SELECT day, event_type, bucket, count(*)::BIGINT AS cnt
+        FROM coded GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT day, event_type, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY day, event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_n,
+               sum(cnt) OVER (PARTITION BY day, event_type)::BIGINT AS n
+        FROM hist
+    )
+    SELECT day, event_type, max(n)::BIGINT AS n,
+           min(CASE WHEN cum_n >= (n + 1) // 2 THEN bucket END)::BIGINT AS p50_bucket,
+           min(CASE WHEN cum_n >= (99 * n + 99) // 100 THEN bucket END)::BIGINT
+               AS p99_bucket
+    FROM cum GROUP BY day, event_type
+    """,
+    tags=("streaming", "sketch"),
+)
+def stream_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-bucketed quantile sketch as STREAMING state —
+    agg_log_histogram_quantile's relative-error monoid carried through the
+    watermark machinery, and the constant-state endpoint of the streaming
+    percentile trade-space: stream_quantile_histogram's exact cents
+    histogram holds |distinct values| cells per (window, channel), which
+    for a heavy-tailed metric is unbounded-in-practice; THIS holds ≤ ~106
+    cells per group for ANY value domain (half-octave buckets, gamma =
+    sqrt(2), 17% relative error), updated by pure count addition —
+    mergeable across shards, restarts, and late data. Same two-stage rule
+    as its cents sibling: the stateful pass maintains per-(day, channel,
+    bucket) counts (complete mode ⇒ final table ≡ batch ⇒ exact oracle);
+    the integer-ceiling order-statistic readout runs as batch
+    post-processing on the result table (foreachBatch in production).
+
+    The bucket coding is the same exact-integer arithmetic as the batch
+    op (binary-string length, never float log2), so the oracle checks the
+    sketch cell-for-cell, not just the readout. Zero/negative values are
+    excluded (log buckets are defined on positive cents; the fixture's
+    'error' channel carries value 0 rows)."""
+    ev = stream_events(spark, sf_dir).filter(F.col("value") > 0)
+    bucket = F.expr(
+        "2 * (length(conv(cast(floor(value * 100 + 0.5) as bigint), 10, 2)) - 1)"
+        " + CASE WHEN cast(floor(value * 100 + 0.5) as bigint)"
+        "            * cast(floor(value * 100 + 0.5) as bigint)"
+        "         >= shiftleft(cast(1 as bigint),"
+        "  cast(2 * (length(conv(cast(floor(value * 100 + 0.5) as bigint), 10, 2)) - 1) + 1 as int))"
+        "    THEN 1 ELSE 0 END"
+    ).cast("long")
+    sdf = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 day").alias("win"),
+            "event_type",
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "bucket",
+            "cnt",
+        )
+    )
+    hist = run_to_table(sdf, sf_dir, "loghist", "complete")
+    wcum = (
+        Window.partitionBy("day", "event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("day", "event_type")
+    cum = hist.select(
+        "day",
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wcum).alias("cum_n"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return cum.groupBy("day", "event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.expr("CASE WHEN cum_n >= (n + 1) div 2 THEN bucket END")).alias("p50_bucket"),
+        F.min(F.expr("CASE WHEN cum_n >= (99 * n + 99) div 100 THEN bucket END")).alias(
+            "p99_bucket"
+        ),
+    )

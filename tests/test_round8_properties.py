@@ -411,3 +411,43 @@ def test_log_histogram_is_mergeable_monoid(spark, sf_dir, duck):
     for prio, p50, p90, p99 in merged:
         r = direct[prio]
         assert (r["p50_bucket"], r["p90_bucket"], r["p99_bucket"]) == (p50, p90, p99), prio
+
+
+def test_stream_log_histogram_matches_batch_coding(spark, sf_dir, duck):
+    """Streaming ≡ batch for the log sketch: the stream's complete-mode
+    readout must agree with a direct batch recomputation of the same
+    bucket coding (the monoid-through-watermark law), and every group's
+    cell count must respect the constant-state bound (≤ 2*53 buckets)."""
+    rows = _df("stream_log_histogram", spark, sf_dir).collect()
+    assert rows
+    batch = {
+        (d, et): (p50, p99)
+        for d, et, p50, p99 in duck.execute(
+            """
+            WITH coded AS (
+                SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                       2 * (length(to_base(floor(value * 100 + 0.5)::BIGINT, 2)) - 1)
+                         + CASE WHEN floor(value * 100 + 0.5)::BIGINT
+                                     * floor(value * 100 + 0.5)::BIGINT
+                                >= (1::BIGINT << (2 * (length(to_base(
+                                      floor(value * 100 + 0.5)::BIGINT, 2)) - 1) + 1))
+                                THEN 1 ELSE 0 END AS bucket
+                FROM events WHERE value > 0
+            ),
+            hist AS (SELECT day, event_type, bucket, count(*)::BIGINT AS cnt
+                     FROM coded GROUP BY 1, 2, 3),
+            cum AS (SELECT day, event_type, bucket,
+                           sum(cnt) OVER (PARTITION BY day, event_type ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c,
+                           sum(cnt) OVER (PARTITION BY day, event_type)::BIGINT AS n
+                    FROM hist)
+            SELECT day, event_type,
+                   min(CASE WHEN c >= (n + 1) // 2 THEN bucket END),
+                   min(CASE WHEN c >= (99 * n + 99) // 100 THEN bucket END)
+            FROM cum GROUP BY day, event_type
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        assert batch[(r["day"], r["event_type"])] == (r["p50_bucket"], r["p99_bucket"]), r
+        assert 0 <= r["p50_bucket"] <= r["p99_bucket"] <= 106, r
