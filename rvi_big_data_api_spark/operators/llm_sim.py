@@ -3424,6 +3424,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed between rounds in the to-convergence variant; the edge
     list comes from the session memo (sim_pair_edges), so the expensive
     candidate-pair GEMM is paid once per session, not per consumer."""
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
     pairs = sim_pair_edges(spark, sf_dir).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
@@ -3434,6 +3437,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def l1(df: DataFrame) -> DataFrame:
+        # Eager checkpoint per half-step (rule 24's Spark half, the
+        # graph_kcore discipline): each level is referenced TWICE (its
+        # normalizer and the next join), and without truncation the
+        # recomputed subtree doubles per level — the first cut of this op
+        # planned 109 exchanges / 46 scans for two iterations; with the
+        # per-level checkpoint the audit is one exchange per half-step.
+        df = df.checkpoint(eager=True)
         total = df.agg(F.sum("s").alias("tot"))
         return df.crossJoin(F.broadcast(total)).select(
             "id", (F.col("s") / F.col("tot")).alias("s")

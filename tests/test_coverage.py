@@ -590,6 +590,9 @@ EXTENSIONS = [
     "mm_audio_energy",
     # round 8: per-episode streaming funnel depth from session-window state
     "stream_funnel_sessions",
+    # round 8 wave 3: bloom-filter point-lookup sink; streaming ER through
+    # the static deletion-key index; the log sketch as streaming state
+    "sink_parquet_bloom", "stream_dirty_linkage", "stream_log_histogram",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
