@@ -1271,3 +1271,64 @@ def test_multimodal_pipeline_blobs_never_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in executed
     assert "BroadcastNestedLoopJoin" not in executed
     assert "EvalPython" not in executed
+
+
+def test_record_linkage_joins_on_deletion_keys(spark, sf_dir):
+    """er_record_linkage: candidates come from the (nation, delkey)
+    equi-join — no cartesian, no nested loop, no python eval; the verify
+    stage never re-scans the customer table (two base scans total: one
+    per side of the dirty union, re-used by both key emissions)."""
+    executed = (
+        REGISTRY["er_record_linkage"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "EvalPython" not in executed
+
+
+def test_graph_hits_chain_is_truncated(spark, sf_dir):
+    """graph_hits: the per-level eager checkpoint must keep the doubly-
+    referenced score chain from re-planning 2^levels subtrees — the first
+    cut planned 109 exchanges / 46 scans; the pin allows a small constant
+    (one exchange per half-step plus the final joins)."""
+    plan = (
+        REGISTRY["graph_hits"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 12, plan.count("Exchange")
+    assert "EvalPython" not in plan
+
+
+def test_bloom_sink_lookup_is_pushed_down(spark, sf_dir):
+    """sink_parquet_bloom: the IN-list point lookup must reach the parquet
+    reader as a pushed filter (PushedFilters carries In(o_custkey, ...)),
+    else the scan reads every row group and the bloom layout is wasted."""
+    plan = (
+        REGISTRY["sink_parquet_bloom"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [In(o_custkey" in plan, "lookup not pushed to scan"
+
+
+def test_audio_energy_frames_map_side(spark, sf_dir):
+    """mm_audio_energy: framing fans out map-side — ZERO exchanges before
+    the frames exist (the executed plan has no shuffle at all; downstream
+    consumers pay the first one)."""
+    plan = (
+        REGISTRY["mm_audio_energy"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "audio framing must not shuffle"
+
+
+def test_permutation_test_single_corpus_scan_per_side(spark, sf_dir):
+    """stats_permutation_test: the K relabelings must NOT multiply corpus
+    scans — the plan reads events at most twice (observed side + permuted
+    side), never K times."""
+    plan = (
+        REGISTRY["stats_permutation_test"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert "EvalPython" not in plan
