@@ -1858,3 +1858,86 @@ def test_generated_deletion_linkage_agrees_across_engines(
     assert len(true_pairs) == n_var, (
         f"recall floor broken: {len(true_pairs)}/{n_var} at ws={ws} mmod={mmod} vmod={vmod}"
     )
+
+
+# --------------------------------------------------------------------------
+# SAX-geometry family (round 8): ts_sax pins ONE (W=8, quartile
+# breakpoints) geometry; this samples segment counts, breakpoint scales
+# and user slices — same integer PAA + identical-expression-tree float
+# z-comparison on both engines. Catches segment-assignment fenceposts
+# ((r*W) div n coverage), PAA integer-division drift, and any breakpoint
+# comparison asymmetry between the dialects.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    w=st.integers(min_value=2, max_value=12),
+    bp=st.sampled_from([0.4307, 0.6745, 0.9674, 1.2816]),
+    umod=st.integers(min_value=1, max_value=4),
+)
+def test_generated_sax_words_agree_across_engines(spark, duck, sf_dir, w, bp, umod):
+    """SAX at a random geometry: W PAA segments over each user's daily
+    cents series (users sliced by id % umod), symbols at ±bp and 0.
+    Words must agree exactly — the float z-comparisons are identical
+    expression trees over exact integers, so any disagreement is a real
+    algebra bug, not tolerance."""
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    body = f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id % {umod} = 0 GROUP BY 1, 2
+    ),
+    indexed AS (
+        SELECT user_id, cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS r,
+               count(*) OVER (PARTITION BY user_id) AS n_days
+        FROM daily
+    ),
+    paa AS (
+        SELECT user_id, (r * {w}) {{intdiv}} n_days AS seg,
+               CAST(sum(cents) {{intdiv}} count(*) AS BIGINT) AS m
+        FROM indexed WHERE n_days >= {w}
+        GROUP BY user_id, (r * {w}) {{intdiv}} n_days
+    ),
+    stats AS (
+        SELECT user_id, CAST(sum(m) AS BIGINT) AS s,
+               CAST(sum(m * m) AS BIGINT) AS s2
+        FROM paa GROUP BY user_id
+    ),
+    symbols AS (
+        SELECT p.user_id, p.seg,
+               CASE WHEN (st.s2 - st.s / {w}.0 * st.s) <= 0 THEN 'c'
+                    WHEN (p.m - st.s / {w}.0)
+                         < -{bp} * sqrt((st.s2 - st.s / {w}.0 * st.s) / {w}.0)
+                         THEN 'a'
+                    WHEN (p.m - st.s / {w}.0) < 0 THEN 'b'
+                    WHEN (p.m - st.s / {w}.0)
+                         < {bp} * sqrt((st.s2 - st.s / {w}.0 * st.s) / {w}.0)
+                         THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM paa p JOIN stats st ON p.user_id = st.user_id
+    )
+    SELECT user_id, {{word}} AS word FROM symbols GROUP BY user_id
+    """
+    s_sql = body.format(
+        intdiv="DIV",
+        word="listagg(sym, '') WITHIN GROUP (ORDER BY seg)",
+    )
+    d_sql = body.format(intdiv="//", word="string_agg(sym, '' ORDER BY seg)")
+    s_rows = {(r.user_id, r.word) for r in spark.sql(s_sql).collect()}
+    d_rows = set(map(tuple, duck.execute(d_sql).fetchall()))
+    assert s_rows == d_rows, (
+        f"w={w} bp={bp} umod={umod}: "
+        f"spark-only={sorted(s_rows - d_rows)[:3]} duck-only={sorted(d_rows - s_rows)[:3]}"
+    )
+    for _, word in s_rows:
+        assert len(word) == w
