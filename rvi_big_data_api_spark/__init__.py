@@ -82,7 +82,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "ts_sax", "eval_lift_table", "graph_hits",
     "stats_permutation_test", "ts_changepoint_binseg", "mm_audio_energy",
     "stream_funnel_sessions", "sink_parquet_bloom", "stream_dirty_linkage",
-    "stream_log_histogram",
+    "stream_log_histogram", "privacy_dp_mean", "stream_ab_experiment",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

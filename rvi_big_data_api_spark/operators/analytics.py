@@ -679,3 +679,106 @@ def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DP_EPSILON_X1000).alias("epsilon_x1000"),
         (F.round(F.col("n") + noise, 4) + F.lit(0.0)).alias("noisy_n"),
     )
+
+
+# --- round 8: DP mean with clamping ------------------------------------------
+
+DP_MEAN_CLAMP_CENTS = 20_000  # contribution bound C: values clamp to [0, C]
+
+
+@query(
+    "privacy_dp_mean",
+    oracle=f"""
+    WITH clamped AS (
+        SELECT event_type,
+               least(greatest(floor(value * 100 + 0.5)::BIGINT, 0),
+                     {DP_MEAN_CLAMP_CENTS}) AS c
+        FROM events
+    ),
+    agged AS (
+        SELECT event_type, sum(c)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM clamped GROUP BY event_type
+    ),
+    noised AS (
+        SELECT event_type, s, n,
+               (('0x' || substr(md5('dpsum:' || event_type), 1, 6))::BIGINT + 0.5)
+                   / {DP_U_LATTICE} AS us,
+               (('0x' || substr(md5('dpcnt:' || event_type), 1, 6))::BIGINT + 0.5)
+                   / {DP_U_LATTICE} AS uc
+        FROM agged
+    ),
+    released AS (
+        SELECT event_type,
+               s + (CASE WHEN us < 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(us - 0.5))
+                   * ({DP_MEAN_CLAMP_CENTS} * 2000.0 / {DP_EPSILON_X1000}) AS ns,
+               n + (CASE WHEN uc < 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(uc - 0.5))
+                   * (2000.0 / {DP_EPSILON_X1000}) AS nn
+        FROM noised
+    )
+    SELECT event_type,
+           {DP_EPSILON_X1000} AS epsilon_x1000,
+           {DP_MEAN_CLAMP_CENTS} AS clamp_cents,
+           round(ns, 4) + 0.0 AS noisy_sum_cents,
+           round(nn, 4) + 0.0 AS noisy_n,
+           round(ns / nn, 4) + 0.0 AS noisy_mean_cents
+    FROM released
+    """,
+    tags=("analytics", "privacy"),
+)
+def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEAN release — the fourth privacy member,
+    and the one that forces the two design decisions every DP aggregate
+    inherits: CLAMP the per-record contribution to a stated bound C
+    (without it, sensitivity — and thus noise — is unbounded; the clamp
+    bias vs noise variance trade is the analyst's knob), then noise the
+    clamped SUM (sensitivity C) and the COUNT (sensitivity 1)
+    independently, each by half the budget (sequential composition:
+    eps/2 + eps/2 — the 2000/eps_x1000 scale factor is 1/(eps/2)), and
+    release their ratio. Raw sum, count, and mean never ship.
+
+    Mechanism and determinism discipline are privacy_dp_histogram's:
+    inverse-CDF Laplace on an md5-lattice uniform (distinct seeds for
+    the sum and count draws), identical doubles in both engines, one
+    libm ln per draw, 4-dp aggregate round + 0.0 (rules 8/17). The same
+    production caveat applies: real releases draw fresh randomness;
+    the seeded form is the engine-testable mechanism.
+
+    Scale: one clamped partial agg over the corpus; the DP arithmetic
+    runs on the |types|-row result — free at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    clamped = ev.select(
+        "event_type",
+        F.least(
+            F.greatest(F.floor(F.col("value") * 100 + 0.5).cast("long"), F.lit(0)),
+            F.lit(DP_MEAN_CLAMP_CENTS),
+        ).alias("c"),
+    )
+    agged = clamped.groupBy("event_type").agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+
+    def lap(seed_prefix: str, scale: float):
+        u = (
+            F.expr(
+                f"conv(substr(md5(concat('{seed_prefix}:', event_type)), 1, 6), 16, 10)"
+            ).cast("long")
+            + 0.5
+        ) / DP_U_LATTICE
+        return (
+            F.when(u < 0.5, 1.0).otherwise(-1.0)
+            * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+            * scale
+        )
+
+    ns = F.col("s") + lap("dpsum", DP_MEAN_CLAMP_CENTS * 2000.0 / DP_EPSILON_X1000)
+    nn = F.col("n") + lap("dpcnt", 2000.0 / DP_EPSILON_X1000)
+    return agged.select(
+        "event_type",
+        F.lit(DP_EPSILON_X1000).alias("epsilon_x1000"),
+        F.lit(DP_MEAN_CLAMP_CENTS).alias("clamp_cents"),
+        (F.round(ns, 4) + 0.0).alias("noisy_sum_cents"),
+        (F.round(nn, 4) + 0.0).alias("noisy_n"),
+        (F.round(ns / nn, 4) + 0.0).alias("noisy_mean_cents"),
+    )

@@ -2085,3 +2085,106 @@ def stream_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_bucket"
         ),
     )
+
+
+# --- round 8: live experiment readout ----------------------------------------
+
+
+@query(
+    "stream_ab_experiment",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n_users,
+               sum(converted)::BIGINT AS n_converted
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN arm = 'control' THEN n_users END)::BIGINT AS n_c,
+            max(CASE WHEN arm = 'control' THEN n_converted END)::BIGINT AS x_c,
+            max(CASE WHEN arm = 'treatment' THEN n_users END)::BIGINT AS n_t,
+            max(CASE WHEN arm = 'treatment' THEN n_converted END)::BIGINT AS x_t
+        FROM arms
+    )
+    SELECT n_c, x_c, n_t, x_t,
+           (x_t * 1000000 // n_t - x_c * 1000000 // n_c)::BIGINT AS lift_ppm,
+           round((x_t / n_t - x_c / n_c) / nullif(sqrt(
+               ((x_c + x_t) / (n_c + n_t)) * (1 - (x_c + x_t) / (n_c + n_t))
+               * (1.0 / n_c + 1.0 / n_t)), 0), 4) + 0.0 AS z_score
+    FROM wide
+    """,
+    tags=("streaming", "experiment"),
+)
+def stream_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE A/B experiment readout — ab_experiment_report as the streaming
+    job a real experiment dashboard actually runs: per-user conversion
+    state (one max-flag per user, the md5-armed assignment never stored —
+    it is a pure function of the stable key, recomputable at read time)
+    is maintained by the stream in complete mode; the arm rollup, lift,
+    and pooled two-proportion z-score run as batch post-processing on the
+    state table each refresh (the stream_quantile_histogram two-stage
+    rule — Structured Streaming allows one stateful aggregation, and
+    per-user dedup IS the aggregation that needs the state).
+
+    Why per-user state and not per-arm counters: conversion is a per-user
+    max over time — a user who converts twice must count once, and a
+    counter-only design double-counts late purchases. State is one row
+    per ACTIVE user (bounded by the population, not the event volume),
+    exactly the cardinality argument stream_latest_per_key makes.
+
+    Twin: ab_experiment_report's algebra (integer counts, ppm lift per
+    rule 25, one sqrt + 4-dp round per rule 8)."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    per_user = run_to_table(sdf, sf_dir, "abexp", "complete")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "control"
+    ).otherwise("treatment")
+    arms = per_user.withColumn("arm", arm).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+
+    def pick(col: str, a: str):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = arms.agg(
+        pick("n_users", "control").alias("n_c"),
+        pick("n_converted", "control").alias("x_c"),
+        pick("n_users", "treatment").alias("n_t"),
+        pick("n_converted", "treatment").alias("x_t"),
+    )
+    pooled = (F.col("x_c") + F.col("x_t")) / (F.col("n_c") + F.col("n_t"))
+    se = F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t")))
+    return wide.select(
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        F.expr("x_t * 1000000 div n_t - x_c * 1000000 div n_c").alias("lift_ppm"),
+        (
+            F.round(
+                ((F.col("x_t") / F.col("n_t")) - (F.col("x_c") / F.col("n_c")))
+                / F.nullif(se, F.lit(0.0)),
+                4,
+            )
+            + 0.0
+        ).alias("z_score"),
+    )

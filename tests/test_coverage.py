@@ -593,6 +593,9 @@ EXTENSIONS = [
     # round 8 wave 3: bloom-filter point-lookup sink; streaming ER through
     # the static deletion-key index; the log sketch as streaming state
     "sink_parquet_bloom", "stream_dirty_linkage", "stream_log_histogram",
+    # round 8 wave 4: DP mean with clamping (sum+count noised on half
+    # budgets); the live experiment readout over per-user streaming state
+    "privacy_dp_mean", "stream_ab_experiment",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -451,3 +451,50 @@ def test_stream_log_histogram_matches_batch_coding(spark, sf_dir, duck):
     for r in rows:
         assert batch[(r["day"], r["event_type"])] == (r["p50_bucket"], r["p99_bucket"]), r
         assert 0 <= r["p50_bucket"] <= r["p99_bucket"] <= 106, r
+
+
+def test_dp_mean_release_laws(spark, sf_dir, duck):
+    """DP release sanity: the noised sum/count sit within a generous
+    Laplace envelope of the clamped truth (20 scale units — probability
+    of a violation under the mechanism is ~2e-9, so a failure means the
+    arithmetic drifted, not bad luck), the released mean is their exact
+    ratio, and a re-run releases the identical row (seeded mechanism)."""
+    from rvi_big_data_api_spark.operators.analytics import (
+        DP_MEAN_CLAMP_CENTS,
+        DP_EPSILON_X1000,
+    )
+
+    rows = {r["event_type"]: r for r in _df("privacy_dp_mean", spark, sf_dir).collect()}
+    again = {r["event_type"]: r for r in _df("privacy_dp_mean", spark, sf_dir).collect()}
+    assert rows == again
+    truth = {
+        et: (s, n)
+        for et, s, n in duck.execute(
+            f"""
+            SELECT event_type,
+                   sum(least(greatest(floor(value * 100 + 0.5)::BIGINT, 0),
+                             {DP_MEAN_CLAMP_CENTS}))::BIGINT,
+                   count(*)::BIGINT
+            FROM events GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    sum_scale = DP_MEAN_CLAMP_CENTS * 2000.0 / DP_EPSILON_X1000
+    cnt_scale = 2000.0 / DP_EPSILON_X1000
+    for et, r in rows.items():
+        s, n = truth[et]
+        assert abs(r["noisy_sum_cents"] - s) <= 20 * sum_scale, (et, r, s)
+        assert abs(r["noisy_n"] - n) <= 20 * cnt_scale, (et, r, n)
+        assert abs(r["noisy_mean_cents"] - round(r["noisy_sum_cents"] / r["noisy_n"], 4)) <= 1e-3
+
+
+def test_stream_ab_matches_batch_experiment(spark, sf_dir):
+    """The live readout must agree with the batch report on every shared
+    quantity — counts exactly, z to the shared 4-dp round (streaming
+    state ≡ batch per-user rollup)."""
+    live = _df("stream_ab_experiment", spark, sf_dir).collect()[0]
+    batch = _df("ab_experiment_report", spark, sf_dir).collect()[0]
+    assert (live["n_c"], live["x_c"], live["n_t"], live["x_t"]) == (
+        batch["n_c"], batch["x_c"], batch["n_t"], batch["x_t"],
+    )
+    assert live["z_score"] == batch["z_score"]
