@@ -2598,3 +2598,92 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_tokens",
         F.expr("(n_docs - n_unique_texts) * 1000000 div n_docs").alias("dup_ppm"),
     )
+
+
+CURRICULUM_PHASES = 5  # training phases, lowest-diversity first
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_distinct(string_split(text, ' '))) * 1000000
+                   // len(string_split(text, ' ')) AS score_ppm,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY score_ppm ASC, doc_id ASC) AS rn,
+               count(*) OVER ()::BIGINT AS n
+        FROM scored
+    ),
+    phased AS (
+        SELECT ((rn - 1) * {CURRICULUM_PHASES}) // n AS phase, score_ppm, n_tokens
+        FROM ranked
+    ),
+    agged AS (
+        SELECT phase::BIGINT AS phase,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS phase_tokens,
+               min(score_ppm)::BIGINT AS min_score_ppm,
+               max(score_ppm)::BIGINT AS max_score_ppm
+        FROM phased GROUP BY phase
+    )
+    SELECT *, (sum(phase_tokens) OVER (ORDER BY phase
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum_tokens
+    FROM agged
+    """,
+    tags=("llm", "corpus", "curriculum"),
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule construction — order the corpus into training
+    phases by a difficulty proxy (lexical diversity in exact integer ppm,
+    the corpus_preference_pairs score; lowest-diversity documents train
+    first, the anti-curriculum variant is the same table read backwards)
+    and emit each phase's token budget with cumulative boundaries — the
+    table a phased dataloader consumes directly, and the complement of
+    corpus_epoch_schedule (which repeats sources across epochs; this
+    orders WITHIN the corpus by difficulty). Phase assignment uses the
+    full-tiebreak rank rule (score, doc_id — eval_lift_table's decile
+    discipline: ntile without a total order is run-dependent), so the
+    schedule is reproducible run over run.
+
+    Scale: the global rank is fixture-exact here; at 100 TB phase
+    BOUNDARIES come from the score histogram's cumulative counts (the
+    agg_quantile_histogram trick — scores are already integer ppm, a
+    bounded discrete domain), with only boundary-straddling score groups
+    needing the tiebreak."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L div size(split(text, ' '))"
+        ).alias("score_ppm"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    wrank = Window.orderBy(F.col("score_ppm").asc(), F.col("doc_id").asc())
+    ranked = scored.select(
+        "score_ppm",
+        "n_tokens",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    phased = ranked.groupBy(
+        F.expr(f"(rn - 1) * {CURRICULUM_PHASES} div n").alias("phase")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("phase_tokens"),
+        F.min("score_ppm").alias("min_score_ppm"),
+        F.max("score_ppm").alias("max_score_ppm"),
+    )
+    wcum = Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return phased.select(
+        F.col("phase").cast("long").alias("phase"),
+        "n_docs",
+        "phase_tokens",
+        "min_score_ppm",
+        "max_score_ppm",
+        F.sum("phase_tokens").over(wcum).alias("cum_tokens"),
+    )

@@ -4038,3 +4038,88 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num").alias("split_num"),
         )
     )
+
+
+# --- round 8: Poisson rate-surprise anomaly ----------------------------------
+
+POISSON_SURPRISE_MIN = 3.0  # Chernoff-bound surprise threshold (~p < 0.05)
+
+
+@query(
+    "anomaly_rate_poisson",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*)::BIGINT AS k
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, day, k,
+               sum(k) OVER (PARTITION BY event_type)::BIGINT AS total,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, k,
+               (total * 1000000 // n_days)::BIGINT AS lambda_ppm,
+               CASE WHEN k * n_days > total
+                    THEN k * ln(k * n_days / total::DOUBLE)
+                         - (k - total / n_days::DOUBLE)
+                    ELSE 0.0 END AS surprise
+        FROM base
+    )
+    SELECT event_type, day, k, lambda_ppm,
+           round(surprise, 6) + 0.0 AS surprise,
+           (surprise > {POISSON_SURPRISE_MIN}) AS is_anomaly
+    FROM scored
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def anomaly_rate_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-surprise anomaly — the COUNT-side member of the anomaly
+    family (z-score and MAD watch values, CUSUM watches drift, seasonal
+    naive watches calendar shape; THIS watches event RATES): each (type,
+    day) count k is scored against the type's mean daily rate λ by the
+    Poisson large-deviation exponent k·ln(k/λ) − (k − λ) — the Chernoff
+    upper-bound exponent on P(X ≥ k), so `surprise > 3` ≈ tail
+    probability below e⁻³ without any per-day variance estimate (rates
+    are their own variance under Poisson — the property that makes this
+    the standard alert rule for arrival streams).
+
+    Cross-engine float discipline: k, total, n_days are exact integers;
+    λ enters only through identical expression trees (k·n_days > total
+    as the INTEGER spike gate, then one libm ln per flagged day), and the
+    surprise is rounded at 6 dp with the −0.0 guard (rules 8/17). λ ships
+    as integer ppm (rule 25).
+
+    Scale: one day-rollup partial agg, two per-type window scalars over
+    |days| rows — agg_quantile_histogram's cost model; the alert table
+    is |types × days| regardless of event volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    wall = Window.partitionBy("event_type")
+    base = daily.select(
+        "event_type",
+        "day",
+        "k",
+        F.sum("k").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+    )
+    surprise = F.when(
+        F.col("k") * F.col("n_days") > F.col("total"),
+        F.col("k")
+        * F.log(F.col("k") * F.col("n_days") / F.col("total").cast("double"))
+        - (F.col("k") - F.col("total") / F.col("n_days").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "k",
+        F.expr("total * 1000000 div n_days").alias("lambda_ppm"),
+        (F.round(surprise, 6) + 0.0).alias("surprise"),
+        (surprise > POISSON_SURPRISE_MIN).alias("is_anomaly"),
+    )

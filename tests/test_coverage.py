@@ -596,6 +596,9 @@ EXTENSIONS = [
     # round 8 wave 4: DP mean with clamping (sum+count noised on half
     # budgets); the live experiment readout over per-user streaming state
     "privacy_dp_mean", "stream_ab_experiment",
+    # round 8 wave 5: difficulty-ordered curriculum phases with token
+    # budgets; Poisson rate-surprise anomaly (the count-side alert rule)
+    "corpus_curriculum_order", "anomaly_rate_poisson",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

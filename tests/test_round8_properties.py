@@ -498,3 +498,42 @@ def test_stream_ab_matches_batch_experiment(spark, sf_dir):
         batch["n_c"], batch["x_c"], batch["n_t"], batch["x_t"],
     )
     assert live["z_score"] == batch["z_score"]
+
+
+def test_curriculum_phases_partition_and_order(spark, sf_dir, duck):
+    """Phases partition the corpus (docs and tokens conserve), are
+    balanced to within one doc, score ranges are non-overlapping and
+    ascending (phase k's max <= phase k+1's min), and cumulative budgets
+    telescope."""
+    rows = sorted(_df("corpus_curriculum_order", spark, sf_dir).collect(), key=lambda r: r["phase"])
+    n_docs, n_tokens = duck.execute(
+        "SELECT count(*), sum(len(string_split(text, ' '))) FROM documents"
+    ).fetchone()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["phase_tokens"] for r in rows) == n_tokens
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    cum = 0
+    for i, r in enumerate(rows):
+        cum += r["phase_tokens"]
+        assert r["cum_tokens"] == cum
+        assert r["min_score_ppm"] <= r["max_score_ppm"]
+        if i:
+            assert rows[i - 1]["max_score_ppm"] <= r["min_score_ppm"]
+
+
+def test_poisson_surprise_gates_on_integer_spike(spark, sf_dir):
+    """The surprise score is zero exactly when the day is at or below the
+    mean rate (integer gate k*n_days <= total), positive otherwise, and
+    every flagged day clears the threshold with k above its own lambda."""
+    from rvi_big_data_api_spark.operators.telemetry import POISSON_SURPRISE_MIN
+
+    rows = _df("anomaly_rate_poisson", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        above = r["k"] * 1_000_000 > r["lambda_ppm"]
+        if not above:
+            assert r["surprise"] == 0.0, r
+        assert r["surprise"] >= 0.0
+        if r["is_anomaly"]:
+            assert r["surprise"] > POISSON_SURPRISE_MIN and above, r
