@@ -91,6 +91,8 @@ PROBE_QUERIES = [
     "stats_permutation_test",
     "ts_changepoint_binseg",
     "mm_audio_energy",
+    "sink_parquet_bloom",
+    "corpus_curriculum_order",
 ]
 
 
