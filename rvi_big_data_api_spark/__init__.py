@@ -83,7 +83,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stats_permutation_test", "ts_changepoint_binseg", "mm_audio_energy",
     "stream_funnel_sessions", "sink_parquet_bloom", "stream_dirty_linkage",
     "stream_log_histogram", "privacy_dp_mean", "stream_ab_experiment",
-    "corpus_curriculum_order", "anomaly_rate_poisson",
+    "corpus_curriculum_order", "anomaly_rate_poisson", "eval_pass_at_k",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

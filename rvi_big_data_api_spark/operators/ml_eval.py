@@ -3155,3 +3155,93 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("obs_diff_ppm", "n_perms", "n_ge", "p_value_ppm")
     )
+
+
+# --- round 8: unbiased pass@k ------------------------------------------------
+
+PASS_AT_KS = (1, 5)        # report pass@1 and pass@5
+PASS_CENTS = 12_000        # a "sample passes" iff its value exceeds $120
+PASS_MIN_N = 5             # estimator needs n >= max(k)
+
+
+def _pass_at_k_ppm(k: int):
+    """1e6 * (1 - C(n-c, k)/C(n, k)) as EXACT integer ppm: the ratio is
+    prod_{i<k}(n-c-i) / prod_{i<k}(n-i); factors are small ints (n is a
+    per-task sample count), so the products are exact in BIGINT and the
+    division is one integer floor-div (rule 25). c > n-k forces the
+    numerator's zero factor -> pass@k = 1e6 exactly."""
+    num = f"aggregate(sequence(0, {k} - 1), cast(1 as bigint), (acc, i) -> acc * (n - c - i))"
+    den = f"aggregate(sequence(0, {k} - 1), cast(1 as bigint), (acc, i) -> acc * (n - i))"
+    return (
+        f"CASE WHEN c >= n THEN cast(1000000 as bigint)"
+        f" WHEN n - c < {k} THEN cast(1000000 as bigint)"
+        f" ELSE cast(1000000 - ({num}) * 1000000 div ({den}) as bigint) END"
+    )
+
+
+@query(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH per_task AS (
+        SELECT user_id AS task_id,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN floor(value * 100 + 0.5)::BIGINT > {PASS_CENTS}
+                        THEN 1 ELSE 0 END)::BIGINT AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id HAVING count(*) >= {PASS_MIN_N}
+    )
+    SELECT task_id, n, c,
+           (CASE WHEN c >= n OR n - c < 1 THEN 1000000
+                 ELSE 1000000 - list_product(list_transform(range(1),
+                          i -> n - c - i))::BIGINT * 1000000
+                      // list_product(list_transform(range(1), i -> n - i))::BIGINT
+            END)::BIGINT AS pass1_ppm,
+           (CASE WHEN c >= n OR n - c < 5 THEN 1000000
+                 ELSE 1000000 - list_product(list_transform(range(5),
+                          i -> n - c - i))::BIGINT * 1000000
+                      // list_product(list_transform(range(5), i -> n - i))::BIGINT
+            END)::BIGINT AS pass5_ppm
+    FROM per_task
+    """,
+    tags=("analytics", "eval"),
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (the Codex/HumanEval estimator): per task with n
+    samples of which c pass, pass@k = 1 − C(n−c, k)/C(n, k) — the
+    probability that a random size-k draw contains at least one pass,
+    which the naive (c/n)^k-style plug-ins get wrong at small n (the
+    reason the unbiased form is the reporting standard for code-model
+    evals). Tasks here are users, samples their purchase events, a pass
+    a big-ticket purchase — the fixture stand-in for (problem,
+    completion, unit-test) triples.
+
+    Exactness: the binomial ratio telescopes to prod(n−c−i)/prod(n−i)
+    over i < k — k≤5 small-integer factors, computed as exact BIGINT
+    products on both engines (Spark `aggregate` fold ≡ DuckDB
+    list_product, whose double return is exact far beyond these
+    magnitudes and collapses via ::BIGINT) and divided ONCE as an
+    integer ppm (rule 25). Degenerate tails (c ≥ n, or fewer than k
+    failures) short-circuit to exactly 1e6 before any arithmetic.
+
+    Scale: one partial-agg groupBy(task) over the corpus; the estimator
+    is a scalar expression per task row. The aggregate-of-tasks mean is
+    one more tiny agg a dashboard adds on top."""
+    ev = load(spark, sf_dir, "events")
+    per_task = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("task_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.floor(F.col("value") * 100 + 0.5) > PASS_CENTS, 1).otherwise(0)
+            ).alias("c"),
+        )
+        .filter(F.col("n") >= PASS_MIN_N)
+    )
+    return per_task.select(
+        "task_id",
+        "n",
+        "c",
+        F.expr(_pass_at_k_ppm(1)).alias("pass1_ppm"),
+        F.expr(_pass_at_k_ppm(5)).alias("pass5_ppm"),
+    )

@@ -599,6 +599,8 @@ EXTENSIONS = [
     # round 8 wave 5: difficulty-ordered curriculum phases with token
     # budgets; Poisson rate-surprise anomaly (the count-side alert rule)
     "corpus_curriculum_order", "anomaly_rate_poisson",
+    # round 8: the unbiased pass@k estimator as exact integer combinatorics
+    "eval_pass_at_k",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

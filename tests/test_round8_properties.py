@@ -537,3 +537,28 @@ def test_poisson_surprise_gates_on_integer_spike(spark, sf_dir):
         assert r["surprise"] >= 0.0
         if r["is_anomaly"]:
             assert r["surprise"] > POISSON_SURPRISE_MIN and above, r
+
+
+def test_pass_at_k_matches_exact_combinatorics(spark, sf_dir):
+    """The ppm values equal the exact Fraction arithmetic of the unbiased
+    estimator for every task, pass@5 >= pass@1 always (larger draws can
+    only help), and both degenerate tails occur in the fixture."""
+    from fractions import Fraction
+    from math import comb
+
+    rows = _df("eval_pass_at_k", spark, sf_dir).collect()
+    assert rows
+    saw_all_pass = saw_mid = False
+    for r in rows:
+        n, c = r["n"], r["c"]
+        for k, col in ((1, "pass1_ppm"), (5, "pass5_ppm")):
+            if c >= n or n - c < k:
+                expect = 1_000_000
+            else:
+                frac = Fraction(comb(n - c, k), comb(n, k))
+                expect = 1_000_000 - (frac.numerator * 1_000_000) // frac.denominator
+            assert r[col] == expect, (r, k, expect)
+        assert r["pass5_ppm"] >= r["pass1_ppm"], r
+        saw_all_pass |= r["pass1_ppm"] == 1_000_000
+        saw_mid |= 0 < r["pass1_ppm"] < 1_000_000
+    assert saw_mid, "no non-degenerate tasks — estimator untested"
