@@ -93,6 +93,7 @@ PROBE_QUERIES = [
     "mm_audio_energy",
     "sink_parquet_bloom",
     "corpus_curriculum_order",
+    "text_bpe_train",
 ]
 
 

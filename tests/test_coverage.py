@@ -601,6 +601,9 @@ EXTENSIONS = [
     "corpus_curriculum_order", "anomaly_rate_poisson",
     # round 8: the unbiased pass@k estimator as exact integer combinatorics
     "eval_pass_at_k",
+    # round 8: BPE training as pure relational algebra (greedy leftmost
+    # merge application via gaps-and-islands odd ranks)
+    "text_bpe_train",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -562,3 +562,40 @@ def test_pass_at_k_matches_exact_combinatorics(spark, sf_dir):
         saw_all_pass |= r["pass1_ppm"] == 1_000_000
         saw_mid |= 0 < r["pass1_ppm"] < 1_000_000
     assert saw_mid, "no non-degenerate tasks — estimator untested"
+
+
+def test_bpe_round_one_matches_python_replay(spark, sf_dir):
+    """Round 1 of the relational BPE equals a direct Python replay of the
+    textbook algorithm over the whole corpus: same argmax pair (count
+    desc, pair asc) and same token count after a greedy leftmost
+    non-overlapping merge — the sequential semantics the gaps-and-islands
+    odd-rank trick must reproduce exactly, including overlap runs."""
+    from collections import Counter
+    from rvi_big_data_api_spark.io import load
+
+    rows = sorted(_df("text_bpe_train", spark, sf_dir).collect(), key=lambda r: r["merge_rank"])
+    docs = [r["text"].split(" ") for r in load(spark, sf_dir, "documents").select("text").collect()]
+    counts = Counter()
+    for toks in docs:
+        counts.update(zip(toks, toks[1:]))
+    (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (rows[0]["left_tok"], rows[0]["right_tok"], rows[0]["pair_count"]) == (l, r, c)
+    total_after = 0
+    for toks in docs:
+        out = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                out.append(toks[i] + toks[i + 1])
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        total_after += len(out)
+    assert rows[0]["tokens_after"] == total_after
+    # merge ranks are strictly decreasing in count (ties broken by pair
+    # order, but a later round can never beat an earlier count: merging
+    # only removes bigrams of the merged pair and creates new ones whose
+    # count is bounded by the selected occurrences)
+    assert rows[0]["pair_count"] >= rows[1]["pair_count"] >= rows[2]["pair_count"]
+    assert rows[0]["tokens_after"] > rows[1]["tokens_after"] > rows[2]["tokens_after"]
