@@ -1217,3 +1217,74 @@ def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
+
+
+# --- round 8: manifest-driven snapshot reads ---------------------------------
+
+
+@query(
+    "scan_snapshot_manifest",
+    oracle="""
+    SELECT 1::BIGINT AS snapshot_id, 2::BIGINT AS n_files,
+           count(*)::BIGINT AS n_rows,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2::BIGINT, 2::BIGINT, count(*)::BIGINT,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+    FROM orders WHERE o_orderkey % 3 IN (1, 2)
+    """,
+    tags=("scan", "lakehouse"),
+)
+def scan_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation via MANIFESTS — the mechanism under every table
+    format (Iceberg/Delta/Hudi), built from plain parquet so the
+    mechanics are inspectable: data files are immutable once written; a
+    snapshot is a MANIFEST row-set listing exactly the files that are
+    live in that version; commits write new files plus a new manifest —
+    never mutating old ones — so readers of snapshot N are isolated from
+    writers of N+1 and time travel is just picking a manifest. Staged
+    here: commit 1 writes files A and B (manifest v1 = {A, B}); commit 2
+    compacts A away and adds C (manifest v2 = {B, C}); the query reads
+    BOTH snapshots through their manifests and returns each version's
+    audit (file count, rows, exact decimal-grade cents), which the twin
+    recomputes from the same deterministic key slices.
+
+    The one driver-side step is reading the MANIFEST — file paths, not
+    data (a dozen strings per snapshot) — exactly what every table
+    format's planning phase does on the coordinator; the data plane
+    stays distributed (spark.read.parquet over the listed files, scans
+    pruned to the snapshot's files by construction). At 100 TB the
+    manifest itself becomes a parquet table read once per plan, and
+    file-level column stats in it drive pruning BEFORE any footer is
+    opened — the scan_dpp/sink_zorder story one level up."""
+    base = scratch_dir(sf_dir, "snapmanifest")
+    o = load(spark, sf_dir, "orders")
+    files = {}
+    for name, residue in (("A", 0), ("B", 1), ("C", 2)):
+        path = os.path.join(base, f"data_{name}")
+        o.filter(F.col("o_orderkey") % 3 == residue).write.mode("overwrite").parquet(path)
+        files[name] = path
+    manifest = spark.createDataFrame(
+        [(1, files["A"]), (1, files["B"]), (2, files["B"]), (2, files["C"])],
+        "snapshot_id bigint, file_path string",
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(base, "manifest"))
+    # planning phase: the coordinator reads the manifest (paths only)
+    mrows = spark.read.parquet(os.path.join(base, "manifest")).collect()
+    out = None
+    for snap in (1, 2):
+        paths = sorted(r["file_path"] for r in mrows if r["snapshot_id"] == snap)
+        snap_df = spark.read.parquet(*paths).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                "total_cents"
+            ),
+        ).select(
+            F.lit(snap).cast("long").alias("snapshot_id"),
+            F.lit(len(paths)).cast("long").alias("n_files"),
+            "n_rows",
+            "total_cents",
+        )
+        out = snap_df if out is None else out.unionByName(snap_df)
+    return out

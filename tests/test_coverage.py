@@ -604,6 +604,9 @@ EXTENSIONS = [
     # round 8: BPE training as pure relational algebra (greedy leftmost
     # merge application via gaps-and-islands odd ranks)
     "text_bpe_train",
+    # round 8: snapshot isolation via manifests (the table-format mechanism
+    # from plain parquet: immutable data files + per-version manifests)
+    "scan_snapshot_manifest",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

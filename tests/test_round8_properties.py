@@ -599,3 +599,25 @@ def test_bpe_round_one_matches_python_replay(spark, sf_dir):
     # count is bounded by the selected occurrences)
     assert rows[0]["pair_count"] >= rows[1]["pair_count"] >= rows[2]["pair_count"]
     assert rows[0]["tokens_after"] > rows[1]["tokens_after"] > rows[2]["tokens_after"]
+
+
+def test_snapshot_manifest_isolation_laws(spark, sf_dir, duck):
+    """Table-format invariants: snapshots share the surviving file's rows
+    (v1 ∩ v2 = slice B, verified through the totals' overlap identity:
+    v1 + v2 − full = B, since v1 = A∪B, v2 = B∪C and A,B,C partition the
+    table), each snapshot's audit matches the raw-table recomputation,
+    and re-reading a snapshot after the 'later commit' returns identical
+    numbers (immutability — time travel is just picking a manifest)."""
+    rows = {r["snapshot_id"]: r for r in _df("scan_snapshot_manifest", spark, sf_dir).collect()}
+    again = {r["snapshot_id"]: r for r in _df("scan_snapshot_manifest", spark, sf_dir).collect()}
+    assert rows == again
+    full_n, full_c = duck.execute(
+        "SELECT count(*), sum(floor(o_totalprice * 100 + 0.5)::BIGINT) FROM orders"
+    ).fetchone()
+    b_n, b_c = duck.execute(
+        "SELECT count(*), sum(floor(o_totalprice * 100 + 0.5)::BIGINT) FROM orders WHERE o_orderkey % 3 = 1"
+    ).fetchone()
+    v1, v2 = rows[1], rows[2]
+    assert v1["n_files"] == v2["n_files"] == 2
+    assert v1["n_rows"] + v2["n_rows"] - full_n == b_n
+    assert v1["total_cents"] + v2["total_cents"] - full_c == b_c
