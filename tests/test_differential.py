@@ -1941,3 +1941,87 @@ def test_generated_sax_words_agree_across_engines(spark, duck, sf_dir, w, bp, um
     )
     for _, word in s_rows:
         assert len(word) == w
+
+
+# --------------------------------------------------------------------------
+# BPE-round family (round 8): text_bpe_train pins K=3 rounds over the full
+# corpus; this samples ONE round at random corpus slices — same lead()
+# bigram counts, total-order argmax, and gaps-and-islands greedy leftmost
+# application on both engines. The island odd-rank trick is the riskiest
+# algebra in the op (it replaces a sequential scan); the family checks the
+# selected merge POSITIONS and the rebuilt token count, where an island
+# fencepost would show first.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dmod=st.integers(min_value=1, max_value=5),
+    off=st.integers(min_value=0, max_value=3),
+)
+def test_generated_bpe_rounds_agree_across_engines(spark, duck, sf_dir, dmod, off):
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    body = f"""
+    WITH t0 AS (
+        SELECT doc_id, pos, tok FROM ({{explode}}) x
+        WHERE doc_id % {dmod} = {off % dmod}
+    ),
+    big AS (
+        SELECT doc_id, pos, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t0
+    ),
+    cnt AS (
+        SELECT tok AS l, nxt AS r, CAST(count(*) AS BIGINT) AS c
+        FROM big WHERE nxt IS NOT NULL GROUP BY tok, nxt
+    ),
+    top1 AS (SELECT l, r, c FROM cnt ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    m AS (
+        SELECT b.doc_id, b.pos,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) AS rn
+        FROM big b, top1 WHERE b.tok = top1.l AND b.nxt = top1.r
+    ),
+    s AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, pos - rn ORDER BY pos) AS kk
+            FROM m
+        ) z WHERE kk % 2 = 1
+    ),
+    rebuilt AS (
+        SELECT b.doc_id, b.pos
+        FROM big b
+        LEFT JOIN s s2 ON b.doc_id = s2.doc_id AND b.pos = s2.pos + 1
+        WHERE s2.pos IS NULL
+    )
+    SELECT (SELECT l FROM top1) AS l, (SELECT r FROM top1) AS r,
+           (SELECT c FROM top1) AS c,
+           (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_merges,
+           (SELECT CAST(count(*) AS BIGINT) FROM rebuilt) AS tokens_after
+    """
+    s_sql = body.format(
+        explode="SELECT doc_id, pos, tok FROM documents"
+        " LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok"
+    )
+    d_sql = body.format(
+        explode="SELECT doc_id, i AS pos, toks[i + 1] AS tok FROM"
+        " (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),"
+        " unnest(range(len(toks))) u(i)"
+    )
+    s_row = spark.sql(s_sql).collect()[0]
+    d_row = duck.execute(d_sql).fetchone()
+    assert (s_row.l, s_row.r, s_row.c, s_row.n_merges, s_row.tokens_after) == tuple(d_row), (
+        f"dmod={dmod} off={off}: spark={tuple(s_row)} duck={tuple(d_row)}"
+    )
+    # structural law: each merge removes exactly one token
+    n0 = duck.execute(
+        f"SELECT sum(len(string_split(text,' '))) FROM documents WHERE doc_id % {dmod} = {off % dmod}"
+    ).fetchone()[0]
+    assert s_row.tokens_after == n0 - s_row.n_merges
