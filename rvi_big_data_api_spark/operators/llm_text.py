@@ -2694,6 +2694,86 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 3  # unrolled merge rounds (the vocabulary artifact's first rows)
 
 
+def _bpe_rounds(spark: SparkSession, sf_dir: str):
+    """Shared BPE machinery: run BPE_MERGES greedy merge rounds and return
+    (per-round rule frames, initial token frame, final token frame). Each
+    round's frame is eagerly checkpointed (the graph_hits lesson); `big`
+    is recomputed within a round rather than checkpointed — one window
+    pass over a checkpointed frame is cheaper than a third write."""
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    d = load(spark, sf_dir, "documents")
+    t0 = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    t = t0
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    rules = []
+    for k in range(BPE_MERGES):
+        big = t.select(
+            "doc_id", "pos", "tok", F.lead("tok").over(w_doc).alias("nxt")
+        )
+        cnt = (
+            big.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top1 = (
+            cnt.orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .checkpoint(eager=True)
+        )
+        m = (
+            big.join(
+                F.broadcast(top1),
+                (big.tok == F.col("l")) & (big.nxt == F.col("r")),
+            )
+            .select("doc_id", "pos")
+            .withColumn("rn", F.row_number().over(w_doc))
+        )
+        sel = m.withColumn(
+            "kk",
+            F.row_number().over(
+                Window.partitionBy("doc_id", F.col("pos") - F.col("rn")).orderBy("pos")
+            ),
+        )
+        s = sel.filter(F.col("kk") % 2 == 1).select("doc_id", "pos")
+        s1 = s.select(F.col("doc_id").alias("d1"), F.col("pos").alias("mpos"))
+        s2 = s.select(F.col("doc_id").alias("d2"), F.col("pos").alias("apos"))
+        t = (
+            big.join(
+                s1, (F.col("doc_id") == F.col("d1")) & (F.col("pos") == F.col("mpos")), "left"
+            )
+            .drop("d1")
+            .join(
+                s2,
+                (F.col("doc_id") == F.col("d2")) & (F.col("pos") == F.col("apos") + 1),
+                "left_anti",
+            )
+            .select(
+                "doc_id",
+                (F.row_number().over(w_doc) - 1).alias("pos"),
+                F.when(F.col("mpos").isNotNull(), F.concat("tok", "nxt"))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .checkpoint(eager=True)
+        )
+        rules.append(
+            top1.crossJoin(F.broadcast(t.agg(F.count(F.lit(1)).alias("tokens_after"))))
+            .select(
+                F.lit(k + 1).cast("long").alias("merge_rank"),
+                F.col("l").alias("left_tok"),
+                F.col("r").alias("right_tok"),
+                F.col("c").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+    return rules, t0, t
+
+
 @query(
     "text_bpe_train",
     oracle="""
@@ -2842,82 +2922,151 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Twin: the identical chain as MATERIALIZED CTEs; merged tokens are
     plain concatenations, every rank window carries a full tiebreak, so
     the rule list and token counts hash-match exactly."""
-    from ..session import ensure_checkpoint_dir
-
-    ensure_checkpoint_dir(spark)
-    d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    rules = []
-    for k in range(BPE_MERGES):
-        # big is referenced three times within the round (counts, match,
-        # rebuild) but is ONE window pass over the checkpointed previous
-        # frame — recomputing it beats a 3rd checkpoint write per round;
-        # the per-round frame checkpoint below is what stops cross-round
-        # plan doubling (the graph_hits lesson).
-        big = t.select(
-            "doc_id", "pos", "tok", F.lead("tok").over(w_doc).alias("nxt")
-        )
-        cnt = (
-            big.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        top1 = (
-            cnt.orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .checkpoint(eager=True)
-        )
-        m = (
-            big.join(
-                F.broadcast(top1),
-                (big.tok == F.col("l")) & (big.nxt == F.col("r")),
-            )
-            .select("doc_id", "pos")
-            .withColumn("rn", F.row_number().over(w_doc))
-        )
-        sel = m.withColumn(
-            "kk",
-            F.row_number().over(
-                Window.partitionBy("doc_id", F.col("pos") - F.col("rn")).orderBy("pos")
-            ),
-        )
-        s = sel.filter(F.col("kk") % 2 == 1).select("doc_id", "pos")
-        s1 = s.select(F.col("doc_id").alias("d1"), F.col("pos").alias("mpos"))
-        s2 = s.select(F.col("doc_id").alias("d2"), F.col("pos").alias("apos"))
-        t = (
-            big.join(
-                s1, (F.col("doc_id") == F.col("d1")) & (F.col("pos") == F.col("mpos")), "left"
-            )
-            .drop("d1")
-            .join(
-                s2,
-                (F.col("doc_id") == F.col("d2")) & (F.col("pos") == F.col("apos") + 1),
-                "left_anti",
-            )
-            .select(
-                "doc_id",
-                (F.row_number().over(w_doc) - 1).alias("pos"),
-                F.when(F.col("mpos").isNotNull(), F.concat("tok", "nxt"))
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-            .checkpoint(eager=True)
-        )
-        rules.append(
-            top1.crossJoin(F.broadcast(t.agg(F.count(F.lit(1)).alias("tokens_after"))))
-            .select(
-                F.lit(k + 1).cast("long").alias("merge_rank"),
-                F.col("l").alias("left_tok"),
-                F.col("r").alias("right_tok"),
-                F.col("c").alias("pair_count"),
-                "tokens_after",
-            )
-        )
+    rules, _, _ = _bpe_rounds(spark, sf_dir)
     out = rules[0]
     for r in rules[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "text_bpe_apply",
+    oracle="""
+    WITH t0 AS MATERIALIZED (
+        SELECT doc_id, i AS pos, toks[i + 1] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(range(len(toks))) u(i)
+    ),
+    big_0 AS MATERIALIZED (
+        SELECT doc_id, pos, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t0
+    ),
+    cnt_0 AS (
+        SELECT tok AS l, nxt AS r, count(*)::BIGINT AS c
+        FROM big_0 WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    top1_0 AS MATERIALIZED (
+        SELECT l, r, c FROM cnt_0 ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    ),
+    m_0 AS (
+        SELECT b.doc_id, b.pos,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) AS rn
+        FROM big_0 b, top1_0 WHERE b.tok = top1_0.l AND b.nxt = top1_0.r
+    ),
+    s_0 AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, pos - rn ORDER BY pos) AS kk
+            FROM m_0
+        ) WHERE kk % 2 = 1
+    ),
+    t1 AS MATERIALIZED (
+        SELECT b.doc_id,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) - 1 AS pos,
+               CASE WHEN s1.pos IS NOT NULL THEN b.tok || b.nxt ELSE b.tok END AS tok
+        FROM big_0 b
+        LEFT JOIN s_0 s1 ON b.doc_id = s1.doc_id AND b.pos = s1.pos
+        LEFT JOIN s_0 s2 ON b.doc_id = s2.doc_id AND b.pos = s2.pos + 1
+        WHERE s2.pos IS NULL
+    ),
+    big_1 AS MATERIALIZED (
+        SELECT doc_id, pos, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t1
+    ),
+    cnt_1 AS (
+        SELECT tok AS l, nxt AS r, count(*)::BIGINT AS c
+        FROM big_1 WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    top1_1 AS MATERIALIZED (
+        SELECT l, r, c FROM cnt_1 ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    ),
+    m_1 AS (
+        SELECT b.doc_id, b.pos,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) AS rn
+        FROM big_1 b, top1_1 WHERE b.tok = top1_1.l AND b.nxt = top1_1.r
+    ),
+    s_1 AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, pos - rn ORDER BY pos) AS kk
+            FROM m_1
+        ) WHERE kk % 2 = 1
+    ),
+    t2 AS MATERIALIZED (
+        SELECT b.doc_id,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) - 1 AS pos,
+               CASE WHEN s1.pos IS NOT NULL THEN b.tok || b.nxt ELSE b.tok END AS tok
+        FROM big_1 b
+        LEFT JOIN s_1 s1 ON b.doc_id = s1.doc_id AND b.pos = s1.pos
+        LEFT JOIN s_1 s2 ON b.doc_id = s2.doc_id AND b.pos = s2.pos + 1
+        WHERE s2.pos IS NULL
+    ),
+    big_2 AS MATERIALIZED (
+        SELECT doc_id, pos, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t2
+    ),
+    cnt_2 AS (
+        SELECT tok AS l, nxt AS r, count(*)::BIGINT AS c
+        FROM big_2 WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    top1_2 AS MATERIALIZED (
+        SELECT l, r, c FROM cnt_2 ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    ),
+    m_2 AS (
+        SELECT b.doc_id, b.pos,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) AS rn
+        FROM big_2 b, top1_2 WHERE b.tok = top1_2.l AND b.nxt = top1_2.r
+    ),
+    s_2 AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, pos - rn ORDER BY pos) AS kk
+            FROM m_2
+        ) WHERE kk % 2 = 1
+    ),
+    t3 AS MATERIALIZED (
+        SELECT b.doc_id,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) - 1 AS pos,
+               CASE WHEN s1.pos IS NOT NULL THEN b.tok || b.nxt ELSE b.tok END AS tok
+        FROM big_2 b
+        LEFT JOIN s_2 s1 ON b.doc_id = s1.doc_id AND b.pos = s1.pos
+        LEFT JOIN s_2 s2 ON b.doc_id = s2.doc_id AND b.pos = s2.pos + 1
+        WHERE s2.pos IS NULL
+    ),
+    before AS (SELECT doc_id, count(*)::BIGINT AS tokens_before FROM t0 GROUP BY doc_id),
+    after AS (SELECT doc_id, count(*)::BIGINT AS tokens_after FROM t3 GROUP BY doc_id)
+    SELECT b.doc_id, b.tokens_before, a.tokens_after,
+           ((b.tokens_before - a.tokens_after) * 1000000 // b.tokens_before)::BIGINT
+               AS compression_ppm
+    FROM before b JOIN after a ON b.doc_id = a.doc_id
+""",
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKENIZED CORPUS — text_bpe_train's other output: after the
+    BPE_MERGES learned merges are applied (same shared round machinery,
+    same greedy-leftmost semantics), every document reports its token
+    count before and after plus the compression in integer ppm — the
+    per-document ledger that decides whether a vocabulary is paying for
+    itself on each source, and the input corpus_pack_sequences would
+    consume in a real pipeline (fewer tokens per doc = more docs per
+    packed sequence). Same cost model as training: the apply pass IS the
+    training pass's rebuild chain, one window + one join-rebuild per
+    rule, frames checkpointed between rounds."""
+    _, t0, t_final = _bpe_rounds(spark, sf_dir)
+    before = t0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tokens_before"))
+    after = t_final.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tokens_after"))
+    return (
+        before.join(after, "doc_id")
+        .select(
+            "doc_id",
+            "tokens_before",
+            "tokens_after",
+            F.expr(
+                "(tokens_before - tokens_after) * 1000000 div tokens_before"
+            ).alias("compression_ppm"),
+        )
+    )

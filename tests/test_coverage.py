@@ -607,6 +607,8 @@ EXTENSIONS = [
     # round 8: snapshot isolation via manifests (the table-format mechanism
     # from plain parquet: immutable data files + per-version manifests)
     "scan_snapshot_manifest",
+    # round 8: the tokenized corpus (BPE rules applied, per-doc compression)
+    "text_bpe_apply",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -621,3 +621,23 @@ def test_snapshot_manifest_isolation_laws(spark, sf_dir, duck):
     assert v1["n_files"] == v2["n_files"] == 2
     assert v1["n_rows"] + v2["n_rows"] - full_n == b_n
     assert v1["total_cents"] + v2["total_cents"] - full_c == b_c
+
+
+def test_bpe_apply_reconciles_with_training(spark, sf_dir):
+    """Cross-op conservation: the per-doc apply ledger must sum to the
+    training op's final corpus count, per-doc compression is bounded by
+    the three-merge maximum (each merge halves at most), and every doc
+    appears exactly once with before >= after."""
+    apply_rows = _df("text_bpe_apply", spark, sf_dir).collect()
+    train_rows = sorted(_df("text_bpe_train", spark, sf_dir).collect(), key=lambda r: r["merge_rank"])
+    assert sum(r["tokens_after"] for r in apply_rows) == train_rows[-1]["tokens_after"]
+    ids = [r["doc_id"] for r in apply_rows]
+    assert len(ids) == len(set(ids))
+    for r in apply_rows:
+        assert r["tokens_before"] >= r["tokens_after"] > 0
+        assert r["compression_ppm"] == (
+            (r["tokens_before"] - r["tokens_after"]) * 1_000_000 // r["tokens_before"]
+        )
+        # 3 merges of disjoint pairs can at most remove floor(n/2)*3... but
+        # never more than half per round compounded: after >= before / 8
+        assert r["tokens_after"] * 8 >= r["tokens_before"]
