@@ -85,6 +85,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_log_histogram", "privacy_dp_mean", "stream_ab_experiment",
     "corpus_curriculum_order", "anomaly_rate_poisson", "eval_pass_at_k",
     "text_bpe_train", "scan_snapshot_manifest", "text_bpe_apply",
+    "graph_modularity",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -609,6 +609,8 @@ EXTENSIONS = [
     "scan_snapshot_manifest",
     # round 8: the tokenized corpus (BPE rules applied, per-doc compression)
     "text_bpe_apply",
+    # round 8: Newman modularity of a partition on the similarity graph
+    "graph_modularity",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -641,3 +641,20 @@ def test_bpe_apply_reconciles_with_training(spark, sf_dir):
         # 3 merges of disjoint pairs can at most remove floor(n/2)*3... but
         # never more than half per round compounded: after >= before / 8
         assert r["tokens_after"] * 8 >= r["tokens_before"]
+
+
+def test_modularity_conservation_laws(spark, sf_dir):
+    """Graph-accounting identities: within-edges sum to m (the candidate
+    graph is same-label by construction — the docstring states it),
+    degree totals sum to 2m, every q contribution equals its two ppm
+    terms' difference, and each label's expected term is positive."""
+    rows = _df("graph_modularity", spark, sf_dir).collect()
+    assert rows
+    from rvi_big_data_api_spark.operators.llm_sim import sim_pair_edges
+
+    m = sim_pair_edges(spark, sf_dir).count()
+    assert sum(r["e_within"] for r in rows) == m
+    assert sum(r["d_tot"] for r in rows) == 2 * m
+    for r in rows:
+        assert r["q_contrib_ppm"] == r["e_frac_ppm"] - r["expected_ppm"], r
+        assert r["expected_ppm"] > 0 and r["e_frac_ppm"] >= 0, r
