@@ -44,39 +44,13 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- round-8 closure head (refreshed per VERDICT r7 item 1): exactly the
-    # 49 entries that have never appeared in a driver CORRECTNESS sample
-    # (CORRECTNESS_r07 consumed the previous head of 50 — 49 hash-pass +
-    # fn_geospatial errored) plus `fn_geospatial` itself for the re-check
-    # after the sticky-conf fix (functions/scalars.py). 49 + 1 = exactly the
-    # driver's 50-row budget, so round 8 closes driver verification at
-    # 398/398. fn_geospatial leads — it is the one red row in 349 samples. --
-    "fn_geospatial",
-    "anomaly_cusum", "profile_crosstab", "seq_transition_matrix",
-    "ab_experiment_report", "fleet_daily_report",
-    "text_zipf_fit", "text_novelty_score", "clean_impute",
-    "sink_compaction", "mm_manifest_join", "win_range_numeric",
-    # function-surface / SQL wave (replica + judge spot-check green; lowest
-    # residual risk, so they queue for round 8)
-    "fn_crypto", "fn_map_hof", "fn_array_set", "fn_xpath", "fn_csv_inline",
-    "agg_bitops", "scan_xml", "sql_scripting", "sql_identifier_dynamic",
-    "subquery_scalar_df", "udtf_table_arg", "udf_arrow_optimized",
-    "udtf_cogrouped_map", "limit_offset",
-    # -- round-7 additions (registered behind the 75 never-sampled backlog:
-    # closure of rounds 1-6 coverage outranks first-look at new ops; these
-    # get the close replica drive this round and driver rows in round 8) ----
-    "dedup_simhash_verify", "agg_countmin", "agg_bloom_filter",
-    "cdc_snapshot_diff", "agg_incremental_merge", "stats_kruskal_wallis",
-    "feature_woe", "privacy_suppression", "geo_dbscan_grid",
-    "ts_cross_correlation", "geo_cotravel", "ts_seasonal_strength",
-    "agg_quantile_histogram", "eval_mcnemar_paired", "seq_markov_holdout",
-    "profile_correlation_matrix", "stream_quantile_histogram",
-    "geo_dwell_segments", "stats_effect_sizes", "mm_phash_band",
-    "dedup_embed_scaled", "stream_geo_sessions", "sample_weighted",
-    "corpus_multimodal_pipeline",
-    # -- round-8 additions (registered BEHIND the closure head per VERDICT r7
-    # item 10: the 49+1 never-sampled entries above must consume round 8's
-    # entire 50-row driver budget; these eight queue for round 9) -----------
+    # -- round-9 head (refreshed per VERDICT r8 item 1): the 24 round-8
+    # additions are now the ONLY registry entries with no driver CORRECTNESS
+    # row (CORRECTNESS_r08 consumed the previous 50-entry head — 50/50
+    # hash-pass, including the fn_geospatial re-check). All 24 were
+    # judge-replica MATCH in the r8 verdict; the driver artifact is the hard
+    # signal. 24 < 50, so round 9's budget also reaches ~26 of round 9's own
+    # additions registered behind them. --------------------------------------
     "agg_log_histogram_quantile", "corpus_preference_pairs",
     "corpus_length_buckets", "er_record_linkage", "corpus_dataset_card",
     "ts_sax", "eval_lift_table", "graph_hits",
@@ -89,9 +63,29 @@ PRIORITY_UNVERIFIED: list[str] = [
 ]
 
 PRIORITY_VERIFIED: list[str] = [
+    # -- driver-green in round 8 (CORRECTNESS_r08.json, 50 rows, all hash
+    # matches, zero err — includes the fn_geospatial re-check after the
+    # sticky-conf fix, clearing the only red row in the project's history) --
+    "fn_geospatial",
+    "anomaly_cusum", "profile_crosstab", "seq_transition_matrix",
+    "ab_experiment_report", "fleet_daily_report",
+    "text_zipf_fit", "text_novelty_score", "clean_impute",
+    "sink_compaction", "mm_manifest_join", "win_range_numeric",
+    "fn_crypto", "fn_map_hof", "fn_array_set", "fn_xpath", "fn_csv_inline",
+    "agg_bitops", "scan_xml", "sql_scripting", "sql_identifier_dynamic",
+    "subquery_scalar_df", "udtf_table_arg", "udf_arrow_optimized",
+    "udtf_cogrouped_map", "limit_offset",
+    "dedup_simhash_verify", "agg_countmin", "agg_bloom_filter",
+    "cdc_snapshot_diff", "agg_incremental_merge", "stats_kruskal_wallis",
+    "feature_woe", "privacy_suppression", "geo_dbscan_grid",
+    "ts_cross_correlation", "geo_cotravel", "ts_seasonal_strength",
+    "agg_quantile_histogram", "eval_mcnemar_paired", "seq_markov_holdout",
+    "profile_correlation_matrix", "stream_quantile_histogram",
+    "geo_dwell_segments", "stats_effect_sizes", "mm_phash_band",
+    "dedup_embed_scaled", "stream_geo_sessions", "sample_weighted",
+    "corpus_multimodal_pipeline",
     # -- driver-green in round 7 (CORRECTNESS_r07.json, 50 rows: 49 hash
-    # matches + fn_geospatial errored — it stays in PRIORITY_UNVERIFIED for
-    # the post-fix re-check) -------------------------------------------------
+    # matches; fn_geospatial's error row superseded by its r08 re-check) ----
     "source_inmemory",
     "stream_rocksdb_state", "scan_state_store", "stream_dedup_watermark",
     "sink_stream_python_datasource", "stream_sketch_distinct",
