@@ -2650,11 +2650,17 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: ntile without a total order is run-dependent), so the
     schedule is reproducible run over run.
 
-    Scale: the global rank is fixture-exact here; at 100 TB phase
+    Scale: the registered plan is the histogram-boundary one (VERDICT r8
+    item 2 — previously only described here, now the default). Phase
     BOUNDARIES come from the score histogram's cumulative counts (the
-    agg_quantile_histogram trick — scores are already integer ppm, a
-    bounded discrete domain), with only boundary-straddling score groups
-    needing the tiebreak."""
+    agg_quantile_histogram trick — scores are integer ppm, a bounded
+    discrete domain ≤1e6+1 values, so the cumulative window runs over
+    score SUPPORT, never over the corpus-sized frame). Score groups that
+    straddle no phase boundary contribute (doc count, token sum) to one
+    phase wholesale; only the ≤PHASES-1 boundary-straddling groups rejoin
+    per-doc for the (score, doc_id) tiebreak — a row_number PARTITIONED by
+    score_ppm (pinned by tests/test_plans.py). Exact-integer algebra, so
+    the result is bit-identical to the naive global rank."""
     d = load(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -2663,20 +2669,59 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score_ppm"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    wrank = Window.orderBy(F.col("score_ppm").asc(), F.col("doc_id").asc())
-    ranked = scored.select(
-        "score_ppm",
-        "n_tokens",
-        F.row_number().over(wrank).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    hist = scored.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).alias("g_n"), F.sum("n_tokens").alias("g_tok")
     )
-    phased = ranked.groupBy(
-        F.expr(f"(rn - 1) * {CURRICULUM_PHASES} div n").alias("phase")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("phase_tokens"),
-        F.min("score_ppm").alias("min_score_ppm"),
-        F.max("score_ppm").alias("max_score_ppm"),
+    whist = Window.orderBy(F.col("score_ppm").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.select(
+        "score_ppm",
+        "g_n",
+        "g_tok",
+        (F.sum("g_n").over(whist) - F.col("g_n")).alias("cum_before"),
+    )
+    totals = scored.agg(F.count(F.lit(1)).alias("n"))
+    h = hist.crossJoin(F.broadcast(totals)).select(
+        "*",
+        F.expr(f"cum_before * {CURRICULUM_PHASES} div n").alias("p_first"),
+        F.expr(f"(cum_before + g_n - 1) * {CURRICULUM_PHASES} div n").alias("p_last"),
+    )
+    whole = h.filter(F.col("p_first") == F.col("p_last")).select(
+        F.col("p_first").alias("phase"),
+        F.col("g_n").alias("n_docs"),
+        F.col("g_tok").alias("phase_tokens"),
+        F.col("score_ppm").alias("min_score_ppm"),
+        F.col("score_ppm").alias("max_score_ppm"),
+    )
+    strad = h.filter(F.col("p_first") != F.col("p_last")).select(
+        "score_ppm", "cum_before", "n"
+    )
+    wgrp = Window.partitionBy("score_ppm").orderBy(F.col("doc_id").asc())
+    split = (
+        scored.join(F.broadcast(strad), "score_ppm")
+        .select(
+            "score_ppm",
+            "n_tokens",
+            "n",
+            (
+                (F.col("cum_before") + F.row_number().over(wgrp) - F.lit(1))
+                * F.lit(CURRICULUM_PHASES)
+            ).alias("scaled_rank"),
+        )
+        .groupBy(F.expr("scaled_rank div n").alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("phase_tokens"),
+            F.min("score_ppm").alias("min_score_ppm"),
+            F.max("score_ppm").alias("max_score_ppm"),
+        )
+    )
+    phased = whole.unionByName(split).groupBy("phase").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("phase_tokens").alias("phase_tokens"),
+        F.min("min_score_ppm").alias("min_score_ppm"),
+        F.max("max_score_ppm").alias("max_score_ppm"),
     )
     wcum = Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return phased.select(

@@ -2959,13 +2959,18 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate, cumulative capture of all positives (the gains curve), and lift
     over the base rate — all integer ppm (rule 25), so the twin is exact.
 
-    The global rank is the one scale-sensitive step: at fixture scale it
-    is a single window; at 100 TB the same statistic comes from
-    score-histogram cumulative counts (the agg_quantile_histogram trick
-    gives decile BOUNDARIES without a global sort, exactly how
-    eval_auc_trapezoid already builds its curve from score support), with
-    only boundary-straddling score groups needing the tiebreak — the
-    window here keeps the registered op one plan with zero approximation.
+    The registered plan is the histogram-boundary one (VERDICT r8 item 2 —
+    previously only described here, now the default): per-score-group
+    counts plus a cumulative window over the SCORE SUPPORT (a bounded
+    discrete domain — cents-quantized scores, the agg_quantile_histogram
+    trick / eval_auc_trapezoid's curve construction) locate every decile
+    boundary without ranking the corpus-sized frame. Score groups that
+    straddle no boundary contribute their (count, positives) to one decile
+    wholesale; only the ≤9 boundary-straddling groups rejoin the per-user
+    frame for the (score, user_id) tiebreak rank — and that row_number is
+    PARTITIONED by score_cents, so no corpus-sized unpartitioned window
+    remains (pinned by tests/test_plans.py). Exact-integer algebra
+    throughout, so the result is bit-identical to the naive global rank.
     Downstream: capture_ppm at decile 2 is the 'top-20%' number every
     targeting deck quotes; lift_ppm < 1e6 marks deciles worse than random."""
     ev = load(spark, sf_dir, "events")
@@ -2989,17 +2994,63 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("label"),
     )
-    wrank = Window.orderBy(F.col("score_cents").desc(), F.col("user_id").asc())
-    wall = Window.partitionBy()
-    ranked = per_user.select(
-        "label",
-        F.row_number().over(wrank).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n_total"),
-        F.sum("label").over(wall).alias("pos_total"),
+    # Score-support histogram: one row per distinct score_cents. The
+    # cumulative window below runs over score SUPPORT, not users.
+    hist = per_user.groupBy("score_cents").agg(
+        F.count(F.lit(1)).alias("g_n"), F.sum("label").alias("g_pos")
     )
-    deciles = ranked.groupBy(F.expr("(rn - 1) * 10 div n_total").alias("decile")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("label").alias("n_pos"),
+    whist = Window.orderBy(F.col("score_cents").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.select(
+        "score_cents",
+        "g_n",
+        "g_pos",
+        (F.sum("g_n").over(whist) - F.col("g_n")).alias("cum_before"),
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("label").alias("pos_total")
+    )
+    h = hist.crossJoin(F.broadcast(totals)).select(
+        "*",
+        F.expr("cum_before * 10 div n_total").alias("d_first"),
+        F.expr("(cum_before + g_n - 1) * 10 div n_total").alias("d_last"),
+    )
+    whole = h.filter(F.col("d_first") == F.col("d_last")).select(
+        F.col("d_first").alias("decile"),
+        F.col("g_n").alias("n"),
+        F.col("g_pos").alias("n_pos"),
+        "n_total",
+        "pos_total",
+    )
+    # ≤9 straddling score groups: per-row tiebreak rank, PARTITIONED by the
+    # score group (never an unpartitioned corpus-sized window).
+    strad = h.filter(F.col("d_first") != F.col("d_last")).select(
+        "score_cents", "cum_before", "n_total", "pos_total"
+    )
+    wgrp = Window.partitionBy("score_cents").orderBy(F.col("user_id").asc())
+    split = (
+        per_user.join(F.broadcast(strad), "score_cents")
+        .select(
+            "label",
+            "n_total",
+            "pos_total",
+            (
+                (F.col("cum_before") + F.row_number().over(wgrp) - F.lit(1))
+                * F.lit(10)
+            ).alias("scaled_rank"),
+        )
+        .groupBy(F.expr("scaled_rank div n_total").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("n_pos"),
+            F.max("n_total").alias("n_total"),
+            F.max("pos_total").alias("pos_total"),
+        )
+    )
+    deciles = whole.unionByName(split).groupBy("decile").agg(
+        F.sum("n").alias("n"),
+        F.sum("n_pos").alias("n_pos"),
         F.max("n_total").alias("n_total"),
         F.max("pos_total").alias("pos_total"),
     )

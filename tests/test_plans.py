@@ -1332,3 +1332,21 @@ def test_permutation_test_single_corpus_scan_per_side(spark, sf_dir):
     )
     assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
     assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["eval_lift_table", "corpus_curriculum_order"])
+def test_rank_windows_are_partitioned(spark, sf_dir, name):
+    """VERDICT r8 item 2: the decile/phase assignment must come from the
+    score-histogram boundary plan — any row_number() in the optimized plan
+    must be PARTITIONED (by the score group), never an unpartitioned window
+    over the corpus-sized frame. An unpartitioned Window prints one bracket
+    group after the exprs (`], [order]`); a partitioned one prints two
+    (`], [part], [order]`)."""
+    plan = (
+        REGISTRY[name].fn(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    rank_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rank_lines, "histogram-boundary plan still needs the straddle rank"
+    for line in rank_lines:
+        assert line.count("], [") >= 2, f"unpartitioned row_number: {line.strip()[:200]}"
