@@ -60,6 +60,9 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_curriculum_order", "anomaly_rate_poisson", "eval_pass_at_k",
     "text_bpe_train", "scan_snapshot_manifest", "text_bpe_apply",
     "graph_modularity",
+    # -- renamed in round 9 (VERDICT r8 item 3): driver-green in r8 as
+    # `dedup_embed_scaled`; the new name needs its own driver row ------------
+    "dedup_embed_pinned8",
 ]
 
 PRIORITY_VERIFIED: list[str] = [
@@ -82,7 +85,7 @@ PRIORITY_VERIFIED: list[str] = [
     "agg_quantile_histogram", "eval_mcnemar_paired", "seq_markov_holdout",
     "profile_correlation_matrix", "stream_quantile_histogram",
     "geo_dwell_segments", "stats_effect_sizes", "mm_phash_band",
-    "dedup_embed_scaled", "stream_geo_sessions", "sample_weighted",
+    "stream_geo_sessions", "sample_weighted",
     "corpus_multimodal_pipeline",
     # -- driver-green in round 7 (CORRECTNESS_r07.json, 50 rows: 49 hash
     # matches; fn_geospatial's error row superseded by its r08 re-check) ----

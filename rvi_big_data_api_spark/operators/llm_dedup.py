@@ -655,8 +655,9 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer CTE). The previous fixed 4-bit default was this repo's one
     measured scale cliff — 107x at the 10x decade (SCALE.md), in-bucket
     cost quadratic in bucket population — and VERDICT r7 item 3 makes the
-    corpus-sized sizing the default; `dedup_embed_scaled` keeps the static
-    8-bit form as the named fixture pin, `dedup_embed_bandor` holds recall
+    corpus-sized sizing the default; `dedup_embed_pinned8` keeps the static
+    8-bit form as the named fixture pin (renamed from dedup_embed_scaled
+    in round 9), `dedup_embed_bandor` holds recall
     via multi-table OR. The per-bucket salt of the 4-bit era is dropped:
     adaptive sizing bounds bucket population by construction (~64 rows
     target), so the key is no longer skew-bound; AQE skew-join covers the
@@ -1824,11 +1825,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EMBED_SCALED_BITS = 8  # corpus-sized bucket width (vs the 4-bit default)
+DEDUP_EMBED_PINNED_BITS = 8  # static pin (vs dedup_embed's adaptive default)
 
 
 @query(
-    "dedup_embed_scaled",
+    "dedup_embed_pinned8",
     oracle=f"""
     WITH bucketed AS (
         SELECT vec_id, embedding,
@@ -1849,27 +1850,33 @@ DEDUP_EMBED_SCALED_BITS = 8  # corpus-sized bucket width (vs the 4-bit default)
     """,
     tags=("llm", "dedup", "scale"),
 )
-def dedup_embed_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_embed at CORPUS-SIZED buckets — the registered form of the
-    n_bits mitigation the 10x sweeps keep flagging on the 4-bit default
-    (r5: 74.8x; r7: 107x — in-bucket candidate cost is quadratic in
-    bucket population, so fixed-width buckets are a measured cliff).
-    {DEDUP_EMBED_SCALED_BITS} sign bits give 2^{DEDUP_EMBED_SCALED_BITS}
-    buckets — the signbit_bucket sizing rule n_bits ≈ log2(N /
-    target_bucket_rows) applied at the 10x fixture's population — and the
-    SAME pair semantics within each bucket (same τ, same keeper, same
-    exact JVM fold, rule 9). The candidate set is a strict subset of the
-    4-bit op's (a narrower bucket can only split, never merge), so found
-    pairs trade against recall; eval_ann_recall / eval_lsh_candidate_
-    quality are the gates that price that trade, and dedup_embed_bandor
-    is the multi-table answer when recall must be held too. Salting is
-    deliberately NOT carried over: with 256 buckets the key is no longer
-    skew-bound at fixture scale (the salt belongs to the few-bucket
-    regime; AQE skew-join handles the residue at 100 TB)."""
+def dedup_embed_pinned8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embed at a STATIC {DEDUP_EMBED_PINNED_BITS}-bit bucket width —
+    the explicit fixture pin of the n_bits parameter, kept registered so
+    the width's recall/cost trade stays hash-checked while `dedup_embed`
+    itself carries the ADAPTIVE corpus-sized sizing (n_bits ≈ log2(N /
+    target_bucket_rows), its default since round 8). Registered as
+    `dedup_embed_scaled` in rounds 7–8 (driver-green r8 under that name);
+    renamed in round 9 per VERDICT r8 item 3 — after the adaptive rule
+    became the default, the op named "scaled" was the one that does NOT
+    scale. Because the width is pinned, its 10x sweep ratio GROWS with the
+    decade by construction (in-bucket candidates are quadratic in bucket
+    population: output grew 48x at the r8 sweep) — adjudicated once in
+    scale_probe.py's ADJUDICATED set, not re-flagged per sweep.
+
+    Same pair semantics as dedup_embed within each bucket (same τ, same
+    keeper, same exact JVM fold, rule 9). The candidate set is a strict
+    subset of the 4-bit op's (a narrower bucket can only split, never
+    merge), so found pairs trade against recall; eval_ann_recall /
+    eval_lsh_candidate_quality are the gates that price that trade, and
+    dedup_embed_bandor is the multi-table answer when recall must be held
+    too. Salting is deliberately NOT carried over: with 256 buckets the
+    key is no longer skew-bound at fixture scale (the salt belongs to the
+    few-bucket regime; AQE skew-join handles the residue at 100 TB)."""
     from .llm_sim import dot, signbit_bucket
 
     e = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", signbit_bucket(F.col("embedding"), DEDUP_EMBED_SCALED_BITS)
+        "bucket", signbit_bucket(F.col("embedding"), DEDUP_EMBED_PINNED_BITS)
     )
     a, b = e.alias("a"), e.alias("b")
     d = dot(F.col("a.embedding"), F.col("b.embedding"))

@@ -353,6 +353,15 @@ def run(names: list[str]) -> None:
 # the headline sweep, excluded from the full sweep so it finishes same-day.
 SWEEP_EXCLUDE = {"sim_pairs", "sim_pairs_gemm", "dedup_embed_cluster"}
 
+# Queries whose >8x decade ratio is a RECORDED property of the op, not a
+# regression — measured and adjudicated once (SCALE.md), never re-flagged.
+# dedup_embed_pinned8 (né dedup_embed_scaled): the bucket width is pinned at
+# 8 bits BY DESIGN (the fixture pin of dedup_embed's adaptive n_bits rule),
+# so in-bucket candidate cost grows quadratically with the decade — the r8
+# sweep measured 18.8x at 48x output, adjudicated in SCALE.md's round-8
+# sweep refresh. The ADAPTIVE default (dedup_embed) stays under the gate.
+SWEEP_ADJUDICATED = {"dedup_embed_pinned8"}
+
 # Streaming queries pay per-trigger micro-batch latency that measures the
 # harness, not the operator (same rationale as bench.py's skip list).
 SKIP_PREFIXES = ("stream_", "source_stream", "sink_stream")
@@ -386,7 +395,9 @@ def run_full_sweep() -> None:
         results[name] = row
         print(f"  {name}: {row}", file=sys.stderr)
     flagged = {
-        n: r for n, r in results.items() if r.get("ratio", 0) > 8 or "error" in r
+        n: r
+        for n, r in results.items()
+        if (r.get("ratio", 0) > 8 and n not in SWEEP_ADJUDICATED) or "error" in r
     }
     print(json.dumps({"flagged": flagged, "all": results}, indent=1))
 

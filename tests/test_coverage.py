@@ -558,7 +558,7 @@ EXTENSIONS = [
     "mm_phash_band",
     # round 7 wave 2: the registered n_bits mitigation for the measured
     # fixed-bucket-width cliff (dedup_embed 107x at 10x -> 3.2x at 8 bits)
-    "dedup_embed_scaled",
+    "dedup_embed_pinned8",
     # round 7 wave 2: streamed spatial visits — session windows keyed by
     # (vehicle, cell), complete-mode ≡ batch window algebra (rule 13)
     "stream_geo_sessions",

@@ -1248,11 +1248,11 @@ def test_phash_band_join_is_chunk_keyed(spark, sf_dir):
     assert "EvalPython" not in executed
 
 
-def test_scaled_embed_dedup_bucket_equijoin(spark, sf_dir):
-    """dedup_embed_scaled: the candidate join is the 8-bit-bucket
+def test_pinned_embed_dedup_bucket_equijoin(spark, sf_dir):
+    """dedup_embed_pinned8: the candidate join is the 8-bit-bucket
     equi-join — no cartesian, no nested loop, no python eval."""
     executed = (
-        REGISTRY["dedup_embed_scaled"].fn(spark, sf_dir)
+        REGISTRY["dedup_embed_pinned8"].fn(spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in executed

@@ -85,9 +85,12 @@ def test_verified_list_is_subset_of_driver_records():
 
 
 def test_verified_list_covers_snapshot():
-    """Every snapshot-green name is in PRIORITY_VERIFIED — the lists were
-    actually refreshed for the pinned rounds."""
-    missing = SNAPSHOT_GREEN - set(engine.PRIORITY_VERIFIED)
+    """Every snapshot-green name STILL IN THE REGISTRY is in
+    PRIORITY_VERIFIED — the lists were actually refreshed for the pinned
+    rounds. A green name absent from the registry is a rename (r9:
+    dedup_embed_scaled → dedup_embed_pinned8); the new name re-queues in
+    PRIORITY_UNVERIFIED for its own driver row."""
+    missing = (SNAPSHOT_GREEN & set(engine.queries())) - set(engine.PRIORITY_VERIFIED)
     assert not missing, f"snapshot-green names missing from PRIORITY_VERIFIED: {missing}"
 
 

@@ -512,8 +512,8 @@ def test_phash_band_pairs_are_orig_variant(spark, sf_dir):
         assert 0 < r["sig_jaccard_ppm"] <= 1_000_000, r
 
 
-def test_scaled_embed_dedup_is_subset_of_default(spark, sf_dir):
-    """dedup_embed_scaled's candidates are a strict refinement of
+def test_pinned_embed_dedup_is_subset_of_default(spark, sf_dir):
+    """dedup_embed_pinned8's candidates are a strict refinement of
     dedup_embed's WHENEVER the default's adaptive width resolves to <= 8
     bits (the fixture corpora all do: N <= 2000 -> n_bits <= 5): sign-bit
     prefixes are shared, so the 8-bit bucket can only SPLIT the adaptive
@@ -523,15 +523,15 @@ def test_scaled_embed_dedup_is_subset_of_default(spark, sf_dir):
     import math
 
     from rvi_big_data_api_spark.io import load
-    from rvi_big_data_api_spark.operators.llm_dedup import DEDUP_EMBED_SCALED_BITS
+    from rvi_big_data_api_spark.operators.llm_dedup import DEDUP_EMBED_PINNED_BITS
     from rvi_big_data_api_spark.operators.llm_sim import EMBED_TARGET_BUCKET_ROWS
 
     n = load(spark, sf_dir, "embeddings").count()
     adaptive_bits = max(4, min(16, max(1, math.ceil(n / EMBED_TARGET_BUCKET_ROWS) - 1).bit_length()))
-    assert adaptive_bits <= DEDUP_EMBED_SCALED_BITS, (
+    assert adaptive_bits <= DEDUP_EMBED_PINNED_BITS, (
         f"fixture grew past the refinement regime (adaptive {adaptive_bits} bits)"
     )
-    scaled = {r["vec_id"]: r for r in _df("dedup_embed_scaled", spark, sf_dir).collect()}
+    scaled = {r["vec_id"]: r for r in _df("dedup_embed_pinned8", spark, sf_dir).collect()}
     base = {r["vec_id"]: r for r in _df("dedup_embed", spark, sf_dir).collect()}
     assert scaled, "scaled op found nothing"
     assert set(scaled) <= set(base), "scaled emitted a vec_id the default lacks"
