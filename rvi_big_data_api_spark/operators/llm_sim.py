@@ -3535,20 +3535,31 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score that closes the community-detection loop: CC /
     label-propagation / k-core PRODUCE partitions, modularity JUDGES one
     (Q = Σ_c [e_c/m − (d_c/2m)²]; Q near 0 ⇒ no better than random
-    wiring, toward 1 ⇒ strong community structure). The partition under
-    audit is the fixture's ground-truth label column, so the per-label
-    rows report how community-like each label's neighborhood actually is
-    — at 100 TB this is the gate that decides whether a clustering's
-    output is worth acting on (dedup keeper groups, routing cohorts).
+    wiring, toward 1 ⇒ strong community structure). IMPORTANT LIMITATION
+    (ADVICE r8 item 2): the audited partition is the fixture's
+    ground-truth label column, which is ALSO sim_pair_edges' blocking
+    key — every memoized edge is within-label by construction, so
+    e_within always sums to m and the within-edge term is degenerate
+    (e_frac_ppm partitions 1e6 across labels; no cross-community edges
+    can exist). What the op genuinely measures on this graph is the
+    DEGREE-BALANCE term: how evenly each label's edge mass matches its
+    share of total degree. To audit an arbitrary partition (e.g.
+    label-propagation output) at 100 TB, feed edges from an unblocked
+    candidate generator (dedup_embed_bandor's band-OR pairs) — the
+    algebra below is partition-agnostic; only this fixture's edge list
+    is label-blocked.
 
     Exactness: edge counts, per-label degree totals, and m are integers
     off the memoized edge list; both Q terms ship as integer ppm via
     single floor divisions (rule 25 — the (d/2m)² term multiplies out to
-    d²·1e6 div 4m², all BIGINT: d_tot ≤ 2m ≈ 2.5e3 at sf0.1 and the
-    square stays far under 2^63 at any feasible edge count since ppm
-    division happens per label). One caveat stated: per-label floors mean
-    Σ q_contrib_ppm can differ from a float Q by < |labels| ppm —
-    the price of hash-exact cross-engine rows, documented not hidden.
+    d²·1e6 div 4m², all BIGINT). Stated overflow bound: d_tot ≤ 2m, so
+    d_tot²·1e6 ≤ 4m²·1e6, which must stay under 2^63 — exact for
+    m < ~1.5e6 edges (sf0.1: m ≈ 1.25e3, three orders inside); beyond
+    it Spark (ANSI off) wraps silently while DuckDB errors loudly, so
+    the twin can never silently diverge. One more caveat stated:
+    per-label floors mean Σ q_contrib_ppm can differ from a float Q by
+    < |labels| ppm — the price of hash-exact cross-engine rows,
+    documented not hidden.
 
     Plan: edges from the session memo (one checkpoint scan), a unioned
     degree rollup, two label-keyed partial aggs, a broadcast 1-row m."""

@@ -3089,12 +3089,12 @@ PERM_K = 100  # permutation replicates; p-value resolution = 1/(K+1)
             abs(
               sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
                        THEN converted ELSE 0 END) * 1000000
-                // sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
-                            THEN 1 ELSE 0 END)
+                // nullif(sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                            THEN 1 ELSE 0 END), 0)
               - sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
                          THEN converted ELSE 0 END) * 1000000
-                // sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
-                            THEN 1 ELSE 0 END)
+                // nullif(sum(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                            THEN 1 ELSE 0 END), 0)
             )::BIGINT AS obs_diff_ppm
         FROM per_user
     ),
@@ -3149,18 +3149,20 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
         ).alias("converted")
     )
-    real_treat = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) >= "8"
+    # nullif on BOTH obs-side denominators, matching the perms CTE (ADVICE r8
+    # item 4): a degenerate fixture with one empty md5-nibble arm must yield
+    # NULL on both engines, not a DuckDB division-by-zero error.
     obs = per_user.agg(
         F.abs(
             F.expr(
                 "sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) >= '8'"
                 " THEN converted ELSE 0 END) * 1000000"
-                " div sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) >= '8'"
-                " THEN 1 ELSE 0 END)"
+                " div nullif(sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) >= '8'"
+                " THEN 1 ELSE 0 END), 0)"
                 " - sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) < '8'"
                 " THEN converted ELSE 0 END) * 1000000"
-                " div sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) < '8'"
-                " THEN 1 ELSE 0 END)"
+                " div nullif(sum(CASE WHEN substr(md5(cast(user_id as string)), 1, 1) < '8'"
+                " THEN 1 ELSE 0 END), 0)"
             )
         ).alias("obs_diff_ppm")
     )
@@ -3243,14 +3245,12 @@ def _pass_at_k_ppm(k: int):
     )
     SELECT task_id, n, c,
            (CASE WHEN c >= n OR n - c < 1 THEN 1000000
-                 ELSE 1000000 - list_product(list_transform(range(1),
-                          i -> n - c - i))::BIGINT * 1000000
-                      // list_product(list_transform(range(1), i -> n - i))::BIGINT
+                 ELSE 1000000 - (n - c) * 1000000 // n
             END)::BIGINT AS pass1_ppm,
            (CASE WHEN c >= n OR n - c < 5 THEN 1000000
-                 ELSE 1000000 - list_product(list_transform(range(5),
-                          i -> n - c - i))::BIGINT * 1000000
-                      // list_product(list_transform(range(5), i -> n - i))::BIGINT
+                 ELSE 1000000
+                      - ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4)) * 1000000
+                        // (n * (n-1) * (n-2) * (n-3) * (n-4))
             END)::BIGINT AS pass5_ppm
     FROM per_task
     """,
@@ -3268,11 +3268,16 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the binomial ratio telescopes to prod(n−c−i)/prod(n−i)
     over i < k — k≤5 small-integer factors, computed as exact BIGINT
-    products on both engines (Spark `aggregate` fold ≡ DuckDB
-    list_product, whose double return is exact far beyond these
-    magnitudes and collapses via ::BIGINT) and divided ONCE as an
-    integer ppm (rule 25). Degenerate tails (c ≥ n, or fewer than k
-    failures) short-circuit to exactly 1e6 before any arithmetic.
+    products on both engines (Spark `aggregate` fold ≡ DuckDB explicit
+    integer products — never list_product, whose DOUBLE return loses
+    exactness past 2^53, ADVICE r8 item 1) and divided ONCE as an
+    integer ppm (rule 25). Stated bound: the ppm numerator is
+    prod(n−c−i) · 1e6 ≤ n^k · 1e6, which must stay under 2^63 — exact
+    for n ≤ ~389 at k=5 (far above PASS_MIN_N-filtered fixture task
+    sizes); beyond it Spark (ANSI off) would wrap silently while DuckDB
+    errors loudly, so the twin can never silently diverge. Degenerate
+    tails (c ≥ n, or fewer than k failures) short-circuit to exactly
+    1e6 before any arithmetic.
 
     Scale: one partial-agg groupBy(task) over the corpus; the estimator
     is a scalar expression per task row. The aggregate-of-tasks mean is

@@ -49,7 +49,7 @@ SECTIONS = {
     "data_quality": "§2.13 Profiling",
     "observe_": "§2.13 Profiling",
     "subquery_": "§2.13 Composite/subquery suite",
-    # §2.13 round-8 family
+    # entity-resolution family groups with the LLM-data ops
     "er_": "§2.10 LLM ops",
 }
 
