@@ -63,6 +63,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     # -- renamed in round 9 (VERDICT r8 item 3): driver-green in r8 as
     # `dedup_embed_scaled`; the new name needs its own driver row ------------
     "dedup_embed_pinned8",
+    # -- round-9 additions (registered BEHIND the 24+1 unverified head) ------
+    "mm_cdc_dedup",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -711,3 +711,143 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("energy * 100 div frame_bytes").alias("mean_centi"),
         (F.expr("energy * 100 div frame_bytes") < AUDIO_SILENT_CENTI).alias("is_silent"),
     )
+
+
+# --- round 9: content-defined chunking (CDC) blob dedup ----------------------
+
+CDC_W = 8          # rolling-window width (bytes) the boundary predicate reads
+CDC_NIBBLE = "0"   # boundary when md5(window) starts with this nibble: P=1/16
+                   # -> mean chunk ~16 bytes at fixture blob sizes
+
+
+def cdc_boundary_positions() -> str:
+    """SQL fragment shared by op and twin docs: a byte position i (1-based,
+    CDC_W <= i < len) is a chunk boundary iff the first md5 nibble of the
+    CDC_W-byte window ENDING at i is CDC_NIBBLE. Deterministic, content-local:
+    the predicate reads only bytes (i-CDC_W, i], so an edit can only move
+    boundaries whose windows overlap the edit site."""
+    return (
+        f"substr(md5(substring(payload, i - {CDC_W} + 1, {CDC_W})), 1, 1)"
+        f" = '{CDC_NIBBLE}'"
+    )
+
+
+@query(
+    "mm_cdc_dedup",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) >= 1
+    ),
+    bnd AS (
+        SELECT doc_id, i
+        FROM docs, unnest(generate_series({CDC_W}, len - 1)) t(i)
+        WHERE substr(md5(substring(text, i - {CDC_W} + 1, {CDC_W})), 1, 1)
+                  = '{CDC_NIBBLE}'
+        UNION ALL
+        SELECT doc_id, len AS i FROM docs
+    ),
+    spans AS (
+        SELECT doc_id,
+               coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+               i AS e
+        FROM bnd
+    ),
+    chunks AS (
+        SELECT sp.doc_id, sp.s,
+               (sp.e - sp.s)::BIGINT AS chunk_bytes,
+               md5(substring(d.text, sp.s + 1, sp.e - sp.s)) AS chunk_md5
+        FROM spans sp JOIN docs d ON sp.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, chunk_bytes,
+               row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, s)
+                   AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(chunk_bytes)::BIGINT AS n_bytes,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+           sum(CASE WHEN rn > 1 THEN chunk_bytes ELSE 0 END)::BIGINT
+               AS dup_bytes,
+           ((sum(chunk_bytes) - sum(CASE WHEN rn > 1 THEN chunk_bytes ELSE 0 END))
+               * 1000000 // sum(chunk_bytes))::BIGINT AS stored_ppm
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("multimodal", "dedup", "cdc"),
+)
+def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) blob dedup — the rsync/LBFS/backup-
+    dedup family, and the round-9 flagship (VERDICT r8 item 5): blobs are
+    cut at positions where a rolling window's hash satisfies a
+    deterministic predicate, so chunk boundaries are a function of CONTENT,
+    not position. A single inserted byte re-chunks only the windows
+    overlapping the edit site (<= CDC_W boundaries move, pinned by a
+    property test), where mm_chunk_bytes' fixed-position chunks all shift
+    and defeat dedup downstream of any insertion — the reason every
+    production blob store (restic/borg/LBFS/VAST) chunks this way at
+    100 TB.
+
+    Mechanism (all JVM-side, no UDF): candidate boundary i in [CDC_W,
+    len-1] where the first md5 nibble of the CDC_W-byte window ending at i
+    equals CDC_NIBBLE (P=1/16 -> mean chunk ~16 bytes; production uses a
+    cheap Gear/Rabin rolling hash with min/max clamps — the hash choice is
+    pluggable, the MECHANISM of predicate -> boundary -> lag-span ->
+    content-hash dedup is what this op pins), plus a forced boundary at
+    len. lag() over per-doc boundaries turns positions into (s, e] spans;
+    substring slices the chunk; keep-first is the dedup_hash discipline
+    (row_number over md5(chunk), ordered by doc_id, s). Output is the
+    per-doc storage ledger: chunk count, bytes, duplicated chunks/bytes,
+    and stored_ppm — the dedup savings a content-addressed store realizes
+    (integer ppm, rule 25).
+
+    The boundary explode is O(total bytes) rows map-side (same class as
+    text_span_dedup's gram explode); the only shuffles are the md5(chunk)
+    dedup window (16-byte key) and the doc_id rollup. The twin chunks the
+    text — byte-identical to the payload because the fixture corpus is
+    ASCII (the identity mm_binary_meta pins)."""
+    from pyspark.sql import Window as W
+
+    docs = (
+        _with_binary(load(spark, sf_dir, "documents"))
+        .select("doc_id", "payload", F.octet_length("payload").cast("long").alias("len"))
+        .filter(F.col("len") >= 1)
+    )
+    cand = docs.select(
+        "doc_id",
+        "payload",
+        F.explode(F.sequence(F.lit(CDC_W), F.col("len") - 1)).alias("i"),
+    ).filter(F.expr(cdc_boundary_positions()))
+    bnd = cand.select("doc_id", "i").unionByName(
+        docs.select("doc_id", F.col("len").alias("i"))
+    )
+    spans = bnd.select(
+        "doc_id",
+        F.coalesce(
+            F.lag("i").over(W.partitionBy("doc_id").orderBy("i")), F.lit(0)
+        ).alias("s"),
+        F.col("i").alias("e"),
+    )
+    chunks = spans.join(docs.select("doc_id", "payload"), "doc_id").select(
+        "doc_id",
+        "s",
+        (F.col("e") - F.col("s")).alias("chunk_bytes"),
+        F.md5(F.expr("substring(payload, s + 1, e - s)")).alias("chunk_md5"),
+    )
+    ranked = chunks.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("chunk_md5").orderBy("doc_id", "s")),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_bytes").alias("n_bytes"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        F.sum(F.when(F.col("rn") > 1, F.col("chunk_bytes")).otherwise(0)).alias(
+            "dup_bytes"
+        ),
+        F.expr(
+            "(sum(chunk_bytes) - sum(CASE WHEN rn > 1 THEN chunk_bytes ELSE 0 END))"
+            " * 1000000 div sum(chunk_bytes)"
+        ).alias("stored_ppm"),
+    )

@@ -611,6 +611,10 @@ EXTENSIONS = [
     "text_bpe_apply",
     # round 8: Newman modularity of a partition on the similarity graph
     "graph_modularity",
+    # round 9 FLAGSHIP: content-defined chunking blob dedup (rsync/LBFS
+    # family) — boundaries from a windowed hash predicate, so an insertion
+    # re-chunks only the edit site; per-doc content-addressed storage ledger
+    "mm_cdc_dedup",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
