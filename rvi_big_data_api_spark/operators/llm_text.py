@@ -3129,3 +3129,139 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression_ppm"),
         )
     )
+
+
+# --- round 9: maximal repeated-substring runs (suffix-array-grade) -----------
+
+RUN_K = SPAN_W  # gram width; = SPAN_W so the superset-of-span-dedup property
+                # is provable at the same width (tests/test_round9_properties)
+
+
+@query(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, p,
+               md5(array_to_string(ts[p + 1 : p + {RUN_K}], ' ')) AS gh
+        FROM (
+            SELECT doc_id, ts, unnest(range(len(ts) - {RUN_K} + 1)) AS p
+            FROM toks WHERE len(ts) >= {RUN_K}
+        )
+    ),
+    counted AS (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS c FROM grams
+    ),
+    dup AS (
+        SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        FROM counted WHERE c >= 2
+    ),
+    runs AS (
+        SELECT doc_id, min(p)::BIGINT AS run_start,
+               count(*)::BIGINT AS n_grams,
+               (count(*) + {RUN_K} - 1)::BIGINT AS span_tokens
+        FROM dup GROUP BY doc_id, isl
+    ),
+    fingered AS (
+        SELECT r.doc_id, r.run_start, r.n_grams, r.span_tokens,
+               md5(array_to_string(
+                   t.ts[r.run_start + 1 : r.run_start + r.span_tokens], ' '
+               )) AS fp
+        FROM runs r JOIN toks t ON r.doc_id = t.doc_id
+    )
+    SELECT doc_id, run_start, n_grams, span_tokens, fp,
+           (row_number() OVER (PARTITION BY fp ORDER BY doc_id, run_start) = 1)
+               AS keep
+    FROM fingered
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated-substring runs — the bounded, relational cut of
+    suffix-array exact-substring dedup (the Lee et al. 'Deduplicating
+    Training Data' ExactSubstr pass; VERDICT r8 item 6): where
+    text_span_dedup removes duplicated FIXED-ALIGNED SPAN_W-token spans,
+    this op finds every MAXIMAL contiguous run of positions whose RUN_K-
+    token gram recurs anywhere in the corpus (any alignment, either doc) —
+    and any repeated substring of >= RUN_K tokens has all its grams
+    repeated, so every true exact repeat lies inside a reported run: the
+    runs are the provable deletion superset of both span_dedup's removals
+    (property-pinned at the same width) and the true suffix-array repeats,
+    at O(N) grams instead of suffix-array construction. Honest bound
+    stated: a run certifies each of its grams recurs somewhere, not that
+    the whole covering span recurs as one unit — the standard gram-run
+    over-approximation, priced by the fp keep-first pass below.
+
+    Mechanism: per-position grams by array slice (map-side explode, the
+    text_span_dedup shape), corpus-wide recurrence via one count window on
+    md5(gram) (16-byte shuffle key), maximal runs via gaps-and-islands
+    (p - row_number, the text_bpe_train discipline), covering-text
+    fingerprints by doc_id join-back, and keep-first over identical run
+    text (rn = 1 keeps the corpus-first occurrence; later identical runs
+    are the removable boilerplate). span_tokens = n_grams + RUN_K - 1 is
+    the removable region width a C4-style cleaner would strip.
+
+    Scale shape: grams never carry text past the hash (md5 before any
+    shuffle); the count window and islands ride (gh) then (doc_id)
+    exchanges; the join-back is doc_id-keyed against the already-scanned
+    corpus. All integer/hash columns out (rule 25 not needed — no
+    ratios)."""
+    return substring_dedup_frame(load(spark, sf_dir, "documents"))
+
+
+def substring_dedup_frame(d: DataFrame) -> DataFrame:
+    """The repeated-run pipeline on any documents-shaped frame (split out so
+    golden tests can run it on inline micro-corpora with known repeats)."""
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    grams = (
+        toks.filter(F.size("ts") >= RUN_K)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(F.expr(f"sequence(0, size(ts) - {RUN_K})")).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.array_join(F.slice("ts", F.col("p") + 1, RUN_K), " ")).alias("gh"),
+        )
+    )
+    counted = grams.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+    dup = counted.filter(F.col("c") >= 2).select(
+        "doc_id",
+        "p",
+        (
+            F.col("p")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("p"))
+        ).alias("isl"),
+    )
+    runs = dup.groupBy("doc_id", "isl").agg(
+        F.min("p").alias("run_start"),
+        F.count(F.lit(1)).alias("n_grams"),
+        (F.count(F.lit(1)) + F.lit(RUN_K) - 1).alias("span_tokens"),
+    )
+    fingered = runs.join(toks, "doc_id").select(
+        "doc_id",
+        "run_start",
+        "n_grams",
+        "span_tokens",
+        F.md5(
+            F.array_join(
+                F.slice("ts", F.col("run_start") + 1, F.col("span_tokens")), " "
+            )
+        ).alias("fp"),
+    )
+    return fingered.select(
+        "doc_id",
+        "run_start",
+        "n_grams",
+        "span_tokens",
+        "fp",
+        (
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id", "run_start"))
+            == 1
+        ).alias("keep"),
+    )

@@ -615,6 +615,10 @@ EXTENSIONS = [
     # family) — boundaries from a windowed hash predicate, so an insertion
     # re-chunks only the edit site; per-doc content-addressed storage ledger
     "mm_cdc_dedup",
+    # round 9 FLAGSHIP: maximal repeated k-gram runs — the bounded relational
+    # cut of suffix-array exact-substring dedup (Lee et al. ExactSubstr);
+    # provable deletion superset of text_span_dedup at the same width
+    "text_substring_dedup",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -123,3 +123,94 @@ def test_cdc_ledger_matches_python_replica(spark, sf_dir, duck):
         # full-duplicate docs legitimately store 0 ppm (every chunk first
         # seen in the earlier twin) — the savings CDC exists to realize
         assert 0 <= r["stored_ppm"] <= 1_000_000, doc_id
+
+
+# --- text_substring_dedup: maximal repeated k-gram runs ---------------------
+
+
+def test_substring_runs_superset_span_dedup(spark, sf_dir, duck):
+    """VERDICT r8 item 6's done-gate: every FULL-WIDTH span text_span_dedup
+    removes (rn > 1 at SPAN_W alignment) is contained in one of this op's
+    runs at the same width — the aligned remover's deletions are a strict
+    subset of the any-alignment detector's regions."""
+    from rvi_big_data_api_spark.operators.llm_text import RUN_K, SPAN_W
+
+    assert RUN_K == SPAN_W  # the property is only provable at equal widths
+    removed = duck.execute(f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        spans AS (
+            SELECT doc_id, unnest(range(ceil(len(ts) / {SPAN_W}.0)::BIGINT)) AS pos, ts
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id, pos,
+                   array_to_string(ts[pos * {SPAN_W} + 1 : pos * {SPAN_W} + {SPAN_W}], ' ') AS chunk
+            FROM spans
+        ),
+        ranked AS (
+            SELECT doc_id, pos, chunk,
+                   row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+            FROM chunks
+        )
+        SELECT doc_id, pos FROM ranked
+        WHERE rn > 1 AND len(string_split(chunk, ' ')) = {SPAN_W}
+    """).fetchall()
+    runs: dict[int, list] = {}
+    for r in _df("text_substring_dedup", spark, sf_dir).collect():
+        runs.setdefault(r["doc_id"], []).append(
+            (r["run_start"], r["run_start"] + r["span_tokens"])
+        )
+    assert removed, "fixture has no removed full-width spans — test is vacuous"
+    for doc_id, pos in removed:
+        lo, hi = pos * SPAN_W, pos * SPAN_W + SPAN_W
+        assert any(s <= lo and hi <= e for s, e in runs.get(doc_id, [])), (
+            doc_id,
+            pos,
+        )
+
+
+def test_substring_runs_disjoint(spark, sf_dir):
+    """Runs are maximal: per doc, gram ranges are disjoint and separated by
+    at least one non-duplicated gram position."""
+    rows = _df("text_substring_dedup", spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert per_doc
+    for doc_id, rs in per_doc.items():
+        spans = sorted((r["run_start"], r["run_start"] + r["n_grams"]) for r in rs)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2, (doc_id, spans)  # disjoint gram ranges, gap >= 1
+
+
+def test_substring_dedup_golden_micro_corpus(spark):
+    """Golden check on an inline micro-corpus (the fixture has no EXACT
+    duplicate docs, so this pins the whole-doc case): an exact-duplicate
+    document collapses to ONE whole-doc run with the corpus-later twin
+    marked keep=false; a doc sharing only an interior passage reports
+    exactly that passage's run; a unique doc reports nothing."""
+    from rvi_big_data_api_spark.operators.llm_text import RUN_K, substring_dedup_frame
+
+    shared = " ".join(f"s{i}" for i in range(RUN_K + 3))  # 11-token passage
+    docs = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(10))),
+        (2, shared + " " + " ".join(f"a{i}" for i in range(10))),  # exact dup of 1
+        (3, " ".join(f"b{i}" for i in range(6)) + " " + shared
+            + " " + " ".join(f"c{i}" for i in range(6))),          # interior share
+        (4, " ".join(f"u{i}" for i in range(20))),                 # unique
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = substring_dedup_frame(d).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n1 = len(docs[0][1].split(" "))
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    for doc_id in (1, 2):
+        (r,) = by_doc[doc_id]
+        assert (r["run_start"], r["span_tokens"]) == (0, n1), r
+    assert by_doc[1][0]["keep"] and not by_doc[2][0]["keep"]
+    # doc 3: the shared passage starts at token 6, spans RUN_K + 3 tokens
+    (r3,) = by_doc[3]
+    assert (r3["run_start"], r3["span_tokens"]) == (6, RUN_K + 3), r3
+    assert 4 not in by_doc
