@@ -814,11 +814,19 @@ def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "payload", F.octet_length("payload").cast("long").alias("len"))
         .filter(F.col("len") >= 1)
     )
-    cand = docs.select(
-        "doc_id",
-        "payload",
-        F.explode(F.sequence(F.lit(CDC_W), F.col("len") - 1)).alias("i"),
-    ).filter(F.expr(cdc_boundary_positions()))
+    # len > CDC_W guard: Spark's sequence(a, b) counts DOWN when b < a
+    # (DuckDB's generate_series is empty), so short blobs must be excluded
+    # here or they'd get spurious sub-window candidate positions; they still
+    # chunk whole via the forced end boundary below.
+    cand = (
+        docs.filter(F.col("len") > CDC_W)
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(CDC_W), F.col("len") - 1)).alias("i"),
+        )
+        .filter(F.expr(cdc_boundary_positions()))
+    )
     bnd = cand.select("doc_id", "i").unionByName(
         docs.select("doc_id", F.col("len").alias("i"))
     )

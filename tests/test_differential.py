@@ -2025,3 +2025,166 @@ def test_generated_bpe_rounds_agree_across_engines(spark, duck, sf_dir, dmod, of
         f"SELECT sum(len(string_split(text,' '))) FROM documents WHERE doc_id % {dmod} = {off % dmod}"
     ).fetchone()[0]
     assert s_row.tokens_after == n0 - s_row.n_merges
+
+
+# --------------------------------------------------------------------------
+# CDC chunk-geometry family (round 9): mm_cdc_dedup pins (W=8, nibble='0');
+# this samples random window widths and boundary densities over corpus
+# slices — same windowed-md5 predicate, forced end boundary, lag-span
+# chunking, and keep-first dedup on both engines. The riskiest geometry is
+# the short-blob edge (Spark sequence() counts DOWN where DuckDB
+# generate_series is empty — the guard this family exists to hold) and the
+# boundary/chunk fencepost at the forced end.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    w=st.integers(min_value=3, max_value=14),
+    nib=st.sampled_from(["0", "1", "3", "7"]),  # P = 1/16 .. 8/16 boundary density
+    dmod=st.integers(min_value=1, max_value=4),
+)
+def test_generated_cdc_geometries_agree_across_engines(spark, duck, sf_dir, w, nib, dmod):
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    body = f"""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS len FROM documents
+        WHERE length(text) >= 1 AND doc_id % {dmod} = 0
+    ),
+    bnd AS (
+        SELECT doc_id, i FROM ({{positions}}) z
+        WHERE substr(md5(substring(text, i - {w} + 1, {w})), 1, 1) <= '{nib}'
+        UNION ALL
+        SELECT doc_id, len AS i FROM docs
+    ),
+    spans AS (
+        SELECT doc_id,
+               coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+               i AS e
+        FROM bnd
+    ),
+    chunks AS (
+        SELECT sp.doc_id, sp.s, CAST(sp.e - sp.s AS BIGINT) AS cb,
+               md5(substring(d.text, sp.s + 1, sp.e - sp.s)) AS h
+        FROM spans sp JOIN docs d ON sp.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT cb, row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+        FROM chunks
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(cb) AS BIGINT) AS n_bytes,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN rn > 1 THEN cb ELSE 0 END) AS BIGINT) AS dup_bytes
+    FROM ranked
+    """
+    s_sql = body.format(
+        positions=f"SELECT doc_id, text, i FROM docs"
+        f" LATERAL VIEW explode(sequence({w}, len - 1)) t AS i WHERE len > {w}"
+    )
+    d_sql = body.format(
+        positions=f"SELECT doc_id, text, i FROM docs,"
+        f" unnest(generate_series({w}, len - 1)) t(i)"
+    )
+    s_row = tuple(spark.sql(s_sql).collect()[0])
+    d_row = tuple(duck.execute(d_sql).fetchone())
+    assert s_row == d_row, f"w={w} nib={nib} dmod={dmod}: spark={s_row} duck={d_row}"
+    # conservation: chunking partitions the corpus slice byte-for-byte
+    n_bytes = duck.execute(
+        f"SELECT CAST(sum(length(text)) AS BIGINT) FROM documents"
+        f" WHERE length(text) >= 1 AND doc_id % {dmod} = 0"
+    ).fetchone()[0]
+    assert s_row[1] == n_bytes
+
+
+# --------------------------------------------------------------------------
+# Histogram-boundary bucketing family (round 9): eval_lift_table /
+# corpus_curriculum_order now register the boundary plan (VERDICT r8 item
+# 2); this proves the ALGEBRA at random bucket counts and tie densities by
+# running the HISTOGRAM-BOUNDARY construction on Spark against the NAIVE
+# global-rank construction on DuckDB — cross-algebra AND cross-engine in one
+# comparison. High qdiv -> coarse scores -> many ties -> every boundary
+# straddles, exercising the partitioned tiebreak path hardest.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    b=st.integers(min_value=2, max_value=13),
+    qdiv=st.sampled_from([1, 100, 2500, 50000]),
+    umod=st.integers(min_value=1, max_value=3),
+)
+def test_generated_histogram_boundary_buckets_agree_across_engines(
+    spark, duck, sf_dir, b, qdiv, umod
+):
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    per = f"""
+        SELECT user_id AS uid,
+               CAST(floor(sum(value * 100 + 0.5)) AS BIGINT) / {qdiv} AS sc,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS lb
+        FROM events WHERE user_id % {umod} = 0 GROUP BY user_id
+    """
+    s_sql = f"""
+    WITH per AS ({per}),
+    hist AS (SELECT sc, count(*) AS g_n, sum(lb) AS g_pos FROM per GROUP BY sc),
+    hist2 AS (
+        SELECT sc, g_n, g_pos,
+               sum(g_n) OVER (ORDER BY sc DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - g_n AS cb
+        FROM hist
+    ),
+    tot AS (SELECT count(*) AS n FROM per),
+    h AS (
+        SELECT sc, g_n, g_pos, cb, n,
+               cb * {b} div n AS bf,
+               (cb + g_n - 1) * {b} div n AS bl
+        FROM hist2 CROSS JOIN tot
+    ),
+    whole AS (SELECT bf AS bucket, g_n AS cnt, g_pos AS pos FROM h WHERE bf = bl),
+    split AS (
+        SELECT (z.cb + z.rn - 1) * {b} div z.n AS bucket,
+               1 AS cnt, z.lb AS pos
+        FROM (
+            SELECT p.lb, s.cb, s.n,
+                   row_number() OVER (PARTITION BY p.sc ORDER BY p.uid) AS rn
+            FROM per p JOIN (SELECT sc, cb, n FROM h WHERE bf != bl) s
+              ON p.sc = s.sc
+        ) z
+    )
+    SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM (SELECT * FROM whole UNION ALL SELECT * FROM split)
+    GROUP BY bucket ORDER BY bucket
+    """
+    d_sql = f"""
+    WITH per AS ({per}),
+    ranked AS (
+        SELECT lb, row_number() OVER (ORDER BY sc DESC, uid ASC) AS rn,
+               count(*) OVER () AS n
+        FROM per
+    )
+    SELECT ((rn - 1) * {b}) // n AS bucket,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(lb) AS BIGINT) AS n_pos
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """
+    s_rows = [tuple(r) for r in spark.sql(s_sql).collect()]
+    d_rows = [tuple(r) for r in duck.execute(d_sql).fetchall()]
+    assert s_rows == d_rows, f"b={b} qdiv={qdiv} umod={umod}"
+    # population conservation: buckets partition the users
+    total = duck.execute(
+        f"SELECT count(DISTINCT user_id) FROM events WHERE user_id % {umod} = 0"
+    ).fetchone()[0]
+    assert sum(r[1] for r in s_rows) == total
