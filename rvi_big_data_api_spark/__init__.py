@@ -64,7 +64,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # `dedup_embed_scaled`; the new name needs its own driver row ------------
     "dedup_embed_pinned8",
     # -- round-9 additions (registered BEHIND the 24+1 unverified head) ------
-    "mm_cdc_dedup", "text_substring_dedup",
+    "mm_cdc_dedup", "text_substring_dedup", "privacy_dp_quantile",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

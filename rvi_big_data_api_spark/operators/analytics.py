@@ -23,7 +23,7 @@ Scale posture (the point of the suite):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load
 from ..registry import query
@@ -781,4 +781,144 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(ns, 4) + 0.0).alias("noisy_sum_cents"),
         (F.round(nn, 4) + 0.0).alias("noisy_n"),
         (F.round(ns / nn, 4) + 0.0).alias("noisy_mean_cents"),
+    )
+
+
+# --- round 9: DP quantile via the exponential mechanism ----------------------
+
+DP_Q_BUCKET_CENTS = 500   # candidate lattice pitch over the clamped domain
+DP_Q_N_BUCKETS = 40       # candidates 0..40 cover [0, DP_MEAN_CLAMP_CENTS]
+
+
+@query(
+    "privacy_dp_quantile",
+    oracle=f"""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    cand AS (
+        SELECT event_type, unnest(generate_series(0, {DP_Q_N_BUCKETS})) AS b
+        FROM types
+    ),
+    bucketed AS (
+        SELECT event_type,
+               least(greatest(floor(value * 100 + 0.5)::BIGINT, 0),
+                     {DP_MEAN_CLAMP_CENTS}) // {DP_Q_BUCKET_CENTS} AS b,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c.event_type, c.b,
+               sum(coalesce(h.cnt, 0)) OVER (
+                   PARTITION BY c.event_type ORDER BY c.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS rk,
+               sum(coalesce(h.cnt, 0)) OVER (PARTITION BY c.event_type)::BIGINT
+                   AS n
+        FROM cand c LEFT JOIN bucketed h
+          ON c.event_type = h.event_type AND c.b = h.b
+    ),
+    scored AS (
+        SELECT event_type, b, n,
+               -abs(2 * rk - n) * {DP_EPSILON_X1000} / 4000.0
+               - ln(-ln((('0x' || substr(md5('dpq:' || event_type || ':' || b::VARCHAR),
+                          1, 6))::BIGINT + 0.5) / {DP_U_LATTICE})) AS score
+        FROM ranked
+    )
+    SELECT event_type,
+           {DP_EPSILON_X1000} AS epsilon_x1000,
+           (b * {DP_Q_BUCKET_CENTS})::BIGINT AS dp_median_cents
+    FROM (
+        SELECT event_type, b,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY score DESC, b ASC) AS rn
+        FROM scored
+    ) z WHERE rn = 1
+    """,
+    tags=("analytics", "privacy"),
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEDIAN release via the EXPONENTIAL MECHANISM
+    (Smith 2011's DP quantile) — the fifth privacy member, and the one
+    Laplace noise cannot deliver: a quantile's value has unbounded
+    sensitivity to one record, so instead of noising the answer we noise
+    the SELECTION. Candidates are the DP_Q_BUCKET_CENTS lattice over the
+    clamped domain (a PUBLIC, data-independent set — required for
+    privacy); each candidate's utility is -|2·rank - n| (how far its
+    cumulative rank sits from the median, doubled to stay integer);
+    selection samples ∝ exp(eps·u/(2·2)) realized by the GUMBEL-MAX
+    trick: argmax of score = eps·u/4 + Gumbel, where Gumbel =
+    -ln(-ln(U)) on the md5-lattice uniform (privacy_dp_histogram's
+    proven hex-parse pairing, distinct 'dpq' seed per (type, candidate)).
+    Only the winning lattice value and epsilon ship — rank, n, and the
+    losing scores never leave.
+
+    Exactness: utilities and ranks are exact BIGINT off one bucketed
+    partial agg; the only floats are the shared score expression's
+    (identical expression trees both engines — two libm ln calls, rule
+    16), and the OUTPUT is an exact integer lattice value, so no
+    rounding ships. Argmax stability is the sample_weighted discipline:
+    a property test measures the adjacent score margin.
+
+    Scale: one clamped bucket agg over the corpus (partial, |types| x 41
+    cells), then scalar work on the 205-row candidate frame — the
+    mechanism costs nothing at 100 TB, which is exactly why the
+    histogram-candidate form (vs per-record candidates) is the
+    production shape."""
+    ev = load(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    cand = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(DP_Q_N_BUCKETS))).alias("b"),
+    )
+    bucketed = ev.select(
+        "event_type",
+        (
+            F.least(
+                F.greatest(F.floor(F.col("value") * 100 + 0.5).cast("long"), F.lit(0)),
+                F.lit(DP_MEAN_CLAMP_CENTS),
+            )
+            / F.lit(DP_Q_BUCKET_CENTS)
+        ).cast("long").alias("b"),
+    ).groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        cand.join(bucketed, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            "b",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "b",
+            F.sum("cnt").over(wcum).alias("rk"),
+            F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+        )
+    )
+    u = (
+        F.expr(
+            "conv(substr(md5(concat('dpq:', event_type, ':', cast(b as string))), 1, 6),"
+            " 16, 10)"
+        ).cast("long")
+        + 0.5
+    ) / DP_U_LATTICE
+    score = (
+        -F.abs(2 * F.col("rk") - F.col("n")) * DP_EPSILON_X1000 / 4000.0
+        - F.log(-F.log(u))
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("b").asc()
+    )
+    return (
+        ranked.select("event_type", "b", score.alias("score"))
+        .withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.lit(DP_EPSILON_X1000).alias("epsilon_x1000"),
+            (F.col("b") * DP_Q_BUCKET_CENTS).cast("long").alias("dp_median_cents"),
+        )
     )

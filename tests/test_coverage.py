@@ -619,6 +619,9 @@ EXTENSIONS = [
     # cut of suffix-array exact-substring dedup (Lee et al. ExactSubstr);
     # provable deletion superset of text_span_dedup at the same width
     "text_substring_dedup",
+    # round 9: DP median via the exponential mechanism (Gumbel-max over a
+    # public candidate lattice) — the quantile Laplace noise cannot deliver
+    "privacy_dp_quantile",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -214,3 +214,80 @@ def test_substring_dedup_golden_micro_corpus(spark):
     (r3,) = by_doc[3]
     assert (r3["run_start"], r3["span_tokens"]) == (6, RUN_K + 3), r3
     assert 4 not in by_doc
+
+
+# --- privacy_dp_quantile: exponential-mechanism median ----------------------
+
+
+def _dpq_scores(duck):
+    """Recompute every candidate's selection score in pure Python/DuckDB —
+    the independent replica of the op's score expression."""
+    import math
+
+    from rvi_big_data_api_spark.operators.analytics import (
+        DP_EPSILON_X1000,
+        DP_MEAN_CLAMP_CENTS,
+        DP_Q_BUCKET_CENTS,
+        DP_Q_N_BUCKETS,
+        DP_U_LATTICE,
+    )
+
+    hist = duck.execute(f"""
+        SELECT event_type,
+               least(greatest(floor(value * 100 + 0.5)::BIGINT, 0),
+                     {DP_MEAN_CLAMP_CENTS}) // {DP_Q_BUCKET_CENTS} AS b,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    counts: dict[str, dict[int, int]] = {}
+    for et, b, cnt in hist:
+        counts.setdefault(et, {})[b] = cnt
+    out: dict[str, list] = {}
+    for et, bc in counts.items():
+        n = sum(bc.values())
+        rk = 0
+        for b in range(DP_Q_N_BUCKETS + 1):
+            rk += bc.get(b, 0)
+            seed = hashlib.md5(f"dpq:{et}:{b}".encode()).hexdigest()[:6]
+            u = (int(seed, 16) + 0.5) / DP_U_LATTICE
+            score = (
+                -abs(2 * rk - n) * DP_EPSILON_X1000 / 4000.0
+                - math.log(-math.log(u))
+            )
+            out.setdefault(et, []).append((score, b))
+    return out
+
+
+def test_dp_quantile_margin_and_concentration(spark, sf_dir, duck):
+    """(1) The Gumbel-max winner's score margin over the runner-up is far
+    above float noise (the sample_weighted ranking discipline — a margin
+    collapse would make the argmax engine-dependent). (2) At eps=1 with
+    thousands of records the mechanism concentrates: the released value's
+    rank error is a tiny fraction of n — the utility the mechanism
+    promises, and a strong functional check of rank/utility wiring."""
+    from rvi_big_data_api_spark.operators.analytics import DP_Q_BUCKET_CENTS
+
+    released = {
+        r["event_type"]: r["dp_median_cents"]
+        for r in _df("privacy_dp_quantile", spark, sf_dir).collect()
+    }
+    scores = _dpq_scores(duck)
+    assert set(released) == set(scores)
+    for et, cand in scores.items():
+        ordered = sorted(cand, key=lambda t: (-t[0], t[1]))
+        (s1, b1), (s2, _) = ordered[0], ordered[1]
+        assert released[et] == b1 * DP_Q_BUCKET_CENTS, et
+        assert s1 - s2 > 1e-6, (et, s1, s2)  # measured argmax margin
+    # concentration: winner rank error <= 5% of n
+    true = duck.execute("""
+        SELECT event_type, count(*) AS n,
+               median(least(greatest(floor(value * 100 + 0.5)::BIGINT, 0), 20000))
+        FROM events GROUP BY 1
+    """).fetchall()
+    for et, n, med in true:
+        err_cents = abs(released[et] - med)
+        assert err_cents <= max(2 * DP_Q_BUCKET_CENTS, 0.1 * med + 1000), (
+            et,
+            released[et],
+            med,
+        )
