@@ -720,6 +720,47 @@ CDC_NIBBLE = "0"   # boundary when md5(window) starts with this nibble: P=1/16
                    # -> mean chunk ~16 bytes at fixture blob sizes
 
 
+def cdc_chunk_frame(b: DataFrame) -> DataFrame:
+    """CDC-chunk any (doc_id, payload) frame: returns (doc_id, s,
+    chunk_bytes, chunk_md5) — one row per content-defined chunk. Shared by
+    mm_cdc_dedup and mm_cdc_incremental so both consume identical chunk
+    geometry."""
+    from pyspark.sql import Window as W
+
+    docs = b.select(
+        "doc_id", "payload", F.octet_length("payload").cast("long").alias("len")
+    ).filter(F.col("len") >= 1)
+    # len > CDC_W guard: Spark's sequence(a, b) counts DOWN when b < a
+    # (DuckDB's generate_series is empty), so short blobs must be excluded
+    # here or they'd get spurious sub-window candidate positions; they still
+    # chunk whole via the forced end boundary below.
+    cand = (
+        docs.filter(F.col("len") > CDC_W)
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(CDC_W), F.col("len") - 1)).alias("i"),
+        )
+        .filter(F.expr(cdc_boundary_positions()))
+    )
+    bnd = cand.select("doc_id", "i").unionByName(
+        docs.select("doc_id", F.col("len").alias("i"))
+    )
+    spans = bnd.select(
+        "doc_id",
+        F.coalesce(
+            F.lag("i").over(W.partitionBy("doc_id").orderBy("i")), F.lit(0)
+        ).alias("s"),
+        F.col("i").alias("e"),
+    )
+    return spans.join(docs.select("doc_id", "payload"), "doc_id").select(
+        "doc_id",
+        "s",
+        (F.col("e") - F.col("s")).alias("chunk_bytes"),
+        F.md5(F.expr("substring(payload, s + 1, e - s)")).alias("chunk_md5"),
+    )
+
+
 def cdc_boundary_positions() -> str:
     """SQL fragment shared by op and twin docs: a byte position i (1-based,
     CDC_W <= i < len) is a chunk boundary iff the first md5 nibble of the
@@ -809,39 +850,8 @@ def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII (the identity mm_binary_meta pins)."""
     from pyspark.sql import Window as W
 
-    docs = (
-        _with_binary(load(spark, sf_dir, "documents"))
-        .select("doc_id", "payload", F.octet_length("payload").cast("long").alias("len"))
-        .filter(F.col("len") >= 1)
-    )
-    # len > CDC_W guard: Spark's sequence(a, b) counts DOWN when b < a
-    # (DuckDB's generate_series is empty), so short blobs must be excluded
-    # here or they'd get spurious sub-window candidate positions; they still
-    # chunk whole via the forced end boundary below.
-    cand = (
-        docs.filter(F.col("len") > CDC_W)
-        .select(
-            "doc_id",
-            "payload",
-            F.explode(F.sequence(F.lit(CDC_W), F.col("len") - 1)).alias("i"),
-        )
-        .filter(F.expr(cdc_boundary_positions()))
-    )
-    bnd = cand.select("doc_id", "i").unionByName(
-        docs.select("doc_id", F.col("len").alias("i"))
-    )
-    spans = bnd.select(
-        "doc_id",
-        F.coalesce(
-            F.lag("i").over(W.partitionBy("doc_id").orderBy("i")), F.lit(0)
-        ).alias("s"),
-        F.col("i").alias("e"),
-    )
-    chunks = spans.join(docs.select("doc_id", "payload"), "doc_id").select(
-        "doc_id",
-        "s",
-        (F.col("e") - F.col("s")).alias("chunk_bytes"),
-        F.md5(F.expr("substring(payload, s + 1, e - s)")).alias("chunk_md5"),
+    chunks = cdc_chunk_frame(
+        _with_binary(load(spark, sf_dir, "documents")).select("doc_id", "payload")
     )
     ranked = chunks.withColumn(
         "rn",
@@ -858,4 +868,124 @@ def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(chunk_bytes) - sum(CASE WHEN rn > 1 THEN chunk_bytes ELSE 0 END))"
             " * 1000000 div sum(chunk_bytes)"
         ).alias("stored_ppm"),
+    )
+
+
+@query(
+    "mm_cdc_incremental",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) >= 1
+    ),
+    bnd AS (
+        SELECT doc_id, i
+        FROM docs, unnest(generate_series({CDC_W}, len - 1)) t(i)
+        WHERE substr(md5(substring(text, i - {CDC_W} + 1, {CDC_W})), 1, 1)
+                  = '{CDC_NIBBLE}'
+        UNION ALL
+        SELECT doc_id, len AS i FROM docs
+    ),
+    spans AS (
+        SELECT doc_id,
+               coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+               i AS e
+        FROM bnd
+    ),
+    chunks AS (
+        SELECT sp.doc_id, sp.s,
+               (sp.e - sp.s)::BIGINT AS chunk_bytes,
+               md5(substring(d.text, sp.s + 1, sp.e - sp.s)) AS chunk_md5
+        FROM spans sp JOIN docs d ON sp.doc_id = d.doc_id
+    ),
+    store AS (
+        SELECT DISTINCT chunk_md5 FROM chunks WHERE doc_id % 2 = 0
+    ),
+    delta AS (
+        SELECT c.doc_id, c.s, c.chunk_bytes,
+               (st.chunk_md5 IS NOT NULL) AS in_base,
+               row_number() OVER (PARTITION BY c.chunk_md5
+                                  ORDER BY c.doc_id, c.s) AS rn
+        FROM chunks c LEFT JOIN store st ON c.chunk_md5 = st.chunk_md5
+        WHERE c.doc_id % 2 = 1
+    ),
+    flagged AS (
+        SELECT doc_id, chunk_bytes,
+               (in_base OR rn > 1) AS reused
+        FROM delta
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(chunk_bytes)::BIGINT AS n_bytes,
+           sum(CASE WHEN reused THEN 1 ELSE 0 END)::BIGINT AS reused_chunks,
+           sum(CASE WHEN reused THEN chunk_bytes ELSE 0 END)::BIGINT
+               AS reused_bytes,
+           sum(CASE WHEN reused THEN 0 ELSE chunk_bytes END)::BIGINT
+               AS new_bytes,
+           (sum(CASE WHEN reused THEN 0 ELSE chunk_bytes END) * 1000000
+               // sum(chunk_bytes))::BIGINT AS upload_ppm
+    FROM flagged GROUP BY doc_id
+    """,
+    tags=("multimodal", "dedup", "cdc"),
+)
+def mm_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC ingest — the backup-generation ledger the chunk
+    store exists for: a BASE epoch (even doc_ids) seeds the content-
+    addressed store; the DELTA epoch (odd doc_ids) chunks with the
+    identical geometry (cdc_chunk_frame — shared with mm_cdc_dedup, so
+    geometry cannot drift between the two ops) and uploads ONLY chunks
+    whose hash is neither in the base store nor already seen earlier in
+    the delta ingest (the store-grows-during-ingest rule: base membership
+    via one hash-keyed left join, intra-delta keep-first via row_number
+    over chunk_md5 — corpus order (doc_id, s) is the ingest order).
+    Output is the per-doc upload ledger: reused vs new chunks/bytes and
+    upload_ppm, the number a dedup backup system quotes as its savings.
+
+    Scale shape: one chunk pass over the whole lake (map-side explode),
+    ONE hash-keyed shuffle shared by the store lookup and the keep-first
+    window (both key on chunk_md5), then the doc_id rollup — at 100 TB
+    the store side is a parquet table of hashes bucket-joined on the same
+    key; nothing here is fixture-sized. The twin mirrors the split on
+    text (ASCII identity, mm_binary_meta)."""
+    from pyspark.sql import Window as W
+
+    chunks = cdc_chunk_frame(
+        _with_binary(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
+    store = (
+        chunks.filter(F.col("doc_id") % 2 == 0).select("chunk_md5").distinct()
+        .withColumn("in_base", F.lit(True))
+    )
+    delta = (
+        chunks.filter(F.col("doc_id") % 2 == 1)
+        .join(store, "chunk_md5", "left")
+        .select(
+            "doc_id",
+            "s",
+            "chunk_bytes",
+            F.coalesce(F.col("in_base"), F.lit(False)).alias("in_base"),
+            F.row_number()
+            .over(W.partitionBy("chunk_md5").orderBy("doc_id", "s"))
+            .alias("rn"),
+        )
+    )
+    flagged = delta.select(
+        "doc_id",
+        "chunk_bytes",
+        (F.col("in_base") | (F.col("rn") > 1)).alias("reused"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_bytes").alias("n_bytes"),
+        F.sum(F.when(F.col("reused"), 1).otherwise(0)).alias("reused_chunks"),
+        F.sum(F.when(F.col("reused"), F.col("chunk_bytes")).otherwise(0)).alias(
+            "reused_bytes"
+        ),
+        F.sum(F.when(F.col("reused"), 0).otherwise(F.col("chunk_bytes"))).alias(
+            "new_bytes"
+        ),
+        F.expr(
+            "sum(CASE WHEN reused THEN 0 ELSE chunk_bytes END) * 1000000"
+            " div sum(chunk_bytes)"
+        ).alias("upload_ppm"),
     )

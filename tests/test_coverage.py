@@ -622,6 +622,9 @@ EXTENSIONS = [
     # round 9: DP median via the exponential mechanism (Gumbel-max over a
     # public candidate lattice) — the quantile Laplace noise cannot deliver
     "privacy_dp_quantile",
+    # round 9: incremental CDC ingest — per-doc upload ledger against a
+    # growing content-addressed chunk store (the backup-generation shape)
+    "mm_cdc_incremental",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -291,3 +291,42 @@ def test_dp_quantile_margin_and_concentration(spark, sf_dir, duck):
             released[et],
             med,
         )
+
+
+def test_cdc_incremental_matches_growing_store_replica(spark, sf_dir, duck):
+    """mm_cdc_incremental vs an independent Python replay of the ingest:
+    base store = even docs' chunk hashes; odd docs ingest in (doc_id, s)
+    order against a GROWING store (base + every previously-uploaded delta
+    chunk). Per-doc reused/new chunk and byte ledgers must match exactly —
+    the store-grows-during-ingest rule, not just base membership."""
+    rows = {
+        r["doc_id"]: r
+        for r in _df("mm_cdc_incremental", spark, sf_dir).collect()
+    }
+    docs = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE length(text) >= 1"
+    ).fetchall()
+    store = set()
+    for doc_id, text in sorted(docs):
+        if doc_id % 2 == 0:
+            for _, _, content in _cdc_chunks(text):
+                store.add(hashlib.md5(content.encode()).hexdigest())
+    odd = sorted((d, t) for d, t in docs if d % 2 == 1)
+    assert set(rows) == {d for d, _ in odd}
+    for doc_id, text in odd:
+        reused_c = reused_b = new_b = 0
+        for _, _, content in _cdc_chunks(text):
+            h = hashlib.md5(content.encode()).hexdigest()
+            if h in store:
+                reused_c += 1
+                reused_b += len(content)
+            else:
+                new_b += len(content)
+                store.add(h)  # the delta upload joins the store immediately
+        r = rows[doc_id]
+        assert (r["reused_chunks"], r["reused_bytes"], r["new_bytes"]) == (
+            reused_c,
+            reused_b,
+            new_b,
+        ), doc_id
+        assert r["n_bytes"] == len(text), doc_id
