@@ -65,7 +65,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "dedup_embed_pinned8",
     # -- round-9 additions (registered BEHIND the 24+1 unverified head) ------
     "mm_cdc_dedup", "text_substring_dedup", "privacy_dp_quantile",
-    "mm_cdc_incremental",
+    "mm_cdc_incremental", "corpus_bpe_fertility", "ts_motif_discovery",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

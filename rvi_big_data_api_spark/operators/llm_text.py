@@ -3265,3 +3265,177 @@ def substring_dedup_frame(d: DataFrame) -> DataFrame:
             == 1
         ).alias("keep"),
     )
+
+
+# --- round 9: per-language tokenizer fertility ------------------------------
+
+# The shared BPE round chain (t0 .. t3), identical to the text_bpe_train /
+# text_bpe_apply oracles' CTE prefix; kept as one constant so new consumers
+# cannot drift from the trained rounds.
+_BPE_CHAIN_SQL = """WITH t0 AS MATERIALIZED (
+        SELECT doc_id, i AS pos, toks[i + 1] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(range(len(toks))) u(i)
+    ),
+    big_0 AS MATERIALIZED (
+        SELECT doc_id, pos, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t0
+    ),
+    cnt_0 AS (
+        SELECT tok AS l, nxt AS r, count(*)::BIGINT AS c
+        FROM big_0 WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    top1_0 AS MATERIALIZED (
+        SELECT l, r, c FROM cnt_0 ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    ),
+    m_0 AS (
+        SELECT b.doc_id, b.pos,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) AS rn
+        FROM big_0 b, top1_0 WHERE b.tok = top1_0.l AND b.nxt = top1_0.r
+    ),
+    s_0 AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, pos - rn ORDER BY pos) AS kk
+            FROM m_0
+        ) WHERE kk % 2 = 1
+    ),
+    t1 AS MATERIALIZED (
+        SELECT b.doc_id,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) - 1 AS pos,
+               CASE WHEN s1.pos IS NOT NULL THEN b.tok || b.nxt ELSE b.tok END AS tok
+        FROM big_0 b
+        LEFT JOIN s_0 s1 ON b.doc_id = s1.doc_id AND b.pos = s1.pos
+        LEFT JOIN s_0 s2 ON b.doc_id = s2.doc_id AND b.pos = s2.pos + 1
+        WHERE s2.pos IS NULL
+    ),
+    big_1 AS MATERIALIZED (
+        SELECT doc_id, pos, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t1
+    ),
+    cnt_1 AS (
+        SELECT tok AS l, nxt AS r, count(*)::BIGINT AS c
+        FROM big_1 WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    top1_1 AS MATERIALIZED (
+        SELECT l, r, c FROM cnt_1 ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    ),
+    m_1 AS (
+        SELECT b.doc_id, b.pos,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) AS rn
+        FROM big_1 b, top1_1 WHERE b.tok = top1_1.l AND b.nxt = top1_1.r
+    ),
+    s_1 AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, pos - rn ORDER BY pos) AS kk
+            FROM m_1
+        ) WHERE kk % 2 = 1
+    ),
+    t2 AS MATERIALIZED (
+        SELECT b.doc_id,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) - 1 AS pos,
+               CASE WHEN s1.pos IS NOT NULL THEN b.tok || b.nxt ELSE b.tok END AS tok
+        FROM big_1 b
+        LEFT JOIN s_1 s1 ON b.doc_id = s1.doc_id AND b.pos = s1.pos
+        LEFT JOIN s_1 s2 ON b.doc_id = s2.doc_id AND b.pos = s2.pos + 1
+        WHERE s2.pos IS NULL
+    ),
+    big_2 AS MATERIALIZED (
+        SELECT doc_id, pos, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t2
+    ),
+    cnt_2 AS (
+        SELECT tok AS l, nxt AS r, count(*)::BIGINT AS c
+        FROM big_2 WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    top1_2 AS MATERIALIZED (
+        SELECT l, r, c FROM cnt_2 ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    ),
+    m_2 AS (
+        SELECT b.doc_id, b.pos,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) AS rn
+        FROM big_2 b, top1_2 WHERE b.tok = top1_2.l AND b.nxt = top1_2.r
+    ),
+    s_2 AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, pos - rn ORDER BY pos) AS kk
+            FROM m_2
+        ) WHERE kk % 2 = 1
+    ),
+    t3 AS MATERIALIZED (
+        SELECT b.doc_id,
+               row_number() OVER (PARTITION BY b.doc_id ORDER BY b.pos) - 1 AS pos,
+               CASE WHEN s1.pos IS NOT NULL THEN b.tok || b.nxt ELSE b.tok END AS tok
+        FROM big_2 b
+        LEFT JOIN s_2 s1 ON b.doc_id = s1.doc_id AND b.pos = s1.pos
+        LEFT JOIN s_2 s2 ON b.doc_id = s2.doc_id AND b.pos = s2.pos + 1
+        WHERE s2.pos IS NULL
+    )"""
+
+
+@query(
+    "corpus_bpe_fertility",
+    oracle=_BPE_CHAIN_SQL + """,
+    after AS (SELECT doc_id, count(*)::BIGINT AS toks FROM t3 GROUP BY doc_id),
+    words AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' '))::BIGINT AS words,
+               length(text)::BIGINT AS chars
+        FROM documents
+    )
+    SELECT w.lang,
+           count(*)::BIGINT AS n_docs,
+           sum(w.words)::BIGINT AS words,
+           sum(w.chars)::BIGINT AS chars,
+           sum(a.toks)::BIGINT AS tokens,
+           (sum(a.toks) * 1000000 // sum(w.words))::BIGINT
+               AS tokens_per_word_ppm,
+           (sum(a.toks) * 1000000 // sum(w.chars))::BIGINT
+               AS tokens_per_char_ppm
+    FROM words w JOIN after a ON w.doc_id = a.doc_id
+    GROUP BY w.lang
+""",
+    tags=("llm", "corpus", "tokenizer"),
+)
+def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY — the vocabulary-equity readout
+    every multilingual-tokenizer paper reports (tokens per word / per
+    character by language): languages the vocabulary under-serves pay
+    more tokens for the same text, which at training time means less
+    effective context and higher cost per document — the governance
+    number that decides whether the merge table needs rebalancing before
+    a 100 TB tokenization run. Consumes the SAME trained rounds as
+    text_bpe_train/apply via the _bpe_rounds session memo (one training
+    chain per session, ADVICE r8 item 3), so the fertility table can
+    never disagree with the tokenizer that produced it; the oracle
+    shares the identical CTE chain via _BPE_CHAIN_SQL for the same
+    reason.
+
+    Scale shape: the apply pass is already paid (memo); this adds one
+    doc-keyed count, one join to the corpus metadata, and a |langs|-row
+    rollup. Integer ppm ratios (rule 25)."""
+    _, _, t_final = _bpe_rounds(spark, sf_dir)
+    after = t_final.groupBy("doc_id").agg(F.count(F.lit(1)).alias("toks"))
+    words = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return (
+        words.join(after, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("words"),
+            F.sum("chars").alias("chars"),
+            F.sum("toks").alias("tokens"),
+            F.expr("sum(toks) * 1000000 div sum(words)").alias("tokens_per_word_ppm"),
+            F.expr("sum(toks) * 1000000 div sum(chars)").alias("tokens_per_char_ppm"),
+        )
+    )

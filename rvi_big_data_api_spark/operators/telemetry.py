@@ -4123,3 +4123,170 @@ def anomaly_rate_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(surprise, 6) + 0.0).alias("surprise"),
         (surprise > POISSON_SURPRISE_MIN).alias("is_anomaly"),
     )
+
+
+# --- round 9: blocked approximate matrix profile (motif discovery) -----------
+
+MP_M = 4  # subsequence length (days) — the motif window
+
+
+@query(
+    "ts_motif_discovery",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    sub AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS r,
+               cents AS c0,
+               lead(cents, 1) OVER (PARTITION BY user_id ORDER BY day) AS c1,
+               lead(cents, 2) OVER (PARTITION BY user_id ORDER BY day) AS c2,
+               lead(cents, 3) OVER (PARTITION BY user_id ORDER BY day) AS c3
+        FROM daily
+    ),
+    keyed AS (
+        SELECT user_id, r, c0, c1, c2, c3,
+               concat(
+                   CASE WHEN c1 > c0 THEN 'u' WHEN c1 < c0 THEN 'd' ELSE 'f' END,
+                   CASE WHEN c2 > c1 THEN 'u' WHEN c2 < c1 THEN 'd' ELSE 'f' END,
+                   CASE WHEN c3 > c2 THEN 'u' WHEN c3 < c2 THEN 'd' ELSE 'f' END,
+                   '|', length(to_base(c0 + c1 + c2 + c3 + 1, 2))::VARCHAR
+               ) AS blk
+        FROM sub WHERE c3 IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.user_id, a.r,
+               b.user_id AS partner_user, b.r AS partner_pos,
+               ((a.c0 - b.c0) * (a.c0 - b.c0) + (a.c1 - b.c1) * (a.c1 - b.c1)
+                + (a.c2 - b.c2) * (a.c2 - b.c2)
+                + (a.c3 - b.c3) * (a.c3 - b.c3))::BIGINT AS ssd
+        FROM keyed a JOIN keyed b ON a.blk = b.blk
+        WHERE NOT (a.user_id = b.user_id AND abs(a.r - b.r) < {MP_M})
+    ),
+    best AS (
+        SELECT user_id, r, partner_user, partner_pos, ssd,
+               row_number() OVER (
+                   PARTITION BY user_id, r
+                   ORDER BY ssd, partner_user, partner_pos
+               ) AS rn
+        FROM pairs
+    )
+    SELECT user_id, r AS pos, partner_user, partner_pos, ssd AS ssd_cents2
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ssd, r, partner_user, partner_pos
+               ) AS mrn
+        FROM best WHERE rn = 1
+    ) z WHERE mrn = 1
+    """,
+    tags=("timeseries", "telemetry", "similarity"),
+)
+def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked approximate MATRIX PROFILE (Yeh/Keogh's motif-discovery
+    primitive) over per-user daily-spend series: for every length-MP_M
+    subsequence, the nearest non-trivial neighbor (trivial = same series
+    within MP_M positions, the standard exclusion zone); per user, the
+    POSITION WHOSE NEIGHBOR IS CLOSEST is the series' top motif — 'this
+    4-day spending shape recurs, here and there'. The exact STOMP
+    algorithm is O(n²) per series; at 100 TB the production cut is
+    LSH-style blocking, which is what this op registers: candidates are
+    pairs sharing a SHAPE+SCALE block key (delta-sign pattern of the
+    subsequence — up/down/flat, 27 shapes — concatenated with the OCTAVE
+    of the subsequence's total, coded as binary-string length: the
+    agg_log_histogram trick, never float log2), so candidate volume
+    tracks corpus density, never all-pairs. An out-of-block true nearest
+    neighbor is missed BY DESIGN (same trade as sim_topk_ann; the
+    sign+octave key can only match subsequences of the same shape class
+    and magnitude, which is what an un-normalized SSD motif means).
+
+    Exactness: distances are exact BIGINT sums of squared cents deltas
+    (z-normalized MP needs per-window float stats; the un-normalized
+    integer form is the hash-checkable twin — document, don't hide);
+    argmin and per-user motif selection use full deterministic tiebreaks
+    (ssd, partner ids — rule 10). lead() windows build subsequences in
+    ONE per-user pass; no arrays, no UDFs.
+
+    Scale shape: day rollup and lead windows ride one user partitioning;
+    the candidate join keys on the block string; both argmin windows
+    partition by (user, r) / user. The exclusion-zone predicate is the
+    only non-equi term and runs post-join on in-block pairs."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wday = Window.partitionBy("user_id").orderBy("day")
+    sub = daily.select(
+        "user_id",
+        (F.row_number().over(wday) - 1).alias("r"),
+        F.col("cents").alias("c0"),
+        F.lead("cents", 1).over(wday).alias("c1"),
+        F.lead("cents", 2).over(wday).alias("c2"),
+        F.lead("cents", 3).over(wday).alias("c3"),
+    ).filter(F.col("c3").isNotNull())
+    step = lambda a, b: (  # noqa: E731 — tiny local sign-symbol builder
+        F.when(F.col(b) > F.col(a), "u").when(F.col(b) < F.col(a), "d").otherwise("f")
+    )
+    keyed = sub.select(
+        "user_id",
+        "r",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.concat(
+            step("c0", "c1"),
+            step("c1", "c2"),
+            step("c2", "c3"),
+            F.lit("|"),
+            F.length(F.expr("conv(c0 + c1 + c2 + c3 + 1, 10, 2)")).cast("string"),
+        ).alias("blk"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ssd = sum(
+        (F.col(f"a.c{i}") - F.col(f"b.c{i}")) * (F.col(f"a.c{i}") - F.col(f"b.c{i}"))
+        for i in range(MP_M)
+    )
+    pairs = (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .filter(
+            ~(
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.abs(F.col("a.r") - F.col("b.r")) < MP_M)
+            )
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.r").alias("r"),
+            F.col("b.user_id").alias("partner_user"),
+            F.col("b.r").alias("partner_pos"),
+            ssd.cast("long").alias("ssd"),
+        )
+    )
+    wbest = Window.partitionBy("user_id", "r").orderBy(
+        "ssd", "partner_user", "partner_pos"
+    )
+    best = pairs.withColumn("rn", F.row_number().over(wbest)).filter(F.col("rn") == 1)
+    wmotif = Window.partitionBy("user_id").orderBy(
+        "ssd", "r", "partner_user", "partner_pos"
+    )
+    return (
+        best.withColumn("mrn", F.row_number().over(wmotif))
+        .filter(F.col("mrn") == 1)
+        .select(
+            "user_id",
+            F.col("r").alias("pos"),
+            "partner_user",
+            "partner_pos",
+            F.col("ssd").alias("ssd_cents2"),
+        )
+    )

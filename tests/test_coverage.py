@@ -625,6 +625,12 @@ EXTENSIONS = [
     # round 9: incremental CDC ingest — per-doc upload ledger against a
     # growing content-addressed chunk store (the backup-generation shape)
     "mm_cdc_incremental",
+    # round 9: per-language tokenizer fertility off the shared BPE rounds
+    # memo — the multilingual vocabulary-equity report
+    "corpus_bpe_fertility",
+    # round 9: blocked approximate matrix profile — per-series top motif via
+    # shape+octave candidate blocking, exact integer SSD
+    "ts_motif_discovery",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
