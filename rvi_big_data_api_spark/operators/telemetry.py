@@ -4127,7 +4127,8 @@ def anomaly_rate_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- round 9: blocked approximate matrix profile (motif discovery) -----------
 
-MP_M = 4  # subsequence length (days) — the motif window
+MP_M = 4     # subsequence length (days) — the motif window
+MP_SNM_W = 16  # sorted-neighborhood width within a block (candidates per row)
 
 
 @query(
@@ -4157,13 +4158,22 @@ MP_M = 4  # subsequence length (days) — the motif window
                ) AS blk
         FROM sub WHERE c3 IS NOT NULL
     ),
+    idxed AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY blk ORDER BY c0, c1, c2, c3, user_id, r
+               ) AS idx
+        FROM keyed
+    ),
     pairs AS (
         SELECT a.user_id, a.r,
                b.user_id AS partner_user, b.r AS partner_pos,
                ((a.c0 - b.c0) * (a.c0 - b.c0) + (a.c1 - b.c1) * (a.c1 - b.c1)
                 + (a.c2 - b.c2) * (a.c2 - b.c2)
                 + (a.c3 - b.c3) * (a.c3 - b.c3))::BIGINT AS ssd
-        FROM keyed a JOIN keyed b ON a.blk = b.blk
+        FROM idxed a JOIN idxed b
+          ON a.blk = b.blk AND abs(a.idx - b.idx) <= {MP_SNM_W}
+             AND NOT (a.user_id = b.user_id AND a.r = b.r)
         WHERE NOT (a.user_id = b.user_id AND abs(a.r - b.r) < {MP_M})
     ),
     best AS (
@@ -4191,29 +4201,34 @@ def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequence, the nearest non-trivial neighbor (trivial = same series
     within MP_M positions, the standard exclusion zone); per user, the
     POSITION WHOSE NEIGHBOR IS CLOSEST is the series' top motif — 'this
-    4-day spending shape recurs, here and there'. The exact STOMP
-    algorithm is O(n²) per series; at 100 TB the production cut is
-    LSH-style blocking, which is what this op registers: candidates are
-    pairs sharing a SHAPE+SCALE block key (delta-sign pattern of the
-    subsequence — up/down/flat, 27 shapes — concatenated with the OCTAVE
-    of the subsequence's total, coded as binary-string length: the
-    agg_log_histogram trick, never float log2), so candidate volume
-    tracks corpus density, never all-pairs. An out-of-block true nearest
-    neighbor is missed BY DESIGN (same trade as sim_topk_ann; the
-    sign+octave key can only match subsequences of the same shape class
-    and magnitude, which is what an un-normalized SSD motif means).
+    4-day spending shape recurs, here and there'. Exact STOMP is O(n²);
+    the first cut of this op blocked on shape+octave alone and the
+    decade probe TIMED OUT at sf0.1 — magnitude octaves concentrate, so
+    in-block pairs went quadratic (the er_record_linkage lesson, caught
+    by the per-op ritual). The registered plan therefore adds SORTED-
+    NEIGHBORHOOD candidates (Hernandez-Stolfo SNM, the classic ER move):
+    within each block — delta-sign pattern (27 shapes) concatenated with
+    the total's octave coded as binary-string length (never float log2)
+    — members are ranked lexicographically by (c0..c3), and each row is
+    compared ONLY to the MP_SNM_W nearest ranks. Candidate volume is
+    O(N·W) by construction at any scale; close subsequences sort
+    adjacently (lex order on the raw values is a 4-D locality proxy
+    inside a fixed shape/octave class), and a true nearest neighbor
+    farther than W ranks away is missed BY DESIGN — the same priced
+    trade as sim_topk_ann, stated not hidden.
 
     Exactness: distances are exact BIGINT sums of squared cents deltas
     (z-normalized MP needs per-window float stats; the un-normalized
-    integer form is the hash-checkable twin — document, don't hide);
-    argmin and per-user motif selection use full deterministic tiebreaks
-    (ssd, partner ids — rule 10). lead() windows build subsequences in
-    ONE per-user pass; no arrays, no UDFs.
+    integer form is the hash-checkable twin); argmin and per-user motif
+    selection carry full deterministic tiebreaks (rule 10). lead()
+    windows build subsequences in ONE per-user pass; no arrays, no UDFs.
 
     Scale shape: day rollup and lead windows ride one user partitioning;
-    the candidate join keys on the block string; both argmin windows
-    partition by (user, r) / user. The exclusion-zone predicate is the
-    only non-equi term and runs post-join on in-block pairs."""
+    the rank window partitions by block; the band join is an equi-join
+    on (blk, rank-bucket) with ±1 probe groups (the chunk-band
+    discipline) so candidates never enumerate a block's cross product.
+    The twin uses the plain |Δidx| <= W predicate — same pairs, oracle
+    clarity over oracle speed."""
     ev = load(spark, sf_dir, "events")
     daily = (
         ev.select(
@@ -4251,26 +4266,62 @@ def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.expr("conv(c0 + c1 + c2 + c3 + 1, 10, 2)")).cast("string"),
         ).alias("blk"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    wblk = Window.partitionBy("blk").orderBy("c0", "c1", "c2", "c3", "user_id", "r")
+    idxed = keyed.withColumn("idx", F.row_number().over(wblk))
+    # banded equi-join: probe side fans out to rank-buckets g-1, g, g+1 so
+    # |idx_a - idx_b| <= W pairs all share an equi-key; never a block cross
+    # product (the chunk-band / er_record_linkage discipline)
+    a = idxed.select(
+        F.col("user_id").alias("a_user"),
+        F.col("r").alias("a_r"),
+        F.col("c0").alias("a_c0"),
+        F.col("c1").alias("a_c1"),
+        F.col("c2").alias("a_c2"),
+        F.col("c3").alias("a_c3"),
+        "blk",
+        F.col("idx").alias("a_idx"),
+        F.explode(
+            F.expr(
+                f"array(idx div {MP_SNM_W} - 1, idx div {MP_SNM_W},"
+                f" idx div {MP_SNM_W} + 1)"
+            )
+        ).alias("g"),
+    )
+    b = idxed.select(
+        F.col("user_id").alias("partner_user"),
+        F.col("r").alias("partner_pos"),
+        F.col("c0").alias("b_c0"),
+        F.col("c1").alias("b_c1"),
+        F.col("c2").alias("b_c2"),
+        F.col("c3").alias("b_c3"),
+        F.col("blk").alias("b_blk"),
+        F.col("idx").alias("b_idx"),
+        F.expr(f"idx div {MP_SNM_W}").alias("b_g"),
+    )
     ssd = sum(
-        (F.col(f"a.c{i}") - F.col(f"b.c{i}")) * (F.col(f"a.c{i}") - F.col(f"b.c{i}"))
+        (F.col(f"a_c{i}") - F.col(f"b_c{i}")) * (F.col(f"a_c{i}") - F.col(f"b_c{i}"))
         for i in range(MP_M)
     )
     pairs = (
-        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        a.join(b, (F.col("blk") == F.col("b_blk")) & (F.col("g") == F.col("b_g")))
+        .filter(F.abs(F.col("a_idx") - F.col("b_idx")) <= MP_SNM_W)
+        .filter(
+            ~((F.col("a_user") == F.col("partner_user")) & (F.col("a_r") == F.col("partner_pos")))
+        )
         .filter(
             ~(
-                (F.col("a.user_id") == F.col("b.user_id"))
-                & (F.abs(F.col("a.r") - F.col("b.r")) < MP_M)
+                (F.col("a_user") == F.col("partner_user"))
+                & (F.abs(F.col("a_r") - F.col("partner_pos")) < MP_M)
             )
         )
         .select(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.r").alias("r"),
-            F.col("b.user_id").alias("partner_user"),
-            F.col("b.r").alias("partner_pos"),
+            F.col("a_user").alias("user_id"),
+            F.col("a_r").alias("r"),
+            "partner_user",
+            "partner_pos",
             ssd.cast("long").alias("ssd"),
         )
+        .dropDuplicates(["user_id", "r", "partner_user", "partner_pos"])
     )
     wbest = Window.partitionBy("user_id", "r").orderBy(
         "ssd", "partner_user", "partner_pos"

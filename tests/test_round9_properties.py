@@ -330,3 +330,34 @@ def test_cdc_incremental_matches_growing_store_replica(spark, sf_dir, duck):
             new_b,
         ), doc_id
         assert r["n_bytes"] == len(text), doc_id
+
+
+# --- ts_motif_discovery: SNM-blocked matrix profile -------------------------
+
+
+def test_motif_partner_is_valid_and_nontrivial(spark, sf_dir, duck):
+    """Every reported motif partner must (1) exist as a real subsequence of
+    the partner series, (2) respect the exclusion zone, and (3) have an SSD
+    that matches recomputation from the raw daily series — the distance
+    arithmetic and exclusion logic, independently replayed."""
+    from rvi_big_data_api_spark.operators.telemetry import MP_M
+
+    daily = {}
+    for uid, day, cents in duck.execute("""
+        SELECT user_id, date_trunc('day', ts) AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall():
+        daily.setdefault(uid, []).append(cents)
+    rows = _df("ts_motif_discovery", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        s_a = daily[r["user_id"]]
+        s_b = daily[r["partner_user"]]
+        pa, pb = r["pos"], r["partner_pos"]
+        assert 0 <= pa <= len(s_a) - MP_M, r
+        assert 0 <= pb <= len(s_b) - MP_M, r
+        if r["user_id"] == r["partner_user"]:
+            assert abs(pa - pb) >= MP_M, r  # exclusion zone
+        ssd = sum((s_a[pa + i] - s_b[pb + i]) ** 2 for i in range(MP_M))
+        assert ssd == r["ssd_cents2"], r
