@@ -4131,104 +4131,22 @@ MP_M = 4     # subsequence length (days) — the motif window
 MP_SNM_W = 16  # sorted-neighborhood width within a block (candidates per row)
 
 
-@query(
-    "ts_motif_discovery",
-    oracle=f"""
-    WITH daily AS (
-        SELECT user_id, date_trunc('day', ts) AS day,
-               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
-        FROM events GROUP BY 1, 2
-    ),
-    sub AS (
-        SELECT user_id,
-               row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS r,
-               cents AS c0,
-               lead(cents, 1) OVER (PARTITION BY user_id ORDER BY day) AS c1,
-               lead(cents, 2) OVER (PARTITION BY user_id ORDER BY day) AS c2,
-               lead(cents, 3) OVER (PARTITION BY user_id ORDER BY day) AS c3
-        FROM daily
-    ),
-    keyed AS (
-        SELECT user_id, r, c0, c1, c2, c3,
-               concat(
-                   CASE WHEN c1 > c0 THEN 'u' WHEN c1 < c0 THEN 'd' ELSE 'f' END,
-                   CASE WHEN c2 > c1 THEN 'u' WHEN c2 < c1 THEN 'd' ELSE 'f' END,
-                   CASE WHEN c3 > c2 THEN 'u' WHEN c3 < c2 THEN 'd' ELSE 'f' END,
-                   '|', length(to_base(c0 + c1 + c2 + c3 + 1, 2))::VARCHAR
-               ) AS blk
-        FROM sub WHERE c3 IS NOT NULL
-    ),
-    idxed AS (
-        SELECT *,
-               row_number() OVER (
-                   PARTITION BY blk ORDER BY c0, c1, c2, c3, user_id, r
-               ) AS idx
-        FROM keyed
-    ),
-    pairs AS (
-        SELECT a.user_id, a.r,
-               b.user_id AS partner_user, b.r AS partner_pos,
-               ((a.c0 - b.c0) * (a.c0 - b.c0) + (a.c1 - b.c1) * (a.c1 - b.c1)
-                + (a.c2 - b.c2) * (a.c2 - b.c2)
-                + (a.c3 - b.c3) * (a.c3 - b.c3))::BIGINT AS ssd
-        FROM idxed a JOIN idxed b
-          ON a.blk = b.blk AND abs(a.idx - b.idx) <= {MP_SNM_W}
-             AND NOT (a.user_id = b.user_id AND a.r = b.r)
-        WHERE NOT (a.user_id = b.user_id AND abs(a.r - b.r) < {MP_M})
-    ),
-    best AS (
-        SELECT user_id, r, partner_user, partner_pos, ssd,
-               row_number() OVER (
-                   PARTITION BY user_id, r
-                   ORDER BY ssd, partner_user, partner_pos
-               ) AS rn
-        FROM pairs
-    )
-    SELECT user_id, r AS pos, partner_user, partner_pos, ssd AS ssd_cents2
-    FROM (
-        SELECT *, row_number() OVER (
-                   PARTITION BY user_id
-                   ORDER BY ssd, r, partner_user, partner_pos
-               ) AS mrn
-        FROM best WHERE rn = 1
-    ) z WHERE mrn = 1
-    """,
-    tags=("timeseries", "telemetry", "similarity"),
-)
-def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked approximate MATRIX PROFILE (Yeh/Keogh's motif-discovery
-    primitive) over per-user daily-spend series: for every length-MP_M
-    subsequence, the nearest non-trivial neighbor (trivial = same series
-    within MP_M positions, the standard exclusion zone); per user, the
-    POSITION WHOSE NEIGHBOR IS CLOSEST is the series' top motif — 'this
-    4-day spending shape recurs, here and there'. Exact STOMP is O(n²);
-    the first cut of this op blocked on shape+octave alone and the
-    decade probe TIMED OUT at sf0.1 — magnitude octaves concentrate, so
-    in-block pairs went quadratic (the er_record_linkage lesson, caught
-    by the per-op ritual). The registered plan therefore adds SORTED-
-    NEIGHBORHOOD candidates (Hernandez-Stolfo SNM, the classic ER move):
-    within each block — delta-sign pattern (27 shapes) concatenated with
-    the total's octave coded as binary-string length (never float log2)
-    — members are ranked lexicographically by (c0..c3), and each row is
-    compared ONLY to the MP_SNM_W nearest ranks. Candidate volume is
-    O(N·W) by construction at any scale; close subsequences sort
-    adjacently (lex order on the raw values is a 4-D locality proxy
-    inside a fixed shape/octave class), and a true nearest neighbor
-    farther than W ranks away is missed BY DESIGN — the same priced
-    trade as sim_topk_ann, stated not hidden.
+_MOTIF_BEST: dict[tuple[str, str], DataFrame] = {}
 
-    Exactness: distances are exact BIGINT sums of squared cents deltas
-    (z-normalized MP needs per-window float stats; the un-normalized
-    integer form is the hash-checkable twin); argmin and per-user motif
-    selection carry full deterministic tiebreaks (rule 10). lead()
-    windows build subsequences in ONE per-user pass; no arrays, no UDFs.
 
-    Scale shape: day rollup and lead windows ride one user partitioning;
-    the rank window partitions by block; the band join is an equi-join
-    on (blk, rank-bucket) with ±1 probe groups (the chunk-band
-    discipline) so candidates never enumerate a block's cross product.
-    The twin uses the plain |Δidx| <= W predicate — same pairs, oracle
-    clarity over oracle speed."""
+def motif_best_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-position nearest-neighbor frame (user_id, r, partner_user,
+    partner_pos, ssd) — the approximate matrix profile itself, computed
+    once per (session, sf_dir) and eagerly checkpointed (the graph-memo
+    discipline): ts_motif_discovery reads its per-user MIN and
+    anomaly_subsequence_discord its per-user MAX, so the candidate join
+    is paid once for both consumers."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MOTIF_BEST:
+        return _MOTIF_BEST[key]
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
     ev = load(spark, sf_dir, "events")
     daily = (
         ev.select(
@@ -4327,11 +4245,212 @@ def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ssd", "partner_user", "partner_pos"
     )
     best = pairs.withColumn("rn", F.row_number().over(wbest)).filter(F.col("rn") == 1)
+    _MOTIF_BEST[key] = best.select(
+        "user_id", "r", "partner_user", "partner_pos", "ssd"
+    ).checkpoint(eager=True)
+    return _MOTIF_BEST[key]
+
+
+@query(
+    "ts_motif_discovery",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    sub AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS r,
+               cents AS c0,
+               lead(cents, 1) OVER (PARTITION BY user_id ORDER BY day) AS c1,
+               lead(cents, 2) OVER (PARTITION BY user_id ORDER BY day) AS c2,
+               lead(cents, 3) OVER (PARTITION BY user_id ORDER BY day) AS c3
+        FROM daily
+    ),
+    keyed AS (
+        SELECT user_id, r, c0, c1, c2, c3,
+               concat(
+                   CASE WHEN c1 > c0 THEN 'u' WHEN c1 < c0 THEN 'd' ELSE 'f' END,
+                   CASE WHEN c2 > c1 THEN 'u' WHEN c2 < c1 THEN 'd' ELSE 'f' END,
+                   CASE WHEN c3 > c2 THEN 'u' WHEN c3 < c2 THEN 'd' ELSE 'f' END,
+                   '|', length(to_base(c0 + c1 + c2 + c3 + 1, 2))::VARCHAR
+               ) AS blk
+        FROM sub WHERE c3 IS NOT NULL
+    ),
+    idxed AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY blk ORDER BY c0, c1, c2, c3, user_id, r
+               ) AS idx
+        FROM keyed
+    ),
+    pairs AS (
+        SELECT a.user_id, a.r,
+               b.user_id AS partner_user, b.r AS partner_pos,
+               ((a.c0 - b.c0) * (a.c0 - b.c0) + (a.c1 - b.c1) * (a.c1 - b.c1)
+                + (a.c2 - b.c2) * (a.c2 - b.c2)
+                + (a.c3 - b.c3) * (a.c3 - b.c3))::BIGINT AS ssd
+        FROM idxed a JOIN idxed b
+          ON a.blk = b.blk AND abs(a.idx - b.idx) <= {MP_SNM_W}
+             AND NOT (a.user_id = b.user_id AND a.r = b.r)
+        WHERE NOT (a.user_id = b.user_id AND abs(a.r - b.r) < {MP_M})
+    ),
+    best AS (
+        SELECT user_id, r, partner_user, partner_pos, ssd,
+               row_number() OVER (
+                   PARTITION BY user_id, r
+                   ORDER BY ssd, partner_user, partner_pos
+               ) AS rn
+        FROM pairs
+    )
+    SELECT user_id, r AS pos, partner_user, partner_pos, ssd AS ssd_cents2
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ssd, r, partner_user, partner_pos
+               ) AS mrn
+        FROM best WHERE rn = 1
+    ) z WHERE mrn = 1
+    """,
+    tags=("timeseries", "telemetry", "similarity"),
+)
+def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked approximate MATRIX PROFILE (Yeh/Keogh's motif-discovery
+    primitive) over per-user daily-spend series: for every length-MP_M
+    subsequence, the nearest non-trivial neighbor (trivial = same series
+    within MP_M positions, the standard exclusion zone); per user, the
+    POSITION WHOSE NEIGHBOR IS CLOSEST is the series' top motif — 'this
+    4-day spending shape recurs, here and there'. Exact STOMP is O(n²);
+    the first cut of this op blocked on shape+octave alone and the
+    decade probe TIMED OUT at sf0.1 — magnitude octaves concentrate, so
+    in-block pairs went quadratic (the er_record_linkage lesson, caught
+    by the per-op ritual). The registered plan therefore adds SORTED-
+    NEIGHBORHOOD candidates (Hernandez-Stolfo SNM, the classic ER move):
+    within each block — delta-sign pattern (27 shapes) concatenated with
+    the total's octave coded as binary-string length (never float log2)
+    — members are ranked lexicographically by (c0..c3), and each row is
+    compared ONLY to the MP_SNM_W nearest ranks. Candidate volume is
+    O(N·W) by construction at any scale; close subsequences sort
+    adjacently (lex order on the raw values is a 4-D locality proxy
+    inside a fixed shape/octave class), and a true nearest neighbor
+    farther than W ranks away is missed BY DESIGN — the same priced
+    trade as sim_topk_ann, stated not hidden.
+
+    Exactness: distances are exact BIGINT sums of squared cents deltas
+    (z-normalized MP needs per-window float stats; the un-normalized
+    integer form is the hash-checkable twin); argmin and per-user motif
+    selection carry full deterministic tiebreaks (rule 10). lead()
+    windows build subsequences in ONE per-user pass; no arrays, no UDFs.
+
+    Scale shape: day rollup and lead windows ride one user partitioning;
+    the rank window partitions by block; the band join is an equi-join
+    on (blk, rank-bucket) with ±1 probe groups (the chunk-band
+    discipline) so candidates never enumerate a block's cross product.
+    The twin uses the plain |Δidx| <= W predicate — same pairs, oracle
+    clarity over oracle speed."""
+    best = motif_best_frame(spark, sf_dir)
     wmotif = Window.partitionBy("user_id").orderBy(
         "ssd", "r", "partner_user", "partner_pos"
     )
     return (
         best.withColumn("mrn", F.row_number().over(wmotif))
+        .filter(F.col("mrn") == 1)
+        .select(
+            "user_id",
+            F.col("r").alias("pos"),
+            "partner_user",
+            "partner_pos",
+            F.col("ssd").alias("ssd_cents2"),
+        )
+    )
+
+
+@query(
+    "anomaly_subsequence_discord",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    sub AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS r,
+               cents AS c0,
+               lead(cents, 1) OVER (PARTITION BY user_id ORDER BY day) AS c1,
+               lead(cents, 2) OVER (PARTITION BY user_id ORDER BY day) AS c2,
+               lead(cents, 3) OVER (PARTITION BY user_id ORDER BY day) AS c3
+        FROM daily
+    ),
+    keyed AS (
+        SELECT user_id, r, c0, c1, c2, c3,
+               concat(
+                   CASE WHEN c1 > c0 THEN 'u' WHEN c1 < c0 THEN 'd' ELSE 'f' END,
+                   CASE WHEN c2 > c1 THEN 'u' WHEN c2 < c1 THEN 'd' ELSE 'f' END,
+                   CASE WHEN c3 > c2 THEN 'u' WHEN c3 < c2 THEN 'd' ELSE 'f' END,
+                   '|', length(to_base(c0 + c1 + c2 + c3 + 1, 2))::VARCHAR
+               ) AS blk
+        FROM sub WHERE c3 IS NOT NULL
+    ),
+    idxed AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY blk ORDER BY c0, c1, c2, c3, user_id, r
+               ) AS idx
+        FROM keyed
+    ),
+    pairs AS (
+        SELECT a.user_id, a.r,
+               b.user_id AS partner_user, b.r AS partner_pos,
+               ((a.c0 - b.c0) * (a.c0 - b.c0) + (a.c1 - b.c1) * (a.c1 - b.c1)
+                + (a.c2 - b.c2) * (a.c2 - b.c2)
+                + (a.c3 - b.c3) * (a.c3 - b.c3))::BIGINT AS ssd
+        FROM idxed a JOIN idxed b
+          ON a.blk = b.blk AND abs(a.idx - b.idx) <= {MP_SNM_W}
+             AND NOT (a.user_id = b.user_id AND a.r = b.r)
+        WHERE NOT (a.user_id = b.user_id AND abs(a.r - b.r) < {MP_M})
+    ),
+    best AS (
+        SELECT user_id, r, partner_user, partner_pos, ssd,
+               row_number() OVER (
+                   PARTITION BY user_id, r
+                   ORDER BY ssd, partner_user, partner_pos
+               ) AS rn
+        FROM pairs
+    )
+    SELECT user_id, r AS pos, partner_user, partner_pos, ssd AS ssd_cents2
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ssd DESC, r, partner_user, partner_pos
+               ) AS mrn
+        FROM best WHERE rn = 1
+    ) z WHERE mrn = 1
+    """,
+    tags=("timeseries", "telemetry", "anomaly"),
+)
+def anomaly_subsequence_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsequence DISCORD — the matrix profile's anomaly reading, the
+    complement of ts_motif_discovery off the SAME memoized per-position
+    nearest-neighbor frame (motif_best_frame — the candidate join is paid
+    once per session for both consumers): per user, the position whose
+    NEAREST neighbor is FARTHEST is the series' most anomalous 4-day
+    shape ("nothing else ever looked like this week"), Keogh's discord
+    definition. Approximation bound stated: candidates come from the SNM
+    band, so a position with NO in-band candidate (so anomalous it sits
+    alone in its shape/octave block) is absent from the frame and cannot
+    be reported — the discord here is the max over MATCHED positions, a
+    lower bound on the true discord distance; the blocking that makes the
+    op linear is the same reason the most extreme outliers need the
+    separate embed_outlier_score-style audit. Same exact-BIGINT SSD,
+    same full tiebreaks (ssd DESC, then position/partner ids)."""
+    best = motif_best_frame(spark, sf_dir)
+    wdisc = Window.partitionBy("user_id").orderBy(
+        F.col("ssd").desc(), F.col("r").asc(), "partner_user", "partner_pos"
+    )
+    return (
+        best.withColumn("mrn", F.row_number().over(wdisc))
         .filter(F.col("mrn") == 1)
         .select(
             "user_id",

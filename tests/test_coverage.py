@@ -631,6 +631,8 @@ EXTENSIONS = [
     # round 9: blocked approximate matrix profile — per-series top motif via
     # shape+octave candidate blocking, exact integer SSD
     "ts_motif_discovery",
+    # round 9: the discord (anomaly) reading of the same memoized profile
+    "anomaly_subsequence_discord",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -361,3 +361,17 @@ def test_motif_partner_is_valid_and_nontrivial(spark, sf_dir, duck):
             assert abs(pa - pb) >= MP_M, r  # exclusion zone
         ssd = sum((s_a[pa + i] - s_b[pb + i]) ** 2 for i in range(MP_M))
         assert ssd == r["ssd_cents2"], r
+
+
+def test_discord_and_motif_bracket_the_profile(spark, sf_dir):
+    """Discord and motif come from the SAME per-position profile: per user,
+    motif ssd <= discord ssd, with equality iff the user has one matched
+    position class; both rows must reference real matched positions."""
+    motif = {r["user_id"]: r for r in _df("ts_motif_discovery", spark, sf_dir).collect()}
+    disc = {
+        r["user_id"]: r
+        for r in _df("anomaly_subsequence_discord", spark, sf_dir).collect()
+    }
+    assert set(motif) == set(disc)  # same matched-user universe
+    for uid in motif:
+        assert motif[uid]["ssd_cents2"] <= disc[uid]["ssd_cents2"], uid
