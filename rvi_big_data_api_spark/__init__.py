@@ -66,7 +66,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # -- round-9 additions (registered BEHIND the 24+1 unverified head) ------
     "mm_cdc_dedup", "text_substring_dedup", "privacy_dp_quantile",
     "mm_cdc_incremental", "corpus_bpe_fertility", "ts_motif_discovery",
-    "anomaly_subsequence_discord",
+    "anomaly_subsequence_discord", "corpus_substring_scrub",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -3439,3 +3439,126 @@ def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(toks) * 1000000 div sum(chars)").alias("tokens_per_char_ppm"),
         )
     )
+
+
+@query(
+    "corpus_substring_scrub",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, p,
+               md5(array_to_string(ts[p + 1 : p + {RUN_K}], ' ')) AS gh
+        FROM (
+            SELECT doc_id, ts, unnest(range(len(ts) - {RUN_K} + 1)) AS p
+            FROM toks WHERE len(ts) >= {RUN_K}
+        )
+    ),
+    counted AS (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS c FROM grams
+    ),
+    dup AS (
+        SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        FROM counted WHERE c >= 2
+    ),
+    runs AS (
+        SELECT doc_id, min(p)::BIGINT AS run_start,
+               count(*)::BIGINT AS n_grams,
+               (count(*) + {RUN_K} - 1)::BIGINT AS span_tokens
+        FROM dup GROUP BY doc_id, isl
+    ),
+    fingered AS (
+        SELECT r.doc_id, r.run_start, r.span_tokens,
+               md5(array_to_string(
+                   t.ts[r.run_start + 1 : r.run_start + r.span_tokens], ' '
+               )) AS fp
+        FROM runs r JOIN toks t ON r.doc_id = t.doc_id
+    ),
+    removal AS (
+        SELECT DISTINCT doc_id, run_start + o AS p
+        FROM (
+            SELECT doc_id, run_start, span_tokens,
+                   row_number() OVER (PARTITION BY fp
+                                      ORDER BY doc_id, run_start) AS rn
+            FROM fingered
+        ) z, unnest(generate_series(0, span_tokens - 1)) g(o)
+        WHERE rn > 1
+    ),
+    alltok AS (
+        SELECT doc_id, i AS p, ts[i + 1] AS tok
+        FROM toks, unnest(range(len(ts))) u(i)
+    ),
+    kept AS (
+        SELECT a.doc_id, a.p, a.tok
+        FROM alltok a LEFT JOIN removal r
+          ON a.doc_id = r.doc_id AND a.p = r.p
+        WHERE r.p IS NULL
+    )
+    SELECT t.doc_id,
+           len(t.ts)::BIGINT AS n_tokens,
+           (len(t.ts) - count(k.p))::BIGINT AS n_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS scrubbed_text
+    FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, len(t.ts)
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def corpus_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style boilerplate SCRUB that consumes text_substring_dedup's
+    ledger: every corpus-later repeated run (keep = false — the first
+    occurrence stays, Lee et al.'s ExactSubstr deletion rule) is removed
+    token-for-token and the surviving tokens are reassembled in order.
+    Runs' TOKEN coverages can overlap by up to RUN_K-1 even though their
+    gram ranges are disjoint, so removal is the UNION of covered
+    positions (explode each removal run to its positions, distinct, one
+    anti-join) — never an interval-arithmetic special case. Documents
+    with no repeated runs pass through byte-identical; a fully-duplicated
+    later twin scrubs to the empty string.
+
+    Scale shape: the run ledger is the flagship's plan (one gram-hash
+    count window); removal positions explode to at most the corpus token
+    count; the kept-token reassembly is text_span_dedup's sort-collect on
+    doc_id. All shuffles key on doc_id or the 16-byte gram hash."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    runs = substring_dedup_frame(d)
+    removal = (
+        runs.filter(~F.col("keep"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("run_start"),
+                    F.col("run_start") + F.col("span_tokens") - 1,
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    alltok = toks.select(
+        "doc_id",
+        F.posexplode("ts").alias("p", "tok"),
+    )
+    kept = alltok.join(removal, ["doc_id", "p"], "left_anti")
+    kept_struct = F.struct("p", "tok")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x.tok),
+            " ",
+        ).alias("scrubbed_text"),
+    )
+    return (
+        toks.select("doc_id", F.size("ts").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("scrubbed_text"), F.lit("")).alias("scrubbed_text"),
+        )
+    )

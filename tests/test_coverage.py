@@ -633,6 +633,9 @@ EXTENSIONS = [
     "ts_motif_discovery",
     # round 9: the discord (anomaly) reading of the same memoized profile
     "anomaly_subsequence_discord",
+    # round 9: the C4-style scrub consuming the repeated-run ledger —
+    # overlap-aware union removal, first occurrence kept
+    "corpus_substring_scrub",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

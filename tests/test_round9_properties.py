@@ -375,3 +375,25 @@ def test_discord_and_motif_bracket_the_profile(spark, sf_dir):
     assert set(motif) == set(disc)  # same matched-user universe
     for uid in motif:
         assert motif[uid]["ssd_cents2"] <= disc[uid]["ssd_cents2"], uid
+
+
+def test_scrub_conserves_and_respects_ledger(spark, sf_dir):
+    """corpus_substring_scrub vs the flagship's ledger: (1) removed-token
+    counts equal the union of keep=false run coverages (recomputed in
+    Python from the run table — overlap-aware); (2) docs with no removal
+    runs pass through with n_removed = 0; (3) scrubbed token count + removed
+    = original."""
+    runs = _df("text_substring_dedup", spark, sf_dir).collect()
+    removal: dict[int, set] = {}
+    for r in runs:
+        if not r["keep"]:
+            removal.setdefault(r["doc_id"], set()).update(
+                range(r["run_start"], r["run_start"] + r["span_tokens"])
+            )
+    out = {r["doc_id"]: r for r in _df("corpus_substring_scrub", spark, sf_dir).collect()}
+    assert out
+    for doc_id, r in out.items():
+        expect = len(removal.get(doc_id, ()))
+        assert r["n_removed"] == expect, (doc_id, r["n_removed"], expect)
+        n_scrubbed = len(r["scrubbed_text"].split(" ")) if r["scrubbed_text"] else 0
+        assert n_scrubbed + r["n_removed"] == r["n_tokens"], doc_id
