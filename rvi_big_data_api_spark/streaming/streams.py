@@ -2188,3 +2188,165 @@ def stream_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("z_score"),
     )
+
+
+# --- round 9: streaming CDC ingest ------------------------------------------
+
+
+@query(
+    "stream_cdc_ingest",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) >= 1
+    ),
+    bnd AS (
+        SELECT doc_id, i
+        FROM docs, unnest(generate_series(8, len - 1)) t(i)
+        WHERE substr(md5(substring(text, i - 7, 8)), 1, 1) = '0'
+        UNION ALL
+        SELECT doc_id, len AS i FROM docs
+    ),
+    spans AS (
+        SELECT doc_id,
+               coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+               i AS e
+        FROM bnd
+    ),
+    chunks AS (
+        SELECT sp.doc_id, sp.s,
+               (sp.e - sp.s)::BIGINT AS chunk_bytes,
+               md5(substring(d.text, sp.s + 1, sp.e - sp.s)) AS chunk_md5
+        FROM spans sp JOIN docs d ON sp.doc_id = d.doc_id
+    ),
+    store AS (
+        SELECT DISTINCT chunk_md5 FROM chunks WHERE doc_id % 2 = 0
+    )
+    SELECT c.doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(c.chunk_bytes)::BIGINT AS n_bytes,
+           sum(CASE WHEN st.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS reused_chunks,
+           sum(CASE WHEN st.chunk_md5 IS NOT NULL THEN c.chunk_bytes
+                    ELSE 0 END)::BIGINT AS reused_bytes,
+           sum(CASE WHEN st.chunk_md5 IS NULL THEN c.chunk_bytes
+                    ELSE 0 END)::BIGINT AS new_bytes,
+           (sum(CASE WHEN st.chunk_md5 IS NULL THEN c.chunk_bytes ELSE 0 END)
+               * 1000000 // sum(c.chunk_bytes))::BIGINT AS upload_ppm
+    FROM chunks c LEFT JOIN store st ON c.chunk_md5 = st.chunk_md5
+    WHERE c.doc_id % 2 = 1
+    GROUP BY c.doc_id
+    """,
+    tags=("streaming", "multimodal", "cdc"),
+)
+def stream_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-TIME content-defined-chunking ingest — mm_cdc_incremental's
+    streaming twin: blobs arrive as files and each micro-batch chunks
+    them and probes the STATIC base chunk store (even doc_ids, built by
+    the batch side via the same cdc_chunk_frame geometry) to decide what
+    to upload. Two deliberate differences from the batch op, both
+    stream-architectural:
+
+    (1) WINDOW-FREE CHUNKING: Structured Streaming forbids non-time
+    windows (the batch op's per-doc lag()), so boundaries are computed
+    per ROW as an array expression — filter(sequence(W, len-1), i ->
+    md5-nibble predicate) plus the forced end, then the span list by
+    zipping the boundary array with its own 0-prepended shift, then
+    posexplode. Entirely map-side JVM HOFs (no state, no shuffle before
+    the store probe) — at 100 TB each arriving blob chunks inside its
+    own task, which is also the plan a batch rewrite would want.
+
+    (2) STATELESS REUSE: the probe answers 'is this chunk in the
+    COMMITTED store' only — intra-stream duplicate collapse (the batch
+    op's keep-first window) is the compaction job's business; a live
+    ingest path that tried to dedup against in-flight uploads would need
+    a coordination layer (the store itself is that layer in production).
+    The twin therefore checks base membership only.
+
+    Complete-mode groupBy(doc_id) over the stream-static join ==> the
+    final table equals the batch algebra, which the oracle pins."""
+    base = cdc_chunk_frame_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    store = base.select("chunk_md5").distinct().withColumn("in_base", F.lit(True))
+    w = 8
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(_stream_docs_dir(sf_dir))
+        .filter((F.col("doc_id") % 2 == 1) & (F.length("text") >= 1))
+        .select("doc_id", "text", F.length("text").cast("long").alias("len"))
+        .withColumn(
+            "bnd",
+            F.concat(
+                F.filter(
+                    F.sequence(F.lit(w), F.greatest(F.col("len") - 1, F.lit(w))),
+                    lambda i: (i <= F.col("len") - 1)
+                    & (
+                        F.substring(
+                            F.md5(
+                                F.col("text").substr(
+                                    (i - F.lit(w - 1)).cast("int"), F.lit(w)
+                                )
+                            ),
+                            1,
+                            1,
+                        )
+                        == "0"
+                    ),
+                ),
+                F.array(F.col("len")),
+            ),
+        )
+        .withColumn(
+            "span",
+            F.explode(
+                F.arrays_zip(
+                    F.concat(
+                        F.array(F.lit(0).cast("long")),
+                        F.slice(F.col("bnd"), 1, F.size("bnd") - 1),
+                    ).alias("s"),
+                    F.col("bnd").alias("e"),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("span.e") - F.col("span.s")).alias("chunk_bytes"),
+            F.md5(F.expr("substring(text, span.s + 1, span.e - span.s)")).alias(
+                "chunk_md5"
+            ),
+        )
+        .join(store, "chunk_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_bytes").alias("n_bytes"),
+            F.sum(F.when(F.col("in_base"), 1).otherwise(0)).alias("reused_chunks"),
+            F.sum(F.when(F.col("in_base"), F.col("chunk_bytes")).otherwise(0)).alias(
+                "reused_bytes"
+            ),
+            F.sum(
+                F.when(F.col("in_base").isNull(), F.col("chunk_bytes")).otherwise(0)
+            ).alias("new_bytes"),
+            F.expr(
+                "sum(CASE WHEN in_base IS NULL THEN chunk_bytes ELSE 0 END)"
+                " * 1000000 div sum(chunk_bytes)"
+            ).alias("upload_ppm"),
+        )
+    )
+    return run_to_table(sdf, sf_dir, "cdcingest", "complete")
+
+
+def cdc_chunk_frame_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-side CDC chunks of the documents lake (the shared geometry)."""
+    from ..operators.multimodal import _with_binary, cdc_chunk_frame
+
+    return cdc_chunk_frame(
+        _with_binary(load_docs(spark, sf_dir)).select("doc_id", "payload")
+    )
+
+
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load
+
+    return load(spark, sf_dir, "documents")

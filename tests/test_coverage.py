@@ -636,6 +636,9 @@ EXTENSIONS = [
     # round 9: the C4-style scrub consuming the repeated-run ledger —
     # overlap-aware union removal, first occurrence kept
     "corpus_substring_scrub",
+    # round 9: streaming CDC ingest — window-free HOF chunking per arriving
+    # blob, stateless probe of the static base chunk store
+    "stream_cdc_ingest",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -397,3 +397,21 @@ def test_scrub_conserves_and_respects_ledger(spark, sf_dir):
         assert r["n_removed"] == expect, (doc_id, r["n_removed"], expect)
         n_scrubbed = len(r["scrubbed_text"].split(" ")) if r["scrubbed_text"] else 0
         assert n_scrubbed + r["n_removed"] == r["n_tokens"], doc_id
+
+
+def test_stream_cdc_reconciles_with_batch_incremental(spark, sf_dir):
+    """stream_cdc_ingest (stateless: reuse = base membership only) vs
+    mm_cdc_incremental (reuse = base OR earlier-delta): identical chunk
+    geometry per doc (n_chunks, n_bytes equal), and the stateless form can
+    only upload MORE — per doc, stream new_bytes >= batch new_bytes, with
+    the difference exactly the intra-delta dup bytes."""
+    batch = {r["doc_id"]: r for r in _df("mm_cdc_incremental", spark, sf_dir).collect()}
+    stream = {r["doc_id"]: r for r in _df("stream_cdc_ingest", spark, sf_dir).collect()}
+    assert set(batch) == set(stream)
+    saw_gap = False
+    for doc_id, b in batch.items():
+        s = stream[doc_id]
+        assert (s["n_chunks"], s["n_bytes"]) == (b["n_chunks"], b["n_bytes"]), doc_id
+        assert s["new_bytes"] >= b["new_bytes"], doc_id
+        saw_gap = saw_gap or s["new_bytes"] > b["new_bytes"]
+    assert saw_gap, "fixture has no intra-delta dup chunks — reconciliation vacuous"
