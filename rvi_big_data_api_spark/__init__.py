@@ -67,7 +67,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "mm_cdc_dedup", "text_substring_dedup", "privacy_dp_quantile",
     "mm_cdc_incremental", "corpus_bpe_fertility", "ts_motif_discovery",
     "anomaly_subsequence_discord", "corpus_substring_scrub",
-    "stream_cdc_ingest",
+    "stream_cdc_ingest", "win_regression_slope", "eval_pinball_loss",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

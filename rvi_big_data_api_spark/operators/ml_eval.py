@@ -3301,3 +3301,105 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_pass_at_k_ppm(1)).alias("pass1_ppm"),
         F.expr(_pass_at_k_ppm(5)).alias("pass5_ppm"),
     )
+
+
+# --- round 9: pinball-loss quantile-forecast bake-off -------------------------
+
+
+@query(
+    "eval_pinball_loss",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    preds AS (
+        SELECT user_id, day, cents AS y,
+               lag(cents) OVER w AS naive,
+               (lag(cents, 1) OVER w + lag(cents, 2) OVER w
+                + lag(cents, 3) OVER w) // 3 AS trail3
+        FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    scored AS (
+        SELECT m.model, q.q10, p.y,
+               CASE m.model WHEN 'naive_lag1' THEN p.naive ELSE p.trail3 END
+                   AS yhat
+        FROM preds p,
+             (VALUES ('naive_lag1'), ('trailing3_mean')) m(model),
+             (VALUES (5), (9)) q(q10)
+        WHERE p.naive IS NOT NULL AND p.trail3 IS NOT NULL
+    )
+    SELECT model, q10::BIGINT AS q10,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN y >= yhat THEN q10 * (y - yhat)
+                    ELSE (10 - q10) * (yhat - y) END)::BIGINT AS loss_x10,
+           (sum(CASE WHEN y >= yhat THEN q10 * (y - yhat)
+                     ELSE (10 - q10) * (yhat - y) END) * 100
+               // count(*))::BIGINT AS mean_loss_centi
+    FROM scored GROUP BY model, q10
+    """,
+    tags=("analytics", "eval", "timeseries"),
+)
+def eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (quantile) LOSS bake-off — the proper scoring rule for
+    quantile forecasts (the metric quantile-regression and probabilistic
+    demand forecasting are judged by; M5-Uncertainty's metric): for
+    target quantile q, loss = q·(y−ŷ) when the outcome overshoots the
+    forecast, (1−q)·(ŷ−y) when it undershoots — asymmetric exactly so
+    that the loss-minimizing constant IS the q-quantile. Two
+    deterministic baseline forecasters of next-day user spend (naive
+    lag-1; trailing-3 floor-mean) are scored at q=0.5 and q=0.9; the
+    output is the model × quantile league table a forecast bake-off
+    publishes. Integer discipline: q·loss is scaled ×10 so both branches
+    stay exact BIGINT (q10 ∈ {{5,9}}), summed exactly, and the per-row
+    mean ships once as integer centi-units (rule 25) — no float touches
+    the metric.
+
+    Scale: one day rollup, one lag window, then a 4-way constant
+    cross-join (2 models × 2 quantiles — literal VALUES, broadcast) and
+    one partial agg whose state is 4 rows. The eval costs one corpus
+    pass at any scale."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    preds = daily.select(
+        F.col("cents").alias("y"),
+        F.lag("cents", 1).over(w).alias("naive"),
+        F.expr(
+            "(lag(cents, 1) OVER (PARTITION BY user_id ORDER BY day)"
+            " + lag(cents, 2) OVER (PARTITION BY user_id ORDER BY day)"
+            " + lag(cents, 3) OVER (PARTITION BY user_id ORDER BY day)) div 3"
+        ).alias("trail3"),
+    ).filter(F.col("naive").isNotNull() & F.col("trail3").isNotNull())
+    grid = spark.createDataFrame(
+        [("naive_lag1", 5), ("naive_lag1", 9), ("trailing3_mean", 5), ("trailing3_mean", 9)],
+        "model string, q10 int",
+    )
+    scored = preds.crossJoin(F.broadcast(grid)).select(
+        "model",
+        F.col("q10").cast("long").alias("q10"),
+        "y",
+        F.when(F.col("model") == "naive_lag1", F.col("naive"))
+        .otherwise(F.col("trail3"))
+        .alias("yhat"),
+    )
+    loss = F.when(
+        F.col("y") >= F.col("yhat"), F.col("q10") * (F.col("y") - F.col("yhat"))
+    ).otherwise((10 - F.col("q10")) * (F.col("yhat") - F.col("y")))
+    return scored.groupBy("model", "q10").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(loss).alias("loss_x10"),
+        F.expr(
+            "sum(CASE WHEN y >= yhat THEN q10 * (y - yhat)"
+            " ELSE (10 - q10) * (yhat - y) END) * 100 div count(*)"
+        ).alias("mean_loss_centi"),
+    )

@@ -435,3 +435,93 @@ def win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_within"),
         F.round(F.sum("value").over(w), 2).alias("sum_within"),
     )
+
+
+# --- round 9: rolling OLS trend ----------------------------------------------
+
+SLOPE_W = 8  # trailing days per regression window
+
+
+@query(
+    "win_regression_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    indexed AS (
+        SELECT user_id, day, cents,
+               (row_number() OVER (PARTITION BY user_id ORDER BY day) - 1)::BIGINT
+                   AS r
+        FROM daily
+    ),
+    sums AS (
+        SELECT user_id, day,
+               count(*) OVER w::BIGINT AS n,
+               sum(r) OVER w::BIGINT AS sx,
+               sum(r * r) OVER w::BIGINT AS sxx,
+               sum(cents) OVER w::BIGINT AS sy,
+               sum(r * cents) OVER w::BIGINT AS sxy
+        FROM indexed
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN {SLOPE_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d %H:%M:%S') AS day, n,
+           ((n * sxy - sx * sy) * 1000000
+               // nullif(n * sxx - sx * sx, 0))::BIGINT AS slope_ppm
+    FROM sums
+    """,
+    tags=("windows", "timeseries"),
+)
+def win_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS TREND — per user, the least-squares slope of daily spend
+    over the trailing SLOPE_W days, the window-native form of trend
+    detection (ts_holt_linear smooths globally; this emits a per-day
+    local slope a monitoring rule can threshold). The whole regression
+    is FOUR integer window sums over one frame: slope = (n·Σxy − Σx·Σy)
+    / (n·Σx² − (Σx)²) with x = the absolute day index — OLS slope is
+    shift-invariant in x, so the absolute index works in a sliding frame
+    without per-frame re-centering, which is what makes the plan one
+    window pass instead of a self-join. All inputs are exact BIGINT
+    (cents, indices), the ratio ships once as integer ppm (rule 25),
+    and the single-row frame short-circuits to NULL via nullif (den = 0
+    iff all x equal iff n = 1, since day indices are distinct).
+
+    Scale: one day rollup + one user-partitioned frame — the win_ewma
+    cost class; nothing global."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wday = Window.partitionBy("user_id").orderBy("day")
+    indexed = daily.select(
+        "user_id",
+        "day",
+        "cents",
+        (F.row_number().over(wday) - 1).cast("long").alias("r"),
+    )
+    wf = wday.rowsBetween(-(SLOPE_W - 1), Window.currentRow)
+    sums = indexed.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("r").over(wf).alias("sx"),
+        F.sum(F.col("r") * F.col("r")).over(wf).alias("sxx"),
+        F.sum("cents").over(wf).alias("sy"),
+        F.sum(F.col("r") * F.col("cents")).over(wf).alias("sxy"),
+    )
+    return sums.select(
+        "user_id",
+        ts_str(F.col("day")).alias("day"),
+        "n",
+        F.expr(
+            "(n * sxy - sx * sy) * 1000000 div nullif(n * sxx - sx * sx, 0)"
+        ).alias("slope_ppm"),
+    )

@@ -639,6 +639,9 @@ EXTENSIONS = [
     # round 9: streaming CDC ingest — window-free HOF chunking per arriving
     # blob, stateless probe of the static base chunk store
     "stream_cdc_ingest",
+    # round 9: rolling OLS trend as four integer window sums (shift-invariant
+    # x), and the pinball-loss quantile-forecast league table
+    "win_regression_slope", "eval_pinball_loss",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -415,3 +415,54 @@ def test_stream_cdc_reconciles_with_batch_incremental(spark, sf_dir):
         assert s["new_bytes"] >= b["new_bytes"], doc_id
         saw_gap = saw_gap or s["new_bytes"] > b["new_bytes"]
     assert saw_gap, "fixture has no intra-delta dup chunks — reconciliation vacuous"
+
+
+# --- win_regression_slope / eval_pinball_loss -------------------------------
+
+
+def test_regression_slope_matches_numpy_on_sample(spark, sf_dir, duck):
+    """Spot-verify the window OLS against numpy.polyfit on the trailing
+    windows of a handful of users — the integer algebra (shift-invariant x,
+    single ppm division) against an independent float implementation."""
+    import numpy as np
+
+    from rvi_big_data_api_spark.operators.windows import SLOPE_W
+
+    rows = [
+        r
+        for r in _df("win_regression_slope", spark, sf_dir).collect()
+        if r["user_id"] in (1, 2, 3)
+    ]
+    assert rows
+    series: dict[int, list] = {}
+    for uid, cents in duck.execute("""
+        SELECT user_id, sum(floor(value * 100 + 0.5)::BIGINT)
+        FROM events WHERE user_id IN (1, 2, 3)
+        GROUP BY user_id, date_trunc('day', ts) ORDER BY 1, date_trunc('day', ts)
+    """).fetchall():
+        series.setdefault(uid, []).append(cents)
+    by_uid_day: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["day"])):
+        uid = r["user_id"]
+        i = by_uid_day.get(uid, 0)
+        by_uid_day[uid] = i + 1
+        ys = series[uid][max(0, i - SLOPE_W + 1) : i + 1]
+        if len(ys) < 2:
+            assert r["slope_ppm"] is None, r  # nullif(den, 0) single-row frame
+            continue
+        slope = np.polyfit(np.arange(len(ys)), np.array(ys, dtype=float), 1)[0]
+        assert abs(r["slope_ppm"] / 1e6 - slope) < 1e-3 + abs(slope) * 1e-9, (r, slope)
+
+
+def test_pinball_loss_table_shape_and_consistency(spark, sf_dir):
+    """All four (model, quantile) rows exist; the centi-mean reconciles with
+    the exact sum; and at q=0.5 the loss is symmetric (5x the absolute
+    error), so models are comparable across quantiles."""
+    rows = {(r["model"], r["q10"]): r for r in _df("eval_pinball_loss", spark, sf_dir).collect()}
+    assert set(rows) == {
+        ("naive_lag1", 5), ("naive_lag1", 9),
+        ("trailing3_mean", 5), ("trailing3_mean", 9),
+    }
+    for key, r in rows.items():
+        assert r["mean_loss_centi"] == r["loss_x10"] * 100 // r["n"], key
+        assert r["n"] > 0 and r["loss_x10"] >= 0, key
