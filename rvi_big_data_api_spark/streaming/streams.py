@@ -2350,3 +2350,99 @@ def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import load
 
     return load(spark, sf_dir, "documents")
+
+
+# --- round 9: streaming benchmark-contamination guard ------------------------
+
+GUARD_QUARANTINE_PPM = 100_000  # >=10% shared grams -> quarantine, else review
+
+
+@query(
+    "stream_contamination_guard",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id < 50
+    ),
+    train AS (SELECT * FROM grams WHERE doc_id >= 50),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM train GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id, count(*)::BIGINT AS n_shared
+        FROM train t JOIN bench b ON t.gram = b.gram
+        GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, s.n_grams, h.n_shared,
+           (h.n_shared * 1000000 // s.n_grams)::BIGINT AS shared_ppm,
+           CASE WHEN h.n_shared * 1000000 // s.n_grams >= 100000
+                THEN 'quarantine' ELSE 'review' END AS verdict
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+    tags=("streaming", "llm", "text"),
+)
+def stream_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-TIME benchmark-contamination guard — text_contamination moved to
+    the ingest door: crawled documents arrive as a stream, each is cut into
+    its DISTINCT word trigrams PER ROW (array_distinct over the gram
+    transform — no stream-level distinct, so no state; dedup within a doc
+    is a row-local array op), and every gram probes the STATIC benchmark
+    gram set. Docs sharing grams get a ledger row with an integer-ppm share
+    and a routing verdict: >= GUARD_QUARANTINE_PPM -> 'quarantine' (likely
+    verbatim benchmark text; never reaches the training lake), else
+    'review'. This is the guard that makes eval integrity an INGEST
+    property rather than a nightly sweep — by the time a batch
+    decontamination job runs, a contaminated shard may already be in a
+    training mix.
+
+    Scale: the benchmark gram set is KBs against TBs of crawl (the batch
+    op's broadcast rationale, inherited); the stream side is stateless
+    map + broadcast probe + one complete-mode per-doc agg. Twin: the
+    identical algebra as batch SQL (CONTAM_NGRAM=3, bench = doc_id < 50
+    slice — the batch op's fixture convention)."""
+    from ..operators.llm_text import CONTAM_BENCH_MAX_ID, CONTAM_NGRAM
+
+    docs = load_docs(spark, sf_dir)
+    grams_expr = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(toks) - {CONTAM_NGRAM - 1}, 1)),"
+        f" i -> array_join(slice(toks, i, {CONTAM_NGRAM}), ' ')))"
+    )
+    bench = (
+        docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(F.explode(grams_expr).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(_stream_docs_dir(sf_dir))
+        .filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(grams_expr).alias("gram"))
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 1)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.expr("n_shared * 1000000 div n_grams").alias("shared_ppm"),
+            F.when(
+                F.expr("n_shared * 1000000 div n_grams") >= GUARD_QUARANTINE_PPM,
+                "quarantine",
+            )
+            .otherwise("review")
+            .alias("verdict"),
+        )
+    )
+    return run_to_table(sdf, sf_dir, "contamguard", "complete")

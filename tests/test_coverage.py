@@ -642,6 +642,9 @@ EXTENSIONS = [
     # round 9: rolling OLS trend as four integer window sums (shift-invariant
     # x), and the pinball-loss quantile-forecast league table
     "win_regression_slope", "eval_pinball_loss",
+    # round 9: benchmark-contamination guard at the ingest door — stateless
+    # per-row gram probe of the static benchmark set, routing verdicts
+    "stream_contamination_guard",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -466,3 +466,20 @@ def test_pinball_loss_table_shape_and_consistency(spark, sf_dir):
     for key, r in rows.items():
         assert r["mean_loss_centi"] == r["loss_x10"] * 100 // r["n"], key
         assert r["n"] > 0 and r["loss_x10"] >= 0, key
+
+
+def test_contamination_guard_reconciles_with_batch(spark, sf_dir):
+    """stream_contamination_guard vs text_contamination: identical doc set
+    and identical (n_grams, n_shared) per doc — the guard is the batch
+    decontamination pass relocated to ingest, not a different metric."""
+    batch = {r["doc_id"]: r for r in _df("text_contamination", spark, sf_dir).collect()}
+    guard = {
+        r["doc_id"]: r
+        for r in _df("stream_contamination_guard", spark, sf_dir).collect()
+    }
+    assert set(batch) == set(guard)
+    assert guard, "no contaminated docs in fixture — vacuous"
+    for doc_id, g in guard.items():
+        b = batch[doc_id]
+        assert (g["n_grams"], g["n_shared"]) == (b["n_grams"], b["n_shared"]), doc_id
+        assert g["verdict"] in ("quarantine", "review"), doc_id
