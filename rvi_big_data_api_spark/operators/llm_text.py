@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load
-from ..registry import query
+from ..registry import REGISTRY, query
 
 STOPWORDS = ("data", "table", "value", "row")
 QUALITY_MIN_CHARS = 100
@@ -3561,4 +3561,73 @@ def corpus_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce(F.col("scrubbed_text"), F.lit("")).alias("scrubbed_text"),
         )
+    )
+
+
+# --- round 9: ER blocking quality gate ---------------------------------------
+
+
+@query(
+    "eval_er_quality",
+    # compose the full linkage oracle as a nested CTE so the gate can never
+    # drift from the op it audits (the _BPE_CHAIN_SQL discipline)
+    oracle=f"""
+    WITH pairs AS ({{er_oracle}}),
+    variants AS (
+        SELECT c_custkey + {ER_VARIANT_BASE} AS rec_id
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT
+        (SELECT count(*) FROM variants)::BIGINT AS n_variants,
+        count(*)::BIGINT AS n_pairs,
+        sum(CASE WHEN true_match THEN 1 ELSE 0 END)::BIGINT AS n_true,
+        count(DISTINCT CASE WHEN true_match THEN id_b END)::BIGINT
+            AS n_recovered,
+        (count(DISTINCT CASE WHEN true_match THEN id_b END) * 1000000
+            // (SELECT count(*) FROM variants))::BIGINT AS recall_ppm,
+        (sum(CASE WHEN true_match THEN 1 ELSE 0 END) * 1000000
+            // count(*))::BIGINT AS precision_ppm
+    FROM pairs
+    """.format(er_oracle=REGISTRY["er_record_linkage"].oracle),
+    tags=("llm", "linkage", "eval"),
+)
+def eval_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLOCKING-QUALITY GATE for the entity-resolution family — what
+    eval_lsh_candidate_quality is to the LSH dedup path, this is to
+    deletion-neighborhood linkage: pairs completeness (RECALL — the
+    fraction of injected dirty re-entries whose true base survived
+    blocking + verify; a blocking scheme that silently drops true pairs
+    is the classic undetected ER failure) and match PRECISION (deletion
+    COLLISIONS — distinct bases whose neighborhoods overlap — surface
+    as false pairs). One audit row, integer ppm (rule 25). The oracle
+    embeds er_record_linkage's ENTIRE oracle as a nested CTE, so gate
+    and op are definitionally in lockstep; the Spark side consumes the
+    op's own frame for the same reason.
+
+    At 100 TB this gate is what licenses the linkage output for
+    downstream merges: recall below target means the error model or
+    window is wrong (the two measured round-8 blocking lessons live in
+    the op's docstring); precision below target means the verify rule
+    needs tightening — and both are one cheap aggregate over the pair
+    ledger the run already produced."""
+    pairs = er_record_linkage(spark, sf_dir)
+    n_variants = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+    return pairs.crossJoin(F.broadcast(n_variants)).agg(
+        F.max("n_variants").alias("n_variants"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("true_match"), 1).otherwise(0)).alias("n_true"),
+        F.countDistinct(
+            F.when(F.col("true_match"), F.col("id_b"))
+        ).alias("n_recovered"),
+        F.expr(
+            "count(DISTINCT CASE WHEN true_match THEN id_b END) * 1000000"
+            " div max(n_variants)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "sum(CASE WHEN true_match THEN 1 ELSE 0 END) * 1000000 div count(*)"
+        ).alias("precision_ppm"),
     )

@@ -645,6 +645,9 @@ EXTENSIONS = [
     # round 9: benchmark-contamination guard at the ingest door — stateless
     # per-row gram probe of the static benchmark set, routing verdicts
     "stream_contamination_guard",
+    # round 9: the blocking-quality gate for the ER family — pairs
+    # completeness (recall) and collision precision off the pair ledger
+    "eval_er_quality",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -483,3 +483,20 @@ def test_contamination_guard_reconciles_with_batch(spark, sf_dir):
         b = batch[doc_id]
         assert (g["n_grams"], g["n_shared"]) == (b["n_grams"], b["n_shared"]), doc_id
         assert g["verdict"] in ("quarantine", "review"), doc_id
+
+
+def test_er_quality_gate_reconciles_with_pair_ledger(spark, sf_dir):
+    """eval_er_quality vs a direct aggregate of er_record_linkage's output:
+    the gate must be EXACTLY the ledger's summary (and the fixture's
+    single-deletion universe should be fully recovered: recall = 1e6,
+    precision < 1e6 iff deletion collisions exist)."""
+    pairs = _df("er_record_linkage", spark, sf_dir).collect()
+    (g,) = _df("eval_er_quality", spark, sf_dir).collect()
+    n_true = sum(1 for p in pairs if p["true_match"])
+    recovered = {p["id_b"] for p in pairs if p["true_match"]}
+    assert g["n_pairs"] == len(pairs)
+    assert g["n_true"] == n_true
+    assert g["n_recovered"] == len(recovered)
+    assert g["recall_ppm"] == len(recovered) * 1_000_000 // g["n_variants"]
+    assert g["recall_ppm"] == 1_000_000, "single-deletion model must be fully recovered"
+    assert 0 < g["precision_ppm"] <= 1_000_000
