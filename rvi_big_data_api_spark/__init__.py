@@ -68,7 +68,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "mm_cdc_incremental", "corpus_bpe_fertility", "ts_motif_discovery",
     "anomaly_subsequence_discord", "corpus_substring_scrub",
     "stream_cdc_ingest", "win_regression_slope", "eval_pinball_loss",
-    "stream_contamination_guard", "eval_er_quality",
+    "stream_contamination_guard", "eval_er_quality", "privacy_generalize",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

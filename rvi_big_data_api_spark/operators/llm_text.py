@@ -3631,3 +3631,97 @@ def eval_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(CASE WHEN true_match THEN 1 ELSE 0 END) * 1000000 div count(*)"
         ).alias("precision_ppm"),
     )
+
+
+@query(
+    "privacy_generalize",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT doc_id, source, lang,
+               CASE WHEN n_chars < 200 THEN 'short'
+                    WHEN n_chars < 800 THEN 'medium'
+                    ELSE 'long' END AS size_band
+        FROM documents
+    ),
+    g0 AS (
+        SELECT source, lang, size_band, count(*)::BIGINT AS n
+        FROM quasi GROUP BY 1, 2, 3
+    ),
+    g1 AS (SELECT source, lang, count(*)::BIGINT AS n FROM quasi GROUP BY 1, 2),
+    g2 AS (SELECT source, count(*)::BIGINT AS n FROM quasi GROUP BY 1),
+    assigned AS (
+        SELECT q.doc_id,
+               CASE WHEN g0.n >= {K_ANON_K} THEN 0
+                    WHEN g1.n >= {K_ANON_K} THEN 1
+                    WHEN g2.n >= {K_ANON_K} THEN 2
+                    ELSE 3 END AS level
+        FROM quasi q
+        JOIN g0 ON q.source = g0.source AND q.lang = g0.lang
+               AND q.size_band = g0.size_band
+        JOIN g1 ON q.source = g1.source AND q.lang = g1.lang
+        JOIN g2 ON q.source = g2.source
+    )
+    SELECT level::BIGINT AS level,
+           count(*)::BIGINT AS n_docs,
+           (count(*) * 1000000 // (SELECT count(*) FROM quasi))::BIGINT
+               AS share_ppm
+    FROM assigned GROUP BY level
+    """,
+    tags=("llm", "privacy", "audit"),
+)
+def privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-generalization REPAIR for k-anonymity violations — the step
+    privacy_k_anonymity's audit hands its red rows to: each record is
+    assigned the FIRST rung of a fixed generalization ladder at which its
+    quasi-identifier group reaches K_ANON_K — level 0 = (source, lang,
+    size_band) as published, 1 = drop the size band, 2 = source only,
+    3 = fully suppressed. Per-record minimal generalization (the
+    Mondrian/Datafly idea as a join, not a loop): group sizes at every
+    rung come from three partial aggs over ONE corpus scan, the record
+    picks its rung with a CASE — no iteration, because the ladder is
+    monotone (coarser rung ⇒ larger group, so the first satisfying rung
+    is the minimum). Output is the utility ledger a release decision
+    reads: how many records publish at each rung and the share (integer
+    ppm) — mass at high rungs means the quasi-identifier policy destroys
+    utility and the bands need redesign.
+
+    Scale: three partial aggs (each state |distinct tuples|, tiny) + two
+    broadcast-sized dimension joins back to the corpus + one 4-row
+    rollup. One scan at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    size_band = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 800, "medium")
+        .otherwise("long")
+    )
+    quasi = docs.select(
+        "doc_id", "source", "lang", size_band.alias("size_band")
+    )
+    g0 = quasi.groupBy("source", "lang", "size_band").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    g1 = quasi.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n1"))
+    g2 = quasi.groupBy("source").agg(F.count(F.lit(1)).alias("n2"))
+    total = quasi.agg(F.count(F.lit(1)).alias("total"))
+    level = (
+        F.when(F.col("n0") >= K_ANON_K, 0)
+        .when(F.col("n1") >= K_ANON_K, 1)
+        .when(F.col("n2") >= K_ANON_K, 2)
+        .otherwise(3)
+    )
+    assigned = (
+        quasi.join(F.broadcast(g0), ["source", "lang", "size_band"])
+        .join(F.broadcast(g1), ["source", "lang"])
+        .join(F.broadcast(g2), ["source"])
+        .select(level.cast("long").alias("level"))
+    )
+    return (
+        assigned.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "level",
+            "n_docs",
+            F.expr("n_docs * 1000000 div total").alias("share_ppm"),
+        )
+    )

@@ -648,6 +648,9 @@ EXTENSIONS = [
     # round 9: the blocking-quality gate for the ER family — pairs
     # completeness (recall) and collision precision off the pair ledger
     "eval_er_quality",
+    # round 9: minimal-generalization repair for k-anonymity violations —
+    # the monotone ladder as three aggs + a CASE, no iteration
+    "privacy_generalize",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -500,3 +500,17 @@ def test_er_quality_gate_reconciles_with_pair_ledger(spark, sf_dir):
     assert g["recall_ppm"] == len(recovered) * 1_000_000 // g["n_variants"]
     assert g["recall_ppm"] == 1_000_000, "single-deletion model must be fully recovered"
     assert 0 < g["precision_ppm"] <= 1_000_000
+
+
+def test_generalize_repairs_the_audit(spark, sf_dir):
+    """privacy_generalize vs privacy_k_anonymity: every record in a
+    violating level-0 group must be assigned level >= 1; records in
+    passing groups stay at level 0; shares partition the corpus."""
+    audit = _df("privacy_k_anonymity", spark, sf_dir).collect()
+    levels = {r["level"]: r for r in _df("privacy_generalize", spark, sf_dir).collect()}
+    n_violating_docs = sum(r["group_size"] for r in audit if r["violates_k"])
+    n_ok_docs = sum(r["group_size"] for r in audit if not r["violates_k"])
+    assert levels[0]["n_docs"] == n_ok_docs
+    assert sum(r["n_docs"] for r in levels.values()) == n_ok_docs + n_violating_docs
+    assert sum(r["n_docs"] for r in levels.values() if r["level"] >= 1) == n_violating_docs
+    assert abs(sum(r["share_ppm"] for r in levels.values()) - 1_000_000) < len(levels)
