@@ -1288,3 +1288,92 @@ def scan_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap_df if out is None else out.unionByName(snap_df)
     return out
+
+
+@query(
+    "sink_snapshot_commit",
+    oracle="""
+    SELECT 1::BIGINT AS version, 2::BIGINT AS n_files,
+           count(*)::BIGINT AS n_rows,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2::BIGINT, 3::BIGINT, count(*)::BIGINT,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 3::BIGINT, 3::BIGINT, count(*)::BIGINT,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+    FROM orders
+    WHERE o_orderkey % 3 IN (1, 2)
+       OR (o_orderkey % 3 = 0 AND floor(o_totalprice * 100 + 0.5)::BIGINT % 2 = 0)
+    """,
+    tags=("sink", "lakehouse"),
+)
+def sink_snapshot_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of manifest snapshots — scan_snapshot_manifest reads
+    versions; this op COMMITS them, demonstrating the two mutations every
+    table format reduces to: (v1→v2) APPEND = write a new immutable file,
+    new manifest = old rows + the new file; (v2→v3) ROW-LEVEL DELETE =
+    rewrite the one affected file without the deleted rows (copy-on-write,
+    the cdc_merge idea at file granularity), new manifest swaps old file
+    for new — readers of v1/v2 are never disturbed because no committed
+    file is ever mutated. The op then audits ALL THREE versions through
+    their manifests (version, file count, rows, exact cents), which the
+    twin recomputes from the deterministic key slices: v3 keeps residues
+    1,2 whole and residue 0 only where cents are even (the delete
+    predicate).
+
+    Commit protocol note for 100 TB: the manifest write is the ONLY
+    serialization point (optimistic concurrency = compare-and-swap on the
+    version counter); data-file writes are embarrassingly parallel and
+    speculative — a failed commit abandons files, never corrupts a
+    version. The one .collect() reads manifests (paths, not data), the
+    planning phase every format pays on the coordinator."""
+    base = scratch_dir(sf_dir, "snapcommit")
+    o = load(spark, sf_dir, "orders")
+    paths = {}
+    for name, residue in (("A", 0), ("B", 1), ("C", 2)):
+        path = os.path.join(base, f"data_{name}")
+        o.filter(F.col("o_orderkey") % 3 == residue).write.mode("overwrite").parquet(path)
+        paths[name] = path
+    # copy-on-write delete: rewrite A without its odd-cents rows
+    a2 = os.path.join(base, "data_A2")
+    (
+        o.filter(
+            (F.col("o_orderkey") % 3 == 0)
+            & (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 2 == 0)
+        )
+        .write.mode("overwrite")
+        .parquet(a2)
+    )
+    manifest = spark.createDataFrame(
+        [
+            (1, paths["A"]), (1, paths["B"]),                     # v1: initial
+            (2, paths["A"]), (2, paths["B"]), (2, paths["C"]),    # v2: append C
+            (3, a2), (3, paths["B"]), (3, paths["C"]),            # v3: delete in A
+        ],
+        "version bigint, file_path string",
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(base, "manifest"))
+    mrows = spark.read.parquet(os.path.join(base, "manifest")).collect()
+    out = None
+    for v in (1, 2, 3):
+        files = sorted(r["file_path"] for r in mrows if r["version"] == v)
+        snap = (
+            spark.read.parquet(*files)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("total_cents"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(len(files)).cast("long").alias("n_files"),
+                "n_rows",
+                "total_cents",
+            )
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

@@ -651,6 +651,9 @@ EXTENSIONS = [
     # round 9: minimal-generalization repair for k-anonymity violations —
     # the monotone ladder as three aggs + a CASE, no iteration
     "privacy_generalize",
+    # round 9: the write side of manifest snapshots — append + copy-on-write
+    # delete commits, three versions audited through their manifests
+    "sink_snapshot_commit",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -514,3 +514,17 @@ def test_generalize_repairs_the_audit(spark, sf_dir):
     assert sum(r["n_docs"] for r in levels.values()) == n_ok_docs + n_violating_docs
     assert sum(r["n_docs"] for r in levels.values() if r["level"] >= 1) == n_violating_docs
     assert abs(sum(r["share_ppm"] for r in levels.values()) - 1_000_000) < len(levels)
+
+
+def test_snapshot_commit_isolation(spark, sf_dir):
+    """sink_snapshot_commit: append grows rows (v2 > v1), delete shrinks
+    only the rewritten file's contribution (v3 < v2 but v3 keeps every
+    residue-1/2 row), and v1's audit equals scan_snapshot_manifest's v1 —
+    committed versions are immutable across ops."""
+    commits = {r["version"]: r for r in _df("sink_snapshot_commit", spark, sf_dir).collect()}
+    assert set(commits) == {1, 2, 3}
+    assert commits[2]["n_rows"] > commits[1]["n_rows"]
+    assert commits[3]["n_rows"] < commits[2]["n_rows"]
+    reads = {r["snapshot_id"]: r for r in _df("scan_snapshot_manifest", spark, sf_dir).collect()}
+    assert commits[1]["n_rows"] == reads[1]["n_rows"]
+    assert commits[1]["total_cents"] == reads[1]["total_cents"]
