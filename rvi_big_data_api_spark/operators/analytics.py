@@ -922,3 +922,150 @@ def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b") * DP_Q_BUCKET_CENTS).cast("long").alias("dp_median_cents"),
         )
     )
+
+
+# --- round 9: CUPED variance reduction ---------------------------------------
+
+# The float algebra applied to the per-arm integer sums — ONE text, consumed
+# verbatim by both engines (rule 9: identical expression trees over exact
+# integers are bit-identical), rounded 6dp only at the end (rule 8).
+# theta-laden floats only: theta is a ratio of large mixed products, so a
+# .xxxxx5 tie at 6 dp is measure-zero (rule 8's transcendental argument);
+# the PURELY RATIONAL columns (raw mean/variance — denominator n or n², where
+# a 6-dp round tie is reachable and WAS hit on this fixture) ship as exact
+# integer-scaled values instead, per-engine div (Spark `div` / DuckDB `//`).
+_CUPED_FLOAT_EXPRS = [
+    "round((sy - theta * (sx - n * mx)) / n, 6) + 0.0 AS mean_cuped",
+    "round((syy - 2 * theta * (sxy - mx * sy)"
+    "       + theta * theta * (sxx - 2 * mx * sx + n * mx * mx)) / n"
+    "      - ((sy - theta * (sx - n * mx)) / n)"
+    "        * ((sy - theta * (sx - n * mx)) / n), 6) + 0.0 AS var_cuped",
+]
+
+
+@query(
+    "eval_ab_cuped",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               sum(CASE WHEN epoch(date_trunc('day', ts))::BIGINT // 86400 % 2 = 0
+                        THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN epoch(date_trunc('day', ts))::BIGINT // 86400 % 2 = 1
+                        THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+    ),
+    arm_sums AS (
+        SELECT arm, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+               sum(y * y)::BIGINT AS syy
+        FROM per_user GROUP BY arm
+    ),
+    gstats AS (
+        SELECT count(*)::BIGINT AS gn, sum(x)::BIGINT AS gsx,
+               sum(y)::BIGINT AS gsy, sum(x * x)::BIGINT AS gsxx,
+               sum(x * y)::BIGINT AS gsxy
+        FROM per_user
+    ),
+    scored AS (
+        SELECT a.arm, a.n, a.sx AS sum_pre_cents, a.sy AS sum_post_cents,
+               cast(a.sx as double) AS sx, cast(a.sy as double) AS sy,
+               cast(a.sxx as double) AS sxx, cast(a.sxy as double) AS sxy,
+               cast(a.syy as double) AS syy,
+               (cast(g.gn as double) * g.gsxy - cast(g.gsx as double) * g.gsy)
+                   / (cast(g.gn as double) * g.gsxx
+                      - cast(g.gsx as double) * g.gsx) AS theta,
+               cast(g.gsx as double) / g.gn AS mx
+        FROM arm_sums a CROSS JOIN gstats g
+    )
+    SELECT arm, n, sum_pre_cents, sum_post_cents,
+           (sum_post_cents * 1000 // n)::BIGINT AS mean_post_milli,
+           ((n * cast(syy as BIGINT) - sum_post_cents * sum_post_cents) * 1000
+               // (n * n))::BIGINT AS var_post_milli,
+           {", ".join(_CUPED_FLOAT_EXPRS)}
+    FROM scored
+    """,
+    tags=("analytics", "eval", "experiment"),
+)
+def eval_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — Controlled-experiment
+    Using Pre-Experiment Data), the estimator every experimentation
+    platform ships because it cuts A/B variance for free: the adjusted
+    metric Y' = Y − θ(X − E[X]) uses each unit's PRE-period covariate X
+    (here: even-day spend cents vs odd-day spend as post — a deterministic
+    stand-in for the pre/post cutover), with θ = cov(X,Y)/var(X) pooled
+    across arms; any θ leaves the treatment-effect estimate unbiased
+    (X is pre-assignment) while the optimal θ removes all X-explained
+    variance. Output per arm: raw and CUPED means and variances — the
+    variance-shrink readout that decides how much traffic/runtime an
+    experiment saves.
+
+    Exactness discipline: everything aggregate is an EXACT BIGINT sum of
+    cents (x, y, xx, xy, yy — 2nd-moment state, the agg_moments shape).
+    The RAW mean/variance are pure rationals with denominator n/n², where
+    a 6-dp round tie is reachable — and was HIT on this fixture (Spark
+    HALF_UP vs DuckDB half-even at the last ulp of var_post) — so they
+    ship as EXACT integer milli-units. Only the θ-adjusted statistics
+    are floats: one expression tree shared verbatim between engines
+    (_CUPED_FLOAT_EXPRS), rounded 6dp at the output, where the tie set
+    is measure-zero because θ is a ratio of large mixed products (rules
+    8/9).
+
+    Scale: one corpus scan -> per-user partial agg; arm/global sums are
+    5-counter states; all float work runs on a 2-row frame."""
+    ev = load(spark, sf_dir, "events")
+    day_parity = F.expr("unix_timestamp(date_trunc('day', ts)) div 86400 % 2")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_user = ev.groupBy(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) >= "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+    ).agg(
+        F.sum(F.when(day_parity == 0, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(day_parity == 1, cents).otherwise(0)).alias("y"),
+    )
+    arm_sums = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx_i"),
+        F.sum("y").alias("sy_i"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_i"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_i"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_i"),
+    )
+    glob = per_user.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum("x").alias("gsx"),
+        F.sum("y").alias("gsy"),
+        F.sum(F.col("x") * F.col("x")).alias("gsxx"),
+        F.sum(F.col("x") * F.col("y")).alias("gsxy"),
+    )
+    scored = arm_sums.crossJoin(F.broadcast(glob)).selectExpr(
+        "arm",
+        "n",
+        "sx_i AS sum_pre_cents",
+        "sy_i AS sum_post_cents",
+        "cast(sx_i as double) AS sx",
+        "cast(sy_i as double) AS sy",
+        "cast(sxx_i as double) AS sxx",
+        "cast(sxy_i as double) AS sxy",
+        "cast(syy_i as double) AS syy",
+        "(cast(gn as double) * gsxy - cast(gsx as double) * gsy)"
+        " / (cast(gn as double) * gsxx - cast(gsx as double) * gsx) AS theta",
+        "cast(gsx as double) / gn AS mx",
+    )
+    return scored.selectExpr(
+        "arm",
+        "n",
+        "sum_pre_cents",
+        "sum_post_cents",
+        "sum_post_cents * 1000 div n AS mean_post_milli",
+        "(n * cast(syy as BIGINT) - sum_post_cents * sum_post_cents) * 1000"
+        " div (n * n) AS var_post_milli",
+        *_CUPED_FLOAT_EXPRS,
+    )

@@ -654,6 +654,9 @@ EXTENSIONS = [
     # round 9: the write side of manifest snapshots — append + copy-on-write
     # delete commits, three versions audited through their manifests
     "sink_snapshot_commit",
+    # round 9: CUPED variance reduction — exact second-moment sums, raw
+    # stats as integer milli-units (rule 28), theta-laden floats 6dp
+    "eval_ab_cuped",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -528,3 +528,19 @@ def test_snapshot_commit_isolation(spark, sf_dir):
     reads = {r["snapshot_id"]: r for r in _df("scan_snapshot_manifest", spark, sf_dir).collect()}
     assert commits[1]["n_rows"] == reads[1]["n_rows"]
     assert commits[1]["total_cents"] == reads[1]["total_cents"]
+
+
+def test_cuped_reduces_variance_and_preserves_effect_direction(spark, sf_dir):
+    """CUPED's contract: per arm, adjusted variance <= raw variance (theta
+    is the pooled optimum, so it cannot increase X-explained variance on
+    the pooled fit), and the adjustment is mean-preserving up to the
+    covariate imbalance term (|mean_cuped - mean_post| bounded by
+    |theta| * |mean_pre_arm - mean_pre_pooled|)."""
+    rows = {r["arm"]: r for r in _df("eval_ab_cuped", spark, sf_dir).collect()}
+    assert set(rows) == {"control", "treatment"}
+    total_n = sum(r["n"] for r in rows.values())
+    mx = sum(r["sum_pre_cents"] for r in rows.values()) / total_n
+    for arm, r in rows.items():
+        assert r["var_cuped"] <= r["var_post_milli"] / 1000 + 1e-6, arm
+        drift = abs(r["sum_pre_cents"] / r["n"] - mx)
+        assert abs(r["mean_cuped"] - r["mean_post_milli"] / 1000) <= drift + 1e-3, arm
