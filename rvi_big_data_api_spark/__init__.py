@@ -69,7 +69,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "anomaly_subsequence_discord", "corpus_substring_scrub",
     "stream_cdc_ingest", "win_regression_slope", "eval_pinball_loss",
     "stream_contamination_guard", "eval_er_quality", "privacy_generalize",
-    "sink_snapshot_commit", "eval_ab_cuped",
+    "sink_snapshot_commit", "eval_ab_cuped", "graph_link_prediction",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -3589,3 +3589,118 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib_ppm"),
         )
     )
+
+
+# --- round 9: link prediction over the similarity graph ----------------------
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {SIM_PAIRS_TAU}
+    ),
+    edges AS (
+        SELECT label, va AS src, vb AS dst FROM pairs
+        UNION ALL SELECT label, vb, va FROM pairs
+    ),
+    deg AS (SELECT label, src AS id, count(*)::BIGINT AS d FROM edges GROUP BY 1, 2),
+    wedges AS (
+        SELECT e1.label, e1.src AS a, e2.src AS b, e1.dst AS z
+        FROM edges e1 JOIN edges e2 ON e1.label = e2.label AND e1.dst = e2.dst
+        WHERE e1.src < e2.src
+    ),
+    nonadj AS (
+        SELECT w.label, w.a, w.b, w.z
+        FROM wedges w
+        LEFT JOIN pairs p ON w.a = p.va AND w.b = p.vb
+        WHERE p.va IS NULL
+    ),
+    scored AS (
+        SELECT n.label, n.a, n.b,
+               count(*)::BIGINT AS cn,
+               round(sum(1.0 / ln(d.d)), 6) + 0.0 AS adamic_adar
+        FROM nonadj n JOIN deg d ON n.label = d.label AND n.z = d.id
+        GROUP BY n.label, n.a, n.b
+    ),
+    directed AS (
+        SELECT a AS node, b AS predicted, cn, adamic_adar FROM scored
+        UNION ALL SELECT b, a, cn, adamic_adar FROM scored
+    )
+    SELECT node, predicted, cn, adamic_adar
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY node ORDER BY cn DESC, predicted ASC
+               ) AS rn
+        FROM directed
+    ) z WHERE rn = 1
+    """,
+    tags=("llm", "graph", "similarity"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the similarity graph — the graph family's
+    tenth primitive, and the one that looks FORWARD: for every node, the
+    best NON-ADJACENT partner by shared-neighbor evidence (common-
+    neighbour count, with Adamic-Adar — Σ 1/ln(deg z), rarer shared
+    neighbors weigh more — reported alongside). graph_jaccard_neighbors
+    scores all wedge pairs including existing edges; this op anti-joins
+    the edge list away, leaving exactly the candidate pairs a
+    dedup/linkage reviewer has NOT yet seen — 'these two documents match
+    the same third documents but never matched each other', the
+    second-order recall recovery for the near-dup pipeline.
+
+    Determinism: ranking uses INTEGER evidence only (cn desc, partner id
+    asc — rule 10); the float Adamic-Adar is reported, never ranked on,
+    so the argmax cannot tie on a last ulp (the eval_ab_cuped lesson one
+    op earlier). AA's 1/ln(d) is a shared expression tree over exact
+    integer degrees, rounded 6dp at the aggregate (rules 8/9; d >= 2 for
+    any shared neighbor, so ln > 0).
+
+    Shape: wedge join on (label, dst) — Σ deg² like the triangle/jaccard
+    ops, never all-pairs; one anti-join against the pair list; per-pair
+    partial agg; per-node argmax window. Edges from the session memo."""
+    p = sim_pair_edges(spark, sf_dir)
+    edges = p.select(
+        "label", F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionAll(p.select("label", F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+    deg = edges.groupBy("label", F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = edges.select("label", F.col("src").alias("a"), "dst")
+    e2 = edges.select("label", F.col("src").alias("b"), "dst")
+    wedges = e1.join(e2, ["label", "dst"]).filter(F.col("a") < F.col("b"))
+    nonadj = wedges.join(
+        p.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        nonadj.join(
+            deg,
+            (nonadj.label == deg.label) & (nonadj.dst == deg.id),
+        )
+        .groupBy(nonadj.label, "a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            (F.round(F.sum(1.0 / F.log(F.col("d"))), 6) + F.lit(0.0)).alias(
+                "adamic_adar"
+            ),
+        )
+    )
+    directed = scored.select(
+        F.col("a").alias("node"), F.col("b").alias("predicted"), "cn", "adamic_adar"
+    ).unionByName(
+        scored.select(
+            F.col("b").alias("node"), F.col("a").alias("predicted"), "cn", "adamic_adar"
+        )
+    )
+    wtop = Window.partitionBy("node").orderBy(F.col("cn").desc(), F.col("predicted").asc())
+    return (
+        directed.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("node", "predicted", "cn", "adamic_adar")
+    )

@@ -657,6 +657,9 @@ EXTENSIONS = [
     # round 9: CUPED variance reduction — exact second-moment sums, raw
     # stats as integer milli-units (rule 28), theta-laden floats 6dp
     "eval_ab_cuped",
+    # round 9: link prediction (common-neighbor + Adamic-Adar) over the
+    # similarity graph — non-adjacent wedge pairs, integer-evidence argmax
+    "graph_link_prediction",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

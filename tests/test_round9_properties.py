@@ -544,3 +544,24 @@ def test_cuped_reduces_variance_and_preserves_effect_direction(spark, sf_dir):
         assert r["var_cuped"] <= r["var_post_milli"] / 1000 + 1e-6, arm
         drift = abs(r["sum_pre_cents"] / r["n"] - mx)
         assert abs(r["mean_cuped"] - r["mean_post_milli"] / 1000) <= drift + 1e-3, arm
+
+
+def test_link_prediction_targets_are_nonadjacent_wedge_pairs(spark, sf_dir):
+    """Every predicted pair must be NON-adjacent (no direct similarity
+    edge), share >= cn common neighbors verifiable from the edge list, and
+    never self-predict."""
+    from rvi_big_data_api_spark.operators.llm_sim import sim_pair_edges
+
+    edges = sim_pair_edges(spark, sf_dir).collect()
+    adj: dict[int, set] = {}
+    for e in edges:
+        adj.setdefault(e["vec_a"], set()).add(e["vec_b"])
+        adj.setdefault(e["vec_b"], set()).add(e["vec_a"])
+    preds = _df("graph_link_prediction", spark, sf_dir).collect()
+    assert preds
+    for r in preds:
+        a, b = r["node"], r["predicted"]
+        assert a != b
+        assert b not in adj.get(a, ()), (a, b)  # non-adjacent
+        shared = adj.get(a, set()) & adj.get(b, set())
+        assert len(shared) == r["cn"], (a, b, len(shared), r["cn"])
