@@ -1377,3 +1377,75 @@ def sink_snapshot_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+PRUNE_CUTOFF = "1999-01-01"  # the query predicate the stats pruning serves
+PRUNE_YEARS = ((1995, 1997), (1997, 1999), (1999, 2001), (2001, 2003))
+
+
+@query(
+    "scan_manifest_prune",
+    oracle=f"""
+    SELECT 4::BIGINT AS n_files_total,
+           2::BIGINT AS n_files_read,
+           count(*)::BIGINT AS n_rows_read,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
+    FROM orders WHERE o_orderdate >= TIMESTAMP '{PRUNE_CUTOFF}'
+    """,
+    tags=("scan", "lakehouse"),
+)
+def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-STATS PRUNING at the planning phase — the level ABOVE parquet
+    footer pruning that table formats add: the manifest carries per-file
+    column stats (min/max o_orderdate here), so a time-range query
+    eliminates whole files from the plan BEFORE any footer is opened —
+    on a 100 TB table behind an object store, the difference between
+    listing 4 paths and issuing a million GET-range requests for footers
+    that will all say 'nothing here'. Staged: orders lands as four files
+    clustered by order-year span (clustering is what makes stats tight —
+    the sink_zorder story); the manifest records each file's stats;
+    planning evaluates the predicate AGAINST THE STATS (file survives iff
+    max >= cutoff), and the data plane scans only survivors. The pruned
+    files' rows are PROVABLY absent from the result because clustering
+    made the stats exact, which the twin pins by recomputing from the raw
+    predicate.
+
+    The .collect() reads the manifest (4 rows of paths + stats) — the
+    coordinator's planning phase, same as scan_snapshot_manifest; row
+    data never reaches the driver."""
+    base = scratch_dir(sf_dir, "manifestprune")
+    o = load(spark, sf_dir, "orders")
+    entries = []
+    for lo, hi in PRUNE_YEARS:
+        path = os.path.join(base, f"data_{lo}")
+        part = o.filter(
+            (F.col("o_orderdate") >= f"{lo}-01-01")
+            & (F.col("o_orderdate") < f"{hi}-01-01")
+        )
+        part.write.mode("overwrite").parquet(path)
+        entries.append((path, f"{lo}-01-01", f"{hi - 1}-12-31"))
+    manifest = spark.createDataFrame(
+        entries, "file_path string, min_date string, max_date string"
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(base, "manifest"))
+    # planning phase: predicate vs STATS decides which files exist to the scan
+    mrows = spark.read.parquet(os.path.join(base, "manifest")).collect()
+    survivors = sorted(
+        r["file_path"] for r in mrows if r["max_date"] >= PRUNE_CUTOFF
+    )
+    return (
+        spark.read.parquet(*survivors)
+        .filter(F.col("o_orderdate") >= PRUNE_CUTOFF)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_read"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.lit(len(mrows)).cast("long").alias("n_files_total"),
+            F.lit(len(survivors)).cast("long").alias("n_files_read"),
+            "n_rows_read",
+            "total_cents",
+        )
+    )

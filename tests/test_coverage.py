@@ -660,6 +660,9 @@ EXTENSIONS = [
     # round 9: link prediction (common-neighbor + Adamic-Adar) over the
     # similarity graph — non-adjacent wedge pairs, integer-evidence argmax
     "graph_link_prediction",
+    # round 9: manifest file-stats pruning — whole files eliminated at the
+    # planning phase before any footer read
+    "scan_manifest_prune",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
