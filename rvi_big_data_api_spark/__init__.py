@@ -70,7 +70,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_cdc_ingest", "win_regression_slope", "eval_pinball_loss",
     "stream_contamination_guard", "eval_er_quality", "privacy_generalize",
     "sink_snapshot_commit", "eval_ab_cuped", "graph_link_prediction",
-    "scan_manifest_prune",
+    "scan_manifest_prune", "stream_reservoir_sample",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -2446,3 +2446,81 @@ def stream_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(sdf, sf_dir, "contamguard", "complete")
+
+
+# --- round 9: streaming deterministic reservoir sample -----------------------
+
+RESERVOIR_K = 10  # sample size per stratum
+
+
+@query(
+    "stream_reservoir_sample",
+    oracle=f"""
+    SELECT event_type, event_id, substr(md5(event_id::VARCHAR), 1, 8) AS draw
+    FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(event_id::VARCHAR), event_id
+               ) AS rn
+        FROM events
+    ) z WHERE rn <= {RESERVOIR_K}
+    """,
+    tags=("streaming", "sampling"),
+)
+def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming RESERVOIR SAMPLE as custom per-key state
+    (applyInPandasWithState) — the online form of bottom-k sampling: per
+    stratum (event_type), keep the RESERVOIR_K events with the smallest
+    deterministic draw (md5 of the event id — the seeded-draw discipline
+    every sampler in this repo uses, so the 'random' reservoir is exactly
+    replayable), merging each micro-batch's candidates into the persisted
+    top-k state. Bottom-k is an online-mergeable monoid — merge(A, B) =
+    bottomK(A ∪ B) — which is precisely why bottom-k sketches are THE
+    streaming sampling primitive (distinct-counting and weighted sampling
+    fall out of the same state shape); a classic Vitter reservoir with a
+    live RNG could not be oracle-checked, the deterministic draw makes
+    the stream ≡ the batch bottom-k, which the twin pins exactly.
+
+    State per key: two K-bounded arrays (draws, ids) — fixed-size
+    regardless of stream length; at scale it lives in the RocksDB state
+    store partitioned by stratum. The update emits the key's current
+    reservoir, so with one availableNow batch the final table is the
+    batch sample (stream_stateful's convention)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (event_type,) = key
+        draws, ids = state.get if state.exists else ([], [])
+        pool = list(zip(draws, ids))
+        for pdf in pdf_iter:
+            pool.extend(zip(pdf["draw"].tolist(), pdf["event_id"].tolist()))
+        pool.sort()
+        pool = pool[:RESERVOIR_K]
+        state.update(([d for d, _ in pool], [i for _, i in pool]))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(pool),
+                "event_id": [i for _, i in pool],
+                "draw": [d[:8] for d, _ in pool],
+            }
+        )
+
+    sdf = (
+        stream_events(spark, sf_dir)
+        .select(
+            "event_type",
+            "event_id",
+            F.md5(F.col("event_id").cast("string")).alias("draw"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_type string, event_id long, draw string",
+            stateStructType="draws array<string>, ids array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_table(sdf, sf_dir, "reservoir", "update")

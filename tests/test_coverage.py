@@ -663,6 +663,9 @@ EXTENSIONS = [
     # round 9: manifest file-stats pruning — whole files eliminated at the
     # planning phase before any footer read
     "scan_manifest_prune",
+    # round 9: streaming deterministic reservoir (bottom-k as
+    # applyInPandasWithState per-stratum state — an online-mergeable monoid)
+    "stream_reservoir_sample",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -565,3 +565,30 @@ def test_link_prediction_targets_are_nonadjacent_wedge_pairs(spark, sf_dir):
         assert b not in adj.get(a, ()), (a, b)  # non-adjacent
         shared = adj.get(a, set()) & adj.get(b, set())
         assert len(shared) == r["cn"], (a, b, len(shared), r["cn"])
+
+
+def test_reservoir_is_exact_bottom_k_and_mergeable(spark, sf_dir, duck):
+    """The streamed reservoir equals the batch bottom-k recomputed in
+    Python, and bottom-k is mergeable: bottomK(bottomK(A) ∪ bottomK(B)) ==
+    bottomK(A ∪ B) over an arbitrary split — the property that makes it a
+    legal streaming state."""
+    from rvi_big_data_api_spark.streaming.streams import RESERVOIR_K
+
+    ev = duck.execute("SELECT event_type, event_id FROM events").fetchall()
+    pools: dict[str, list] = {}
+    for et, eid in ev:
+        pools.setdefault(et, []).append((hashlib.md5(str(eid).encode()).hexdigest(), eid))
+    expect = {
+        et: sorted(pool)[:RESERVOIR_K] for et, pool in pools.items()
+    }
+    got: dict[str, list] = {}
+    for r in _df("stream_reservoir_sample", spark, sf_dir).collect():
+        got.setdefault(r["event_type"], []).append(r["event_id"])
+    assert set(got) == set(expect)
+    for et in expect:
+        assert sorted(got[et]) == sorted(i for _, i in expect[et]), et
+        # mergeability on an arbitrary split
+        a = [p for p in pools[et] if p[1] % 2 == 0]
+        b = [p for p in pools[et] if p[1] % 2 == 1]
+        merged = sorted(sorted(a)[:RESERVOIR_K] + sorted(b)[:RESERVOIR_K])[:RESERVOIR_K]
+        assert merged == expect[et], et
