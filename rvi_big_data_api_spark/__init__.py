@@ -71,6 +71,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_contamination_guard", "eval_er_quality", "privacy_generalize",
     "sink_snapshot_commit", "eval_ab_cuped", "graph_link_prediction",
     "scan_manifest_prune", "stream_reservoir_sample",
+    "eval_experiment_power", "seq_longest_streak", "mm_scene_cuts",
+    "profile_activity_matrix",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

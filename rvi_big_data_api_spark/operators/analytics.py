@@ -1069,3 +1069,176 @@ def eval_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (n * n) AS var_post_milli",
         *_CUPED_FLOAT_EXPRS,
     )
+
+
+# --- round 9: experiment power / minimum detectable effect -------------------
+
+POWER_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.841621   # power = 0.80
+
+
+@query(
+    "eval_experiment_power",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+               sum(y * y)::BIGINT AS syy
+        FROM per_user GROUP BY arm
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'control' THEN n END)::BIGINT AS n_c,
+               max(CASE WHEN arm = 'control' THEN sy END)::BIGINT AS sy_c,
+               max(CASE WHEN arm = 'control' THEN syy END)::BIGINT AS syy_c,
+               max(CASE WHEN arm = 'treatment' THEN n END)::BIGINT AS n_t,
+               max(CASE WHEN arm = 'treatment' THEN sy END)::BIGINT AS sy_t,
+               max(CASE WHEN arm = 'treatment' THEN syy END)::BIGINT AS syy_t
+        FROM arms
+    )
+    SELECT n_c, n_t,
+           (sy_c * 1000 // n_c)::BIGINT AS mean_c_milli,
+           ((n_c * syy_c - sy_c * sy_c) * 1000 // (n_c * n_c))::BIGINT
+               AS var_c_milli,
+           ((n_t * syy_t - sy_t * sy_t) * 1000 // (n_t * n_t))::BIGINT
+               AS var_t_milli,
+           round(({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                 * sqrt((cast(n_c as double) * syy_c - cast(sy_c as double) * sy_c)
+                            / (cast(n_c as double) * n_c) / n_c
+                        + (cast(n_t as double) * syy_t - cast(sy_t as double) * sy_t)
+                            / (cast(n_t as double) * n_t) / n_t), 6) + 0.0
+               AS mde_cents,
+           round(({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                 * sqrt((cast(n_c as double) * syy_c - cast(sy_c as double) * sy_c)
+                            / (cast(n_c as double) * n_c) / n_c
+                        + (cast(n_t as double) * syy_t - cast(sy_t as double) * sy_t)
+                            / (cast(n_t as double) * n_t) / n_t)
+                 / (cast(sy_c as double) / n_c) * 100, 6) + 0.0 AS mde_pct
+    FROM wide
+    """,
+    tags=("analytics", "eval", "experiment"),
+)
+def eval_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER readout — the minimum detectable effect (MDE) at
+    the standard alpha=0.05 two-sided / power=0.80 operating point:
+    MDE = (z_alpha + z_beta) * sqrt(var_c/n_c + var_t/n_t), the number a
+    platform shows BEFORE a test launches ('with this traffic and this
+    metric variance you can detect a 1.4% lift; smaller real effects
+    will read as noise'). Sits beside eval_ab_cuped: CUPED shrinks the
+    variances, so rerunning this op on the adjusted metric quantifies
+    the runtime CUPED buys.
+
+    Exactness: arm sums are exact BIGINT second moments; the rational
+    pieces (means, variances) ship integer milli-scaled (PARITY rule 28,
+    learned one op earlier); only MDE itself — an irrational sqrt — is a
+    6-dp-rounded float over one shared expression tree (rules 8/9), with
+    z constants pinned as literals so no CDF inversion enters either
+    engine. One corpus scan, 2-row state."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) >= "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("y"))
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("sy"))).alias("sy_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("syy"))).alias("syy_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("sy"))).alias("sy_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("syy"))).alias("syy_t"),
+    )
+    mde = (
+        f"round(({POWER_Z_ALPHA} + {POWER_Z_BETA})"
+        " * sqrt((cast(n_c as double) * syy_c - cast(sy_c as double) * sy_c)"
+        " / (cast(n_c as double) * n_c) / n_c"
+        " + (cast(n_t as double) * syy_t - cast(sy_t as double) * sy_t)"
+        " / (cast(n_t as double) * n_t) / n_t), 6) + 0.0"
+    )
+    return wide.selectExpr(
+        "n_c",
+        "n_t",
+        "sy_c * 1000 div n_c AS mean_c_milli",
+        "(n_c * syy_c - sy_c * sy_c) * 1000 div (n_c * n_c) AS var_c_milli",
+        "(n_t * syy_t - sy_t * sy_t) * 1000 div (n_t * n_t) AS var_t_milli",
+        f"{mde} AS mde_cents",
+        f"round(({POWER_Z_ALPHA} + {POWER_Z_BETA})"
+        " * sqrt((cast(n_c as double) * syy_c - cast(sy_c as double) * sy_c)"
+        " / (cast(n_c as double) * n_c) / n_c"
+        " + (cast(n_t as double) * syy_t - cast(sy_t as double) * sy_t)"
+        " / (cast(n_t as double) * n_t) / n_t)"
+        " / (cast(sy_c as double) / n_c) * 100, 6) + 0.0 AS mde_pct",
+    )
+
+
+@query(
+    "profile_activity_matrix",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               (dayofweek(ts) + 1)::BIGINT AS dow,
+               hour(ts)::BIGINT AS hod,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    typed AS (
+        SELECT event_type, dow, hod, n,
+               sum(n) OVER (PARTITION BY event_type)::BIGINT AS type_total,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, dow ASC, hod ASC) AS rk
+        FROM cells
+    )
+    SELECT event_type, dow, hod, n,
+           (n * 1000000 // type_total)::BIGINT AS share_ppm,
+           (rk = 1) AS is_peak
+    FROM typed
+    """,
+    tags=("analytics", "profiling"),
+)
+def profile_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity matrix per channel — the fleet
+    heat-map behind every ops dashboard ('when do purchases actually
+    happen?'): per (channel, weekday, hour) cell, event count, integer-ppm
+    share of the channel's traffic, and the channel's peak cell flagged
+    with a full tiebreak (count desc, then dow/hod — rule 10). Calendar
+    trap caught by the hash compare: Spark dayofweek is 1-7 Sunday-first,
+    DuckDB's is 0-6 Sunday-first — the oracle carries the +1, and the
+    mismatch fired on every row until it did (now a pinned example of why
+    temporal extractors are never assumed engine-neutral).
+
+    One partial agg whose state is ≤ |types|·168 cells; the share window
+    partitions by type over that tiny frame. Free at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("dow").asc(), F.col("hod").asc()
+    )
+    return cells.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.expr(
+            "n * 1000000 div sum(n) OVER (PARTITION BY event_type)"
+        ).alias("share_ppm"),
+        (F.row_number().over(wr) == 1).alias("is_peak"),
+    )

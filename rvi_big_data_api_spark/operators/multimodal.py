@@ -18,10 +18,10 @@ from __future__ import annotations
 import pandas as pd
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load
-from ..registry import query
+from ..registry import REGISTRY, query
 
 
 def _with_binary(docs: DataFrame) -> DataFrame:
@@ -988,4 +988,96 @@ def mm_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(CASE WHEN reused THEN 0 ELSE chunk_bytes END) * 1000000"
             " div sum(chunk_bytes)"
         ).alias("upload_ppm"),
+    )
+
+
+# --- round 9: scene-cut detection over the frame stream ----------------------
+
+SCENE_CUT_CENTI = 300  # mean-byte*100 jump between frames that opens a scene
+
+
+@query(
+    "mm_scene_cuts",
+    # the frame ledger IS mm_audio_energy's oracle, nested (the
+    # eval_er_quality composition trick) — cut detection cannot drift from
+    # the framing it consumes
+    oracle=f"""
+    WITH frames AS ({{frames_oracle}}),
+    flagged AS (
+        SELECT doc_id, frame_idx, frame_bytes, mean_centi,
+               CASE WHEN lag(mean_centi) OVER w IS NULL THEN 1
+                    WHEN abs(mean_centi - lag(mean_centi) OVER w)
+                         > {SCENE_CUT_CENTI} THEN 1
+                    ELSE 0 END AS cut
+        FROM frames
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    scened AS (
+        SELECT doc_id, frame_idx, frame_bytes, mean_centi,
+               sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+        FROM flagged
+    )
+    SELECT doc_id, scene_id::BIGINT AS scene_id,
+           min(frame_idx)::BIGINT AS start_frame,
+           count(*)::BIGINT AS n_frames,
+           sum(frame_bytes)::BIGINT AS scene_bytes,
+           (sum(mean_centi * frame_bytes) // sum(frame_bytes))::BIGINT
+               AS scene_mean_centi
+    FROM scened GROUP BY doc_id, scene_id
+    """.format(frames_oracle=REGISTRY["mm_audio_energy"].oracle),
+    tags=("multimodal", "segmentation"),
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT detection — the shot/segment boundary pass every video or
+    audio curation pipeline runs between decode and sampling: a new scene
+    opens where the per-frame intensity jumps by more than SCENE_CUT_CENTI
+    between adjacent frames (frame 0 always opens one); scene ids are the
+    running count of cuts (cumulative-sum islands — the gaps-and-islands
+    sibling where the boundary is a PREDICATE on neighbors, not a key
+    gap), and each scene reports its span and byte-weighted mean
+    intensity — the table mm_frame_sample would consume to sample per
+    SCENE instead of blindly every Nth frame (uniform sampling
+    over-represents long static shots; scene-stratified sampling is the
+    curation fix). Consumes mm_audio_energy's registered frame ledger
+    (the vectorized mapInPandas framing with its documented decode stub),
+    so framing arithmetic is paid and verified ONCE; the oracle nests
+    that op's oracle for the same no-drift guarantee.
+
+    Exactness: mean_centi is already an exact integer; the cut predicate,
+    scene ids, and the byte-weighted scene mean (one floor division,
+    rule 25) stay integer end-to-end. Shape: two doc-partitioned windows
+    over the map-side frame stream + one (doc, scene) partial agg."""
+    frames = mm_audio_energy(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_bytes",
+        "mean_centi",
+        F.when(F.lag("mean_centi").over(w).isNull(), 1)
+        .when(
+            F.abs(F.col("mean_centi") - F.lag("mean_centi").over(w))
+            > SCENE_CUT_CENTI,
+            1,
+        )
+        .otherwise(0)
+        .alias("cut"),
+    )
+    scened = flagged.select(
+        "doc_id",
+        "frame_idx",
+        "frame_bytes",
+        "mean_centi",
+        F.sum("cut")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("scene_id"),
+    )
+    return scened.groupBy("doc_id", F.col("scene_id").cast("long").alias("scene_id")).agg(
+        F.min("frame_idx").cast("long").alias("start_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("scene_bytes"),
+        F.expr("sum(mean_centi * frame_bytes) div sum(frame_bytes)").alias(
+            "scene_mean_centi"
+        ),
     )

@@ -4460,3 +4460,75 @@ def anomaly_subsequence_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ssd").alias("ssd_cents2"),
         )
     )
+
+
+@query(
+    "seq_longest_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch(date_trunc('day', ts))::BIGINT // 86400 AS d
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, isl,
+               count(*)::BIGINT AS len,
+               min(d)::BIGINT AS start_d
+        FROM islands GROUP BY user_id, isl
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_streaks,
+           sum(len)::BIGINT AS n_active_days,
+           max(len)::BIGINT AS longest_streak,
+           min(CASE WHEN len = (SELECT max(s2.len) FROM streaks s2
+                                WHERE s2.user_id = streaks.user_id)
+                    THEN start_d END)::BIGINT AS longest_start_day
+    FROM streaks GROUP BY user_id
+    """,
+    tags=("telemetry", "sequence"),
+)
+def seq_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity STREAK per user — the engagement
+    metric every retention dashboard carries (and the canonical
+    gaps-and-islands exercise): distinct active days per user, islands of
+    consecutive day indices keyed by d − row_number (consecutive days
+    share the key because both advance by 1), island lengths, and per
+    user the streak count, total active days, longest streak, and the
+    day the longest streak began (earliest start on ties — rule 10). All
+    exact integers: day index = floor epoch days (rule 27), no date
+    arithmetic crosses an engine boundary.
+
+    Shape: one distinct (user, day) rollup, one user-partitioned rank
+    window riding the same partitioning, two keyed partial aggs. The
+    same plan at 100 TB — nothing global, no window wider than one
+    user's day list."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr("unix_timestamp(date_trunc('day', ts)) div 86400").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("isl")
+    )
+    streaks = islands.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("start_d")
+    )
+    wmax = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("max_len", F.max("len").over(wmax))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("len").alias("n_active_days"),
+            F.max("len").alias("longest_streak"),
+            F.min(F.when(F.col("len") == F.col("max_len"), F.col("start_d"))).alias(
+                "longest_start_day"
+            ),
+        )
+    )

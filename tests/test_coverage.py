@@ -666,6 +666,12 @@ EXTENSIONS = [
     # round 9: streaming deterministic reservoir (bottom-k as
     # applyInPandasWithState per-stratum state — an online-mergeable monoid)
     "stream_reservoir_sample",
+    # round 9 wave 3: MDE power readout (exact second moments, rule-28
+    # integer rationals); longest-streak gaps-and-islands; scene-cut
+    # segmentation over the audio frame ledger (nested oracle); the
+    # hour x weekday activity heat-map (the dayofweek offset trap, pinned)
+    "eval_experiment_power", "seq_longest_streak", "mm_scene_cuts",
+    "profile_activity_matrix",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

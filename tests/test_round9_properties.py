@@ -592,3 +592,105 @@ def test_reservoir_is_exact_bottom_k_and_mergeable(spark, sf_dir, duck):
         b = [p for p in pools[et] if p[1] % 2 == 1]
         merged = sorted(sorted(a)[:RESERVOIR_K] + sorted(b)[:RESERVOIR_K])[:RESERVOIR_K]
         assert merged == expect[et], et
+
+
+# --- round-9 wave 3: streak / scenes / activity matrix / power ---------------
+
+
+def test_longest_streak_matches_python_replica(spark, sf_dir, duck):
+    """seq_longest_streak vs a direct Python islands replay over the
+    distinct day sets — lengths, counts, and the earliest-start tiebreak."""
+    rows = {r["user_id"]: r for r in _df("seq_longest_streak", spark, sf_dir).collect()}
+    days: dict[int, set] = {}
+    for uid, d in duck.execute(
+        "SELECT DISTINCT user_id, epoch(date_trunc('day', ts))::BIGINT // 86400"
+        " FROM events"
+    ).fetchall():
+        days.setdefault(uid, set()).add(d)
+    assert set(rows) == set(days)
+    for uid, ds in days.items():
+        ordered = sorted(ds)
+        streaks, start, prev = [], ordered[0], ordered[0]
+        for d in ordered[1:]:
+            if d == prev + 1:
+                prev = d
+                continue
+            streaks.append((start, prev - start + 1))
+            start = prev = d
+        streaks.append((start, prev - start + 1))
+        r = rows[uid]
+        assert r["n_streaks"] == len(streaks), uid
+        assert r["n_active_days"] == len(ds), uid
+        best = max(l for _, l in streaks)
+        assert r["longest_streak"] == best, uid
+        assert r["longest_start_day"] == min(s for s, l in streaks if l == best), uid
+
+
+def test_scene_cuts_partition_the_frames(spark, sf_dir):
+    """mm_scene_cuts vs mm_audio_energy: scenes partition each doc's frames
+    exactly (frame and byte conservation), scene ids start at 1 and are
+    dense, and every scene's span is contiguous."""
+    frames: dict[int, list] = {}
+    for r in _df("mm_audio_energy", spark, sf_dir).collect():
+        frames.setdefault(r["doc_id"], []).append(r)
+    scenes: dict[int, list] = {}
+    for r in _df("mm_scene_cuts", spark, sf_dir).collect():
+        scenes.setdefault(r["doc_id"], []).append(r)
+    assert set(frames) == set(scenes)
+    for doc_id, sc in scenes.items():
+        fr = frames[doc_id]
+        assert sum(s["n_frames"] for s in sc) == len(fr), doc_id
+        assert sum(s["scene_bytes"] for s in sc) == sum(f["frame_bytes"] for f in fr)
+        ids = sorted(s["scene_id"] for s in sc)
+        assert ids == list(range(1, len(ids) + 1)), doc_id
+        spans = sorted((s["start_frame"], s["n_frames"]) for s in sc)
+        nxt = 0
+        for st, n in spans:
+            assert st == nxt, (doc_id, st, nxt)
+            nxt = st + n
+
+
+def test_activity_matrix_partitions_traffic(spark, sf_dir, duck):
+    """Cells partition each channel's events; exactly one peak per channel;
+    shares sum to ~1e6 per channel (floor-division slack < n_cells)."""
+    rows = _df("profile_activity_matrix", spark, sf_dir).collect()
+    per_type: dict[str, list] = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(r)
+    totals = dict(
+        duck.execute("SELECT event_type, count(*) FROM events GROUP BY 1").fetchall()
+    )
+    assert set(per_type) == set(totals)
+    for et, cells in per_type.items():
+        assert sum(c["n"] for c in cells) == totals[et], et
+        assert sum(1 for c in cells if c["is_peak"]) == 1, et
+        slack = 1_000_000 - sum(c["share_ppm"] for c in cells)
+        assert 0 <= slack < len(cells), et
+
+
+def test_power_mde_matches_numpy(spark, sf_dir, duck):
+    """eval_experiment_power vs numpy: MDE recomputed from raw per-user
+    sums with population variance at the pinned z constants."""
+    import math
+
+    from rvi_big_data_api_spark.operators.analytics import (
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+    )
+
+    (r,) = _df("eval_experiment_power", spark, sf_dir).collect()
+    arms: dict[str, list] = {"control": [], "treatment": []}
+    for uid, y in duck.execute("""
+        SELECT user_id, sum(floor(value * 100 + 0.5)::BIGINT) FROM events GROUP BY 1
+    """).fetchall():
+        arm = "treatment" if hashlib.md5(str(uid).encode()).hexdigest()[0] >= "8" else "control"
+        arms[arm].append(y)
+    var = {
+        a: (len(v) * sum(x * x for x in v) - sum(v) ** 2) / len(v) ** 2
+        for a, v in arms.items()
+    }
+    mde = (POWER_Z_ALPHA + POWER_Z_BETA) * math.sqrt(
+        var["control"] / len(arms["control"]) + var["treatment"] / len(arms["treatment"])
+    )
+    assert abs(r["mde_cents"] - mde) < 1e-4, (r["mde_cents"], mde)
+    assert r["n_c"] == len(arms["control"]) and r["n_t"] == len(arms["treatment"])
