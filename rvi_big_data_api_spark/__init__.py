@@ -72,7 +72,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "sink_snapshot_commit", "eval_ab_cuped", "graph_link_prediction",
     "scan_manifest_prune", "stream_reservoir_sample",
     "eval_experiment_power", "seq_longest_streak", "mm_scene_cuts",
-    "profile_activity_matrix",
+    "profile_activity_matrix", "eval_trimmed_mean", "corpus_dataset_diff",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1242,3 +1242,119 @@ def profile_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_ppm"),
         (F.row_number().over(wr) == 1).alias("is_peak"),
     )
+
+
+# --- round 9: robust (trimmed / winsorized) experiment means ------------------
+
+TRIM_PCT = 5  # percent trimmed from EACH tail
+
+
+@query(
+    "eval_trimmed_mean",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT arm, y, count(*)::BIGINT AS cnt FROM per_user GROUP BY arm, y
+    ),
+    cum AS (
+        SELECT arm, y, cnt,
+               sum(cnt) OVER (PARTITION BY arm ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_n,
+               sum(cnt) OVER (PARTITION BY arm)::BIGINT AS n
+        FROM hist
+    ),
+    bounds AS (
+        SELECT arm, max(n)::BIGINT AS n,
+               min(CASE WHEN cum_n * 100 >= n * {TRIM_PCT} THEN y END)::BIGINT
+                   AS lo,
+               min(CASE WHEN cum_n * 100 >= n * (100 - {TRIM_PCT}) THEN y END
+                   )::BIGINT AS hi
+        FROM cum GROUP BY arm
+    )
+    SELECT p.arm, max(b.n)::BIGINT AS n, max(b.lo)::BIGINT AS lo_cents,
+           max(b.hi)::BIGINT AS hi_cents,
+           count(CASE WHEN p.y BETWEEN b.lo AND b.hi THEN 1 END)::BIGINT
+               AS n_kept,
+           (sum(CASE WHEN p.y BETWEEN b.lo AND b.hi THEN p.y ELSE 0 END)
+               * 1000 // nullif(count(CASE WHEN p.y BETWEEN b.lo AND b.hi
+                                           THEN 1 END), 0))::BIGINT
+               AS trimmed_mean_milli,
+           (sum(least(greatest(p.y, b.lo), b.hi)) * 1000 // max(b.n))::BIGINT
+               AS winsorized_mean_milli
+    FROM per_user p JOIN bounds b ON p.arm = b.arm
+    GROUP BY p.arm
+    """,
+    tags=("analytics", "eval", "experiment"),
+)
+def eval_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST experiment means — trimmed (drop both TRIM_PCT tails) and
+    winsorized (clamp to the tail boundaries) per-arm spend, the metrics
+    platforms report when whales would otherwise decide every test: a
+    single outlier user moves the raw mean arbitrarily but moves these
+    boundedly. Tail boundaries come from the per-arm cents HISTOGRAM's
+    cumulative counts (the round's histogram-boundary discipline — the
+    value at the smallest cumulative rank reaching p% — an exact integer
+    order statistic, no interpolation, no sort of the user frame), and
+    both robust means ship as exact integer milli-units via one floor
+    division (PARITY rules 25/28).
+
+    Shape: per-user rollup, per-(arm, cents) histogram, cumulative window
+    over the arm's value SUPPORT, then one boundary-joined conditional
+    agg. No global sort, nothing float."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) >= "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("y"))
+    hist = per_user.groupBy("arm", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "arm",
+        "y",
+        F.sum("cnt").over(wcum).alias("cum_n"),
+        F.sum("cnt").over(Window.partitionBy("arm")).alias("n"),
+    )
+    bounds = cum.groupBy("arm").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum_n") * 100 >= F.col("n") * TRIM_PCT, F.col("y"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum_n") * 100 >= F.col("n") * (100 - TRIM_PCT), F.col("y"))
+        ).alias("hi"),
+    )
+    return (
+        per_user.join(bounds, "arm")
+        .groupBy("arm")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo").alias("lo_cents"),
+            F.max("hi").alias("hi_cents"),
+            F.count(
+                F.when((F.col("y") >= F.col("lo")) & (F.col("y") <= F.col("hi")), 1)
+            ).alias("n_kept"),
+            F.expr(
+                "sum(CASE WHEN y BETWEEN lo AND hi THEN y ELSE 0 END) * 1000"
+                " div nullif(count(CASE WHEN y BETWEEN lo AND hi THEN 1 END), 0)"
+            ).alias("trimmed_mean_milli"),
+            F.expr(
+                "sum(least(greatest(y, lo), hi)) * 1000 div max(n)"
+            ).alias("winsorized_mean_milli"),
+        )
+    )

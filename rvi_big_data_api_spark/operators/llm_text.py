@@ -3725,3 +3725,111 @@ def privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_docs * 1000000 div total").alias("share_ppm"),
         )
     )
+
+
+@query(
+    "corpus_dataset_diff",
+    oracle="""
+    WITH snap AS (
+        SELECT doc_id % 2 AS s,
+               len(string_split(text, ' '))::BIGINT AS toks,
+               md5(text) AS h, lang
+        FROM documents
+    ),
+    card AS (
+        SELECT s,
+               count(*)::BIGINT AS n_docs,
+               sum(toks)::BIGINT AS n_tokens,
+               (sum(toks) * 1000000 // count(*))::BIGINT AS mean_tokens_ppm,
+               ((count(*) - count(DISTINCT h)) * 1000000 // count(*))::BIGINT
+                   AS dup_ppm,
+               count(DISTINCT lang)::BIGINT AS n_langs
+        FROM snap GROUP BY s
+    ),
+    metrics AS (
+        SELECT 'n_docs' AS metric, 1 AS ord,
+               max(CASE WHEN s = 0 THEN n_docs END)::BIGINT AS v_old,
+               max(CASE WHEN s = 1 THEN n_docs END)::BIGINT AS v_new
+        FROM card
+        UNION ALL
+        SELECT 'n_tokens', 2, max(CASE WHEN s = 0 THEN n_tokens END),
+               max(CASE WHEN s = 1 THEN n_tokens END) FROM card
+        UNION ALL
+        SELECT 'mean_tokens_ppm', 3,
+               max(CASE WHEN s = 0 THEN mean_tokens_ppm END),
+               max(CASE WHEN s = 1 THEN mean_tokens_ppm END) FROM card
+        UNION ALL
+        SELECT 'dup_ppm', 4, max(CASE WHEN s = 0 THEN dup_ppm END),
+               max(CASE WHEN s = 1 THEN dup_ppm END) FROM card
+        UNION ALL
+        SELECT 'n_langs', 5, max(CASE WHEN s = 0 THEN n_langs END),
+               max(CASE WHEN s = 1 THEN n_langs END) FROM card
+    )
+    SELECT metric, v_old, v_new, (v_new - v_old)::BIGINT AS delta,
+           CASE WHEN v_old = 0 THEN NULL
+                ELSE ((v_new - v_old) * 1000000 // v_old) END::BIGINT
+               AS delta_ppm
+    FROM metrics
+    """,
+    tags=("llm", "corpus", "release"),
+)
+def corpus_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release DATASET DIFF — corpus_dataset_card compares a
+    release against nothing; this compares two (the doc_id parity halves
+    stand in for release N and N+1) and emits the metric-by-metric delta
+    table a data-governance review reads before sign-off: document and
+    token counts, mean document length, exact-duplicate rate, and
+    language coverage, each with absolute and relative (integer-ppm)
+    drift. A release whose dup_ppm JUMPED means the dedup stage
+    regressed; a mean-length collapse means a filter got too aggressive
+    — the two incidents this table exists to catch before training does.
+
+    All metrics are exact integers (counts, floor-division ratios); the
+    UNION-of-metrics shape keeps one row per metric so downstream
+    thresholds are a WHERE clause, not column surgery. Two scans' worth
+    of aggregate state (per-half counts + distinct hashes), free at
+    100 TB next to the jobs that produced the releases."""
+    d = load(spark, sf_dir, "documents")
+    snap = d.select(
+        (F.col("doc_id") % 2).alias("s"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        F.md5("text").alias("h"),
+        "lang",
+    )
+    card = snap.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.expr("sum(toks) * 1000000 div count(*)").alias("mean_tokens_ppm"),
+        F.expr(
+            "(count(*) - count(DISTINCT h)) * 1000000 div count(*)"
+        ).alias("dup_ppm"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    pick = lambda col, s: F.max(F.when(F.col("s") == s, F.col(col)))  # noqa: E731
+    wide = card.agg(
+        *[
+            pick(c, s).alias(f"{c}_{s}")
+            for c in ("n_docs", "n_tokens", "mean_tokens_ppm", "dup_ppm", "n_langs")
+            for s in (0, 1)
+        ]
+    )
+    metrics = None
+    for i, c in enumerate(
+        ("n_docs", "n_tokens", "mean_tokens_ppm", "dup_ppm", "n_langs"), start=1
+    ):
+        row = wide.select(
+            F.lit(c).alias("metric"),
+            F.col(f"{c}_0").cast("long").alias("v_old"),
+            F.col(f"{c}_1").cast("long").alias("v_new"),
+        )
+        metrics = row if metrics is None else metrics.unionByName(row)
+    return metrics.select(
+        "metric",
+        "v_old",
+        "v_new",
+        (F.col("v_new") - F.col("v_old")).alias("delta"),
+        F.expr(
+            "CASE WHEN v_old = 0 THEN NULL"
+            " ELSE (v_new - v_old) * 1000000 div v_old END"
+        ).alias("delta_ppm"),
+    )

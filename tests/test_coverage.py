@@ -672,6 +672,9 @@ EXTENSIONS = [
     # hour x weekday activity heat-map (the dayofweek offset trap, pinned)
     "eval_experiment_power", "seq_longest_streak", "mm_scene_cuts",
     "profile_activity_matrix",
+    # round 9 wave 4: robust experiment means via exact histogram-boundary
+    # order statistics; the release-to-release dataset diff table
+    "eval_trimmed_mean", "corpus_dataset_diff",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -694,3 +694,53 @@ def test_power_mde_matches_numpy(spark, sf_dir, duck):
     )
     assert abs(r["mde_cents"] - mde) < 1e-4, (r["mde_cents"], mde)
     assert r["n_c"] == len(arms["control"]) and r["n_t"] == len(arms["treatment"])
+
+
+def test_trimmed_mean_is_robust_and_ordered(spark, sf_dir, duck):
+    """Trimmed/winsorized means vs a Python replica over raw per-user sums:
+    boundary order lo <= hi, kept fraction ~= 1 - 2*TRIM_PCT%, and both
+    robust means recomputed exactly."""
+    from rvi_big_data_api_spark.operators.analytics import TRIM_PCT
+
+    rows = {r["arm"]: r for r in _df("eval_trimmed_mean", spark, sf_dir).collect()}
+    arms: dict[str, list] = {}
+    for uid, y in duck.execute(
+        "SELECT user_id, sum(floor(value * 100 + 0.5)::BIGINT) FROM events GROUP BY 1"
+    ).fetchall():
+        arm = "treatment" if hashlib.md5(str(uid).encode()).hexdigest()[0] >= "8" else "control"
+        arms.setdefault(arm, []).append(y)
+    for arm, ys in arms.items():
+        ys.sort()
+        n = len(ys)
+        r = rows[arm]
+        # exact order-statistic boundaries: smallest value with cum rank >= p%
+        def bound(p):
+            need = (n * p + 99) // 100  # ceil(n*p/100)
+            return ys[need - 1]
+        lo, hi = bound(TRIM_PCT), bound(100 - TRIM_PCT)
+        assert (r["lo_cents"], r["hi_cents"]) == (lo, hi), arm
+        kept = [y for y in ys if lo <= y <= hi]
+        assert r["n_kept"] == len(kept), arm
+        assert r["trimmed_mean_milli"] == sum(kept) * 1000 // len(kept), arm
+        wins = [min(max(y, lo), hi) for y in ys]
+        assert r["winsorized_mean_milli"] == sum(wins) * 1000 // n, arm
+
+
+def test_dataset_diff_matches_card_halves(spark, sf_dir, duck):
+    """corpus_dataset_diff vs direct recomputation of both halves' metrics;
+    deltas must reconcile exactly."""
+    rows = {r["metric"]: r for r in _df("corpus_dataset_diff", spark, sf_dir).collect()}
+    assert set(rows) == {"n_docs", "n_tokens", "mean_tokens_ppm", "dup_ppm", "n_langs"}
+    for s, col in ((0, "v_old"), (1, "v_new")):
+        n_docs, n_tokens, n_uni, n_langs = duck.execute(f"""
+            SELECT count(*), sum(len(string_split(text, ' '))),
+                   count(DISTINCT md5(text)), count(DISTINCT lang)
+            FROM documents WHERE doc_id % 2 = {s}
+        """).fetchone()
+        assert rows["n_docs"][col] == n_docs
+        assert rows["n_tokens"][col] == n_tokens
+        assert rows["mean_tokens_ppm"][col] == n_tokens * 1_000_000 // n_docs
+        assert rows["dup_ppm"][col] == (n_docs - n_uni) * 1_000_000 // n_docs
+        assert rows["n_langs"][col] == n_langs
+    for m, r in rows.items():
+        assert r["delta"] == r["v_new"] - r["v_old"], m
