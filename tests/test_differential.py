@@ -2188,3 +2188,112 @@ def test_generated_histogram_boundary_buckets_agree_across_engines(
         f"SELECT count(DISTINCT user_id) FROM events WHERE user_id % {umod} = 0"
     ).fetchone()[0]
     assert sum(r[1] for r in s_rows) == total
+
+
+# --------------------------------------------------------------------------
+# Trimmed-boundary family (round 9): eval_trimmed_mean pins TRIM_PCT=5 over
+# per-user sums; this samples random trim percentages and strata — the
+# histogram-cumulative order statistic (smallest value whose cum rank
+# reaches p%) and both robust means, exactly, on both engines. The ceiling
+# fencepost (cum_n * 100 >= n * p) is the riskiest line.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pct=st.integers(min_value=1, max_value=49),
+    umod=st.integers(min_value=1, max_value=4),
+)
+def test_generated_trimmed_boundaries_agree_across_engines(spark, duck, sf_dir, pct, umod):
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    body = f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events WHERE user_id % {umod} = 0 GROUP BY user_id
+    ),
+    hist AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM per_user GROUP BY y),
+    cum AS (
+        SELECT y, cnt,
+               CAST(sum(cnt) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    bounds AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(min(CASE WHEN cum_n * 100 >= n * {pct} THEN y END) AS BIGINT) AS lo,
+               CAST(min(CASE WHEN cum_n * 100 >= n * (100 - {pct}) THEN y END) AS BIGINT) AS hi
+        FROM cum
+    )
+    SELECT b.lo, b.hi,
+           CAST(count(CASE WHEN p.y BETWEEN b.lo AND b.hi THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN p.y BETWEEN b.lo AND b.hi THEN p.y ELSE 0 END) AS BIGINT) AS kept_sum,
+           CAST(sum(least(greatest(p.y, b.lo), b.hi)) AS BIGINT) AS wins_sum
+    FROM per_user p CROSS JOIN bounds b
+    GROUP BY b.lo, b.hi
+    """
+    s_row = tuple(spark.sql(body).collect()[0])
+    d_row = tuple(duck.execute(body).fetchone())
+    assert s_row == d_row, f"pct={pct} umod={umod}: spark={s_row} duck={d_row}"
+    # structural: boundaries ordered, kept count within the trim envelope
+    lo, hi, n_kept, _, _ = s_row
+    assert lo <= hi
+    n = duck.execute(
+        f"SELECT count(DISTINCT user_id) FROM events WHERE user_id % {umod} = 0"
+    ).fetchone()[0]
+    assert n_kept >= n - 2 * ((n * pct + 99) // 100)
+
+
+# --------------------------------------------------------------------------
+# SNM band family (round 9): ts_motif_discovery pins (blk key, W=16); this
+# samples random band widths and verifies the banded EQUI-join (rank-bucket
+# groups with +-1 probes) enumerates EXACTLY the |Δidx| <= W pairs the
+# plain predicate defines — the geometry that turned the motif op linear.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(w=st.integers(min_value=2, max_value=40), umod=st.integers(min_value=1, max_value=3))
+def test_generated_snm_band_join_equals_plain_predicate(spark, duck, sf_dir, w, umod):
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    idxed = f"""
+        SELECT event_type AS blk, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS idx
+        FROM events WHERE user_id % {umod} = 0
+    """
+    # Spark: banded equi-join with probe groups g-1, g, g+1
+    s_sql = f"""
+    WITH idxed AS ({idxed}),
+    a AS (SELECT blk, event_id, idx, explode(array(idx div {w} - 1, idx div {w},
+                 idx div {w} + 1)) AS g FROM idxed),
+    b AS (SELECT blk AS b_blk, event_id AS b_id, idx AS b_idx, idx div {w} AS b_g
+          FROM idxed)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(idx - b_idx)) AS BIGINT) AS dist_sum
+    FROM a JOIN b ON blk = b_blk AND g = b_g
+    WHERE abs(idx - b_idx) <= {w} AND event_id < b_id
+    """
+    # DuckDB: the plain non-equi predicate
+    d_sql = f"""
+    WITH idxed AS ({idxed})
+    SELECT CAST(count(*) AS BIGINT), CAST(sum(abs(a.idx - b.idx)) AS BIGINT)
+    FROM idxed a JOIN idxed b
+      ON a.blk = b.blk AND abs(a.idx - b.idx) <= {w} AND a.event_id < b.event_id
+    """
+    s_row = tuple(spark.sql(s_sql).collect()[0])
+    d_row = tuple(duck.execute(d_sql).fetchone())
+    assert s_row == d_row, f"w={w} umod={umod}: spark={s_row} duck={d_row}"
