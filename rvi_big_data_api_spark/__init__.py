@@ -73,6 +73,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "scan_manifest_prune", "stream_reservoir_sample",
     "eval_experiment_power", "seq_longest_streak", "mm_scene_cuts",
     "profile_activity_matrix", "eval_trimmed_mean", "corpus_dataset_diff",
+    # -- registered past the 50-row budget: round 10's head ------------------
+    "corpus_seqlen_sweep", "sink_snapshot_gc",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -3833,3 +3833,77 @@ def corpus_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (v_new - v_old) * 1000000 div v_old END"
         ).alias("delta_ppm"),
     )
+
+
+SEQLEN_GRID = (128, 256, 512, 1024)  # candidate packing lengths
+
+
+@query(
+    "corpus_seqlen_sweep",
+    oracle=f"""
+    WITH docs AS (
+        SELECT len(string_split(text, ' '))::BIGINT AS toks FROM documents
+    ),
+    grid AS (SELECT unnest(ARRAY{list(SEQLEN_GRID)}) AS seq_len)
+    SELECT seq_len::BIGINT AS seq_len,
+           count(*)::BIGINT AS n_docs,
+           sum(toks)::BIGINT AS n_tokens,
+           sum((toks + seq_len - 1) // seq_len)::BIGINT AS n_seqs_unpacked,
+           ((sum(toks) + seq_len - 1) // seq_len)::BIGINT AS n_seqs_packed,
+           (sum((toks + seq_len - 1) // seq_len) * seq_len - sum(toks))
+               ::BIGINT AS pad_tokens_unpacked,
+           ((sum((toks + seq_len - 1) // seq_len) * seq_len - sum(toks))
+               * 1000000
+               // (sum((toks + seq_len - 1) // seq_len) * seq_len))::BIGINT
+               AS pad_ppm_unpacked,
+           (((sum(toks) + seq_len - 1) // seq_len) * seq_len - sum(toks))
+               ::BIGINT AS pad_tokens_packed
+    FROM docs CROSS JOIN grid
+    GROUP BY seq_len
+    """,
+    tags=("llm", "corpus", "packing"),
+)
+def corpus_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length PLANNING SWEEP — the table that decides a training
+    run's seq_len before corpus_pack_sequences commits to one: for each
+    candidate length, the corpus's cost under the two packing regimes —
+    UNPACKED (one-doc-per-sequence, each doc ceil-divided and padded: the
+    SFT default) vs fully PACKED (concat-and-chop: the pretraining
+    default, waste only in the final chop) — with exact pad-token ledgers
+    and integer-ppm waste. The spread between the two columns at each
+    length IS the money packing saves; the length where unpacked waste
+    crosses a budget threshold is the decision this table exists to read
+    off. Complements corpus_length_buckets (fixed power-of-two capacity
+    audit) by sweeping the knob instead of auditing one setting.
+
+    All integer ceil-division arithmetic (rule 25); one corpus rollup
+    cross-joined with the 4-row literal grid (broadcast), partial-agg
+    state = |grid| rows. Free at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(F.size(F.split("text", " ")).cast("long").alias("toks"))
+    grid = spark.createDataFrame([(s,) for s in SEQLEN_GRID], "seq_len long")
+    return (
+        docs.crossJoin(F.broadcast(grid))
+        .groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum(F.expr("(toks + seq_len - 1) div seq_len")).alias(
+                "n_seqs_unpacked"
+            ),
+            F.expr("(sum(toks) + max(seq_len) - 1) div max(seq_len)").alias(
+                "n_seqs_packed"
+            ),
+            F.expr(
+                "sum((toks + seq_len - 1) div seq_len) * max(seq_len) - sum(toks)"
+            ).alias("pad_tokens_unpacked"),
+            F.expr(
+                "(sum((toks + seq_len - 1) div seq_len) * max(seq_len) - sum(toks))"
+                " * 1000000 div (sum((toks + seq_len - 1) div seq_len) * max(seq_len))"
+            ).alias("pad_ppm_unpacked"),
+            F.expr(
+                "((sum(toks) + max(seq_len) - 1) div max(seq_len)) * max(seq_len)"
+                " - sum(toks)"
+            ).alias("pad_tokens_packed"),
+        )
+    )

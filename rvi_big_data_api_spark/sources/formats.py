@@ -1449,3 +1449,107 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents",
         )
     )
+
+
+SNAP_GC_EXPIRED = (1, 2)  # versions past the retention window
+SNAP_GC_LIVE = (3,)       # versions readers may still open
+
+
+@query(
+    "sink_snapshot_gc",
+    oracle="""
+    WITH manifest(version, file_name) AS (
+        VALUES (1, 'data_A'), (1, 'data_B'),
+               (2, 'data_A'), (2, 'data_B'), (2, 'data_C'),
+               (3, 'data_A2'), (3, 'data_B'), (3, 'data_C')
+    ),
+    refs AS (
+        SELECT file_name,
+               count(DISTINCT version)::BIGINT AS n_versions,
+               count(DISTINCT CASE WHEN version IN (3) THEN version END)
+                   ::BIGINT AS n_live_refs
+        FROM manifest GROUP BY file_name
+    )
+    SELECT file_name, n_versions, n_live_refs,
+           (n_live_refs = 0) AS gc_eligible,
+           CASE WHEN file_name = 'data_A'
+                THEN (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+                WHEN file_name = 'data_B'
+                THEN (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)
+                WHEN file_name = 'data_C'
+                THEN (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2)
+                ELSE (SELECT count(*) FROM orders
+                      WHERE o_orderkey % 3 = 0
+                        AND floor(o_totalprice * 100 + 0.5)::BIGINT % 2 = 0)
+           END::BIGINT AS n_rows
+    FROM refs
+    """,
+    tags=("sink", "lakehouse"),
+)
+def sink_snapshot_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot GARBAGE COLLECTION — the third leg of the manifest trio
+    (scan_snapshot_manifest reads, sink_snapshot_commit writes, this
+    RECLAIMS): after versions 1-2 age out of the retention window
+    (SNAP_GC_EXPIRED) and only v3 stays readable, a data file is GC-
+    eligible iff NO live manifest references it — here exactly data_A,
+    orphaned by v3's copy-on-write delete rewrite. The audit is one
+    anti-reference aggregate over the MANIFEST table (metadata plane:
+    8 rows), never a data scan for the decision; per-file row counts are
+    read only for the reclaim report. This separation — expire versions
+    cheaply, collect unreferenced files as a set difference on manifests
+    — is why table-format GC is safe under concurrent readers: a reader
+    of any LIVE version can never hold a GC-eligible file.
+
+    Stages the same three-commit lake as sink_snapshot_commit (shared
+    deterministic key slices, which the twin pins per file)."""
+    base = scratch_dir(sf_dir, "snapgc")
+    o = load(spark, sf_dir, "orders")
+    paths = {}
+    for name, residue in (("data_A", 0), ("data_B", 1), ("data_C", 2)):
+        path = os.path.join(base, name)
+        o.filter(F.col("o_orderkey") % 3 == residue).write.mode("overwrite").parquet(path)
+        paths[name] = path
+    a2 = os.path.join(base, "data_A2")
+    (
+        o.filter(
+            (F.col("o_orderkey") % 3 == 0)
+            & (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 2 == 0)
+        )
+        .write.mode("overwrite")
+        .parquet(a2)
+    )
+    paths["data_A2"] = a2
+    manifest = spark.createDataFrame(
+        [
+            (1, "data_A"), (1, "data_B"),
+            (2, "data_A"), (2, "data_B"), (2, "data_C"),
+            (3, "data_A2"), (3, "data_B"), (3, "data_C"),
+        ],
+        "version bigint, file_name string",
+    )
+    refs = manifest.groupBy("file_name").agg(
+        F.countDistinct("version").alias("n_versions"),
+        F.countDistinct(
+            F.when(F.col("version").isin(*SNAP_GC_LIVE), F.col("version"))
+        ).alias("n_live_refs"),
+    )
+    # reclaim report: per-file row counts (data plane, survivors only need
+    # this for the ledger — the GC DECISION above never scanned data)
+    counts = None
+    for name, path in paths.items():
+        c = (
+            spark.read.parquet(path)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(name).alias("file_name"), "n_rows")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return (
+        refs.join(counts, "file_name")
+        .select(
+            "file_name",
+            "n_versions",
+            "n_live_refs",
+            (F.col("n_live_refs") == 0).alias("gc_eligible"),
+            "n_rows",
+        )
+    )

@@ -675,6 +675,9 @@ EXTENSIONS = [
     # round 9 wave 4: robust experiment means via exact histogram-boundary
     # order statistics; the release-to-release dataset diff table
     "eval_trimmed_mean", "corpus_dataset_diff",
+    # round 9 wave 5 (queued for the r10 driver head): the seq-len packing
+    # planner sweep; manifest-trio garbage collection (read/commit/GC)
+    "corpus_seqlen_sweep", "sink_snapshot_gc",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -744,3 +744,31 @@ def test_dataset_diff_matches_card_halves(spark, sf_dir, duck):
         assert rows["n_langs"][col] == n_langs
     for m, r in rows.items():
         assert r["delta"] == r["v_new"] - r["v_old"], m
+
+
+def test_seqlen_sweep_ceil_math_and_packing_dominance(spark, sf_dir, duck):
+    """Packed sequences never exceed unpacked at any length; pad ledgers
+    reconcile exactly against a Python ceil replay."""
+    rows = {r["seq_len"]: r for r in _df("corpus_seqlen_sweep", spark, sf_dir).collect()}
+    toks = [t for (t,) in duck.execute(
+        "SELECT len(string_split(text, ' ')) FROM documents").fetchall()]
+    for L, r in rows.items():
+        unpacked = sum((t + L - 1) // L for t in toks)
+        packed = (sum(toks) + L - 1) // L
+        assert r["n_seqs_unpacked"] == unpacked, L
+        assert r["n_seqs_packed"] == packed, L
+        assert packed <= unpacked, L
+        assert r["pad_tokens_unpacked"] == unpacked * L - sum(toks), L
+        assert r["pad_tokens_packed"] == packed * L - sum(toks), L
+
+
+def test_snapshot_gc_only_orphans_are_eligible(spark, sf_dir):
+    """Exactly data_A (orphaned by the copy-on-write rewrite) is GC-eligible
+    once v1/v2 expire; every live file is referenced by the live version."""
+    rows = {r["file_name"]: r for r in _df("sink_snapshot_gc", spark, sf_dir).collect()}
+    assert set(rows) == {"data_A", "data_B", "data_C", "data_A2"}
+    assert rows["data_A"]["gc_eligible"] and rows["data_A"]["n_live_refs"] == 0
+    for f in ("data_B", "data_C", "data_A2"):
+        assert not rows[f]["gc_eligible"] and rows[f]["n_live_refs"] == 1, f
+    # the rewrite dropped rows: A2 is a strict subset of A
+    assert rows["data_A2"]["n_rows"] < rows["data_A"]["n_rows"]
