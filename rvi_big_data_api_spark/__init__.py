@@ -74,7 +74,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "eval_experiment_power", "seq_longest_streak", "mm_scene_cuts",
     "profile_activity_matrix", "eval_trimmed_mean", "corpus_dataset_diff",
     # -- registered past the 50-row budget: round 10's head ------------------
-    "corpus_seqlen_sweep", "sink_snapshot_gc",
+    "corpus_seqlen_sweep", "sink_snapshot_gc", "mm_cdc_containment",
+    "text_entropy_rate",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -3907,3 +3907,102 @@ def corpus_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_tokens_packed"),
         )
     )
+
+
+@query(
+    "text_entropy_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT d.lang, t.i AS pos, t.tok,
+               lead(t.tok) OVER (PARTITION BY d.doc_id ORDER BY t.i) AS nxt
+        FROM documents d,
+             LATERAL (
+                 SELECT i, ts[i + 1] AS tok
+                 FROM (SELECT string_split(d.text, ' ') AS ts),
+                      unnest(range(len(ts))) u(i)
+             ) t
+    ),
+    bigrams AS (
+        SELECT lang, tok, nxt, count(*)::BIGINT AS c
+        FROM toks WHERE nxt IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    ctx AS (
+        SELECT lang, tok, sum(c)::BIGINT AS c_ctx FROM bigrams GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, sum(c)::BIGINT AS n FROM bigrams GROUP BY lang)
+    SELECT b.lang,
+           max(t.n)::BIGINT AS n_bigrams,
+           count(*)::BIGINT AS n_distinct_bigrams,
+           round(-sum((cast(b.c as double) / t.n)
+                      * ln(cast(b.c as double) / x.c_ctx)), 6) + 0.0
+               AS entropy_rate_nats,
+           round(-sum((cast(b.c as double) / t.n)
+                      * ln(cast(b.c as double) / t.n)), 6) + 0.0
+               AS bigram_entropy_nats
+    FROM bigrams b
+    JOIN ctx x ON b.lang = x.lang AND b.tok = x.tok
+    JOIN tot t ON b.lang = t.lang
+    GROUP BY b.lang
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ENTROPY RATE — the conditional bigram entropy
+    H(next | current) = −Σ p(cur,next)·ln p(next|cur), the information-
+    theoretic predictability of the corpus (Shannon's estimate, order 1):
+    low entropy rate means repetitive/template text (boilerplate detectors
+    threshold exactly this), high means diverse prose — the quality axis
+    text_repetition approaches from per-doc counts, measured here
+    corpus-wide per language, next to the joint bigram entropy H(cur,next)
+    for reference (their difference is the unigram context entropy, a
+    consistency a reviewer can check by eye).
+
+    Float discipline: all probabilities are ratios of exact BIGINT bigram
+    counts; the ln/multiply tree is shared verbatim and the SUM is ordered
+    by the aggregate (sum of thousands of distinct f64 terms — rounded
+    6dp, rule 8; the sum-order risk is the same class as every entropy op
+    already green since r3's agg_entropy). Shape: one lead() window per
+    doc, one bigram partial agg per lang (state = bigram vocabulary), two
+    lang-keyed joins of tiny aggregates back onto it."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bigrams = (
+        toks.select("lang", "tok", F.lead("tok").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("lang", "tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = bigrams.groupBy("lang", "tok").agg(F.sum("c").alias("c_ctx"))
+    tot = bigrams.groupBy("lang").agg(F.sum("c").alias("n"))
+    return (
+        bigrams.join(ctx, ["lang", "tok"])
+        .join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            (
+                F.round(
+                    -F.sum(
+                        (F.col("c").cast("double") / F.col("n"))
+                        * F.log(F.col("c").cast("double") / F.col("c_ctx"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("entropy_rate_nats"),
+            (
+                F.round(
+                    -F.sum(
+                        (F.col("c").cast("double") / F.col("n"))
+                        * F.log(F.col("c").cast("double") / F.col("n"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("bigram_entropy_nats"),
+        )
+    )

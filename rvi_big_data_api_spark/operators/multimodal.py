@@ -1081,3 +1081,117 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scene_mean_centi"
         ),
     )
+
+
+# --- round 9: cross-blob containment via shared CDC chunks --------------------
+
+CDC_CONT_MAX_REFS = 20     # chunks shared by more blobs are stopword-like
+CDC_CONT_MIN_PPM = 300_000  # report pairs sharing >= 30% of the smaller blob
+
+
+@query(
+    "mm_cdc_containment",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) >= 1
+    ),
+    bnd AS (
+        SELECT doc_id, i
+        FROM docs, unnest(generate_series({CDC_W}, len - 1)) t(i)
+        WHERE substr(md5(substring(text, i - {CDC_W} + 1, {CDC_W})), 1, 1)
+                  = '{CDC_NIBBLE}'
+        UNION ALL
+        SELECT doc_id, len AS i FROM docs
+    ),
+    spans AS (
+        SELECT doc_id,
+               coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+               i AS e
+        FROM bnd
+    ),
+    chunks AS (
+        SELECT DISTINCT sp.doc_id,
+               md5(substring(d.text, sp.s + 1, sp.e - sp.s)) AS h
+        FROM spans sp JOIN docs d ON sp.doc_id = d.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM chunks GROUP BY 1),
+    hot AS (
+        SELECT h FROM chunks GROUP BY h
+        HAVING count(*) BETWEEN 2 AND {CDC_CONT_MAX_REFS}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS shared
+        FROM chunks a
+        JOIN hot ht ON a.h = ht.h
+        JOIN chunks b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           least(sa.n_chunks, sb.n_chunks)::BIGINT AS min_chunks,
+           (p.shared * 1000000 // least(sa.n_chunks, sb.n_chunks))::BIGINT
+               AS containment_ppm
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.shared * 1000000 // least(sa.n_chunks, sb.n_chunks)
+          >= {CDC_CONT_MIN_PPM}
+    """,
+    tags=("multimodal", "dedup", "cdc"),
+)
+def mm_cdc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-blob CONTAINMENT from shared CDC chunks — the pair-level
+    reading of the chunk store (mm_cdc_dedup answers 'how much does the
+    STORE save'; this answers 'WHICH blobs contain each other'):
+    containment(a,b) = |chunks(a) ∩ chunks(b)| / min(|a|,|b|), the
+    asymmetric-duplicate detector (a blob embedded inside a larger one
+    scores ~1 where Jaccard dilutes) — dedup_containment's text-gram
+    idea, executed on content-defined chunks so insertions don't shift
+    the vocabulary. Candidates join ONLY through shared chunk hashes
+    with a frequency band (2..CDC_CONT_MAX_REFS): singleton chunks pair
+    nothing, and chunks shared by more than MAX_REFS blobs are
+    boilerplate whose pair fan-out is quadratic — the frequent-token
+    skip every containment system applies (dedup_ngram_jaccard's
+    discipline), stated not hidden: two blobs related ONLY through
+    ultra-common chunks are not reported.
+
+    Per-doc DISTINCT chunk sets (a blob repeating its own chunk counts
+    once), exact integer ppm, full key joins — candidate volume is
+    Σ refs² over banded chunks, bounded by MAX_REFS · Σ refs."""
+    from pyspark.sql import functions as FF
+
+    chunks = (
+        cdc_chunk_frame(
+            _with_binary(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+        )
+        .select("doc_id", FF.col("chunk_md5").alias("h"))
+        .distinct()
+    )
+    sizes = chunks.groupBy("doc_id").agg(FF.count(FF.lit(1)).alias("n_chunks"))
+    hot = (
+        chunks.groupBy("h")
+        .agg(FF.count(FF.lit(1)).alias("refs"))
+        .filter((FF.col("refs") >= 2) & (FF.col("refs") <= CDC_CONT_MAX_REFS))
+        .select("h")
+    )
+    a = chunks.join(hot, "h").select(FF.col("doc_id").alias("doc_a"), "h")
+    b = chunks.select(FF.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(FF.col("doc_a") < FF.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(FF.count(FF.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(sizes.select(FF.col("doc_id").alias("doc_a"), FF.col("n_chunks").alias("na")), "doc_a")
+        .join(sizes.select(FF.col("doc_id").alias("doc_b"), FF.col("n_chunks").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            FF.least("na", "nb").alias("min_chunks"),
+            FF.expr("shared * 1000000 div least(na, nb)").alias("containment_ppm"),
+        )
+        .filter(FF.col("containment_ppm") >= CDC_CONT_MIN_PPM)
+    )

@@ -678,6 +678,9 @@ EXTENSIONS = [
     # round 9 wave 5 (queued for the r10 driver head): the seq-len packing
     # planner sweep; manifest-trio garbage collection (read/commit/GC)
     "corpus_seqlen_sweep", "sink_snapshot_gc",
+    # round 9 wave 5: cross-blob containment from banded shared CDC chunks;
+    # per-language bigram entropy rate (conditional Shannon estimate)
+    "mm_cdc_containment", "text_entropy_rate",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -772,3 +772,48 @@ def test_snapshot_gc_only_orphans_are_eligible(spark, sf_dir):
         assert not rows[f]["gc_eligible"] and rows[f]["n_live_refs"] == 1, f
     # the rewrite dropped rows: A2 is a strict subset of A
     assert rows["data_A2"]["n_rows"] < rows["data_A"]["n_rows"]
+
+
+def test_cdc_containment_pairs_verify_from_chunk_sets(spark, sf_dir, duck):
+    """Every reported pair's shared-chunk count equals the true banded
+    intersection of the two blobs' distinct chunk sets (Python replica),
+    and containment_ppm uses the smaller set."""
+    from rvi_big_data_api_spark.operators.multimodal import (
+        CDC_CONT_MAX_REFS,
+        CDC_CONT_MIN_PPM,
+    )
+
+    docs = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE length(text) >= 1"
+    ).fetchall()
+    sets = {
+        d: {hashlib.md5(c.encode()).hexdigest() for _, _, c in _cdc_chunks(t)}
+        for d, t in docs
+    }
+    refs: dict[str, int] = {}
+    for s in sets.values():
+        for h in s:
+            refs[h] = refs.get(h, 0) + 1
+    banded = {h for h, n in refs.items() if 2 <= n <= CDC_CONT_MAX_REFS}
+    rows = _df("mm_cdc_containment", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, b = sets[r["doc_a"]], sets[r["doc_b"]]
+        shared = len(a & b & banded)
+        assert r["shared"] == shared, (r["doc_a"], r["doc_b"])
+        assert r["min_chunks"] == min(len(a), len(b))
+        assert r["containment_ppm"] == shared * 1_000_000 // min(len(a), len(b))
+        assert r["containment_ppm"] >= CDC_CONT_MIN_PPM
+
+
+def test_entropy_rate_information_inequalities(spark, sf_dir):
+    """H(next|cur) <= H(cur,next) (chain rule: the difference is the
+    context entropy H(cur) >= 0), both bounded by ln(n_distinct_bigrams),
+    and both strictly positive on natural-ish text."""
+    import math
+
+    rows = _df("text_entropy_rate", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["entropy_rate_nats"] <= r["bigram_entropy_nats"], r
+        assert r["bigram_entropy_nats"] <= math.log(r["n_distinct_bigrams"]) + 1e-9, r
