@@ -1350,3 +1350,20 @@ def test_rank_windows_are_partitioned(spark, sf_dir, name):
     assert rank_lines, "histogram-boundary plan still needs the straddle rank"
     for line in rank_lines:
         assert line.count("], [") >= 2, f"unpartitioned row_number: {line.strip()[:200]}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ts_motif_discovery", "mm_cdc_dedup", "text_substring_dedup", "mm_cdc_containment"],
+)
+def test_round9_heavy_ops_never_nested_loop(spark, sf_dir, name):
+    """The round-9 candidate-generation ops must plan pure equi-joins: no
+    cartesian, no broadcast nested loop, no Python eval — the banded/bucketed
+    geometry is the point of each op."""
+    plan = (
+        REGISTRY[name].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "EvalPython" not in plan, name
