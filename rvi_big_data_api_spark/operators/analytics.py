@@ -1004,6 +1004,10 @@ def eval_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness discipline: everything aggregate is an EXACT BIGINT sum of
     cents (x, y, xx, xy, yy — 2nd-moment state, the agg_moments shape).
+    Stated overflow bound: the second moments are Σy² ≤ n·y_max², under
+    2^63 for n ≲ 2·10⁸ users at y ≤ 2·10⁵ cents — promote the sums to
+    DECIMAL(38) past that population (Spark ANSI off would wrap silently;
+    DuckDB errors loudly, so the twin cannot silently diverge).
     The RAW mean/variance are pure rationals with denominator n/n², where
     a 6-dp round tie is reachable — and was HIT on this fixture (Spark
     HALF_UP vs DuckDB half-even at the last ulp of var_post) — so they
@@ -1133,7 +1137,9 @@ def eval_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     variances, so rerunning this op on the adjusted metric quantifies
     the runtime CUPED buys.
 
-    Exactness: arm sums are exact BIGINT second moments; the rational
+    Exactness: arm sums are exact BIGINT second moments (same Σy² < 2^63
+    population bound as eval_ab_cuped — n ≲ 2·10⁸ users at these cents,
+    DECIMAL(38) beyond); the rational
     pieces (means, variances) ship integer milli-scaled (PARITY rule 28,
     learned one op earlier); only MDE itself — an irrational sqrt — is a
     6-dp-rounded float over one shared expression tree (rules 8/9), with

@@ -3352,7 +3352,7 @@ def eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag-1; trailing-3 floor-mean) are scored at q=0.5 and q=0.9; the
     output is the model × quantile league table a forecast bake-off
     publishes. Integer discipline: q·loss is scaled ×10 so both branches
-    stay exact BIGINT (q10 ∈ {{5,9}}), summed exactly, and the per-row
+    stay exact BIGINT (q10 ∈ {5, 9}), summed exactly, and the per-row
     mean ships once as integer centi-units (rule 25) — no float touches
     the metric.
 
