@@ -44,13 +44,21 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- round-9 head (refreshed per VERDICT r8 item 1): the 24 round-8
-    # additions are now the ONLY registry entries with no driver CORRECTNESS
-    # row (CORRECTNESS_r08 consumed the previous 50-entry head — 50/50
-    # hash-pass, including the fn_geospatial re-check). All 24 were
-    # judge-replica MATCH in the r8 verdict; the driver artifact is the hard
-    # signal. 24 < 50, so round 9's budget also reaches ~26 of round 9's own
-    # additions registered behind them. --------------------------------------
+    # -- round-10 head (refreshed per VERDICT r9 item 1): CORRECTNESS_r09
+    # consumed the previous 50-entry head — 50/50 hash-pass — leaving these
+    # four round-9 additions (registered past the 50-row budget) as the ONLY
+    # registry entries with no driver CORRECTNESS row. All 4 were
+    # judge-replica MATCH in the r9 verdict; the driver artifact is the hard
+    # signal. 4 << 50, so round 10's budget also reaches ~46 of round 10's
+    # own additions registered behind them. ----------------------------------
+    "corpus_seqlen_sweep", "sink_snapshot_gc", "mm_cdc_containment",
+    "text_entropy_rate",
+]
+
+PRIORITY_VERIFIED: list[str] = [
+    # -- driver-green in round 9 (CORRECTNESS_r09.json, 50 rows, all hash
+    # matches, zero err — the 24 round-8 additions, the dedup_embed_pinned8
+    # rename, and the first 25 round-9 additions) ----------------------------
     "agg_log_histogram_quantile", "corpus_preference_pairs",
     "corpus_length_buckets", "er_record_linkage", "corpus_dataset_card",
     "ts_sax", "eval_lift_table", "graph_hits",
@@ -59,11 +67,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_log_histogram", "privacy_dp_mean", "stream_ab_experiment",
     "corpus_curriculum_order", "anomaly_rate_poisson", "eval_pass_at_k",
     "text_bpe_train", "scan_snapshot_manifest", "text_bpe_apply",
-    "graph_modularity",
-    # -- renamed in round 9 (VERDICT r8 item 3): driver-green in r8 as
-    # `dedup_embed_scaled`; the new name needs its own driver row ------------
-    "dedup_embed_pinned8",
-    # -- round-9 additions (registered BEHIND the 24+1 unverified head) ------
+    "graph_modularity", "dedup_embed_pinned8",
     "mm_cdc_dedup", "text_substring_dedup", "privacy_dp_quantile",
     "mm_cdc_incremental", "corpus_bpe_fertility", "ts_motif_discovery",
     "anomaly_subsequence_discord", "corpus_substring_scrub",
@@ -73,12 +77,6 @@ PRIORITY_UNVERIFIED: list[str] = [
     "scan_manifest_prune", "stream_reservoir_sample",
     "eval_experiment_power", "seq_longest_streak", "mm_scene_cuts",
     "profile_activity_matrix", "eval_trimmed_mean", "corpus_dataset_diff",
-    # -- registered past the 50-row budget: round 10's head ------------------
-    "corpus_seqlen_sweep", "sink_snapshot_gc", "mm_cdc_containment",
-    "text_entropy_rate",
-]
-
-PRIORITY_VERIFIED: list[str] = [
     # -- driver-green in round 8 (CORRECTNESS_r08.json, 50 rows, all hash
     # matches, zero err — includes the fn_geospatial re-check after the
     # sticky-conf fix, clearing the only red row in the project's history) --
