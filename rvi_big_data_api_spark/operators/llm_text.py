@@ -1410,23 +1410,67 @@ PPL_BUCKETS = 5  # quality quintiles
     ),
     uni AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
     tot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT term)::BIGINT AS v FROM toks),
+    -- per-term surprisal quantized ONCE at the vocab level to an exact
+    -- micro-scaled BIGINT (rule 2's quantizer), so every doc score below
+    -- is integer algebra — no float ordering anywhere in the bucketing
+    surp AS (
+        SELECT u.term,
+               floor(-ln((u.c + 1.0) / (tot.n + tot.v)) * 1000000 + 0.5)::BIGINT
+                   AS s_micro
+        FROM uni u CROSS JOIN tot
+    ),
     scored AS (
-        SELECT t.doc_id,
-               -avg(ln((u.c + 1.0) / (tot.n + tot.v))) AS xent
-        FROM toks t JOIN uni u ON u.term = t.term CROSS JOIN tot
+        SELECT t.doc_id, count(*)::BIGINT AS n_tok,
+               sum(s.s_micro)::BIGINT AS sum_micro
+        FROM toks t JOIN surp s ON s.term = t.term
         GROUP BY t.doc_id
     ),
-    bucketed AS (
-        SELECT doc_id, xent,
-               ntile({PPL_BUCKETS}) OVER (ORDER BY xent, doc_id) AS bucket
+    keyed AS (
+        SELECT doc_id,
+               (sum_micro * 1000) // n_tok AS key,
+               sum_micro / (n_tok * 1000000.0) AS xent
         FROM scored
+    ),
+    hist AS (
+        SELECT key, count(*)::BIGINT AS g_n,
+               sum(xent) AS sum_x, min(xent) AS min_x, max(xent) AS max_x,
+               (sum(count(*)) OVER (ORDER BY key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - count(*))::BIGINT AS cum_before,
+               sum(count(*)) OVER ()::BIGINT AS n_total
+        FROM keyed GROUP BY key
+    ),
+    h AS (
+        SELECT *, (cum_before * {PPL_BUCKETS}) // n_total AS d_first,
+               ((cum_before + g_n - 1) * {PPL_BUCKETS}) // n_total AS d_last
+        FROM hist
+    ),
+    whole AS (
+        SELECT d_first + 1 AS bucket, g_n AS n, sum_x, min_x, max_x
+        FROM h WHERE d_first = d_last
+    ),
+    strad AS (
+        SELECT ((h.cum_before
+                 + row_number() OVER (PARTITION BY k.key ORDER BY k.doc_id)
+                 - 1) * {PPL_BUCKETS}) // h.n_total + 1 AS bucket,
+               k.xent
+        FROM keyed k JOIN h ON k.key = h.key AND h.d_first <> h.d_last
+    ),
+    strad_g AS (
+        SELECT bucket, count(*)::BIGINT AS n, sum(xent) AS sum_x,
+               min(xent) AS min_x, max(xent) AS max_x
+        FROM strad GROUP BY bucket
+    ),
+    unioned AS (
+        SELECT bucket, n, sum_x, min_x, max_x FROM whole
+        UNION ALL
+        SELECT bucket, n, sum_x, min_x, max_x FROM strad_g
     )
-    SELECT bucket,
-           count(*)::BIGINT AS n_docs,
-           round(avg(xent), 6) AS avg_xent,
-           round(min(xent), 6) AS min_xent,
-           round(max(xent), 6) AS max_xent
-    FROM bucketed GROUP BY bucket
+    SELECT bucket::BIGINT AS bucket, sum(n)::BIGINT AS n_docs,
+           round(sum(sum_x) / sum(n), 6) AS avg_xent,
+           round(min(min_x), 6) AS min_xent,
+           round(max(max_x), 6) AS max_xent
+    FROM unioned GROUP BY bucket
     """,
     tags=("llm", "corpus", "quality"),
 )
@@ -1445,36 +1489,116 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab is tiny, the text_tfidf convention), a term-keyed shuffle equi-
     join at 100 TB where the vocab outgrows broadcast. The two corpus
     scalars fold in via broadcast 1-row aggregates (no eager actions — the
-    text_cooccurrence_pmi discipline). The quantile split is a global
-    ntile — exact quantiles cost one total sort of the DOC-level (not
-    token-level) table; at 100 TB you'd swap in approx_percentile
-    thresholds, which changes only the boundary rule. Near-tied documents
-    (exact duplicates) may order differently across engines at 1e-15, but
-    swapping tied docs between buckets moves every reported aggregate by
-    less than the 6-dp round — the oracle is tie-robust by construction."""
+    text_cooccurrence_pmi discipline).
+
+    The quantile split is the HISTOGRAM-BOUNDARY plan (eval_lift_table's
+    machinery, ported per VERDICT r9 item 3 — the previous global ntile
+    forced every doc through one partition): per-term surprisal is
+    quantized ONCE at the vocab level to an exact micro-scaled BIGINT
+    (floor(-ln·1e6 + 0.5), rule 2's quantizer — ln over exact integer
+    counts, identical expression tree on both engines), so each doc's
+    score key (nano-scaled integer mean surprisal) is pure integer
+    algebra. Bucket boundaries come from a cumulative window over the
+    KEY SUPPORT (distinct score keys, not docs); key groups straddling
+    no boundary contribute their pre-aggregated (count, Σxent, min, max)
+    wholesale, and only the ≤{PPL_BUCKETS}−1 straddling groups rejoin the
+    doc frame for a doc_id tiebreak rank PARTITIONED by key — no
+    corpus-sized unpartitioned window remains (pinned in
+    tests/test_plans.py). Reported envelopes derive from the same exact
+    integers (sum_micro / n_tok·1e6), aggregate-rounded 6dp."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = toks.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("term").alias("v")
     )
-    scored = (
-        toks.join(F.broadcast(uni), "term")
-        .crossJoin(F.broadcast(tot))
+    surp = uni.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(
+            -F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    keyed = (
+        toks.join(F.broadcast(surp), "term")
         .groupBy("doc_id")
         .agg(
-            (-F.avg(
-                F.log((F.col("c") + F.lit(1).cast("double")) / (F.col("n") + F.col("v")))
-            )).alias("xent")
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("s_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            F.expr("(sum_micro * 1000) div n_tok").alias("key"),
+            (F.col("sum_micro") / (F.col("n_tok") * F.lit(1000000.0))).alias("xent"),
         )
     )
-    w = Window.orderBy(F.asc("xent"), F.asc("doc_id"))
-    bucketed = scored.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
-    return bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("xent"), 6).alias("avg_xent"),
-        F.round(F.min("xent"), 6).alias("min_xent"),
-        F.round(F.max("xent"), 6).alias("max_xent"),
+    whist = Window.orderBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = (
+        keyed.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("g_n"),
+            F.sum("xent").alias("sum_x"),
+            F.min("xent").alias("min_x"),
+            F.max("xent").alias("max_x"),
+        )
+        .select("*", (F.sum("g_n").over(whist) - F.col("g_n")).alias("cum_before"))
+    )
+    totals = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    h = hist.crossJoin(F.broadcast(totals)).select(
+        "*",
+        F.expr(f"cum_before * {PPL_BUCKETS} div n_total").alias("d_first"),
+        F.expr(f"(cum_before + g_n - 1) * {PPL_BUCKETS} div n_total").alias("d_last"),
+    )
+    whole = h.filter(F.col("d_first") == F.col("d_last")).select(
+        (F.col("d_first") + 1).alias("bucket"),
+        F.col("g_n").alias("n"),
+        "sum_x",
+        "min_x",
+        "max_x",
+    )
+    strad = h.filter(F.col("d_first") != F.col("d_last")).select(
+        "key", "cum_before", "n_total"
+    )
+    wgrp = Window.partitionBy("key").orderBy(F.col("doc_id").asc())
+    split = (
+        keyed.join(F.broadcast(strad), "key")
+        .select(
+            "xent",
+            "n_total",
+            (
+                (F.col("cum_before") + F.row_number().over(wgrp) - F.lit(1))
+                * F.lit(PPL_BUCKETS)
+            ).alias("scaled_rank"),
+        )
+        .groupBy((F.expr("scaled_rank div n_total") + 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xent").alias("sum_x"),
+            F.min("xent").alias("min_x"),
+            F.max("xent").alias("max_x"),
+        )
+    )
+    return (
+        whole.unionByName(split)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.round(F.sum("sum_x") / F.sum("n"), 6).alias("avg_xent"),
+            F.round(F.min("min_x"), 6).alias("min_xent"),
+            F.round(F.max("max_x"), 6).alias("max_xent"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            "avg_xent",
+            "min_xent",
+            "max_xent",
+        )
     )
 
 
@@ -1612,11 +1736,24 @@ SHUFFLE_BLOCK = 100          # dataloader block size for the mix audit
     "corpus_global_shuffle",
     oracle=f"""
     WITH r AS (SELECT doc_id, source,
-                      md5('{SHUFFLE_EPOCH_SALT}' || doc_id::VARCHAR) AS shuffle_key
+                      md5('{SHUFFLE_EPOCH_SALT}' || doc_id::VARCHAR) AS shuffle_key,
+                      substr(md5('{SHUFFLE_EPOCH_SALT}' || doc_id::VARCHAR), 1, 2)
+                          AS bucket
                FROM documents),
-    rk AS (SELECT doc_id, source, shuffle_key,
-                  row_number() OVER (ORDER BY shuffle_key, doc_id) AS rk
-           FROM r),
+    -- per-range broadcast offsets: cumulative counts over the 256-bucket
+    -- key-prefix support, so the rank window below is PARTITIONED per range
+    off AS (
+        SELECT bucket,
+               (sum(count(*)) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - count(*))::BIGINT AS cum_before
+        FROM r GROUP BY bucket
+    ),
+    rk AS (SELECT r.source,
+                  o.cum_before
+                  + row_number() OVER (PARTITION BY r.bucket
+                                       ORDER BY r.shuffle_key, r.doc_id) AS rk
+           FROM r JOIN off o ON r.bucket = o.bucket),
     b AS (SELECT ((rk - 1) // {SHUFFLE_BLOCK})::BIGINT AS block, source FROM rk),
     ps AS (SELECT block, source, count(*)::BIGINT AS n FROM b GROUP BY 1, 2)
     SELECT block,
@@ -1643,19 +1780,38 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_source_frac concentrate near each source's corpus share — the
     measurable definition of "well mixed".
 
-    100 TB shape: ORDER BY a uniform hash is a range-exchange whose splits
-    are uniform BY CONSTRUCTION (hash keys can't skew), i.e. the cheapest
-    possible global sort; a real pipeline writes that order once as the
-    shard layout (compose with corpus_shard_split / corpus_pack_sequences)
-    rather than keeping a rank column. The audit itself reduces to
-    (block, source) partials before the final block rollup."""
+    100 TB shape: the REGISTERED plan is the range-exchange the previous
+    docstring only described (VERDICT r9 item 3 — the old plan was a
+    global row_number window, one partition at execution). The first two
+    hex chars of the uniform shuffle key split the key space into 256
+    ranges whose sizes are uniform BY CONSTRUCTION (hash keys can't
+    skew); per-range offsets come from one cumulative window over the
+    256-row range SUPPORT (the broadcast-offsets half of a distributed
+    sort), and each doc's global rank = its range offset + a rank window
+    PARTITIONED by range — no corpus-sized unpartitioned window remains
+    (pinned in tests/test_plans.py). Widen the prefix as the corpus
+    grows (k hex chars → 16^k ranges); a real pipeline writes this order
+    once as the shard layout (compose with corpus_shard_split /
+    corpus_pack_sequences) rather than keeping a rank column. The audit
+    itself reduces to (block, source) partials before the block rollup."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     key = F.md5(
         F.concat(F.lit(SHUFFLE_EPOCH_SALT), F.col("doc_id").cast("string")).cast("binary")
     )
-    w = Window.orderBy("shuffle_key", "doc_id")
-    ranked = d.withColumn("shuffle_key", key).withColumn(
-        "rk", F.row_number().over(w)
+    keyed = d.withColumn("shuffle_key", key).withColumn(
+        "bucket", F.substring("shuffle_key", 1, 2)
+    )
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = (
+        keyed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("b_n"))
+        .select("bucket", (F.sum("b_n").over(woff) - F.col("b_n")).alias("cum_before"))
+    )
+    wrng = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    ranked = keyed.join(F.broadcast(off), "bucket").withColumn(
+        "rk", F.col("cum_before") + F.row_number().over(wrng)
     )
     per_src = (
         ranked.withColumn(

@@ -1270,28 +1270,39 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * 100 + 0.5)::BIGINT AS spend_cents
         FROM events GROUP BY user_id
     ),
-    ranked AS (
-        SELECT arm, spend_cents,
-               avg(rn) OVER (PARTITION BY spend_cents) AS midrank
+    cnt AS (
+        SELECT arm, spend_cents, count(*)::BIGINT AS n_av
+        FROM per_user GROUP BY arm, spend_cents
+    ),
+    -- histogram ranking over the spend SUPPORT (stats_kruskal_wallis's
+    -- construction): value v spans ranks [cum-t+1, cum], so
+    -- 2*midrank = 2*(cum-t) + t + 1 — an exact BIGINT, no global row sort
+    vrank AS (
+        SELECT spend_cents, t, (2 * (cum - t) + t + 1)::BIGINT AS r2
         FROM (
-            SELECT arm, spend_cents,
-                   row_number() OVER (ORDER BY spend_cents, user_id) * 1.0 AS rn
-            FROM per_user
+            SELECT spend_cents, sum(n_av)::BIGINT AS t,
+                   sum(sum(n_av)) OVER (ORDER BY spend_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS cum
+            FROM cnt GROUP BY spend_cents
         )
     ),
     ties AS (
-        SELECT sum(pow(cnt, 3) - cnt) AS tie_term, sum(cnt)::BIGINT AS n
-        FROM (SELECT count(*)::BIGINT AS cnt FROM per_user GROUP BY spend_cents)
+        SELECT sum(t * t * t - t)::BIGINT AS tie_term, sum(t)::BIGINT AS n
+        FROM vrank
     ),
     arms AS (
-        SELECT sum(CASE WHEN arm = 'control' THEN midrank END) AS r_c,
-               sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)::BIGINT AS n_c,
-               sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)::BIGINT AS n_t
-        FROM ranked
+        SELECT sum(CASE WHEN c.arm = 'control' THEN c.n_av * k.r2 ELSE 0 END)
+                   ::BIGINT AS r2_c,
+               sum(CASE WHEN c.arm = 'control' THEN c.n_av ELSE 0 END)
+                   ::BIGINT AS n_c,
+               sum(CASE WHEN c.arm = 'treatment' THEN c.n_av ELSE 0 END)
+                   ::BIGINT AS n_t
+        FROM cnt c JOIN vrank k ON c.spend_cents = k.spend_cents
     )
     SELECT a.n_c, a.n_t,
-           round(a.r_c - a.n_c * (a.n_c + 1) / 2.0, 1) AS u_control,
-           round((a.r_c - a.n_c * (a.n_c + 1) / 2.0 - a.n_c * a.n_t / 2.0)
+           round(a.r2_c / 2.0 - a.n_c * (a.n_c + 1) / 2.0, 1) AS u_control,
+           round((a.r2_c / 2.0 - a.n_c * (a.n_c + 1) / 2.0 - a.n_c * a.n_t / 2.0)
                  / nullif(sqrt(a.n_c * a.n_t / 12.0
                                * ((t.n + 1) - t.tie_term / (t.n * (t.n - 1.0)))), 0),
                  4) + 0.0 AS z_score
@@ -1304,19 +1315,24 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nonparametric location test that completes the experiment suite
     (z-proportion, Welch mean, KS shape, SRM trust-gate): robust to the
     heavy-tailed spend distributions that break the t-test's normality
-    assumption. Ties get MIDRANKS (average row_number per support point —
-    one value-partitioned window over the globally ranked rows), U_c =
-    R_c − n_c(n_c+1)/2, and the normal approximation uses the
-    tie-CORRECTED variance n_c·n_t/12·((N+1) − Σ(t³−t)/(N(N−1))) — with
-    cents quantization ties are common, so the uncorrected variance would
-    overstate |z|.
+    assumption. Ties get MIDRANKS, U_c = R_c − n_c(n_c+1)/2, and the
+    normal approximation uses the tie-CORRECTED variance
+    n_c·n_t/12·((N+1) − Σ(t³−t)/(N(N−1))) — with cents quantization ties
+    are common, so the uncorrected variance would overstate |z|.
 
-    Same cents-quantized spend as agg_ks_test (PARITY rule 17b) so float
-    fold-order can't split a support point; the global rank window runs
-    over |users| rows (at 100 TB: pre-aggregate to the value support and
-    rank value GROUPS — same midranks by construction). Scalars fold in
-    by broadcast cross join; division nullif-guarded; +0.0 collapses
-    −0.0 z (rule 17)."""
+    Exactness AND scale from HISTOGRAM ranking (stats_kruskal_wallis's
+    construction, ported per VERDICT r9 item 2): rows reduce map-side to
+    (arm, spend_cents) counts, value v's doubled mid-rank comes from the
+    running total over the value SUPPORT (v spans ranks [cum−t+1, cum],
+    so 2·midrank = 2·(cum−t)+t+1 — an exact BIGINT; R_c = Σ n_av·r2 / 2
+    is a halved integer, never a float fold), and the only remaining
+    global structure is the prefix sum over DISTINCT cents values (|V|
+    rows, bounded by the cents domain — not |users|). No corpus-sized
+    Window.orderBy anywhere in the plan (pinned in tests/test_plans.py);
+    same cents quantization as agg_ks_test (PARITY rule 17b) so float
+    fold-order can't split a support point. Scalars fold in by broadcast
+    cross join; division nullif-guarded; +0.0 collapses −0.0 z (rule
+    17)."""
     ev = load(spark, sf_dir, "events")
     arm = F.when(
         F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1) < "8",
@@ -1333,24 +1349,36 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spend_cents")
     ).withColumn("arm", arm)
-    rn = F.row_number().over(Window.orderBy("spend_cents", "user_id")) * F.lit(1.0)
-    ranked = per_user.select(
-        "arm", "spend_cents", rn.alias("rn")
-    ).withColumn("midrank", F.avg("rn").over(Window.partitionBy("spend_cents")))
-    ties = (
-        per_user.groupBy("spend_cents")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .agg(
-            F.sum(F.pow(F.col("cnt"), 3) - F.col("cnt")).alias("tie_term"),
-            F.sum("cnt").alias("n"),
+    cnt = per_user.groupBy("arm", "spend_cents").agg(F.count(F.lit(1)).alias("n_av"))
+    wcum = Window.orderBy("spend_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vrank = (
+        cnt.groupBy("spend_cents")
+        .agg(F.sum("n_av").alias("t"))
+        .select("spend_cents", "t", F.sum("t").over(wcum).alias("cum"))
+        .select(
+            "spend_cents",
+            "t",
+            (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("r2"),
         )
     )
-    arms = ranked.agg(
-        F.sum(F.when(F.col("arm") == "control", F.col("midrank"))).alias("r_c"),
-        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("n_c"),
-        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias("n_t"),
+    ties = vrank.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"),
+        F.sum("t").alias("n"),
     )
-    u_c = F.col("r_c") - F.col("n_c") * (F.col("n_c") + 1) / 2.0
+    arms = cnt.join(vrank.select("spend_cents", "r2"), "spend_cents").agg(
+        F.sum(
+            F.when(F.col("arm") == "control", F.col("n_av") * F.col("r2")).otherwise(0)
+        ).alias("r2_c"),
+        F.sum(F.when(F.col("arm") == "control", F.col("n_av")).otherwise(0)).alias(
+            "n_c"
+        ),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("n_av")).otherwise(0)).alias(
+            "n_t"
+        ),
+    )
+    u_c = F.col("r2_c") / 2.0 - F.col("n_c") * (F.col("n_c") + 1) / 2.0
     var = (
         F.col("n_c")
         * F.col("n_t")
@@ -2781,18 +2809,26 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT arm, count(*)::BIGINT AS n, avg(spend) AS m, var_samp(spend) AS v
         FROM per_user GROUP BY arm
     ),
-    ranked AS (
-        SELECT arm, avg(rn) OVER (PARTITION BY spend_cents) AS midrank
+    cnt AS (
+        SELECT arm, spend_cents, count(*)::BIGINT AS n_av
+        FROM per_user GROUP BY arm, spend_cents
+    ),
+    -- histogram ranking over the spend SUPPORT (stats_kruskal_wallis's
+    -- construction): 2*midrank of value v = 2*(cum-t) + t + 1, exact BIGINT
+    vrank AS (
+        SELECT spend_cents, (2 * (cum - t) + t + 1)::BIGINT AS r2
         FROM (
-            SELECT arm, spend_cents,
-                   row_number() OVER (ORDER BY spend_cents, user_id) * 1.0 AS rn
-            FROM per_user
+            SELECT spend_cents, sum(n_av)::BIGINT AS t,
+                   sum(sum(n_av)) OVER (ORDER BY spend_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS cum
+            FROM cnt GROUP BY spend_cents
         )
     ),
     u AS (
-        SELECT sum(CASE WHEN arm = 'treatment' THEN midrank ELSE 0 END)
-                   AS rank_sum_t
-        FROM ranked
+        SELECT sum(CASE WHEN c.arm = 'treatment' THEN c.n_av * k.r2 ELSE 0 END)
+                   ::BIGINT / 2.0 AS rank_sum_t
+        FROM cnt c JOIN vrank k ON c.spend_cents = k.spend_cents
     ),
     wide AS (
         SELECT max(CASE WHEN arm = 'control' THEN n END)::BIGINT AS n_c,
@@ -2828,20 +2864,24 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the spend skew). Same md5 arm assignment as the t-test, so the
     suite reads as one experiment report.
 
-    Rank sums quantize spend to integer CENTS before the rank window and
-    use MIDRANKS (avg row_number per support point), exactly as
-    agg_mannwhitney_u does (PARITY rule 17b): ranking the raw float sum
-    lets cross-engine fold-order ulp drift split a support point and flip
-    ranks, and row_number-with-tiebreak makes U depend on the arbitrary
-    tiebreak under ties (the zero-spend block is one huge tie) — midranks
-    give the standard tie-corrected U the docstring promises (ADVICE r7).
-    Moments keep the raw float spend (var_samp/avg over the per-user
-    frame — quantization would bias d/g); the three statistics are the
-    only floats, aggregate-rounded (rule 6/8) with -0.0 guards (rule 17).
+    Rank sums quantize spend to integer CENTS and use MIDRANKS from
+    HISTOGRAM ranking (stats_kruskal_wallis's construction, ported per
+    VERDICT r9 item 2), exactly as agg_mannwhitney_u does (PARITY rule
+    17b): (arm, cents) counts reduce map-side, 2·midrank of value v =
+    2·(cum−t)+t+1 over the value SUPPORT is an exact BIGINT, and
+    rank_sum_t = Σ n_av·r2 / 2 is a halved integer — ranking the raw
+    float sum would let cross-engine fold-order ulp drift split a
+    support point, and row_number-with-tiebreak would make U depend on
+    the arbitrary tiebreak under ties (the zero-spend block is one huge
+    tie). Moments keep the raw float spend (var_samp/avg over the
+    per-user frame — quantization would bias d/g); the three statistics
+    are the only floats, aggregate-rounded (rule 6/8) with -0.0 guards
+    (rule 17).
 
-    Scale: one partial agg to users, one tiny arm rollup; the global
-    rank is a sort over users (not events) — swap in the histogram
-    ranking (stats_kruskal_wallis) when the user table itself is huge."""
+    Scale: one partial agg to users, one tiny arm rollup; the only
+    global structure is the prefix sum over DISTINCT cents values (|V|
+    rows, not |users| — no corpus-sized Window.orderBy, pinned in
+    tests/test_plans.py)."""
     ev = load(spark, sf_dir, "events")
     spend = F.sum(
         F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
@@ -2866,13 +2906,27 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("spend").alias("m"),
         F.var_samp("spend").alias("v"),
     )
-    rn = F.row_number().over(Window.orderBy("spend_cents", "user_id")) * F.lit(1.0)
-    ranked = per_user.select("arm", "spend_cents", rn.alias("rn")).withColumn(
-        "midrank", F.avg("rn").over(Window.partitionBy("spend_cents"))
+    cnt = per_user.groupBy("arm", "spend_cents").agg(F.count(F.lit(1)).alias("n_av"))
+    wcum = Window.orderBy("spend_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    u = ranked.agg(
-        F.sum(
-            F.when(F.col("arm") == "treatment", F.col("midrank")).otherwise(0.0)
+    vrank = (
+        cnt.groupBy("spend_cents")
+        .agg(F.sum("n_av").alias("t"))
+        .select("spend_cents", "t", F.sum("t").over(wcum).alias("cum"))
+        .select(
+            "spend_cents",
+            (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("r2"),
+        )
+    )
+    u = cnt.join(vrank, "spend_cents").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("arm") == "treatment", F.col("n_av") * F.col("r2")
+                ).otherwise(0)
+            )
+            / 2.0
         ).alias("rank_sum_t")
     )
     wide = arms.agg(

@@ -584,12 +584,16 @@ def test_theta_retention_single_event_pass_no_join(spark, sf_dir):
 
 
 def test_global_shuffle_no_join_single_scan(spark, sf_dir):
-    """The training-order interleave is rank-over-hash + two aggregates:
-    one documents scan, a window, no join anywhere."""
+    """The training-order interleave is the range-exchange plan (VERDICT r9
+    item 3): per-range offsets fold in over a BROADCAST hash join on the
+    256-value key prefix — never a shuffle join — and the only joins are
+    that one; ranks come from windows + aggregates."""
     plan = plan_of(REGISTRY["corpus_global_shuffle"].fn(spark, sf_dir))
     exec_plan = plan.split("\n== ")[0]
-    assert "Join" not in exec_plan, exec_plan[:2000]
-    assert exec_plan.count("Scan parquet") == 1, exec_plan[:2000]
+    assert "BroadcastHashJoin" in exec_plan, exec_plan[:2000]
+    assert "SortMergeJoin" not in exec_plan, exec_plan[:2000]
+    assert "ShuffledHashJoin" not in exec_plan, exec_plan[:2000]
+    assert "CartesianProduct" not in exec_plan, exec_plan[:2000]
     assert "Window" in exec_plan and "HashAggregate" in exec_plan
 
 
@@ -1350,6 +1354,41 @@ def test_rank_windows_are_partitioned(spark, sf_dir, name):
     assert rank_lines, "histogram-boundary plan still needs the straddle rank"
     for line in rank_lines:
         assert line.count("], [") >= 2, f"unpartitioned row_number: {line.strip()[:200]}"
+
+
+@pytest.mark.parametrize(
+    "name", ["corpus_perplexity_filter", "corpus_global_shuffle"]
+)
+def test_round10_rank_windows_are_partitioned(spark, sf_dir, name):
+    """VERDICT r9 item 3: the quintile/rank assignment must come from the
+    histogram-boundary / range-exchange plan — any row_number() in the
+    optimized plan must be PARTITIONED (by score key / key-prefix range),
+    never an unpartitioned window over the corpus-sized doc frame; ntile
+    must be gone entirely."""
+    plan = (
+        REGISTRY[name].fn(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "ntile" not in plan, name
+    rank_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rank_lines, "boundary plan still needs the partitioned straddle/range rank"
+    for line in rank_lines:
+        assert line.count("], [") >= 2, f"unpartitioned row_number: {line.strip()[:200]}"
+
+
+@pytest.mark.parametrize("name", ["agg_mannwhitney_u", "stats_effect_sizes"])
+def test_round10_midranks_have_no_row_rank(spark, sf_dir, name):
+    """VERDICT r9 item 2: midranks must come from the support-histogram
+    algebra (stats_kruskal_wallis's 2·midrank = 2·(cum−t)+t+1 over the
+    spend_cents SUPPORT) — no row-level rank function anywhere in the plan;
+    the only window is the prefix sum over distinct cents values."""
+    plan = (
+        REGISTRY[name].fn(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "row_number()" not in plan, name
+    assert "ntile" not in plan, name
+    assert "rank(" not in plan, name
 
 
 @pytest.mark.parametrize(
