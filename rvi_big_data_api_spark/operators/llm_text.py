@@ -1522,6 +1522,13 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_micro"),
     )
+    # The scored doc frame is referenced three times below (support
+    # histogram, totals, straddle rejoin); checkpoint it eagerly so the
+    # token-explode + vocab-join subtree plans ONCE (the graph_hits
+    # lesson — without this the physical plan re-derives it per consumer).
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
     keyed = (
         toks.join(F.broadcast(surp), "term")
         .groupBy("doc_id")
@@ -1534,6 +1541,7 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(sum_micro * 1000) div n_tok").alias("key"),
             (F.col("sum_micro") / (F.col("n_tok") * F.lit(1000000.0))).alias("xent"),
         )
+        .checkpoint(eager=True)
     )
     whist = Window.orderBy("key").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
