@@ -971,6 +971,7 @@ _CUPED_FLOAT_EXPRS = [
     ),
     scored AS (
         SELECT a.arm, a.n, a.sx AS sum_pre_cents, a.sy AS sum_post_cents,
+               a.syy AS syy_i,
                cast(a.sx as double) AS sx, cast(a.sy as double) AS sy,
                cast(a.sxx as double) AS sxx, cast(a.sxy as double) AS sxy,
                cast(a.syy as double) AS syy,
@@ -982,7 +983,7 @@ _CUPED_FLOAT_EXPRS = [
     )
     SELECT arm, n, sum_pre_cents, sum_post_cents,
            (sum_post_cents * 1000 // n)::BIGINT AS mean_post_milli,
-           ((n * cast(syy as BIGINT) - sum_post_cents * sum_post_cents) * 1000
+           ((n * syy_i - sum_post_cents * sum_post_cents) * 1000
                // (n * n))::BIGINT AS var_post_milli,
            {", ".join(_CUPED_FLOAT_EXPRS)}
     FROM scored
@@ -1007,7 +1008,13 @@ def eval_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stated overflow bound: the second moments are Σy² ≤ n·y_max², under
     2^63 for n ≲ 2·10⁸ users at y ≤ 2·10⁵ cents — promote the sums to
     DECIMAL(38) past that population (Spark ANSI off would wrap silently;
-    DuckDB errors loudly, so the twin cannot silently diverge).
+    DuckDB errors loudly, so the twin cannot silently diverge). The raw
+    BIGINT second moment (syy_i) is carried through the `scored`
+    projection alongside its double copy, and var_post_milli is computed
+    from the INTEGER column on both engines (ADVICE r9: the previous
+    BIGINT→double→BIGINT round-trip silently lost integer exactness past
+    2^53, a thousand-fold earlier than the 2^63 bound above; the double
+    copy now feeds only the θ-laden float expressions).
     The RAW mean/variance are pure rationals with denominator n/n², where
     a 6-dp round tie is reachable — and was HIT on this fixture (Spark
     HALF_UP vs DuckDB half-even at the last ulp of var_post) — so they
@@ -1054,6 +1061,7 @@ def eval_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sx_i AS sum_pre_cents",
         "sy_i AS sum_post_cents",
+        "syy_i",
         "cast(sx_i as double) AS sx",
         "cast(sy_i as double) AS sy",
         "cast(sxx_i as double) AS sxx",
@@ -1069,7 +1077,7 @@ def eval_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_pre_cents",
         "sum_post_cents",
         "sum_post_cents * 1000 div n AS mean_post_milli",
-        "(n * cast(syy as BIGINT) - sum_post_cents * sum_post_cents) * 1000"
+        "(n * syy_i - sum_post_cents * sum_post_cents) * 1000"
         " div (n * n) AS var_post_milli",
         *_CUPED_FLOAT_EXPRS,
     )

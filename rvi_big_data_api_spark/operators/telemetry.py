@@ -4140,7 +4140,14 @@ def motif_best_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per (session, sf_dir) and eagerly checkpointed (the graph-memo
     discipline): ts_motif_discovery reads its per-user MIN and
     anomaly_subsequence_discord its per-user MAX, so the candidate join
-    is paid once for both consumers."""
+    is paid once for both consumers.
+
+    The octave block key wraps the 4-day cents sum in greatest(..., 1)
+    in BOTH dialects (ADVICE r9): Spark's conv() treats a negative input
+    as unsigned 64-bit (length ~64) while DuckDB's to_base() does not,
+    so without the clamp the keys would diverge if a window's cents sum
+    could reach <= -1 (fixture values are non-negative, but the key is
+    now total rather than precondition-dependent)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _MOTIF_BEST:
         return _MOTIF_BEST[key]
@@ -4181,7 +4188,7 @@ def motif_best_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             step("c1", "c2"),
             step("c2", "c3"),
             F.lit("|"),
-            F.length(F.expr("conv(c0 + c1 + c2 + c3 + 1, 10, 2)")).cast("string"),
+            F.length(F.expr("conv(greatest(c0 + c1 + c2 + c3 + 1, 1), 10, 2)")).cast("string"),
         ).alias("blk"),
     )
     wblk = Window.partitionBy("blk").orderBy("c0", "c1", "c2", "c3", "user_id", "r")
@@ -4274,7 +4281,7 @@ def motif_best_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN c1 > c0 THEN 'u' WHEN c1 < c0 THEN 'd' ELSE 'f' END,
                    CASE WHEN c2 > c1 THEN 'u' WHEN c2 < c1 THEN 'd' ELSE 'f' END,
                    CASE WHEN c3 > c2 THEN 'u' WHEN c3 < c2 THEN 'd' ELSE 'f' END,
-                   '|', length(to_base(c0 + c1 + c2 + c3 + 1, 2))::VARCHAR
+                   '|', length(to_base(greatest(c0 + c1 + c2 + c3 + 1, 1), 2))::VARCHAR
                ) AS blk
         FROM sub WHERE c3 IS NOT NULL
     ),
@@ -4389,7 +4396,7 @@ def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN c1 > c0 THEN 'u' WHEN c1 < c0 THEN 'd' ELSE 'f' END,
                    CASE WHEN c2 > c1 THEN 'u' WHEN c2 < c1 THEN 'd' ELSE 'f' END,
                    CASE WHEN c3 > c2 THEN 'u' WHEN c3 < c2 THEN 'd' ELSE 'f' END,
-                   '|', length(to_base(c0 + c1 + c2 + c3 + 1, 2))::VARCHAR
+                   '|', length(to_base(greatest(c0 + c1 + c2 + c3 + 1, 1), 2))::VARCHAR
                ) AS blk
         FROM sub WHERE c3 IS NOT NULL
     ),

@@ -1415,6 +1415,20 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     data never reaches the driver."""
     base = scratch_dir(sf_dir, "manifestprune")
     o = load(spark, sf_dir, "orders")
+    # Coverage assertion (ADVICE r9): the staged lake must PARTITION the
+    # table — a row outside the fixed year grid would silently vanish from
+    # every staged file while the oracle counts it from the raw table. One
+    # 1-row planning-phase agg makes fixture drift loud instead of silent.
+    span = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).collect()[0]
+    grid_lo, grid_hi = f"{PRUNE_YEARS[0][0]}-01-01", f"{PRUNE_YEARS[-1][1]}-01-01"
+    if str(span["lo"]) < grid_lo or str(span["hi"]) >= grid_hi:
+        raise ValueError(
+            f"scan_manifest_prune year grid [{grid_lo}, {grid_hi}) does not "
+            f"cover orders o_orderdate span [{span['lo']}, {span['hi']}] — "
+            "extend PRUNE_YEARS for this fixture"
+        )
     entries = []
     for lo, hi in PRUNE_YEARS:
         path = os.path.join(base, f"data_{lo}")

@@ -2484,9 +2484,16 @@ def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     State per key: two K-bounded arrays (draws, ids) — fixed-size
     regardless of stream length; at scale it lives in the RocksDB state
-    store partitioned by stratum. The update emits the key's current
-    reservoir, so with one availableNow batch the final table is the
-    batch sample (stream_stateful's convention)."""
+    store partitioned by stratum. Update mode appends each trigger's
+    reservoir snapshot to the memory sink, so the final table is
+    POST-PROCESSED by re-applying the bottom-k over the union of emitted
+    snapshots (ADVICE r9): bottomK(R_1 ∪ … ∪ R_final) = R_final because
+    an element evicted from an earlier snapshot is by construction
+    larger than the final k-th draw — the same mergeability law the
+    state update relies on, so correctness no longer depends on
+    availableNow producing exactly one micro-batch. The post-process
+    recomputes the FULL md5 draw from event_id (the emitted draw is the
+    8-char display prefix, not the sort key)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -2523,4 +2530,18 @@ def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_table(sdf, sf_dir, "reservoir", "update")
+    emitted = run_to_table(sdf, sf_dir, "reservoir", "update")
+    wk = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        emitted.select("event_type", "event_id")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select(
+            "event_type",
+            "event_id",
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8).alias("draw"),
+        )
+    )
