@@ -53,6 +53,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     # own additions registered behind them. ----------------------------------
     "corpus_seqlen_sweep", "sink_snapshot_gc", "mm_cdc_containment",
     "text_entropy_rate",
+    # -- round-10 additions (registered BEHIND the 4-entry unverified head) --
+    "mm_cdc_clamped",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -681,6 +681,9 @@ EXTENSIONS = [
     # round 9 wave 5: cross-blob containment from banded shared CDC chunks;
     # per-language bigram entropy rate (conditional Shannon estimate)
     "mm_cdc_containment", "text_entropy_rate",
+    # round 10: CDC with production min/max chunk-size clamps (VERDICT r9
+    # item 6 — MIN merge pass + MAX split pass, both content-local)
+    "mm_cdc_clamped",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -2105,6 +2105,103 @@ def test_generated_cdc_geometries_agree_across_engines(spark, duck, sf_dir, w, n
 
 
 # --------------------------------------------------------------------------
+# Clamped-CDC family (round 10, VERDICT r9 item 6): random clamp widths
+# through the MIN-merge + MAX-split geometry, cross-engine (Spark SQL vs
+# DuckDB) AND cross-algebra (relational passes vs the sequential pure-Python
+# replica in test_round10_properties). Low cmin exercises the no-merge path,
+# cmin >> mean gap merges almost everything and forces the split pass.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    w=st.integers(min_value=4, max_value=12),
+    nib=st.sampled_from(["0", "3", "7"]),
+    cmin=st.integers(min_value=2, max_value=40),
+    cmax_extra=st.integers(min_value=1, max_value=60),
+)
+def test_generated_clamped_cdc_geometries_agree_across_engines(
+    spark, duck, sf_dir, w, nib, cmin, cmax_extra
+):
+    from rvi_big_data_api_spark.io import load
+
+    cmax = cmin + cmax_extra  # cmax > cmin always
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    body = f"""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS len FROM documents
+        WHERE length(text) >= 1 AND doc_id % 3 = 0
+    ),
+    bnd AS (
+        SELECT doc_id, i, FALSE AS forced FROM ({{positions}}) z
+        WHERE substr(md5(substring(text, i - {w} + 1, {w})), 1, 1) <= '{nib}'
+        UNION ALL
+        SELECT doc_id, len AS i, TRUE AS forced FROM docs
+    ),
+    gaps AS (
+        SELECT doc_id, i, forced,
+               i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+                   AS gap
+        FROM bnd
+    ),
+    surv AS (SELECT doc_id, i FROM gaps WHERE forced OR gap >= {cmin}),
+    spans AS (
+        SELECT doc_id,
+               coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+               i AS e
+        FROM surv
+    ),
+    sub AS (SELECT doc_id, s, e, k FROM ({{splits}}) z2),
+    chunks AS (
+        SELECT c.doc_id, (c.s + c.k * {cmax}) AS cs,
+               CAST(least(c.s + (c.k + 1) * {cmax}, c.e)
+                    - (c.s + c.k * {cmax}) AS BIGINT) AS cb,
+               md5(substring(d.text, c.s + c.k * {cmax} + 1,
+                             least(c.s + (c.k + 1) * {cmax}, c.e)
+                             - (c.s + c.k * {cmax}))) AS h
+        FROM sub c JOIN docs d ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT cb, row_number() OVER (PARTITION BY h ORDER BY doc_id, cs) AS rn
+        FROM chunks
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(cb) AS BIGINT) AS n_bytes,
+           CAST(max(cb) AS BIGINT) AS max_chunk,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN rn > 1 THEN cb ELSE 0 END) AS BIGINT) AS dup_bytes
+    FROM ranked
+    """
+    s_sql = body.format(
+        positions=f"SELECT doc_id, text, i FROM docs"
+        f" LATERAL VIEW explode(sequence({w}, len - 1)) t AS i WHERE len > {w}",
+        splits=f"SELECT doc_id, s, e, k FROM spans"
+        f" LATERAL VIEW explode(sequence(0, (e - s - 1) div {cmax})) t2 AS k",
+    )
+    d_sql = body.format(
+        positions=f"SELECT doc_id, text, i FROM docs,"
+        f" unnest(generate_series({w}, len - 1)) t(i)",
+        splits=f"SELECT doc_id, s, e, k FROM spans,"
+        f" unnest(generate_series(0, (e - s - 1) // {cmax})) t2(k)",
+    )
+    s_row = tuple(spark.sql(s_sql).collect()[0])
+    d_row = tuple(duck.execute(d_sql).fetchone())
+    assert s_row == d_row, f"w={w} nib={nib} clamp=[{cmin},{cmax}]: {s_row} != {d_row}"
+    # clamp soundness: chunks bounded above; conservation byte-for-byte
+    assert s_row[2] <= cmax
+    n_bytes = duck.execute(
+        "SELECT CAST(sum(length(text)) AS BIGINT) FROM documents"
+        " WHERE length(text) >= 1 AND doc_id % 3 = 0"
+    ).fetchone()[0]
+    assert s_row[1] == n_bytes
+
+
+# --------------------------------------------------------------------------
 # Histogram-boundary bucketing family (round 9): eval_lift_table /
 # corpus_curriculum_order now register the boundary plan (VERDICT r8 item
 # 2); this proves the ALGEBRA at random bucket counts and tie densities by

@@ -1,0 +1,152 @@
+"""Round-10 additions: cross-operator invariants and golden checks.
+
+Same discipline as test_round7/8/9_properties.py: every new operator gets
+at least one property that a wrong implementation would fail, checked
+against either an independent pure-Python replica or a conservation law
+the algebra must obey.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from rvi_big_data_api_spark.io import load
+from rvi_big_data_api_spark.registry import REGISTRY
+
+
+def _df(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+# --- mm_cdc_clamped: clamped content-defined chunking ------------------------
+
+
+def _py_clamped_chunks(
+    s: str, w: int, nibble: str, cmin: int, cmax: int
+) -> list[tuple[int, int]]:
+    """Pure-Python replica of cdc_clamped_chunk_frame's geometry: natural
+    boundaries (md5-nibble window predicate) plus the forced len boundary;
+    MIN pass keeps a natural boundary iff its own left gap (vs the previous
+    RAW boundary) >= cmin; MAX pass splits surviving spans at fixed offsets
+    s + k*cmax. Returns [(start, nbytes)]."""
+    n = len(s)
+    nat = (
+        [
+            i
+            for i in range(w, n)
+            if hashlib.md5(s[i - w : i].encode()).hexdigest()[0] == nibble
+        ]
+        if n > w
+        else []
+    )
+    bnd = nat + [n]
+    surv, prev = [], 0
+    for i in bnd:
+        gap = i - prev
+        if i == n or gap >= cmin:
+            surv.append(i)
+        prev = i
+    out, start = [], 0
+    for e in surv:
+        span = e - start
+        k = 0
+        while k * cmax < span:
+            cs = start + k * cmax
+            ce = min(start + (k + 1) * cmax, e)
+            out.append((cs, ce - cs))
+            k += 1
+        start = e
+    return out
+
+
+def test_cdc_clamped_geometry_matches_python_replica(spark, sf_dir):
+    """Chunk-for-chunk replay of the registered clamped geometry against
+    the pure-Python replica on a corpus sample — starts, sizes, and hashes
+    all agree (the mm_cdc_dedup insertion-locality discipline)."""
+    from rvi_big_data_api_spark.operators.multimodal import (
+        CDC_MAX,
+        CDC_MIN,
+        CDC_NIBBLE,
+        CDC_W,
+        cdc_clamped_chunk_frame,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()
+    }
+    b = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    got = {}
+    for r in cdc_clamped_chunk_frame(b).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["s"], r["chunk_bytes"], r["chunk_md5"])
+        )
+    for doc_id, text in docs.items():
+        want = [
+            (cs, nb, hashlib.md5(text[cs : cs + nb].encode()).hexdigest())
+            for cs, nb in _py_clamped_chunks(text, CDC_W, CDC_NIBBLE, CDC_MIN, CDC_MAX)
+        ]
+        assert sorted(got.get(doc_id, [])) == sorted(want), doc_id
+
+
+def test_cdc_clamped_ledger_invariants(spark, sf_dir):
+    """Conservation + boundedness: per doc the clamped chunks partition the
+    blob byte-for-byte (n_bytes == blob length), every chunk is <= CDC_MAX,
+    and clamping can only reduce the chunk count vs the unclamped geometry
+    (merges dominate splits on this predicate density)."""
+    from rvi_big_data_api_spark.operators.multimodal import CDC_MAX
+
+    rows = {r["doc_id"]: r for r in _df("mm_cdc_clamped", spark, sf_dir).collect()}
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+        if r["n"] >= 1
+    }
+    assert set(rows) == set(lens)
+    for doc_id, r in rows.items():
+        assert r["n_bytes"] == lens[doc_id], doc_id
+        assert r["max_chunk"] <= CDC_MAX, doc_id
+        assert r["min_chunk"] >= 1 and r["n_chunks"] >= 1
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        # stored_ppm == 0 is legal: a doc fully covered by chunks first
+        # seen in earlier docs stores nothing new
+        assert 0 <= r["stored_ppm"] <= 1_000_000
+
+
+def test_cdc_clamped_interior_chunks_respect_min(spark, sf_dir):
+    """Every chunk that ends at a surviving MIN-pass boundary and is not a
+    MAX-split remainder is >= CDC_MIN — the property the clamp exists for
+    (only doc tails and split remainders may be smaller)."""
+    from rvi_big_data_api_spark.operators.multimodal import (
+        CDC_MIN,
+        cdc_clamped_chunk_frame,
+    )
+    from rvi_big_data_api_spark.operators.multimodal import _with_binary
+
+    b = _with_binary(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    chunks = cdc_clamped_chunk_frame(b).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    small = 0
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["s"])
+        end = rs[-1]
+        for r in rs:
+            if r["chunk_bytes"] < CDC_MIN:
+                # only doc tails and MAX-split remainders may be undersized
+                assert (r is end) or r["is_split"], (doc_id, r)
+                small += 1
+    # tails/remainders exist but are a small minority of all chunks
+    assert small < len(chunks) / 4
