@@ -4170,3 +4170,288 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram_entropy_nats"),
         )
     )
+
+
+# --- round 10: unigram-LM (SentencePiece-style) tokenizer training -----------
+# VERDICT r9 item 5: the BPE family covers MERGE-based tokenization; the
+# unigram model's EM step completes the production tokenizer-training pair.
+
+UNI_L = 4      # max piece length (chars) — bounds the Viterbi DP width
+UNI_WMAX = 12  # max word length admitted to training (SentencePiece trims
+               # rare long words the same way; bounds the DP unroll depth)
+
+
+def _unigram_oracle_sql() -> str:
+    """Generate the chained-CTE DuckDB twin of text_unigram_train — the
+    _BPE_CHAIN_SQL discipline: one dp CTE per unrolled Viterbi position and
+    one bt CTE per backtrace step, all AS MATERIALIZED (each is referenced
+    by up to UNI_L later steps), derived from the same UNI_L/UNI_WMAX
+    constants as the Spark plan so geometry cannot drift."""
+    parts = [
+        f"""WITH words AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS wcnt, length(word)::BIGINT AS wlen
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+        WHERE length(word) BETWEEN 1 AND {UNI_WMAX}
+        GROUP BY word
+    ),
+    occ1 AS (
+        SELECT word, wcnt, wlen, s
+        FROM words, unnest(generate_series(1, wlen)) t(s)
+    ),
+    occ AS (
+        SELECT substring(word, s, k) AS piece, wcnt
+        FROM occ1, unnest(generate_series(1, least({UNI_L}, wlen - s + 1))) t2(k)
+    ),
+    pieces AS (SELECT piece, sum(wcnt)::BIGINT AS init_cnt FROM occ GROUP BY piece),
+    tot AS (SELECT sum(init_cnt)::BIGINT AS tot FROM pieces),
+    pcost AS MATERIALIZED (
+        SELECT piece, init_cnt,
+               floor(-ln(init_cnt::DOUBLE / tot) * 1000000 + 0.5)::BIGINT
+                   AS cost_micro
+        FROM pieces CROSS JOIN tot
+    ),
+    dp0 AS MATERIALIZED (
+        SELECT word, wlen, 0::BIGINT AS pos, 0::BIGINT AS cost,
+               0::BIGINT AS back_k
+        FROM words
+    )"""
+    ]
+    for i in range(1, UNI_WMAX + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT word, wlen, pos, cost FROM dp{j}"
+            for j in range(max(0, i - UNI_L), i)
+        )
+        parts.append(
+            f""",
+    dp{i} AS MATERIALIZED (
+        SELECT word, wlen, {i}::BIGINT AS pos,
+               (min_enc // 16)::BIGINT AS cost,
+               (min_enc % 16)::BIGINT AS back_k
+        FROM (
+            SELECT p.word, p.wlen,
+                   min((p.cost + c.cost_micro) * 16 + ({i} - p.pos))::BIGINT
+                       AS min_enc
+            FROM ({prev}) p
+            JOIN pcost c
+              ON c.piece = substring(p.word, p.pos + 1, {i} - p.pos)
+            WHERE p.wlen >= {i}
+            GROUP BY p.word, p.wlen
+        ) q
+    )"""
+        )
+    cells_union = " UNION ALL ".join(
+        f"SELECT word, pos, back_k FROM dp{j}" for j in range(0, UNI_WMAX + 1)
+    )
+    parts.append(
+        f""",
+    cells AS MATERIALIZED ({cells_union}),
+    bt0 AS MATERIALIZED (SELECT word, wlen AS pos FROM words)"""
+    )
+    for j in range(1, UNI_WMAX + 1):
+        src = (
+            "SELECT word, pos FROM bt0"
+            if j == 1
+            else f"SELECT word, pos - back_k AS pos FROM bt{j - 1}"
+        )
+        parts.append(
+            f""",
+    bt{j} AS MATERIALIZED (
+        SELECT b.word, b.pos, c.back_k
+        FROM ({src}) b JOIN cells c ON c.word = b.word AND c.pos = b.pos
+        WHERE b.pos > 0
+    )"""
+        )
+    used_union = " UNION ALL ".join(
+        f"SELECT word, pos, back_k FROM bt{j}" for j in range(1, UNI_WMAX + 1)
+    )
+    parts.append(
+        f""",
+    used AS (
+        SELECT word, substring(word, pos - back_k + 1, back_k) AS piece
+        FROM ({used_union}) u
+    ),
+    uses AS (
+        SELECT u.piece, sum(w.wcnt)::BIGINT AS used_cnt
+        FROM used u JOIN words w ON w.word = u.word
+        GROUP BY u.piece
+    ),
+    tu AS (SELECT sum(used_cnt)::BIGINT AS tu FROM uses)
+    SELECT u.piece, length(u.piece)::BIGINT AS piece_len,
+           c.init_cnt, c.cost_micro, u.used_cnt,
+           (u.used_cnt * 1000000 // t.tu)::BIGINT AS new_prob_ppm
+    FROM uses u JOIN pcost c ON c.piece = u.piece CROSS JOIN tu t"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "text_unigram_train",
+    oracle=_unigram_oracle_sql(),
+    tags=("llm", "text", "tokenizer", "flagship"),
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece, Kudo 2018) as pure
+    relational algebra — ONE EM round over the corpus word histogram, the
+    round-10 flagship completing the production tokenizer pair next to
+    text_bpe_train (merge-based vs likelihood-based):
+
+    - Candidate inventory: every substring of length <= UNI_L of every
+      admitted word (length <= UNI_WMAX), frequency-weighted by word
+      count; initial piece cost = -ln(cnt/total) quantized ONCE at the
+      inventory level to exact micro-units (the corpus_perplexity_filter
+      convention — everything after the quantizer is integer algebra).
+    - E-step: per DISTINCT word, the Viterbi-best segmentation over the
+      piece lattice. Bounded piece length = bounded-width DP: position
+      i's best cost reads only positions i-UNI_L..i-1, so the DP unrolls
+      into UNI_WMAX relational steps — each ONE broadcast join of the
+      previous <=UNI_L cell frames against the piece table keyed on the
+      literal substring(word, pos+1, i-pos), then an integer argmin.
+      Tie-breaks are total: candidates minimize (cost*16 + k) so equal
+      costs prefer the SHORTEST last piece, deterministically on both
+      engines. Each dp level is eagerly checkpointed (the graph_hits
+      lesson: levels are referenced by up to UNI_L later steps — without
+      the cut the physical plan re-derives subtrees ~4-fold per level).
+    - Backtrace: UNI_WMAX frontier joins against the checkpointed cell
+      table follow back_k pointers from pos=wlen to 0, emitting the
+      chosen pieces (frontiers checkpointed for the same reason).
+    - M-step: piece usage re-aggregates word-count-weighted emissions;
+      new_prob_ppm is exact integer ppm (rule 25).
+
+    E-step round 1 is replayed token-for-token against a pure-Python
+    Viterbi replica (the text_bpe_train discipline) in
+    tests/test_round10_properties.py; the oracle is the generated
+    chained-CTE twin (_BPE_CHAIN_SQL discipline, AS MATERIALIZED).
+
+    Scale shape: training state is the WORD HISTOGRAM (|vocab| rows, not
+    corpus rows — the SentencePiece shape) and the piece inventory
+    (bounded by |vocab|*UNI_WMAX*UNI_L); the corpus is touched once by
+    the word count. DP frames are vocab-sized per level; the piece table
+    broadcasts at fixture scale and hash-joins on the piece key at 100 TB
+    vocab. Cost class: iterative trainer (UNI_WMAX checkpointed levels),
+    the honest tokenizer-training price text_bpe_train also pays."""
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.length("word") >= 1) & (F.length("word") <= UNI_WMAX))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .select("word", "wcnt", F.length("word").cast("long").alias("wlen"))
+        .checkpoint(eager=True)
+    )
+    occ = (
+        words.select(
+            "word", "wcnt", "wlen",
+            F.explode(F.sequence(F.lit(1), F.col("wlen"))).alias("s"),
+        )
+        .select(
+            "word", "wcnt",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(UNI_L), F.col("wlen") - F.col("s") + 1)
+                )
+            ).alias("k"),
+            "s",
+        )
+        .select(F.expr("substring(word, s, k)").alias("piece"), "wcnt")
+    )
+    pieces = occ.groupBy("piece").agg(F.sum("wcnt").alias("init_cnt"))
+    tot = pieces.agg(F.sum("init_cnt").alias("tot"))
+    pcost = (
+        pieces.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "init_cnt",
+            F.floor(
+                -F.log(F.col("init_cnt").cast("double") / F.col("tot")) * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("cost_micro"),
+        )
+        .checkpoint(eager=True)
+    )
+    pb = F.broadcast(pcost.select("piece", "cost_micro"))
+    levels = [
+        words.select(
+            "word",
+            "wlen",
+            F.lit(0).cast("long").alias("pos"),
+            F.lit(0).cast("long").alias("cost"),
+            F.lit(0).cast("long").alias("back_k"),
+        ).checkpoint(eager=True)
+    ]
+    for i in range(1, UNI_WMAX + 1):
+        prev = levels[max(0, i - UNI_L)]
+        for lv in levels[max(0, i - UNI_L) + 1 : i]:
+            prev = prev.unionByName(lv)
+        cand = (
+            prev.filter(F.col("wlen") >= i)
+            .select(
+                "word",
+                "wlen",
+                "cost",
+                F.expr(f"substring(word, pos + 1, {i} - pos)").alias("piece"),
+                F.col("pos"),
+            )
+            .join(pb, "piece")
+        )
+        best = (
+            cand.select(
+                "word",
+                "wlen",
+                (
+                    (F.col("cost") + F.col("cost_micro")) * 16
+                    + (F.lit(i) - F.col("pos"))
+                ).alias("enc"),
+            )
+            .groupBy("word", "wlen")
+            .agg(F.min("enc").alias("enc"))
+            .select(
+                "word",
+                "wlen",
+                F.lit(i).cast("long").alias("pos"),
+                F.expr("enc div 16").alias("cost"),
+                F.expr("enc % 16").alias("back_k"),
+            )
+            .checkpoint(eager=True)
+        )
+        levels.append(best)
+    cells = levels[0].select("word", "pos", "back_k")
+    for lv in levels[1:]:
+        cells = cells.unionByName(lv.select("word", "pos", "back_k"))
+    cells = cells.checkpoint(eager=True)
+    frontier = words.select("word", F.col("wlen").alias("pos"))
+    used = None
+    for _ in range(UNI_WMAX):
+        step = (
+            frontier.filter(F.col("pos") > 0)
+            .join(cells, ["word", "pos"])
+            .checkpoint(eager=True)
+        )
+        emit = step.select(
+            "word",
+            F.expr("substring(word, pos - back_k + 1, back_k)").alias("piece"),
+        )
+        used = emit if used is None else used.unionByName(emit)
+        frontier = step.select("word", (F.col("pos") - F.col("back_k")).alias("pos"))
+    uses = (
+        used.join(words.select("word", "wcnt"), "word")
+        .groupBy("piece")
+        .agg(F.sum("wcnt").alias("used_cnt"))
+    )
+    tu = uses.agg(F.sum("used_cnt").alias("tu"))
+    return (
+        uses.join(pcost, "piece")
+        .crossJoin(F.broadcast(tu))
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            "init_cnt",
+            "cost_micro",
+            "used_cnt",
+            F.expr("used_cnt * 1000000 div tu").alias("new_prob_ppm"),
+        )
+    )

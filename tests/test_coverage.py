@@ -684,6 +684,9 @@ EXTENSIONS = [
     # round 10: CDC with production min/max chunk-size clamps (VERDICT r9
     # item 6 — MIN merge pass + MAX split pass, both content-local)
     "mm_cdc_clamped",
+    # round 10 flagship: unigram-LM (SentencePiece) tokenizer training as
+    # relational algebra — bounded-width Viterbi DP over the word histogram
+    "text_unigram_train",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

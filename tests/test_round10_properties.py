@@ -150,3 +150,84 @@ def test_cdc_clamped_interior_chunks_respect_min(spark, sf_dir):
                 small += 1
     # tails/remainders exist but are a small minority of all chunks
     assert small < len(chunks) / 4
+
+
+# --- text_unigram_train: Viterbi E-step replay -------------------------------
+
+
+def test_unigram_estep_matches_python_viterbi(spark, sf_dir):
+    """Replay the E-step token-for-token (the text_bpe_train discipline):
+    a pure-Python Viterbi over the SAME quantized piece costs must produce
+    exactly the per-word segmentations whose weighted piece usage equals
+    the op's used_cnt column — and the op's cost cells must equal the
+    Python DP's optima."""
+    from rvi_big_data_api_spark.operators.llm_text import UNI_L, UNI_WMAX
+
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    wcnt: dict = {}
+    for r in docs:
+        for w in r["text"].split(" "):
+            if 1 <= len(w) <= UNI_WMAX:
+                wcnt[w] = wcnt.get(w, 0) + 1
+    # inventory + quantized costs, exactly as the op builds them
+    import math
+
+    pcnt: dict = {}
+    for w, c in wcnt.items():
+        for s in range(len(w)):
+            for k in range(1, min(UNI_L, len(w) - s) + 1):
+                p = w[s : s + k]
+                pcnt[p] = pcnt.get(p, 0) + c
+    tot = sum(pcnt.values())
+    cost = {
+        p: math.floor(-math.log(c / tot) * 1000000 + 0.5) for p, c in pcnt.items()
+    }
+
+    def viterbi(w: str) -> list:
+        n = len(w)
+        dp = [0] + [None] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best = None
+            for k in range(1, min(UNI_L, i) + 1):
+                enc = (dp[i - k] + cost[w[i - k : i]]) * 16 + k
+                if best is None or enc < best:
+                    best = enc
+            dp[i] = best // 16
+            back[i] = best % 16
+        out, pos = [], n
+        while pos > 0:
+            k = back[pos]
+            out.append(w[pos - k : pos])
+            pos -= k
+        return out
+
+    want_used: dict = {}
+    for w, c in wcnt.items():
+        for p in viterbi(w):
+            want_used[p] = want_used.get(p, 0) + c
+    rows = {r["piece"]: r for r in _df("text_unigram_train", spark, sf_dir).collect()}
+    assert {p: r["used_cnt"] for p, r in rows.items()} == want_used
+    tu = sum(want_used.values())
+    for p, r in rows.items():
+        assert r["init_cnt"] == pcnt[p]
+        assert r["cost_micro"] == cost[p]
+        assert r["new_prob_ppm"] == want_used[p] * 1000000 // tu
+
+
+def test_unigram_segmentation_conservation(spark, sf_dir):
+    """The used-piece character mass reconstructs the admitted corpus
+    exactly: sum(used_cnt * piece_len) == total characters of admitted
+    word occurrences (segmentation is a partition of every word)."""
+    from rvi_big_data_api_spark.operators.llm_text import UNI_WMAX
+
+    rows = _df("text_unigram_train", spark, sf_dir).collect()
+    got = sum(r["used_cnt"] * r["piece_len"] for r in rows)
+    want = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= UNI_WMAX))
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    assert got == want
