@@ -2105,6 +2105,87 @@ def test_generated_cdc_geometries_agree_across_engines(spark, duck, sf_dir, w, n
 
 
 # --------------------------------------------------------------------------
+# Support-histogram midrank family (round 10, VERDICT r9 items 2/9):
+# agg_mannwhitney_u / stats_effect_sizes now register the Kruskal-style
+# histogram ranking (2*midrank = 2*(cum-t)+t+1 over the value SUPPORT);
+# this proves the ALGEBRA at random tie densities by running the
+# SUPPORT-HISTOGRAM construction on Spark against the NAIVE global
+# row_number+avg midrank construction on DuckDB — cross-algebra AND
+# cross-engine in one comparison. High qdiv -> coarse values -> huge ties.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    qdiv=st.sampled_from([1, 100, 2500, 50000]),
+    umod=st.integers(min_value=1, max_value=3),
+    nib=st.sampled_from(["4", "8", "c"]),  # arm split point
+)
+def test_generated_support_midranks_agree_with_naive_rank(
+    spark, duck, sf_dir, qdiv, umod, nib
+):
+    from rvi_big_data_api_spark.io import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    per = f"""
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS {{strty}})), 1, 1) < '{nib}'
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               CAST(floor(sum(CASE WHEN event_type = 'purchase'
+                                   THEN value ELSE 0 END) * 100 + 0.5)
+                    AS BIGINT) / {qdiv} AS v
+        FROM events WHERE user_id % {umod} = 0 GROUP BY user_id
+    """
+    per_s, per_d = per.format(strty="STRING"), per.format(strty="VARCHAR")
+    # Spark: histogram ranking over the value support — exact BIGINT sums
+    s_sql = f"""
+    WITH per_user AS ({per_s}),
+    cnt AS (SELECT arm, v, CAST(count(*) AS BIGINT) AS n_av
+            FROM per_user GROUP BY arm, v),
+    vrank AS (
+        SELECT v, CAST(2 * (cum - t) + t + 1 AS BIGINT) AS r2
+        FROM (SELECT v, CAST(sum(n_av) AS BIGINT) AS t,
+                     CAST(sum(sum(n_av)) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum
+              FROM cnt GROUP BY v) z
+    )
+    SELECT CAST(sum(CASE WHEN c.arm = 'control' THEN c.n_av * k.r2
+                         ELSE 0 END) AS BIGINT) AS r2_c,
+           CAST(sum(CASE WHEN c.arm = 'control' THEN c.n_av ELSE 0 END)
+                AS BIGINT) AS n_c
+    FROM cnt c JOIN vrank k ON c.v = k.v
+    """
+    # DuckDB: the naive construction — global row_number + per-value avg
+    d_sql = f"""
+    WITH per_user AS ({per_d}),
+    ranked AS (
+        SELECT arm, v,
+               avg(rn) OVER (PARTITION BY v) AS midrank
+        FROM (SELECT arm, v,
+                     row_number() OVER (ORDER BY v, user_id) * 1.0 AS rn
+              FROM per_user) z
+    )
+    SELECT (sum(CASE WHEN arm = 'control' THEN midrank END) * 2)::BIGINT
+               AS r2_c,
+           sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)::BIGINT AS n_c
+    FROM ranked
+    """
+    # DuckDB integer division semantics differ from Spark's CAST(... )/q:
+    # both engines compute v identically here because / {qdiv} on BIGINT is
+    # float division in BOTH dialects and the quotient of cents by 1/100/...
+    # at these magnitudes is exactly representable.
+    s_row = tuple(spark.sql(s_sql).collect()[0])
+    d_row = tuple(duck.execute(d_sql).fetchone())
+    assert s_row == d_row, f"qdiv={qdiv} umod={umod} nib={nib}: {s_row} != {d_row}"
+
+
+# --------------------------------------------------------------------------
 # Clamped-CDC family (round 10, VERDICT r9 item 6): random clamp widths
 # through the MIN-merge + MAX-split geometry, cross-engine (Spark SQL vs
 # DuckDB) AND cross-algebra (relational passes vs the sequential pure-Python
