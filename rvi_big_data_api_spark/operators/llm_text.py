@@ -4181,16 +4181,21 @@ UNI_WMAX = 12  # max word length admitted to training (SentencePiece trims
                # rare long words the same way; bounds the DP unroll depth)
 
 
-def _unigram_oracle_sql() -> str:
+def _unigram_oracle_sql(
+    uni_l: int = UNI_L, uni_wmax: int = UNI_WMAX, src: str = "documents"
+) -> str:
     """Generate the chained-CTE DuckDB twin of text_unigram_train — the
     _BPE_CHAIN_SQL discipline: one dp CTE per unrolled Viterbi position and
     one bt CTE per backtrace step, all AS MATERIALIZED (each is referenced
-    by up to UNI_L later steps), derived from the same UNI_L/UNI_WMAX
-    constants as the Spark plan so geometry cannot drift."""
+    by up to uni_l later steps), derived from the same UNI_L/UNI_WMAX
+    constants as the Spark plan so geometry cannot drift. Parametrized so
+    the differential fuzzer can instantiate random piece inventories
+    (uni_l) and DP depths (uni_wmax) over corpus slices (src)."""
+    UNI_L, UNI_WMAX = uni_l, uni_wmax  # noqa: N806 — shadow for the f-strings
     parts = [
         f"""WITH words AS MATERIALIZED (
         SELECT word, count(*)::BIGINT AS wcnt, length(word)::BIGINT AS wlen
-        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {src}) z
         WHERE length(word) BETWEEN 1 AND {UNI_WMAX}
         GROUP BY word
     ),

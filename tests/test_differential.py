@@ -2105,6 +2105,82 @@ def test_generated_cdc_geometries_agree_across_engines(spark, duck, sf_dir, w, n
 
 
 # --------------------------------------------------------------------------
+# Unigram-LM lattice family (round 10, VERDICT r9 items 5/9): random piece
+# inventories (uni_l), DP depths (uni_wmax) and corpus slices through the
+# GENERATED chained-CTE Viterbi twin on DuckDB vs a sequential pure-Python
+# Viterbi — cross-algebra: the unrolled relational DP must equal the
+# textbook dynamic program at every geometry.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    uni_l=st.integers(min_value=1, max_value=4),
+    uni_wmax=st.integers(min_value=4, max_value=12),
+    dmod=st.integers(min_value=1, max_value=4),
+)
+def test_generated_unigram_lattices_agree_with_python_viterbi(
+    duck, sf_dir, uni_l, uni_wmax, dmod
+):
+    import math
+
+    from rvi_big_data_api_spark.operators.llm_text import _unigram_oracle_sql
+
+    src = f"(SELECT * FROM documents WHERE doc_id % {dmod} = 0)"
+    sql = _unigram_oracle_sql(uni_l=uni_l, uni_wmax=uni_wmax, src=src)
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in duck.execute(sql).fetchall()
+    }
+    # sequential replica on the same slice
+    texts = duck.execute(
+        f"SELECT text FROM documents WHERE doc_id % {dmod} = 0"
+    ).fetchall()
+    wcnt: dict = {}
+    for (t,) in texts:
+        for w in t.split(" "):
+            if 1 <= len(w) <= uni_wmax:
+                wcnt[w] = wcnt.get(w, 0) + 1
+    pcnt: dict = {}
+    for w, c in wcnt.items():
+        for s0 in range(len(w)):
+            for k in range(1, min(uni_l, len(w) - s0) + 1):
+                pcnt[w[s0 : s0 + k]] = pcnt.get(w[s0 : s0 + k], 0) + c
+    tot = sum(pcnt.values())
+    cost = {p: math.floor(-math.log(c / tot) * 1e6 + 0.5) for p, c in pcnt.items()}
+
+    def viterbi(w):
+        dp, back = [0] + [None] * len(w), [0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            enc = min(
+                (dp[i - k] + cost[w[i - k : i]]) * 16 + k
+                for k in range(1, min(uni_l, i) + 1)
+            )
+            dp[i], back[i] = enc // 16, enc % 16
+        out, pos = [], len(w)
+        while pos > 0:
+            out.append(w[pos - back[pos] : pos])
+            pos -= back[pos]
+        return out
+
+    used: dict = {}
+    for w, c in wcnt.items():
+        for p in viterbi(w):
+            used[p] = used.get(p, 0) + c
+    tu = sum(used.values())
+    want = {
+        p: (len(p), pcnt[p], cost[p], u, u * 1_000_000 // tu)
+        for p, u in used.items()
+    }
+    assert got == want, f"uni_l={uni_l} wmax={uni_wmax} dmod={dmod}"
+
+
+# --------------------------------------------------------------------------
 # Support-histogram midrank family (round 10, VERDICT r9 items 2/9):
 # agg_mannwhitney_u / stats_effect_sizes now register the Kruskal-style
 # histogram ranking (2*midrank = 2*(cum-t)+t+1 over the value SUPPORT);
