@@ -54,7 +54,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_seqlen_sweep", "sink_snapshot_gc", "mm_cdc_containment",
     "text_entropy_rate",
     # -- round-10 additions (registered BEHIND the 4-entry unverified head) --
-    "mm_cdc_clamped", "text_unigram_train",
+    "mm_cdc_clamped", "text_unigram_train", "text_unigram_apply",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

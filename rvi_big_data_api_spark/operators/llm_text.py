@@ -4181,16 +4181,19 @@ UNI_WMAX = 12  # max word length admitted to training (SentencePiece trims
                # rare long words the same way; bounds the DP unroll depth)
 
 
-def _unigram_oracle_sql(
+def _unigram_chain_sql(
     uni_l: int = UNI_L, uni_wmax: int = UNI_WMAX, src: str = "documents"
 ) -> str:
-    """Generate the chained-CTE DuckDB twin of text_unigram_train — the
-    _BPE_CHAIN_SQL discipline: one dp CTE per unrolled Viterbi position and
-    one bt CTE per backtrace step, all AS MATERIALIZED (each is referenced
-    by up to uni_l later steps), derived from the same UNI_L/UNI_WMAX
-    constants as the Spark plan so geometry cannot drift. Parametrized so
-    the differential fuzzer can instantiate random piece inventories
-    (uni_l) and DP depths (uni_wmax) over corpus slices (src)."""
+    """Generate the chained-CTE DuckDB twin of the unigram-LM machinery —
+    the _BPE_CHAIN_SQL discipline: one dp CTE per unrolled Viterbi position
+    and one bt CTE per backtrace step, all AS MATERIALIZED (each is
+    referenced by up to uni_l later steps), derived from the same
+    UNI_L/UNI_WMAX constants as the Spark plan so geometry cannot drift.
+    Ends after the `used` CTE (one row per chosen piece occurrence per
+    word); text_unigram_train and text_unigram_apply append their own
+    tails so op and twin share one chain. Parametrized so the differential
+    fuzzer can instantiate random piece inventories (uni_l) and DP depths
+    (uni_wmax) over corpus slices (src)."""
     UNI_L, UNI_WMAX = uni_l, uni_wmax  # noqa: N806 — shadow for the f-strings
     parts = [
         f"""WITH words AS MATERIALIZED (
@@ -4271,10 +4274,21 @@ def _unigram_oracle_sql(
     )
     parts.append(
         f""",
-    used AS (
+    used AS MATERIALIZED (
         SELECT word, substring(word, pos - back_k + 1, back_k) AS piece
         FROM ({used_union}) u
-    ),
+    )"""
+    )
+    return "".join(parts)
+
+
+def _unigram_oracle_sql(
+    uni_l: int = UNI_L, uni_wmax: int = UNI_WMAX, src: str = "documents"
+) -> str:
+    """text_unigram_train's full twin: the shared chain + the M-step tail."""
+    return (
+        _unigram_chain_sql(uni_l, uni_wmax, src)
+        + """,
     uses AS (
         SELECT u.piece, sum(w.wcnt)::BIGINT AS used_cnt
         FROM used u JOIN words w ON w.word = u.word
@@ -4286,54 +4300,23 @@ def _unigram_oracle_sql(
            (u.used_cnt * 1000000 // t.tu)::BIGINT AS new_prob_ppm
     FROM uses u JOIN pcost c ON c.piece = u.piece CROSS JOIN tu t"""
     )
-    return "".join(parts)
 
 
-@query(
-    "text_unigram_train",
-    oracle=_unigram_oracle_sql(),
-    tags=("llm", "text", "tokenizer", "flagship"),
-)
-def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM tokenizer training (SentencePiece, Kudo 2018) as pure
-    relational algebra — ONE EM round over the corpus word histogram, the
-    round-10 flagship completing the production tokenizer pair next to
-    text_bpe_train (merge-based vs likelihood-based):
+# Session memo for the trained chain (the _bpe_rounds discipline): the
+# checkpointed frames are materialized lineage, so train/apply consumers
+# pay the UNI_WMAX-level DP once per (session, sf_dir).
+_UNIGRAM_FRAMES: dict[tuple[str, str], tuple] = {}
 
-    - Candidate inventory: every substring of length <= UNI_L of every
-      admitted word (length <= UNI_WMAX), frequency-weighted by word
-      count; initial piece cost = -ln(cnt/total) quantized ONCE at the
-      inventory level to exact micro-units (the corpus_perplexity_filter
-      convention — everything after the quantizer is integer algebra).
-    - E-step: per DISTINCT word, the Viterbi-best segmentation over the
-      piece lattice. Bounded piece length = bounded-width DP: position
-      i's best cost reads only positions i-UNI_L..i-1, so the DP unrolls
-      into UNI_WMAX relational steps — each ONE broadcast join of the
-      previous <=UNI_L cell frames against the piece table keyed on the
-      literal substring(word, pos+1, i-pos), then an integer argmin.
-      Tie-breaks are total: candidates minimize (cost*16 + k) so equal
-      costs prefer the SHORTEST last piece, deterministically on both
-      engines. Each dp level is eagerly checkpointed (the graph_hits
-      lesson: levels are referenced by up to UNI_L later steps — without
-      the cut the physical plan re-derives subtrees ~4-fold per level).
-    - Backtrace: UNI_WMAX frontier joins against the checkpointed cell
-      table follow back_k pointers from pos=wlen to 0, emitting the
-      chosen pieces (frontiers checkpointed for the same reason).
-    - M-step: piece usage re-aggregates word-count-weighted emissions;
-      new_prob_ppm is exact integer ppm (rule 25).
 
-    E-step round 1 is replayed token-for-token against a pure-Python
-    Viterbi replica (the text_bpe_train discipline) in
-    tests/test_round10_properties.py; the oracle is the generated
-    chained-CTE twin (_BPE_CHAIN_SQL discipline, AS MATERIALIZED).
-
-    Scale shape: training state is the WORD HISTOGRAM (|vocab| rows, not
-    corpus rows — the SentencePiece shape) and the piece inventory
-    (bounded by |vocab|*UNI_WMAX*UNI_L); the corpus is touched once by
-    the word count. DP frames are vocab-sized per level; the piece table
-    broadcasts at fixture scale and hash-joins on the piece key at 100 TB
-    vocab. Cost class: iterative trainer (UNI_WMAX checkpointed levels),
-    the honest tokenizer-training price text_bpe_train also pays."""
+def _unigram_frames(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build (words, pcost, used) once per (applicationId, sf_dir):
+    words = admitted word histogram, pcost = quantized piece inventory,
+    used = one row per chosen piece occurrence per word (the Viterbi
+    E-step output). All checkpointed — see text_unigram_train for the
+    full algebra and scale rationale."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _UNIGRAM_FRAMES:
+        return _UNIGRAM_FRAMES[key]
     from ..session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
@@ -4442,6 +4425,59 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         used = emit if used is None else used.unionByName(emit)
         frontier = step.select("word", (F.col("pos") - F.col("back_k")).alias("pos"))
+    used = used.checkpoint(eager=True)
+    _UNIGRAM_FRAMES[key] = (words, pcost, used)
+    return _UNIGRAM_FRAMES[key]
+
+
+@query(
+    "text_unigram_train",
+    oracle=_unigram_oracle_sql(),
+    tags=("llm", "text", "tokenizer", "flagship"),
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece, Kudo 2018) as pure
+    relational algebra — ONE EM round over the corpus word histogram, the
+    round-10 flagship completing the production tokenizer pair next to
+    text_bpe_train (merge-based vs likelihood-based):
+
+    - Candidate inventory: every substring of length <= UNI_L of every
+      admitted word (length <= UNI_WMAX), frequency-weighted by word
+      count; initial piece cost = -ln(cnt/total) quantized ONCE at the
+      inventory level to exact micro-units (the corpus_perplexity_filter
+      convention — everything after the quantizer is integer algebra).
+    - E-step: per DISTINCT word, the Viterbi-best segmentation over the
+      piece lattice. Bounded piece length = bounded-width DP: position
+      i's best cost reads only positions i-UNI_L..i-1, so the DP unrolls
+      into UNI_WMAX relational steps — each ONE broadcast join of the
+      previous <=UNI_L cell frames against the piece table keyed on the
+      literal substring(word, pos+1, i-pos), then an integer argmin.
+      Tie-breaks are total: candidates minimize (cost*16 + k) so equal
+      costs prefer the SHORTEST last piece, deterministically on both
+      engines. Each dp level is eagerly checkpointed (the graph_hits
+      lesson: levels are referenced by up to UNI_L later steps — without
+      the cut the physical plan re-derives subtrees ~4-fold per level).
+    - Backtrace: UNI_WMAX frontier joins against the checkpointed cell
+      table follow back_k pointers from pos=wlen to 0, emitting the
+      chosen pieces (frontiers checkpointed for the same reason).
+    - M-step: piece usage re-aggregates word-count-weighted emissions;
+      new_prob_ppm is exact integer ppm (rule 25).
+
+    E-step round 1 is replayed token-for-token against a pure-Python
+    Viterbi replica (the text_bpe_train discipline) in
+    tests/test_round10_properties.py; the oracle is the generated
+    chained-CTE twin (_BPE_CHAIN_SQL discipline, AS MATERIALIZED).
+
+    Scale shape: training state is the WORD HISTOGRAM (|vocab| rows, not
+    corpus rows — the SentencePiece shape) and the piece inventory
+    (bounded by |vocab|*UNI_WMAX*UNI_L); the corpus is touched once by
+    the word count. DP frames are vocab-sized per level; the piece table
+    broadcasts at fixture scale and hash-joins on the piece key at 100 TB
+    vocab. Cost class: iterative trainer (UNI_WMAX checkpointed levels),
+    the honest tokenizer-training price text_bpe_train also pays — paid
+    ONCE per (session, sf_dir) via the _unigram_frames memo, which
+    text_unigram_apply then rides (the _bpe_rounds discipline)."""
+    words, pcost, used = _unigram_frames(spark, sf_dir)
     uses = (
         used.join(words.select("word", "wcnt"), "word")
         .groupBy("piece")
@@ -4458,5 +4494,78 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cost_micro",
             "used_cnt",
             F.expr("used_cnt * 1000000 div tu").alias("new_prob_ppm"),
+        )
+    )
+
+
+@query(
+    "text_unigram_apply",
+    oracle=_unigram_chain_sql()
+    + """,
+    seg AS (SELECT word, count(*)::BIGINT AS n_pieces FROM used GROUP BY word),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(CASE WHEN s.n_pieces IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_admitted,
+           coalesce(sum(s.n_pieces), 0)::BIGINT AS n_pieces,
+           coalesce(sum(CASE WHEN s.n_pieces IS NOT NULL
+                             THEN length(t.word) END), 0)::BIGINT
+               AS n_chars_admitted,
+           (coalesce(sum(s.n_pieces), 0) * 1000000
+               // nullif(sum(CASE WHEN s.n_pieces IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0))::BIGINT
+               AS fertility_ppm
+    FROM toks t LEFT JOIN seg s ON s.word = t.word
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained unigram model — the per-doc
+    segmentation ledger (the text_bpe_apply twin for the likelihood-based
+    tokenizer): every admitted word is replaced by its Viterbi-best piece
+    sequence, and each document reports its word count, admitted-word
+    count (words longer than UNI_WMAX fall outside the trained model, the
+    SentencePiece rare-long-word trim), piece count, admitted character
+    mass, and fertility_ppm — pieces per admitted word in exact integer
+    ppm, THE number tokenizer evaluations quote (corpus_bpe_fertility's
+    metric for the merge-based family).
+
+    Plan: rides the _unigram_frames session memo (the DP chain is paid
+    once by whichever family member runs first), reduces the E-step
+    emissions to a per-WORD piece count (|vocab| rows), and joins the
+    corpus token stream against that tiny frame — broadcast at fixture
+    scale, a word-keyed equi-join at 100 TB vocab. No window anywhere:
+    apply is one explode + one join + one rollup. Oracle shares the
+    generated chain via _unigram_chain_sql so op and twin cannot drift
+    (the corpus_bpe_fertility discipline)."""
+    words, _pcost, used = _unigram_frames(spark, sf_dir)
+    seg = used.groupBy("word").agg(F.count(F.lit(1)).alias("n_pieces"))
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        toks.join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("n_pieces").isNotNull(), 1).otherwise(0)).alias(
+                "n_admitted"
+            ),
+            F.coalesce(F.sum("n_pieces"), F.lit(0)).alias("n_pieces"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("n_pieces").isNotNull(), F.length("word"))
+                ),
+                F.lit(0),
+            ).alias("n_chars_admitted"),
+            F.expr(
+                "coalesce(sum(n_pieces), 0) * 1000000"
+                " div nullif(sum(CASE WHEN n_pieces IS NOT NULL"
+                " THEN 1 ELSE 0 END), 0)"
+            ).alias("fertility_ppm"),
         )
     )

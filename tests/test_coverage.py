@@ -687,6 +687,8 @@ EXTENSIONS = [
     # round 10 flagship: unigram-LM (SentencePiece) tokenizer training as
     # relational algebra — bounded-width Viterbi DP over the word histogram
     "text_unigram_train",
+    # round 10: per-doc segmentation ledger riding the trained unigram chain
+    "text_unigram_apply",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -231,3 +231,22 @@ def test_unigram_segmentation_conservation(spark, sf_dir):
         .collect()[0][0]
     )
     assert got == want
+
+
+def test_unigram_apply_reconciles_with_train(spark, sf_dir):
+    """Family reconciliation (the BPE train/apply discipline): the per-doc
+    ledger's total piece count equals the trainer's total used_cnt — both
+    are sum over words of wcnt * |segmentation(word)| — and admitted
+    character mass equals the trainer-side segmentation conservation."""
+    train = _df("text_unigram_train", spark, sf_dir).collect()
+    apply_ = _df("text_unigram_apply", spark, sf_dir).collect()
+    assert sum(r["n_pieces"] for r in apply_) == sum(r["used_cnt"] for r in train)
+    assert sum(r["n_chars_admitted"] for r in apply_) == sum(
+        r["used_cnt"] * r["piece_len"] for r in train
+    )
+    for r in apply_:
+        assert 0 <= r["n_admitted"] <= r["n_words"]
+        assert r["n_pieces"] >= r["n_admitted"]  # every word >= 1 piece
+        if r["n_admitted"]:
+            # fertility in [1, UNI_WMAX] pieces per word
+            assert 1_000_000 <= r["fertility_ppm"] <= 12_000_000
