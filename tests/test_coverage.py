@@ -689,6 +689,8 @@ EXTENSIONS = [
     "text_unigram_train",
     # round 10: per-doc segmentation ledger riding the trained unigram chain
     "text_unigram_apply",
+    # round 10: paired Wilcoxon signed-rank via support-histogram midranks
+    "stats_wilcoxon_signrank",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

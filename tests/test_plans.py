@@ -1376,7 +1376,9 @@ def test_round10_rank_windows_are_partitioned(spark, sf_dir, name):
         assert line.count("], [") >= 2, f"unpartitioned row_number: {line.strip()[:200]}"
 
 
-@pytest.mark.parametrize("name", ["agg_mannwhitney_u", "stats_effect_sizes"])
+@pytest.mark.parametrize(
+    "name", ["agg_mannwhitney_u", "stats_effect_sizes", "stats_wilcoxon_signrank"]
+)
 def test_round10_midranks_have_no_row_rank(spark, sf_dir, name):
     """VERDICT r9 item 2: midranks must come from the support-histogram
     algebra (stats_kruskal_wallis's 2·midrank = 2·(cum−t)+t+1 over the

@@ -250,3 +250,49 @@ def test_unigram_apply_reconciles_with_train(spark, sf_dir):
         if r["n_admitted"]:
             # fertility in [1, UNI_WMAX] pieces per word
             assert 1_000_000 <= r["fertility_ppm"] <= 12_000_000
+
+
+# --- stats_wilcoxon_signrank: scipy-free replica ------------------------------
+
+
+def test_wilcoxon_signrank_matches_python_formula(spark, sf_dir):
+    """Recompute W+, W-, and the tie-corrected z driver-side from the same
+    day-parity cents pairing (the agg_mannwhitney_u replica discipline)."""
+    import math
+    from collections import Counter
+
+    r = _df("stats_wilcoxon_signrank", spark, sf_dir).collect()[0]
+    pair: dict = {}
+    for e in load(spark, sf_dir, "events").collect():
+        day = int(e.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+                  .timestamp()) // 86400
+        cents = math.floor(e.value * 100 + 0.5)
+        x, y = pair.get(e.user_id, (0, 0))
+        if day % 2 == 0:
+            pair[e.user_id] = (x + cents, y)
+        else:
+            pair[e.user_id] = (x, y + cents)
+    diffs = [y - x for x, y in pair.values()]
+    nz = [d for d in diffs if d != 0]
+    n = len(nz)
+    values = sorted(abs(d) for d in nz)
+    first: dict = {}
+    for i, v in enumerate(values):
+        first.setdefault(v, i + 1)
+    cnt = Counter(values)
+    midrank = {v: first[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+    w_plus = sum(midrank[abs(d)] for d in nz if d > 0)
+    w_minus = sum(midrank[abs(d)] for d in nz if d < 0)
+    tie = sum(t**3 - t for t in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(var)
+    assert r["n_pairs"] == n
+    assert r["n_zero"] == len(diffs) - n
+    assert abs(r["w_plus"] - round(w_plus, 1)) < 1e-9
+    assert abs(r["w_minus"] - round(w_minus, 1)) < 1e-9
+    assert abs(r["z_score"] - round(z, 4)) < 1e-9
+    # W+ + W- = n(n+1)/2 — the rank-sum identity
+    assert r["w_plus"] + r["w_minus"] == n * (n + 1) / 2
+    # same homogeneous fixture: day-parity pairing carries no true effect
+    # large |z| would mean the pairing leaked structure
+    assert abs(r["z_score"]) < 3.5
