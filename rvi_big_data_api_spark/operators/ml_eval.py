@@ -3584,3 +3584,176 @@ def stats_wilcoxon_signrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("z_score"),
     )
+
+
+# --- round 10: always-valid sequential A/B monitoring (mSPRT) -----------------
+
+MSPRT_TAU2 = 10000.0  # mixture variance tau^2 in cents^2 (tau = 1.00 dollar)
+
+
+@query(
+    "eval_sequential_msprt",
+    oracle=f"""
+    WITH obs AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               floor(value * 100 + 0.5)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (
+        SELECT day, arm, count(*)::BIGINT AS n,
+               sum(cents)::BIGINT AS s, sum(cents * cents)::BIGINT AS ss
+        FROM obs GROUP BY day, arm
+    ),
+    cum AS (
+        SELECT day, arm,
+               sum(n) OVER w::BIGINT AS cn,
+               sum(s) OVER w::BIGINT AS cs,
+               sum(ss) OVER w::BIGINT AS css
+        FROM daily
+        WINDOW w AS (PARTITION BY arm ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    wide AS (
+        SELECT day,
+               max(CASE WHEN arm = 'control' THEN cn END)::BIGINT AS n_c,
+               max(CASE WHEN arm = 'control' THEN cs END)::BIGINT AS s_c,
+               max(CASE WHEN arm = 'control' THEN css END)::BIGINT AS ss_c,
+               max(CASE WHEN arm = 'treatment' THEN cn END)::BIGINT AS n_t,
+               max(CASE WHEN arm = 'treatment' THEN cs END)::BIGINT AS s_t,
+               max(CASE WHEN arm = 'treatment' THEN css END)::BIGINT AS ss_t
+        FROM cum GROUP BY day
+    ),
+    stat AS (
+        SELECT day, n_c, n_t,
+               (s_t::DOUBLE / n_t - s_c::DOUBLE / n_c) AS theta,
+               ((ss_c - s_c::DOUBLE * s_c / n_c) / nullif(n_c - 1, 0)) / n_c
+               + ((ss_t - s_t::DOUBLE * s_t / n_t) / nullif(n_t - 1, 0)) / n_t
+                   AS v
+        FROM wide
+        WHERE n_c >= 2 AND n_t >= 2
+    ),
+    lam AS (
+        SELECT day, n_c, n_t,
+               round(theta, 4) + 0.0 AS theta_cents,
+               least(1.0, round(
+                   1.0 / (sqrt(v / (v + {MSPRT_TAU2}))
+                          * exp(theta * theta * {MSPRT_TAU2}
+                                / (2.0 * v * (v + {MSPRT_TAU2})))), 6)) + 0.0
+                   AS p_day
+        FROM stat WHERE v > 0
+    )
+    SELECT day, n_c, n_t, theta_cents, p_day,
+           min(p_day) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 0.0
+               AS p_always_valid
+    FROM lam
+    """,
+    tags=("analytics", "experiment", "eval"),
+)
+def eval_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring — the mixture sequential
+    probability ratio test (mSPRT, Johari et al.'s 'peeking' fix) every
+    experimentation platform ships so analysts can look at a running test
+    daily without inflating false positives: at each day t the mixture
+    likelihood ratio Λ_t = sqrt(V/(V+τ²))·exp(θ̂²τ²/(2V(V+τ²))) converts
+    the CUMULATIVE treatment/control mean difference θ̂ (purchase cents;
+    per-event unit) and its variance V into an always-valid p-value
+    p_t = min_{{s<=t}} min(1, 1/Λ_s) — a supermartingale bound, so the
+    running-min sequence is itself the decision boundary (stop when it
+    crosses alpha).
+
+    Exactness discipline: cumulative first/second moments are exact
+    BIGINT cents sums per (arm, day) — the cumulative windows are
+    PARTITIONED by arm and ordered over the DAY support (never a
+    user- or event-sized window); Σcents² stays under 2^63 for ~2·10⁹
+    purchase events at <= 200.00 (the eval_ab_cuped bound class). All
+    float work (θ̂, V, Λ) is identical expression trees over those exact
+    integers (rule 9); the per-day p is rounded 6dp BEFORE the running
+    min so the min compares identical rounded values on both engines
+    (libm exp/sqrt at 6dp, rule 8); −0.0 guards on every float output
+    (rule 17). Same md5 arm split as the rest of the experiment suite —
+    the homogeneous fixture should never cross a 0.05 boundary, which
+    the property test pins.
+
+    100 TB shape: one partial agg over events to (day, arm) cells, two
+    day-support windows, a 2-way pivot — nothing scales with users."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)
+            >= "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    daily = obs.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    warm = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("n").over(warm).alias("cn"),
+        F.sum("s").over(warm).alias("cs"),
+        F.sum("ss").over(warm).alias("css"),
+    )
+    wide = cum.groupBy("day").agg(
+        F.max(F.when(F.col("arm") == "control", F.col("cn"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("cs"))).alias("s_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("css"))).alias("ss_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("cn"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("cs"))).alias("s_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("css"))).alias("ss_t"),
+    )
+    theta = F.col("s_t").cast("double") / F.col("n_t") - F.col("s_c").cast(
+        "double"
+    ) / F.col("n_c")
+    v = (
+        (F.col("ss_c") - F.col("s_c").cast("double") * F.col("s_c") / F.col("n_c"))
+        / F.nullif(F.col("n_c") - 1, F.lit(0))
+    ) / F.col("n_c") + (
+        (F.col("ss_t") - F.col("s_t").cast("double") * F.col("s_t") / F.col("n_t"))
+        / F.nullif(F.col("n_t") - 1, F.lit(0))
+    ) / F.col("n_t")
+    stat = wide.filter((F.col("n_c") >= 2) & (F.col("n_t") >= 2)).select(
+        "day", "n_c", "n_t", theta.alias("theta"), v.alias("v")
+    )
+    tau2 = F.lit(MSPRT_TAU2)
+    lam_inv = 1.0 / (
+        F.sqrt(F.col("v") / (F.col("v") + tau2))
+        * F.exp(
+            F.col("theta")
+            * F.col("theta")
+            * tau2
+            / (2.0 * F.col("v") * (F.col("v") + tau2))
+        )
+    )
+    lam = stat.filter(F.col("v") > 0).select(
+        "day",
+        "n_c",
+        "n_t",
+        (F.round(F.col("theta"), 4) + F.lit(0.0)).alias("theta_cents"),
+        (F.least(F.lit(1.0), F.round(lam_inv, 6)) + F.lit(0.0)).alias("p_day"),
+    )
+    wmin = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return lam.select(
+        "day",
+        "n_c",
+        "n_t",
+        "theta_cents",
+        "p_day",
+        (F.min("p_day").over(wmin) + F.lit(0.0)).alias("p_always_valid"),
+    )

@@ -691,6 +691,8 @@ EXTENSIONS = [
     "text_unigram_apply",
     # round 10: paired Wilcoxon signed-rank via support-histogram midranks
     "stats_wilcoxon_signrank",
+    # round 10: always-valid sequential A/B monitoring (mSPRT running min)
+    "eval_sequential_msprt",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -296,3 +296,83 @@ def test_wilcoxon_signrank_matches_python_formula(spark, sf_dir):
     # same homogeneous fixture: day-parity pairing carries no true effect
     # large |z| would mean the pairing leaked structure
     assert abs(r["z_score"]) < 3.5
+
+
+# --- eval_sequential_msprt: always-valid p-value laws -------------------------
+
+
+def test_msprt_always_valid_p_is_running_min_and_calm(spark, sf_dir):
+    """Sequential-testing laws: p_always_valid is the running min of the
+    per-day p (non-increasing by construction), every p is in (0, 1], the
+    cumulative counts are non-decreasing, and on the homogeneous fixture
+    (md5 arm split of one population) the always-valid p never crosses a
+    0.05 stopping boundary — the exact property the test exists to
+    protect when analysts peek daily."""
+    rows = sorted(
+        _df("eval_sequential_msprt", spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    run_min, prev_nc, prev_nt = 1.0, 0, 0
+    for r in rows:
+        assert 0 < r["p_day"] <= 1.0
+        run_min = min(run_min, r["p_day"])
+        assert r["p_always_valid"] == run_min
+        assert r["n_c"] >= prev_nc and r["n_t"] >= prev_nt
+        prev_nc, prev_nt = r["n_c"], r["n_t"]
+    assert rows[-1]["p_always_valid"] > 0.05, rows[-1]
+
+
+def test_msprt_lambda_matches_python_formula(spark, sf_dir):
+    """Recompute theta, V, and 1/Lambda driver-side from raw purchase
+    events (cumulative exact cents moments, Welch-style variance of the
+    difference) and replay the mixture likelihood ratio."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.ml_eval import MSPRT_TAU2
+
+    daily = defaultdict(lambda: [0, 0, 0])  # (day, arm) -> n, s, ss
+    for e in load(spark, sf_dir, "events").collect():
+        if e.event_type != "purchase":
+            continue
+        day = e.ts.strftime("%Y-%m-%d")
+        arm = (
+            "treatment"
+            if hashlib.md5(str(e.user_id).encode()).hexdigest()[0] >= "8"
+            else "control"
+        )
+        cents = math.floor(e.value * 100 + 0.5)
+        cell = daily[(day, arm)]
+        cell[0] += 1
+        cell[1] += cents
+        cell[2] += cents * cents
+    days = sorted({d for d, _ in daily})
+    cum = {"control": [0, 0, 0], "treatment": [0, 0, 0]}
+    want = {}
+    for d in days:
+        for arm in ("control", "treatment"):
+            for i in range(3):
+                cum[arm][i] += daily.get((d, arm), [0, 0, 0])[i]
+        (n_c, s_c, ss_c), (n_t, s_t, ss_t) = cum["control"], cum["treatment"]
+        if n_c < 2 or n_t < 2:
+            continue
+        theta = s_t / n_t - s_c / n_c
+        v = ((ss_c - s_c * s_c / n_c) / (n_c - 1)) / n_c + (
+            (ss_t - s_t * s_t / n_t) / (n_t - 1)
+        ) / n_t
+        if v <= 0:
+            continue
+        lam_inv = 1.0 / (
+            math.sqrt(v / (v + MSPRT_TAU2))
+            * math.exp(theta * theta * MSPRT_TAU2 / (2 * v * (v + MSPRT_TAU2)))
+        )
+        want[d] = (n_c, n_t, round(theta, 4), min(1.0, round(lam_inv, 6)))
+    rows = {r["day"]: r for r in _df("eval_sequential_msprt", spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for d, (n_c, n_t, theta, p_day) in want.items():
+        r = rows[d]
+        assert (r["n_c"], r["n_t"]) == (n_c, n_t)
+        assert abs(r["theta_cents"] - theta) < 1e-9
+        assert abs(r["p_day"] - p_day) < 1e-9
