@@ -3757,3 +3757,156 @@ def eval_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_day",
         (F.min("p_day").over(wmin) + F.lit(0.0)).alias("p_always_valid"),
     )
+
+
+# --- round 10: delta-method inference for ratio metrics -----------------------
+
+
+@query(
+    "eval_ratio_delta_ci",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+               sum(x * y)::BIGINT AS sxy
+        FROM per_user GROUP BY arm
+    ),
+    var_arm AS (
+        SELECT arm, n, sx, sy,
+               (sx * 1000000 // sy)::BIGINT AS ratio_ppm,
+               -- delta-method variance of R = sum(x)/sum(y) under user
+               -- clustering: (s_xx - 2R s_xy + R^2 s_yy) / (n ybar^2) / n
+               -- with s_** the sample (co)variances — all from exact sums
+               ((sxx - sx::DOUBLE * sx / n)
+                - 2.0 * (sx::DOUBLE / sy)
+                      * (sxy - sx::DOUBLE * sy / n)
+                + (sx::DOUBLE / sy) * (sx::DOUBLE / sy)
+                      * (syy - sy::DOUBLE * sy / n))
+               / nullif(n - 1, 0) / n
+               / nullif((sy::DOUBLE / n) * (sy::DOUBLE / n), 0) AS var_r
+        FROM arms
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'control' THEN n END)::BIGINT AS n_c,
+               max(CASE WHEN arm = 'treatment' THEN n END)::BIGINT AS n_t,
+               max(CASE WHEN arm = 'control' THEN ratio_ppm END)::BIGINT
+                   AS ratio_c_ppm,
+               max(CASE WHEN arm = 'treatment' THEN ratio_ppm END)::BIGINT
+                   AS ratio_t_ppm,
+               max(CASE WHEN arm = 'control' THEN sx::DOUBLE / sy END) AS r_c,
+               max(CASE WHEN arm = 'treatment' THEN sx::DOUBLE / sy END) AS r_t,
+               max(CASE WHEN arm = 'control' THEN var_r END) AS v_c,
+               max(CASE WHEN arm = 'treatment' THEN var_r END) AS v_t
+        FROM var_arm
+    )
+    SELECT n_c, n_t, ratio_c_ppm, ratio_t_ppm,
+           round(sqrt(v_c), 6) + 0.0 AS se_c,
+           round(sqrt(v_t), 6) + 0.0 AS se_t,
+           round((r_t - r_c) / nullif(sqrt(v_c + v_t), 0), 4) + 0.0 AS z_score,
+           round((r_t - r_c) - 1.959964 * sqrt(v_c + v_t), 6) + 0.0 AS ci_lo,
+           round((r_t - r_c) + 1.959964 * sqrt(v_c + v_t), 6) + 0.0 AS ci_hi
+    FROM wide
+    """,
+    tags=("analytics", "experiment", "eval"),
+)
+def eval_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method inference for a RATIO metric (clicks per view) — the
+    estimator experimentation platforms need for any metric whose unit of
+    analysis differs from the randomization unit: R = Σx/Σy is a ratio of
+    user-level sums, so the naive per-event binomial variance is wrong
+    (events within a user are correlated); the delta method gives
+    var(R) ≈ (s_xx − 2R·s_xy + R²·s_yy) / (n·ȳ²·(n−1)) from user-level
+    (co)moments. Output: per-arm click-through as EXACT integer ppm, the
+    delta-method standard errors, and the z / 95% CI of the treatment
+    difference (z-pin at POWER_Z_ALPHA's constant).
+
+    Exactness: the five moments per arm are exact BIGINT sums of event
+    COUNTS (bounded by events-per-user ≈ 10³, so Σx² stays under 2^63 to
+    ~10¹² users); ratios ship as integer ppm (rule 25); the float algebra
+    runs on a 2-row frame with identical expression trees (rule 9),
+    rounded 4/6dp with −0.0 guards (rule 17). Same md5 arm split as the
+    suite.
+
+    100 TB shape: one partial agg to users, one 5-counter arm rollup,
+    all inference on 2 rows — the same free-at-scale class as
+    stats_ttest_welch."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)
+            >= "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("y"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = F.col("sx").cast("double") / F.col("sy")
+    var_r = (
+        (
+            (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+            - 2.0 * r * (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+            + r * r * (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+        )
+        / F.nullif(F.col("n") - 1, F.lit(0))
+        / F.col("n")
+        / F.nullif(
+            (F.col("sy").cast("double") / F.col("n"))
+            * (F.col("sy").cast("double") / F.col("n")),
+            F.lit(0.0),
+        )
+    )
+    var_arm = arms.select(
+        "arm",
+        "n",
+        F.expr("sx * 1000000 div sy").alias("ratio_ppm"),
+        r.alias("r"),
+        var_r.alias("var_r"),
+    )
+    wide = var_arm.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "control", F.col("ratio_ppm"))).alias(
+            "ratio_c_ppm"
+        ),
+        F.max(F.when(F.col("arm") == "treatment", F.col("ratio_ppm"))).alias(
+            "ratio_t_ppm"
+        ),
+        F.max(F.when(F.col("arm") == "control", F.col("r"))).alias("r_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("r"))).alias("r_t"),
+        F.max(F.when(F.col("arm") == "control", F.col("var_r"))).alias("v_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("var_r"))).alias("v_t"),
+    )
+    dse = F.sqrt(F.col("v_c") + F.col("v_t"))
+    diff = F.col("r_t") - F.col("r_c")
+    return wide.select(
+        "n_c",
+        "n_t",
+        "ratio_c_ppm",
+        "ratio_t_ppm",
+        (F.round(F.sqrt("v_c"), 6) + F.lit(0.0)).alias("se_c"),
+        (F.round(F.sqrt("v_t"), 6) + F.lit(0.0)).alias("se_t"),
+        (F.round(diff / F.nullif(dse, F.lit(0.0)), 4) + F.lit(0.0)).alias("z_score"),
+        (F.round(diff - 1.959964 * dse, 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(diff + 1.959964 * dse, 6) + F.lit(0.0)).alias("ci_hi"),
+    )

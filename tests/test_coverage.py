@@ -693,6 +693,8 @@ EXTENSIONS = [
     "stats_wilcoxon_signrank",
     # round 10: always-valid sequential A/B monitoring (mSPRT running min)
     "eval_sequential_msprt",
+    # round 10: delta-method inference for ratio metrics (user clustering)
+    "eval_ratio_delta_ci",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

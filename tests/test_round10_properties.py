@@ -376,3 +376,55 @@ def test_msprt_lambda_matches_python_formula(spark, sf_dir):
         assert (r["n_c"], r["n_t"]) == (n_c, n_t)
         assert abs(r["theta_cents"] - theta) < 1e-9
         assert abs(r["p_day"] - p_day) < 1e-9
+
+
+# --- eval_ratio_delta_ci: delta-method replica --------------------------------
+
+
+def test_ratio_delta_matches_python_formula(spark, sf_dir):
+    """Recompute the clustered ratio metric and its delta-method variance
+    driver-side from raw events; CI must bracket the point difference and
+    contain 0 on the homogeneous fixture."""
+    import hashlib
+    import math
+
+    per: dict = {}
+    for e in load(spark, sf_dir, "events").collect():
+        arm = (
+            "treatment"
+            if hashlib.md5(str(e.user_id).encode()).hexdigest()[0] >= "8"
+            else "control"
+        )
+        x, y = per.get((e.user_id, arm), (0, 0))
+        per[(e.user_id, arm)] = (
+            x + (1 if e.event_type == "click" else 0),
+            y + (1 if e.event_type == "view" else 0),
+        )
+    stats = {}
+    for arm in ("control", "treatment"):
+        xs = [(x, y) for (_, a), (x, y) in per.items() if a == arm]
+        n = len(xs)
+        sx, sy = sum(x for x, _ in xs), sum(y for _, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        syy = sum(y * y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        r = sx / sy
+        v = (
+            ((sxx - sx * sx / n) - 2 * r * (sxy - sx * sy / n)
+             + r * r * (syy - sy * sy / n))
+            / (n - 1) / n / ((sy / n) ** 2)
+        )
+        stats[arm] = (n, sx * 1_000_000 // sy, r, v)
+    row = _df("eval_ratio_delta_ci", spark, sf_dir).collect()[0]
+    (n_c, ppm_c, r_c, v_c) = stats["control"]
+    (n_t, ppm_t, r_t, v_t) = stats["treatment"]
+    assert (row["n_c"], row["n_t"]) == (n_c, n_t)
+    assert (row["ratio_c_ppm"], row["ratio_t_ppm"]) == (ppm_c, ppm_t)
+    assert abs(row["se_c"] - round(math.sqrt(v_c), 6)) < 1e-9
+    assert abs(row["se_t"] - round(math.sqrt(v_t), 6)) < 1e-9
+    assert abs(
+        row["z_score"] - round((r_t - r_c) / math.sqrt(v_c + v_t), 4)
+    ) < 1e-9
+    assert row["ci_lo"] <= round(r_t - r_c, 6) <= row["ci_hi"]
+    # homogeneous fixture: no true arm effect in click-through
+    assert row["ci_lo"] <= 0 <= row["ci_hi"]
