@@ -2545,3 +2545,175 @@ def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.col("event_id").cast("string")), 1, 8).alias("draw"),
         )
     )
+
+
+# --- round 10: live always-valid experiment monitor ---------------------------
+
+
+@query(
+    "stream_msprt_monitor",
+    oracle=f"""
+    WITH obs AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               floor(value * 100 + 0.5)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (
+        SELECT day, arm, count(*)::BIGINT AS n,
+               sum(cents)::BIGINT AS s, sum(cents * cents)::BIGINT AS ss
+        FROM obs GROUP BY day, arm
+    ),
+    cum AS (
+        SELECT day, arm,
+               sum(n) OVER w::BIGINT AS cn,
+               sum(s) OVER w::BIGINT AS cs,
+               sum(ss) OVER w::BIGINT AS css
+        FROM daily
+        WINDOW w AS (PARTITION BY arm ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    wide AS (
+        SELECT day,
+               max(CASE WHEN arm = 'control' THEN cn END)::BIGINT AS n_c,
+               max(CASE WHEN arm = 'control' THEN cs END)::BIGINT AS s_c,
+               max(CASE WHEN arm = 'control' THEN css END)::BIGINT AS ss_c,
+               max(CASE WHEN arm = 'treatment' THEN cn END)::BIGINT AS n_t,
+               max(CASE WHEN arm = 'treatment' THEN cs END)::BIGINT AS s_t,
+               max(CASE WHEN arm = 'treatment' THEN css END)::BIGINT AS ss_t
+        FROM cum GROUP BY day
+    ),
+    stat AS (
+        SELECT day, n_c, n_t,
+               (s_t::DOUBLE / n_t - s_c::DOUBLE / n_c) AS theta,
+               ((ss_c - s_c::DOUBLE * s_c / n_c) / nullif(n_c - 1, 0)) / n_c
+               + ((ss_t - s_t::DOUBLE * s_t / n_t) / nullif(n_t - 1, 0)) / n_t
+                   AS v
+        FROM wide
+        WHERE n_c >= 2 AND n_t >= 2
+    ),
+    lam AS (
+        SELECT day, n_c, n_t,
+               least(1.0, round(
+                   1.0 / (sqrt(v / (v + 10000.0))
+                          * exp(theta * theta * 10000.0
+                                / (2.0 * v * (v + 10000.0)))), 6)) + 0.0
+                   AS p_day
+        FROM stat WHERE v > 0
+    )
+    SELECT day, n_c, n_t, p_day,
+           min(p_day) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 0.0
+               AS p_always_valid,
+           (min(p_day) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) < 0.05)
+               AS stop_signal
+    FROM lam
+    """,
+    tags=("streaming", "experiment", "eval"),
+)
+def stream_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE always-valid experiment monitor — eval_sequential_msprt as the
+    streaming job it exists to be: the mSPRT was built so a dashboard can
+    refresh CONTINUOUSLY without alpha inflation, so the streaming form
+    is the production deployment, not a demo. The stream maintains the
+    per-(day, arm) exact-cents moment cells in complete mode (the
+    stream_ab_experiment two-stage rule: one stateful aggregation owns
+    the state — day×arm cells, bounded by the calendar, not the event
+    volume); each refresh re-derives the cumulative moments, the mixture
+    likelihood ratio, and the running-min always-valid p as batch
+    post-processing over those cells, plus the stop_signal boolean a
+    pager would key on (p < 0.05).
+
+    Twin: eval_sequential_msprt's algebra verbatim (MSPRT_TAU2 inlined);
+    complete mode over an availableNow drain makes the final table ≡ the
+    batch computation, which the oracle pins exactly. At 100 TB the
+    state is |days|×2 rows of five counters — the cheapest possible
+    streaming experiment state."""
+    from ..operators.ml_eval import MSPRT_TAU2
+
+    sdf = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) >= "8",
+                "treatment",
+            )
+            .otherwise("control")
+            .alias("arm"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        )
+    )
+    daily = run_to_table(sdf, sf_dir, "msprt", "complete")
+    warm = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("n").over(warm).alias("cn"),
+        F.sum("s").over(warm).alias("cs"),
+        F.sum("ss").over(warm).alias("css"),
+    )
+    wide = cum.groupBy("day").agg(
+        F.max(F.when(F.col("arm") == "control", F.col("cn"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("cs"))).alias("s_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("css"))).alias("ss_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("cn"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("cs"))).alias("s_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("css"))).alias("ss_t"),
+    )
+    theta = F.col("s_t").cast("double") / F.col("n_t") - F.col("s_c").cast(
+        "double"
+    ) / F.col("n_c")
+    v = (
+        (F.col("ss_c") - F.col("s_c").cast("double") * F.col("s_c") / F.col("n_c"))
+        / F.nullif(F.col("n_c") - 1, F.lit(0))
+    ) / F.col("n_c") + (
+        (F.col("ss_t") - F.col("s_t").cast("double") * F.col("s_t") / F.col("n_t"))
+        / F.nullif(F.col("n_t") - 1, F.lit(0))
+    ) / F.col("n_t")
+    stat = wide.filter((F.col("n_c") >= 2) & (F.col("n_t") >= 2)).select(
+        "day", "n_c", "n_t", theta.alias("theta"), v.alias("v")
+    )
+    tau2 = F.lit(MSPRT_TAU2)
+    lam_inv = 1.0 / (
+        F.sqrt(F.col("v") / (F.col("v") + tau2))
+        * F.exp(
+            F.col("theta")
+            * F.col("theta")
+            * tau2
+            / (2.0 * F.col("v") * (F.col("v") + tau2))
+        )
+    )
+    lam = stat.filter(F.col("v") > 0).select(
+        "day",
+        "n_c",
+        "n_t",
+        (F.least(F.lit(1.0), F.round(lam_inv, 6)) + F.lit(0.0)).alias("p_day"),
+    )
+    wmin = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pmin = F.min("p_day").over(wmin)
+    return lam.select(
+        "day",
+        "n_c",
+        "n_t",
+        "p_day",
+        (pmin + F.lit(0.0)).alias("p_always_valid"),
+        (pmin < 0.05).alias("stop_signal"),
+    )

@@ -695,6 +695,8 @@ EXTENSIONS = [
     "eval_sequential_msprt",
     # round 10: delta-method inference for ratio metrics (user clustering)
     "eval_ratio_delta_ci",
+    # round 10: live streaming mSPRT monitor (complete-mode moment cells)
+    "stream_msprt_monitor",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

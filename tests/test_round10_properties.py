@@ -428,3 +428,24 @@ def test_ratio_delta_matches_python_formula(spark, sf_dir):
     assert row["ci_lo"] <= round(r_t - r_c, 6) <= row["ci_hi"]
     # homogeneous fixture: no true arm effect in click-through
     assert row["ci_lo"] <= 0 <= row["ci_hi"]
+
+
+def test_stream_msprt_reconciles_with_batch(spark, sf_dir):
+    """Stream ≡ batch (the stream_ab_experiment discipline): the streaming
+    monitor's (day, n_c, n_t, p_day, p_always_valid) must equal
+    eval_sequential_msprt's on the same fixture; stop_signal is exactly
+    p_always_valid < 0.05 and never fires on the homogeneous fixture."""
+    batch = {
+        r["day"]: r for r in _df("eval_sequential_msprt", spark, sf_dir).collect()
+    }
+    stream = {
+        r["day"]: r for r in _df("stream_msprt_monitor", spark, sf_dir).collect()
+    }
+    assert set(batch) == set(stream)
+    for d, b in batch.items():
+        s = stream[d]
+        assert (s["n_c"], s["n_t"]) == (b["n_c"], b["n_t"])
+        assert s["p_day"] == b["p_day"]
+        assert s["p_always_valid"] == b["p_always_valid"]
+        assert s["stop_signal"] == (s["p_always_valid"] < 0.05)
+        assert not s["stop_signal"]
