@@ -697,6 +697,8 @@ EXTENSIONS = [
     "eval_ratio_delta_ci",
     # round 10: live streaming mSPRT monitor (complete-mode moment cells)
     "stream_msprt_monitor",
+    # round 10: seasonal-naive forecast backtest (MAE/MASE/sMAPE)
+    "ts_forecast_backtest",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -449,3 +449,57 @@ def test_stream_msprt_reconciles_with_batch(spark, sf_dir):
         assert s["p_always_valid"] == b["p_always_valid"]
         assert s["stop_signal"] == (s["p_always_valid"] < 0.05)
         assert not s["stop_signal"]
+
+
+# --- ts_forecast_backtest: replica + MASE laws --------------------------------
+
+
+def test_forecast_backtest_matches_python_replica(spark, sf_dir):
+    """Recompute the seasonal-naive backtest driver-side: per channel the
+    daily cents series, lag-7 forecasts, reverse-rank holdout split, and
+    all three metrics."""
+    import math
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.telemetry import (
+        FCST_HOLDOUT,
+        FCST_SEASON,
+    )
+
+    daily = defaultdict(int)
+    for e in load(spark, sf_dir, "events").collect():
+        daily[(e.event_type, e.ts.strftime("%Y-%m-%d"))] += math.floor(
+            e.value * 100 + 0.5
+        )
+    series = defaultdict(list)
+    for (et, d), c in sorted(daily.items()):
+        series[et].append(c)
+    want = {}
+    for et, xs in series.items():
+        scored = [
+            (xs[i], xs[i - FCST_SEASON]) for i in range(FCST_SEASON, len(xs))
+        ]
+        train, hold = scored[:-FCST_HOLDOUT], scored[-FCST_HOLDOUT:]
+        if not train or not hold:
+            continue
+        train_ae = sum(abs(a - f) for a, f in train)
+        hold_ae = sum(abs(a - f) for a, f in hold)
+        smape = sum(2.0 * abs(a - f) / (a + f) for a, f in hold) / len(hold)
+        mase = (hold_ae / len(hold)) / (train_ae / len(train))
+        want[et] = (
+            len(train),
+            len(hold),
+            hold_ae * 100 // len(hold),
+            round(mase, 6),
+            round(smape, 6),
+        )
+    rows = {r["event_type"]: r for r in _df("ts_forecast_backtest", spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for et, (n_train, n_holdout, mae, mase, smape) in want.items():
+        r = rows[et]
+        assert (r["n_train"], r["n_holdout"]) == (n_train, n_holdout)
+        assert r["mae_centicents"] == mae
+        assert abs(r["mase"] - mase) < 1e-9
+        assert abs(r["smape"] - smape) < 2e-6  # float fold-order at 6dp
+        assert 0 <= r["smape"] <= 2.0  # sMAPE is bounded by construction
+        assert r["mase"] > 0
