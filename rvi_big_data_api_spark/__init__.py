@@ -56,7 +56,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # -- round-10 additions (registered BEHIND the 4-entry unverified head) --
     "mm_cdc_clamped", "text_unigram_train", "text_unigram_apply",
     "stats_wilcoxon_signrank", "eval_sequential_msprt", "eval_ratio_delta_ci",
-    "stream_msprt_monitor", "ts_forecast_backtest",
+    "stream_msprt_monitor", "ts_forecast_backtest", "stats_kaplan_meier",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

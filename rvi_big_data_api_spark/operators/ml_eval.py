@@ -3910,3 +3910,151 @@ def eval_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(diff - 1.959964 * dse, 6) + F.lit(0.0)).alias("ci_lo"),
         (F.round(diff + 1.959964 * dse, 6) + F.lit(0.0)).alias("ci_hi"),
     )
+
+
+# --- round 10: Kaplan-Meier survival estimator ---------------------------------
+
+KM_CENSOR_GAP_DAYS = 7  # users last seen within this gap of corpus end are
+                        # censored (still alive), not churned
+
+
+@query(
+    "stats_kaplan_meier",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id,
+               date_diff('day', min(date_trunc('day', ts)),
+                         max(date_trunc('day', ts)))::BIGINT AS dur,
+               max(date_trunc('day', ts)) AS last_day
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(last_day) AS h FROM spans),
+    labeled AS (
+        SELECT dur,
+               CASE WHEN date_diff('day', last_day, h.h) > {KM_CENSOR_GAP_DAYS}
+                    THEN 1 ELSE 0 END AS churned
+        FROM spans CROSS JOIN horizon h
+    ),
+    cells AS (
+        SELECT dur, sum(churned)::BIGINT AS d,
+               sum(1 - churned)::BIGINT AS c
+        FROM labeled GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d, c,
+               (sum(d + c) OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - d - c
+                )::BIGINT AS before_t,
+               sum(d + c) OVER ()::BIGINT AS n_total
+        FROM cells
+    ),
+    curve AS (
+        SELECT dur, d, c, (n_total - before_t)::BIGINT AS n_risk,
+               sum(CASE WHEN d = n_total - before_t THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS dead_end,
+               sum(CASE WHEN d < n_total - before_t
+                        THEN ln((n_total - before_t - d)::DOUBLE
+                                / (n_total - before_t)) ELSE 0 END)
+                   OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ln_surv
+        FROM risk
+    )
+    SELECT dur AS duration_days, n_risk, d AS n_churned, c AS n_censored,
+           CASE WHEN dead_end > 0 THEN 0.0
+                ELSE round(exp(ln_surv), 6) + 0.0 END AS survival
+    FROM curve
+    """,
+    tags=("analytics", "stats"),
+)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator — the right-censoring-aware
+    retention curve retention_cohort cannot give: each user's lifetime is
+    the span from first to last event; users still active near the
+    corpus horizon (within KM_CENSOR_GAP_DAYS) are CENSORED, not
+    churned — dropping them (or calling them churned) biases every naive
+    retention number, which is the whole reason KM exists. S(t) =
+    Π_{{s<=t}} (1 − d_s/n_s) over the observed-duration support, with
+    n_s the at-risk count (users whose span reaches s).
+
+    Exactness: death/censor counts and at-risk counts are exact BIGINTs
+    from two support-sized cumulative windows (n_risk = total − all
+    spans ENDING before t); the product telescopes as exp(Σ ln((n−d)/n))
+    where each ln term is an identical expression tree over exact
+    integers and the cumulative float sum accumulates in the SAME
+    support order on both engines (rule 9's running-window corollary);
+    the d = n_risk terminal case (survival exactly 0, where ln is
+    undefined) is handled by an integer dead-end flag, never a NaN.
+    Output rounded 6dp with −0.0 guards (rule 17).
+
+    100 TB shape: one partial agg to user spans, one tiny duration-
+    support frame (bounded by the calendar) for everything else — the
+    same free-at-scale class as the experiment suite."""
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.date_trunc("day", F.col("ts"))),
+            F.min(F.date_trunc("day", F.col("ts"))),
+        )
+        .cast("long")
+        .alias("dur"),
+        F.max(F.date_trunc("day", F.col("ts"))).alias("last_day"),
+    )
+    horizon = spans.agg(F.max("last_day").alias("h"))
+    labeled = spans.crossJoin(F.broadcast(horizon)).select(
+        "dur",
+        F.when(
+            F.datediff(F.col("h"), F.col("last_day")) > KM_CENSOR_GAP_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    cells = labeled.groupBy("dur").agg(
+        F.sum("churned").alias("d"),
+        F.sum(1 - F.col("churned")).alias("c"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = cells.select(
+        "dur",
+        "d",
+        "c",
+        (F.sum(F.col("d") + F.col("c")).over(wcum) - F.col("d") - F.col("c")).alias(
+            "before_t"
+        ),
+        F.sum(F.col("d") + F.col("c")).over(wall).alias("n_total"),
+    )
+    n_risk = F.col("n_total") - F.col("before_t")
+    curve = risk.select(
+        "dur",
+        "d",
+        "c",
+        n_risk.alias("n_risk"),
+        F.sum(F.when(F.col("d") == n_risk, 1).otherwise(0)).over(wcum).alias(
+            "dead_end"
+        ),
+        F.sum(
+            F.when(
+                F.col("d") < n_risk,
+                F.log((n_risk - F.col("d")).cast("double") / n_risk),
+            ).otherwise(0.0)
+        )
+        .over(wcum)
+        .alias("ln_surv"),
+    )
+    return curve.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("dead_end") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("ln_surv")), 6) + F.lit(0.0))
+        .alias("survival"),
+    )

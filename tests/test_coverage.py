@@ -699,6 +699,8 @@ EXTENSIONS = [
     "stream_msprt_monitor",
     # round 10: seasonal-naive forecast backtest (MAE/MASE/sMAPE)
     "ts_forecast_backtest",
+    # round 10: Kaplan-Meier survival with right censoring
+    "stats_kaplan_meier",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -503,3 +503,51 @@ def test_forecast_backtest_matches_python_replica(spark, sf_dir):
         assert abs(r["smape"] - smape) < 2e-6  # float fold-order at 6dp
         assert 0 <= r["smape"] <= 2.0  # sMAPE is bounded by construction
         assert r["mase"] > 0
+
+
+# --- stats_kaplan_meier: replica + survival laws -------------------------------
+
+
+def test_kaplan_meier_matches_python_replica(spark, sf_dir):
+    """Recompute user spans, censoring labels, at-risk counts, and the KM
+    product driver-side; survival must be non-increasing from 1.0 and the
+    at-risk ledger must telescope exactly."""
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.ml_eval import KM_CENSOR_GAP_DAYS
+
+    first, last = {}, {}
+    for e in load(spark, sf_dir, "events").collect():
+        d = e.ts.date()
+        first[e.user_id] = min(first.get(e.user_id, d), d)
+        last[e.user_id] = max(last.get(e.user_id, d), d)
+    horizon = max(last.values())
+    cells = defaultdict(lambda: [0, 0])
+    for u in first:
+        dur = (last[u] - first[u]).days
+        churned = (horizon - last[u]).days > KM_CENSOR_GAP_DAYS
+        cells[dur][0 if churned else 1] += 1
+    total = len(first)
+    want, before, surv = {}, 0, 1.0
+    dead = False
+    for dur in sorted(cells):
+        d, c = cells[dur]
+        n_risk = total - before
+        if d == n_risk:
+            dead = True
+        if not dead:
+            surv *= (n_risk - d) / n_risk
+        want[dur] = (n_risk, d, c, 0.0 if dead else round(surv, 6))
+        before += d + c
+    rows = {r["duration_days"]: r for r in _df("stats_kaplan_meier", spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    prev = 1.0 + 1e-12
+    for dur in sorted(want):
+        n_risk, d, c, s = want[dur]
+        r = rows[dur]
+        assert (r["n_risk"], r["n_churned"], r["n_censored"]) == (n_risk, d, c)
+        assert abs(r["survival"] - s) < 2e-6
+        assert 0.0 <= r["survival"] <= prev + 1e-9  # non-increasing
+        prev = r["survival"]
+    # the at-risk ledger telescopes to the population
+    assert sum(d + c for _, d, c, _ in want.values()) == total
