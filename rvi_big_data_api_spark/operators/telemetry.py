@@ -4653,3 +4653,178 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "smape"
         ),
     )
+
+
+# --- round 10: seasonal ESD-style iterative anomaly removal -------------------
+
+ESD_K = 5            # candidate anomalies removed per channel
+ESD_THRESHOLD = 3.0  # |z| above this at removal time is flagged anomalous
+
+
+def _esd_oracle_sql() -> str:
+    """Generated chained-CTE twin of anomaly_seasonal_esd (the unigram /
+    holt discipline): one (stats_k, flag_k, rem_k) CTE triple per unrolled
+    removal round, derived from the same ESD_K constant as the Spark loop."""
+    parts = [
+        """WITH daily AS MATERIALIZED (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               (epoch(date_trunc('day', ts))::BIGINT // 86400) % 7 AS dow,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1, 2, 3
+    ),
+    season AS MATERIALIZED (
+        SELECT event_type, dow,
+               round(2 * median(xc))::BIGINT AS med2
+        FROM daily GROUP BY event_type, dow
+    ),
+    rem_0 AS MATERIALIZED (
+        SELECT d.event_type, strftime(d.d, '%Y-%m-%d') AS day,
+               (2 * d.xc - s.med2)::BIGINT AS r2
+        FROM daily d JOIN season s
+          ON s.event_type = d.event_type AND s.dow = d.dow
+    )"""
+    ]
+    for k in range(1, ESD_K + 1):
+        parts.append(
+            f""",
+    stats_{k} AS MATERIALIZED (
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(r2)::BIGINT AS sr, sum(r2 * r2)::BIGINT AS srr
+        FROM rem_{k - 1} GROUP BY event_type
+    ),
+    flag_{k} AS MATERIALIZED (
+        SELECT event_type, day, r2, z
+        FROM (
+            SELECT r.event_type, r.day, r.r2,
+                   abs(r.r2 - s.sr::DOUBLE / s.n)
+                   / nullif(sqrt((s.srr - s.sr::DOUBLE * s.sr / s.n)
+                                 / nullif(s.n - 1, 0)), 0) AS z,
+                   row_number() OVER (
+                       PARTITION BY r.event_type
+                       ORDER BY abs(r.r2 - s.sr::DOUBLE / s.n)
+                                / nullif(sqrt((s.srr - s.sr::DOUBLE * s.sr / s.n)
+                                              / nullif(s.n - 1, 0)), 0) DESC,
+                                r.day ASC) AS rn
+            FROM rem_{k - 1} r JOIN stats_{k} s ON s.event_type = r.event_type
+        ) q WHERE rn = 1 AND z IS NOT NULL
+    ),
+    rem_{k} AS MATERIALIZED (
+        SELECT r.* FROM rem_{k - 1} r
+        LEFT JOIN flag_{k} f ON f.event_type = r.event_type AND f.day = r.day
+        WHERE f.day IS NULL
+    )"""
+        )
+    flags = " UNION ALL ".join(
+        f"SELECT event_type, day, r2, z, {k}::BIGINT AS iteration FROM flag_{k}"
+        for k in range(1, ESD_K + 1)
+    )
+    parts.append(
+        f"""
+    SELECT event_type, iteration, day, r2 AS resid2,
+           round(z, 4) + 0.0 AS z_score,
+           (z > {ESD_THRESHOLD}) AS is_anomaly
+    FROM ({flags}) u"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "anomaly_seasonal_esd",
+    oracle=_esd_oracle_sql(),
+    tags=("telemetry", "timeseries", "anomaly"),
+)
+def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal ESD-style anomaly extraction (the Twitter
+    AnomalyDetection shape): deseasonalize daily channel revenue by the
+    per-weekday MEDIAN (robust — a mean would absorb the very anomalies
+    we hunt), then run ESD_K rounds of iterative max-deviate removal —
+    each round recomputes mean/σ over the REMAINING residuals and
+    extracts the largest |z| point, which is the property that makes ESD
+    robust to masking (one huge outlier inflating σ and hiding the
+    second). Emits every extracted candidate with its removal-time z and
+    an is_anomaly flag at |z| > ESD_THRESHOLD (the textbook critical
+    values need t-quantiles; the fixed threshold is stated, not hidden).
+
+    Exactness: daily cents and DOUBLED residuals r2 = 2·x − 2·median are
+    exact BIGINTs (the ×2 absorbs the even-count median's .5 — both
+    engines average the two middle values identically); weekday comes
+    from epoch-day % 7 (NEVER dayofweek — Spark is 1-7, DuckDB 0-6, the
+    profile_activity_matrix trap); per-round mean/σ from exact integer
+    moment sums (identical trees, rule 9); z rounded 4dp at output only
+    (rule 8); argmax tie-broken by day ASC. The unroll is ESD_K chained
+    (stats, flag, remainder) frames over the channel×day cell table —
+    calendar-bounded, each round eagerly checkpointed (the unigram /
+    graph_hits lesson: flag_k is referenced by both the output union and
+    rem_k). Oracle is the generated chained-CTE twin from the same
+    constant.
+
+    100 TB shape: one partial agg to (channel, day, dow) cells;
+    everything after runs on the calendar-bounded frame."""
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        (F.expr("unix_timestamp(date_trunc('day', ts)) div 86400") % 7).alias("dow"),
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
+    season = daily.groupBy("event_type", "dow").agg(
+        F.round(2 * F.median("xc")).cast("long").alias("med2")
+    )
+    rem = (
+        daily.join(season, ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            (2 * F.col("xc") - F.col("med2")).alias("r2"),
+        )
+        .checkpoint(eager=True)
+    )
+    flags = []
+    for k in range(1, ESD_K + 1):
+        stats = rem.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r2").alias("sr"),
+            F.sum(F.col("r2") * F.col("r2")).alias("srr"),
+        )
+        z = F.abs(F.col("r2") - F.col("sr").cast("double") / F.col("n")) / F.nullif(
+            F.sqrt(
+                (F.col("srr") - F.col("sr").cast("double") * F.col("sr") / F.col("n"))
+                / F.nullif(F.col("n") - 1, F.lit(0))
+            ),
+            F.lit(0.0),
+        )
+        wch = Window.partitionBy("event_type").orderBy(
+            F.col("z").desc(), F.col("day").asc()
+        )
+        flag = (
+            rem.join(F.broadcast(stats), "event_type")
+            .select("event_type", "day", "r2", z.alias("z"))
+            .withColumn("rn", F.row_number().over(wch))
+            .filter((F.col("rn") == 1) & F.col("z").isNotNull())
+            .select("event_type", "day", "r2", "z")
+            .checkpoint(eager=True)
+        )
+        flags.append(flag.select("*", F.lit(k).cast("long").alias("iteration")))
+        rem = (
+            rem.join(
+                flag.select("event_type", F.col("day").alias("f_day")),
+                "event_type",
+                "left",
+            )
+            .filter((F.col("f_day").isNull()) | (F.col("day") != F.col("f_day")))
+            .select("event_type", "day", "r2")
+            .checkpoint(eager=True)
+        )
+    out = flags[0]
+    for fl in flags[1:]:
+        out = out.unionByName(fl)
+    return out.select(
+        "event_type",
+        "iteration",
+        "day",
+        F.col("r2").alias("resid2"),
+        (F.round(F.col("z"), 4) + F.lit(0.0)).alias("z_score"),
+        (F.col("z") > ESD_THRESHOLD).alias("is_anomaly"),
+    )

@@ -701,6 +701,8 @@ EXTENSIONS = [
     "ts_forecast_backtest",
     # round 10: Kaplan-Meier survival with right censoring
     "stats_kaplan_meier",
+    # round 10: seasonal ESD-style iterative max-deviate anomaly extraction
+    "anomaly_seasonal_esd",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -551,3 +551,66 @@ def test_kaplan_meier_matches_python_replica(spark, sf_dir):
         prev = r["survival"]
     # the at-risk ledger telescopes to the population
     assert sum(d + c for _, d, c, _ in want.values()) == total
+
+
+# --- anomaly_seasonal_esd: replica + masking-robustness laws -------------------
+
+
+def test_seasonal_esd_matches_python_replica(spark, sf_dir):
+    """Replay the full ESD loop driver-side: per-weekday median
+    deseasonalization (epoch-day % 7), then ESD_K rounds of
+    recompute-stats / extract-max-|z| / remove."""
+    import math
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.telemetry import ESD_K, ESD_THRESHOLD
+
+    daily = defaultdict(int)
+    for e in load(spark, sf_dir, "events").collect():
+        day = e.ts.date()
+        daily[(e.event_type, day)] += math.floor(e.value * 100 + 0.5)
+    bydow = defaultdict(list)
+    for (et, day), xc in daily.items():
+        bydow[(et, day.toordinal() % 7)].append(xc)
+    # NB: python date.toordinal() % 7 != epoch-day % 7; recompute as the op does
+    bydow = defaultdict(list)
+    for (et, day), xc in daily.items():
+        epoch_day = (day - __import__("datetime").date(1970, 1, 1)).days
+        bydow[(et, epoch_day % 7)].append(xc)
+    med2 = {}
+    for key, xs in bydow.items():
+        xs = sorted(xs)
+        n = len(xs)
+        m = xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+        med2[key] = round(2 * m)
+    rem = defaultdict(dict)
+    for (et, day), xc in daily.items():
+        epoch_day = (day - __import__("datetime").date(1970, 1, 1)).days
+        rem[et][day.strftime("%Y-%m-%d")] = 2 * xc - med2[(et, epoch_day % 7)]
+    want = {}
+    for et, cells in rem.items():
+        cur = dict(cells)
+        for k in range(1, ESD_K + 1):
+            n = len(cur)
+            sr = sum(cur.values())
+            srr = sum(v * v for v in cur.values())
+            var = (srr - sr * sr / n) / (n - 1)
+            if var <= 0:
+                break
+            sd = math.sqrt(var)
+            day, r2 = min(
+                cur.items(), key=lambda kv: (-abs(kv[1] - sr / n) / sd, kv[0])
+            )
+            z = abs(r2 - sr / n) / sd
+            want[(et, k)] = (day, r2, round(z, 4), z > ESD_THRESHOLD)
+            del cur[day]
+    rows = {
+        (r["event_type"], r["iteration"]): r
+        for r in _df("anomaly_seasonal_esd", spark, sf_dir).collect()
+    }
+    assert set(rows) == set(want)
+    for key, (day, r2, z, flag) in want.items():
+        r = rows[key]
+        assert (r["day"], r["resid2"]) == (day, r2), key
+        assert abs(r["z_score"] - z) < 1e-9
+        assert r["is_anomaly"] == flag
