@@ -4569,3 +4569,101 @@ def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility_ppm"),
         )
     )
+
+
+# --- round 10: cross-tokenizer fertility comparison ----------------------------
+
+
+@query(
+    "corpus_tokenizer_compare",
+    oracle=_BPE_CHAIN_SQL
+    + ","
+    + _unigram_chain_sql()[len("WITH ") :]
+    + """,
+    bpe_after AS (SELECT doc_id, count(*)::BIGINT AS toks FROM t3 GROUP BY doc_id),
+    meta AS (
+        SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_words
+        FROM documents
+    ),
+    seg AS (SELECT word, count(*)::BIGINT AS n_pieces FROM used GROUP BY word),
+    doc_toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    uni_after AS (
+        SELECT t.doc_id, coalesce(sum(s.n_pieces), 0)::BIGINT AS pieces,
+               sum(CASE WHEN s.n_pieces IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS adm
+        FROM doc_toks t LEFT JOIN seg s ON s.word = t.word GROUP BY t.doc_id
+    )
+    SELECT m.lang, count(*)::BIGINT AS n_docs,
+           sum(m.n_words)::BIGINT AS words,
+           sum(b.toks)::BIGINT AS bpe_tokens,
+           sum(u.pieces)::BIGINT AS unigram_pieces,
+           sum(u.adm)::BIGINT AS admitted_words,
+           (sum(b.toks) * 1000000 // sum(m.n_words))::BIGINT AS bpe_tpw_ppm,
+           (sum(u.pieces) * 1000000 // nullif(sum(u.adm), 0))::BIGINT
+               AS unigram_ppw_ppm
+    FROM meta m JOIN bpe_after b ON b.doc_id = m.doc_id
+    JOIN uni_after u ON u.doc_id = m.doc_id
+    GROUP BY m.lang
+    """,
+    tags=("llm", "corpus", "tokenizer"),
+)
+def corpus_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TOKENIZER fertility comparison — the table a tokenizer
+    bake-off actually publishes: per language, tokens-per-word for the
+    trained BPE (merge-based) and pieces-per-admitted-word for the
+    trained unigram-LM (likelihood-based), side by side from the SAME
+    corpus. The two families optimize different objectives (merge
+    frequency vs corpus likelihood), so their per-language fertility gap
+    is the signal that picks a tokenizer for a 100 TB run — this op
+    makes the comparison a single query instead of two reports glued in
+    a notebook.
+
+    Rides BOTH session memos (_bpe_rounds and _unigram_frames — each
+    training chain is paid once per session by whichever family member
+    runs first); the oracle SPLICES the two generated CTE chains
+    (_BPE_CHAIN_SQL + _unigram_chain_sql, disjoint CTE namespaces
+    checked at import) so neither side can drift from the op it
+    audits. Integer ppm ratios (rule 25); admitted_words counts the
+    unigram model's coverage (words <= UNI_WMAX chars), making the
+    denominators' difference explicit rather than hidden.
+
+    Scale: two doc-keyed counts + one |langs|-row rollup beyond the
+    already-memoized chains."""
+    _, _, t_final = _bpe_rounds(spark, sf_dir)
+    bpe_after = t_final.groupBy("doc_id").agg(F.count(F.lit(1)).alias("toks"))
+    _words, _pcost, used = _unigram_frames(spark, sf_dir)
+    seg = used.groupBy("word").agg(F.count(F.lit(1)).alias("n_pieces"))
+    doc_toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    uni_after = (
+        doc_toks.join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("n_pieces"), F.lit(0)).alias("pieces"),
+            F.sum(F.when(F.col("n_pieces").isNotNull(), 1).otherwise(0)).alias(
+                "adm"
+            ),
+        )
+    )
+    meta = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    return (
+        meta.join(bpe_after, "doc_id")
+        .join(uni_after, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("toks").alias("bpe_tokens"),
+            F.sum("pieces").alias("unigram_pieces"),
+            F.sum("adm").alias("admitted_words"),
+            F.expr("sum(toks) * 1000000 div sum(n_words)").alias("bpe_tpw_ppm"),
+            F.expr(
+                "sum(pieces) * 1000000 div nullif(sum(adm), 0)"
+            ).alias("unigram_ppw_ppm"),
+        )
+    )

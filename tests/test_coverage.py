@@ -703,6 +703,8 @@ EXTENSIONS = [
     "stats_kaplan_meier",
     # round 10: seasonal ESD-style iterative max-deviate anomaly extraction
     "anomaly_seasonal_esd",
+    # round 10: BPE-vs-unigram fertility bake-off riding both memos
+    "corpus_tokenizer_compare",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -614,3 +614,22 @@ def test_seasonal_esd_matches_python_replica(spark, sf_dir):
         assert (r["day"], r["resid2"]) == (day, r2), key
         assert abs(r["z_score"] - z) < 1e-9
         assert r["is_anomaly"] == flag
+
+
+def test_tokenizer_compare_reconciles_with_both_families(spark, sf_dir):
+    """The bake-off table must re-derive from its two parents: bpe token
+    mass per lang equals corpus_bpe_fertility's, unigram piece mass sums
+    to text_unigram_train's used_cnt total, and both ppm columns follow
+    from their own integer numerators/denominators."""
+    cmp_rows = {r["lang"]: r for r in _df("corpus_tokenizer_compare", spark, sf_dir).collect()}
+    bpe = {r["lang"]: r for r in _df("corpus_bpe_fertility", spark, sf_dir).collect()}
+    train = _df("text_unigram_train", spark, sf_dir).collect()
+    assert set(cmp_rows) == set(bpe)
+    for lang, r in cmp_rows.items():
+        assert r["bpe_tokens"] == bpe[lang]["tokens"], lang
+        assert r["words"] == bpe[lang]["words"], lang
+        assert r["bpe_tpw_ppm"] == bpe[lang]["tokens_per_word_ppm"], lang
+        assert r["unigram_ppw_ppm"] == r["unigram_pieces"] * 1_000_000 // r["admitted_words"]
+    assert sum(r["unigram_pieces"] for r in cmp_rows.values()) == sum(
+        t["used_cnt"] for t in train
+    )
