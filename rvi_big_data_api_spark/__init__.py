@@ -57,7 +57,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "mm_cdc_clamped", "text_unigram_train", "text_unigram_apply",
     "stats_wilcoxon_signrank", "eval_sequential_msprt", "eval_ratio_delta_ci",
     "stream_msprt_monitor", "ts_forecast_backtest", "stats_kaplan_meier",
-    "anomaly_seasonal_esd", "corpus_tokenizer_compare",
+    "anomaly_seasonal_esd", "corpus_tokenizer_compare", "ml_logreg_train",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -4058,3 +4058,201 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("ln_surv")), 6) + F.lit(0.0))
         .alias("survival"),
     )
+
+
+# --- round 10: in-plan logistic-regression training ----------------------------
+
+LR_ITERS = 5          # full-batch gradient steps
+LR_STEP_X100K = 10000 # learning rate 0.1, folded into the integer quantizer
+# Fixed, data-independent feature centering (stated constants, not fitted):
+# x1 = views - 13, x2 = clicks - 13, x3 = spend_cents div 10000 - 6.
+LR_FEATURES_SQL = (
+    "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) - 13",
+    "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) - 13",
+    "floor(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)"
+    " * 100 + 0.5)::BIGINT // 10000 - 6",
+)
+
+
+def _logreg_oracle_sql() -> str:
+    """Generated chained-CTE twin of ml_logreg_train: one (grad, weight)
+    CTE pair per unrolled gradient step, weights as exact micro-unit
+    BIGINTs, gradient deltas quantized floor(g*lr*1e6 + 0.5)."""
+    f1, f2, f3 = LR_FEATURES_SQL
+    parts = [
+        f"""WITH pu AS MATERIALIZED (
+        SELECT user_id,
+               ({f1})::BIGINT AS x1,
+               ({f2})::BIGINT AS x2,
+               ({f3})::BIGINT AS x3,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM pu),
+    w_0 AS (SELECT 0::BIGINT AS w0m, 0::BIGINT AS w1m,
+                   0::BIGINT AS w2m, 0::BIGINT AS w3m)"""
+    ]
+    for t in range(1, LR_ITERS + 1):
+        parts.append(
+            f""",
+    z_{t} AS (
+        SELECT p.user_id, p.x1, p.x2, p.x3, p.y,
+               (w.w0m + w.w1m * p.x1 + w.w2m * p.x2 + w.w3m * p.x3)::BIGINT
+                   AS zm
+        FROM pu p CROSS JOIN w_{t - 1} w
+    ),
+    g_{t} AS (
+        SELECT
+            floor(sum(1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) / n.n
+                  * {LR_STEP_X100K} + 0.5)::BIGINT AS d0,
+            floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x1) / n.n
+                  * {LR_STEP_X100K} + 0.5)::BIGINT AS d1,
+            floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x2) / n.n
+                  * {LR_STEP_X100K} + 0.5)::BIGINT AS d2,
+            floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x3) / n.n
+                  * {LR_STEP_X100K} + 0.5)::BIGINT AS d3
+        FROM z_{t} CROSS JOIN n GROUP BY n.n
+    ),
+    w_{t} AS MATERIALIZED (
+        SELECT w.w0m - g.d0 AS w0m, w.w1m - g.d1 AS w1m,
+               w.w2m - g.d2 AS w2m, w.w3m - g.d3 AS w3m
+        FROM w_{t - 1} w CROSS JOIN g_{t} g
+    ),
+    m_{t} AS (
+        SELECT {t}::BIGINT AS iteration, w.w0m, w.w1m, w.w2m, w.w3m,
+               (sum(CASE WHEN (zm >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                   * 1000000 // count(*))::BIGINT AS accuracy_ppm,
+               round(avg(ln(1.0 + exp(-(2 * y - 1) * (zm / 1000000.0)))), 6)
+                   + 0.0 AS logloss
+        FROM (
+            SELECT p.y,
+                   (w.w0m + w.w1m * p.x1 + w.w2m * p.x2 + w.w3m * p.x3)::BIGINT
+                       AS zm
+            FROM pu p CROSS JOIN w_{t} w
+        ) q CROSS JOIN w_{t} w
+        GROUP BY w.w0m, w.w1m, w.w2m, w.w3m
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m_{t}" for t in range(1, LR_ITERS + 1))
+    parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+@query(
+    "ml_logreg_train",
+    oracle=_logreg_oracle_sql(),
+    tags=("analytics", "ml", "flagship"),
+)
+def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression TRAINED IN-ENGINE — full-batch gradient descent
+    over the user feature frame, no MLlib: the op that shows the engine
+    can fit a simple model, not just evaluate one (eval_* consume scores;
+    this PRODUCES them). Features are integer-centered engagement counts
+    and spend deciles (fixed, stated constants — never fitted), label is
+    the suite's big-purchaser flag. Each of LR_ITERS steps aggregates the
+    exact per-user gradient of the log-loss and updates MICRO-QUANTIZED
+    integer weights: delta = floor(mean_grad * lr * 1e6 + 0.5), so the
+    weight trajectory is a sequence of exact BIGINTs — cross-engine ulp
+    noise in the float gradient sum dies at the quantizer instead of
+    compounding across iterations (the corpus_perplexity_filter
+    convention applied to training state). Per-iteration readout: the
+    weight vector, accuracy from the SIGN of the exact integer logit
+    (no float threshold), and 6dp-rounded log-loss.
+
+    Execution shape is production SGD-on-a-cluster: executors compute
+    the distributed gradient aggregate; the driver folds the ONE 4-value
+    row into the next iterate and broadcasts it back as literals —
+    exactly MLlib's treeAggregate loop, with the driver touching only
+    O(features) state per step (never row data). The per-user frame is
+    checkpointed once; each step is one aggregate over it.
+
+    At 100 TB: the feature frame build is the only corpus pass;
+    LR_ITERS * 2 aggregates over the user frame (partial aggs carry
+    everything); driver state is 4 integers."""
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    ev = load(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)) - 13
+            ).alias("x1"),
+            (
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) - 13
+            ).alias("x2"),
+            (
+                F.expr(
+                    "floor(sum(CASE WHEN event_type = 'purchase' THEN value"
+                    " ELSE 0 END) * 100 + 0.5) div 10000 - 6"
+                )
+            ).alias("x3"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .checkpoint(eager=True)
+    )
+    n = pu.count()
+    w = [0, 0, 0, 0]  # micro-unit integer weights; driver state = O(features)
+    out_rows = []
+    for t in range(1, LR_ITERS + 1):
+        zm = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = 1.0 / (1.0 + F.exp(-(zm / 1000000.0)))
+        g = pu.agg(
+            F.sum(p - F.col("y")).alias("g0"),
+            F.sum((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.sum((p - F.col("y")) * F.col("x2")).alias("g2"),
+            F.sum((p - F.col("y")) * F.col("x3")).alias("g3"),
+        ).collect()[0]
+        import math
+
+        for k in range(4):
+            w[k] -= math.floor(g[f"g{k}"] / n * LR_STEP_X100K + 0.5)
+        zm2 = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        m = pu.agg(
+            F.sum(
+                F.when((zm2 >= 0) == (F.col("y") == 1), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.round(
+                    F.avg(F.log(1.0 + F.exp(-(2 * F.col("y") - 1) * (zm2 / 1000000.0)))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("logloss"),
+        ).collect()[0]
+        out_rows.append(
+            (
+                t,
+                w[0],
+                w[1],
+                w[2],
+                w[3],
+                m["n_correct"] * 1_000_000 // m["n"],
+                float(m["logloss"]),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "iteration long, w0m long, w1m long, w2m long, w3m long,"
+        " accuracy_ppm long, logloss double",
+    )

@@ -705,6 +705,8 @@ EXTENSIONS = [
     "anomaly_seasonal_esd",
     # round 10: BPE-vs-unigram fertility bake-off riding both memos
     "corpus_tokenizer_compare",
+    # round 10: in-engine logistic regression (quantized-weight GD)
+    "ml_logreg_train",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

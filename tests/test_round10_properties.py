@@ -633,3 +633,69 @@ def test_tokenizer_compare_reconciles_with_both_families(spark, sf_dir):
     assert sum(r["unigram_pieces"] for r in cmp_rows.values()) == sum(
         t["used_cnt"] for t in train
     )
+
+
+# --- ml_logreg_train: full training-loop replica --------------------------------
+
+
+def test_logreg_train_matches_python_replica(spark, sf_dir):
+    """Replay all LR_ITERS gradient steps driver-side from raw events —
+    integer weight trajectories must match EXACTLY (the quantizer makes
+    training state integer), and the log-loss must be non-increasing."""
+    import math
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.ml_eval import LR_ITERS, LR_STEP_X100K
+
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # v, c, spend_cents, y
+    for e in load(spark, sf_dir, "events").collect():
+        a = acc[e.user_id]
+        if e.event_type == "view":
+            a[0] += 1
+        elif e.event_type == "click":
+            a[1] += 1
+        elif e.event_type == "purchase":
+            cents = math.floor(e.value * 100 + 0.5)
+            a[2] += cents
+            if cents > 15000:
+                a[3] = 1
+    rows = [
+        (v - 13, c - 13, s // 10000 - 6, y) for v, c, s, y in acc.values()
+    ]
+    n = len(rows)
+    w = [0, 0, 0, 0]
+    want = []
+    for t in range(1, LR_ITERS + 1):
+        g = [0.0, 0.0, 0.0, 0.0]
+        for x1, x2, x3, y in rows:
+            zm = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+            p = 1.0 / (1.0 + math.exp(-(zm / 1e6)))
+            g[0] += p - y
+            g[1] += (p - y) * x1
+            g[2] += (p - y) * x2
+            g[3] += (p - y) * x3
+        for k in range(4):
+            w[k] -= math.floor(g[k] / n * LR_STEP_X100K + 0.5)
+        correct, ll = 0, 0.0
+        for x1, x2, x3, y in rows:
+            zm = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+            correct += int((zm >= 0) == (y == 1))
+            ll += math.log(1.0 + math.exp(-(2 * y - 1) * (zm / 1e6)))
+        want.append(
+            (t, *w, correct * 1_000_000 // n, round(ll / n, 6))
+        )
+    got = sorted(
+        (
+            (r["iteration"], r["w0m"], r["w1m"], r["w2m"], r["w3m"],
+             r["accuracy_ppm"], r["logloss"])
+            for r in _df("ml_logreg_train", spark, sf_dir).collect()
+        )
+    )
+    for (gt, *gv), (wt, *wv) in zip(got, want):
+        assert gt == wt
+        assert gv[:4] == wv[:4], (gt, gv, wv)  # exact integer weights
+        assert gv[4] == wv[4]
+        assert abs(gv[5] - wv[5]) < 2e-6
+    # training actually learns: loss strictly decreases across iterations
+    losses = [r[6] for r in got]
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
