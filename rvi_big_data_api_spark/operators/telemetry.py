@@ -4758,6 +4758,13 @@ def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem_k). Oracle is the generated chained-CTE twin from the same
     constant.
 
+    Execution shape (the ml_logreg_train driver-coordination pattern):
+    the residual cell frame is checkpointed ONCE; each round's argmax
+    flag is ONE |channels|-row collect (coordinator-plane — O(K·C) rows
+    total, never row data), and the next round filters by those literal
+    (channel, day) exclusions against the SAME checkpointed frame — so
+    the plan stays depth-1 instead of a 3·ESD_K checkpoint chain.
+
     100 TB shape: one partial agg to (channel, day, dow) cells;
     everything after runs on the calendar-bounded frame."""
     from ..session import ensure_checkpoint_dir
@@ -4781,9 +4788,15 @@ def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .checkpoint(eager=True)
     )
-    flags = []
+    excluded: list[tuple[str, str]] = []  # (event_type, day) literals
+    out_rows = []
     for k in range(1, ESD_K + 1):
-        stats = rem.groupBy("event_type").agg(
+        cur = rem
+        for et, day in excluded:
+            cur = cur.filter(
+                ~((F.col("event_type") == et) & (F.col("day") == day))
+            )
+        stats = cur.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("r2").alias("sr"),
             F.sum(F.col("r2") * F.col("r2")).alias("srr"),
@@ -4798,33 +4811,28 @@ def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         wch = Window.partitionBy("event_type").orderBy(
             F.col("z").desc(), F.col("day").asc()
         )
-        flag = (
-            rem.join(F.broadcast(stats), "event_type")
+        flag_rows = (
+            cur.join(F.broadcast(stats), "event_type")
             .select("event_type", "day", "r2", z.alias("z"))
             .withColumn("rn", F.row_number().over(wch))
             .filter((F.col("rn") == 1) & F.col("z").isNotNull())
             .select("event_type", "day", "r2", "z")
-            .checkpoint(eager=True)
+            .collect()
         )
-        flags.append(flag.select("*", F.lit(k).cast("long").alias("iteration")))
-        rem = (
-            rem.join(
-                flag.select("event_type", F.col("day").alias("f_day")),
-                "event_type",
-                "left",
+        for r in flag_rows:
+            excluded.append((r["event_type"], r["day"]))
+            out_rows.append(
+                (r["event_type"], k, r["day"], r["r2"], float(r["z"]))
             )
-            .filter((F.col("f_day").isNull()) | (F.col("day") != F.col("f_day")))
-            .select("event_type", "day", "r2")
-            .checkpoint(eager=True)
-        )
-    out = flags[0]
-    for fl in flags[1:]:
-        out = out.unionByName(fl)
+    out = spark.createDataFrame(
+        out_rows, "event_type string, iteration long, day string,"
+        " resid2 long, z double"
+    )
     return out.select(
         "event_type",
         "iteration",
         "day",
-        F.col("r2").alias("resid2"),
+        "resid2",
         (F.round(F.col("z"), 4) + F.lit(0.0)).alias("z_score"),
         (F.col("z") > ESD_THRESHOLD).alias("is_anomaly"),
     )
