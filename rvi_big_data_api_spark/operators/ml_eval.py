@@ -3626,7 +3626,7 @@ MSPRT_TAU2 = 10000.0  # mixture variance tau^2 in cents^2 (tau = 1.00 dollar)
         FROM cum GROUP BY day
     ),
     stat AS (
-        SELECT day, n_c, n_t,
+        SELECT day, n_c, n_t, s_c, s_t,
                (s_t::DOUBLE / n_t - s_c::DOUBLE / n_c) AS theta,
                ((ss_c - s_c::DOUBLE * s_c / n_c) / nullif(n_c - 1, 0)) / n_c
                + ((ss_t - s_t::DOUBLE * s_t / n_t) / nullif(n_t - 1, 0)) / n_t
@@ -3636,7 +3636,7 @@ MSPRT_TAU2 = 10000.0  # mixture variance tau^2 in cents^2 (tau = 1.00 dollar)
     ),
     lam AS (
         SELECT day, n_c, n_t,
-               round(theta, 4) + 0.0 AS theta_cents,
+               (s_t * 1000 // n_t - s_c * 1000 // n_c)::BIGINT AS theta_milli,
                least(1.0, round(
                    1.0 / (sqrt(v / (v + {MSPRT_TAU2}))
                           * exp(theta * theta * {MSPRT_TAU2}
@@ -3644,7 +3644,7 @@ MSPRT_TAU2 = 10000.0  # mixture variance tau^2 in cents^2 (tau = 1.00 dollar)
                    AS p_day
         FROM stat WHERE v > 0
     )
-    SELECT day, n_c, n_t, theta_cents, p_day,
+    SELECT day, n_c, n_t, theta_milli, p_day,
            min(p_day) OVER (ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 0.0
                AS p_always_valid
@@ -3662,7 +3662,11 @@ def eval_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-event unit) and its variance V into an always-valid p-value
     p_t = min_{{s<=t}} min(1, 1/Λ_s) — a supermartingale bound, so the
     running-min sequence is itself the decision boundary (stop when it
-    crosses alpha).
+    crosses alpha). The reported effect ships as theta_milli — the
+    per-arm integer-div milli-cent means differenced — because the raw
+    θ̂ is a PURE RATIONAL of integer sums and a 4-dp round can tie
+    (rule 28); the float θ̂ feeds only the Λ expression, whose exp/sqrt
+    make its 6-dp tie set measure-zero (rule 8).
 
     Exactness discipline: cumulative first/second moments are exact
     BIGINT cents sums per (arm, day) — the cumulative windows are
@@ -3727,7 +3731,7 @@ def eval_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.nullif(F.col("n_t") - 1, F.lit(0))
     ) / F.col("n_t")
     stat = wide.filter((F.col("n_c") >= 2) & (F.col("n_t") >= 2)).select(
-        "day", "n_c", "n_t", theta.alias("theta"), v.alias("v")
+        "day", "n_c", "n_t", "s_c", "s_t", theta.alias("theta"), v.alias("v")
     )
     tau2 = F.lit(MSPRT_TAU2)
     lam_inv = 1.0 / (
@@ -3743,7 +3747,7 @@ def eval_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_c",
         "n_t",
-        (F.round(F.col("theta"), 4) + F.lit(0.0)).alias("theta_cents"),
+        F.expr("s_t * 1000 div n_t - s_c * 1000 div n_c").alias("theta_milli"),
         (F.least(F.lit(1.0), F.round(lam_inv, 6)) + F.lit(0.0)).alias("p_day"),
     )
     wmin = Window.orderBy("day").rowsBetween(
@@ -3753,7 +3757,7 @@ def eval_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_c",
         "n_t",
-        "theta_cents",
+        "theta_milli",
         "p_day",
         (F.min("p_day").over(wmin) + F.lit(0.0)).alias("p_always_valid"),
     )

@@ -4577,8 +4577,8 @@ FCST_HOLDOUT = 14  # trailing days scored as the holdout
     )
     SELECT h.event_type, t.n_train, h.n_holdout,
            (h.hold_ae * 100 // h.n_holdout)::BIGINT AS mae_centicents,
-           round((h.hold_ae::DOUBLE / h.n_holdout)
-                 / nullif(t.train_ae::DOUBLE / t.n_train, 0), 6) + 0.0 AS mase,
+           (h.hold_ae * t.n_train * 1000000
+               // nullif(h.n_holdout * t.train_ae, 0))::BIGINT AS mase_ppm,
            round(h.smape_sum / h.n_holdout, 6) + 0.0 AS smape
     FROM hold h JOIN train t ON t.event_type = h.event_type
     """,
@@ -4597,8 +4597,10 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-contained and deterministic.
 
     Exactness: daily revenue and absolute errors are exact BIGINT cents;
-    MAE ships integer (centi-cents via ×100 div); MASE is a ratio of two
-    exact-integer means (identical trees, 6dp round); sMAPE's per-row
+    MAE ships integer (centi-cents via ×100 div); MASE is a PURE RATIONAL
+    of two exact-integer means, so it ships integer ppm (rule 28 — a 6dp
+    float round could tie across the engines' HALF_UP/half-even split;
+    exact for hold_ae·n_train ≲ 9·10¹² before the ×1e6); sMAPE's per-row
     2|a−f|/(a+f) is an exact-rational double per row (unrounded per-row
     per rule 5 — identical expression trees over exact ints are
     bit-identical), aggregate-rounded 6dp. Train/holdout split by a
@@ -4639,16 +4641,9 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train",
         "n_holdout",
         F.expr("hold_ae * 100 div n_holdout").alias("mae_centicents"),
-        (
-            F.round(
-                (F.col("hold_ae").cast("double") / F.col("n_holdout"))
-                / F.nullif(
-                    F.col("train_ae").cast("double") / F.col("n_train"), F.lit(0.0)
-                ),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("mase"),
+        F.expr(
+            "hold_ae * n_train * 1000000 div nullif(n_holdout * train_ae, 0)"
+        ).alias("mase_ppm"),
         (F.round(F.col("smape_sum") / F.col("n_holdout"), 6) + F.lit(0.0)).alias(
             "smape"
         ),

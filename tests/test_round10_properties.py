@@ -368,13 +368,14 @@ def test_msprt_lambda_matches_python_formula(spark, sf_dir):
             math.sqrt(v / (v + MSPRT_TAU2))
             * math.exp(theta * theta * MSPRT_TAU2 / (2 * v * (v + MSPRT_TAU2)))
         )
-        want[d] = (n_c, n_t, round(theta, 4), min(1.0, round(lam_inv, 6)))
+        theta_milli = s_t * 1000 // n_t - s_c * 1000 // n_c
+        want[d] = (n_c, n_t, theta_milli, min(1.0, round(lam_inv, 6)))
     rows = {r["day"]: r for r in _df("eval_sequential_msprt", spark, sf_dir).collect()}
     assert set(rows) == set(want)
-    for d, (n_c, n_t, theta, p_day) in want.items():
+    for d, (n_c, n_t, theta_milli, p_day) in want.items():
         r = rows[d]
         assert (r["n_c"], r["n_t"]) == (n_c, n_t)
-        assert abs(r["theta_cents"] - theta) < 1e-9
+        assert r["theta_milli"] == theta_milli
         assert abs(r["p_day"] - p_day) < 1e-9
 
 
@@ -485,24 +486,24 @@ def test_forecast_backtest_matches_python_replica(spark, sf_dir):
         train_ae = sum(abs(a - f) for a, f in train)
         hold_ae = sum(abs(a - f) for a, f in hold)
         smape = sum(2.0 * abs(a - f) / (a + f) for a, f in hold) / len(hold)
-        mase = (hold_ae / len(hold)) / (train_ae / len(train))
+        mase_ppm = hold_ae * len(train) * 1_000_000 // (len(hold) * train_ae)
         want[et] = (
             len(train),
             len(hold),
             hold_ae * 100 // len(hold),
-            round(mase, 6),
+            mase_ppm,
             round(smape, 6),
         )
     rows = {r["event_type"]: r for r in _df("ts_forecast_backtest", spark, sf_dir).collect()}
     assert set(rows) == set(want)
-    for et, (n_train, n_holdout, mae, mase, smape) in want.items():
+    for et, (n_train, n_holdout, mae, mase, smape) in want.items():  # mase=ppm
         r = rows[et]
         assert (r["n_train"], r["n_holdout"]) == (n_train, n_holdout)
         assert r["mae_centicents"] == mae
-        assert abs(r["mase"] - mase) < 1e-9
+        assert r["mase_ppm"] == mase
         assert abs(r["smape"] - smape) < 2e-6  # float fold-order at 6dp
         assert 0 <= r["smape"] <= 2.0  # sMAPE is bounded by construction
-        assert r["mase"] > 0
+        assert r["mase_ppm"] > 0
 
 
 # --- stats_kaplan_meier: replica + survival laws -------------------------------
