@@ -1395,6 +1395,37 @@ def test_round10_midranks_have_no_row_rank(spark, sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
+    [
+        "mm_cdc_clamped",
+        "text_unigram_train",
+        "text_unigram_apply",
+        "corpus_tokenizer_compare",
+        "stats_wilcoxon_signrank",
+        "eval_sequential_msprt",
+        "eval_ratio_delta_ci",
+        "stats_kaplan_meier",
+        "ts_forecast_backtest",
+    ],
+)
+def test_round10_ops_never_nested_loop_on_data(spark, sf_dir, name):
+    """Round-10 additions plan pure equi-joins on their data paths: no
+    cartesian products, no Python eval; broadcast nested loops are allowed
+    only for 1-row scalar folds (the established crossJoin(broadcast(agg))
+    convention) — pinned by asserting every BNLJ input is a broadcast of a
+    single-row aggregate, which the plans express as BroadcastNestedLoopJoin
+    over an Aggregate with no grouping keys. We approximate that here by
+    bounding the BNLJ count to the op's declared scalar folds (<= 3)."""
+    plan = (
+        REGISTRY[name].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, name
+    assert "EvalPython" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, name
+
+
+@pytest.mark.parametrize(
+    "name",
     ["ts_motif_discovery", "mm_cdc_dedup", "text_substring_dedup", "mm_cdc_containment"],
 )
 def test_round9_heavy_ops_never_nested_loop(spark, sf_dir, name):
