@@ -4260,3 +4260,110 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iteration long, w0m long, w1m long, w2m long, w3m long,"
         " accuracy_ppm long, logloss double",
     )
+
+
+# --- round 10: counterfactual off-policy evaluation (IPS/SNIPS) ----------------
+
+IPS_N_ACTIONS = 5  # logging policy: uniform over the five event types
+
+
+@query(
+    "eval_counterfactual_ips",
+    oracle=f"""
+    WITH logged AS (
+        SELECT event_type AS action,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                    THEN 'click' ELSE 'view' END AS target_action,
+               CASE WHEN event_type = 'purchase'
+                    THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END AS r_cents
+        FROM events
+    ),
+    weighted AS (
+        SELECT r_cents,
+               CASE WHEN action = target_action
+                    THEN {IPS_N_ACTIONS} ELSE 0 END::BIGINT AS w
+        FROM logged
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n_logged,
+               sum(CASE WHEN w > 0 THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+               sum(w)::BIGINT AS sw,
+               sum(w * w)::BIGINT AS sww,
+               sum(r_cents * w)::BIGINT AS srw,
+               sum(r_cents)::BIGINT AS sr
+        FROM weighted
+    )
+    SELECT n_logged, n_matched,
+           (sr * 1000 // n_logged)::BIGINT AS logged_value_milli,
+           (srw * 1000 // n_logged)::BIGINT AS ips_value_milli,
+           (srw * 1000 // nullif(sw, 0))::BIGINT AS snips_value_milli,
+           (sw * sw * 1000000 // nullif(n_logged * sww, 0))::BIGINT
+               AS ess_ppm
+    FROM agg
+    """,
+    tags=("analytics", "eval", "experiment"),
+)
+def eval_counterfactual_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual OFF-POLICY evaluation (IPS / SNIPS) — the estimator
+    recommender and ads platforms use to score a NEW policy from logs of
+    an old one, without an experiment: each logged impression (action =
+    its event type) was served by a uniform logging policy (propensity
+    1/IPS_N_ACTIONS — stated, exact), the target policy is a
+    deterministic md5-keyed rule (recommend 'click' to half the users,
+    'view' to the rest), and the inverse-propensity weight is therefore
+    the exact INTEGER {{0, IPS_N_ACTIONS}}. Reports the logged policy's
+    value, the IPS estimate of the target policy's value, the
+    self-normalized SNIPS estimate (lower variance, small bias), and the
+    effective sample size ratio (Σw)²/(n·Σw²) — THE diagnostic that says
+    whether the overlap between policies supports the estimate at all.
+
+    Everything is exact integer algebra (rule 28 applied from birth):
+    cents rewards, integer weights, and the four reported statistics are
+    single floor divisions of BIGINT products (milli-cents / ppm) — no
+    float exists anywhere in the op, so no rounding can tie. Overflow
+    bounds: srw ≤ 5·Σcents ≈ 5·10¹⁴ at 10⁹ purchase events; sw·sw ≤
+    (5n)² needs n ≲ 6·10⁸ before the ×1e6 — promote to DECIMAL(38) past
+    that (the eval_ab_cuped bound class).
+
+    100 TB shape: one map-side weight projection + one 6-counter global
+    aggregate — the cheapest possible estimator class."""
+    ev = load(spark, sf_dir, "events")
+    logged = ev.select(
+        F.col("event_type").alias("action"),
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)
+            < "8",
+            "click",
+        )
+        .otherwise("view")
+        .alias("target_action"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + 0.5).cast("long"),
+        )
+        .otherwise(0)
+        .alias("r_cents"),
+    )
+    weighted = logged.select(
+        "r_cents",
+        F.when(F.col("action") == F.col("target_action"), IPS_N_ACTIONS)
+        .otherwise(0)
+        .cast("long")
+        .alias("w"),
+    )
+    agg = weighted.agg(
+        F.count(F.lit(1)).alias("n_logged"),
+        F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).alias("n_matched"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.col("r_cents") * F.col("w")).alias("srw"),
+        F.sum("r_cents").alias("sr"),
+    )
+    return agg.select(
+        "n_logged",
+        "n_matched",
+        F.expr("sr * 1000 div n_logged").alias("logged_value_milli"),
+        F.expr("srw * 1000 div n_logged").alias("ips_value_milli"),
+        F.expr("srw * 1000 div nullif(sw, 0)").alias("snips_value_milli"),
+        F.expr("sw * sw * 1000000 div nullif(n_logged * sww, 0)").alias("ess_ppm"),
+    )

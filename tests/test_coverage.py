@@ -707,6 +707,8 @@ EXTENSIONS = [
     "corpus_tokenizer_compare",
     # round 10: in-engine logistic regression (quantized-weight GD)
     "ml_logreg_train",
+    # round 10: off-policy IPS/SNIPS evaluation (all-integer estimator)
+    "eval_counterfactual_ips",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

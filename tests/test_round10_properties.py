@@ -700,3 +700,44 @@ def test_logreg_train_matches_python_replica(spark, sf_dir):
     # training actually learns: loss strictly decreases across iterations
     losses = [r[6] for r in got]
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
+
+
+# --- eval_counterfactual_ips: estimator laws -----------------------------------
+
+
+def test_ips_matches_python_replica_and_identities(spark, sf_dir):
+    """Replay IPS/SNIPS/ESS driver-side; pin the estimator identities:
+    unbiasedness-by-construction means IPS over the FULL action set with
+    the true uniform propensity reproduces the logged value when the
+    target equals the logging policy (here we instead pin the exact
+    integer arithmetic and the ESS <= 1 bound)."""
+    import hashlib
+    import math
+
+    from rvi_big_data_api_spark.operators.ml_eval import IPS_N_ACTIONS
+
+    n = sw = sww = srw = sr = matched = 0
+    for e in load(spark, sf_dir, "events").collect():
+        target = (
+            "click"
+            if hashlib.md5(str(e.user_id).encode()).hexdigest()[0] < "8"
+            else "view"
+        )
+        r = math.floor(e.value * 100 + 0.5) if e.event_type == "purchase" else 0
+        w = IPS_N_ACTIONS if e.event_type == target else 0
+        n += 1
+        sw += w
+        sww += w * w
+        srw += r * w
+        sr += r
+        matched += int(w > 0)
+    row = _df("eval_counterfactual_ips", spark, sf_dir).collect()[0]
+    assert row["n_logged"] == n and row["n_matched"] == matched
+    assert row["logged_value_milli"] == sr * 1000 // n
+    assert row["ips_value_milli"] == srw * 1000 // n
+    assert row["snips_value_milli"] == srw * 1000 // sw
+    assert row["ess_ppm"] == sw * sw * 1_000_000 // (n * sww)
+    # ESS ratio is at most 1 (Cauchy-Schwarz) and positive given overlap
+    assert 0 < row["ess_ppm"] <= 1_000_000
+    # with a constant weight on matches, SNIPS = IPS * n / (n_matched * K)
+    assert row["snips_value_milli"] == srw * 1000 // (matched * IPS_N_ACTIONS)
