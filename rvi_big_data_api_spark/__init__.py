@@ -58,7 +58,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stats_wilcoxon_signrank", "eval_sequential_msprt", "eval_ratio_delta_ci",
     "stream_msprt_monitor", "ts_forecast_backtest", "stats_kaplan_meier",
     "anomaly_seasonal_esd", "corpus_tokenizer_compare", "ml_logreg_train",
-    "eval_counterfactual_ips",
+    "eval_counterfactual_ips", "eval_diff_in_differences",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

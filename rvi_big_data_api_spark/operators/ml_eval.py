@@ -4367,3 +4367,159 @@ def eval_counterfactual_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("srw * 1000 div nullif(sw, 0)").alias("snips_value_milli"),
         F.expr("sw * sw * 1000000 div nullif(n_logged * sww, 0)").alias("ess_ppm"),
     )
+
+
+# --- round 10: difference-in-differences ---------------------------------------
+
+DID_CUTOVER_DAYS = 15  # post period starts this many days after the corpus min
+
+
+@query(
+    "eval_diff_in_differences",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('day', min(ts)) AS d0 FROM events
+    ),
+    obs AS (
+        SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               CASE WHEN date_trunc('day', ts)
+                         >= d0 + INTERVAL {DID_CUTOVER_DAYS} DAY
+                    THEN 'post' ELSE 'pre' END AS period,
+               floor(value * 100 + 0.5)::BIGINT AS cents
+        FROM events CROSS JOIN bounds WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT arm, period, count(*)::BIGINT AS n,
+               sum(cents)::BIGINT AS s, sum(cents * cents)::BIGINT AS ss
+        FROM obs GROUP BY arm, period
+    ),
+    wide AS (
+        SELECT
+          max(CASE WHEN arm='control' AND period='pre' THEN n END)::BIGINT AS n_cp,
+          max(CASE WHEN arm='control' AND period='pre' THEN s END)::BIGINT AS s_cp,
+          max(CASE WHEN arm='control' AND period='pre' THEN ss END)::BIGINT AS ss_cp,
+          max(CASE WHEN arm='control' AND period='post' THEN n END)::BIGINT AS n_co,
+          max(CASE WHEN arm='control' AND period='post' THEN s END)::BIGINT AS s_co,
+          max(CASE WHEN arm='control' AND period='post' THEN ss END)::BIGINT AS ss_co,
+          max(CASE WHEN arm='treatment' AND period='pre' THEN n END)::BIGINT AS n_tp,
+          max(CASE WHEN arm='treatment' AND period='pre' THEN s END)::BIGINT AS s_tp,
+          max(CASE WHEN arm='treatment' AND period='pre' THEN ss END)::BIGINT AS ss_tp,
+          max(CASE WHEN arm='treatment' AND period='post' THEN n END)::BIGINT AS n_to,
+          max(CASE WHEN arm='treatment' AND period='post' THEN s END)::BIGINT AS s_to,
+          max(CASE WHEN arm='treatment' AND period='post' THEN ss END)::BIGINT AS ss_to
+        FROM cells
+    )
+    SELECT n_cp, n_co, n_tp, n_to,
+           (s_cp * 1000 // n_cp)::BIGINT AS mean_c_pre_milli,
+           (s_co * 1000 // n_co)::BIGINT AS mean_c_post_milli,
+           (s_tp * 1000 // n_tp)::BIGINT AS mean_t_pre_milli,
+           (s_to * 1000 // n_to)::BIGINT AS mean_t_post_milli,
+           ((s_to * 1000 // n_to) - (s_tp * 1000 // n_tp)
+            - (s_co * 1000 // n_co) + (s_cp * 1000 // n_cp))::BIGINT
+               AS did_milli,
+           round(((s_to::DOUBLE / n_to - s_tp::DOUBLE / n_tp)
+                  - (s_co::DOUBLE / n_co - s_cp::DOUBLE / n_cp))
+                 / nullif(sqrt(
+                     ((ss_cp - s_cp::DOUBLE*s_cp/n_cp)/nullif(n_cp-1,0))/n_cp
+                   + ((ss_co - s_co::DOUBLE*s_co/n_co)/nullif(n_co-1,0))/n_co
+                   + ((ss_tp - s_tp::DOUBLE*s_tp/n_tp)/nullif(n_tp-1,0))/n_tp
+                   + ((ss_to - s_to::DOUBLE*s_to/n_to)/nullif(n_to-1,0))/n_to
+                   ), 0), 4) + 0.0 AS z_score
+    FROM wide
+    """,
+    tags=("analytics", "experiment", "eval"),
+)
+def eval_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental workhorse for
+    when randomization is impossible (a rollout hit one group at a known
+    time): the effect estimate is (T_post − T_pre) − (C_post − C_pre),
+    which cancels both the group-level baseline difference and the
+    common time trend, under the parallel-trends assumption the analyst
+    must defend. Groups are the suite's md5 arms; the post period opens
+    DID_CUTOVER_DAYS after the corpus' first day (derived once from a
+    1-row broadcast bound — deterministic for any fixture span). The
+    z-score uses the four-cell independent-variance SE (the standard
+    2x2 DiD normal approximation).
+
+    Exactness: cell moments are exact BIGINT cents; the four cell means
+    and did_milli ship as single floor divisions (rule 28 — pure
+    rationals never meet a float round); only the z is float (sqrt-laden,
+    4dp + −0.0 guard). On the homogeneous fixture with a time-neutral
+    split, DiD should straddle zero — the property test pins |z| < 3.5.
+
+    100 TB shape: one 1-row bound, one partial agg to 4 cells, all
+    inference on 1 row."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+                )
+                >= "8",
+                "treatment",
+            )
+            .otherwise("control")
+            .alias("arm"),
+            F.when(
+                F.date_trunc("day", F.col("ts"))
+                >= F.col("d0") + F.expr(f"INTERVAL {DID_CUTOVER_DAYS} DAY"),
+                "post",
+            )
+            .otherwise("pre")
+            .alias("period"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    cells = obs.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+
+    def pick(col, arm, period):
+        return F.max(
+            F.when((F.col("arm") == arm) & (F.col("period") == period), F.col(col))
+        )
+
+    wide = cells.agg(
+        *[
+            pick(c, a, p).alias(f"{c}_{a[0]}{'o' if p == 'post' else 'p'}")
+            for a in ("control", "treatment")
+            for p in ("pre", "post")
+            for c in ("n", "s", "ss")
+        ]
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    var_over_n = lambda ss, s, n: (  # noqa: E731
+        (F.col(ss) - F.col(s).cast("double") * F.col(s) / F.col(n))
+        / F.nullif(F.col(n) - 1, F.lit(0))
+    ) / F.col(n)
+    did_f = (mean("s_to", "n_to") - mean("s_tp", "n_tp")) - (
+        mean("s_co", "n_co") - mean("s_cp", "n_cp")
+    )
+    se = F.sqrt(
+        var_over_n("ss_cp", "s_cp", "n_cp")
+        + var_over_n("ss_co", "s_co", "n_co")
+        + var_over_n("ss_tp", "s_tp", "n_tp")
+        + var_over_n("ss_to", "s_to", "n_to")
+    )
+    return wide.select(
+        "n_cp",
+        "n_co",
+        "n_tp",
+        "n_to",
+        F.expr("s_cp * 1000 div n_cp").alias("mean_c_pre_milli"),
+        F.expr("s_co * 1000 div n_co").alias("mean_c_post_milli"),
+        F.expr("s_tp * 1000 div n_tp").alias("mean_t_pre_milli"),
+        F.expr("s_to * 1000 div n_to").alias("mean_t_post_milli"),
+        F.expr(
+            "(s_to * 1000 div n_to) - (s_tp * 1000 div n_tp)"
+            " - (s_co * 1000 div n_co) + (s_cp * 1000 div n_cp)"
+        ).alias("did_milli"),
+        (F.round(did_f / F.nullif(se, F.lit(0.0)), 4) + F.lit(0.0)).alias("z_score"),
+    )

@@ -709,6 +709,8 @@ EXTENSIONS = [
     "ml_logreg_train",
     # round 10: off-policy IPS/SNIPS evaluation (all-integer estimator)
     "eval_counterfactual_ips",
+    # round 10: difference-in-differences (quasi-experimental 2x2)
+    "eval_diff_in_differences",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

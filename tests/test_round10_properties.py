@@ -741,3 +741,45 @@ def test_ips_matches_python_replica_and_identities(spark, sf_dir):
     assert 0 < row["ess_ppm"] <= 1_000_000
     # with a constant weight on matches, SNIPS = IPS * n / (n_matched * K)
     assert row["snips_value_milli"] == srw * 1000 // (matched * IPS_N_ACTIONS)
+
+
+def test_did_matches_python_replica_and_is_calm(spark, sf_dir):
+    """Replay the 2x2 DiD driver-side from raw purchases; on the
+    homogeneous fixture with a time-neutral split, the effect straddles
+    zero (|z| < 3.5) and did_milli recombines exactly from the four
+    integer cell means."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.ml_eval import DID_CUTOVER_DAYS
+
+    evs = [e for e in load(spark, sf_dir, "events").collect()
+           if e.event_type == "purchase"]
+    d0 = min(e.ts.date() for e in load(spark, sf_dir, "events").collect())
+    cells = defaultdict(lambda: [0, 0, 0])
+    for e in evs:
+        arm = ("treatment" if hashlib.md5(str(e.user_id).encode()).hexdigest()[0]
+               >= "8" else "control")
+        period = "post" if (e.ts.date() - d0).days >= DID_CUTOVER_DAYS else "pre"
+        cents = math.floor(e.value * 100 + 0.5)
+        c = cells[(arm, period)]
+        c[0] += 1; c[1] += cents; c[2] += cents * cents
+    r = _df("eval_diff_in_differences", spark, sf_dir).collect()[0]
+    m = {}
+    for (arm, period), (n, s, ss) in cells.items():
+        key = f"{arm[0]}{'o' if period == 'post' else 'p'}"
+        m[key] = (n, s, ss)
+        assert r[f"n_{key}"] == n
+        assert r[f"mean_{arm[0]}_{period}_milli"] == s * 1000 // n
+    assert r["did_milli"] == (
+        r["mean_t_post_milli"] - r["mean_t_pre_milli"]
+        - r["mean_c_post_milli"] + r["mean_c_pre_milli"]
+    )
+    did = ((m["to"][1] / m["to"][0] - m["tp"][1] / m["tp"][0])
+           - (m["co"][1] / m["co"][0] - m["cp"][1] / m["cp"][0]))
+    se = math.sqrt(sum(
+        ((ss - s * s / n) / (n - 1)) / n for n, s, ss in m.values()
+    ))
+    assert abs(r["z_score"] - round(did / se, 4)) < 1e-9
+    assert abs(r["z_score"]) < 3.5
