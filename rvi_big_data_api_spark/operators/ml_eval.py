@@ -4523,3 +4523,175 @@ def eval_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did_milli"),
         (F.round(did_f / F.nullif(se, F.lit(0.0)), 4) + F.lit(0.0)).alias("z_score"),
     )
+
+
+# --- round 10: DeLong variance for AUC ------------------------------------------
+
+
+@query(
+    "eval_auc_delong",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               floor(sum(CASE WHEN event_type IN ('view', 'click')
+                              THEN value ELSE 0 END) * 100 + 0.5)::BIGINT
+                   AS score_cents,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    support AS (
+        SELECT score_cents AS v,
+               sum(label)::BIGINT AS pos_v,
+               sum(1 - label)::BIGINT AS neg_v
+        FROM per_user GROUP BY score_cents
+    ),
+    cum AS (
+        SELECT v, pos_v, neg_v,
+               (sum(pos_v) OVER w - pos_v)::BIGINT AS pos_below,
+               (sum(neg_v) OVER w - neg_v)::BIGINT AS neg_below
+        FROM support
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT sum(pos_v)::BIGINT AS m, sum(neg_v)::BIGINT AS n FROM cum
+    ),
+    -- doubled placements: u10 = 2*neg_below + neg_eq (positive at v beats
+    -- u10/(2n) of negatives); u01 symmetric. Exact BIGINTs everywhere.
+    pl AS (
+        SELECT c.pos_v, c.neg_v,
+               (2 * c.neg_below + c.neg_v)::BIGINT AS u10,
+               (2 * (t.m - c.pos_below - c.pos_v) + c.pos_v)::BIGINT AS u01,
+               t.m, t.n
+        FROM cum c CROSS JOIN tot t
+    ),
+    sums AS (
+        SELECT max(m)::BIGINT AS m, max(n)::BIGINT AS n,
+               sum(pos_v * u10)::BIGINT AS s10_1,
+               sum(pos_v * u10 * u10)::BIGINT AS s10_2,
+               sum(neg_v * u01)::BIGINT AS s01_1,
+               sum(neg_v * u01 * u01)::BIGINT AS s01_2
+        FROM pl
+    )
+    SELECT m, n,
+           (s10_1 * 1000000 // (2 * m * n))::BIGINT AS auc_ppm,
+           round(sqrt(
+               ((s10_2 / (2.0 * n) / (2.0 * n) - (s10_1 / (2.0 * n))
+                     * (s10_1 / (2.0 * n)) / m) / nullif(m - 1, 0)) / m
+             + ((s01_2 / (2.0 * m) / (2.0 * m) - (s01_1 / (2.0 * m))
+                     * (s01_1 / (2.0 * m)) / n) / nullif(n - 1, 0)) / n
+           ), 6) + 0.0 AS se_delong,
+           round((s10_1 / (2.0 * m * n) - 0.5)
+                 / nullif(sqrt(
+               ((s10_2 / (2.0 * n) / (2.0 * n) - (s10_1 / (2.0 * n))
+                     * (s10_1 / (2.0 * n)) / m) / nullif(m - 1, 0)) / m
+             + ((s01_2 / (2.0 * m) / (2.0 * m) - (s01_1 / (2.0 * m))
+                     * (s01_1 / (2.0 * m)) / n) / nullif(n - 1, 0)) / n
+           ), 0), 4) + 0.0 AS z_vs_chance
+    FROM sums
+    """,
+    tags=("analytics", "eval"),
+)
+def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC with the DeLong (1988) standard error — the inference layer
+    eval_auc_trapezoid lacks: a point AUC without its sampling variance
+    cannot say whether a classifier beats chance (or another model), and
+    DeLong's placement-value estimator is THE standard the clinical/ML
+    literature reports. Same deterministic score/label as the ROC suite.
+
+    Everything rides the round's support-histogram algebra: placements
+    are midranks in disguise — a positive at score v beats u10/(2n) of
+    negatives where u10 = 2·neg_below + neg_eq is an exact BIGINT over
+    the score SUPPORT (and symmetrically u01 for negatives) — so the
+    placement first/second moments are exact integer sums, AUC ships as
+    exact integer ppm via the rank-sum identity (Σpos_v·u10 = 2·m·n·AUC),
+    and the only floats are the two variance terms (identical trees over
+    exact ints, rule 9) inside one sqrt (6dp/4dp rounds, rule 8). On
+    this synthetic fixture the verdict is AT CHANCE (AUC ~ 0.5,
+    |z| < 2) — which is exactly why the SE matters: a point AUC of
+    0.49 reads as 'slightly worse than random' until the CI says the
+    data cannot distinguish it from chance, with the tie-aware variance
+    a naive binomial SE would understate.
+
+    100 TB shape: one partial agg to users, one to the bounded
+    cents-support, one support-sized cumulative window (the
+    eval_roc_curve scale argument), a 1-row fold."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("event_type").isin("view", "click"), F.col("value")
+                ).otherwise(0.0)
+            )
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("score_cents"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    support = per_user.groupBy(F.col("score_cents").alias("v")).agg(
+        F.sum("label").alias("pos_v"),
+        F.sum(1 - F.col("label")).alias("neg_v"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = support.select(
+        "v",
+        "pos_v",
+        "neg_v",
+        (F.sum("pos_v").over(wcum) - F.col("pos_v")).alias("pos_below"),
+        (F.sum("neg_v").over(wcum) - F.col("neg_v")).alias("neg_below"),
+    )
+    tot = cum.agg(F.sum("pos_v").alias("m"), F.sum("neg_v").alias("n"))
+    pl = cum.crossJoin(F.broadcast(tot)).select(
+        "pos_v",
+        "neg_v",
+        "m",
+        "n",
+        (2 * F.col("neg_below") + F.col("neg_v")).alias("u10"),
+        (
+            2 * (F.col("m") - F.col("pos_below") - F.col("pos_v")) + F.col("pos_v")
+        ).alias("u01"),
+    )
+    sums = pl.agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        F.sum(F.col("pos_v") * F.col("u10")).alias("s10_1"),
+        F.sum(F.col("pos_v") * F.col("u10") * F.col("u10")).alias("s10_2"),
+        F.sum(F.col("neg_v") * F.col("u01")).alias("s01_1"),
+        F.sum(F.col("neg_v") * F.col("u01") * F.col("u01")).alias("s01_2"),
+    )
+    v10 = (
+        F.col("s10_2") / (2.0 * F.col("n")) / (2.0 * F.col("n"))
+        - (F.col("s10_1") / (2.0 * F.col("n")))
+        * (F.col("s10_1") / (2.0 * F.col("n")))
+        / F.col("m")
+    ) / F.nullif(F.col("m") - 1, F.lit(0)) / F.col("m")
+    v01 = (
+        F.col("s01_2") / (2.0 * F.col("m")) / (2.0 * F.col("m"))
+        - (F.col("s01_1") / (2.0 * F.col("m")))
+        * (F.col("s01_1") / (2.0 * F.col("m")))
+        / F.col("n")
+    ) / F.nullif(F.col("n") - 1, F.lit(0)) / F.col("n")
+    se = F.sqrt(v10 + v01)
+    auc_f = F.col("s10_1") / (2.0 * F.col("m") * F.col("n"))
+    return sums.select(
+        "m",
+        "n",
+        F.expr("s10_1 * 1000000 div (2 * m * n)").alias("auc_ppm"),
+        (F.round(se, 6) + F.lit(0.0)).alias("se_delong"),
+        (
+            F.round((auc_f - 0.5) / F.nullif(se, F.lit(0.0)), 4) + F.lit(0.0)
+        ).alias("z_vs_chance"),
+    )

@@ -711,6 +711,8 @@ EXTENSIONS = [
     "eval_counterfactual_ips",
     # round 10: difference-in-differences (quasi-experimental 2x2)
     "eval_diff_in_differences",
+    # round 10: DeLong SE for AUC via support-histogram placements
+    "eval_auc_delong",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -783,3 +783,54 @@ def test_did_matches_python_replica_and_is_calm(spark, sf_dir):
     ))
     assert abs(r["z_score"] - round(did / se, 4)) < 1e-9
     assert abs(r["z_score"]) < 3.5
+
+
+def test_auc_delong_matches_python_replica_and_trapezoid(spark, sf_dir):
+    """Replay the DeLong placement algebra driver-side and pin the AUC
+    identity against the rank-sum formulation; z_vs_chance must be
+    strongly positive (the engagement score does rank whales)."""
+    import math
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0.0, 0])
+    for e in load(spark, sf_dir, "events").collect():
+        p = per[e.user_id]
+        if e.event_type in ("view", "click"):
+            p[0] += e.value
+        if e.event_type == "purchase" and math.floor(e.value * 100 + 0.5) > 15000:
+            p[1] = 1
+    rows = [(math.floor(v * 100 + 0.5), y) for v, y in per.values()]
+    sup = defaultdict(lambda: [0, 0])
+    for s0, y in rows:
+        sup[s0][0 if y else 1] += 1
+    m = sum(p for p, _ in sup.values())
+    n = sum(q for _, q in sup.values())
+    s10_1 = s10_2 = s01_1 = s01_2 = 0
+    pos_below = neg_below = 0
+    for v in sorted(sup):
+        pos_v, neg_v = sup[v]
+        u10 = 2 * neg_below + neg_v
+        u01 = 2 * (m - pos_below - pos_v) + pos_v
+        s10_1 += pos_v * u10
+        s10_2 += pos_v * u10 * u10
+        s01_1 += neg_v * u01
+        s01_2 += neg_v * u01 * u01
+        pos_below += pos_v
+        neg_below += neg_v
+    v10 = (s10_2 / (2 * n) / (2 * n) - (s10_1 / (2 * n)) ** 2 / m) / (m - 1) / m
+    v01 = (s01_2 / (2 * m) / (2 * m) - (s01_1 / (2 * m)) ** 2 / n) / (n - 1) / n
+    se = math.sqrt(v10 + v01)
+    r = _df("eval_auc_delong", spark, sf_dir).collect()[0]
+    assert (r["m"], r["n"]) == (m, n)
+    assert r["auc_ppm"] == s10_1 * 1_000_000 // (2 * m * n)
+    assert abs(r["se_delong"] - round(se, 6)) < 1e-9
+    assert abs(
+        r["z_vs_chance"] - round((s10_1 / (2 * m * n) - 0.5) / se, 4)
+    ) < 1e-9
+    # the synthetic fixture's engagement score is AT CHANCE for the whale
+    # label (AUC ~ 0.5) — the SE exists precisely to say so with a CI
+    assert abs(r["z_vs_chance"]) < 3.5
+    assert abs(r["auc_ppm"] - 500_000) < 100_000
+    # placement symmetry: mean V10 == mean V01 == AUC
+    # placement symmetry: sum(pos*u10) == sum(neg*u01) == 2*m*n*AUC
+    assert s10_1 == s01_1
