@@ -2717,3 +2717,76 @@ def stream_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pmin + F.lit(0.0)).alias("p_always_valid"),
         (pmin < 0.05).alias("stop_signal"),
     )
+
+
+# --- round 10: streaming seasonal-naive forecast monitor -----------------------
+
+FCST_ALARM_PPM = 500_000  # alarm when |residual| > 50% of the forecast
+
+
+@query(
+    "stream_forecast_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day, xc,
+               lag(xc, 7) OVER (PARTITION BY event_type ORDER BY d) AS fc
+        FROM daily
+    )
+    SELECT event_type, day, xc AS actual_cents, fc AS forecast_cents,
+           (xc - fc)::BIGINT AS resid_cents,
+           (abs(xc - fc) * 1000000 // nullif(fc, 0))::BIGINT AS resid_ppm,
+           (abs(xc - fc) * 1000000 // nullif(fc, 0) > {FCST_ALARM_PPM})
+               AS alarm
+    FROM scored WHERE fc IS NOT NULL
+    """,
+    tags=("streaming", "timeseries", "anomaly"),
+)
+def stream_forecast_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE forecast-residual monitor — the streaming consumer of
+    ts_forecast_backtest's seasonal-naive baseline: the stream maintains
+    per-(channel, day) revenue cells in complete mode (calendar-bounded
+    state, the stream_msprt_monitor rule), and each refresh re-derives
+    every day's lag-7 forecast, exact integer residual, relative
+    residual in ppm, and an alarm flag at FCST_ALARM_PPM — the pager
+    wiring for 'today's revenue is half of last week's'. A real deploy
+    alerts on the LATEST day; emitting the full scored ledger makes the
+    twin exact and gives the on-call the history in one table.
+
+    All integer algebra (cents, ppm via floor div — rule 25/28); the
+    only window is lag-7 PARTITIONED by channel over the day support.
+    Reconciled with ts_forecast_backtest's scored frame by a property
+    test (same cells, same lag — the batch op aggregates what this one
+    emits)."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
+    )
+    daily = run_to_table(sdf, sf_dir, "fcstmon", "complete")
+    wday = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "xc",
+        F.lag("xc", 7).over(wday).alias("fc"),
+    ).filter(F.col("fc").isNotNull())
+    resid_ppm = F.expr("abs(xc - fc) * 1000000 div nullif(fc, 0)")
+    return scored.select(
+        "event_type",
+        "day",
+        F.col("xc").alias("actual_cents"),
+        F.col("fc").alias("forecast_cents"),
+        (F.col("xc") - F.col("fc")).alias("resid_cents"),
+        resid_ppm.alias("resid_ppm"),
+        (resid_ppm > FCST_ALARM_PPM).alias("alarm"),
+    )

@@ -713,6 +713,8 @@ EXTENSIONS = [
     "eval_diff_in_differences",
     # round 10: DeLong SE for AUC via support-histogram placements
     "eval_auc_delong",
+    # round 10: streaming seasonal-naive forecast-residual monitor
+    "stream_forecast_anomaly",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
