@@ -59,7 +59,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_msprt_monitor", "ts_forecast_backtest", "stats_kaplan_meier",
     "anomaly_seasonal_esd", "corpus_tokenizer_compare", "ml_logreg_train",
     "eval_counterfactual_ips", "eval_diff_in_differences",
-    "eval_auc_delong", "stream_forecast_anomaly",
+    "eval_auc_delong", "stream_forecast_anomaly", "sink_snapshot_rollback",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1567,3 +1567,96 @@ def sink_snapshot_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+# --- round 10: snapshot rollback (metadata-only time-travel write) -------------
+
+
+@query(
+    "sink_snapshot_rollback",
+    oracle="""
+    SELECT 3::BIGINT AS version, 3::BIGINT AS n_files,
+           count(*)::BIGINT AS n_rows,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents,
+           FALSE AS is_rollback
+    FROM orders
+    WHERE o_orderkey % 3 IN (1, 2)
+       OR (o_orderkey % 3 = 0 AND floor(o_totalprice * 100 + 0.5)::BIGINT % 2 = 0)
+    UNION ALL
+    SELECT 4::BIGINT, 3::BIGINT, count(*)::BIGINT,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT,
+           TRUE
+    FROM orders
+    """,
+    tags=("sink", "lakehouse"),
+)
+def sink_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT ROLLBACK — the operation that completes the manifest
+    lifecycle (scan = read, commit = append/delete, gc = expire, and now
+    ROLLBACK = restore): undoing a bad commit in a table format is a
+    METADATA-ONLY write — version 4's manifest is byte-for-byte version
+    2's file list, no data file is read, copied, or rewritten, which is
+    why a 100 TB table rolls back in milliseconds. Staged: the
+    sink_snapshot_commit lineage (v1 init, v2 append, v3 copy-on-write
+    delete), then v4 = rollback-to-v2. The audit reads v3 and v4 through
+    their manifests: v4 must reproduce v2's exact row count and cents
+    mass (the twin pins both against the raw table), and the is_rollback
+    flag marks the restored version — immutability means v3 remains
+    readable forever (rollback FORKS history, it never erases it; GC
+    decides later what to expire).
+
+    The .collect() reads manifests (paths, not data) — the coordinator
+    planning phase, as in the whole snapshot family."""
+    base = scratch_dir(sf_dir, "snaprollback")
+    o = load(spark, sf_dir, "orders")
+    paths = {}
+    for name, residue in (("A", 0), ("B", 1), ("C", 2)):
+        path = os.path.join(base, f"data_{name}")
+        o.filter(F.col("o_orderkey") % 3 == residue).write.mode(
+            "overwrite"
+        ).parquet(path)
+        paths[name] = path
+    a2 = os.path.join(base, "data_A2")
+    (
+        o.filter(
+            (F.col("o_orderkey") % 3 == 0)
+            & (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 2 == 0)
+        )
+        .write.mode("overwrite")
+        .parquet(a2)
+    )
+    manifest = spark.createDataFrame(
+        [
+            (1, paths["A"], False), (1, paths["B"], False),
+            (2, paths["A"], False), (2, paths["B"], False), (2, paths["C"], False),
+            (3, a2, False), (3, paths["B"], False), (3, paths["C"], False),
+            # v4 = ROLLBACK to v2: the manifest rows are v2's, verbatim —
+            # a pure metadata commit, zero data-file writes
+            (4, paths["A"], True), (4, paths["B"], True), (4, paths["C"], True),
+        ],
+        "version bigint, file_path string, is_rollback boolean",
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(base, "manifest"))
+    mrows = spark.read.parquet(os.path.join(base, "manifest")).collect()
+    out = None
+    for v in (3, 4):
+        files = sorted(r["file_path"] for r in mrows if r["version"] == v)
+        rb = any(r["is_rollback"] for r in mrows if r["version"] == v)
+        snap = (
+            spark.read.parquet(*files)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("total_cents"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(len(files)).cast("long").alias("n_files"),
+                "n_rows",
+                "total_cents",
+                F.lit(rb).alias("is_rollback"),
+            )
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

@@ -715,6 +715,8 @@ EXTENSIONS = [
     "eval_auc_delong",
     # round 10: streaming seasonal-naive forecast-residual monitor
     "stream_forecast_anomaly",
+    # round 10: metadata-only snapshot rollback (manifest lifecycle complete)
+    "sink_snapshot_rollback",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

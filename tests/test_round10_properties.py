@@ -861,3 +861,26 @@ def test_stream_forecast_anomaly_reconciles_with_backtest(spark, sf_dir):
         hold_ae_lo = b["mae_centicents"] * b["n_holdout"] // 100
         assert total >= hold_ae_lo  # monitor covers train + holdout days
         assert len([r for r in rows if r["event_type"] == et]) == b["n_train"] + b["n_holdout"]
+
+
+def test_snapshot_rollback_restores_v2_exactly(spark, sf_dir):
+    """Rollback laws: v4 (the rollback commit) reproduces the FULL table
+    (v2's contents) exactly — row count and cents mass — while v3 (the
+    delete commit) remains intact; the rollback is metadata-only, so its
+    file count equals v2's three files."""
+    import math
+
+    rows = {r["version"]: r for r in _df("sink_snapshot_rollback", spark, sf_dir).collect()}
+    orders = load(spark, sf_dir, "orders").collect()
+    full_n = len(orders)
+    full_cents = sum(math.floor(o.o_totalprice * 100 + 0.5) for o in orders)
+    assert rows[4]["is_rollback"] and not rows[3]["is_rollback"]
+    assert rows[4]["n_files"] == 3
+    assert (rows[4]["n_rows"], rows[4]["total_cents"]) == (full_n, full_cents)
+    # the delete version lost rows but only from residue-0 odd-cents
+    assert rows[3]["n_rows"] < full_n
+    lost = [
+        o for o in orders
+        if o.o_orderkey % 3 == 0 and math.floor(o.o_totalprice * 100 + 0.5) % 2 == 1
+    ]
+    assert rows[3]["n_rows"] == full_n - len(lost)
