@@ -44,25 +44,27 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- round-10 head (refreshed per VERDICT r9 item 1): CORRECTNESS_r09
-    # consumed the previous 50-entry head — 50/50 hash-pass — leaving these
-    # four round-9 additions (registered past the 50-row budget) as the ONLY
-    # registry entries with no driver CORRECTNESS row. All 4 were
-    # judge-replica MATCH in the r9 verdict; the driver artifact is the hard
-    # signal. 4 << 50, so round 10's budget also reaches ~46 of round 10's
-    # own additions registered behind them. ----------------------------------
+    # -- round-11 head (refreshed per VERDICT r10 item 1): CORRECTNESS_r10
+    # consumed the entire previous 21-entry head — 50/50 hash-pass — and for
+    # the first time EVERY registry entry has a driver row (VERDICT r10:
+    # 462 hash-pass latest + 6 rows-only by design, zero coverage debt).
+    # The unverified head is therefore EMPTY: round-11 additions registered
+    # here go straight to the front of the driver's 50-row budget. ----------
+]
+
+PRIORITY_VERIFIED: list[str] = [
+    # -- driver-green in round 10 (CORRECTNESS_r10.json, 50 rows, all hash
+    # matches, zero err — the 4-entry round-9 tail head plus all 17 oracled
+    # round-10 additions; the remaining 29 rows re-sampled earlier-round
+    # entries already listed below) ------------------------------------------
     "corpus_seqlen_sweep", "sink_snapshot_gc", "mm_cdc_containment",
     "text_entropy_rate",
-    # -- round-10 additions (registered BEHIND the 4-entry unverified head) --
     "mm_cdc_clamped", "text_unigram_train", "text_unigram_apply",
     "stats_wilcoxon_signrank", "eval_sequential_msprt", "eval_ratio_delta_ci",
     "stream_msprt_monitor", "ts_forecast_backtest", "stats_kaplan_meier",
     "anomaly_seasonal_esd", "corpus_tokenizer_compare", "ml_logreg_train",
     "eval_counterfactual_ips", "eval_diff_in_differences",
     "eval_auc_delong", "stream_forecast_anomaly", "sink_snapshot_rollback",
-]
-
-PRIORITY_VERIFIED: list[str] = [
     # -- driver-green in round 9 (CORRECTNESS_r09.json, 50 rows, all hash
     # matches, zero err — the 24 round-8 additions, the dedup_embed_pinned8
     # rename, and the first 25 round-9 additions) ----------------------------
