@@ -4176,7 +4176,9 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VERDICT r9 item 5: the BPE family covers MERGE-based tokenization; the
 # unigram model's EM step completes the production tokenizer-training pair.
 
-UNI_L = 4      # max piece length (chars) — bounds the Viterbi DP width
+UNI_L = 4      # max piece length (chars) — bounds the Viterbi DP width;
+               # must stay < 16 (the cost*16+k back-pointer base — asserted
+               # in _unigram_chain_sql and below)
 UNI_WMAX = 12  # max word length admitted to training (SentencePiece trims
                # rare long words the same way; bounds the DP unroll depth)
 
@@ -4193,7 +4195,15 @@ def _unigram_chain_sql(
     word); text_unigram_train and text_unigram_apply append their own
     tails so op and twin share one chain. Parametrized so the differential
     fuzzer can instantiate random piece inventories (uni_l) and DP depths
-    (uni_wmax) over corpus slices (src)."""
+    (uni_wmax) over corpus slices (src).
+
+    The Viterbi back-pointer is packed as cost*16 + k and decoded via
+    min_enc % 16, so piece length k must stay strictly below the base."""
+    if not 1 <= uni_l < 16:
+        raise ValueError(
+            f"uni_l={uni_l}: the cost*16+k back-pointer encoding requires"
+            " 1 <= uni_l < 16"
+        )
     UNI_L, UNI_WMAX = uni_l, uni_wmax  # noqa: N806 — shadow for the f-strings
     parts = [
         f"""WITH words AS MATERIALIZED (
@@ -4280,6 +4290,26 @@ def _unigram_chain_sql(
     )"""
     )
     return "".join(parts)
+
+
+def _cte_names(sql: str) -> set:
+    """CTE names declared in a WITH chain (anchored on WITH/comma so WINDOW
+    aliases and column aliases don't match)."""
+    import re
+
+    return set(
+        re.findall(r"(?:WITH|,)\s*(\w+)\s+AS\s+(?:MATERIALIZED\s+)?\(", sql)
+    )
+
+
+# corpus_tokenizer_compare splices _BPE_CHAIN_SQL and _unigram_chain_sql into
+# ONE WITH chain; its docstring claims the namespaces are disjoint, so make
+# the claim an import-time invariant (ADVICE r10 item 5).
+_CHAIN_OVERLAP = _cte_names(_BPE_CHAIN_SQL) & _cte_names(_unigram_chain_sql())
+if _CHAIN_OVERLAP:
+    raise RuntimeError(
+        f"BPE/unigram oracle CTE namespaces collide: {sorted(_CHAIN_OVERLAP)}"
+    )
 
 
 def _unigram_oracle_sql(

@@ -3786,7 +3786,7 @@ def eval_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     var_arm AS (
         SELECT arm, n, sx, sy,
-               (sx * 1000000 // sy)::BIGINT AS ratio_ppm,
+               (sx * 1000000 // nullif(sy, 0))::BIGINT AS ratio_ppm,
                -- delta-method variance of R = sum(x)/sum(y) under user
                -- clustering: (s_xx - 2R s_xy + R^2 s_yy) / (n ybar^2) / n
                -- with s_** the sample (co)variances — all from exact sums
@@ -3883,7 +3883,7 @@ def eval_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_arm = arms.select(
         "arm",
         "n",
-        F.expr("sx * 1000000 div sy").alias("ratio_ppm"),
+        F.expr("sx * 1000000 div nullif(sy, 0)").alias("ratio_ppm"),
         r.alias("r"),
         var_r.alias("var_r"),
     )
@@ -4067,7 +4067,7 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 10: in-plan logistic-regression training ----------------------------
 
 LR_ITERS = 5          # full-batch gradient steps
-LR_STEP_X100K = 10000 # learning rate 0.1, folded into the integer quantizer
+LR_STEP_X1M = 10000   # lr * 1e6: micro-unit step quantizer => lr = 0.01
 # Fixed, data-independent feature centering (stated constants, not fitted):
 # x1 = views - 13, x2 = clicks - 13, x3 = spend_cents div 10000 - 6.
 LR_FEATURES_SQL = (
@@ -4110,13 +4110,13 @@ def _logreg_oracle_sql() -> str:
     g_{t} AS (
         SELECT
             floor(sum(1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) / n.n
-                  * {LR_STEP_X100K} + 0.5)::BIGINT AS d0,
+                  * {LR_STEP_X1M} + 0.5)::BIGINT AS d0,
             floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x1) / n.n
-                  * {LR_STEP_X100K} + 0.5)::BIGINT AS d1,
+                  * {LR_STEP_X1M} + 0.5)::BIGINT AS d1,
             floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x2) / n.n
-                  * {LR_STEP_X100K} + 0.5)::BIGINT AS d2,
+                  * {LR_STEP_X1M} + 0.5)::BIGINT AS d2,
             floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x3) / n.n
-                  * {LR_STEP_X100K} + 0.5)::BIGINT AS d3
+                  * {LR_STEP_X1M} + 0.5)::BIGINT AS d3
         FROM z_{t} CROSS JOIN n GROUP BY n.n
     ),
     w_{t} AS MATERIALIZED (
@@ -4157,7 +4157,8 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     and spend deciles (fixed, stated constants — never fitted), label is
     the suite's big-purchaser flag. Each of LR_ITERS steps aggregates the
     exact per-user gradient of the log-loss and updates MICRO-QUANTIZED
-    integer weights: delta = floor(mean_grad * lr * 1e6 + 0.5), so the
+    integer weights: delta = floor(mean_grad * LR_STEP_X1M + 0.5) with
+    LR_STEP_X1M = lr * 1e6 (lr = 0.01), so the
     weight trajectory is a sequence of exact BIGINTs — cross-engine ulp
     noise in the float gradient sum dies at the quantizer instead of
     compounding across iterations (the corpus_perplexity_filter
@@ -4224,7 +4225,7 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         import math
 
         for k in range(4):
-            w[k] -= math.floor(g[f"g{k}"] / n * LR_STEP_X100K + 0.5)
+            w[k] -= math.floor(g[f"g{k}"] / n * LR_STEP_X1M + 0.5)
         zm2 = (
             F.lit(w[0])
             + F.lit(w[1]) * F.col("x1")

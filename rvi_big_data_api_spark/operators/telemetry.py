@@ -4572,7 +4572,7 @@ FCST_HOLDOUT = 14  # trailing days scored as the holdout
     hold AS (
         SELECT event_type, count(*)::BIGINT AS n_holdout,
                sum(abs(xc - fc))::BIGINT AS hold_ae,
-               sum(2.0 * abs(xc - fc) / (xc + fc)) AS smape_sum
+               sum(2.0 * abs(xc - fc) / nullif(xc + fc, 0)) AS smape_sum
         FROM scored WHERE rev_rn <= {FCST_HOLDOUT} GROUP BY event_type
     )
     SELECT h.event_type, t.n_train, h.n_holdout,
@@ -4633,7 +4633,9 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_holdout"),
             F.sum(ae).alias("hold_ae"),
-            F.sum(2.0 * ae / (F.col("xc") + F.col("fc"))).alias("smape_sum"),
+            F.sum(
+                2.0 * ae / F.expr("nullif(xc + fc, 0)")
+            ).alias("smape_sum"),
         )
     )
     return hold.join(train, "event_type").select(

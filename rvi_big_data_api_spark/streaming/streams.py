@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exprs import ts_str
 from ..io import load, table_path
+from ..operators.ml_eval import MSPRT_TAU2
 from ..registry import query
 from ..schemas import EVENTS
 
@@ -2596,9 +2597,9 @@ def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam AS (
         SELECT day, n_c, n_t,
                least(1.0, round(
-                   1.0 / (sqrt(v / (v + 10000.0))
-                          * exp(theta * theta * 10000.0
-                                / (2.0 * v * (v + 10000.0)))), 6)) + 0.0
+                   1.0 / (sqrt(v / (v + {MSPRT_TAU2}))
+                          * exp(theta * theta * {MSPRT_TAU2}
+                                / (2.0 * v * (v + {MSPRT_TAU2})))), 6)) + 0.0
                    AS p_day
         FROM stat WHERE v > 0
     )
@@ -2626,13 +2627,11 @@ def stream_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-processing over those cells, plus the stop_signal boolean a
     pager would key on (p < 0.05).
 
-    Twin: eval_sequential_msprt's algebra verbatim (MSPRT_TAU2 inlined);
+    Twin: eval_sequential_msprt's algebra verbatim (MSPRT_TAU2 interpolated, shared with the batch op);
     complete mode over an availableNow drain makes the final table ≡ the
     batch computation, which the oracle pins exactly. At 100 TB the
     state is |days|×2 rows of five counters — the cheapest possible
     streaming experiment state."""
-    from ..operators.ml_eval import MSPRT_TAU2
-
     sdf = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")

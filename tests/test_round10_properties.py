@@ -646,7 +646,7 @@ def test_logreg_train_matches_python_replica(spark, sf_dir):
     import math
     from collections import defaultdict
 
-    from rvi_big_data_api_spark.operators.ml_eval import LR_ITERS, LR_STEP_X100K
+    from rvi_big_data_api_spark.operators.ml_eval import LR_ITERS, LR_STEP_X1M
 
     acc = defaultdict(lambda: [0, 0, 0, 0])  # v, c, spend_cents, y
     for e in load(spark, sf_dir, "events").collect():
@@ -676,7 +676,7 @@ def test_logreg_train_matches_python_replica(spark, sf_dir):
             g[2] += (p - y) * x2
             g[3] += (p - y) * x3
         for k in range(4):
-            w[k] -= math.floor(g[k] / n * LR_STEP_X100K + 0.5)
+            w[k] -= math.floor(g[k] / n * LR_STEP_X1M + 0.5)
         correct, ll = 0, 0.0
         for x1, x2, x3, y in rows:
             zm = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
