@@ -717,6 +717,8 @@ EXTENSIONS = [
     "stream_forecast_anomaly",
     # round 10: metadata-only snapshot rollback (manifest lifecycle complete)
     "sink_snapshot_rollback",
+    # round 11: Bradley-Terry preference ranking (quantized-strength GD)
+    "eval_bradley_terry",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -2551,3 +2551,70 @@ def test_generated_snm_band_join_equals_plain_predicate(spark, duck, sf_dir, w, 
     s_row = tuple(spark.sql(s_sql).collect()[0])
     d_row = tuple(duck.execute(d_sql).fetchone())
     assert s_row == d_row, f"w={w} umod={umod}: spark={s_row} duck={d_row}"
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry trajectory family (round 11, VERDICT r10 items 3/8): random
+# win-count matrices, step counts and learning rates through the GENERATED
+# chained-CTE gradient chain on DuckDB vs a sequential pure-Python replica —
+# cross-algebra: the unrolled relational GD (quantized integer strengths,
+# per-step gauge recentering) must equal the textbook loop at every geometry.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    k=st.integers(min_value=2, max_value=6),
+    seed=st.integers(min_value=0, max_value=10_000),
+    iters=st.integers(min_value=1, max_value=8),
+    step=st.sampled_from([100_000, 500_000, 1_000_000]),
+)
+def test_generated_bt_chains_agree_with_python_replica(duck, k, seed, iters, step):
+    import hashlib as _h
+    import math as _m
+
+    from rvi_big_data_api_spark.operators.ml_eval import _bt_chain_sql
+
+    items = [f"i{c}" for c in range(k)]
+    edges = {}
+    for a in items:
+        for b in items:
+            if a == b:
+                continue
+            w = int(_h.md5(f"{seed}:{a}:{b}".encode()).hexdigest()[:2], 16) % 4
+            if w:
+                edges[(a, b)] = w
+    if len({i for e in edges for i in e}) < 2:
+        return  # degenerate draw: nothing to rank
+    vals = ", ".join(f"('{a}', '{b}', {w})" for (a, b), w in sorted(edges.items()))
+    lit = (
+        "WITH edges AS MATERIALIZED ("
+        f"SELECT winner, loser, w::BIGINT AS w FROM (VALUES {vals})"
+        " AS t(winner, loser, w))"
+    )
+    sql = (
+        _bt_chain_sql(edges_with_sql=lit, iters=iters, step_x1m=step)
+        + f" SELECT item, sm FROM s_{iters} ORDER BY item"
+    )
+    got = dict(duck.execute(sql).fetchall())
+    # sequential replica
+    uni = sorted({i for e in edges for i in e})
+    ref, n = uni[0], sum(edges.values())
+    s = {i: 0 for i in uni}
+    for _ in range(iters):
+        g = {i: 0.0 for i in uni}
+        for (a, b), w in edges.items():
+            p = 1.0 / (1.0 + _m.exp(-((s[a] - s[b]) / 1e6)))
+            g[a] -= w * (1.0 - p)
+            g[b] += w * (1.0 - p)
+        for i in uni:
+            s[i] -= _m.floor(g[i] / n * step + 0.5)
+        off = s[ref]
+        for i in uni:
+            s[i] -= off
+    assert got == s, f"k={k} seed={seed} iters={iters} step={step}"

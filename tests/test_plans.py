@@ -1439,3 +1439,19 @@ def test_round9_heavy_ops_never_nested_loop(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
     assert "EvalPython" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["eval_bradley_terry"])
+def test_round11_ops_never_nested_loop_on_data(spark, sf_dir, name):
+    """Round-11 additions plan pure equi-joins on their data paths: no
+    cartesian products, no Python eval, and the pair construction's rank
+    windows are PARTITIONED by (lang, bucket) — never an unpartitioned
+    window over the corpus-sized doc frame."""
+    qe = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "EvalPython" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    opt = qe.optimizedPlan().toString()
+    for line in (l for l in opt.splitlines() if "row_number()" in l):
+        assert line.count("], [") >= 2, f"unpartitioned row_number: {line.strip()[:200]}"
