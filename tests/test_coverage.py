@@ -719,6 +719,8 @@ EXTENSIONS = [
     "sink_snapshot_rollback",
     # round 11: Bradley-Terry preference ranking (quantized-strength GD)
     "eval_bradley_terry",
+    # round 11: naive-Bayes language identification (CCNet-shape gate)
+    "text_lang_id",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

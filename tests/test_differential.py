@@ -2618,3 +2618,45 @@ def test_generated_bt_chains_agree_with_python_replica(duck, k, seed, iters, ste
         for i in uni:
             s[i] -= off
     assert got == s, f"k={k} seed={seed} iters={iters} step={step}"
+
+
+# --------------------------------------------------------------------------
+# Language-ID profile family (round 11, VERDICT r10 items 4/8): random word-
+# n-gram orders and corpus slices through the GENERATED smoothed-NB oracle on
+# DuckDB vs a sequential pure-Python replica — cross-algebra: the delta-vs-
+# default relational scoring (no langs x vocab grid) must equal the textbook
+# full-grid naive Bayes at every feature geometry.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gram=st.integers(min_value=1, max_value=3),
+    dmod=st.integers(min_value=1, max_value=4),
+)
+def test_generated_lang_id_agrees_with_python_replica(duck, sf_dir, gram, dmod):
+    from collections import Counter
+
+    from rvi_big_data_api_spark.operators.llm_text import _lang_id_oracle_sql
+    from tests.test_round11_properties import _py_lang_id
+
+    src = f"(SELECT * FROM documents WHERE doc_id % {dmod} = 0)"
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.execute(_lang_id_oracle_sql(gram=gram, src=src)).fetchall()
+    }
+    docs = duck.execute(
+        f"SELECT doc_id, text, lang FROM documents WHERE doc_id % {dmod} = 0"
+    ).fetchall()
+    picks = _py_lang_id(docs, gram=gram)
+    want = Counter((t, p) for t, p in picks.values())
+    lang_docs = Counter(t for t, _ in picks.values())
+    assert set(got) == set(want), f"gram={gram} dmod={dmod}"
+    for cell, (n_docs, share) in got.items():
+        assert n_docs == want[cell], (gram, dmod, cell)
+        assert share == want[cell] * 1_000_000 // lang_docs[cell[0]], (gram, dmod, cell)

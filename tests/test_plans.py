@@ -1441,17 +1441,38 @@ def test_round9_heavy_ops_never_nested_loop(spark, sf_dir, name):
     assert "EvalPython" not in plan, name
 
 
-@pytest.mark.parametrize("name", ["eval_bradley_terry"])
-def test_round11_ops_never_nested_loop_on_data(spark, sf_dir, name):
+@pytest.mark.parametrize(
+    "name,max_bnlj",
+    [
+        ("eval_bradley_terry", 0),
+        # text_lang_id's one allowed BNLJ is the broadcast of the
+        # checkpointed |langs|-row model against doclen (every classifier
+        # scores every class); the data-path joins (profile scoring on the
+        # word key) are equi-joins and the model's scalar folds run once
+        # inside the eager checkpoint, not in the registered plan.
+        ("text_lang_id", 1),
+    ],
+)
+def test_round11_ops_never_nested_loop_on_data(spark, sf_dir, name, max_bnlj):
     """Round-11 additions plan pure equi-joins on their data paths: no
-    cartesian products, no Python eval, and the pair construction's rank
-    windows are PARTITIONED by (lang, bucket) — never an unpartitioned
-    window over the corpus-sized doc frame."""
+    cartesian products, no Python eval, BNLJ only as broadcasts of
+    model-sized/scalar frames, and every rank window PARTITIONED — never
+    an unpartitioned window over a corpus-sized frame."""
     qe = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
     plan = qe.executedPlan().toString()
     assert "CartesianProduct" not in plan, name
     assert "EvalPython" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name
     opt = qe.optimizedPlan().toString()
     for line in (l for l in opt.splitlines() if "row_number()" in l):
-        assert line.count("], [") >= 2, f"unpartitioned row_number: {line.strip()[:200]}"
+        # Window prints [exprs], [part], [sort] (>= 2 bracket pairs when
+        # partitioned); WindowGroupLimit prints [part], [sort], fn, k (1 pair,
+        # and an empty partition spec would print as "[], [").
+        if "WindowGroupLimit" in line:
+            assert "], [" in line and "[], [" not in line, (
+                f"unpartitioned rank limit: {line.strip()[:200]}"
+            )
+        else:
+            assert line.count("], [") >= 2, (
+                f"unpartitioned row_number: {line.strip()[:200]}"
+            )
