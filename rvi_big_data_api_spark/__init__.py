@@ -50,7 +50,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # 462 hash-pass latest + 6 rows-only by design, zero coverage debt).
     # The unverified head is therefore EMPTY: round-11 additions registered
     # here go straight to the front of the driver's 50-row budget. ----------
-    "eval_bradley_terry", "text_lang_id",
+    "eval_bradley_terry", "text_lang_id", "stream_seasonal_esd",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

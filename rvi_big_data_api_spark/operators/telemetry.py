@@ -4725,54 +4725,17 @@ def _esd_oracle_sql() -> str:
     return "".join(parts)
 
 
-@query(
-    "anomaly_seasonal_esd",
-    oracle=_esd_oracle_sql(),
-    tags=("telemetry", "timeseries", "anomaly"),
-)
-def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonal ESD-style anomaly extraction (the Twitter
-    AnomalyDetection shape): deseasonalize daily channel revenue by the
-    per-weekday MEDIAN (robust — a mean would absorb the very anomalies
-    we hunt), then run ESD_K rounds of iterative max-deviate removal —
-    each round recomputes mean/σ over the REMAINING residuals and
-    extracts the largest |z| point, which is the property that makes ESD
-    robust to masking (one huge outlier inflating σ and hiding the
-    second). Emits every extracted candidate with its removal-time z and
-    an is_anomaly flag at |z| > ESD_THRESHOLD (the textbook critical
-    values need t-quantiles; the fixed threshold is stated, not hidden).
 
-    Exactness: daily cents and DOUBLED residuals r2 = 2·x − 2·median are
-    exact BIGINTs (the ×2 absorbs the even-count median's .5 — both
-    engines average the two middle values identically); weekday comes
-    from epoch-day % 7 (NEVER dayofweek — Spark is 1-7, DuckDB 0-6, the
-    profile_activity_matrix trap); per-round mean/σ from exact integer
-    moment sums (identical trees, rule 9); z rounded 4dp at output only
-    (rule 8); argmax tie-broken by day ASC. The unroll is ESD_K chained
-    (stats, flag, remainder) frames over the channel×day cell table —
-    calendar-bounded, each round eagerly checkpointed (the unigram /
-    graph_hits lesson: flag_k is referenced by both the output union and
-    rem_k). Oracle is the generated chained-CTE twin from the same
-    constant.
-
-    Execution shape (the ml_logreg_train driver-coordination pattern):
-    the residual cell frame is checkpointed ONCE; each round's argmax
-    flag is ONE |channels|-row collect (coordinator-plane — O(K·C) rows
-    total, never row data), and the next round filters by those literal
-    (channel, day) exclusions against the SAME checkpointed frame — so
-    the plan stays depth-1 instead of a 3·ESD_K checkpoint chain.
-
-    100 TB shape: one partial agg to (channel, day, dow) cells;
-    everything after runs on the calendar-bounded frame."""
+def _esd_extract(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """The shared ESD extraction consumed by anomaly_seasonal_esd (batch)
+    and stream_seasonal_esd (streaming twin): given (event_type, d, dow, xc)
+    daily cells, deseasonalize by the per-weekday doubled median and run
+    ESD_K driver-coordinated max-deviate removal rounds. Both ops riding
+    ONE helper is the no-drift guarantee the reconciliation property pins
+    (VERDICT r10 item 6)."""
     from ..session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.date_trunc("day", F.col("ts")).alias("d"),
-        (F.expr("unix_timestamp(date_trunc('day', ts)) div 86400") % 7).alias("dow"),
-    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
     season = daily.groupBy("event_type", "dow").agg(
         F.round(2 * F.median("xc")).cast("long").alias("med2")
     )
@@ -4833,3 +4796,51 @@ def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("z"), 4) + F.lit(0.0)).alias("z_score"),
         (F.col("z") > ESD_THRESHOLD).alias("is_anomaly"),
     )
+
+
+@query(
+    "anomaly_seasonal_esd",
+    oracle=_esd_oracle_sql(),
+    tags=("telemetry", "timeseries", "anomaly"),
+)
+def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal ESD-style anomaly extraction (the Twitter
+    AnomalyDetection shape): deseasonalize daily channel revenue by the
+    per-weekday MEDIAN (robust — a mean would absorb the very anomalies
+    we hunt), then run ESD_K rounds of iterative max-deviate removal —
+    each round recomputes mean/σ over the REMAINING residuals and
+    extracts the largest |z| point, which is the property that makes ESD
+    robust to masking (one huge outlier inflating σ and hiding the
+    second). Emits every extracted candidate with its removal-time z and
+    an is_anomaly flag at |z| > ESD_THRESHOLD (the textbook critical
+    values need t-quantiles; the fixed threshold is stated, not hidden).
+
+    Exactness: daily cents and DOUBLED residuals r2 = 2·x − 2·median are
+    exact BIGINTs (the ×2 absorbs the even-count median's .5 — both
+    engines average the two middle values identically); weekday comes
+    from epoch-day % 7 (NEVER dayofweek — Spark is 1-7, DuckDB 0-6, the
+    profile_activity_matrix trap); per-round mean/σ from exact integer
+    moment sums (identical trees, rule 9); z rounded 4dp at output only
+    (rule 8); argmax tie-broken by day ASC. The unroll is ESD_K chained
+    (stats, flag, remainder) frames over the channel×day cell table —
+    calendar-bounded, each round eagerly checkpointed (the unigram /
+    graph_hits lesson: flag_k is referenced by both the output union and
+    rem_k). Oracle is the generated chained-CTE twin from the same
+    constant.
+
+    Execution shape (the ml_logreg_train driver-coordination pattern):
+    the residual cell frame is checkpointed ONCE; each round's argmax
+    flag is ONE |channels|-row collect (coordinator-plane — O(K·C) rows
+    total, never row data), and the next round filters by those literal
+    (channel, day) exclusions against the SAME checkpointed frame — so
+    the plan stays depth-1 instead of a 3·ESD_K checkpoint chain.
+
+    100 TB shape: one partial agg to (channel, day, dow) cells;
+    everything after runs on the calendar-bounded frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        (F.expr("unix_timestamp(date_trunc('day', ts)) div 86400") % 7).alias("dow"),
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
+    return _esd_extract(spark, daily)

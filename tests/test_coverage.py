@@ -721,6 +721,8 @@ EXTENSIONS = [
     "eval_bradley_terry",
     # round 11: naive-Bayes language identification (CCNet-shape gate)
     "text_lang_id",
+    # round 11: streaming seasonal-ESD twin (shared extraction helper)
+    "stream_seasonal_esd",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

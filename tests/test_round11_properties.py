@@ -242,3 +242,21 @@ def test_lang_id_accuracy_floor_and_coverage(spark, sf_dir):
     for lang, s in shares.items():
         # integer div truncation: cells lose < 1 ppm each
         assert 1_000_000 - len(rows) <= s <= 1_000_000, (lang, s)
+
+
+# --- stream_seasonal_esd: live/offline reconciliation --------------------------
+
+
+def test_stream_esd_equals_batch_esd(spark, sf_dir):
+    """The no-drift law (VERDICT r10 item 6): the streaming twin and the
+    batch op ride ONE extraction helper over identical daily cells, so
+    their outputs must be row-for-row identical — the stream's flagged
+    anomaly set IS the batch ESD flag set at the same K."""
+    got_s = sorted(
+        map(tuple, _df("stream_seasonal_esd", spark, sf_dir).collect())
+    )
+    got_b = sorted(
+        map(tuple, _df("anomaly_seasonal_esd", spark, sf_dir).collect())
+    )
+    assert got_s == got_b
+    assert len(got_s) > 0
