@@ -51,6 +51,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     # The unverified head is therefore EMPTY: round-11 additions registered
     # here go straight to the front of the driver's 50-row budget. ----------
     "eval_bradley_terry", "text_lang_id", "stream_seasonal_esd",
+    "stats_spearman", "text_readability", "eval_brier_decomposition",
+    "ts_periodogram", "stream_lang_drift",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

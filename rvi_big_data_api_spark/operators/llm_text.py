@@ -4702,8 +4702,9 @@ def corpus_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 11: language identification (CCNet-shape profile classifier) -------
 
 
-def _lang_id_oracle_sql(gram: int = 1, src: str = "documents") -> str:
-    """Generated DuckDB twin of text_lang_id, parametrized by word-n-gram
+def _lang_id_chain_sql(gram: int = 1, src: str = "documents") -> str:
+    """Generated CTE chain shared by text_lang_id and stream_lang_drift
+    (ends at the per-doc `pick`), parametrized by word-n-gram
     order (gram) and corpus slice (src) so the differential fuzzer can
     instantiate random feature geometries. gram = 1 is the registered op.
 
@@ -4778,63 +4779,54 @@ def _lang_id_oracle_sql(gram: int = 1, src: str = "documents") -> str:
         SELECT doc_id, lang,
                first(plang ORDER BY s DESC, plang ASC) AS pred_lang
         FROM score GROUP BY doc_id, lang
-    ),
+    )"""
+
+
+def _lang_id_oracle_sql(gram: int = 1, src: str = "documents") -> str:
+    """text_lang_id's full twin: the shared chain + the confusion tail."""
+    return (
+        _lang_id_chain_sql(gram, src)
+        + """,
     ltot AS (SELECT lang, count(*)::BIGINT AS lang_docs FROM pick GROUP BY lang)
     SELECT p.lang, p.pred_lang, count(*)::BIGINT AS n_docs,
            (count(*) * 1000000 // any_value(lt.lang_docs))::BIGINT AS row_share_ppm
     FROM pick p JOIN ltot lt ON lt.lang = p.lang
     GROUP BY p.lang, p.pred_lang"""
+    )
 
 
-@query(
-    "text_lang_id",
-    oracle=_lang_id_oracle_sql(),
-    tags=("llm", "text", "corpus", "flagship"),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language identification — the first gate of corpus curation (the
-    CCNet / fastText role): train per-language word-profile classifiers
-    IN-PLAN from the labeled fixture and score every document, emitting
-    the confusion matrix against the label. The classifier is add-1-
-    smoothed multinomial naive Bayes with a document prior: profiles,
-    priors and scores are all MICRO-QUANTIZED integers (llq =
-    floor(ln((cnt+1)/(tot+V)) * 1e6)), so the argmax is over exact
-    BIGINTs and cross-engine libm ulp noise dies at the quantizer
-    (PARITY rule 8 applied rule-29-style: quantize the model, not the
-    readout). Ties break (score desc, lang asc) — deterministic.
+def _lang_drift_oracle_sql(gram: int = 1, src: str = "documents") -> str:
+    """stream_lang_drift's twin: the shared chain + the drift tail (predicted
+    language mix vs the labeled training mix, exact integer ppm)."""
+    return (
+        _lang_id_chain_sql(gram, src)
+        + f""",
+    pcounts AS (SELECT pred_lang, count(*)::BIGINT AS n_docs
+                FROM pick GROUP BY pred_lang),
+    ptot AS (SELECT sum(n_docs)::BIGINT AS n FROM pcounts),
+    train AS (SELECT lang, count(*)::BIGINT AS tn FROM {src} GROUP BY lang),
+    ttot AS (SELECT sum(tn)::BIGINT AS n FROM train)
+    SELECT p.pred_lang, p.n_docs,
+           (p.n_docs * 1000000 // t.n)::BIGINT AS pred_share_ppm,
+           (tr.tn * 1000000 // tt.n)::BIGINT AS label_share_ppm,
+           (p.n_docs * 1000000 // t.n
+            - tr.tn * 1000000 // tt.n)::BIGINT AS drift_ppm
+    FROM pcounts p CROSS JOIN ptot t
+    JOIN train tr ON tr.lang = p.pred_lang CROSS JOIN ttot tt"""
+    )
 
-    The unseen-word mass is folded algebraically instead of materialized:
-    s(doc, L) = n_tokens(doc)*defq(L) + prior(L) + sum tf*(llq - defq)
-    over OBSERVED (lang, word) pairs only — no langs x vocab grid, so the
-    model frame is |observed pairs| and the scoring join touches only
-    words that exist in a profile. At 100 languages x 10M vocab the grid
-    would be 1B rows of mostly-smoothed zeros; this shape never builds it.
 
-    Note the fixture's honest limit: the synthetic languages share one
-    31-word vocabulary with near-identical frequencies (total-variation
-    distance ~0.04 between any two), so Bayes-optimal accuracy is barely
-    above the majority share — the op pins accuracy >= 2x uniform chance,
-    and the confusion matrix itself is the hash-checked artifact.
-
-    Execution shape: one corpus pass builds tf / doclen / profile counts
-    (all partial-agg); the model is language-count-sized and broadcast;
-    scoring is one equi-join on word plus a crossJoin against the
-    |langs|-row broadcast model (every classifier scores every class);
-    the argmax window is partitioned by doc_id over |langs| rows. At
-    100 TB: corpus passes stay partial-agg; the only super-linear term is
-    |corpus tokens| x |langs| in the scoring join, the irreducible NB
-    cost, shuffled on the word key."""
+def _lang_id_model(spark: SparkSession, d: DataFrame):
+    """Train the quantized NB model once from a (doc_id, lang, text) frame:
+    returns (lang_model, prof) — both eagerly checkpointed. Shared by
+    text_lang_id (batch confusion matrix) and stream_lang_drift (live mix
+    monitor), so the two paths classify with the SAME integer model."""
     from ..session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
-    d = load(spark, sf_dir, "documents")
     feats = (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
         .filter(F.length("f") >= 1)
-    )
-    tf = feats.groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = feats.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_feats")
     )
     pc = feats.groupBy(F.col("lang").alias("plang"), "f").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -4877,11 +4869,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         # observed (lang, word) pairs — vocab-sized model frame, checkpointed
         .checkpoint(eager=True)
     )
-    part = (
-        tf.join(prof, "f")
-        .groupBy("doc_id", "plang")
-        .agg(F.sum(F.col("tf") * F.col("dllq")).alias("sw"))
-    )
+    return lang_model, prof
+
+
+def _lang_id_pick(doclen: DataFrame, part: DataFrame, lang_model: DataFrame) -> DataFrame:
+    """Score + argmax: doclen (doc_id, lang, n_feats) x broadcast model,
+    left-joined with the observed-pair partial sums (doc_id, plang, sw)."""
     score = (
         doclen.crossJoin(F.broadcast(lang_model.select("plang", "defq", "prq")))
         .join(part, ["doc_id", "plang"], "left")
@@ -4899,11 +4892,67 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     wpick = Window.partitionBy("doc_id").orderBy(
         F.col("s").desc(), F.col("plang").asc()
     )
-    pick = (
+    return (
         score.withColumn("rn", F.row_number().over(wpick))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("plang").alias("pred_lang"))
     )
+
+
+@query(
+    "text_lang_id",
+    oracle=_lang_id_oracle_sql(),
+    tags=("llm", "text", "corpus", "flagship"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification — the first gate of corpus curation (the
+    CCNet / fastText role): train per-language word-profile classifiers
+    IN-PLAN from the labeled fixture and score every document, emitting
+    the confusion matrix against the label. The classifier is add-1-
+    smoothed multinomial naive Bayes with a document prior: profiles,
+    priors and scores are all MICRO-QUANTIZED integers (llq =
+    floor(ln((cnt+1)/(tot+V)) * 1e6)), so the argmax is over exact
+    BIGINTs and cross-engine libm ulp noise dies at the quantizer
+    (PARITY rule 8 applied rule-29-style: quantize the model, not the
+    readout). Ties break (score desc, lang asc) — deterministic.
+
+    The unseen-word mass is folded algebraically instead of materialized:
+    s(doc, L) = n_tokens(doc)*defq(L) + prior(L) + sum tf*(llq - defq)
+    over OBSERVED (lang, word) pairs only — no langs x vocab grid, so the
+    model frame is |observed pairs| and the scoring join touches only
+    words that exist in a profile. At 100 languages x 10M vocab the grid
+    would be 1B rows of mostly-smoothed zeros; this shape never builds it.
+
+    Note the fixture's honest limit: the synthetic languages share one
+    31-word vocabulary with near-identical frequencies (total-variation
+    distance ~0.04 between any two), so Bayes-optimal accuracy is barely
+    above the majority share — the op pins accuracy >= 2x uniform chance,
+    and the confusion matrix itself is the hash-checked artifact.
+
+    Execution shape: one corpus pass builds tf / doclen / profile counts
+    (all partial-agg); the model is language-count-sized and broadcast;
+    scoring is one equi-join on word plus a crossJoin against the
+    |langs|-row broadcast model (every classifier scores every class);
+    the argmax window is partitioned by doc_id over |langs| rows. At
+    100 TB: corpus passes stay partial-agg; the only super-linear term is
+    |corpus tokens| x |langs| in the scoring join, the irreducible NB
+    cost, shuffled on the word key."""
+    d = load(spark, sf_dir, "documents")
+    lang_model, prof = _lang_id_model(spark, d)
+    feats = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
+        .filter(F.length("f") >= 1)
+    )
+    tf = feats.groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = feats.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_feats")
+    )
+    part = (
+        tf.join(prof, "f")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum(F.col("tf") * F.col("dllq")).alias("sw"))
+    )
+    pick = _lang_id_pick(doclen, part, lang_model)
     conf = pick.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -4921,4 +4970,85 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_lang",
         "n_docs",
         F.expr("_num div _lang_docs").alias("row_share_ppm"),
+    )
+
+
+ARI_CHARS_X1M = 4_710_000   # ARI = 4.71*(chars/words) + 0.5*(words/sents) - 21.43,
+ARI_WORDS_X1M = 500_000     # carried in exact ppm (x1e6) integer arithmetic
+ARI_CONST_X1M = 21_430_000
+LIX_LONG_LEN = 7            # LIX counts words of >= 7 chars as "long"
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               count(*)::BIGINT AS words,
+               sum(len(word))::BIGINT AS chars,
+               sum(CASE WHEN len(word) >= {LIX_LONG_LEN} THEN 1 ELSE 0 END)::BIGINT
+                   AS long_words
+        FROM w GROUP BY doc_id
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(words)::BIGINT AS words,
+           sum(chars)::BIGINT AS chars,
+           (sum(chars) * 1000000 // sum(words))::BIGINT AS mean_word_len_ppm,
+           (sum(long_words) * 1000000 // sum(words))::BIGINT AS long_word_ppm,
+           ({ARI_CHARS_X1M} * sum(chars) // sum(words)
+            + {ARI_WORDS_X1M} * sum(words) // count(*)
+            - {ARI_CONST_X1M})::BIGINT AS ari_x1m,
+           (sum(words) * 1000000 // count(*)
+            + 100 * (sum(long_words) * 1000000 // sum(words)))::BIGINT AS lix_x1m
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("llm", "text", "corpus"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability indices per language — the corpus-quality lens that
+    complements text_quality's pass/fail gate with the graded scores
+    curation pipelines bucket on (ARI and LIX, the two indices that need
+    no syllable dictionary): ARI = 4.71*(chars/word) + 0.5*(words/sent)
+    - 21.43 and LIX = words/sent + 100*(long words/words), with the
+    fixture's sentence unit = document (the synthetic corpus carries no
+    terminal punctuation — stated, not hidden; on punctuated text the
+    sentence splitter slots in at the per_doc stage).
+
+    ALL-INTEGER algebra: character/word/long-word counts fold map-side to
+    exact BIGINTs per doc, per-lang indices are integer-ppm divisions of
+    those sums (rule 25 — never a rounded float ratio), so the 8-column
+    readout hashes bit-exactly. 5 output rows.
+
+    At 100 TB: one explode + two partial aggs; no window, no join —
+    the cheapest possible shape."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    per_doc = w.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.count(F.lit(1)).alias("words"),
+        F.sum(F.length("word")).alias("chars"),
+        F.sum(
+            F.when(F.length("word") >= LIX_LONG_LEN, 1).otherwise(0)
+        ).alias("long_words"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("chars").alias("chars"),
+        F.expr("sum(chars) * 1000000 div sum(words)").alias("mean_word_len_ppm"),
+        F.expr("sum(long_words) * 1000000 div sum(words)").alias("long_word_ppm"),
+        F.expr(
+            f"{ARI_CHARS_X1M} * sum(chars) div sum(words)"
+            f" + {ARI_WORDS_X1M} * sum(words) div count(*)"
+            f" - {ARI_CONST_X1M}"
+        ).alias("ari_x1m"),
+        F.expr(
+            "sum(words) * 1000000 div count(*)"
+            " + 100 * (sum(long_words) * 1000000 div sum(words))"
+        ).alias("lix_x1m"),
     )

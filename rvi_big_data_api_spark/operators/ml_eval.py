@@ -5018,3 +5018,289 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred_wins",
         )
     )
+
+
+@query(
+    "stats_spearman",
+    oracle="""
+    WITH pu AS MATERIALIZED (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    xr AS (
+        SELECT v, t, (2 * (cum - t) + t + 1)::BIGINT AS r2 FROM (
+            SELECT x AS v, count(*)::BIGINT AS t,
+                   sum(count(*)) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS cum
+            FROM pu GROUP BY x
+        )
+    ),
+    yr AS (
+        SELECT v, t, (2 * (cum - t) + t + 1)::BIGINT AS r2 FROM (
+            SELECT y AS v, count(*)::BIGINT AS t,
+                   sum(count(*)) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS cum
+            FROM pu GROUP BY y
+        )
+    ),
+    joined AS (
+        SELECT p.user_id, xr.r2 AS rx2, yr.r2 AS ry2
+        FROM pu p JOIN xr ON xr.v = p.x JOIN yr ON yr.v = p.y
+    ),
+    sums AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+               sum(rx2 * rx2)::BIGINT AS sxx, sum(ry2 * ry2)::BIGINT AS syy,
+               sum(rx2 * ry2)::BIGINT AS sxy
+        FROM joined
+    ),
+    tiex AS (SELECT sum(CASE WHEN t > 1 THEN 1 ELSE 0 END)::BIGINT AS n_tied_x
+             FROM xr),
+    tiey AS (SELECT sum(CASE WHEN t > 1 THEN 1 ELSE 0 END)::BIGINT AS n_tied_y
+             FROM yr)
+    SELECT s.n, tx.n_tied_x, ty.n_tied_y,
+           round((s.n::DOUBLE * s.sxy - s.sx::DOUBLE * s.sy)
+                 / nullif(sqrt((s.n::DOUBLE * s.sxx - s.sx::DOUBLE * s.sx)
+                               * (s.n::DOUBLE * s.syy - s.sy::DOUBLE * s.sy)), 0),
+                 6) + 0.0 AS rho_spearman
+    FROM sums s CROSS JOIN tiex tx CROSS JOIN tiey ty
+    """,
+    tags=("analytics", "stats"),
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation with tie midranks — does engagement
+    (per-user view count) MONOTONICALLY track spend (per-user purchase
+    cents)? The distribution-free complement of agg_correlation's
+    Pearson: rho is Pearson over RANKS, immune to the heavy right tail
+    of spend. Completes the nonparametric suite (mannwhitney = 2-group
+    location, kruskal = k-group location, wilcoxon = paired location,
+    spearman = association).
+
+    Exactness AND scale from the support-histogram midrank construction
+    (stats_kruskal_wallis's): each variable ranks over its own VALUE
+    SUPPORT (distinct view counts / distinct spend cents) via the
+    2*midrank = 2*(cum - t) + t + 1 prefix-sum identity — exact BIGINTs,
+    never a global row sort. Unlike the location tests, Spearman needs
+    per-PAIR rank products, so the user frame joins back to the two
+    support tables (hash equi-joins on the value key — rows touched
+    once, supports bounded) and one aggregate folds the exact integer
+    sums; rho is computed in the final 1-row fold only (rules 1/6, 6dp,
+    -0.0 guard). Doubled-rank products bound: sum(rx2*ry2) <= 4N^3
+    overflows BIGINT near N ~ 10^6 — noted, not hit (the kruskal
+    convention); past that the fold runs per-range with DOUBLE partials.
+
+    At 100 TB: one partial agg to the user frame, two support windows
+    (|V| rows each), two equi-joins, one fold — no corpus-sized sort or
+    window anywhere."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+
+    def support_ranks(col: str):
+        wcum = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            pu.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("t"))
+            .select("v", "t", F.sum("t").over(wcum).alias("cum"))
+            .select(
+                "v",
+                "t",
+                (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("r2"),
+            )
+        )
+
+    xr = support_ranks("x")
+    yr = support_ranks("y")
+    joined = (
+        pu.join(xr.select(F.col("v").alias("x"), F.col("r2").alias("rx2")), "x")
+        .join(yr.select(F.col("v").alias("y"), F.col("r2").alias("ry2")), "y")
+    )
+    sums = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    tiex = xr.agg(
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0)).alias("n_tied_x")
+    )
+    tiey = yr.agg(
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0)).alias("n_tied_y")
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return (
+        sums.crossJoin(F.broadcast(tiex))
+        .crossJoin(F.broadcast(tiey))
+        .select(
+            "n",
+            "n_tied_x",
+            "n_tied_y",
+            (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias(
+                "rho_spearman"
+            ),
+        )
+    )
+
+
+BRIER_BIN_W = 5     # fixed-width view-count bins (stated, never fitted)
+BRIER_BINS = 10     # bins 0..9; the top bin absorbs the tail
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               least(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     // {BRIER_BIN_W}, {BRIER_BINS - 1})::BIGINT AS bin,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT bin, count(*)::BIGINT AS nb, sum(y)::BIGINT AS nb_pos
+        FROM pu GROUP BY bin
+    ),
+    tot AS (SELECT sum(nb)::BIGINT AS n, sum(nb_pos)::BIGINT AS n_pos FROM b),
+    terms AS (
+        SELECT b.bin, b.nb, b.nb_pos, t.n, t.n_pos,
+               (b.nb_pos + 1)::DOUBLE / (b.nb + 2) AS f,
+               b.nb_pos::DOUBLE / b.nb AS o,
+               t.n_pos::DOUBLE / t.n AS obar
+        FROM b CROSS JOIN tot t
+    )
+    SELECT any_value(n)::BIGINT AS n,
+           count(*)::BIGINT AS n_bins,
+           (any_value(n_pos) * 1000000 // any_value(n))::BIGINT AS pos_rate_ppm,
+           round(sum(nb_pos * (1.0 - f) * (1.0 - f)
+                     + (nb - nb_pos) * f * f) / any_value(n), 6) + 0.0 AS brier,
+           round(sum(nb * (f - o) * (f - o)) / any_value(n), 6) + 0.0
+               AS reliability,
+           round(sum(nb * (o - obar) * (o - obar)) / any_value(n), 6) + 0.0
+               AS resolution,
+           round(any_value(obar) * (1.0 - any_value(obar)), 6) + 0.0
+               AS uncertainty
+    FROM terms
+    """,
+    tags=("analytics", "ml", "eval"),
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — the calibration audit
+    every probabilistic classifier deploy runs: bin users by a stated
+    fixed-width engagement feature (view count div BRIER_BIN_W, capped at
+    BRIER_BINS), forecast each bin's big-purchaser probability with the
+    LAPLACE-smoothed in-bin rate (nb_pos+1)/(nb+2) — deliberately not the
+    raw rate, whose in-sample reliability is zero by construction — and
+    decompose BS = REL - RES + UNC over the bin frame. REL (how far
+    forecasts sit from observed rates) is the term smoothing perturbs;
+    RES (how much the bins separate the base rate) is what the feature
+    earns; UNC is the base rate's own variance. The identity holds
+    EXACTLY for binned forecasts (Murphy 1973) and is pinned as a
+    property test.
+
+    Exactness: every input to every float is an exact BIGINT count folded
+    map-side; f/o/obar are rationals of those ints (identical expression
+    trees — rule 9), all four readouts are aggregate-rounded 6dp over the
+    <= BRIER_BINS-row bin frame (rules 1/6/8), pos_rate_ppm is integer
+    ppm (rule 25).
+
+    At 100 TB: one partial agg to users, one to bins; the decomposition
+    runs on a frame that never exceeds BRIER_BINS rows."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.expr(
+            f"least(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            f" div {BRIER_BIN_W}, {BRIER_BINS - 1})"
+        ).alias("bin"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    b = pu.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("y").alias("nb_pos")
+    )
+    tot = b.agg(F.sum("nb").alias("n"), F.sum("nb_pos").alias("n_pos"))
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "nb",
+        "nb_pos",
+        "n",
+        "n_pos",
+        ((F.col("nb_pos") + 1).cast("double") / (F.col("nb") + 2)).alias("f"),
+        (F.col("nb_pos").cast("double") / F.col("nb")).alias("o"),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("obar"),
+    )
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.expr("max(n_pos) * 1000000 div max(n)").alias("pos_rate_ppm"),
+        (
+            F.round(
+                F.sum(
+                    F.col("nb_pos") * (1.0 - F.col("f")) * (1.0 - F.col("f"))
+                    + (F.col("nb") - F.col("nb_pos")) * F.col("f") * F.col("f")
+                )
+                / F.max("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("brier"),
+        (
+            F.round(
+                F.sum(
+                    F.col("nb")
+                    * (F.col("f") - F.col("o"))
+                    * (F.col("f") - F.col("o"))
+                )
+                / F.max("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("reliability"),
+        (
+            F.round(
+                F.sum(
+                    F.col("nb")
+                    * (F.col("o") - F.col("obar"))
+                    * (F.col("o") - F.col("obar"))
+                )
+                / F.max("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("resolution"),
+        (
+            F.round(F.max("obar") * (1.0 - F.max("obar")), 6) + F.lit(0.0)
+        ).alias("uncertainty"),
+    )

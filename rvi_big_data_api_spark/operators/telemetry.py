@@ -4844,3 +4844,136 @@ def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("unix_timestamp(date_trunc('day', ts)) div 86400") % 7).alias("dow"),
     ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
     return _esd_extract(spark, daily)
+
+
+PGRAM_PMIN = 2    # candidate periods (days) swept by the periodogram
+PGRAM_PMAX = 14   # covers the weekly cycle and its neighbors
+
+# 2*pi as an exact double literal shared by BOTH dialects (Spark has no pi();
+# an identical literal guarantees identical cos/sin inputs, the haversine
+# bit-identical-tree precedent)
+TWO_PI = "6.283185307179586"
+
+
+@query(
+    "ts_periodogram",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, xc,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
+        FROM daily
+    ),
+    st AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(xc)::BIGINT AS sr
+        FROM idx GROUP BY event_type
+    ),
+    proj AS (
+        SELECT i.event_type, p.period,
+               sum((i.xc - s.sr::DOUBLE / s.n)
+                   * cos({TWO_PI} * i.t / p.period)) AS sc,
+               sum((i.xc - s.sr::DOUBLE / s.n)
+                   * sin({TWO_PI} * i.t / p.period)) AS ss
+        FROM idx i
+        JOIN st s ON s.event_type = i.event_type
+        CROSS JOIN (SELECT unnest(generate_series({PGRAM_PMIN}, {PGRAM_PMAX}))
+                    AS period) p
+        GROUP BY i.event_type, p.period
+    ),
+    pw AS (
+        SELECT event_type, period, sc * sc + ss * ss AS power,
+               sum(sc * sc + ss * ss) OVER (PARTITION BY event_type) AS tot,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY sc * sc + ss * ss DESC,
+                                           period ASC) AS rn
+        FROM proj
+    )
+    SELECT event_type, period::BIGINT AS period,
+           round(power / nullif(tot, 0), 6) + 0.0 AS power_share,
+           (rn = 1) AS is_dominant
+    FROM pw
+    """,
+    tags=("telemetry", "timeseries"),
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram over candidate integer periods — the FREQUENCY-domain
+    lens the time-series suite lacked (ts_autocorrelation answers "is
+    yesterday informative", ts_seasonal_strength assumes the weekly cycle;
+    this op DETECTS the cycle): per channel, project the mean-centered
+    daily revenue onto cos/sin at periods PGRAM_PMIN..PGRAM_PMAX and emit
+    each period's share of total sweep power plus the dominant-period
+    flag — the Schuster periodogram restricted to the integer periods a
+    calendar process can express.
+
+    Cross-engine discipline: day index and period are exact integers, the
+    centered value is a rational of exact BIGINT sums (rule 9), and the
+    cos/sin inputs are built from ONE shared 2*pi literal so both engines
+    evaluate identical expression trees (the haversine precedent; Spark
+    has no pi()); power shares are aggregate-rounded 6dp (rules 1/6/8)
+    and the argmax tie-breaks (power desc, period asc) over the
+    |periods|-row frame.
+
+    At 100 TB: one partial agg to (channel, day) cells; the projection is
+    |cells| x |periods| rows map-side into a per-(channel, period) fold;
+    windows run over |channels| x |periods| rows. Nothing scales with raw
+    events."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
+    widx = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type", "xc", F.row_number().over(widx).alias("t")
+    )
+    st = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xc").alias("sr")
+    )
+    proj = (
+        idx.join(st, "event_type")
+        .select(
+            "event_type",
+            "xc",
+            "t",
+            "n",
+            "sr",
+            F.explode(
+                F.sequence(F.lit(PGRAM_PMIN), F.lit(PGRAM_PMAX))
+            ).alias("period"),
+        )
+        .groupBy("event_type", "period")
+        .agg(
+            F.sum(
+                (F.col("xc") - F.col("sr").cast("double") / F.col("n"))
+                * F.expr(f"cos({TWO_PI} * t / period)")
+            ).alias("sc"),
+            F.sum(
+                (F.col("xc") - F.col("sr").cast("double") / F.col("n"))
+                * F.expr(f"sin({TWO_PI} * t / period)")
+            ).alias("ss"),
+        )
+    )
+    power = F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")
+    wtot = Window.partitionBy("event_type")
+    wrank = Window.partitionBy("event_type").orderBy(
+        power.desc(), F.col("period").asc()
+    )
+    pw = proj.select(
+        "event_type",
+        F.col("period").cast("long").alias("period"),
+        power.alias("power"),
+        F.sum(power).over(wtot).alias("tot"),
+        F.row_number().over(wrank).alias("rn"),
+    )
+    return pw.select(
+        "event_type",
+        "period",
+        (
+            F.round(F.col("power") / F.nullif(F.col("tot"), F.lit(0.0)), 6)
+            + F.lit(0.0)
+        ).alias("power_share"),
+        (F.col("rn") == 1).alias("is_dominant"),
+    )

@@ -723,6 +723,16 @@ EXTENSIONS = [
     "text_lang_id",
     # round 11: streaming seasonal-ESD twin (shared extraction helper)
     "stream_seasonal_esd",
+    # round 11: Spearman rank correlation via support-histogram midranks
+    "stats_spearman",
+    # round 11: ARI/LIX readability indices (all-integer ppm)
+    "text_readability",
+    # round 11: Murphy decomposition of the Brier score (calibration audit)
+    "eval_brier_decomposition",
+    # round 11: integer-period Schuster periodogram (frequency-domain lens)
+    "ts_periodogram",
+    # round 11: streaming language-mix drift monitor (lang-id model consumer)
+    "stream_lang_drift",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1476,3 +1476,25 @@ def test_round11_ops_never_nested_loop_on_data(spark, sf_dir, name, max_bnlj):
             assert line.count("], [") >= 2, (
                 f"unpartitioned row_number: {line.strip()[:200]}"
             )
+
+
+@pytest.mark.parametrize(
+    "name,max_bnlj",
+    [
+        # spearman/brier/periodogram end in 1-row scalar folds (the
+        # crossJoin(broadcast(agg)) convention); readability is pure agg
+        ("stats_spearman", 2),
+        ("text_readability", 0),
+        ("eval_brier_decomposition", 1),
+        ("ts_periodogram", 0),
+    ],
+)
+def test_round11_wave2_plans(spark, sf_dir, name, max_bnlj):
+    """Wave-2 additions: no cartesian, no Python eval, BNLJ bounded to the
+    declared scalar folds, rank windows partitioned (periodogram's argmax
+    is per-channel; spearman's prefix sums run over value supports)."""
+    qe = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "EvalPython" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name

@@ -260,3 +260,215 @@ def test_stream_esd_equals_batch_esd(spark, sf_dir):
     )
     assert got_s == got_b
     assert len(got_s) > 0
+
+
+# --- stats_spearman: support-histogram midrank correlation ---------------------
+
+
+def test_spearman_matches_naive_python(spark, sf_dir):
+    """The support-midrank construction must equal the textbook
+    sort-assign-average-ties Spearman computed driver-side, and obey
+    rho's range bound."""
+    from collections import defaultdict
+
+    ev = load(spark, sf_dir, "events").collect()
+    acc = defaultdict(lambda: [0, 0])
+    for e in ev:
+        a = acc[e.user_id]
+        if e.event_type == "view":
+            a[0] += 1
+        elif e.event_type == "purchase":
+            a[1] += math.floor(e.value * 100 + 0.5)
+    xs = [a[0] for a in acc.values()]
+    ys = [a[1] for a in acc.values()]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                r[order[k]] = mid
+            i = j
+        return r
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    row = _df("stats_spearman", spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert abs(row["rho_spearman"] - want) < 2e-6
+    assert -1.0 <= row["rho_spearman"] <= 1.0
+    # view counts always tie; spend cents are near-unique at sf0.001
+    assert row["n_tied_x"] > 0 and row["n_tied_y"] >= 0
+
+
+# --- text_readability: all-integer index identities ----------------------------
+
+
+def test_readability_matches_python_counts(spark, sf_dir):
+    """ARI/LIX in exact ppm must equal the driver-side integer replica."""
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.llm_text import (
+        ARI_CHARS_X1M,
+        ARI_CONST_X1M,
+        ARI_WORDS_X1M,
+        LIX_LONG_LEN,
+    )
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, chars, long
+    for r in load(spark, sf_dir, "documents").collect():
+        ws = r.text.split(" ")
+        a = agg[r.lang]
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += sum(len(w) for w in ws)
+        a[3] += sum(1 for w in ws if len(w) >= LIX_LONG_LEN)
+    got = {r["lang"]: r for r in _df("text_readability", spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for lang, (docs, words, chars, lw) in agg.items():
+        r = got[lang]
+        assert r["n_docs"] == docs and r["words"] == words and r["chars"] == chars
+        assert r["mean_word_len_ppm"] == chars * 1_000_000 // words
+        assert r["long_word_ppm"] == lw * 1_000_000 // words
+        assert (
+            r["ari_x1m"]
+            == ARI_CHARS_X1M * chars // words
+            + ARI_WORDS_X1M * words // docs
+            - ARI_CONST_X1M
+        )
+        assert (
+            r["lix_x1m"]
+            == words * 1_000_000 // docs + 100 * (lw * 1_000_000 // words)
+        )
+
+
+# --- eval_brier_decomposition: the Murphy identity ------------------------------
+
+
+def test_brier_murphy_identity_and_replica(spark, sf_dir):
+    """BS = REL - RES + UNC must hold exactly (binned forecasts, in-bin
+    observed rates — Murphy 1973), and every term must match a
+    driver-side replica; smoothing must make REL nonzero."""
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.ml_eval import BRIER_BINS, BRIER_BIN_W
+
+    acc = defaultdict(lambda: [0, 0])  # views, y
+    for e in load(spark, sf_dir, "events").collect():
+        a = acc[e.user_id]
+        if e.event_type == "view":
+            a[0] += 1
+        elif e.event_type == "purchase":
+            if math.floor(e.value * 100 + 0.5) > 15000:
+                a[1] = 1
+    bins = defaultdict(lambda: [0, 0])
+    for v, y in acc.values():
+        b = min(v // BRIER_BIN_W, BRIER_BINS - 1)
+        bins[b][0] += 1
+        bins[b][1] += y
+    n = sum(nb for nb, _ in bins.values())
+    n_pos = sum(p for _, p in bins.values())
+    obar = n_pos / n
+    bs = rel = res = 0.0
+    for nb, npos in bins.values():
+        f = (npos + 1) / (nb + 2)
+        o = npos / nb
+        bs += npos * (1 - f) ** 2 + (nb - npos) * f * f
+        rel += nb * (f - o) ** 2
+        res += nb * (o - obar) ** 2
+    bs, rel, res = bs / n, rel / n, res / n
+    unc = obar * (1 - obar)
+    assert abs(bs - (rel - res + unc)) < 1e-12  # the Murphy identity
+    row = _df("eval_brier_decomposition", spark, sf_dir).collect()[0]
+    assert row["n"] == n and row["n_bins"] == len(bins)
+    assert row["pos_rate_ppm"] == n_pos * 1_000_000 // n
+    for name, want in [
+        ("brier", bs), ("reliability", rel), ("resolution", res),
+        ("uncertainty", unc),
+    ]:
+        assert abs(row[name] - want) < 2e-6, name
+    assert row["reliability"] > 0  # Laplace smoothing de-calibrates in-sample
+
+
+# --- ts_periodogram: Parseval-style share laws ----------------------------------
+
+
+def test_periodogram_shares_and_dominance(spark, sf_dir):
+    """Per channel: exactly one dominant period; the dominant period has
+    the max share; shares are in [0, 1]; every (PGRAM_PMIN..PGRAM_PMAX)
+    period is present; and a python replica agrees on the dominant
+    period and shares."""
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.telemetry import PGRAM_PMAX, PGRAM_PMIN
+
+    rows = _df("ts_periodogram", spark, sf_dir).collect()
+    by_ch = defaultdict(list)
+    for r in rows:
+        by_ch[r["event_type"]].append(r)
+    # python replica from raw events
+    daily = defaultdict(lambda: defaultdict(int))
+    for e in load(spark, sf_dir, "events").collect():
+        day = e.ts.date()
+        daily[e.event_type][day] += math.floor(e.value * 100 + 0.5)
+    for ch, rs in by_ch.items():
+        assert sorted(r["period"] for r in rs) == list(
+            range(PGRAM_PMIN, PGRAM_PMAX + 1)
+        )
+        doms = [r for r in rs if r["is_dominant"]]
+        assert len(doms) == 1
+        assert doms[0]["power_share"] == max(r["power_share"] for r in rs)
+        assert all(0.0 <= r["power_share"] <= 1.0 for r in rs)
+        days = sorted(daily[ch])
+        xs = [daily[ch][d] for d in days]
+        mean = sum(xs) / len(xs)
+        powers = {}
+        for p in range(PGRAM_PMIN, PGRAM_PMAX + 1):
+            sc = sum(
+                (x - mean) * math.cos(2 * math.pi * (t + 1) / p)
+                for t, x in enumerate(xs)
+            )
+            ss = sum(
+                (x - mean) * math.sin(2 * math.pi * (t + 1) / p)
+                for t, x in enumerate(xs)
+            )
+            powers[p] = sc * sc + ss * ss
+        tot = sum(powers.values())
+        want_dom = min(powers, key=lambda p: (-powers[p], p))
+        assert doms[0]["period"] == want_dom, ch
+        for r in rs:
+            assert abs(r["power_share"] - powers[r["period"]] / tot) < 2e-6
+
+
+# --- stream_lang_drift: live/offline model reconciliation ------------------------
+
+
+def test_stream_lang_drift_reconciles_with_batch_confusion(spark, sf_dir):
+    """The drift monitor's predicted counts must equal text_lang_id's
+    confusion-matrix COLUMN sums (same model, same argmax helper), and
+    the drift identity pred_share - label_share must hold in exact ppm."""
+    from collections import Counter
+
+    conf = _df("text_lang_id", spark, sf_dir).collect()
+    col_sums = Counter()
+    for r in conf:
+        col_sums[r["pred_lang"]] += r["n_docs"]
+    n = sum(col_sums.values())
+    drift = {r["pred_lang"]: r for r in _df("stream_lang_drift", spark, sf_dir).collect()}
+    assert set(drift) == set(col_sums)
+    for lang, r in drift.items():
+        assert r["n_docs"] == col_sums[lang], lang
+        assert r["pred_share_ppm"] == col_sums[lang] * 1_000_000 // n
+        assert r["drift_ppm"] == r["pred_share_ppm"] - r["label_share_ppm"]
