@@ -53,6 +53,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "eval_bradley_terry", "text_lang_id", "stream_seasonal_esd",
     "stats_spearman", "text_readability", "eval_brier_decomposition",
     "ts_periodogram", "stream_lang_drift",
+    "stats_friedman", "eval_isotonic_calibration",
+    "scan_snapshot_timetravel", "privacy_entropy_ldiv",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -5052,3 +5052,106 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 100 * (sum(long_words) * 1000000 div sum(words))"
         ).alias("lix_x1m"),
     )
+
+
+LDIV_C = 2  # recursive (c,l)-diversity: r1 < c * (r_l + ... + r_m)
+LDIV_L = 3
+
+
+@query(
+    "privacy_entropy_ldiv",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT source, lang,
+               CASE WHEN n_chars < 200 THEN 'short'
+                    WHEN n_chars < 800 THEN 'medium'
+                    ELSE 'long' END AS size_band,
+               doc_id % 10 AS sensitive_bucket
+        FROM documents
+    ),
+    cells AS (
+        SELECT source, lang, size_band, sensitive_bucket,
+               count(*)::BIGINT AS c
+        FROM quasi GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source, lang, size_band
+                                     ORDER BY c DESC, sensitive_bucket ASC)
+                      AS rnk,
+               sum(c) OVER (PARTITION BY source, lang, size_band)::BIGINT AS n
+        FROM cells
+    )
+    SELECT source, lang, size_band,
+           any_value(n)::BIGINT AS group_size,
+           count(*)::BIGINT AS distinct_l,
+           round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) + 0.0
+               AS entropy_nats,
+           (max(CASE WHEN rnk = 1 THEN c ELSE 0 END)
+            < {LDIV_C} * sum(CASE WHEN rnk >= {LDIV_L} THEN c ELSE 0 END))
+               AS satisfies_recursive
+    FROM ranked GROUP BY source, lang, size_band
+    """,
+    tags=("llm", "privacy"),
+)
+def privacy_entropy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy and recursive (c,l)-diversity — the STRONGER diversity
+    audits layered over privacy_k_anonymity's distinct-count l: a group
+    whose sensitive values are 99% one bucket passes distinct-l yet leaks
+    almost surely, which entropy l-diversity (H(S|group) >= ln l) and
+    Machanavajjhala's recursive test (most-common count r1 <
+    c * (r_l + ... + r_m) — the tail must be able to 'absorb' the head)
+    both catch. Emits per quasi-group: size, distinct l, entropy in nats,
+    and the recursive verdict at the stated (c, l).
+
+    Exactness: the sensitive histogram folds map-side to exact BIGINT
+    cells; the recursive test is a PURE INTEGER comparison (rank by count
+    desc with deterministic bucket tie-break, tail sum vs c*head); only
+    entropy is float — rationals of exact counts, aggregate-rounded 6dp
+    (rules 1/6/8). The rank window is PARTITIONED by quasi-group over the
+    <= 10-cell sensitive domain.
+
+    At 100 TB: one partial agg to cells; every window and fold runs on
+    |groups| x |sensitive domain| rows."""
+    docs = load(spark, sf_dir, "documents")
+    size_band = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 800, "medium")
+        .otherwise("long")
+    )
+    cells = (
+        docs.select(
+            "source",
+            "lang",
+            size_band.alias("size_band"),
+            (F.col("doc_id") % 10).alias("sensitive_bucket"),
+        )
+        .groupBy("source", "lang", "size_band", "sensitive_bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wg = Window.partitionBy("source", "lang", "size_band")
+    ranked = cells.select(
+        "*",
+        F.row_number()
+        .over(wg.orderBy(F.col("c").desc(), F.col("sensitive_bucket").asc()))
+        .alias("rnk"),
+        F.sum("c").over(wg).alias("n"),
+    )
+    return ranked.groupBy("source", "lang", "size_band").agg(
+        F.max("n").alias("group_size"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        (
+            F.round(
+                -F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * F.log(F.col("c").cast("double") / F.col("n"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("entropy_nats"),
+        (
+            F.max(F.when(F.col("rnk") == 1, F.col("c")).otherwise(0))
+            < LDIV_C
+            * F.sum(F.when(F.col("rnk") >= LDIV_L, F.col("c")).otherwise(0))
+        ).alias("satisfies_recursive"),
+    )

@@ -5304,3 +5304,264 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("obar") * (1.0 - F.max("obar")), 6) + F.lit(0.0)
         ).alias("uncertainty"),
     )
+
+
+@query(
+    "stats_friedman",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1, 2
+    ),
+    k AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM daily),
+    blocks AS MATERIALIZED (
+        SELECT d.* FROM daily d
+        JOIN (SELECT day FROM daily GROUP BY day
+              HAVING count(*) = (SELECT k FROM k)) c ON c.day = d.day
+    ),
+    vals AS (
+        SELECT day, xc, count(*)::BIGINT AS t,
+               sum(count(*)) OVER (PARTITION BY day ORDER BY xc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum
+        FROM blocks GROUP BY day, xc
+    ),
+    ranked AS (
+        SELECT b.event_type, b.day,
+               (2 * (v.cum - v.t) + v.t + 1)::BIGINT AS r2, v.t
+        FROM blocks b JOIN vals v ON v.day = b.day AND v.xc = b.xc
+    ),
+    per_ch AS (
+        SELECT event_type, sum(r2)::BIGINT AS s2 FROM ranked GROUP BY event_type
+    ),
+    tot AS (
+        SELECT count(DISTINCT day)::BIGINT AS n,
+               sum(r2 * r2)::BIGINT AS a2,
+               sum(CASE WHEN t > 1 THEN 1 ELSE 0 END)::BIGINT AS n_tied_cells
+        FROM ranked
+    )
+    SELECT kk.k, t.n AS n_blocks, t.n_tied_cells,
+           round((kk.k - 1) * (SELECT sum((p.s2 / 2.0 - t.n * (kk.k + 1) / 2.0)
+                                          * (p.s2 / 2.0 - t.n * (kk.k + 1) / 2.0))
+                               FROM per_ch p)
+                 / nullif(t.a2 / 4.0
+                          - t.n * kk.k * (kk.k + 1.0) * (kk.k + 1.0) / 4.0, 0),
+                 4) + 0.0 AS chi2_friedman
+    FROM tot t CROSS JOIN k kk
+    """,
+    tags=("analytics", "stats"),
+)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test — the repeated-measures nonparametric: do the
+    channels' daily revenues differ when each DAY is its own block
+    (removing day-level shocks the unpaired kruskal would absorb as
+    noise)? Ranks are assigned WITHIN each complete block (days carrying
+    all k channels — incomplete blocks are excluded, stated), with tie
+    midranks, and the tie-corrected statistic
+    chi2 = (k-1) * sum_j (R_j - n(k+1)/2)^2 / (A - nk(k+1)^2/4) uses
+    A = sum r_ij^2 over all cells. Completes the location suite:
+    mannwhitney (2 unpaired), kruskal (k unpaired), wilcoxon (2 paired),
+    friedman (k blocked).
+
+    Exactness AND scale from the kruskal construction applied PER BLOCK:
+    cells fold map-side to (day, channel, cents); each block's midranks
+    come from the prefix sum over its own value support (2*midrank =
+    2*(cum - t) + t + 1, exact BIGINT; the window is PARTITIONED by day
+    — never a global sort); rank sums and the A-term are exact integer
+    folds, floats appear only in the 1-row readout (rules 1/6, 4dp,
+    -0.0 guard).
+
+    At 100 TB: one partial agg to cells, one per-block support window,
+    two folds — block count scales with the calendar, not the rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
+    kdf = daily.agg(F.count_distinct("event_type").alias("k"))
+    complete = (
+        daily.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("nch"))
+        .crossJoin(F.broadcast(kdf))
+        .filter(F.col("nch") == F.col("k"))
+        .select("day")
+    )
+    blocks = daily.join(complete, "day")
+    wcum = (
+        Window.partitionBy("day")
+        .orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vals = (
+        blocks.groupBy("day", "xc")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .select("day", "xc", "t", F.sum("t").over(wcum).alias("cum"))
+    )
+    ranked = blocks.join(vals, ["day", "xc"]).select(
+        "event_type",
+        "day",
+        (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("r2"),
+        "t",
+    )
+    per_ch = ranked.groupBy("event_type").agg(F.sum("r2").alias("s2"))
+    tot = ranked.agg(
+        F.count_distinct("day").alias("n"),
+        F.sum(F.col("r2") * F.col("r2")).alias("a2"),
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0)).alias("n_tied_cells"),
+    )
+    dev = per_ch.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(kdf)).agg(
+        F.sum(
+            (F.col("s2") / 2.0 - F.col("n") * (F.col("k") + 1) / 2.0)
+            * (F.col("s2") / 2.0 - F.col("n") * (F.col("k") + 1) / 2.0)
+        ).alias("ssq"),
+        F.max("n").alias("n"),
+        F.max("a2").alias("a2"),
+        F.max("n_tied_cells").alias("n_tied_cells"),
+        F.max("k").alias("k"),
+    )
+    chi2 = (
+        (F.col("k") - 1)
+        * F.col("ssq")
+        / F.nullif(
+            F.col("a2") / 4.0
+            - F.col("n")
+            * F.col("k")
+            * (F.col("k") + 1.0)
+            * (F.col("k") + 1.0)
+            / 4.0,
+            F.lit(0.0),
+        )
+    )
+    return dev.select(
+        "k",
+        F.col("n").alias("n_blocks"),
+        "n_tied_cells",
+        (F.round(chi2, 4) + F.lit(0.0)).alias("chi2_friedman"),
+    )
+
+
+@query(
+    "eval_isotonic_calibration",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               least(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     // {BRIER_BIN_W}, {BRIER_BINS - 1})::BIGINT AS bin,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT bin, count(*)::BIGINT AS nb, sum(y)::BIGINT AS npos
+        FROM pu GROUP BY bin
+    ),
+    pref AS (
+        SELECT bin, nb, npos,
+               sum(nb) OVER w::BIGINT AS cn,
+               sum(npos) OVER w::BIGINT AS cp
+        FROM b WINDOW w AS (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    iv AS (
+        SELECT j.bin AS j, k.bin AS k,
+               (k.cn - j.cn + j.nb)::BIGINT AS n_jk,
+               (k.cp - j.cp + j.npos)::BIGINT AS p_jk
+        FROM pref j JOIN pref k ON j.bin <= k.bin
+    ),
+    mm AS (
+        SELECT i.bin, v.j, min(v.p_jk::DOUBLE / v.n_jk) AS m
+        FROM b i JOIN iv v ON v.j <= i.bin AND v.k >= i.bin
+        GROUP BY i.bin, v.j
+    ),
+    fit AS (SELECT bin, max(m) AS f FROM mm GROUP BY bin)
+    SELECT b.bin, b.nb, b.npos,
+           (b.npos * 1000000 // b.nb)::BIGINT AS rate_ppm,
+           round(f.f, 6) + 0.0 AS iso_fit
+    FROM b JOIN fit f ON f.bin = b.bin
+    """,
+    tags=("analytics", "ml", "eval"),
+)
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration by the MINIMAX identity — pool-adjacent-
+    violators without the sequential pooling loop: the PAV solution obeys
+    f_i = max_(j<=i) min_(k>=i) mean(y[j..k]) (Ayer et al. 1955), and over
+    a BINNED score axis that minimax is a bounded relational computation
+    — interval sums from one prefix-sum window, |bins|^2/2 interval rows,
+    two grouped folds — where textbook PAV is an inherently sequential
+    pool-merge loop. The op that turns eval_brier_decomposition's
+    diagnosis (reliability > 0) into the fix: the L2-optimal monotone
+    recalibration of the same engagement bins.
+
+    Exactness: bins/counts/interval sums are exact BIGINTs; the interval
+    means are rationals of those ints (identical trees — rule 9), so the
+    min/max lattice selects identical values on both engines; the fitted
+    probability rounds 6dp at output (rule 8), the raw rate ships as
+    integer ppm (rule 25). Property pins: the fit is non-decreasing in
+    the bin order, pools preserve mass (sum nb*f = sum npos), and its
+    weighted MSE never exceeds the best constant's (obar) — PAV
+    optimality against the constant monotone baseline.
+
+    At 100 TB: one partial agg to users, one to bins; everything after
+    runs on frames bounded by BRIER_BINS^2 rows."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.expr(
+            f"least(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            f" div {BRIER_BIN_W}, {BRIER_BINS - 1})"
+        ).alias("bin"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    b = pu.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("y").alias("npos")
+    )
+    wpre = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = b.select(
+        "bin",
+        "nb",
+        "npos",
+        F.sum("nb").over(wpre).alias("cn"),
+        F.sum("npos").over(wpre).alias("cp"),
+    )
+    j = pref.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+        F.col("nb").alias("jnb"),
+        F.col("npos").alias("jnp"),
+    )
+    k = pref.select(
+        F.col("bin").alias("k"), F.col("cn").alias("kcn"), F.col("cp").alias("kcp")
+    )
+    iv = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (F.col("kcn") - F.col("jcn") + F.col("jnb")).alias("n_jk"),
+            (F.col("kcp") - F.col("jcp") + F.col("jnp")).alias("p_jk"),
+        )
+    )
+    mm = (
+        b.select(F.col("bin").alias("i"))
+        .join(iv, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min(F.col("p_jk").cast("double") / F.col("n_jk")).alias("m"))
+    )
+    fit = mm.groupBy("i").agg(F.max("m").alias("f"))
+    return b.join(fit, b.bin == fit.i).select(
+        "bin",
+        "nb",
+        "npos",
+        F.expr("npos * 1000000 div nb").alias("rate_ppm"),
+        (F.round(F.col("f"), 6) + F.lit(0.0)).alias("iso_fit"),
+    )

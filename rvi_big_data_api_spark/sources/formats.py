@@ -1660,3 +1660,119 @@ def sink_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+TT_COMMITS = (  # (version, commit_ts) — fixed literals, the snapshot log
+    (1, "2024-01-01 00:00:00"),
+    (2, "2024-02-01 00:00:00"),
+    (3, "2024-03-01 00:00:00"),
+)
+TT_ASOF_TS = "2024-01-15 00:00:00"  # resolves to v1 (latest commit <= ts)
+TT_ASOF_VERSION = 2
+
+
+@query(
+    "scan_snapshot_timetravel",
+    oracle=f"""
+    SELECT 'latest' AS travel_mode, 3::BIGINT AS resolved_version,
+           3::BIGINT AS n_files, count(*)::BIGINT AS n_rows,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
+    FROM orders
+    WHERE o_orderkey % 3 IN (1, 2)
+       OR (o_orderkey % 3 = 0 AND floor(o_totalprice * 100 + 0.5)::BIGINT % 2 = 0)
+    UNION ALL
+    SELECT 'as_of_timestamp', 1::BIGINT, 2::BIGINT, count(*)::BIGINT,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'as_of_version', {TT_ASOF_VERSION}::BIGINT, 3::BIGINT,
+           count(*)::BIGINT,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+    FROM orders
+    """,
+    tags=("scan", "lakehouse"),
+)
+def scan_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over manifest snapshots — the READ-side resolution
+    rules every table format implements (Iceberg's snapshot log /
+    Delta's version log), completing the lifecycle family
+    (scan_snapshot_manifest reads one version, sink_snapshot_commit
+    writes, _gc expires, _rollback restores; this op RESOLVES):
+    `VERSION AS OF v` selects manifest v directly; `TIMESTAMP AS OF t`
+    selects the LATEST version whose commit timestamp <= t — the log is
+    (version, commit_ts) metadata, so both resolutions are manifest-only
+    decisions made before any data file opens. Stages the
+    sink_snapshot_commit lake (v1 = two files; v2 appends; v3
+    copy-on-write deletes) with a fixed-literal commit log, resolves
+    'latest', an AS-OF version, and an AS-OF timestamp that lands
+    between commits (=> v1 — the boundary rule the twin pins), and
+    audits each resolved snapshot through its manifest.
+
+    The .collect() reads the snapshot log + manifests (metadata rows) —
+    the coordinator planning phase; at 100 TB the resolved file list
+    feeds the same distributed scan as any other read, and the audit
+    aggregate is the data plane's only pass."""
+    base = scratch_dir(sf_dir, "timetravel")
+    o = load(spark, sf_dir, "orders")
+    paths = {}
+    for name, residue in (("A", 0), ("B", 1), ("C", 2)):
+        path = os.path.join(base, f"data_{name}")
+        o.filter(F.col("o_orderkey") % 3 == residue).write.mode(
+            "overwrite"
+        ).parquet(path)
+        paths[name] = path
+    a2 = os.path.join(base, "data_A2")
+    (
+        o.filter(
+            (F.col("o_orderkey") % 3 == 0)
+            & (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 2 == 0)
+        )
+        .write.mode("overwrite")
+        .parquet(a2)
+    )
+    manifest = spark.createDataFrame(
+        [
+            (1, paths["A"]), (1, paths["B"]),
+            (2, paths["A"]), (2, paths["B"]), (2, paths["C"]),
+            (3, a2), (3, paths["B"]), (3, paths["C"]),
+        ],
+        "version bigint, file_path string",
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(base, "manifest"))
+    log = spark.createDataFrame(
+        [(v, ts) for v, ts in TT_COMMITS], "version bigint, commit_ts string"
+    )
+    log.write.mode("overwrite").parquet(os.path.join(base, "snaplog"))
+    # --- resolution (metadata-only, coordinator plane) ---------------------
+    log_rows = sorted(
+        (r["version"], r["commit_ts"])
+        for r in spark.read.parquet(os.path.join(base, "snaplog")).collect()
+    )
+    latest_v = max(v for v, _ in log_rows)
+    asof_ts_v = max(v for v, ts in log_rows if ts <= TT_ASOF_TS)
+    mrows = spark.read.parquet(os.path.join(base, "manifest")).collect()
+    out = None
+    for mode, v in (
+        ("latest", latest_v),
+        ("as_of_timestamp", asof_ts_v),
+        ("as_of_version", TT_ASOF_VERSION),
+    ):
+        files = sorted(r["file_path"] for r in mrows if r["version"] == v)
+        snap = (
+            spark.read.parquet(*files)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("total_cents"),
+            )
+            .select(
+                F.lit(mode).alias("travel_mode"),
+                F.lit(v).cast("long").alias("resolved_version"),
+                F.lit(len(files)).cast("long").alias("n_files"),
+                "n_rows",
+                "total_cents",
+            )
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

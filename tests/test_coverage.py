@@ -733,6 +733,14 @@ EXTENSIONS = [
     "ts_periodogram",
     # round 11: streaming language-mix drift monitor (lang-id model consumer)
     "stream_lang_drift",
+    # round 11: Friedman blocked rank test (per-block support midranks)
+    "stats_friedman",
+    # round 11: isotonic calibration via the minimax PAV identity
+    "eval_isotonic_calibration",
+    # round 11: snapshot time travel (version / timestamp resolution)
+    "scan_snapshot_timetravel",
+    # round 11: entropy + recursive (c,l)-diversity audits
+    "privacy_entropy_ldiv",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

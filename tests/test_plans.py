@@ -1498,3 +1498,25 @@ def test_round11_wave2_plans(spark, sf_dir, name, max_bnlj):
     assert "CartesianProduct" not in plan, name
     assert "EvalPython" not in plan, name
     assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name
+
+
+@pytest.mark.parametrize(
+    "name,max_bnlj",
+    [
+        # friedman ends in scalar folds (k + tie totals); the isotonic
+        # minimax's j<=k / j<=i<=k interval joins are non-equi over the
+        # <= BRIER_BINS-row bin frame — model-sized by construction, the
+        # one place a bounded BNLJ is the honest plan
+        ("stats_friedman", 3),
+        ("eval_isotonic_calibration", 3),
+        ("privacy_entropy_ldiv", 0),
+    ],
+)
+def test_round11_wave3_plans(spark, sf_dir, name, max_bnlj):
+    """Wave-3 additions: no cartesian, no Python eval, BNLJ bounded to the
+    declared scalar folds / bin-frame interval joins."""
+    qe = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "EvalPython" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name

@@ -472,3 +472,154 @@ def test_stream_lang_drift_reconciles_with_batch_confusion(spark, sf_dir):
         assert r["n_docs"] == col_sums[lang], lang
         assert r["pred_share_ppm"] == col_sums[lang] * 1_000_000 // n
         assert r["drift_ppm"] == r["pred_share_ppm"] - r["label_share_ppm"]
+
+
+# --- stats_friedman: blocked midranks vs scipy-style replica ---------------------
+
+
+def test_friedman_matches_python_replica(spark, sf_dir):
+    """Replay the blocked midrank construction and the tie-corrected
+    statistic driver-side; within-block doubled rank sums must telescope
+    to k(k+1) per block (conservation)."""
+    from collections import defaultdict
+
+    daily = defaultdict(dict)
+    for e in load(spark, sf_dir, "events").collect():
+        d = str(e.ts.date())
+        daily[d][e.event_type] = daily[d].get(e.event_type, 0) + math.floor(
+            e.value * 100 + 0.5
+        )
+    k = len({ch for day in daily.values() for ch in day})
+    blocks = {d: chs for d, chs in daily.items() if len(chs) == k}
+    n = len(blocks)
+    s2 = defaultdict(int)
+    a2 = 0
+    tied = 0
+    for chs in blocks.values():
+        vals = sorted(chs.values())
+        for ch, x in chs.items():
+            lt = sum(1 for v in vals if v < x)
+            t = sum(1 for v in vals if v == x)
+            r2 = 2 * lt + t + 1
+            s2[ch] += r2
+            a2 += r2 * r2
+        for v in set(vals):
+            if vals.count(v) > 1:
+                tied += vals.count(v)
+        # conservation: doubled ranks in a block sum to k(k+1)
+        assert sum(
+            2 * sum(1 for v in vals if v < x) + sum(1 for v in vals if v == x) + 1
+            for x in chs.values()
+        ) == k * (k + 1)
+    ssq = sum((v / 2.0 - n * (k + 1) / 2.0) ** 2 for v in s2.values())
+    want = (k - 1) * ssq / (a2 / 4.0 - n * k * (k + 1.0) ** 2 / 4.0)
+    row = _df("stats_friedman", spark, sf_dir).collect()[0]
+    assert row["k"] == k and row["n_blocks"] == n
+    assert abs(row["chi2_friedman"] - want) < 2e-4
+    assert 0.0 <= row["chi2_friedman"]
+
+
+# --- eval_isotonic_calibration: PAV laws -----------------------------------------
+
+
+def test_isotonic_matches_pav_and_optimality(spark, sf_dir):
+    """The minimax fit must equal sequential pool-adjacent-violators,
+    be non-decreasing, conserve mass (sum nb*f == sum npos), and beat
+    the constant baseline's weighted MSE (PAV optimality over monotone
+    fits; the constant obar is monotone)."""
+    rows = sorted(
+        _df("eval_isotonic_calibration", spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    # sequential PAV replica on the same bins
+    pools = []  # (n, pos)
+    for r in rows:
+        pools.append([r["nb"], r["npos"]])
+        while len(pools) > 1 and (
+            pools[-2][1] * pools[-1][0] >= pools[-1][1] * pools[-2][0]
+        ):
+            n2, p2 = pools.pop()
+            pools[-1][0] += n2
+            pools[-1][1] += p2
+    fits = []
+    for n_, p_ in pools:
+        fits.extend([p_ / n_] * 0)
+    # expand pools back to bins
+    expanded = []
+    i = 0
+    for n_, p_ in pools:
+        covered = 0
+        while covered < n_:
+            covered += rows[i]["nb"]
+            expanded.append(p_ / n_)
+            i += 1
+    for r, want in zip(rows, expanded):
+        assert abs(r["iso_fit"] - want) < 2e-6, r["bin"]
+    # monotone
+    for a, b in zip(rows, rows[1:]):
+        assert a["iso_fit"] <= b["iso_fit"] + 1e-12
+    # mass conservation
+    tot_pos = sum(r["npos"] for r in rows)
+    assert abs(sum(r["nb"] * r["iso_fit"] for r in rows) - tot_pos) < 1e-2
+    # optimality vs the constant monotone baseline
+    n = sum(r["nb"] for r in rows)
+    obar = tot_pos / n
+    mse_iso = sum(
+        r["nb"] * (r["npos"] / r["nb"] - r["iso_fit"]) ** 2 for r in rows
+    )
+    mse_const = sum(r["nb"] * (r["npos"] / r["nb"] - obar) ** 2 for r in rows)
+    assert mse_iso <= mse_const + 1e-9
+
+
+# --- scan_snapshot_timetravel: resolution laws ------------------------------------
+
+
+def test_timetravel_resolution(spark, sf_dir):
+    """latest resolves to the max version; AS-OF-timestamp between commits
+    resolves DOWN (to v1); AS-OF-version is exact; and each resolved
+    audit matches the raw key-slice recomputation."""
+    rows = {r["travel_mode"]: r for r in _df("scan_snapshot_timetravel", spark, sf_dir).collect()}
+    assert rows["latest"]["resolved_version"] == 3
+    assert rows["as_of_timestamp"]["resolved_version"] == 1
+    assert rows["as_of_version"]["resolved_version"] == 2
+    o = [
+        (r.o_orderkey, math.floor(r.o_totalprice * 100 + 0.5))
+        for r in load(spark, sf_dir, "orders").collect()
+    ]
+    v1 = [(k, c) for k, c in o if k % 3 in (0, 1)]
+    v3 = [(k, c) for k, c in o if k % 3 in (1, 2) or (k % 3 == 0 and c % 2 == 0)]
+    assert rows["as_of_timestamp"]["n_rows"] == len(v1)
+    assert rows["as_of_timestamp"]["total_cents"] == sum(c for _, c in v1)
+    assert rows["as_of_version"]["n_rows"] == len(o)
+    assert rows["latest"]["n_rows"] == len(v3)
+    assert rows["latest"]["total_cents"] == sum(c for _, c in v3)
+
+
+# --- privacy_entropy_ldiv: diversity laws ------------------------------------------
+
+
+def test_entropy_ldiv_laws(spark, sf_dir):
+    """Entropy <= ln(distinct_l) (uniform maximizes); entropy >= 0;
+    a group with distinct_l == 1 has entropy 0 and fails recursive;
+    recursive verdict matches a python replica from raw docs."""
+    from collections import Counter, defaultdict
+
+    from rvi_big_data_api_spark.operators.llm_text import LDIV_C, LDIV_L
+
+    groups = defaultdict(Counter)
+    for r in load(spark, sf_dir, "documents").collect():
+        band = "short" if r.n_chars < 200 else ("medium" if r.n_chars < 800 else "long")
+        groups[(r.source, r.lang, band)][r.doc_id % 10] += 1
+    rows = _df("privacy_entropy_ldiv", spark, sf_dir).collect()
+    assert len(rows) == len(groups)
+    for r in rows:
+        key = (r["source"], r["lang"], r["size_band"])
+        cnt = groups[key]
+        assert r["group_size"] == sum(cnt.values())
+        assert r["distinct_l"] == len(cnt)
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["distinct_l"]) + 1e-9
+        ordered = sorted(cnt.values(), reverse=True)
+        want = ordered[0] < LDIV_C * sum(ordered[LDIV_L - 1:])
+        assert r["satisfies_recursive"] == want, key
+        if r["distinct_l"] == 1:
+            assert r["entropy_nats"] == 0.0 and not r["satisfies_recursive"]
