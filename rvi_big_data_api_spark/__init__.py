@@ -55,6 +55,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "ts_periodogram", "stream_lang_drift",
     "stats_friedman", "eval_isotonic_calibration",
     "scan_snapshot_timetravel", "privacy_entropy_ldiv",
+    "agg_distinct_growth", "stats_proportion_ztest",
+    "corpus_quality_classifier", "stream_distinct_growth",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -1931,3 +1931,76 @@ def agg_log_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_bucket",
         lo("p99_bucket").alias("p99_lo_cents"),
     )
+
+
+@query(
+    "agg_distinct_growth",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily_users AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(DISTINCT user_id)::BIGINT AS active_users
+        FROM events GROUP BY 1
+    ),
+    new_per_day AS (
+        SELECT first_day AS day, count(*)::BIGINT AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT d.day, d.active_users,
+           COALESCE(n.new_users, 0)::BIGINT AS new_users,
+           (d.active_users - COALESCE(n.new_users, 0))::BIGINT AS returning_users,
+           sum(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cumulative_distinct
+    FROM daily_users d LEFT JOIN new_per_day n ON n.day = d.day
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-cardinality GROWTH curve — the audience-accounting query
+    behind every 'cumulative unique users' dashboard, computed EXACTLY
+    without re-scanning history per day: a naive implementation runs one
+    count-distinct per day over all data up to that day (quadratic in the
+    calendar); this op derives each user's FIRST-SEEN day once (one
+    partial agg), so new-user counts per day are a second tiny agg and
+    the cumulative distinct curve is a prefix sum over the calendar —
+    the classic first-touch decomposition: active = new + returning,
+    cumulative(d) = sum of new through d.
+
+    All exact BIGINT counts; the only window is the prefix sum over the
+    day support. The per-day count(DISTINCT user) is the one shuffle-wide
+    term and it partial-aggs on (day, user) first.
+
+    At 100 TB: two passes (first-seen fold; daily activity fold), both
+    partial-agg friendly; the growth curve itself lives on the
+    calendar-bounded frame. This exact shape replaces an HLL union chain
+    when exactness is required (agg_sketch_rollup is the sketch
+    alternative when it is not)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    first_seen = ev.groupBy("user_id").agg(F.min(day.alias("d")).alias("first_day"))
+    daily_users = ev.groupBy(day.alias("day")).agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+    new_per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = daily_users.join(new_per_day, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+    )
+    return joined.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(wcum).alias("cumulative_distinct"),
+    )

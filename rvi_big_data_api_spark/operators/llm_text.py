@@ -5155,3 +5155,191 @@ def privacy_entropy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sum(F.when(F.col("rnk") >= LDIV_L, F.col("c")).otherwise(0))
         ).alias("satisfies_recursive"),
     )
+
+
+# --- round 11: in-plan quality classifier (the CCNet gate, rule-29 GD) --------
+
+QC_ITERS = 5
+QC_STEP_X1M = 20000  # lr * 1e6 => lr = 0.02 in the micro-unit quantizer
+# Stated, data-independent feature centerings (the ml_logreg_train rule):
+# x1 = lexical-diversity percent - 50, x2 = n_chars div 100 - 3,
+# x3 = token count div 10 - 4; label = even-numbered source ("curated" set).
+QC_FEATURES_SQL = (
+    "len(list_distinct(string_split(text, ' '))) * 1000000"
+    " // len(string_split(text, ' ')) // 10000 - 50",
+    "n_chars // 100 - 3",
+    "len(string_split(text, ' ')) // 10 - 4",
+)
+QC_LABEL_SQL = "CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 1 ELSE 0 END"
+
+
+def _qc_oracle_sql() -> str:
+    """Generated chained-CTE twin of corpus_quality_classifier — the
+    _logreg_oracle_sql machinery instantiated on document features."""
+    f1, f2, f3 = QC_FEATURES_SQL
+    parts = [
+        f"""WITH pu AS MATERIALIZED (
+        SELECT doc_id,
+               ({f1})::BIGINT AS x1,
+               ({f2})::BIGINT AS x2,
+               ({f3})::BIGINT AS x3,
+               ({QC_LABEL_SQL})::BIGINT AS y
+        FROM documents
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM pu),
+    w_0 AS (SELECT 0::BIGINT AS w0m, 0::BIGINT AS w1m,
+                   0::BIGINT AS w2m, 0::BIGINT AS w3m)"""
+    ]
+    for t in range(1, QC_ITERS + 1):
+        parts.append(
+            f""",
+    z_{t} AS (
+        SELECT p.doc_id, p.x1, p.x2, p.x3, p.y,
+               (w.w0m + w.w1m * p.x1 + w.w2m * p.x2 + w.w3m * p.x3)::BIGINT
+                   AS zm
+        FROM pu p CROSS JOIN w_{t - 1} w
+    ),
+    g_{t} AS (
+        SELECT
+            floor(sum(1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) / n.n
+                  * {QC_STEP_X1M} + 0.5)::BIGINT AS d0,
+            floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x1) / n.n
+                  * {QC_STEP_X1M} + 0.5)::BIGINT AS d1,
+            floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x2) / n.n
+                  * {QC_STEP_X1M} + 0.5)::BIGINT AS d2,
+            floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x3) / n.n
+                  * {QC_STEP_X1M} + 0.5)::BIGINT AS d3
+        FROM z_{t} CROSS JOIN n GROUP BY n.n
+    ),
+    w_{t} AS MATERIALIZED (
+        SELECT w.w0m - g.d0 AS w0m, w.w1m - g.d1 AS w1m,
+               w.w2m - g.d2 AS w2m, w.w3m - g.d3 AS w3m
+        FROM w_{t - 1} w CROSS JOIN g_{t} g
+    ),
+    m_{t} AS (
+        SELECT {t}::BIGINT AS iteration, w.w0m, w.w1m, w.w2m, w.w3m,
+               (sum(CASE WHEN (zm >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                   * 1000000 // count(*))::BIGINT AS accuracy_ppm,
+               round(avg(ln(1.0 + exp(-(2 * y - 1) * (zm / 1000000.0)))), 6)
+                   + 0.0 AS logloss
+        FROM (
+            SELECT p.y,
+                   (w.w0m + w.w1m * p.x1 + w.w2m * p.x2 + w.w3m * p.x3)::BIGINT
+                       AS zm
+            FROM pu p CROSS JOIN w_{t} w
+        ) q CROSS JOIN w_{t} w
+        GROUP BY w.w0m, w.w1m, w.w2m, w.w3m
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m_{t}" for t in range(1, QC_ITERS + 1)
+    )
+    parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+@query(
+    "corpus_quality_classifier",
+    oracle=_qc_oracle_sql(),
+    tags=("llm", "corpus", "ml"),
+)
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style QUALITY CLASSIFIER trained in-engine — the second
+    consumer of the ml_logreg_train machinery (PARITY rule 29) and the
+    named stage of corpus curation it exists for: learn to separate a
+    'curated' source set from the rest using stated text features
+    (lexical-diversity percent, length decile, token-count decile — all
+    integer-centered, never fitted), then ship per-iteration weights,
+    training accuracy and log-loss so the gate's operating point is
+    auditable. In production the label is wiki-vs-crawl; here it is the
+    even-numbered sources — stated, deterministic, and enough to prove
+    the training loop end-to-end.
+
+    MICRO-QUANTIZED integer weights (delta = floor(mean_grad *
+    QC_STEP_X1M + 0.5)) make the trajectory exact BIGINTs; accuracy
+    reads the SIGN of the exact integer logit; log-loss is the only
+    float, aggregate-rounded 6dp. Execution is the treeAggregate loop:
+    the checkpointed doc-feature frame, one distributed gradient
+    aggregate per step, O(features) driver state.
+
+    At 100 TB: the feature build is the only corpus pass; QC_ITERS * 2
+    aggregates over the checkpointed frame."""
+    import math
+
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    d = load(spark, sf_dir, "documents")
+    pu = d.select(
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L"
+            " div size(split(text, ' ')) div 10000 - 50"
+        ).alias("x1"),
+        F.expr("n_chars div 100 - 3").alias("x2"),
+        F.expr("size(split(text, ' ')) div 10 - 4").cast("long").alias("x3"),
+        F.expr(
+            "CASE WHEN cast(substring(source, 4) as int) % 2 = 0"
+            " THEN 1 ELSE 0 END"
+        ).cast("long").alias("y"),
+    ).checkpoint(eager=True)
+    n = pu.count()
+    w = [0, 0, 0, 0]
+    out_rows = []
+    for t in range(1, QC_ITERS + 1):
+        zm = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = 1.0 / (1.0 + F.exp(-(zm / 1000000.0)))
+        g = pu.agg(
+            F.sum(p - F.col("y")).alias("g0"),
+            F.sum((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.sum((p - F.col("y")) * F.col("x2")).alias("g2"),
+            F.sum((p - F.col("y")) * F.col("x3")).alias("g3"),
+        ).collect()[0]
+        for k in range(4):
+            w[k] -= math.floor(g[f"g{k}"] / n * QC_STEP_X1M + 0.5)
+        zm2 = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        m = pu.agg(
+            F.sum(
+                F.when((zm2 >= 0) == (F.col("y") == 1), 1).otherwise(0)
+            ).alias("correct"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.avg(
+                F.log(
+                    1.0 + F.exp(-(2 * F.col("y") - 1) * (zm2 / 1000000.0))
+                )
+            ).alias("ll"),
+        ).collect()[0]
+        out_rows.append(
+            (
+                t,
+                w[0],
+                w[1],
+                w[2],
+                w[3],
+                m["correct"] * 1_000_000 // m["cnt"],
+                float(m["ll"]),
+            )
+        )
+    out = spark.createDataFrame(
+        out_rows,
+        "iteration long, w0m long, w1m long, w2m long, w3m long,"
+        " accuracy_ppm long, ll double",
+    )
+    return out.select(
+        "iteration",
+        "w0m",
+        "w1m",
+        "w2m",
+        "w3m",
+        "accuracy_ppm",
+        (F.round(F.col("ll"), 6) + F.lit(0.0)).alias("logloss"),
+    )

@@ -5565,3 +5565,118 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("npos * 1000000 div nb").alias("rate_ppm"),
         (F.round(F.col("f"), 6) + F.lit(0.0)).alias("iso_fit"),
     )
+
+
+@query(
+    "stats_proportion_ztest",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END)::BIGINT AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS x
+        FROM pu GROUP BY arm
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'control' THEN n END)::BIGINT AS n_c,
+               max(CASE WHEN arm = 'control' THEN x END)::BIGINT AS x_c,
+               max(CASE WHEN arm = 'treatment' THEN n END)::BIGINT AS n_t,
+               max(CASE WHEN arm = 'treatment' THEN x END)::BIGINT AS x_t
+        FROM arms
+    )
+    SELECT n_c, x_c, n_t, x_t,
+           (x_c * 1000000 // n_c)::BIGINT AS rate_c_ppm,
+           (x_t * 1000000 // n_t)::BIGINT AS rate_t_ppm,
+           round((x_t::DOUBLE / n_t - x_c::DOUBLE / n_c)
+                 / nullif(sqrt(((x_c + x_t)::DOUBLE / (n_c + n_t))
+                               * (1.0 - (x_c + x_t)::DOUBLE / (n_c + n_t))
+                               * (1.0 / n_c + 1.0 / n_t)), 0), 4) + 0.0 AS z_pooled,
+           round(greatest(abs(x_t::DOUBLE / n_t - x_c::DOUBLE / n_c)
+                          - (0.5 / n_c + 0.5 / n_t), 0.0)
+                 / nullif(sqrt(((x_c + x_t)::DOUBLE / (n_c + n_t))
+                               * (1.0 - (x_c + x_t)::DOUBLE / (n_c + n_t))
+                               * (1.0 / n_c + 1.0 / n_t)), 0), 4) + 0.0
+               AS z_continuity
+    FROM wide
+    """,
+    tags=("analytics", "stats", "eval"),
+)
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion — the first test every A/B
+    readout runs (eval_ab_cuped adjusts a MEAN; this tests a RATE): did
+    treatment change the share of users who purchase at all? Pooled-SE z
+    plus Yates' continuity-corrected |z| (the small-sample guard), both
+    from exact per-arm BIGINT counts; the deterministic md5-nibble arm
+    assignment is the suite's standard (stream_msprt_monitor /
+    eval_ratio_delta_ci use the same hash, so the experiment family reads
+    one consistent randomization).
+
+    Exactness: counts fold map-side; rates ship as integer ppm (rule
+    25); the z statistics are rationals of exact ints evaluated in the
+    1-row readout only, rounded 4dp (rules 1/6/8) with nullif guards on
+    degenerate arms.
+
+    At 100 TB: one partial agg to users, one to arms — the cheapest
+    experiment-analysis shape there is."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) >= "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        "converted",
+    )
+    arms = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("x"))).alias("x_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("x"))).alias("x_t"),
+    )
+    p_pool = (F.col("x_c") + F.col("x_t")).cast("double") / (
+        F.col("n_c") + F.col("n_t")
+    )
+    se = F.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+    )
+    diff = F.col("x_t").cast("double") / F.col("n_t") - F.col("x_c").cast(
+        "double"
+    ) / F.col("n_c")
+    cc = 0.5 / F.col("n_c") + 0.5 / F.col("n_t")
+    return wide.select(
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        F.expr("x_c * 1000000 div n_c").alias("rate_c_ppm"),
+        F.expr("x_t * 1000000 div n_t").alias("rate_t_ppm"),
+        (F.round(diff / F.nullif(se, F.lit(0.0)), 4) + F.lit(0.0)).alias(
+            "z_pooled"
+        ),
+        (
+            F.round(
+                F.greatest(F.abs(diff) - cc, F.lit(0.0))
+                / F.nullif(se, F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z_continuity"),
+    )

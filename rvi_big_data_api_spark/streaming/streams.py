@@ -2914,3 +2914,86 @@ def stream_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_ppm"),
         )
     )
+
+
+# --- round 11: streaming distinct-growth (first-touch) monitor ------------------
+
+
+@query(
+    "stream_distinct_growth",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily_users AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(DISTINCT user_id)::BIGINT AS active_users
+        FROM events GROUP BY 1
+    ),
+    new_per_day AS (
+        SELECT first_day AS day, count(*)::BIGINT AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT d.day, d.active_users,
+           COALESCE(n.new_users, 0)::BIGINT AS new_users,
+           (d.active_users - COALESCE(n.new_users, 0))::BIGINT AS returning_users,
+           sum(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cumulative_distinct
+    FROM daily_users d LEFT JOIN new_per_day n ON n.day = d.day
+    """,
+    tags=("streaming", "agg", "analytics"),
+)
+def stream_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE audience-growth monitor — agg_distinct_growth's streaming
+    twin: the stream maintains TWO bounded state tables in complete mode
+    (per-user first-seen day — state bounded by the population, the
+    stream_ab_experiment rule; and per-(day, user) activity cells —
+    calendar x population bounded), and each refresh re-derives the
+    first-touch decomposition: active = new + returning, cumulative
+    distinct = prefix sum of new. This is how a real dashboard gets an
+    EXACT cumulative-unique-users curve without re-scanning history per
+    refresh — the naive per-day count-distinct-over-all-history is
+    quadratic in the calendar; the first-touch state is one row per
+    user, updated monotonically (min is the idempotent fold, so late or
+    replayed events cannot corrupt it).
+
+    One availableNow pass makes both tables equal the batch answer, which
+    the shared oracle pins (stream == batch by construction; property
+    test pins it row-for-row against agg_distinct_growth)."""
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    fs_s = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min(day).alias("first_day"))
+    )
+    act_s = (
+        stream_events(spark, sf_dir)
+        .groupBy(day.alias("day"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    first_seen = run_to_table(fs_s, sf_dir, "growth_first", "complete")
+    activity = run_to_table(act_s, sf_dir, "growth_act", "complete")
+    daily_users = activity.groupBy("day").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+    new_per_day = first_seen.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = daily_users.join(new_per_day, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+    )
+    return joined.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(wcum).alias("cumulative_distinct"),
+    )

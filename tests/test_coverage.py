@@ -741,6 +741,14 @@ EXTENSIONS = [
     "scan_snapshot_timetravel",
     # round 11: entropy + recursive (c,l)-diversity audits
     "privacy_entropy_ldiv",
+    # round 11: exact cumulative-distinct growth (first-touch decomposition)
+    "agg_distinct_growth",
+    # round 11: two-proportion z-test (pooled + continuity-corrected)
+    "stats_proportion_ztest",
+    # round 11: CCNet-shape quality classifier (rule-29 GD, consumer #2)
+    "corpus_quality_classifier",
+    # round 11: streaming first-touch audience-growth twin
+    "stream_distinct_growth",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

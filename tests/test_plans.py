@@ -1520,3 +1520,19 @@ def test_round11_wave3_plans(spark, sf_dir, name, max_bnlj):
     assert "CartesianProduct" not in plan, name
     assert "EvalPython" not in plan, name
     assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name
+
+
+@pytest.mark.parametrize(
+    "name,max_bnlj",
+    [
+        ("agg_distinct_growth", 0),
+        ("stats_proportion_ztest", 0),
+    ],
+)
+def test_round11_wave4_plans(spark, sf_dir, name, max_bnlj):
+    """Wave-4 additions plan pure partial-agg + equi-join shapes."""
+    qe = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "EvalPython" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name

@@ -623,3 +623,118 @@ def test_entropy_ldiv_laws(spark, sf_dir):
         assert r["satisfies_recursive"] == want, key
         if r["distinct_l"] == 1:
             assert r["entropy_nats"] == 0.0 and not r["satisfies_recursive"]
+
+
+# --- agg_distinct_growth / stream_distinct_growth ---------------------------------
+
+
+def test_distinct_growth_laws_and_stream_twin(spark, sf_dir):
+    """Conservation laws: active = new + returning per day; cumulative is
+    non-decreasing and ends at the total distinct-user count; the first
+    day has zero returning users; the streaming twin equals the batch op
+    row-for-row."""
+    rows = sorted(
+        _df("agg_distinct_growth", spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    total_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[0]["returning_users"] == 0
+    prev = 0
+    for r in rows:
+        assert r["active_users"] == r["new_users"] + r["returning_users"]
+        assert r["cumulative_distinct"] >= prev
+        prev = r["cumulative_distinct"]
+    assert rows[-1]["cumulative_distinct"] == total_users
+    got_s = sorted(
+        map(tuple, _df("stream_distinct_growth", spark, sf_dir).collect())
+    )
+    got_b = sorted(map(tuple, rows))
+    assert got_s == got_b
+
+
+# --- stats_proportion_ztest: replica + sign laws -----------------------------------
+
+
+def test_proportion_ztest_matches_python(spark, sf_dir):
+    """Exact-count replica; 0 <= z_continuity <= |z_pooled| + tolerance
+    (the correction shrinks |z| toward zero, clamped at 0); exact ppm
+    rates."""
+    from collections import defaultdict
+
+    arms = defaultdict(lambda: [0, 0])
+    acc = defaultdict(int)
+    for e in load(spark, sf_dir, "events").collect():
+        if e.event_type == "purchase" and math.floor(e.value * 100 + 0.5) > 15000:
+            acc[e.user_id] = 1
+        else:
+            acc.setdefault(e.user_id, 0)
+    for uid, conv in acc.items():
+        arm = "treatment" if hashlib.md5(str(uid).encode()).hexdigest()[0] >= "8" else "control"
+        arms[arm][0] += 1
+        arms[arm][1] += conv
+    (n_c, x_c), (n_t, x_t) = arms["control"], arms["treatment"]
+    row = _df("stats_proportion_ztest", spark, sf_dir).collect()[0]
+    assert (row["n_c"], row["x_c"], row["n_t"], row["x_t"]) == (n_c, x_c, n_t, x_t)
+    assert row["rate_c_ppm"] == x_c * 1_000_000 // n_c
+    assert row["rate_t_ppm"] == x_t * 1_000_000 // n_t
+    p = (x_c + x_t) / (n_c + n_t)
+    se = math.sqrt(p * (1 - p) * (1 / n_c + 1 / n_t))
+    z = (x_t / n_t - x_c / n_c) / se
+    zc = max(abs(x_t / n_t - x_c / n_c) - (0.5 / n_c + 0.5 / n_t), 0.0) / se
+    assert abs(row["z_pooled"] - z) < 2e-4
+    assert abs(row["z_continuity"] - zc) < 2e-4
+    assert 0.0 <= row["z_continuity"] <= abs(row["z_pooled"]) + 1e-9
+
+
+# --- corpus_quality_classifier: rule-29 replica -------------------------------------
+
+
+def test_quality_classifier_matches_python_replica(spark, sf_dir):
+    """Replay all QC_ITERS quantized gradient steps from raw documents —
+    integer weight trajectories exact, accuracy exact ppm, loss
+    non-increasing (lr far below the smoothness bound on centered
+    single-digit features)."""
+    from rvi_big_data_api_spark.operators.llm_text import QC_ITERS, QC_STEP_X1M
+
+    rows = []
+    for r in load(spark, sf_dir, "documents").collect():
+        toks = r.text.split(" ")
+        x1 = len(set(toks)) * 1_000_000 // len(toks) // 10000 - 50
+        x2 = r.n_chars // 100 - 3
+        x3 = len(toks) // 10 - 4
+        y = 1 if int(r.source[3:]) % 2 == 0 else 0
+        rows.append((x1, x2, x3, y))
+    n = len(rows)
+    w = [0, 0, 0, 0]
+    want = []
+    for t in range(1, QC_ITERS + 1):
+        g = [0.0] * 4
+        for x1, x2, x3, y in rows:
+            zm = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+            p = 1.0 / (1.0 + math.exp(-(zm / 1e6)))
+            g[0] += p - y
+            g[1] += (p - y) * x1
+            g[2] += (p - y) * x2
+            g[3] += (p - y) * x3
+        for k in range(4):
+            w[k] -= math.floor(g[k] / n * QC_STEP_X1M + 0.5)
+        correct, ll = 0, 0.0
+        for x1, x2, x3, y in rows:
+            zm = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+            correct += int((zm >= 0) == (y == 1))
+            ll += math.log(1.0 + math.exp(-(2 * y - 1) * (zm / 1e6)))
+        want.append((t, *w, correct * 1_000_000 // n, round(ll / n, 6)))
+    got = sorted(
+        (r["iteration"], r["w0m"], r["w1m"], r["w2m"], r["w3m"],
+         r["accuracy_ppm"], r["logloss"])
+        for r in _df("corpus_quality_classifier", spark, sf_dir).collect()
+    )
+    for (gt, *gv), (wt, *wv) in zip(got, want):
+        assert gt == wt
+        assert gv[:4] == wv[:4], (gt, gv, wv)
+        assert gv[4] == wv[4]
+        assert abs(gv[5] - wv[5]) < 2e-6
+    losses = [v[-1] for v in want]
+    assert losses[-1] <= losses[0]
