@@ -57,6 +57,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "scan_snapshot_timetravel", "privacy_entropy_ldiv",
     "agg_distinct_growth", "stats_proportion_ztest",
     "corpus_quality_classifier", "stream_distinct_growth",
+    "composite_price_volume_mix",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

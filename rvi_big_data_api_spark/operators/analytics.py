@@ -1372,3 +1372,110 @@ def eval_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean_milli"),
         )
     )
+
+
+PVM_Y0, PVM_Y1 = 1996, 1997  # the compared fiscal years
+
+
+@query(
+    "composite_price_volume_mix",
+    oracle=f"""
+    WITH cells AS (
+        SELECT p.p_brand AS brand, year(o.o_orderdate)::BIGINT AS yr,
+               sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                         + 0.5)::BIGINT)::BIGINT AS rev_cents,
+               sum(floor(l.l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS qty_c
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(o.o_orderdate) IN ({PVM_Y0}, {PVM_Y1})
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT brand,
+               max(CASE WHEN yr = {PVM_Y0} THEN rev_cents END)::BIGINT AS r0,
+               max(CASE WHEN yr = {PVM_Y0} THEN qty_c END)::BIGINT AS q0,
+               max(CASE WHEN yr = {PVM_Y1} THEN rev_cents END)::BIGINT AS r1,
+               max(CASE WHEN yr = {PVM_Y1} THEN qty_c END)::BIGINT AS q1
+        FROM cells GROUP BY brand
+        HAVING count(*) = 2
+    )
+    SELECT brand, r0 AS rev0_cents, r1 AS rev1_cents,
+           (r1 - r0)::BIGINT AS delta_cents,
+           round((r1::DOUBLE / q1 - r0::DOUBLE / q0) * q0, 4) + 0.0
+               AS price_effect,
+           round(r0::DOUBLE / q0 * (q1 - q0), 4) + 0.0 AS volume_effect,
+           round((r1::DOUBLE / q1 - r0::DOUBLE / q0) * (q1 - q0), 4) + 0.0
+               AS cross_effect
+    FROM wide
+    """,
+    tags=("composite", "analytics"),
+)
+def composite_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix decomposition — the finance-review question every
+    revenue dashboard eventually answers: of each brand's year-over-year
+    revenue change, how much came from charging MORE (price effect at
+    base volume), selling MORE (volume effect at base price), and the
+    interaction (cross effect)? The Laspeyres identity
+    delta = (p1-p0)*q0 + p0*(q1-q0) + (p1-p0)*(q1-q0) holds EXACTLY per
+    brand — pinned as a property — so the three effects are an audit, not
+    an approximation. Brands must trade in both years (HAVING count = 2,
+    stated).
+
+    Exactness: per-(brand, year) revenue and centi-quantity fold map-side
+    to exact BIGINTs; delta_cents is pure integer; unit prices are
+    rationals of those ints evaluated only in the |brands|-row readout,
+    effects rounded 4dp (rules 1/6/8).
+
+    At 100 TB: one partial agg over the fact join (the year filter prunes
+    partitions at scan), then a |brands|-row pivot — the standard
+    star-join decomposition shape."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .filter(F.year("o_orderdate").isin(PVM_Y0, PVM_Y1))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + 0.5
+                ).cast("long")
+            ).alias("rev_cents"),
+            F.sum(
+                F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+            ).alias("qty_c"),
+        )
+    )
+    wide = (
+        cells.groupBy("brand")
+        .agg(
+            F.max(F.when(F.col("yr") == PVM_Y0, F.col("rev_cents"))).alias("r0"),
+            F.max(F.when(F.col("yr") == PVM_Y0, F.col("qty_c"))).alias("q0"),
+            F.max(F.when(F.col("yr") == PVM_Y1, F.col("rev_cents"))).alias("r1"),
+            F.max(F.when(F.col("yr") == PVM_Y1, F.col("qty_c"))).alias("q1"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .filter(F.col("_c") == 2)
+    )
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    p0 = F.col("r0").cast("double") / F.col("q0")
+    return wide.select(
+        "brand",
+        F.col("r0").alias("rev0_cents"),
+        F.col("r1").alias("rev1_cents"),
+        (F.col("r1") - F.col("r0")).alias("delta_cents"),
+        (F.round((p1 - p0) * F.col("q0"), 4) + F.lit(0.0)).alias("price_effect"),
+        (F.round(p0 * (F.col("q1") - F.col("q0")), 4) + F.lit(0.0)).alias(
+            "volume_effect"
+        ),
+        (
+            F.round((p1 - p0) * (F.col("q1") - F.col("q0")), 4) + F.lit(0.0)
+        ).alias("cross_effect"),
+    )

@@ -5206,7 +5206,9 @@ BRIER_BINS = 10     # bins 0..9; the top bin absorbs the tail
            round(sum(nb * (o - obar) * (o - obar)) / any_value(n), 6) + 0.0
                AS resolution,
            round(any_value(obar) * (1.0 - any_value(obar)), 6) + 0.0
-               AS uncertainty
+               AS uncertainty,
+           round(sum(nb * abs(f - o)) / any_value(n), 6) + 0.0 AS ece,
+           round(max(abs(f - o)), 6) + 0.0 AS mce
     FROM terms
     """,
     tags=("analytics", "ml", "eval"),
@@ -5223,7 +5225,8 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     RES (how much the bins separate the base rate) is what the feature
     earns; UNC is the base rate's own variance. The identity holds
     EXACTLY for binned forecasts (Murphy 1973) and is pinned as a
-    property test.
+    property test. ECE/MCE (expected / maximum calibration error — the
+    deployment dashboard numbers) ride the same bin frame.
 
     Exactness: every input to every float is an exact BIGINT count folded
     map-side; f/o/obar are rationals of those ints (identical expression
@@ -5303,6 +5306,16 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.round(F.max("obar") * (1.0 - F.max("obar")), 6) + F.lit(0.0)
         ).alias("uncertainty"),
+        (
+            F.round(
+                F.sum(F.col("nb") * F.abs(F.col("f") - F.col("o"))) / F.max("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ece"),
+        (
+            F.round(F.max(F.abs(F.col("f") - F.col("o"))), 6) + F.lit(0.0)
+        ).alias("mce"),
     )
 
 
@@ -5441,22 +5454,15 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "eval_isotonic_calibration",
-    oracle=f"""
-    WITH pu AS (
-        SELECT user_id,
-               least(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                     // {BRIER_BIN_W}, {BRIER_BINS - 1})::BIGINT AS bin,
-               max(CASE WHEN event_type = 'purchase'
-                        AND floor(value * 100 + 0.5) > 15000
-                        THEN 1 ELSE 0 END)::BIGINT AS y
-        FROM events GROUP BY user_id
-    ),
-    b AS (
-        SELECT bin, count(*)::BIGINT AS nb, sum(y)::BIGINT AS npos
-        FROM pu GROUP BY bin
-    ),
+def _iso_minimax_sql(bins_sql: str) -> str:
+    """Generate the minimax-PAV CTE chain over any `b(bin, nb, npos)`
+    relation (bins_sql must end with a CTE named b) — shared by
+    eval_isotonic_calibration's oracle and the differential fuzzer,
+    which feeds literal VALUES histograms and compares against a
+    sequential pool-adjacent-violators replica."""
+    return (
+        bins_sql
+        + """,
     pref AS (
         SELECT bin, nb, npos,
                sum(nb) OVER w::BIGINT AS cn,
@@ -5479,8 +5485,27 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.bin, b.nb, b.npos,
            (b.npos * 1000000 // b.nb)::BIGINT AS rate_ppm,
            round(f.f, 6) + 0.0 AS iso_fit
-    FROM b JOIN fit f ON f.bin = b.bin
-    """,
+    FROM b JOIN fit f ON f.bin = b.bin"""
+    )
+
+
+
+@query(
+    "eval_isotonic_calibration",
+    oracle=_iso_minimax_sql(f"""
+    WITH pu AS (
+        SELECT user_id,
+               least(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     // {BRIER_BIN_W}, {BRIER_BINS - 1})::BIGINT AS bin,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT bin, count(*)::BIGINT AS nb, sum(y)::BIGINT AS npos
+        FROM pu GROUP BY bin
+    )"""),
     tags=("analytics", "ml", "eval"),
 )
 def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

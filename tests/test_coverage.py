@@ -749,6 +749,8 @@ EXTENSIONS = [
     "corpus_quality_classifier",
     # round 11: streaming first-touch audience-growth twin
     "stream_distinct_growth",
+    # round 11: Laspeyres price-volume-mix revenue decomposition
+    "composite_price_volume_mix",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

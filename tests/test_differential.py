@@ -2660,3 +2660,62 @@ def test_generated_lang_id_agrees_with_python_replica(duck, sf_dir, gram, dmod):
     for cell, (n_docs, share) in got.items():
         assert n_docs == want[cell], (gram, dmod, cell)
         assert share == want[cell] * 1_000_000 // lang_docs[cell[0]], (gram, dmod, cell)
+
+
+# --------------------------------------------------------------------------
+# Minimax-isotonic family (round 11): random binned histograms through the
+# GENERATED minimax-PAV chain on DuckDB vs a sequential pool-adjacent-
+# violators replica — cross-algebra: the relational max-min lattice must
+# equal the textbook pooling loop on every histogram, including all-zero,
+# already-monotone and strictly-decreasing shapes.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_bins=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_generated_minimax_isotonic_agrees_with_pav(duck, n_bins, seed):
+    import hashlib as _h
+
+    from rvi_big_data_api_spark.operators.ml_eval import _iso_minimax_sql
+
+    bins = []
+    for b in range(n_bins):
+        h = _h.md5(f"{seed}:{b}".encode()).hexdigest()
+        nb = int(h[:2], 16) % 50 + 1
+        npos = int(h[2:4], 16) % (nb + 1)
+        bins.append((b, nb, npos))
+    vals = ", ".join(f"({b}, {nb}, {np_})" for b, nb, np_ in bins)
+    sql = _iso_minimax_sql(
+        f"WITH b AS (SELECT bin::BIGINT AS bin, nb::BIGINT AS nb,"
+        f" npos::BIGINT AS npos FROM (VALUES {vals}) AS t(bin, nb, npos))"
+    )
+    got = {r[0]: r[4] for r in duck.execute(sql).fetchall()}
+    # sequential PAV replica
+    pools = []
+    for _, nb, np_ in bins:
+        pools.append([nb, np_])
+        while len(pools) > 1 and (
+            pools[-2][1] * pools[-1][0] >= pools[-1][1] * pools[-2][0]
+        ):
+            n2, p2 = pools.pop()
+            pools[-1][0] += n2
+            pools[-1][1] += p2
+    want = {}
+    i = 0
+    for n_, p_ in pools:
+        covered = 0
+        while covered < n_:
+            covered += bins[i][1]
+            want[bins[i][0]] = p_ / n_
+            i += 1
+    assert set(got) == set(want)
+    for b in got:
+        assert abs(got[b] - round(want[b], 6)) < 1e-9, (n_bins, seed, b)

@@ -394,11 +394,14 @@ def test_brier_murphy_identity_and_replica(spark, sf_dir):
     row = _df("eval_brier_decomposition", spark, sf_dir).collect()[0]
     assert row["n"] == n and row["n_bins"] == len(bins)
     assert row["pos_rate_ppm"] == n_pos * 1_000_000 // n
+    ece = sum(nb * abs((npos + 1) / (nb + 2) - npos / nb) for nb, npos in bins.values()) / n
+    mce = max(abs((npos + 1) / (nb + 2) - npos / nb) for nb, npos in bins.values())
     for name, want in [
         ("brier", bs), ("reliability", rel), ("resolution", res),
-        ("uncertainty", unc),
+        ("uncertainty", unc), ("ece", ece), ("mce", mce),
     ]:
         assert abs(row[name] - want) < 2e-6, name
+    assert row["ece"] <= row["mce"] + 1e-9
     assert row["reliability"] > 0  # Laplace smoothing de-calibrates in-sample
 
 
@@ -738,3 +741,17 @@ def test_quality_classifier_matches_python_replica(spark, sf_dir):
         assert abs(gv[5] - wv[5]) < 2e-6
     losses = [v[-1] for v in want]
     assert losses[-1] <= losses[0]
+
+
+# --- composite_price_volume_mix: the Laspeyres identity ----------------------------
+
+
+def test_pvm_identity(spark, sf_dir):
+    """price + volume + cross must reconstruct the exact integer delta
+    per brand (to rounding), and each brand trades in both years."""
+    rows = _df("composite_price_volume_mix", spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        recon = r["price_effect"] + r["volume_effect"] + r["cross_effect"]
+        assert abs(recon - r["delta_cents"]) < 0.02, r["brand"]
+        assert r["rev0_cents"] > 0 and r["rev1_cents"] > 0
