@@ -57,7 +57,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "scan_snapshot_timetravel", "privacy_entropy_ldiv",
     "agg_distinct_growth", "stats_proportion_ztest",
     "corpus_quality_classifier", "stream_distinct_growth",
-    "composite_price_volume_mix",
+    "composite_price_volume_mix", "corpus_reward_mix",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

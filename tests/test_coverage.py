@@ -751,6 +751,8 @@ EXTENSIONS = [
     "stream_distinct_growth",
     # round 11: Laspeyres price-volume-mix revenue decomposition
     "composite_price_volume_mix",
+    # round 11: BT-reward-weighted training-mix planner (memoized BT fit)
+    "corpus_reward_mix",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

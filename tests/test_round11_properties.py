@@ -755,3 +755,37 @@ def test_pvm_identity(spark, sf_dir):
         recon = r["price_effect"] + r["volume_effect"] + r["cross_effect"]
         assert abs(recon - r["delta_cents"]) < 0.02, r["brand"]
         assert r["rev0_cents"] > 0 and r["rev1_cents"] > 0
+
+
+# --- corpus_reward_mix: softmax-mix laws --------------------------------------------
+
+
+def test_reward_mix_laws(spark, sf_dir):
+    """Mix weights sum to ~1e6 ppm; the weight order equals the strength
+    order; the quantized softmax matches a python replica from the BT
+    replica's strengths; and the op's strengths equal
+    eval_bradley_terry's (one memoized fit)."""
+    from rvi_big_data_api_spark.operators.ml_eval import BT_ITERS, BT_STEP_X1M
+
+    docs = [
+        (r.doc_id, r.text, r.lang, r.source)
+        for r in load(spark, sf_dir, "documents").collect()
+    ]
+    traj, _ = _py_bt_train(_py_bt_edges(docs), BT_ITERS, BT_STEP_X1M)
+    final = traj[-1]
+    wq = {i: math.floor(math.exp(v / 1e6) * 1e6) for i, v in final.items()}
+    tw = sum(wq.values())
+    rows = {r["source"]: r for r in _df("corpus_reward_mix", spark, sf_dir).collect()}
+    assert set(rows) == set(final)
+    tot_ppm = sum(r["mix_weight_ppm"] for r in rows.values())
+    assert 1_000_000 - len(rows) <= tot_ppm <= 1_000_000
+    for it, r in rows.items():
+        assert r["strength_micro"] == final[it]
+        assert r["softmax_w_x1m"] == wq[it]
+        assert r["mix_weight_ppm"] == wq[it] * 1_000_000 // tw
+    bt = {r["source"]: r["strength_micro"]
+          for r in _df("eval_bradley_terry", spark, sf_dir).collect()}
+    assert bt == {i: r["strength_micro"] for i, r in rows.items()}
+    ordered = sorted(rows.values(), key=lambda r: r["strength_micro"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["mix_weight_ppm"] <= b["mix_weight_ppm"] + 1
