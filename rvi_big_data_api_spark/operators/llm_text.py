@@ -5343,3 +5343,120 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "accuracy_ppm",
         (F.round(F.col("ll"), 6) + F.lit(0.0)).alias("logloss"),
     )
+
+
+KN_D_X100 = 75   # Kneser-Ney absolute discount d = 0.75, carried x100
+KN_TOP_N = 200   # emit the top-N bigrams by count (deterministic tie-break)
+
+
+@query(
+    "text_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bi AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c)::BIGINT AS c1, count(*)::BIGINT AS fanout
+           FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, count(*)::BIGINT AS n_hist FROM c2 GROUP BY w2),
+    types AS (SELECT count(*)::BIGINT AS n_types FROM c2),
+    scored AS (
+        SELECT c2.w1, c2.w2, c2.c, c1.c1, c1.fanout, ct.n_hist, ty.n_types,
+               round(greatest(c2.c - {KN_D_X100} / 100.0, 0.0) / c1.c1
+                     + ({KN_D_X100} / 100.0) * c1.fanout / c1.c1
+                       * ct.n_hist / ty.n_types, 6) + 0.0 AS p_kn,
+               row_number() OVER (ORDER BY c2.c DESC, c2.w1 ASC, c2.w2 ASC)
+                   AS rnk
+        FROM c2
+        JOIN c1 ON c1.w1 = c2.w1
+        JOIN cont ct ON ct.w2 = c2.w2
+        CROSS JOIN types ty
+    )
+    SELECT w1, w2, c AS bigram_count, c1 AS w1_count,
+           n_hist AS continuation_types, p_kn
+    FROM scored WHERE rnk <= {KN_TOP_N}
+    """,
+    tags=("llm", "text", "lm"),
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM — THE standard n-gram smoothing
+    (text_ngram_lm ships raw MLE bigrams; every deployed n-gram model
+    interpolates): p_KN(w2|w1) = max(c(w1w2) - d, 0)/c(w1) +
+    d*fanout(w1)/c(w1) * p_cont(w2), where the continuation probability
+    p_cont(w2) = |{{w: c(w,w2)>0}}| / |bigram types| asks how many
+    CONTEXTS a word completes rather than how often it occurs — the
+    insight that makes KN the default. Every ingredient is a relational
+    count: the bigram table, per-head totals and fanouts, per-tail
+    continuation types, the global type count — four partial aggs and
+    two equi-joins over the VOCAB-SIZED bigram table (never the corpus).
+
+    Exactness: all counts exact BIGINTs; d is the stated x100 integer
+    constant; p_KN is a rational of exact ints evaluated per bigram-type
+    row, rounded 6dp (rules 1/6/8). Top-N emission by (count desc, w1,
+    w2) — the only global window runs over the bigram-type table and is
+    WindowGroupLimit-prunable.
+
+    At 100 TB: one corpus explode folds map-side to bigram types; the
+    model algebra never touches row data again (the BPE-pairs scale
+    argument)."""
+    d = load(spark, sf_dir, "documents")
+    bi = (
+        d.select(F.split("text", " ").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n_hist"))
+    types = c2.agg(F.count(F.lit(1)).alias("n_types"))
+    d_disc = KN_D_X100 / 100.0
+    scored = (
+        c2.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c1",
+            "n_hist",
+            (
+                F.round(
+                    F.greatest(F.col("c") - d_disc, F.lit(0.0)) / F.col("c1")
+                    + d_disc
+                    * F.col("fanout")
+                    / F.col("c1")
+                    * F.col("n_hist")
+                    / F.col("n_types"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("p_kn"),
+        )
+    )
+    wr = Window.orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= KN_TOP_N)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("bigram_count"),
+            F.col("c1").alias("w1_count"),
+            F.col("n_hist").alias("continuation_types"),
+            "p_kn",
+        )
+    )

@@ -525,3 +525,71 @@ def win_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n * sxy - sx * sy) * 1000000 div nullif(n * sxx - sx * sx, 0)"
         ).alias("slope_ppm"),
     )
+
+
+@query(
+    "win_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT p_brand AS brand, p_partkey,
+               floor(p_retailprice * 100 + 0.5)::BIGINT AS price_cents,
+               p_size::BIGINT AS size
+        FROM part
+    ),
+    scored AS (
+        SELECT brand, p_partkey, price_cents, size,
+               max(size) OVER (PARTITION BY brand ORDER BY price_cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_cheaper
+        FROM pts
+    )
+    SELECT brand, p_partkey, price_cents, size
+    FROM scored
+    WHERE best_cheaper IS NULL OR size >= best_cheaper
+    """,
+    tags=("window", "analytics"),
+)
+def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) per brand — the classic multi-criteria
+    operator (Borzsony/Kossmann/Stocker's SKYLINE OF): keep each part
+    that no strictly-cheaper part strictly out-sizes, i.e. the
+    (min price, max size) frontier a buyer actually chooses from.
+    Dominance here is STRICT in both axes (stated): p survives iff
+    max(size) over parts with price_cents < p.price_cents is below
+    p.size. That reduces the quadratic exists-check to ONE range-frame
+    window — max over RANGE UNBOUNDED PRECEDING .. 1 PRECEDING on the
+    integer price axis — the textbook sort-filter skyline, PARTITIONED
+    by brand so no global sort exists.
+
+    Exactness: price in exact cents, size integer; the range frame's
+    1-PRECEDING bound on an integer key is exact in both engines (no
+    float range arithmetic); survivors are an integer comparison.
+
+    At 100 TB: one window per brand partition (the sort is the shuffle);
+    the frontier output is tiny. The same plan computes any 2-criteria
+    skyline; higher dimensions need the block-nested-loop algorithms the
+    docstring deliberately avoids claiming."""
+    p = load(spark, sf_dir, "part")
+    pts = p.select(
+        F.col("p_brand").alias("brand"),
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    scored = pts.select(
+        "brand",
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w).alias("best_cheaper"),
+    )
+    return scored.filter(
+        F.col("best_cheaper").isNull() | (F.col("size") >= F.col("best_cheaper"))
+    ).select("brand", "p_partkey", "price_cents", "size")

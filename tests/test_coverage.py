@@ -753,6 +753,10 @@ EXTENSIONS = [
     "composite_price_volume_mix",
     # round 11: BT-reward-weighted training-mix planner (memoized BT fit)
     "corpus_reward_mix",
+    # round 11: per-brand Pareto-frontier skyline (range-frame window)
+    "win_skyline_pareto",
+    # round 11: Kneser-Ney smoothed bigram LM (continuation counts)
+    "text_kneser_ney",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1536,3 +1536,23 @@ def test_round11_wave4_plans(spark, sf_dir, name, max_bnlj):
     assert "CartesianProduct" not in plan, name
     assert "EvalPython" not in plan, name
     assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name
+
+
+@pytest.mark.parametrize(
+    "name,max_bnlj",
+    [
+        ("win_skyline_pareto", 0),
+        # the one BNLJ is the broadcast 1-row global type count
+        ("text_kneser_ney", 1),
+        ("composite_price_volume_mix", 0),
+    ],
+)
+def test_round11_wave7_plans(spark, sf_dir, name, max_bnlj):
+    """Wave-7 additions: no cartesian/PyEval; skyline's window is
+    partitioned by brand; kneser-ney's global rank runs on the bigram-
+    type table (WindowGroupLimit-prunable)."""
+    qe = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "EvalPython" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name

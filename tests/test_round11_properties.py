@@ -789,3 +789,74 @@ def test_reward_mix_laws(spark, sf_dir):
     ordered = sorted(rows.values(), key=lambda r: r["strength_micro"])
     for a, b in zip(ordered, ordered[1:]):
         assert a["mix_weight_ppm"] <= b["mix_weight_ppm"] + 1
+
+
+# --- win_skyline_pareto: dominance laws ----------------------------------------------
+
+
+def test_skyline_dominance(spark, sf_dir):
+    """No survivor is strictly dominated within its brand; every
+    non-survivor IS strictly dominated by some part in its brand —
+    checked against a quadratic python replica."""
+    from collections import defaultdict
+
+    parts = defaultdict(list)
+    for r in load(spark, sf_dir, "part").collect():
+        parts[r.p_brand].append(
+            (r.p_partkey, math.floor(r.p_retailprice * 100 + 0.5), r.p_size)
+        )
+    want = set()
+    for brand, rows in parts.items():
+        for k, pc, sz in rows:
+            dominated = any(
+                pc2 < pc and sz2 > sz for _, pc2, sz2 in rows
+            )
+            if not dominated:
+                want.add((brand, k))
+    got = {
+        (r["brand"], r["p_partkey"])
+        for r in _df("win_skyline_pareto", spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --- text_kneser_ney: smoothing laws -------------------------------------------------
+
+
+def test_kneser_ney_laws(spark, sf_dir):
+    """p_KN in (0, 1]; the discounted term never exceeds the MLE;
+    per-row replica from raw counts; continuation mass conservation:
+    sum over tails of n_hist equals the global bigram type count."""
+    from collections import Counter
+
+    from rvi_big_data_api_spark.operators.llm_text import KN_D_X100
+
+    c2 = Counter()
+    for r in load(spark, sf_dir, "documents").collect():
+        ws = r.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+    c1 = Counter()
+    fanout = Counter()
+    cont = Counter()
+    for (a, b), c in c2.items():
+        c1[a] += c
+        fanout[a] += 1
+        cont[b] += 1
+    n_types = len(c2)
+    d = KN_D_X100 / 100.0
+    rows = _df("text_kneser_ney", spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        key = (r["w1"], r["w2"])
+        assert r["bigram_count"] == c2[key]
+        assert r["w1_count"] == c1[r["w1"]]
+        assert r["continuation_types"] == cont[r["w2"]]
+        want = (
+            max(c2[key] - d, 0.0) / c1[r["w1"]]
+            + d * fanout[r["w1"]] / c1[r["w1"]] * cont[r["w2"]] / n_types
+        )
+        assert abs(r["p_kn"] - want) < 2e-6, key
+        assert 0.0 < r["p_kn"] <= 1.0
+        assert max(c2[key] - d, 0.0) / c1[r["w1"]] <= c2[key] / c1[r["w1"]]
+    assert sum(cont.values()) == n_types
