@@ -58,7 +58,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "agg_distinct_growth", "stats_proportion_ztest",
     "corpus_quality_classifier", "stream_distinct_growth",
     "composite_price_volume_mix", "corpus_reward_mix",
-    "win_skyline_pareto", "text_kneser_ney",
+    "win_skyline_pareto", "text_kneser_ney", "seq_window_funnel",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

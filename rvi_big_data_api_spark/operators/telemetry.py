@@ -4977,3 +4977,140 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("power_share"),
         (F.col("rn") == 1).alias("is_dominant"),
     )
+
+
+FUNNEL_W_SEC = 3600  # the whole chain must fit in one hour
+
+
+@query(
+    "seq_window_funnel",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS t
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    v AS (SELECT user_id, t AS tv FROM ev WHERE event_type = 'view'),
+    c AS (SELECT user_id, t AS tc FROM ev WHERE event_type = 'click'),
+    p AS (SELECT user_id, t AS tp FROM ev WHERE event_type = 'purchase'),
+    vc AS (
+        SELECT v.user_id, v.tv, min(c.tc)::BIGINT AS ec
+        FROM v JOIN c ON c.user_id = v.user_id AND c.tc > v.tv
+        GROUP BY v.user_id, v.tv
+    ),
+    vcp AS (
+        SELECT vc.user_id, vc.tv, vc.ec, min(p.tp)::BIGINT AS ep
+        FROM vc JOIN p ON p.user_id = vc.user_id AND p.tp > vc.ec
+        GROUP BY vc.user_id, vc.tv, vc.ec
+    ),
+    per_view AS (
+        SELECT v.user_id, v.tv,
+               CASE WHEN vcp.ep IS NOT NULL
+                         AND vcp.ep <= v.tv + {FUNNEL_W_SEC} THEN 3
+                    WHEN vc.ec IS NOT NULL
+                         AND vc.ec <= v.tv + {FUNNEL_W_SEC} THEN 2
+                    ELSE 1 END AS depth
+        FROM v
+        LEFT JOIN vc ON vc.user_id = v.user_id AND vc.tv = v.tv
+        LEFT JOIN vcp ON vcp.user_id = v.user_id AND vcp.tv = v.tv
+    ),
+    per_user AS (
+        SELECT u.user_id, COALESCE(max(pv.depth), 0)::BIGINT AS depth
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        LEFT JOIN per_view pv ON pv.user_id = u.user_id
+        GROUP BY u.user_id
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM per_user)
+    SELECT pu.depth, count(*)::BIGINT AS n_users,
+           (count(*) * 1000000 // any_value(t.n))::BIGINT AS share_ppm
+    FROM per_user pu CROSS JOIN tot t
+    GROUP BY pu.depth
+    """,
+    tags=("telemetry", "sequence", "funnel"),
+)
+def seq_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED funnel (the ClickHouse windowFunnel semantics —
+    event_funnel's ordered conversion has no deadline; real funnels do):
+    a user reaches depth 3 iff some view < click < purchase chain with
+    strictly increasing timestamps FITS INSIDE FUNNEL_W_SEC of the chain's
+    first event; depth 2 for view -> click inside the window; depth 1 for
+    any view; 0 otherwise. Emits the depth histogram with exact share ppm.
+
+    The chain search is GREEDY-EARLIEST and provably optimal: for a fixed
+    view, taking the EARLIEST later click (and then the earliest later
+    purchase) can only leave more room under the deadline, so a chain
+    exists iff the greedy one fits — pinned against a brute-force python
+    replica over all triples. That turns the exponential chain search
+    into two (join + min) stages: per (user, view) the earliest later
+    click, per that the earliest later purchase — every join an equi-join
+    on user_id with a time residual, every timestamp an exact epoch-
+    second BIGINT (rule 27: floor(epoch)).
+
+    At 100 TB the per-user view x click pairing bounds at (events per
+    user)^2 before the min collapses it; heavy-hitter users get the
+    SNM-style time banding (join on (user, hour-bucket +/- 1) — the
+    geo_cotravel convention) without changing semantics."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("t").alias("tv")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("t").alias("tc")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("t").alias("tp")
+    )
+    vc = (
+        v.join(c, (F.col("c_uid") == F.col("user_id")) & (F.col("tc") > F.col("tv")))
+        .groupBy("user_id", "tv")
+        .agg(F.min("tc").alias("ec"))
+    )
+    vcp = (
+        vc.join(
+            p, (F.col("p_uid") == F.col("user_id")) & (F.col("tp") > F.col("ec"))
+        )
+        .groupBy("user_id", "tv", "ec")
+        .agg(F.min("tp").alias("ep"))
+    )
+    per_view = (
+        v.join(vc, ["user_id", "tv"], "left")
+        .join(vcp.select("user_id", "tv", "ep"), ["user_id", "tv"], "left")
+        .select(
+            "user_id",
+            F.when(
+                F.col("ep").isNotNull()
+                & (F.col("ep") <= F.col("tv") + FUNNEL_W_SEC),
+                3,
+            )
+            .when(
+                F.col("ec").isNotNull()
+                & (F.col("ec") <= F.col("tv") + FUNNEL_W_SEC),
+                2,
+            )
+            .otherwise(1)
+            .alias("depth"),
+        )
+    )
+    per_user = (
+        ev.select("user_id")
+        .distinct()
+        .join(per_view, "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.max("depth"), F.lit(0)).cast("long").alias("depth"))
+    )
+    tot = per_user.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_user.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "depth",
+            "n_users",
+            F.expr("n_users * 1000000 div n").alias("share_ppm"),
+        )
+    )

@@ -757,6 +757,8 @@ EXTENSIONS = [
     "win_skyline_pareto",
     # round 11: Kneser-Ney smoothed bigram LM (continuation counts)
     "text_kneser_ney",
+    # round 11: time-constrained funnel (windowFunnel semantics)
+    "seq_window_funnel",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -860,3 +860,46 @@ def test_kneser_ney_laws(spark, sf_dir):
         assert 0.0 < r["p_kn"] <= 1.0
         assert max(c2[key] - d, 0.0) / c1[r["w1"]] <= c2[key] / c1[r["w1"]]
     assert sum(cont.values()) == n_types
+
+
+# --- seq_window_funnel: greedy-earliest optimality ------------------------------------
+
+
+def test_window_funnel_matches_bruteforce(spark, sf_dir):
+    """The greedy-earliest chain search must equal brute force over ALL
+    strictly-increasing (view, click, purchase) chains under the
+    deadline; the histogram telescopes to the user count."""
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.telemetry import FUNNEL_W_SEC
+
+    evs = defaultdict(lambda: {"view": [], "click": [], "purchase": []})
+    for e in load(spark, sf_dir, "events").collect():
+        if e.event_type in ("view", "click", "purchase"):
+            evs[e.user_id][e.event_type].append(int(e.ts.timestamp()))
+    want = defaultdict(int)
+    for uid, d in evs.items():
+        depth = 0
+        if d["view"]:
+            depth = 1
+            for tv in d["view"]:
+                if depth < 2 and any(
+                    tv < tc <= tv + FUNNEL_W_SEC for tc in d["click"]
+                ):
+                    depth = 2
+                if depth < 3 and any(
+                    tv < tc < tp <= tv + FUNNEL_W_SEC
+                    for tc in d["click"]
+                    for tp in d["purchase"]
+                    if tc > tv
+                ):
+                    depth = 3
+        want[depth] += 1
+    rows = {r["depth"]: r for r in _df("seq_window_funnel", spark, sf_dir).collect()}
+    assert {k: v for k, v in want.items() if v} == {
+        k: r["n_users"] for k, r in rows.items()
+    }
+    n = sum(want.values())
+    assert sum(r["n_users"] for r in rows.values()) == n
+    for r in rows.values():
+        assert r["share_ppm"] == r["n_users"] * 1_000_000 // n
