@@ -4828,8 +4828,12 @@ def _lang_id_model(spark: SparkSession, d: DataFrame):
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
         .filter(F.length("f") >= 1)
     )
-    pc = feats.groupBy(F.col("lang").alias("plang"), "f").agg(
-        F.count(F.lit(1)).alias("cnt")
+    pc = (
+        feats.groupBy(F.col("lang").alias("plang"), "f")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # vocab x langs observed pairs; checkpointed so the corpus explode
+        # runs ONCE (pt/vsize and prof all derive from this frame)
+        .checkpoint(eager=True)
     )
     pt = pc.groupBy("plang").agg(F.sum("cnt").alias("tot"))
     vsize = pc.agg(F.count_distinct("f").alias("v"))
@@ -4866,8 +4870,6 @@ def _lang_id_model(spark: SparkSession, d: DataFrame):
                 - F.col("defq")
             ).alias("dllq"),
         )
-        # observed (lang, word) pairs — vocab-sized model frame, checkpointed
-        .checkpoint(eager=True)
     )
     return lang_model, prof
 
