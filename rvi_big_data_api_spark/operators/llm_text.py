@@ -5462,3 +5462,97 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_kn",
         )
     )
+
+
+@query(
+    "eval_langid_kappa",
+    oracle=_lang_id_chain_sql()
+    + """,
+    conf AS (
+        SELECT lang, pred_lang, count(*)::BIGINT AS n
+        FROM pick GROUP BY lang, pred_lang
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS nn FROM conf),
+    diag AS (SELECT sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)::BIGINT
+                 AS agree FROM conf),
+    rows_m AS (SELECT lang AS cl, sum(n)::BIGINT AS rn FROM conf GROUP BY lang),
+    cols_m AS (SELECT pred_lang AS cl, sum(n)::BIGINT AS cn
+               FROM conf GROUP BY pred_lang),
+    chance AS (
+        SELECT sum(r.rn * c.cn)::BIGINT AS cross_sum
+        FROM rows_m r JOIN cols_m c ON c.cl = r.cl
+    )
+    SELECT t.nn AS n, d.agree,
+           (d.agree * 1000000 // t.nn)::BIGINT AS po_ppm,
+           (ch.cross_sum * 1000000 // (t.nn * t.nn))::BIGINT AS pe_ppm,
+           round((d.agree::DOUBLE / t.nn - ch.cross_sum::DOUBLE / (t.nn * t.nn))
+                 / nullif(1.0 - ch.cross_sum::DOUBLE / (t.nn * t.nn), 0), 6)
+               + 0.0 AS kappa
+    FROM tot t CROSS JOIN diag d CROSS JOIN chance ch
+    """,
+    tags=("llm", "eval", "ml"),
+)
+def eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa over the language-ID confusion matrix (the
+    model-consuming sibling of eval_cohens_kappa's rule-based raters) — agreement
+    beyond chance between the classifier and the label, the metric that
+    keeps a majority-class-heavy accuracy honest (text_lang_id's ~47%
+    accuracy sits just above the 43.6% majority share; kappa strips the
+    chance agreement that inflates both). kappa = (p_o - p_e)/(1 - p_e)
+    with p_o = diagonal mass and p_e = sum of row x column marginal
+    products — every ingredient an exact BIGINT fold over the
+    |langs|^2-row confusion frame, the third consumer of the shared
+    _lang_id_model / _lang_id_pick path (one model, one argmax — the
+    metric audits exactly what the classifier ships).
+
+    p_o/p_e ship as exact integer ppm (rule 25); kappa is a rational of
+    exact ints evaluated in the 1-row readout, 6dp (rules 1/6/8).
+
+    At 100 TB: the classifier's one corpus pass, then arithmetic on
+    |langs|^2 rows."""
+    d = load(spark, sf_dir, "documents")
+    lang_model, prof = _lang_id_model(spark, d)
+    feats = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
+        .filter(F.length("f") >= 1)
+    )
+    tf = feats.groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = feats.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_feats")
+    )
+    part = (
+        tf.join(prof, "f")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum(F.col("tf") * F.col("dllq")).alias("sw"))
+    )
+    pick = _lang_id_pick(doclen, part, lang_model)
+    conf = pick.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = conf.agg(F.sum("n").alias("nn"))
+    diag = conf.agg(
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(0)
+        ).alias("agree")
+    )
+    rows_m = conf.groupBy(F.col("lang").alias("cl")).agg(F.sum("n").alias("rn"))
+    cols_m = conf.groupBy(F.col("pred_lang").alias("cl")).agg(
+        F.sum("n").alias("cn")
+    )
+    chance = rows_m.join(cols_m, "cl").agg(
+        F.sum(F.col("rn") * F.col("cn")).alias("cross_sum")
+    )
+    po = F.col("agree").cast("double") / F.col("nn")
+    pe = F.col("cross_sum").cast("double") / (F.col("nn") * F.col("nn"))
+    return (
+        tot.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(chance))
+        .select(
+            F.col("nn").alias("n"),
+            "agree",
+            F.expr("agree * 1000000 div nn").alias("po_ppm"),
+            F.expr("cross_sum * 1000000 div (nn * nn)").alias("pe_ppm"),
+            (
+                F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6)
+                + F.lit(0.0)
+            ).alias("kappa"),
+        )
+    )

@@ -5114,3 +5114,129 @@ def seq_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_users * 1000000 div n").alias("share_ppm"),
         )
     )
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, xc,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               (b.xc - a.xc)::DOUBLE / (b.t - a.t) AS slope,
+               a.t AS t1, b.t AS t2
+        FROM idx a JOIN idx b
+          ON b.event_type = a.event_type AND b.t > a.t
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, t1, t2) AS rn,
+               count(*) OVER (PARTITION BY event_type)::BIGINT AS np
+        FROM pairs
+    ),
+    med AS (
+        SELECT event_type, any_value(np)::BIGINT AS n_pairs,
+               avg(slope) AS ts_slope
+        FROM ranked
+        WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+        GROUP BY event_type
+    ),
+    ols AS (
+        SELECT event_type, count(*)::BIGINT AS n_days,
+               sum(t)::BIGINT AS st, sum(xc)::BIGINT AS sx,
+               sum(t * t)::BIGINT AS stt, sum(t * xc)::BIGINT AS stx
+        FROM idx GROUP BY event_type
+    )
+    SELECT m.event_type, o.n_days, m.n_pairs,
+           round(m.ts_slope, 6) + 0.0 AS slope_theilsen,
+           round((o.n_days::DOUBLE * o.stx - o.st::DOUBLE * o.sx)
+                 / nullif(o.n_days::DOUBLE * o.stt - o.st::DOUBLE * o.st, 0),
+                 6) + 0.0 AS slope_ols
+    FROM med m JOIN ols o ON o.event_type = m.event_type
+    """,
+    tags=("telemetry", "timeseries", "stats"),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend — the median of ALL pairwise slopes, the
+    estimator that survives ~29% contamination where OLS (win_regression_
+    slope's machinery) chases a single corrupted day; emitted next to the
+    OLS slope so the robust-vs-classical gap is the anomaly signal
+    itself. Exactly the textbook estimator, not an approximation: every
+    pairwise slope is a rational of exact BIGINTs over the CALENDAR-
+    BOUNDED day support (days^2/2 pairs per channel — the self-join never
+    touches raw events), slopes are bit-identical across engines, and the
+    median is an order-statistic pick (rank window PARTITIONED by
+    channel, ties broken (t1, t2)) of those identical values — averaging
+    the two middles on even counts, 6dp at output (rules 1/6/8).
+
+    At 100 TB: one partial agg to (channel, day) cells; the pair
+    self-join is |days|^2 per channel, a constant of the calendar, and
+    the rank window is channel-partitioned."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
+    widx = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type", "xc", F.row_number().over(widx).alias("t")
+    )
+    b = idx.select(
+        F.col("event_type").alias("b_et"),
+        F.col("xc").alias("b_xc"),
+        F.col("t").alias("t2"),
+    )
+    pairs = idx.join(
+        b, (F.col("b_et") == F.col("event_type")) & (F.col("t2") > F.col("t"))
+    ).select(
+        "event_type",
+        ((F.col("b_xc") - F.col("xc")).cast("double") / (F.col("t2") - F.col("t"))).alias("slope"),
+        F.col("t").alias("t1"),
+        "t2",
+    )
+    wrank = Window.partitionBy("event_type").orderBy("slope", "t1", "t2")
+    wall = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("np"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(np + 1) div 2"))
+            | (F.col("rn") == F.expr("np div 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(F.max("np").alias("n_pairs"), F.avg("slope").alias("ts_slope"))
+    )
+    ols = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("t").alias("st"),
+        F.sum("xc").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("xc")).alias("stx"),
+    )
+    ols_slope = (
+        F.col("n_days").cast("double") * F.col("stx")
+        - F.col("st").cast("double") * F.col("sx")
+    ) / F.nullif(
+        F.col("n_days").cast("double") * F.col("stt")
+        - F.col("st").cast("double") * F.col("st"),
+        F.lit(0.0),
+    )
+    return med.join(ols, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        (F.round(F.col("ts_slope"), 6) + F.lit(0.0)).alias("slope_theilsen"),
+        (F.round(ols_slope, 6) + F.lit(0.0)).alias("slope_ols"),
+    )

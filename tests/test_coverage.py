@@ -759,6 +759,10 @@ EXTENSIONS = [
     "text_kneser_ney",
     # round 11: time-constrained funnel (windowFunnel semantics)
     "seq_window_funnel",
+    # round 11: Cohen's kappa over the lang-id confusion (model consumer #3)
+    "eval_langid_kappa",
+    # round 11: Theil-Sen robust trend vs OLS per channel
+    "ts_theil_sen",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

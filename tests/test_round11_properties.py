@@ -903,3 +903,56 @@ def test_window_funnel_matches_bruteforce(spark, sf_dir):
     assert sum(r["n_users"] for r in rows.values()) == n
     for r in rows.values():
         assert r["share_ppm"] == r["n_users"] * 1_000_000 // n
+
+
+# --- eval_langid_kappa: chance-corrected agreement -----------------------------------
+
+
+def test_langid_kappa_matches_confusion(spark, sf_dir):
+    """kappa recomputed from text_lang_id's own confusion matrix must
+    match (one shared model/argmax path); kappa <= 1; po/pe exact ppm."""
+    conf = _df("text_lang_id", spark, sf_dir).collect()
+    n = sum(r["n_docs"] for r in conf)
+    agree = sum(r["n_docs"] for r in conf if r["lang"] == r["pred_lang"])
+    from collections import Counter
+
+    rowm, colm = Counter(), Counter()
+    for r in conf:
+        rowm[r["lang"]] += r["n_docs"]
+        colm[r["pred_lang"]] += r["n_docs"]
+    cross = sum(rowm[k] * colm.get(k, 0) for k in rowm)
+    row = _df("eval_langid_kappa", spark, sf_dir).collect()[0]
+    assert row["n"] == n and row["agree"] == agree
+    assert row["po_ppm"] == agree * 1_000_000 // n
+    assert row["pe_ppm"] == cross * 1_000_000 // (n * n)
+    po, pe = agree / n, cross / (n * n)
+    assert abs(row["kappa"] - (po - pe) / (1 - pe)) < 2e-6
+    assert row["kappa"] <= 1.0
+
+
+# --- ts_theil_sen: robustness and median laws -----------------------------------------
+
+
+def test_theil_sen_matches_python_replica(spark, sf_dir):
+    """Median-of-pairwise-slopes replica per channel; n_pairs =
+    n_days*(n_days-1)/2; the estimator is exactly the textbook one."""
+    from collections import defaultdict
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for e in load(spark, sf_dir, "events").collect():
+        daily[e.event_type][e.ts.date()] += math.floor(e.value * 100 + 0.5)
+    rows = {r["event_type"]: r for r in _df("ts_theil_sen", spark, sf_dir).collect()}
+    for ch, cells in daily.items():
+        xs = [cells[d] for d in sorted(cells)]
+        nd = len(xs)
+        slopes = sorted(
+            (xs[j] - xs[i]) / (j - i)
+            for i in range(nd)
+            for j in range(i + 1, nd)
+        )
+        np_ = len(slopes)
+        med = (slopes[(np_ + 1) // 2 - 1] + slopes[np_ // 2]) / 2.0
+        r = rows[ch]
+        assert r["n_days"] == nd
+        assert r["n_pairs"] == nd * (nd - 1) // 2 == np_
+        assert abs(r["slope_theilsen"] - med) < 2e-6, ch
