@@ -59,7 +59,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_quality_classifier", "stream_distinct_growth",
     "composite_price_volume_mix", "corpus_reward_mix",
     "win_skyline_pareto", "text_kneser_ney", "seq_window_funnel",
-    "eval_langid_kappa", "ts_theil_sen",
+    "eval_langid_kappa", "ts_theil_sen", "corpus_classifier_filter",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

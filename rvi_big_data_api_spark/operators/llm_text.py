@@ -5175,9 +5175,10 @@ QC_FEATURES_SQL = (
 QC_LABEL_SQL = "CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 1 ELSE 0 END"
 
 
-def _qc_oracle_sql() -> str:
-    """Generated chained-CTE twin of corpus_quality_classifier — the
-    _logreg_oracle_sql machinery instantiated on document features."""
+def _qc_chain_sql() -> str:
+    """Generated chained-CTE GD chain of corpus_quality_classifier (pu,
+    w_0..w_T, per-step m_t readouts) — the _logreg_oracle_sql machinery
+    instantiated on document features; tails append their own SELECT."""
     f1, f2, f3 = QC_FEATURES_SQL
     parts = [
         f"""WITH pu AS MATERIALIZED (
@@ -5233,46 +5234,36 @@ def _qc_oracle_sql() -> str:
         GROUP BY w.w0m, w.w1m, w.w2m, w.w3m
     )"""
         )
-    union = " UNION ALL ".join(
-        f"SELECT * FROM m_{t}" for t in range(1, QC_ITERS + 1)
-    )
-    parts.append(f"\n    {union}")
     return "".join(parts)
 
 
-@query(
-    "corpus_quality_classifier",
-    oracle=_qc_oracle_sql(),
-    tags=("llm", "corpus", "ml"),
-)
-def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CCNet-style QUALITY CLASSIFIER trained in-engine — the second
-    consumer of the ml_logreg_train machinery (PARITY rule 29) and the
-    named stage of corpus curation it exists for: learn to separate a
-    'curated' source set from the rest using stated text features
-    (lexical-diversity percent, length decile, token-count decile — all
-    integer-centered, never fitted), then ship per-iteration weights,
-    training accuracy and log-loss so the gate's operating point is
-    auditable. In production the label is wiki-vs-crawl; here it is the
-    even-numbered sources — stated, deterministic, and enough to prove
-    the training loop end-to-end.
+def _qc_oracle_readout_sql() -> str:
+    """corpus_quality_classifier's twin: the chain + per-iteration union."""
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m_{t}" for t in range(1, QC_ITERS + 1)
+    )
+    return _qc_chain_sql() + f"\n    {union}"
 
-    MICRO-QUANTIZED integer weights (delta = floor(mean_grad *
-    QC_STEP_X1M + 0.5)) make the trajectory exact BIGINTs; accuracy
-    reads the SIGN of the exact integer logit; log-loss is the only
-    float, aggregate-rounded 6dp. Execution is the treeAggregate loop:
-    the checkpointed doc-feature frame, one distributed gradient
-    aggregate per step, O(features) driver state.
 
-    At 100 TB: the feature build is the only corpus pass; QC_ITERS * 2
-    aggregates over the checkpointed frame."""
+_QC_WEIGHTS: dict = {}
+
+
+def _qc_weights(spark: SparkSession, sf_dir: str):
+    """Train the quality classifier once per (session, sf_dir): returns
+    (pu_frame, trajectory) where trajectory[t] = (iteration, w0..w3,
+    accuracy_ppm, logloss_float). Shared by corpus_quality_classifier and
+    corpus_classifier_filter."""
     import math
 
     from ..session import ensure_checkpoint_dir
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _QC_WEIGHTS:
+        return _QC_WEIGHTS[key]
     ensure_checkpoint_dir(spark)
     d = load(spark, sf_dir, "documents")
     pu = d.select(
+        "doc_id",
         F.expr(
             "size(array_distinct(split(text, ' '))) * 1000000L"
             " div size(split(text, ' ')) div 10000 - 50"
@@ -5286,7 +5277,7 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).checkpoint(eager=True)
     n = pu.count()
     w = [0, 0, 0, 0]
-    out_rows = []
+    traj = []
     for t in range(1, QC_ITERS + 1):
         zm = (
             F.lit(w[0])
@@ -5320,7 +5311,7 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("ll"),
         ).collect()[0]
-        out_rows.append(
+        traj.append(
             (
                 t,
                 w[0],
@@ -5331,8 +5322,39 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(m["ll"]),
             )
         )
+    _QC_WEIGHTS[key] = (pu, traj)
+    return _QC_WEIGHTS[key]
+
+
+@query(
+    "corpus_quality_classifier",
+    oracle=_qc_oracle_readout_sql(),
+    tags=("llm", "corpus", "ml"),
+)
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style QUALITY CLASSIFIER trained in-engine — the second
+    consumer of the ml_logreg_train machinery (PARITY rule 29) and the
+    named stage of corpus curation it exists for: learn to separate a
+    'curated' source set from the rest using stated text features
+    (lexical-diversity percent, length decile, token-count decile — all
+    integer-centered, never fitted), then ship per-iteration weights,
+    training accuracy and log-loss so the gate's operating point is
+    auditable. In production the label is wiki-vs-crawl; here it is the
+    even-numbered sources — stated, deterministic, and enough to prove
+    the training loop end-to-end.
+
+    MICRO-QUANTIZED integer weights (delta = floor(mean_grad *
+    QC_STEP_X1M + 0.5)) make the trajectory exact BIGINTs; accuracy
+    reads the SIGN of the exact integer logit; log-loss is the only
+    float, aggregate-rounded 6dp. Execution is the treeAggregate loop:
+    the checkpointed doc-feature frame, one distributed gradient
+    aggregate per step, O(features) driver state.
+
+    At 100 TB: the feature build is the only corpus pass; QC_ITERS * 2
+    aggregates over the checkpointed frame."""
+    _, traj = _qc_weights(spark, sf_dir)
     out = spark.createDataFrame(
-        out_rows,
+        traj,
         "iteration long, w0m long, w1m long, w2m long, w3m long,"
         " accuracy_ppm long, ll double",
     )
@@ -5555,4 +5577,109 @@ def eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)
             ).alias("kappa"),
         )
+    )
+
+
+def _qc_filter_oracle_sql() -> str:
+    """corpus_classifier_filter's twin: the GD chain + the filter tail —
+    per-doc exact integer logit from the final weights, threshold and
+    md5-uniform rejection-sampling verdicts, per-source ledger."""
+    t = QC_ITERS
+    f1, f2, f3 = QC_FEATURES_SQL
+    return (
+        _qc_chain_sql()
+        + f""",
+    scored AS (
+        SELECT d.source,
+               (w.w0m + w.w1m * ({f1}) + w.w2m * ({f2})
+                + w.w3m * ({f3}))::BIGINT AS zm,
+               (CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                   % 1000000)::BIGINT AS u_ppm
+        FROM documents d CROSS JOIN w_{t} w
+    ),
+    verdicts AS (
+        SELECT source, zm, u_ppm,
+               (zm >= 0) AS keep_threshold,
+               (u_ppm < floor(1000000.0
+                   / (1.0 + exp(-(zm / 1000000.0))))::BIGINT)
+                   AS keep_sampled
+        FROM scored
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN keep_threshold THEN 1 ELSE 0 END)::BIGINT
+               AS kept_threshold,
+           sum(CASE WHEN keep_sampled THEN 1 ELSE 0 END)::BIGINT
+               AS kept_sampled,
+           (sum(CASE WHEN keep_sampled THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS kept_sampled_ppm
+    FROM verdicts GROUP BY source"""
+    )
+
+
+@query(
+    "corpus_classifier_filter",
+    oracle=_qc_filter_oracle_sql(),
+    tags=("llm", "corpus", "ml"),
+)
+def corpus_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-guided corpus filtering — the stage AFTER
+    corpus_quality_classifier trains (CCNet keeps a crawl document with
+    probability given by the quality model; a hard threshold is the
+    blunter production alternative — this op ships BOTH verdicts so the
+    ledger shows what each policy would keep): per document, the exact
+    integer logit from the memoized final weights (_qc_weights — one
+    training run per session), a threshold keep (logit >= 0), and a
+    DETERMINISTIC rejection-sampling keep (md5-uniform ppm of doc_id <
+    quantized sigmoid ppm — the suite's seedless uniform, so re-running
+    the filter reproduces the corpus exactly; a random coin would not).
+    Per-source ledger with exact kept ppm.
+
+    Cross-engine: the logit is exact BIGINT (integer weights x integer
+    features); the acceptance probability is floor(1e6 * sigmoid(zm/1e6))
+    — one quantized libm value per distinct logit (rule 29's
+    quantize-the-model discipline), compared against an exact integer
+    uniform, so the verdict is an integer comparison on both engines.
+
+    At 100 TB: scoring is one map-side pass with the 4 weights as
+    literals; the ledger is one partial agg. The training cost was paid
+    once by the memo."""
+    _, traj = _qc_weights(spark, sf_dir)
+    w = traj[-1][1:5]
+    d = load(spark, sf_dir, "documents")
+    zm = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L"
+            " div size(split(text, ' ')) div 10000 - 50"
+        )
+        + F.lit(w[2]) * F.expr("n_chars div 100 - 3")
+        + F.lit(w[3]) * F.expr("size(split(text, ' ')) div 10 - 4")
+    ).cast("long")
+    u_ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    p_ppm = F.floor(
+        1000000.0 / (1.0 + F.exp(-(zm.cast("double") / 1000000.0)))
+    ).cast("long")
+    scored = d.select(
+        "source",
+        zm.alias("zm"),
+        u_ppm.alias("u_ppm"),
+        (zm >= 0).alias("keep_threshold"),
+        (u_ppm < p_ppm).alias("keep_sampled"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep_threshold"), 1).otherwise(0)).alias(
+            "kept_threshold"
+        ),
+        F.sum(F.when(F.col("keep_sampled"), 1).otherwise(0)).alias(
+            "kept_sampled"
+        ),
+        F.expr(
+            "sum(CASE WHEN keep_sampled THEN 1 ELSE 0 END) * 1000000"
+            " div count(*)"
+        ).alias("kept_sampled_ppm"),
     )

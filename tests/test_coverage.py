@@ -763,6 +763,8 @@ EXTENSIONS = [
     "eval_langid_kappa",
     # round 11: Theil-Sen robust trend vs OLS per channel
     "ts_theil_sen",
+    # round 11: classifier-guided rejection filtering (memoized QC weights)
+    "corpus_classifier_filter",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -956,3 +956,54 @@ def test_theil_sen_matches_python_replica(spark, sf_dir):
         assert r["n_days"] == nd
         assert r["n_pairs"] == nd * (nd - 1) // 2 == np_
         assert abs(r["slope_theilsen"] - med) < 2e-6, ch
+
+
+# --- corpus_classifier_filter: policy laws --------------------------------------------
+
+
+def test_classifier_filter_laws(spark, sf_dir):
+    """Ledger telescopes to the doc count; kept counts bounded by n_docs;
+    verdicts recompute exactly from the trained weights (python replica
+    of logit + quantized sigmoid + md5 uniform)."""
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.llm_text import QC_ITERS, QC_STEP_X1M
+
+    # retrain driver-side (the test_quality_classifier replica)
+    feats = []
+    for r in load(spark, sf_dir, "documents").collect():
+        toks = r.text.split(" ")
+        x1 = len(set(toks)) * 1_000_000 // len(toks) // 10000 - 50
+        x2 = r.n_chars // 100 - 3
+        x3 = len(toks) // 10 - 4
+        y = 1 if int(r.source[3:]) % 2 == 0 else 0
+        feats.append((r.doc_id, r.source, x1, x2, x3, y))
+    n = len(feats)
+    w = [0, 0, 0, 0]
+    for _ in range(QC_ITERS):
+        g = [0.0] * 4
+        for _, _, x1, x2, x3, y in feats:
+            zm = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+            pr = 1.0 / (1.0 + math.exp(-(zm / 1e6)))
+            g[0] += pr - y
+            g[1] += (pr - y) * x1
+            g[2] += (pr - y) * x2
+            g[3] += (pr - y) * x3
+        for k in range(4):
+            w[k] -= math.floor(g[k] / n * QC_STEP_X1M + 0.5)
+    want = defaultdict(lambda: [0, 0, 0])  # n, kept_thr, kept_samp
+    for doc_id, source, x1, x2, x3, _ in feats:
+        zm = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 1_000_000
+        p_ppm = math.floor(1_000_000.0 / (1.0 + math.exp(-(zm / 1e6))))
+        a = want[source]
+        a[0] += 1
+        a[1] += int(zm >= 0)
+        a[2] += int(u < p_ppm)
+    rows = {r["source"]: r for r in _df("corpus_classifier_filter", spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for src, (nd, kt, ks) in want.items():
+        r = rows[src]
+        assert (r["n_docs"], r["kept_threshold"], r["kept_sampled"]) == (nd, kt, ks), src
+        assert r["kept_sampled_ppm"] == ks * 1_000_000 // nd
+        assert 0 <= r["kept_threshold"] <= r["n_docs"]
