@@ -5683,3 +5683,106 @@ def corpus_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*)"
         ).alias("kept_sampled_ppm"),
     )
+
+
+def _qc_mcc_oracle_sql() -> str:
+    """eval_mcc's twin: the GD chain + the confusion/MCC tail at the
+    sign-of-logit threshold."""
+    t = QC_ITERS
+    f1, f2, f3 = QC_FEATURES_SQL
+    return (
+        _qc_chain_sql()
+        + f""",
+    scored AS (
+        SELECT ({QC_LABEL_SQL})::BIGINT AS y,
+               CASE WHEN (w.w0m + w.w1m * ({f1}) + w.w2m * ({f2})
+                          + w.w3m * ({f3})) >= 0 THEN 1 ELSE 0 END AS yhat
+        FROM documents d CROSS JOIN w_{t} w
+    ),
+    conf AS (
+        SELECT sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+               sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+               sum(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+               sum(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+        FROM scored
+    )
+    SELECT tp, fp, tn, fn,
+           ((tp + tn) * 1000000 // (tp + fp + tn + fn))::BIGINT
+               AS accuracy_ppm,
+           round((tp::DOUBLE * tn - fp::DOUBLE * fn)
+                 / nullif(sqrt((tp + fp)::DOUBLE) * sqrt((tp + fn)::DOUBLE)
+                          * sqrt((tn + fp)::DOUBLE) * sqrt((tn + fn)::DOUBLE),
+                          0), 6) + 0.0 AS mcc
+    FROM conf"""
+    )
+
+
+@query(
+    "eval_mcc",
+    oracle=_qc_mcc_oracle_sql(),
+    tags=("llm", "eval", "ml"),
+)
+def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the quality classifier — the
+    single-number confusion summary that stays honest under class
+    imbalance where accuracy and even F1 mislead (a classifier that
+    labels everything 'curated' scores 50% accuracy here but MCC 0):
+    MCC = (TP*TN - FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)), computed
+    at corpus_quality_classifier's sign-of-logit operating point from
+    the memoized final weights (_qc_weights — consumer #3 of one
+    training run; the threshold ledger in corpus_classifier_filter and
+    this metric audit the SAME decision boundary).
+
+    Exactness: the confusion cells are exact BIGINT folds of integer
+    comparisons (integer weights x integer features, sign threshold);
+    accuracy ships as exact ppm (rule 25); MCC is a rational of exact
+    ints in the 1-row readout, 6dp — the denominator multiplies FOUR
+    sqrt factors instead of sqrt of the product so the 4-way BIGINT
+    product cannot overflow (each factor <= N => product <= N^4 ~ 1e24
+    at N = 10^6 would overflow; four doubles do not).
+
+    At 100 TB: one map-side scoring pass + one fold."""
+    _, traj = _qc_weights(spark, sf_dir)
+    w = traj[-1][1:5]
+    d = load(spark, sf_dir, "documents")
+    zm = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L"
+            " div size(split(text, ' ')) div 10000 - 50"
+        )
+        + F.lit(w[2]) * F.expr("n_chars div 100 - 3")
+        + F.lit(w[3]) * F.expr("size(split(text, ' ')) div 10 - 4")
+    )
+    y = F.expr(
+        "CASE WHEN cast(substring(source, 4) as int) % 2 = 0 THEN 1 ELSE 0 END"
+    )
+    scored = d.select(
+        y.alias("y"), F.when(zm >= 0, 1).otherwise(0).alias("yhat")
+    )
+    conf = scored.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 0), 1).otherwise(0)).alias("tn"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 0), 1).otherwise(0)).alias("fn"),
+    )
+    mcc = (
+        F.col("tp").cast("double") * F.col("tn")
+        - F.col("fp").cast("double") * F.col("fn")
+    ) / F.nullif(
+        F.sqrt((F.col("tp") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tp") + F.col("fn")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fn")).cast("double")),
+        F.lit(0.0),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr("(tp + tn) * 1000000 div (tp + fp + tn + fn)").alias(
+            "accuracy_ppm"
+        ),
+        (F.round(mcc, 6) + F.lit(0.0)).alias("mcc"),
+    )

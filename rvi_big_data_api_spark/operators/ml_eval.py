@@ -5801,3 +5801,97 @@ def corpus_reward_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.join(nd, "source").select(
         "source", "strength_micro", "n_docs", "softmax_w_x1m", "mix_weight_ppm"
     )
+
+
+@query(
+    "stats_bartlett",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS segment,
+               floor(o.o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    grp AS (
+        SELECT segment, count(*)::BIGINT AS n,
+               sum(cents)::BIGINT AS s, sum(cents * cents)::BIGINT AS ss
+        FROM joined GROUP BY segment
+    ),
+    gv AS (
+        SELECT segment, n,
+               (ss - s::DOUBLE * s / n) / (n - 1) AS v
+        FROM grp WHERE n >= 2
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+               sum((n - 1) * v) AS pooled_num,
+               sum((n - 1) * ln(v)) AS sum_lnv,
+               sum(1.0 / (n - 1)) AS sum_inv
+        FROM gv
+    )
+    SELECT k, nn AS n,
+           round(((nn - k) * ln(pooled_num / (nn - k)) - sum_lnv)
+                 / (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1))), 4)
+               + 0.0 AS bartlett_stat
+    FROM tot
+    """,
+    tags=("analytics", "stats"),
+)
+def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for homogeneity of variances — the parametric
+    sibling of stats_levene on the same question (do the five market
+    segments' order-value variances differ?): T = [(N-k) ln s_p^2 -
+    sum (n_i-1) ln s_i^2] / C with the standard small-sample correction
+    C = 1 + (sum 1/(n_i-1) - 1/(N-k)) / (3(k-1)). Levene is the robust
+    choice under non-normality; Bartlett is the more powerful one when
+    normality holds — shipping both is what a stats toolkit means.
+
+    Exactness: per-group counts and both moments are exact BIGINT folds
+    (one partial agg over the broadcast-joined fact); variances are
+    rationals of those ints; ln and the statistic evaluate only in the
+    1-row readout, rounded 4dp (rules 1/6/8).
+
+    At 100 TB: one partial agg; everything after is k-row arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    grp = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    v = (
+        F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    gv = grp.select("segment", "n", v.alias("v"))
+    tot = gv.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("pooled_num"),
+        F.sum((F.col("n") - 1) * F.log(F.col("v"))).alias("sum_lnv"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    stat = (
+        (F.col("nn") - F.col("k"))
+        * F.log(F.col("pooled_num") / (F.col("nn") - F.col("k")))
+        - F.col("sum_lnv")
+    ) / (
+        1.0
+        + (F.col("sum_inv") - 1.0 / (F.col("nn") - F.col("k")))
+        / (3.0 * (F.col("k") - 1))
+    )
+    return tot.select(
+        "k",
+        F.col("nn").alias("n"),
+        (F.round(stat, 4) + F.lit(0.0)).alias("bartlett_stat"),
+    )

@@ -5240,3 +5240,124 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("ts_slope"), 6) + F.lit(0.0)).alias("slope_theilsen"),
         (F.round(ols_slope, 6) + F.lit(0.0)).alias("slope_ols"),
     )
+
+
+DF_CRIT_5PCT_X100 = -286  # Dickey-Fuller 5% critical value (no trend), x100
+
+
+@query(
+    "ts_unit_root_df",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, xc,
+               lag(xc) OVER (PARTITION BY event_type ORDER BY d) AS xl
+        FROM daily
+    ),
+    obs AS (
+        SELECT event_type, (xc - xl)::BIGINT AS dy, xl AS x
+        FROM idx WHERE xl IS NOT NULL
+    ),
+    sums AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(x * dy)::BIGINT AS sxy,
+               sum(dy * dy)::BIGINT AS syy
+        FROM obs GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                 / nullif(n::DOUBLE * sxx - sx::DOUBLE * sx, 0), 6) + 0.0
+               AS gamma_hat,
+           round(((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                  / nullif(n::DOUBLE * sxx - sx::DOUBLE * sx, 0))
+                 / nullif(sqrt(
+                     ((syy - sy::DOUBLE * sy / n)
+                      - ((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                         / nullif(n::DOUBLE * sxx - sx::DOUBLE * sx, 0))
+                        * (sxy - sx::DOUBLE * sy / n))
+                     / (n - 2)
+                     / (sxx - sx::DOUBLE * sx / n)), 0), 4) + 0.0 AS t_stat,
+           (((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / nullif(n::DOUBLE * sxx - sx::DOUBLE * sx, 0))
+            / nullif(sqrt(
+                ((syy - sy::DOUBLE * sy / n)
+                 - ((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                    / nullif(n::DOUBLE * sxx - sx::DOUBLE * sx, 0))
+                   * (sxy - sx::DOUBLE * sy / n))
+                / (n - 2)
+                / (sxx - sx::DOUBLE * sx / n)), 0)
+            < {DF_CRIT_5PCT_X100} / 100.0) AS stationary_5pct
+    FROM sums
+    """,
+    tags=("telemetry", "timeseries", "stats"),
+)
+def ts_unit_root_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (drift form, no augmentation) — the
+    stationarity gate a forecasting pipeline runs before trusting
+    mean-reverting models (ts_holt_linear fits a trend; this asks
+    whether differencing is needed at all): regress the day-over-day
+    change on the lagged level, dy_t = alpha + gamma * x_(t-1) + e_t;
+    gamma == 0 is the random-walk null, and the t-statistic on gamma is
+    compared against the stated DF 5% critical value (-2.86 for the
+    drift case — a DF table constant, not a normal quantile; stated x100
+    integer).
+
+    Exactness: daily cents, differences and all five regression moments
+    are exact BIGINT folds per channel; gamma/t are rationals of those
+    ints in the |channels|-row readout (6dp/4dp, rules 1/6/8); the
+    verdict is a float comparison against an exact constant — ulp-safe
+    because a t-stat landing exactly on -2.86 has measure zero and the
+    fixture's verdicts sit far from the boundary (pinned).
+
+    At 100 TB: one partial agg to cells, one lag window over the
+    calendar-bounded day support per channel, one fold."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc"))
+    widx = Window.partitionBy("event_type").orderBy("d")
+    obs = (
+        daily.select(
+            "event_type", "xc", F.lag("xc").over(widx).alias("xl")
+        )
+        .filter(F.col("xl").isNotNull())
+        .select(
+            "event_type",
+            (F.col("xc") - F.col("xl")).alias("dy"),
+            F.col("xl").alias("x"),
+        )
+    )
+    sums = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nf = F.col("n").cast("double")
+    gamma = (nf * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.nullif(
+        nf * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"), F.lit(0.0)
+    )
+    sse = (
+        (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+        - gamma * (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+    )
+    se = F.sqrt(
+        sse
+        / (F.col("n") - 2)
+        / (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+    )
+    t_stat = gamma / F.nullif(se, F.lit(0.0))
+    return sums.select(
+        "event_type",
+        "n",
+        (F.round(gamma, 6) + F.lit(0.0)).alias("gamma_hat"),
+        (F.round(t_stat, 4) + F.lit(0.0)).alias("t_stat"),
+        (t_stat < DF_CRIT_5PCT_X100 / 100.0).alias("stationary_5pct"),
+    )

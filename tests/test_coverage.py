@@ -765,6 +765,12 @@ EXTENSIONS = [
     "ts_theil_sen",
     # round 11: classifier-guided rejection filtering (memoized QC weights)
     "corpus_classifier_filter",
+    # round 11: Dickey-Fuller unit-root stationarity gate per channel
+    "ts_unit_root_df",
+    # round 11: Bartlett variance-homogeneity test (levene's parametric kin)
+    "stats_bartlett",
+    # round 11: Matthews correlation at the QC decision boundary
+    "eval_mcc",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -1007,3 +1007,86 @@ def test_classifier_filter_laws(spark, sf_dir):
         assert (r["n_docs"], r["kept_threshold"], r["kept_sampled"]) == (nd, kt, ks), src
         assert r["kept_sampled_ppm"] == ks * 1_000_000 // nd
         assert 0 <= r["kept_threshold"] <= r["n_docs"]
+
+
+# --- ts_unit_root_df / stats_bartlett / eval_mcc replicas ------------------------------
+
+
+def test_unit_root_matches_python(spark, sf_dir):
+    """OLS-on-lagged-level replica per channel; verdicts far from the
+    critical boundary (ulp-safety claim in the docstring)."""
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.telemetry import DF_CRIT_5PCT_X100
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for e in load(spark, sf_dir, "events").collect():
+        daily[e.event_type][e.ts.date()] += math.floor(e.value * 100 + 0.5)
+    rows = {r["event_type"]: r for r in _df("ts_unit_root_df", spark, sf_dir).collect()}
+    for ch, cells in daily.items():
+        xs = [cells[d] for d in sorted(cells)]
+        obs = [(xs[i] - xs[i - 1], xs[i - 1]) for i in range(1, len(xs))]
+        n = len(obs)
+        sx = sum(x for _, x in obs)
+        sy = sum(d for d, _ in obs)
+        sxx = sum(x * x for _, x in obs)
+        sxy = sum(d * x for d, x in obs)
+        syy = sum(d * d for d, _ in obs)
+        gamma = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        sse = (syy - sy * sy / n) - gamma * (sxy - sx * sy / n)
+        se = math.sqrt(sse / (n - 2) / (sxx - sx * sx / n))
+        t = gamma / se
+        r = rows[ch]
+        assert r["n"] == n
+        assert abs(r["gamma_hat"] - gamma) < 2e-6
+        assert abs(r["t_stat"] - t) < 2e-4
+        assert r["stationary_5pct"] == (t < DF_CRIT_5PCT_X100 / 100.0)
+        assert abs(t - DF_CRIT_5PCT_X100 / 100.0) > 0.01, ch  # off-boundary
+
+
+def test_bartlett_matches_python(spark, sf_dir):
+    """Exact-moment replica; the statistic is non-negative."""
+    from collections import defaultdict
+
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    groups = defaultdict(list)
+    for r in load(spark, sf_dir, "orders").collect():
+        groups[seg[r.o_custkey]].append(math.floor(r.o_totalprice * 100 + 0.5))
+    gv = {
+        g: (len(v), sum(v), sum(x * x for x in v))
+        for g, v in groups.items()
+        if len(v) >= 2
+    }
+    k = len(gv)
+    nn = sum(n for n, _, _ in gv.values())
+    variances = {g: (ss - s * s / n) / (n - 1) for g, (n, s, ss) in gv.items()}
+    pooled = sum((gv[g][0] - 1) * variances[g] for g in gv) / (nn - k)
+    num = (nn - k) * math.log(pooled) - sum(
+        (gv[g][0] - 1) * math.log(variances[g]) for g in gv
+    )
+    c = 1.0 + (sum(1.0 / (gv[g][0] - 1) for g in gv) - 1.0 / (nn - k)) / (
+        3.0 * (k - 1)
+    )
+    row = _df("stats_bartlett", spark, sf_dir).collect()[0]
+    assert row["k"] == k and row["n"] == nn
+    assert abs(row["bartlett_stat"] - num / c) < 2e-3
+    assert row["bartlett_stat"] >= 0.0
+
+
+def test_mcc_consistent_with_filter(spark, sf_dir):
+    """The MCC confusion must reconcile with corpus_classifier_filter's
+    threshold ledger (same weights, same boundary): TP + FP == total
+    kept_threshold; cells telescope to the doc count; |MCC| <= 1."""
+    row = _df("eval_mcc", spark, sf_dir).collect()[0]
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert row["tp"] + row["fp"] + row["tn"] + row["fn"] == n_docs
+    kept = sum(
+        r["kept_threshold"]
+        for r in _df("corpus_classifier_filter", spark, sf_dir).collect()
+    )
+    assert row["tp"] + row["fp"] == kept
+    assert -1.0 <= row["mcc"] <= 1.0
+    assert row["accuracy_ppm"] == (row["tp"] + row["tn"]) * 1_000_000 // n_docs
