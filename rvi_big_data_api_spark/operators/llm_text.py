@@ -4816,13 +4816,20 @@ def _lang_drift_oracle_sql(gram: int = 1, src: str = "documents") -> str:
     )
 
 
-def _lang_id_model(spark: SparkSession, d: DataFrame):
+_LANG_ID_MODEL: dict = {}
+
+
+def _lang_id_model(spark: SparkSession, d: DataFrame, memo_key: str | None = None):
     """Train the quantized NB model once from a (doc_id, lang, text) frame:
-    returns (lang_model, prof) — both eagerly checkpointed. Shared by
-    text_lang_id (batch confusion matrix) and stream_lang_drift (live mix
-    monitor), so the two paths classify with the SAME integer model."""
+    returns (lang_model, prof) — both eagerly checkpointed, and MEMOIZED
+    per (applicationId, memo_key) when a key is passed (the _bt_strengths
+    convention) so the three consumers (text_lang_id, stream_lang_drift,
+    eval_langid_kappa) share one training run per session."""
     from ..session import ensure_checkpoint_dir
 
+    key = (spark.sparkContext.applicationId, memo_key)
+    if memo_key is not None and key in _LANG_ID_MODEL:
+        return _LANG_ID_MODEL[key]
     ensure_checkpoint_dir(spark)
     feats = (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
@@ -4871,6 +4878,8 @@ def _lang_id_model(spark: SparkSession, d: DataFrame):
             ).alias("dllq"),
         )
     )
+    if memo_key is not None:
+        _LANG_ID_MODEL[key] = (lang_model, prof)
     return lang_model, prof
 
 
@@ -4940,7 +4949,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     |corpus tokens| x |langs| in the scoring join, the irreducible NB
     cost, shuffled on the word key."""
     d = load(spark, sf_dir, "documents")
-    lang_model, prof = _lang_id_model(spark, d)
+    lang_model, prof = _lang_id_model(spark, d, memo_key=sf_dir)
     feats = (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
         .filter(F.length("f") >= 1)
@@ -5533,7 +5542,7 @@ def eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the classifier's one corpus pass, then arithmetic on
     |langs|^2 rows."""
     d = load(spark, sf_dir, "documents")
-    lang_model, prof = _lang_id_model(spark, d)
+    lang_model, prof = _lang_id_model(spark, d, memo_key=sf_dir)
     feats = (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
         .filter(F.length("f") >= 1)

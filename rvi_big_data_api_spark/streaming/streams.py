@@ -2869,7 +2869,7 @@ def stream_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm_text import _lang_id_model, _lang_id_pick
 
     d = load(spark, sf_dir, "documents")
-    lang_model, prof = _lang_id_model(spark, d)
+    lang_model, prof = _lang_id_model(spark, d, memo_key=sf_dir)
     sdocs = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).parquet(_stream_docs_dir(sf_dir))
