@@ -60,7 +60,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "composite_price_volume_mix", "corpus_reward_mix",
     "win_skyline_pareto", "text_kneser_ney", "seq_window_funnel",
     "eval_langid_kappa", "ts_theil_sen", "corpus_classifier_filter",
-    "ts_unit_root_df", "stats_bartlett", "eval_mcc",
+    "ts_unit_root_df", "stats_bartlett", "eval_mcc", "ts_holt_winters",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -771,6 +771,8 @@ EXTENSIONS = [
     "stats_bartlett",
     # round 11: Matthews correlation at the QC decision boundary
     "eval_mcc",
+    # round 11: Holt-Winters additive seasonal smoothing (7-slot state)
+    "ts_holt_winters",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB
