@@ -61,6 +61,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "win_skyline_pareto", "text_kneser_ney", "seq_window_funnel",
     "eval_langid_kappa", "ts_theil_sen", "corpus_classifier_filter",
     "ts_unit_root_df", "stats_bartlett", "eval_mcc", "ts_holt_winters",
+    "text_heaps_law", "stats_cochran_q", "eval_tost_equivalence",
+    "stream_decayed_topk",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

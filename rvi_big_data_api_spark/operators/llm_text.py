@@ -5795,3 +5795,168 @@ def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(mcc, 6) + F.lit(0.0)).alias("mcc"),
     )
+
+
+HEAPS_CHECKPOINTS = 10  # vocab-growth curve sampled at doc-count deciles
+
+
+@query(
+    "text_heaps_law",
+    oracle=f"""
+    WITH docs_o AS (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY doc_id) AS rn,
+               count(*) OVER ()::BIGINT AS nd
+        FROM documents
+    ),
+    ck AS (
+        SELECT rn, text,
+               least(((rn - 1) * {HEAPS_CHECKPOINTS}) // nd + 1,
+                     {HEAPS_CHECKPOINTS})::BIGINT AS cp
+        FROM docs_o
+    ),
+    toks AS (
+        SELECT cp, rn, unnest(string_split(text, ' ')) AS w FROM ck
+    ),
+    tok_per_cp AS (
+        SELECT cp, count(*)::BIGINT AS toks FROM toks GROUP BY cp
+    ),
+    first_seen AS (
+        SELECT w, min(cp)::BIGINT AS first_cp, count(*)::BIGINT AS total_occ
+        FROM toks GROUP BY w
+    ),
+    new_vocab AS (
+        SELECT first_cp AS cp, count(*)::BIGINT AS new_words
+        FROM first_seen GROUP BY first_cp
+    ),
+    hapax_global AS (
+        SELECT first_cp AS cp, count(*)::BIGINT AS hapax_here
+        FROM first_seen WHERE total_occ = 1 GROUP BY first_cp
+    ),
+    curve AS (
+        SELECT t.cp,
+               sum(t.toks) OVER w::BIGINT AS cum_tokens,
+               sum(COALESCE(nv.new_words, 0)) OVER w::BIGINT AS cum_vocab,
+               sum(COALESCE(hg.hapax_here, 0)) OVER w::BIGINT AS cum_hapax
+        FROM tok_per_cp t
+        LEFT JOIN new_vocab nv ON nv.cp = t.cp
+        LEFT JOIN hapax_global hg ON hg.cp = t.cp
+        WINDOW w AS (ORDER BY t.cp
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    fit AS (
+        SELECT count(*)::BIGINT AS k,
+               sum(ln(cum_tokens::DOUBLE)) AS sx,
+               sum(ln(cum_vocab::DOUBLE)) AS sy,
+               sum(ln(cum_tokens::DOUBLE) * ln(cum_tokens::DOUBLE)) AS sxx,
+               sum(ln(cum_tokens::DOUBLE) * ln(cum_vocab::DOUBLE)) AS sxy
+        FROM curve
+    )
+    SELECT c.cp AS checkpoint, c.cum_tokens, c.cum_vocab, c.cum_hapax,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / nullif(f.k * f.sxx - f.sx * f.sx, 0), 6) + 0.0
+               AS heaps_beta,
+           round(exp((f.sy - (f.k * f.sxy - f.sx * f.sy)
+                      / nullif(f.k * f.sxx - f.sx * f.sx, 0) * f.sx) / f.k),
+                 4) + 0.0 AS heaps_k
+    FROM curve c CROSS JOIN fit f
+    """,
+    tags=("llm", "text", "corpus"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — the corpus statistic that
+    predicts how the VOCAB (and so every vocab-sized model frame: BPE
+    pair tables, NB profiles, bigram types) scales with corpus size:
+    V(n) ~ K * n^beta. Sampled at HEAPS_CHECKPOINTS doc-count deciles in
+    deterministic doc_id order (stated), with the cumulative hapax count
+    (words seen exactly once corpus-wide, attributed to the checkpoint of
+    their first occurrence) riding the same curve — the text_zipf_fit
+    complement: Zipf describes the frequency SPECTRUM, Heaps the growth.
+
+    The naive curve recomputes count(DISTINCT word) per prefix (quadratic
+    in checkpoints); this op derives each word's FIRST-SEEN checkpoint
+    once (the agg_distinct_growth decomposition applied to vocabulary) so
+    cumulative vocab is a prefix sum over |checkpoints| rows. The log-log
+    OLS fit for (K, beta) folds from the 10-point curve — exact BIGINT
+    curve columns, the fit floats evaluated in the 1-row fold only
+    (6dp/4dp, rules 1/6/8).
+
+    Honest fixture note: the synthetic 31-word vocabulary saturates at
+    the first checkpoint, so the fitted beta is exactly 0 here — the op
+    ships the mechanism; a natural corpus yields beta ~ 0.5.
+
+    At 100 TB: one corpus explode folds map-side to (word, first_cp,
+    total_occ); everything after runs on |vocab|- then |checkpoints|-row
+    frames."""
+    d = load(spark, sf_dir, "documents")
+    wnum = Window.orderBy("doc_id")
+    docs_o = d.select(
+        "doc_id",
+        "text",
+        F.row_number().over(wnum).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    ck = docs_o.select(
+        "text",
+        F.least(
+            F.expr(f"((rn - 1) * {HEAPS_CHECKPOINTS}) div nd + 1"),
+            F.lit(HEAPS_CHECKPOINTS).cast("long"),
+        )
+        .cast("long")
+        .alias("cp"),
+    )
+    toks = ck.select("cp", F.explode(F.split("text", " ")).alias("w"))
+    tok_per_cp = toks.groupBy("cp").agg(F.count(F.lit(1)).alias("toks"))
+    first_seen = toks.groupBy("w").agg(
+        F.min("cp").alias("first_cp"), F.count(F.lit(1)).alias("total_occ")
+    )
+    new_vocab = first_seen.groupBy(F.col("first_cp").alias("cp")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    hapax = (
+        first_seen.filter(F.col("total_occ") == 1)
+        .groupBy(F.col("first_cp").alias("cp"))
+        .agg(F.count(F.lit(1)).alias("hapax_here"))
+    )
+    wcum = Window.orderBy("cp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        tok_per_cp.join(new_vocab, "cp", "left")
+        .join(hapax, "cp", "left")
+        .select(
+            "cp",
+            F.sum("toks").over(wcum).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_words"), F.lit(0)))
+            .over(wcum)
+            .alias("cum_vocab"),
+            F.sum(F.coalesce(F.col("hapax_here"), F.lit(0)))
+            .over(wcum)
+            .alias("cum_hapax"),
+        )
+    )
+    lx = F.log(F.col("cum_tokens").cast("double"))
+    ly = F.log(F.col("cum_vocab").cast("double"))
+    fit = curve.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        F.col("cp").alias("checkpoint"),
+        "cum_tokens",
+        "cum_vocab",
+        "cum_hapax",
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (
+            F.round(
+                F.exp((F.col("sy") - beta * F.col("sx")) / F.col("k")), 4
+            )
+            + F.lit(0.0)
+        ).alias("heaps_k"),
+    )

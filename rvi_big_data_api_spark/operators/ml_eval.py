@@ -5895,3 +5895,209 @@ def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n"),
         (F.round(stat, 4) + F.lit(0.0)).alias("bartlett_stat"),
     )
+
+
+@query(
+    "stats_cochran_q",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS t1,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS t2,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END)::BIGINT AS t3,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS t4
+        FROM events GROUP BY user_id
+    ),
+    rows_s AS (
+        SELECT user_id, (t1 + t2 + t3 + t4)::BIGINT AS r FROM pu
+    ),
+    sums AS (
+        SELECT count(*)::BIGINT AS n,
+               (SELECT sum(t1)::BIGINT FROM pu) AS c1,
+               (SELECT sum(t2)::BIGINT FROM pu) AS c2,
+               (SELECT sum(t3)::BIGINT FROM pu) AS c3,
+               (SELECT sum(t4)::BIGINT FROM pu) AS c4,
+               sum(r)::BIGINT AS sr, sum(r * r)::BIGINT AS srr
+        FROM rows_s
+    )
+    SELECT n, c1, c2, c3, c4,
+           round(4 * 3 * ((c1 - sr / 4.0) * (c1 - sr / 4.0)
+                          + (c2 - sr / 4.0) * (c2 - sr / 4.0)
+                          + (c3 - sr / 4.0) * (c3 - sr / 4.0)
+                          + (c4 - sr / 4.0) * (c4 - sr / 4.0))
+                 / nullif(4.0 * sr - srr, 0), 4) + 0.0 AS cochran_q
+    FROM sums
+    """,
+    tags=("analytics", "stats"),
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k-treatment extension of eval_mcnemar_paired for
+    BLOCKED BINARY outcomes: does the share of users exhibiting each of
+    four behaviors (viewed, clicked, big-purchased, signed up — stated
+    treatment set) differ, with each USER as their own block? Q =
+    k(k-1) * sum_j (C_j - R/k)^2 / (k*sum R_i - sum R_i^2), chi2(k-1)
+    under the null. Completes the paired family: mcnemar (2 binary),
+    cochran_q (k binary), wilcoxon (2 continuous), friedman (k
+    continuous).
+
+    EVERY term is an exact BIGINT: per-user flags fold map-side, column
+    totals and the row-sum moments are single-pass sums, and the only
+    float is the 1-row readout (4dp, rules 1/6/8). Users whose row sum
+    is 0 or k contribute nothing to the denominator (the standard
+    all-concordant cancellation) and need no exclusion.
+
+    At 100 TB: one partial agg to users, one fold."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("t1"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("t2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("t3"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("t4"),
+    )
+    r = (F.col("t1") + F.col("t2") + F.col("t3") + F.col("t4")).alias("r")
+    sums = pu.select("t1", "t2", "t3", "t4", r).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t1").alias("c1"),
+        F.sum("t2").alias("c2"),
+        F.sum("t3").alias("c3"),
+        F.sum("t4").alias("c4"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+    )
+    dev = sum(
+        (F.col(c) - F.col("sr") / 4.0) * (F.col(c) - F.col("sr") / 4.0)
+        for c in ("c1", "c2", "c3", "c4")
+    )
+    q = 4 * 3 * dev / F.nullif(4.0 * F.col("sr") - F.col("srr"), F.lit(0.0))
+    return sums.select(
+        "n",
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        (F.round(q, 4) + F.lit(0.0)).alias("cochran_q"),
+    )
+
+
+TOST_MARGIN_PPM = 50_000   # equivalence margin: +/- 5 points of rate
+TOST_Z_X1000 = 1645        # one-sided 5% normal quantile, stated x1000
+
+
+@query(
+    "eval_tost_equivalence",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                    THEN 'treatment' ELSE 'control' END AS arm,
+               max(CASE WHEN event_type = 'purchase'
+                        AND floor(value * 100 + 0.5) > 15000
+                        THEN 1 ELSE 0 END)::BIGINT AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS x
+        FROM pu GROUP BY arm
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'control' THEN n END)::BIGINT AS n_c,
+               max(CASE WHEN arm = 'control' THEN x END)::BIGINT AS x_c,
+               max(CASE WHEN arm = 'treatment' THEN n END)::BIGINT AS n_t,
+               max(CASE WHEN arm = 'treatment' THEN x END)::BIGINT AS x_t
+        FROM arms
+    ),
+    stat AS (
+        SELECT n_c, x_c, n_t, x_t,
+               x_t::DOUBLE / n_t - x_c::DOUBLE / n_c AS diff,
+               sqrt(x_c::DOUBLE / n_c * (1.0 - x_c::DOUBLE / n_c) / n_c
+                    + x_t::DOUBLE / n_t * (1.0 - x_t::DOUBLE / n_t) / n_t)
+                   AS se
+        FROM wide
+    )
+    SELECT n_c, x_c, n_t, x_t,
+           round(diff * 1000000) ::BIGINT AS diff_ppm_rounded,
+           round((diff + {TOST_MARGIN_PPM} / 1000000.0) / nullif(se, 0), 4)
+               + 0.0 AS z_lower,
+           round(({TOST_MARGIN_PPM} / 1000000.0 - diff) / nullif(se, 0), 4)
+               + 0.0 AS z_upper,
+           (least((diff + {TOST_MARGIN_PPM} / 1000000.0) / nullif(se, 0),
+                  ({TOST_MARGIN_PPM} / 1000000.0 - diff) / nullif(se, 0))
+            > {TOST_Z_X1000} / 1000.0) AS equivalent_5pct
+    FROM stat
+    """,
+    tags=("analytics", "stats", "eval"),
+)
+def eval_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test — the experiment readout the superiority
+    tests cannot give: is treatment's big-purchaser rate PROVABLY WITHIN
+    +/- TOST_MARGIN of control's (the non-inferiority launch criterion
+    for a refactor that must not hurt)? Two one-sided z tests against
+    the margin ends — z_lower = (diff + m)/se, z_upper = (m - diff)/se,
+    equivalent at 5% iff BOTH exceed the stated one-sided 1.645 quantile
+    (min > z*). Failing to reject a superiority null is NOT evidence of
+    equivalence; TOST is, which is why it completes the A/B family
+    (ztest = difference, msprt = always-valid monitoring, cuped =
+    variance reduction, TOST = sameness).
+
+    Exactness: exact per-arm counts (one partial agg), unpooled SE and
+    both z from rationals of those ints in the 1-row readout (4dp,
+    rules 1/6/8); the verdict compares min(z) to an exact stated
+    constant — measure-zero boundary, fixture verdict far from it
+    (pinned). The rounded diff ships alongside for the dashboard.
+
+    At 100 TB: one partial agg to users, one to arms."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.floor(F.col("value") * 100 + 0.5) > 15000),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) >= "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        "converted",
+    )
+    wide = (
+        pu.groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x"))
+        .agg(
+            F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+            F.max(F.when(F.col("arm") == "control", F.col("x"))).alias("x_c"),
+            F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+            F.max(F.when(F.col("arm") == "treatment", F.col("x"))).alias("x_t"),
+        )
+    )
+    p_c = F.col("x_c").cast("double") / F.col("n_c")
+    p_t = F.col("x_t").cast("double") / F.col("n_t")
+    diff = p_t - p_c
+    se = F.sqrt(
+        p_c * (1.0 - p_c) / F.col("n_c") + p_t * (1.0 - p_t) / F.col("n_t")
+    )
+    m = TOST_MARGIN_PPM / 1000000.0
+    z_lo = (diff + m) / F.nullif(se, F.lit(0.0))
+    z_hi = (m - diff) / F.nullif(se, F.lit(0.0))
+    return wide.select(
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        F.round(diff * 1000000).cast("long").alias("diff_ppm_rounded"),
+        (F.round(z_lo, 4) + F.lit(0.0)).alias("z_lower"),
+        (F.round(z_hi, 4) + F.lit(0.0)).alias("z_upper"),
+        (F.least(z_lo, z_hi) > TOST_Z_X1000 / 1000.0).alias("equivalent_5pct"),
+    )

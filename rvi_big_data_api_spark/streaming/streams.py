@@ -2997,3 +2997,103 @@ def stream_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(wcum).alias("cumulative_distinct"),
     )
+
+
+DECAY_TOPK_K = 10      # leaderboard size
+DECAY_MAX_AGE = 30     # ages clamp here; 2^(30 - age) stays in BIGINT
+
+
+@query(
+    "stream_decayed_topk",
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id, date_trunc('day', ts) AS d,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    anchor AS (SELECT max(d) AS amax FROM cells),
+    decayed AS (
+        SELECT c.user_id,
+               sum(c.cents * (1::BIGINT << ({DECAY_MAX_AGE}
+                   - least(date_diff('day', c.d, a.amax),
+                           {DECAY_MAX_AGE})::INT)))::BIGINT AS score_x2_30,
+               sum(c.cents)::BIGINT AS raw_cents
+        FROM cells c CROSS JOIN anchor a
+        GROUP BY c.user_id
+    ),
+    ranked AS (
+        SELECT user_id, score_x2_30, raw_cents,
+               row_number() OVER (ORDER BY score_x2_30 DESC, user_id ASC)
+                   AS rnk
+        FROM decayed
+    )
+    SELECT rnk, user_id, score_x2_30, raw_cents
+    FROM ranked WHERE rnk <= {DECAY_TOPK_K}
+    """,
+    tags=("streaming", "analytics"),
+)
+def stream_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed revenue leaderboard — stream_topk ranks
+    all-time totals, which a leaderboard that should reflect RECENT
+    behavior must not: here each purchase's weight halves per day of age
+    (half-life = 1 day, anchored at the newest day IN THE DATA — never
+    wall clock, so the result is replay-deterministic). The stream
+    maintains per-(user, day) cells in complete mode (population x
+    calendar bounded — the decay re-anchors every refresh, which is
+    exactly why the state must keep the day dimension rather than a
+    single decayed scalar per user: a scalar state would bake in a stale
+    anchor).
+
+    EXACT INTEGER decay: weight = 2^(MAX_AGE - age) (ages clamped at
+    DECAY_MAX_AGE), so the score is a BIGINT in units of cents/2^30 —
+    no float exists in the op and the twin hashes bit-exactly (the
+    agg_log_histogram power-of-two discipline). Top-K by (score desc,
+    user asc) via sort+limit — the bounded-heap TakeOrderedAndProject
+    plan, never a global row_number window.
+
+    At 100 TB: streaming state is the (user, day) cell table; the
+    re-rank per refresh is one fold + a K-bounded heap."""
+    cells_s = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"))
+    )
+    cells = run_to_table(cells_s, sf_dir, "decaytopk", "complete")
+    anchor = cells.agg(F.max("d").alias("amax"))
+    decayed = (
+        cells.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "cents",
+            F.least(
+                F.datediff(F.col("amax"), F.col("d")),
+                F.lit(DECAY_MAX_AGE),
+            ).alias("age"),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                f"cents * shiftleft(cast(1 as bigint),"
+                f" cast({DECAY_MAX_AGE} - age as int))"
+            ).alias("wcents"),
+            "cents",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("wcents").alias("score_x2_30"),
+            F.sum("cents").alias("raw_cents"),
+        )
+    )
+    top = (
+        decayed.orderBy(F.col("score_x2_30").desc(), F.col("user_id").asc())
+        .limit(DECAY_TOPK_K)
+    )
+    w = Window.orderBy(F.col("score_x2_30").desc(), F.col("user_id").asc())
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "user_id",
+        "score_x2_30",
+        "raw_cents",
+    )

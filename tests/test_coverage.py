@@ -773,6 +773,14 @@ EXTENSIONS = [
     "eval_mcc",
     # round 11: Holt-Winters additive seasonal smoothing (7-slot state)
     "ts_holt_winters",
+    # round 11: Heaps'-law vocabulary-growth curve + hapax ledger
+    "text_heaps_law",
+    # round 11: Cochran's Q (k blocked binary treatments)
+    "stats_cochran_q",
+    # round 11: TOST equivalence / non-inferiority readout
+    "eval_tost_equivalence",
+    # round 11: exponentially-decayed leaderboard (exact power-of-two decay)
+    "stream_decayed_topk",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

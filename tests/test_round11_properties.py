@@ -1143,3 +1143,170 @@ def test_holt_winters_matches_python_and_reduces_error(spark, sf_dir):
             assert abs(r["seasonal"] - new_s) < 5e-4
             assert abs(r["forecast_1"] - (new_l + new_b + sh[0])) < 5e-4
         assert 0.1 * lin_se < hw_se < 5.0 * lin_se, (ch, hw_se, lin_se)
+
+
+# --- text_heaps_law: growth-curve laws --------------------------------------------------
+
+
+def test_heaps_law_matches_python(spark, sf_dir):
+    """Cumulative tokens/vocab/hapax replica in doc_id order; the curve is
+    monotone; the final vocab equals the corpus vocab; hapax <= vocab;
+    beta in (0, 1] for any real corpus."""
+    docs = sorted(
+        (r.doc_id, r.text) for r in load(spark, sf_dir, "documents").collect()
+    )
+    from collections import Counter
+
+    from rvi_big_data_api_spark.operators.llm_text import HEAPS_CHECKPOINTS
+
+    nd = len(docs)
+    first_cp = {}
+    occ = Counter()
+    toks_per_cp = Counter()
+    for i, (_, text) in enumerate(docs):
+        cp = min((i * HEAPS_CHECKPOINTS) // nd + 1, HEAPS_CHECKPOINTS)
+        ws = text.split(" ")
+        toks_per_cp[cp] += len(ws)
+        for w in ws:
+            occ[w] += 1
+            first_cp.setdefault(w, cp)
+    rows = sorted(
+        _df("text_heaps_law", spark, sf_dir).collect(),
+        key=lambda r: r["checkpoint"],
+    )
+    cum_t = cum_v = cum_h = 0
+    prev_v = 0
+    for r in rows:
+        cp = r["checkpoint"]
+        cum_t += toks_per_cp[cp]
+        cum_v += sum(1 for w, c in first_cp.items() if c == cp)
+        cum_h += sum(1 for w, c in first_cp.items() if c == cp and occ[w] == 1)
+        assert r["cum_tokens"] == cum_t
+        assert r["cum_vocab"] == cum_v
+        assert r["cum_hapax"] == cum_h
+        assert r["cum_vocab"] >= prev_v
+        assert r["cum_hapax"] <= r["cum_vocab"]
+        prev_v = r["cum_vocab"]
+    assert rows[-1]["cum_vocab"] == len(first_cp)
+    # the synthetic 31-word vocab SATURATES at the first checkpoint, so the
+    # fitted growth exponent is exactly 0 here (stated in the op docstring);
+    # a natural corpus gives beta in (0.4, 0.6)
+    assert 0.0 <= rows[0]["heaps_beta"] <= 1.0
+
+
+# --- stats_cochran_q: paired-binary replica ----------------------------------------------
+
+
+def test_cochran_q_matches_python(spark, sf_dir):
+    """Exact-count replica; Q >= 0; the k = 2 special case of the same
+    formula reduces to McNemar's chi2 without correction (identity
+    checked on treatments 1/2)."""
+    from collections import defaultdict
+
+    flags = defaultdict(lambda: [0, 0, 0, 0])
+    for e in load(spark, sf_dir, "events").collect():
+        a = flags[e.user_id]
+        if e.event_type == "view":
+            a[0] = 1
+        elif e.event_type == "click":
+            a[1] = 1
+        elif e.event_type == "purchase" and math.floor(e.value * 100 + 0.5) > 15000:
+            a[2] = 1
+        elif e.event_type == "signup":
+            a[3] = 1
+    n = len(flags)
+    cols = [sum(a[j] for a in flags.values()) for j in range(4)]
+    sr = sum(sum(a) for a in flags.values())
+    srr = sum(sum(a) ** 2 for a in flags.values())
+    q = 4 * 3 * sum((c - sr / 4.0) ** 2 for c in cols) / (4.0 * sr - srr)
+    row = _df("stats_cochran_q", spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert [row["c1"], row["c2"], row["c3"], row["c4"]] == cols
+    assert abs(row["cochran_q"] - q) < 2e-4
+    assert row["cochran_q"] >= 0.0
+    # k=2 reduction: Q == (b-c)^2/(b+c) on treatments (view, click)
+    b = sum(1 for a in flags.values() if a[0] == 1 and a[1] == 0)
+    c = sum(1 for a in flags.values() if a[0] == 0 and a[1] == 1)
+    if b + c:
+        cols2 = [sum(a[0] for a in flags.values()), sum(a[1] for a in flags.values())]
+        sr2 = sum(a[0] + a[1] for a in flags.values())
+        srr2 = sum((a[0] + a[1]) ** 2 for a in flags.values())
+        q2 = 2 * 1 * sum((x - sr2 / 2.0) ** 2 for x in cols2) / (2.0 * sr2 - srr2)
+        assert abs(q2 - (b - c) ** 2 / (b + c)) < 1e-9
+
+
+# --- eval_tost_equivalence: TOST laws ------------------------------------------------------
+
+
+def test_tost_matches_python_and_is_off_boundary(spark, sf_dir):
+    """Exact-count replica; z_lower + z_upper == 2m/se (identity); the
+    verdict equals min(z) > z*; and min(z) sits off the 1.645 boundary."""
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.operators.ml_eval import (
+        TOST_MARGIN_PPM,
+        TOST_Z_X1000,
+    )
+
+    acc = defaultdict(int)
+    for e in load(spark, sf_dir, "events").collect():
+        if e.event_type == "purchase" and math.floor(e.value * 100 + 0.5) > 15000:
+            acc[e.user_id] = 1
+        else:
+            acc.setdefault(e.user_id, 0)
+    arms = defaultdict(lambda: [0, 0])
+    for uid, conv in acc.items():
+        arm = "treatment" if hashlib.md5(str(uid).encode()).hexdigest()[0] >= "8" else "control"
+        arms[arm][0] += 1
+        arms[arm][1] += conv
+    (n_c, x_c), (n_t, x_t) = arms["control"], arms["treatment"]
+    p_c, p_t = x_c / n_c, x_t / n_t
+    diff = p_t - p_c
+    se = math.sqrt(p_c * (1 - p_c) / n_c + p_t * (1 - p_t) / n_t)
+    m = TOST_MARGIN_PPM / 1e6
+    row = _df("eval_tost_equivalence", spark, sf_dir).collect()[0]
+    assert (row["n_c"], row["x_c"], row["n_t"], row["x_t"]) == (n_c, x_c, n_t, x_t)
+    assert abs(row["z_lower"] - (diff + m) / se) < 2e-4
+    assert abs(row["z_upper"] - (m - diff) / se) < 2e-4
+    assert abs((row["z_lower"] + row["z_upper"]) - 2 * m / se) < 4e-4
+    zmin = min((diff + m) / se, (m - diff) / se)
+    assert row["equivalent_5pct"] == (zmin > TOST_Z_X1000 / 1000.0)
+    assert abs(zmin - TOST_Z_X1000 / 1000.0) > 0.01
+
+
+# --- stream_decayed_topk: decay laws ---------------------------------------------------------
+
+
+def test_decayed_topk_matches_python(spark, sf_dir):
+    """Exact power-of-two decay replica; ranks dense 1..K; scores
+    non-increasing; score <= raw * 2^30 always (weights cap at age 0)."""
+    from collections import defaultdict
+
+    from rvi_big_data_api_spark.streaming.streams import (
+        DECAY_MAX_AGE,
+        DECAY_TOPK_K,
+    )
+
+    cells = defaultdict(lambda: defaultdict(int))
+    for e in load(spark, sf_dir, "events").collect():
+        if e.event_type == "purchase":
+            cells[e.user_id][e.ts.date()] += math.floor(e.value * 100 + 0.5)
+    amax = max(d for u in cells.values() for d in u)
+    scores = {}
+    for uid, days in cells.items():
+        s = sum(
+            c * (1 << (DECAY_MAX_AGE - min((amax - d).days, DECAY_MAX_AGE)))
+            for d, c in days.items()
+        )
+        scores[uid] = (s, sum(days.values()))
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:DECAY_TOPK_K]
+    rows = sorted(
+        _df("stream_decayed_topk", spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [r["rnk"] for r in rows] == list(range(1, len(want) + 1))
+    for r, (uid, (s, raw)) in zip(rows, want):
+        assert r["user_id"] == uid and r["score_x2_30"] == s and r["raw_cents"] == raw
+        assert r["score_x2_30"] <= raw * (1 << DECAY_MAX_AGE)
+    for a, b in zip(rows, rows[1:]):
+        assert a["score_x2_30"] >= b["score_x2_30"]
