@@ -44,12 +44,18 @@ from .operators import (  # noqa: F401
 # can't silently push unverified operators past the driver's horizon.
 # ---------------------------------------------------------------------------
 PRIORITY_UNVERIFIED: list[str] = [
-    # -- round-11 head (refreshed per VERDICT r10 item 1): CORRECTNESS_r10
-    # consumed the entire previous 21-entry head — 50/50 hash-pass — and for
-    # the first time EVERY registry entry has a driver row (VERDICT r10:
-    # 462 hash-pass latest + 6 rows-only by design, zero coverage debt).
-    # The unverified head is therefore EMPTY: round-11 additions registered
-    # here go straight to the front of the driver's 50-row budget. ----------
+    # -- round-12 head (refreshed per VERDICT r11 item 2): CORRECTNESS_r11
+    # consumed the entire previous 32-entry head — 50/50 hash-pass — and the
+    # registry again has zero driver-coverage debt (VERDICT r11: 494
+    # hash-pass latest + 6 rows-only by design). The unverified head is
+    # therefore EMPTY: round-12 additions registered here go straight to the
+    # front of the driver's 50-row budget. ----------------------------------
+]
+
+PRIORITY_VERIFIED: list[str] = [
+    # -- driver-green in round 11 (CORRECTNESS_r11.json, 50 rows, all hash
+    # matches, zero err — all 32 round-11 additions plus 18 re-samples of
+    # ADVICE-touched/r10-wave entries already listed below) ------------------
     "eval_bradley_terry", "text_lang_id", "stream_seasonal_esd",
     "stats_spearman", "text_readability", "eval_brier_decomposition",
     "ts_periodogram", "stream_lang_drift",
@@ -63,9 +69,6 @@ PRIORITY_UNVERIFIED: list[str] = [
     "ts_unit_root_df", "stats_bartlett", "eval_mcc", "ts_holt_winters",
     "text_heaps_law", "stats_cochran_q", "eval_tost_equivalence",
     "stream_decayed_topk",
-]
-
-PRIORITY_VERIFIED: list[str] = [
     # -- driver-green in round 10 (CORRECTNESS_r10.json, 50 rows, all hash
     # matches, zero err — the 4-entry round-9 tail head plus all 17 oracled
     # round-10 additions; the remaining 29 rows re-sampled earlier-round

@@ -33,7 +33,7 @@ _ROOT = pathlib.Path(__file__).resolve().parent.parent
 # a newer CORRECTNESS_r*.json written after our last commit is deliberately
 # ignored by the snapshot checks below.
 KNOWN_ROUNDS = ["r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09",
-                "r10"]
+                "r10", "r11"]
 
 
 def _counts_as_green(name: str, rec: dict) -> bool:
