@@ -5798,6 +5798,8 @@ def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HEAPS_CHECKPOINTS = 10  # vocab-growth curve sampled at doc-count deciles
+HEAPS_RANGE_BUCKETS = 256  # doc_id range-exchange width for the distributed
+                           # rank (VERDICT r11 item 1); widen as corpus grows
 
 
 @query(
@@ -5887,16 +5889,48 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: one corpus explode folds map-side to (word, first_cp,
     total_occ); everything after runs on |vocab|- then |checkpoints|-row
-    frames."""
+    frames. The doc_id rank itself is DISTRIBUTED (VERDICT r11 item 1 —
+    the registered plan used to be a single unpartitioned
+    Window.orderBy(doc_id) with the text payload riding through one
+    reducer): `corpus_global_shuffle`'s range-exchange applied to an
+    ordered key — doc_ids range-bucket by a monotone width derived from
+    one broadcast (count, min, max) fold, per-bucket counts become
+    broadcast cumulative offsets over the ≤HEAPS_RANGE_BUCKETS-row bucket
+    support, and rn = offset + row_number() PARTITIONED by bucket over a
+    doc_id-only frame; text joins back on doc_id afterwards. Plan-pinned
+    in tests/test_plans.py (every row_number partitioned, no corpus-sized
+    sort); the cp labels are the same pure function of doc_id order, so
+    the oracle hash is unchanged."""
     d = load(spark, sf_dir, "documents")
-    wnum = Window.orderBy("doc_id")
-    docs_o = d.select(
-        "doc_id",
-        "text",
-        F.row_number().over(wnum).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    stats = d.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
     )
-    ck = docs_o.select(
+    slim = d.select("doc_id").crossJoin(F.broadcast(stats))
+    bucketed = slim.withColumn(
+        "bucket",
+        F.expr(
+            f"(doc_id - mn) div (((mx - mn) div {HEAPS_RANGE_BUCKETS}) + 1)"
+        ),
+    )
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("b_n"))
+        .select(
+            "bucket", (F.sum("b_n").over(woff) - F.col("b_n")).alias("cum_before")
+        )
+    )
+    wrng = Window.partitionBy("bucket").orderBy("doc_id")
+    ranked = bucketed.join(F.broadcast(off), "bucket").select(
+        "doc_id",
+        "nd",
+        (F.col("cum_before") + F.row_number().over(wrng)).alias("rn"),
+    )
+    ck = d.select("doc_id", "text").join(ranked, "doc_id").select(
         "text",
         F.least(
             F.expr(f"((rn - 1) * {HEAPS_CHECKPOINTS}) div nd + 1"),
