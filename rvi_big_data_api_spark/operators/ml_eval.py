@@ -4915,6 +4915,13 @@ def _bt_strengths(spark: SparkSession, sf_dir: str):
         .distinct()
         .collect()
     )
+    if not items:
+        # Degenerate corpus (one source, or no pair clears BT_MIN_MARGIN_PPM):
+        # no preference evidence exists, so the trained artifact is EMPTY —
+        # consumers emit empty frames rather than crashing on items[0] /
+        # dividing by a None pair count (ADVICE r11 item 1).
+        _BT_FRAMES[key] = (edges, [], {}, 0)
+        return _BT_FRAMES[key]
     ref = items[0]
     n_pairs = edges.agg(F.sum("w")).collect()[0][0]
     s = {it: 0 for it in items}
@@ -5053,6 +5060,11 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPEARMAN_N_MAX = 1_000_000  # sum(rx2*ry2) <= 4N^3 stays under 2^63 only for
+                            # N <~ 1.3e6; the readout raise_error()s past this
+                            # instead of returning a silently-overflowed rho
+
+
 @query(
     "stats_spearman",
     oracle="""
@@ -5124,8 +5136,10 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, supports bounded) and one aggregate folds the exact integer
     sums; rho is computed in the final 1-row fold only (rules 1/6, 6dp,
     -0.0 guard). Doubled-rank products bound: sum(rx2*ry2) <= 4N^3
-    overflows BIGINT near N ~ 10^6 — noted, not hit (the kruskal
-    convention); past that the fold runs per-range with DOUBLE partials.
+    overflows BIGINT near N ~ 1.3e6 — ENFORCED (ADVICE r11 item 3): the
+    readout raise_error()s when n exceeds SPEARMAN_N_MAX instead of
+    returning a silently-corrupted rho; past that the fold runs
+    per-range with DOUBLE partials (the documented migration).
 
     At 100 TB: one partial agg to the user frame, two support windows
     (|V| rows each), two equi-joins, one fold — no corpus-sized sort or
@@ -5187,11 +5201,23 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
         * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
+    n_guarded = (
+        F.when(
+            F.col("n") > F.lit(SPEARMAN_N_MAX),
+            F.raise_error(
+                F.lit(
+                    "stats_spearman: n exceeds the BIGINT-safe doubled-rank"
+                    " bound (4N^3 < 2^63); shard the fold with DOUBLE partials"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n"))
+    )
     return (
         sums.crossJoin(F.broadcast(tiex))
         .crossJoin(F.broadcast(tiey))
         .select(
-            "n",
+            n_guarded.alias("n"),
             "n_tied_x",
             "n_tied_y",
             (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias(

@@ -555,8 +555,9 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     that no strictly-cheaper part strictly out-sizes, i.e. the
     (min price, max size) frontier a buyer actually chooses from.
     Dominance here is STRICT in both axes (stated): p survives iff
-    max(size) over parts with price_cents < p.price_cents is below
-    p.size. That reduces the quadratic exists-check to ONE range-frame
+    max(size) over parts with price_cents < p.price_cents is not above
+    p.size (equal-size survives — only a strictly-cheaper AND
+    strictly-larger part dominates; ADVICE r11 item 2). That reduces the quadratic exists-check to ONE range-frame
     window — max over RANGE UNBOUNDED PRECEDING .. 1 PRECEDING on the
     integer price axis — the textbook sort-filter skyline, PARTITIONED
     by brand so no global sort exists.
