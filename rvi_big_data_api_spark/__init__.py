@@ -50,6 +50,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # hash-pass latest + 6 rows-only by design). The unverified head is
     # therefore EMPTY: round-12 additions registered here go straight to the
     # front of the driver's 50-row budget. ----------------------------------
+    "ml_gmm_quality", "corpus_gmm_posterior_sample",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

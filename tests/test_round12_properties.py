@@ -57,3 +57,132 @@ def test_spearman_overflow_guard_is_in_plan_and_inert(spark, sf_dir):
     assert row["n"] > 0
     assert row["rho_spearman"] is not None
     assert -1.0 <= row["rho_spearman"] <= 1.0
+
+
+# --- ml_gmm_quality: unsupervised EM trained in-engine ------------------------
+
+
+def _py_gmm_traj(sf_dir):
+    """Pure-Python replica of the quantized 2-component EM: exact integer
+    scores from DuckDB, float E-step, quantized M-step — an independent
+    path to the identical BIGINT trajectory."""
+    import duckdb
+
+    from rvi_big_data_api_spark.operators.ml_eval import (
+        GMM_ITERS,
+        GMM_MU1_0,
+        GMM_MU2_0,
+        GMM_PI1_0,
+        GMM_PI_MIN_PPM,
+        GMM_TWO_PI,
+        GMM_VAR_0,
+        GMM_VAR_MIN_MICRO,
+    )
+
+    xs = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT (len(list_distinct(string_split(text, ' '))) * 1000000"
+            " // len(string_split(text, ' ')))::BIGINT"
+            f" FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    n = len(xs)
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+
+    def dens(xp, m, v, p):
+        mu, var = m / 1e6, v / 1e6
+        return (
+            (p / 1e6)
+            * math.exp(-((xp / 1e6 - mu) ** 2) / (2 * var))
+            / math.sqrt(GMM_TWO_PI * var)
+        )
+
+    m1, m2, v1, v2, p1 = GMM_MU1_0, GMM_MU2_0, GMM_VAR_0, GMM_VAR_0, GMM_PI1_0
+    traj = []
+    for t in range(1, GMM_ITERS + 1):
+        sr = srx = srxx = 0.0
+        for xp in xs:
+            a1 = dens(xp, m1, v1, p1)
+            a2 = dens(xp, m2, v2, 1_000_000 - p1)
+            r = a1 / (a1 + a2)
+            sr += r
+            srx += r * (xp / 1e6)
+            srxx += r * (xp / 1e6) ** 2
+        sr2, srx2 = n - sr, sx / 1e6 - srx
+        srxx2 = sxx / 1e12 - srxx
+        m1 = math.floor(srx / sr * 1e6 + 0.5)
+        m2 = math.floor(srx2 / sr2 * 1e6 + 0.5)
+        v1 = max(
+            math.floor((srxx / sr - (srx / sr) ** 2) * 1e6 + 0.5),
+            GMM_VAR_MIN_MICRO,
+        )
+        v2 = max(
+            math.floor((srxx2 / sr2 - (srx2 / sr2) ** 2) * 1e6 + 0.5),
+            GMM_VAR_MIN_MICRO,
+        )
+        p1 = min(
+            max(math.floor(sr / n * 1e6 + 0.5), GMM_PI_MIN_PPM),
+            1_000_000 - GMM_PI_MIN_PPM,
+        )
+        ll = sum(
+            math.log(
+                dens(xp, m1, v1, p1) + dens(xp, m2, v2, 1_000_000 - p1)
+            )
+            for xp in xs
+        ) / n
+        traj.append((t, m1, m2, v1, v2, p1, round(ll, 6)))
+    return traj
+
+
+def test_gmm_matches_python_replica(spark, sf_dir):
+    got = sorted(
+        (
+            r["iteration"],
+            r["mu1_micro"],
+            r["mu2_micro"],
+            r["var1_micro"],
+            r["var2_micro"],
+            r["pi1_ppm"],
+        )
+        for r in _df("ml_gmm_quality", spark, sf_dir).collect()
+    )
+    exp = sorted(t[:6] for t in _py_gmm_traj(sf_dir))
+    assert got == exp
+
+
+def test_gmm_likelihood_ascends_and_components_separate(spark, sf_dir):
+    """EM's monotone guarantee on the mean log-likelihood (readout under
+    the NEW params each step), modulo the 1-micro quantization (tolerance
+    1e-4 nats); the two fitted means must stay ordered and apart."""
+    rows = sorted(
+        _df("ml_gmm_quality", spark, sf_dir).collect(),
+        key=lambda r: r["iteration"],
+    )
+    lls = [r["loglik"] for r in rows]
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-4, lls
+    last = rows[-1]
+    assert last["mu2_micro"] - last["mu1_micro"] > 100_000
+    assert last["var1_micro"] >= 100 and last["var2_micro"] >= 100
+    assert 1000 <= last["pi1_ppm"] <= 999_000
+
+
+def test_gmm_posterior_sample_conservation(spark, sf_dir):
+    """The posterior gate can only keep a subset, mean posterior is a
+    valid ppm, and the sampler is deterministic (two runs agree)."""
+    a = {
+        r["source"]: r
+        for r in _df("corpus_gmm_posterior_sample", spark, sf_dir).collect()
+    }
+    b = {
+        r["source"]: r
+        for r in _df("corpus_gmm_posterior_sample", spark, sf_dir).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    for src, r in a.items():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["mean_posterior_ppm"] <= 1_000_000
+        r2 = b[src]
+        assert (r["n_kept"], r["kept_tokens"]) == (r2["n_kept"], r2["kept_tokens"])
