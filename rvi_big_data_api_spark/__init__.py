@@ -51,6 +51,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     # therefore EMPTY: round-12 additions registered here go straight to the
     # front of the driver's 50-row budget. ----------------------------------
     "ml_gmm_quality", "corpus_gmm_posterior_sample",
+    "corpus_curated_select",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

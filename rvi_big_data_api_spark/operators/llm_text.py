@@ -5184,13 +5184,18 @@ QC_FEATURES_SQL = (
 QC_LABEL_SQL = "CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 1 ELSE 0 END"
 
 
-def _qc_chain_sql() -> str:
+def _qc_chain_sql(prefix: str = "") -> str:
     """Generated chained-CTE GD chain of corpus_quality_classifier (pu,
     w_0..w_T, per-step m_t readouts) — the _logreg_oracle_sql machinery
-    instantiated on document features; tails append their own SELECT."""
+    instantiated on document features; tails append their own SELECT.
+    `prefix` renames every CTE ({prefix}pu, {prefix}w_t, ...) so the chain
+    can be SPLICED into a WITH alongside the BT and lang-id chains without
+    namespace collisions (rule 29 corollary); the default "" keeps the
+    standalone oracles unchanged (modulo one inert `n` alias)."""
+    q = prefix
     f1, f2, f3 = QC_FEATURES_SQL
     parts = [
-        f"""WITH pu AS MATERIALIZED (
+        f"""WITH {q}pu AS MATERIALIZED (
         SELECT doc_id,
                ({f1})::BIGINT AS x1,
                ({f2})::BIGINT AS x2,
@@ -5198,20 +5203,20 @@ def _qc_chain_sql() -> str:
                ({QC_LABEL_SQL})::BIGINT AS y
         FROM documents
     ),
-    n AS (SELECT count(*)::BIGINT AS n FROM pu),
-    w_0 AS (SELECT 0::BIGINT AS w0m, 0::BIGINT AS w1m,
+    {q}n AS (SELECT count(*)::BIGINT AS n FROM {q}pu),
+    {q}w_0 AS (SELECT 0::BIGINT AS w0m, 0::BIGINT AS w1m,
                    0::BIGINT AS w2m, 0::BIGINT AS w3m)"""
     ]
     for t in range(1, QC_ITERS + 1):
         parts.append(
             f""",
-    z_{t} AS (
+    {q}z_{t} AS (
         SELECT p.doc_id, p.x1, p.x2, p.x3, p.y,
                (w.w0m + w.w1m * p.x1 + w.w2m * p.x2 + w.w3m * p.x3)::BIGINT
                    AS zm
-        FROM pu p CROSS JOIN w_{t - 1} w
+        FROM {q}pu p CROSS JOIN {q}w_{t - 1} w
     ),
-    g_{t} AS (
+    {q}g_{t} AS (
         SELECT
             floor(sum(1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) / n.n
                   * {QC_STEP_X1M} + 0.5)::BIGINT AS d0,
@@ -5221,14 +5226,14 @@ def _qc_chain_sql() -> str:
                   * {QC_STEP_X1M} + 0.5)::BIGINT AS d2,
             floor(sum((1.0 / (1.0 + exp(-(zm / 1000000.0))) - y) * x3) / n.n
                   * {QC_STEP_X1M} + 0.5)::BIGINT AS d3
-        FROM z_{t} CROSS JOIN n GROUP BY n.n
+        FROM {q}z_{t} CROSS JOIN {q}n n GROUP BY n.n
     ),
-    w_{t} AS MATERIALIZED (
+    {q}w_{t} AS MATERIALIZED (
         SELECT w.w0m - g.d0 AS w0m, w.w1m - g.d1 AS w1m,
                w.w2m - g.d2 AS w2m, w.w3m - g.d3 AS w3m
-        FROM w_{t - 1} w CROSS JOIN g_{t} g
+        FROM {q}w_{t - 1} w CROSS JOIN {q}g_{t} g
     ),
-    m_{t} AS (
+    {q}m_{t} AS (
         SELECT {t}::BIGINT AS iteration, w.w0m, w.w1m, w.w2m, w.w3m,
                (sum(CASE WHEN (zm >= 0) = (y = 1) THEN 1 ELSE 0 END)
                    * 1000000 // count(*))::BIGINT AS accuracy_ppm,
@@ -5238,8 +5243,8 @@ def _qc_chain_sql() -> str:
             SELECT p.y,
                    (w.w0m + w.w1m * p.x1 + w.w2m * p.x2 + w.w3m * p.x3)::BIGINT
                        AS zm
-            FROM pu p CROSS JOIN w_{t} w
-        ) q CROSS JOIN w_{t} w
+            FROM {q}pu p CROSS JOIN {q}w_{t} w
+        ) q CROSS JOIN {q}w_{t} w
         GROUP BY w.w0m, w.w1m, w.w2m, w.w3m
     )"""
         )
@@ -5993,4 +5998,176 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("heaps_k"),
+    )
+
+
+# --- round 12: the curated-corpus selector (three trained artifacts, one op) --
+
+CURATED_BUDGET_DOCS = 200  # total selection budget; per-source quota =
+                           # floor(mix_weight_ppm * budget / 1e6) (stated)
+
+
+def _curated_select_oracle_sql() -> str:
+    """corpus_curated_select's twin: the BT chain, the QC chain (spliced
+    under the qc_ prefix), and the lang-id chain in ONE WITH — the rule-29
+    splicing corollary exercised across all three trained artifacts — plus
+    the quota/rank/ledger tail."""
+    from .ml_eval import BT_ITERS, _bt_chain_sql
+
+    f1, f2, f3 = QC_FEATURES_SQL
+    bt = _bt_chain_sql()
+    qc = _qc_chain_sql(prefix="qc_")
+    assert qc.startswith("WITH ")
+    lid = _lang_id_chain_sql()
+    head = lid.index("WITH ") + len("WITH ")
+    return (
+        bt
+        + ",\n    "
+        + qc[len("WITH "):]
+        + ","
+        + lid[head:]
+        + f""",
+    cc_wq AS (
+        SELECT item, floor(exp(sm / 1000000.0) * 1000000)::BIGINT AS w_x1m
+        FROM s_{BT_ITERS}
+    ),
+    cc_tot AS (SELECT sum(w_x1m)::BIGINT AS tw FROM cc_wq),
+    cc_mixq AS (
+        SELECT item AS source,
+               (w_x1m * 1000000 // t.tw)::BIGINT AS mix_weight_ppm,
+               ((w_x1m * 1000000 // t.tw) * {CURATED_BUDGET_DOCS}
+                // 1000000)::BIGINT AS quota_docs
+        FROM cc_wq CROSS JOIN cc_tot t
+    ),
+    cc_scored AS (
+        SELECT d.doc_id, d.source,
+               len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+               (w.w0m + w.w1m * ({f1}) + w.w2m * ({f2})
+                + w.w3m * ({f3}))::BIGINT AS zm
+        FROM documents d CROSS JOIN qc_w_{QC_ITERS} w
+    ),
+    cc_eligible AS (
+        SELECT s.source, s.doc_id, s.n_tokens, s.zm,
+               row_number() OVER (PARTITION BY s.source
+                                  ORDER BY s.zm DESC, s.doc_id ASC) AS rk
+        FROM cc_scored s JOIN pick p ON p.doc_id = s.doc_id
+        WHERE p.pred_lang = p.lang
+    )
+    SELECT e.source, m.mix_weight_ppm, m.quota_docs,
+           count(*)::BIGINT AS n_eligible,
+           sum(CASE WHEN e.rk <= m.quota_docs THEN 1 ELSE 0 END)::BIGINT
+               AS n_selected,
+           sum(CASE WHEN e.rk <= m.quota_docs THEN e.n_tokens ELSE 0 END)::BIGINT
+               AS selected_tokens,
+           COALESCE(min(CASE WHEN e.rk <= m.quota_docs THEN e.zm END),
+                    0)::BIGINT AS bar_logit_micro
+    FROM cc_eligible e JOIN cc_mixq m ON m.source = e.source
+    GROUP BY e.source, m.mix_weight_ppm, m.quota_docs"""
+    )
+
+
+@query(
+    "corpus_curated_select",
+    oracle=_curated_select_oracle_sql(),
+    tags=("llm", "corpus", "ml", "flagship"),
+)
+def corpus_curated_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-corpus selector — the op that turns the session's THREE
+    trained artifacts into one training subset (VERDICT r11 item 6,
+    closing the RLHF data loop): Bradley-Terry mix weights set per-source
+    QUOTAS, the quality classifier ranks each source's documents, and the
+    lang-id model gates contamination — best-of-n selection under a
+    reward-model-derived budget, the shape an RLHF data pipeline actually
+    runs between reward fitting and SFT.
+
+    Semantics (all stated): a document is ELIGIBLE iff the NB lang-id
+    model predicts its labeled language (the eval_langid_kappa agreement
+    gate); each BT-ranked source gets quota_docs = floor(mix_weight_ppm *
+    CURATED_BUDGET_DOCS / 1e6) (exact integer arithmetic on the memoized
+    softmax ppm — corpus_reward_mix's numbers verbatim); within a source,
+    eligible docs rank by exact integer QC logit DESC (doc_id ASC ties)
+    and the top quota_docs are selected. Ledger per source: quota, pool
+    size, selection count/tokens, and the acceptance bar (min selected
+    logit; 0 when nothing selected, disambiguated by n_selected = 0).
+
+    All three artifacts ride their session memos (_bt_strengths,
+    _qc_weights, _lang_id_model) — zero additional training cost — and
+    the DuckDB twin SPLICES all three generated chains into one WITH
+    (the rule-29 namespace-disjointness corollary, exercised three-wide
+    for the first time: BT unprefixed, QC under qc_, lang-id's own
+    names).
+
+    At 100 TB: scoring is one map-side pass (4 integer weights as
+    literals); the lang-id join carries (doc_id, verdict) partials; the
+    per-source rank window is PARTITIONED by source with quota-bounded
+    consumption, and the ledger is one partial agg. Nothing new scales
+    super-linearly; the training passes were paid once."""
+    import math as _math
+
+    from .ml_eval import _bt_strengths
+
+    _, items, s, _ = _bt_strengths(spark, sf_dir)
+    wq = {it: _math.floor(_math.exp(s[it] / 1e6) * 1e6) for it in items}
+    tw = sum(wq.values())
+    mixppm = {it: wq[it] * 1_000_000 // tw for it in items}
+    quota = {
+        it: mixppm[it] * CURATED_BUDGET_DOCS // 1_000_000 for it in items
+    }
+    _, qtraj = _qc_weights(spark, sf_dir)
+    w = qtraj[-1][1:5]
+    d = load(spark, sf_dir, "documents")
+    lang_model, prof = _lang_id_model(spark, d, memo_key=sf_dir)
+    feats = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
+        .filter(F.length("f") >= 1)
+    )
+    tf = feats.groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = feats.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_feats")
+    )
+    part = (
+        tf.join(prof, "f")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum(F.col("tf") * F.col("dllq")).alias("sw"))
+    )
+    pick = _lang_id_pick(doclen, part, lang_model)
+    zm = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L"
+            " div size(split(text, ' ')) div 10000 - 50"
+        )
+        + F.lit(w[2]) * F.expr("n_chars div 100 - 3")
+        + F.lit(w[3]) * F.expr("size(split(text, ' ')) div 10 - 4")
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        zm.alias("zm"),
+    )
+    eligible = scored.join(
+        pick.filter(F.col("pred_lang") == F.col("lang")).select("doc_id"),
+        "doc_id",
+    )
+    qf = spark.createDataFrame(
+        [(it, mixppm[it], quota[it]) for it in items],
+        "source string, mix_weight_ppm long, quota_docs long",
+    )
+    wsel = Window.partitionBy("source").orderBy(
+        F.col("zm").desc(), F.col("doc_id").asc()
+    )
+    ranked = eligible.join(F.broadcast(qf), "source").withColumn(
+        "rk", F.row_number().over(wsel)
+    )
+    sel = F.col("rk") <= F.col("quota_docs")
+    return ranked.groupBy("source", "mix_weight_ppm", "quota_docs").agg(
+        F.count(F.lit(1)).alias("n_eligible"),
+        F.sum(F.when(sel, 1).otherwise(0)).alias("n_selected"),
+        F.sum(F.when(sel, F.col("n_tokens")).otherwise(0)).alias(
+            "selected_tokens"
+        ),
+        F.coalesce(F.min(F.when(sel, F.col("zm"))), F.lit(0)).alias(
+            "bar_logit_micro"
+        ),
     )

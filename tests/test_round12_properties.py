@@ -186,3 +186,54 @@ def test_gmm_posterior_sample_conservation(spark, sf_dir):
         assert 0 <= r["mean_posterior_ppm"] <= 1_000_000
         r2 = b[src]
         assert (r["n_kept"], r["kept_tokens"]) == (r2["n_kept"], r2["kept_tokens"])
+
+
+# --- corpus_curated_select: three artifacts, one curated subset ---------------
+
+
+def test_curated_select_quota_identity(spark, sf_dir):
+    """Quotas must be EXACTLY corpus_reward_mix's ppm scaled to the stated
+    budget (floor(mix_ppm * budget / 1e6)), and the selection can never
+    exceed min(quota, pool): n_selected = least(quota_docs, n_eligible)."""
+    from rvi_big_data_api_spark.operators.llm_text import CURATED_BUDGET_DOCS
+
+    mix = {
+        r["source"]: r["mix_weight_ppm"]
+        for r in _df("corpus_reward_mix", spark, sf_dir).collect()
+    }
+    rows = _df("corpus_curated_select", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mix_weight_ppm"] == mix[r["source"]]
+        assert (
+            r["quota_docs"]
+            == mix[r["source"]] * CURATED_BUDGET_DOCS // 1_000_000
+        )
+        assert r["n_selected"] == min(r["quota_docs"], r["n_eligible"])
+        if r["n_selected"] == 0:
+            assert r["selected_tokens"] == 0
+
+
+def test_curated_select_rides_the_memos(spark, sf_dir):
+    """Running the selector after its three producers must not retrain:
+    the memo dicts hold exactly one artifact per (app, sf_dir) before and
+    after."""
+    from rvi_big_data_api_spark.operators.llm_text import (
+        _LANG_ID_MODEL,
+        _QC_WEIGHTS,
+    )
+    from rvi_big_data_api_spark.operators.ml_eval import _BT_FRAMES
+
+    _df("corpus_curated_select", spark, sf_dir).collect()
+    app = spark.sparkContext.applicationId
+    keys = [(app, sf_dir)]
+    before = [
+        len([k for k in m if k in keys])
+        for m in (_BT_FRAMES, _QC_WEIGHTS, _LANG_ID_MODEL)
+    ]
+    _df("corpus_curated_select", spark, sf_dir).collect()
+    after = [
+        len([k for k in m if k in keys])
+        for m in (_BT_FRAMES, _QC_WEIGHTS, _LANG_ID_MODEL)
+    ]
+    assert before == after == [1, 1, 1]
