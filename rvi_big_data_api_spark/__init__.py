@@ -52,6 +52,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     # front of the driver's 50-row budget. ----------------------------------
     "ml_gmm_quality", "corpus_gmm_posterior_sample",
     "corpus_curated_select",
+    "stats_kendall_tau", "ts_mann_kendall", "ml_gmm_bic",
+    "stream_gmm_quality_gate",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

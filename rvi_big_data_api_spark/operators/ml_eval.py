@@ -6433,3 +6433,210 @@ def corpus_gmm_posterior_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_tokens") * keep).alias("kept_tokens"),
         F.expr("sum(post_ppm) div count(1)").alias("mean_posterior_ppm"),
     )
+
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    cells AS (SELECT x, y, count(*)::BIGINT AS c FROM pu GROUP BY x, y),
+    conc AS (
+        SELECT COALESCE(sum(a.c * b.c), 0)::BIGINT AS cc
+        FROM cells a JOIN cells b ON b.x < a.x AND b.y < a.y
+    ),
+    disc AS (
+        SELECT COALESCE(sum(a.c * b.c), 0)::BIGINT AS dd
+        FROM cells a JOIN cells b ON b.x < a.x AND b.y > a.y
+    ),
+    tx AS (
+        SELECT sum(t * (t - 1) / 2)::BIGINT AS n1
+        FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY x)
+    ),
+    ty AS (
+        SELECT sum(t * (t - 1) / 2)::BIGINT AS n2
+        FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY y)
+    ),
+    nn AS (SELECT sum(c)::BIGINT AS n, (sum(c) * (sum(c) - 1) / 2)::BIGINT AS n0
+           FROM cells)
+    SELECT nn.n, nn.n0 AS n_pairs, conc.cc AS concordant, disc.dd AS discordant,
+           tx.n1 AS tied_x, ty.n2 AS tied_y,
+           round((conc.cc - disc.dd)
+                 / nullif(sqrt((nn.n0 - tx.n1)::DOUBLE * (nn.n0 - ty.n2)), 0),
+                 6) + 0.0 AS tau_b
+    FROM nn CROSS JOIN conc CROSS JOIN disc CROSS JOIN tx CROSS JOIN ty
+    """,
+    tags=("analytics", "stats"),
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b with tie correction — does engagement (per-user view
+    count) CONCORDANTLY track clicks? The third association measure of the
+    nonparametric suite (Pearson = linear, Spearman = monotone-via-ranks,
+    Kendall = pairwise concordance — the most robust of the three and the
+    one whose confidence behavior under ties is best understood).
+
+    Exactness AND scale from the JOINT-SUPPORT decomposition (the
+    stats_spearman support-histogram discipline taken to two dimensions):
+    the corpus folds to one cell per distinct (views, clicks) pair, and
+    concordant/discordant pair counts are exact BIGINT dominance sums
+    over the CELL GRID — sum(a.c * b.c) over cells with b < a in both /
+    opposite axes — never an O(n^2) user-pair enumeration. Tie terms n1 =
+    sum t(t-1)/2 per marginal fold from the same cells. tau_b evaluates
+    in the final 1-row float readout only (rules 1/6, 6dp).
+
+    Both count variables are event-type tallies with a small bounded
+    support (stated — the spearman bound convention), so the dominance
+    self-join is a broadcast of a support-sized frame; at 100 TB the only
+    corpus-sized work is the two partial aggs (user fold, cell fold)."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    cells = pu.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    conc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bx") < F.col("ax")) & (F.col("by") < F.col("ay")),
+        )
+        .agg(F.coalesce(F.sum(F.col("ac") * F.col("bc")), F.lit(0)).alias("cc"))
+    )
+    disc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bx") < F.col("ax")) & (F.col("by") > F.col("ay")),
+        )
+        .agg(F.coalesce(F.sum(F.col("ac") * F.col("bc")), F.lit(0)).alias("dd"))
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("n1"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("n2"))
+    )
+    nn = cells.agg(
+        F.sum("c").alias("n"),
+        F.expr("sum(c) * (sum(c) - 1) div 2").alias("n0"),
+    )
+    tau = (F.col("cc") - F.col("dd")) / F.nullif(
+        F.sqrt(
+            (F.col("n0") - F.col("n1")).cast("double")
+            * (F.col("n0") - F.col("n2"))
+        ),
+        F.lit(0.0),
+    )
+    return (
+        nn.crossJoin(F.broadcast(conc))
+        .crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            F.col("n0").alias("n_pairs"),
+            F.col("cc").alias("concordant"),
+            F.col("dd").alias("discordant"),
+            F.col("n1").alias("tied_x"),
+            F.col("n2").alias("tied_y"),
+            (F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
+        )
+    )
+
+
+@query(
+    "ml_gmm_bic",
+    oracle=f"""
+    WITH {_gmm_chain_sql()},
+    bic_k1 AS (
+        SELECT n.n,
+               (n.sx // n.n)::BIGINT AS mu_micro,
+               floor((n.sxx / 1000000000000.0 / n.n
+                      - pow(n.sx / 1000000.0 / n.n, 2)) * 1000000
+                     + 0.5)::BIGINT AS var_micro
+        FROM gmm_n n
+    ),
+    bic_ll1 AS (
+        SELECT k.n, k.mu_micro, k.var_micro,
+               round(-(n.sxx / 1000000000000.0 / n.n
+                       - 2 * (k.mu_micro / 1000000.0) * (n.sx / 1000000.0 / n.n)
+                       + pow(k.mu_micro / 1000000.0, 2))
+                     / (2 * (k.var_micro / 1000000.0))
+                     - 0.5 * ln({GMM_TWO_PI} * (k.var_micro / 1000000.0)),
+                     6) + 0.0 AS loglik1
+        FROM bic_k1 k CROSS JOIN gmm_n n
+    )
+    SELECT l.n, l.mu_micro, l.var_micro, l.loglik1, m.loglik AS loglik2,
+           round((2 * ln(l.n) - 2 * l.n * l.loglik1)
+                 - (5 * ln(l.n) - 2 * l.n * m.loglik), 4) + 0.0 AS delta_bic
+    FROM bic_ll1 l CROSS JOIN gmm_m_{GMM_ITERS} m
+    """,
+    tags=("analytics", "ml"),
+)
+def ml_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-order selection by BIC — is the 2-component quality mixture
+    JUSTIFIED over a single Gaussian? The model-selection readout every
+    density-based curation gate needs before trusting its posterior
+    (a unimodal score distribution makes corpus_gmm_posterior_sample's
+    soft gate a no-op, and BIC is the standard evidence): delta_bic =
+    BIC(k=1) - BIC(k=2) with BIC = p*ln(n) - 2*n*avg_loglik, p = 2 vs 5
+    free parameters; positive delta means the mixture earns its extra
+    parameters.
+
+    Exactness: the k=1 MLE derives from the EXACT BIGINT corpus moments
+    (mu in integer micro via sx div n; variance single-step quantized
+    from exact ints — no fold noise anywhere, both engines compute
+    identical doubles), its mean log-likelihood has the closed quadratic
+    form under the quantized params, and the k=2 likelihood is the
+    memoized trajectory's final 6dp readout — so the comparison consumes
+    only already-pinned quantities. Readouts 6dp/4dp (rules 1/6).
+
+    At 100 TB: zero additional corpus passes — one O(1) aggregate over
+    the checkpointed score frame for the moments; the training cost was
+    paid once by _gmm_params."""
+    pu, traj = _gmm_params(spark, sf_dir)
+    ll2 = traj[-1][6]
+    base = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xppm").alias("sx"),
+        F.sum(F.col("xppm") * F.col("xppm")).alias("sxx"),
+    ).collect()[0]
+    n, sx, sxx = base["n"], base["sx"], base["sxx"]
+    mu_micro = sx // n
+    var_micro = math.floor(
+        (sxx / 1e12 / n - (sx / 1e6 / n) ** 2) * 1e6 + 0.5
+    )
+    ll1 = round(
+        -(
+            sxx / 1e12 / n
+            - 2 * (mu_micro / 1e6) * (sx / 1e6 / n)
+            + (mu_micro / 1e6) ** 2
+        )
+        / (2 * (var_micro / 1e6))
+        - 0.5 * math.log(GMM_TWO_PI * (var_micro / 1e6)),
+        6,
+    )
+    delta = round(
+        (2 * math.log(n) - 2 * n * ll1) - (5 * math.log(n) - 2 * n * ll2), 4
+    )
+    return spark.createDataFrame(
+        [(n, mu_micro, var_micro, float(ll1), float(ll2), float(delta))],
+        "n long, mu_micro long, var_micro long, loglik1 double,"
+        " loglik2 double, delta_bic double",
+    )

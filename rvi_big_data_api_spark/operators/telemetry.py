@@ -5490,3 +5490,136 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("sea", 4) + F.lit(0.0)).alias("seasonal"),
         (F.round("fc1", 4) + F.lit(0.0)).alias("forecast_1"),
     )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, xc,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
+        FROM daily
+    ),
+    s AS (
+        SELECT a.event_type,
+               sum(CASE WHEN b.xc > a.xc THEN 1
+                        WHEN b.xc < a.xc THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        FROM idx a JOIN idx b
+          ON b.event_type = a.event_type AND b.t > a.t
+        GROUP BY a.event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               COALESCE(sum(tt * (tt - 1) * (2 * tt + 5)), 0)::BIGINT AS tie_term
+        FROM (
+            SELECT event_type, count(*)::BIGINT AS tt
+            FROM daily GROUP BY event_type, xc
+        ) GROUP BY event_type
+    ),
+    nd AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY event_type),
+    v AS (
+        SELECT nd.event_type, nd.n_days,
+               (nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                - ti.tie_term)::BIGINT AS var_x18
+        FROM nd JOIN ties ti ON ti.event_type = nd.event_type
+    )
+    SELECT v.event_type, v.n_days, s.s_stat, v.var_x18,
+           round(CASE WHEN s.s_stat > 0
+                      THEN (s.s_stat - 1) / nullif(sqrt(v.var_x18 / 18.0), 0)
+                      WHEN s.s_stat < 0
+                      THEN (s.s_stat + 1) / nullif(sqrt(v.var_x18 / 18.0), 0)
+                      ELSE 0.0 END, 4) + 0.0 AS z_mk
+    FROM v JOIN s ON s.event_type = v.event_type
+    """,
+    tags=("telemetry", "timeseries", "stats"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type — the HYPOTHESIS-TEST
+    companion to ts_theil_sen's estimator (the pairing every monitoring
+    stack ships together: Theil-Sen says HOW steep, Mann-Kendall says
+    whether the monotone trend is SIGNIFICANT): S = sum of pairwise
+    value-difference signs over the day-indexed daily series, tie-corrected
+    variance 18*Var = n(n-1)(2n+5) - sum t(t-1)(2t+5), and the
+    continuity-corrected Z = (S -/+ 1)/sqrt(Var) readout.
+
+    Exactness: daily cents totals are exact BIGINTs, S and the variance
+    numerator are exact integer folds (the dominance-pair algebra of
+    stats_kendall_tau applied to the time axis); only Z is float, in the
+    per-type readout row (rules 1/6, 4dp).
+
+    Scale: the pair join runs on the DAY-INDEXED support (bounded by the
+    calendar span — the ts_theil_sen bound, stated), partitioned per
+    event_type; the only corpus-sized work is the daily partial agg."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc")
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type", "xc", F.row_number().over(wt).alias("t")
+    )
+    a = idx.select(
+        F.col("event_type").alias("et"), F.col("xc").alias("axc"),
+        F.col("t").alias("at"),
+    )
+    b = idx.select(
+        F.col("event_type").alias("et"), F.col("xc").alias("bxc"),
+        F.col("t").alias("bt"),
+    )
+    s = (
+        a.join(b, "et")
+        .filter(F.col("bt") > F.col("at"))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("bxc") > F.col("axc"), 1)
+                .when(F.col("bxc") < F.col("axc"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "xc")
+        .agg(F.count(F.lit(1)).alias("tt"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("tt * (tt - 1) * (2 * tt + 5)")), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    v = nd.join(ties, "event_type").select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+        ).alias("var_x18"),
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1)
+            / F.nullif(F.sqrt(F.col("var_x18") / 18.0), F.lit(0.0)),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1)
+            / F.nullif(F.sqrt(F.col("var_x18") / 18.0), F.lit(0.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.join(s, "event_type").select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var_x18",
+        (F.round(z, 4) + F.lit(0.0)).alias("z_mk"),
+    )

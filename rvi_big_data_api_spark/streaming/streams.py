@@ -3097,3 +3097,99 @@ def stream_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_x2_30",
         "raw_cents",
     )
+
+
+# --- round 12: streaming GMM quality gate --------------------------------------
+
+
+def _gmm_gate_oracle_sql() -> str:
+    from ..operators.ml_eval import _GMM_XPPM_SQL, _gmm_chain_sql, _gmm_dens_sql, GMM_ITERS
+
+    d1 = _gmm_dens_sql("w.m1", "w.v1", "w.p1")
+    d2 = _gmm_dens_sql("w.m2", "w.v2", "(1000000 - w.p1)")
+    return f"""
+    WITH {_gmm_chain_sql()},
+    gmm_docs AS (
+        SELECT source, text, {_GMM_XPPM_SQL} AS xppm FROM documents
+    ),
+    gmm_post AS (
+        SELECT source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               substr(md5(text), 1, 8) AS u_hex,
+               floor({d2} / ({d1} + {d2}) * 1000000 + 0.5)::BIGINT AS post_ppm
+        FROM gmm_docs CROSS JOIN gmm_w_{GMM_ITERS} w
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN u_hex < lpad(lower(to_hex(post_ppm * 4294967295
+                                                   // 1000000)), 8, '0')
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN u_hex < lpad(lower(to_hex(post_ppm * 4294967295
+                                                   // 1000000)), 8, '0')
+                    THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens,
+           (sum(post_ppm)::BIGINT // count(*)) AS mean_posterior_ppm
+    FROM gmm_post GROUP BY source"""
+
+
+@query(
+    "stream_gmm_quality_gate",
+    oracle=_gmm_gate_oracle_sql(),
+    tags=("streaming", "llm", "corpus", "ml"),
+)
+def stream_gmm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE posterior quality gate — the streaming twin of
+    corpus_gmm_posterior_sample (the round-12 member of the batch≡stream
+    reconciliation family): documents arrive as files, each micro-batch
+    scores the BATCH-TRAINED mixture posterior map-side (the five exact
+    integer params ride into the plan as literals — the
+    model-enrichment shape with an O(1) model), draws the deterministic
+    md5 keep verdict per document, and the stream maintains only the
+    per-source ledger (n_docs, n_kept, kept tokens, posterior sum) in
+    complete mode — state is |sources| cells, invariant in corpus size.
+
+    One scoring expression, shared constants, one quantizer: the live
+    gate cannot drift from the batch sampler (pinned stream ≡ batch
+    row-for-row; the oracle is the same spliced EM chain + ledger tail).
+
+    At 100 TB: per-row hashing + density arithmetic is stateless
+    map-side work; the shuffle carries source partials; training was
+    paid once by the memoized batch fit."""
+    from ..operators.ml_eval import _gmm_dens_col, _gmm_params
+
+    _, traj = _gmm_params(spark, sf_dir)
+    _, m1, m2, v1, v2, p1, _ = traj[-1]
+    sdocs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(_stream_docs_dir(sf_dir))
+    x = (
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L"
+            " div size(split(text, ' '))"
+        )
+        / 1000000.0
+    )
+    a1 = _gmm_dens_col(x, m1, v1, p1)
+    a2 = _gmm_dens_col(x, m2, v2, 1000000 - p1)
+    post = sdocs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.substring(F.md5("text"), 1, 8).alias("u_hex"),
+        F.floor(a2 / (a1 + a2) * 1000000 + 0.5).cast("long").alias("post_ppm"),
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.expr("post_ppm * 4294967295 div 1000000"))), 8, "0"
+    )
+    keep = (F.col("u_hex") < thr).cast("long")
+    ledger = post.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).alias("n_kept"),
+        F.sum(F.col("n_tokens") * keep).alias("kept_tokens"),
+        F.sum("post_ppm").alias("sum_post_ppm"),
+    )
+    out = run_to_table(ledger, sf_dir, "gmmgate", "complete")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "kept_tokens",
+        F.expr("sum_post_ppm div n_docs").alias("mean_posterior_ppm"),
+    )

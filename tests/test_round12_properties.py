@@ -237,3 +237,114 @@ def test_curated_select_rides_the_memos(spark, sf_dir):
         for m in (_BT_FRAMES, _QC_WEIGHTS, _LANG_ID_MODEL)
     ]
     assert before == after == [1, 1, 1]
+
+
+# --- stats_kendall_tau / ts_mann_kendall: dominance-pair algebra --------------
+
+
+def test_kendall_tau_matches_bruteforce(spark, sf_dir):
+    """The support-grid dominance sums must equal the O(n^2) user-pair
+    brute force (concordant/discordant/ties and tau_b)."""
+    import duckdb
+
+    pairs = duckdb.sql(
+        "SELECT user_id,"
+        " sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT,"
+        " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    xs = [(x, y) for _, x, y in pairs]
+    n = len(xs)
+    cc = dd = n1 = n2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xs[i][0] - xs[j][0]
+            dy = xs[i][1] - xs[j][1]
+            if dx == 0:
+                n1 += 1
+            if dy == 0:
+                n2 += 1
+            if dx * dy > 0:
+                cc += 1
+            elif dx * dy < 0:
+                dd += 1
+    row = _df("stats_kendall_tau", spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert row["concordant"] == cc
+    assert row["discordant"] == dd
+    n0 = n * (n - 1) // 2
+    # tied_x counts pairs tied on x INCLUDING pairs also tied on y; the
+    # brute force above counts the same way
+    assert row["tied_x"] == n1 and row["tied_y"] == n2
+    exp_tau = (cc - dd) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert abs(row["tau_b"] - exp_tau) < 1e-5
+
+
+def test_mann_kendall_matches_bruteforce(spark, sf_dir):
+    import duckdb
+
+    daily = duckdb.sql(
+        "SELECT event_type, date_trunc('day', ts) AS d,"
+        " sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for et, d, xc in daily:
+        series[et].append(xc)
+    got = {r["event_type"]: r for r in _df("ts_mann_kendall", spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, xs in series.items():
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        )
+        n = len(xs)
+        tie_term = 0
+        from collections import Counter
+
+        for t in Counter(xs).values():
+            tie_term += t * (t - 1) * (2 * t + 5)
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        r = got[et]
+        assert r["s_stat"] == s and r["n_days"] == n and r["var_x18"] == var18
+        if s != 0 and var18 > 0:
+            exp_z = (s - 1 if s > 0 else s + 1) / math.sqrt(var18 / 18.0)
+            assert abs(r["z_mk"] - exp_z) < 1e-3
+
+
+# --- ml_gmm_bic + stream gate: consumers of the memoized fit ------------------
+
+
+def test_gmm_bic_consistency(spark, sf_dir):
+    """delta_bic must equal the BIC identity on the emitted likelihoods,
+    and loglik2 must match ml_gmm_quality's final readout."""
+    bic = _df("ml_gmm_bic", spark, sf_dir).collect()[0]
+    traj = sorted(
+        _df("ml_gmm_quality", spark, sf_dir).collect(),
+        key=lambda r: r["iteration"],
+    )
+    assert bic["loglik2"] == traj[-1]["loglik"]
+    n = bic["n"]
+    exp = round(
+        (2 * math.log(n) - 2 * n * bic["loglik1"])
+        - (5 * math.log(n) - 2 * n * bic["loglik2"]),
+        4,
+    )
+    assert abs(bic["delta_bic"] - exp) < 1e-9
+    # the mixture should beat one Gaussian on this bimodal-ish score axis
+    assert bic["loglik2"] >= bic["loglik1"]
+
+
+def test_stream_gmm_gate_equals_batch(spark, sf_dir):
+    """The live ledger must equal corpus_gmm_posterior_sample row-for-row
+    (one scoring expression, one quantizer — the reconciliation law)."""
+    batch = sorted(
+        map(tuple, _df("corpus_gmm_posterior_sample", spark, sf_dir).collect())
+    )
+    live = sorted(
+        map(tuple, _df("stream_gmm_quality_gate", spark, sf_dir).collect())
+    )
+    assert batch == live
