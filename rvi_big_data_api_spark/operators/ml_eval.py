@@ -6165,13 +6165,21 @@ def _gmm_dens_sql(m: str, v: str, p: str) -> str:
     )
 
 
-def _gmm_chain_sql() -> str:
+def _gmm_chain_sql(pu_sql: str | None = None, iters: int = GMM_ITERS,
+                   mu1_0: int = GMM_MU1_0, mu2_0: int = GMM_MU2_0,
+                   var_0: int = GMM_VAR_0, pi1_0: int = GMM_PI1_0) -> str:
     """The shared WITH-clause chain replaying the exact integer EM
     trajectory: one (e, g, w MATERIALIZED, m) CTE quartet per step, all in
-    the disjoint gmm_ namespace so consumers can splice the chain."""
+    the disjoint gmm_ namespace so consumers can splice the chain.
+    `pu_sql` must be a SELECT yielding one BIGINT column `xppm` (defaults
+    to the corpus quality score); the geometry params let the fuzzer
+    instantiate random score distributions and step counts (the
+    _bt_chain_sql convention)."""
+    if pu_sql is None:
+        pu_sql = f"SELECT {_GMM_XPPM_SQL} AS xppm FROM documents"
     parts = [
         f"""gmm_pu AS MATERIALIZED (
-        SELECT {_GMM_XPPM_SQL} AS xppm FROM documents
+        {pu_sql}
     ),
     gmm_n AS (
         SELECT count(*)::BIGINT AS n, sum(xppm)::BIGINT AS sx,
@@ -6179,12 +6187,12 @@ def _gmm_chain_sql() -> str:
         FROM gmm_pu
     ),
     gmm_w_0 AS (
-        SELECT {GMM_MU1_0}::BIGINT AS m1, {GMM_MU2_0}::BIGINT AS m2,
-               {GMM_VAR_0}::BIGINT AS v1, {GMM_VAR_0}::BIGINT AS v2,
-               {GMM_PI1_0}::BIGINT AS p1
+        SELECT {mu1_0}::BIGINT AS m1, {mu2_0}::BIGINT AS m2,
+               {var_0}::BIGINT AS v1, {var_0}::BIGINT AS v2,
+               {pi1_0}::BIGINT AS p1
     )"""
     ]
-    for t in range(1, GMM_ITERS + 1):
+    for t in range(1, iters + 1):
         d1 = _gmm_dens_sql("w.m1", "w.v1", "w.p1")
         d2 = _gmm_dens_sql("w.m2", "w.v2", "(1000000 - w.p1)")
         parts.append(

@@ -2719,3 +2719,161 @@ def test_generated_minimax_isotonic_agrees_with_pav(duck, n_bins, seed):
     assert set(got) == set(want)
     for b in got:
         assert abs(got[b] - round(want[b], 6)) < 1e-9, (n_bins, seed, b)
+
+
+# --------------------------------------------------------------------------
+# GMM trajectory family (round 12, VERDICT r11 items 5/8): random integer
+# score distributions, init geometries and step counts through the GENERATED
+# chained-CTE EM chain on DuckDB vs a sequential pure-Python replica —
+# cross-algebra: the unrolled relational EM (quantized micro-unit params,
+# clamped variance/mixing floors) must equal the textbook loop at every
+# geometry.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=20, max_value=120),
+    seed=st.integers(min_value=0, max_value=10_000),
+    iters=st.integers(min_value=1, max_value=6),
+    mu1=st.sampled_from([200_000, 400_000]),
+    mu2=st.sampled_from([600_000, 800_000]),
+)
+def test_generated_gmm_chains_agree_with_python_replica(duck, n, seed, iters, mu1, mu2):
+    import hashlib as _h
+    import math as _m
+
+    from rvi_big_data_api_spark.operators.ml_eval import (
+        GMM_PI1_0,
+        GMM_PI_MIN_PPM,
+        GMM_TWO_PI,
+        GMM_VAR_0,
+        GMM_VAR_MIN_MICRO,
+        _gmm_chain_sql,
+    )
+
+    xs = [
+        int(_h.md5(f"{seed}:{i}".encode()).hexdigest()[:5], 16) % 1_000_001
+        for i in range(n)
+    ]
+    vals = ", ".join(f"({x})" for x in xs)
+    pu = f"SELECT x::BIGINT AS xppm FROM (VALUES {vals}) AS t(x)"
+    sql = (
+        "WITH "
+        + _gmm_chain_sql(pu_sql=pu, iters=iters, mu1_0=mu1, mu2_0=mu2)
+        + f" SELECT mu1_micro, mu2_micro, var1_micro, var2_micro, pi1_ppm"
+        f" FROM gmm_m_{iters}"
+    )
+    got = duck.execute(sql).fetchone()
+
+    def dens(xp, m, v, p):
+        return (
+            (p / 1e6)
+            * _m.exp(-((xp / 1e6 - m / 1e6) ** 2) / (2 * (v / 1e6)))
+            / _m.sqrt(GMM_TWO_PI * (v / 1e6))
+        )
+
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    m1, m2, v1, v2, p1 = mu1, mu2, GMM_VAR_0, GMM_VAR_0, GMM_PI1_0
+    for _ in range(iters):
+        sr = srx = srxx = 0.0
+        for xp in xs:
+            a1 = dens(xp, m1, v1, p1)
+            a2 = dens(xp, m2, v2, 1_000_000 - p1)
+            r = a1 / (a1 + a2)
+            sr += r
+            srx += r * (xp / 1e6)
+            srxx += r * (xp / 1e6) ** 2
+        sr2, srx2 = n - sr, sx / 1e6 - srx
+        srxx2 = sxx / 1e12 - srxx
+        m1 = _m.floor(srx / sr * 1e6 + 0.5)
+        m2 = _m.floor(srx2 / sr2 * 1e6 + 0.5)
+        v1 = max(
+            _m.floor((srxx / sr - (srx / sr) ** 2) * 1e6 + 0.5),
+            GMM_VAR_MIN_MICRO,
+        )
+        v2 = max(
+            _m.floor((srxx2 / sr2 - (srx2 / sr2) ** 2) * 1e6 + 0.5),
+            GMM_VAR_MIN_MICRO,
+        )
+        p1 = min(
+            max(_m.floor(sr / n * 1e6 + 0.5), GMM_PI_MIN_PPM),
+            1_000_000 - GMM_PI_MIN_PPM,
+        )
+    assert got == (m1, m2, v1, v2, p1), (n, seed, iters, mu1, mu2)
+
+
+# --------------------------------------------------------------------------
+# Curated-select quota family (round 12, VERDICT r11 items 6/8): random
+# per-source pools, logit collisions and quota vectors through the selection
+# tail's rank/clamp algebra on DuckDB vs a Python sort — pins the DESC-logit
+# doc_id-ASC tie-break and the least(quota, pool) identity at geometries the
+# fixture never hits (zero quotas, all-tied logits, quota > pool).
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_src=st.integers(min_value=1, max_value=5),
+    pool=st.integers(min_value=1, max_value=30),
+    zmod=st.sampled_from([1, 3, 1000]),
+    qmod=st.integers(min_value=0, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_generated_curated_quota_selection(duck, n_src, pool, zmod, qmod, seed):
+    import hashlib as _h
+
+    rows = []
+    quotas = {}
+    for s_i in range(n_src):
+        src = f"s{s_i}"
+        quotas[src] = (
+            int(_h.md5(f"{seed}:q:{src}".encode()).hexdigest()[:4], 16) % (qmod + 1)
+            if qmod
+            else 0
+        )
+        for d_i in range(pool):
+            z = int(_h.md5(f"{seed}:{src}:{d_i}".encode()).hexdigest()[:4], 16) % zmod
+            rows.append((src, s_i * 1000 + d_i, z))
+    vals = ", ".join(f"('{s}', {d}, {z})" for s, d, z in rows)
+    qvals = ", ".join(f"('{s}', {q})" for s, q in sorted(quotas.items()))
+    sql = f"""
+    WITH pool AS (SELECT * FROM (VALUES {vals}) AS t(source, doc_id, zm)),
+    q AS (SELECT * FROM (VALUES {qvals}) AS t(source, quota_docs)),
+    ranked AS (
+        SELECT p.source, p.doc_id, p.zm, q.quota_docs,
+               row_number() OVER (PARTITION BY p.source
+                                  ORDER BY p.zm DESC, p.doc_id ASC) AS rk
+        FROM pool p JOIN q ON q.source = p.source
+    )
+    SELECT source, count(*)::BIGINT,
+           sum(CASE WHEN rk <= quota_docs THEN 1 ELSE 0 END)::BIGINT,
+           COALESCE(min(CASE WHEN rk <= quota_docs THEN zm END), 0)::BIGINT
+    FROM ranked GROUP BY source ORDER BY source
+    """
+    got = duck.execute(sql).fetchall()
+    exp = []
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for s, d, z in rows:
+        by_src[s].append((d, z))
+    for src in sorted(by_src):
+        docs = sorted(by_src[src], key=lambda t: (-t[1], t[0]))
+        k = min(quotas[src], len(docs))
+        sel = docs[:k]
+        exp.append(
+            (src, len(docs), k, min((z for _, z in sel), default=0))
+        )
+    assert got == exp, (n_src, pool, zmod, qmod, seed)
