@@ -54,6 +54,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "corpus_curated_select",
     "stats_kendall_tau", "ts_mann_kendall", "ml_gmm_bic",
     "stream_gmm_quality_gate",
+    "ml_cox_ph",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

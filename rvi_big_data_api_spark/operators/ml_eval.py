@@ -6648,3 +6648,229 @@ def ml_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n long, mu_micro long, var_micro long, loglik1 double,"
         " loglik2 double, delta_bic double",
     )
+
+
+# --- round 12: Cox proportional hazards trained in-engine ---------------------
+
+COX_ITERS = 5           # full-batch Newton-free ascent steps (unrolled twin)
+COX_STEP_X1M = 200000   # lr * 1e6 => lr = 0.2 in the micro-unit quantizer
+
+_COX_PU_SQL = """cox_pu AS MATERIALIZED (
+        SELECT date_diff('day', first_day,
+                         COALESCE(purch_day, last_day))::BIGINT AS dur,
+               CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               (views // 10 - 4)::BIGINT AS x
+        FROM (
+            SELECT user_id, min(date_trunc('day', ts)) AS first_day,
+                   max(date_trunc('day', ts)) AS last_day,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN date_trunc('day', ts) END) AS purch_day,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+            FROM events GROUP BY user_id
+        )
+    )"""
+
+
+def _cox_chain_sql(iters: int = COX_ITERS, step_x1m: int = COX_STEP_X1M,
+                   pu_with_sql: str = _COX_PU_SQL) -> str:
+    """Generated chained-CTE twin of ml_cox_ph's ascent loop (rule 29):
+    per step, per-duration exp(beta*x) partials, suffix-sum risk sets over
+    the bounded duration support, one gradient fold, quantized beta update,
+    and the mean partial log-likelihood readout under the NEW beta. All
+    CTEs in the disjoint cox_ namespace; `pu_with_sql` must yield
+    cox_pu(dur, ev, x) so the fuzzer can instantiate literal cohorts."""
+    parts = [
+        "WITH ",
+        pu_with_sql,
+        """,
+    cox_ne AS (SELECT sum(ev)::BIGINT AS ne FROM cox_pu),
+    cox_w_0 AS (SELECT 0::BIGINT AS bm)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    cox_cells_{t} AS (
+        SELECT p.dur,
+               sum(exp(w.bm * p.x / 1000000.0)) AS s0d,
+               sum(p.x * exp(w.bm * p.x / 1000000.0)) AS s1d,
+               sum(p.ev)::BIGINT AS d,
+               sum(p.ev * p.x)::BIGINT AS sx
+        FROM cox_pu p CROSS JOIN cox_w_{t - 1} w
+        GROUP BY p.dur
+    ),
+    cox_risk_{t} AS (
+        SELECT dur, d, sx,
+               sum(s0d) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0,
+               sum(s1d) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+        FROM cox_cells_{t}
+    ),
+    cox_g_{t} AS (
+        SELECT floor(sum(sx - d * s1 / s0) / ne.ne * {step_x1m}
+                     + 0.5)::BIGINT AS gq
+        FROM cox_risk_{t} CROSS JOIN cox_ne ne
+        WHERE d > 0 GROUP BY ne.ne
+    ),
+    cox_w_{t} AS MATERIALIZED (
+        SELECT (w.bm + g.gq)::BIGINT AS bm
+        FROM cox_w_{t - 1} w CROSS JOIN cox_g_{t} g
+    ),
+    cox_cc_{t} AS (
+        SELECT p.dur,
+               sum(exp(w.bm * p.x / 1000000.0)) AS s0d,
+               sum(p.ev)::BIGINT AS d,
+               sum(p.ev * p.x)::BIGINT AS sx
+        FROM cox_pu p CROSS JOIN cox_w_{t} w
+        GROUP BY p.dur
+    ),
+    cox_m_{t} AS (
+        SELECT {t}::BIGINT AS iteration, w.bm AS beta_micro, ne.ne AS n_events,
+               round(sum((w.bm / 1000000.0) * r.sx - r.d * ln(r.s0)) / ne.ne,
+                     6) + 0.0 AS loglik
+        FROM (
+            SELECT dur, d, sx,
+                   sum(s0d) OVER (ORDER BY dur DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+            FROM cox_cc_{t}
+        ) r CROSS JOIN cox_w_{t} w CROSS JOIN cox_ne ne
+        WHERE r.d > 0
+        GROUP BY w.bm, ne.ne
+    )"""
+        )
+    return "".join(parts)
+
+
+@query(
+    "ml_cox_ph",
+    oracle=_cox_chain_sql()
+    + f"""
+    {" UNION ALL ".join(f"SELECT * FROM cox_m_{t}" for t in range(1, COX_ITERS + 1))}
+    """,
+    tags=("analytics", "ml", "stats", "flagship"),
+)
+def ml_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression TRAINED IN-ENGINE — the
+    REGRESSION partner of stats_kaplan_meier on the identical cohort
+    (the estimator/test pairing convention: KM says WHAT the survival
+    curve is, Cox says which covariate MOVES the hazard and by how
+    much): does engagement (centered view count) change churn risk?
+    Breslow partial likelihood with tied event days, one covariate,
+    full-batch gradient ascent.
+
+    Survival frame: TIME TO FIRST PURCHASE — duration from a user's
+    first active day to their first purchase day (event), censored at
+    the last active day for users who never purchase (stated; the
+    stats_kaplan_meier duration algebra pointed at conversion instead of
+    churn, where the fixture cohort actually has events); covariate is
+    the logreg suite's integer centering (views div 10 - 4) — does
+    engagement accelerate conversion?
+
+    The scale insight: risk sets never materialize. Each step folds the
+    corpus to per-DURATION partials (sum exp(b*x), sum x*exp(b*x), event
+    count/covariate sum) and the risk-set sums S0(t)/S1(t) are SUFFIX
+    sums over the duration support — a window over a calendar-bounded
+    frame (the stats_kaplan_meier cumulative construction run backward),
+    never a per-user risk-set join. The gradient sum_t [sx_t - d_t *
+    S1/S0] folds in the same support frame; beta is MICRO-QUANTIZED each
+    step (floor(mean_grad * COX_STEP_X1M + 0.5) — rule 29), so the
+    trajectory is exact BIGINTs and the generated chained-CTE twin
+    replays the identical integer path. Per-iteration readout: beta,
+    event count, and the 6dp mean partial log-likelihood under the NEW
+    beta (ascent property-pinned).
+
+    At 100 TB: one corpus pass builds the checkpointed user frame;
+    each of COX_ITERS steps is two partial aggs to the |durations|-row
+    support + O(1) driver state (one integer beta)."""
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day"),
+        F.max(F.date_trunc("day", "ts")).alias("last_day"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.date_trunc("day", "ts")
+            )
+        ).alias("purch_day"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "views"
+        ),
+    )
+    pu = (
+        spans.select(
+            F.datediff(
+                F.coalesce("purch_day", "last_day"), F.col("first_day")
+            )
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("purch_day").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.expr("views div 10 - 4").cast("long").alias("x"),
+        )
+        .checkpoint(eager=True)
+    )
+    ne = pu.agg(F.sum("ev")).collect()[0][0]
+    wsuf = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bm = 0
+    out = []
+    for t in range(1, COX_ITERS + 1):
+        eta = F.exp(F.lit(bm) * F.col("x") / 1000000.0)
+        cells = pu.groupBy("dur").agg(
+            F.sum(eta).alias("s0d"),
+            F.sum(F.col("x") * eta).alias("s1d"),
+            F.sum("ev").alias("d"),
+            F.sum(F.col("ev") * F.col("x")).alias("sx"),
+        )
+        risk = cells.select(
+            "dur",
+            "d",
+            "sx",
+            F.sum("s0d").over(wsuf).alias("s0"),
+            F.sum("s1d").over(wsuf).alias("s1"),
+        )
+        g = (
+            risk.filter(F.col("d") > 0)
+            .agg(
+                F.sum(
+                    F.col("sx") - F.col("d") * F.col("s1") / F.col("s0")
+                ).alias("g")
+            )
+            .collect()[0]["g"]
+        )
+        bm += math.floor(g / ne * COX_STEP_X1M + 0.5)
+        eta2 = F.exp(F.lit(bm) * F.col("x") / 1000000.0)
+        cc = pu.groupBy("dur").agg(
+            F.sum(eta2).alias("s0d"),
+            F.sum("ev").alias("d"),
+            F.sum(F.col("ev") * F.col("x")).alias("sx"),
+        )
+        ll = (
+            cc.select(
+                "dur",
+                "d",
+                "sx",
+                F.sum("s0d").over(wsuf).alias("s0"),
+            )
+            .filter(F.col("d") > 0)
+            .agg(
+                (
+                    F.round(
+                        F.sum(
+                            (F.lit(bm) / 1000000.0) * F.col("sx")
+                            - F.col("d") * F.log("s0")
+                        )
+                        / F.lit(ne),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("ll")
+            )
+            .collect()[0]["ll"]
+        )
+        out.append((t, bm, ne, float(ll)))
+    return spark.createDataFrame(
+        out, "iteration long, beta_micro long, n_events long, loglik double"
+    )

@@ -2877,3 +2877,65 @@ def test_generated_curated_quota_selection(duck, n_src, pool, zmod, qmod, seed):
             (src, len(docs), k, min((z for _, z in sel), default=0))
         )
     assert got == exp, (n_src, pool, zmod, qmod, seed)
+
+
+# --------------------------------------------------------------------------
+# Cox trajectory family (round 12): random survival cohorts (durations,
+# censoring patterns, covariates), step counts and learning rates through the
+# GENERATED chained-CTE ascent chain on DuckDB vs a sequential pure-Python
+# replica — pins the Breslow risk-set suffix algebra and the quantized beta
+# path at geometries the fixture never hits (heavy ties, all-censored tails).
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=10, max_value=60),
+    seed=st.integers(min_value=0, max_value=10_000),
+    iters=st.integers(min_value=1, max_value=6),
+    step=st.sampled_from([100_000, 200_000, 500_000]),
+)
+def test_generated_cox_chains_agree_with_python_replica(duck, n, seed, iters, step):
+    import hashlib as _h
+    import math as _m
+
+    from rvi_big_data_api_spark.operators.ml_eval import _cox_chain_sql
+
+    rows = []
+    for i in range(n):
+        h = _h.md5(f"{seed}:{i}".encode()).hexdigest()
+        rows.append(
+            (int(h[:2], 16) % 8, int(h[2:4], 16) % 4 != 0, int(h[4:6], 16) % 9 - 4)
+        )
+    if not any(e for _, e, _ in rows):
+        return  # degenerate draw: no events to regress on
+    vals = ", ".join(f"({d}, {1 if e else 0}, {x})" for d, e, x in rows)
+    pu = (
+        "cox_pu AS MATERIALIZED (SELECT dur::BIGINT AS dur, ev::BIGINT AS ev,"
+        f" x::BIGINT AS x FROM (VALUES {vals}) AS t(dur, ev, x))"
+    )
+    sql = (
+        _cox_chain_sql(iters=iters, step_x1m=step, pu_with_sql=pu)
+        + f" SELECT beta_micro FROM cox_m_{iters}"
+    )
+    got = duck.execute(sql).fetchone()[0]
+    ne = sum(1 for _, e, _ in rows if e)
+    bm = 0
+    durs = sorted({d for d, _, _ in rows})
+    for _ in range(iters):
+        grad = 0.0
+        for td in durs:
+            d_t = sum(1 for d, e, _ in rows if d == td and e)
+            if d_t == 0:
+                continue
+            sx_t = sum(x for d, e, x in rows if d == td and e)
+            s0 = sum(_m.exp(bm * x / 1e6) for d, _, x in rows if d >= td)
+            s1 = sum(x * _m.exp(bm * x / 1e6) for d, _, x in rows if d >= td)
+            grad += sx_t - d_t * s1 / s0
+        bm += _m.floor(grad / ne * step + 0.5)
+    assert got == bm, (n, seed, iters, step)

@@ -348,3 +348,76 @@ def test_stream_gmm_gate_equals_batch(spark, sf_dir):
         map(tuple, _df("stream_gmm_quality_gate", spark, sf_dir).collect())
     )
     assert batch == live
+
+
+# --- ml_cox_ph: survival regression trained in-engine -------------------------
+
+
+def _py_cox_traj(sf_dir):
+    """Pure-Python replica: time-to-first-purchase cohort from DuckDB,
+    Breslow partial-likelihood ascent with the quantized beta update."""
+    import duckdb
+
+    from rvi_big_data_api_spark.operators.ml_eval import (
+        COX_ITERS,
+        COX_STEP_X1M,
+    )
+
+    rows = duckdb.sql(
+        "SELECT date_diff('day', first_day, COALESCE(purch_day, last_day)),"
+        " CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END,"
+        " views // 10 - 4 FROM ("
+        " SELECT user_id, min(date_trunc('day', ts)) AS first_day,"
+        " max(date_trunc('day', ts)) AS last_day,"
+        " min(CASE WHEN event_type = 'purchase'"
+        " THEN date_trunc('day', ts) END) AS purch_day,"
+        " sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY user_id)"
+    ).fetchall()
+    ne = sum(e for _, e, _ in rows)
+    bm = 0
+    traj = []
+    durs = sorted({d for d, _, _ in rows})
+    for t in range(1, COX_ITERS + 1):
+        grad = 0.0
+        for td in durs:
+            d_t = sum(e for d, e, _ in rows if d == td)
+            if d_t == 0:
+                continue
+            sx_t = sum(e * x for d, e, x in rows if d == td)
+            s0 = sum(math.exp(bm * x / 1e6) for d, _, x in rows if d >= td)
+            s1 = sum(
+                x * math.exp(bm * x / 1e6) for d, _, x in rows if d >= td
+            )
+            grad += sx_t - d_t * s1 / s0
+        bm += math.floor(grad / ne * COX_STEP_X1M + 0.5)
+        ll = 0.0
+        for td in durs:
+            d_t = sum(e for d, e, _ in rows if d == td)
+            if d_t == 0:
+                continue
+            sx_t = sum(e * x for d, e, x in rows if d == td)
+            s0 = sum(math.exp(bm * x / 1e6) for d, _, x in rows if d >= td)
+            ll += (bm / 1e6) * sx_t - d_t * math.log(s0)
+        traj.append((t, bm, ne, round(ll / ne, 6)))
+    return traj
+
+
+def test_cox_matches_python_replica(spark, sf_dir):
+    got = sorted(
+        (r["iteration"], r["beta_micro"], r["n_events"])
+        for r in _df("ml_cox_ph", spark, sf_dir).collect()
+    )
+    exp = sorted(t[:3] for t in _py_cox_traj(sf_dir))
+    assert got == exp
+
+
+def test_cox_likelihood_ascends(spark, sf_dir):
+    rows = sorted(
+        _df("ml_cox_ph", spark, sf_dir).collect(),
+        key=lambda r: r["iteration"],
+    )
+    lls = [r["loglik"] for r in rows]
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-5, lls
+    assert rows[-1]["n_events"] > 0
