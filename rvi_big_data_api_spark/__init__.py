@@ -55,6 +55,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stats_kendall_tau", "ts_mann_kendall", "ml_gmm_bic",
     "stream_gmm_quality_gate",
     "ml_cox_ph",
+    "ts_granger_lag1", "text_burstiness",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -6171,3 +6171,85 @@ def corpus_curated_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bar_logit_micro"
         ),
     )
+
+
+# --- round 12: term burstiness (templated-text detector) -----------------------
+
+BURSTY_TOP_TERMS = 30  # rank the VMR readout over the corpus's head terms
+
+
+@query(
+    "text_burstiness",
+    oracle=f"""
+    WITH percell AS (
+        SELECT doc_id, term, count(*)::BIGINT AS k
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    stats AS (
+        SELECT term, sum(k)::BIGINT AS tot, sum(k * k)::BIGINT AS skk,
+               count(*)::BIGINT AS df
+        FROM percell GROUP BY term
+    ),
+    nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ranked AS (
+        SELECT term, tot, skk, df,
+               row_number() OVER (ORDER BY tot DESC, term ASC) AS rank
+        FROM stats
+    )
+    SELECT r.rank, r.term, r.tot AS total_occ, r.df AS n_docs_with,
+           (r.df * 1000000 // nd.n)::BIGINT AS df_ppm,
+           round((r.skk::DOUBLE / nd.n - pow(r.tot::DOUBLE / nd.n, 2))
+                 / nullif(r.tot::DOUBLE / nd.n, 0), 4) + 0.0 AS vmr
+    FROM ranked r CROSS JOIN nd
+    WHERE r.rank <= {BURSTY_TOP_TERMS}
+    """,
+    tags=("llm", "text", "corpus"),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (variance-to-mean ratio) over the corpus's head
+    terms — the Church-Gale contagion diagnostic a curation pipeline runs
+    to catch TEMPLATED text: natural-language content words are bursty
+    (a doc that uses a term once tends to use it again, VMR >> 1) while
+    boilerplate tokens spread Poisson-like (VMR ~= 1), and a head term
+    whose VMR collapses between crawls signals template injection
+    (text_zipf_fit watches the frequency spectrum; this watches the
+    DISPERSION).
+
+    Exactness: per-doc term counts, their corpus sums/squares and doc
+    frequencies are exact BIGINT folds (zeros enter through the exact
+    corpus doc count, not materialized rows); VMR = (E[k^2] - E[k]^2) /
+    E[k] evaluates only in the readout row (rules 1/6, 4dp).
+
+    Scale: one explode to (doc, term) partials, one term rollup; the
+    rank is rank<=K over the |vocab|-bounded term-stats frame (the
+    text_kneser_ney WindowGroupLimit class, stated)."""
+    d = load(spark, sf_dir, "documents")
+    percell = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    stats = percell.groupBy("term").agg(
+        F.sum("k").alias("tot"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("tot").desc(), F.col("term").asc())
+    ranked = stats.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= BURSTY_TOP_TERMS
+    )
+    mean = F.col("tot").cast("double") / F.col("n")
+    vmr = (
+        F.col("skk").cast("double") / F.col("n") - mean * mean
+    ) / F.nullif(mean, F.lit(0.0))
+    return ranked.crossJoin(F.broadcast(nd)).select(
+        "rank",
+        "term",
+        F.col("tot").alias("total_occ"),
+        F.col("df").alias("n_docs_with"),
+        F.expr("df * 1000000 div n").alias("df_ppm"),
+        (F.round(vmr, 4) + F.lit(0.0)).alias("vmr"),
+    )

@@ -5623,3 +5623,158 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_x18",
         (F.round(z, 4) + F.lit(0.0)).alias("z_mk"),
     )
+
+
+@query(
+    "ts_granger_lag1",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS vx,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS pc
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT vx, pc,
+               lag(vx) OVER (ORDER BY d) AS lvx,
+               lag(pc) OVER (ORDER BY d) AS lpc
+        FROM daily
+    ),
+    both_dirs AS (
+        SELECT 'views->purchases' AS direction, pc AS y, lpc AS ly, lvx AS lx
+        FROM lagged WHERE lvx IS NOT NULL
+        UNION ALL
+        SELECT 'purchases->views' AS direction, vx AS y, lvx AS ly, lpc AS lx
+        FROM lagged WHERE lvx IS NOT NULL
+    ),
+    m AS (
+        SELECT direction, count(*)::BIGINT AS n,
+               sum(y)::BIGINT AS sy, sum(ly)::BIGINT AS sl, sum(lx)::BIGINT AS sx,
+               sum(y * y)::BIGINT AS syy, sum(ly * ly)::BIGINT AS sll,
+               sum(lx * lx)::BIGINT AS sxx, sum(y * ly)::BIGINT AS syl,
+               sum(y * lx)::BIGINT AS syx, sum(ly * lx)::BIGINT AS slx
+        FROM both_dirs GROUP BY direction
+    ),
+    c AS (
+        SELECT direction, n,
+               syy - sy::DOUBLE * sy / n AS cyy,
+               sll - sl::DOUBLE * sl / n AS cll,
+               sxx - sx::DOUBLE * sx / n AS cxx,
+               syl - sy::DOUBLE * sl / n AS cyl,
+               syx - sy::DOUBLE * sx / n AS cyx,
+               slx - sl::DOUBLE * sx / n AS clx
+        FROM m
+    )
+    SELECT direction, n AS n_obs,
+           round(CASE WHEN cll * cxx - clx * clx = 0 OR n <= 3 THEN 0.0
+                 ELSE greatest(
+                   ((cyy - cyl * cyl / nullif(cll, 0))
+                    - (cyy - (cyl * (cxx * cyl - clx * cyx)
+                              + cyx * (cll * cyx - clx * cyl))
+                             / (cll * cxx - clx * clx)))
+                   / nullif((cyy - (cyl * (cxx * cyl - clx * cyx)
+                                    + cyx * (cll * cyx - clx * cyl))
+                                   / (cll * cxx - clx * clx))
+                            / (n - 3), 0), 0.0) END, 4) + 0.0 AS f_stat,
+           round(CASE WHEN cyy = 0 OR cll * cxx - clx * clx = 0 THEN 0.0
+                 ELSE (cyl * (cxx * cyl - clx * cyx)
+                       + cyx * (cll * cyx - clx * cyl))
+                      / (cll * cxx - clx * clx) / cyy END, 6) + 0.0 AS r2_unrestricted
+    FROM c
+    """,
+    tags=("telemetry", "timeseries", "stats"),
+)
+def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen at lag 1, both directions — does yesterday's
+    view count predict today's purchase revenue beyond revenue's own
+    lag (and vice versa)? The F-test comparing the restricted AR(1)
+    (y ~ y_lag) against the unrestricted (y ~ y_lag + x_lag): F =
+    (RSS_r - RSS_u) / (RSS_u / (n - 3)) with one added regressor, the
+    standard lead-lag triage a metrics team runs before any causal claim
+    (eval_diff_in_differences is the design-based follow-up).
+
+    Exactness: daily counts/cents are exact BIGINTs and ALL ten raw
+    moments fold as exact integer sums; centering, the 2x2 Cramer solve
+    for the unrestricted fit, and F evaluate only in the per-direction
+    readout row (rules 1/6, 4dp/6dp; degenerate collinear supports read
+    0 via the nullif guards, F clamped at 0 since a quantized RSS_r can
+    sit an ulp below RSS_u).
+
+    Scale: one partial agg to the calendar-bounded daily frame; the lag
+    window runs on that support (the ts_theil_sen bound); the moment
+    fold is one more support-sized aggregate. Nothing corpus-sized
+    beyond the first groupBy."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("vx"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(0)
+        ).alias("pc"),
+    )
+    wd = Window.orderBy("d")
+    lagged = daily.select(
+        "vx",
+        "pc",
+        F.lag("vx").over(wd).alias("lvx"),
+        F.lag("pc").over(wd).alias("lpc"),
+    ).filter(F.col("lvx").isNotNull())
+    dirs = lagged.select(
+        F.lit("views->purchases").alias("direction"),
+        F.col("pc").alias("y"),
+        F.col("lpc").alias("ly"),
+        F.col("lvx").alias("lx"),
+    ).unionAll(
+        lagged.select(
+            F.lit("purchases->views").alias("direction"),
+            F.col("vx").alias("y"),
+            F.col("lvx").alias("ly"),
+            F.col("lpc").alias("lx"),
+        )
+    )
+    m = dirs.groupBy("direction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("ly").alias("sl"),
+        F.sum("lx").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("sll"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("y") * F.col("ly")).alias("syl"),
+        F.sum(F.col("y") * F.col("lx")).alias("syx"),
+        F.sum(F.col("ly") * F.col("lx")).alias("slx"),
+    )
+    nD = F.col("n").cast("double")
+    cyy = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / nD
+    cll = F.col("sll") - F.col("sl").cast("double") * F.col("sl") / nD
+    cxx = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / nD
+    cyl = F.col("syl") - F.col("sy").cast("double") * F.col("sl") / nD
+    cyx = F.col("syx") - F.col("sy").cast("double") * F.col("sx") / nD
+    clx = F.col("slx") - F.col("sl").cast("double") * F.col("sx") / nD
+    det = cll * cxx - clx * clx
+    ess_u = cyl * (cxx * cyl - clx * cyx) + cyx * (cll * cyx - clx * cyl)
+    rss_r = cyy - cyl * cyl / F.nullif(cll, F.lit(0.0))
+    rss_u = cyy - ess_u / det
+    f_stat = F.when(
+        (det == 0) | (F.col("n") <= 3), F.lit(0.0)
+    ).otherwise(
+        F.greatest(
+            (rss_r - rss_u)
+            / F.nullif(rss_u / (nD - 3), F.lit(0.0)),
+            F.lit(0.0),
+        )
+    )
+    r2 = F.when((cyy == 0) | (det == 0), F.lit(0.0)).otherwise(
+        ess_u / det / cyy
+    )
+    return m.select(
+        "direction",
+        F.col("n").alias("n_obs"),
+        (F.round(f_stat, 4) + F.lit(0.0)).alias("f_stat"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2_unrestricted"),
+    )

@@ -421,3 +421,76 @@ def test_cox_likelihood_ascends(spark, sf_dir):
     for a, b in zip(lls, lls[1:]):
         assert b >= a - 1e-5, lls
     assert rows[-1]["n_events"] > 0
+
+
+# --- ts_granger_lag1 / text_burstiness ----------------------------------------
+
+
+def test_granger_matches_numpy_ols(spark, sf_dir):
+    """F and R^2 must match an independent least-squares path (normal
+    equations solved by numpy) on the same lagged daily frame."""
+    import duckdb
+    import numpy as np
+
+    daily = duckdb.sql(
+        "SELECT date_trunc('day', ts) AS d,"
+        " sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT,"
+        " sum(CASE WHEN event_type = 'purchase'"
+        " THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    vx = [r[1] for r in daily]
+    pc = [r[2] for r in daily]
+    got = {r["direction"]: r for r in _df("ts_granger_lag1", spark, sf_dir).collect()}
+
+    def fit(y, ly, lx):
+        n = len(y)
+        Xr = np.column_stack([np.ones(n), ly])
+        Xu = np.column_stack([np.ones(n), ly, lx])
+        y = np.array(y, dtype=float)
+        br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+        bu, *_ = np.linalg.lstsq(Xu, y, rcond=None)
+        rss_r = float(((y - Xr @ br) ** 2).sum())
+        rss_u = float(((y - Xu @ bu) ** 2).sum())
+        tss = float(((y - y.mean()) ** 2).sum())
+        f = max((rss_r - rss_u) / (rss_u / (n - 3)), 0.0)
+        return f, 1 - rss_u / tss
+
+    f_vp, r2_vp = fit(pc[1:], pc[:-1], vx[:-1])
+    f_pv, r2_pv = fit(vx[1:], vx[:-1], pc[:-1])
+    assert abs(got["views->purchases"]["f_stat"] - f_vp) < 1e-2
+    assert abs(got["views->purchases"]["r2_unrestricted"] - r2_vp) < 1e-4
+    assert abs(got["purchases->views"]["f_stat"] - f_pv) < 1e-2
+    assert abs(got["purchases->views"]["r2_unrestricted"] - r2_pv) < 1e-4
+
+
+def test_burstiness_matches_bruteforce(spark, sf_dir):
+    import duckdb
+    from collections import Counter, defaultdict
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    n = len(docs)
+    per = defaultdict(dict)
+    for did, text in docs:
+        for t, k in Counter(text.split(" ")).items():
+            per[t][did] = k
+    rows = _df("text_burstiness", spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        ks = per[r["term"]]
+        tot = sum(ks.values())
+        skk = sum(k * k for k in ks.values())
+        assert r["total_occ"] == tot and r["n_docs_with"] == len(ks)
+        mean = tot / n
+        exp_vmr = (skk / n - mean * mean) / mean
+        assert abs(r["vmr"] - exp_vmr) < 1e-3, r["term"]
+    # ranks are the top-K by total_occ with term tie-break
+    totals = sorted(
+        ((sum(ks.values()), t) for t, ks in per.items()),
+        key=lambda p: (-p[0], p[1]),
+    )
+    exp_terms = [t for _, t in totals[:30]]
+    got_terms = [r["term"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got_terms == exp_terms
