@@ -56,6 +56,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_gmm_quality_gate",
     "ml_cox_ph",
     "ts_granger_lag1", "text_burstiness",
+    "stats_g_test", "ts_hurst_rs",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

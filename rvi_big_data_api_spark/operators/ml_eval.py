@@ -6874,3 +6874,106 @@ def ml_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "iteration long, beta_micro long, n_events long, loglik double"
     )
+
+
+@query(
+    "stats_g_test",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               count(*)::BIGINT AS o
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY seg, pri
+    ),
+    margins AS (
+        SELECT seg, pri, o,
+               sum(o) OVER (PARTITION BY seg) AS row_tot,
+               sum(o) OVER (PARTITION BY pri) AS col_tot,
+               sum(o) OVER () AS n
+        FROM cells
+    ),
+    folded AS (
+        SELECT count(*)::BIGINT AS n_cells,
+               any_value(n)::BIGINT AS n,
+               (count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1)
+                   AS dof,
+               least(count(DISTINCT seg), count(DISTINCT pri)) - 1 AS minrc,
+               sum(2.0 * o * ln(o / (row_tot * col_tot / (n * 1.0)))) AS g,
+               sum(pow(o - row_tot * col_tot / (n * 1.0), 2)
+                   / (row_tot * col_tot / (n * 1.0))) AS chi2
+        FROM margins
+    )
+    SELECT n_cells, n, dof,
+           round(g, 4) + 0.0 AS g_stat,
+           round(sqrt(chi2 / (n * greatest(minrc, 1))), 6) + 0.0 AS cramers_v
+    FROM folded
+    """,
+    tags=("analytics", "stats"),
+)
+def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio chi-square) with Cramér's V effect
+    size over the market-segment × order-priority contingency — the
+    information-theoretic sibling of stats_chi2_independence (G = 2 sum
+    O ln(O/E) is additive under table partitioning and is 2N times the
+    mutual information, which Pearson's X² only approximates) plus the
+    EFFECT SIZE the test alone omits: V = sqrt(X²/(N·(min(r,c)−1))), so
+    a huge-N significant-but-tiny association reads as the tiny V it is.
+
+    Exactness: observed cells and all margins are exact BIGINT partials
+    (margin windows over the |segments|×|priorities|-bounded cell frame);
+    G, X² and V evaluate in the 1-row fold only (rules 1/6, 4dp/6dp).
+    Zero cells never enter (GROUP BY emits observed cells only — the
+    G-test convention; expected counts are all positive).
+
+    At 100 TB: one broadcast-joined partial agg to the bounded cell
+    frame; everything after is cell-count-sized."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    margins = cells.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / (F.col("n") * 1.0)
+    folded = margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.any_value("n").alias("n"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
+        ).alias("dof"),
+        (
+            F.least(F.count_distinct("seg"), F.count_distinct("pri")) - 1
+        ).alias("minrc"),
+        F.sum(2.0 * F.col("o") * F.log(F.col("o") / e)).alias("g"),
+        F.sum(F.pow(F.col("o") - e, F.lit(2.0)) / e).alias("chi2"),
+    )
+    return folded.select(
+        "n_cells",
+        "n",
+        "dof",
+        (F.round(F.col("g"), 4) + F.lit(0.0)).alias("g_stat"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.greatest(F.col("minrc"), F.lit(1)))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cramers_v"),
+    )

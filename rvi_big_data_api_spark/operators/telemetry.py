@@ -5778,3 +5778,162 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(f_stat, 4) + F.lit(0.0)).alias("f_stat"),
         (F.round(r2, 6) + F.lit(0.0)).alias("r2_unrestricted"),
     )
+
+
+# --- round 12: Hurst exponent via rescaled range -------------------------------
+
+HURST_SCALES = (5, 10, 15)  # non-overlapping block sizes over the daily series
+
+
+@query(
+    "ts_hurst_rs",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT xc, row_number() OVER (ORDER BY d) - 1 AS t FROM daily
+    ),
+    scales AS (SELECT unnest(ARRAY{list(HURST_SCALES)}) AS w),
+    blocks AS (
+        SELECT s.w, i.t // s.w AS blk, i.t % s.w AS pos, i.xc
+        FROM idx i CROSS JOIN scales s
+        WHERE i.t < (SELECT count(*) FROM idx) // s.w * s.w
+    ),
+    cum AS (
+        SELECT w, blk, pos, xc,
+               sum(xc) OVER (PARTITION BY w, blk ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+               sum(xc) OVER (PARTITION BY w, blk) AS sw,
+               sum(xc * xc) OVER (PARTITION BY w, blk) AS sxx
+        FROM blocks
+    ),
+    dev AS (
+        SELECT w, blk,
+               max(w * cx - (pos + 1) * sw)
+                   - min(w * cx - (pos + 1) * sw) AS r_scaled,
+               any_value(w * sxx - sw * sw) AS v_scaled
+        FROM cum GROUP BY w, blk
+    ),
+    per_scale AS (
+        SELECT w, count(*)::BIGINT AS n_blocks,
+               avg(ln(r_scaled / nullif(sqrt(v_scaled::DOUBLE), 0)))
+                   AS mean_log_rs
+        FROM dev WHERE v_scaled > 0 AND r_scaled > 0
+        GROUP BY w
+    ),
+    fit AS (
+        SELECT count(*)::BIGINT AS k,
+               sum(ln(w::DOUBLE)) AS sx, sum(mean_log_rs) AS sy,
+               sum(ln(w::DOUBLE) * ln(w::DOUBLE)) AS sxx,
+               sum(ln(w::DOUBLE) * mean_log_rs) AS sxy
+        FROM per_scale
+    )
+    SELECT p.w AS scale_days, p.n_blocks,
+           round(p.mean_log_rs, 6) + 0.0 AS mean_log_rs,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / nullif(f.k * f.sxx - f.sx * f.sx, 0), 4) + 0.0 AS hurst
+    FROM per_scale p CROSS JOIN fit f
+    """,
+    tags=("telemetry", "timeseries", "stats"),
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis over the daily
+    revenue series — the long-memory diagnostic that separates trending
+    (H > 0.5), mean-reverting (H < 0.5) and random-walk (H ~ 0.5)
+    behavior; the capacity-planning question ('do busy days cluster?')
+    that autocorrelation at a single lag cannot answer.
+
+    The integer trick: within each block of w days, the mean-adjusted
+    cumulative deviation scales to z_i = w*cumsum(x)_i - (i+1)*S_w —
+    EXACT BIGINTs (no float mean subtraction) — so the range R_scaled =
+    max z - min z is exact, the scaled variance V_scaled = w*sum(x^2) -
+    S_w^2 = w^2 * sigma^2 is exact, and R/S = R_scaled / sqrt(V_scaled)
+    touches floats only at one sqrt per block. Per scale the log-R/S
+    mean folds over the handful of blocks; the Hurst slope is the
+    log-log OLS over |HURST_SCALES| points in the final fold (rules 1/6,
+    6dp/4dp). Degenerate blocks (zero variance or zero range) are
+    excluded on both engines (stated).
+
+    Scale: one partial agg to the calendar-bounded daily frame; block
+    assignment, prefix sums and block stats are windows over that
+    support times |scales| (the ts_theil_sen bound); the fit is
+    |scales| rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc")
+    )
+    wd = Window.orderBy("d")
+    idx = daily.select(
+        "xc", (F.row_number().over(wd) - 1).alias("t")
+    )
+    nd = idx.agg(F.count(F.lit(1)).alias("n"))
+    scales = spark.createDataFrame(
+        [(w,) for w in HURST_SCALES], "w long"
+    )
+    blocks = (
+        idx.crossJoin(F.broadcast(scales))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("t") < F.expr("n div w * w"))
+        .select(
+            "w",
+            F.expr("t div w").alias("blk"),
+            (F.col("t") % F.col("w")).alias("pos"),
+            "xc",
+        )
+    )
+    wcum = (
+        Window.partitionBy("w", "blk")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("w", "blk")
+    cum = blocks.select(
+        "w",
+        "blk",
+        "pos",
+        F.sum("xc").over(wcum).alias("cx"),
+        F.sum("xc").over(wall).alias("sw"),
+        F.sum(F.col("xc") * F.col("xc")).over(wall).alias("sxx"),
+    )
+    z = F.col("w") * F.col("cx") - (F.col("pos") + 1) * F.col("sw")
+    dev = cum.groupBy("w", "blk").agg(
+        (F.max(z) - F.min(z)).alias("r_scaled"),
+        F.any_value(
+            F.col("w") * F.col("sxx") - F.col("sw") * F.col("sw")
+        ).alias("v_scaled"),
+    )
+    per_scale = (
+        dev.filter((F.col("v_scaled") > 0) & (F.col("r_scaled") > 0))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.avg(
+                F.log(
+                    F.col("r_scaled")
+                    / F.nullif(
+                        F.sqrt(F.col("v_scaled").cast("double")), F.lit(0.0)
+                    )
+                )
+            ).alias("mean_log_rs"),
+        )
+    )
+    lw = F.log(F.col("w").cast("double"))
+    fit = per_scale.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lw).alias("sx"),
+        F.sum("mean_log_rs").alias("sy"),
+        F.sum(lw * lw).alias("sxx"),
+        F.sum(lw * F.col("mean_log_rs")).alias("sxy"),
+    )
+    hurst = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return per_scale.crossJoin(F.broadcast(fit)).select(
+        F.col("w").alias("scale_days"),
+        "n_blocks",
+        (F.round(F.col("mean_log_rs"), 6) + F.lit(0.0)).alias("mean_log_rs"),
+        (F.round(hurst, 4) + F.lit(0.0)).alias("hurst"),
+    )

@@ -494,3 +494,82 @@ def test_burstiness_matches_bruteforce(spark, sf_dir):
     exp_terms = [t for _, t in totals[:30]]
     got_terms = [r["term"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert got_terms == exp_terms
+
+
+# --- stats_g_test / ts_hurst_rs -----------------------------------------------
+
+
+def test_g_test_matches_scipy_free_reference(spark, sf_dir):
+    """G and Cramér's V against an independent Python contingency path."""
+    import duckdb
+
+    cells = duckdb.sql(
+        "SELECT c.c_mktsegment, o.o_orderpriority, count(*)"
+        f" FROM '{sf_dir}/orders.parquet' o"
+        f" JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = o.o_custkey"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    n = sum(c for _, _, c in cells)
+    rows = {}
+    cols = {}
+    for s, p, c in cells:
+        rows[s] = rows.get(s, 0) + c
+        cols[p] = cols.get(p, 0) + c
+    g = chi2 = 0.0
+    for s, p, c in cells:
+        e = rows[s] * cols[p] / n
+        g += 2 * c * math.log(c / e)
+        chi2 += (c - e) ** 2 / e
+    minrc = min(len(rows), len(cols)) - 1
+    got = _df("stats_g_test", spark, sf_dir).collect()[0]
+    assert got["n"] == n and got["n_cells"] == len(cells)
+    assert got["dof"] == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(got["g_stat"] - g) < 1e-3
+    assert abs(got["cramers_v"] - math.sqrt(chi2 / (n * minrc))) < 1e-5
+
+
+def test_hurst_matches_bruteforce(spark, sf_dir):
+    import duckdb
+
+    from rvi_big_data_api_spark.operators.telemetry import HURST_SCALES
+
+    xs = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT"
+            f" FROM '{sf_dir}/events.parquet'"
+            " GROUP BY date_trunc('day', ts) ORDER BY date_trunc('day', ts)"
+        ).fetchall()
+    ]
+    got = {r["scale_days"]: r for r in _df("ts_hurst_rs", spark, sf_dir).collect()}
+    pts = []
+    for w in HURST_SCALES:
+        logs = []
+        for b in range(len(xs) // w):
+            blk = xs[b * w : (b + 1) * w]
+            sw = sum(blk)
+            sxx = sum(x * x for x in blk)
+            cx = 0
+            zs = []
+            for i, x in enumerate(blk):
+                cx += x
+                zs.append(w * cx - (i + 1) * sw)
+            r_scaled = max(zs) - min(zs)
+            v_scaled = w * sxx - sw * sw
+            if r_scaled > 0 and v_scaled > 0:
+                logs.append(math.log(r_scaled / math.sqrt(v_scaled)))
+        if logs:
+            mlr = sum(logs) / len(logs)
+            pts.append((math.log(w), mlr))
+            assert got[w]["n_blocks"] == len(logs)
+            assert abs(got[w]["mean_log_rs"] - mlr) < 1e-4
+    k = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    exp_h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    for r in got.values():
+        assert abs(r["hurst"] - exp_h) < 1e-3
+    # a finite series' R/S Hurst lives in (0, 1)
+    assert 0.0 < exp_h < 1.0
