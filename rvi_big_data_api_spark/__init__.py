@@ -57,6 +57,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "ml_cox_ph",
     "ts_granger_lag1", "text_burstiness",
     "stats_g_test", "ts_hurst_rs",
+    "text_bm25_topk", "sim_hybrid_rrf",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -6253,3 +6253,261 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("df * 1000000 div n").alias("df_ppm"),
         (F.round(vmr, 4) + F.lit(0.0)).alias("vmr"),
     )
+
+
+# --- round 12: BM25 retrieval --------------------------------------------------
+
+BM25_K1_X10 = 12    # k1 = 1.2 (stated Robertson defaults, exact rationals)
+BM25_B_X100 = 75    # b = 0.75
+BM25_NQUERIES = 5   # the first N docs by doc_id serve as queries
+BM25_TOPK = 5       # hits returned per query (self-match excluded)
+
+
+_BM25_CHAIN_SQL_HEAD = f"""tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+    corp AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot FROM dl),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    w AS (
+        SELECT t.doc_id, t.term,
+               floor(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                     * (t.tf * ({BM25_K1_X10} / 10.0 + 1))
+                     / (t.tf + ({BM25_K1_X10} / 10.0)
+                        * (1 - {BM25_B_X100} / 100.0
+                           + ({BM25_B_X100} / 100.0) * l.dl
+                             / (c.tot / (c.n * 1.0))))
+                     * 1000000)::BIGINT AS wq
+        FROM tf t
+        JOIN dl l ON l.doc_id = t.doc_id
+        JOIN df d ON d.term = t.term
+        CROSS JOIN corp c
+    ),
+    q AS (
+        SELECT doc_id AS qid, term, tf AS qtf FROM tf
+        WHERE doc_id < {BM25_NQUERIES}
+    ),
+    scores AS (
+        SELECT q.qid, w.doc_id, sum(q.qtf * w.wq)::BIGINT AS score_micro
+        FROM q JOIN w ON w.term = q.term
+        WHERE w.doc_id <> q.qid
+        GROUP BY q.qid, w.doc_id
+    ),
+    bm25_ranked AS (
+        SELECT qid, doc_id, score_micro,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_micro DESC, doc_id ASC)
+                   AS rank
+        FROM scores
+    )"""
+# ^ BM25 postings chain (tf/dl/df/quantized weights/scores/bm25_ranked),
+# shared by text_bm25_topk and the hybrid RRF fusion: the f-string
+# constants interpolate ONCE so both oracles replay identical geometry.
+
+
+@query(
+    "text_bm25_topk",
+    oracle="WITH " + _BM25_CHAIN_SQL_HEAD + f"""
+    SELECT qid, rank, doc_id, score_micro
+    FROM bm25_ranked WHERE rank <= {BM25_TOPK}
+    """,
+    tags=("llm", "text", "similarity"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval — the lexical-search baseline every RAG /
+    retrieval-eval pipeline needs next to the embedding searchers
+    (sim_topk is dense; this is the sparse side of hybrid retrieval;
+    text_tfidf weighs terms but never RANKS documents for a query):
+    Robertson k1/b defaults, Lucene's non-negative idf, the first
+    BM25_NQUERIES documents as queries, self-match excluded (stated).
+
+    The determinism insight (rule 25 applied to IR scoring): each
+    (term, doc) BM25 weight is a PER-ROW float expression of exact
+    integer inputs (tf, df, dl, corpus totals) quantized once to micro
+    units — so per-(query, doc) scores are exact BIGINT sums of integer
+    contributions and the top-k rank (score DESC, doc_id ASC) is an
+    integer sort with no float fold-order anywhere. Both engines replay
+    the identical integer postings.
+
+    Scale: tf/df/dl are one-explode partial aggs; the score join is the
+    classic postings equi-join on term (the text_contamination shape) —
+    the only fan-out is query-terms x matching postings, linear in
+    postings for a bounded query set; the rank is per-query
+    WindowGroupLimit. At 100 TB the postings join IS the inverted-index
+    plan a search engine runs."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1 = BM25_K1_X10 / 10.0
+    b = BM25_B_X100 / 100.0
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfnorm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1
+        * (1 - b + b * F.col("dl") / (F.col("tot") / (F.col("n") * 1.0)))
+    )
+    w = (
+        tf.join(dl, "doc_id")
+        .join(df, "term")
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(idf * tfnorm * 1000000).cast("long").alias("wq"),
+        )
+    )
+    q = tf.filter(F.col("doc_id") < BM25_NQUERIES).select(
+        F.col("doc_id").alias("qid"), "term", F.col("tf").alias("qtf")
+    )
+    scores = (
+        q.join(w, "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("wq")).alias("score_micro"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("qid", "rank", "doc_id", "score_micro")
+    )
+
+
+# --- round 12: hybrid retrieval fusion -----------------------------------------
+
+RRF_K = 60          # the Cormack/Clarke reciprocal-rank-fusion constant
+RRF_SCALE = 10**9   # contributions quantized as 1e9 div (k + rank): exact ints
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    from .llm_sim import SIM_TOPK_K, SIM_TOPK_NQUERIES
+
+    return (
+        "WITH "
+        + _BM25_CHAIN_SQL_HEAD
+        + f""",
+    dense_ranked AS (
+        SELECT qid, vec_id, rank FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {SIM_TOPK_NQUERIES}
+        ) WHERE rank <= {SIM_TOPK_K}
+    ),
+    contrib AS (
+        SELECT qid, doc_id,
+               ({RRF_SCALE} // ({RRF_K} + rank))::BIGINT AS c,
+               1::BIGINT AS lex, 0::BIGINT AS den
+        FROM bm25_ranked WHERE rank <= {BM25_TOPK}
+        UNION ALL
+        SELECT qid, vec_id AS doc_id,
+               ({RRF_SCALE} // ({RRF_K} + rank))::BIGINT AS c,
+               0::BIGINT AS lex, 1::BIGINT AS den
+        FROM dense_ranked
+    ),
+    fused AS (
+        SELECT qid, doc_id, sum(c)::BIGINT AS rrf_x1e9,
+               max(lex)::BIGINT AS in_lexical, max(den)::BIGINT AS in_dense
+        FROM contrib GROUP BY qid, doc_id
+    )
+    SELECT qid, rank, doc_id, rrf_x1e9, in_lexical, in_dense FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY rrf_x1e9 DESC, doc_id ASC) AS rank
+        FROM fused
+    ) WHERE rank <= {SIM_TOPK_K}"""
+    )
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle_sql(),
+    tags=("llm", "similarity", "text"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the standard combiner
+    of the repo's two searcher families (text_bm25_topk = sparse/lexical,
+    sim_topk = dense/cosine; production RAG runs BOTH and fuses): for
+    each query, every document in either top-k list scores
+    sum 1/(60 + rank) over the lists that retrieved it, re-ranked on the
+    fused score. Queries are the shared id space (doc_id == vec_id in
+    the fixtures, stated), self-matches excluded by both searchers.
+
+    Exactness: each contribution quantizes as RRF_SCALE div (60 + rank)
+    — EXACT integer division of integer ranks (both input rankings are
+    already integer-deterministic: BM25 ranks integer micro scores,
+    cosine ranks break float ties by vec_id ASC) — so fused scores are
+    exact BIGINT sums and the final rank is an integer sort. Provenance
+    flags (in_lexical/in_dense) ship with each hit.
+
+    Scale: rides the two searcher constructions unchanged (postings
+    equi-join; broadcast query block); fusion itself is a union of two
+    k-per-query frames + one partial agg — negligible. At 100 TB the
+    searchers dominate and each keeps its own documented plan."""
+    from .llm_sim import SIM_TOPK_K, SIM_TOPK_NQUERIES, dot
+
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "qid",
+        "doc_id",
+        F.expr(f"{RRF_SCALE} div ({RRF_K} + rank)").alias("c"),
+        F.lit(1).cast("long").alias("lex"),
+        F.lit(0).cast("long").alias("den"),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    wdense = Window.partitionBy("qid").orderBy(
+        F.col("raw_dot").desc(), F.col("vec_id").asc()
+    )
+    dense = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot")
+        )
+        .withColumn("rank", F.row_number().over(wdense))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.expr(f"{RRF_SCALE} div ({RRF_K} + rank)").alias("c"),
+            F.lit(0).cast("long").alias("lex"),
+            F.lit(1).cast("long").alias("den"),
+        )
+    )
+    fused = (
+        lex.unionAll(dense)
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("c").alias("rrf_x1e9"),
+            F.max("lex").alias("in_lexical"),
+            F.max("den").alias("in_dense"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("rrf_x1e9").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("qid", "rank", "doc_id", "rrf_x1e9", "in_lexical", "in_dense")
+    )

@@ -781,6 +781,34 @@ EXTENSIONS = [
     "eval_tost_equivalence",
     # round 11: exponentially-decayed leaderboard (exact power-of-two decay)
     "stream_decayed_topk",
+    # round 12: 2-component Gaussian-mixture EM (quantized unsupervised fit)
+    "ml_gmm_quality",
+    # round 12: posterior-weighted deterministic corpus sampler (GMM consumer)
+    "corpus_gmm_posterior_sample",
+    # round 12: quota/best-of-n curated-corpus selector (BT+QC+lang-id memos)
+    "corpus_curated_select",
+    # round 12: Kendall tau-b via joint-support dominance sums
+    "stats_kendall_tau",
+    # round 12: Mann-Kendall trend test (ts_theil_sen's hypothesis partner)
+    "ts_mann_kendall",
+    # round 12: k=1 vs k=2 BIC mixture-order selection (exact moments)
+    "ml_gmm_bic",
+    # round 12: streaming GMM posterior gate (batch-equal ledger)
+    "stream_gmm_quality_gate",
+    # round 12: Cox proportional hazards (Breslow risk-set suffix algebra)
+    "ml_cox_ph",
+    # round 12: both-direction lag-1 Granger F-screen (exact moment fold)
+    "ts_granger_lag1",
+    # round 12: Church-Gale term burstiness (templated-text VMR)
+    "text_burstiness",
+    # round 12: G-test + Cramér's V on the segment x priority table
+    "stats_g_test",
+    # round 12: rescaled-range Hurst exponent (exact block deviations)
+    "ts_hurst_rs",
+    # round 12: BM25 top-k retrieval (quantized postings, integer ranks)
+    "text_bm25_topk",
+    # round 12: lexical+dense reciprocal-rank fusion (integer RRF)
+    "sim_hybrid_rrf",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -573,3 +573,88 @@ def test_hurst_matches_bruteforce(spark, sf_dir):
         assert abs(r["hurst"] - exp_h) < 1e-3
     # a finite series' R/S Hurst lives in (0, 1)
     assert 0.0 < exp_h < 1.0
+
+
+# --- text_bm25_topk / sim_hybrid_rrf ------------------------------------------
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """BM25 micro-scores and ranks against an independent float-path
+    Python implementation (quantization applied at the same per-(term,
+    doc) point)."""
+    import duckdb
+    from collections import Counter
+
+    from rvi_big_data_api_spark.operators.llm_text import (
+        BM25_B_X100,
+        BM25_K1_X10,
+        BM25_NQUERIES,
+        BM25_TOPK,
+    )
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    tf = {did: Counter(t.split(" ")) for did, t in docs.items()}
+    dl = {did: sum(c.values()) for did, c in tf.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    k1, b = BM25_K1_X10 / 10.0, BM25_B_X100 / 100.0
+
+    def wq(did, term):
+        idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+        t = tf[did][term]
+        return math.floor(
+            idf * (t * (k1 + 1)) / (t + k1 * (1 - b + b * dl[did] / avgdl)) * 1e6
+        )
+
+    got = _df("text_bm25_topk", spark, sf_dir).collect()
+    assert len(got) == BM25_NQUERIES * BM25_TOPK
+    for qid in range(BM25_NQUERIES):
+        scores = {}
+        for did in docs:
+            if did == qid:
+                continue
+            s = sum(
+                qtf * wq(did, term)
+                for term, qtf in tf[qid].items()
+                if term in tf[did]
+            )
+            if s:
+                scores[did] = s
+        exp = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:BM25_TOPK]
+        rows = sorted(
+            (r for r in got if r["qid"] == qid), key=lambda r: r["rank"]
+        )
+        assert [(r["doc_id"], r["score_micro"]) for r in rows] == exp, qid
+
+
+def test_hybrid_rrf_fusion_identity(spark, sf_dir):
+    """Fused scores must equal the RRF identity over the two emitted
+    rankings, and every hit must carry at least one provenance flag."""
+    from rvi_big_data_api_spark.operators.llm_text import RRF_K, RRF_SCALE
+
+    lex = {
+        (r["qid"], r["doc_id"]): r["rank"]
+        for r in _df("text_bm25_topk", spark, sf_dir).collect()
+    }
+    dense = {
+        (r["qid"], r["vec_id"]): r["rank"]
+        for r in _df("sim_topk", spark, sf_dir).collect()
+    }
+    for r in _df("sim_hybrid_rrf", spark, sf_dir).collect():
+        key = (r["qid"], r["doc_id"])
+        exp = 0
+        if key in lex:
+            exp += RRF_SCALE // (RRF_K + lex[key])
+        if key in dense:
+            exp += RRF_SCALE // (RRF_K + dense[key])
+        assert r["rrf_x1e9"] == exp, key
+        assert r["in_lexical"] == (1 if key in lex else 0)
+        assert r["in_dense"] == (1 if key in dense else 0)
+        assert r["in_lexical"] or r["in_dense"]
