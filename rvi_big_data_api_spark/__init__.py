@@ -58,6 +58,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "ts_granger_lag1", "text_burstiness",
     "stats_g_test", "ts_hurst_rs",
     "text_bm25_topk", "sim_hybrid_rrf",
+    "win_drawdown", "eval_hybrid_gain",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

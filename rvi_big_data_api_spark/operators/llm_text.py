@@ -6394,7 +6394,9 @@ RRF_K = 60          # the Cormack/Clarke reciprocal-rank-fusion constant
 RRF_SCALE = 10**9   # contributions quantized as 1e9 div (k + rank): exact ints
 
 
-def _hybrid_rrf_oracle_sql() -> str:
+def _hybrid_chain_sql() -> str:
+    """BM25 chain + dense cosine ranking + RRF fusion, through the `fused`
+    CTE — shared by sim_hybrid_rrf and eval_hybrid_gain."""
     from .llm_sim import SIM_TOPK_K, SIM_TOPK_NQUERIES
 
     return (
@@ -6428,7 +6430,16 @@ def _hybrid_rrf_oracle_sql() -> str:
         SELECT qid, doc_id, sum(c)::BIGINT AS rrf_x1e9,
                max(lex)::BIGINT AS in_lexical, max(den)::BIGINT AS in_dense
         FROM contrib GROUP BY qid, doc_id
+    )"""
     )
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    from .llm_sim import SIM_TOPK_K
+
+    return (
+        _hybrid_chain_sql()
+        + f"""
     SELECT qid, rank, doc_id, rrf_x1e9, in_lexical, in_dense FROM (
         SELECT *, row_number() OVER (PARTITION BY qid
                        ORDER BY rrf_x1e9 DESC, doc_id ASC) AS rank
@@ -6510,4 +6521,123 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= SIM_TOPK_K)
         .select("qid", "rank", "doc_id", "rrf_x1e9", "in_lexical", "in_dense")
+    )
+
+
+def _hybrid_gain_oracle_sql() -> str:
+    from .llm_sim import SIM_TOPK_K
+
+    return (
+        _hybrid_chain_sql()
+        + f""",
+    hg_lists AS (
+        SELECT 'lexical' AS searcher, qid, doc_id
+        FROM bm25_ranked WHERE rank <= {SIM_TOPK_K}
+        UNION ALL
+        SELECT 'dense' AS searcher, qid, vec_id AS doc_id FROM dense_ranked
+        UNION ALL
+        SELECT 'hybrid_rrf' AS searcher, qid, doc_id FROM (
+            SELECT qid, doc_id,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY rrf_x1e9 DESC, doc_id ASC) AS rank
+            FROM fused
+        ) WHERE rank <= {SIM_TOPK_K}
+    ),
+    hg_labeled AS (
+        SELECT l.searcher, l.qid,
+               CASE WHEN eh.label = eq.label THEN 1 ELSE 0 END AS hit
+        FROM hg_lists l
+        JOIN embeddings eh ON eh.vec_id = l.doc_id
+        JOIN embeddings eq ON eq.vec_id = l.qid
+    )
+    SELECT searcher,
+           count(DISTINCT qid)::BIGINT AS n_queries,
+           count(*)::BIGINT AS n_hits_listed,
+           sum(hit)::BIGINT AS n_relevant,
+           (sum(hit) * 1000000 // count(*))::BIGINT AS precision_ppm
+    FROM hg_labeled GROUP BY searcher"""
+    )
+
+
+@query(
+    "eval_hybrid_gain",
+    oracle=_hybrid_gain_oracle_sql(),
+    tags=("llm", "similarity", "eval"),
+)
+def eval_hybrid_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval ablation — does the RRF fusion actually BEAT its
+    two ingredient searchers? Label-relevance precision@k (a hit is
+    relevant iff its embedding label equals the query's — the knn_label
+    ground-truth convention) for lexical, dense and fused lists side by
+    side: the ablation table every hybrid-search rollout is justified
+    by, computed in-engine on the same chains the searchers ship.
+
+    Exactness: all three rankings are integer-deterministic (BM25 micro
+    scores, vec_id tie-breaks, integer RRF), relevance is an integer
+    label compare, precision is exact integer ppm — no floats anywhere
+    downstream of the already-pinned dense ranks.
+
+    Scale: rides the searcher constructions; the ablation adds two
+    broadcast-joinable label lookups on k-per-query frames and one
+    partial agg."""
+    from .llm_sim import SIM_TOPK_K
+
+    fused = sim_hybrid_rrf(spark, sf_dir)
+    lex = text_bm25_topk(spark, sf_dir).select(
+        F.lit("lexical").alias("searcher"), "qid", "doc_id"
+    )
+    # dense list re-derived via the sim_topk construction (one code path
+    # with the fusion's dense branch — both rank by raw_dot / vec_id)
+    from .llm_sim import SIM_TOPK_NQUERIES, dot
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    wdense = Window.partitionBy("qid").orderBy(
+        F.col("raw_dot").desc(), F.col("vec_id").asc()
+    )
+    dense = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"),
+        )
+        .withColumn("rank", F.row_number().over(wdense))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select(
+            F.lit("dense").alias("searcher"),
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+        )
+    )
+    hyb = fused.select(
+        F.lit("hybrid_rrf").alias("searcher"), "qid", "doc_id"
+    )
+    lists = lex.unionAll(dense).unionAll(hyb)
+    labels = e.select("vec_id", "label")
+    labeled = (
+        lists.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("doc_id"),
+                                      F.col("label").alias("hl"))),
+            "doc_id",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("qid"),
+                                      F.col("label").alias("ql"))),
+            "qid",
+        )
+        .select(
+            "searcher",
+            "qid",
+            F.when(F.col("hl") == F.col("ql"), 1).otherwise(0).alias("hit"),
+        )
+    )
+    return labeled.groupBy("searcher").agg(
+        F.count_distinct("qid").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_hits_listed"),
+        F.sum("hit").alias("n_relevant"),
+        F.expr("sum(hit) * 1000000 div count(*)").alias("precision_ppm"),
     )

@@ -594,3 +594,102 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.col("best_cheaper").isNull() | (F.col("size") >= F.col("best_cheaper"))
     ).select("brand", "p_partkey", "price_cents", "size")
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
+        FROM events GROUP BY 1, 2
+    ),
+    runmax AS (
+        SELECT event_type, d, xc,
+               max(xc) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM daily
+    ),
+    dd AS (
+        SELECT event_type, d, xc, peak, (peak - xc)::BIGINT AS drawdown
+        FROM runmax
+    ),
+    worst AS (
+        SELECT event_type, count(*)::BIGINT AS n_days,
+               max(peak)::BIGINT AS max_cents,
+               max(drawdown)::BIGINT AS max_drawdown_cents
+        FROM dd GROUP BY event_type
+    ),
+    trough AS (
+        SELECT d.event_type,
+               min(d.d) AS trough_day,
+               any_value(w.max_drawdown_cents) AS mdc
+        FROM dd d JOIN worst w ON w.event_type = d.event_type
+                  AND d.drawdown = w.max_drawdown_cents
+        GROUP BY d.event_type
+    )
+    SELECT w.event_type, w.n_days, w.max_cents, w.max_drawdown_cents,
+           strftime(t.trough_day, '%Y-%m-%d') AS trough_day,
+           (w.max_drawdown_cents * 1000000
+            // nullif(w.max_cents, 0))::BIGINT AS drawdown_ppm
+    FROM worst w JOIN trough t ON t.event_type = w.event_type
+    """,
+    tags=("window", "telemetry", "timeseries"),
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per channel — the running-peak-to-trough drop the
+    capacity/revenue dashboards watch (the risk metric finance calls
+    MDD): running max over the daily cents series, drawdown = peak -
+    value, the worst drawdown with its EARLIEST trough day (stated
+    tie-break) and its share of the all-time peak in exact ppm.
+
+    Exactness: cents, running peaks, drawdowns and the ppm share are all
+    exact BIGINTs — no floats anywhere in this op.
+
+    Scale: one partial agg to the calendar-bounded daily frame; the
+    running-max window is partitioned per event_type over that support
+    (the ts_theil_sen bound); the trough argmin is an equi-join on the
+    |channels|-row worst frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc")
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        "d",
+        "xc",
+        F.max("xc").over(wrun).alias("peak"),
+    ).withColumn("drawdown", F.col("peak") - F.col("xc"))
+    worst = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("peak").alias("max_cents"),
+        F.max("drawdown").alias("max_drawdown_cents"),
+    )
+    trough = (
+        dd.join(
+            worst.select(
+                "event_type", F.col("max_drawdown_cents").alias("mdc")
+            ),
+            "event_type",
+        )
+        .filter(F.col("drawdown") == F.col("mdc"))
+        .groupBy("event_type")
+        .agg(F.min("d").alias("trough_day"))
+    )
+    return worst.join(trough, "event_type").select(
+        "event_type",
+        "n_days",
+        "max_cents",
+        "max_drawdown_cents",
+        F.date_format("trough_day", "yyyy-MM-dd").alias("trough_day"),
+        F.expr(
+            "max_drawdown_cents * 1000000 div nullif(max_cents, 0)"
+        ).alias("drawdown_ppm"),
+    )

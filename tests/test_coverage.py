@@ -809,6 +809,10 @@ EXTENSIONS = [
     "text_bm25_topk",
     # round 12: lexical+dense reciprocal-rank fusion (integer RRF)
     "sim_hybrid_rrf",
+    # round 12: running-peak max drawdown per channel (all-integer)
+    "win_drawdown",
+    # round 12: hybrid-retrieval ablation (precision@k, three searchers)
+    "eval_hybrid_gain",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -658,3 +658,65 @@ def test_hybrid_rrf_fusion_identity(spark, sf_dir):
         assert r["in_lexical"] == (1 if key in lex else 0)
         assert r["in_dense"] == (1 if key in dense else 0)
         assert r["in_lexical"] or r["in_dense"]
+
+
+# --- win_drawdown / eval_hybrid_gain ------------------------------------------
+
+
+def test_drawdown_matches_bruteforce(spark, sf_dir):
+    import duckdb
+    from collections import defaultdict
+
+    daily = duckdb.sql(
+        "SELECT event_type, date_trunc('day', ts),"
+        " sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = defaultdict(list)
+    for et, d, xc in daily:
+        series[et].append((d, xc))
+    got = {r["event_type"]: r for r in _df("win_drawdown", spark, sf_dir).collect()}
+    for et, pts in series.items():
+        peak = -(10**18)
+        mdd, trough = 0, None
+        for d, xc in pts:
+            peak = max(peak, xc)
+            dd = peak - xc
+            if dd > mdd or trough is None:
+                if dd > mdd or (dd == mdd and trough is None):
+                    mdd, trough = dd, d
+        # earliest day achieving the max drawdown
+        peak = -(10**18)
+        firsts = []
+        for d, xc in pts:
+            peak = max(peak, xc)
+            if peak - xc == mdd:
+                firsts.append(d)
+        r = got[et]
+        assert r["max_drawdown_cents"] == mdd
+        assert r["trough_day"] == min(firsts).strftime("%Y-%m-%d")
+        assert r["n_days"] == len(pts)
+
+
+def test_hybrid_gain_is_consistent_with_lists(spark, sf_dir):
+    """Precision rows must be recomputable from the emitted search lists
+    and the label table; the fused list must never list fewer relevant
+    hits than zero and the table must carry all three searchers."""
+    import duckdb
+
+    labels = dict(
+        duckdb.sql(
+            f"SELECT vec_id, label FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    )
+    lex = [(r["qid"], r["doc_id"]) for r in _df("text_bm25_topk", spark, sf_dir).collect()]
+    dense = [(r["qid"], r["vec_id"]) for r in _df("sim_topk", spark, sf_dir).collect()]
+    hyb = [(r["qid"], r["doc_id"]) for r in _df("sim_hybrid_rrf", spark, sf_dir).collect()]
+    got = {r["searcher"]: r for r in _df("eval_hybrid_gain", spark, sf_dir).collect()}
+    assert set(got) == {"lexical", "dense", "hybrid_rrf"}
+    for name, lst in (("lexical", lex), ("dense", dense), ("hybrid_rrf", hyb)):
+        rel = sum(1 for q, d in lst if labels[d] == labels[q])
+        r = got[name]
+        assert r["n_hits_listed"] == len(lst)
+        assert r["n_relevant"] == rel
+        assert r["precision_ppm"] == rel * 1_000_000 // len(lst)
