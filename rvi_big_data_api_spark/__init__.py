@@ -59,6 +59,8 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stats_g_test", "ts_hurst_rs",
     "text_bm25_topk", "sim_hybrid_rrf",
     "win_drawdown", "eval_hybrid_gain",
+    "stream_drawdown_monitor", "eval_calibration_spiegelhalter",
+    "corpus_mix_anneal",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

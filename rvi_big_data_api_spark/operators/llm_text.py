@@ -6641,3 +6641,109 @@ def eval_hybrid_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").alias("n_relevant"),
         F.expr("sum(hit) * 1000000 div count(*)").alias("precision_ppm"),
     )
+
+
+def _spiegelhalter_oracle_sql() -> str:
+    t = QC_ITERS
+    f1, f2, f3 = QC_FEATURES_SQL
+    return (
+        _qc_chain_sql()
+        + f""",
+    sp_scored AS (
+        SELECT ({QC_LABEL_SQL})::BIGINT AS y,
+               floor(1000000.0 / (1.0 + exp(-((w.w0m + w.w1m * ({f1})
+                     + w.w2m * ({f2}) + w.w3m * ({f3})) / 1000000.0))))::BIGINT
+                   AS p_ppm
+        FROM documents CROSS JOIN w_{t} w
+    ),
+    sp_sums AS (
+        SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+               sum(((y * 1000000 - p_ppm)
+                    * (1000000 - 2 * p_ppm))::HUGEINT) AS num,
+               sum((1000000 - 2 * p_ppm)::HUGEINT
+                   * (1000000 - 2 * p_ppm)::HUGEINT
+                   * p_ppm::HUGEINT * (1000000 - p_ppm)::HUGEINT) AS den
+        FROM sp_scored
+    )
+    SELECT n, n_pos,
+           round(num::DOUBLE / nullif(sqrt(den::DOUBLE), 0), 4) + 0.0
+               AS z_spiegelhalter
+    FROM sp_sums"""
+    )
+
+
+@query(
+    "eval_calibration_spiegelhalter",
+    oracle=_spiegelhalter_oracle_sql(),
+    tags=("llm", "eval", "ml", "stats"),
+)
+def eval_calibration_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's Z test of calibration — the SIGNIFICANCE companion
+    to eval_brier_decomposition (which decomposes the Brier score) and
+    eval_isotonic_calibration (which repairs miscalibration): is the QC
+    classifier's predicted probability actually calibrated, as a single
+    z-statistic? Z = sum (y-p)(1-2p) / sqrt(sum (1-2p)^2 p(1-p)), the
+    Brier score's excess over its calibrated expectation, standardized.
+    Fourth consumer of the memoized _qc_weights fit — zero training cost.
+
+    The exactness trick (rule 31's integer-sum discipline at a scale
+    BIGINT cannot hold): p quantizes per-row to integer ppm (the
+    corpus_classifier_filter value, verbatim), and both sums run in
+    128-bit integers — Spark decimal(38,0), DuckDB HUGEINT — because the
+    denominator's per-row term (1-2p)^2 p (1-p) reaches ~2.5e23 in ppm
+    units, past int64; the decimal sums stay EXACT and order-free up to
+    ~1e38 (1e12 documents), and the ppm scales cancel in Z
+    (1e12/sqrt(1e24) = 1), so the only float is the final readout
+    (4dp, rules 1/6).
+
+    At 100 TB: one map-side scoring pass (4 integer weights as
+    literals) + one partial agg; the training was paid once by the
+    memo."""
+    _, qtraj = _qc_weights(spark, sf_dir)
+    w = qtraj[-1][1:5]
+    d = load(spark, sf_dir, "documents")
+    zm = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L"
+            " div size(split(text, ' ')) div 10000 - 50"
+        )
+        + F.lit(w[2]) * F.expr("n_chars div 100 - 3")
+        + F.lit(w[3]) * F.expr("size(split(text, ' ')) div 10 - 4")
+    ).cast("long")
+    y = F.expr(
+        "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1 ELSE 0 END"
+    ).cast("long")
+    p_ppm = F.floor(
+        1000000.0 / (1.0 + F.exp(-(zm.cast("double") / 1000000.0)))
+    ).cast("long")
+    scored = d.select(y.alias("y"), p_ppm.alias("p_ppm"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    sums = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(
+            dec(
+                (F.col("y") * 1000000 - F.col("p_ppm"))
+                * (1000000 - 2 * F.col("p_ppm"))
+            )
+        ).alias("num"),
+        F.sum(
+            dec(1000000 - 2 * F.col("p_ppm"))
+            * dec(1000000 - 2 * F.col("p_ppm"))
+            * dec(F.col("p_ppm"))
+            * dec(1000000 - F.col("p_ppm"))
+        ).alias("den"),
+    )
+    return sums.select(
+        "n",
+        "n_pos",
+        (
+            F.round(
+                F.col("num").cast("double")
+                / F.nullif(F.sqrt(F.col("den").cast("double")), F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z_spiegelhalter"),
+    )

@@ -6977,3 +6977,80 @@ def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cramers_v"),
     )
+
+
+# --- round 12: multi-epoch mix annealing ---------------------------------------
+
+ANNEAL_EPOCHS = 4  # epoch 0 = pure BT mix, last epoch = uniform (stated)
+
+
+def _mix_anneal_oracle_sql() -> str:
+    return (
+        _bt_chain_sql()
+        + f""",
+    an_wq AS (
+        SELECT item, floor(exp(sm / 1000000.0) * 1000000)::BIGINT AS w_x1m
+        FROM s_{BT_ITERS}
+    ),
+    an_tot AS (SELECT sum(w_x1m)::BIGINT AS tw, count(*)::BIGINT AS k
+               FROM an_wq),
+    an_mix AS (
+        SELECT item AS source,
+               (w_x1m * 1000000 // t.tw)::BIGINT AS mix_ppm,
+               (1000000 // t.k)::BIGINT AS uni_ppm
+        FROM an_wq CROSS JOIN an_tot t
+    ),
+    an_epochs AS (SELECT unnest(generate_series(0, {ANNEAL_EPOCHS - 1})) AS epoch)
+    SELECT e.epoch::BIGINT AS epoch, m.source,
+           ((m.mix_ppm * ({ANNEAL_EPOCHS - 1} - e.epoch)
+             + m.uni_ppm * e.epoch)
+            // {ANNEAL_EPOCHS - 1})::BIGINT AS weight_ppm
+    FROM an_mix m CROSS JOIN an_epochs e"""
+    )
+
+
+@query(
+    "corpus_mix_anneal",
+    oracle=_mix_anneal_oracle_sql(),
+    tags=("llm", "corpus", "ml"),
+)
+def corpus_mix_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mix annealing schedule — the curriculum move a
+    multi-epoch training run applies to corpus_reward_mix's weights:
+    epoch 0 trains on the pure BT-preference mix (exploit the reward
+    signal), the final epoch on the uniform mix (cover every source),
+    with LINEAR interpolation between (stated; corpus_epoch_schedule
+    orders documents within an epoch, this plans the mix ACROSS epochs).
+
+    Exactness: the interpolation is pure integer arithmetic on the
+    memoized mix ppm in the NON-NEGATIVE form w_e = (mix*(E-1-e) +
+    uniform*e) div (E-1) — every operand positive, because Python/Spark
+    floor negative quotients while DuckDB truncates them (found live by
+    this op's first parity drive; the subtractive form was off by one
+    ppm wherever mix > uniform). Every scheduled weight is an exact
+    BIGINT on both engines; floor division makes intermediate epochs sum
+    to slightly under 1e6 ppm, the corpus_reward_mix convention
+    (stated).
+
+    At 100 TB: |sources| x |epochs| rows of driver-side arithmetic on
+    the memoized fit; zero corpus passes."""
+    _, items, s, _ = _bt_strengths(spark, sf_dir)
+    wq = {it: math.floor(math.exp(s[it] / 1e6) * 1e6) for it in items}
+    tw = sum(wq.values())
+    k = len(items)
+    rows = []
+    for e in range(ANNEAL_EPOCHS):
+        for it in items:
+            mix = wq[it] * 1_000_000 // tw
+            uni = 1_000_000 // k
+            rows.append(
+                (
+                    e,
+                    it,
+                    (mix * (ANNEAL_EPOCHS - 1 - e) + uni * e)
+                    // (ANNEAL_EPOCHS - 1),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "epoch long, source string, weight_ppm long"
+    )

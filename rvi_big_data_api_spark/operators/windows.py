@@ -596,9 +596,7 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("brand", "p_partkey", "price_cents", "size")
 
 
-@query(
-    "win_drawdown",
-    oracle="""
+_DRAWDOWN_ORACLE_SQL = """
     WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS d,
                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xc
@@ -633,7 +631,14 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
            (w.max_drawdown_cents * 1000000
             // nullif(w.max_cents, 0))::BIGINT AS drawdown_ppm
     FROM worst w JOIN trough t ON t.event_type = w.event_type
-    """,
+    """
+# ^ shared by win_drawdown and stream_drawdown_monitor: the twin readout
+# is identical because both ops run drawdown_extract on the same daily agg.
+
+
+@query(
+    "win_drawdown",
+    oracle=_DRAWDOWN_ORACLE_SQL,
     tags=("window", "telemetry", "timeseries"),
 )
 def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +661,14 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc")
     )
+    return drawdown_extract(daily)
+
+
+def drawdown_extract(daily: DataFrame) -> DataFrame:
+    """Shared running-peak/worst-drawdown readout over a (event_type, d,
+    xc) daily frame — ONE code path for win_drawdown and its streaming
+    twin (the _esd_extract discipline), so the live monitor cannot drift
+    from the batch metric."""
     wrun = (
         Window.partitionBy("event_type")
         .orderBy("d")

@@ -3193,3 +3193,50 @@ def stream_gmm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_tokens",
         F.expr("sum_post_ppm div n_docs").alias("mean_posterior_ppm"),
     )
+
+
+# --- round 12: streaming drawdown monitor --------------------------------------
+
+
+def _stream_drawdown_oracle_sql() -> str:
+    from ..operators.windows import _DRAWDOWN_ORACLE_SQL
+
+    return _DRAWDOWN_ORACLE_SQL
+
+
+@query(
+    "stream_drawdown_monitor",
+    oracle=_stream_drawdown_oracle_sql(),
+    tags=("streaming", "telemetry", "timeseries"),
+)
+def stream_drawdown_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE max-drawdown monitor — the streaming twin of win_drawdown
+    (the round-12 member of the batch≡stream reconciliation family): the
+    stream maintains per-(channel, day) cents cells in complete mode
+    (calendar-bounded state, the stream_msprt_monitor rule) and every
+    refresh re-runs the IDENTICAL running-peak/worst-trough extraction
+    via the shared drawdown_extract helper — one code path, so the live
+    risk readout cannot drift from the batch metric (pinned row-for-row;
+    the oracle IS win_drawdown's).
+
+    Rule 30 applies: the memory-sink daily frame is referenced twice by
+    the extraction (the dd/worst equi-join), so it is eagerly
+    checkpointed to re-root lineage before the helper runs.
+
+    At 100 TB: streaming state is |channels| x |calendar days| exact
+    BIGINT cells; the extraction runs on that bounded frame per refresh."""
+    from ..operators.windows import drawdown_extract
+    from ..session import ensure_checkpoint_dir
+
+    sdf = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("xc")
+        )
+    )
+    ensure_checkpoint_dir(spark)
+    daily = run_to_table(sdf, sf_dir, "ddmon", "complete").checkpoint(
+        eager=True
+    )
+    return drawdown_extract(daily)

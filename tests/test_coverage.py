@@ -813,6 +813,12 @@ EXTENSIONS = [
     "win_drawdown",
     # round 12: hybrid-retrieval ablation (precision@k, three searchers)
     "eval_hybrid_gain",
+    # round 12: streaming drawdown twin (shared extraction helper)
+    "stream_drawdown_monitor",
+    # round 12: Spiegelhalter calibration Z (128-bit exact sums)
+    "eval_calibration_spiegelhalter",
+    # round 12: multi-epoch BT-mix -> uniform anneal (integer interpolation)
+    "corpus_mix_anneal",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -720,3 +720,68 @@ def test_hybrid_gain_is_consistent_with_lists(spark, sf_dir):
         assert r["n_hits_listed"] == len(lst)
         assert r["n_relevant"] == rel
         assert r["precision_ppm"] == rel * 1_000_000 // len(lst)
+
+
+# --- stream_drawdown_monitor / spiegelhalter / mix_anneal ---------------------
+
+
+def test_stream_drawdown_equals_batch(spark, sf_dir):
+    batch = sorted(map(tuple, _df("win_drawdown", spark, sf_dir).collect()))
+    live = sorted(
+        map(tuple, _df("stream_drawdown_monitor", spark, sf_dir).collect())
+    )
+    assert batch == live
+
+
+def test_spiegelhalter_matches_python(spark, sf_dir):
+    """Z recomputed from the emitted classifier probabilities (the
+    corpus_classifier_filter quantization) in pure Python."""
+    import duckdb
+
+    from rvi_big_data_api_spark.operators.llm_text import _qc_weights
+
+    w = _qc_weights(spark, sf_dir)[1][-1][1:5]
+    rows = duckdb.sql(
+        "SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0"
+        " THEN 1 ELSE 0 END,"
+        " len(list_distinct(string_split(text, ' '))) * 1000000"
+        " // len(string_split(text, ' ')) // 10000 - 50,"
+        " n_chars // 100 - 3,"
+        " len(string_split(text, ' ')) // 10 - 4"
+        f" FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    num = den = 0
+    for y, x1, x2, x3 in rows:
+        zm = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+        p = math.floor(1e6 / (1 + math.exp(-(zm / 1e6))))
+        num += (y * 1_000_000 - p) * (1_000_000 - 2 * p)
+        den += (1_000_000 - 2 * p) ** 2 * p * (1_000_000 - p)
+    exp_z = num / math.sqrt(den)
+    got = _df("eval_calibration_spiegelhalter", spark, sf_dir).collect()[0]
+    assert got["n"] == len(rows)
+    assert abs(got["z_spiegelhalter"] - exp_z) < 1e-3
+
+
+def test_mix_anneal_endpoints_and_monotone(spark, sf_dir):
+    """Epoch 0 must equal corpus_reward_mix's ppm exactly, the last epoch
+    the uniform share, and every source's path must be monotone."""
+    from rvi_big_data_api_spark.operators.ml_eval import ANNEAL_EPOCHS
+
+    mix = {
+        r["source"]: r["mix_weight_ppm"]
+        for r in _df("corpus_reward_mix", spark, sf_dir).collect()
+    }
+    rows = _df("corpus_mix_anneal", spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["epoch"]] = r["weight_ppm"]
+    assert set(by_src) == set(mix)
+    uni = 1_000_000 // len(mix)
+    for src, path in by_src.items():
+        assert len(path) == ANNEAL_EPOCHS
+        assert path[0] == mix[src]
+        assert path[ANNEAL_EPOCHS - 1] == uni
+        deltas = [
+            path[e + 1] - path[e] for e in range(ANNEAL_EPOCHS - 1)
+        ]
+        assert all(d >= 0 for d in deltas) or all(d <= 0 for d in deltas)
