@@ -6575,9 +6575,9 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     bic_k1 AS (
         SELECT n.n,
                (n.sx // n.n)::BIGINT AS mu_micro,
-               floor((n.sxx / 1000000000000.0 / n.n
+               greatest(floor((n.sxx / 1000000000000.0 / n.n
                       - pow(n.sx / 1000000.0 / n.n, 2)) * 1000000
-                     + 0.5)::BIGINT AS var_micro
+                     + 0.5)::BIGINT, 1) AS var_micro
         FROM gmm_n n
     ),
     bic_ll1 AS (
@@ -6613,7 +6613,9 @@ def ml_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles), its mean log-likelihood has the closed quadratic
     form under the quantized params, and the k=2 likelihood is the
     memoized trajectory's final 6dp readout — so the comparison consumes
-    only already-pinned quantities. Readouts 6dp/4dp (rules 1/6).
+    only already-pinned quantities; the quantized k=1 variance floors at
+    1 micro so a degenerate all-equal score column cannot divide by zero
+    (GMM_VAR_MIN_MICRO's k=1 sibling). Readouts 6dp/4dp (rules 1/6).
 
     At 100 TB: zero additional corpus passes — one O(1) aggregate over
     the checkpointed score frame for the moments; the training cost was
@@ -6627,8 +6629,8 @@ def ml_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     n, sx, sxx = base["n"], base["sx"], base["sxx"]
     mu_micro = sx // n
-    var_micro = math.floor(
-        (sxx / 1e12 / n - (sx / 1e6 / n) ** 2) * 1e6 + 0.5
+    var_micro = max(
+        math.floor((sxx / 1e12 / n - (sx / 1e6 / n) ** 2) * 1e6 + 0.5), 1
     )
     ll1 = round(
         -(
@@ -6811,6 +6813,14 @@ def ml_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .checkpoint(eager=True)
     )
     ne = pu.agg(F.sum("ev")).collect()[0][0]
+    if not ne:
+        # Degenerate cohort (no purchase events anywhere): no partial
+        # likelihood exists — emit an empty trajectory instead of
+        # dividing by a zero event count (the _bt_strengths guard's
+        # sibling; the oracle's per-step GROUP BY ne also yields no rows).
+        return spark.createDataFrame(
+            [], "iteration long, beta_micro long, n_events long, loglik double"
+        )
     wsuf = Window.orderBy(F.col("dur").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

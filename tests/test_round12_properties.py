@@ -785,3 +785,20 @@ def test_mix_anneal_endpoints_and_monotone(spark, sf_dir):
             path[e + 1] - path[e] for e in range(ANNEAL_EPOCHS - 1)
         ]
         assert all(d >= 0 for d in deltas) or all(d <= 0 for d in deltas)
+
+
+def test_cox_empty_event_guard(spark, tmp_path):
+    """A cohort with zero purchase events must yield an empty trajectory,
+    not a ZeroDivisionError (the _bt_strengths degenerate-guard sibling)."""
+    import datetime
+
+    rows = [
+        (i, i, "view", 1.0, datetime.datetime(2024, 1, 1 + i % 5))
+        for i in range(12)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp"
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    assert _df("ml_cox_ph", spark, str(tmp_path)).count() == 0
