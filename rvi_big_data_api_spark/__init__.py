@@ -61,6 +61,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "win_drawdown", "eval_hybrid_gain",
     "stream_drawdown_monitor", "eval_calibration_spiegelhalter",
     "corpus_mix_anneal",
+    "ml_ridge_regression", "graph_ppr",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

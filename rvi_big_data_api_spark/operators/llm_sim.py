@@ -3704,3 +3704,96 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("node", "predicted", "cn", "adamic_adar")
     )
+
+
+# --- round 12: personalized PageRank -------------------------------------------
+
+PPR_SEEDS = 5        # seed set = vec_id < 5 (stated; the sim_topk query ids)
+PPR_DAMPING = 0.85
+PPR_ITERS = 2
+
+_DUCK_PPR_STEP = """
+    {next} AS (
+        SELECT e.dst AS id,
+               (CASE WHEN e.dst < {seeds} THEN (1.0 - {damping}) / {seeds}
+                     ELSE 0.0 END)
+               + {damping} * sum(p.pr / d.outdeg) AS pr
+        FROM edges e
+        JOIN {prev} p ON e.src = p.id
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    )
+"""
+
+
+@query(
+    "graph_ppr",
+    oracle=f"""
+    WITH {_DUCK_PR_EDGES},
+    ppr0 AS (
+        SELECT src AS id,
+               CASE WHEN src < {PPR_SEEDS} THEN 1.0 / {PPR_SEEDS}
+                    ELSE 0.0 END AS pr
+        FROM deg
+    ),
+    {_DUCK_PPR_STEP.format(next="ppr1", prev="ppr0", damping=PPR_DAMPING, seeds=PPR_SEEDS)},
+    {_DUCK_PPR_STEP.format(next="ppr2", prev="ppr1", damping=PPR_DAMPING, seeds=PPR_SEEDS)}
+    SELECT id AS vec_id, round(pr, 6) + 0.0 AS ppr,
+           (id < {PPR_SEEDS}) AS is_seed
+    FROM ppr2 WHERE pr > 0
+    """,
+    tags=("llm", "graph", "similarity"),
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set — graph_pagerank's
+    recommendation-mode sibling (global PR asks 'which documents are hubs
+    of the whole dup graph'; PPR asks 'which documents does THIS seed
+    neighborhood endorse' — the random walk restarts at the seeds, so
+    mass concentrates around them and the ranking is query-conditional;
+    the standard retrieval-expansion / related-documents primitive).
+
+    Same unrolled power-iteration shape on the memoized similarity
+    edges: restart vector = uniform over the PPR_SEEDS stated seed ids,
+    each step one edges-join-ranks shuffle + partial-agg sum with the
+    (1-d)*restart term folded in; nodes the walk never reaches are
+    dropped (pr > 0, stated) so the output is neighborhood-sized, not
+    corpus-sized. Twin = the same unrolled chain as CTEs (float class of
+    graph_pagerank: 6dp rounding, rules 1/6/8).
+
+    At 100 TB: identical cost to graph_pagerank per iteration (the edge
+    memo is checkpointed once per session); the PPR output shrinks with
+    locality instead of spanning the graph."""
+    pairs = sim_pair_edges(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    restart = F.when(
+        F.col("id") < PPR_SEEDS, F.lit((1.0 - PPR_DAMPING) / PPR_SEEDS)
+    ).otherwise(F.lit(0.0))
+    ranks = deg.select(
+        F.col("src").alias("id"),
+        F.when(
+            F.col("src") < PPR_SEEDS, F.lit(1.0 / PPR_SEEDS)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+    )
+    for _ in range(PPR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(F.broadcast(deg), "src")
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("share"))
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("id")).agg(
+            F.sum("share").alias("share_sum")
+        ).select(
+            "id", (restart + PPR_DAMPING * F.col("share_sum")).alias("pr")
+        )
+    return ranks.filter(F.col("pr") > 0).select(
+        F.col("id").alias("vec_id"),
+        (F.round("pr", 6) + F.lit(0.0)).alias("ppr"),
+        (F.col("id") < PPR_SEEDS).alias("is_seed"),
+    )

@@ -7064,3 +7064,169 @@ def corpus_mix_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "epoch long, source string, weight_ppm long"
     )
+
+
+# --- round 12: closed-form ridge regression ------------------------------------
+
+RIDGE_LAMBDA_X1M = 2_000_000  # lambda = 2.0 in micro-units (stated; the
+                              # intercept is conventionally unpenalized)
+
+_RIDGE_SOLVE_SQL = f"""
+    rr_pu AS (
+        SELECT (sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                - 13)::BIGINT AS x1,
+               (sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                - 13)::BIGINT AS x2,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 100 + 0.5)::BIGINT
+                        ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    rr_m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+               sum(x1 * x1)::BIGINT AS s11, sum(x2 * x2)::BIGINT AS s22,
+               sum(x1 * x2)::BIGINT AS s12,
+               sum(y)::BIGINT AS sy, sum(x1 * y)::BIGINT AS s1y,
+               sum(x2 * y)::BIGINT AS s2y, sum(y * y)::BIGINT AS syy
+        FROM rr_pu
+    ),
+    rr_w AS (
+        SELECT *,
+               (n + 0.0) * ((s11 + lam) * (s22 + lam) - (s12 + 0.0) * s12)
+               - (s1 + 0.0) * ((s1 + 0.0) * (s22 + lam) - (s12 + 0.0) * s2)
+               + (s2 + 0.0) * ((s1 + 0.0) * s12 - (s11 + lam) * s2) AS det,
+               (sy + 0.0) * ((s11 + lam) * (s22 + lam) - (s12 + 0.0) * s12)
+               - (s1 + 0.0) * ((s1y + 0.0) * (s22 + lam) - (s12 + 0.0) * s2y)
+               + (s2 + 0.0) * ((s1y + 0.0) * s12 - (s11 + lam) * s2y) AS det0,
+               (n + 0.0) * ((s1y + 0.0) * (s22 + lam) - (s2y + 0.0) * s12)
+               - (sy + 0.0) * ((s1 + 0.0) * (s22 + lam) - (s12 + 0.0) * s2)
+               + (s2 + 0.0) * ((s1 + 0.0) * s2y - (s1y + 0.0) * s2) AS det1,
+               (n + 0.0) * ((s11 + lam) * s2y - (s12 + 0.0) * s1y)
+               - (s1 + 0.0) * ((s1 + 0.0) * s2y - (s1y + 0.0) * s2)
+               + (sy + 0.0) * ((s1 + 0.0) * s12 - (s11 + lam) * s2) AS det2
+        FROM (SELECT *, {RIDGE_LAMBDA_X1M} / 1000000.0 AS lam FROM rr_m)
+    ),
+    rr_fit AS (
+        SELECT n, syy, sy,
+               det0 / det AS w0, det1 / det AS w1, det2 / det AS w2,
+               syy + (det0 / det) * (det0 / det) * n
+                   + (det1 / det) * (det1 / det) * s11
+                   + (det2 / det) * (det2 / det) * s22
+                   - 2 * (det0 / det) * sy
+                   - 2 * (det1 / det) * s1y
+                   - 2 * (det2 / det) * s2y
+                   + 2 * (det0 / det) * (det1 / det) * s1
+                   + 2 * (det0 / det) * (det2 / det) * s2
+                   + 2 * (det1 / det) * (det2 / det) * s12 AS rss
+        FROM rr_w
+    )"""
+
+
+@query(
+    "ml_ridge_regression",
+    oracle="WITH" + _RIDGE_SOLVE_SQL + """
+    SELECT n,
+           round(w0, 6) + 0.0 AS w_intercept,
+           round(w1, 6) + 0.0 AS w_views,
+           round(w2, 6) + 0.0 AS w_clicks,
+           round(1.0 - rss / nullif(syy - sy / (n * 1.0) * sy, 0), 6) + 0.0
+               AS r2
+    FROM rr_fit
+    """,
+    tags=("analytics", "ml"),
+)
+def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression SOLVED IN CLOSED FORM — the trainer family's
+    zero-iteration member (logreg/BT/QC/GMM/Cox iterate; ridge's normal
+    equations (X'X + lambda*I_feat) w = X'y need only the ten exact
+    moment sums, so the whole fit is ONE distributed aggregate + a 3x3
+    Cramer solve in the readout row): does engagement (centered views,
+    clicks) linearly predict spend cents, with an L2 penalty on the
+    slopes (intercept unpenalized — the standard convention, stated)?
+
+    Exactness: all ten moments are exact BIGINT partials; the
+    determinant expansions and RSS quadratic form are deterministic
+    float arithmetic over those exact integers — identical on both
+    engines with no fold-order anywhere (the ts_granger_lag1 discipline
+    one matrix-order up); readouts 6dp (rules 1/6). R^2 is reported
+    against the unpenalized TSS (stated).
+
+    At 100 TB: one partial agg over the user frame; the solve is O(1).
+    p features cost a p^2-moment fold and a p^3 driver solve — the
+    classical big-data regression recipe (normal equations beat SGD
+    until p^2 outgrows memory)."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)) - 13
+        ).alias("x1"),
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) - 13
+        ).alias("x2"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    m = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    lam = RIDGE_LAMBDA_X1M / 1000000.0
+    n, s1, s2 = F.col("n") + 0.0, F.col("s1") + 0.0, F.col("s2") + 0.0
+    s11, s22, s12 = F.col("s11") + lam, F.col("s22") + lam, F.col("s12") + 0.0
+    sy, s1y, s2y = F.col("sy") + 0.0, F.col("s1y") + 0.0, F.col("s2y") + 0.0
+    det = (
+        n * (s11 * s22 - s12 * F.col("s12"))
+        - s1 * (s1 * s22 - s12 * F.col("s2"))
+        + s2 * (s1 * s12 - s11 * F.col("s2"))
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * F.col("s12"))
+        - s1 * (s1y * s22 - s12 * F.col("s2y"))
+        + s2 * (s1y * s12 - s11 * F.col("s2y"))
+    )
+    det1 = (
+        n * (s1y * s22 - s2y * F.col("s12"))
+        - sy * (s1 * s22 - s12 * F.col("s2"))
+        + s2 * (s1 * F.col("s2y") - s1y * F.col("s2"))
+    )
+    det2 = (
+        n * (s11 * s2y - s12 * F.col("s1y"))
+        - s1 * (s1 * F.col("s2y") - s1y * F.col("s2"))
+        + sy * (s1 * s12 - s11 * F.col("s2"))
+    )
+    w0, w1, w2 = det0 / det, det1 / det, det2 / det
+    rss = (
+        F.col("syy")
+        + w0 * w0 * F.col("n")
+        + w1 * w1 * F.col("s11")
+        + w2 * w2 * F.col("s22")
+        - 2 * w0 * F.col("sy")
+        - 2 * w1 * F.col("s1y")
+        - 2 * w2 * F.col("s2y")
+        + 2 * w0 * w1 * F.col("s1")
+        + 2 * w0 * w2 * F.col("s2")
+        + 2 * w1 * w2 * F.col("s12")
+    )
+    tss = F.col("syy") - F.col("sy") / (F.col("n") * 1.0) * F.col("sy")
+    return m.select(
+        "n",
+        (F.round(w0, 6) + F.lit(0.0)).alias("w_intercept"),
+        (F.round(w1, 6) + F.lit(0.0)).alias("w_views"),
+        (F.round(w2, 6) + F.lit(0.0)).alias("w_clicks"),
+        (F.round(1.0 - rss / F.nullif(tss, F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "r2"
+        ),
+    )

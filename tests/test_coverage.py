@@ -819,6 +819,10 @@ EXTENSIONS = [
     "eval_calibration_spiegelhalter",
     # round 12: multi-epoch BT-mix -> uniform anneal (integer interpolation)
     "corpus_mix_anneal",
+    # round 12: closed-form ridge regression (one moment fold + Cramer solve)
+    "ml_ridge_regression",
+    # round 12: personalized PageRank from a seed set (restart walk)
+    "graph_ppr",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

@@ -802,3 +802,67 @@ def test_cox_empty_event_guard(spark, tmp_path):
     )
     ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     assert _df("ml_cox_ph", spark, str(tmp_path)).count() == 0
+
+
+# --- ml_ridge_regression / graph_ppr ------------------------------------------
+
+
+def test_ridge_matches_numpy(spark, sf_dir):
+    """Weights and R^2 against numpy's ridge solve on the same cohort."""
+    import duckdb
+    import numpy as np
+
+    from rvi_big_data_api_spark.operators.ml_eval import RIDGE_LAMBDA_X1M
+
+    rows = duckdb.sql(
+        "SELECT sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) - 13,"
+        " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) - 13,"
+        " sum(CASE WHEN event_type = 'purchase'"
+        " THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    X = np.array([[1.0, x1, x2] for x1, x2, _ in rows])
+    y = np.array([float(v) for _, _, v in rows])
+    lam = RIDGE_LAMBDA_X1M / 1e6
+    P = np.diag([0.0, lam, lam])  # intercept unpenalized
+    w = np.linalg.solve(X.T @ X + P, X.T @ y)
+    rss = float(((y - X @ w) ** 2).sum())
+    tss = float(((y - y.mean()) ** 2).sum())
+    got = _df("ml_ridge_regression", spark, sf_dir).collect()[0]
+    assert got["n"] == len(rows)
+    assert abs(got["w_intercept"] - w[0]) < 1e-4
+    assert abs(got["w_views"] - w[1]) < 1e-4
+    assert abs(got["w_clicks"] - w[2]) < 1e-4
+    assert abs(got["r2"] - (1 - rss / tss)) < 1e-5
+
+
+def test_ppr_mass_and_locality(spark, sf_dir):
+    """PPR mass stays bounded by 1 (walk + restarts conserve mass up to
+    the dropped zero-mass nodes), seeds with edges carry positive mass,
+    and every positive-mass node is within 2 hops of a seed."""
+    from rvi_big_data_api_spark.operators.llm_sim import (
+        PPR_SEEDS,
+        sim_pair_edges,
+    )
+
+    rows = _df("graph_ppr", spark, sf_dir).collect()
+    assert rows
+    total = sum(r["ppr"] for r in rows)
+    assert 0 < total <= 1.0 + 1e-6
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in sim_pair_edges(spark, sf_dir).select("vec_a", "vec_b").collect()
+    ]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = [s for s in range(PPR_SEEDS) if s in adj]
+    within2 = set(seeds)
+    for s in seeds:
+        for n1 in adj.get(s, ()):
+            within2.add(n1)
+            within2 |= adj.get(n1, set())
+    for r in rows:
+        assert r["vec_id"] in within2, r["vec_id"]
+        assert r["is_seed"] == (r["vec_id"] < PPR_SEEDS)
