@@ -62,6 +62,7 @@ PRIORITY_UNVERIFIED: list[str] = [
     "stream_drawdown_monitor", "eval_calibration_spiegelhalter",
     "corpus_mix_anneal",
     "ml_ridge_regression", "graph_ppr",
+    "stream_ridge_online",
 ]
 
 PRIORITY_VERIFIED: list[str] = [

@@ -7171,7 +7171,12 @@ def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("y"),
     )
-    m = pu.agg(
+    return ridge_readout(ridge_moments(pu))
+
+
+def ridge_moments(pu: DataFrame) -> DataFrame:
+    """Fold a (x1, x2, y) frame to the ten exact ridge moments."""
+    return pu.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x1").alias("s1"),
         F.sum("x2").alias("s2"),
@@ -7183,6 +7188,11 @@ def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x2") * F.col("y")).alias("s2y"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
+
+
+def ridge_readout(m: DataFrame) -> DataFrame:
+    """Shared Cramer solve + RSS readout over a 1-row moment frame — ONE
+    code path for ml_ridge_regression and its streaming twin."""
     lam = RIDGE_LAMBDA_X1M / 1000000.0
     n, s1, s2 = F.col("n") + 0.0, F.col("s1") + 0.0, F.col("s2") + 0.0
     s11, s22, s12 = F.col("s11") + lam, F.col("s22") + lam, F.col("s12") + 0.0

@@ -3240,3 +3240,76 @@ def stream_drawdown_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     return drawdown_extract(daily)
+
+
+# --- round 12: streaming closed-form ridge (online moment accumulation) --------
+
+
+def _stream_ridge_oracle_sql() -> str:
+    from ..operators.ml_eval import _RIDGE_SOLVE_SQL
+
+    return (
+        "WITH" + _RIDGE_SOLVE_SQL + """
+    SELECT n,
+           round(w0, 6) + 0.0 AS w_intercept,
+           round(w1, 6) + 0.0 AS w_views,
+           round(w2, 6) + 0.0 AS w_clicks,
+           round(1.0 - rss / nullif(syy - sy / (n * 1.0) * sy, 0), 6) + 0.0
+               AS r2
+    FROM rr_fit
+    """
+    )
+
+
+@query(
+    "stream_ridge_online",
+    oracle=_stream_ridge_oracle_sql(),
+    tags=("streaming", "ml", "analytics"),
+)
+def stream_ridge_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE closed-form ridge — the streaming twin of
+    ml_ridge_regression and the engine's demonstration that a
+    moment-expressible model needs NO retraining loop under streaming
+    ingest: the stream maintains the per-user feature cells in complete
+    mode (population-bounded state, the stream_msprt_monitor rule), and
+    every refresh re-solves the SAME normal equations via the shared
+    ridge_moments + ridge_readout code path — the model is always exactly
+    the batch fit on data-so-far, because sufficient statistics are
+    associative (the entire point of the moment-fold trainer class).
+
+    Pinned stream == batch row-for-row; the oracle IS the batch twin.
+    Rule 30 applies (the memory-sink user frame is checkpointed before
+    the moment fold).
+
+    At 100 TB: streaming state is |users| cells; a production deploy
+    folds straight to the ten moments with a custom stateful aggregate,
+    making state O(1) — the per-user table here keeps the demo's state
+    inspectable and matches the batch construction exactly."""
+    from ..operators.ml_eval import ridge_moments, ridge_readout
+    from ..session import ensure_checkpoint_dir
+
+    sdf = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+                - 13
+            ).alias("x1"),
+            (
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                - 13
+            ).alias("x2"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    ensure_checkpoint_dir(spark)
+    pu = run_to_table(sdf, sf_dir, "ridgeon", "complete").checkpoint(
+        eager=True
+    )
+    return ridge_readout(ridge_moments(pu))

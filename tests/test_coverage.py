@@ -823,6 +823,8 @@ EXTENSIONS = [
     "ml_ridge_regression",
     # round 12: personalized PageRank from a seed set (restart walk)
     "graph_ppr",
+    # round 12: streaming closed-form ridge (associative moment state)
+    "stream_ridge_online",
 ]
 
 # Ops whose semantics genuinely cannot be expressed as a deterministic DuckDB

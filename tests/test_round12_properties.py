@@ -866,3 +866,11 @@ def test_ppr_mass_and_locality(spark, sf_dir):
     for r in rows:
         assert r["vec_id"] in within2, r["vec_id"]
         assert r["is_seed"] == (r["vec_id"] < PPR_SEEDS)
+
+
+def test_stream_ridge_equals_batch(spark, sf_dir):
+    """The online fit must equal the batch fit exactly — sufficient
+    statistics are associative, so streaming ingest changes nothing."""
+    batch = sorted(map(tuple, _df("ml_ridge_regression", spark, sf_dir).collect()))
+    live = sorted(map(tuple, _df("stream_ridge_online", spark, sf_dir).collect()))
+    assert batch == live
