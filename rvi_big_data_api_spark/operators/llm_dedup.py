@@ -1173,12 +1173,36 @@ def ngram_sim_edges(docs: DataFrame) -> DataFrame:
 # pointer-doubling formulation.
 _GRAM_CC_LABELS: dict[tuple[str, str], DataFrame] = {}
 
+# Session-scoped memo of the gram EDGE frame itself (one level below the
+# labels memo): three registered consumers build the identical
+# ngram_sim_edges graph from the raw documents table — gram_cc_labels
+# (min-label CC), dedup_cluster_pd (pointer-doubling CC over the SAME
+# graph, by design), and graph_degree_stats (degree histogram). The
+# round-12 bench measured the gram self-join subtree at ~2-2.5 s PER
+# CONSUMER at sf0.1; the aggregated pair list is graph-sized (|near-dup
+# pairs|, far smaller than the corpus), so one eager checkpoint per
+# session serves all three while each op's CC/readout stays independent
+# (the sim_pair_edges convention). A fresh process recomputes on demand.
+_NGRAM_EDGE_FRAME: dict[tuple[str, str], DataFrame] = {}
+
+
+def ngram_edge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_checkpoint_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NGRAM_EDGE_FRAME:
+        ensure_checkpoint_dir(spark)
+        _NGRAM_EDGE_FRAME[key] = ngram_sim_edges(
+            load(spark, sf_dir, "documents")
+        ).checkpoint(eager=True)
+    return _NGRAM_EDGE_FRAME[key]
+
 
 def gram_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GRAM_CC_LABELS:
         _GRAM_CC_LABELS[key] = min_label_components(
-            spark, ngram_sim_edges(load(spark, sf_dir, "documents"))
+            spark, ngram_edge_frame(spark, sf_dir)
         )
     return _GRAM_CC_LABELS[key]
 
@@ -1387,7 +1411,7 @@ def dedup_cluster_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-checked against the same recursive-CTE closure as dedup_cluster —
     the two Spark formulations and the SQL fixpoint must agree exactly."""
-    labels = pointer_doubling_components(spark, ngram_sim_edges(load(spark, sf_dir, "documents")))
+    labels = pointer_doubling_components(spark, ngram_edge_frame(spark, sf_dir))
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     w_sz = Window.partitionBy("cluster_id")
     return out.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
@@ -1509,7 +1533,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint list, the histogram a second groupBy over the node-sized
     degree table. No iteration, no closure — this is the cheap pre-flight,
     which is the point."""
-    edges = ngram_sim_edges(load(spark, sf_dir, "documents"))
+    edges = ngram_edge_frame(spark, sf_dir)
     endpoints = edges.select(
         F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("node")
     )

@@ -4883,6 +4883,45 @@ def _lang_id_model(spark: SparkSession, d: DataFrame, memo_key: str | None = Non
     return lang_model, prof
 
 
+_LANG_ID_SCORED: dict = {}
+
+
+def _lang_id_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the full fixture corpus with the memoized NB model ONCE per
+    (session, sf_dir) and checkpoint the (doc_id, lang, pred_lang) verdict
+    frame. The round-12 bench measured the scoring pass (corpus explode →
+    tf/doclen partial aggs → profile join → per-doc argmax) at ~2.5-3 s
+    PER CONSUMER at sf0.1, paid three times (text_lang_id,
+    eval_langid_kappa, corpus_curated_select) while only the |langs|-row
+    model was shared. The verdict frame is |docs| rows x 3 narrow columns
+    — the same artifact class as the gram_cc_labels / sim_pair_edges
+    memos, recomputed from parquet in every fresh process."""
+    from ..session import ensure_checkpoint_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LANG_ID_SCORED:
+        return _LANG_ID_SCORED[key]
+    ensure_checkpoint_dir(spark)
+    d = load(spark, sf_dir, "documents")
+    lang_model, prof = _lang_id_model(spark, d, memo_key=sf_dir)
+    feats = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
+        .filter(F.length("f") >= 1)
+    )
+    tf = feats.groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = feats.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_feats")
+    )
+    part = (
+        tf.join(prof, "f")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum(F.col("tf") * F.col("dllq")).alias("sw"))
+    )
+    pick = _lang_id_pick(doclen, part, lang_model).checkpoint(eager=True)
+    _LANG_ID_SCORED[key] = pick
+    return pick
+
+
 def _lang_id_pick(doclen: DataFrame, part: DataFrame, lang_model: DataFrame) -> DataFrame:
     """Score + argmax: doclen (doc_id, lang, n_feats) x broadcast model,
     left-joined with the observed-pair partial sums (doc_id, plang, sw)."""
@@ -4947,23 +4986,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax window is partitioned by doc_id over |langs| rows. At
     100 TB: corpus passes stay partial-agg; the only super-linear term is
     |corpus tokens| x |langs| in the scoring join, the irreducible NB
-    cost, shuffled on the word key."""
-    d = load(spark, sf_dir, "documents")
-    lang_model, prof = _lang_id_model(spark, d, memo_key=sf_dir)
-    feats = (
-        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
-        .filter(F.length("f") >= 1)
-    )
-    tf = feats.groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = feats.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_feats")
-    )
-    part = (
-        tf.join(prof, "f")
-        .groupBy("doc_id", "plang")
-        .agg(F.sum(F.col("tf") * F.col("dllq")).alias("sw"))
-    )
-    pick = _lang_id_pick(doclen, part, lang_model)
+    cost, shuffled on the word key. The scored verdict frame is shared
+    with eval_langid_kappa / corpus_curated_select via the
+    _lang_id_scored session memo (one scoring pass per session)."""
+    pick = _lang_id_scored(spark, sf_dir)
     conf = pick.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -5292,39 +5318,53 @@ def _qc_weights(spark: SparkSession, sf_dir: str):
     n = pu.count()
     w = [0, 0, 0, 0]
     traj = []
-    for t in range(1, QC_ITERS + 1):
-        zm = (
-            F.lit(w[0])
-            + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2")
-            + F.lit(w[3]) * F.col("x3")
+
+    def _zm(wv):
+        return (
+            F.lit(wv[0])
+            + F.lit(wv[1]) * F.col("x1")
+            + F.lit(wv[2]) * F.col("x2")
+            + F.lit(wv[3]) * F.col("x3")
         )
+
+    def _grad_exprs(zm):
         p = 1.0 / (1.0 + F.exp(-(zm / 1000000.0)))
-        g = pu.agg(
+        return [
             F.sum(p - F.col("y")).alias("g0"),
             F.sum((p - F.col("y")) * F.col("x1")).alias("g1"),
             F.sum((p - F.col("y")) * F.col("x2")).alias("g2"),
             F.sum((p - F.col("y")) * F.col("x3")).alias("g3"),
-        ).collect()[0]
-        for k in range(4):
-            w[k] -= math.floor(g[f"g{k}"] / n * QC_STEP_X1M + 0.5)
-        zm2 = (
-            F.lit(w[0])
-            + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2")
-            + F.lit(w[3]) * F.col("x3")
-        )
-        m = pu.agg(
+        ]
+
+    def _metric_exprs(zm):
+        return [
             F.sum(
-                F.when((zm2 >= 0) == (F.col("y") == 1), 1).otherwise(0)
+                F.when((zm >= 0) == (F.col("y") == 1), 1).otherwise(0)
             ).alias("correct"),
             F.count(F.lit(1)).alias("cnt"),
             F.avg(
-                F.log(
-                    1.0 + F.exp(-(2 * F.col("y") - 1) * (zm2 / 1000000.0))
-                )
+                F.log(1.0 + F.exp(-(2 * F.col("y") - 1) * (zm / 1000000.0)))
             ).alias("ll"),
-        ).collect()[0]
+        ]
+
+    # Step t's post-update metrics and step t+1's gradient are BOTH
+    # evaluated at the same weight vector, so they fuse into ONE aggregate
+    # pass over the checkpointed feature frame (guide §1.2: fewer full
+    # passes): QC_ITERS+1 jobs instead of 2*QC_ITERS. Each sum is the same
+    # independent aggregate expression as before — per-column float fold
+    # order within a job is unchanged, and the micro-unit quantizer already
+    # absorbs engine fold-order noise (the DuckDB twin sums in its own
+    # order and hash-matches).
+    g = pu.agg(*_grad_exprs(_zm(w))).collect()[0]
+    for t in range(1, QC_ITERS + 1):
+        for k in range(4):
+            w[k] -= math.floor(g[f"g{k}"] / n * QC_STEP_X1M + 0.5)
+        zm2 = _zm(w)
+        if t < QC_ITERS:
+            row = pu.agg(*_metric_exprs(zm2), *_grad_exprs(zm2)).collect()[0]
+            g = row
+        else:
+            row = pu.agg(*_metric_exprs(zm2)).collect()[0]
         traj.append(
             (
                 t,
@@ -5332,8 +5372,8 @@ def _qc_weights(spark: SparkSession, sf_dir: str):
                 w[1],
                 w[2],
                 w[3],
-                m["correct"] * 1_000_000 // m["cnt"],
-                float(m["ll"]),
+                row["correct"] * 1_000_000 // row["cnt"],
+                float(row["ll"]),
             )
         )
     _QC_WEIGHTS[key] = (pu, traj)
@@ -5544,24 +5584,9 @@ def eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_o/p_e ship as exact integer ppm (rule 25); kappa is a rational of
     exact ints evaluated in the 1-row readout, 6dp (rules 1/6/8).
 
-    At 100 TB: the classifier's one corpus pass, then arithmetic on
-    |langs|^2 rows."""
-    d = load(spark, sf_dir, "documents")
-    lang_model, prof = _lang_id_model(spark, d, memo_key=sf_dir)
-    feats = (
-        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
-        .filter(F.length("f") >= 1)
-    )
-    tf = feats.groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = feats.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_feats")
-    )
-    part = (
-        tf.join(prof, "f")
-        .groupBy("doc_id", "plang")
-        .agg(F.sum(F.col("tf") * F.col("dllq")).alias("sw"))
-    )
-    pick = _lang_id_pick(doclen, part, lang_model)
+    At 100 TB: the classifier's one corpus pass (shared per session via
+    the _lang_id_scored memo), then arithmetic on |langs|^2 rows."""
+    pick = _lang_id_scored(spark, sf_dir)
     conf = pick.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
     tot = conf.agg(F.sum("n").alias("nn"))
     diag = conf.agg(
@@ -6116,21 +6141,7 @@ def corpus_curated_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, qtraj = _qc_weights(spark, sf_dir)
     w = qtraj[-1][1:5]
     d = load(spark, sf_dir, "documents")
-    lang_model, prof = _lang_id_model(spark, d, memo_key=sf_dir)
-    feats = (
-        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("f"))
-        .filter(F.length("f") >= 1)
-    )
-    tf = feats.groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = feats.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_feats")
-    )
-    part = (
-        tf.join(prof, "f")
-        .groupBy("doc_id", "plang")
-        .agg(F.sum(F.col("tf") * F.col("dllq")).alias("sw"))
-    )
-    pick = _lang_id_pick(doclen, part, lang_model)
+    pick = _lang_id_scored(spark, sf_dir)
     zm = (
         F.lit(w[0])
         + F.lit(w[1]) * F.expr(
@@ -6337,7 +6348,29 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only fan-out is query-terms x matching postings, linear in
     postings for a bounded query set; the rank is per-query
     WindowGroupLimit. At 100 TB the postings join IS the inverted-index
-    plan a search engine runs."""
+    plan a search engine runs. The ranked frame is shared with
+    sim_hybrid_rrf / eval_hybrid_gain via the _bm25_topk_frame session
+    memo (one postings pass per session)."""
+    return _bm25_topk_frame(spark, sf_dir)
+
+
+# Session memos for the two searcher rankings the hybrid family fuses:
+# the BM25 postings chain and the dense cosine ranking were each computed
+# up to three times per session (text_bm25_topk, sim_hybrid_rrf,
+# eval_hybrid_gain — ~1-2 s per recomputation at sf0.1 in the round-12
+# bench). Both ranked frames are k-per-query sized, so one eager
+# checkpoint each serves all consumers (the sim_pair_edges convention);
+# a fresh process recomputes on demand.
+_HYBRID_FRAMES: dict = {}
+
+
+def _bm25_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_checkpoint_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bm25")
+    if key in _HYBRID_FRAMES:
+        return _HYBRID_FRAMES[key]
+    ensure_checkpoint_dir(spark)
     d = load(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -6381,11 +6414,46 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("qid").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
     )
-    return (
+    _HYBRID_FRAMES[key] = (
         scores.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= BM25_TOPK)
         .select("qid", "rank", "doc_id", "score_micro")
+        .checkpoint(eager=True)
     )
+    return _HYBRID_FRAMES[key]
+
+
+def _dense_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid family's dense ranking: (qid, doc_id, rank) for the
+    SIM_TOPK_NQUERIES query block, rank <= SIM_TOPK_K by (raw_dot DESC,
+    vec_id ASC) — memoized + checkpointed per (session, sf_dir)."""
+    from ..session import ensure_checkpoint_dir
+
+    from .llm_sim import SIM_TOPK_K, SIM_TOPK_NQUERIES, dot
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dense")
+    if key in _HYBRID_FRAMES:
+        return _HYBRID_FRAMES[key]
+    ensure_checkpoint_dir(spark)
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    wdense = Window.partitionBy("qid").orderBy(
+        F.col("raw_dot").desc(), F.col("vec_id").asc()
+    )
+    _HYBRID_FRAMES[key] = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot")
+        )
+        .withColumn("rank", F.row_number().over(wdense))
+        .filter(F.col("rank") <= SIM_TOPK_K)
+        .select("qid", F.col("vec_id").alias("doc_id"), "rank")
+        .checkpoint(eager=True)
+    )
+    return _HYBRID_FRAMES[key]
 
 
 # --- round 12: hybrid retrieval fusion -----------------------------------------
@@ -6473,37 +6541,21 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; broadcast query block); fusion itself is a union of two
     k-per-query frames + one partial agg — negligible. At 100 TB the
     searchers dominate and each keeps its own documented plan."""
-    from .llm_sim import SIM_TOPK_K, SIM_TOPK_NQUERIES, dot
+    from .llm_sim import SIM_TOPK_K
 
-    lex = text_bm25_topk(spark, sf_dir).select(
+    lex = _bm25_topk_frame(spark, sf_dir).select(
         "qid",
         "doc_id",
         F.expr(f"{RRF_SCALE} div ({RRF_K} + rank)").alias("c"),
         F.lit(1).cast("long").alias("lex"),
         F.lit(0).cast("long").alias("den"),
     )
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
-    wdense = Window.partitionBy("qid").orderBy(
-        F.col("raw_dot").desc(), F.col("vec_id").asc()
-    )
-    dense = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot")
-        )
-        .withColumn("rank", F.row_number().over(wdense))
-        .filter(F.col("rank") <= SIM_TOPK_K)
-        .select(
-            "qid",
-            F.col("vec_id").alias("doc_id"),
-            F.expr(f"{RRF_SCALE} div ({RRF_K} + rank)").alias("c"),
-            F.lit(0).cast("long").alias("lex"),
-            F.lit(1).cast("long").alias("den"),
-        )
+    dense = _dense_topk_frame(spark, sf_dir).select(
+        "qid",
+        "doc_id",
+        F.expr(f"{RRF_SCALE} div ({RRF_K} + rank)").alias("c"),
+        F.lit(0).cast("long").alias("lex"),
+        F.lit(1).cast("long").alias("den"),
     )
     fused = (
         lex.unionAll(dense)
@@ -6583,36 +6635,15 @@ def eval_hybrid_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_sim import SIM_TOPK_K
 
     fused = sim_hybrid_rrf(spark, sf_dir)
-    lex = text_bm25_topk(spark, sf_dir).select(
+    lex = _bm25_topk_frame(spark, sf_dir).select(
         F.lit("lexical").alias("searcher"), "qid", "doc_id"
     )
-    # dense list re-derived via the sim_topk construction (one code path
-    # with the fusion's dense branch — both rank by raw_dot / vec_id)
-    from .llm_sim import SIM_TOPK_NQUERIES, dot
-
+    # dense list = the fusion's dense branch verbatim (one memoized code
+    # path — both rank by raw_dot / vec_id)
+    dense = _dense_topk_frame(spark, sf_dir).select(
+        F.lit("dense").alias("searcher"), "qid", "doc_id"
+    )
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
-    wdense = Window.partitionBy("qid").orderBy(
-        F.col("raw_dot").desc(), F.col("vec_id").asc()
-    )
-    dense = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            dot(F.col("q_emb"), F.col("embedding")).alias("raw_dot"),
-        )
-        .withColumn("rank", F.row_number().over(wdense))
-        .filter(F.col("rank") <= SIM_TOPK_K)
-        .select(
-            F.lit("dense").alias("searcher"),
-            "qid",
-            F.col("vec_id").alias("doc_id"),
-        )
-    )
     hyb = fused.select(
         F.lit("hybrid_rrf").alias("searcher"), "qid", "doc_id"
     )

@@ -4208,43 +4208,56 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = pu.count()
     w = [0, 0, 0, 0]  # micro-unit integer weights; driver state = O(features)
     out_rows = []
-    for t in range(1, LR_ITERS + 1):
-        zm = (
-            F.lit(w[0])
-            + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2")
-            + F.lit(w[3]) * F.col("x3")
+    import math
+
+    def _zm(wv):
+        return (
+            F.lit(wv[0])
+            + F.lit(wv[1]) * F.col("x1")
+            + F.lit(wv[2]) * F.col("x2")
+            + F.lit(wv[3]) * F.col("x3")
         )
+
+    def _grad_exprs(zm):
         p = 1.0 / (1.0 + F.exp(-(zm / 1000000.0)))
-        g = pu.agg(
+        return [
             F.sum(p - F.col("y")).alias("g0"),
             F.sum((p - F.col("y")) * F.col("x1")).alias("g1"),
             F.sum((p - F.col("y")) * F.col("x2")).alias("g2"),
             F.sum((p - F.col("y")) * F.col("x3")).alias("g3"),
-        ).collect()[0]
-        import math
+        ]
 
-        for k in range(4):
-            w[k] -= math.floor(g[f"g{k}"] / n * LR_STEP_X1M + 0.5)
-        zm2 = (
-            F.lit(w[0])
-            + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2")
-            + F.lit(w[3]) * F.col("x3")
-        )
-        m = pu.agg(
+    def _metric_exprs(zm):
+        return [
             F.sum(
-                F.when((zm2 >= 0) == (F.col("y") == 1), 1).otherwise(0)
+                F.when((zm >= 0) == (F.col("y") == 1), 1).otherwise(0)
             ).alias("n_correct"),
             F.count(F.lit(1)).alias("n"),
             (
                 F.round(
-                    F.avg(F.log(1.0 + F.exp(-(2 * F.col("y") - 1) * (zm2 / 1000000.0)))),
+                    F.avg(F.log(1.0 + F.exp(-(2 * F.col("y") - 1) * (zm / 1000000.0)))),
                     6,
                 )
                 + F.lit(0.0)
             ).alias("logloss"),
-        ).collect()[0]
+        ]
+
+    # Step t's post-update metrics and step t+1's gradient are both
+    # evaluated at the same weight vector, so one fused aggregate pass
+    # serves both (guide §1.2: fewer full passes over the checkpointed
+    # frame): LR_ITERS+1 jobs instead of 2*LR_ITERS. Every sum keeps its
+    # own expression tree; the micro-unit quantizer absorbs fold-order
+    # noise exactly as before (the DuckDB twin sums in its own order).
+    g = pu.agg(*_grad_exprs(_zm(w))).collect()[0]
+    for t in range(1, LR_ITERS + 1):
+        for k in range(4):
+            w[k] -= math.floor(g[f"g{k}"] / n * LR_STEP_X1M + 0.5)
+        zm2 = _zm(w)
+        if t < LR_ITERS:
+            m = pu.agg(*_metric_exprs(zm2), *_grad_exprs(zm2)).collect()[0]
+            g = m
+        else:
+            m = pu.agg(*_metric_exprs(zm2)).collect()[0]
         out_rows.append(
             (
                 t,
@@ -4908,13 +4921,24 @@ def _bt_strengths(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("w"))
         .checkpoint(eager=True)
     )
-    items = sorted(
-        r["item"]
-        for r in edges.select(F.col("winner").alias("item"))
-        .union(edges.select("loser"))
-        .distinct()
-        .collect()
-    )
+    # The aggregated edge frame is <= |sources|^2 rows BY CONSTRUCTION
+    # (groupBy winner,loser over the source vocabulary) — a metadata-scale
+    # artifact that stops scaling with the corpus. Collect it ONCE and run
+    # the BT_ITERS gradient loop on the driver (guide §1.2: the distributed
+    # algorithm already reduced the corpus to O(K^2); §5: O(K^2) driver
+    # state). The round-12 bench measured the previous formulation's
+    # BT_ITERS distributed aggregates at ~0.6-1.3 s EACH over this 70-row
+    # frame — pure per-iteration planning + codegen of the |items|-branch
+    # CASE WHEN literal trees, not data. The driver loop folds the same
+    # +-w*(1-p) contributions; the micro-unit quantizer (floor(mean_grad *
+    # BT_STEP_X1M + 0.5)) that already absorbs Spark-vs-DuckDB float sum
+    # order absorbs the driver's sum order the same way, so the integer
+    # trajectory is unchanged (parity-verified at sf0.001/0.01/0.1).
+    edge_rows = [
+        (r["winner"], r["loser"], r["w"])
+        for r in edges.select("winner", "loser", "w").collect()
+    ]
+    items = sorted({w for w, _, _ in edge_rows} | {l for _, l, _ in edge_rows})
     if not items:
         # Degenerate corpus (one source, or no pair clears BT_MIN_MARGIN_PPM):
         # no preference evidence exists, so the trained artifact is EMPTY —
@@ -4923,36 +4947,18 @@ def _bt_strengths(spark: SparkSession, sf_dir: str):
         _BT_FRAMES[key] = (edges, [], {}, 0)
         return _BT_FRAMES[key]
     ref = items[0]
-    n_pairs = edges.agg(F.sum("w")).collect()[0][0]
+    n_pairs = sum(w for _, _, w in edge_rows)
     s = {it: 0 for it in items}
 
-    def s_lit(col):
-        expr = F.lit(None).cast("long")
-        for it in items:
-            expr = F.when(F.col(col) == it, F.lit(s[it])).otherwise(expr)
-        return expr
-
-    def p_win():
-        return 1.0 / (
-            1.0 + F.exp(-((s_lit("winner") - s_lit("loser")) / 1000000.0))
-        )
-
     for _ in range(BT_ITERS):
-        contrib = edges.select(
-            F.col("winner").alias("item"),
-            (-(F.col("w") * (1.0 - p_win()))).alias("contrib"),
-        ).union(
-            edges.select(
-                F.col("loser").alias("item"),
-                (F.col("w") * (1.0 - p_win())).alias("contrib"),
-            )
-        )
-        g = {
-            r["item"]: r["g"]
-            for r in contrib.groupBy("item").agg(F.sum("contrib").alias("g")).collect()
-        }
+        g = dict.fromkeys(items, 0.0)
+        for winner, loser, w in edge_rows:
+            p = 1.0 / (1.0 + math.exp(-((s[winner] - s[loser]) / 1000000.0)))
+            c = w * (1.0 - p)
+            g[winner] -= c
+            g[loser] += c
         for it in items:
-            s[it] -= math.floor(g.get(it, 0.0) / n_pairs * BT_STEP_X1M + 0.5)
+            s[it] -= math.floor(g[it] / n_pairs * BT_STEP_X1M + 0.5)
         off = s[ref]
         for it in items:
             s[it] -= off
@@ -6274,15 +6280,30 @@ def _gmm_params(spark: SparkSession, sf_dir: str):
     m1, m2, v1, v2, p1 = GMM_MU1_0, GMM_MU2_0, GMM_VAR_0, GMM_VAR_0, GMM_PI1_0
     x = F.col("xppm") / 1000000.0
     traj = []
-    for t in range(1, GMM_ITERS + 1):
-        a1 = _gmm_dens_col(x, m1, v1, p1)
-        a2 = _gmm_dens_col(x, m2, v2, 1000000 - p1)
+
+    def _e_exprs(mm1, mm2, vv1, vv2, pp1):
+        a1 = _gmm_dens_col(x, mm1, vv1, pp1)
+        a2 = _gmm_dens_col(x, mm2, vv2, 1000000 - pp1)
         r = a1 / (a1 + a2)
-        g = pu.agg(
+        return [
             F.sum(r).alias("sr"),
             F.sum(r * x).alias("srx"),
             F.sum(r * F.pow(x, F.lit(2.0))).alias("srxx"),
-        ).collect()[0]
+        ]
+
+    def _ll_expr(mm1, mm2, vv1, vv2, pp1):
+        b1 = _gmm_dens_col(x, mm1, vv1, pp1)
+        b2 = _gmm_dens_col(x, mm2, vv2, 1000000 - pp1)
+        return (F.round(F.avg(F.log(b1 + b2)), 6) + F.lit(0.0)).alias("ll")
+
+    # The likelihood readout at the NEW params and the NEXT iteration's
+    # E-step at those same params fuse into one aggregate pass over the
+    # checkpointed score frame (guide §1.2: fewer full passes):
+    # GMM_ITERS+1 jobs instead of 2*GMM_ITERS. Each float fold keeps its
+    # own expression tree; the per-step quantizer absorbs fold-order noise
+    # exactly as before.
+    g = pu.agg(*_e_exprs(m1, m2, v1, v2, p1)).collect()[0]
+    for t in range(1, GMM_ITERS + 1):
         sr, srx, srxx = g["sr"], g["srx"], g["srxx"]
         sr2 = n - sr
         srx2 = sx / 1000000.0 - srx
@@ -6301,11 +6322,14 @@ def _gmm_params(spark: SparkSession, sf_dir: str):
             max(math.floor(sr / n * 1000000 + 0.5), GMM_PI_MIN_PPM),
             1000000 - GMM_PI_MIN_PPM,
         )
-        b1 = _gmm_dens_col(x, m1, v1, p1)
-        b2 = _gmm_dens_col(x, m2, v2, 1000000 - p1)
-        ll = pu.agg(
-            (F.round(F.avg(F.log(b1 + b2)), 6) + F.lit(0.0)).alias("ll")
-        ).collect()[0]["ll"]
+        if t < GMM_ITERS:
+            row = pu.agg(
+                _ll_expr(m1, m2, v1, v2, p1), *_e_exprs(m1, m2, v1, v2, p1)
+            ).collect()[0]
+            ll = row["ll"]
+            g = row
+        else:
+            ll = pu.agg(_ll_expr(m1, m2, v1, v2, p1)).collect()[0]["ll"]
         traj.append((t, m1, m2, v1, v2, p1, float(ll)))
     _GMM_FRAMES[key] = (pu, traj)
     return _GMM_FRAMES[key]
@@ -6826,60 +6850,55 @@ def ml_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bm = 0
     out = []
-    for t in range(1, COX_ITERS + 1):
-        eta = F.exp(F.lit(bm) * F.col("x") / 1000000.0)
+
+    def _risk(bmv):
+        eta = F.exp(F.lit(bmv) * F.col("x") / 1000000.0)
         cells = pu.groupBy("dur").agg(
             F.sum(eta).alias("s0d"),
             F.sum(F.col("x") * eta).alias("s1d"),
             F.sum("ev").alias("d"),
             F.sum(F.col("ev") * F.col("x")).alias("sx"),
         )
-        risk = cells.select(
+        return cells.select(
             "dur",
             "d",
             "sx",
             F.sum("s0d").over(wsuf).alias("s0"),
             F.sum("s1d").over(wsuf).alias("s1"),
-        )
-        g = (
-            risk.filter(F.col("d") > 0)
-            .agg(
+        ).filter(F.col("d") > 0)
+
+    _g_expr = F.sum(
+        F.col("sx") - F.col("d") * F.col("s1") / F.col("s0")
+    ).alias("g")
+
+    def _ll_expr(bmv):
+        return (
+            F.round(
                 F.sum(
-                    F.col("sx") - F.col("d") * F.col("s1") / F.col("s0")
-                ).alias("g")
+                    (F.lit(bmv) / 1000000.0) * F.col("sx")
+                    - F.col("d") * F.log("s0")
+                )
+                / F.lit(ne),
+                6,
             )
-            .collect()[0]["g"]
-        )
+            + F.lit(0.0)
+        ).alias("ll")
+
+    # The log-likelihood readout at the UPDATED beta and the next step's
+    # gradient at that same beta share one risk-set pass (per-dur eta
+    # cells + suffix window), so they fuse into a single job (guide §1.2):
+    # COX_ITERS+1 risk-set passes instead of 2*COX_ITERS. Each float fold
+    # keeps its own expression tree (adding s1d to the ll pass's groupBy
+    # changes no other column), and the per-step quantizer absorbs fold
+    # order as before.
+    g = _risk(bm).agg(_g_expr).collect()[0]["g"]
+    for t in range(1, COX_ITERS + 1):
         bm += math.floor(g / ne * COX_STEP_X1M + 0.5)
-        eta2 = F.exp(F.lit(bm) * F.col("x") / 1000000.0)
-        cc = pu.groupBy("dur").agg(
-            F.sum(eta2).alias("s0d"),
-            F.sum("ev").alias("d"),
-            F.sum(F.col("ev") * F.col("x")).alias("sx"),
-        )
-        ll = (
-            cc.select(
-                "dur",
-                "d",
-                "sx",
-                F.sum("s0d").over(wsuf).alias("s0"),
-            )
-            .filter(F.col("d") > 0)
-            .agg(
-                (
-                    F.round(
-                        F.sum(
-                            (F.lit(bm) / 1000000.0) * F.col("sx")
-                            - F.col("d") * F.log("s0")
-                        )
-                        / F.lit(ne),
-                        6,
-                    )
-                    + F.lit(0.0)
-                ).alias("ll")
-            )
-            .collect()[0]["ll"]
-        )
+        if t < COX_ITERS:
+            row = _risk(bm).agg(_ll_expr(bm), _g_expr).collect()[0]
+            ll, g = row["ll"], row["g"]
+        else:
+            ll = _risk(bm).agg(_ll_expr(bm)).collect()[0]["ll"]
         out.append((t, bm, ne, float(ll)))
     return spark.createDataFrame(
         out, "iteration long, beta_micro long, n_events long, loglik double"

@@ -720,6 +720,33 @@ CDC_NIBBLE = "0"   # boundary when md5(window) starts with this nibble: P=1/16
                    # -> mean chunk ~16 bytes at fixture blob sizes
 
 
+# Session-scoped memo of the corpus chunk frame: mm_cdc_dedup,
+# mm_cdc_incremental and mm_cdc_containment all chunk the IDENTICAL
+# (doc_id, payload) frame. The boundary scan is the expensive part — one
+# md5 per byte position (O(total bytes) windows) — and the round-12 bench
+# paid it three times (~2-3 s per consumer at sf0.1). The chunk frame
+# itself is one row per chunk (~len/16 of the byte-position frame), so an
+# eager checkpoint per (session, sf_dir) serves all three consumers while
+# each op's downstream joins/windows stay independent (the sim_pair_edges
+# convention). A fresh process recomputes on demand. mm_cdc_clamped does
+# NOT share — its clamped geometry is a different chunking.
+_CDC_CHUNKS: dict[tuple[str, str], DataFrame] = {}
+
+
+def cdc_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_checkpoint_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CDC_CHUNKS:
+        ensure_checkpoint_dir(spark)
+        _CDC_CHUNKS[key] = cdc_chunk_frame(
+            _with_binary(load(spark, sf_dir, "documents")).select(
+                "doc_id", "payload"
+            )
+        ).checkpoint(eager=True)
+    return _CDC_CHUNKS[key]
+
+
 def cdc_chunk_frame(b: DataFrame) -> DataFrame:
     """CDC-chunk any (doc_id, payload) frame: returns (doc_id, s,
     chunk_bytes, chunk_md5) — one row per content-defined chunk. Shared by
@@ -850,9 +877,7 @@ def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII (the identity mm_binary_meta pins)."""
     from pyspark.sql import Window as W
 
-    chunks = cdc_chunk_frame(
-        _with_binary(load(spark, sf_dir, "documents")).select("doc_id", "payload")
-    )
+    chunks = cdc_corpus_chunks(spark, sf_dir)
     ranked = chunks.withColumn(
         "rn",
         F.row_number().over(W.partitionBy("chunk_md5").orderBy("doc_id", "s")),
@@ -949,9 +974,7 @@ def mm_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (ASCII identity, mm_binary_meta)."""
     from pyspark.sql import Window as W
 
-    chunks = cdc_chunk_frame(
-        _with_binary(load(spark, sf_dir, "documents")).select("doc_id", "payload")
-    )
+    chunks = cdc_corpus_chunks(spark, sf_dir)
     store = (
         chunks.filter(F.col("doc_id") % 2 == 0).select("chunk_md5").distinct()
         .withColumn("in_base", F.lit(True))
@@ -1399,9 +1422,7 @@ def mm_cdc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as FF
 
     chunks = (
-        cdc_chunk_frame(
-            _with_binary(load(spark, sf_dir, "documents")).select("doc_id", "payload")
-        )
+        cdc_corpus_chunks(spark, sf_dir)
         .select("doc_id", FF.col("chunk_md5").alias("h"))
         .distinct()
     )

@@ -50,13 +50,37 @@ _DUCK_SESSIONS = f"""
 """
 
 
+# Session-scoped memo of the sessionized event frame: SEVEN registered
+# telemetry consumers re-ran the identical lag→flag→running-sum double
+# window over the events table (~0.3-0.5 s each at sf0.1 in the round-12
+# bench). The assignment is the "sessions table" every real telemetry
+# warehouse materializes once; one eager checkpoint per (session, sf_dir,
+# gap) serves all consumers and a fresh process recomputes on demand (the
+# sim_pair_edges convention).
+_SESSIONIZED: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def sessionized_events(spark: SparkSession, sf_dir: str, gap_s: int = SESSION_GAP_S) -> DataFrame:
     """Per-event session assignment: gap > `gap_s` starts a new session.
 
     lag → gap flag → running sum of flags = session id (two stacked windows
     over one user_id shuffle). Reused by trip_sessionize / trip_stats and the
-    streaming session twin (SURVEY.md §2.11).
+    streaming session twin (SURVEY.md §2.11); memoized + eagerly
+    checkpointed per (session, sf_dir, gap_s).
+
+    The memo assumes sf_dir NAMES THE DATA. Tests monkey-patch this
+    module's `load` to inject synthetic frames under one placeholder
+    sf_dir, which breaks that assumption — so the memo (and the
+    checkpoint, whose point is cross-consumer reuse) engages only when
+    the loader is the real io.load.
     """
+    from .. import io
+    from ..session import ensure_checkpoint_dir
+
+    memoable = load is io.load
+    key = (spark.sparkContext.applicationId, sf_dir, gap_s)
+    if memoable and key in _SESSIONIZED:
+        return _SESSIONIZED[key]
     ev = load(spark, sf_dir, "events").withColumn(
         "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
     )
@@ -65,9 +89,14 @@ def sessionized_events(spark: SparkSession, sf_dir: str, gap_s: int = SESSION_GA
     gap_flag = F.when(
         F.lag("sec").over(w).isNull() | ((F.col("sec") - F.lag("sec").over(w)) > gap_s), 1
     ).otherwise(0)
-    return ev.withColumn("gap_flag", gap_flag).withColumn(
+    out = ev.withColumn("gap_flag", gap_flag).withColumn(
         "session_id", F.sum("gap_flag").over(w_run)
     )
+    if not memoable:
+        return out
+    ensure_checkpoint_dir(spark)
+    _SESSIONIZED[key] = out.checkpoint(eager=True)
+    return _SESSIONIZED[key]
 
 
 @query(
@@ -4748,42 +4777,51 @@ def _esd_extract(spark: SparkSession, daily: DataFrame) -> DataFrame:
         )
         .checkpoint(eager=True)
     )
-    excluded: list[tuple[str, str]] = []  # (event_type, day) literals
+    # The residual frame is |channels| x |days| cells BY CONSTRUCTION —
+    # calendar-bounded, it stops scaling with raw events after the daily
+    # partial agg. Collect it ONCE and run the ESD_K max-deviate rounds on
+    # the driver (guide §1.2/§5: the distributed pass already reduced the
+    # corpus to metadata scale; the round-12 bench measured the previous
+    # per-round Spark jobs at ~0.6-0.9 s EACH over this ~200-row frame —
+    # pure planning/codegen, not data). Every float op below replicates the
+    # prior Spark expression tree exactly (long->double casts, division
+    # order, IEEE sqrt/abs), and all sums are exact integers, so each
+    # round's z values and argmax are bit-identical.
+    import math
+
+    cells = [
+        (r["event_type"], r["day"], r["r2"]) for r in rem.collect()
+    ]
+    excluded: set[tuple[str, str]] = set()
     out_rows = []
     for k in range(1, ESD_K + 1):
-        cur = rem
-        for et, day in excluded:
-            cur = cur.filter(
-                ~((F.col("event_type") == et) & (F.col("day") == day))
-            )
-        stats = cur.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("r2").alias("sr"),
-            F.sum(F.col("r2") * F.col("r2")).alias("srr"),
-        )
-        z = F.abs(F.col("r2") - F.col("sr").cast("double") / F.col("n")) / F.nullif(
-            F.sqrt(
-                (F.col("srr") - F.col("sr").cast("double") * F.col("sr") / F.col("n"))
-                / F.nullif(F.col("n") - 1, F.lit(0))
-            ),
-            F.lit(0.0),
-        )
-        wch = Window.partitionBy("event_type").orderBy(
-            F.col("z").desc(), F.col("day").asc()
-        )
-        flag_rows = (
-            cur.join(F.broadcast(stats), "event_type")
-            .select("event_type", "day", "r2", z.alias("z"))
-            .withColumn("rn", F.row_number().over(wch))
-            .filter((F.col("rn") == 1) & F.col("z").isNotNull())
-            .select("event_type", "day", "r2", "z")
-            .collect()
-        )
-        for r in flag_rows:
-            excluded.append((r["event_type"], r["day"]))
-            out_rows.append(
-                (r["event_type"], k, r["day"], r["r2"], float(r["z"]))
-            )
+        stats: dict[str, tuple[int, int, int]] = {}
+        for et, day, r2 in cells:
+            if (et, day) in excluded:
+                continue
+            n_, sr, srr = stats.get(et, (0, 0, 0))
+            stats[et] = (n_ + 1, sr + r2, srr + r2 * r2)
+        best: dict[str, tuple[float, str, int]] = {}
+        for et, day, r2 in cells:
+            if (et, day) in excluded:
+                continue
+            n_, sr, srr = stats[et]
+            if n_ <= 1:
+                continue  # nullif(n-1, 0) -> null z in the Spark tree
+            var = (float(srr) - float(sr) * float(sr) / n_) / (n_ - 1)
+            if var < 0:
+                continue  # sqrt(neg) -> NaN never occurs on integer moments
+            sd = math.sqrt(var)
+            if sd == 0.0:
+                continue  # nullif(sd, 0.0) -> null z in the Spark tree
+            z = abs(float(r2) - float(sr) / n_) / sd
+            cur = best.get(et)
+            if cur is None or z > cur[0] or (z == cur[0] and day < cur[1]):
+                best[et] = (z, day, r2)
+        for et in best:
+            z, day, r2 = best[et]
+            excluded.add((et, day))
+            out_rows.append((et, k, day, r2, z))
     out = spark.createDataFrame(
         out_rows, "event_type string, iteration long, day string,"
         " resid2 long, z double"
