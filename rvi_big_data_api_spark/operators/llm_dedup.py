@@ -582,39 +582,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams and the sort/compare runs on longs (measured ~20% on the join
     subtree at sf0.1; the byte win grows with corpus size). A 64-bit collision
     would need ~2³² distinct grams in one (lang, source) block to become
-    likely — the oracle joins on the string and the hashes agree exactly."""
-    docs = load(spark, sf_dir, "documents")
-    grams_expr = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
-        " i -> array_join(slice(toks, i, 3), ' '))"
-    )
-    grams = (
-        docs.select("doc_id", "lang", "source", F.split("text", " ").alias("toks"))
-        .select("doc_id", "lang", "source", F.explode(grams_expr).alias("g"))
-        .select("doc_id", "lang", "source", F.xxhash64("g").alias("gram"))
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(jac >= 0.10)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    likely — the oracle joins on the string and the hashes agree exactly.
+
+    Round 12: this chain IS ngram_sim_edges (same grams, same τ = 0.10,
+    same rounding) with the jaccard column kept, so it rides the session
+    edge memo its three CC consumers already share — one gram self-join
+    per session instead of four."""
+    return ngram_edge_frame(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
 
 
 DEDUP_EMBED_TAU = 0.30  # in-bucket cosine 99th pct ≈ 0.32 on the fixture [F]
@@ -802,7 +776,64 @@ def dedup_embed_bandor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFrame:
+# Scale-adaptive CC fast path (round 12, guide §1.2/§5): the distributed
+# LSH/gram joins have already reduced the corpus to an AGGREGATED pair list;
+# when that list is provably small (counted from the cached edge frame the
+# loop materializes anyway), running the iterative rounds as Spark jobs is
+# pure per-round planning overhead — the sf0.1 embed graph is 590 edges yet
+# cost ~8 s of hook/jump jobs. Below this bound the components are labeled
+# by driver union-find over the collected tuples: O(bounded) driver state
+# (2M directed edges ≈ ~64 MB of longs), the same bounded-fold contract as
+# the Bradley-Terry trainer. Above the bound — the 100 TB pair graph —
+# the distributed loop remains the only scale-safe path and runs unchanged.
+CC_DRIVER_MAX_EDGES = 2_000_000  # directed-edge bound for the driver fold
+
+
+def _driver_cc_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Union-find min-id labels over a COLLECTED bidirectional edge list.
+
+    Identical output to the iterative loops' fixpoint: every node appearing
+    as an edge source, labeled with the minimum node id of its component
+    (both loops' docstrings pin exactly this semantics). Deterministic —
+    no float folds, no ordering sensitivity."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    node_t = edges.schema[0].dataType.simpleString()
+    return spark.createDataFrame(
+        sorted((n, comp_min[find(n)]) for n in parent),
+        f"node {node_t}, label {node_t}",
+    )
+
+
+def min_label_components(
+    spark: SparkSession,
+    pair_edges: DataFrame,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
+) -> DataFrame:
     """Connected components by iterative min-label propagation over a pair
     list (doc_a, doc_b): each round joins labels onto the bidirectional edge
     list and takes the elementwise min; converged when no label changes.
@@ -817,7 +848,11 @@ def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFram
     Rounds needed = graph diameter; duplicate clusters are near-cliques
     (diameter 2-4), so the 20-round cap is generous — a general
     large-diameter graph would want the pointer-doubling
-    ("large-star/small-star") variant, not 1-hop propagation (SCALE.md)."""
+    ("large-star/small-star") variant, not 1-hop propagation (SCALE.md).
+
+    ``driver_max_edges``: directed-edge bound for the union-find fast path
+    (see CC_DRIVER_MAX_EDGES); pass 0 to force the distributed loop (the
+    golden loop-mechanics tests do)."""
     # Both orientations from ONE pass over the pair list: a unionByName of
     # two selects would execute the (potentially expensive) pair-building
     # subtree twice — explode emits (a→b) and (b→a) from each row instead.
@@ -833,6 +868,14 @@ def min_label_components(spark: SparkSession, pair_edges: DataFrame) -> DataFram
     from ..session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
+
+    # Scale probe: the count materializes the cache the loop needs anyway,
+    # so the probe costs one job and never recomputes the pair subtree.
+    if edges.count() <= driver_max_edges:
+        try:
+            return _driver_cc_labels(spark, edges).checkpoint(eager=True)
+        finally:
+            edges.unpersist()
 
     # `cached_labels` is always the handle that was ACTUALLY .cache()d —
     # unpersist() on a derived projection is a silent no-op (the round-1 leak).
@@ -1154,7 +1197,10 @@ def ngram_sim_edges(docs: DataFrame) -> DataFrame:
         pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .filter(jac >= NGRAM_JACCARD_TAU)
-        .select("doc_a", "doc_b")
+        # jaccard rides along (one extra double on the graph-sized frame)
+        # so dedup_ngram_jaccard shares this subtree via the round-12 memo;
+        # CC consumers select (doc_a, doc_b) and ignore it
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -1251,7 +1297,10 @@ def embed_sim_edges(
 
 
 def pointer_doubling_components(
-    spark: SparkSession, pair_edges: DataFrame, max_rounds: int = 10
+    spark: SparkSession,
+    pair_edges: DataFrame,
+    max_rounds: int = 10,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components in O(log diameter) rounds — the large-diameter
     scale path SCALE.md promises as the alternative to 1-hop min-label
@@ -1267,7 +1316,11 @@ def pointer_doubling_components(
     shared oracle hash-checks.
 
     Same resource-hygiene contract as min_label_components: every cached
-    round is unpersisted, the converged result is eagerly checkpointed."""
+    round is unpersisted, the converged result is eagerly checkpointed.
+
+    ``driver_max_edges``: directed-edge bound for the union-find fast path
+    (see CC_DRIVER_MAX_EDGES); pass 0 to force the distributed loop (the
+    golden loop-mechanics tests do)."""
     # Both orientations from ONE pass over the pair list: a unionByName of
     # two selects would execute the (potentially expensive) pair-building
     # subtree twice — explode emits (a→b) and (b→a) from each row instead.
@@ -1283,6 +1336,16 @@ def pointer_doubling_components(
     from ..session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
+
+    # Scale probe + driver union-find below the bound (see
+    # CC_DRIVER_MAX_EDGES; the count materializes the cache the loop needs
+    # anyway). The fixpoint semantics are identical — component-minimum
+    # labels — so consumers and oracles see the same rows.
+    if edges.count() <= driver_max_edges:
+        try:
+            return _driver_cc_labels(spark, edges).checkpoint(eager=True)
+        finally:
+            edges.unpersist()
 
     cached_labels = (
         edges.groupBy(F.col("src").alias("node"))

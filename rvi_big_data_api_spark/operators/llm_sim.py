@@ -1509,6 +1509,29 @@ def _pq_d2(sub: Column, cent: Column) -> Column:
     return dot_d(sub, sub) - 2 * dot_d(sub, cent) + dot_d(cent, cent)
 
 
+# Session-scoped memo of the trained PQ index (round 12): embed_pq_codebook
+# and sim_adc_topk each re-ran the identical _pq_train chain (subvector
+# explode + two broadcast-assign rank-window passes + centroid recompute)
+# at ~1-2 s per consumer in the bench. codes is |vecs|×M rows and codebook
+# M×K — both artifact-sized — so one eager checkpoint per (session, sf_dir)
+# serves both (the sim_pair_edges convention; fresh processes retrain).
+_PQ_FRAMES: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _pq_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_FRAMES:
+        from ..session import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(spark)
+        codes, codebook = _pq_train(load(spark, sf_dir, "embeddings"))
+        _PQ_FRAMES[key] = (
+            codes.checkpoint(eager=True),
+            codebook.checkpoint(eager=True),
+        )
+    return _PQ_FRAMES[key]
+
+
 def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Unrolled PQ k-means (init → assign → recompute → reassign). Returns
     (codes, codebook): codes = (vec_id, m, sub, code, d2) after the final
@@ -1577,7 +1600,7 @@ def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     M·K·16 rows. Nothing ever shuffles on a K-valued key. Distances use
     the three-dot expansion so Spark and DuckDB argmin BIT-identically
     (PARITY rule 9)."""
-    codes, _ = _pq_train(load(spark, sf_dir, "embeddings"))
+    codes, _ = _pq_frames(spark, sf_dir)
     return codes.groupBy("m", "code").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("d2"), 6).alias("avg_dist2"),
@@ -1632,7 +1655,7 @@ def sim_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m, code) EQUI-join of the 2-bit code table against the LUT — the
     shuffle carries codes, never vectors; per-(qid, doc) reduction is a
     partial agg; top-K is a rank window per qid."""
-    codes, codebook = _pq_train(load(spark, sf_dir, "embeddings"))
+    codes, codebook = _pq_frames(spark, sf_dir)
     q_subs = _pq_subvectors(
         load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < SIM_TOPK_NQUERIES)
     ).select(F.col("vec_id").alias("qid"), "m", "sub")
@@ -2405,6 +2428,42 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_checkpoint_dir(spark)
     p = sim_pair_edges(spark, sf_dir)
+    # Scale-adaptive peel (round 12, guide §1.2/§5 — the llm_dedup CC fast
+    # path's twin): sim_pair_edges is the REDUCED pair artifact (the
+    # distributed GEMM already collapsed the corpus to |τ-pairs| rows, and
+    # the memo holds it checkpointed), so when it is provably small the
+    # peel rounds as Spark jobs are pure per-round overhead. Below the
+    # bound, peel on the driver — the k-core is the UNIQUE maximal
+    # subgraph with min-degree ≥ K, so simultaneous-round peeling (the
+    # loop) and sequential peeling (below) reach the identical fixpoint.
+    # Above the bound the loop runs unchanged — the 100 TB path.
+    from ..operators.llm_dedup import CC_DRIVER_MAX_EDGES
+
+    if p.count() * 2 <= CC_DRIVER_MAX_EDGES:
+        from collections import defaultdict, deque
+
+        adj: dict = defaultdict(set)
+        for r in p.select("label", "vec_a", "vec_b").collect():
+            adj[(r[0], r[1])].add((r[0], r[2]))
+            adj[(r[0], r[2])].add((r[0], r[1]))
+        work = deque(n for n, nb in adj.items() if len(nb) < KCORE_K)
+        while work:
+            n = work.popleft()
+            if n not in adj or len(adj[n]) >= KCORE_K:
+                continue
+            for m in adj.pop(n):
+                nb = adj.get(m)
+                if nb is not None:
+                    nb.discard(n)
+                    if len(nb) < KCORE_K:
+                        work.append(m)
+        lt = p.schema["label"].dataType.simpleString()
+        vt = p.schema["vec_a"].dataType.simpleString()
+        return spark.createDataFrame(
+            sorted((lab, vec, len(nb)) for (lab, vec), nb in adj.items()),
+            f"label {lt}, vec_id {vt}, core_degree long",
+        )
+
     edges = p.select("label", F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionAll(
         p.select("label", F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
     )

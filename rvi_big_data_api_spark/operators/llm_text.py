@@ -2932,6 +2932,7 @@ def _bpe_rounds(spark: SparkSession, sf_dir: str):
     )
     t = t0
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rules = []
     for k in range(BPE_MERGES):
         big = t.select(
@@ -2942,55 +2943,75 @@ def _bpe_rounds(spark: SparkSession, sf_dir: str):
             .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        top1 = (
+        # The winning pair is ONE row by construction — collect it and apply
+        # the merge with literal predicates instead of a checkpointed
+        # broadcast join (guide §1.2/§5: O(1) driver state; round-12 rewrite).
+        lrow = (
             cnt.orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(1)
-            .checkpoint(eager=True)
+            .collect()
+        )[0]
+        l_lit, r_lit, c_lit = lrow["l"], lrow["r"], lrow["c"]
+        # Merge application as pure cumulative windows over the ONE doc_id
+        # partitioning (replacing the prior broadcast join + (doc_id,
+        # pos-rn) window + two (doc_id, pos) equi-joins — every step below
+        # rides w_doc's single exchange+sort). Positions are dense within a
+        # doc, so "previous position" is the lag row:
+        #   m   = this position starts the winning pair;
+        #   rnc = running count of matched positions (== the old row_number
+        #         over matched rows, evaluated at matched rows);
+        #   kk  = index within a RUN of consecutive matched positions
+        #         (rnc minus rnc at the run's start, + 1) — the old
+        #         row_number over (doc_id, pos - rn);
+        #   sel = odd kk ⇒ this pair merges (standard non-overlapping
+        #         left-to-right greedy rule);
+        #   drop rows whose PREVIOUS position merged (they are the absorbed
+        #   right halves — the old left_anti join), re-rank pos, concat.
+        # Output is bit-identical to the join formulation (rules + final
+        # token frame verified identical at sf0.1; oracle unchanged).
+        m = (F.col("tok") == F.lit(l_lit)) & (F.col("nxt") == F.lit(r_lit))
+        flagged = big.select("doc_id", "pos", "tok", "nxt", m.cast("int").alias("m"))
+        run_start = (F.col("m") == 1) & (
+            F.coalesce(F.lag("m").over(w_doc), F.lit(0)) == 0
         )
-        m = (
-            big.join(
-                F.broadcast(top1),
-                (big.tok == F.col("l")) & (big.nxt == F.col("r")),
-            )
-            .select("doc_id", "pos")
-            .withColumn("rn", F.row_number().over(w_doc))
+        staged = flagged.select(
+            "doc_id", "pos", "tok", "nxt", "m",
+            F.sum("m").over(wrun).alias("rnc"),
+            run_start.cast("int").alias("rs"),
         )
-        sel = m.withColumn(
-            "kk",
-            F.row_number().over(
-                Window.partitionBy("doc_id", F.col("pos") - F.col("rn")).orderBy("pos")
-            ),
+        staged = staged.select(
+            "doc_id", "pos", "tok", "nxt", "m",
+            (
+                F.col("rnc")
+                - F.last(
+                    F.when(F.col("rs") == 1, F.col("rnc")), ignorenulls=True
+                ).over(wrun)
+                + 1
+            ).alias("kk"),
         )
-        s = sel.filter(F.col("kk") % 2 == 1).select("doc_id", "pos")
-        s1 = s.select(F.col("doc_id").alias("d1"), F.col("pos").alias("mpos"))
-        s2 = s.select(F.col("doc_id").alias("d2"), F.col("pos").alias("apos"))
+        sel = (F.col("m") == 1) & (F.col("kk") % 2 == 1)
+        staged = staged.select(
+            "doc_id", "pos", "tok", "nxt", sel.cast("int").alias("sel")
+        )
         t = (
-            big.join(
-                s1, (F.col("doc_id") == F.col("d1")) & (F.col("pos") == F.col("mpos")), "left"
+            staged.withColumn(
+                "prev_sel", F.coalesce(F.lag("sel").over(w_doc), F.lit(0))
             )
-            .drop("d1")
-            .join(
-                s2,
-                (F.col("doc_id") == F.col("d2")) & (F.col("pos") == F.col("apos") + 1),
-                "left_anti",
-            )
+            .filter(F.col("prev_sel") == 0)
             .select(
                 "doc_id",
                 (F.row_number().over(w_doc) - 1).alias("pos"),
-                F.when(F.col("mpos").isNotNull(), F.concat("tok", "nxt"))
+                F.when(F.col("sel") == 1, F.concat("tok", "nxt"))
                 .otherwise(F.col("tok"))
                 .alias("tok"),
             )
             .checkpoint(eager=True)
         )
         rules.append(
-            top1.crossJoin(F.broadcast(t.agg(F.count(F.lit(1)).alias("tokens_after"))))
-            .select(
-                F.lit(k + 1).cast("long").alias("merge_rank"),
-                F.col("l").alias("left_tok"),
-                F.col("r").alias("right_tok"),
-                F.col("c").alias("pair_count"),
-                "tokens_after",
+            spark.createDataFrame(
+                [(k + 1, l_lit, r_lit, c_lit, t.count())],
+                "merge_rank long, left_tok string, right_tok string,"
+                " pair_count long, tokens_after long",
             )
         )
     _BPE_ROUNDS[key] = (rules, t0, t)

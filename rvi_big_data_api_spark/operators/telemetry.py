@@ -4275,7 +4275,13 @@ def motif_best_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partner_pos",
             ssd.cast("long").alias("ssd"),
         )
-        .dropDuplicates(["user_id", "r", "partner_user", "partner_pos"])
+        # No dropDuplicates: a pair emitted from two shared g-buckets is a
+        # FULL-ROW duplicate (ssd is a function of the pair), and the rn=1
+        # window below orders by every output column, so duplicates can only
+        # occupy rn=2+ of the same (user_id, r) partition — the kept row is
+        # identical. Removing the dedup removes one full Exchange of the
+        # pairs frame (guide §2.4; isolated build 3.09 -> 2.17 s at sf0.1,
+        # output rows bit-identical).
     )
     wbest = Window.partitionBy("user_id", "r").orderBy(
         "ssd", "partner_user", "partner_pos"

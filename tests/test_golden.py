@@ -434,7 +434,10 @@ class TestMinLabelComponents:
         from rvi_big_data_api_spark.operators.llm_dedup import min_label_components
 
         edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-        out = min_label_components(spark, edges)
+        # driver_max_edges=0: these tests pin the DISTRIBUTED loop's
+        # mechanics; the round-12 union-find fast path is pinned separately
+        # (TestDriverCCEquivalence)
+        out = min_label_components(spark, edges, driver_max_edges=0)
         return {r["node"]: r["label"] for r in out.collect()}
 
     def test_chain_diameter_4_converges_to_min(self, spark):
@@ -529,10 +532,16 @@ class TestPointerDoubling:
 
         # path 0-1-2-…-40: diameter 40 >> the 10-round cap, so plain 1-hop
         # propagation COULD NOT finish — only the jump step makes this pass.
+        # driver_max_edges=0 forces the distributed loop (the point of the pin).
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
         )
-        labels = {r.node: r.label for r in pointer_doubling_components(spark, edges).collect()}
+        labels = {
+            r.node: r.label
+            for r in pointer_doubling_components(
+                spark, edges, driver_max_edges=0
+            ).collect()
+        }
         assert labels == {i: 0 for i in range(41)}
 
     def test_two_components_stay_separate(self, spark):
@@ -543,8 +552,74 @@ class TestPointerDoubling:
         edges = spark.createDataFrame(
             [(1, 2), (2, 3), (10, 11), (11, 12)], "doc_a long, doc_b long"
         )
-        labels = {r.node: r.label for r in pointer_doubling_components(spark, edges).collect()}
+        labels = {
+            r.node: r.label
+            for r in pointer_doubling_components(
+                spark, edges, driver_max_edges=0
+            ).collect()
+        }
         assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+class TestDriverCCEquivalence:
+    """Round-12 scale-adaptive CC fast path: below CC_DRIVER_MAX_EDGES the
+    components are labeled by driver union-find over the collected pair
+    list. Both public entry points must return EXACTLY the loop's fixpoint
+    (component-minimum labels) on every graph shape the loop tests pin —
+    chains, cycles, bridged cliques, multi-component, hook-only tails."""
+
+    GRAPHS = [
+        [(1, 2), (2, 3), (3, 4), (4, 5)],                      # chain d=4
+        [(10, 11), (11, 12), (12, 10), (20, 21)],              # cycle + pair
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)],  # bridged cliques
+        [(i, i + 1) for i in range(40)],                       # long path
+        [(195, 463), (166, 195), (166, 324), (54, 195), (37, 324)],  # hook-only tail
+    ]
+
+    def test_fast_path_matches_loop_both_entry_points(self, spark):
+        from rvi_big_data_api_spark.operators.llm_dedup import (
+            min_label_components,
+            pointer_doubling_components,
+        )
+
+        for pairs in self.GRAPHS:
+            edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+            diameter_ok_for_1hop = len(pairs) < 20  # min-label cap is 20 rounds
+            fast_ml = sorted(map(tuple, min_label_components(spark, edges).collect()))
+            if diameter_ok_for_1hop:
+                slow_ml = sorted(
+                    map(
+                        tuple,
+                        min_label_components(
+                            spark, edges, driver_max_edges=0
+                        ).collect(),
+                    )
+                )
+                assert fast_ml == slow_ml, pairs
+            fast_pd = sorted(
+                map(tuple, pointer_doubling_components(spark, edges).collect())
+            )
+            slow_pd = sorted(
+                map(
+                    tuple,
+                    pointer_doubling_components(
+                        spark, edges, driver_max_edges=0
+                    ).collect(),
+                )
+            )
+            assert fast_pd == slow_pd, pairs
+            assert fast_ml == fast_pd, pairs
+
+    def test_fast_path_result_is_checkpointed(self, spark):
+        # same contract as the loops: the returned frame reads its own
+        # materialization (two actions agree after caches are gone)
+        from rvi_big_data_api_spark.operators.llm_dedup import min_label_components
+
+        edges = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+        out = min_label_components(spark, edges)
+        assert out.count() == out.count() == 4
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan  # checkpoint-backed, not a live subtree
 
 
 class TestIncrementalDedup:
@@ -677,7 +752,12 @@ class TestChunkOverlap:
             [(195, 463), (166, 195), (166, 324), (54, 195), (37, 324)],
             "doc_a long, doc_b long",
         )
-        labels = {r.node: r.label for r in pointer_doubling_components(spark, edges).collect()}
+        labels = {
+            r.node: r.label
+            for r in pointer_doubling_components(
+                spark, edges, driver_max_edges=0
+            ).collect()
+        }
         assert labels == {n: 37 for n in (37, 54, 166, 195, 324, 463)}
 
 
