@@ -788,6 +788,15 @@ def dedup_embed_bandor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the distributed loop remains the only scale-safe path and runs unchanged.
 CC_DRIVER_MAX_EDGES = 2_000_000  # directed-edge bound for the driver fold
 
+# Materialization rule for driver-built result frames (optimization round
+# 12, measured): an eager RDD checkpoint of a tiny createDataFrame costs
+# ~1-4 s of pure task/write overhead (32 partitions, one file each), while
+# a LocalTableScan of the same rows is free — it IS the materialization
+# (driver-held immutable rows, no lineage, no caches to release). Above
+# this row count the checkpoint pays for itself: consumers stop
+# re-shipping the rows from the driver on every action.
+DRIVER_FRAME_CHECKPOINT_MIN_ROWS = 100_000
+
 
 def _driver_cc_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Union-find min-id labels over a COLLECTED bidirectional edge list.
@@ -795,7 +804,9 @@ def _driver_cc_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
     Identical output to the iterative loops' fixpoint: every node appearing
     as an edge source, labeled with the minimum node id of its component
     (both loops' docstrings pin exactly this semantics). Deterministic —
-    no float folds, no ordering sensitivity."""
+    no float folds, no ordering sensitivity. Returns a materialized frame:
+    LocalTableScan below DRIVER_FRAME_CHECKPOINT_MIN_ROWS, an eager
+    checkpoint at or above it."""
     parent: dict = {}
 
     def find(x):
@@ -823,10 +834,11 @@ def _driver_cc_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
         if m is None or n < m:
             comp_min[r] = n
     node_t = edges.schema[0].dataType.simpleString()
-    return spark.createDataFrame(
-        sorted((n, comp_min[find(n)]) for n in parent),
-        f"node {node_t}, label {node_t}",
-    )
+    out_rows = sorted((n, comp_min[find(n)]) for n in parent)
+    df = spark.createDataFrame(out_rows, f"node {node_t}, label {node_t}")
+    if len(out_rows) >= DRIVER_FRAME_CHECKPOINT_MIN_ROWS:
+        df = df.checkpoint(eager=True)
+    return df
 
 
 def min_label_components(
@@ -837,7 +849,9 @@ def min_label_components(
     """Connected components by iterative min-label propagation over a pair
     list (doc_a, doc_b): each round joins labels onto the bidirectional edge
     list and takes the elementwise min; converged when no label changes.
-    Returns a CHECKPOINTed (node, label) frame. Shared by dedup_cluster and
+    Returns a MATERIALIZED (node, label) frame (checkpoint from the loop;
+    LocalTableScan or checkpoint from the driver fast path, per
+    DRIVER_FRAME_CHECKPOINT_MIN_ROWS). Shared by dedup_cluster and
     corpus_dedup_pipeline.
 
     Resource hygiene (VERDICT r1 item 4): every cached relation the loop
@@ -873,7 +887,7 @@ def min_label_components(
     # so the probe costs one job and never recomputes the pair subtree.
     if edges.count() <= driver_max_edges:
         try:
-            return _driver_cc_labels(spark, edges).checkpoint(eager=True)
+            return _driver_cc_labels(spark, edges)
         finally:
             edges.unpersist()
 
@@ -1343,7 +1357,7 @@ def pointer_doubling_components(
     # labels — so consumers and oracles see the same rows.
     if edges.count() <= driver_max_edges:
         try:
-            return _driver_cc_labels(spark, edges).checkpoint(eager=True)
+            return _driver_cc_labels(spark, edges)
         finally:
             edges.unpersist()
 

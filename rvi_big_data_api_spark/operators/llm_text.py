@@ -4358,16 +4358,26 @@ def _unigram_oracle_sql(
 # pay the UNI_WMAX-level DP once per (session, sf_dir).
 _UNIGRAM_FRAMES: dict[tuple[str, str], tuple] = {}
 
+# Scale probe for the Viterbi E-step (optimization round 12, the
+# CC_DRIVER_MAX_EDGES contract): the DP input is the ADMITTED WORD
+# HISTOGRAM — |vocab| rows by construction, not corpus rows — and the
+# piece inventory (distinct substrings of length <= UNI_L, bounded by the
+# character-4-gram space). When |vocab| is provably below this bound
+# (counted from the checkpointed words frame, one cheap job), running the
+# UNI_WMAX DP levels + UNI_WMAX backtrace steps as ~26 checkpointed Spark
+# jobs is pure per-job planning overhead (the BT-trainer waste class);
+# the driver replays the identical integer algebra over the collected
+# histogram instead. Above the bound — a 100 TB vocabulary — the
+# distributed DP runs unchanged.
+UNI_DRIVER_MAX_WORDS = 200_000
 
-def _unigram_frames(spark: SparkSession, sf_dir: str) -> tuple:
-    """Build (words, pcost, used) once per (applicationId, sf_dir):
-    words = admitted word histogram, pcost = quantized piece inventory,
-    used = one row per chosen piece occurrence per word (the Viterbi
-    E-step output). All checkpointed — see text_unigram_train for the
-    full algebra and scale rationale."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _UNIGRAM_FRAMES:
-        return _UNIGRAM_FRAMES[key]
+
+def _unigram_words_pcost(spark: SparkSession, sf_dir: str) -> tuple:
+    """Corpus passes of the unigram trainer: the admitted word histogram
+    and the quantized piece inventory (both eagerly checkpointed). These
+    touch the corpus / run the -ln quantizer in Spark on BOTH DP paths,
+    so the float->micro-unit boundary is engine-identical regardless of
+    where the downstream integer DP runs."""
     from ..session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
@@ -4412,6 +4422,64 @@ def _unigram_frames(spark: SparkSession, sf_dir: str) -> tuple:
         )
         .checkpoint(eager=True)
     )
+    return words, pcost
+
+
+def _driver_viterbi_used(spark: SparkSession, words, pcost):
+    """Driver replay of the distributed Viterbi DP + backtrace over the
+    collected word histogram — the integer algebra is IDENTICAL to the
+    distributed levels (enc = (cost + cost_micro) * 16 + k, minimized;
+    cost = enc div 16, back_k = enc % 16; backtrace follows back_k from
+    pos = wlen), so the emitted (word, piece) multiset is bit-equal
+    (pinned by TestDriverUnigramEquivalence). cost_micro values were
+    quantized by the SAME Spark expression on both paths; everything
+    after the quantizer is exact integer arithmetic in either engine.
+
+    Materialization follows the _driver_cc_labels rule: LocalTableScan
+    below DRIVER_FRAME_CHECKPOINT_MIN_ROWS (the rows ARE the
+    materialization — an eager checkpoint of a tiny local frame is ~1 s
+    of pure task overhead), eager checkpoint at or above it."""
+    cost = {r[0]: r[1] for r in pcost.select("piece", "cost_micro").collect()}
+    emit: list[tuple[str, str]] = []
+    for (w,) in words.select("word").collect():
+        n = len(w)
+        dpc = [0] * (n + 1)
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            enc = min(
+                (dpc[pos] + cost[w[pos:i]]) * 16 + (i - pos)
+                for pos in range(max(0, i - UNI_L), i)
+            )
+            dpc[i], back[i] = enc // 16, enc % 16
+        pos = n
+        while pos > 0:
+            k = back[pos]
+            emit.append((w, w[pos - k : pos]))
+            pos -= k
+    from .llm_dedup import DRIVER_FRAME_CHECKPOINT_MIN_ROWS
+
+    emit.sort()
+    df = spark.createDataFrame(emit, "word string, piece string")
+    if len(emit) >= DRIVER_FRAME_CHECKPOINT_MIN_ROWS:
+        df = df.checkpoint(eager=True)
+    return df
+
+
+def _unigram_used_frame(
+    spark: SparkSession,
+    words,
+    pcost,
+    driver_max_words: int = UNI_DRIVER_MAX_WORDS,
+) -> "DataFrame":
+    """Viterbi E-step emissions (word, piece) — one row per chosen piece
+    occurrence per word, materialized (checkpoint or LocalTableScan — see
+    _driver_viterbi_used). Below ``driver_max_words``
+    (|words| counted from the already-checkpointed histogram) the DP runs
+    on the driver (see UNI_DRIVER_MAX_WORDS); above it, as the unrolled
+    distributed levels. Pass 0 to force the distributed DP (the
+    equivalence test does)."""
+    if words.count() <= driver_max_words:
+        return _driver_viterbi_used(spark, words, pcost)
     pb = F.broadcast(pcost.select("piece", "cost_micro"))
     levels = [
         words.select(
@@ -4476,7 +4544,22 @@ def _unigram_frames(spark: SparkSession, sf_dir: str) -> tuple:
         )
         used = emit if used is None else used.unionByName(emit)
         frontier = step.select("word", (F.col("pos") - F.col("back_k")).alias("pos"))
-    used = used.checkpoint(eager=True)
+    return used.checkpoint(eager=True)
+
+
+def _unigram_frames(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build (words, pcost, used) once per (applicationId, sf_dir):
+    words = admitted word histogram, pcost = quantized piece inventory,
+    used = one row per chosen piece occurrence per word (the Viterbi
+    E-step output). All materialized (checkpointed, or a LocalTableScan
+    from the driver DP) — see text_unigram_train for the full algebra
+    and scale rationale, and UNI_DRIVER_MAX_WORDS for the scale-adaptive
+    DP placement."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _UNIGRAM_FRAMES:
+        return _UNIGRAM_FRAMES[key]
+    words, pcost = _unigram_words_pcost(spark, sf_dir)
+    used = _unigram_used_frame(spark, words, pcost)
     _UNIGRAM_FRAMES[key] = (words, pcost, used)
     return _UNIGRAM_FRAMES[key]
 

@@ -4910,7 +4910,7 @@ def _bt_strengths(spark: SparkSession, sf_dir: str):
         F.col("source").alias("loser"),
         F.col("score_ppm").alias("w_score"),
     )
-    edges = (
+    edge_agg = (
         best.join(worst, ["lang", "bucket"])
         .filter(
             (F.col("b_doc") != F.col("w_doc"))
@@ -4919,7 +4919,6 @@ def _bt_strengths(spark: SparkSession, sf_dir: str):
         )
         .groupBy("winner", "loser")
         .agg(F.count(F.lit(1)).alias("w"))
-        .checkpoint(eager=True)
     )
     # The aggregated edge frame is <= |sources|^2 rows BY CONSTRUCTION
     # (groupBy winner,loser over the source vocabulary) — a metadata-scale
@@ -4934,10 +4933,19 @@ def _bt_strengths(spark: SparkSession, sf_dir: str):
     # BT_STEP_X1M + 0.5)) that already absorbs Spark-vs-DuckDB float sum
     # order absorbs the driver's sum order the same way, so the integer
     # trajectory is unchanged (parity-verified at sf0.001/0.01/0.1).
+    # The collect IS the materialization: the corpus pass runs exactly once
+    # (one collect job instead of checkpoint-write + collect-read), and the
+    # shared `edges` frame handed to consumers is the LocalTableScan of the
+    # collected K^2-bounded rows (the DRIVER_FRAME_CHECKPOINT_MIN_ROWS
+    # rationale — an eager checkpoint of a tiny frame is pure task/write
+    # overhead).
     edge_rows = [
         (r["winner"], r["loser"], r["w"])
-        for r in edges.select("winner", "loser", "w").collect()
+        for r in edge_agg.select("winner", "loser", "w").collect()
     ]
+    edges = spark.createDataFrame(
+        sorted(edge_rows), "winner string, loser string, w long"
+    )
     items = sorted({w for w, _, _ in edge_rows} | {l for _, l, _ in edge_rows})
     if not items:
         # Degenerate corpus (one source, or no pair clears BT_MIN_MARGIN_PPM):

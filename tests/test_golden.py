@@ -610,16 +610,80 @@ class TestDriverCCEquivalence:
             assert fast_pd == slow_pd, pairs
             assert fast_ml == fast_pd, pairs
 
-    def test_fast_path_result_is_checkpointed(self, spark):
+    def test_fast_path_result_is_materialized(self, spark):
         # same contract as the loops: the returned frame reads its own
-        # materialization (two actions agree after caches are gone)
+        # materialization (two actions agree after caches are gone). Below
+        # DRIVER_FRAME_CHECKPOINT_MIN_ROWS that materialization is the
+        # LocalTableScan itself (driver-held rows, no live subtree); at or
+        # above it, a checkpoint (ExistingRDD).
         from rvi_big_data_api_spark.operators.llm_dedup import min_label_components
 
         edges = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
         out = min_label_components(spark, edges)
         assert out.count() == out.count() == 4
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "ExistingRDD" in plan  # checkpoint-backed, not a live subtree
+        assert "LocalTableScan" in plan or "ExistingRDD" in plan
+        assert "FileScan" not in plan and "Join" not in plan  # no live subtree
+
+
+class TestDriverUnigramEquivalence:
+    """Optimization round 12: below UNI_DRIVER_MAX_WORDS the unigram
+    Viterbi E-step runs on the driver over the collected word histogram.
+    The emitted (word, piece) multiset must be bit-equal to the unrolled
+    distributed DP's on a corpus exercising the tricky geometry: words at
+    the UNI_WMAX admission boundary, single-char words, repeated-piece
+    words (multiplicity), and shared substrings that create cost ties."""
+
+    def test_driver_dp_matches_distributed(self, spark, tmp_path):
+        from rvi_big_data_api_spark.operators.llm_text import (
+            _unigram_used_frame,
+            _unigram_words_pcost,
+        )
+
+        docs = [
+            "abab abab banana bananabread a ab abc abcd abcde",
+            "twelveletter thirteenletter abab banana aa aaa aaaa aaaaa",
+            "xyzzy xyzzy plugh plugh plugh ab ba abba baab aaaaaaaa",
+        ]
+        rows = [
+            (i + 1, t, "en", "s", len(t)) for i, t in enumerate(docs)
+        ]
+        sf_dir = str(tmp_path)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+        words, pcost = _unigram_words_pcost(spark, sf_dir)
+        fast = sorted(
+            map(tuple, _unigram_used_frame(spark, words, pcost).collect())
+        )
+        slow = sorted(
+            map(
+                tuple,
+                _unigram_used_frame(
+                    spark, words, pcost, driver_max_words=0
+                ).collect(),
+            )
+        )
+        assert fast == slow
+        assert len(fast) > 0
+        # row multiplicity is preserved: a word longer than UNI_L chars
+        # cannot be a single piece, so it must emit >= 2 rows; 'aaaaaaaa'
+        # additionally forces DUPLICATE (word, piece) rows into the
+        # multiset whenever its segmentation repeats a piece — both
+        # multiplicities are covered by the sorted-list equality above
+        banana = [p for w, p in fast if w == "banana"]
+        assert len(banana) >= 2
+        assert sorted("".join(banana)) == sorted("banana")  # exact partition
+
+    def test_fast_path_result_is_materialized(self, spark, sf_dir):
+        from rvi_big_data_api_spark.operators.llm_text import _unigram_frames
+
+        _, _, used = _unigram_frames(spark, sf_dir)
+        plan = used._jdf.queryExecution().executedPlan().toString()
+        # materialized: LocalTableScan (small driver DP) or a checkpoint
+        # (distributed DP / large driver DP) — never a live DP subtree
+        assert "LocalTableScan" in plan or "ExistingRDD" in plan
+        assert "FileScan" not in plan and "Join" not in plan
 
 
 class TestIncrementalDedup:
