@@ -83,6 +83,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    # Resolved core count (VERDICT r12 item 2, additive-only): the driver's
+    # scaling probe compares runs at different $SPARK_GRAFT_CPUS, but at this
+    # SF every query is overhead-bound, so without the resolved parallelism
+    # echoed here the probe cannot distinguish "env var ignored" from
+    # "overhead-bound" (it false-flagged round 12). defaultParallelism IS the
+    # local[N] thread count the session actually runs with.
+    cpus = spark.sparkContext.defaultParallelism
 
     # Full per-query map: stderr + a sidecar file. The driver keeps only the
     # last 2000 chars of stdout (BENCH_r01.json came back parsed:null because
@@ -97,6 +104,7 @@ def main() -> None:
         "n_queries": len(timings),
         "probe_sec": probe_sec,
         "graph_memo_warmup_sec": graph_memo_warmup_sec,
+        "cpus": cpus,
     }
     print(json.dumps(detail), file=sys.stderr)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
@@ -114,6 +122,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "probe_sec": probe_sec,
                 "graph_memo_warmup_sec": graph_memo_warmup_sec,
+                "cpus": cpus,
             },
             separators=(",", ":"),
         )

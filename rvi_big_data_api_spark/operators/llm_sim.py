@@ -1522,12 +1522,18 @@ def _pq_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_FRAMES:
         from ..session import ensure_checkpoint_dir
+        from .llm_dedup import collect_materialize
 
         ensure_checkpoint_dir(spark)
         codes, codebook = _pq_train(load(spark, sf_dir, "embeddings"))
+        # codes is |vecs| x M — CORPUS-scale, keeps the checkpoint; the
+        # codebook is M x K rows by construction (a constant-sized model
+        # artifact), so it's materialized as collected driver rows instead
+        # of paying checkpoint write tasks (VERDICT r12 item 7, the
+        # collect_materialize rule). Centroid doubles roundtrip exactly.
         _PQ_FRAMES[key] = (
             codes.checkpoint(eager=True),
-            codebook.checkpoint(eager=True),
+            collect_materialize(spark, codebook),
         )
     return _PQ_FRAMES[key]
 
@@ -2403,6 +2409,18 @@ def _kcore_oracle_sql(peels: int) -> str:
     return "".join(parts)
 
 
+# Dedicated driver-peel bound (optimization round 13, VERDICT r12 item 2:
+# the CC bound was memory-mis-sized for THIS structure). CC_DRIVER_MAX_EDGES
+# (2M) was justified as ~64 MB of long tuples for union-find; the peel below
+# builds a Python dict of SETS of (label, vec) TUPLES — ~10-20x fatter per
+# directed edge (tuple 64 B + set-entry ~60 B + shared key objects), so the
+# same 2M-edge bound would be several GB of driver RSS. 200 k directed edges
+# keeps the adjacency structure at ~40-80 MB, the same memory envelope the
+# CC bound was sized for; above it the distributed peel loop runs unchanged
+# (the 100 TB path).
+KCORE_DRIVER_MAX_EDGES = 200_000
+
+
 @query("graph_kcore", oracle=_kcore_oracle_sql(KCORE_ORACLE_PEELS), tags=("llm", "graph"))
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=2) of the similarity graph by iterative
@@ -2437,9 +2455,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subgraph with min-degree ≥ K, so simultaneous-round peeling (the
     # loop) and sequential peeling (below) reach the identical fixpoint.
     # Above the bound the loop runs unchanged — the 100 TB path.
-    from ..operators.llm_dedup import CC_DRIVER_MAX_EDGES
-
-    if p.count() * 2 <= CC_DRIVER_MAX_EDGES:
+    if p.count() * 2 <= KCORE_DRIVER_MAX_EDGES:
         from collections import defaultdict, deque
 
         adj: dict = defaultdict(set)

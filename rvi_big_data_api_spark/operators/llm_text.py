@@ -2915,10 +2915,25 @@ _BPE_ROUNDS: dict[tuple[str, str], tuple] = {}
 def _bpe_rounds(spark: SparkSession, sf_dir: str):
     """Shared BPE machinery: run BPE_MERGES greedy merge rounds and return
     (per-round rule frames, initial token frame, final token frame),
-    computed once per (session, sf_dir). Each round's frame is eagerly
-    checkpointed (the graph_hits lesson); `big` is recomputed within a
-    round rather than checkpointed — one window pass over a checkpointed
-    frame is cheaper than a third write."""
+    computed once per (session, sf_dir).
+
+    Materialization (optimization round 13, VERDICT r12 item 3 — guide
+    §2.4/§5): the per-round `big` (lead-windowed token frame) is CACHED,
+    not checkpointed. Each round reads it twice (the winning-pair count
+    and the merge application), and an InMemoryRelation — unlike a
+    checkpoint's ReadRDD — PRESERVES the (doc_id) hash partitioning and
+    (pos) sort order of the window that built it, so the merge
+    application's cumulative windows run with NO further Exchange or Sort:
+    the token frame is exchanged/sorted exactly ONCE for the whole
+    training chain (round 0), where the checkpoint formulation re-paid
+    exchange+sort in every pass of every round (6 extra exchange+sort
+    passes + 2 inner checkpoint writes + read-backs). Only the FINAL
+    token frame is eagerly checkpointed — the memo hands out materialized
+    disk-backed lineage (the graph_hits lesson), and every inner cache is
+    unpersisted before returning (the min_label_components hygiene
+    contract). At 100 TB the cached token frame spills to disk
+    (MEMORY_AND_DISK) — the same storage bill the checkpoint paid, minus
+    the re-exchange."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BPE_ROUNDS:
         return _BPE_ROUNDS[key]
@@ -2934,10 +2949,12 @@ def _bpe_rounds(spark: SparkSession, sf_dir: str):
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     wrun = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rules = []
+    inner_caches = []
     for k in range(BPE_MERGES):
         big = t.select(
             "doc_id", "pos", "tok", F.lead("tok").over(w_doc).alias("nxt")
-        )
+        ).cache()
+        inner_caches.append(big)
         cnt = (
             big.filter(F.col("nxt").isNotNull())
             .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
@@ -2993,20 +3010,23 @@ def _bpe_rounds(spark: SparkSession, sf_dir: str):
         staged = staged.select(
             "doc_id", "pos", "tok", "nxt", sel.cast("int").alias("sel")
         )
-        t = (
-            staged.withColumn(
-                "prev_sel", F.coalesce(F.lag("sel").over(w_doc), F.lit(0))
-            )
-            .filter(F.col("prev_sel") == 0)
-            .select(
-                "doc_id",
-                (F.row_number().over(w_doc) - 1).alias("pos"),
-                F.when(F.col("sel") == 1, F.concat("tok", "nxt"))
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-            .checkpoint(eager=True)
+        t = staged.withColumn(
+            "prev_sel", F.coalesce(F.lag("sel").over(w_doc), F.lit(0))
+        ).filter(F.col("prev_sel") == 0).select(
+            "doc_id",
+            (F.row_number().over(w_doc) - 1).alias("pos"),
+            F.when(F.col("sel") == 1, F.concat("tok", "nxt"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
         )
+        if k == BPE_MERGES - 1:
+            # the memoized final frame: disk-backed materialized lineage
+            t = t.checkpoint(eager=True)
+        else:
+            # inner round: cache preserves the (doc_id) partitioning +
+            # (pos) order for the next round's windows (see docstring)
+            t = t.cache()
+            inner_caches.append(t)
         rules.append(
             spark.createDataFrame(
                 [(k + 1, l_lit, r_lit, c_lit, t.count())],
@@ -3014,6 +3034,10 @@ def _bpe_rounds(spark: SparkSession, sf_dir: str):
                 " pair_count long, tokens_after long",
             )
         )
+    # the final checkpoint's count() above materialized everything the
+    # consumers will read; the inner caches are now released (hygiene)
+    for c in inner_caches:
+        c.unpersist()
     _BPE_ROUNDS[key] = (rules, t0, t)
     return _BPE_ROUNDS[key]
 
@@ -4371,6 +4395,17 @@ _UNIGRAM_FRAMES: dict[tuple[str, str], tuple] = {}
 # distributed DP runs unchanged.
 UNI_DRIVER_MAX_WORDS = 200_000
 
+# Companion bound on the PIECE inventory (ADVICE r12): the driver DP
+# collects the FULL pcost dict, and |pieces| is only boundedly related to
+# |words| (up to ~wlen x UNI_L distinct substrings per word — ~8M dict
+# entries at the word bound in the worst case, enough to stress
+# spark.driver.maxResultSize and the collect path). Gating on the piece
+# count directly (one cheap job over the checkpointed inventory) keeps the
+# collected payload at ~tens of MB: 2M pieces x (short str + long) ≈
+# ~300 MB of Python dict at worst, well inside the local driver. Above
+# either bound the distributed DP runs unchanged.
+UNI_DRIVER_MAX_PIECES = 2_000_000
+
 
 def _unigram_words_pcost(spark: SparkSession, sf_dir: str) -> tuple:
     """Corpus passes of the unigram trainer: the admitted word histogram
@@ -4435,10 +4470,11 @@ def _driver_viterbi_used(spark: SparkSession, words, pcost):
     quantized by the SAME Spark expression on both paths; everything
     after the quantizer is exact integer arithmetic in either engine.
 
-    Materialization follows the _driver_cc_labels rule: LocalTableScan
-    below DRIVER_FRAME_CHECKPOINT_MIN_ROWS (the rows ARE the
-    materialization — an eager checkpoint of a tiny local frame is ~1 s
-    of pure task overhead), eager checkpoint at or above it."""
+    Materialization follows the _driver_cc_labels rule: parallelized
+    driver rows (Scan ExistingRDD) below DRIVER_FRAME_CHECKPOINT_MIN_ROWS
+    (the rows ARE the materialization — an eager checkpoint of a tiny
+    local frame is ~1 s of pure task overhead), eager checkpoint at or
+    above it."""
     cost = {r[0]: r[1] for r in pcost.select("piece", "cost_micro").collect()}
     emit: list[tuple[str, str]] = []
     for (w,) in words.select("word").collect():
@@ -4472,13 +4508,20 @@ def _unigram_used_frame(
     driver_max_words: int = UNI_DRIVER_MAX_WORDS,
 ) -> "DataFrame":
     """Viterbi E-step emissions (word, piece) — one row per chosen piece
-    occurrence per word, materialized (checkpoint or LocalTableScan — see
+    occurrence per word, materialized (checkpoint or driver rows — see
     _driver_viterbi_used). Below ``driver_max_words``
     (|words| counted from the already-checkpointed histogram) the DP runs
     on the driver (see UNI_DRIVER_MAX_WORDS); above it, as the unrolled
     distributed levels. Pass 0 to force the distributed DP (the
-    equivalence test does)."""
-    if words.count() <= driver_max_words:
+    equivalence test does) — the `> 0 and` guard keeps that forcing
+    contract honest on an empty vocabulary (count() == 0 <= 0 would
+    otherwise silently take the driver path — ADVICE r12), and the piece
+    inventory is gated separately (see UNI_DRIVER_MAX_PIECES)."""
+    if (
+        driver_max_words > 0
+        and words.count() <= driver_max_words
+        and pcost.count() <= UNI_DRIVER_MAX_PIECES
+    ):
         return _driver_viterbi_used(spark, words, pcost)
     pb = F.broadcast(pcost.select("piece", "cost_micro"))
     levels = [
@@ -4551,7 +4594,8 @@ def _unigram_frames(spark: SparkSession, sf_dir: str) -> tuple:
     """Build (words, pcost, used) once per (applicationId, sf_dir):
     words = admitted word histogram, pcost = quantized piece inventory,
     used = one row per chosen piece occurrence per word (the Viterbi
-    E-step output). All materialized (checkpointed, or a LocalTableScan
+    E-step output). All materialized (checkpointed, or parallelized
+    driver rows
     from the driver DP) — see text_unigram_train for the full algebra
     and scale rationale, and UNI_DRIVER_MAX_WORDS for the scale-adaptive
     DP placement."""
@@ -6462,19 +6506,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the BM25 postings chain and the dense cosine ranking were each computed
 # up to three times per session (text_bm25_topk, sim_hybrid_rrf,
 # eval_hybrid_gain — ~1-2 s per recomputation at sf0.1 in the round-12
-# bench). Both ranked frames are k-per-query sized, so one eager
-# checkpoint each serves all consumers (the sim_pair_edges convention);
-# a fresh process recomputes on demand.
+# bench). Both ranked frames are bounded BY CONSTRUCTION (a constant query
+# block x a constant top-k: BM25_NQUERIES*BM25_TOPK / SIM_TOPK_NQUERIES*
+# SIM_TOPK_K rows), so round 13 materializes them as parallelized driver
+# rows via collect_materialize — one collect job instead of checkpoint
+# write tasks + read-back (VERDICT r12 item 7, the
+# DRIVER_FRAME_CHECKPOINT_MIN_ROWS rule); a fresh process recomputes on
+# demand.
 _HYBRID_FRAMES: dict = {}
 
 
 def _bm25_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import ensure_checkpoint_dir
+    from .llm_dedup import collect_materialize
 
     key = (spark.sparkContext.applicationId, sf_dir, "bm25")
     if key in _HYBRID_FRAMES:
         return _HYBRID_FRAMES[key]
-    ensure_checkpoint_dir(spark)
     d = load(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -6518,11 +6565,11 @@ def _bm25_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("qid").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
     )
-    _HYBRID_FRAMES[key] = (
+    _HYBRID_FRAMES[key] = collect_materialize(
+        spark,
         scores.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= BM25_TOPK)
-        .select("qid", "rank", "doc_id", "score_micro")
-        .checkpoint(eager=True)
+        .select("qid", "rank", "doc_id", "score_micro"),
     )
     return _HYBRID_FRAMES[key]
 
@@ -6530,15 +6577,14 @@ def _bm25_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dense_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid family's dense ranking: (qid, doc_id, rank) for the
     SIM_TOPK_NQUERIES query block, rank <= SIM_TOPK_K by (raw_dot DESC,
-    vec_id ASC) — memoized + checkpointed per (session, sf_dir)."""
-    from ..session import ensure_checkpoint_dir
-
+    vec_id ASC) — memoized per (session, sf_dir) as collected driver rows
+    (bounded by construction — see _HYBRID_FRAMES)."""
+    from .llm_dedup import collect_materialize
     from .llm_sim import SIM_TOPK_K, SIM_TOPK_NQUERIES, dot
 
     key = (spark.sparkContext.applicationId, sf_dir, "dense")
     if key in _HYBRID_FRAMES:
         return _HYBRID_FRAMES[key]
-    ensure_checkpoint_dir(spark)
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
@@ -6546,7 +6592,8 @@ def _dense_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdense = Window.partitionBy("qid").orderBy(
         F.col("raw_dot").desc(), F.col("vec_id").asc()
     )
-    _HYBRID_FRAMES[key] = (
+    _HYBRID_FRAMES[key] = collect_materialize(
+        spark,
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -6554,8 +6601,7 @@ def _dense_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(wdense))
         .filter(F.col("rank") <= SIM_TOPK_K)
-        .select("qid", F.col("vec_id").alias("doc_id"), "rank")
-        .checkpoint(eager=True)
+        .select("qid", F.col("vec_id").alias("doc_id"), "rank"),
     )
     return _HYBRID_FRAMES[key]
 

@@ -4935,7 +4935,8 @@ def _bt_strengths(spark: SparkSession, sf_dir: str):
     # trajectory is unchanged (parity-verified at sf0.001/0.01/0.1).
     # The collect IS the materialization: the corpus pass runs exactly once
     # (one collect job instead of checkpoint-write + collect-read), and the
-    # shared `edges` frame handed to consumers is the LocalTableScan of the
+    # shared `edges` frame handed to consumers is the parallelized driver
+    # rows (plans as Scan ExistingRDD — ADVICE r12) of the
     # collected K^2-bounded rows (the DRIVER_FRAME_CHECKPOINT_MIN_ROWS
     # rationale — an eager checkpoint of a tiny frame is pure task/write
     # overhead).

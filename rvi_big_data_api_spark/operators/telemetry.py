@@ -1081,10 +1081,21 @@ def geo_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The zone table is a literal broadcast (5 rows — at scale still only
     thousands, always broadcastable): the 'cross join' is a map-side loop
-    over a handful of centers with zero shuffle; the only exchange is the
-    final per-zone aggregate. Containment (dist ≤ radius) compares
-    IEEE-identical expression trees in both engines, so the boundary never
-    flaps; nearest ties break on zone_id."""
+    over a handful of centers with zero shuffle (codegen'd haversine in
+    the join condition); the rank window plans WindowGroupLimit
+    PARTIAL+Final (Spark 3.5+), so the top-1-per-fix reduction already
+    happens MAP-SIDE before the exchange — see plan ops (8)-(12) in
+    plans/r13/geo_geofence_before.txt. Round-13 examination (guide §1.1,
+    both counter-experiments measured and DISCARDED, the dedup_simhash
+    discipline): (a) a join-free transform/filter/array_min argmin —
+    1.20 s vs 0.89 s median at sf0.1, interpreted higher-order functions
+    lose to the codegen'd join; (b) a min(struct(dist, zone, user))
+    aggregate — wall-equal (0.817 vs 0.821 median) and plan-equivalent,
+    because WindowGroupLimit Partial already gives the window the same
+    map-side pre-reduction partial aggregation would. Plan already
+    minimal; unchanged. Containment (dist ≤ radius) compares
+    IEEE-identical expression trees in both engines, so the boundary
+    never flaps; nearest ties break on zone_id."""
     ev = load(spark, sf_dir, "events")
     zones = spark.createDataFrame(
         GEOFENCE_ZONES, "zone_id int, zlat double, zlon double, radius_km double"
@@ -4168,7 +4179,7 @@ def motif_best_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     partner_pos, ssd) — the approximate matrix profile itself, computed
     once per (session, sf_dir) and eagerly checkpointed (the graph-memo
     discipline): ts_motif_discovery reads its per-user MIN and
-    anomaly_subsequence_discord its per-user MAX, so the candidate join
+    anomaly_subsequence_discord its per-user MAX, so the candidate pass
     is paid once for both consumers.
 
     The octave block key wraps the 4-day cents sum in greatest(..., 1)
@@ -4221,7 +4232,19 @@ def motif_best_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("blk"),
     )
     wblk = Window.partitionBy("blk").orderBy("c0", "c1", "c2", "c3", "user_id", "r")
-    idxed = keyed.withColumn("idx", F.row_number().over(wblk))
+    # idxed feeds BOTH sides of the band join below, and the a/b projections
+    # differ, so ReusedExchange never fires — without a cache the whole
+    # subtree (daily agg + two windows) executes twice. Caching it halves
+    # the build (round 13, guide §1.2: interleaved A/B medians at sf0.1 —
+    # 1.31 s cached vs 1.95 s uncached, rows identical); unpersisted after
+    # the eager checkpoint materializes (the min_label_components hygiene
+    # contract). Two join-free reformulations were measured SLOWER and
+    # discarded (the dedup_simhash counter-experiment discipline): ±W
+    # struct lead/lags (2W window frame processors, 6.8 s) and a
+    # collect_list sliding frame + map-side array_min (2.8 s) — the
+    # interpreted higher-order functions cost more than the exchanges
+    # they remove at any SF the bench sees.
+    idxed = keyed.withColumn("idx", F.row_number().over(wblk)).cache()
     # banded equi-join: probe side fans out to rank-buckets g-1, g, g+1 so
     # |idx_a - idx_b| <= W pairs all share an equi-key; never a block cross
     # product (the chunk-band / er_record_linkage discipline)
@@ -4287,9 +4310,12 @@ def motif_best_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ssd", "partner_user", "partner_pos"
     )
     best = pairs.withColumn("rn", F.row_number().over(wbest)).filter(F.col("rn") == 1)
-    _MOTIF_BEST[key] = best.select(
-        "user_id", "r", "partner_user", "partner_pos", "ssd"
-    ).checkpoint(eager=True)
+    try:
+        _MOTIF_BEST[key] = best.select(
+            "user_id", "r", "partner_user", "partner_pos", "ssd"
+        ).checkpoint(eager=True)
+    finally:
+        idxed.unpersist()
     return _MOTIF_BEST[key]
 
 
@@ -4761,13 +4787,38 @@ def _esd_oracle_sql() -> str:
 
 
 
-def _esd_extract(spark: SparkSession, daily: DataFrame) -> DataFrame:
+# Scale probe for the ESD driver fold (optimization round 13, VERDICT r12
+# item 1 — the CC_DRIVER_MAX_EDGES / UNI_DRIVER_MAX_WORDS contract): the
+# residual frame is |channels| x |days| cells after the daily partial agg —
+# calendar-bounded for a fixed channel universe, but an IoT-style channel
+# explosion at 100 TB makes |channels| corpus-scale, so the collect must be
+# gated, not assumed. Memory rationale for the bound: each collected cell is
+# a (event_type str, day str, int) tuple ≈ ~220 B of Python objects, so
+# 500 k cells ≈ ~110 MB driver RSS (plus the per-channel stats dict, which
+# is |channels|-sized) — comfortably inside the local driver and far below
+# spark.driver.maxResultSize. Above the bound the distributed
+# driver-coordinated rounds below run instead (per round: one groupBy over
+# the checkpointed cells + ONE |channels|-row argmax collect — coordinator-
+# plane data only, never cell rows).
+ESD_DRIVER_MAX_CELLS = 500_000
+
+
+def _esd_extract(
+    spark: SparkSession,
+    daily: DataFrame,
+    driver_max_cells: int = ESD_DRIVER_MAX_CELLS,
+) -> DataFrame:
     """The shared ESD extraction consumed by anomaly_seasonal_esd (batch)
     and stream_seasonal_esd (streaming twin): given (event_type, d, dow, xc)
     daily cells, deseasonalize by the per-weekday doubled median and run
     ESD_K driver-coordinated max-deviate removal rounds. Both ops riding
     ONE helper is the no-drift guarantee the reconciliation property pins
-    (VERDICT r10 item 6)."""
+    (VERDICT r10 item 6).
+
+    ``driver_max_cells``: cell bound for the driver fold (see
+    ESD_DRIVER_MAX_CELLS); pass 0 to force the distributed rounds (the
+    forced-path equivalence test does — `> 0 and` keeps the forcing
+    contract honest on an empty frame, the ADVICE r12 count()==0 trap)."""
     from ..session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
@@ -4783,16 +4834,19 @@ def _esd_extract(spark: SparkSession, daily: DataFrame) -> DataFrame:
         )
         .checkpoint(eager=True)
     )
-    # The residual frame is |channels| x |days| cells BY CONSTRUCTION —
-    # calendar-bounded, it stops scaling with raw events after the daily
-    # partial agg. Collect it ONCE and run the ESD_K max-deviate rounds on
-    # the driver (guide §1.2/§5: the distributed pass already reduced the
-    # corpus to metadata scale; the round-12 bench measured the previous
-    # per-round Spark jobs at ~0.6-0.9 s EACH over this ~200-row frame —
-    # pure planning/codegen, not data). Every float op below replicates the
-    # prior Spark expression tree exactly (long->double casts, division
-    # order, IEEE sqrt/abs), and all sums are exact integers, so each
-    # round's z values and argmax are bit-identical.
+    # The count doubles as the scale probe — one cheap job over the frame
+    # the rounds read anyway (the min_label_components discipline).
+    if not (0 < rem.count() <= driver_max_cells):
+        return _esd_extract_distributed(spark, rem)
+    # Below the bound: collect the cell frame ONCE and run the ESD_K
+    # max-deviate rounds on the driver (guide §1.2/§5: the distributed pass
+    # already reduced the corpus to metadata scale; the round-12 bench
+    # measured the previous per-round Spark jobs at ~0.6-0.9 s EACH over
+    # this ~200-row frame — pure planning/codegen, not data). Every float op
+    # below replicates the distributed expression tree exactly (long->double
+    # casts, division order, IEEE sqrt/abs), and all sums are exact
+    # integers, so each round's z values and argmax are bit-identical —
+    # pinned by the forced-path equivalence test (tests/test_round13).
     import math
 
     cells = [
@@ -4828,6 +4882,68 @@ def _esd_extract(spark: SparkSession, daily: DataFrame) -> DataFrame:
             z, day, r2 = best[et]
             excluded.add((et, day))
             out_rows.append((et, k, day, r2, z))
+    out = spark.createDataFrame(
+        out_rows, "event_type string, iteration long, day string,"
+        " resid2 long, z double"
+    )
+    return out.select(
+        "event_type",
+        "iteration",
+        "day",
+        "resid2",
+        (F.round(F.col("z"), 4) + F.lit(0.0)).alias("z_score"),
+        (F.col("z") > ESD_THRESHOLD).alias("is_anomaly"),
+    )
+
+
+def _esd_extract_distributed(spark: SparkSession, rem: DataFrame) -> DataFrame:
+    """The above-bound ESD path (restored behind the ESD_DRIVER_MAX_CELLS
+    gate — VERDICT r12 item 1): ESD_K driver-COORDINATED rounds over the
+    checkpointed (event_type, day, r2) cell frame. Each round is one
+    groupBy-moments aggregate + broadcast join + per-channel rank window,
+    and collects only the |channels|-row argmax flags (coordinator-plane
+    literals for the next round's exclusion filter — never cell data), so
+    driver state is O(ESD_K * |channels|) regardless of cell count. The
+    expression tree is the one the driver fold replicates (exact integer
+    moments, long->double casts, IEEE sqrt/abs, (z desc, day asc) argmax),
+    so both paths emit bit-identical rows — pinned by the forced-path
+    equivalence test."""
+    excluded: list[tuple[str, str]] = []  # (event_type, day) literals
+    out_rows = []
+    for k in range(1, ESD_K + 1):
+        cur = rem
+        for et, day in excluded:
+            cur = cur.filter(
+                ~((F.col("event_type") == et) & (F.col("day") == day))
+            )
+        stats = cur.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r2").alias("sr"),
+            F.sum(F.col("r2") * F.col("r2")).alias("srr"),
+        )
+        z = F.abs(F.col("r2") - F.col("sr").cast("double") / F.col("n")) / F.nullif(
+            F.sqrt(
+                (F.col("srr") - F.col("sr").cast("double") * F.col("sr") / F.col("n"))
+                / F.nullif(F.col("n") - 1, F.lit(0))
+            ),
+            F.lit(0.0),
+        )
+        wch = Window.partitionBy("event_type").orderBy(
+            F.col("z").desc(), F.col("day").asc()
+        )
+        flag_rows = (
+            cur.join(F.broadcast(stats), "event_type")
+            .select("event_type", "day", "r2", z.alias("z"))
+            .withColumn("rn", F.row_number().over(wch))
+            .filter((F.col("rn") == 1) & F.col("z").isNotNull())
+            .select("event_type", "day", "r2", "z")
+            .collect()
+        )
+        for r in flag_rows:
+            excluded.append((r["event_type"], r["day"]))
+            out_rows.append(
+                (r["event_type"], k, r["day"], r["r2"], float(r["z"]))
+            )
     out = spark.createDataFrame(
         out_rows, "event_type string, iteration long, day string,"
         " resid2 long, z double"
