@@ -818,6 +818,9 @@ def collect_materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
     rows = df.collect()
     out = spark.createDataFrame(rows, df.schema)
     if len(rows) >= DRIVER_FRAME_CHECKPOINT_MIN_ROWS:
+        from ..session import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(spark)  # callers no longer guarantee a dir
         out = out.checkpoint(eager=True)
     return out
 

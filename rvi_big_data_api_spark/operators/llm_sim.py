@@ -1522,18 +1522,17 @@ def _pq_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_FRAMES:
         from ..session import ensure_checkpoint_dir
-        from .llm_dedup import collect_materialize
 
         ensure_checkpoint_dir(spark)
         codes, codebook = _pq_train(load(spark, sf_dir, "embeddings"))
-        # codes is |vecs| x M — CORPUS-scale, keeps the checkpoint; the
-        # codebook is M x K rows by construction (a constant-sized model
-        # artifact), so it's materialized as collected driver rows instead
-        # of paying checkpoint write tasks (VERDICT r12 item 7, the
-        # collect_materialize rule). Centroid doubles roundtrip exactly.
+        # Both checkpointed: the round-13 driver-rows counter-experiment
+        # (see _HYBRID_FRAMES in llm_text.py) measured collected-row
+        # materialization as a per-action Python-worker tax on every
+        # consumer — the checkpoint scan is pure JVM and wins for
+        # Spark-computed frames read by several downstream actions.
         _PQ_FRAMES[key] = (
             codes.checkpoint(eager=True),
-            collect_materialize(spark, codebook),
+            codebook.checkpoint(eager=True),
         )
     return _PQ_FRAMES[key]
 

@@ -6506,22 +6506,30 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the BM25 postings chain and the dense cosine ranking were each computed
 # up to three times per session (text_bm25_topk, sim_hybrid_rrf,
 # eval_hybrid_gain — ~1-2 s per recomputation at sf0.1 in the round-12
-# bench). Both ranked frames are bounded BY CONSTRUCTION (a constant query
-# block x a constant top-k: BM25_NQUERIES*BM25_TOPK / SIM_TOPK_NQUERIES*
-# SIM_TOPK_K rows), so round 13 materializes them as parallelized driver
-# rows via collect_materialize — one collect job instead of checkpoint
-# write tasks + read-back (VERDICT r12 item 7, the
-# DRIVER_FRAME_CHECKPOINT_MIN_ROWS rule); a fresh process recomputes on
-# demand.
+# bench). Both ranked frames are k-per-query sized, so one eager
+# checkpoint each serves all consumers (the sim_pair_edges convention);
+# a fresh process recomputes on demand.
+#
+# Round-13 counter-experiment (VERDICT r12 item 7), measured and
+# REVERTED: materializing these as collected driver rows
+# (collect_materialize) saves the one checkpoint write per session but
+# makes EVERY consumer action re-ship the rows through Python workers
+# (applySchemaToPythonRDD — ~0.37 s vs ~0.08 s per count() at sf0.1,
+# interleaved medians; the whole hybrid family measured ~+1.9 s per
+# bench run). A checkpoint scan is pure JVM; for Spark-COMPUTED frames
+# read by several downstream actions the checkpoint wins. The
+# driver-rows rule remains correct where r12 applied it — frames whose
+# rows were ALREADY collected for a driver fold.
 _HYBRID_FRAMES: dict = {}
 
 
 def _bm25_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm_dedup import collect_materialize
+    from ..session import ensure_checkpoint_dir
 
     key = (spark.sparkContext.applicationId, sf_dir, "bm25")
     if key in _HYBRID_FRAMES:
         return _HYBRID_FRAMES[key]
+    ensure_checkpoint_dir(spark)
     d = load(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -6565,11 +6573,11 @@ def _bm25_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("qid").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
     )
-    _HYBRID_FRAMES[key] = collect_materialize(
-        spark,
+    _HYBRID_FRAMES[key] = (
         scores.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= BM25_TOPK)
-        .select("qid", "rank", "doc_id", "score_micro"),
+        .select("qid", "rank", "doc_id", "score_micro")
+        .checkpoint(eager=True)
     )
     return _HYBRID_FRAMES[key]
 
@@ -6577,14 +6585,15 @@ def _bm25_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dense_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid family's dense ranking: (qid, doc_id, rank) for the
     SIM_TOPK_NQUERIES query block, rank <= SIM_TOPK_K by (raw_dot DESC,
-    vec_id ASC) — memoized per (session, sf_dir) as collected driver rows
-    (bounded by construction — see _HYBRID_FRAMES)."""
-    from .llm_dedup import collect_materialize
+    vec_id ASC) — memoized + checkpointed per (session, sf_dir); see
+    _HYBRID_FRAMES for the round-13 driver-rows counter-experiment."""
+    from ..session import ensure_checkpoint_dir
     from .llm_sim import SIM_TOPK_K, SIM_TOPK_NQUERIES, dot
 
     key = (spark.sparkContext.applicationId, sf_dir, "dense")
     if key in _HYBRID_FRAMES:
         return _HYBRID_FRAMES[key]
+    ensure_checkpoint_dir(spark)
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < SIM_TOPK_NQUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
@@ -6592,8 +6601,7 @@ def _dense_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdense = Window.partitionBy("qid").orderBy(
         F.col("raw_dot").desc(), F.col("vec_id").asc()
     )
-    _HYBRID_FRAMES[key] = collect_materialize(
-        spark,
+    _HYBRID_FRAMES[key] = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -6601,7 +6609,8 @@ def _dense_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(wdense))
         .filter(F.col("rank") <= SIM_TOPK_K)
-        .select("qid", F.col("vec_id").alias("doc_id"), "rank"),
+        .select("qid", F.col("vec_id").alias("doc_id"), "rank")
+        .checkpoint(eager=True)
     )
     return _HYBRID_FRAMES[key]
 

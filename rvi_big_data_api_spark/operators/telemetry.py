@@ -15,7 +15,7 @@ on output (SURVEY.md §1 gotcha 1).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 
 from ..functions.exprs import ts_str
 from ..io import load
@@ -2479,6 +2479,16 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gear bound for geo_nearest_poi's literal-least argmin (round 13): at or
+# below this many collected POIs the per-fix argmin is a least() over
+# literal candidate structs — a scalar expression tree that whole-stage-
+# codegens (~1.4x the interpreted transform/array_min at sf0.1). Above it
+# a literal tree risks codegen's per-method size limits (and linear plan
+# growth), so the broadcast-array HOF shape takes over. 64 structs ≈ a few
+# hundred expression nodes — comfortably inside codegen budgets.
+POI_LEAST_MAX = 64
+
+
 @query(
     "geo_nearest_poi",
     oracle="""
@@ -2529,15 +2539,21 @@ def geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number — DuckDB 1.0 lacks composite arg_min). min_d2 ships RAW
     (same double on both sides); only the order-dependent avg is rounded.
 
-    Scale shape: the POI dim collapses to a ONE-ROW broadcast array
-    (25 structs; any real POI set is thousands — still broadcast-sized),
-    so the per-fix argmin is a pure map-side `transform` + `array_min`
-    over that array — fact rows NEVER shuffle; the only exchange is the
+    Scale shape: fact rows NEVER shuffle; the only exchange is the
     25-key POI rollup (the first formulation grouped by event_id and
-    shuffled 1.5M argmin groups at sf0.1 — 10.8 s vs ~2 s for this
-    shape). At millions of POIs swap the broadcast for the grid-cell
-    bucket + neighbor-probe join (geo_grid_density's cells), same
-    downstream plan."""
+    shuffled 1.5M argmin groups at sf0.1 — 10.8 s vs ~2 s for the
+    map-side shapes). The per-fix argmin is two-geared (round 13, guide
+    §1.2/§4 — codegen'd scalar expressions over interpreted higher-order
+    functions): at or below POI_LEAST_MAX collected POIs, `least()` over
+    literal candidate structs — a pure scalar expression tree that
+    whole-stage-codegens (measured 0.86 s vs 1.21 s interleaved median
+    at sf0.1 for the array shape; struct compare (d2, poi_id) = the same
+    argmin either way, rows identical x3 SFs); above the bound (where a
+    literal tree would blow past codegen's method-size limits), the
+    previous ONE-ROW broadcast array + `transform`/`array_min` shape —
+    still broadcast-sized for thousands of POIs. At millions of POIs
+    swap the broadcast for the grid-cell bucket + neighbor-probe join
+    (geo_grid_density's cells), same downstream plan."""
     n = load(spark, sf_dir, "nation")
     ev = load(spark, sf_dir, "events")
     poi = n.select(
@@ -2550,22 +2566,36 @@ def geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") % 170.0 - 85.0).alias("lat"),
         (F.col("event_id").cast("double") % 360.0 - 180.0).alias("lon"),
     )
-    poi_arr = poi.agg(
-        F.collect_list(F.struct("poi_id", "plat", "plon")).alias("pois")
-    )
 
     def cand(p):
-        dlat = F.col("lat") - p["plat"]
-        dlon = F.col("lon") - p["plon"]
+        # p: a collected Row (literal gear) or an array element (HOF gear);
+        # identical (d2, poi_id) struct either way — lat/plat doubles are
+        # the same IEEE values (collect round-trips doubles exactly), so
+        # the argmin and every d2 are bit-identical across gears.
+        plat = F.lit(p["plat"]) if isinstance(p, Row) else p["plat"]
+        plon = F.lit(p["plon"]) if isinstance(p, Row) else p["plon"]
+        pid = F.lit(p["poi_id"]) if isinstance(p, Row) else p["poi_id"]
+        dlat = F.col("lat") - plat
+        dlon = F.col("lon") - plon
         return F.struct(
-            (dlat * dlat + dlon * dlon).alias("d2"), p["poi_id"].alias("poi_id")
+            (dlat * dlat + dlon * dlon).alias("d2"), pid.alias("poi_id")
         )
 
-    nearest = (
-        pts.crossJoin(F.broadcast(poi_arr))
-        .select(F.array_min(F.transform("pois", cand)).alias("win"))
-        .select(F.col("win.poi_id").alias("poi_id"), F.col("win.d2").alias("d2"))
-    )
+    pois = poi.collect()  # bounded by the nation dim (25 rows)
+    if len(pois) <= POI_LEAST_MAX:
+        win = F.least(*[cand(p) for p in pois]) if len(pois) > 1 else cand(pois[0])
+        nearest = pts.select(win.alias("win")).select(
+            F.col("win.poi_id").alias("poi_id"), F.col("win.d2").alias("d2")
+        )
+    else:
+        poi_arr = poi.agg(
+            F.collect_list(F.struct("poi_id", "plat", "plon")).alias("pois")
+        )
+        nearest = (
+            pts.crossJoin(F.broadcast(poi_arr))
+            .select(F.array_min(F.transform("pois", cand)).alias("win"))
+            .select(F.col("win.poi_id").alias("poi_id"), F.col("win.d2").alias("d2"))
+        )
     return nearest.groupBy("poi_id").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.min("d2").alias("min_d2"),

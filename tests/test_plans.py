@@ -893,11 +893,21 @@ def test_holt_is_single_grouped_arrow_pass(spark, sf_dir):
     assert executed.count("Scan parquet") <= 1, executed[:3000]
 
 
-def test_nearest_poi_broadcasts_the_dim(spark, sf_dir):
-    """geo_nearest_poi: the POI dim collapses to a one-row broadcast
-    array, the deliberate O(N·|poi|) argmin runs map-side as
-    transform+array_min (fact rows never shuffle), and the only exchange
-    is the |poi|-key rollup."""
+def test_nearest_poi_argmin_is_mapside_in_both_gears(spark, sf_dir, monkeypatch):
+    """geo_nearest_poi: the O(N·|poi|) argmin runs MAP-SIDE in both gears
+    (round 13) — fact rows never shuffle; the only exchange is the
+    |poi|-key rollup. Default gear (|poi| <= POI_LEAST_MAX): least() over
+    literal candidate structs — a join-FREE codegen'd scalar tree (no
+    BNLJ at all). Forced HOF gear: the POI dim collapses to a one-row
+    broadcast array consumed via transform+array_min (the BNLJ is that
+    1-row broadcast, the established scalar-fold shape)."""
+    from rvi_big_data_api_spark.operators import telemetry
+
+    plan = plan_of(REGISTRY["geo_nearest_poi"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]  # literal gear: no join operator
+    assert "least(" in plan, plan[:2000]   # the codegen'd literal argmin
+    assert "EvalPython" not in plan
+    monkeypatch.setattr(telemetry, "POI_LEAST_MAX", 0)
     plan = plan_of(REGISTRY["geo_nearest_poi"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan

@@ -130,6 +130,40 @@ class TestDriverFrameCheckpointBranch:
         assert out.count() == 4
         assert len(checkpoint_calls) == 0  # parallelized driver rows as-is
 
+    def test_collect_materialize_branches(self, spark, monkeypatch, checkpoint_calls):
+        from rvi_big_data_api_spark.operators import llm_dedup
+
+        df = spark.range(3).selectExpr("id", "id * 2 AS v")
+        monkeypatch.setattr(llm_dedup, "DRIVER_FRAME_CHECKPOINT_MIN_ROWS", 4)
+        out = llm_dedup.collect_materialize(spark, df)
+        assert sorted(map(tuple, out.collect())) == [(0, 0), (1, 2), (2, 4)]
+        assert len(checkpoint_calls) == 0  # 3 rows < bound 4
+        monkeypatch.setattr(llm_dedup, "DRIVER_FRAME_CHECKPOINT_MIN_ROWS", 3)
+        out = llm_dedup.collect_materialize(spark, df)
+        assert sorted(map(tuple, out.collect())) == [(0, 0), (1, 2), (2, 4)]
+        assert len(checkpoint_calls) == 1  # at bound -> checkpoint fires
+
+
+class TestPOIArgminGears:
+    """Round 13: geo_nearest_poi's argmin is two-geared — least() over
+    literal candidate structs at or below POI_LEAST_MAX collected POIs
+    (whole-stage-codegen'd), the broadcast-array transform/array_min shape
+    above it. Both gears must emit bit-identical rows (the literals are
+    collect-roundtripped doubles — the same IEEE values the array holds)."""
+
+    def test_gears_bit_identical(self, spark, sf_dir, monkeypatch):
+        from rvi_big_data_api_spark.operators import telemetry
+
+        fast = sorted(
+            map(tuple, telemetry.geo_nearest_poi(spark, sf_dir).collect())
+        )
+        monkeypatch.setattr(telemetry, "POI_LEAST_MAX", 0)
+        slow = sorted(
+            map(tuple, telemetry.geo_nearest_poi(spark, sf_dir).collect())
+        )
+        assert fast == slow
+        assert len(fast) > 0
+
 
 class TestUnigramForcedDistributedContract:
     """ADVICE r12 item 4: `driver_max_words=0` must force the distributed
